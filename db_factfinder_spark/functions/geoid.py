@@ -1,0 +1,82 @@
+"""Geoid synthesis and Planning-Labs formatting as column expressions.
+
+Reference: download.py:143-156 (geoid synthesis by string concat),
+geography/2010_to_2020.py:231-264 (labs geoid/geotype formatting).
+All string-typed — geoids keep leading zeros.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# NYC county FIPS → boro digit (geography/2010_to_2020.py:233).
+FIPS_TO_BORO = {"05": "2", "47": "3", "61": "1", "81": "4", "85": "5"}
+
+GEOTYPE_LABELS_2020 = {
+    "NTA": "NTA",
+    "CDTA": "CDTA",
+    "tract": "CT",
+    "CT20": "CT",
+    "borough": "Boro",
+    "city": "City",
+    "block": "CB",
+    "block group": "CBG",
+}
+
+
+def make_census_geoid(df: DataFrame, geotype: str) -> DataFrame:
+    """Synthesize ``census_geoid`` from geo-part columns
+    (reference download.py:143-156).  String concatenation — parts are
+    already zero-padded strings from ingest."""
+    if geotype == "tract":
+        geoid = F.concat("state", "county", "tract")
+    elif geotype == "borough":
+        geoid = F.concat("state", "county")
+    elif geotype == "city":
+        geoid = F.concat("state", "place")
+    elif geotype == "block":
+        geoid = F.concat("state", "county", "tract", "block")
+    elif geotype == "block group":
+        geoid = F.concat("state", "county", "tract", F.col("block_group"))
+    else:
+        raise ValueError(f"unknown geotype: {geotype}")
+    return df.withColumn("census_geoid", geoid)
+
+
+def format_geoid_2020(geoid: Column | str) -> Column:
+    """Census geoid → Planning Labs geoid
+    (reference geography/2010_to_2020.py:231-245):
+
+    * NTA/CDTA codes (MN/QN/BX/BK/SI prefix) pass through
+    * 11-char tract geoid → boro digit + 6-digit tract
+    * 5-char borough geoid → boro digit
+    * city "3651000" → "0"
+
+    Pure function of one column → a when-chain, no join needed.
+    """
+    g = F.col(geoid) if isinstance(geoid, str) else geoid
+    prefix2 = F.substring(g, 1, 2)
+    fips = F.substring(g, 4, 2)  # chars 4-5 of the 11-char tract geoid
+    boro_map = F.create_map(
+        *[F.lit(x) for kv in FIPS_TO_BORO.items() for x in kv]
+    )
+    return (
+        F.when(prefix2.isin("MN", "QN", "BX", "BK", "SI"), g)
+        .when(F.length(g) == 11, F.concat(boro_map[fips], F.substring(g, 6, 6)))
+        .when(F.length(g) == 5, boro_map[F.substring(g, 4, 2)])
+        .when(g == "3651000", F.lit("0"))
+    )
+
+
+def format_geotype_2020(geotype: Column | str) -> Column:
+    """Geotype → labs geotype label with year suffix
+    (reference geography/2010_to_2020.py:247-263): ``tract`` → CT2010,
+    known labels → <label>2020, anything else passes through."""
+    g = F.col(geotype) if isinstance(geotype, str) else geotype
+    out = F.when(g == "tract", F.lit("CT2010"))
+    for k, v in GEOTYPE_LABELS_2020.items():
+        if k == "tract":
+            continue
+        out = out.when(g == k, F.lit(v + "2020"))
+    return out.otherwise(g)

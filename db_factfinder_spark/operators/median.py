@@ -1,0 +1,182 @@
+"""Grouped interpolated median + MOE as pure Spark SQL expressions.
+
+The reference computes medians per geography row with an iterative
+Python class (median.py:7-197) applied via ``df.apply(axis=1)``
+(calculate.py:159-164).  Here the whole algorithm — cumulative
+distribution, bin location, linear interpolation, top/bottom-coding,
+and the standard-error bound interpolation for the MOE — is a set of
+native column expressions over an ``array<double>`` of bin counts.
+Everything stays JVM-side in whole-stage codegen; no Python, no UDF,
+no shuffle beyond the pivot that feeds it.
+
+Semantics replicated exactly from the reference, including its quirks:
+
+* the median bin is the *first* bin whose cumulative count reaches
+  B/2 (median.py:45-52's ``while C < N/2`` loop);
+* bottom-coding returns the first bin's upper bound, top-coding the
+  last bin's lower bound (median.py:53-62);
+* bound interpolation hard-codes ``ordered[1]``'s lower edge when the
+  bound bin is the first non-zero bin, with ``mdrms``-style variables
+  using 0.5 as the floor (median.py:124-128);
+* ``upper_bound``'s first-non-zero branch keeps the reference's
+  ``a == b & a == c`` operator-precedence quirk (median.py:150), i.e.
+  ``(upper == (lower & upper)) and ((lower & upper) == fnz)`` with ``&``
+  the *bitwise* and of the bin indices;
+* ``upper_bound`` with the bound bin at index 0 reads the cumulative
+  distribution at python index -1 (wraps to the last element) — the
+  base_case C1 lookup (median.py:103) — replicated via modular index;
+* MOE is NULL when the median reaches the top bin, B == 0, se_50 ≥ 50,
+  or the lower bound bin is the last bin (median.py:165-172).
+
+Known deliberate deviation: where the reference's float division by
+zero produces ±inf (numpy), these expressions produce NULL — reachable
+only in degenerate states the pipeline never produces (documented in
+SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from db_factfinder_spark.catalog import MedianSpec
+
+ACS_Z = 1.645  # 90% confidence z-score used throughout ACS
+
+
+def _first_index_where(arr: Column, n: int, pred) -> Column:
+    """0-based index of the first array element satisfying ``pred``,
+    NULL if none.  ``pred`` receives (element)."""
+    idx = F.filter(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: pred(F.element_at(arr, i + F.lit(1))),
+    )
+    return F.get(idx, F.lit(0))
+
+
+def median_e_m_columns(spec: MedianSpec, cnt_cols: list[Column]) -> tuple[Column, Column]:
+    """Build (median, median_moe) expressions from per-bin count columns
+    given in catalog bin order.  NULL counts are treated as 0 (the
+    pivoted frame yields NULL for geographies missing a bin variable;
+    the reference's groupby-sum produces 0.0 there)."""
+    bins = spec.bins
+    n = len(bins)
+    lo = [b[1] for b in bins]
+    hi = [b[2] for b in bins]
+    lo_arr = F.array(*[F.lit(float(x)) for x in lo])
+
+    cnts = F.array(*[F.coalesce(c.cast("double"), F.lit(0.0)) for c in cnt_cols])
+
+    # Running (sequential) cumulative sum — same accumulation order as
+    # the reference's np.cumsum, so identical floating-point results.
+    cumcnt = F.aggregate(
+        cnts,
+        F.struct(
+            F.lit([]).cast("array<double>").alias("arr"), F.lit(0.0).alias("s")
+        ),
+        lambda acc, x: F.struct(
+            F.concat(acc["arr"], F.array(acc["s"] + x)).alias("arr"),
+            (acc["s"] + x).alias("s"),
+        ),
+        lambda acc: acc["arr"],
+    )
+
+    B = F.element_at(cumcnt, n)
+    halfB = B / 2  # safe: only consumed under B != 0 guards below
+
+    # --- median (median.py:43-78) --------------------------------------
+    med_i = _first_index_where(cumcnt, n, lambda c: c >= halfB)
+    c_med = F.get(cumcnt, med_i)
+    cnt_med = F.get(cnts, med_i)
+    lo_med = F.get(lo_arr, med_i)
+    w_med = F.get(F.array(*[F.lit(float(h - l)) for l, h in zip(lo, hi)]), med_i)
+
+    interpolated = lo_med + F.try_divide(
+        (halfB - (c_med - cnt_med)) * w_med, cnt_med
+    )
+    median = (
+        F.when(B == 0, F.lit(None).cast("double"))
+        .when((med_i == 0) & F.lit(spec.bottom_coding), F.lit(float(hi[0])))
+        .when(c_med == 0, F.lit(None).cast("double"))
+        .when((med_i == n - 1) & F.lit(spec.top_coding), F.lit(float(lo[n - 1])))
+        .otherwise(interpolated)
+    )
+
+    # --- MOE machinery (median.py:7-41, 80-197) ------------------------
+    se_50 = F.when(
+        B != 0, F.lit(spec.design_factor) * F.sqrt(93.0 / (7.0 * B) * 2500.0)
+    )
+    p_lower = F.lit(50.0) - se_50
+    p_upper = F.lit(50.0) + se_50
+
+    cumpct = F.transform(cumcnt, lambda c: F.try_divide(c, B) * 100)
+
+    lower_bin = _first_index_where(cumpct, n, lambda c: c > p_lower)
+    upper_bin = _first_index_where(cumpct, n, lambda c: c > p_upper)
+    fnz = _first_index_where(cumpct, n, lambda c: c != 0.0)
+
+    def get_bound(p: Column, a1: Column, a2: Column, c1: Column, c2: Column) -> Column:
+        # median.py:93-97 — NULL when the degenerate guard trips.
+        return F.when(
+            ((c2 - c1) + a1) != 0,
+            F.try_divide((p - c1) * (a2 - a1), (c2 - c1)) + a1,
+        )
+
+    # lower bound (median.py:112-139)
+    lb_is_fnz = lower_bin == fnz
+    a1_l = F.when(
+        lb_is_fnz, F.lit(0.5 if spec.pff_variable == "mdrms" else 0.0)
+    ).otherwise(F.get(lo_arr, lower_bin))
+    a2_l = F.when(lb_is_fnz, F.lit(float(lo[1])) if n > 1 else F.lit(None)).otherwise(
+        F.when(lower_bin + 1 <= n - 1, F.get(lo_arr, lower_bin + 1))
+    )
+    c1_l = F.when(lower_bin == 0, F.lit(0.0)).otherwise(F.get(cumpct, lower_bin - 1))
+    c2_l = F.get(cumpct, lower_bin)
+    lower_bound = get_bound(p_lower, a1_l, a2_l, c1_l, c2_l)
+
+    # upper bound (median.py:141-162), overrides applied in reference
+    # order: top-bin first, then the first-non-zero precedence quirk
+    # (the quirk wins when both fire, as in the reference).
+    band = lower_bin.bitwiseAND(upper_bin)
+    quirk = (upper_bin == band) & (band == fnz)
+    top = upper_bin == n - 1
+    a1_u = (
+        F.when(quirk, F.lit(0.0))
+        .when(top, F.lit(float(lo[n - 1])))
+        .otherwise(F.get(lo_arr, upper_bin))
+    )
+    a2_u = (
+        F.when(quirk, F.lit(float(lo[1])) if n > 1 else F.lit(None))
+        .when(top, F.lit(float(lo[n - 1])))
+        .otherwise(F.when(upper_bin + 1 <= n - 1, F.get(lo_arr, upper_bin + 1)))
+    )
+    # python row[-1] wraparound when upper_bin == 0 (median.py:103)
+    c1_u = F.get(cumpct, (upper_bin - 1 + n) % n)
+    c2_u = F.get(cumpct, upper_bin)
+    upper_bound = get_bound(p_upper, a1_u, a2_u, c1_u, c2_u)
+
+    median_moe = (
+        F.when(median >= F.lit(float(lo[n - 1])), F.lit(None).cast("double"))
+        .when(B == 0, F.lit(None).cast("double"))
+        .when(se_50 >= 50, F.lit(None).cast("double"))
+        .when(lower_bin >= n - 1, F.lit(None).cast("double"))
+        .otherwise((upper_bound - lower_bound) * ACS_Z / 2)
+    )
+
+    return median, median_moe
+
+
+def calculate_median(
+    pivoted: DataFrame, spec: MedianSpec, geotype: str
+) -> DataFrame:
+    """Pivoted frame (census_geoid + one count column per bin variable,
+    named after the bin variable) → long ``(census_geoid, pff_variable,
+    geotype, e, m)`` with the interpolated median and its MOE."""
+    e, m = median_e_m_columns(spec, [F.col(v) for v in spec.input_variables])
+    return pivoted.select(
+        "census_geoid",
+        F.lit(spec.pff_variable).alias("pff_variable"),
+        F.lit(geotype).alias("geotype"),
+        e.alias("e"),
+        m.alias("m"),
+    )

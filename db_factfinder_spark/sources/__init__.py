@@ -1,0 +1,7 @@
+from db_factfinder_spark.sources.readers import (  # noqa: F401
+    read_lookup_geo,
+    read_ratio,
+    read_wide,
+    scrub_wide,
+)
+from db_factfinder_spark.sources.cache import CheckpointCache  # noqa: F401

@@ -1,0 +1,152 @@
+"""Source readers + census sentinel scrubbing.
+
+The reference ingests from the Census REST API (download.py:51-141);
+this engine's canonical source is Parquet — the production path is an
+ingest job that lands API responses as wide Parquet partitioned by
+``geotype``, after which everything is `spark.read.parquet` with
+predicate pushdown and column pruning.  Dimension CSVs keep all-string
+schemas (geoids must keep leading zeros — 2010_to_2020.py:19-23).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from db_factfinder_spark.catalog import Variable
+from db_factfinder_spark.functions.stats import OUTLIER_SENTINELS
+
+CONTROLLED = [-555555555.0, 555555555.0]
+
+LOOKUP_GEO_SCHEMA = T.StructType(
+    [
+        T.StructField(c, T.StringType())
+        for c in [
+            "geoid",
+            "nta2020",
+            "ntaname",
+            "cdta2020",
+            "cdtaname",
+            "borocode",
+            "boroname",
+            "fp_100",
+            "fp_500",
+            "park_access",
+        ]
+    ]
+)
+
+RATIO_SCHEMA = T.StructType(
+    [
+        T.StructField("boroct2010", T.StringType()),
+        T.StructField("boroct2020", T.StringType()),
+        T.StructField("ratio", T.StringType()),
+    ]
+)
+
+
+def read_wide(spark: SparkSession, path: str) -> DataFrame:
+    """Wide source scan.  Parquet → pushdown + pruning for free."""
+    return spark.read.parquet(path)
+
+
+def read_lookup_geo(spark: SparkSession, path: str) -> DataFrame:
+    """Block-grain geography crosswalk, all-string (dtype=str parity)."""
+    return spark.read.csv(path, header=True, schema=LOOKUP_GEO_SCHEMA)
+
+
+def read_ratio(spark: SparkSession, path: str) -> DataFrame:
+    """2010→2020 tract apportionment weights, all-string on read."""
+    return spark.read.csv(path, header=True, schema=RATIO_SCHEMA)
+
+
+def scrub_wide(df: DataFrame, v: Variable, geotype: str) -> DataFrame:
+    """Census sentinel scrub for the e/m download path, in reference
+    order (download.py:123-140):
+
+    per variable: cast to double; E==0 → M:=0; E sentinel → M:=NULL;
+    at city/borough grain M==±555555555 (controlled) → 0; finally every
+    remaining sentinel anywhere → NULL.
+    """
+    updates: dict[str, F.Column] = {}
+    e_m_pairs = [
+        (f"{cv}E", f"{cv}M") for cv in v.census_variable if cv[0] != "P"
+    ]
+    decennial_cols = [cv for cv in v.census_variable if cv[0] == "P"]
+
+    for e_col, m_col in e_m_pairs:
+        e = F.col(e_col).cast("double")
+        m = F.col(m_col).cast("double")
+        m = F.when(e == 0, F.lit(0.0)).otherwise(m)
+        m = F.when(e.isin(OUTLIER_SENTINELS), F.lit(None).cast("double")).otherwise(m)
+        if geotype in ("city", "borough"):
+            m = F.when(m.isin(CONTROLLED), F.lit(0.0)).otherwise(m)
+        updates[e_col] = e
+        updates[m_col] = m
+    for c in decennial_cols:
+        updates[c] = F.col(c).cast("double")
+
+    df = df.withColumns(updates)
+
+    # global sentinel → NULL on every measure column (download.py:140)
+    final = {
+        name: F.when(
+            F.col(name).isin(OUTLIER_SENTINELS), F.lit(None).cast("double")
+        ).otherwise(F.col(name))
+        for name in updates
+    }
+    return df.withColumns(final)
+
+
+def scrub_wide_profile(df: DataFrame, v: Variable, geotype: str) -> DataFrame:
+    """Sentinel scrub for the profile-only e/m/p/z path — note the
+    *different* rule order vs the e/m path (download.py:74-87): sentinel
+    E → M:=NULL first, then E==0 → M:=0, then controlled-value handling
+    on both M and PM at city/borough, then global sentinel → NULL."""
+    cv = v.census_variable[0]
+    cols = [f"{cv}E", f"{cv}M", f"{cv}PE", f"{cv}PM"]
+    casts = {c: F.col(c).cast("double") for c in cols if c in df.columns}
+    df = df.withColumns(casts)
+
+    e, m, pm = F.col(f"{cv}E"), F.col(f"{cv}M"), F.col(f"{cv}PM")
+    m_new = F.when(e.isin(OUTLIER_SENTINELS), F.lit(None).cast("double")).otherwise(m)
+    m_new = F.when(e == 0, F.lit(0.0)).otherwise(m_new)
+    updates = {f"{cv}M": m_new}
+    if geotype in ("city", "borough"):
+        updates[f"{cv}M"] = F.when(m_new.isin(CONTROLLED), F.lit(0.0)).otherwise(m_new)
+        updates[f"{cv}PM"] = F.when(pm.isin(CONTROLLED), F.lit(0.0)).otherwise(pm)
+    df = df.withColumns(updates)
+
+    final = {
+        c: F.when(
+            F.col(c).isin(OUTLIER_SENTINELS), F.lit(None).cast("double")
+        ).otherwise(F.col(c))
+        for c in cols
+        if c in df.columns
+    }
+    return df.withColumns(final)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV sink (reference pipelines/acs.py:60-63)."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Parquet sink partitioned for downstream partition pruning — the
+    production layout is ``geotype=/pff_variable=`` so per-(variable,
+    geotype) reads touch one directory."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
+    """Postgres sink (reference pipelines/create_acs.sql + CI \\COPY step).
+    Requires a JDBC driver jar on the classpath — out of correctness
+    scope here, kept for API completeness."""
+    df.write.mode(mode).format("jdbc").option("url", url).option(
+        "dbtable", table
+    ).options(**options).save()

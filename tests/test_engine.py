@@ -1,0 +1,118 @@
+"""End-to-end engine tests: catalog → plan → result, over a wide
+Parquet fixture (the SURVEY §7.2 minimum slice and beyond)."""
+
+import math
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_factfinder_spark.catalog import Catalog
+from db_factfinder_spark.operators.vertical import (
+    AggregatedGeography2020,
+    prepare_lookup_geo,
+    prepare_ratio,
+)
+from db_factfinder_spark.plans.planner import FactFinderEngine, ParquetWideSource
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+# two tracts in county 005 (Bronx): geoids 36005000100, 36005000200
+WIDE_TRACT_ROWS = [
+    # state, county, tract, pop E/M, 65+ E/M (two cols), agg income E/M, bins
+    ("36", "005", "000100", 1000.0, 50.0, 60.0, 10.0, 40.0, 8.0, 2.0e7, 1.0e6, 30.0, 40.0, 30.0),
+    ("36", "005", "000200", 2000.0, 80.0, 100.0, 12.0, 60.0, 9.0, 5.0e7, 2.0e6, 10.0, 10.0, 80.0),
+]
+WIDE_SCHEMA = (
+    "state string, county string, tract string,"
+    " B01001_001E double, B01001_001M double,"
+    " B01001_020E double, B01001_020M double,"
+    " B01001_044E double, B01001_044M double,"
+    " B19313_001E double, B19313_001M double,"
+    " C01_001E double, C01_002E double, C01_003E double"
+)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("wide")
+    df = spark.createDataFrame(WIDE_TRACT_ROWS, WIDE_SCHEMA)
+    # bins need M columns too (horizontal agg reads them)
+    for c in ["C01_001", "C01_002", "C01_003"]:
+        df = df.withColumn(f"{c}M", F.lit(1.0))
+    df.write.mode("overwrite").parquet(str(root / "tract.parquet"))
+
+    cat = Catalog(
+        FIXTURES / "metadata.json",
+        FIXTURES / "median.json",
+        FIXTURES / "special.json",
+    )
+    lookup_raw = spark.createDataFrame(
+        [
+            ("360050001001000", "BX0101", "Melrose", "BX01", "BX CD1", "2", "Bronx", "0", "1", "1"),
+            ("360050002001000", "BX0101", "Melrose", "BX01", "BX CD1", "2", "Bronx", "1", "1", "0"),
+        ],
+        "geoid string, nta2020 string, ntaname string, cdta2020 string, cdtaname string,"
+        " borocode string, boroname string, fp_100 string, fp_500 string, park_access string",
+    )
+    ratio_raw = spark.createDataFrame(
+        [("05000100", "05000100", "1.0"), ("05000200", "05000200", "1.0")],
+        "boroct2010 string, boroct2020 string, ratio string",
+    )
+    geo = AggregatedGeography2020(prepare_lookup_geo(lookup_raw), prepare_ratio(ratio_raw))
+    return FactFinderEngine(spark, cat, geo, ParquetWideSource(spark, root))
+
+
+def test_base_variable_at_tract(engine):
+    rows = {r["census_geoid"]: r.asDict() for r in engine("pop_1", "tract").collect()}
+    assert set(rows) == {"36005000100", "36005000200"}
+    r = rows["36005000100"]
+    assert r["e"] == 1000.0 and r["m"] == 50.0
+    assert r["p"] == 100.0 and r["z"] == 0.0  # base var cleaning rule
+    assert abs(r["c"] - round(50.0 / 1.645 / 1000.0 * 100, 1)) < 1e-9
+    assert r["labs_geoid"] == "2000100"  # boro digit 2 + tract
+    assert r["labs_geotype"] == "CT2010"
+
+
+def test_child_variable_p_z_against_base(engine):
+    rows = {r["census_geoid"]: r.asDict() for r in engine("pop65pl", "tract").collect()}
+    r = rows["36005000100"]
+    assert r["e"] == 100.0  # 60 + 40
+    expect_m = math.sqrt(10.0**2 + 8.0**2)
+    assert abs(r["m"] - round(expect_m, 0)) < 1e-9
+    assert abs(r["p"] - round(100.0 / 1000.0 * 100, 1)) < 1e-9
+
+
+def test_vertical_rollup_to_nta(engine):
+    rows = {r["census_geoid"]: r.asDict() for r in engine("pop_1", "NTA").collect()}
+    assert set(rows) == {"BX0101"}
+    r = rows["BX0101"]
+    assert r["e"] == 3000.0
+    assert abs(r["m"] - round(math.sqrt(50.0**2 + 80.0**2), 0)) < 1e-9
+    assert r["labs_geoid"] == "BX0101"
+    assert r["labs_geotype"] == "NTA2020"
+
+
+def test_special_variable_at_nta(engine):
+    rows = {r["census_geoid"]: r.asDict() for r in engine("percapinc", "NTA").collect()}
+    r = rows["BX0101"]
+    agg_inc, pop = 7.0e7, 3000.0
+    assert abs(r["e"] - round(agg_inc / pop, 2)) < 1e-9
+    assert r["p"] is None and r["z"] is None  # special vars never publish p/z
+
+
+def test_median_variable_at_nta(engine):
+    rows = {r["census_geoid"]: r.asDict() for r in engine("mdtest", "NTA").collect()}
+    r = rows["BX0101"]
+    # counts: bins (40, 50, 110), B=200, N/2=100 → bin 2 (top) → top-coded
+    assert r["e"] == 20.0
+    assert r["p"] is None and r["z"] is None
+
+
+def test_batch_driver_shape(engine):
+    out = engine.calculate_batch(
+        [("pop_1", "tract"), ("pop65pl", "tract"), ("pop_1", "NTA")]
+    )
+    rows = out.collect()
+    assert len(rows) == 5  # 2 + 2 + 1
+    assert "domain" in out.columns
