@@ -1,0 +1,35 @@
+"""Large-scale training-data-pipeline operators.
+
+The reference engine stops at census statistics; a 100 TB deployment of
+this engine also needs the data-curation operators every LLM pipeline
+runs: deduplication (exact and near-), similarity search over
+embeddings, text quality analysis, and multimodal column plumbing.
+All are DataFrame-native and shuffle-conscious:
+
+* exact dedup — one hash aggregation, no pairwise work;
+* MinHash+LSH — signatures are per-row expressions, the only shuffle
+  is the band-bucket join (candidate pairs only, never all-pairs);
+* SimHash — bit-parallel fingerprint, Hamming-bucket join;
+* ANN — brute-force cosine as the correctness baseline, LSH-bucketed
+  variant as the scale path;
+* text stats — pure column expressions, zero shuffles.
+"""
+
+from db_factfinder_spark.llmdata.textstats import (  # noqa: F401
+    add_text_stats,
+    language_id,
+    quality_score,
+    fingerprint,
+)
+from db_factfinder_spark.llmdata.dedup import (  # noqa: F401
+    exact_dedup,
+    jaccard_pairs,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    simhash,
+)
+from db_factfinder_spark.llmdata.similarity import (  # noqa: F401
+    brute_force_topk,
+    cosine_similarity,
+    lsh_bucketed_topk,
+)

@@ -1,0 +1,250 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design
+------------
+* **Exact** is one hash aggregation on a content fingerprint — a single
+  shuffle on the hash key, no pairwise work, trivially 100 TB-safe.
+* **Jaccard pairs** is the exact-but-quadratic baseline: explode
+  shingles, equi-join on shingle, count per pair.  Correct at any
+  scale *only* for bounded shingle fan-out; it exists as the oracle
+  the LSH path is validated against.
+* **MinHash+LSH** is the scale path: signatures are per-row column
+  expressions (k md5-based hash slots), banding groups rows by
+  (band_id, band_hash) so the only join is within small buckets —
+  candidate pairs, never all-pairs.  Hot buckets (boilerplate shingles)
+  are the skew risk; cap bucket size upstream or salt.
+* **SimHash** gives a 64-bit bit-parallel fingerprint; near-dup lookup
+  is a join on rotated prefix buckets + Hamming filter.
+
+All hashing is md5-based (not Spark's xxhash/murmur) so every result is
+reproducible in any engine — the DuckDB oracle computes the identical
+signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from db_factfinder_spark.llmdata.textstats import fingerprint, normalize_text, tokens
+
+
+def _md5_long(c: Column) -> Column:
+    """First 15 hex chars of md5 as a non-negative bigint (60 bits) —
+    portable: DuckDB `('0x' || substr(md5(x),1,15))::BIGINT` matches."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------- exact
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each identical (normalized)
+    document.  One shuffle on the fingerprint."""
+    return (
+        df.withColumn("__fp", fingerprint(text_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .withColumnRenamed("__fp", "fingerprint")
+    )
+
+
+# ------------------------------------------------------------- shingles
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct), from normalized tokens."""
+    toks = tokens(normalize_text(text))
+    k = F.size(toks) - (n - 1)
+    # guard: sequence(1, 0) would generate a *descending* [1, 0]
+    grams = F.when(k >= 1, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )).otherwise(F.array().cast("array<string>"))
+    return grams
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard ≥ threshold.
+    Explode → equi-join on shingle → per-pair intersection count →
+    |A∪B| = |A|+|B|−|A∩B|.  The a<b guard halves the join output."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -------------------------------------------------------------- minhash
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: slot i = min over shingles of
+    md5(i || shingle).  Pure per-row expressions — no shuffle."""
+    sh = shingles(text_col, n)
+    slots = [
+        F.array_min(
+            F.transform(sh, lambda g: _md5_long(F.concat(F.lit(f"{i}|"), g)))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return df.select(F.col(id_col).alias("id"), *slots)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Band the signature (rows = num_hashes/bands), bucket on
+    (band_id, band_hash), emit candidate pairs per bucket.  Matching
+    any band ⇒ candidate.  The union-of-bands is a single exploded
+    frame, so the whole operator is one shuffle on the bucket key."""
+    rows = num_hashes // bands
+    assert rows * bands == num_hashes, "bands must divide num_hashes"
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = signatures.select(
+        "id", F.explode(band_structs).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    verify_threshold: float | None = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → (optional)
+    exact-Jaccard verification of only the candidates."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    if verify_threshold is None:
+        return cands
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        joined.withColumn("jaccard", F.try_divide(inter, union))
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------- simhash
+def simhash(text: Column | str, bits: int = 32) -> Column:
+    """Charikar SimHash fingerprint: each token votes ±1 on `bits` bit
+    positions of its md5-derived hash; the sign vector packs into a
+    long.  Bit-parallel: one expression per document, no explode."""
+    toks = F.array_distinct(tokens(normalize_text(text)))
+    hashes = F.transform(toks, _md5_long)
+
+    def bit_value(b):  # 2^b as a long; exact for b ≤ 31 (bits ≤ 32)
+        return F.pow(F.lit(2.0), b.cast("double")).cast("long")
+
+    # per-bit vote: sum over tokens of (bit set ? +1 : -1)
+    votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(bit_value(b)) != 0, 1).otherwise(-1),
+        ),
+    )
+    # pack sign bits: bit b set iff vote > 0
+    packed = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, b: F.when(v > 0, bit_value(b)).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return packed
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the fingerprint's top
+    `prefix_bits` (cheap LSH), then Hamming-filter within buckets.
+    For guaranteeed recall at distance d, use d+1 rotated prefix
+    tables; one prefix table is the throughput-oriented variant."""
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sig")
+    ).withColumn("bucket", F.shiftright("sig", bits - prefix_bits))
+    a, b = sh.alias("a"), sh.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming"
+        )
+    )

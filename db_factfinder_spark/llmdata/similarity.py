@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``brute_force_topk`` — exact cosine top-k: probe×corpus join with
+  the dot product as a sequential array aggregate (deterministic
+  accumulation order → reproducible across engines).  O(P·N); the
+  correctness baseline and fine when the probe set is small.
+* ``lsh_bucketed_topk`` — the scale path: random-hyperplane signatures
+  (seeded, driver-generated planes) bucket the corpus so each probe
+  only joins its own bucket ± optional multi-probe neighbors.  At
+  1000 executors the bucket join shuffles corpus-size/2^planes rows
+  per probe instead of the full corpus.
+* An IVF variant would k-means the corpus and probe nearest centroids;
+  hooks are the same (cluster id column → equi-join).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine over double arrays; NULL when either norm is 0."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return F.try_divide(_dot(ad, bd), _norm(ad) * _norm(bd))
+
+
+def brute_force_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each probe (self-matches
+    excluded).  The probe side is broadcast — the corpus never
+    shuffles, each partition scores its own rows."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec")
+    )
+    scored = (
+        c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity(F.col("probe_vec"), F.col("cand_vec")))
+        .select("probe_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (Box-Muller over
+    md5-seeded uniforms) — no numpy dependency at plan-build time, and
+    the planes are plain literals in the plan, reproducible anywhere."""
+    out = []
+    for p in range(planes):
+        vec = []
+        for d in range(0, dim, 2):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()
+            u1 = (int(h[:8], 16) + 1) / (16**8 + 1)
+            u2 = (int(h[8:16], 16) + 1) / (16**8 + 1)
+            r = math.sqrt(-2 * math.log(u1))
+            vec.append(r * math.cos(2 * math.pi * u2))
+            if d + 1 < dim:
+                vec.append(r * math.sin(2 * math.pi * u2))
+        out.append(vec[:dim])
+    return out
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature of `vec` against the hyperplanes, packed into
+    a long — the classic cosine-LSH bucket key."""
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        proj = _dot(vd, lit_plane)
+        sig = sig.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def lsh_bucketed_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k with multi-table hyperplane LSH: ``tables``
+    independent signatures; a corpus row is a candidate if it shares
+    *any* table's bucket with the probe.  Recall ≈ 1−(1−s^planes)^tables
+    where s = 1−θ/π.  Buckets are exploded into (table, bucket) keys so
+    the candidate join is still one equi-join, and only candidates get
+    the exact cosine — the 100 TB path never scores the full corpus."""
+
+    def with_buckets(df, id_alias, vec_alias):
+        sel = df.select(
+            F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
+        )
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    hyperplane_signature(
+                        F.col(vec_alias), _hyperplanes(dim, planes, seed + t)
+                    ).alias("b"),
+                )
+                for t in range(tables)
+            ]
+        )
+        return sel.withColumn("bk", F.explode(buckets)).select(
+            id_alias, vec_alias, F.col("bk.t").alias("t"), F.col("bk.b").alias("b")
+        )
+
+    p = with_buckets(probes, "probe_id", "probe_vec")
+    c = with_buckets(corpus, "neighbor_id", "cand_vec")
+    cands = (
+        c.join(
+            F.broadcast(p),
+            (p["t"] == c["t"])
+            & (p["b"] == c["b"])
+            & (F.col("probe_id") != F.col("neighbor_id")),
+        )
+        .select("probe_id", "probe_vec", "neighbor_id", "cand_vec")
+        .dropDuplicates(["probe_id", "neighbor_id"])
+    )
+    scored = cands.withColumn(
+        "cosine", cosine_similarity(F.col("probe_vec"), F.col("cand_vec"))
+    ).select("probe_id", "neighbor_id", "cosine")
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,145 @@
+"""Text analysis operators — all pure column expressions (no UDFs,
+no shuffles; they run map-side at any scale).
+
+Tokenization is deliberately simple and *portable*: lowercase,
+whitespace split.  The point at 100 TB is that these run inside
+whole-stage codegen over the scan, so a quality-filter pass over a
+corpus costs one read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language function-word lists for the n-gram/stopword
+# language-ID heuristic.  Real deployments swap in fastText etc. via a
+# pandas UDF; the heuristic keeps everything JVM-side.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "las"],
+    "fr": ["le", "la", "de", "et", "un", "une", "les", "des", "que", "est"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "zu", "den", "von", "ist"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased whitespace tokens, empties dropped."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(F.trim(t)), r"\s+"), lambda x: x != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str]) -> Column:
+    toks = tokens(text)
+    stops = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.try_divide(hits.cast("double"), F.size(toks).cast("double"))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    return F.try_divide(punct.cast("double"), F.length(t).cast("double"))
+
+
+def mean_token_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    )
+    return F.try_divide(total, F.size(toks).cast("double"))
+
+
+def quality_score(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Composite document-quality heuristic in [0, 1]: rewards
+    reasonable length, low punctuation noise, natural stopword density
+    and word lengths — the standard cheap pre-filter before expensive
+    model-based scoring."""
+    stopwords = stopwords or LANG_STOPWORDS["en"]
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(F.try_divide(n_tok, F.lit(100.0)), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(
+        F.coalesce(punct_ratio(text), F.lit(0.0)) * 4, F.lit(1.0)
+    )
+    stop_score = F.least(
+        F.coalesce(stopword_ratio(text, stopwords), F.lit(0.0)) * 3, F.lit(1.0)
+    )
+    mtl = F.coalesce(mean_token_length(text), F.lit(0.0))
+    word_score = F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_score + punct_score + stop_score + word_score) / 4
+
+
+def language_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit ratios."""
+    return {
+        lang: stopword_ratio(text, words) for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def language_id(text: Column | str) -> Column:
+    """Argmax language by stopword-hit ratio; 'und' when nothing hits.
+    Deterministic tie-break: language order in LANG_STOPWORDS."""
+    scores = language_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.coalesce(s, F.lit(0.0)).alias("score"), F.lit(lang).alias("lang")
+            )
+            for lang, s in scores.items()
+        ]
+    )
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1.0).alias("score"), F.lit("und").alias("lang")),
+        lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc),
+    )
+    return F.when(best["score"] <= 0.0, F.lit("und")).otherwise(best["lang"])
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip
+    non-alphanumerics, collapse whitespace."""
+    t = F.col(text) if isinstance(text, str) else text
+    t = F.lower(t)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    Content-defined, so re-ingestion / re-partitioning can't change it."""
+    return F.md5(normalize_text(text))
+
+
+def rolling_hash(text: Column | str, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over the normalized text's characters —
+    the classic Rabin-Karp fingerprint, as a sequential aggregate over
+    the character array (deterministic, order-sensitive)."""
+    chars = F.split(normalize_text(text), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text profile: token count, punctuation/stopword ratios,
+    quality score, language guess, fingerprint."""
+    return df.withColumns(
+        {
+            "n_tokens": token_count(text_col),
+            "punct_ratio": punct_ratio(text_col),
+            "stopword_ratio": stopword_ratio(text_col, LANG_STOPWORDS["en"]),
+            "mean_token_len": mean_token_length(text_col),
+            "quality": quality_score(text_col),
+            "lang_guess": language_id(text_col),
+            "fingerprint": fingerprint(text_col),
+        }
+    )

@@ -74,7 +74,14 @@ class ParquetWideSource:
     def _read(self, geotype: str) -> DataFrame:
         # spaces in geotype names → underscores in filenames
         fname = geotype.replace(" ", "_")
-        return read_wide(self.spark, str(self.root / f"{fname}.parquet"))
+        path = self.root / f"{fname}.parquet"
+        if not path.exists():
+            available = sorted(p.stem for p in self.root.glob("*.parquet"))
+            raise ValueError(
+                f"no source table for geotype {geotype!r} under {self.root}"
+                f" (available: {available})"
+            )
+        return read_wide(self.spark, str(path))
 
     def load_e_m(self, geotype: str, v: Variable) -> DataFrame:
         df = scrub_wide(self._read(geotype), v, geotype)

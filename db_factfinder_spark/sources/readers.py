@@ -51,6 +51,18 @@ def read_wide(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Event-stream scan.  The driver's events table stores
+    TIMESTAMP(NANOS) which Spark's Parquet reader rejects; read the
+    nanos as long (``spark.sql.legacy.parquet.nanosAsLong``) and
+    convert to a microsecond timestamp column."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
 def read_lookup_geo(spark: SparkSession, path: str) -> DataFrame:
     """Block-grain geography crosswalk, all-string (dtype=str parity)."""
     return spark.read.csv(path, header=True, schema=LOOKUP_GEO_SCHEMA)

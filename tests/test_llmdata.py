@@ -1,0 +1,180 @@
+"""Tests for the training-data-pipeline operators over the driver's
+synthetic documents/embeddings tables (sf0.001)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_factfinder_spark.llmdata.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+    simhash_near_pairs,
+)
+from db_factfinder_spark.llmdata.similarity import (
+    brute_force_topk,
+    cosine_similarity,
+    lsh_bucketed_topk,
+)
+from db_factfinder_spark.llmdata.textstats import add_text_stats, language_id
+from db_factfinder_spark.llmdata.multimodal import extract_features
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_text_stats_columns(docs):
+    out = add_text_stats(docs)
+    row = out.filter(F.col("doc_id") == 0).collect()[0]
+    assert row["n_tokens"] > 0
+    assert 0 <= row["quality"] <= 1
+    assert len(row["fingerprint"]) == 32
+    # deterministic: same text → same fingerprint
+    again = add_text_stats(docs).filter(F.col("doc_id") == 0).collect()[0]
+    assert again["fingerprint"] == row["fingerprint"]
+
+
+def test_language_id_on_synthetic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is in the hat and it is flat",),
+            ("el perro y el gato en la casa de los abuelos",),
+            ("xyzzy plugh qwerty",),
+        ],
+        "text string",
+    )
+    out = [r[0] for r in df.select(language_id("text")).collect()]
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "und"
+
+
+def test_exact_dedup_with_injected_dupes(spark, docs):
+    # duplicate every doc_id < 5 with a shifted id
+    dupes = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    groups = exact_dedup(docs.unionByName(dupes))
+    n_docs = docs.count()
+    assert groups.count() == n_docs  # 5 dupes collapsed
+    assert groups.filter(F.col("n_copies") == 2).count() == 5
+    # representative is the lowest id
+    assert groups.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([("one two",), ("a b c d",), ("",)], "text string")
+    out = [r[0] for r in df.select(shingles("text", 3)).collect()]
+    assert out[0] == []  # fewer tokens than n → empty, not garbage
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []
+
+
+def test_minhash_lsh_finds_near_duplicates(spark, docs):
+    # a near-dup: copy of doc 0 with one token appended
+    base = docs.filter(F.col("doc_id") == 0)
+    near = base.withColumn("doc_id", F.lit(999999)).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" extra"))
+    )
+    corpus = docs.unionByName(near)
+    pairs = minhash_dedup_pairs(corpus, verify_threshold=0.8).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 999999 for r in pairs)
+    for r in pairs:
+        assert r["jaccard"] >= 0.8
+
+
+def test_jaccard_pairs_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             jaccard_pairs(df, threshold=0.1).collect()}
+    # docs 1,2: shingles 4 each, 3 common → 3/5
+    assert abs(pairs[(1, 2)] - 3 / 5) < 1e-12
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_locality(spark, docs):
+    base = docs.filter(F.col("doc_id") == 0)
+    near = base.withColumn("doc_id", F.lit(999999)).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" extra"))
+    )
+    two = base.unionByName(near).select("doc_id", simhash("text").alias("sig"))
+    sigs = {r["doc_id"]: r["sig"] for r in two.collect()}
+    hamming = bin(sigs[0] ^ sigs[999999]).count("1")
+    assert hamming <= 4  # near-identical docs → close fingerprints
+
+
+def test_brute_force_topk(spark, embs):
+    probes = embs.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(probes, embs, k=5)
+    rows = out.collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert set(by_probe) == {0, 1, 2}
+    for probe, neighbors in by_probe.items():
+        assert len(neighbors) == 5
+        ranks = sorted(n["rank"] for n in neighbors)
+        assert ranks == [1, 2, 3, 4, 5]
+        sims = [n["cosine"] for n in sorted(neighbors, key=lambda x: x["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(n["neighbor_id"] != probe for n in neighbors)
+
+
+def test_lsh_topk_recall(spark, embs):
+    probes = embs.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(probes, embs, k=5).filter(F.col("rank") == 1)
+    # NN cosines in this table are ~0.35 (θ≈70°, s≈0.61): planes=2,
+    # tables=8 → expected recall 1−(1−s²)⁸ ≈ 0.97
+    approx = lsh_bucketed_topk(probes, embs, k=5, planes=2, tables=8)
+    exact_top = {r["probe_id"]: r["neighbor_id"] for r in exact.collect()}
+    approx_by_probe = {}
+    for r in approx.filter(F.col("rank") == 1).collect():
+        approx_by_probe[r["probe_id"]] = r["neighbor_id"]
+    # LSH with 4 planes: ≥half the probes should recover their exact NN
+    hits = sum(
+        1 for p, n in exact_top.items() if approx_by_probe.get(p) == n
+    )
+    assert hits >= len(exact_top) // 2
+
+
+def test_cosine_of_identical_is_one(spark, embs):
+    row = embs.limit(1)
+    out = row.select(
+        cosine_similarity(F.col("embedding"), F.col("embedding")).alias("c")
+    ).collect()[0]["c"]
+    assert abs(out - 1.0) < 1e-9
+
+
+def test_multimodal_feature_extraction(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x10\xff" * 100), "image", "png", 10, 10, None),
+         (2, None, "image", "png", 0, 0, None)],
+        "media_id long, payload binary, media_type string, format string,"
+        " width int, height int, duration_ms long",
+    )
+    out = {r["media_id"]: r.asDict() for r in extract_features(df).collect()}
+    assert out[1]["n_bytes"] == 300
+    assert len(out[1]["feature"]) == 8
+    assert abs(sum(out[1]["feature"]) - 1.0) < 1e-9
+    assert out[2]["payload_hash"] is None and out[2]["feature"] == []

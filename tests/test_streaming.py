@@ -1,0 +1,65 @@
+"""Streaming operators: batch forms against the events table, plus a
+real Structured Streaming run through the memory sink."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_factfinder_spark.streaming.events import (
+    sessionize,
+    stream_windowed_counts,
+    windowed_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+from db_factfinder_spark.sources.readers import read_events
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return read_events(spark, f"{SF}/events.parquet")
+
+
+def test_windowed_counts_batch(events):
+    out = windowed_counts(events, "1 hour")
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count()
+    # windows align to the hour
+    r = out.limit(1).collect()[0]
+    assert r["window_start"].minute == 0 and r["window_start"].second == 0
+
+
+def test_sessionize_invariants(events):
+    sessions = sessionize(events, gap_minutes=30)
+    total = sessions.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count()
+    # session bounds are ordered
+    bad = sessions.filter(F.col("session_end") < F.col("session_start")).count()
+    assert bad == 0
+    # no user has more sessions than events
+    per_user = sessions.groupBy("user_id").count()
+    ev_per_user = events.groupBy("user_id").count().withColumnRenamed("count", "n")
+    joined = per_user.join(ev_per_user, "user_id")
+    assert joined.filter(F.col("count") > F.col("n")).count() == 0
+
+
+def test_structured_streaming_matches_batch(spark, events, tmp_path):
+    # stage the batch-read (timestamp-typed) events as the stream source
+    src = str(tmp_path / "events_stream")
+    events.write.mode("overwrite").parquet(src)
+    stream = stream_windowed_counts(spark, src, events.schema, "1 hour", "2 hours")
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT sum(n_events) FROM win_counts"
+        ).collect()[0][0]
+    finally:
+        q.stop()
+    assert got == events.count()
