@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced to full materialization through the noop sink
+(no driver-side collect overhead, no result truncation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+from db_factfinder_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward the shuffles
+# and joins that dominate at scale.
+HEADLINE = [
+    "q01_pricing_summary",      # scan + group agg
+    "q05_dim_join_rollup",      # broadcast join chain
+    "q07_crosswalk_apportion",  # window ratio + apportionment + re-agg
+    "q08_median_groups",        # pivot + median expressions
+    "q10_pz_stats",             # two aggs + base join + MOE stats
+    "q12_pivot_status",         # pivot
+    "q17_topk_per_group",       # window top-k
+    "q21_sessionize",           # double window pass
+    "q25_exact_dedup",          # text normalize + hash agg
+    "q26_jaccard_pairs",        # shingle explode + self-join
+    "q27_minhash_signatures",   # minhash expression stack
+    "q29_ann_topk",             # broadcast NLJ + vector math
+    "q31_embedding_centroids",  # posexplode + group agg
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(sf_match.group(1)) if sf_match else None
+
+    spark = get_spark(app_name="bench")
+    queries = entry.queries()
+
+    # JVM/codegen warmup outside timing
+    _force(queries["q01_pricing_summary"](spark, SF_DIR).limit(1))
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(queries[name](spark, SF_DIR))
+        dt = time.perf_counter() - t0
+        times[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

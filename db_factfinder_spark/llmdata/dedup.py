@@ -104,15 +104,37 @@ def minhash_signatures(
     n: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: slot i = min over shingles of
-    md5(i || shingle).  Pure per-row expressions — no shuffle."""
+    md5(i || shingle).  Pure per-row expressions — no shuffle.
+
+    All slots fold in ONE pass over the shingle array (element-wise
+    ``least`` on a k-vector accumulator) so the tokenize→normalize→
+    shingle pipeline is evaluated once per row, not once per slot —
+    k separate ``array_min`` expressions would blow up the codegen
+    tree k-fold."""
     sh = shingles(text_col, n)
+    sentinel = F.array(*[F.lit(1 << 62).cast("long") for _ in range(num_hashes)])
+    sig = F.aggregate(
+        sh,
+        sentinel,
+        lambda acc, g: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    _md5_long(F.concat(F.lit(f"{i}|"), g))
+                    for i in range(num_hashes)
+                ]
+            ),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    sized = df.select(
+        F.col(id_col).alias("id"), F.size(sh).alias("n_sh"), sig.alias("sig")
+    )
     slots = [
-        F.array_min(
-            F.transform(sh, lambda g: _md5_long(F.concat(F.lit(f"{i}|"), g)))
-        ).alias(f"mh_{i}")
+        F.when(F.col("n_sh") > 0, F.get("sig", i)).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return df.select(F.col(id_col).alias("id"), *slots)
+    return sized.select("id", *slots)
 
 
 def lsh_candidate_pairs(

@@ -1,0 +1,640 @@
+"""DuckDB oracle SQL for every entry in ``__spark_entry__.queries()``.
+
+Each statement mirrors the Spark query's arithmetic *operation for
+operation* (same associativity, same guards) so IEEE double results are
+bit-identical, with DECIMAL casts wherever a sum's accumulation order
+would otherwise differ between engines.
+"""
+
+# normalized-text + token expressions shared by the text queries
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
+)
+_NTOKS = f"len({_TOKS})"
+
+
+def _stop_ratio(words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return (
+        f"CAST(len(list_filter({_TOKS}, t -> list_contains({arr}, t))) AS DOUBLE)"
+        f" / CAST({_NTOKS} AS DOUBLE)"
+    )
+
+
+_EN = ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"]
+_ES = ["el", "la", "de", "que", "y", "en", "un", "una", "los", "las"]
+_FR = ["le", "la", "de", "et", "un", "une", "les", "des", "que", "est"]
+_DE = ["der", "die", "das", "und", "ein", "eine", "zu", "den", "von", "ist"]
+_ZH = ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"]
+
+# 3-gram shingle list over normalized tokens (distinct)
+_SHINGLES = """
+list_distinct(
+  CASE WHEN len(toks) - 2 >= 1 THEN
+    list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+  ELSE [] END)
+"""
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q01_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q02_horizontal_em"] = """
+WITH b AS (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity AS v1,
+         nullif(l_discount, 0.04) AS v2,
+         nullif(l_tax, 0.0) AS v3
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+  ((0.0 + coalesce(v1, 0.0)) + coalesce(v2, 0.0)) + coalesce(v3, 0.0) AS e,
+  sqrt(((0.0 + coalesce(v1 * v1, 0.0)) + coalesce(v2 * v2, 0.0))
+       + coalesce(v3 * v3, 0.0)) AS m
+FROM b
+"""
+
+ORACLES["q03_vertical_moe"] = """
+WITH b AS (SELECT c_nationkey, nullif(c_acctbal, 0.0) AS m FROM customer)
+SELECT c_nationkey,
+  coalesce(CAST(sum(CAST(m AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS e_sum,
+  sqrt(coalesce(CAST(sum(CAST(m * m AS DECIMAL(25,6))) AS DOUBLE), 0.0)) AS m_agg,
+  count(*) AS n
+FROM b GROUP BY c_nationkey
+"""
+
+ORACLES["q04_sentinel_scrub"] = """
+WITH injected AS (
+  SELECT o_orderpriority,
+    CASE WHEN o_orderkey % 11 = 0 THEN 999999999.0
+         WHEN o_orderkey % 13 = 0 THEN -555555555.0
+         ELSE o_totalprice END AS val
+  FROM orders),
+scrubbed AS (
+  SELECT o_orderpriority,
+    CASE WHEN val IN (999999999.0, 333333333.0, 222222222.0, 666666666.0,
+                      888888888.0, 555555555.0, -999999999.0, -333333333.0,
+                      -222222222.0, -666666666.0, -888888888.0, -555555555.0)
+         THEN NULL ELSE val END AS val
+  FROM injected)
+SELECT o_orderpriority,
+  count(*) AS n_rows,
+  count(*) FILTER (WHERE val IS NULL) AS n_scrubbed,
+  CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_kept
+FROM scrubbed GROUP BY o_orderpriority
+"""
+
+ORACLES["q05_dim_join_rollup"] = """
+SELECT r_name,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+    AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+ORACLES["q06_multi_source_zip"] = """
+SELECT c_mktsegment,
+  count(*) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+ORACLES["q07_crosswalk_apportion"] = """
+WITH split AS (
+  SELECT l_orderkey, l_partkey,
+    l_quantity / sum(l_quantity) OVER (PARTITION BY l_orderkey) AS ratio
+  FROM lineitem),
+facts AS (
+  SELECT o_orderkey, o_totalprice AS e, o_totalprice / 10 AS m FROM orders),
+joined AS (
+  SELECT l_partkey, e * ratio AS e2,
+    CASE WHEN ratio = 1 THEN m
+         WHEN e * ratio = 0 THEN NULL
+         WHEN pow(ratio * 100, 0.56901) * 7.96309 >= 100 THEN m
+         ELSE pow(ratio * 100, 0.56901) * 7.96309 / 100 * m END AS m2
+  FROM split JOIN facts ON l_orderkey = o_orderkey),
+quant AS (
+  SELECT l_partkey, e2,
+    CAST(floor(m2 * 100 + 0.5) AS DOUBLE) / 100 AS mq
+  FROM joined)
+SELECT l_partkey,
+  CAST(sum(CAST(floor(e2 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 1000000.0 AS e,
+  count(*) AS n_splits,
+  sqrt(CAST(sum(CAST(floor(mq * mq * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       / 10000.0) AS m
+FROM quant GROUP BY l_partkey
+"""
+
+# interpolated grouped median + MOE over quantity bins per supplier;
+# bins lo = [0,10,20,30,40], hi = [10,20,30,40,50]; DF=1.1, both codings
+ORACLES["q08_median_groups"] = """
+WITH binned AS (
+  SELECT l_suppkey, CAST(least(floor(l_quantity / 10), 4) AS INT) AS bin
+  FROM lineitem),
+counts AS (
+  SELECT l_suppkey,
+    CAST(count(*) FILTER (WHERE bin = 0) AS DOUBLE) AS n0,
+    CAST(count(*) FILTER (WHERE bin = 1) AS DOUBLE) AS n1,
+    CAST(count(*) FILTER (WHERE bin = 2) AS DOUBLE) AS n2,
+    CAST(count(*) FILTER (WHERE bin = 3) AS DOUBLE) AS n3,
+    CAST(count(*) FILTER (WHERE bin = 4) AS DOUBLE) AS n4
+  FROM binned GROUP BY l_suppkey),
+cums AS (
+  SELECT *, n0 AS c0, n0 + n1 AS c1, n0 + n1 + n2 AS c2,
+         n0 + n1 + n2 + n3 AS c3, n0 + n1 + n2 + n3 + n4 AS c4
+  FROM counts),
+base AS (
+  SELECT *, c4 AS B,
+    CASE WHEN c0 >= c4 / 2 THEN 0 WHEN c1 >= c4 / 2 THEN 1
+         WHEN c2 >= c4 / 2 THEN 2 WHEN c3 >= c4 / 2 THEN 3
+         WHEN c4 >= c4 / 2 THEN 4 END AS mi
+  FROM cums),
+med AS (
+  SELECT *,
+    list_value(n0, n1, n2, n3, n4) AS nl,
+    list_value(c0, c1, c2, c3, c4) AS cl,
+    list_value(0.0, 10.0, 20.0, 30.0, 40.0) AS lol,
+    list_value(10.0, 20.0, 30.0, 40.0, 50.0) AS hil,
+    CASE WHEN B = 0 THEN NULL
+         WHEN mi = 0 THEN 10.0
+         WHEN cl[mi + 1] = 0 THEN NULL
+         WHEN mi = 4 THEN 40.0
+         ELSE lol[mi + 1]
+              + (B / 2 - (cl[mi + 1] - nl[mi + 1]))
+                * (hil[mi + 1] - lol[mi + 1]) / nl[mi + 1]
+    END AS median_qty
+  FROM base),
+moe AS (
+  SELECT *,
+    CASE WHEN B != 0 THEN 1.1 * sqrt(93.0 / (7.0 * B) * 2500.0) END AS se,
+    CASE WHEN B != 0 THEN list_transform(cl, c -> c / B * 100) END AS cpl
+  FROM med),
+binsfound AS (
+  SELECT *,
+    CASE WHEN cpl[1] > 50.0 - se THEN 0 WHEN cpl[2] > 50.0 - se THEN 1
+         WHEN cpl[3] > 50.0 - se THEN 2 WHEN cpl[4] > 50.0 - se THEN 3
+         WHEN cpl[5] > 50.0 - se THEN 4 END AS lb,
+    CASE WHEN cpl[1] > 50.0 + se THEN 0 WHEN cpl[2] > 50.0 + se THEN 1
+         WHEN cpl[3] > 50.0 + se THEN 2 WHEN cpl[4] > 50.0 + se THEN 3
+         WHEN cpl[5] > 50.0 + se THEN 4 END AS ub,
+    CASE WHEN cpl[1] != 0.0 THEN 0 WHEN cpl[2] != 0.0 THEN 1
+         WHEN cpl[3] != 0.0 THEN 2 WHEN cpl[4] != 0.0 THEN 3
+         WHEN cpl[5] != 0.0 THEN 4 END AS fnz
+  FROM moe),
+bounds AS (
+  SELECT *,
+    CASE WHEN lb = fnz THEN 0.0 ELSE lol[lb + 1] END AS a1l,
+    CASE WHEN lb = fnz THEN 10.0
+         WHEN lb + 1 <= 4 THEN lol[lb + 2] END AS a2l,
+    CASE WHEN lb = 0 THEN 0.0 ELSE cpl[lb] END AS c1l,
+    cpl[lb + 1] AS c2l,
+    CASE WHEN (ub = (lb & ub)) AND ((lb & ub) = fnz) THEN 0.0
+         WHEN ub = 4 THEN 40.0 ELSE lol[ub + 1] END AS a1u,
+    CASE WHEN (ub = (lb & ub)) AND ((lb & ub) = fnz) THEN 10.0
+         WHEN ub = 4 THEN 40.0
+         WHEN ub + 1 <= 4 THEN lol[ub + 2] END AS a2u,
+    cpl[((ub - 1 + 5) % 5) + 1] AS c1u,
+    cpl[ub + 1] AS c2u
+  FROM binsfound),
+final AS (
+  SELECT *,
+    CASE WHEN ((c2l - c1l) + a1l) != 0 THEN
+      CASE WHEN (c2l - c1l) = 0 THEN NULL
+           ELSE ((50.0 - se) - c1l) * (a2l - a1l) / (c2l - c1l) + a1l END
+    END AS lbound,
+    CASE WHEN ((c2u - c1u) + a1u) != 0 THEN
+      CASE WHEN (c2u - c1u) = 0 THEN NULL
+           ELSE ((50.0 + se) - c1u) * (a2u - a1u) / (c2u - c1u) + a1u END
+    END AS ubound
+  FROM bounds)
+SELECT l_suppkey, median_qty,
+  CASE WHEN median_qty >= 40.0 THEN NULL
+       WHEN B = 0 THEN NULL
+       WHEN se >= 50 THEN NULL
+       WHEN lb >= 4 THEN NULL
+       ELSE (ubound - lbound) * 1.645 / 2 END AS median_moe
+FROM final
+"""
+
+ORACLES["q09_special_ratio"] = """
+WITH num AS (
+  SELECT c_nationkey,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS num_e,
+    count(*) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey),
+num2 AS (SELECT *, num_e / 20 AS num_m FROM num),
+den AS (
+  SELECT c_nationkey, CAST(count(*) AS DOUBLE) AS den_e FROM customer
+  GROUP BY c_nationkey),
+den2 AS (SELECT *, sqrt(den_e) AS den_m FROM den)
+SELECT c_nationkey,
+  num_e / den_e AS e,
+  sqrt(num_m * num_m + pow(num_e * den_m / den_e, 2)) / den_e AS m
+FROM num2 JOIN den2 USING (c_nationkey)
+"""
+
+ORACLES["q10_pz_stats"] = """
+WITH oc AS (
+  SELECT c_nationkey, c_mktsegment, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+child AS (
+  SELECT c_nationkey,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS e
+  FROM oc WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey),
+child2 AS (SELECT *, e / 10 AS m FROM child),
+base AS (
+  SELECT c_nationkey,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS agg_e
+  FROM oc GROUP BY c_nationkey),
+base2 AS (SELECT *, agg_e / 10 AS agg_m FROM base),
+j AS (SELECT child2.*, agg_e, agg_m
+      FROM child2 LEFT JOIN base2 USING (c_nationkey)),
+withp AS (
+  SELECT *,
+    CASE WHEN agg_e = 0 THEN NULL ELSE e / agg_e * 100 END AS p
+  FROM j)
+SELECT c_nationkey, e, m, p,
+  CASE WHEN p = 0 THEN NULL
+       WHEN p = 100 THEN NULL
+       WHEN agg_e = 0 THEN NULL
+       WHEN m * m - (e * agg_m / agg_e) * (e * agg_m / agg_e) < 0
+         THEN sqrt(m * m + (e * agg_m / agg_e) * (e * agg_m / agg_e)) / agg_e * 100
+       ELSE sqrt(m * m - (e * agg_m / agg_e) * (e * agg_m / agg_e)) / agg_e * 100
+  END AS z,
+  CASE WHEN e = 0 THEN NULL ELSE m / 1.645 / e * 100 END AS c
+FROM withp
+"""
+
+ORACLES["q11_cleaning_cascade"] = """
+WITH t0 AS (
+  SELECT
+    CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)
+      AS census_geoid,
+    'var_' || l_returnflag AS pff_variable,
+    CASE WHEN l_linestatus = 'O' THEN 'city' ELSE 'tract' END AS geotype,
+    l_quantity - 25 AS c,
+    l_extendedprice - 30000 AS e,
+    CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_quantity * 2 - 10 END AS m,
+    l_discount * 1200 - 10 AS p,
+    l_tax * 100 - 2 AS z
+  FROM lineitem),
+t1 AS (  -- negatives -> NULL
+  SELECT census_geoid, pff_variable, geotype,
+    CASE WHEN c < 0 THEN NULL ELSE c END AS c,
+    CASE WHEN e < 0 THEN NULL ELSE e END AS e,
+    CASE WHEN m < 0 THEN NULL ELSE m END AS m,
+    CASE WHEN p < 0 THEN NULL ELSE p END AS p,
+    CASE WHEN z < 0 THEN NULL ELSE z END AS z
+  FROM t0),
+t2 AS (  -- p > 100 -> NULL
+  SELECT census_geoid, pff_variable, geotype, c, e, m,
+    CASE WHEN p > 100 THEN NULL ELSE p END AS p, z
+  FROM t1),
+t3 AS (  -- p IS NULL -> z NULL
+  SELECT census_geoid, pff_variable, geotype, c, e, m, p,
+    CASE WHEN p IS NULL THEN NULL ELSE z END AS z
+  FROM t2),
+t4 AS (  -- p == 100 -> z = 0
+  SELECT census_geoid, pff_variable, geotype, c, e, m, p,
+    CASE WHEN p = 100 THEN 0.0 ELSE z END AS z
+  FROM t3),
+t5 AS (  -- borough/city base vars: NULL c/m -> 0
+  SELECT census_geoid, pff_variable, geotype,
+    CASE WHEN geotype IN ('borough', 'city') AND pff_variable IN ('var_A')
+              AND c IS NULL THEN 0.0 ELSE c END AS c,
+    e,
+    CASE WHEN geotype IN ('borough', 'city') AND pff_variable IN ('var_A')
+              AND m IS NULL THEN 0.0 ELSE m END AS m,
+    p, z
+  FROM t4),
+t6 AS (  -- base (non-median) vars: p = 100, z = 0
+  SELECT census_geoid, pff_variable, geotype, c, e, m,
+    CASE WHEN pff_variable IN ('var_A')
+              AND pff_variable NOT IN ('var_N') THEN 100.0 ELSE p END AS p,
+    CASE WHEN pff_variable IN ('var_A')
+              AND pff_variable NOT IN ('var_N') THEN 0.0 ELSE z END AS z
+  FROM t5),
+t7 AS (  -- special vars: p/z -> NULL
+  SELECT census_geoid, pff_variable, geotype, c, e, m,
+    CASE WHEN pff_variable IN ('var_R') THEN NULL ELSE p END AS p,
+    CASE WHEN pff_variable IN ('var_R') THEN NULL ELSE z END AS z
+  FROM t6)
+SELECT census_geoid, pff_variable, geotype,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE c END AS c,
+  e,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE m END AS m,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE p END AS p,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE z END AS z
+FROM t7
+"""
+
+ORACLES["q12_pivot_status"] = """
+SELECT o_custkey,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+       FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_amt,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+       FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS filled_amt,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+       FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS partial_amt
+FROM orders GROUP BY o_custkey
+"""
+
+ORACLES["q13_unpivot_long"] = """
+WITH wide AS (
+  SELECT c_nationkey,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+         FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS o_amt,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+         FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_amt,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+         FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS p_amt
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey)
+SELECT c_nationkey, 'O' AS status, o_amt AS amount FROM wide
+UNION ALL
+SELECT c_nationkey, 'F', f_amt FROM wide
+UNION ALL
+SELECT c_nationkey, 'P', p_amt FROM wide
+"""
+
+ORACLES["q14_outer_assembly"] = """
+WITH big AS (
+  SELECT o_custkey, count(*) AS n_big FROM orders
+  WHERE o_totalprice > 150000 GROUP BY o_custkey),
+rich AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000)
+SELECT coalesce(o_custkey, c_custkey) AS custkey,
+  coalesce(n_big, 0) AS n_big,
+  c_acctbal AS acctbal
+FROM big FULL OUTER JOIN rich ON o_custkey = c_custkey
+"""
+
+ORACLES["q15_semi_anti"] = """
+WITH w AS (
+  SELECT c_nationkey, count(*) AS n_with FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_nationkey),
+wo AS (
+  SELECT c_nationkey, count(*) AS n_without FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_nationkey)
+SELECT c_nationkey,
+  coalesce(n_with, 0) AS n_with,
+  coalesce(n_without, 0) AS n_without
+FROM w FULL OUTER JOIN wo USING (c_nationkey)
+"""
+
+ORACLES["q16_distinct_union"] = """
+SELECT DISTINCT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey FROM supplier)
+"""
+
+ORACLES["q17_topk_per_group"] = """
+SELECT bucket, rk, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey % 10 AS bucket, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey % 10
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders)
+WHERE rk <= 3
+"""
+
+ORACLES["q18_rounding"] = """
+SELECT l_orderkey, l_linenumber,
+  round(l_extendedprice / 7, 2) AS r2,
+  round(l_extendedprice / 7, 3) AS r0,
+  round(l_quantity / 3, 1) AS r1
+FROM lineitem
+"""
+
+ORACLES["q19_geoid_format"] = """
+WITH g AS (
+  SELECT c_custkey,
+    '36' || lpad(CAST(c_nationkey % 5 * 20 + 5 AS VARCHAR), 3, '0')
+         || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS geoid
+  FROM customer)
+SELECT c_custkey, geoid,
+  (CASE substr(geoid, 3, 3)
+     WHEN '005' THEN '2' WHEN '025' THEN '3' WHEN '045' THEN '1'
+     WHEN '065' THEN '4' ELSE '5' END) || substr(geoid, 6, 6) AS labs_geoid
+FROM g
+"""
+
+ORACLES["q20_event_windows"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+  event_type,
+  count(*) AS n_events,
+  CAST(CAST(sum(value) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["q21_sessionize"] = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, value FROM events),
+flagged AS (
+  SELECT user_id, s, value,
+    CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s) > 1800
+              OR lag(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
+         THEN 1 ELSE 0 END AS ns
+  FROM e),
+sessions AS (
+  SELECT user_id,
+    sum(ns) OVER (PARTITION BY user_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged),
+per_session AS (
+  SELECT user_id, sid, count(*) AS n_events FROM sessions
+  GROUP BY user_id, sid)
+SELECT user_id,
+  count(*) AS n_sessions,
+  max(n_events) AS max_session_events,
+  sum(n_events) AS n_events_total
+FROM per_session GROUP BY user_id
+"""
+
+ORACLES["q22_convert_moe_formula"] = """
+WITH b AS (
+  SELECT l_orderkey, l_linenumber,
+    l_extendedprice AS e,
+    l_extendedprice / 20 AS m,
+    CASE WHEN l_discount >= 0.08 THEN 1.0
+         ELSE greatest(l_discount * 8, 0.05) END AS ratio,
+    l_quantity
+  FROM lineitem),
+b2 AS (
+  SELECT *,
+    CASE WHEN l_quantity <= 2 THEN 0.0 ELSE e * ratio END AS e2020
+  FROM b)
+SELECT l_orderkey, l_linenumber,
+  CAST(floor((CASE WHEN ratio = 1 THEN m
+       WHEN e2020 = 0 THEN NULL
+       WHEN pow(ratio * 100, 0.56901) * 7.96309 >= 100 THEN m
+       ELSE pow(ratio * 100, 0.56901) * 7.96309 / 100 * m END) * 100 + 0.5)
+    AS DOUBLE) / 100 AS m_out
+FROM b2
+"""
+
+ORACLES["q23_text_stats"] = f"""
+SELECT doc_id,
+  {_NTOKS} AS n_tokens,
+  CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+       AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+  {_stop_ratio(_EN)} AS stop_ratio,
+  list_aggregate(list_transform({_TOKS}, t -> CAST(length(t) AS DOUBLE)), 'sum')
+    / CAST({_NTOKS} AS DOUBLE) AS mean_tok_len,
+  md5({_NORM}) AS fp
+FROM documents
+"""
+
+ORACLES["q24_langid"] = f"""
+WITH scores AS (
+  SELECT doc_id,
+    coalesce({_stop_ratio(_EN)}, 0.0) AS r_en,
+    coalesce({_stop_ratio(_ES)}, 0.0) AS r_es,
+    coalesce({_stop_ratio(_FR)}, 0.0) AS r_fr,
+    coalesce({_stop_ratio(_DE)}, 0.0) AS r_de,
+    coalesce({_stop_ratio(_ZH)}, 0.0) AS r_zh
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN greatest(r_en, r_es, r_fr, r_de, r_zh) <= 0.0 THEN 'und'
+       WHEN r_en >= r_es AND r_en >= r_fr AND r_en >= r_de AND r_en >= r_zh
+         THEN 'en'
+       WHEN r_es >= r_fr AND r_es >= r_de AND r_es >= r_zh THEN 'es'
+       WHEN r_fr >= r_de AND r_fr >= r_zh THEN 'fr'
+       WHEN r_de >= r_zh THEN 'de'
+       ELSE 'zh' END AS lang_guess
+FROM scores
+"""
+
+ORACLES["q25_exact_dedup"] = f"""
+SELECT md5({_NORM}) AS fingerprint,
+  min(doc_id) AS doc_id,
+  count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+ORACLES["q26_jaccard_pairs"] = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, {_SHINGLES} AS grams FROM d),
+sized AS (SELECT doc_id, grams, len(grams) AS n_sh FROM sh),
+exploded AS (SELECT doc_id, n_sh, unnest(grams) AS g FROM sized),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_common
+  FROM exploded a JOIN exploded b
+    ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, n_common / (n_a + n_b - n_common) AS jaccard
+FROM pairs
+WHERE n_common / (n_a + n_b - n_common) >= 0.6
+"""
+
+_MH_SLOTS = ",\n  ".join(
+    "list_min(list_transform(grams, g -> "
+    f"(('0x' || substr(md5('{i}|' || g), 1, 15)))::BIGINT)) AS mh_{i}"
+    for i in range(8)
+)
+ORACLES["q27_minhash_signatures"] = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS grams FROM d)
+SELECT id,
+  {_MH_SLOTS}
+FROM sh
+"""
+
+ORACLES["q28_simhash"] = f"""
+WITH d AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+h AS (
+  SELECT doc_id,
+    (('0x' || substr(md5(t), 1, 15)))::BIGINT AS hv
+  FROM tok),
+bits AS (
+  SELECT doc_id, b.b,
+    sum(CASE WHEN (hv & (1::BIGINT << b.b)) != 0 THEN 1 ELSE -1 END) AS v
+  FROM h, (SELECT unnest(range(32)) AS b) b
+  GROUP BY doc_id, b.b),
+sigs AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+  FROM bits GROUP BY doc_id)
+SELECT d2.doc_id, coalesce(s.sig, 0) AS sig
+FROM documents d2 LEFT JOIN sigs s USING (doc_id)
+"""
+
+ORACLES["q29_ann_topk"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+p AS (SELECT * FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+    list_dot_product(p.v, c.v)
+      / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v)))
+      AS cosine
+  FROM p JOIN e c ON p.vec_id != c.vec_id)
+SELECT probe_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+_QUALITY = f"""
+(((least(CAST({_NTOKS} AS DOUBLE) / 100.0, 1.0)
+  + (1.0 - least(coalesce(
+      CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS DOUBLE) / CAST(length(text) AS DOUBLE), 0.0) * 4, 1.0)))
+  + least(coalesce({_stop_ratio(_EN)}, 0.0) * 3, 1.0))
+  + (CASE WHEN
+       list_aggregate(list_transform({_TOKS}, t -> CAST(length(t) AS DOUBLE)),
+                      'sum') / CAST({_NTOKS} AS DOUBLE)
+       BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4
+"""
+
+ORACLES["q30_quality_filter"] = f"""
+WITH scored AS (SELECT lang, {_QUALITY} AS q FROM documents)
+SELECT lang,
+  count(*) AS n_docs,
+  count(*) FILTER (WHERE q >= 0.6) AS n_good,
+  CAST(sum(CAST(q AS DECIMAL(18,9))) AS DOUBLE) AS q_sum
+FROM scored GROUP BY lang
+"""
+
+ORACLES["q31_embedding_centroids"] = """
+SELECT label, pos,
+  CAST(sum(CAST(CAST(embedding[pos + 1] AS DOUBLE) AS DECIMAL(20,9)))
+       AS DOUBLE) AS sum_val,
+  count(*) AS n
+FROM embeddings, (SELECT unnest(range(64)) AS pos) p
+GROUP BY label, pos
+"""
