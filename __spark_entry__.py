@@ -53,7 +53,7 @@ from db_factfinder_spark.llmdata.textstats import (
     token_count,
 )
 from db_factfinder_spark.operators.cleaning import cleaning
-from db_factfinder_spark.operators.median import median_e_m_columns
+from db_factfinder_spark.operators.median import median_struct
 from db_factfinder_spark.operators.pivot import unpivot_cempz
 from db_factfinder_spark.sources.readers import read_events
 from db_factfinder_spark.streaming.events import sessionize, windowed_counts
@@ -66,6 +66,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _dec_sum(col, scale="decimal(25,6)"):
     """Order-independent exact sum of a double expression."""
     return F.sum(col.cast(scale)).cast("double")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table is one small parquet file → one input split,
+    which would serialize every per-row text expression onto a single
+    core.  Hash-repartition on doc_id so the map work spreads across
+    the cluster; at production scale the scan has many splits and the
+    same queries run without this."""
+    return _t(spark, sf_dir, "documents").repartition(64, "doc_id")
 
 
 # =====================================================================
@@ -268,10 +277,16 @@ def q08_median_groups(spark, sf_dir):
         bottom_coding=True,
         bins=list(QTY_BINS),
     )
-    e, m = median_e_m_columns(spec, cnt_cols)
-    return counts.select(
-        F.col("l_suppkey"), e.alias("median_qty"), m.alias("median_moe")
-    ).orderBy("l_suppkey")
+    s = median_struct(spec, cnt_cols)
+    return (
+        counts.select("l_suppkey", s.alias("__med"))
+        .select(
+            F.col("l_suppkey"),
+            F.col("__med.e").alias("median_qty"),
+            F.col("__med.m").alias("median_moe"),
+        )
+        .orderBy("l_suppkey")
+    )
 
 
 def q09_special_ratio(spark, sf_dir):
@@ -562,7 +577,7 @@ def q22_convert_moe_formula(spark, sf_dir):
 # =====================================================================
 
 def q23_text_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -574,30 +589,30 @@ def q23_text_stats(spark, sf_dir):
 
 
 def q24_langid(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", language_id("text").alias("lang_guess")).orderBy(
         "doc_id"
     )
 
 
 def q25_exact_dedup(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     groups = exact_dedup(docs)
     return groups.select("fingerprint", "doc_id", "n_copies").orderBy("doc_id")
 
 
 def q26_jaccard_pairs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return jaccard_pairs(docs, n=3, threshold=0.6).orderBy("id_a", "id_b")
 
 
 def q27_minhash_signatures(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return minhash_signatures(docs, num_hashes=8).orderBy("id")
 
 
 def q28_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", simhash("text", bits=32).alias("sig")).orderBy(
         "doc_id"
     )
@@ -610,7 +625,7 @@ def q29_ann_topk(spark, sf_dir):
 
 
 def q30_quality_filter(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     scored = docs.withColumn("q", quality_score("text"))
     return (
         scored.groupBy("lang")

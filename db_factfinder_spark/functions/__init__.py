@@ -1,3 +1,4 @@
+from db_factfinder_spark.functions.expr import let  # noqa: F401
 from db_factfinder_spark.functions.stats import (  # noqa: F401
     OUTLIER_SENTINELS,
     agg_moe,

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from db_factfinder_spark.functions.expr import let
 from db_factfinder_spark.llmdata.textstats import fingerprint, normalize_text, tokens
 
 
@@ -49,17 +50,24 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # ------------------------------------------------------------- shingles
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingle set (distinct), from normalized tokens."""
-    toks = tokens(normalize_text(text))
-    k = F.size(toks) - (n - 1)
-    # guard: sequence(1, 0) would generate a *descending* [1, 0]
-    grams = F.when(k >= 1, F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )).otherwise(F.array().cast("array<string>"))
-    return grams
+    """Word n-gram shingle set (distinct), from normalized tokens.
+
+    The token array is let-bound so the per-shingle lambda slices a
+    materialized value — capturing the tokenize expression directly
+    would re-run normalize+split once per shingle (O(k) tokenizations
+    per row; measured 20× slower)."""
+
+    def build(toks: Column) -> Column:
+        k = F.size(toks) - (n - 1)
+        # guard: sequence(1, 0) would generate a *descending* [1, 0]
+        return F.when(k >= 1, F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )).otherwise(F.array().cast("array<string>"))
+
+    return let(tokens(normalize_text(text)), build)
 
 
 def jaccard_pairs(
@@ -110,30 +118,33 @@ def minhash_signatures(
     ``least`` on a k-vector accumulator) so the tokenize→normalize→
     shingle pipeline is evaluated once per row, not once per slot —
     k separate ``array_min`` expressions would blow up the codegen
-    tree k-fold."""
-    sh = shingles(text_col, n)
+    tree k-fold; the shingle array itself is let-bound so its
+    tokenize→shingle pipeline runs once, not once for the fold plus
+    once for the size check."""
     sentinel = F.array(*[F.lit(1 << 62).cast("long") for _ in range(num_hashes)])
-    sig = F.aggregate(
-        sh,
-        sentinel,
-        lambda acc, g: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    _md5_long(F.concat(F.lit(f"{i}|"), g))
-                    for i in range(num_hashes)
-                ]
+
+    def fold(sh: Column) -> Column:
+        sig = F.aggregate(
+            sh,
+            sentinel,
+            lambda acc, g: F.zip_with(
+                acc,
+                F.array(
+                    *[
+                        _md5_long(F.concat(F.lit(f"{i}|"), g))
+                        for i in range(num_hashes)
+                    ]
+                ),
+                lambda a, b: F.least(a, b),
             ),
-            lambda a, b: F.least(a, b),
-        ),
-    )
+        )
+        return F.when(F.size(sh) > 0, sig)
+
     sized = df.select(
-        F.col(id_col).alias("id"), F.size(sh).alias("n_sh"), sig.alias("sig")
+        F.col(id_col).alias("id"),
+        let(shingles(text_col, n), fold).alias("sig"),
     )
-    slots = [
-        F.when(F.col("n_sh") > 0, F.get("sig", i)).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+    slots = [F.get("sig", i).alias(f"mh_{i}") for i in range(num_hashes)]
     return sized.select("id", *slots)
 
 
@@ -212,33 +223,37 @@ def simhash(text: Column | str, bits: int = 32) -> Column:
     """Charikar SimHash fingerprint: each token votes ±1 on `bits` bit
     positions of its md5-derived hash; the sign vector packs into a
     long.  Bit-parallel: one expression per document, no explode."""
-    toks = F.array_distinct(tokens(normalize_text(text)))
-    hashes = F.transform(toks, _md5_long)
-
     def bit_value(b):  # 2^b as a long; exact for b ≤ 31 (bits ≤ 32)
         return F.pow(F.lit(2.0), b.cast("double")).cast("long")
 
-    # per-bit vote: sum over tokens of (bit set ? +1 : -1)
-    votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(bit_value(b)) != 0, 1).otherwise(-1),
-        ),
-    )
-    # pack sign bits: bit b set iff vote > 0
-    packed = F.aggregate(
-        F.zip_with(
-            votes,
+    def pack(hashes: Column) -> Column:
+        # per-bit vote: sum over tokens of (bit set ? +1 : -1).
+        # `hashes` is a let-bound value — capturing the md5 transform
+        # directly would recompute every token hash once per bit.
+        votes = F.transform(
             F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, b: F.when(v > 0, bit_value(b)).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
-    return packed
+            lambda b: F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(h.bitwiseAND(bit_value(b)) != 0, 1).otherwise(-1),
+            ),
+        )
+        # pack sign bits: bit b set iff vote > 0
+        return F.aggregate(
+            F.zip_with(
+                votes,
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda v, b: F.when(v > 0, bit_value(b)).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc.bitwiseOR(x),
+        )
+
+    toks = F.array_distinct(tokens(normalize_text(text)))
+    return let(F.transform(toks, _md5_long), pack)
 
 
 def simhash_near_pairs(

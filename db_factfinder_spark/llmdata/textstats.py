@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from db_factfinder_spark.functions.expr import let
+
 # Tiny per-language function-word lists for the n-gram/stopword
 # language-ID heuristic.  Real deployments swap in fastText etc. via a
 # pandas UDF; the heuristic keeps everything JVM-side.
@@ -34,11 +36,14 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
-def stopword_ratio(text: Column | str, stopwords: list[str]) -> Column:
-    toks = tokens(text)
+def _stop_ratio_of(toks: Column, stopwords: list[str]) -> Column:
     stops = F.array(*[F.lit(s) for s in stopwords])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
     return F.try_divide(hits.cast("double"), F.size(toks).cast("double"))
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str]) -> Column:
+    return let(tokens(text), lambda toks: _stop_ratio_of(toks, stopwords))
 
 
 def punct_ratio(text: Column | str) -> Column:
@@ -47,31 +52,43 @@ def punct_ratio(text: Column | str) -> Column:
     return F.try_divide(punct.cast("double"), F.length(t).cast("double"))
 
 
-def mean_token_length(text: Column | str) -> Column:
-    toks = tokens(text)
+def _mean_token_length_of(toks: Column) -> Column:
     total = F.aggregate(
         toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
     )
     return F.try_divide(total, F.size(toks).cast("double"))
 
 
+def mean_token_length(text: Column | str) -> Column:
+    return let(tokens(text), _mean_token_length_of)
+
+
 def quality_score(text: Column | str, stopwords: list[str] | None = None) -> Column:
     """Composite document-quality heuristic in [0, 1]: rewards
     reasonable length, low punctuation noise, natural stopword density
     and word lengths — the standard cheap pre-filter before expensive
-    model-based scoring."""
+    model-based scoring.  Tokenizes once (let-bound) for the three
+    token-based components."""
     stopwords = stopwords or LANG_STOPWORDS["en"]
-    n_tok = token_count(text).cast("double")
-    len_score = F.least(F.try_divide(n_tok, F.lit(100.0)), F.lit(1.0))
-    punct_score = F.lit(1.0) - F.least(
-        F.coalesce(punct_ratio(text), F.lit(0.0)) * 4, F.lit(1.0)
-    )
-    stop_score = F.least(
-        F.coalesce(stopword_ratio(text, stopwords), F.lit(0.0)) * 3, F.lit(1.0)
-    )
-    mtl = F.coalesce(mean_token_length(text), F.lit(0.0))
-    word_score = F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
-    return (len_score + punct_score + stop_score + word_score) / 4
+
+    def score(toks: Column) -> Column:
+        n_tok = F.size(toks).cast("double")
+        len_score = F.least(F.try_divide(n_tok, F.lit(100.0)), F.lit(1.0))
+        punct_score = F.lit(1.0) - F.least(
+            F.coalesce(punct_ratio(text), F.lit(0.0)) * 4, F.lit(1.0)
+        )
+        stop_score = F.least(
+            F.coalesce(_stop_ratio_of(toks, stopwords), F.lit(0.0)) * 3, F.lit(1.0)
+        )
+        mtl = F.coalesce(_mean_token_length_of(toks), F.lit(0.0))
+        word_score = F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        )
+        # addition order is load-bearing: the DuckDB oracle adds in
+        # this exact order and float + is not associative
+        return (len_score + punct_score + stop_score + word_score) / 4
+
+    return let(tokens(text), score)
 
 
 def language_scores(text: Column | str) -> dict[str, Column]:
@@ -83,22 +100,32 @@ def language_scores(text: Column | str) -> dict[str, Column]:
 
 def language_id(text: Column | str) -> Column:
     """Argmax language by stopword-hit ratio; 'und' when nothing hits.
-    Deterministic tie-break: language order in LANG_STOPWORDS."""
-    scores = language_scores(text)
-    pairs = F.array(
-        *[
-            F.struct(
-                F.coalesce(s, F.lit(0.0)).alias("score"), F.lit(lang).alias("lang")
-            )
-            for lang, s in scores.items()
-        ]
-    )
-    best = F.aggregate(
-        pairs,
-        F.struct(F.lit(-1.0).alias("score"), F.lit("und").alias("lang")),
-        lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc),
-    )
-    return F.when(best["score"] <= 0.0, F.lit("und")).otherwise(best["lang"])
+    Deterministic tie-break: language order in LANG_STOPWORDS.
+    Tokenizes once for all languages (let-bound)."""
+
+    def pick(toks: Column) -> Column:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.coalesce(_stop_ratio_of(toks, words), F.lit(0.0)).alias(
+                        "score"
+                    ),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang, words in LANG_STOPWORDS.items()
+            ]
+        )
+        best = F.aggregate(
+            pairs,
+            F.struct(F.lit(-1.0).alias("score"), F.lit("und").alias("lang")),
+            lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc),
+        )
+        return let(
+            best,
+            lambda b: F.when(b["score"] <= 0.0, F.lit("und")).otherwise(b["lang"]),
+        )
+
+    return let(tokens(text), pick)
 
 
 def normalize_text(text: Column | str) -> Column:

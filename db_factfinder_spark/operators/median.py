@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from db_factfinder_spark.catalog import MedianSpec
+from db_factfinder_spark.functions.expr import let
 
 ACS_Z = 1.645  # 90% confidence z-score used throughout ACS
 
@@ -54,66 +55,77 @@ def _first_index_where(arr: Column, n: int, pred) -> Column:
     return F.get(idx, F.lit(0))
 
 
-def median_e_m_columns(spec: MedianSpec, cnt_cols: list[Column]) -> tuple[Column, Column]:
-    """Build (median, median_moe) expressions from per-bin count columns
-    given in catalog bin order.  NULL counts are treated as 0 (the
-    pivoted frame yields NULL for geographies missing a bin variable;
-    the reference's groupby-sum produces 0.0 there)."""
+def median_struct(spec: MedianSpec, cnt_cols: list[Column]) -> Column:
+    """``struct<e: double, m: double>`` of (median, median_moe) from
+    per-bin count columns given in catalog bin order.  NULL counts are
+    treated as 0 (the pivoted frame yields NULL for geographies missing
+    a bin variable; the reference's groupby-sum produces 0.0 there).
+
+    Every shared intermediate (count array, cumulative distribution,
+    bin indexes) is let-bound: naive Column reuse textually duplicates
+    subtrees, which here compounded into multi-MiB expression trees —
+    each cumulative-sum leaf re-evaluated dozens of times per row."""
     bins = spec.bins
     n = len(bins)
     lo = [b[1] for b in bins]
     hi = [b[2] for b in bins]
     lo_arr = F.array(*[F.lit(float(x)) for x in lo])
 
-    cnts = F.array(*[F.coalesce(c.cast("double"), F.lit(0.0)) for c in cnt_cols])
+    def with_cum(cnts: Column, cumcnt: Column) -> Column:
+        B = F.element_at(cumcnt, n)
+        halfB = B / 2  # safe: only consumed under B != 0 guards below
 
-    # Running (sequential) cumulative sum — same accumulation order as
-    # the reference's np.cumsum, so identical floating-point results.
-    cumcnt = F.aggregate(
-        cnts,
-        F.struct(
-            F.lit([]).cast("array<double>").alias("arr"), F.lit(0.0).alias("s")
-        ),
-        lambda acc, x: F.struct(
-            F.concat(acc["arr"], F.array(acc["s"] + x)).alias("arr"),
-            (acc["s"] + x).alias("s"),
-        ),
-        lambda acc: acc["arr"],
-    )
+        # --- median (median.py:43-78) ----------------------------------
+        med_i = _first_index_where(cumcnt, n, lambda c: c >= halfB)
+        # --- MOE setup (median.py:7-41) --------------------------------
+        se_50 = F.when(
+            B != 0, F.lit(spec.design_factor) * F.sqrt(93.0 / (7.0 * B) * 2500.0)
+        )
+        cumpct = F.transform(cumcnt, lambda c: F.try_divide(c, B) * 100)
 
-    B = F.element_at(cumcnt, n)
-    halfB = B / 2  # safe: only consumed under B != 0 guards below
+        env0 = F.struct(
+            med_i.alias("med_i"), se_50.alias("se_50"), cumpct.alias("cumpct")
+        )
+        return let(env0, lambda env: with_env(cnts, cumcnt, B, halfB, env))
 
-    # --- median (median.py:43-78) --------------------------------------
-    med_i = _first_index_where(cumcnt, n, lambda c: c >= halfB)
-    c_med = F.get(cumcnt, med_i)
-    cnt_med = F.get(cnts, med_i)
-    lo_med = F.get(lo_arr, med_i)
-    w_med = F.get(F.array(*[F.lit(float(h - l)) for l, h in zip(lo, hi)]), med_i)
+    def with_env(cnts, cumcnt, B, halfB, env) -> Column:
+        med_i = env["med_i"]
+        se_50 = env["se_50"]
+        cumpct = env["cumpct"]
+        p_lower = F.lit(50.0) - se_50
+        p_upper = F.lit(50.0) + se_50
 
-    interpolated = lo_med + F.try_divide(
-        (halfB - (c_med - cnt_med)) * w_med, cnt_med
-    )
-    median = (
-        F.when(B == 0, F.lit(None).cast("double"))
-        .when((med_i == 0) & F.lit(spec.bottom_coding), F.lit(float(hi[0])))
-        .when(c_med == 0, F.lit(None).cast("double"))
-        .when((med_i == n - 1) & F.lit(spec.top_coding), F.lit(float(lo[n - 1])))
-        .otherwise(interpolated)
-    )
+        c_med = F.get(cumcnt, med_i)
+        cnt_med = F.get(cnts, med_i)
+        lo_med = F.get(lo_arr, med_i)
+        w_med = F.get(
+            F.array(*[F.lit(float(h - l)) for l, h in zip(lo, hi)]), med_i
+        )
+        interpolated = lo_med + F.try_divide(
+            (halfB - (c_med - cnt_med)) * w_med, cnt_med
+        )
+        median = (
+            F.when(B == 0, F.lit(None).cast("double"))
+            .when((med_i == 0) & F.lit(spec.bottom_coding), F.lit(float(hi[0])))
+            .when(c_med == 0, F.lit(None).cast("double"))
+            .when(
+                (med_i == n - 1) & F.lit(spec.top_coding), F.lit(float(lo[n - 1]))
+            )
+            .otherwise(interpolated)
+        )
 
-    # --- MOE machinery (median.py:7-41, 80-197) ------------------------
-    se_50 = F.when(
-        B != 0, F.lit(spec.design_factor) * F.sqrt(93.0 / (7.0 * B) * 2500.0)
-    )
-    p_lower = F.lit(50.0) - se_50
-    p_upper = F.lit(50.0) + se_50
-
-    cumpct = F.transform(cumcnt, lambda c: F.try_divide(c, B) * 100)
-
-    lower_bin = _first_index_where(cumpct, n, lambda c: c > p_lower)
-    upper_bin = _first_index_where(cumpct, n, lambda c: c > p_upper)
-    fnz = _first_index_where(cumpct, n, lambda c: c != 0.0)
+        lower_bin = _first_index_where(cumpct, n, lambda c: c > p_lower)
+        upper_bin = _first_index_where(cumpct, n, lambda c: c > p_upper)
+        fnz = _first_index_where(cumpct, n, lambda c: c != 0.0)
+        idx0 = F.struct(
+            lower_bin.alias("lb"), upper_bin.alias("ub"), fnz.alias("fnz")
+        )
+        return let(
+            idx0,
+            lambda idx: finish(
+                B, se_50, p_lower, p_upper, cumpct, median, idx
+            ),
+        )
 
     def get_bound(p: Column, a1: Column, a2: Column, c1: Column, c2: Column) -> Column:
         # median.py:93-97 — NULL when the degenerate guard trips.
@@ -122,48 +134,82 @@ def median_e_m_columns(spec: MedianSpec, cnt_cols: list[Column]) -> tuple[Column
             F.try_divide((p - c1) * (a2 - a1), (c2 - c1)) + a1,
         )
 
-    # lower bound (median.py:112-139)
-    lb_is_fnz = lower_bin == fnz
-    a1_l = F.when(
-        lb_is_fnz, F.lit(0.5 if spec.pff_variable == "mdrms" else 0.0)
-    ).otherwise(F.get(lo_arr, lower_bin))
-    a2_l = F.when(lb_is_fnz, F.lit(float(lo[1])) if n > 1 else F.lit(None)).otherwise(
-        F.when(lower_bin + 1 <= n - 1, F.get(lo_arr, lower_bin + 1))
-    )
-    c1_l = F.when(lower_bin == 0, F.lit(0.0)).otherwise(F.get(cumpct, lower_bin - 1))
-    c2_l = F.get(cumpct, lower_bin)
-    lower_bound = get_bound(p_lower, a1_l, a2_l, c1_l, c2_l)
+    def finish(B, se_50, p_lower, p_upper, cumpct, median, idx) -> Column:
+        lower_bin, upper_bin, fnz = idx["lb"], idx["ub"], idx["fnz"]
 
-    # upper bound (median.py:141-162), overrides applied in reference
-    # order: top-bin first, then the first-non-zero precedence quirk
-    # (the quirk wins when both fire, as in the reference).
-    band = lower_bin.bitwiseAND(upper_bin)
-    quirk = (upper_bin == band) & (band == fnz)
-    top = upper_bin == n - 1
-    a1_u = (
-        F.when(quirk, F.lit(0.0))
-        .when(top, F.lit(float(lo[n - 1])))
-        .otherwise(F.get(lo_arr, upper_bin))
-    )
-    a2_u = (
-        F.when(quirk, F.lit(float(lo[1])) if n > 1 else F.lit(None))
-        .when(top, F.lit(float(lo[n - 1])))
-        .otherwise(F.when(upper_bin + 1 <= n - 1, F.get(lo_arr, upper_bin + 1)))
-    )
-    # python row[-1] wraparound when upper_bin == 0 (median.py:103)
-    c1_u = F.get(cumpct, (upper_bin - 1 + n) % n)
-    c2_u = F.get(cumpct, upper_bin)
-    upper_bound = get_bound(p_upper, a1_u, a2_u, c1_u, c2_u)
+        # lower bound (median.py:112-139)
+        lb_is_fnz = lower_bin == fnz
+        a1_l = F.when(
+            lb_is_fnz, F.lit(0.5 if spec.pff_variable == "mdrms" else 0.0)
+        ).otherwise(F.get(lo_arr, lower_bin))
+        a2_l = F.when(
+            lb_is_fnz, F.lit(float(lo[1])) if n > 1 else F.lit(None)
+        ).otherwise(F.when(lower_bin + 1 <= n - 1, F.get(lo_arr, lower_bin + 1)))
+        c1_l = F.when(lower_bin == 0, F.lit(0.0)).otherwise(
+            F.get(cumpct, lower_bin - 1)
+        )
+        c2_l = F.get(cumpct, lower_bin)
+        lower_bound = get_bound(p_lower, a1_l, a2_l, c1_l, c2_l)
 
-    median_moe = (
-        F.when(median >= F.lit(float(lo[n - 1])), F.lit(None).cast("double"))
-        .when(B == 0, F.lit(None).cast("double"))
-        .when(se_50 >= 50, F.lit(None).cast("double"))
-        .when(lower_bin >= n - 1, F.lit(None).cast("double"))
-        .otherwise((upper_bound - lower_bound) * ACS_Z / 2)
-    )
+        # upper bound (median.py:141-162), overrides applied in reference
+        # order: top-bin first, then the first-non-zero precedence quirk
+        # (the quirk wins when both fire, as in the reference).
+        band = lower_bin.bitwiseAND(upper_bin)
+        quirk = (upper_bin == band) & (band == fnz)
+        top = upper_bin == n - 1
+        a1_u = (
+            F.when(quirk, F.lit(0.0))
+            .when(top, F.lit(float(lo[n - 1])))
+            .otherwise(F.get(lo_arr, upper_bin))
+        )
+        a2_u = (
+            F.when(quirk, F.lit(float(lo[1])) if n > 1 else F.lit(None))
+            .when(top, F.lit(float(lo[n - 1])))
+            .otherwise(F.when(upper_bin + 1 <= n - 1, F.get(lo_arr, upper_bin + 1)))
+        )
+        # python row[-1] wraparound when upper_bin == 0 (median.py:103)
+        c1_u = F.get(cumpct, (upper_bin - 1 + n) % n)
+        c2_u = F.get(cumpct, upper_bin)
+        upper_bound = get_bound(p_upper, a1_u, a2_u, c1_u, c2_u)
 
-    return median, median_moe
+        median_moe = (
+            F.when(median >= F.lit(float(lo[n - 1])), F.lit(None).cast("double"))
+            .when(B == 0, F.lit(None).cast("double"))
+            .when(se_50 >= 50, F.lit(None).cast("double"))
+            .when(lower_bin >= n - 1, F.lit(None).cast("double"))
+            .otherwise((upper_bound - lower_bound) * ACS_Z / 2)
+        )
+        return F.struct(median.alias("e"), median_moe.alias("m"))
+
+    cnts0 = F.array(*[F.coalesce(c.cast("double"), F.lit(0.0)) for c in cnt_cols])
+
+    def with_cnts(cnts: Column) -> Column:
+        # Running (sequential) cumulative sum — same accumulation order
+        # as the reference's np.cumsum, so identical floating-point
+        # results.
+        cumcnt0 = F.aggregate(
+            cnts,
+            F.struct(
+                F.lit([]).cast("array<double>").alias("arr"), F.lit(0.0).alias("s")
+            ),
+            lambda acc, x: F.struct(
+                F.concat(acc["arr"], F.array(acc["s"] + x)).alias("arr"),
+                (acc["s"] + x).alias("s"),
+            ),
+            lambda acc: acc["arr"],
+        )
+        return let(cumcnt0, lambda cumcnt: with_cum(cnts, cumcnt))
+
+    return let(cnts0, with_cnts)
+
+
+def median_e_m_columns(spec: MedianSpec, cnt_cols: list[Column]) -> tuple[Column, Column]:
+    """Compatibility wrapper over :func:`median_struct` returning the
+    (median, median_moe) pair.  Note each element carries its own copy
+    of the (now let-compacted) expression tree; where both are needed,
+    prefer projecting ``median_struct`` once and selecting fields."""
+    s = median_struct(spec, cnt_cols)
+    return s["e"].alias("e"), s["m"].alias("m")
 
 
 def calculate_median(
@@ -171,12 +217,17 @@ def calculate_median(
 ) -> DataFrame:
     """Pivoted frame (census_geoid + one count column per bin variable,
     named after the bin variable) → long ``(census_geoid, pff_variable,
-    geotype, e, m)`` with the interpolated median and its MOE."""
-    e, m = median_e_m_columns(spec, [F.col(v) for v in spec.input_variables])
-    return pivoted.select(
+    geotype, e, m)`` with the interpolated median and its MOE.
+
+    Two-step select: the struct is projected once, then fields are
+    pulled — CollapseProject keeps the non-cheap struct expression in
+    its own projection, so the median math runs once per row, not once
+    per output column."""
+    s = median_struct(spec, [F.col(v) for v in spec.input_variables])
+    return pivoted.select("census_geoid", s.alias("__med")).select(
         "census_geoid",
         F.lit(spec.pff_variable).alias("pff_variable"),
         F.lit(geotype).alias("geotype"),
-        e.alias("e"),
-        m.alias("m"),
+        F.col("__med.e").alias("e"),
+        F.col("__med.m").alias("m"),
     )
