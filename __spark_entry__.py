@@ -32,16 +32,20 @@ from db_factfinder_spark.functions.stats import (
     get_z,
     hmoe,
     hsum,
+    round_cempz,
     scrub_sentinels,
     sum_skipna,
 )
 from db_factfinder_spark.llmdata.dedup import (
     exact_dedup,
     jaccard_pairs,
+    minhash_dedup_pairs,
     minhash_signatures,
     simhash,
+    simhash_near_pairs,
 )
-from db_factfinder_spark.llmdata.similarity import brute_force_topk
+from db_factfinder_spark.llmdata.multimodal import extract_features
+from db_factfinder_spark.llmdata.similarity import brute_force_topk, lsh_bucketed_topk
 from db_factfinder_spark.llmdata.textstats import (
     LANG_STOPWORDS,
     fingerprint,
@@ -49,6 +53,7 @@ from db_factfinder_spark.llmdata.textstats import (
     mean_token_length,
     punct_ratio,
     quality_score,
+    rolling_hash,
     stopword_ratio,
     token_count,
 )
@@ -655,6 +660,148 @@ def q31_embedding_centroids(spark, sf_dir):
     )
 
 
+def q32_lsh_neardup_pairs(spark, sf_dir):
+    """Full MinHash+LSH near-dup pipeline (signatures → banded
+    candidate buckets → exact-Jaccard verification of candidates only)
+    — the 100 TB dedup path: one shuffle on the band-bucket key instead
+    of an all-pairs shingle join."""
+    docs = _docs(spark, sf_dir)
+    return minhash_dedup_pairs(
+        docs, num_hashes=8, bands=4, n=3, verify_threshold=0.6
+    ).orderBy("id_a", "id_b")
+
+
+def q33_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: prefix-bucketed candidate join +
+    Hamming-distance filter (bit-parallel, one equi-join)."""
+    docs = _docs(spark, sf_dir)
+    return simhash_near_pairs(
+        docs, bits=32, max_hamming=1, prefix_bits=8
+    ).orderBy("id_a", "id_b")
+
+
+def q34_ann_lsh_topk(spark, sf_dir):
+    """Approximate nearest neighbors, LSH-bucketed scale path:
+    multi-table random-hyperplane signatures bucket the corpus so only
+    bucket-mates get the exact cosine — never scores the full corpus."""
+    embs = _t(spark, sf_dir, "embeddings")
+    probes = embs.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(
+        probes, embs, k=5, dim=64, planes=8, tables=2, seed=42
+    ).orderBy("probe_id", "rank")
+
+
+def q35_rolling_fingerprint(spark, sf_dir):
+    """Rabin-Karp polynomial rolling hash over normalized text (the
+    reference-free document fingerprint; order-sensitive sequential
+    fold — identical accumulation in any engine)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", rolling_hash("text").alias("rhash")
+    ).orderBy("doc_id")
+
+
+def q36_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payloads → Arrow-batched
+    mapInPandas feature extraction (byte-histogram stub codec).  The
+    payloads are synthesized deterministically from the documents table
+    (utf-8 bytes); schema/batching/partitioning is the real production
+    shape.  Python-side mapInPandas → no SQL oracle (driver records the
+    rows-only check)."""
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "payload_hash",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feature_sum"
+        ),
+        F.size("feature").alias("feature_dim"),
+    ).orderBy("media_id")
+
+
+def q37_factfinder_e2e(spark, sf_dir):
+    """The full factfinder spine end-to-end (SURVEY §7.2) on synthetic
+    census-shaped data derived from customer: sentinel scrub (P4/P5) →
+    horizontal e/m (A1/A2) → vertical rollup to the parent geography
+    with NaN→0 MOE (A3/A4) → base-variable broadcast join (J3) →
+    p/z/c statistics (F1–F3) → half-even rounding (F7) → ordered
+    cleaning cascade → output schema.
+
+    Measures are integer-valued doubles so every sum is exact and
+    order-independent — bit-identical across engines without decimal
+    casts, exercising the engine's own aggregation path."""
+    cust = _t(spark, sf_dir, "customer")
+    wide = cust.select(
+        F.concat(F.lit("NTA"), F.col("c_nationkey").cast("string")).alias(
+            "census_geoid"
+        ),
+        # raw census columns with injected sentinels / NULLs
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(999999999.0))
+        .otherwise(F.floor(F.col("c_acctbal")).cast("double"))
+        .alias("E1"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.floor(F.col("c_acctbal") / 10).cast("double"))
+        .alias("M1"),
+        F.when(F.col("c_custkey") % 13 == 0, F.lit(-555555555.0))
+        .otherwise(F.floor(F.col("c_acctbal") / 2).cast("double"))
+        .alias("E2"),
+        F.floor(F.col("c_acctbal") / 20).cast("double").alias("M2"),
+        # base-variable columns (no sentinels: controlled totals)
+        (F.floor(F.col("c_acctbal")) * 2).cast("double").alias("BE"),
+        F.floor(F.col("c_acctbal") / 8).cast("double").alias("BM"),
+    )
+    scrubbed = wide.withColumns(
+        {c: scrub_sentinels(F.col(c)) for c in ["E1", "M1", "E2", "M2"]}
+    )
+    horizontal = scrubbed.select(
+        "census_geoid",
+        hsum(["E1", "E2"]).alias("e"),
+        hmoe(["M1", "M2"]).alias("m"),
+        "BE",
+        "BM",
+    )
+    child = horizontal.groupBy("census_geoid").agg(
+        sum_skipna("e").alias("e"), agg_moe("m").alias("m")
+    )
+    base = horizontal.groupBy("census_geoid").agg(
+        sum_skipna("BE").alias("agg_e"), agg_moe("BM").alias("agg_m")
+    )
+    j = child.join(F.broadcast(base), "census_geoid", "left")
+    stats = (
+        j.withColumn("p", get_p("e", "agg_e"))
+        .withColumn("z", get_z("e", "m", "p", "agg_e", "agg_m"))
+        .withColumn("c", get_c("e", "m"))
+        .select("census_geoid", "c", "e", "m", "p", "z")
+    )
+    rounded = stats.withColumns(round_cempz(0)).withColumns(
+        {
+            "pff_variable": F.lit("synth_var"),
+            "geotype": F.lit("NTA"),
+        }
+    )
+    cleaned = cleaning(
+        rounded,
+        base_variables=["synth_base"],
+        median_variables=[],
+        special_variables=[],
+        median_inputs=[],
+    )
+    return cleaned.select(
+        "census_geoid", "pff_variable", "geotype", "c", "e", "m", "p", "z"
+    ).orderBy("census_geoid")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -697,6 +844,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_ann_topk": q29_ann_topk,
         "q30_quality_filter": q30_quality_filter,
         "q31_embedding_centroids": q31_embedding_centroids,
+        "q32_lsh_neardup_pairs": q32_lsh_neardup_pairs,
+        "q33_simhash_pairs": q33_simhash_pairs,
+        "q34_ann_lsh_topk": q34_ann_lsh_topk,
+        "q35_rolling_fingerprint": q35_rolling_fingerprint,
+        "q36_multimodal_features": q36_multimodal_features,
+        "q37_factfinder_e2e": q37_factfinder_e2e,
     }
 
 

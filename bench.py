@@ -37,6 +37,9 @@ HEADLINE = [
     "q27_minhash_signatures",   # minhash expression stack
     "q29_ann_topk",             # broadcast NLJ + vector math
     "q31_embedding_centroids",  # posexplode + group agg
+    "q32_lsh_neardup_pairs",    # banded LSH bucket join + verify
+    "q34_ann_lsh_topk",         # hyperplane LSH bucketed ANN
+    "q37_factfinder_e2e",       # full factfinder spine
 ]
 
 

@@ -638,3 +638,216 @@ SELECT label, pos,
 FROM embeddings, (SELECT unnest(range(64)) AS pos) p
 GROUP BY label, pos
 """
+
+# ---------------------------------------------------------------------
+# q32–q37: LSH dedup, simhash pairs, ANN LSH, rolling hash, e2e spine
+# ---------------------------------------------------------------------
+
+# exact mirror of Spark's shingles(): tokens of *normalized* text
+_NORMTOKS = (
+    f"list_filter(string_split_regex(lower(trim({_NORM})), '\\s+'),"
+    " x -> x != '')"
+)
+
+_MH8 = "[" + ", ".join(
+    "list_min(list_transform(grams, g -> "
+    f"(('0x' || substr(md5('{i}|' || g), 1, 15)))::BIGINT))"
+    for i in range(8)
+) + "]"
+
+# bands of 2 rows each over the 8-slot signature (bands=4)
+_BANDS32 = " UNION ALL ".join(
+    f"SELECT id, {b} AS band, md5(CAST(sig[{2*b+1}] AS VARCHAR) || '|' ||"
+    f" CAST(sig[{2*b+2}] AS VARCHAR)) AS bucket FROM sigs"
+    for b in range(4)
+)
+
+ORACLES["q32_lsh_neardup_pairs"] = f"""
+WITH d AS (
+  SELECT doc_id, {_NORMTOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS grams FROM d),
+sigs AS (
+  SELECT id, grams, CASE WHEN len(grams) > 0 THEN {_MH8} END AS sig FROM sh),
+bands AS ({_BANDS32}),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+verified AS (
+  SELECT id_a, id_b,
+    CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+      / (CAST(len(sa.grams) + len(sb.grams) AS DOUBLE)
+         - CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE))
+      AS jaccard
+  FROM cands
+  JOIN sigs sa ON sa.id = id_a
+  JOIN sigs sb ON sb.id = id_b)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.6
+"""
+
+ORACLES["q33_simhash_pairs"] = f"""
+WITH d AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+h AS (
+  SELECT doc_id, (('0x' || substr(md5(t), 1, 15)))::BIGINT AS hv FROM tok),
+bits AS (
+  SELECT doc_id, b.b,
+    sum(CASE WHEN (hv & (1::BIGINT << b.b)) != 0 THEN 1 ELSE -1 END) AS v
+  FROM h, (SELECT unnest(range(32)) AS b) b
+  GROUP BY doc_id, b.b),
+persig AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+  FROM bits GROUP BY doc_id),
+sigs AS (
+  SELECT d2.doc_id AS id, coalesce(s.sig, 0)::BIGINT AS sig,
+         (coalesce(s.sig, 0)::BIGINT >> 24) AS bucket
+  FROM documents d2 LEFT JOIN persig s USING (doc_id))
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.id < b.id
+WHERE bit_count(xor(a.sig, b.sig)) <= 1
+"""
+
+
+def _ann_lsh_sql() -> str:
+    """Mirror lsh_bucketed_topk(dim=64, planes=8, tables=2, seed=42):
+    the same driver-generated hyperplane literals are embedded in the
+    SQL, signatures via sign-bit sums of exact dot products."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from db_factfinder_spark.llmdata.similarity import _hyperplanes
+
+    def sig_expr(table: int) -> str:
+        planes = _hyperplanes(64, 8, 42 + table)
+        terms = []
+        for i, plane in enumerate(planes):
+            lits = "[" + ", ".join(repr(v) for v in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lits}) > 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")::BIGINT"
+
+    tables_sql = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS t, {sig_expr(t)} AS b FROM e"
+        for t in range(2)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+buckets AS ({tables_sql}),
+p AS (SELECT * FROM buckets WHERE vec_id < 10),
+cands AS (
+  SELECT DISTINCT p.vec_id AS probe_id, p.v AS pv,
+                  c.vec_id AS neighbor_id, c.v AS cv
+  FROM p JOIN buckets c
+    ON p.t = c.t AND p.b = c.b AND p.vec_id != c.vec_id),
+scored AS (
+  SELECT probe_id, neighbor_id,
+    list_dot_product(pv, cv)
+      / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv)))
+      AS cosine
+  FROM cands)
+SELECT probe_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+ORACLES["q34_ann_lsh_topk"] = _ann_lsh_sql()
+
+ORACLES["q35_rolling_fingerprint"] = f"""
+WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+SELECT doc_id,
+  CASE WHEN length(norm) = 0 THEN 0::BIGINT
+       ELSE list_reduce(
+              list_prepend(0::BIGINT,
+                list_transform(string_split(norm, ''),
+                               c -> ascii(c)::BIGINT)),
+              (a, x) -> (a * 31 + x) % 1000000007)
+  END AS rhash
+FROM n
+"""
+
+ORACLES["q37_factfinder_e2e"] = """
+WITH wide AS (
+  SELECT
+    'NTA' || CAST(c_nationkey AS VARCHAR) AS census_geoid,
+    CASE WHEN c_custkey % 11 = 0 THEN NULL
+         ELSE CAST(floor(c_acctbal) AS DOUBLE) END AS E1,
+    CASE WHEN c_custkey % 7 = 0 THEN NULL
+         ELSE CAST(floor(c_acctbal / 10) AS DOUBLE) END AS M1,
+    CASE WHEN c_custkey % 13 = 0 THEN NULL
+         ELSE CAST(floor(c_acctbal / 2) AS DOUBLE) END AS E2,
+    CAST(floor(c_acctbal / 20) AS DOUBLE) AS M2,
+    CAST(floor(c_acctbal) * 2 AS DOUBLE) AS BE,
+    CAST(floor(c_acctbal / 8) AS DOUBLE) AS BM
+  FROM customer),
+horizontal AS (
+  SELECT census_geoid,
+    0.0 + coalesce(E1, 0.0) + coalesce(E2, 0.0) AS e,
+    sqrt(0.0 + coalesce(M1 * M1, 0.0) + coalesce(M2 * M2, 0.0)) AS m,
+    BE, BM
+  FROM wide),
+child AS (
+  SELECT census_geoid,
+    coalesce(sum(e), 0.0) AS e,
+    sqrt(coalesce(sum(m * m), 0.0)) AS m
+  FROM horizontal GROUP BY census_geoid),
+base AS (
+  SELECT census_geoid,
+    coalesce(sum(BE), 0.0) AS agg_e,
+    sqrt(coalesce(sum(BM * BM), 0.0)) AS agg_m
+  FROM horizontal GROUP BY census_geoid),
+j AS (SELECT child.*, agg_e, agg_m FROM child LEFT JOIN base USING (census_geoid)),
+withp AS (
+  SELECT *, CASE WHEN agg_e = 0 THEN NULL ELSE e / agg_e * 100 END AS p
+  FROM j),
+stats AS (
+  SELECT census_geoid, e, m, p,
+    CASE WHEN p = 0 THEN NULL
+         WHEN p = 100 THEN NULL
+         WHEN agg_e = 0 THEN NULL
+         WHEN m * m - (e * agg_m / agg_e) * (e * agg_m / agg_e) < 0
+           THEN sqrt(m * m + (e * agg_m / agg_e) * (e * agg_m / agg_e))
+                / agg_e * 100
+         ELSE sqrt(m * m - (e * agg_m / agg_e) * (e * agg_m / agg_e))
+              / agg_e * 100
+    END AS z,
+    CASE WHEN e = 0 THEN NULL ELSE m / 1.645 / e * 100 END AS c
+  FROM withp),
+rounded AS (
+  -- e/m are exact integers (bround(x,0) = x); c/p/z half-even to 1
+  -- digit — DuckDB round() on DOUBLE is round-half-even like bround
+  SELECT census_geoid, 'synth_var' AS pff_variable, 'NTA' AS geotype,
+    round(c, 1) AS c, round(e, 0) AS e, round(m, 0) AS m,
+    round(p, 1) AS p, round(z, 1) AS z
+  FROM stats),
+t1 AS (
+  SELECT census_geoid, pff_variable, geotype,
+    CASE WHEN c < 0 THEN NULL ELSE c END AS c,
+    CASE WHEN e < 0 THEN NULL ELSE e END AS e,
+    CASE WHEN m < 0 THEN NULL ELSE m END AS m,
+    CASE WHEN p < 0 THEN NULL ELSE p END AS p,
+    CASE WHEN z < 0 THEN NULL ELSE z END AS z
+  FROM rounded),
+t2 AS (SELECT census_geoid, pff_variable, geotype, c, e, m,
+         CASE WHEN p > 100 THEN NULL ELSE p END AS p, z FROM t1),
+t3 AS (SELECT census_geoid, pff_variable, geotype, c, e, m, p,
+         CASE WHEN p IS NULL THEN NULL ELSE z END AS z FROM t2),
+t4 AS (SELECT census_geoid, pff_variable, geotype, c, e, m, p,
+         CASE WHEN p = 100 THEN 0.0 ELSE z END AS z FROM t3)
+SELECT census_geoid, pff_variable, geotype,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE c END AS c,
+  e,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE m END AS m,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE p END AS p,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE z END AS z
+FROM t4
+"""
