@@ -45,9 +45,15 @@ from db_factfinder_spark.llmdata.dedup import (
     simhash_near_pairs,
 )
 from db_factfinder_spark.llmdata.multimodal import extract_features
-from db_factfinder_spark.llmdata.similarity import brute_force_topk, lsh_bucketed_topk
+from db_factfinder_spark.llmdata.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
 from db_factfinder_spark.llmdata.textstats import (
     LANG_STOPWORDS,
+    bpe_token_count,
     fingerprint,
     language_id,
     mean_token_length,
@@ -344,7 +350,8 @@ def q10_pz_stats(spark, sf_dir):
         .agg(_dec_sum(F.col("o_totalprice"), "decimal(18,2)").alias("agg_e"))
         .withColumn("agg_m", F.col("agg_e") / 10)
     )
-    j = child.join(base, "c_nationkey", "left")
+    # base is one row per geography — always broadcastable (J3)
+    j = child.join(F.broadcast(base), "c_nationkey", "left")
     p = get_p("e", "agg_e")
     out = j.withColumn("p", p)
     out = out.withColumn("z", get_z("e", "m", "p", "agg_e", "agg_m"))
@@ -802,6 +809,65 @@ def q37_factfinder_e2e(spark, sf_dir):
     ).orderBy("census_geoid")
 
 
+def q38_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via multi-table hyperplane LSH:
+    candidates from bucket equi-joins, exact cosine only on candidates.
+    (The synthetic embeddings are unclustered, so the threshold sits in
+    the distribution tail; planted near-dups would use τ≈0.9+.)"""
+    embs = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        embs, threshold=0.4, dim=64, planes=4, tables=4, seed=42
+    ).orderBy("id_a", "id_b")
+
+
+def q39_bpe_tokens(spark, sf_dir):
+    """Token-costing pass: whitespace tokens vs BPE-ish pre-tokenizer
+    counts, aggregated per language — one map-side scan."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text").cast("long")).alias("ws_tokens"),
+            F.sum(bpe_token_count("text").cast("long")).alias("bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q40_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors: coarse quantizer = per-label
+    element-wise centroid (exact decimal mean, quantized to 6 decimals
+    so the quantizer is bit-identical in any engine), corpus assigned
+    to nearest centroid, probes scan nprobe=3 inverted lists."""
+    embs = _t(spark, sf_dir, "embeddings")
+    exploded = embs.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    centroids = (
+        exploded.groupBy("label", "pos")
+        .agg(
+            # exact decimal sum → double, then /n — identical op order
+            # to the oracle so the quantizer is bit-identical
+            F.bround(
+                F.sum(F.col("val").cast("decimal(20,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("cv")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("s"))
+        .select(
+            F.col("label").alias("cluster_id"),
+            F.transform("s", lambda x: x["cv"]).alias("centroid"),
+        )
+    )
+    probes = embs.filter(F.col("vec_id") < 10)
+    return ivf_topk(probes, embs, centroids, k=5, nprobe=3).orderBy(
+        "probe_id", "rank"
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -850,6 +916,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_rolling_fingerprint": q35_rolling_fingerprint,
         "q36_multimodal_features": q36_multimodal_features,
         "q37_factfinder_e2e": q37_factfinder_e2e,
+        "q38_embedding_neardup": q38_embedding_neardup,
+        "q39_bpe_tokens": q39_bpe_tokens,
+        "q40_ann_ivf_topk": q40_ann_ivf_topk,
     }
 
 

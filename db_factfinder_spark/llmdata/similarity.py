@@ -110,6 +110,117 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 4,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space sibling
+    of MinHash dedup: multi-table hyperplane-LSH buckets generate
+    candidates (one equi-join on the (table, bucket) key), then only
+    candidates get the exact cosine and the ≥ threshold filter.  The
+    full n² pair space is never materialized; recall follows the LSH
+    amplification 1−(1−s^planes)^tables with s = 1−θ/π."""
+    sel = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                hyperplane_signature(
+                    F.col("vec"), _hyperplanes(dim, planes, seed + t)
+                ).alias("b"),
+            )
+            for t in range(tables)
+        ]
+    )
+    bucketed = sel.withColumn("bk", F.explode(buckets)).select(
+        "id", "vec", F.col("bk.t").alias("t"), F.col("bk.b").alias("b")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.vec").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn(
+            "cosine", cosine_similarity(F.col("vec_a"), F.col("vec_b"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: a coarse quantizer (``centroids``:
+    ``(cluster_id, centroid array<double>)``, e.g. k-means output)
+    partitions the corpus into inverted lists by nearest centroid; each
+    probe scores only the members of its ``nprobe`` nearest lists.
+
+    Both assignment joins broadcast the (tiny) centroid table, so the
+    corpus is touched by exactly one map-side pass plus one equi-join
+    shuffle on cluster_id — at 100 TB the inverted lists are the only
+    thing that moves, never the full pair space."""
+
+    def assign(df, id_alias, vec_alias, n):
+        scored = (
+            df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
+            .join(F.broadcast(centroids))
+            .withColumn(
+                "c_cos", cosine_similarity(F.col(vec_alias), F.col("centroid"))
+            )
+        )
+        w = Window.partitionBy(id_alias).orderBy(
+            F.desc("c_cos"), F.asc("cluster_id")
+        )
+        return (
+            scored.withColumn("c_rank", F.row_number().over(w))
+            .filter(F.col("c_rank") <= n)
+            .select(id_alias, vec_alias, "cluster_id")
+        )
+
+    c = assign(corpus, "neighbor_id", "cand_vec", 1)
+    p = assign(probes, "probe_id", "probe_vec", nprobe)
+    scored = (
+        c.join(
+            F.broadcast(p),
+            (p["cluster_id"] == c["cluster_id"])
+            & (F.col("probe_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cosine", cosine_similarity(F.col("probe_vec"), F.col("cand_vec")))
+        .select("probe_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     probes: DataFrame,
     corpus: DataFrame,

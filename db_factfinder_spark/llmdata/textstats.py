@@ -36,6 +36,20 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-ish pre-tokenizer classes: letter runs, single digits (BPE
+# vocabularies split numbers aggressively), punctuation runs.  The
+# pattern is engine-portable (same matches under Java regex and RE2).
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Approximate BPE token count via the pre-tokenizer regex — the
+    cheap corpus-costing pass (real tokenizers run as pandas UDFs; the
+    regex stays JVM-side in the scan)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def _stop_ratio_of(toks: Column, stopwords: list[str]) -> Column:
     stops = F.array(*[F.lit(s) for s in stopwords])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))

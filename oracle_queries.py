@@ -851,3 +851,102 @@ SELECT census_geoid, pff_variable, geotype,
   CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE z END AS z
 FROM t4
 """
+
+
+def _neardup_lsh_sql() -> str:
+    """Mirror embedding_neardup_pairs(threshold=0.4, dim=64, planes=4,
+    tables=4, seed=42) with the same driver-generated plane literals."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from db_factfinder_spark.llmdata.similarity import _hyperplanes
+
+    def sig_expr(table: int) -> str:
+        planes = _hyperplanes(64, 4, 42 + table)
+        terms = []
+        for i, plane in enumerate(planes):
+            lits = "[" + ", ".join(repr(v) for v in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lits}) > 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")::BIGINT"
+
+    tables_sql = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS t, {sig_expr(t)} AS b FROM e"
+        for t in range(4)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+buckets AS ({tables_sql}),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, a.v AS va, b.vec_id AS id_b, b.v AS vb
+  FROM buckets a JOIN buckets b
+    ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT id_a, id_b,
+    list_dot_product(va, vb)
+      / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+      AS cosine
+  FROM cands)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
+"""
+
+
+ORACLES["q38_embedding_neardup"] = _neardup_lsh_sql()
+
+ORACLES["q39_bpe_tokens"] = f"""
+SELECT lang,
+  count(*) AS n_docs,
+  sum(len({_TOKS})) AS ws_tokens,
+  sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+')))
+    AS bpe_tokens
+FROM documents GROUP BY lang
+"""
+
+_IVF_COS = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+ORACLES["q40_ann_ivf_topk"] = f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+cent0 AS (
+  SELECT label, pos,
+    round(CAST(sum(CAST(v[pos + 1] AS DECIMAL(20,9))) AS DOUBLE)
+          / count(*), 6) AS cv
+  FROM e, (SELECT unnest(range(64)) AS pos) p
+  GROUP BY label, pos),
+cent AS (
+  SELECT label AS cluster_id, list(cv ORDER BY pos) AS centroid
+  FROM cent0 GROUP BY label),
+assign_c AS (
+  SELECT vec_id AS neighbor_id, v AS cand_vec, cluster_id FROM (
+    SELECT e.vec_id, e.v, c.cluster_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_IVF_COS.format(a='e.v', b='c.centroid')} DESC, c.cluster_id ASC)
+        AS rn
+    FROM e, cent c)
+  WHERE rn <= 1),
+assign_p AS (
+  SELECT vec_id AS probe_id, v AS probe_vec, cluster_id FROM (
+    SELECT e.vec_id, e.v, c.cluster_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_IVF_COS.format(a='e.v', b='c.centroid')} DESC, c.cluster_id ASC)
+        AS rn
+    FROM e, cent c WHERE e.vec_id < 10)
+  WHERE rn <= 3),
+scored AS (
+  SELECT probe_id, neighbor_id,
+    {_IVF_COS.format(a='probe_vec', b='cand_vec')} AS cosine
+  FROM assign_p p JOIN assign_c c USING (cluster_id)
+  WHERE probe_id != neighbor_id)
+SELECT probe_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""

@@ -178,3 +178,71 @@ def test_multimodal_feature_extraction(spark):
     assert len(out[1]["feature"]) == 8
     assert abs(sum(out[1]["feature"]) - 1.0) < 1e-9
     assert out[2]["payload_hash"] is None and out[2]["feature"] == []
+
+
+def test_embedding_neardup_matches_bruteforce(spark, embs):
+    """LSH near-dup candidates that survive the threshold must be a
+    subset of the true ≥ τ pair set, and each reported cosine exact."""
+    from db_factfinder_spark.llmdata.similarity import embedding_neardup_pairs
+
+    tau = 0.35
+    approx = embedding_neardup_pairs(
+        embs, threshold=tau, dim=64, planes=4, tables=4
+    ).collect()
+    a = embs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = embs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= tau)
+        .select("id_a", "id_b", "cosine")
+        .collect()
+    )
+    exact_map = {(r["id_a"], r["id_b"]): r["cosine"] for r in exact}
+    assert len(approx) > 0
+    for r in approx:
+        assert (r["id_a"], r["id_b"]) in exact_map
+        assert r["cosine"] == exact_map[(r["id_a"], r["id_b"])]
+    # multi-table LSH at this (low) similarity: expect partial recall
+    assert len(approx) >= len(exact) // 4
+
+
+def test_ivf_topk_candidates_exact_within_lists(spark, embs):
+    """IVF results must come from the probed inverted lists with exact
+    cosines — rank-1 should match brute force for most probes when
+    nprobe covers the NN's cluster."""
+    from db_factfinder_spark.llmdata.similarity import ivf_topk
+
+    exploded = embs.select("label", F.posexplode("embedding").alias("pos", "val"))
+    centroids = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("s"))
+        .select(
+            F.col("label").alias("cluster_id"),
+            F.transform("s", lambda x: x["cv"]).alias("centroid"),
+        )
+    )
+    probes = embs.filter(F.col("vec_id") < 10)
+    approx = ivf_topk(probes, embs, centroids, k=5, nprobe=10)
+    exact = brute_force_topk(probes, embs, k=5)
+    # nprobe = all clusters → IVF degenerates to exact search
+    ae = {(r["probe_id"], r["rank"]): r["neighbor_id"] for r in approx.collect()}
+    ex = {(r["probe_id"], r["rank"]): r["neighbor_id"] for r in exact.collect()}
+    assert ae == ex
+
+
+def test_bpe_token_count(spark):
+    from db_factfinder_spark.llmdata.textstats import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "a1b23 x!?"), (3, ""), (4, None)],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r["n"]
+        for r in df.select("id", bpe_token_count("text").alias("n")).collect()
+    }
+    # "a1b23" → a,1,b,2,3 ; "x!?" → x, "!?"  ⇒ 7
+    assert out[1] == 2 and out[2] == 7 and out[3] == 0 and out[4] is None
