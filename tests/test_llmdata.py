@@ -246,3 +246,29 @@ def test_bpe_token_count(spark):
     }
     # "a1b23" → a,1,b,2,3 ; "x!?" → x, "!?"  ⇒ 7
     assert out[1] == 2 and out[2] == 7 and out[3] == 0 and out[4] is None
+
+
+def test_resize_images_stub_raises_at_execution(spark):
+    """resize_images must build a valid lazy plan (analyzable schema)
+    and raise the documented NotImplementedError only at execution."""
+    from db_factfinder_spark.llmdata.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"xx"))], "media_id long, payload binary"
+    )
+    out = resize_images(df, 32, 32)
+    assert out.columns == ["media_id", "payload", "width", "height"]
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="NotImplementedError|image codec"):
+        out.collect()
+
+
+def test_frame_sample_timestamps(spark):
+    from db_factfinder_spark.llmdata.multimodal import frame_sample
+
+    df = spark.createDataFrame(
+        [(1, 3500), (2, None)], "media_id long, duration_ms long"
+    )
+    out = {r["media_id"]: r["sample_ts_ms"] for r in frame_sample(df, 1000).collect()}
+    assert out[1] == [0, 1000, 2000, 3000]
+    assert out[2] is None
