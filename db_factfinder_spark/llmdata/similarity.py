@@ -96,7 +96,13 @@ def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
 
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature of `vec` against the hyperplanes, packed into
-    a long — the classic cosine-LSH bucket key."""
+    a long — the classic cosine-LSH bucket key.
+
+    Kept as the plain projection fold: both an unrolled multiply-add
+    chain (blows janino's method-size limit → slower interpreted
+    fallback) and a let-bound cast vector (outer wrapper costs more
+    than the repeated cheap casts save) were tried and benchmarked
+    worse."""
     vd = F.transform(vec, lambda x: x.cast("double"))
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
