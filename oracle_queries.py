@@ -823,11 +823,13 @@ stats AS (
     CASE WHEN e = 0 THEN NULL ELSE m / 1.645 / e * 100 END AS c
   FROM withp),
 rounded AS (
-  -- e/m are exact integers (bround(x,0) = x); c/p/z half-even to 1
-  -- digit — DuckDB round() on DOUBLE is round-half-even like bround
+  -- e/m are exact integers (bround(x,0) = x).  c/p/z round half-even
+  -- to 1 digit: DuckDB round() on DOUBLE is half-AWAY-from-zero, so
+  -- true decimal ties (only dyadic .x25/.x75 doubles can tie exactly)
+  -- get an explicit even-selection branch to match Spark's bround.
   SELECT census_geoid, 'synth_var' AS pff_variable, 'NTA' AS geotype,
-    round(c, 1) AS c, round(e, 0) AS e, round(m, 0) AS m,
-    round(p, 1) AS p, round(z, 1) AS z
+    CASE WHEN (c) * 10 - floor((c) * 10) = 0.5 THEN (CASE WHEN CAST(floor((c) * 10) AS BIGINT) % 2 = 0 THEN floor((c) * 10) ELSE floor((c) * 10) + 1 END) / 10 ELSE round((c), 1) END AS c, round(e, 0) AS e, round(m, 0) AS m,
+    CASE WHEN (p) * 10 - floor((p) * 10) = 0.5 THEN (CASE WHEN CAST(floor((p) * 10) AS BIGINT) % 2 = 0 THEN floor((p) * 10) ELSE floor((p) * 10) + 1 END) / 10 ELSE round((p), 1) END AS p, CASE WHEN (z) * 10 - floor((z) * 10) = 0.5 THEN (CASE WHEN CAST(floor((z) * 10) AS BIGINT) % 2 = 0 THEN floor((z) * 10) ELSE floor((z) * 10) + 1 END) / 10 ELSE round((z), 1) END AS z
   FROM stats),
 t1 AS (
   SELECT census_geoid, pff_variable, geotype,
