@@ -39,9 +39,18 @@ def _md5_long(c: Column) -> Column:
 # ---------------------------------------------------------------- exact
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative of each identical (normalized)
-    document.  One shuffle on the fingerprint."""
+    document.  One shuffle on the fingerprint.
+
+    NULL-text documents have no content fingerprint; they must NOT
+    collapse into one NULL group (grouping would silently mark every
+    missing-text record a copy of the others), so each gets a unique
+    per-id sentinel key and survives as its own group."""
+    fp = F.coalesce(
+        fingerprint(text_col),
+        F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+    )
     return (
-        df.withColumn("__fp", fingerprint(text_col))
+        df.withColumn("__fp", fp)
         .groupBy("__fp")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
         .withColumnRenamed("__fp", "fingerprint")
@@ -159,6 +168,11 @@ def lsh_candidate_pairs(
     frame, so the whole operator is one shuffle on the bucket key."""
     rows = num_hashes // bands
     assert rows * bands == num_hashes, "bands must divide num_hashes"
+    # shingle-less docs carry an all-NULL signature; concat_ws skips
+    # NULLs, so without this filter they would all hash to md5("") and
+    # share every band bucket — an O(m²) hot-bucket blowup of bogus
+    # candidate pairs among m empty/short docs
+    signatures = signatures.filter(F.col("mh_0").isNotNull())
     band_structs = F.array(
         *[
             F.struct(
@@ -222,8 +236,19 @@ def minhash_dedup_pairs(
 def simhash(text: Column | str, bits: int = 32) -> Column:
     """Charikar SimHash fingerprint: each token votes ±1 on `bits` bit
     positions of its md5-derived hash; the sign vector packs into a
-    long.  Bit-parallel: one expression per document, no explode."""
-    def bit_value(b):  # 2^b as a long; exact for b ≤ 31 (bits ≤ 32)
+    long.  Bit-parallel: one expression per document, no explode.
+
+    Token-less documents (empty/NULL/symbol-only text) return NULL —
+    an all-zero fingerprint would make every contentless doc a
+    hamming-0 "near-duplicate" of every other one.
+
+    ``bits`` is capped at 60: token hashes are 60-bit md5 prefixes, so
+    higher vote bits could never be set anyway — and 2^63 would
+    overflow the packed long (the old pow()-based mask clamped to
+    Long.MaxValue at bit 63, corrupting fingerprints)."""
+    assert 1 <= bits <= 60, "simhash supports 1..60 bits (60-bit token hashes)"
+
+    def bit_value(b):  # 2^b as a long; exact for b ≤ 62 (bits ≤ 60)
         return F.pow(F.lit(2.0), b.cast("double")).cast("long")
 
     def pack(hashes: Column) -> Column:
@@ -253,7 +278,10 @@ def simhash(text: Column | str, bits: int = 32) -> Column:
         )
 
     toks = F.array_distinct(tokens(normalize_text(text)))
-    return let(F.transform(toks, _md5_long), pack)
+    return let(
+        toks,
+        lambda t: F.when(F.size(t) > 0, let(F.transform(t, _md5_long), pack)),
+    )
 
 
 def simhash_near_pairs(

@@ -186,30 +186,77 @@ def ivf_topk(
     partitions the corpus into inverted lists by nearest centroid; each
     probe scores only the members of its ``nprobe`` nearest lists.
 
-    Both assignment joins broadcast the (tiny) centroid table, so the
-    corpus is touched by exactly one map-side pass plus one equi-join
-    shuffle on cluster_id — at 100 TB the inverted lists are the only
-    thing that moves, never the full pair space."""
+    The quantizer is collected to the driver (IVF centroid tables are
+    small by construction) and embedded as literals, so corpus
+    assignment is a pure map-side argmax fold — the corpus is touched
+    by exactly one map-side pass plus one equi-join shuffle on
+    cluster_id; at 100 TB the inverted lists are the only thing that
+    moves, never the full pair space.  (A window-ranked cross join
+    would shuffle the whole corpus×centroids frame just to pick the
+    max.)  Zero-norm vectors have NULL cosine to every centroid and
+    stay unassigned (dropped).  The probe side keeps the window path:
+    it needs top-``nprobe`` clusters and the probe set is small."""
+    cid_type = centroids.schema["cluster_id"].dataType.simpleString()
+    cent_rows = sorted(
+        centroids.select("cluster_id", "centroid").collect(),
+        key=lambda r: r["cluster_id"],
+    )
+    cent_lits = F.array(
+        *[
+            F.struct(
+                F.lit(r["cluster_id"]).cast(cid_type).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("cv"),
+            )
+            for r in cent_rows
+        ]
+    )
 
-    def assign(df, id_alias, vec_alias, n):
+    def best_cluster(vec: Column) -> Column:
+        scored = F.transform(
+            cent_lits,
+            lambda ct: F.struct(
+                cosine_similarity(vec, ct["cv"]).alias("cos"),
+                ct["cid"].alias("cid"),
+            ),
+        )
+        # strict > keeps the first (lowest-cid) maximum — same
+        # tie-break as rank over (cos DESC, cluster_id ASC)
+        best = F.aggregate(
+            scored,
+            F.struct(
+                F.lit(float("-inf")).alias("cos"),
+                F.lit(None).cast(cid_type).alias("cid"),
+            ),
+            lambda acc, x: F.when(x["cos"] > acc["cos"], x).otherwise(acc),
+        )
+        return best["cid"]
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cand_vec"),
+        best_cluster(F.col(vec_col)).alias("cluster_id"),
+    ).filter(F.col("cluster_id").isNotNull())
+
+    def assign_probes(df, n):
         scored = (
-            df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
+            df.select(
+                F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+            )
             .join(F.broadcast(centroids))
             .withColumn(
-                "c_cos", cosine_similarity(F.col(vec_alias), F.col("centroid"))
+                "c_cos", cosine_similarity(F.col("probe_vec"), F.col("centroid"))
             )
         )
-        w = Window.partitionBy(id_alias).orderBy(
+        w = Window.partitionBy("probe_id").orderBy(
             F.desc("c_cos"), F.asc("cluster_id")
         )
         return (
             scored.withColumn("c_rank", F.row_number().over(w))
             .filter(F.col("c_rank") <= n)
-            .select(id_alias, vec_alias, "cluster_id")
+            .select("probe_id", "probe_vec", "cluster_id")
         )
 
-    c = assign(corpus, "neighbor_id", "cand_vec", 1)
-    p = assign(probes, "probe_id", "probe_vec", nprobe)
+    p = assign_probes(probes, nprobe)
     scored = (
         c.join(
             F.broadcast(p),

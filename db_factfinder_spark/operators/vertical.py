@@ -86,6 +86,11 @@ def tract_to_dimension(
     joined = ct20.join(
         F.broadcast(dim), ct20["census_geoid"] == dim["geoid_tract"], "left"
     ).select(F.col(dim_col), "e", "m")
+    # pandas groupby drops NaN keys (reference 2010_to_2020.py:58-61
+    # aggregates after the merge with default dropna=True); Spark's
+    # groupBy keeps a NULL group — filter tracts missing from the
+    # lookup so the output matches row-for-row
+    joined = joined.filter(F.col(dim_col).isNotNull())
     return aggregate_to_geography(joined, dim_col, geotype_label, pff_variable)
 
 

@@ -344,6 +344,13 @@ class FactFinderEngine:
 
             for var, geotype, msg in errors:
                 logging.warning("task failed: %s/%s: %s", var, geotype, msg)
+        if not plans:
+            raise RuntimeError(
+                "calculate_batch: no task produced a plan"
+                + (f"; all {len(errors)} failed, first: "
+                   f"{errors[0][0]}/{errors[0][1]}: {errors[0][2]}"
+                   if errors else " (empty task list)")
+            )
         out = plans[0]
         for p in plans[1:]:
             out = out.unionByName(p)

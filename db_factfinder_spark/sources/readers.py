@@ -55,12 +55,20 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
     """Event-stream scan.  The driver's events table stores
     TIMESTAMP(NANOS) which Spark's Parquet reader rejects; read the
     nanos as long (``spark.sql.legacy.parquet.nanosAsLong``) and
-    convert to a microsecond timestamp column."""
+    convert to a microsecond timestamp column.
+
+    Note the legacy flag is session-wide (Spark offers no per-read
+    option): after this call, other TIMESTAMP(NANOS) parquet columns in
+    the session also surface as longs.  This engine reads nanos only
+    here; a mixed deployment should set the flag in session conf
+    explicitly.
+
+    ns→µs uses integer division — `/ 1000` in double would round the
+    epoch-nanos long (> 2^53) to a multiple of 256 ns before dividing,
+    occasionally landing one microsecond off."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def read_lookup_geo(spark: SparkSession, path: str) -> DataFrame:

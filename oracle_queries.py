@@ -531,7 +531,8 @@ FROM scores
 """
 
 ORACLES["q25_exact_dedup"] = f"""
-SELECT md5({_NORM}) AS fingerprint,
+SELECT coalesce(md5({_NORM}), 'null:' || CAST(doc_id AS VARCHAR))
+    AS fingerprint,
   min(doc_id) AS doc_id,
   count(*) AS n_copies
 FROM documents GROUP BY 1
@@ -587,7 +588,7 @@ sigs AS (
   SELECT doc_id,
     CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
   FROM bits GROUP BY doc_id)
-SELECT d2.doc_id, coalesce(s.sig, 0) AS sig
+SELECT d2.doc_id, s.sig AS sig
 FROM documents d2 LEFT JOIN sigs s USING (doc_id)
 """
 
@@ -702,8 +703,8 @@ persig AS (
     CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
   FROM bits GROUP BY doc_id),
 sigs AS (
-  SELECT d2.doc_id AS id, coalesce(s.sig, 0)::BIGINT AS sig,
-         (coalesce(s.sig, 0)::BIGINT >> 24) AS bucket
+  SELECT d2.doc_id AS id, s.sig::BIGINT AS sig,
+         (s.sig::BIGINT >> 24) AS bucket
   FROM documents d2 LEFT JOIN persig s USING (doc_id))
 SELECT a.id AS id_a, b.id AS id_b,
        bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
