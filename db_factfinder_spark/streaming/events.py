@@ -85,3 +85,89 @@ def sessionize(
             F.sum("value").alias("sum_value"),
         )
     )
+
+
+def stream_sessionize(
+    events,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Custom *stateful* streaming sessionization via
+    ``applyInPandasWithState`` — the arbitrary-state path for operators
+    ``session_window`` can't express (e.g. carrying per-session
+    aggregates that aren't algebraic).
+
+    State per user: the open session (start, last event ts, counts).
+    Each micro-batch folds its events into the state in timestamp
+    order; a gap > ``gap_minutes`` closes the open session, which is
+    EMITTED (append mode), and starts a new one.  The final open
+    session per user stays in state until a later batch (or a timeout
+    policy) closes it — exactly the semantics a batch ``sessionize``
+    produces for every session except each user's last.
+
+    Scale: state is one tiny tuple per user key, partitioned by the
+    groupBy shuffle; Arrow batches keep the Python crossing amortized.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    gap_s = gap_minutes * 60
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sv", T.DoubleType()),
+        ]
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        (user,) = key
+        if state.exists:
+            start_us, last_us, n, sv = state.get
+        else:
+            start_us = last_us = n = 0
+            sv = 0.0
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, value in zip(pdf[ts_col], pdf["value"]):
+                ts_us = ts.value // 1000  # pandas ns → µs
+                if n == 0:
+                    start_us, last_us, n, sv = ts_us, ts_us, 1, float(value)
+                elif ts_us - last_us > gap_s * 1_000_000:
+                    closed.append((user, start_us, last_us, n, sv))
+                    start_us, last_us, n, sv = ts_us, ts_us, 1, float(value)
+                else:
+                    last_us, n, sv = ts_us, n + 1, sv + float(value)
+        state.update((start_us, last_us, n, sv))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                    "sum_value": [c[4] for c in closed],
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

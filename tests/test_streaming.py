@@ -63,3 +63,46 @@ def test_structured_streaming_matches_batch(spark, events, tmp_path):
     finally:
         q.stop()
     assert got == events.count()
+
+
+def test_stateful_stream_sessionize_matches_batch(spark, events, tmp_path):
+    """stream_sessionize (applyInPandasWithState) over a one-batch
+    stream must emit exactly the batch sessionize result minus each
+    user's final (still-open) session."""
+    from pyspark.sql import functions as F
+
+    from db_factfinder_spark.streaming.events import sessionize, stream_sessionize
+
+    src = tmp_path / "events_in"
+    events.write.parquet(str(src))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    out = stream_sessionize(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.table("closed_sessions").collect()
+    }
+
+    batch = sessionize(events, gap_minutes=30)
+    w_last = F.max("session_seq").over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+            "user_id"
+        )
+    )
+    expected = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in batch.withColumn("last_seq", w_last)
+        .filter(F.col("session_seq") != F.col("last_seq"))
+        .collect()
+    }
+    assert got == expected
+    assert len(got) > 0
