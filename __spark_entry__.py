@@ -88,6 +88,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").repartition(64, "doc_id")
 
 
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same single-split workaround as _docs for the embeddings table:
+    hyperplane/cosine math is per-row heavy, so spread it before the
+    compute instead of serializing it onto the lone input split."""
+    return _t(spark, sf_dir, "embeddings").repartition(64, "vec_id")
+
+
 # =====================================================================
 # Factfinder-core operator queries (SURVEY §2)
 # =====================================================================
@@ -631,7 +638,7 @@ def q28_simhash(spark, sf_dir):
 
 
 def q29_ann_topk(spark, sf_dir):
-    embs = _t(spark, sf_dir, "embeddings")
+    embs = _embs(spark, sf_dir)
     probes = embs.filter(F.col("vec_id") < 10)
     return brute_force_topk(probes, embs, k=5).orderBy("probe_id", "rank")
 
@@ -652,7 +659,9 @@ def q30_quality_filter(spark, sf_dir):
 
 def q31_embedding_centroids(spark, sf_dir):
     """Element-wise centroid sums per label (posexplode + exact decimal
-    aggregation over array elements)."""
+    aggregation over array elements).  Reads the raw table (no _embs
+    repartition): the groupBy after posexplode already redistributes,
+    so a pre-shuffle of the raw vectors is pure overhead here."""
     embs = _t(spark, sf_dir, "embeddings")
     exploded = embs.select(
         "label", F.posexplode("embedding").alias("pos", "val")
@@ -691,7 +700,7 @@ def q34_ann_lsh_topk(spark, sf_dir):
     """Approximate nearest neighbors, LSH-bucketed scale path:
     multi-table random-hyperplane signatures bucket the corpus so only
     bucket-mates get the exact cosine — never scores the full corpus."""
-    embs = _t(spark, sf_dir, "embeddings")
+    embs = _embs(spark, sf_dir)
     probes = embs.filter(F.col("vec_id") < 10)
     return lsh_bucketed_topk(
         probes, embs, k=5, dim=64, planes=8, tables=2, seed=42
@@ -814,7 +823,7 @@ def q38_embedding_neardup(spark, sf_dir):
     candidates from bucket equi-joins, exact cosine only on candidates.
     (The synthetic embeddings are unclustered, so the threshold sits in
     the distribution tail; planted near-dups would use τ≈0.9+.)"""
-    embs = _t(spark, sf_dir, "embeddings")
+    embs = _embs(spark, sf_dir)
     return embedding_neardup_pairs(
         embs, threshold=0.4, dim=64, planes=4, tables=4, seed=42
     ).orderBy("id_a", "id_b")
@@ -840,7 +849,7 @@ def q40_ann_ivf_topk(spark, sf_dir):
     element-wise centroid (exact decimal mean, quantized to 6 decimals
     so the quantizer is bit-identical in any engine), corpus assigned
     to nearest centroid, probes scan nprobe=3 inverted lists."""
-    embs = _t(spark, sf_dir, "embeddings")
+    embs = _embs(spark, sf_dir)
     exploded = embs.select(
         "label", F.posexplode("embedding").alias("pos", "val")
     )

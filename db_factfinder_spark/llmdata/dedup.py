@@ -168,11 +168,6 @@ def lsh_candidate_pairs(
     frame, so the whole operator is one shuffle on the bucket key."""
     rows = num_hashes // bands
     assert rows * bands == num_hashes, "bands must divide num_hashes"
-    # shingle-less docs carry an all-NULL signature; concat_ws skips
-    # NULLs, so without this filter they would all hash to md5("") and
-    # share every band bucket — an O(m²) hot-bucket blowup of bogus
-    # candidate pairs among m empty/short docs
-    signatures = signatures.filter(F.col("mh_0").isNotNull())
     band_structs = F.array(
         *[
             F.struct(
@@ -186,8 +181,20 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
+    # shingle-less docs carry an all-NULL signature; concat_ws skips
+    # NULLs, so without the mh_0 null gate they would all hash to
+    # md5("") and share every band bucket — an O(m²) hot-bucket blowup
+    # of bogus pairs among m empty/short docs.  The gate lives INSIDE
+    # the generator (explode of a NULL array emits no rows) rather than
+    # as a .filter(): a Filter node's predicate gets substituted through
+    # the projection and pushed below the repartition into the parquet
+    # scan, re-running the whole signature fold serially on the raw
+    # (possibly single-split) input — measured 2× the entire stage cost
     exploded = signatures.select(
-        "id", F.explode(band_structs).alias("bk")
+        "id",
+        F.explode(
+            F.when(F.col("mh_0").isNotNull(), band_structs)
+        ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
