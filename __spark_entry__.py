@@ -66,8 +66,13 @@ from db_factfinder_spark.llmdata.textstats import (
 from db_factfinder_spark.operators.cleaning import cleaning
 from db_factfinder_spark.operators.median import median_struct
 from db_factfinder_spark.operators.pivot import unpivot_cempz
+from db_factfinder_spark.sources.bucketing import bucketed_equi_join, write_bucketed
 from db_factfinder_spark.sources.readers import read_events
-from db_factfinder_spark.streaming.events import sessionize, windowed_counts
+from db_factfinder_spark.streaming.events import (
+    run_available_now,
+    sessionize,
+    windowed_counts,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -877,6 +882,76 @@ def q40_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q41_stream_windowed_counts(spark, sf_dir):
+    """Tumbling-window counts executed as an ACTUAL Structured
+    Streaming job: file stream source → event-time watermark → windowed
+    aggregation → memory sink, run to completion with
+    ``trigger(availableNow=True)``.  With a bounded source and
+    ``complete`` output mode the final sink state equals the batch
+    aggregation over the same rows, so the batch SQL oracle applies —
+    this is the stream↔batch equivalence the Dataflow model promises.
+
+    The per-window sum folds in the state store across micro-batches,
+    so it uses an exact DECIMAL accumulator (order-independent) rather
+    than a double.  ts is TIMESTAMP(NANOS) parquet, handled exactly as
+    in ``read_events`` (nanosAsLong + µs conversion).  The `[t]` glob
+    makes the file source treat the parent directory as basePath (a
+    bare file path is rejected); production streams read a directory
+    or a queue."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(f"{sf_dir}/events.parque[t]")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+    )
+    res = run_available_now(agg, output_mode="complete")
+    return res.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "event_type",
+        "n_events",
+        F.col("sv").cast("double").alias("sum_value"),
+    ).orderBy("w_start", "event_type")
+
+
+def q42_bucketed_join(spark, sf_dir):
+    """Bucketed co-partitioned fact↔fact join: write orders and
+    lineitem bucketed by the join key, then join the bucketed tables —
+    the physical plan has NO shuffle on either side (scans are already
+    hash-partitioned by bucket; test_plans asserts zero Exchange nodes
+    above them).  This is the 100 TB pattern for repeated large-table
+    joins: pay the partitioning once at write time, join for free every
+    read after.  Values are shuffle-strategy-independent, so the plain
+    SQL join is the oracle."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li_b = write_bucketed(li, "lineitem_b", "l_orderkey", buckets=16)
+    o_b = write_bucketed(orders, "orders_b", "o_orderkey", buckets=16)
+    joined = bucketed_equi_join(li_b, o_b, "l_orderkey", "o_orderkey")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -928,6 +1003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_embedding_neardup": q38_embedding_neardup,
         "q39_bpe_tokens": q39_bpe_tokens,
         "q40_ann_ivf_topk": q40_ann_ivf_topk,
+        "q41_stream_windowed_counts": q41_stream_windowed_counts,
+        "q42_bucketed_join": q42_bucketed_join,
     }
 
 

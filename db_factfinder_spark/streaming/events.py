@@ -55,6 +55,32 @@ def stream_windowed_counts(
     )
 
 
+def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame over all currently-available data
+    (``trigger(availableNow=True)``) through an in-memory sink and
+    return the final result as a batch DataFrame.
+
+    This is the bounded-replay harness: with a finite source and
+    ``complete`` output mode the final sink state equals the batch
+    aggregation over the same data, which makes a streaming pipeline
+    oracle-checkable.  The memory sink collects to the driver — it is
+    for verification/tests; production sinks are kafka/parquet/delta
+    via the same ``writeStream`` call.  The query name is uniqued so
+    concurrent or repeated invocations can't collide."""
+    import uuid
+
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,

@@ -953,3 +953,20 @@ SELECT probe_id, neighbor_id, cosine, rank FROM (
   FROM scored)
 WHERE rank <= 5
 """
+
+ORACLES["q41_stream_windowed_counts"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+  event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["q42_bucketed_join"] = """
+SELECT o_orderpriority,
+  count(*) AS n_items,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+       AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""

@@ -63,6 +63,65 @@ def test_q29_broadcasts_probe_side(spark):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_bucketed_join_no_shuffle(spark):
+    """The point of write_bucketed: a fact↔fact equi-join on the bucket
+    key must plan with ZERO Exchange nodes — both scans are already
+    hash-partitioned and per-bucket sorted."""
+    from db_factfinder_spark.sources.bucketing import (
+        bucketed_equi_join,
+        write_bucketed,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li_b = write_bucketed(li, "lineitem_plan_audit", "l_orderkey", buckets=8)
+    o_b = write_bucketed(orders, "orders_plan_audit", "o_orderkey", buckets=8)
+    joined = bucketed_equi_join(li_b, o_b, "l_orderkey", "o_orderkey")
+    jvm = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = joined._jdf.queryExecution().explainString(jvm.fromString("formatted"))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join must not shuffle"
+    assert "Bucketed: true" in plan
+    # and the result is the plain join's result
+    expected = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).count()
+    assert joined.count() == expected
+
+
+def test_q42_join_subtree_has_no_exchange(spark):
+    """End-to-end q42: everything at or below the SortMergeJoin is
+    exchange-free (bucketed co-partitioned scans); the only shuffles in
+    the whole plan are the small post-join groupBy and orderBy."""
+    plan = _plan(spark, "q42_bucketed_join")
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    join_at = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
+    below_join = "\n".join(lines[join_at:])
+    assert "Exchange" not in below_join, f"join subtree shuffles:\n{tree}"
+    above = "\n".join(lines[:join_at])
+    n_exchange = sum("Exchange" in line for line in above.splitlines())
+    assert n_exchange == 2, f"expected groupBy + orderBy exchanges only:\n{tree}"
+
+
+def test_q41_runs_real_stream(spark):
+    """q41 must come from an actual Structured Streaming execution and
+    equal the batch aggregation (stream↔batch equivalence)."""
+    q41 = QUERIES["q41_stream_windowed_counts"](spark, SF_DIR)
+    q20 = QUERIES["q20_event_windows"](spark, SF_DIR)
+    got = {
+        (r["w_start"], r["event_type"], r["n_events"])
+        for r in q41.collect()
+    }
+    want = {
+        (r["w_start"], r["event_type"], r["n_events"])
+        for r in q20.collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_q34_candidate_join_is_equi(spark):
     # the LSH point: candidate generation must be an equi-join on the
     # (table, bucket) key, never a nested loop over the corpus
