@@ -66,6 +66,7 @@ from db_factfinder_spark.llmdata.textstats import (
 from db_factfinder_spark.operators.cleaning import cleaning
 from db_factfinder_spark.operators.median import median_struct
 from db_factfinder_spark.operators.pivot import unpivot_cempz
+from db_factfinder_spark.operators.skew import salted_join, two_phase_agg
 from db_factfinder_spark.sources.bucketing import bucketed_equi_join, write_bucketed
 from db_factfinder_spark.sources.readers import read_events
 from db_factfinder_spark.streaming.events import (
@@ -952,6 +953,67 @@ def q42_bucketed_join(spark, sf_dir):
     )
 
 
+def q43_salted_skew_join(spark, sf_dir):
+    """Salted skewed join: 600k lineitem rows concentrated on 5 join
+    keys (pmod-derived) would hash into 5 hot reduce tasks; salting
+    spreads each hot key over 8 tasks while the 5-row dim side is
+    replicated 8×.  The salt never changes values — the plain join is
+    the oracle.  (test_plans asserts the shuffle key includes the
+    salt.)"""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.pmod(F.col("l_suppkey"), F.lit(5)).cast("long").alias("grp"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    reg = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("r_regionkey"), "r_name"
+    )
+    joined = salted_join(li, reg, "grp", "r_regionkey", salt=8, seed=42)
+    return (
+        joined.groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dec_sum(F.col("l_quantity"), "decimal(18,2)").alias("sum_qty"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q44_two_phase_skew_agg(spark, sf_dir):
+    """Explicit partial/final aggregation under hot group keys: events
+    has only 5 event types, so a direct groupBy sends ~120k rows to
+    each of 5 tasks; the salted two-phase spreads partials over
+    (type, salt) first.  Includes an exact distinct-count merged from
+    per-salt collect_sets — the high-cardinality state that defeats
+    map-side combine and motivates the pattern."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    out = two_phase_agg(
+        ev,
+        "event_type",
+        {
+            "n_events": (F.count(F.lit(1)), F.sum(F.col("n_events"))),
+            "sv": (
+                F.sum(F.col("value").cast("decimal(18,2)")),
+                F.sum(F.col("sv")),
+            ),
+            "uniq_users": (
+                F.collect_set("user_id"),
+                F.size(
+                    F.array_distinct(F.flatten(F.collect_list("uniq_users")))
+                ).cast("long"),
+            ),
+        },
+        salt=16,
+        seed=42,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("sv").cast("double").alias("sum_value"),
+        "uniq_users",
+    ).orderBy("event_type")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1005,6 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_ann_ivf_topk": q40_ann_ivf_topk,
         "q41_stream_windowed_counts": q41_stream_windowed_counts,
         "q42_bucketed_join": q42_bucketed_join,
+        "q43_salted_skew_join": q43_salted_skew_join,
+        "q44_two_phase_skew_agg": q44_two_phase_skew_agg,
     }
 
 

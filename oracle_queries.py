@@ -970,3 +970,19 @@ SELECT o_orderpriority,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
+
+ORACLES["q43_salted_skew_join"] = """
+SELECT r_name,
+  count(*) AS n_items,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN region ON (l_suppkey % 5) = r_regionkey
+GROUP BY r_name
+"""
+
+ORACLES["q44_two_phase_skew_agg"] = """
+SELECT event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+  count(DISTINCT user_id) AS uniq_users
+FROM events GROUP BY event_type
+"""

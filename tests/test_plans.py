@@ -122,6 +122,26 @@ def test_q41_runs_real_stream(spark):
     assert got == want and len(got) > 0
 
 
+def test_q43_shuffle_key_includes_salt(spark):
+    """The salt must actually reach the join's shuffle key — otherwise
+    the hot keys still land on single reduce tasks."""
+    plan = _plan(spark, "q43_salted_skew_join")
+    assert "__ff_salt" in plan
+    assert "SortMergeJoin" in plan
+    # the exchange feeding the join partitions on (key, salt)
+    import re
+
+    ex = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("grp" in e and "__ff_salt" in e for e in ex), ex
+
+
+def test_q44_two_phase_partials(spark):
+    """Two HashAggregate pairs: the salted partial on (key, salt) and
+    the final merge on key."""
+    plan = _plan(spark, "q44_two_phase_skew_agg")
+    assert "__ff_salt" in plan
+
+
 def test_q34_candidate_join_is_equi(spark):
     # the LSH point: candidate generation must be an equi-join on the
     # (table, bucket) key, never a nested loop over the corpus
