@@ -39,6 +39,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate adds `size(child)>0 AND isnotnull(child)`
+        # above every explode.  When the exploded array is a computed
+        # expression (shingles, LSH bands), predicate pushdown substitutes
+        # the FULL expression into the filter and pushes it below
+        # repartitions into the scan — re-running the expensive pipeline
+        # once more, on the scan's raw parallelism (a single split for
+        # small files).  The filter is semantically void for explode
+        # (empty/NULL arrays emit no rows anyway), so drop the rule.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
