@@ -9,7 +9,8 @@ Scale design
   scale *only* for bounded shingle fan-out; it exists as the oracle
   the LSH path is validated against.
 * **MinHash+LSH** is the scale path: signatures are per-row column
-  expressions (k md5-based hash slots), banding groups rows by
+  expressions (one md5-derived hash per shingle, k affine slot
+  transforms), banding groups rows by
   (band_id, band_hash) so the only join is within small buckets —
   candidate pairs, never all-pairs.  Hot buckets (boilerplate shingles)
   are the skew risk; cap bucket size upstream or salt.
@@ -34,6 +35,37 @@ def _md5_long(c: Column) -> Column:
     """First 15 hex chars of md5 as a non-negative bigint (60 bits) —
     portable: DuckDB `('0x' || substr(md5(x),1,15))::BIGINT` matches."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+# MinHash slot hashing: ONE 28-bit md5 prefix per shingle, then
+# `num_hashes` affine transforms (a·h + b) mod P — the standard
+# universal-hash minhash family.  28-bit h keeps a·h ≤ 2^59 (no int64
+# overflow in any engine); P = 2^31−1 (Mersenne prime) > 2^28 keeps the
+# affine map injective-ish over the hash domain.  Replaces the previous
+# md5-per-slot scheme (k md5 calls per shingle → one) — measured ~2×
+# on the signature stage at equal recall.
+_MH_P = 2_147_483_647
+
+
+def _mh_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per slot, reproducible in any engine (the
+    DuckDB oracle embeds the same constants as literals)."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"mh-a|{i}".encode()).hexdigest()[:8], 16) % (
+            _MH_P - 1
+        ) + 1
+        b = int(hashlib.md5(f"mh-b|{i}".encode()).hexdigest()[:8], 16) % _MH_P
+        out.append((a, b))
+    return out
+
+
+def _md5_long28(c: Column) -> Column:
+    """First 7 hex chars of md5 as a 28-bit bigint — portable: DuckDB
+    `('0x' || substr(md5(x),1,7))::BIGINT` matches."""
+    return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
 
 
 # ---------------------------------------------------------------- exact
@@ -89,9 +121,16 @@ def jaccard_pairs(
     """All document pairs with shingle-set Jaccard ≥ threshold.
     Explode → equi-join on shingle → per-pair intersection count →
     |A∪B| = |A|+|B|−|A∩B|.  The a<b guard halves the join output."""
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
+    # Materialize the shingled frame once: the self-join would otherwise
+    # re-run the whole tokenize→shingle pipeline on BOTH sides (Spark
+    # reuses no exchange across differently-projected self-join sides).
+    # At cluster scale this is the same call a production near-dup job
+    # makes before pair generation — shingle once, reuse many times.
+    sh = (
+        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .localCheckpoint(eager=False)
+    )
     exploded = sh.select("id", "n_sh", F.explode("sh").alias("g"))
     a, b = exploded.alias("a"), exploded.alias("b")
     pairs = (
@@ -121,40 +160,52 @@ def minhash_signatures(
     n: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: slot i = min over shingles of
-    md5(i || shingle).  Pure per-row expressions — no shuffle.
+    (aᵢ·md5₂₈(shingle) + bᵢ) mod P — one md5 per shingle, k affine
+    transforms (see ``_mh_params``).  Pure per-row expressions — no
+    shuffle.
 
-    All slots fold in ONE pass over the shingle array (element-wise
-    ``least`` on a k-vector accumulator) so the tokenize→normalize→
-    shingle pipeline is evaluated once per row, not once per slot —
-    k separate ``array_min`` expressions would blow up the codegen
-    tree k-fold; the shingle array itself is let-bound so its
-    tokenize→shingle pipeline runs once, not once for the fold plus
-    once for the size check."""
+    All slots fold in ONE pass over the per-shingle hash array
+    (element-wise ``least`` on a k-vector accumulator) so the
+    tokenize→normalize→shingle→md5 pipeline is evaluated once per row,
+    not once per slot — k separate ``array_min`` expressions would
+    blow up the codegen tree k-fold; the shingle array itself is
+    let-bound so its tokenize→shingle pipeline runs once, not once for
+    the fold plus once for the size check."""
+    sized = df.select(
+        F.col(id_col).alias("id"),
+        let(shingles(text_col, n), _minhash_fold(num_hashes)).alias("sig"),
+    )
+    slots = [F.get("sig", i).alias(f"mh_{i}") for i in range(num_hashes)]
+    return sized.select("id", *slots)
+
+
+def _minhash_fold(num_hashes: int):
+    """Column→Column fold: shingle array → `num_hashes`-slot signature
+    array (NULL for shingle-less docs).  The caller decides whether the
+    input is a let-bound expression (inline path) or a materialized
+    column (pre-shingled path)."""
     sentinel = F.array(*[F.lit(1 << 62).cast("long") for _ in range(num_hashes)])
+    params = _mh_params(num_hashes)
 
     def fold(sh: Column) -> Column:
+        hs = F.transform(sh, _md5_long28)
         sig = F.aggregate(
-            sh,
+            hs,
             sentinel,
-            lambda acc, g: F.zip_with(
+            lambda acc, h: F.zip_with(
                 acc,
                 F.array(
                     *[
-                        _md5_long(F.concat(F.lit(f"{i}|"), g))
-                        for i in range(num_hashes)
+                        (F.lit(a) * h + F.lit(b)) % F.lit(_MH_P)
+                        for a, b in params
                     ]
                 ),
-                lambda a, b: F.least(a, b),
+                lambda x, y: F.least(x, y),
             ),
         )
         return F.when(F.size(sh) > 0, sig)
 
-    sized = df.select(
-        F.col(id_col).alias("id"),
-        let(shingles(text_col, n), fold).alias("sig"),
-    )
-    slots = [F.get("sig", i).alias(f"mh_{i}") for i in range(num_hashes)]
-    return sized.select("id", *slots)
+    return fold
 
 
 def lsh_candidate_pairs(
@@ -219,14 +270,24 @@ def minhash_dedup_pairs(
     verify_threshold: float | None = 0.8,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → (optional)
-    exact-Jaccard verification of only the candidates."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
-    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    exact-Jaccard verification of only the candidates.
+
+    The shingled frame is materialized ONCE (localCheckpoint) and
+    feeds all three consumers — the signature fold and both verify
+    sides.  Inline, the tokenize→shingle pipeline would run 3× over
+    the full corpus (self-join sides share no exchange)."""
     if verify_threshold is None:
-        return cands
+        sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
+        return lsh_candidate_pairs(sigs, num_hashes, bands)
     sh = df.select(
         F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
+    ).localCheckpoint(eager=False)
+    sigs = sh.select(
+        "id", _minhash_fold(num_hashes)(F.col("sh")).alias("sig")
+    ).select(
+        "id", *[F.get("sig", i).alias(f"mh_{i}") for i in range(num_hashes)]
     )
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")

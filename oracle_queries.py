@@ -556,19 +556,28 @@ FROM pairs
 WHERE n_common / (n_a + n_b - n_common) >= 0.6
 """
 
+# mirror dedup._mh_params / _md5_long28: one 28-bit md5 prefix per
+# shingle, then per-slot affine transforms (a·h + b) mod 2^31−1
+import sys  # noqa: E402
+
+if "/root/repo" not in sys.path:
+    sys.path.insert(0, "/root/repo")
+from db_factfinder_spark.llmdata.dedup import _MH_P, _mh_params  # noqa: E402
+
+_MH_HS = "list_transform(grams, g -> ('0x' || substr(md5(g), 1, 7))::BIGINT)"
 _MH_SLOTS = ",\n  ".join(
-    "list_min(list_transform(grams, g -> "
-    f"(('0x' || substr(md5('{i}|' || g), 1, 15)))::BIGINT)) AS mh_{i}"
-    for i in range(8)
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MH_P})) AS mh_{i}"
+    for i, (a, b) in enumerate(_mh_params(8))
 )
 ORACLES["q27_minhash_signatures"] = f"""
 WITH d AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents),
 sh AS (
-  SELECT doc_id AS id, {_SHINGLES} AS grams FROM d)
+  SELECT doc_id AS id, {_SHINGLES} AS grams FROM d),
+hashed AS (SELECT id, {_MH_HS} AS hs FROM sh)
 SELECT id,
   {_MH_SLOTS}
-FROM sh
+FROM hashed
 """
 
 ORACLES["q28_simhash"] = f"""
@@ -651,9 +660,8 @@ _NORMTOKS = (
 )
 
 _MH8 = "[" + ", ".join(
-    "list_min(list_transform(grams, g -> "
-    f"(('0x' || substr(md5('{i}|' || g), 1, 15)))::BIGINT))"
-    for i in range(8)
+    f"list_min(list_transform({_MH_HS}, h -> ({a} * h + {b}) % {_MH_P}))"
+    for a, b in _mh_params(8)
 ) + "]"
 
 # bands of 2 rows each over the 8-slot signature (bands=4)
