@@ -18,6 +18,7 @@ ANSI SQL for each.  Exact-match discipline:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -85,20 +86,39 @@ def _dec_sum(col, scale="decimal(25,6)"):
     return F.sum(col.cast(scale)).cast("double")
 
 
+def _spread_partitions(sf_dir: str, name: str) -> int:
+    """Partition count for the single-split small-file workaround,
+    sized from the input (~32 KiB of compressed data per partition,
+    floor 8, cap 2× cores).  A fixed large count made every light
+    query pay a 64-task stage regardless of data volume; sizing from
+    bytes is the same rule a production job applies via
+    spark.sql.files.maxPartitionBytes on a multi-split scan."""
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    try:
+        size = os.path.getsize(f"{sf_dir}/{name}.parquet")
+    except OSError:
+        return cores
+    return max(8, min(2 * cores, size // 32768))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents table is one small parquet file → one input split,
     which would serialize every per-row text expression onto a single
     core.  Hash-repartition on doc_id so the map work spreads across
     the cluster; at production scale the scan has many splits and the
     same queries run without this."""
-    return _t(spark, sf_dir, "documents").repartition(64, "doc_id")
+    return _t(spark, sf_dir, "documents").repartition(
+        _spread_partitions(sf_dir, "documents"), "doc_id"
+    )
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same single-split workaround as _docs for the embeddings table:
     hyperplane/cosine math is per-row heavy, so spread it before the
     compute instead of serializing it onto the lone input split."""
-    return _t(spark, sf_dir, "embeddings").repartition(64, "vec_id")
+    return _t(spark, sf_dir, "embeddings").repartition(
+        _spread_partitions(sf_dir, "embeddings"), "vec_id"
+    )
 
 
 # =====================================================================
@@ -621,7 +641,10 @@ def q24_langid(spark, sf_dir):
 
 
 def q25_exact_dedup(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
+    """Reads the raw table (no _docs pre-spread): one md5 per row is
+    map-light, and the groupBy shuffle redistributes anyway — same
+    reasoning as q31."""
+    docs = _t(spark, sf_dir, "documents")
     groups = exact_dedup(docs)
     return groups.select("fingerprint", "doc_id", "n_copies").orderBy("doc_id")
 
