@@ -86,6 +86,20 @@ def _dec_sum(col, scale="decimal(25,6)"):
     return F.sum(col.cast(scale)).cast("double")
 
 
+def _lsum(col, decimals: int):
+    """Order-independent exact sum of a FIXED-decimal double expression
+    via integer micro-units: sum(floor(x·10^d + 0.5)) as longs, scaled
+    back once.  floor(x·10^d + 0.5) is the identical IEEE op on both
+    engines and ties are impossible — x·10^d always lands within ~1e-5
+    of an integer for d-decimal inputs (same argument as q07's in-line
+    note).  ~3× faster than ``_dec_sum``: no per-row BigDecimal boxing,
+    the whole aggregate stays on primitive longs inside codegen.  Use
+    ONLY when the expression is exactly d-decimal (money/quantity
+    columns and their products); arbitrary doubles need ``_dec_sum``."""
+    s = float(10**decimals)
+    return F.sum(F.floor(col * F.lit(s) + F.lit(0.5))).cast("double") / F.lit(s)
+
+
 def _spread_partitions(sf_dir: str, name: str) -> int:
     """Partition count for the single-split small-file workaround,
     sized from the input (~32 KiB of compressed data per partition,
@@ -132,15 +146,16 @@ def q01_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dec_sum(F.col("l_quantity"), "decimal(18,2)").alias("sum_qty"),
-            _dec_sum(F.col("l_extendedprice"), "decimal(18,2)").alias("sum_base_price"),
-            _dec_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            _lsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            _lsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _lsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("sum_disc_price"),
-            _dec_sum(
+            _lsum(
                 F.col("l_extendedprice")
                 * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
+                * (1 + F.col("l_tax")),
+                6,
             ).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -228,8 +243,8 @@ def q05_dim_join_rollup(spark, sf_dir):
         .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
         .groupBy("r_name")
         .agg(
-            _dec_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            _lsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -375,12 +390,12 @@ def q10_pz_stats(spark, sf_dir):
     child = (
         oc.filter(F.col("c_mktsegment") == "BUILDING")
         .groupBy("c_nationkey")
-        .agg(_dec_sum(F.col("o_totalprice"), "decimal(18,2)").alias("e"))
+        .agg(_lsum(F.col("o_totalprice"), 2).alias("e"))
         .withColumn("m", F.col("e") / 10)
     )
     base = (
         oc.groupBy("c_nationkey")
-        .agg(_dec_sum(F.col("o_totalprice"), "decimal(18,2)").alias("agg_e"))
+        .agg(_lsum(F.col("o_totalprice"), 2).alias("agg_e"))
         .withColumn("agg_m", F.col("agg_e") / 10)
     )
     # base is one row per geography — always broadcastable (J3)

@@ -44,12 +44,15 @@ ORACLES: dict[str, str] = {}
 
 ORACLES["q01_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
-    AS sum_disc_price,
-  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 100.0 AS sum_qty,
+  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 100.0 AS sum_base_price,
+  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+                AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 1000000.0 AS sum_charge,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -102,8 +105,8 @@ FROM scrubbed GROUP BY o_orderpriority
 
 ORACLES["q05_dim_join_rollup"] = """
 SELECT r_name,
-  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
-    AS revenue,
+  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+                AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
   count(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -262,12 +265,14 @@ WITH oc AS (
   FROM orders JOIN customer ON o_custkey = c_custkey),
 child AS (
   SELECT c_nationkey,
-    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS e
+    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      / 100.0 AS e
   FROM oc WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey),
 child2 AS (SELECT *, e / 10 AS m FROM child),
 base AS (
   SELECT c_nationkey,
-    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS agg_e
+    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      / 100.0 AS agg_e
   FROM oc GROUP BY c_nationkey),
 base2 AS (SELECT *, agg_e / 10 AS agg_m FROM base),
 j AS (SELECT child2.*, agg_e, agg_m
