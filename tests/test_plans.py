@@ -106,6 +106,36 @@ def test_q42_join_subtree_has_no_exchange(spark):
     assert n_exchange == 2, f"expected groupBy + orderBy exchanges only:\n{tree}"
 
 
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """The production sink layout (partitionBy geotype) must yield
+    partition PRUNING on read-back: a geotype filter becomes a
+    PartitionFilter on the scan (directory-level skip — at 100 TB the
+    non-matching geotypes are never opened), not a post-scan Filter."""
+    from pyspark.sql import functions as F
+
+    from db_factfinder_spark.sources.readers import write_parquet
+
+    src = spark.read.parquet(f"{SF_DIR}/nation.parquet").select(
+        F.col("n_nationkey").alias("census_geoid"),
+        F.when(F.col("n_nationkey") % 2 == 0, "NTA").otherwise("tract").alias(
+            "geotype"
+        ),
+        F.col("n_regionkey").cast("double").alias("e"),
+    )
+    path = str(tmp_path / "fact_by_geotype")
+    write_parquet(src, path, partition_by=["geotype"])
+    back = spark.read.parquet(path).filter(F.col("geotype") == "NTA")
+    jvm = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = back._jdf.queryExecution().explainString(jvm.fromString("formatted"))
+    assert "PartitionFilters" in plan and "geotype" in plan.split(
+        "PartitionFilters"
+    )[1].splitlines()[0], f"geotype not a partition filter:\n{plan}"
+    # pruning actually happened: only the NTA directory is scanned
+    assert back.count() == src.filter(F.col("geotype") == "NTA").count()
+    files = [r[0] for r in back.select(F.input_file_name()).distinct().collect()]
+    assert files and all("geotype=NTA" in f for f in files), files
+
+
 def test_q41_runs_real_stream(spark):
     """q41 must come from an actual Structured Streaming execution and
     equal the batch aggregation (stream↔batch equivalence)."""
