@@ -45,6 +45,7 @@ from db_factfinder_spark.llmdata.dedup import (
     simhash,
     simhash_near_pairs,
 )
+from db_factfinder_spark.llmdata.kmeans import kmeans_assignments
 from db_factfinder_spark.llmdata.multimodal import extract_features
 from db_factfinder_spark.llmdata.similarity import (
     brute_force_topk,
@@ -1052,6 +1053,17 @@ def q44_two_phase_skew_agg(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q45_kmeans(spark, sf_dir):
+    """Distributed spherical k-means (iterative Lloyd, O5-class
+    iterative algorithm): per iteration one literal-centroid map-side
+    assignment pass + one decimal-exact centroid-update shuffle; only
+    k×dim floats ever touch the driver.  The fixed iteration count
+    unrolls into the DuckDB oracle as one CTE pair per iteration, so
+    even the iterative path is value-checked, not just row-counted."""
+    embs = _embs(spark, sf_dir)
+    return kmeans_assignments(embs, k=4, iters=3).orderBy("vec_id")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1107,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_bucketed_join": q42_bucketed_join,
         "q43_salted_skew_join": q43_salted_skew_join,
         "q44_two_phase_skew_agg": q44_two_phase_skew_agg,
+        "q45_kmeans": q45_kmeans,
     }
 
 

@@ -999,3 +999,52 @@ SELECT event_type,
   count(DISTINCT user_id) AS uniq_users
 FROM events GROUP BY event_type
 """
+
+
+def _kmeans_sql(k: int = 4, iters: int = 3, dim: int = 64) -> str:
+    """Mirror kmeans_assignments(k, iters): Lloyd iterations unrolled
+    as CTE pairs — assignment = argmax cosine via row_number (the same
+    strict-max/lowest-cid tie-break as the Spark fold), update =
+    exact-decimal element-wise mean quantized to 6 decimals, empty
+    clusters keep the previous centroid (LEFT JOIN + coalesce)."""
+
+    def assign(i: int, cent: str) -> str:
+        cos = _IVF_COS.format(a="e.v", b="c.centroid")
+        return f"""a{i} AS (
+  SELECT id, v, cid, cos FROM (
+    SELECT e.id, e.v, c.cid, {cos} AS cos,
+      row_number() OVER (PARTITION BY e.id ORDER BY
+        {cos} DESC NULLS LAST, c.cid ASC) AS rn
+    FROM e, {cent} c)
+  WHERE rn = 1 AND cos IS NOT NULL)"""
+
+    parts = [
+        """e AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings)""",
+        f"""c0 AS (
+  SELECT id AS cid, v AS centroid FROM e ORDER BY id LIMIT {k})""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(assign(i, f"c{i - 1}"))
+        parts.append(f"""u{i} AS (
+  SELECT cid, pos,
+    round(CAST(sum(CAST(v[pos + 1] AS DECIMAL(20,9))) AS DOUBLE)
+          / count(*), 6) AS cv
+  FROM a{i}, (SELECT unnest(range({dim})) AS pos) p
+  GROUP BY cid, pos)""")
+        parts.append(f"""u{i}c AS (
+  SELECT cid, list(cv ORDER BY pos) AS centroid FROM u{i} GROUP BY cid)""")
+        parts.append(f"""c{i} AS (
+  SELECT c.cid, coalesce(u.centroid, c.centroid) AS centroid
+  FROM c{i - 1} c LEFT JOIN u{i}c u USING (cid))""")
+    parts.append(assign(iters + 1, f"c{iters}"))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id AS vec_id, cid AS cluster_id, cos AS cosine"
+        f" FROM a{iters + 1}"
+    )
+
+
+ORACLES["q45_kmeans"] = _kmeans_sql()

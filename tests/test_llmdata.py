@@ -272,3 +272,59 @@ def test_frame_sample_timestamps(spark):
     out = {r["media_id"]: r["sample_ts_ms"] for r in frame_sample(df, 1000).collect()}
     assert out[1] == [0, 1000, 2000, 3000]
     assert out[2] is None
+
+
+# ------------------------------------------------------------- k-means
+def test_kmeans_separates_obvious_clusters(spark):
+    from db_factfinder_spark.llmdata.kmeans import kmeans_assignments
+
+    # three tight groups on orthogonal axes (+ jitter in one coordinate)
+    def vec(axis, jitter):
+        v = [0.0] * 6
+        v[axis] = 10.0
+        v[(axis + 3) % 6] = jitter
+        return v
+
+    # interleaved ids (j*3 + axis) so the lowest-id seeds span all three
+    # groups — lowest-id seeding is deterministic, not smart (k-means++
+    # would be the production seeding; Lloyd's convergence is what's
+    # under test here)
+    rows = [(j * 3 + axis, vec(axis, 0.1 * j)) for axis in range(3) for j in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_assignments(df, k=3, iters=4).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["vec_id"] % 3)
+    # every cluster is pure: one axis-group per cluster, all three found
+    assert len(by_cluster) == 3
+    assert all(len(groups) == 1 for groups in by_cluster.values())
+    for r in out:
+        assert r["cosine"] > 0.99
+
+
+def test_kmeans_zero_norm_vectors_unassigned(spark):
+    from db_factfinder_spark.llmdata.kmeans import kmeans_assignments
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = kmeans_assignments(df, k=2, iters=2).collect()
+    ids = {r["vec_id"] for r in out}
+    assert 3 not in ids, "zero-norm vector must stay unassigned"
+    assert ids == {0, 1, 2}
+
+
+def test_kmeans_deterministic_across_partitionings(spark):
+    from db_factfinder_spark.llmdata.kmeans import kmeans_assignments
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = {
+        (r["vec_id"], r["cluster_id"], r["cosine"])
+        for r in kmeans_assignments(embs.repartition(3, "vec_id"), k=3, iters=2).collect()
+    }
+    b = {
+        (r["vec_id"], r["cluster_id"], r["cosine"])
+        for r in kmeans_assignments(embs.repartition(17, "label"), k=3, iters=2).collect()
+    }
+    assert a == b
