@@ -45,6 +45,7 @@ from db_factfinder_spark.llmdata.dedup import (
     simhash,
     simhash_near_pairs,
 )
+from db_factfinder_spark.llmdata.components import neardup_groups
 from db_factfinder_spark.llmdata.kmeans import kmeans_assignments
 from db_factfinder_spark.llmdata.multimodal import extract_features
 from db_factfinder_spark.llmdata.similarity import (
@@ -1064,6 +1065,21 @@ def q45_kmeans(spark, sf_dir):
     return kmeans_assignments(embs, k=4, iters=3).orderBy("vec_id")
 
 
+def q46_neardup_groups(spark, sf_dir):
+    """Near-dup pairs → canonical groups: connected components by
+    min-label propagation (iterative equi-join + min-agg per round,
+    lineage truncated per iteration), the step a production dedup
+    pipeline runs between pair generation and survivor selection.
+    The fixpoint (per-component min id) is iteration-order-independent,
+    so the DuckDB oracle checks it via recursive-CTE transitive
+    closure + min."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        docs, num_hashes=8, bands=4, n=3, verify_threshold=0.6
+    )
+    return neardup_groups(pairs).orderBy("doc_id")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1120,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_salted_skew_join": q43_salted_skew_join,
         "q44_two_phase_skew_agg": q44_two_phase_skew_agg,
         "q45_kmeans": q45_kmeans,
+        "q46_neardup_groups": q46_neardup_groups,
     }
 
 

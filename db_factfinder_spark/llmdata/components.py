@@ -1,0 +1,84 @@
+"""Connected components over near-duplicate pairs — the step that
+turns pairwise dedup output into canonical document groups (keep one
+representative per component, drop the rest).
+
+Min-label propagation as DataFrame joins (the GraphX/GraphFrames
+pattern without the dependency): every vertex starts labeled with its
+own id; each iteration every vertex takes the min of its label and its
+neighbors' labels; fixpoint = per-component minimum id.  The result is
+the unique label fixpoint, so it is independent of iteration order and
+partitioning — which is what makes an SQL oracle possible (transitive
+closure via recursive CTE + min).
+
+Scale design:
+
+* one iteration = one equi-join (edges ⋈ labels) + one min-aggregation
+  shuffle — no driver-side data beyond the converged/changed counter.
+* iterations needed = component diameter; near-dup components are
+  dense (near-cliques), so 2–4 rounds in practice.
+* ``localCheckpoint`` truncates lineage each round — without it the
+  plan doubles per iteration and the job DAG, not the data, becomes
+  the bottleneck.
+* the changed-row count that drives convergence is the only action per
+  round (Spark's iterative-algorithm idiom, same as MLlib).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Vertex → component representative (the component's minimum id)
+    for every vertex that appears in ``pairs``.  Isolated vertices are
+    the caller's concern — a doc in no pair is its own group."""
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        neighbor = sym.join(labels, sym["b"] == labels["id"]).select(
+            sym["a"].alias("id"), F.col("label")
+        )
+        new = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new.join(
+                labels.withColumnRenamed("label", "old_label"), "id"
+            )
+            .filter(F.col("label") < F.col("old_label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def neardup_groups(pairs: DataFrame) -> DataFrame:
+    """Canonical near-dup groups from a pair list: ``(doc_id, rep_id,
+    group_size)`` for every document in at least one pair; ``rep_id``
+    is the component's minimum doc id (the survivor a dedup pass would
+    keep)."""
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("group_size"))
+    return comp.join(sizes, "label").select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("rep_id"),
+        "group_size",
+    )

@@ -1048,3 +1048,23 @@ def _kmeans_sql(k: int = 4, iters: int = 3, dim: int = 64) -> str:
 
 
 ORACLES["q45_kmeans"] = _kmeans_sql()
+
+# q46: components of the q32 near-dup pair graph.  The label fixpoint
+# (per-component min id) is iteration-order-independent, so transitive
+# closure + min mirrors Spark's min-label propagation exactly.
+ORACLES["q46_neardup_groups"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({ORACLES["q32_lsh_neardup_pairs"]})
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a),
+sizes AS (SELECT rep_id, count(*) AS group_size FROM comp GROUP BY rep_id)
+SELECT doc_id, comp.rep_id, group_size FROM comp JOIN sizes USING (rep_id)
+"""

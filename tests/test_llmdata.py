@@ -328,3 +328,27 @@ def test_kmeans_deterministic_across_partitionings(spark):
         for r in kmeans_assignments(embs.repartition(17, "label"), k=3, iters=2).collect()
     }
     assert a == b
+
+
+# ------------------------------------------------- connected components
+def test_connected_components_chain_and_island(spark):
+    from db_factfinder_spark.llmdata.components import neardup_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: (r["rep_id"], r["group_size"])
+           for r in neardup_groups(pairs).collect()}
+    assert out == {1: (1, 3), 2: (1, 3), 3: (1, 3), 10: (10, 2), 11: (10, 2)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # diameter-9 path graph: exercises multiple propagation rounds and
+    # the convergence check (min-label moves one hop per iteration)
+    from db_factfinder_spark.llmdata.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    labels = {r["id"]: r["label"] for r in connected_components(pairs).collect()}
+    assert labels == {i: 0 for i in range(10)}
