@@ -26,39 +26,65 @@ would be an artifact of the tie-break, not the data.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from db_factfinder_spark.llmdata.similarity import cosine_similarity
+from db_factfinder_spark.functions.expr import let
+from db_factfinder_spark.llmdata.similarity import _dot, vec_norm
+
+
+def _seq_norm(vs: list[float]) -> float:
+    """Driver-side L2 norm with the SAME accumulation order as the
+    engines' sequential fold (acc + x·x left to right) — the centroid
+    norms become plan literals but stay bit-identical to what DuckDB's
+    ``sqrt(list_dot_product(cv, cv))`` computes per row."""
+    acc = 0.0
+    for x in vs:
+        acc += x * x
+    return math.sqrt(acc)
 
 
 def _best_centroid(cent: list[tuple[int, list[float]]], vec_col: str) -> Column:
     """struct(cos, cid) of the argmax-cosine centroid; strict ``>`` in
     the fold keeps the first (lowest-cid) maximum — the same tie-break
-    as ``row_number() OVER (ORDER BY cos DESC, cid ASC)``."""
-    scored = F.transform(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(int(cid)).cast("long").alias("cid"),
-                    F.lit([float(x) for x in cv]).alias("cv"),
-                )
-                for cid, cv in cent
-            ]
-        ),
-        lambda ct: F.struct(
-            cosine_similarity(F.col(vec_col), ct["cv"]).alias("cos"),
-            ct["cid"].alias("cid"),
-        ),
+    as ``row_number() OVER (ORDER BY cos DESC, cid ASC)``.
+
+    The row's norm is let-bound (one fold instead of k) and each
+    centroid's norm is a driver-computed literal (zero folds instead
+    of k) — per row the k-way argmax costs k dot products + 1 norm."""
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cid"),
+                F.lit([float(x) for x in cv]).alias("cv"),
+                F.lit(_seq_norm([float(x) for x in cv])).alias("cn"),
+            )
+            for cid, cv in cent
+        ]
     )
-    return F.aggregate(
-        scored,
-        F.struct(
-            F.lit(float("-inf")).alias("cos"),
-            F.lit(None).cast("long").alias("cid"),
-        ),
-        lambda acc, x: F.when(x["cos"] > acc["cos"], x).otherwise(acc),
-    )
+
+    def body(vn: Column) -> Column:
+        scored = F.transform(
+            cent_arr,
+            lambda ct: F.struct(
+                F.try_divide(
+                    _dot(F.col(vec_col), ct["cv"]), vn * ct["cn"]
+                ).alias("cos"),
+                ct["cid"].alias("cid"),
+            ),
+        )
+        return F.aggregate(
+            scored,
+            F.struct(
+                F.lit(float("-inf")).alias("cos"),
+                F.lit(None).cast("long").alias("cid"),
+            ),
+            lambda acc, x: F.when(x["cos"] > acc["cos"], x).otherwise(acc),
+        )
+
+    return let(vec_norm(F.col(vec_col)), body)
 
 
 def _updated_centroids(assigned: DataFrame) -> dict[int, list[float]]:
