@@ -320,16 +320,26 @@ def simhash(text: Column | str, bits: int = 32) -> Column:
         return F.pow(F.lit(2.0), b.cast("double")).cast("long")
 
     def pack(hashes: Column) -> Column:
-        # per-bit vote: sum over tokens of (bit set ? +1 : -1).
-        # `hashes` is a let-bound value — capturing the md5 transform
-        # directly would recompute every token hash once per bit.
-        votes = F.transform(
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda b: F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(h.bitwiseAND(bit_value(b)) != 0, 1).otherwise(-1),
+        # per-bit vote: sum over tokens of (bit set ? +1 : -1), all
+        # `bits` counters folded in ONE pass over the token hashes (a
+        # bit-indexed vector accumulator) — per-bit aggregates would
+        # re-iterate the hash array `bits` times.  Integer sums are
+        # order-independent, so the votes (and the fingerprint) are
+        # identical either way.  `hashes` is a let-bound value — the
+        # md5 transform runs once, not once per reference.
+        zeros = F.array_repeat(F.lit(0), bits)
+        votes = F.aggregate(
+            hashes,
+            zeros,
+            lambda acc, h: F.zip_with(
+                acc,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bits - 1)),
+                    lambda b: F.when(
+                        h.bitwiseAND(bit_value(b)) != 0, 1
+                    ).otherwise(-1),
+                ),
+                lambda a, v: a + v,
             ),
         )
         # pack sign bits: bit b set iff vote > 0
@@ -364,9 +374,15 @@ def simhash_near_pairs(
     `prefix_bits` (cheap LSH), then Hamming-filter within buckets.
     For guaranteeed recall at distance d, use d+1 rotated prefix
     tables; one prefix table is the throughput-oriented variant."""
-    sh = df.select(
-        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sig")
-    ).withColumn("bucket", F.shiftright("sig", bits - prefix_bits))
+    # materialized once — the self-join would re-run the full simhash
+    # pipeline (tokenize → md5 → vote fold) on both sides otherwise
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"), simhash(text_col, bits).alias("sig")
+        )
+        .withColumn("bucket", F.shiftright("sig", bits - prefix_bits))
+        .localCheckpoint(eager=False)
+    )
     a, b = sh.alias("a"), sh.alias("b")
     hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
