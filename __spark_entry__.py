@@ -65,6 +65,7 @@ from db_factfinder_spark.llmdata.textstats import (
     rolling_hash,
     stopword_ratio,
     token_count,
+    token_profile,
 )
 from db_factfinder_spark.operators.cleaning import cleaning
 from db_factfinder_spark.operators.median import median_struct
@@ -639,14 +640,22 @@ def q22_convert_moe_formula(spark, sf_dir):
 # =====================================================================
 
 def q23_text_stats(spark, sf_dir):
+    """Token-derived stats come from ONE tokenization (token_profile
+    struct) — as separate columns the tokenize pipeline would run once
+    per stat."""
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
+        token_profile("text", LANG_STOPWORDS["en"]).alias("tp"),
         punct_ratio("text").alias("punct_ratio"),
-        stopword_ratio("text", LANG_STOPWORDS["en"]).alias("stop_ratio"),
-        mean_token_length("text").alias("mean_tok_len"),
         fingerprint("text").alias("fp"),
+    ).select(
+        "doc_id",
+        F.col("tp.n_tokens").alias("n_tokens"),
+        "punct_ratio",
+        F.col("tp.stop_ratio").alias("stop_ratio"),
+        F.col("tp.mean_tok_len").alias("mean_tok_len"),
+        "fp",
     ).orderBy("doc_id")
 
 

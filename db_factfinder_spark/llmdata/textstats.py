@@ -105,6 +105,23 @@ def quality_score(text: Column | str, stopwords: list[str] | None = None) -> Col
     return let(tokens(text), score)
 
 
+def token_profile(text: Column | str, stopwords: list[str]) -> Column:
+    """Token count, stopword ratio and mean token length as ONE struct
+    from ONE tokenization — selecting the three stats as independent
+    columns re-runs the tokenize pipeline per column (no CSE across
+    projection items).  Values are identical to the stand-alone
+    functions (same token array feeds the same folds)."""
+
+    def build(toks: Column) -> Column:
+        return F.struct(
+            F.size(toks).alias("n_tokens"),
+            _stop_ratio_of(toks, stopwords).alias("stop_ratio"),
+            _mean_token_length_of(toks).alias("mean_tok_len"),
+        )
+
+    return let(tokens(text), build)
+
+
 def language_scores(text: Column | str) -> dict[str, Column]:
     """Per-language stopword-hit ratios."""
     return {
