@@ -72,7 +72,7 @@ from db_factfinder_spark.operators.median import median_struct
 from db_factfinder_spark.operators.pivot import unpivot_cempz
 from db_factfinder_spark.operators.skew import salted_join, two_phase_agg
 from db_factfinder_spark.sources.bucketing import bucketed_equi_join, write_bucketed
-from db_factfinder_spark.sources.readers import read_events
+from db_factfinder_spark.sources.readers import read_events, normalize_event_ts
 from db_factfinder_spark.streaming.events import (
     run_available_now,
     sessionize,
@@ -943,17 +943,15 @@ def q41_stream_windowed_counts(spark, sf_dir):
 
     The per-window sum folds in the state store across micro-batches,
     so it uses an exact DECIMAL accumulator (order-independent) rather
-    than a double.  ts is TIMESTAMP(NANOS) parquet, handled exactly as
-    in ``read_events`` (nanosAsLong + µs conversion).  The `[t]` glob
-    makes the file source treat the parent directory as basePath (a
-    bare file path is rejected); production streams read a directory
-    or a queue."""
+    than a double.  ts normalization matches ``read_events``
+    (nanos-as-long, µs NTZ, or ltz — whatever the writer used).  The
+    `[t]` glob makes the file source treat the parent directory as
+    basePath (a bare file path is rejected); production streams read a
+    directory or a queue."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(f"{sf_dir}/events.parque[t]")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.parque[t]")
     )
     agg = (
         stream.withWatermark("ts", "2 hours")

@@ -51,24 +51,38 @@ def read_wide(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the event timestamp column to plain TIMESTAMP whatever
+    physical type the writer used:
+
+    - BIGINT epoch-nanos (TIMESTAMP(NANOS) parquet surfaced via
+      ``nanosAsLong``): integer-divide to µs — `/ 1000` in double would
+      round the epoch-nanos long (> 2^53) to a multiple of 256 ns
+      before dividing, occasionally landing one microsecond off.
+    - TIMESTAMP_NTZ (µs parquet without tz annotation): cast to ltz
+      TIMESTAMP.  Wall clock is preserved under any fixed session zone
+      (cast-in then format-out both use the session zone), and the
+      downstream lag/window math needs the epoch-convertible type.
+    - TIMESTAMP: already canonical.
+    """
+    dt = df.schema[ts_col].dataType.typeName()
+    if dt in ("long", "bigint"):
+        return df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    if dt == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def read_events(spark: SparkSession, path: str) -> DataFrame:
-    """Event-stream scan.  The driver's events table stores
-    TIMESTAMP(NANOS) which Spark's Parquet reader rejects; read the
-    nanos as long (``spark.sql.legacy.parquet.nanosAsLong``) and
-    convert to a microsecond timestamp column.
-
-    Note the legacy flag is session-wide (Spark offers no per-read
-    option): after this call, other TIMESTAMP(NANOS) parquet columns in
-    the session also surface as longs.  This engine reads nanos only
-    here; a mixed deployment should set the flag in session conf
-    explicitly.
-
-    ns→µs uses integer division — `/ 1000` in double would round the
-    epoch-nanos long (> 2^53) to a multiple of 256 ns before dividing,
-    occasionally landing one microsecond off."""
+    """Event-stream scan, robust to the writer's timestamp encoding.
+    TIMESTAMP(NANOS) parquet is rejected by Spark's reader unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set (session-wide; no
+    per-read option), so set it before the scan — a µs-encoded file is
+    unaffected by the flag."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(spark.read.parquet(path))
 
 
 def read_lookup_geo(spark: SparkSession, path: str) -> DataFrame:

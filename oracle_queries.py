@@ -477,7 +477,7 @@ per_session AS (
 SELECT user_id,
   count(*) AS n_sessions,
   max(n_events) AS max_session_events,
-  sum(n_events) AS n_events_total
+  CAST(sum(n_events) AS BIGINT) AS n_events_total
 FROM per_session GROUP BY user_id
 """
 
@@ -915,9 +915,9 @@ ORACLES["q38_embedding_neardup"] = _neardup_lsh_sql()
 ORACLES["q39_bpe_tokens"] = f"""
 SELECT lang,
   count(*) AS n_docs,
-  sum(len({_TOKS})) AS ws_tokens,
-  sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+')))
-    AS bpe_tokens
+  CAST(sum(len({_TOKS})) AS BIGINT) AS ws_tokens,
+  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+')))
+    AS BIGINT) AS bpe_tokens
 FROM documents GROUP BY lang
 """
 
