@@ -777,8 +777,11 @@ def q36_multimodal_features(spark, sf_dir):
     mapInPandas feature extraction (byte-histogram stub codec).  The
     payloads are synthesized deterministically from the documents table
     (utf-8 bytes); schema/batching/partitioning is the real production
-    shape.  Python-side mapInPandas → no SQL oracle (driver records the
-    rows-only check)."""
+    shape.  The stub codec's normalized 8-bucket byte histogram is
+    exactly recoverable as integer counts (``round(x * n_hist_bytes)``
+    — x was h/total, so the product is within one ulp of the integer
+    h), which lets the DuckDB oracle re-derive every bucket from the
+    hex expansion of the same payload bytes."""
     docs = _docs(spark, sf_dir)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -789,15 +792,22 @@ def q36_multimodal_features(spark, sf_dir):
         ).alias("media_type"),
     )
     feats = extract_features(media)
+    # bytes counted by the stub histogram: payload[:4096]; `or 1` guard
+    total = F.greatest(F.least(F.col("n_bytes"), F.lit(4096)), F.lit(1)).cast(
+        "double"
+    )
     return feats.select(
         "media_id",
         "media_type",
         "n_bytes",
         "payload_hash",
-        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
-            "feature_sum"
-        ),
         F.size("feature").alias("feature_dim"),
+        *[
+            F.round(F.coalesce(F.get("feature", i), F.lit(0.0)) * total)
+            .cast("long")
+            .alias(f"h{i}")
+            for i in range(8)
+        ],
     ).orderBy("media_id")
 
 

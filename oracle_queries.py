@@ -789,6 +789,48 @@ SELECT doc_id,
 FROM n
 """
 
+ORACLES["q36_multimodal_features"] = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)]
+           AS media_type,
+         text
+  FROM documents
+), h AS (
+  SELECT media_id, media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS payload_hash,
+         -- hex expansion of payload[:4096] (2 hex chars per byte)
+         substr(hex(encode(text)), 1, 8192) AS hx
+  FROM p
+), b AS (
+  SELECT media_id,
+         ((strpos('0123456789ABCDEF', substr(hx, 2 * i + 1, 1)) - 1) * 16
+        + (strpos('0123456789ABCDEF', substr(hx, 2 * i + 2, 1)) - 1)) // 32
+           AS bucket
+  FROM h, unnest(range(0, CAST(length(hx) // 2 AS BIGINT))) AS t(i)
+), hist AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+         CAST(sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+         CAST(sum(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+         CAST(sum(CASE WHEN bucket = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+         CAST(sum(CASE WHEN bucket = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+         CAST(sum(CASE WHEN bucket = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+         CAST(sum(CASE WHEN bucket = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+         CAST(sum(CASE WHEN bucket = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
+  FROM b GROUP BY media_id
+)
+SELECT h.media_id, h.media_type, h.n_bytes, h.payload_hash,
+       CAST(8 AS INT) AS feature_dim,
+       coalesce(h0, 0) AS h0, coalesce(h1, 0) AS h1,
+       coalesce(h2, 0) AS h2, coalesce(h3, 0) AS h3,
+       coalesce(h4, 0) AS h4, coalesce(h5, 0) AS h5,
+       coalesce(h6, 0) AS h6, coalesce(h7, 0) AS h7
+FROM h LEFT JOIN hist USING (media_id)
+ORDER BY media_id
+"""
+
 ORACLES["q37_factfinder_e2e"] = """
 WITH wide AS (
   SELECT
