@@ -67,10 +67,18 @@ from db_factfinder_spark.llmdata.textstats import (
     token_count,
     token_profile,
 )
+from db_factfinder_spark.functions.geoid import (
+    format_geoid_2010,
+    format_geotype_2010,
+)
 from db_factfinder_spark.operators.cleaning import cleaning
 from db_factfinder_spark.operators.median import median_struct
 from db_factfinder_spark.operators.pivot import unpivot_cempz
 from db_factfinder_spark.operators.skew import salted_join, two_phase_agg
+from db_factfinder_spark.operators.vertical import (
+    AggregatedGeography2010,
+    prepare_lookup_geo_2010,
+)
 from db_factfinder_spark.sources.bucketing import bucketed_equi_join, write_bucketed
 from db_factfinder_spark.sources.readers import read_events, normalize_event_ts
 from db_factfinder_spark.streaming.events import (
@@ -1097,6 +1105,64 @@ def q46_neardup_groups(spark, sf_dir):
     return neardup_groups(pairs).orderBy("doc_id")
 
 
+def q47_geo2010_rollup(spark, sf_dir):
+    """2010 geography registry (reference geography/2010.py:16-243):
+    synthetic 2010-vintage tract and block-group facts rolled up through
+    ``AggregatedGeography2010`` — tract→NTA and tract→CD direct
+    dimension joins (no crosswalk hop, unlike 2020) plus block-group→
+    CD flood-zone / park-access right-join rollups — then Planning Labs
+    2010 geoid/geotype formatting.  Dimension joins broadcast; one
+    shuffle per rollup on the target geography key.  Integer-valued
+    doubles keep every sum exact and order-independent."""
+    cust = _t(spark, sf_dir, "customer")
+    k = (F.col("c_custkey") % 200).cast("int")
+    k2 = (F.col("c_custkey") % 250).cast("int")
+    tract_code = F.lpad(k.cast("string"), 6, "0")
+    tract_geoid = F.concat(F.lit("36047"), tract_code)
+    e = F.floor("c_acctbal").cast("double").alias("e")
+    m = F.floor(F.col("c_acctbal") / 10).cast("double").alias("m")
+    facts_tract = cust.select(tract_geoid.alias("census_geoid"), e, m)
+    facts_bg = cust.select(
+        F.concat(tract_geoid, F.lit("1")).alias("census_geoid"), e, m
+    )
+    # block-grain crosswalk rows (k2 range is wider than the fact range,
+    # so some lookup units have no facts — exercising the right-join
+    # keep-unmatched semantics of the zone rollups)
+    t2 = F.lpad(k2.cast("string"), 6, "0")
+    lookup_raw = cust.select(
+        F.lit("36047").alias("county_fips"),
+        F.concat(t2, F.lit("1001")).alias("ctcb2010"),
+        t2.alias("ct2010"),
+        F.concat(F.lit("BK"), F.lpad((k2 % 10).cast("string"), 2, "0")).alias(
+            "nta"
+        ),
+        F.concat(
+            F.lit("7903"), F.lpad((k2 % 5).cast("string"), 2, "0")
+        ).alias("cd"),
+        (k2 % 4 == 0).cast("int").cast("string").alias("fp_100"),
+        (k2 % 3 == 0).cast("int").cast("string").alias("fp_500"),
+        (k2 % 2 == 0).cast("int").cast("string").alias("park_access"),
+    ).distinct()
+    geo = AggregatedGeography2010(prepare_lookup_geo_2010(lookup_raw))
+    acs = geo.options("acs")
+    var = "pop_1"
+    out = (
+        acs["tract"]["NTA"](facts_tract, var)
+        .unionByName(acs["tract"]["cd"](facts_tract, var))
+        .unionByName(acs["block group"]["cd_fp_500"](facts_bg, var))
+        .unionByName(acs["block group"]["cd_park_access"](facts_bg, var))
+    )
+    return out.select(
+        "census_geoid",
+        "pff_variable",
+        "geotype",
+        "e",
+        "m",
+        format_geoid_2010("census_geoid").alias("labs_geoid"),
+        format_geotype_2010("geotype").alias("labs_geotype"),
+    ).orderBy("geotype", "census_geoid")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1154,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_two_phase_skew_agg": q44_two_phase_skew_agg,
         "q45_kmeans": q45_kmeans,
         "q46_neardup_groups": q46_neardup_groups,
+        "q47_geo2010_rollup": q47_geo2010_rollup,
     }
 
 

@@ -80,3 +80,58 @@ def format_geotype_2020(geotype: Column | str) -> Column:
             continue
         out = out.when(g == k, F.lit(v + "2020"))
     return out.otherwise(g)
+
+
+GEOTYPE_LABELS_2010 = {
+    "NTA": "NTA",
+    "PUMA": "PUMA",
+    "tract": "CT",
+    "borough": "Boro",
+    "city": "City",
+    "block": "CB",
+    "block group": "CBG",
+}
+
+
+def format_geoid_2010(geoid: Column | str) -> Column:
+    """Census geoid → Planning Labs geoid, 2010 vintage
+    (reference geography/2010.py:213-230):
+
+    * NTA codes (MN/QN/BX/BK/SI prefix) pass through
+    * Community District (PUMA) geoid with "79" prefix → last 4 chars
+    * 11-char tract geoid → boro digit (from chars -8:-6, i.e. the
+      county FIPS) + 6-digit tract
+    * 5-char borough geoid → boro digit
+    * city "3651000" → "0"
+    * anything else → NULL (the reference function falls off the end
+      and returns None)
+    """
+    g = F.col(geoid) if isinstance(geoid, str) else geoid
+    prefix2 = F.substring(g, 1, 2)
+    boro_map = F.create_map(
+        *[F.lit(x) for kv in FIPS_TO_BORO.items() for x in kv]
+    )
+    return (
+        F.when(prefix2.isin("MN", "QN", "BX", "BK", "SI"), g)
+        .when(prefix2 == "79", F.substring(g, -4, 4))
+        .when(
+            F.length(g) == 11,
+            F.concat(boro_map[F.substring(g, -8, 2)], F.substring(g, -6, 6)),
+        )
+        .when(F.length(g) == 5, boro_map[F.substring(g, -2, 2)])
+        .when(g == "3651000", F.lit("0"))
+    )
+
+
+def format_geotype_2010(geotype: Column | str) -> Column:
+    """Geotype → labs geotype label with the 2010 year suffix
+    (reference geography/2010.py:232-243).  Unknown geotypes pass
+    through unchanged (the reference's ``dict.get(...) + "2010"`` would
+    raise on an unknown key; it is only ever called with registry
+    geotypes, so the passthrough is unobservable in parity terms)."""
+    g = F.col(geotype) if isinstance(geotype, str) else geotype
+    out = None
+    for k, v in GEOTYPE_LABELS_2010.items():
+        clause = (g == k, F.lit(v + "2010"))
+        out = F.when(*clause) if out is None else out.when(*clause)
+    return out.otherwise(g)

@@ -19,6 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from db_factfinder_spark.functions.geoid import (
+    format_geoid_2010,
+    format_geoid_2020,
+    format_geotype_2010,
+    format_geotype_2020,
+)
 from db_factfinder_spark.functions.stats import agg_moe, convert_moe, sum_skipna
 
 
@@ -94,6 +100,40 @@ def tract_to_dimension(
     return aggregate_to_geography(joined, dim_col, geotype_label, pff_variable)
 
 
+def _zone_rollup(
+    df: DataFrame,
+    dim: DataFrame,
+    grain_col: str,
+    zone_col: str,
+    pff_variable: str,
+    geotype_label: str,
+) -> DataFrame:
+    """Zone rollup with the reference's *right-join* semantics
+    (2010_to_2020.py:144-197) restructured for scale: Spark cannot
+    broadcast the preserved side of a right outer join (the hint is
+    silently dropped and the whole fact table shuffle-joins), so
+    instead the facts broadcast-*inner*-join the flagged units (no
+    shuffle), aggregate per zone (one shuffle of map-side-combined
+    partials), and the factless-but-flagged zones — the rows only the
+    right join would keep — re-attach via a tiny zone-list left join,
+    aggregating to 0 exactly like the pandas ``sum``/``agg_moe`` of an
+    all-NaN group."""
+    matched = df.join(
+        F.broadcast(dim), df["census_geoid"] == dim[grain_col], "inner"
+    ).select(F.col(zone_col), "e", "m")
+    agg = matched.groupBy(F.col(zone_col).alias("census_geoid")).agg(
+        sum_skipna("e").alias("e"), agg_moe("m").alias("m")
+    )
+    zones = dim.select(F.col(zone_col).alias("census_geoid")).distinct()
+    return zones.join(F.broadcast(agg), "census_geoid", "left").select(
+        "census_geoid",
+        F.lit(pff_variable).alias("pff_variable"),
+        F.lit(geotype_label).alias("geotype"),
+        F.coalesce("e", F.lit(0.0)).alias("e"),
+        F.coalesce("m", F.lit(0.0)).alias("m"),
+    )
+
+
 def block_group_to_zone(
     df: DataFrame,
     lookup: DataFrame,
@@ -104,19 +144,16 @@ def block_group_to_zone(
     """Block-group facts → flood-plain / park-access zone rollups
     (reference 2010_to_2020.py:144-197).  The lookup is pre-filtered to
     rows where the zone flag is set (the NULL filter is load-bearing:
-    the join is a *right* join, so unflagged block groups drop out),
-    deduplicated, broadcast, then one shuffle on the zone."""
+    unflagged block groups drop out while flagged units with no facts
+    still aggregate to 0 — see ``_zone_rollup``)."""
     dim = (
         lookup.filter(F.col(zone_col).isNotNull())
         .select("geoid_block_group", zone_col)
         .distinct()
     )
-    joined = df.join(
-        F.broadcast(dim),
-        df["census_geoid"] == dim["geoid_block_group"],
-        "right",
-    ).select(F.col(zone_col), "e", "m")
-    return aggregate_to_geography(joined, zone_col, geotype_label, pff_variable)
+    return _zone_rollup(
+        df, dim, "geoid_block_group", zone_col, pff_variable, geotype_label
+    )
 
 
 def prepare_lookup_geo(lookup_raw: DataFrame) -> DataFrame:
@@ -149,6 +186,10 @@ def prepare_ratio(ratio_raw: DataFrame) -> DataFrame:
 class AggregatedGeography2020:
     """Registry of vertical aggregators for the 2010→2020 geography
     (mirrors reference 2010_to_2020.py:199-219's ``options``)."""
+
+    name = "2010_to_2020"
+    format_geoid = staticmethod(format_geoid_2020)
+    format_geotype = staticmethod(format_geotype_2020)
 
     def __init__(self, lookup: DataFrame, ratio: DataFrame):
         self.lookup = lookup
@@ -223,4 +264,128 @@ class AggregatedGeography2020:
             .unionByName(boro)
             .unionByName(city)
             .select("geoid", "geotype", "geogname")
+        )
+
+
+# ---------------------------------------------------------------------------
+# 2010 geography registry (reference geography/2010.py:16-243)
+# ---------------------------------------------------------------------------
+
+def prepare_lookup_geo_2010(lookup_raw: DataFrame) -> DataFrame:
+    """Derive join-ready 2010 lookup columns from the raw block-grain
+    crosswalk (reference geography/2010.py:16-38):
+
+    * ``geoid_block``       = county_fips || ctcb2010
+    * ``geoid_block_group`` = first 12 chars of geoid_block
+    * ``geoid_tract``       = county_fips || ct2010
+    * ``cd_fp_500`` / ``cd_fp_100`` / ``cd_park_access`` = the CD code
+      when the flag is set, else NULL (flag-gated zone codes, same
+      pattern as the 2020 lookup)
+
+    All string-typed; one map-side projection, no shuffle.
+    """
+    flag = lambda f: F.col(f).cast("int") != 0  # noqa: E731
+    block = F.concat(F.col("county_fips"), F.col("ctcb2010"))
+    return lookup_raw.select(
+        "*",
+        block.alias("geoid_block"),
+        F.substring(block, 1, 12).alias("geoid_block_group"),
+        F.concat(F.col("county_fips"), F.col("ct2010")).alias("geoid_tract"),
+        F.when(flag("fp_500"), F.col("cd")).alias("cd_fp_500"),
+        F.when(flag("fp_100"), F.col("cd")).alias("cd_fp_100"),
+        F.when(flag("park_access"), F.col("cd")).alias("cd_park_access"),
+    )
+
+
+def tract_to_dimension_2010(
+    df: DataFrame,
+    lookup: DataFrame,
+    pff_variable: str,
+    dim_col: str,
+    geotype_label: str,
+) -> DataFrame:
+    """2010 tract facts → NTA / CD rollup (reference geography/2010.py:
+    55-65, 171-184).  Unlike the 2020 path there is no crosswalk hop —
+    the tract joins the dimension directly.  Block-grain lookup is
+    projected to (tract, dim) + distinct (grain change), broadcast left
+    join, then one shuffle on the dimension key."""
+    dim = lookup.select("geoid_tract", dim_col).distinct()
+    joined = df.join(
+        F.broadcast(dim), df["census_geoid"] == dim["geoid_tract"], "left"
+    ).select(F.col(dim_col), "e", "m")
+    # pandas groupby drops NaN keys — match row-for-row
+    joined = joined.filter(F.col(dim_col).isNotNull())
+    return aggregate_to_geography(joined, dim_col, geotype_label, pff_variable)
+
+
+def block_to_zone_2010(
+    df: DataFrame,
+    lookup: DataFrame,
+    pff_variable: str,
+    zone_col: str,
+    geotype_label: str,
+    grain_col: str = "geoid_block_group",
+) -> DataFrame:
+    """Block / block-group facts → CD flood-plain / park-access zones
+    (reference geography/2010.py:67-169).  ``grain_col`` selects the
+    ACS block-group grain (``geoid_block_group``) or the decennial
+    block grain (``geoid_block``).  The NULL filter on the zone flag is
+    load-bearing: unflagged units drop out while flagged units with no
+    facts still aggregate to 0 (see ``_zone_rollup`` for why the
+    reference's right join is restructured)."""
+    dim = (
+        lookup.filter(F.col(zone_col).isNotNull())
+        .select(grain_col, zone_col)
+        .distinct()
+    )
+    return _zone_rollup(
+        df, dim, grain_col, zone_col, pff_variable, geotype_label
+    )
+
+
+class AggregatedGeography2010:
+    """Registry of vertical aggregators for the 2010 geography
+    (mirrors reference geography/2010.py:186-205's ``options``):
+    tract → NTA / CD for both sources; zone rollups from block-group
+    grain for ACS and block grain for decennial."""
+
+    name = "2010"
+    format_geoid = staticmethod(format_geoid_2010)
+    format_geotype = staticmethod(format_geotype_2010)
+
+    def __init__(self, lookup: DataFrame):
+        self.lookup = lookup
+
+    def _zones(self, grain_col: str):
+        return {
+            z: (
+                lambda df, var, _z=z, _g=grain_col: block_to_zone_2010(
+                    df, self.lookup, var, _z, _z, _g
+                )
+            )
+            for z in ("cd_fp_500", "cd_fp_100", "cd_park_access")
+        }
+
+    def options(self, source: str = "acs"):
+        tract = {
+            "NTA": lambda df, var: tract_to_dimension_2010(
+                df, self.lookup, var, "nta", "NTA"
+            ),
+            "cd": lambda df, var: tract_to_dimension_2010(
+                df, self.lookup, var, "cd", "cd"
+            ),
+        }
+        if source == "decennial":
+            return {"tract": tract, "block": self._zones("geoid_block")}
+        return {"tract": tract, "block group": self._zones("geoid_block_group")}
+
+    @property
+    def aggregated_geography(self) -> list[str]:
+        return sorted(
+            {
+                to_geo
+                for source in ("acs", "decennial")
+                for from_map in self.options(source).values()
+                for to_geo in from_map.keys()
+            }
         )

@@ -28,18 +28,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from db_factfinder_spark.catalog import Catalog, Variable
-from db_factfinder_spark.functions.geoid import (
-    format_geoid_2020,
-    format_geotype_2020,
-    make_census_geoid,
-)
+from db_factfinder_spark.functions.geoid import make_census_geoid
 from db_factfinder_spark.functions.stats import get_c, get_p, get_z, round_cempz
 from db_factfinder_spark.operators.cleaning import cleaning
 from db_factfinder_spark.operators.horizontal import aggregate_horizontal
 from db_factfinder_spark.operators.median import calculate_median
 from db_factfinder_spark.operators.pivot import pivot_e, pivot_e_m
 from db_factfinder_spark.operators.special import SPECIAL_FUNCTIONS
-from db_factfinder_spark.operators.vertical import AggregatedGeography2020
+from db_factfinder_spark.operators.vertical import (
+    AggregatedGeography2010,
+    AggregatedGeography2020,
+)
 from db_factfinder_spark.sources.cache import CheckpointCache
 from db_factfinder_spark.sources.readers import read_wide, scrub_wide, scrub_wide_profile
 
@@ -105,7 +104,7 @@ class FactFinderEngine:
         self,
         spark: SparkSession,
         catalog: Catalog,
-        geography: AggregatedGeography2020,
+        geography: AggregatedGeography2020 | AggregatedGeography2010,
         source: ParquetWideSource,
         cache: CheckpointCache | None = None,
         persist_bases: bool = False,
@@ -145,7 +144,7 @@ class FactFinderEngine:
         df = self.cache.get_or_compute(
             "calculate",
             self.catalog.year,
-            "2010_to_2020",
+            self.geo.name,
             geotype,
             pff_variable,
             build,
@@ -294,11 +293,13 @@ class FactFinderEngine:
 
     # ---- output formatting (calculate.py:354-374) -------------------
     def labs_geoid(self, df: DataFrame) -> DataFrame:
+        # formatters are vintage-specific: the geography registry
+        # (2010 or 2010_to_2020) carries its own pair
         return df.select(
             "census_geoid",
-            format_geoid_2020("census_geoid").alias("labs_geoid"),
+            self.geo.format_geoid("census_geoid").alias("labs_geoid"),
             "geotype",
-            format_geotype_2020("geotype").alias("labs_geotype"),
+            self.geo.format_geotype("geotype").alias("labs_geotype"),
             "pff_variable",
             "c",
             "e",

@@ -1110,3 +1110,88 @@ comp AS (SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a),
 sizes AS (SELECT rep_id, count(*) AS group_size FROM comp GROUP BY rep_id)
 SELECT doc_id, comp.rep_id, group_size FROM comp JOIN sizes USING (rep_id)
 """
+
+ORACLES["q47_geo2010_rollup"] = """
+WITH f AS (
+  SELECT CAST(c_custkey % 200 AS INT) AS k,
+         CAST(floor(c_acctbal) AS DOUBLE) AS e,
+         CAST(floor(c_acctbal / 10) AS DOUBLE) AS m
+  FROM customer
+), facts_tract AS (
+  SELECT '36047' || lpad(CAST(k AS VARCHAR), 6, '0') AS census_geoid, e, m
+  FROM f
+), facts_bg AS (
+  SELECT '36047' || lpad(CAST(k AS VARCHAR), 6, '0') || '1' AS census_geoid,
+         e, m
+  FROM f
+), lk AS (
+  SELECT DISTINCT
+    CAST(c_custkey % 250 AS INT) AS k2
+  FROM customer
+), lookup AS (
+  SELECT
+    '36047' || lpad(CAST(k2 AS VARCHAR), 6, '0') || '1001' AS geoid_block,
+    '36047' || lpad(CAST(k2 AS VARCHAR), 6, '0') || '1' AS geoid_block_group,
+    '36047' || lpad(CAST(k2 AS VARCHAR), 6, '0') AS geoid_tract,
+    'BK' || lpad(CAST(k2 % 10 AS VARCHAR), 2, '0') AS nta,
+    '7903' || lpad(CAST(k2 % 5 AS VARCHAR), 2, '0') AS cd,
+    CASE WHEN k2 % 3 = 0 THEN '7903' || lpad(CAST(k2 % 5 AS VARCHAR), 2, '0')
+    END AS cd_fp_500,
+    CASE WHEN k2 % 2 = 0 THEN '7903' || lpad(CAST(k2 % 5 AS VARCHAR), 2, '0')
+    END AS cd_park_access
+  FROM lk
+), nta_roll AS (
+  SELECT l.nta AS census_geoid, 'pop_1' AS pff_variable, 'NTA' AS geotype,
+         coalesce(sum(f.e), 0.0) AS e,
+         sqrt(coalesce(sum(f.m * f.m), 0.0)) AS m
+  FROM facts_tract f
+  LEFT JOIN (SELECT DISTINCT geoid_tract, nta FROM lookup) l
+    ON f.census_geoid = l.geoid_tract
+  WHERE l.nta IS NOT NULL
+  GROUP BY l.nta
+), cd_roll AS (
+  SELECT l.cd AS census_geoid, 'pop_1' AS pff_variable, 'cd' AS geotype,
+         coalesce(sum(f.e), 0.0) AS e,
+         sqrt(coalesce(sum(f.m * f.m), 0.0)) AS m
+  FROM facts_tract f
+  LEFT JOIN (SELECT DISTINCT geoid_tract, cd FROM lookup) l
+    ON f.census_geoid = l.geoid_tract
+  WHERE l.cd IS NOT NULL
+  GROUP BY l.cd
+), fp500_roll AS (
+  SELECT d.cd_fp_500 AS census_geoid, 'pop_1' AS pff_variable,
+         'cd_fp_500' AS geotype,
+         coalesce(sum(f.e), 0.0) AS e,
+         sqrt(coalesce(sum(f.m * f.m), 0.0)) AS m
+  FROM facts_bg f
+  RIGHT JOIN (SELECT DISTINCT geoid_block_group, cd_fp_500 FROM lookup
+              WHERE cd_fp_500 IS NOT NULL) d
+    ON f.census_geoid = d.geoid_block_group
+  GROUP BY d.cd_fp_500
+), park_roll AS (
+  SELECT d.cd_park_access AS census_geoid, 'pop_1' AS pff_variable,
+         'cd_park_access' AS geotype,
+         coalesce(sum(f.e), 0.0) AS e,
+         sqrt(coalesce(sum(f.m * f.m), 0.0)) AS m
+  FROM facts_bg f
+  RIGHT JOIN (SELECT DISTINCT geoid_block_group, cd_park_access FROM lookup
+              WHERE cd_park_access IS NOT NULL) d
+    ON f.census_geoid = d.geoid_block_group
+  GROUP BY d.cd_park_access
+), unioned AS (
+  SELECT * FROM nta_roll
+  UNION ALL SELECT * FROM cd_roll
+  UNION ALL SELECT * FROM fp500_roll
+  UNION ALL SELECT * FROM park_roll
+)
+SELECT census_geoid, pff_variable, geotype, e, m,
+  CASE
+    WHEN substr(census_geoid, 1, 2) IN ('MN', 'QN', 'BX', 'BK', 'SI')
+      THEN census_geoid
+    WHEN substr(census_geoid, 1, 2) = '79'
+      THEN substr(census_geoid, length(census_geoid) - 3, 4)
+  END AS labs_geoid,
+  CASE WHEN geotype = 'NTA' THEN 'NTA2010' ELSE geotype END AS labs_geotype
+FROM unioned
+ORDER BY geotype, census_geoid
+"""

@@ -116,3 +116,74 @@ def test_batch_driver_shape(engine):
     rows = out.collect()
     assert len(rows) == 5  # 2 + 2 + 1
     assert "domain" in out.columns
+
+
+# ---------------------------------------------------------------------------
+# 2010-vintage engine path (reference geography/2010.py registry)
+# ---------------------------------------------------------------------------
+
+from db_factfinder_spark.operators.vertical import (  # noqa: E402
+    AggregatedGeography2010,
+    prepare_lookup_geo_2010,
+)
+
+
+@pytest.fixture(scope="module")
+def engine_2010(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("wide2010")
+    df = spark.createDataFrame(WIDE_TRACT_ROWS, WIDE_SCHEMA)
+    for c in ["C01_001", "C01_002", "C01_003"]:
+        df = df.withColumn(f"{c}M", F.lit(1.0))
+    df.write.mode("overwrite").parquet(str(root / "tract.parquet"))
+
+    cat = Catalog(
+        FIXTURES / "metadata.json",
+        FIXTURES / "median.json",
+        FIXTURES / "special.json",
+    )
+    lookup_raw = spark.createDataFrame(
+        [
+            ("36005", "0001001000", "000100", "BX01", "790301", "0", "1", "1"),
+            ("36005", "0002001000", "000200", "BX01", "790301", "1", "1", "0"),
+        ],
+        "county_fips string, ctcb2010 string, ct2010 string, nta string,"
+        " cd string, fp_100 string, fp_500 string, park_access string",
+    )
+    geo = AggregatedGeography2010(prepare_lookup_geo_2010(lookup_raw))
+    return FactFinderEngine(spark, cat, geo, ParquetWideSource(spark, root))
+
+
+def test_2010_base_variable_at_tract(engine_2010):
+    rows = {
+        r["census_geoid"]: r.asDict()
+        for r in engine_2010("pop_1", "tract").collect()
+    }
+    r = rows["36005000100"]
+    assert r["e"] == 1000.0 and r["m"] == 50.0
+    assert r["labs_geoid"] == "2000100"  # 2010 formatter, same tract shape
+    assert r["labs_geotype"] == "CT2010"
+
+
+def test_2010_vertical_rollup_to_nta(engine_2010):
+    rows = {
+        r["census_geoid"]: r.asDict()
+        for r in engine_2010("pop_1", "NTA").collect()
+    }
+    assert set(rows) == {"BX01"}
+    r = rows["BX01"]
+    assert r["e"] == 3000.0
+    assert abs(r["m"] - round(math.sqrt(50.0**2 + 80.0**2), 0)) < 1e-9
+    assert r["labs_geoid"] == "BX01"
+    assert r["labs_geotype"] == "NTA2010"
+
+
+def test_2010_rollup_to_cd(engine_2010):
+    rows = {
+        r["census_geoid"]: r.asDict()
+        for r in engine_2010("pop_1", "cd").collect()
+    }
+    assert set(rows) == {"790301"}
+    r = rows["790301"]
+    assert r["e"] == 3000.0
+    assert r["labs_geoid"] == "0301"  # PUMA "79" prefix → last 4
+    assert r["labs_geotype"] == "cd"  # unknown label passes through

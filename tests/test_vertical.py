@@ -112,3 +112,114 @@ def test_support_geoids(spark):
     geotypes = {r["geotype"] for r in rows}
     assert geotypes == {"NTA2020", "CDTA2020", "Boro2020", "City2020"}
     assert len([r for r in rows if r["geotype"] == "NTA2020"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# 2010 geography registry (reference geography/2010.py)
+# ---------------------------------------------------------------------------
+
+from db_factfinder_spark.functions.geoid import (  # noqa: E402
+    format_geoid_2010,
+    format_geotype_2010,
+)
+from db_factfinder_spark.operators.vertical import (  # noqa: E402
+    AggregatedGeography2010,
+    prepare_lookup_geo_2010,
+)
+
+
+def _lookup_2010(spark):
+    # two tracts in one NTA; tract 000200's block group is in the 500-yr
+    # flood plain, tract 000300's is not; a third tract exists only in
+    # the lookup (park zone with no facts)
+    raw = spark.createDataFrame(
+        [
+            ("36047", "0002001001", "000200", "BK01", "790301", "0", "1", "0"),
+            ("36047", "0003001001", "000300", "BK01", "790301", "0", "0", "0"),
+            ("36047", "0004001001", "000400", "BK02", "790302", "0", "1", "1"),
+        ],
+        "county_fips string, ctcb2010 string, ct2010 string, nta string,"
+        " cd string, fp_100 string, fp_500 string, park_access string",
+    )
+    return prepare_lookup_geo_2010(raw)
+
+
+def _facts_2010(spark, geoids):
+    return spark.createDataFrame(
+        [("test", g, e, m) for g, e, m in geoids],
+        "pff_variable string, census_geoid string, e double, m double",
+    )
+
+
+def test_lookup_2010_derived_keys(spark):
+    row = _lookup_2010(spark).filter(F.col("ct2010") == "000200").first()
+    assert row["geoid_block"] == "360470002001001"
+    assert row["geoid_block_group"] == "360470002001"
+    assert row["geoid_tract"] == "36047000200"
+    assert row["cd_fp_500"] == "790301" and row["cd_fp_100"] is None
+
+
+def test_tract_to_nta_2010(spark):
+    facts = _facts_2010(
+        spark,
+        [("36047000200", 100.0, 30.0), ("36047000300", 50.0, 40.0)],
+    )
+    geo = AggregatedGeography2010(_lookup_2010(spark))
+    out = geo.options("acs")["tract"]["NTA"](facts, "test").collect()
+    rows = {r["census_geoid"]: (r["e"], r["m"], r["geotype"]) for r in out}
+    # both tracts roll into BK01: e sums, m = sqrt(30² + 40²) = 50
+    assert rows == {"BK01": (150.0, 50.0, "NTA")}
+
+
+def test_block_group_zone_2010_right_join(spark):
+    facts = _facts_2010(spark, [("360470002001", 80.0, 6.0)])
+    geo = AggregatedGeography2010(_lookup_2010(spark))
+    out = geo.options("acs")["block group"]["cd_fp_500"](facts, "test").collect()
+    rows = {r["census_geoid"]: (r["e"], r["m"]) for r in out}
+    # 000300 has no fp_500 flag → dropped by the pre-join filter;
+    # 000400 is flagged but has no facts → kept by the right join,
+    # aggregating to 0 (pandas sum/agg_moe of an all-NaN group)
+    assert rows == {"790301": (80.0, 6.0), "790302": (0.0, 0.0)}
+
+
+def test_block_grain_zone_2010_decennial(spark):
+    facts = _facts_2010(spark, [("360470002001001", 7.0, 5.0)])
+    geo = AggregatedGeography2010(_lookup_2010(spark))
+    out = geo.options("decennial")["block"]["cd_fp_500"](facts, "test").collect()
+    rows = {r["census_geoid"]: (r["e"], r["m"]) for r in out}
+    assert rows == {"790301": (7.0, 5.0), "790302": (0.0, 0.0)}
+
+
+def test_format_geoid_2010_branches(spark):
+    df = spark.createDataFrame(
+        [("BK01",), ("790301",), ("36047000200",), ("36047",), ("3651000",),
+         ("xx",)],
+        "g string",
+    ).select(format_geoid_2010("g").alias("labs"), "g")
+    got = {r["g"]: r["labs"] for r in df.collect()}
+    assert got["BK01"] == "BK01"          # NTA passthrough
+    assert got["790301"] == "0301"        # PUMA suffix
+    assert got["36047000200"] == "3000200"  # boro digit + 6-digit tract
+    assert got["36047"] == "3"            # borough
+    assert got["3651000"] == "0"          # city
+    assert got["xx"] is None              # falls off the end → None
+
+
+def test_format_geotype_2010(spark):
+    df = spark.createDataFrame(
+        [("NTA",), ("tract",), ("block group",), ("cd_fp_500",)], "g string"
+    ).select(format_geotype_2010("g").alias("labs"), "g")
+    got = {r["g"]: r["labs"] for r in df.collect()}
+    assert got["NTA"] == "NTA2010"
+    assert got["tract"] == "CT2010"
+    assert got["block group"] == "CBG2010"
+    assert got["cd_fp_500"] == "cd_fp_500"  # unknown passes through
+
+
+def test_registry_2010_surface(spark):
+    geo = AggregatedGeography2010(_lookup_2010(spark))
+    assert set(geo.options("acs")) == {"tract", "block group"}
+    assert set(geo.options("decennial")) == {"tract", "block"}
+    assert geo.aggregated_geography == sorted(
+        ["NTA", "cd", "cd_fp_500", "cd_fp_100", "cd_park_access"]
+    )
