@@ -24,11 +24,38 @@ signatures.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from db_factfinder_spark.functions.expr import let
 from db_factfinder_spark.llmdata.textstats import fingerprint, normalize_text, tokens
+
+
+def cap_hot_buckets(
+    df: DataFrame, key_cols: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Drop every row of a bucket larger than ``max_bucket`` before the
+    within-bucket self-join.
+
+    An LSH bucket with m members emits O(m²) pairs inside ONE reduce
+    task: at 100 TB a boilerplate bucket (millions of near-identical
+    license headers / navigation chrome) turns into a task that never
+    finishes.  A bucket that hot carries no near-dup signal anyway —
+    its members are either byte-identical (exact_dedup's job, run it
+    first) or boilerplate noise — so the standard fix is to drop the
+    bucket wholesale rather than salt it.
+
+    Cost: one window count partitioned by the bucket key — the same key
+    the self-join shuffles on, so AQE/exchange-reuse keeps it to one
+    extra pass, no extra all-to-all.  ``max_bucket=None`` disables."""
+    if max_bucket is None:
+        return df
+    w = Window.partitionBy(*key_cols)
+    return (
+        df.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bucket_n") <= max_bucket)
+        .drop("__bucket_n")
+    )
 
 
 def _md5_long(c: Column) -> Column:
@@ -212,11 +239,17 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 16,
     bands: int = 8,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Band the signature (rows = num_hashes/bands), bucket on
     (band_id, band_hash), emit candidate pairs per bucket.  Matching
     any band ⇒ candidate.  The union-of-bands is a single exploded
-    frame, so the whole operator is one shuffle on the bucket key."""
+    frame, so the whole operator is one shuffle on the bucket key.
+
+    ``max_bucket`` guards the O(m²) within-bucket blowup (see
+    ``cap_hot_buckets``); the default is far above any bucket a
+    deduplicated corpus produces but bounds the damage of boilerplate
+    floods."""
     rows = num_hashes // bands
     assert rows * bands == num_hashes, "bands must divide num_hashes"
     band_structs = F.array(
@@ -247,6 +280,7 @@ def lsh_candidate_pairs(
             F.when(F.col("mh_0").isNotNull(), band_structs)
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    exploded = cap_hot_buckets(exploded, ["band", "bucket"], max_bucket)
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -268,6 +302,7 @@ def minhash_dedup_pairs(
     bands: int = 8,
     n: int = 3,
     verify_threshold: float | None = 0.8,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → (optional)
     exact-Jaccard verification of only the candidates.
@@ -278,7 +313,7 @@ def minhash_dedup_pairs(
     the full corpus (self-join sides share no exchange)."""
     if verify_threshold is None:
         sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
-        return lsh_candidate_pairs(sigs, num_hashes, bands)
+        return lsh_candidate_pairs(sigs, num_hashes, bands, max_bucket)
     sh = df.select(
         F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
     ).localCheckpoint(eager=False)
@@ -287,7 +322,7 @@ def minhash_dedup_pairs(
     ).select(
         "id", *[F.get("sig", i).alias(f"mh_{i}") for i in range(num_hashes)]
     )
-    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands, max_bucket)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")
@@ -369,11 +404,14 @@ def simhash_near_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     prefix_bits: int = 8,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on the fingerprint's top
     `prefix_bits` (cheap LSH), then Hamming-filter within buckets.
-    For guaranteeed recall at distance d, use d+1 rotated prefix
-    tables; one prefix table is the throughput-oriented variant."""
+    For guaranteed recall at distance d, use d+1 rotated prefix
+    tables (``simhash_multiprobe_pairs``); one prefix table is the
+    throughput-oriented variant.  ``max_bucket`` drops prefix buckets
+    too hot to pair-join (see ``cap_hot_buckets``)."""
     # materialized once — the self-join would re-run the full simhash
     # pipeline (tokenize → md5 → vote fold) on both sides otherwise
     sh = (
@@ -383,6 +421,7 @@ def simhash_near_pairs(
         .withColumn("bucket", F.shiftright("sig", bits - prefix_bits))
         .localCheckpoint(eager=False)
     )
+    sh = cap_hot_buckets(sh.filter(F.col("sig").isNotNull()), ["bucket"], max_bucket)
     a, b = sh.alias("a"), sh.alias("b")
     hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (

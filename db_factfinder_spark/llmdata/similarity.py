@@ -162,13 +162,17 @@ def embedding_neardup_pairs(
     planes: int = 4,
     tables: int = 4,
     seed: int = 42,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector-space sibling
     of MinHash dedup: multi-table hyperplane-LSH buckets generate
     candidates (one equi-join on the (table, bucket) key), then only
     candidates get the exact cosine and the ≥ threshold filter.  The
     full n² pair space is never materialized; recall follows the LSH
-    amplification 1−(1−s^planes)^tables with s = 1−θ/π."""
+    amplification 1−(1−s^planes)^tables with s = 1−θ/π.
+    ``max_bucket`` drops (table, bucket) cells too hot to pair-join —
+    the O(m²) skew guard shared with the text-LSH paths
+    (``dedup.cap_hot_buckets``)."""
     sel = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -188,6 +192,9 @@ def embedding_neardup_pairs(
     bucketed = sel.withColumn("bk", F.explode(buckets)).select(
         "id", "vec", "nrm", F.col("bk.t").alias("t"), F.col("bk.b").alias("b")
     )
+    from db_factfinder_spark.llmdata.dedup import cap_hot_buckets
+
+    bucketed = cap_hot_buckets(bucketed, ["t", "b"], max_bucket)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cands = (
         a.join(

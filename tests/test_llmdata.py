@@ -352,3 +352,70 @@ def test_connected_components_long_chain_converges(spark):
     )
     labels = {r["id"]: r["label"] for r in connected_components(pairs).collect()}
     assert labels == {i: 0 for i in range(10)}
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket caps (cap_hot_buckets): a boilerplate flood must not turn
+# into an O(m²) within-bucket pair explosion
+# ---------------------------------------------------------------------------
+
+BOILER = (
+    "apache license standard boilerplate header text repeated verbatim"
+    " at the top of every generated source file in the corpus"
+)
+REAL = "the quick brown fox jumps over the lazy dog near the river at dawn"
+
+
+def _skew_docs(spark):
+    rows = [(i, BOILER) for i in range(40)]
+    rows += [(100, REAL), (101, REAL)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_hot_bucket_cap(spark):
+    df = _skew_docs(spark)
+    uncapped = minhash_dedup_pairs(
+        df, num_hashes=8, bands=4, max_bucket=None
+    ).count()
+    assert uncapped == 40 * 39 // 2 + 1  # boilerplate clique + real pair
+    capped = minhash_dedup_pairs(df, num_hashes=8, bands=4, max_bucket=10)
+    assert {(r["id_a"], r["id_b"]) for r in capped.collect()} == {(100, 101)}
+
+
+def test_simhash_hot_bucket_cap(spark):
+    df = _skew_docs(spark)
+    uncapped = simhash_near_pairs(
+        df, bits=32, max_hamming=1, prefix_bits=8, max_bucket=None
+    ).count()
+    assert uncapped == 40 * 39 // 2 + 1
+    capped = simhash_near_pairs(
+        df, bits=32, max_hamming=1, prefix_bits=8, max_bucket=10
+    )
+    assert {(r["id_a"], r["id_b"]) for r in capped.collect()} == {(100, 101)}
+
+
+def test_embedding_hot_bucket_cap(spark):
+    from db_factfinder_spark.llmdata.similarity import embedding_neardup_pairs
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]
+    rows += [(100, [0.0, 1.0, 0.0, 0.1]), (101, [0.0, 1.0, 0.0, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = embedding_neardup_pairs(
+        df, threshold=0.9, dim=4, planes=4, tables=2, max_bucket=None
+    ).count()
+    assert uncapped == 40 * 39 // 2 + 1
+    capped = embedding_neardup_pairs(
+        df, threshold=0.9, dim=4, planes=4, tables=2, max_bucket=10
+    )
+    assert {(r["id_a"], r["id_b"]) for r in capped.collect()} == {(100, 101)}
+
+
+def test_default_cap_leaves_small_corpus_unchanged(spark, docs):
+    """The default max_bucket is far above any bucket the test corpus
+    produces — capped and uncapped results must be identical (this is
+    what keeps the driver oracle queries green)."""
+    a = minhash_dedup_pairs(docs, num_hashes=8, bands=4, n=3,
+                            verify_threshold=0.6)
+    b = minhash_dedup_pairs(docs, num_hashes=8, bands=4, n=3,
+                            verify_threshold=0.6, max_bucket=None)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
