@@ -43,6 +43,7 @@ from db_factfinder_spark.llmdata.dedup import (
     minhash_dedup_pairs,
     minhash_signatures,
     simhash,
+    simhash_multiprobe_pairs,
     simhash_near_pairs,
 )
 from db_factfinder_spark.llmdata.components import neardup_groups
@@ -1163,6 +1164,17 @@ def q47_geo2010_rollup(spark, sf_dir):
     ).orderBy("geotype", "census_geoid")
 
 
+def q48_simhash_multiprobe(spark, sf_dir):
+    """Guaranteed-recall SimHash near-dup pairs: d+1 blocked prefix
+    tables (pigeonhole over the 32-bit fingerprint) — every pair with
+    hamming ≤ 3 is found, so the oracle is the brute-force all-pairs
+    hamming join the bucketed plan avoids executing."""
+    docs = _docs(spark, sf_dir)
+    return simhash_multiprobe_pairs(
+        docs, bits=32, max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1221,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_kmeans": q45_kmeans,
         "q46_neardup_groups": q46_neardup_groups,
         "q47_geo2010_rollup": q47_geo2010_rollup,
+        "q48_simhash_multiprobe": q48_simhash_multiprobe,
     }
 
 

@@ -436,3 +436,70 @@ def simhash_near_pairs(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming"
         )
     )
+
+
+def simhash_multiprobe_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Guaranteed-recall SimHash near-dup pairs via d+1 blocked prefix
+    tables (the rotated-table variant ``simhash_near_pairs`` documents).
+
+    Pigeonhole: split the ``bits`` fingerprint into ``max_hamming + 1``
+    contiguous blocks — two fingerprints within Hamming distance d
+    differ in at most d blocks, so at least one block matches exactly.
+    Table t buckets on block t; the union of the d+1 bucket joins
+    therefore finds EVERY pair with hamming ≤ d (modulo hot-bucket
+    drops), unlike the single-prefix table whose recall is
+    probabilistic.  The result set equals brute-force all-pairs
+    hamming ≤ d — which is exactly how the oracle checks it.
+
+    Plan shape: one explode (d+1 keys per doc), one equi-join on the
+    (table, block) key, distinct on the pair — the multi-table twin of
+    ``lsh_candidate_pairs``'s banded join.  ``max_bucket`` bounds the
+    within-bucket blowup; a dropped bucket weakens the recall guarantee
+    only for the boilerplate floods it exists to stop."""
+    tables = max_hamming + 1
+    base, rem = divmod(bits, tables)
+    sizes = [base + (1 if t < rem else 0) for t in range(tables)]
+    starts = [sum(sizes[:t]) for t in range(tables)]
+    sh = (
+        df.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("sig"))
+        .filter(F.col("sig").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.shiftright("sig", starts[t])
+                .bitwiseAND(F.lit((1 << sizes[t]) - 1))
+                .alias("k"),
+            )
+            for t in range(tables)
+        ]
+    )
+    exploded = sh.select("id", "sig", F.explode(keys).alias("bk")).select(
+        "id", "sig", F.col("bk.t").alias("t"), F.col("bk.k").alias("k")
+    )
+    exploded = cap_hot_buckets(exploded, ["t", "k"], max_bucket)
+    a, b = exploded.alias("a"), exploded.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming"
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1195,3 +1195,28 @@ SELECT census_geoid, pff_variable, geotype, e, m,
 FROM unioned
 ORDER BY geotype, census_geoid
 """
+
+# q48: the d+1 blocked-prefix-table plan has GUARANTEED recall at
+# hamming <= d (pigeonhole), so its result set is exactly the
+# brute-force all-pairs hamming join.
+ORACLES["q48_simhash_multiprobe"] = f"""
+WITH d AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+h AS (
+  SELECT doc_id, (('0x' || substr(md5(t), 1, 15)))::BIGINT AS hv FROM tok),
+bits AS (
+  SELECT doc_id, b.b,
+    sum(CASE WHEN (hv & (1::BIGINT << b.b)) != 0 THEN 1 ELSE -1 END) AS v
+  FROM h, (SELECT unnest(range(32)) AS b) b
+  GROUP BY doc_id, b.b),
+sigs AS (
+  SELECT doc_id AS id,
+    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+  FROM bits GROUP BY doc_id)
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.id < b.id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY id_a, id_b
+"""

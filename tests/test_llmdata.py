@@ -419,3 +419,30 @@ def test_default_cap_leaves_small_corpus_unchanged(spark, docs):
     b = minhash_dedup_pairs(docs, num_hashes=8, bands=4, n=3,
                             verify_threshold=0.6, max_bucket=None)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_simhash_multiprobe_guaranteed_recall(spark, docs):
+    """d+1 blocked tables must find EVERY pair with hamming ≤ d
+    (pigeonhole) — compare against the brute-force all-pairs join."""
+    from db_factfinder_spark.llmdata.dedup import simhash_multiprobe_pairs
+
+    d = 3
+    probe = simhash_multiprobe_pairs(docs, bits=32, max_hamming=d)
+    sh = docs.select(
+        F.col("doc_id").alias("id"), simhash("text", 32).alias("sig")
+    ).filter(F.col("sig").isNotNull())
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= d)
+    )
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in probe.collect()}
+    want = {(r["id_a"], r["id_b"], r["hamming"]) for r in brute.collect()}
+    assert got == want and len(want) > 0
