@@ -24,7 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from db_factfinder_spark.catalog import MedianSpec
+from db_factfinder_spark.catalog import MedianSpec, Variable
 from db_factfinder_spark.functions.stats import (
     agg_moe,
     convert_moe,
@@ -73,6 +73,7 @@ from db_factfinder_spark.functions.geoid import (
     format_geotype_2010,
 )
 from db_factfinder_spark.operators.cleaning import cleaning
+from db_factfinder_spark.operators.horizontal import aggregate_horizontal
 from db_factfinder_spark.operators.median import median_struct
 from db_factfinder_spark.operators.pivot import unpivot_cempz
 from db_factfinder_spark.operators.skew import salted_join, two_phase_agg
@@ -1175,6 +1176,93 @@ def q48_simhash_multiprobe(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q49_decennial_e2e(spark, sf_dir):
+    """Decennial (P-variable) spine end-to-end: raw census names are the
+    estimates (no E/M suffix — catalog.py Variable.census_variables),
+    the margin is NULL at the horizontal stage (calculate.py:101-105),
+    and the 2010 *decennial* registry rolls tracts up to NTA where the
+    NaN→0 MOE aggregate turns the all-NULL margins into 0.  p/z/c ride
+    the same base-variable broadcast join as ACS; cleaning and labs
+    2010 formatting close the pipeline.  Integer-valued doubles keep
+    every sum exact."""
+    cust = _t(spark, sf_dir, "customer")
+    k = (F.col("c_custkey") % 200).cast("int")
+    tract_code = F.lpad(k.cast("string"), 6, "0")
+    wide = cust.select(
+        F.concat(F.lit("36047"), tract_code).alias("census_geoid"),
+        F.lit("tract").alias("geotype"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(999999999.0))
+        .otherwise(F.floor("c_acctbal").cast("double"))
+        .alias("P001001"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.floor(F.col("c_acctbal") / 2).cast("double"))
+        .alias("P001002"),
+        (F.floor("c_acctbal") * 2).cast("double").alias("P002001"),
+    )
+    scrubbed = wide.withColumns(
+        {c: scrub_sentinels(F.col(c)) for c in ["P001001", "P001002"]}
+    )
+    child_long = aggregate_horizontal(
+        scrubbed,
+        Variable(pff_variable="pop_p1", census_variable=["P001001", "P001002"]),
+        "decennial",
+    )
+    base_long = aggregate_horizontal(
+        scrubbed,
+        Variable(pff_variable="pop_base", census_variable=["P002001"]),
+        "decennial",
+    )
+    lookup_raw = cust.select(
+        F.lit("36047").alias("county_fips"),
+        F.concat(tract_code, F.lit("1001")).alias("ctcb2010"),
+        tract_code.alias("ct2010"),
+        F.concat(F.lit("BK"), F.lpad((k % 10).cast("string"), 2, "0")).alias(
+            "nta"
+        ),
+        F.concat(
+            F.lit("7903"), F.lpad((k % 5).cast("string"), 2, "0")
+        ).alias("cd"),
+        F.lit("0").alias("fp_100"),
+        F.lit("0").alias("fp_500"),
+        F.lit("0").alias("park_access"),
+    ).distinct()
+    geo = AggregatedGeography2010(prepare_lookup_geo_2010(lookup_raw))
+    rollup = geo.options("decennial")["tract"]["NTA"]
+    child = rollup(child_long, "pop_p1")
+    base = rollup(base_long, "pop_base").select(
+        "census_geoid",
+        F.col("e").alias("agg_e"),
+        F.col("m").alias("agg_m"),
+    )
+    j = child.join(F.broadcast(base), "census_geoid", "left")
+    stats = (
+        j.withColumn("p", get_p("e", "agg_e"))
+        .withColumn("z", get_z("e", "m", "p", "agg_e", "agg_m"))
+        .withColumn("c", get_c("e", "m"))
+        .drop("agg_e", "agg_m")
+    )
+    rounded = stats.withColumns(round_cempz(0))
+    cleaned = cleaning(
+        rounded,
+        base_variables=["pop_base"],
+        median_variables=[],
+        special_variables=[],
+        median_inputs=[],
+    )
+    return cleaned.select(
+        "census_geoid",
+        "pff_variable",
+        "geotype",
+        "c",
+        "e",
+        "m",
+        "p",
+        "z",
+        format_geoid_2010("census_geoid").alias("labs_geoid"),
+        format_geotype_2010("geotype").alias("labs_geotype"),
+    ).orderBy("census_geoid")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1234,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_neardup_groups": q46_neardup_groups,
         "q47_geo2010_rollup": q47_geo2010_rollup,
         "q48_simhash_multiprobe": q48_simhash_multiprobe,
+        "q49_decennial_e2e": q49_decennial_e2e,
     }
 
 

@@ -1220,3 +1220,92 @@ FROM sigs a JOIN sigs b ON a.id < b.id
 WHERE bit_count(xor(a.sig, b.sig)) <= 3
 ORDER BY id_a, id_b
 """
+
+
+def _bround1(x: str) -> str:
+    """Half-even 1-digit rounding in DuckDB (mirrors Spark bround):
+    explicit even-selection on exact dyadic ties, round() otherwise."""
+    return (
+        f"CASE WHEN ({x}) * 10 - floor(({x}) * 10) = 0.5"
+        f" THEN (CASE WHEN CAST(floor(({x}) * 10) AS BIGINT) % 2 = 0"
+        f" THEN floor(({x}) * 10) ELSE floor(({x}) * 10) + 1 END) / 10"
+        f" ELSE round(({x}), 1) END"
+    )
+
+
+ORACLES["q49_decennial_e2e"] = f"""
+WITH f AS (
+  SELECT CAST(c_custkey % 200 AS INT) AS k,
+    CASE WHEN c_custkey % 11 = 0 THEN NULL
+         ELSE CAST(floor(c_acctbal) AS DOUBLE) END AS P1,
+    CASE WHEN c_custkey % 7 = 0 THEN NULL
+         ELSE CAST(floor(c_acctbal / 2) AS DOUBLE) END AS P2,
+    CAST(floor(c_acctbal) * 2 AS DOUBLE) AS BP
+  FROM customer),
+horiz AS (
+  -- tract → NTA is a function of k (every tract maps to one NTA), so
+  -- the lookup join collapses to direct grouping by the NTA code
+  SELECT 'BK' || lpad(CAST(k % 10 AS VARCHAR), 2, '0') AS census_geoid,
+    0.0 + coalesce(P1, 0.0) + coalesce(P2, 0.0) AS e,
+    CAST(NULL AS DOUBLE) AS m,
+    BP
+  FROM f),
+child AS (
+  SELECT census_geoid,
+    coalesce(sum(e), 0.0) AS e,
+    sqrt(coalesce(sum(m * m), 0.0)) AS m
+  FROM horiz GROUP BY census_geoid),
+base AS (
+  SELECT census_geoid,
+    coalesce(sum(BP), 0.0) AS agg_e,
+    sqrt(coalesce(sum(m * m), 0.0)) AS agg_m
+  FROM horiz GROUP BY census_geoid),
+j AS (SELECT child.*, agg_e, agg_m
+      FROM child LEFT JOIN base USING (census_geoid)),
+withp AS (
+  SELECT *, CASE WHEN agg_e = 0 THEN NULL ELSE e / agg_e * 100 END AS p
+  FROM j),
+stats AS (
+  SELECT census_geoid, e, m, p,
+    CASE WHEN p = 0 THEN NULL
+         WHEN p = 100 THEN NULL
+         WHEN agg_e = 0 THEN NULL
+         WHEN m * m - (e * agg_m / agg_e) * (e * agg_m / agg_e) < 0
+           THEN sqrt(m * m + (e * agg_m / agg_e) * (e * agg_m / agg_e))
+                / agg_e * 100
+         ELSE sqrt(m * m - (e * agg_m / agg_e) * (e * agg_m / agg_e))
+              / agg_e * 100
+    END AS z,
+    CASE WHEN e = 0 THEN NULL ELSE m / 1.645 / e * 100 END AS c
+  FROM withp),
+rounded AS (
+  SELECT census_geoid, 'pop_p1' AS pff_variable, 'NTA' AS geotype,
+    {_bround1('c')} AS c, round(e, 0) AS e, round(m, 0) AS m,
+    {_bround1('p')} AS p, {_bround1('z')} AS z
+  FROM stats),
+t1 AS (
+  SELECT census_geoid, pff_variable, geotype,
+    CASE WHEN c < 0 THEN NULL ELSE c END AS c,
+    CASE WHEN e < 0 THEN NULL ELSE e END AS e,
+    CASE WHEN m < 0 THEN NULL ELSE m END AS m,
+    CASE WHEN p < 0 THEN NULL ELSE p END AS p,
+    CASE WHEN z < 0 THEN NULL ELSE z END AS z
+  FROM rounded),
+t2 AS (SELECT census_geoid, pff_variable, geotype, c, e, m,
+         CASE WHEN p > 100 THEN NULL ELSE p END AS p, z FROM t1),
+t3 AS (SELECT census_geoid, pff_variable, geotype, c, e, m, p,
+         CASE WHEN p IS NULL THEN NULL ELSE z END AS z FROM t2),
+t4 AS (SELECT census_geoid, pff_variable, geotype, c, e, m, p,
+         CASE WHEN p = 100 THEN 0.0 ELSE z END AS z FROM t3)
+SELECT census_geoid, pff_variable, geotype,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE c END AS c,
+  e,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE m END AS m,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE p END AS p,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE z END AS z,
+  CASE WHEN substr(census_geoid, 1, 2) IN ('MN', 'QN', 'BX', 'BK', 'SI')
+       THEN census_geoid END AS labs_geoid,
+  CASE WHEN geotype = 'NTA' THEN 'NTA2010' ELSE geotype END AS labs_geotype
+FROM t4
+ORDER BY census_geoid
+"""
