@@ -77,6 +77,7 @@ from db_factfinder_spark.operators.horizontal import aggregate_horizontal
 from db_factfinder_spark.operators.median import median_struct
 from db_factfinder_spark.operators.pivot import unpivot_cempz
 from db_factfinder_spark.operators.skew import salted_join, two_phase_agg
+from db_factfinder_spark.pipelines import manual_update
 from db_factfinder_spark.operators.vertical import (
     AggregatedGeography2010,
     prepare_lookup_geo_2010,
@@ -1263,6 +1264,55 @@ def q49_decennial_e2e(spark, sf_dir):
     ).orderBy("census_geoid")
 
 
+def q50_manual_update(spark, sf_dir):
+    """The S7 manual-update driver end-to-end (reference
+    pipelines/acs_manual_update.py:96-163) on synthetic workbook
+    sheets: Unnamed-column strip → per-variable melt (stack generator)
+    → cross-sheet union with domain tags → geotype-less row drop (P7)
+    → catalog semi-join dropping unknown variables (J7) → output
+    schema with NULL census ids and labs identifiers from the sheet.
+    Exercises the missing-measure path (a sheet carrying only E/M for
+    a variable) and the Unnamed/unknown-variable filters."""
+    nat = _t(spark, sf_dir, "nation")
+    dem = nat.select(
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("NTA2020"))
+        .alias("GeoType"),
+        F.concat(F.lit("G"), F.col("n_nationkey").cast("string")).alias(
+            "GeoID"
+        ),
+        (F.col("n_nationkey") * 10).cast("double").alias("Pop_1E"),
+        (F.col("n_nationkey") + 1).cast("double").alias("Pop_1M"),
+        (F.col("n_nationkey").cast("double") / 2).alias("Pop_1C"),
+        F.lit(100.0).alias("Pop_1P"),
+        F.lit(0.0).alias("Pop_1Z"),
+        # a variable with only E/M in the sheet → C/P/Z fill as NULL
+        (F.col("n_nationkey") * 3).cast("double").alias("Hsp1E"),
+        (F.col("n_nationkey") + 2).cast("double").alias("Hsp1M"),
+        # not in the catalog → dropped by the semi-join
+        (F.col("n_nationkey") * 7).cast("double").alias("MysteryE"),
+        # artifact column → stripped
+        F.col("n_name").alias("Unnamed: 3"),
+    )
+    reg = _t(spark, sf_dir, "region").select(
+        F.lit("Boro2020").alias("GeoType"),
+        F.concat(F.lit("B"), F.col("r_regionkey").cast("string")).alias(
+            "GeoID"
+        ),
+        (F.col("r_regionkey") * 100).cast("double").alias("Pop_1E"),
+        (F.col("r_regionkey") + 5).cast("double").alias("Pop_1M"),
+        F.lit(None).cast("double").alias("Pop_1C"),
+        F.lit(None).cast("double").alias("Pop_1P"),
+        F.lit(None).cast("double").alias("Pop_1Z"),
+    )
+    out = manual_update(
+        spark,
+        [(dem, "demographic"), (reg, "social")],
+        ["pop_1", "hsp1"],
+    )
+    return out.orderBy("domain", "pff_variable", "labs_geoid")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1323,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_geo2010_rollup": q47_geo2010_rollup,
         "q48_simhash_multiprobe": q48_simhash_multiprobe,
         "q49_decennial_e2e": q49_decennial_e2e,
+        "q50_manual_update": q50_manual_update,
     }
 
 

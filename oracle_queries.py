@@ -1309,3 +1309,47 @@ SELECT census_geoid, pff_variable, geotype,
 FROM t4
 ORDER BY census_geoid
 """
+
+ORACLES["q50_manual_update"] = """
+WITH dem AS (
+  SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE 'NTA2020' END
+           AS geotype,
+         'G' || CAST(n_nationkey AS VARCHAR) AS geoid,
+         CAST(n_nationkey * 10 AS DOUBLE) AS pop_1e,
+         CAST(n_nationkey + 1 AS DOUBLE) AS pop_1m,
+         CAST(n_nationkey AS DOUBLE) / 2 AS pop_1c,
+         CAST(100.0 AS DOUBLE) AS pop_1p,
+         CAST(0.0 AS DOUBLE) AS pop_1z,
+         CAST(n_nationkey * 3 AS DOUBLE) AS hsp1e,
+         CAST(n_nationkey + 2 AS DOUBLE) AS hsp1m
+  FROM nation),
+reg AS (
+  SELECT 'Boro2020' AS geotype,
+         'B' || CAST(r_regionkey AS VARCHAR) AS geoid,
+         CAST(r_regionkey * 100 AS DOUBLE) AS pop_1e,
+         CAST(r_regionkey + 5 AS DOUBLE) AS pop_1m
+  FROM region),
+long AS (
+  SELECT geotype, geoid, 'pop_1' AS pff_variable,
+         pop_1c AS c, pop_1e AS e, pop_1m AS m, pop_1p AS p, pop_1z AS z,
+         'demographic' AS domain
+  FROM dem
+  UNION ALL
+  SELECT geotype, geoid, 'hsp1',
+         CAST(NULL AS DOUBLE), hsp1e, hsp1m,
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), 'demographic'
+  FROM dem
+  UNION ALL
+  SELECT geotype, geoid, 'pop_1',
+         CAST(NULL AS DOUBLE), pop_1e, pop_1m,
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), 'social'
+  FROM reg)
+SELECT CAST(NULL AS VARCHAR) AS census_geoid,
+       l.geoid AS labs_geoid,
+       CAST(NULL AS VARCHAR) AS geotype,
+       l.geotype AS labs_geotype,
+       l.pff_variable, l.c, l.e, l.m, l.p, l.z, l.domain
+FROM long l
+WHERE l.geotype IS NOT NULL
+ORDER BY domain, pff_variable, labs_geoid
+"""
