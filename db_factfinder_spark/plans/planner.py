@@ -324,16 +324,29 @@ class FactFinderEngine:
 
     # ---- batch driver (pipelines/acs.py:36-63) ----------------------
     def calculate_batch(
-        self, tasks: list[tuple[str, str]], tag_domain: bool = True
+        self,
+        tasks: list[tuple[str, str]],
+        tag_domain: bool = True,
+        retry_tries: int = 3,
+        retry_delay: float = 5.0,
     ) -> DataFrame:
         """One unioned lazy plan over the (variable × geotype) grid —
         the Spark replacement for the reference's 10-process pool.
-        Per-task failures are isolated like pipelines/acs.py:14-21."""
+        Per-task failures are isolated like pipelines/acs.py:14-21,
+        after ``retry_tries`` attempts each (reference calculate.py:376
+        wraps every query in ``@retry(tries=3, delay=5)`` — here the
+        retryable part is checkpoint-cache materialization I/O)."""
+        from db_factfinder_spark.retry import with_retry
+
         plans: list[DataFrame] = []
         errors: list[tuple[str, str, str]] = []
         for var, geotype in tasks:
             try:
-                df = self(var, geotype)
+                df = with_retry(
+                    lambda v=var, g=geotype: self(v, g),
+                    tries=retry_tries,
+                    delay=retry_delay,
+                )
                 if tag_domain:
                     domain = self.catalog.create_variable(var).domain
                     df = df.withColumn("domain", F.lit(domain))

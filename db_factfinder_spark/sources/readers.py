@@ -55,22 +55,50 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Normalize the event timestamp column to plain TIMESTAMP whatever
     physical type the writer used:
 
-    - BIGINT epoch-nanos (TIMESTAMP(NANOS) parquet surfaced via
-      ``nanosAsLong``): integer-divide to µs — `/ 1000` in double would
-      round the epoch-nanos long (> 2^53) to a multiple of 256 ns
-      before dividing, occasionally landing one microsecond off.
+    - BIGINT epoch (TIMESTAMP(NANOS) parquet surfaced via
+      ``nanosAsLong``, or a plain INT64 the writer stored without a
+      timestamp logical type): the unit is detected per row by
+      magnitude — |v| ≥ 1e17 → nanos, ≥ 1e14 → micros, ≥ 1e11 →
+      millis, else seconds.  The bands are unambiguous for any instant
+      between 1973 and 5138; a mixed-unit column is even handled
+      row-by-row.  Nanos integer-divide to µs — `/ 1000` in double
+      would round the epoch-nanos long (> 2^53) to a multiple of
+      256 ns before dividing, occasionally landing one microsecond off.
     - TIMESTAMP_NTZ (µs parquet without tz annotation): cast to ltz
-      TIMESTAMP.  Wall clock is preserved under any fixed session zone
-      (cast-in then format-out both use the session zone), and the
-      downstream lag/window math needs the epoch-convertible type.
+      TIMESTAMP.  The cast interprets the naive wall clock in the
+      *session* time zone, and only a fixed-offset zone guarantees the
+      wall clock survives the cast-in/format-out round trip (a DST
+      zone has ambiguous and skipped local times), so the UTC pin that
+      ``session.get_spark`` sets is asserted here, where the
+      correctness actually depends on it.
     - TIMESTAMP: already canonical.
     """
     dt = df.schema[ts_col].dataType.typeName()
     if dt in ("long", "bigint"):
-        return df.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        v = F.col(ts_col)
+        av = F.abs(v)
+        micros = (
+            F.when(av >= F.lit(int(1e17)), F.expr(f"{ts_col} div 1000"))
+            .when(av >= F.lit(int(1e14)), v)
+            .when(av >= F.lit(int(1e11)), v * 1000)
+            .otherwise(v * 1_000_000)
         )
+        return df.withColumn(ts_col, F.timestamp_micros(micros))
     if dt == "timestamp_ntz":
+        import re
+
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone") or ""
+        fixed = tz in {"UTC", "GMT", "Etc/UTC", "Etc/GMT", "Z"} or re.fullmatch(
+            r"[+-]\d{2}:\d{2}", tz
+        )
+        if not fixed:
+            raise ValueError(
+                "normalize_event_ts: casting TIMESTAMP_NTZ requires a "
+                "fixed-offset session time zone (got "
+                f"{tz!r}); set spark.sql.session.timeZone=UTC "
+                "(session.get_spark does) so naive wall clocks survive "
+                "the cast"
+            )
         return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 

@@ -187,3 +187,50 @@ def test_2010_rollup_to_cd(engine_2010):
     assert r["e"] == 3000.0
     assert r["labs_geoid"] == "0301"  # PUMA "79" prefix → last 4
     assert r["labs_geotype"] == "cd"  # unknown label passes through
+
+
+# ---------------------------------------------------------------------------
+# Retry (O3) + batch error isolation (O4)
+# ---------------------------------------------------------------------------
+
+def test_retry_succeeds_after_transient_failures():
+    from db_factfinder_spark.retry import with_retry
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient")
+        return "ok"
+
+    assert with_retry(flaky, tries=3, delay=0) == "ok"
+    assert calls["n"] == 3
+
+
+def test_retry_exhausts_and_raises():
+    import pytest as _pytest
+
+    from db_factfinder_spark.retry import retry
+
+    calls = {"n": 0}
+
+    @retry(tries=2, delay=0)
+    def doomed():
+        calls["n"] += 1
+        raise ValueError("permanent")
+
+    with _pytest.raises(ValueError):
+        doomed()
+    assert calls["n"] == 2
+
+
+def test_batch_retries_then_isolates_bad_task(engine):
+    # unknown variable fails deterministically: the task retries
+    # retry_tries times, then is isolated (O4) while good tasks survive
+    out = engine.calculate_batch(
+        [("pop_1", "tract"), ("no_such_var", "tract")],
+        retry_tries=2,
+        retry_delay=0,
+    )
+    assert out.count() == 2  # pop_1's two tracts; bad task skipped

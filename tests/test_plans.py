@@ -178,3 +178,37 @@ def test_q34_candidate_join_is_equi(spark):
     plan = _plan(spark, "q34_ann_lsh_topk")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_infer_filters_from_generate_stays_excluded(spark):
+    """session.get_spark disables InferFiltersFromGenerate (the inferred
+    size()>0 filter gets substituted+pushed below repartitions,
+    re-running expensive generator expressions — measured 2x on LSH
+    plans).  A Spark upgrade that renames/reshuffles the rule would
+    silently re-enable it; assert both the conf and the optimized-plan
+    shape so that regresses loudly."""
+    from pyspark.sql import functions as F
+
+    from db_factfinder_spark.llmdata.dedup import shingles
+
+    rules = spark.conf.get("spark.sql.optimizer.excludedRules") or ""
+    assert "InferFiltersFromGenerate" in rules
+
+    df = spark.range(8).select(
+        "id",
+        shingles(
+            F.concat(F.lit("a b c d e f "), F.col("id").cast("string"))
+        ).alias("sh"),
+    )
+    plan = (
+        df.select("id", F.explode("sh").alias("g"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the generator expression itself legitimately contains size(); an
+    # *inferred* filter node above the Generate is what must not appear
+    bad = [
+        ln for ln in plan.splitlines() if "Filter" in ln and "size(" in ln
+    ]
+    assert not bad, f"InferFiltersFromGenerate leaked back in: {bad}"

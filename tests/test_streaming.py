@@ -106,3 +106,47 @@ def test_stateful_stream_sessionize_matches_batch(spark, events, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_normalize_event_ts_detects_epoch_unit(spark):
+    """The long branch scales by per-row magnitude: nanos, micros,
+    millis, and seconds encodings of the same instant all normalize to
+    the identical TIMESTAMP (ADVICE r2: a plain-INT64 micros/millis
+    writer must not be silently mis-scaled 1000x)."""
+    from db_factfinder_spark.sources.readers import normalize_event_ts
+
+    base_us = 1_700_000_000_123_456  # 2023-11-14T22:13:20.123456Z
+    encodings = {
+        "nanos": base_us * 1_000,
+        "micros": base_us,
+        "millis": base_us // 1_000,
+        "seconds": base_us // 1_000_000,
+    }
+    expect = {
+        "nanos": "2023-11-14 22:13:20.123456",
+        "micros": "2023-11-14 22:13:20.123456",
+        "millis": "2023-11-14 22:13:20.123",
+        "seconds": "2023-11-14 22:13:20",
+    }
+    for unit, v in encodings.items():
+        df = spark.createDataFrame([(v,)], "ts long")
+        out = normalize_event_ts(df).select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("s")
+        ).first()["s"]
+        want = expect[unit]
+        assert out.startswith(want), f"{unit}: {out} !~ {want}"
+
+
+def test_normalize_event_ts_ntz_requires_fixed_offset_zone(spark):
+    from db_factfinder_spark.sources.readers import normalize_event_ts
+
+    df = spark.sql("SELECT TIMESTAMP_NTZ '2024-01-01 00:00:00' AS ts")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="fixed-offset"):
+            normalize_event_ts(df)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        assert normalize_event_ts(df).first()["ts"] is not None
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
