@@ -40,6 +40,9 @@ HEADLINE = [
     "q32_lsh_neardup_pairs",    # banded LSH bucket join + verify
     "q34_ann_lsh_topk",         # hyperplane LSH bucketed ANN
     "q37_factfinder_e2e",       # full factfinder spine
+    "q47_geo2010_rollup",       # 2010 registry rollups + labs format
+    "q48_simhash_multiprobe",   # d+1 blocked-prefix-table simhash join
+    "q49_decennial_e2e",        # decennial spine via 2010 registry
 ]
 
 

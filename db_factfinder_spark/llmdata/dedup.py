@@ -459,10 +459,16 @@ def simhash_multiprobe_pairs(
     hamming ≤ d — which is exactly how the oracle checks it.
 
     Plan shape: one explode (d+1 keys per doc), one equi-join on the
-    (table, block) key, distinct on the pair — the multi-table twin of
-    ``lsh_candidate_pairs``'s banded join.  ``max_bucket`` bounds the
-    within-bucket blowup; a dropped bucket weakens the recall guarantee
-    only for the boilerplate floods it exists to stop."""
+    (table, block) key — the multi-table twin of
+    ``lsh_candidate_pairs``'s banded join.  A pair whose fingerprints
+    agree on several blocks would match in several tables; instead of
+    deduplicating afterwards (a full shuffle of the pair set — measured
+    ~2M rows at sf0.1), the join condition charges each pair to its
+    *first* matching table ("all earlier blocks differ"), so every pair
+    is emitted exactly once and the distinct disappears.  ``max_bucket``
+    bounds the within-bucket blowup; a dropped bucket weakens the
+    recall guarantee only for the boilerplate floods it exists to
+    stop."""
     tables = max_hamming + 1
     base, rem = divmod(bits, tables)
     sizes = [base + (1 if t < rem else 0) for t in range(tables)]
@@ -489,17 +495,31 @@ def simhash_multiprobe_pairs(
     exploded = cap_hot_buckets(exploded, ["t", "k"], max_bucket)
     a, b = exploded.alias("a"), exploded.alias("b")
     hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+
+    def block(sig: Column, j: int) -> Column:
+        return F.shiftright(sig, starts[j]).bitwiseAND(
+            F.lit((1 << sizes[j]) - 1)
+        )
+
+    # charge each pair to its first matching table: at table t, every
+    # earlier block j < t must differ (t <= j OR block_j(a) != block_j(b))
+    first_match = F.lit(True)
+    for j in range(tables - 1):
+        first_match = first_match & (
+            (F.col("a.t") <= j)
+            | (block(F.col("a.sig"), j) != block(F.col("b.sig"), j))
+        )
     return (
         a.join(
             b,
             (F.col("a.t") == F.col("b.t"))
             & (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & first_match,
         )
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming"
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
