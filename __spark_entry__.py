@@ -48,7 +48,7 @@ from db_factfinder_spark.llmdata.dedup import (
 )
 from db_factfinder_spark.llmdata.components import neardup_groups
 from db_factfinder_spark.llmdata.kmeans import kmeans_assignments
-from db_factfinder_spark.llmdata.multimodal import extract_features
+from db_factfinder_spark.llmdata.multimodal import extract_features, resize_images
 from db_factfinder_spark.llmdata.similarity import (
     brute_force_topk,
     embedding_neardup_pairs,
@@ -1313,6 +1313,29 @@ def q50_manual_update(spark, sf_dir):
     return out.orderBy("domain", "pff_variable", "labs_geoid")
 
 
+def q51_resize_images(spark, sf_dir):
+    """Multimodal resize end-to-end: utf-8 payload bytes decoded by the
+    raw grayscale codec (16×8, zero-padded) and nearest-neighbor
+    resampled to 4×4 inside Arrow-batched mapInPandas.  The floor index
+    mapping is pure integer math, so the DuckDB oracle rebuilds the
+    exact output bytes from the payload's hex expansion; hex strings
+    compare the binaries across engines."""
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(16).cast("int").alias("width"),
+        F.lit(8).cast("int").alias("height"),
+    )
+    resized = resize_images(media, 4, 4)
+    return resized.select(
+        "media_id",
+        F.hex("payload").alias("resized_hex"),
+        "width",
+        "height",
+    ).orderBy("media_id")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1374,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_simhash_multiprobe": q48_simhash_multiprobe,
         "q49_decennial_e2e": q49_decennial_e2e,
         "q50_manual_update": q50_manual_update,
+        "q51_resize_images": q51_resize_images,
     }
 
 

@@ -82,18 +82,72 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize operator — plumbing only; the codec is not in this
-    container, so the operator raises at execution time with a clear
-    message while keeping a real, analyzable plan shape."""
+def _decode_raw(payload: bytes, width: int, height: int):
+    """Raw-grayscale "codec": the first ``width*height`` payload bytes
+    as a row-major uint8 matrix, zero-padded when short.  Deterministic
+    and dependency-free — the seam where PIL/libvips decode slots in."""
+    import numpy as np
+
+    need = width * height
+    buf = (payload or b"")[:need]
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    if arr.size < need:
+        arr = np.concatenate([arr, np.zeros(need - arr.size, dtype=np.uint8)])
+    return arr.reshape(height, width)
+
+
+def _resize_nn(img, out_w: int, out_h: int):
+    """Nearest-neighbor resample with floor index mapping:
+    ``src_r = (r * H) // out_h`` — integer math, so any engine (or SQL
+    oracle) reproduces the exact output bytes."""
+    import numpy as np
+
+    h, w = img.shape
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows][:, cols]
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, codec: str = "raw"
+) -> DataFrame:
+    """Image resize over Arrow-batched ``mapInPandas``.  The ``raw``
+    codec (8-bit grayscale, dims from the row's width/height metadata)
+    is implemented end-to-end; real image formats raise the documented
+    NotImplementedError until a PIL/libvips decode is slotted into the
+    same iterator — the plan shape, schema, and batching are identical
+    either way.  Rows with NULL payload or non-positive dims yield a
+    NULL payload (codec failure isolation, not task failure)."""
     import pandas as pd
 
-    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        raise NotImplementedError(
-            "image codec not available in this environment; "
-            "swap in PIL/libvips inside resize_images.op"
-        )
-        yield  # pragma: no cover
+    if codec != "raw":
+        def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            raise NotImplementedError(
+                f"image codec {codec!r} not available in this environment; "
+                "swap in PIL/libvips inside resize_images.op"
+            )
+            yield  # pragma: no cover
+    else:
+        def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            for pdf in batches:
+                out = []
+                n = len(pdf)
+                wcol = pdf["width"] if "width" in pdf.columns else [None] * n
+                hcol = pdf["height"] if "height" in pdf.columns else [None] * n
+                for p, w, h in zip(pdf["payload"], wcol, hcol):
+                    if p is None or w is None or h is None or w <= 0 or h <= 0:
+                        out.append(None)
+                        continue
+                    img = _decode_raw(bytes(p), int(w), int(h))
+                    out.append(_resize_nn(img, width, height).tobytes())
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "payload": out,
+                        "width": width,
+                        "height": height,
+                    }
+                )
 
     schema = "media_id long, payload binary, width int, height int"
     return df.mapInPandas(op, schema=schema)

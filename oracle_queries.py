@@ -1353,3 +1353,30 @@ FROM long l
 WHERE l.geotype IS NOT NULL
 ORDER BY domain, pff_variable, labs_geoid
 """
+
+
+def _resize_sql(src_w=16, src_h=8, out_w=4, out_h=4) -> str:
+    """Mirror resize_images' raw codec + nearest-neighbor floor mapping:
+    output byte (r, c) = src[(r*src_h)//out_h * src_w + (c*src_w)//out_w],
+    with the source zero-padded to src_w*src_h bytes.  Byte extraction
+    slices the hex expansion (2 chars per byte)."""
+    idxs = [
+        ((r * src_h) // out_h) * src_w + (c * src_w) // out_w
+        for r in range(out_h)
+        for c in range(out_w)
+    ]
+    concat = " || ".join(f"substr(hx, {2 * i + 1}, 2)" for i in idxs)
+    pad = 2 * src_w * src_h
+    return f"""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         substr(rpad(hex(encode(text)), {pad}, '0'), 1, {pad}) AS hx
+  FROM documents)
+SELECT media_id, {concat} AS resized_hex,
+       CAST({out_w} AS INT) AS width, CAST({out_h} AS INT) AS height
+FROM p
+ORDER BY media_id
+"""
+
+
+ORACLES["q51_resize_images"] = _resize_sql()

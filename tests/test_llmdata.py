@@ -248,15 +248,40 @@ def test_bpe_token_count(spark):
     assert out[1] == 2 and out[2] == 7 and out[3] == 0 and out[4] is None
 
 
-def test_resize_images_stub_raises_at_execution(spark):
-    """resize_images must build a valid lazy plan (analyzable schema)
-    and raise the documented NotImplementedError only at execution."""
+def test_resize_images_raw_codec(spark):
+    """The raw codec resizes end-to-end: 4×4 row-major grayscale bytes
+    → 2×2 by nearest-neighbor floor mapping (rows/cols 0 and 2)."""
+    from db_factfinder_spark.llmdata.multimodal import resize_images
+
+    src = bytes(range(16))  # 4x4: row r, col c → value 4r+c
+    df = spark.createDataFrame(
+        [(1, bytearray(src), 4, 4), (2, None, 4, 4), (3, bytearray(b"x"), 0, 4)],
+        "media_id long, payload binary, width int, height int",
+    )
+    out = {r["media_id"]: r.asDict() for r in resize_images(df, 2, 2).collect()}
+    # (r,c) → src[(r*4)//2 * 4 + (c*4)//2] = [0, 2, 8, 10]
+    assert bytes(out[1]["payload"]) == bytes([0, 2, 8, 10])
+    assert out[1]["width"] == 2 and out[1]["height"] == 2
+    assert out[2]["payload"] is None  # NULL payload isolated, not fatal
+    assert out[3]["payload"] is None  # non-positive dims isolated
+    # short payload zero-pads before resampling
+    short = spark.createDataFrame(
+        [(4, bytearray(bytes([7, 7])), 4, 4)],
+        "media_id long, payload binary, width int, height int",
+    )
+    got = resize_images(short, 2, 2).first()["payload"]
+    assert bytes(got) == bytes([7, 0, 0, 0])
+
+
+def test_resize_images_nonraw_codec_raises_at_execution(spark):
+    """Non-raw codecs keep the stub contract: a valid, analyzable lazy
+    plan that raises the documented error only at execution."""
     from db_factfinder_spark.llmdata.multimodal import resize_images
 
     df = spark.createDataFrame(
         [(1, bytearray(b"xx"))], "media_id long, payload binary"
     )
-    out = resize_images(df, 32, 32)
+    out = resize_images(df, 32, 32, codec="jpeg")
     assert out.columns == ["media_id", "payload", "width", "height"]
     import pytest as _pytest
     with _pytest.raises(Exception, match="NotImplementedError|image codec"):
