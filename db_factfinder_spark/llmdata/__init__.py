@@ -22,11 +22,15 @@ from db_factfinder_spark.llmdata.textstats import (  # noqa: F401
     fingerprint,
 )
 from db_factfinder_spark.llmdata.dedup import (  # noqa: F401
+    cap_hot_buckets,
     exact_dedup,
     jaccard_pairs,
+    minhash_dedup_pairs,
     minhash_signatures,
     lsh_candidate_pairs,
     simhash,
+    simhash_multiprobe_pairs,
+    simhash_near_pairs,
 )
 from db_factfinder_spark.llmdata.similarity import (  # noqa: F401
     brute_force_topk,
