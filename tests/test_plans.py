@@ -212,3 +212,18 @@ def test_infer_filters_from_generate_stays_excluded(spark):
         ln for ln in plan.splitlines() if "Filter" in ln and "size(" in ln
     ]
     assert not bad, f"InferFiltersFromGenerate leaked back in: {bad}"
+
+
+def test_q47_geo2010_rollups_broadcast(spark):
+    # every dimension/zone join in the 2010 registry is broadcast-hash;
+    # the restructured zone rollup must not fall back to shuffle joins
+    # (the right-outer form silently dropped the broadcast hint)
+    plan = _plan(spark, "q47_geo2010_rollup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q49_decennial_spine_broadcasts(spark):
+    plan = _plan(spark, "q49_decennial_e2e")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
