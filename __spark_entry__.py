@@ -1146,7 +1146,12 @@ def q47_geo2010_rollup(spark, sf_dir):
         (k2 % 3 == 0).cast("int").cast("string").alias("fp_500"),
         (k2 % 2 == 0).cast("int").cast("string").alias("park_access"),
     ).distinct()
-    geo = AggregatedGeography2010(prepare_lookup_geo_2010(lookup_raw))
+    # the crosswalk is derived from the fact table only because the
+    # synthetic testdata has no lookup file; materialize it once so the
+    # four rollup branches don't each recompute the distinct (in
+    # production the lookup is a tiny CSV read, shared for free)
+    lookup = prepare_lookup_geo_2010(lookup_raw).localCheckpoint(eager=False)
+    geo = AggregatedGeography2010(lookup)
     acs = geo.options("acs")
     var = "pop_1"
     out = (
