@@ -46,7 +46,8 @@ from db_factfinder_spark.llmdata.dedup import (
     simhash_multiprobe_pairs,
     simhash_near_pairs,
 )
-from db_factfinder_spark.llmdata.components import neardup_groups
+from db_factfinder_spark.llmdata.components import neardup_groups, select_survivors
+from db_factfinder_spark.llmdata.sampling import split_column
 from db_factfinder_spark.llmdata.kmeans import kmeans_assignments
 from db_factfinder_spark.llmdata.multimodal import extract_features, resize_images
 from db_factfinder_spark.llmdata.similarity import (
@@ -67,6 +68,7 @@ from db_factfinder_spark.llmdata.textstats import (
     stopword_ratio,
     token_count,
     token_profile,
+    tokens,
 )
 from db_factfinder_spark.functions.geoid import (
     format_geoid_2010,
@@ -1341,6 +1343,57 @@ def q51_resize_images(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def q52_dedup_survivors(spark, sf_dir):
+    """The decision step a production dedup pipeline runs after
+    grouping: every document left-joins its near-dup group (ungrouped
+    docs become singletons), and within each group the highest-quality
+    member survives (ties → lowest id, canonicalizing exact copies).
+    Composes minhash LSH pairs → connected components → quality-ranked
+    survivor window."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        docs, num_hashes=8, bands=4, n=3, verify_threshold=0.6
+    )
+    groups = neardup_groups(pairs)
+    scored = docs.select("doc_id", quality_score("text").alias("quality"))
+    return select_survivors(scored, groups).orderBy("doc_id")
+
+
+def q53_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-20 tokens per language by frequency
+    (explode → count → per-language rank window), the standard
+    vocabulary/heavy-hitter pass before tokenizer training.
+    Deterministic ties by token."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("lang", F.explode(tokens("text")).alias("token"))
+    counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .orderBy("lang", "rank")
+    )
+
+
+def q54_sample_split(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10): the bucket is a
+    pure md5 function of the stable doc id, so assignment is identical
+    across runs, engines, and cluster layouts — no leakage between
+    splits on reprocessing.  Map-side only until the final count."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.withColumn("split", split_column("doc_id"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1403,6 +1456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_decennial_e2e": q49_decennial_e2e,
         "q50_manual_update": q50_manual_update,
         "q51_resize_images": q51_resize_images,
+        "q52_dedup_survivors": q52_dedup_survivors,
+        "q53_vocab_topk": q53_vocab_topk,
+        "q54_sample_split": q54_sample_split,
     }
 
 

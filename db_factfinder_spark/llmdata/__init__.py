@@ -37,3 +37,13 @@ from db_factfinder_spark.llmdata.similarity import (  # noqa: F401
     cosine_similarity,
     lsh_bucketed_topk,
 )
+from db_factfinder_spark.llmdata.components import (  # noqa: F401
+    connected_components,
+    neardup_groups,
+    select_survivors,
+)
+from db_factfinder_spark.llmdata.sampling import (  # noqa: F401
+    deterministic_sample,
+    hash_bucket,
+    split_column,
+)

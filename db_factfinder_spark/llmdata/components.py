@@ -25,7 +25,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -81,4 +81,34 @@ def neardup_groups(pairs: DataFrame) -> DataFrame:
         F.col("id").alias("doc_id"),
         F.col("label").alias("rep_id"),
         "group_size",
+    )
+
+
+def select_survivors(scored: DataFrame, groups: DataFrame) -> DataFrame:
+    """Survivor selection — the decision step between near-dup grouping
+    and the filtered corpus: within each group keep the highest-quality
+    member (ties broken by lowest id, which also canonicalizes exact
+    duplicates, whose quality scores are identical).
+
+    ``scored``: ``(doc_id, quality)`` for the whole corpus;
+    ``groups``: ``(doc_id, rep_id, group_size)`` from
+    ``neardup_groups`` — only documents in at least one pair appear, so
+    ungrouped documents form singleton groups of themselves via the
+    left join + coalesce.
+
+    Scale: two shuffles (the group join on doc_id, the per-group
+    window on group_id).  ``groups`` is proportional to the duplicated
+    subset, not the corpus — but can still be huge, so it is NOT
+    broadcast."""
+    g = scored.join(groups, "doc_id", "left").select(
+        "doc_id",
+        "quality",
+        F.coalesce("rep_id", F.col("doc_id")).alias("group_id"),
+        F.coalesce("group_size", F.lit(1)).alias("group_size"),
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return g.withColumn("keep", F.row_number().over(w) == 1).select(
+        "doc_id", "group_id", "group_size", "quality", "keep"
     )

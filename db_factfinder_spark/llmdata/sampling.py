@@ -1,0 +1,49 @@
+"""Deterministic sampling and dataset splitting.
+
+Training-data pipelines need *reproducible* sampling: the same document
+must land in the same split on every run, on any cluster layout, so
+train/val/test never leak into each other across reprocessing.  Random
+samplers (``df.sample``) are seed- and partitioning-dependent; instead
+the bucket is a pure function of the stable document id via md5
+(portable — any engine, and the SQL oracle, derives the identical
+bucket), computed map-side with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: Column | str, buckets: int = 100) -> Column:
+    """Stable bucket in [0, buckets): first 28 bits of md5 of the id's
+    string form, mod buckets.  DuckDB mirror:
+    ``('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 7))::BIGINT % buckets``."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 7), 16, 10).cast("long")
+    return h % buckets
+
+
+def split_column(
+    id_col: Column | str,
+    train: int = 80,
+    val: int = 10,
+    buckets: int = 100,
+) -> Column:
+    """'train' / 'val' / 'test' label from the stable hash bucket:
+    [0, train) → train, [train, train+val) → val, rest → test."""
+    b = hash_bucket(id_col, buckets)
+    return (
+        F.when(b < train, F.lit("train"))
+        .when(b < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def deterministic_sample(
+    id_col: Column | str, fraction: float, buckets: int = 10_000
+) -> Column:
+    """Boolean keep-mask selecting a stable ~``fraction`` of rows:
+    bucket < fraction·buckets.  Unlike ``df.sample`` the selection is
+    partitioning-independent and repeatable."""
+    return hash_bucket(id_col, buckets) < int(fraction * buckets)

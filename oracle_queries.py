@@ -1380,3 +1380,47 @@ ORDER BY media_id
 
 
 ORACLES["q51_resize_images"] = _resize_sql()
+
+# q52: q46's closure gives the groups; quality is the q30 expression;
+# survivor = rank-1 row of the (quality DESC, doc_id ASC) group window.
+ORACLES["q52_dedup_survivors"] = f"""
+WITH groups AS ({ORACLES["q46_neardup_groups"]}),
+scored AS (SELECT doc_id, {_QUALITY} AS quality FROM documents),
+g AS (
+  SELECT s.doc_id, s.quality,
+         coalesce(gr.rep_id, s.doc_id) AS group_id,
+         coalesce(gr.group_size, 1) AS group_size
+  FROM scored s LEFT JOIN groups gr USING (doc_id))
+SELECT doc_id, group_id, group_size, quality,
+       (row_number() OVER (PARTITION BY group_id
+                           ORDER BY quality DESC, doc_id ASC)) = 1 AS keep
+FROM g
+ORDER BY doc_id
+"""
+
+ORACLES["q53_vocab_topk"] = f"""
+WITH tok AS (SELECT lang, unnest({_TOKS}) AS token FROM documents),
+counts AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY n DESC, token ASC) AS rank
+  FROM counts)
+SELECT lang, token, n, rank FROM ranked WHERE rank <= 20
+ORDER BY lang, rank
+"""
+
+ORACLES["q54_sample_split"] = """
+WITH b AS (
+  SELECT lang, n_chars,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100
+      AS bucket
+  FROM documents)
+SELECT lang,
+  CASE WHEN bucket < 80 THEN 'train'
+       WHEN bucket < 90 THEN 'val'
+       ELSE 'test' END AS split,
+  count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM b GROUP BY 1, 2
+ORDER BY lang, split
+"""

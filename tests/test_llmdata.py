@@ -471,3 +471,54 @@ def test_simhash_multiprobe_guaranteed_recall(spark, docs):
     got = {(r["id_a"], r["id_b"], r["hamming"]) for r in probe.collect()}
     want = {(r["id_a"], r["id_b"], r["hamming"]) for r in brute.collect()}
     assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# Survivor selection + deterministic sampling
+# ---------------------------------------------------------------------------
+
+def test_select_survivors_keeps_best_quality(spark):
+    from db_factfinder_spark.llmdata.components import select_survivors
+
+    scored = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.7)],
+        "doc_id long, quality double",
+    )
+    groups = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3)],
+        "doc_id long, rep_id long, group_size long",
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           select_survivors(scored, groups).collect()}
+    # group {1,2,3}: 2 and 3 tie at 0.9 → lowest id (2) survives
+    assert out[2]["keep"] is True
+    assert out[1]["keep"] is False and out[3]["keep"] is False
+    # doc 4 is in no pair → singleton group of itself, kept
+    assert out[4]["keep"] is True and out[4]["group_id"] == 4
+    assert out[4]["group_size"] == 1
+
+
+def test_deterministic_split_is_stable_and_partition_invariant(spark):
+    from db_factfinder_spark.llmdata.sampling import split_column
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = df.withColumn("split", split_column("doc_id"))
+    b = (
+        df.repartition(13)
+        .withColumn("split", split_column("doc_id"))
+    )
+    ra = {r["doc_id"]: r["split"] for r in a.collect()}
+    rb = {r["doc_id"]: r["split"] for r in b.collect()}
+    assert ra == rb  # partitioning-independent
+    frac = sum(1 for v in ra.values() if v == "train") / len(ra)
+    assert 0.75 < frac < 0.85  # ~80% train
+
+
+def test_deterministic_sample_fraction(spark):
+    from db_factfinder_spark.llmdata.sampling import deterministic_sample
+
+    df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    kept = df.filter(deterministic_sample("doc_id", 0.25)).count()
+    assert 0.22 * 5000 < kept < 0.28 * 5000
+    # same selection on every evaluation
+    assert kept == df.filter(deterministic_sample("doc_id", 0.25)).count()
