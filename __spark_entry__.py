@@ -89,6 +89,7 @@ from db_factfinder_spark.sources.readers import read_events, normalize_event_ts
 from db_factfinder_spark.streaming.events import (
     run_available_now,
     sessionize,
+    stream_sessionize,
     windowed_counts,
 )
 
@@ -1394,6 +1395,37 @@ def q54_sample_split(spark, sf_dir):
     )
 
 
+def q55_stream_sessionize(spark, sf_dir):
+    """Custom *stateful* streaming sessionization executed as a real
+    Structured Streaming job: ``applyInPandasWithState`` folds each
+    user's events into open-session state; a gap > 30 min closes and
+    EMITS the session (append mode), each user's final session stays
+    open in state.  The fold works in event-time microseconds, so the
+    oracle is the µs-grain SQL sessionization minus every user's last
+    session.  Double sums fold in timestamp order and round through
+    DECIMAL(18,2) — exact for 2-decimal values, so cross-engine safe."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.parque[t]")
+    )
+    closed = stream_sessionize(stream, gap_minutes=30)
+    res = run_available_now(closed, output_mode="append")
+    return res.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "s_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "s_end"
+        ),
+        "n_events",
+        F.col("sum_value").cast("decimal(18,2)").cast("double").alias(
+            "sum_value"
+        ),
+    ).orderBy("user_id", "s_start")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1459,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_dedup_survivors": q52_dedup_survivors,
         "q53_vocab_topk": q53_vocab_topk,
         "q54_sample_split": q54_sample_split,
+        "q55_stream_sessionize": q55_stream_sessionize,
     }
 
 

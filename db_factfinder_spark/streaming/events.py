@@ -167,8 +167,17 @@ def stream_sessionize(
             start_us = last_us = n = 0
             sv = 0.0
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
+        chunks = [pdf for pdf in pdfs]
+        if chunks:
+            # concat THEN sort: Arrow hands a group over as multiple
+            # chunks in shuffle-arrival order, so sorting each chunk
+            # alone would interleave time ranges and split sessions at
+            # chunk boundaries.  Memory = this user's rows in this
+            # micro-batch (bounded by per-user batch volume).
+            all_rows = chunks[0] if len(chunks) == 1 else __import__(
+                "pandas"
+            ).concat(chunks, ignore_index=True)
+            pdf = all_rows.sort_values(ts_col)
             for ts, value in zip(pdf[ts_col], pdf["value"]):
                 ts_us = ts.value // 1000  # pandas ns → µs
                 if n == 0:

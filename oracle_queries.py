@@ -1424,3 +1424,36 @@ SELECT lang,
 FROM b GROUP BY 1, 2
 ORDER BY lang, split
 """
+
+# q55: the stateful stream emits every CLOSED session (append mode) —
+# the µs-grain sessionization minus each user's last (still-open)
+# session.  The fold works in epoch microseconds, mirrored exactly.
+ORACLES["q55_stream_sessionize"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, value FROM events),
+flagged AS (
+  SELECT user_id, us, value,
+    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+              > 1800000000
+              OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+         THEN 1 ELSE 0 END AS ns
+  FROM e),
+sess AS (
+  SELECT user_id, us, value,
+    sum(ns) OVER (PARTITION BY user_id ORDER BY us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged),
+per AS (
+  SELECT user_id, sid,
+    min(us) AS start_us, max(us) AS end_us,
+    CAST(count(*) AS BIGINT) AS n_events,
+    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM sess GROUP BY user_id, sid),
+last AS (SELECT user_id, max(sid) AS last_sid FROM per GROUP BY user_id)
+SELECT p.user_id,
+  strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+  strftime(make_timestamp(end_us), '%Y-%m-%d %H:%M:%S.%f') AS s_end,
+  p.n_events, p.sum_value
+FROM per p JOIN last l ON p.user_id = l.user_id AND p.sid != l.last_sid
+ORDER BY p.user_id, s_start
+"""
