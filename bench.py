@@ -43,6 +43,9 @@ HEADLINE = [
     "q47_geo2010_rollup",       # 2010 registry rollups + labs format
     "q48_simhash_multiprobe",   # d+1 blocked-prefix-table simhash join
     "q49_decennial_e2e",        # decennial spine via 2010 registry
+    "q52_dedup_survivors",      # LSH pairs → components → survivor window
+    "q53_vocab_topk",           # vocab heavy-hitters (explode + rank)
+    "q54_sample_split",         # md5-stable split buckets, map-side
 ]
 
 
