@@ -749,10 +749,17 @@ def q32_lsh_neardup_pairs(spark, sf_dir):
     """Full MinHash+LSH near-dup pipeline (signatures → banded
     candidate buckets → exact-Jaccard verification of candidates only)
     — the 100 TB dedup path: one shuffle on the band-bucket key instead
-    of an all-pairs shingle join."""
+    of an all-pairs shingle join.
+
+    All oracle-checked LSH queries pass ``max_bucket=None``: the SQL
+    oracles describe the *uncapped* result, so the queries must match
+    them at every scale factor, not just below the cap.  The
+    production-default hot-bucket cap is covered by its own
+    adversarial tests (test_llmdata)."""
     docs = _docs(spark, sf_dir)
     return minhash_dedup_pairs(
-        docs, num_hashes=8, bands=4, n=3, verify_threshold=0.6
+        docs, num_hashes=8, bands=4, n=3, verify_threshold=0.6,
+        max_bucket=None,
     ).orderBy("id_a", "id_b")
 
 
@@ -761,7 +768,7 @@ def q33_simhash_pairs(spark, sf_dir):
     Hamming-distance filter (bit-parallel, one equi-join)."""
     docs = _docs(spark, sf_dir)
     return simhash_near_pairs(
-        docs, bits=32, max_hamming=1, prefix_bits=8
+        docs, bits=32, max_hamming=1, prefix_bits=8, max_bucket=None
     ).orderBy("id_a", "id_b")
 
 
@@ -904,7 +911,8 @@ def q38_embedding_neardup(spark, sf_dir):
     the distribution tail; planted near-dups would use τ≈0.9+.)"""
     embs = _embs(spark, sf_dir)
     return embedding_neardup_pairs(
-        embs, threshold=0.4, dim=64, planes=4, tables=4, seed=42
+        embs, threshold=0.4, dim=64, planes=4, tables=4, seed=42,
+        max_bucket=None,
     ).orderBy("id_a", "id_b")
 
 
@@ -1106,7 +1114,8 @@ def q46_neardup_groups(spark, sf_dir):
     closure + min."""
     docs = _docs(spark, sf_dir)
     pairs = minhash_dedup_pairs(
-        docs, num_hashes=8, bands=4, n=3, verify_threshold=0.6
+        docs, num_hashes=8, bands=4, n=3, verify_threshold=0.6,
+        max_bucket=None,
     )
     return neardup_groups(pairs).orderBy("doc_id")
 
@@ -1181,7 +1190,7 @@ def q48_simhash_multiprobe(spark, sf_dir):
     hamming join the bucketed plan avoids executing."""
     docs = _docs(spark, sf_dir)
     return simhash_multiprobe_pairs(
-        docs, bits=32, max_hamming=3
+        docs, bits=32, max_hamming=3, max_bucket=None
     ).orderBy("id_a", "id_b")
 
 
@@ -1353,7 +1362,8 @@ def q52_dedup_survivors(spark, sf_dir):
     survivor window."""
     docs = _docs(spark, sf_dir)
     pairs = minhash_dedup_pairs(
-        docs, num_hashes=8, bands=4, n=3, verify_threshold=0.6
+        docs, num_hashes=8, bands=4, n=3, verify_threshold=0.6,
+        max_bucket=None,
     )
     groups = neardup_groups(pairs)
     scored = docs.select("doc_id", quality_score("text").alias("quality"))

@@ -72,22 +72,30 @@ def main() -> None:
         _force(built[name])
         cold[name] = round(time.perf_counter() - t0, 3)
 
-    # Steady state: best of two passes per query, re-executing the
-    # already-built plan — a long-lived production session constructs a
-    # plan once and runs it many times, so driver-side Python plan
-    # construction (py4j expression assembly, up to ~2 s for the
-    # largest expression stacks) belongs to the cold number, not the
-    # throughput number.  Single-pass numbers swing ±15-20% with
-    # background machine load; the minimum is the engine's actual
-    # throughput, and it stabilizes round-over-round comparisons.
+    # Steady state: best of two passes per query, REBUILDING the plan
+    # each pass — rebuilding keeps lazily-materialized localCheckpoint
+    # stages (shingles, simhash signatures) inside the measurement, so
+    # warm numbers stay comparable round-over-round and honestly price
+    # a production re-run of the query.  Single-pass numbers swing
+    # ±15-20% with background machine load; the minimum is the engine's
+    # throughput, and it stabilizes comparisons.
     times: dict[str, float] = {}
     for _pass in range(2):
         for name in HEADLINE:
             t0 = time.perf_counter()
-            _force(built[name])
+            _force(queries[name](spark, SF_DIR))
             dt = round(time.perf_counter() - t0, 3)
             times[name] = min(times.get(name, dt), dt)
     total = sum(times.values())
+
+    # Plan-reuse pass: re-execute the ALREADY-BUILT DataFrames — what a
+    # long-lived session re-running a held plan pays (no py4j plan
+    # assembly, checkpointed stages reused).  Reported separately.
+    reexec: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(built[name])
+        reexec[name] = round(time.perf_counter() - t0, 3)
 
     print(
         json.dumps(
@@ -99,6 +107,7 @@ def main() -> None:
                 "sf": sf,
                 "cold_total": round(sum(cold.values()), 3),
                 "queries_cold": cold,
+                "reexec_total": round(sum(reexec.values()), 3),
             }
         )
     )

@@ -249,7 +249,9 @@ def lsh_candidate_pairs(
     ``max_bucket`` guards the O(m²) within-bucket blowup (see
     ``cap_hot_buckets``); the default is far above any bucket a
     deduplicated corpus produces but bounds the damage of boilerplate
-    floods."""
+    floods.  A capped result is a *subset* of the uncapped one — any
+    exact external oracle must run uncapped (``max_bucket=None``) or
+    model the cap."""
     rows = num_hashes // bands
     assert rows * bands == num_hashes, "bands must divide num_hashes"
     band_structs = F.array(
@@ -461,14 +463,17 @@ def simhash_multiprobe_pairs(
     Plan shape: one explode (d+1 keys per doc), one equi-join on the
     (table, block) key — the multi-table twin of
     ``lsh_candidate_pairs``'s banded join.  A pair whose fingerprints
-    agree on several blocks would match in several tables; instead of
-    deduplicating afterwards (a full shuffle of the pair set — measured
-    ~2M rows at sf0.1), the join condition charges each pair to its
-    *first* matching table ("all earlier blocks differ"), so every pair
-    is emitted exactly once and the distinct disappears.  ``max_bucket``
-    bounds the within-bucket blowup; a dropped bucket weakens the
-    recall guarantee only for the boilerplate floods it exists to
-    stop."""
+    agree on several blocks would match in several tables; with no
+    bucket cap the join condition charges each pair to its *first*
+    matching table ("all earlier blocks differ"), so every pair is
+    emitted exactly once and the distinct disappears (a full shuffle
+    of ~2M pair rows at sf0.1).  Under a ``max_bucket`` cap that trick
+    would LOSE pairs whose first-matching bucket was dropped but whose
+    later-table bucket survived (the first-match clause forbids the
+    later emit), so the capped path keeps the distinct instead —
+    correctness over the shuffle saving.  A dropped bucket then
+    weakens the recall guarantee only for the boilerplate floods it
+    exists to stop."""
     tables = max_hamming + 1
     base, rem = divmod(bits, tables)
     sizes = [base + (1 if t < rem else 0) for t in range(tables)]
@@ -501,25 +506,27 @@ def simhash_multiprobe_pairs(
             F.lit((1 << sizes[j]) - 1)
         )
 
-    # charge each pair to its first matching table: at table t, every
-    # earlier block j < t must differ (t <= j OR block_j(a) != block_j(b))
-    first_match = F.lit(True)
-    for j in range(tables - 1):
-        first_match = first_match & (
-            (F.col("a.t") <= j)
-            | (block(F.col("a.sig"), j) != block(F.col("b.sig"), j))
-        )
-    return (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.id") < F.col("b.id"))
-            & first_match,
-        )
+    cond = (
+        (F.col("a.t") == F.col("b.t"))
+        & (F.col("a.k") == F.col("b.k"))
+        & (F.col("a.id") < F.col("b.id"))
+    )
+    if max_bucket is None:
+        # charge each pair to its first matching table: at table t,
+        # every earlier block j < t must differ
+        # (t <= j OR block_j(a) != block_j(b)).  Only valid uncapped —
+        # see the docstring.
+        for j in range(tables - 1):
+            cond = cond & (
+                (F.col("a.t") <= j)
+                | (block(F.col("a.sig"), j) != block(F.col("b.sig"), j))
+            )
+    out = (
+        a.join(b, cond)
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming"
         )
     )
+    return out if max_bucket is None else out.dropDuplicates(["id_a", "id_b"])

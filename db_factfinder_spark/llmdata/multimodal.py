@@ -135,7 +135,18 @@ def resize_images(
                 wcol = pdf["width"] if "width" in pdf.columns else [None] * n
                 hcol = pdf["height"] if "height" in pdf.columns else [None] * n
                 for p, w, h in zip(pdf["payload"], wcol, hcol):
-                    if p is None or w is None or h is None or w <= 0 or h <= 0:
+                    # NULL ints arrive as NaN through Arrow→pandas, so
+                    # pd.isna is the real null check; int(NaN) would
+                    # kill the task otherwise
+                    if (
+                        p is None
+                        or w is None
+                        or h is None
+                        or pd.isna(w)
+                        or pd.isna(h)
+                        or w <= 0
+                        or h <= 0
+                    ):
                         out.append(None)
                         continue
                     img = _decode_raw(bytes(p), int(w), int(h))

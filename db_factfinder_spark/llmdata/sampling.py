@@ -44,6 +44,8 @@ def deterministic_sample(
     id_col: Column | str, fraction: float, buckets: int = 10_000
 ) -> Column:
     """Boolean keep-mask selecting a stable ~``fraction`` of rows:
-    bucket < fraction·buckets.  Unlike ``df.sample`` the selection is
-    partitioning-independent and repeatable."""
-    return hash_bucket(id_col, buckets) < int(fraction * buckets)
+    bucket < round(fraction·buckets) (round, not int — float products
+    like 0.57·100 = 56.999… would truncate a bucket short).  Unlike
+    ``df.sample`` the selection is partitioning-independent and
+    repeatable."""
+    return hash_bucket(id_col, buckets) < round(fraction * buckets)

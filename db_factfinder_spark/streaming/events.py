@@ -174,9 +174,11 @@ def stream_sessionize(
             # alone would interleave time ranges and split sessions at
             # chunk boundaries.  Memory = this user's rows in this
             # micro-batch (bounded by per-user batch volume).
-            all_rows = chunks[0] if len(chunks) == 1 else __import__(
-                "pandas"
-            ).concat(chunks, ignore_index=True)
+            all_rows = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
             pdf = all_rows.sort_values(ts_col)
             for ts, value in zip(pdf[ts_col], pdf["value"]):
                 ts_us = ts.value // 1000  # pandas ns → µs

@@ -255,7 +255,8 @@ def test_resize_images_raw_codec(spark):
 
     src = bytes(range(16))  # 4x4: row r, col c → value 4r+c
     df = spark.createDataFrame(
-        [(1, bytearray(src), 4, 4), (2, None, 4, 4), (3, bytearray(b"x"), 0, 4)],
+        [(1, bytearray(src), 4, 4), (2, None, 4, 4), (3, bytearray(b"x"), 0, 4),
+         (5, bytearray(src), None, 4)],
         "media_id long, payload binary, width int, height int",
     )
     out = {r["media_id"]: r.asDict() for r in resize_images(df, 2, 2).collect()}
@@ -264,6 +265,8 @@ def test_resize_images_raw_codec(spark):
     assert out[1]["width"] == 2 and out[1]["height"] == 2
     assert out[2]["payload"] is None  # NULL payload isolated, not fatal
     assert out[3]["payload"] is None  # non-positive dims isolated
+    # NULL width arrives as NaN through Arrow → must isolate, not crash
+    assert out[5]["payload"] is None
     # short payload zero-pads before resampling
     short = spark.createDataFrame(
         [(4, bytearray(bytes([7, 7])), 4, 4)],
@@ -522,3 +525,18 @@ def test_deterministic_sample_fraction(spark):
     assert 0.22 * 5000 < kept < 0.28 * 5000
     # same selection on every evaluation
     assert kept == df.filter(deterministic_sample("doc_id", 0.25)).count()
+
+
+def test_multiprobe_capped_and_uncapped_paths_agree(spark, docs):
+    """The capped path (bucket join + distinct) and the uncapped path
+    (first-matching-table join condition) are different plans; on a
+    corpus with no hot buckets they must produce identical pair sets."""
+    from db_factfinder_spark.llmdata.dedup import simhash_multiprobe_pairs
+
+    capped = simhash_multiprobe_pairs(docs, bits=32, max_hamming=2)
+    uncapped = simhash_multiprobe_pairs(
+        docs, bits=32, max_hamming=2, max_bucket=None
+    )
+    a = {(r["id_a"], r["id_b"], r["hamming"]) for r in capped.collect()}
+    b = {(r["id_a"], r["id_b"], r["hamming"]) for r in uncapped.collect()}
+    assert a == b and len(a) > 0
