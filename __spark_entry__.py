@@ -727,18 +727,27 @@ def q30_quality_filter(spark, sf_dir):
 
 
 def q31_embedding_centroids(spark, sf_dir):
-    """Element-wise centroid sums per label (posexplode + exact decimal
-    aggregation over array elements).  Reads the raw table (no _embs
-    repartition): the groupBy after posexplode already redistributes,
-    so a pre-shuffle of the raw vectors is pure overhead here."""
+    """Element-wise centroid sums per label (posexplode + exact
+    fixed-point aggregation over array elements).  Reads the raw table
+    (no _embs repartition): the groupBy after posexplode already
+    redistributes, so a pre-shuffle of the raw vectors is pure overhead
+    here.
+
+    Fixed-point via ``floor(x·1e7 + 0.5)`` instead of a DECIMAL cast:
+    casting a float to DECIMAL(20,9) rounds a *decimal string* in Spark
+    but the *binary double* in DuckDB, and at sf0.1 one element in 64k
+    lands on the tie and rounds oppositely (1e-9 mismatch).  The
+    floor-product is one identical double op on both engines, so the
+    integer sum is bit-exact at every scale."""
     embs = _t(spark, sf_dir, "embeddings")
     exploded = embs.select(
         "label", F.posexplode("embedding").alias("pos", "val")
     )
+    fx = F.floor(F.col("val").cast("double") * 1e7 + 0.5).cast("long")
     return (
         exploded.groupBy("label", "pos")
         .agg(
-            F.sum(F.col("val").cast("decimal(20,9)")).cast("double").alias("sum_val"),
+            (F.sum(fx).cast("double") / F.lit(1e7)).alias("sum_val"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("label", "pos")

@@ -647,8 +647,8 @@ FROM scored GROUP BY lang
 
 ORACLES["q31_embedding_centroids"] = """
 SELECT label, pos,
-  CAST(sum(CAST(CAST(embedding[pos + 1] AS DOUBLE) AS DECIMAL(20,9)))
-       AS DOUBLE) AS sum_val,
+  CAST(sum(CAST(floor(CAST(embedding[pos + 1] AS DOUBLE) * 1e7 + 0.5)
+                AS BIGINT)) AS DOUBLE) / 1e7 AS sum_val,
   count(*) AS n
 FROM embeddings, (SELECT unnest(range(64)) AS pos) p
 GROUP BY label, pos
