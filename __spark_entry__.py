@@ -74,6 +74,7 @@ from db_factfinder_spark.functions.geoid import (
     format_geoid_2010,
     format_geotype_2010,
 )
+from db_factfinder_spark.operators.asof import asof_join
 from db_factfinder_spark.operators.cleaning import cleaning
 from db_factfinder_spark.operators.horizontal import aggregate_horizontal
 from db_factfinder_spark.operators.median import median_struct
@@ -1445,6 +1446,30 @@ def q55_stream_sessionize(spark, sf_dir):
     ).orderBy("user_id", "s_start")
 
 
+def q56_asof_join(spark, sf_dir):
+    """Backward as-of join (point-in-time lookup): every click event
+    gets the latest purchase value at-or-before it for the same user.
+    Union-window form — one shuffle on the user key, linear in rows —
+    instead of an exploding inequality join; DuckDB's native ASOF JOIN
+    is the oracle."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    quotes = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = asof_join(probes, quotes, on="ts", by="user_id", value_col="pvalue")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "pvalue_asof",
+    ).orderBy("event_id")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1511,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_vocab_topk": q53_vocab_topk,
         "q54_sample_split": q54_sample_split,
         "q55_stream_sessionize": q55_stream_sessionize,
+        "q56_asof_join": q56_asof_join,
     }
 
 

@@ -1457,3 +1457,19 @@ SELECT p.user_id,
 FROM per p JOIN last l ON p.user_id = l.user_id AND p.sid != l.last_sid
 ORDER BY p.user_id, s_start
 """
+
+# q56: DuckDB's native ASOF JOIN is the oracle for the union-window
+# as-of implementation (backward, inclusive >=).
+ORACLES["q56_asof_join"] = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+q AS (
+  SELECT user_id, ts, max(value) AS pvalue
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id,
+  strftime(make_timestamp(epoch_us(p.ts)), '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+  q.pvalue AS pvalue_asof
+FROM p ASOF LEFT JOIN q
+  ON p.user_id = q.user_id AND p.ts >= q.ts
+ORDER BY event_id
+"""
