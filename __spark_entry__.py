@@ -75,6 +75,7 @@ from db_factfinder_spark.functions.geoid import (
     format_geotype_2010,
 )
 from db_factfinder_spark.operators.asof import asof_join
+from db_factfinder_spark.operators.rangejoin import point_in_interval_join
 from db_factfinder_spark.operators.cleaning import cleaning
 from db_factfinder_spark.operators.horizontal import aggregate_horizontal
 from db_factfinder_spark.operators.median import median_struct
@@ -1470,6 +1471,42 @@ def q56_asof_join(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q57_range_join(spark, sf_dir):
+    """Keyed point-in-interval range join, bucketed: for every click,
+    how many same-user purchase windows (±5 min) contain it.  The
+    inequality join becomes an equi-join on (user, time-bucket) with
+    the BETWEEN as a post-filter — intermediate size is linear, and a
+    pair meets in exactly one bucket (the point's), so no dedup.
+    Zero-match clicks re-attach via a left join for a complete result."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    t_us = (F.unix_micros("ts")).alias("t")
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", t_us
+    )
+    half = 300 * 1_000_000  # ±5 min in µs
+    intervals = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.unix_micros("ts") - half).alias("s"),
+        (F.unix_micros("ts") + half).alias("e"),
+    )
+    pairs = point_in_interval_join(
+        probes, intervals, by="user_id", t_col="t",
+        s_col="s", e_col="e", bucket_width=2 * half,
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_windows")
+    )
+    return (
+        probes.join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1537,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_sample_split": q54_sample_split,
         "q55_stream_sessionize": q55_stream_sessionize,
         "q56_asof_join": q56_asof_join,
+        "q57_range_join": q57_range_join,
     }
 
 

@@ -1473,3 +1473,21 @@ FROM p ASOF LEFT JOIN q
   ON p.user_id = q.user_id AND p.ts >= q.ts
 ORDER BY event_id
 """
+
+# q57: plain inequality join is the oracle for the bucketed range join.
+ORACLES["q57_range_join"] = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'click'),
+iv AS (
+  SELECT user_id,
+         epoch_us(ts) - 300000000 AS s,
+         epoch_us(ts) + 300000000 AS e
+  FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+  CAST(count(iv.s) AS BIGINT) AS n_windows
+FROM p LEFT JOIN iv
+  ON p.user_id = iv.user_id AND p.t >= iv.s AND p.t <= iv.e
+GROUP BY p.event_id, p.user_id
+ORDER BY p.event_id
+"""

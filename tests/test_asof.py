@@ -34,3 +34,46 @@ def test_asof_preserves_probe_columns_and_rows(spark):
     out = asof_join(probes, quotes, on="ts", by="user_id")
     assert out.columns == ["event_id", "ts", "user_id", "value_asof"]
     assert out.count() == probes.count()
+
+
+# ---------------------------------------------------------------------------
+# Bucketed point-in-interval range join
+# ---------------------------------------------------------------------------
+
+from db_factfinder_spark.operators.rangejoin import (  # noqa: E402
+    point_in_interval_join,
+)
+
+
+def test_range_join_boundaries_and_bucket_straddle(spark):
+    points = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", 150), (3, "u1", 201), (4, "u2", 150)],
+        "pid long, user_id string, t long",
+    )
+    # interval [100, 200] straddles buckets with width 64; u2 has none
+    intervals = spark.createDataFrame(
+        [("u1", 100, 200), ("u1", 180, 300)],
+        "user_id string, s long, e long",
+    )
+    pairs = point_in_interval_join(
+        points, intervals, by="user_id", t_col="t",
+        s_col="s", e_col="e", bucket_width=64,
+    )
+    got = {(r["pid"], r["s"]) for r in pairs.collect()}
+    # inclusive boundaries: t=100 matches s=100; t=201 only the 2nd
+    assert got == {(1, 100), (2, 100), (3, 180)}
+
+
+def test_range_join_no_duplicate_pairs(spark):
+    # an interval spanning many buckets must still pair once per point
+    points = spark.createDataFrame(
+        [(1, "u", 500)], "pid long, user_id string, t long"
+    )
+    intervals = spark.createDataFrame(
+        [("u", 0, 1000)], "user_id string, s long, e long"
+    )
+    pairs = point_in_interval_join(
+        points, intervals, by="user_id", t_col="t",
+        s_col="s", e_col="e", bucket_width=10,
+    )
+    assert pairs.count() == 1
