@@ -76,6 +76,7 @@ from db_factfinder_spark.functions.geoid import (
 )
 from db_factfinder_spark.operators.asof import asof_join
 from db_factfinder_spark.operators.rangejoin import point_in_interval_join
+from db_factfinder_spark.operators.rollup_cascade import cascaded_rollup
 from db_factfinder_spark.operators.cleaning import cleaning
 from db_factfinder_spark.operators.horizontal import aggregate_horizontal
 from db_factfinder_spark.operators.median import median_struct
@@ -1507,6 +1508,27 @@ def q57_range_join(spark, sf_dir):
     )
 
 
+def q58_rollup_cascade(spark, sf_dir):
+    """Hypertable-style continuous aggregate: daily stats derived from
+    hourly partials which derive from minutely partials — raw events
+    scanned once, each coarser level re-aggregates the (much smaller)
+    finer level.  Algebraic aggregates compose exactly, so the oracle
+    aggregates raw straight to days and must match bit-for-bit.
+    Decimal-exact sums (order-independent across the cascade)."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("value", F.col("value").cast("decimal(18,2)"))
+    levels = cascaded_rollup(ev, ["minute", "hour", "day"])
+    daily = levels["day"]
+    return daily.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    ).orderBy("day", "event_type")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1575,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_stream_sessionize": q55_stream_sessionize,
         "q56_asof_join": q56_asof_join,
         "q57_range_join": q57_range_join,
+        "q58_rollup_cascade": q58_rollup_cascade,
     }
 
 

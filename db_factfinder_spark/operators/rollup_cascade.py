@@ -1,0 +1,82 @@
+"""Hypertable-style cascaded time rollups (continuous aggregates).
+
+A 100 TB event store can't re-scan raw data for every resolution: the
+TimescaleDB/Druid pattern aggregates raw events once at the finest
+grain, then derives every coarser level from the previous level's
+partials.  For algebraic aggregates (count, sum, min, max) the
+re-aggregation is exact: counts/sums add, min/min and max/max compose
+— so the hourly table reads the minutely table (60× smaller than raw),
+the daily reads the hourly (24× smaller again), and raw is scanned
+exactly once.  Non-algebraic aggregates (median, distinct) need
+sketches (not implemented here — q08's median and exact distinct work
+at one grain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_AGGS = ["n_events", "sum_value", "min_value", "max_value"]
+
+
+def base_rollup(
+    events: DataFrame,
+    grain: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Raw events → finest-grain partial aggregates: one shuffle on
+    (bucket, key).  ``grain`` is a ``date_trunc`` unit."""
+    return (
+        events.groupBy(
+            F.date_trunc(grain, ts_col).alias("bucket"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+
+
+def rollup_to(finer: DataFrame, grain: str, key_col: str = "event_type") -> DataFrame:
+    """One cascade step: re-aggregate a finer level's partials to a
+    coarser grain.  Reads the (already tiny) finer aggregate — never
+    the raw events."""
+    return (
+        finer.groupBy(
+            F.date_trunc(grain, "bucket").alias("bucket"), F.col(key_col)
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+def cascaded_rollup(
+    events: DataFrame,
+    grains: list[str],
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> dict[str, DataFrame]:
+    """Full cascade: ``grains`` ordered fine→coarse (e.g. ``["minute",
+    "hour", "day"]``).  Returns {grain: aggregate}; level k's plan reads
+    level k-1, so materializing the finest level (cache or a parquet
+    write) makes every coarser level nearly free."""
+    out: dict[str, DataFrame] = {}
+    prev: DataFrame | None = None
+    for g in grains:
+        prev = (
+            base_rollup(events, g, ts_col, key_col, value_col)
+            if prev is None
+            else rollup_to(prev, g, key_col)
+        )
+        out[g] = prev
+    return out

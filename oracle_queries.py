@@ -1491,3 +1491,17 @@ FROM p LEFT JOIN iv
 GROUP BY p.event_id, p.user_id
 ORDER BY p.event_id
 """
+
+# q58: the cascade (raw → minute → hour → day) must equal the direct
+# raw → day aggregation — algebraic aggregates compose exactly.
+ORACLES["q58_rollup_cascade"] = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
