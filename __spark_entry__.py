@@ -1529,6 +1529,28 @@ def q58_rollup_cascade(spark, sf_dir):
     ).orderBy("day", "event_type")
 
 
+def q59_percentiles(spark, sf_dir):
+    """Exact grouped ordered statistics: per event type the linearly
+    interpolated p25/p50/p90 of value (Spark ``percentile`` ↔ DuckDB
+    ``quantile_cont`` — identical interpolation on identical doubles,
+    verified bit-exact).  Exact percentiles sort within each group; at
+    100 TB the approximate sketch (``percentile_approx``/t-digest) is
+    the scale path, kept out of the oracle set because sketches are
+    engine-specific."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, array(0.25, 0.5, 0.9))").alias("p"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .selectExpr(
+            "event_type", "p[0] AS p25", "p[1] AS p50", "p[2] AS p90", "n"
+        )
+        .orderBy("event_type")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1598,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_asof_join": q56_asof_join,
         "q57_range_join": q57_range_join,
         "q58_rollup_cascade": q58_rollup_cascade,
+        "q59_percentiles": q59_percentiles,
     }
 
 

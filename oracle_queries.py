@@ -1505,3 +1505,13 @@ FROM events
 GROUP BY 1, 2
 ORDER BY day, event_type
 """
+
+ORACLES["q59_percentiles"] = """
+SELECT event_type,
+  quantile_cont(value, 0.25) AS p25,
+  quantile_cont(value, 0.5) AS p50,
+  quantile_cont(value, 0.9) AS p90,
+  CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+ORDER BY event_type
+"""
