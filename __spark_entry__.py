@@ -1551,6 +1551,27 @@ def q59_percentiles(spark, sf_dir):
     )
 
 
+def q60_rollup_grouping(spark, sf_dir):
+    """Multi-grouping aggregation (ROLLUP + grouping_id): subtotal and
+    grand-total rows in one pass — native Catalyst Expand, one shuffle
+    carrying every grouping set's partials (vs re-scanning per level).
+    Spark's grouping_id bitmask matches DuckDB's GROUPING() exactly.
+    Absent from the reference (SURVEY §2.4) but table stakes for an
+    analytics engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1621,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_range_join": q57_range_join,
         "q58_rollup_cascade": q58_rollup_cascade,
         "q59_percentiles": q59_percentiles,
+        "q60_rollup_grouping": q60_rollup_grouping,
     }
 
 

@@ -1515,3 +1515,13 @@ SELECT event_type,
 FROM events GROUP BY event_type
 ORDER BY event_type
 """
+
+ORACLES["q60_rollup_grouping"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
