@@ -77,3 +77,96 @@ def test_range_join_no_duplicate_pairs(spark):
         s_col="s", e_col="e", bucket_width=10,
     )
     assert pairs.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Property tests: random corpora vs brute-force references
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, HealthCheck  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_row = st.tuples(
+    st.integers(min_value=0, max_value=3),     # key
+    st.integers(min_value=0, max_value=50),    # ts
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    probes=st.lists(_row, min_size=1, max_size=15),
+    quotes=st.lists(_row, min_size=0, max_size=15),
+)
+def test_asof_matches_bruteforce(spark, probes, quotes):
+    from db_factfinder_spark.operators.asof import asof_join
+
+    pdf = spark.createDataFrame(
+        [(i, f"u{k}", t) for i, (k, t) in enumerate(probes)],
+        "pid long, user_id string, t long",
+    )
+    # unique (key, ts) quote grain — the operator's documented contract
+    qrows = {(k, t): float(k * 100 + t) for k, t in quotes}
+    if qrows:
+        qdf = spark.createDataFrame(
+            [(f"u{k}", t, v) for (k, t), v in qrows.items()],
+            "user_id string, t long, value double",
+        )
+    else:
+        qdf = spark.createDataFrame([], "user_id string, t long, value double")
+    got = {
+        r["pid"]: r["value_asof"]
+        for r in asof_join(pdf, qdf, on="t", by="user_id").collect()
+    }
+    for i, (k, t) in enumerate(probes):
+        eligible = [(qt, v) for (qk, qt), v in qrows.items()
+                    if qk == k and qt <= t]
+        want = max(eligible)[1] if eligible else None
+        assert got[i] == want, f"probe {i} (u{k}@{t}): {got[i]} != {want}"
+
+
+_iv = st.tuples(
+    st.integers(min_value=0, max_value=3),     # key
+    st.integers(min_value=0, max_value=60),    # start
+    st.integers(min_value=0, max_value=25),    # length
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    points=st.lists(_row, min_size=1, max_size=12),
+    ivs=st.lists(_iv, min_size=0, max_size=12),
+    width=st.sampled_from([1, 7, 16, 64]),
+)
+def test_range_join_matches_bruteforce(spark, points, ivs, width):
+    from db_factfinder_spark.operators.rangejoin import point_in_interval_join
+
+    pdf = spark.createDataFrame(
+        [(i, f"u{k}", t) for i, (k, t) in enumerate(points)],
+        "pid long, user_id string, t long",
+    )
+    iv_rows = [(f"u{k}", s, s + ln) for k, s, ln in ivs]
+    idf = (
+        spark.createDataFrame(iv_rows, "user_id string, s long, e long")
+        if iv_rows
+        else spark.createDataFrame([], "user_id string, s long, e long")
+    )
+    got = sorted(
+        (r["pid"], r["s"], r["e"])
+        for r in point_in_interval_join(
+            pdf, idf, by="user_id", t_col="t", s_col="s", e_col="e",
+            bucket_width=width,
+        ).collect()
+    )
+    want = sorted(
+        (i, s, e)
+        for i, (k, t) in enumerate(points)
+        for (uk, s, e) in iv_rows
+        if uk == f"u{k}" and s <= t <= e
+    )
+    assert got == want
