@@ -227,3 +227,34 @@ def test_q49_decennial_spine_broadcasts(spark):
     plan = _plan(spark, "q49_decennial_e2e")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_operator_is_single_keyed_shuffle(spark):
+    # the union-window as-of form: ONE hash exchange (the by-key
+    # window), never a join operator at all.  Tested on the bare
+    # operator — q56 adds a quote pre-aggregation shuffle of its own.
+    from pyspark.sql import functions as F
+
+    from db_factfinder_spark.operators.asof import asof_join
+    from db_factfinder_spark.sources.readers import read_events
+
+    ev = read_events(spark, f"{SF_DIR}/events.parquet")
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    quotes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    df = asof_join(probes, quotes, on="ts", by="user_id")
+    jvm = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = df._jdf.queryExecution().explainString(jvm.fromString("formatted"))
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_q57_range_join_is_equi_not_nested_loop(spark):
+    # the bucketed form turns the inequality join into an equi-join;
+    # a BroadcastNestedLoopJoin would mean the rewrite regressed
+    plan = _plan(spark, "q57_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
