@@ -47,6 +47,7 @@ from db_factfinder_spark.llmdata.dedup import (
     simhash_near_pairs,
 )
 from db_factfinder_spark.llmdata.components import neardup_groups, select_survivors
+from db_factfinder_spark.llmdata.redact import redact_pii
 from db_factfinder_spark.llmdata.sampling import split_column
 from db_factfinder_spark.llmdata.kmeans import kmeans_assignments
 from db_factfinder_spark.llmdata.multimodal import extract_features, resize_images
@@ -1572,6 +1573,41 @@ def q60_rollup_grouping(spark, sf_dir):
     )
 
 
+def q61_pii_redaction(spark, sf_dir):
+    """PII scrub: synthetic emails/phones/IPs injected into the corpus
+    (deterministic per doc), then redacted by ordered regex rules with
+    per-rule audit counts — all JVM-side regexp expressions, map-only.
+    The md5 of the redacted text proves byte-exact replacement against
+    the oracle's RE2 run of the same patterns."""
+    docs = _docs(spark, sf_dir)
+    k = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            k.cast("string"),
+            F.lit("@ex-"),
+            (k % 7).cast("string"),
+            F.lit(".com or 555-"),
+            F.lpad((k * 7 % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((k % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (k % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    out = redact_pii(injected, "text")
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5("text_redacted").alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1643,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_rollup_cascade": q58_rollup_cascade,
         "q59_percentiles": q59_percentiles,
         "q60_rollup_grouping": q60_rollup_grouping,
+        "q61_pii_redaction": q61_pii_redaction,
     }
 
 

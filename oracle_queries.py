@@ -1525,3 +1525,41 @@ FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY gid, l_returnflag, l_linestatus
 """
+
+# q61: same injection + RE2 regexes in DuckDB; md5 of the redacted
+# text proves byte-exact replacement parity with Java regex.
+ORACLES["q61_pii_redaction"] = """
+WITH injected AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@ex-' || CAST(doc_id % 7 AS VARCHAR)
+         || '.com or 555-' || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0')
+         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+  FROM documents),
+counted AS (
+  SELECT doc_id, t,
+    len(regexp_extract_all(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+    len(regexp_extract_all(t,
+        '\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b')) AS n_phone,
+    len(regexp_extract_all(t,
+        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4
+  FROM injected),
+redacted AS (
+  SELECT doc_id, n_email, n_phone, n_ipv4,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS rt
+  FROM counted)
+SELECT doc_id,
+  CAST(n_email AS INT) AS n_email,
+  CAST(n_phone AS INT) AS n_phone,
+  CAST(n_ipv4 AS INT) AS n_ipv4,
+  md5(rt) AS redacted_md5
+FROM redacted
+ORDER BY doc_id
+"""

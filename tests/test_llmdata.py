@@ -540,3 +540,25 @@ def test_multiprobe_capped_and_uncapped_paths_agree(spark, docs):
     a = {(r["id_a"], r["id_b"], r["hamming"]) for r in capped.collect()}
     b = {(r["id_a"], r["id_b"], r["hamming"]) for r in uncapped.collect()}
     assert a == b and len(a) > 0
+
+
+def test_redact_pii_rules_and_counts(spark):
+    from db_factfinder_spark.llmdata.redact import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e-f.org call 555-123-4567"),
+            (2, "server at 192.168.0.1 and 10.0.0.255 no contacts"),
+            (3, "clean text with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in redact_pii(df, "text").collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_phone"] == 1
+    assert out[1]["text_redacted"] == (
+        "mail <EMAIL> and <EMAIL> call <PHONE>"
+    )
+    assert out[2]["n_ipv4"] == 2
+    assert "<IP>" in out[2]["text_redacted"]
+    assert out[3]["text_redacted"] == out[3]["text"]
+    assert out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_ipv4"] == 0
