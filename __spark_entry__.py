@@ -65,6 +65,7 @@ from db_factfinder_spark.llmdata.textstats import (
     mean_token_length,
     punct_ratio,
     quality_score,
+    repetition_stats,
     rolling_hash,
     stopword_ratio,
     token_count,
@@ -1608,6 +1609,16 @@ def q61_pii_redaction(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q62_repetition_stats(spark, sf_dir):
+    """Gopher-style within-document repetition signals: distinct-token
+    ratio plus the top-unigram and top-bigram occupancy fractions —
+    the cheap boilerplate filter run before model-based scoring.
+    Explode → per-gram counts → per-doc re-aggregation, two shuffles
+    on the doc id regardless of corpus size."""
+    docs = _docs(spark, sf_dir)
+    return repetition_stats(docs).orderBy("doc_id")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1680,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_percentiles": q59_percentiles,
         "q60_rollup_grouping": q60_rollup_grouping,
         "q61_pii_redaction": q61_pii_redaction,
+        "q62_repetition_stats": q62_repetition_stats,
     }
 
 

@@ -201,3 +201,68 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(text_col),
         }
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition profile (the Gopher-rule boilerplate
+    signals): per document the distinct-token ratio, the fraction of
+    tokens taken by the single most frequent token, and the fraction
+    of 2-gram slots taken by the most frequent 2-gram.  Machine-
+    generated/boilerplate text scores low distinct ratio and high top
+    fractions; the standard cheap filter thresholds on these.
+
+    Set-based, not per-row loops: explode once, count per (doc, gram),
+    re-aggregate per doc — two shuffles on the doc id for any corpus
+    size, partial aggregation map-side.  Token-less documents yield
+    NULL ratios (no signal, distinct from a zero score)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    unigrams = toks.select("id", F.explode("toks").alias("g"))
+    uni = (
+        unigrams.groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    bigrams = toks.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.get("toks", i - 1), F.get("toks", i)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    bi = (
+        bigrams.groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bi_c"))
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    out = base.join(uni, "id", "left").join(bi, "id", "left")
+    return out.select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+            "distinct_ratio"
+        ),
+        (F.col("top_c").cast("double") / F.col("n_tokens")).alias(
+            "top_token_frac"
+        ),
+        (F.col("top_bi_c").cast("double") / F.col("n_bigrams")).alias(
+            "top_bigram_frac"
+        ),
+    )

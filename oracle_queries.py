@@ -1563,3 +1563,38 @@ SELECT doc_id,
 FROM redacted
 ORDER BY doc_id
 """
+
+ORACLES["q62_repetition_stats"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+uni AS (
+  SELECT doc_id,
+    CAST(sum(c) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS n_distinct,
+    CAST(max(c) AS BIGINT) AS top_c
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS g FROM t)
+        GROUP BY doc_id, g)
+  GROUP BY doc_id),
+bi AS (
+  SELECT doc_id,
+    CAST(sum(c) AS BIGINT) AS n_bigrams,
+    CAST(max(c) AS BIGINT) AS top_bi_c
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                unnest(CASE WHEN len(toks) >= 2 THEN
+                  list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])
+                ELSE [] END) AS g
+              FROM t)
+        GROUP BY doc_id, g)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(uni.n_tokens, 0) AS n_tokens,
+  CAST(uni.n_distinct AS DOUBLE) / uni.n_tokens AS distinct_ratio,
+  CAST(uni.top_c AS DOUBLE) / uni.n_tokens AS top_token_frac,
+  CAST(bi.top_bi_c AS DOUBLE) / bi.n_bigrams AS top_bigram_frac
+FROM documents d
+LEFT JOIN uni ON d.doc_id = uni.doc_id
+LEFT JOIN bi ON d.doc_id = bi.doc_id
+ORDER BY d.doc_id
+"""

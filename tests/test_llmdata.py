@@ -562,3 +562,27 @@ def test_redact_pii_rules_and_counts(spark):
     assert "<IP>" in out[2]["text_redacted"]
     assert out[3]["text_redacted"] == out[3]["text"]
     assert out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_ipv4"] == 0
+
+
+def test_repetition_stats_boilerplate_vs_varied(spark):
+    from db_factfinder_spark.llmdata.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "one two three four five six"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    # pure repetition: one distinct token owns everything
+    assert out[1]["distinct_ratio"] == 1 / 6
+    assert out[1]["top_token_frac"] == 1.0
+    assert out[1]["top_bigram_frac"] == 1.0
+    # fully varied: every token and bigram unique
+    assert out[2]["distinct_ratio"] == 1.0
+    assert abs(out[2]["top_token_frac"] - 1 / 6) < 1e-12
+    assert abs(out[2]["top_bigram_frac"] - 1 / 5) < 1e-12
+    # token-less: NULL ratios, zero tokens
+    assert out[3]["n_tokens"] == 0 and out[3]["distinct_ratio"] is None
