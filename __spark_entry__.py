@@ -48,7 +48,7 @@ from db_factfinder_spark.llmdata.dedup import (
 )
 from db_factfinder_spark.llmdata.components import neardup_groups, select_survivors
 from db_factfinder_spark.llmdata.redact import redact_pii
-from db_factfinder_spark.llmdata.sampling import split_column
+from db_factfinder_spark.llmdata.sampling import mixture_sample, split_column
 from db_factfinder_spark.llmdata.kmeans import kmeans_assignments
 from db_factfinder_spark.llmdata.multimodal import extract_features, resize_images
 from db_factfinder_spark.llmdata.similarity import (
@@ -65,6 +65,7 @@ from db_factfinder_spark.llmdata.textstats import (
     mean_token_length,
     punct_ratio,
     quality_score,
+    pack_sequences,
     repetition_stats,
     rolling_hash,
     stopword_ratio,
@@ -1619,6 +1620,45 @@ def q62_repetition_stats(spark, sf_dir):
     return repetition_stats(docs).orderBy("doc_id")
 
 
+def q63_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing: per-language document streams
+    concatenate in doc order and split into 4096-token chunks; each doc
+    reports the chunk and offset where it starts.  One window cumsum
+    per stream (single shuffle) — the assignment map a pretraining
+    batcher consumes."""
+    docs = _docs(spark, sf_dir)
+    with_tokens = docs.select(
+        "doc_id", "lang", bpe_token_count("text").alias("n_tok")
+    )
+    packed = pack_sequences(
+        with_tokens, seq_len=4096, token_col="n_tok",
+        order_col="doc_id", part_col="lang",
+    )
+    return packed.select(
+        "doc_id", "lang", "n_tok", "chunk_id", "chunk_offset"
+    ).orderBy("doc_id")
+
+
+def q64_mixture_sample(spark, sf_dir):
+    """Deterministic weighted mixture: per-language keep fractions
+    (the mixture knob of corpus construction), md5-stable per doc so
+    reweighting one group never reshuffles another.  Map-side filter +
+    one aggregation."""
+    docs = _docs(spark, sf_dir)
+    weights = {"en": 0.9, "es": 0.5, "fr": 0.25, "de": 0.1}
+    kept = docs.filter(
+        mixture_sample("doc_id", "lang", weights, default=0.05)
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1692,6 +1732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_rollup_grouping": q60_rollup_grouping,
         "q61_pii_redaction": q61_pii_redaction,
         "q62_repetition_stats": q62_repetition_stats,
+        "q63_sequence_packing": q63_sequence_packing,
+        "q64_mixture_sample": q64_mixture_sample,
     }
 
 

@@ -49,3 +49,26 @@ def deterministic_sample(
     ``df.sample`` the selection is partitioning-independent and
     repeatable."""
     return hash_bucket(id_col, buckets) < round(fraction * buckets)
+
+
+def mixture_sample(
+    id_col: Column | str,
+    group_col: Column | str,
+    weights: dict[str, float],
+    default: float = 0.0,
+    buckets: int = 10_000,
+) -> Column:
+    """Keep-mask for weighted mixture sampling: each group (source,
+    language, domain…) keeps its own deterministic fraction — the
+    knob that turns a raw crawl into a training mixture.  Same
+    md5-stable buckets as ``deterministic_sample``, so the selection
+    is reproducible and per-document stable even as weights change
+    for *other* groups."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    b = hash_bucket(id_col, buckets)
+    thresh = None
+    for group, w in weights.items():
+        clause = (g == group, F.lit(round(w * buckets)))
+        thresh = F.when(*clause) if thresh is None else thresh.when(*clause)
+    thresh = thresh.otherwise(F.lit(round(default * buckets)))
+    return b < thresh

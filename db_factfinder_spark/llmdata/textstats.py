@@ -9,7 +9,7 @@ corpus costs one read.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from db_factfinder_spark.functions.expr import let
@@ -265,4 +265,39 @@ def repetition_stats(
         (F.col("top_bi_c").cast("double") / F.col("n_bigrams")).alias(
             "top_bigram_frac"
         ),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str,
+    order_col: str = "doc_id",
+    part_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents concatenate in
+    ``order_col`` order (within ``part_col`` streams if given) and the
+    token stream splits into fixed ``seq_len`` chunks.  Each document
+    gets the chunk id and offset where it starts — the assignment step
+    of pretraining batch packing (the actual token copy happens at
+    tokenization time, shaped by this map).
+
+    One window cumsum per stream — a single shuffle; the running total
+    over long→long is exact, so the mapping is deterministic on any
+    cluster layout."""
+    w = Window.orderBy(order_col) if part_col is None else (
+        Window.partitionBy(part_col).orderBy(order_col)
+    )
+    cum_before = F.coalesce(
+        F.sum(token_col).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return df.withColumns(
+        {
+            "start_offset_total": cum_before,
+            "chunk_id": F.floor(cum_before / seq_len),
+            "chunk_offset": cum_before % seq_len,
+        }
     )

@@ -1598,3 +1598,36 @@ LEFT JOIN uni ON d.doc_id = uni.doc_id
 LEFT JOIN bi ON d.doc_id = bi.doc_id
 ORDER BY d.doc_id
 """
+
+ORACLES["q63_sequence_packing"] = """
+WITH t AS (
+  SELECT doc_id, lang,
+    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+'))
+         AS BIGINT) AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, n_tok,
+    coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t)
+SELECT doc_id, lang, n_tok,
+  CAST(cum // 4096 AS BIGINT) AS chunk_id,
+  CAST(cum % 4096 AS BIGINT) AS chunk_offset
+FROM c ORDER BY doc_id
+"""
+
+ORACLES["q64_mixture_sample"] = """
+WITH b AS (
+  SELECT lang, n_chars,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000
+      AS bucket
+  FROM documents),
+k AS (
+  SELECT * FROM b WHERE bucket <
+    CASE lang WHEN 'en' THEN 9000 WHEN 'es' THEN 5000
+              WHEN 'fr' THEN 2500 WHEN 'de' THEN 1000
+              ELSE 500 END)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM k GROUP BY lang ORDER BY lang
+"""

@@ -586,3 +586,40 @@ def test_repetition_stats_boilerplate_vs_varied(spark):
     assert abs(out[2]["top_bigram_frac"] - 1 / 5) < 1e-12
     # token-less: NULL ratios, zero tokens
     assert out[3]["n_tokens"] == 0 and out[3]["distinct_ratio"] is None
+
+
+def test_pack_sequences_assignment(spark):
+    from db_factfinder_spark.llmdata.textstats import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a", 3000), (2, "a", 2000), (3, "a", 100), (4, "b", 5000)],
+        "doc_id long, lang string, n_tok long",
+    )
+    out = {r["doc_id"]: r.asDict() for r in pack_sequences(
+        df, seq_len=4096, token_col="n_tok",
+        order_col="doc_id", part_col="lang",
+    ).collect()}
+    assert out[1]["chunk_id"] == 0 and out[1]["chunk_offset"] == 0
+    # doc 2 starts at token 3000 — inside chunk 0
+    assert out[2]["chunk_id"] == 0 and out[2]["chunk_offset"] == 3000
+    # doc 3 starts at 5000 → chunk 1 offset 904
+    assert out[3]["chunk_id"] == 1 and out[3]["chunk_offset"] == 5000 - 4096
+    # separate stream restarts at zero
+    assert out[4]["chunk_id"] == 0 and out[4]["chunk_offset"] == 0
+
+
+def test_mixture_sample_respects_group_weights(spark):
+    from db_factfinder_spark.llmdata.sampling import mixture_sample
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "keep_all").otherwise("drop_all").alias(
+            "src"
+        ),
+    )
+    kept = df.filter(
+        mixture_sample("doc_id", "src", {"keep_all": 1.0, "drop_all": 0.0})
+    )
+    rows = kept.groupBy("src").count().collect()
+    got = {r["src"]: r["count"] for r in rows}
+    assert got.get("keep_all") == 2000 and "drop_all" not in got
