@@ -19,9 +19,10 @@ FIXTURES = Path(__file__).parent / "fixtures"
 
 # two tracts in county 005 (Bronx): geoids 36005000100, 36005000200
 WIDE_TRACT_ROWS = [
-    # state, county, tract, pop E/M, 65+ E/M (two cols), agg income E/M, bins
-    ("36", "005", "000100", 1000.0, 50.0, 60.0, 10.0, 40.0, 8.0, 2.0e7, 1.0e6, 30.0, 40.0, 30.0),
-    ("36", "005", "000200", 2000.0, 80.0, 100.0, 12.0, 60.0, 9.0, 5.0e7, 2.0e6, 10.0, 10.0, 80.0),
+    # state, county, tract, pop E/M, 65+ E/M (two cols), agg income E/M,
+    # bins, profile-only DP E/M/PE/PM
+    ("36", "005", "000100", 1000.0, 50.0, 60.0, 10.0, 40.0, 8.0, 2.0e7, 1.0e6, 30.0, 40.0, 30.0, 500.0, 25.0, 50.0, 2.5),
+    ("36", "005", "000200", 2000.0, 80.0, 100.0, 12.0, 60.0, 9.0, 5.0e7, 2.0e6, 10.0, 10.0, 80.0, 800.0, 40.0, 40.0, 2.0),
 ]
 WIDE_SCHEMA = (
     "state string, county string, tract string,"
@@ -29,7 +30,9 @@ WIDE_SCHEMA = (
     " B01001_020E double, B01001_020M double,"
     " B01001_044E double, B01001_044M double,"
     " B19313_001E double, B19313_001M double,"
-    " C01_001E double, C01_002E double, C01_003E double"
+    " C01_001E double, C01_002E double, C01_003E double,"
+    " DP05_0001E double, DP05_0001M double,"
+    " DP05_0001PE double, DP05_0001PM double"
 )
 
 
@@ -107,6 +110,21 @@ def test_median_variable_at_nta(engine):
     # counts: bins (40, 50, 110), B=200, N/2=100 → bin 2 (top) → top-coded
     assert r["e"] == 20.0
     assert r["p"] is None and r["z"] is None
+
+
+def test_profile_only_variable_at_tract(engine):
+    """Profile-only path (calculate.py:109-129): e/m/p/z come straight
+    from the DP variable's E/M/PE/PM columns — no base join, no
+    aggregation."""
+    rows = {
+        r["census_geoid"]: r.asDict()
+        for r in engine("proftest", "tract").collect()
+    }
+    r = rows["36005000100"]
+    assert (r["e"], r["m"], r["p"], r["z"]) == (500.0, 25.0, 50.0, 2.5)
+    assert abs(r["c"] - round(25.0 / 1.645 / 500.0 * 100, 1)) < 1e-9
+    r2 = rows["36005000200"]
+    assert (r2["e"], r2["p"]) == (800.0, 40.0)
 
 
 def test_batch_driver_shape(engine):
