@@ -21,8 +21,8 @@ FIXTURES = Path(__file__).parent / "fixtures"
 WIDE_TRACT_ROWS = [
     # state, county, tract, pop E/M, 65+ E/M (two cols), agg income E/M,
     # bins, profile-only DP E/M/PE/PM
-    ("36", "005", "000100", 1000.0, 50.0, 60.0, 10.0, 40.0, 8.0, 2.0e7, 1.0e6, 30.0, 40.0, 30.0, 500.0, 25.0, 50.0, 2.5),
-    ("36", "005", "000200", 2000.0, 80.0, 100.0, 12.0, 60.0, 9.0, 5.0e7, 2.0e6, 10.0, 10.0, 80.0, 800.0, 40.0, 40.0, 2.0),
+    ("36", "005", "000100", 1000.0, 50.0, 60.0, 10.0, 40.0, 8.0, 2.0e7, 1.0e6, 30.0, 40.0, 30.0, 500.0, 25.0, 50.0, 2.5, 600.0, 30.0, 100.0, 7.0, 150.0, 12.0, 15.0, 1.2),
+    ("36", "005", "000200", 2000.0, 80.0, 100.0, 12.0, 60.0, 9.0, 5.0e7, 2.0e6, 10.0, 10.0, 80.0, 800.0, 40.0, 40.0, 2.0, 900.0, 45.0, 200.0, 11.0, 300.0, 20.0, 15.0, 1.0),
 ]
 WIDE_SCHEMA = (
     "state string, county string, tract string,"
@@ -32,7 +32,11 @@ WIDE_SCHEMA = (
     " B19313_001E double, B19313_001M double,"
     " C01_001E double, C01_002E double, C01_003E double,"
     " DP05_0001E double, DP05_0001M double,"
-    " DP05_0001PE double, DP05_0001PM double"
+    " DP05_0001PE double, DP05_0001PM double,"
+    " B08006_001E double, B08006_001M double,"
+    " B08006_017E double, B08006_017M double,"
+    " B17001_002E double, B17001_002M double,"
+    " C17_002E double, C17_002M double"
 )
 
 
@@ -125,6 +129,33 @@ def test_profile_only_variable_at_tract(engine):
     assert abs(r["c"] - round(25.0 / 1.645 / 500.0 * 100, 1)) < 1e-9
     r2 = rows["36005000200"]
     assert (r2["e"], r2["p"]) == (800.0, 40.0)
+
+
+def test_wrkrnothm_special_at_any_geotype(engine):
+    """The `wrkrnothm` quirk (calculate.py:222-235): special formula
+    applies at NON-aggregated geotypes too — difference estimate with
+    sqrt(m1²+m2²) MOE, p/z NULL (special vars never publish them)."""
+    rows = {
+        r["census_geoid"]: r.asDict()
+        for r in engine("wrkrnothm", "tract").collect()
+    }
+    r = rows["36005000100"]
+    assert r["e"] == 600.0 - 100.0
+    assert r["m"] == round(math.sqrt(30.0**2 + 7.0**2), 0)
+    assert r["p"] is None and r["z"] is None
+
+
+def test_poverty_pz_twin_join(engine):
+    """Poverty variables (J4): p/z come from the `_pct` twin's e/m via
+    an inner join on (geoid, geotype) — calculate.py:171-182."""
+    rows = {
+        r["census_geoid"]: r.asDict()
+        for r in engine("pbwpv", "tract").collect()
+    }
+    r = rows["36005000100"]
+    assert (r["e"], r["m"]) == (150.0, 12.0)
+    assert (r["p"], r["z"]) == (15.0, 1.2)
+    assert abs(r["c"] - round(12.0 / 1.645 / 150.0 * 100, 1)) < 1e-9
 
 
 def test_batch_driver_shape(engine):
