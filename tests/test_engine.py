@@ -21,8 +21,8 @@ FIXTURES = Path(__file__).parent / "fixtures"
 WIDE_TRACT_ROWS = [
     # state, county, tract, pop E/M, 65+ E/M (two cols), agg income E/M,
     # bins, profile-only DP E/M/PE/PM
-    ("36", "005", "000100", 1000.0, 50.0, 60.0, 10.0, 40.0, 8.0, 2.0e7, 1.0e6, 30.0, 40.0, 30.0, 500.0, 25.0, 50.0, 2.5, 600.0, 30.0, 100.0, 7.0, 150.0, 12.0, 15.0, 1.2),
-    ("36", "005", "000200", 2000.0, 80.0, 100.0, 12.0, 60.0, 9.0, 5.0e7, 2.0e6, 10.0, 10.0, 80.0, 800.0, 40.0, 40.0, 2.0, 900.0, 45.0, 200.0, 11.0, 300.0, 20.0, 15.0, 1.0),
+    ("36", "005", "000100", 1000.0, 50.0, 60.0, 10.0, 40.0, 8.0, 2.0e7, 1.0e6, 30.0, 40.0, 30.0, 500.0, 25.0, 50.0, 2.5, 600.0, 30.0, 100.0, 7.0, 150.0, 12.0, 15.0, 1.2, 5.0, 3.0),
+    ("36", "005", "000200", 2000.0, 80.0, 100.0, 12.0, 60.0, 9.0, 5.0e7, 2.0e6, 10.0, 10.0, 80.0, 800.0, 40.0, 40.0, 2.0, 900.0, 45.0, 200.0, 11.0, 300.0, 20.0, 15.0, 1.0, 3.0, 2.0),
 ]
 WIDE_SCHEMA = (
     "state string, county string, tract string,"
@@ -36,7 +36,8 @@ WIDE_SCHEMA = (
     " B08006_001E double, B08006_001M double,"
     " B08006_017E double, B08006_017M double,"
     " B17001_002E double, B17001_002M double,"
-    " C17_002E double, C17_002M double"
+    " C17_002E double, C17_002M double,"
+    " B99_001E double, B99_001M double"
 )
 
 
@@ -156,6 +157,20 @@ def test_poverty_pz_twin_join(engine):
     assert (r["e"], r["m"]) == (150.0, 12.0)
     assert (r["p"], r["z"]) == (15.0, 1.2)
     assert abs(r["c"] - round(12.0 / 1.645 / 150.0 * 100, 1)) < 1e-9
+
+
+def test_median_base_pz_quirk(engine):
+    """The calculate.py:248-259 quirk branch: when the base variable is
+    a median at an aggregated geotype, p/z compute against the MEDIAN's
+    e/m (here mdtest@NTA = 20.0, top-coded, MOE NULL → z NULL)."""
+    rows = {
+        r["census_geoid"]: r.asDict()
+        for r in engine("mdchild", "NTA").collect()
+    }
+    r = rows["BX0101"]
+    assert r["e"] == 8.0  # 5 + 3
+    assert r["p"] == round(8.0 / 20.0 * 100, 1)  # base = median value
+    assert r["z"] is None  # median MOE NULL propagates through get_z
 
 
 def test_batch_driver_shape(engine):
