@@ -42,6 +42,7 @@ from db_factfinder_spark.llmdata.dedup import (
     jaccard_pairs,
     minhash_dedup_pairs,
     minhash_signatures,
+    ngram_contamination,
     simhash,
     simhash_multiprobe_pairs,
     simhash_near_pairs,
@@ -1659,6 +1660,15 @@ def q64_mixture_sample(spark, sf_dir):
     )
 
 
+def q65_ngram_contamination(spark, sf_dir):
+    """Cross-document span leakage: per document the fraction of its
+    distinct 5-gram shingles appearing in at least one other document
+    — the decontamination diagnostic run before benchmark filtering.
+    Shingle-key counts joined back, no pairwise work."""
+    docs = _docs(spark, sf_dir)
+    return ngram_contamination(docs, n=5).orderBy("doc_id")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1734,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_repetition_stats": q62_repetition_stats,
         "q63_sequence_packing": q63_sequence_packing,
         "q64_mixture_sample": q64_mixture_sample,
+        "q65_ngram_contamination": q65_ngram_contamination,
     }
 
 

@@ -530,3 +530,40 @@ def simhash_multiprobe_pairs(
         )
     )
     return out if max_bucket is None else out.dropDuplicates(["id_a", "id_b"])
+
+
+def ngram_contamination(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-document n-gram contamination: per document, the fraction
+    of its distinct n-gram shingles that also occur in at least one
+    other document — the span-level leakage/duplication diagnostic run
+    before benchmark decontamination or substring-level dedup (long
+    shared spans surface here long before whole-document similarity
+    trips).
+
+    Set-based: explode distinct shingles once, count documents per
+    shingle (map-side combined), join the counts back on the shingle
+    key and re-aggregate per document — two shuffles on the shingle
+    key plus one on the doc id, no pairwise work at any corpus size.
+    Shingle-less documents report NULL fraction (no signal)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("g")
+    )
+    per_gram = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    joined = sh.join(per_gram, "g")
+    per_doc = joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_shared"),
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        (F.col("n_shared").cast("double") / F.col("n_grams")).alias(
+            "shared_frac"
+        ),
+    )

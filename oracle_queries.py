@@ -1631,3 +1631,32 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM k GROUP BY lang ORDER BY lang
 """
+
+
+def _shingles_sql(n: int) -> str:
+    """n-gram shingle list (distinct) over `toks`, generalizing the
+    3-gram _SHINGLES constant."""
+    concat = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return f"""
+list_distinct(
+  CASE WHEN len(toks) - {n - 1} >= 1 THEN
+    list_transform(range(1, len(toks) - {n - 2}), i -> {concat})
+  ELSE [] END)"""
+
+
+ORACLES["q65_ngram_contamination"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_shingles_sql(5)} AS grams FROM d),
+exploded AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+per_gram AS (SELECT g, count(*) AS n_docs FROM exploded GROUP BY g),
+per_doc AS (
+  SELECT doc_id,
+    CAST(count(*) AS BIGINT) AS n_grams,
+    CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM exploded JOIN per_gram USING (g) GROUP BY doc_id)
+SELECT d2.doc_id,
+  coalesce(per_doc.n_grams, 0) AS n_grams,
+  CAST(per_doc.n_shared AS DOUBLE) / per_doc.n_grams AS shared_frac
+FROM documents d2 LEFT JOIN per_doc USING (doc_id)
+ORDER BY d2.doc_id
+"""

@@ -623,3 +623,25 @@ def test_mixture_sample_respects_group_weights(spark):
     rows = kept.groupBy("src").count().collect()
     got = {r["src"]: r["count"] for r in rows}
     assert got.get("keep_all") == 2000 and "drop_all" not in got
+
+
+def test_ngram_contamination_shared_spans(spark):
+    from db_factfinder_spark.llmdata.dedup import ngram_contamination
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " in the morning light today"),
+            (2, shared + " at the river bank yesterday"),
+            (3, "completely unrelated words forming a different text"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           ngram_contamination(df, n=5).collect()}
+    # docs 1,2 share the 5 five-grams inside the common 9-token prefix
+    assert out[1]["shared_frac"] > 0 and out[2]["shared_frac"] > 0
+    assert out[3]["shared_frac"] == 0.0
+    # 2 tokens < n → no shingles → NULL fraction
+    assert out[4]["n_grams"] == 0 and out[4]["shared_frac"] is None
