@@ -645,3 +645,26 @@ def test_ngram_contamination_shared_spans(spark):
     assert out[3]["shared_frac"] == 0.0
     # 2 tokens < n → no shingles → NULL fraction
     assert out[4]["n_grams"] == 0 and out[4]["shared_frac"] is None
+
+
+def test_cap_hot_buckets_properties(spark):
+    """cap_hot_buckets is drop-only: the capped frame is a subset of
+    the input, no surviving bucket exceeds the cap, and buckets at or
+    under the cap survive intact."""
+    from db_factfinder_spark.llmdata.dedup import cap_hot_buckets
+
+    rows = [(i, "hot") for i in range(25)]
+    rows += [(100 + i, "warm") for i in range(10)]
+    rows += [(200, "cold")]
+    df = spark.createDataFrame(rows, "id long, bucket string")
+    capped = cap_hot_buckets(df, ["bucket"], 10)
+    got = {(r["id"], r["bucket"]) for r in capped.collect()}
+    assert all(t in {(r["id"], r["bucket"]) for r in df.collect()} for t in got)
+    sizes = {}
+    for _, b in got:
+        sizes[b] = sizes.get(b, 0) + 1
+    assert "hot" not in sizes          # over the cap → dropped whole
+    assert sizes.get("warm") == 10     # exactly at the cap → intact
+    assert sizes.get("cold") == 1
+    # None disables entirely
+    assert cap_hot_buckets(df, ["bucket"], None).count() == df.count()

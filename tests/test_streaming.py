@@ -150,3 +150,58 @@ def test_normalize_event_ts_ntz_requires_fixed_offset_zone(spark):
         assert normalize_event_ts(df).first()["ts"] is not None
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_stateful_sessionize_state_carries_across_microbatches(
+    spark, events, tmp_path
+):
+    """The point of applyInPandasWithState: an open session must carry
+    across micro-batches.  The source is split into two time-ordered
+    files processed as separate batches (maxFilesPerTrigger=1); a
+    session straddling the split must be stitched by the state, so the
+    final closed-session set still equals batch-sessionize minus each
+    user's last session."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from db_factfinder_spark.streaming.events import (
+        sessionize,
+        stream_sessionize,
+    )
+
+    mid = events.selectExpr("percentile(cast(ts as long), 0.5) p").first()["p"]
+    src = tmp_path / "events_split"
+    (events.filter(F.col("ts").cast("long") <= mid)
+        .coalesce(1).write.parquet(str(src / "a=0")))
+    (events.filter(F.col("ts").cast("long") > mid)
+        .coalesce(1).write.parquet(str(src / "a=1")))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/a=*")
+    )
+    out = stream_sessionize(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("split_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 2, "expected multiple micro-batches"
+
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.table("split_sessions").collect()
+    }
+    batch = sessionize(events, gap_minutes=30)
+    w_last = F.max("session_seq").over(Window.partitionBy("user_id"))
+    expected = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in batch.withColumn("last_seq", w_last)
+        .filter(F.col("session_seq") != F.col("last_seq"))
+        .collect()
+    }
+    assert got == expected and len(got) > 0
