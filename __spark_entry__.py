@@ -57,6 +57,7 @@ from db_factfinder_spark.llmdata.similarity import (
     embedding_neardup_pairs,
     ivf_topk,
     lsh_bucketed_topk,
+    quantized_topk,
 )
 from db_factfinder_spark.llmdata.textstats import (
     LANG_STOPWORDS,
@@ -1669,6 +1670,17 @@ def q65_ngram_contamination(spark, sf_dir):
     return ngram_contamination(docs, n=5).orderBy("doc_id")
 
 
+def q66_quantized_topk(spark, sf_dir):
+    """Int8-quantized ANN: per-vector symmetric quantization (4-8×
+    smaller vectors — the memory-side scale lever), integer dot
+    products, exact-integer-ratio scores reproducible in any engine.
+    Same broadcast-probe plan as brute force at a fraction of the
+    bytes per row."""
+    embs = _embs(spark, sf_dir)
+    probes = embs.filter(F.col("vec_id") < 5)
+    return quantized_topk(probes, embs, k=5).orderBy("probe_id", "rank")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1745,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_sequence_packing": q63_sequence_packing,
         "q64_mixture_sample": q64_mixture_sample,
         "q65_ngram_contamination": q65_ngram_contamination,
+        "q66_quantized_topk": q66_quantized_topk,
     }
 
 

@@ -1660,3 +1660,34 @@ SELECT d2.doc_id,
 FROM documents d2 LEFT JOIN per_doc USING (doc_id)
 ORDER BY d2.doc_id
 """
+
+# q66: int8 quantization mirrored exactly — codes are floor(x/scale+0.5)
+# on identical doubles, integer dots are exact in double (≤ 127²·64).
+ORACLES["q66_quantized_topk"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+sc AS (
+  SELECT vec_id, v,
+    greatest(list_max(list_transform(v, y -> abs(y))), 1e-30) / 127.0
+      AS scale
+  FROM e),
+q AS (
+  SELECT vec_id,
+    list_transform(v, x -> floor(x / scale + 0.5)) AS ld
+  FROM sc),
+selfd AS (
+  SELECT vec_id, ld, list_dot_product(ld, ld) AS sd FROM q),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+    list_dot_product(p.ld, c.ld) / (sqrt(p.sd) * sqrt(c.sd)) AS qcosine
+  FROM (SELECT * FROM selfd WHERE vec_id < 5) p, selfd c
+  WHERE c.vec_id != p.vec_id)
+SELECT probe_id, neighbor_id, qcosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY qcosine DESC, neighbor_id ASC)
+            AS rank
+  FROM scored)
+WHERE rank <= 5
+ORDER BY probe_id, rank
+"""

@@ -668,3 +668,30 @@ def test_cap_hot_buckets_properties(spark):
     assert sizes.get("cold") == 1
     # None disables entirely
     assert cap_hot_buckets(df, ["bucket"], None).count() == df.count()
+
+
+def test_quantized_topk_tracks_float_topk(spark, embs):
+    """Int8-quantized cosine must rank the same rank-1 neighbor as
+    full-precision cosine for most probes (quantization error ~1e-2 vs
+    neighbor gaps), and codes must be within int8 range."""
+    from db_factfinder_spark.llmdata.similarity import (
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    q = quantize_embeddings(embs)
+    row = q.first()
+    assert all(-127 <= v <= 127 for v in row["q"])
+    assert row["scale"] > 0
+
+    probes = embs.filter(F.col("vec_id") < 10)
+    exact1 = {
+        r["probe_id"]: r["neighbor_id"]
+        for r in brute_force_topk(probes, embs, k=1).collect()
+    }
+    quant1 = {
+        r["probe_id"]: r["neighbor_id"]
+        for r in quantized_topk(probes, embs, k=1).collect()
+    }
+    hits = sum(1 for p, n in exact1.items() if quant1.get(p) == n)
+    assert hits >= len(exact1) // 2
