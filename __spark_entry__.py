@@ -1486,8 +1486,12 @@ def q57_range_join(spark, sf_dir):
     Zero-match clicks re-attach via a left join for a complete result."""
     ev = read_events(spark, f"{sf_dir}/events.parquet")
     t_us = (F.unix_micros("ts")).alias("t")
-    probes = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", t_us
+    # materialized once: probes feed the bucketed join AND the final
+    # zero-match re-attach — inline they'd scan events twice
+    probes = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", t_us)
+        .localCheckpoint(eager=False)
     )
     half = 300 * 1_000_000  # ±5 min in µs
     intervals = ev.filter(F.col("event_type") == "purchase").select(

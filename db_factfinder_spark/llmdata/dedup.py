@@ -550,9 +550,12 @@ def ngram_contamination(
     key and re-aggregate per document — two shuffles on the shingle
     key plus one on the doc id, no pairwise work at any corpus size.
     Shingle-less documents report NULL fraction (no signal)."""
+    # materialized once: `sh` feeds both the per-gram count and the
+    # join probe side — inline, the tokenize→shingle pipeline would run
+    # twice over the full corpus (same reuse rule as jaccard_pairs)
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("g")
-    )
+    ).localCheckpoint(eager=False)
     per_gram = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
     joined = sh.join(per_gram, "g")
     per_doc = joined.groupBy("id").agg(

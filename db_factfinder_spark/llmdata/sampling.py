@@ -70,5 +70,6 @@ def mixture_sample(
     for group, w in weights.items():
         clause = (g == group, F.lit(round(w * buckets)))
         thresh = F.when(*clause) if thresh is None else thresh.when(*clause)
-    thresh = thresh.otherwise(F.lit(round(default * buckets)))
+    default_t = F.lit(round(default * buckets))
+    thresh = default_t if thresh is None else thresh.otherwise(default_t)
     return b < thresh

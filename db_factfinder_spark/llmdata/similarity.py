@@ -431,9 +431,12 @@ def quantize_embeddings(
     def build(v):
         max_abs = F.array_max(F.transform(v, F.abs))
         scale = F.greatest(max_abs, F.lit(1e-30)) / 127.0
+        # store codes as TINYINT — that's the whole point (8× smaller
+        # than the float64 the long cast would silently re-inflate to);
+        # arithmetic widens back to long inside the dot product
         return F.struct(
             F.transform(
-                v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")
+                v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("byte")
             ).alias("q"),
             scale.alias("scale"),
         )
@@ -460,7 +463,7 @@ def quantized_topk(
     Probe side broadcast; the corpus never shuffles (same plan shape
     as ``brute_force_topk`` at an eighth of the bytes per row)."""
     int_dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )

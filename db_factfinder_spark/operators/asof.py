@@ -42,16 +42,21 @@ def asof_join(
     out_col = out_col or f"{value_col}_asof"
     probe_cols = probes.columns
     vtype = quotes.schema[value_col].dataType
+    # the carried payload is a STRUCT, not the raw value: a quote whose
+    # value is legitimately NULL must still win the as-of match (DuckDB
+    # ASOF JOIN returns its NULL), so presence is encoded by the struct
+    # being non-NULL while the value inside may be NULL —
+    # last(ignorenulls) then skips probe rows but never a real quote
     p = probes.withColumns(
         {
             "__is_probe": F.lit(1),
-            "__v": F.lit(None).cast(vtype),
+            "__v": F.lit(None).cast(f"struct<v:{vtype.simpleString()}>"),
         }
     )
     q = quotes.select(
         F.col(by),
         F.col(on),
-        F.col(value_col).alias("__v"),
+        F.struct(F.col(value_col).alias("v")).alias("__v"),
         F.lit(0).alias("__is_probe"),
     )
     u = p.unionByName(q, allowMissingColumns=True)
@@ -65,5 +70,5 @@ def asof_join(
     return (
         u.withColumn("__asof", carried)
         .filter(F.col("__is_probe") == 1)
-        .select(*probe_cols, F.col("__asof").alias(out_col))
+        .select(*probe_cols, F.col("__asof")["v"].alias(out_col))
     )

@@ -17,8 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_AGGS = ["n_events", "sum_value", "min_value", "max_value"]
-
 
 def base_rollup(
     events: DataFrame,

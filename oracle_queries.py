@@ -16,6 +16,13 @@ _TOKS = (
 )
 _NTOKS = f"len({_TOKS})"
 
+# exact mirror of Spark's shingles(): tokens of *normalized* text
+_NORMTOKS = (
+    f"list_filter(string_split_regex(lower(trim({_NORM})), '\\s+'),"
+    " x -> x != '')"
+)
+
+
 
 def _stop_ratio(words: list[str]) -> str:
     arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
@@ -545,7 +552,7 @@ FROM documents GROUP BY 1
 
 ORACLES["q26_jaccard_pairs"] = f"""
 WITH d AS (
-  SELECT doc_id, {_TOKS} AS toks FROM documents),
+  SELECT doc_id, {_NORMTOKS} AS toks FROM documents),
 sh AS (
   SELECT doc_id, {_SHINGLES} AS grams FROM d),
 sized AS (SELECT doc_id, grams, len(grams) AS n_sh FROM sh),
@@ -576,7 +583,7 @@ _MH_SLOTS = ",\n  ".join(
 )
 ORACLES["q27_minhash_signatures"] = f"""
 WITH d AS (
-  SELECT doc_id, {_TOKS} AS toks FROM documents),
+  SELECT doc_id, {_NORMTOKS} AS toks FROM documents),
 sh AS (
   SELECT doc_id AS id, {_SHINGLES} AS grams FROM d),
 hashed AS (SELECT id, {_MH_HS} AS hs FROM sh)
@@ -587,7 +594,7 @@ FROM hashed
 
 ORACLES["q28_simhash"] = f"""
 WITH d AS (
-  SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+  SELECT doc_id, list_distinct({_NORMTOKS}) AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
 h AS (
   SELECT doc_id,
@@ -658,12 +665,6 @@ GROUP BY label, pos
 # q32–q37: LSH dedup, simhash pairs, ANN LSH, rolling hash, e2e spine
 # ---------------------------------------------------------------------
 
-# exact mirror of Spark's shingles(): tokens of *normalized* text
-_NORMTOKS = (
-    f"list_filter(string_split_regex(lower(trim({_NORM})), '\\s+'),"
-    " x -> x != '')"
-)
-
 _MH8 = "[" + ", ".join(
     f"list_min(list_transform({_MH_HS}, h -> ({a} * h + {b}) % {_MH_P}))"
     for a, b in _mh_params(8)
@@ -702,7 +703,7 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.6
 
 ORACLES["q33_simhash_pairs"] = f"""
 WITH d AS (
-  SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+  SELECT doc_id, list_distinct({_NORMTOKS}) AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
 h AS (
   SELECT doc_id, (('0x' || substr(md5(t), 1, 15)))::BIGINT AS hv FROM tok),
@@ -1201,7 +1202,7 @@ ORDER BY geotype, census_geoid
 # brute-force all-pairs hamming join.
 ORACLES["q48_simhash_multiprobe"] = f"""
 WITH d AS (
-  SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+  SELECT doc_id, list_distinct({_NORMTOKS}) AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
 h AS (
   SELECT doc_id, (('0x' || substr(md5(t), 1, 15)))::BIGINT AS hv FROM tok),
@@ -1645,7 +1646,7 @@ list_distinct(
 
 
 ORACLES["q65_ngram_contamination"] = f"""
-WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+WITH d AS (SELECT doc_id, {_NORMTOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, {_shingles_sql(5)} AS grams FROM d),
 exploded AS (SELECT doc_id, unnest(grams) AS g FROM sh),
 per_gram AS (SELECT g, count(*) AS n_docs FROM exploded GROUP BY g),

@@ -170,3 +170,18 @@ def test_range_join_matches_bruteforce(spark, points, ivs, width):
         if uk == f"u{k}" and s <= t <= e
     )
     assert got == want
+
+
+def test_asof_null_valued_quote_wins(spark):
+    """A quote whose VALUE is NULL is still the as-of match (DuckDB
+    ASOF JOIN semantics) — it must not be skipped in favor of a stale
+    earlier value."""
+    probes = spark.createDataFrame(
+        [(1, 25, "u1")], "event_id long, ts long, user_id string"
+    )
+    quotes = spark.createDataFrame(
+        [("u1", 10, 1.5), ("u1", 20, None)],
+        "user_id string, ts long, value double",
+    )
+    out = asof_join(probes, quotes, on="ts", by="user_id").first()
+    assert out["value_asof"] is None  # the t=20 NULL quote, not 1.5

@@ -695,3 +695,13 @@ def test_quantized_topk_tracks_float_topk(spark, embs):
     }
     hits = sum(1 for p, n in exact1.items() if quant1.get(p) == n)
     assert hits >= len(exact1) // 2
+
+
+def test_mixture_sample_empty_weights_uses_default(spark):
+    from db_factfinder_spark.llmdata.sampling import mixture_sample
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("src")
+    )
+    kept = df.filter(mixture_sample("doc_id", "src", {}, default=0.5)).count()
+    assert 400 < kept < 600

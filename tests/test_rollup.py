@@ -9,7 +9,9 @@ from db_factfinder_spark.operators.rollup_cascade import (
 )
 from db_factfinder_spark.sources.readers import read_events
 
-SF = "/root/testdata/sf0.001"
+import os
+
+SF = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _events(spark):
