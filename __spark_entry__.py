@@ -1685,6 +1685,30 @@ def q66_quantized_topk(spark, sf_dir):
     return quantized_topk(probes, embs, k=5).orderBy("probe_id", "rank")
 
 
+def q67_set_ops(spark, sf_dir):
+    """Multiset set operations (SURVEY §2.5 — absent in the reference,
+    native in Spark): customers-with-orders INTERSECT all-customers and
+    EXCEPT ALL against high-balance customers, counted per nation.
+    exceptAll/intersect are hash aggregations on the full row — one
+    shuffle each, no joins authored by hand."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = cust.select("c_custkey", "c_nationkey").intersect(
+        cust.join(
+            orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+        ).select("c_custkey", "c_nationkey")
+    )
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey", "c_nationkey"
+    )
+    poor_with_orders = with_orders.exceptAll(rich)
+    return (
+        poor_with_orders.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_nationkey")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1762,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_mixture_sample": q64_mixture_sample,
         "q65_ngram_contamination": q65_ngram_contamination,
         "q66_quantized_topk": q66_quantized_topk,
+        "q67_set_ops": q67_set_ops,
     }
 
 

@@ -1692,3 +1692,18 @@ SELECT probe_id, neighbor_id, qcosine, rank FROM (
 WHERE rank <= 5
 ORDER BY probe_id, rank
 """
+
+ORACLES["q67_set_ops"] = """
+WITH with_orders AS (
+  SELECT c_custkey, c_nationkey FROM customer
+  INTERSECT
+  SELECT c_custkey, c_nationkey FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM orders)),
+poor AS (
+  SELECT c_custkey, c_nationkey FROM with_orders
+  EXCEPT ALL
+  SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+FROM poor GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
