@@ -87,7 +87,7 @@ from db_factfinder_spark.operators.horizontal import aggregate_horizontal
 from db_factfinder_spark.operators.median import median_struct
 from db_factfinder_spark.operators.pivot import unpivot_cempz
 from db_factfinder_spark.operators.skew import salted_join, two_phase_agg
-from db_factfinder_spark.pipelines import manual_update
+from db_factfinder_spark.pipelines import community_profiles, manual_update
 from db_factfinder_spark.operators.vertical import (
     AggregatedGeography2010,
     prepare_lookup_geo_2010,
@@ -1709,6 +1709,74 @@ def q67_set_ops(spark, sf_dir):
     )
 
 
+def q68_community_profiles(spark, sf_dir):
+    """Community-profiles batch driver end-to-end (reference
+    pipelines/acs_community_profiles.py:31-58): per-mapping
+    calculate → measure-letter rename → wide-profile assembly.  The
+    engine assembles with ONE shuffle (union + grouped
+    first(ignorenulls) on census_geoid — valid because every engine
+    result has at most one row per geoid) where the reference chains
+    74 pairwise pandas outer merges; the DuckDB oracle is the literal
+    reduce-full-outer-join formulation, so the two assembly plans
+    cross-check each other.  Mixed geotypes (nation-grain N* rows,
+    region-grain R* rows) union with NULLs, exactly like the
+    reference's CDTA + borough + city rows; a mapping whose variable
+    the calculate callable rejects is skipped like the reference's
+    bare try/except (:47-49).  Sums are of floor()ed values → long
+    adds, exact on both engines."""
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nation_geoid = F.concat(
+        F.lit("N"), F.lpad(F.col("c_nationkey").cast("string"), 2, "0")
+    ).alias("census_geoid")
+
+    def calc(var, geo):
+        if var == "acct" and geo == "nation":
+            return cust.groupBy(nation_geoid).agg(
+                F.sum(F.floor("c_acctbal")).cast("double").alias("e"),
+                F.sum(F.floor(F.col("c_acctbal") / 10))
+                .cast("double")
+                .alias("m"),
+            )
+        if var == "cust_count" and geo == "nation":
+            return cust.groupBy(nation_geoid).agg(
+                F.count(F.lit(1)).cast("double").alias("p")
+            )
+        if var == "acct" and geo == "region":
+            return sup.groupBy(
+                F.concat(
+                    F.lit("R"), (F.col("s_nationkey") % 5).cast("string")
+                ).alias("census_geoid")
+            ).agg(F.sum(F.floor("s_acctbal")).cast("double").alias("e"))
+        raise KeyError(f"unknown mapping {var}/{geo}")
+
+    mappings = [
+        {
+            "pff_variable": "acct",
+            "geotype": "nation",
+            "column_mapping": {"e": "sum_acct", "m": "moe_acct"},
+        },
+        {
+            "pff_variable": "cust_count",
+            "geotype": "nation",
+            "column_mapping": {"p": "pct_cust"},
+        },
+        {
+            "pff_variable": "acct",
+            "geotype": "region",
+            "column_mapping": {"e": "sum_acct_region"},
+        },
+        # unknown variable → isolated failure, skipped like the
+        # reference's ⛔️ FAILURE branch
+        {
+            "pff_variable": "ghost",
+            "geotype": "nation",
+            "column_mapping": {"e": "ghost_e"},
+        },
+    ]
+    return community_profiles(calc, mappings).orderBy("census_geoid")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1787,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_ngram_contamination": q65_ngram_contamination,
         "q66_quantized_topk": q66_quantized_topk,
         "q67_set_ops": q67_set_ops,
+        "q68_community_profiles": q68_community_profiles,
     }
 
 

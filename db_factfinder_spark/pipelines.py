@@ -1,7 +1,10 @@
 """Batch-driver equivalents of the reference ``pipelines/`` scripts.
 
-Currently: the ACS *manual update* driver (reference
-pipelines/acs_manual_update.py:96-163) — a statistics-free reshape of
+Here: the ACS *community profiles* driver (reference
+pipelines/acs_community_profiles.py:31-58) — see
+:func:`community_profiles` — and the ACS *manual update* driver
+(reference pipelines/acs_manual_update.py:96-163) — a
+statistics-free reshape of
 analyst-provided workbook sheets into the published long schema:
 
     per sheet: strip ``Unnamed`` columns → melt ``{Var}{E|M|C|P|Z}``
@@ -120,4 +123,128 @@ def manual_update(
         "p",
         "z",
         "domain",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Community profiles (reference pipelines/acs_community_profiles.py:31-58)
+# ---------------------------------------------------------------------------
+
+def _profile_frames(
+    calculate,
+    mappings: list[dict],
+) -> tuple[list[tuple[DataFrame, list[str]]], list[str], list[tuple[str, str, str]]]:
+    """Shared front half of both assembly modes: run
+    ``calculate(pff_variable, geotype)`` per mapping, rename the measure
+    letters to the published profile column names, select
+    ``census_geoid`` + the mapped columns
+    (acs_community_profiles.py:43-46), isolating per-mapping failures
+    like the reference's bare try/except (:42-49).
+
+    Returns (frames, ordered output columns, failures).  Output column
+    names must be globally distinct — the reference's pandas merge would
+    silently suffix colliding names with ``_x``/``_y``, which is never
+    intended by the mapping file, so here it is a hard error."""
+    frames: list[tuple[DataFrame, list[str]]] = []
+    out_cols: list[str] = []
+    failures: list[tuple[str, str, str]] = []
+    for inp in mappings:
+        var = inp["pff_variable"]
+        geo = inp["geotype"]
+        colmap = dict(inp["column_mapping"])
+        dup = [c for c in colmap.values() if c in out_cols]
+        if dup:
+            raise ValueError(
+                f"community_profiles: duplicate output column(s) {dup} "
+                f"from mapping {var}/{geo}"
+            )
+        try:
+            df = calculate(var, geo)
+            frame = df.select(
+                "census_geoid",
+                *[
+                    F.col(measure).cast("double").alias(out)
+                    for measure, out in colmap.items()
+                ],
+            )
+        except Exception as exc:  # noqa: BLE001 — reference :47-49
+            failures.append((var, geo, str(exc)))
+            continue
+        frames.append((frame, list(colmap.values())))
+        out_cols.extend(colmap.values())
+    if failures:
+        import logging
+
+        for var, geo, msg in failures:
+            logging.warning("community_profiles task failed: %s/%s: %s", var, geo, msg)
+    if not frames:
+        raise RuntimeError(
+            "community_profiles: no mapping produced a frame"
+            + (
+                f"; all {len(failures)} failed, first: "
+                f"{failures[0][0]}/{failures[0][1]}: {failures[0][2]}"
+                if failures
+                else " (empty mapping list)"
+            )
+        )
+    return frames, out_cols, failures
+
+
+def community_profiles(
+    calculate,
+    mappings: list[dict],
+    assembly: str = "group",
+) -> DataFrame:
+    """Assemble one wide community-profile table from per-(variable,
+    geotype) engine results (reference
+    pipelines/acs_community_profiles.py:31-58).
+
+    ``calculate``: the engine query API — ``calculate(pff_variable,
+    geotype) -> DataFrame`` with a ``census_geoid`` column plus the
+    measure letters; normally a :class:`~db_factfinder_spark.plans.
+    planner.FactFinderEngine` instance.  ``mappings``: the parsed
+    variable-mapping file, ``[{pff_variable, geotype, column_mapping:
+    {measure_letter: output_column}}, ...]``
+    (acs_community_profiles_variable_mapping.json).
+
+    The reference assembles with ``reduce(pd.merge(..., on=
+    ["census_geoid"], how="outer"))`` (:52-54) — for its 75 mappings
+    that is 74 pairwise outer joins.  On Spark that plan is 74 chained
+    sort-merge joins; since every engine result carries **at most one
+    row per census_geoid** (one fact row per geography unit), the outer
+    merge is equivalent to a union + one grouped ``first(ignorenulls)``
+    per output column — each geoid's row for a column comes from
+    exactly one mapping's frame, so "first non-null" IS that frame's
+    value and the join collapses to a single shuffle on
+    ``census_geoid`` regardless of mapping count (the SURVEY §2.3 J8
+    formulation).  ``assembly="group"`` (default) is that plan;
+    ``assembly="outer"`` is the literal reduce-full-outer-join for
+    cross-checking (tests assert both produce identical results).
+
+    NULL semantics match pandas: a geoid absent from a mapping's
+    geography gets NULL in that mapping's columns.  Mixed geotypes
+    (CDTA + borough + city rows in one table, disjoint geoid spaces)
+    union, never merge — exactly the reference output shape."""
+    frames, out_cols, _ = _profile_frames(calculate, mappings)
+    if assembly == "outer":
+        out = reduce(
+            lambda left, right: left.join(right, ["census_geoid"], "full_outer"),
+            [f for f, _ in frames],
+        )
+        return out.select("census_geoid", *out_cols)
+    if assembly != "group":
+        raise ValueError(f"community_profiles: unknown assembly {assembly!r}")
+    padded = [
+        f.select(
+            "census_geoid",
+            *[
+                (F.col(c) if c in cols else F.lit(None).cast("double")).alias(c)
+                for c in out_cols
+            ],
+        )
+        for f, cols in frames
+    ]
+    unioned = reduce(DataFrame.unionByName, padded)
+    return unioned.groupBy("census_geoid").agg(
+        *[F.first(c, ignorenulls=True).alias(c) for c in out_cols]
     )

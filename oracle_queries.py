@@ -1707,3 +1707,34 @@ SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
 FROM poor GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
+
+# q68: the literal reduce-full-outer-join assembly the reference uses
+# (acs_community_profiles.py:52-54) — independent cross-check of the
+# engine's single-shuffle union+group formulation.  floor() sums are
+# integer adds on both engines (Spark sums LONGs; DuckDB sums are cast
+# to BIGINT), so totals are exact and order-independent.
+ORACLES["q68_community_profiles"] = """
+WITH acct AS (
+  SELECT 'N' || lpad(CAST(c_nationkey AS VARCHAR), 2, '0') AS census_geoid,
+         CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS DOUBLE) AS sum_acct,
+         CAST(sum(CAST(floor(c_acctbal / 10) AS BIGINT)) AS DOUBLE)
+           AS moe_acct
+  FROM customer GROUP BY 1),
+cnt AS (
+  SELECT 'N' || lpad(CAST(c_nationkey AS VARCHAR), 2, '0') AS census_geoid,
+         CAST(count(*) AS DOUBLE) AS pct_cust
+  FROM customer GROUP BY 1),
+reg AS (
+  SELECT 'R' || CAST(s_nationkey % 5 AS VARCHAR) AS census_geoid,
+         CAST(sum(CAST(floor(s_acctbal) AS BIGINT)) AS DOUBLE)
+           AS sum_acct_region
+  FROM supplier GROUP BY 1)
+SELECT coalesce(a.census_geoid, b.census_geoid, r.census_geoid)
+         AS census_geoid,
+       a.sum_acct, a.moe_acct, b.pct_cust, r.sum_acct_region
+FROM acct a
+FULL OUTER JOIN cnt b ON a.census_geoid = b.census_geoid
+FULL OUTER JOIN reg r
+  ON coalesce(a.census_geoid, b.census_geoid) = r.census_geoid
+ORDER BY census_geoid
+"""

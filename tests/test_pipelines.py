@@ -57,3 +57,99 @@ def test_manual_update_end_to_end(spark):
     assert all(r["census_geoid"] is None and r["geotype"] is None for r in rows)
     assert {r["labs_geotype"] for r in rows} == {"NTA2020"}
     assert {r["labs_geoid"] for r in rows} == {"BK01", "BK02"}
+
+
+# ---------------------------------------------------------------------------
+# Community profiles (reference pipelines/acs_community_profiles.py:31-58)
+# ---------------------------------------------------------------------------
+
+from db_factfinder_spark.pipelines import community_profiles  # noqa: E402
+
+
+def _profile_calc(spark):
+    a = spark.createDataFrame(
+        [("G1", 10.0, 1.0), ("G2", 20.0, 2.0)],
+        "census_geoid string, e double, m double",
+    )
+    b = spark.createDataFrame(
+        [("G2", 55.0), ("G3", 66.0)], "census_geoid string, p double"
+    )
+    c = spark.createDataFrame(
+        [("B1", 7.0)], "census_geoid string, e double"
+    )
+
+    def calc(var, geo):
+        frames = {("v1", "NTA"): a, ("v2", "NTA"): b, ("v1", "boro"): c}
+        if (var, geo) not in frames:
+            raise KeyError(f"{var}/{geo}")
+        return frames[(var, geo)]
+
+    return calc
+
+
+_MAPPINGS = [
+    {"pff_variable": "v1", "geotype": "NTA",
+     "column_mapping": {"e": "v1_e", "m": "v1_moe"}},
+    {"pff_variable": "v2", "geotype": "NTA",
+     "column_mapping": {"p": "v2_pct"}},
+    {"pff_variable": "v1", "geotype": "boro",
+     "column_mapping": {"e": "v1_boro"}},
+]
+
+
+def test_community_profiles_wide_assembly(spark):
+    out = community_profiles(_profile_calc(spark), _MAPPINGS)
+    rows = {r["census_geoid"]: r.asDict() for r in out.collect()}
+    assert set(rows) == {"G1", "G2", "G3", "B1"}
+    assert out.columns == ["census_geoid", "v1_e", "v1_moe", "v2_pct", "v1_boro"]
+    # overlapping geoid gets both mappings' values on one row
+    assert rows["G2"]["v1_e"] == 20.0 and rows["G2"]["v2_pct"] == 55.0
+    # geoid absent from a mapping's geography → NULL in its columns
+    assert rows["G1"]["v2_pct"] is None
+    # mixed geotypes union, never merge (disjoint geoid spaces)
+    assert rows["B1"]["v1_boro"] == 7.0 and rows["B1"]["v1_e"] is None
+    assert rows["G3"]["v2_pct"] == 66.0 and rows["G3"]["v1_e"] is None
+
+
+def test_community_profiles_group_equals_outer_join(spark):
+    calc = _profile_calc(spark)
+    g = community_profiles(calc, _MAPPINGS, assembly="group")
+    o = community_profiles(calc, _MAPPINGS, assembly="outer")
+    key = lambda r: r["census_geoid"]  # noqa: E731
+    assert sorted(g.collect(), key=key) == sorted(o.collect(), key=key)
+
+
+def test_community_profiles_failure_isolation(spark):
+    mappings = _MAPPINGS + [
+        {"pff_variable": "ghost", "geotype": "NTA",
+         "column_mapping": {"e": "ghost_e"}},
+    ]
+    out = community_profiles(_profile_calc(spark), mappings)
+    # failed mapping contributes no column, like the reference's
+    # FAILURE branch
+    assert "ghost_e" not in out.columns
+    assert out.count() == 4
+
+
+def test_community_profiles_duplicate_output_column(spark):
+    mappings = [
+        {"pff_variable": "v1", "geotype": "NTA",
+         "column_mapping": {"e": "x"}},
+        {"pff_variable": "v2", "geotype": "NTA",
+         "column_mapping": {"p": "x"}},
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate output column"):
+        community_profiles(_profile_calc(spark), mappings)
+
+
+def test_community_profiles_all_failed_raises(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="no mapping produced"):
+        community_profiles(
+            _profile_calc(spark),
+            [{"pff_variable": "nope", "geotype": "x",
+              "column_mapping": {"e": "y"}}],
+        )
