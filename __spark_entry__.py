@@ -1777,6 +1777,42 @@ def q68_community_profiles(spark, sf_dir):
     return community_profiles(calc, mappings).orderBy("census_geoid")
 
 
+def q69_support_geoids(spark, sf_dir):
+    """Support-geoids dimension export (reference
+    geography/2010_to_2020.py:266-290 via pipelines/support_geoids.py):
+    distinct (geoid, geogname) per NTA / CDTA / borough level from the
+    block-grain lookup, plus the constant city row.  Each level is one
+    distinct over two lookup columns — a map-side-combined aggregation
+    on a dimension table, then a 4-way union; no joins.  The synthetic
+    lookup is derived from customer (the container has no real
+    crosswalk CSV); name columns are functionally dependent on the
+    code columns so the distinct pairs are stable."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey") % 50
+    lookup = cust.select(
+        F.concat(F.lit("BK"), F.lpad((k % 20).cast("string"), 2, "0")).alias(
+            "nta2020"
+        ),
+        F.concat(F.lit("Neighborhood "), (k % 20).cast("string")).alias(
+            "ntaname"
+        ),
+        F.concat(F.lit("BK"), F.lpad((k % 10).cast("string"), 2, "0")).alias(
+            "cdta2020"
+        ),
+        F.concat(F.lit("District "), (k % 10).cast("string")).alias(
+            "cdtaname"
+        ),
+        (k % 5 + 1).cast("string").alias("borocode"),
+        F.concat(F.lit("Borough "), (k % 5 + 1).cast("string")).alias(
+            "boroname"
+        ),
+    )
+    from db_factfinder_spark.operators.vertical import AggregatedGeography2020
+
+    geo = AggregatedGeography2020(lookup, ratio=None)
+    return geo.support_geoids().orderBy("geotype", "geoid")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1856,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_quantized_topk": q66_quantized_topk,
         "q67_set_ops": q67_set_ops,
         "q68_community_profiles": q68_community_profiles,
+        "q69_support_geoids": q69_support_geoids,
     }
 
 

@@ -1738,3 +1738,29 @@ FULL OUTER JOIN reg r
   ON coalesce(a.census_geoid, b.census_geoid) = r.census_geoid
 ORDER BY census_geoid
 """
+
+# q69: support-geoids dimension export — per-level DISTINCT over the
+# synthetic lookup + the constant city row (reference
+# geography/2010_to_2020.py:266-290).
+ORACLES["q69_support_geoids"] = """
+WITH lk AS (
+  SELECT
+    'BK' || lpad(CAST(c_custkey % 50 % 20 AS VARCHAR), 2, '0') AS nta2020,
+    'Neighborhood ' || CAST(c_custkey % 50 % 20 AS VARCHAR) AS ntaname,
+    'BK' || lpad(CAST(c_custkey % 50 % 10 AS VARCHAR), 2, '0') AS cdta2020,
+    'District ' || CAST(c_custkey % 50 % 10 AS VARCHAR) AS cdtaname,
+    CAST(c_custkey % 50 % 5 + 1 AS VARCHAR) AS borocode,
+    'Borough ' || CAST(c_custkey % 50 % 5 + 1 AS VARCHAR) AS boroname
+  FROM customer),
+levels AS (
+  SELECT DISTINCT nta2020 AS geoid, 'NTA2020' AS geotype,
+         ntaname AS geogname FROM lk
+  UNION ALL
+  SELECT DISTINCT cdta2020, 'CDTA2020', cdtaname FROM lk
+  UNION ALL
+  SELECT DISTINCT borocode, 'Boro2020', boroname FROM lk
+  UNION ALL
+  SELECT '0', 'City2020', 'New York City')
+SELECT geoid, geotype, geogname FROM levels
+ORDER BY geotype, geoid
+"""
