@@ -21,6 +21,10 @@ from db_factfinder_spark.llmdata.textstats import (  # noqa: F401
     quality_score,
     fingerprint,
 )
+from db_factfinder_spark.llmdata.checkpointing import (  # noqa: F401
+    CHECKPOINT_MODES,
+    materialize,
+)
 from db_factfinder_spark.llmdata.dedup import (  # noqa: F401
     cap_hot_buckets,
     exact_dedup,

@@ -16,7 +16,9 @@ Scale design:
   shuffle — no driver-side data beyond the converged/changed counter.
 * iterations needed = component diameter; near-dup components are
   dense (near-cliques), so 2–4 rounds in practice.
-* ``localCheckpoint`` truncates lineage each round — without it the
+* lineage is truncated each round per ``checkpoint_mode`` (local /
+  reliable / none — see ``llmdata.checkpointing``; reliable is the
+  100 TB choice under dynamic allocation) — without truncation the
   plan doubles per iteration and the job DAG, not the data, becomes
   the bottleneck.
 * the changed-row count that drives convergence is the only action per
@@ -28,34 +30,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from db_factfinder_spark.llmdata.checkpointing import materialize
+
 
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Vertex → component representative (the component's minimum id)
     for every vertex that appears in ``pairs``.  Isolated vertices are
     the caller's concern — a doc in no pair is its own group."""
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = (
+    sym = materialize(
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        checkpoint_mode,
     )
-    labels = sym.select(F.col("a").alias("id")).distinct().select(
-        "id", F.col("id").alias("label")
-    ).localCheckpoint(eager=False)
+    labels = materialize(
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label")),
+        checkpoint_mode,
+    )
     for _ in range(max_iter):
         neighbor = sym.join(labels, sym["b"] == labels["id"]).select(
             sym["a"].alias("id"), F.col("label")
         )
-        new = (
+        new = materialize(
             labels.unionByName(neighbor)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
+            .agg(F.min("label").alias("label")),
+            checkpoint_mode,
         )
         changed = (
             new.join(
@@ -70,12 +78,14 @@ def connected_components(
     return labels
 
 
-def neardup_groups(pairs: DataFrame) -> DataFrame:
+def neardup_groups(
+    pairs: DataFrame, checkpoint_mode: str = "local"
+) -> DataFrame:
     """Canonical near-dup groups from a pair list: ``(doc_id, rep_id,
     group_size)`` for every document in at least one pair; ``rep_id``
     is the component's minimum doc id (the survivor a dedup pass would
     keep)."""
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, checkpoint_mode=checkpoint_mode)
     sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("group_size"))
     return comp.join(sizes, "label").select(
         F.col("id").alias("doc_id"),

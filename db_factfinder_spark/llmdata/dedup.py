@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from db_factfinder_spark.functions.expr import let
+from db_factfinder_spark.llmdata.checkpointing import materialize
 from db_factfinder_spark.llmdata.textstats import fingerprint, normalize_text, tokens
 
 
@@ -144,6 +145,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """All document pairs with shingle-set Jaccard ≥ threshold.
     Explode → equi-join on shingle → per-pair intersection count →
@@ -153,10 +155,10 @@ def jaccard_pairs(
     # reuses no exchange across differently-projected self-join sides).
     # At cluster scale this is the same call a production near-dup job
     # makes before pair generation — shingle once, reuse many times.
-    sh = (
+    sh = materialize(
         df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
-        .withColumn("n_sh", F.size("sh"))
-        .localCheckpoint(eager=False)
+        .withColumn("n_sh", F.size("sh")),
+        checkpoint_mode,
     )
     exploded = sh.select("id", "n_sh", F.explode("sh").alias("g"))
     a, b = exploded.alias("a"), exploded.alias("b")
@@ -305,20 +307,23 @@ def minhash_dedup_pairs(
     n: int = 3,
     verify_threshold: float | None = 0.8,
     max_bucket: int | None = 10_000,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → (optional)
     exact-Jaccard verification of only the candidates.
 
-    The shingled frame is materialized ONCE (localCheckpoint) and
+    The shingled frame is materialized ONCE (per ``checkpoint_mode``,
+    see ``llmdata.checkpointing``) and
     feeds all three consumers — the signature fold and both verify
     sides.  Inline, the tokenize→shingle pipeline would run 3× over
     the full corpus (self-join sides share no exchange)."""
     if verify_threshold is None:
         sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
         return lsh_candidate_pairs(sigs, num_hashes, bands, max_bucket)
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
-    ).localCheckpoint(eager=False)
+    sh = materialize(
+        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")),
+        checkpoint_mode,
+    )
     sigs = sh.select(
         "id", _minhash_fold(num_hashes)(F.col("sh")).alias("sig")
     ).select(
@@ -407,6 +412,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     prefix_bits: int = 8,
     max_bucket: int | None = 10_000,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on the fingerprint's top
     `prefix_bits` (cheap LSH), then Hamming-filter within buckets.
@@ -416,12 +422,11 @@ def simhash_near_pairs(
     too hot to pair-join (see ``cap_hot_buckets``)."""
     # materialized once — the self-join would re-run the full simhash
     # pipeline (tokenize → md5 → vote fold) on both sides otherwise
-    sh = (
+    sh = materialize(
         df.select(
             F.col(id_col).alias("id"), simhash(text_col, bits).alias("sig")
-        )
-        .withColumn("bucket", F.shiftright("sig", bits - prefix_bits))
-        .localCheckpoint(eager=False)
+        ).withColumn("bucket", F.shiftright("sig", bits - prefix_bits)),
+        checkpoint_mode,
     )
     sh = cap_hot_buckets(sh.filter(F.col("sig").isNotNull()), ["bucket"], max_bucket)
     a, b = sh.alias("a"), sh.alias("b")
@@ -447,6 +452,7 @@ def simhash_multiprobe_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     max_bucket: int | None = 10_000,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Guaranteed-recall SimHash near-dup pairs via d+1 blocked prefix
     tables (the rotated-table variant ``simhash_near_pairs`` documents).
@@ -478,10 +484,10 @@ def simhash_multiprobe_pairs(
     base, rem = divmod(bits, tables)
     sizes = [base + (1 if t < rem else 0) for t in range(tables)]
     starts = [sum(sizes[:t]) for t in range(tables)]
-    sh = (
+    sh = materialize(
         df.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("sig"))
-        .filter(F.col("sig").isNotNull())
-        .localCheckpoint(eager=False)
+        .filter(F.col("sig").isNotNull()),
+        checkpoint_mode,
     )
     keys = F.array(
         *[
@@ -537,6 +543,7 @@ def ngram_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Cross-document n-gram contamination: per document, the fraction
     of its distinct n-gram shingles that also occur in at least one
@@ -553,9 +560,13 @@ def ngram_contamination(
     # materialized once: `sh` feeds both the per-gram count and the
     # join probe side — inline, the tokenize→shingle pipeline would run
     # twice over the full corpus (same reuse rule as jaccard_pairs)
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("g")
-    ).localCheckpoint(eager=False)
+    sh = materialize(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(text_col, n)).alias("g"),
+        ),
+        checkpoint_mode,
+    )
     per_gram = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
     joined = sh.join(per_gram, "g")
     per_doc = joined.groupBy("id").agg(
