@@ -1813,6 +1813,78 @@ def q69_support_geoids(spark, sf_dir):
     return geo.support_geoids().orderBy("geotype", "geoid")
 
 
+def q70_decennial2020_e2e(spark, sf_dir):
+    """Decennial year-2020 spine driven from the PACKAGED catalog
+    registry (``Catalog.from_registry("decennial", 2020)`` — reference
+    data/decennial/2020/metadata.json, 25 variables): the
+    ``decennial_pop`` variable (P001001, its own base) at tract grain.
+    The 2010_to_2020 geography registers NO decennial rollups
+    (reference 2010_to_2020.py:200-219 has only an "acs" key), so the
+    2020-vintage decennial pipeline stays at the native geotype —
+    unlike q49's 2010 registry, which rolls tracts to NTA.  Exercises:
+    registry load → Variable resolution → sentinel scrub → decennial
+    horizontal (margin NULL, calculate.py:101-105) → base-variable
+    branch (p=100, z NULL) → rounding per the registry → cleaning
+    (base rule reasserts p=100/z=0; e==0 suppresses) → labs 2020
+    formatting (11-char tract → boro digit + 6, geotype → CT2010).
+    One tract-level aggregate synthesizes the wide row per tract;
+    integer-valued doubles keep it exact."""
+    from db_factfinder_spark.catalog import Catalog
+    from db_factfinder_spark.functions.geoid import (
+        format_geoid_2020,
+        format_geotype_2020,
+    )
+
+    catalog = Catalog.from_registry("decennial", 2020)
+    v = catalog.create_variable("decennial_pop")
+    (pcol,) = v.census_variable  # P001001 per the registry
+
+    cust = _t(spark, sf_dir, "customer")
+    k = (F.col("c_custkey") % 200).cast("int")
+    pre = cust.groupBy(k.alias("k")).agg(
+        F.sum(F.floor("c_acctbal")).cast("double").alias("tot")
+    )
+    wide = pre.select(
+        F.concat(
+            F.lit("36047"), F.lpad(F.col("k").cast("string"), 6, "0")
+        ).alias("census_geoid"),
+        F.lit("tract").alias("geotype"),
+        F.when(F.col("k") % 11 == 0, F.lit(999999999.0))
+        .otherwise(F.col("tot"))
+        .alias(pcol),
+    )
+    scrubbed = wide.withColumn(pcol, scrub_sentinels(F.col(pcol)))
+    long = aggregate_horizontal(scrubbed, v, catalog.source)
+    # base-variable branch of calculate_c_e_m_p_z (base == itself)
+    stats = long.withColumns(
+        {
+            "p": F.lit(100.0),
+            "z": F.lit(None).cast("double"),
+            "c": get_c("e", "m"),
+        }
+    )
+    rounded = stats.withColumns(round_cempz(v.rounding))
+    cleaned = cleaning(
+        rounded,
+        base_variables=catalog.base_variables,
+        median_variables=catalog.median_variables,
+        special_variables=catalog.special_variables,
+        median_inputs=catalog.median_inputs,
+    )
+    return cleaned.select(
+        "census_geoid",
+        "pff_variable",
+        "geotype",
+        "c",
+        "e",
+        "m",
+        "p",
+        "z",
+        format_geoid_2020("census_geoid").alias("labs_geoid"),
+        format_geotype_2020("geotype").alias("labs_geotype"),
+    ).orderBy("census_geoid")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1893,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_set_ops": q67_set_ops,
         "q68_community_profiles": q68_community_profiles,
         "q69_support_geoids": q69_support_geoids,
+        "q70_decennial2020_e2e": q70_decennial2020_e2e,
     }
 
 

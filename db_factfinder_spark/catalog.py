@@ -118,6 +118,40 @@ class Catalog:
         self._median_path = Path(median_path) if median_path else None
         self._special_path = Path(special_path) if special_path else None
 
+    @classmethod
+    def from_registry(cls, source: str, year: int) -> "Catalog":
+        """Load a catalog vintage packaged with the engine — the
+        ``data/{source}/{year}/*.json`` registry layout of the
+        reference (metadata.py:63-82).  Packaged today: the decennial
+        2010 and 2020 vintages (25 variables each, reference
+        data/decennial/{2010,2020}/metadata.json — identical variable
+        lists; only the ``decennial_pop`` entry's bookkeeping key
+        differs between vintages).  ACS vintages are deployment data
+        (the production mapping files ship with the data drop), so
+        they are supplied by explicit paths instead."""
+        root = Path(__file__).parent / "data" / source / str(year)
+        meta = root / "metadata.json"
+        if not meta.exists():
+            data_dir = Path(__file__).parent / "data"
+            available = sorted(
+                f"{p.parent.parent.name}/{p.parent.name}"
+                for p in data_dir.glob("*/*/metadata.json")
+            )
+            raise ValueError(
+                f"no packaged catalog for source={source!r} year={year}"
+                f" (packaged: {available}); pass explicit paths to"
+                " Catalog(...) for unpackaged vintages"
+            )
+        median = root / "median.json"
+        special = root / "special.json"
+        return cls(
+            meta,
+            median if median.exists() else None,
+            special if special.exists() else None,
+            source=source,
+            year=year,
+        )
+
     # ---- raw loads -------------------------------------------------
     @cached_property
     def metadata(self) -> list[dict]:
@@ -141,11 +175,20 @@ class Catalog:
     # ---- classification (metadata.py:84-160 semantics) -------------
     @cached_property
     def profile_only_variables(self) -> list[str]:
+        # The reference never computes this for decennial catalogs
+        # (calculate.py:103 guards the only call site) — and its
+        # ``census_variable[0]`` would crash on the decennial entries
+        # whose census_variable list is empty.  Replicate the effective
+        # behavior: decennial → no profile-only variables; skip
+        # column-less entries defensively elsewhere.
+        if self.source == "decennial":
+            return []
         return [
             m["pff_variable"]
             for m in self.metadata
             if (
-                m["census_variable"][0][0:2] == "DP"
+                m["census_variable"]
+                and m["census_variable"][0][0:2] == "DP"
                 and len(m["census_variable"]) == 1
                 and m["pff_variable"] not in PROFILE_ONLY_EXCEPTIONS
             )

@@ -132,8 +132,19 @@ class FactFinderEngine:
             else:
                 options = self.geo.options(self.catalog.source)
                 from_geotype = next(
-                    k for k, targets in options.items() if geotype in targets
+                    (k for k, targets in options.items() if geotype in targets),
+                    None,
                 )
+                if from_geotype is None:
+                    # e.g. decennial on the 2010_to_2020 geography: the
+                    # reference registers NO decennial rollups there
+                    # (2010_to_2020.py:200-219 has only an "acs" key),
+                    # so an aggregated geotype is unreachable
+                    raise ValueError(
+                        f"geotype {geotype!r} is not reachable for "
+                        f"source={self.catalog.source!r} with the "
+                        f"{self.geo.name} geography (no registered rollup)"
+                    )
                 vertical = options[from_geotype][geotype]
             df = self.source.load_e_m(from_geotype, v)
             df = aggregate_horizontal(df, v, self.catalog.source)

@@ -1764,3 +1764,40 @@ levels AS (
 SELECT geoid, geotype, geogname FROM levels
 ORDER BY geotype, geoid
 """
+
+# q70: decennial-2020 registry spine at native tract grain.  The
+# cleaning cascade collapses for a tract-grain decennial base variable
+# (m NULL throughout → c NULL; p=100/z=0 reasserted by the base rule;
+# e==0 suppresses c/m/p/z) — derived independently from
+# calculate.py:293-352 rather than restating the full chain.
+ORACLES["q70_decennial2020_e2e"] = """
+WITH pre AS (
+  SELECT c_custkey % 200 AS k,
+         CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS DOUBLE) AS tot
+  FROM customer GROUP BY 1),
+wide AS (
+  SELECT '36047' || lpad(CAST(k AS VARCHAR), 6, '0') AS census_geoid,
+         CASE WHEN k % 11 = 0 THEN NULL ELSE tot END AS P1
+  FROM pre),
+horiz AS (
+  SELECT census_geoid, round(0.0 + coalesce(P1, 0.0), 0) AS e
+  FROM wide),
+neg AS (
+  SELECT census_geoid, CASE WHEN e < 0 THEN NULL ELSE e END AS e
+  FROM horiz),
+final AS (
+  SELECT census_geoid,
+    CAST(NULL AS DOUBLE) AS c,
+    e,
+    CAST(NULL AS DOUBLE) AS m,
+    CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE 100.0 END AS p,
+    CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE 0.0 END AS z
+  FROM neg)
+SELECT census_geoid, 'decennial_pop' AS pff_variable,
+  'tract' AS geotype, c, e, m, p, z,
+  CASE WHEN substr(census_geoid, 4, 2) = '47'
+       THEN '3' || substr(census_geoid, 6, 6) END AS labs_geoid,
+  'CT2010' AS labs_geotype
+FROM final
+ORDER BY census_geoid
+"""

@@ -298,3 +298,84 @@ def test_batch_retries_then_isolates_bad_task(engine):
         retry_delay=0,
     )
     assert out.count() == 2  # pop_1's two tracts; bad task skipped
+
+
+# ---------------------------------------------------------------------------
+# Decennial catalog registry (reference data/decennial/{2010,2020})
+# ---------------------------------------------------------------------------
+
+def test_registry_loads_both_decennial_vintages():
+    for year in (2010, 2020):
+        cat = Catalog.from_registry("decennial", year)
+        assert len(cat.metadata) == 25
+        v = cat.create_variable("decennial_pop")
+        assert v.census_variable == ["P001001"]
+        assert v.base_variable == "decennial_pop"
+        # decennial catalogs expose no profile-only variables
+        # (reference calculate.py:103 never asks; empty
+        # census_variable entries must not crash the classifier)
+        assert cat.profile_only_variables == []
+        assert "decennial_pop" in cat.base_variables
+        assert cat.median_variables == [] and cat.special_variables == []
+
+
+def test_registry_unknown_vintage_raises():
+    with pytest.raises(ValueError, match="packaged"):
+        Catalog.from_registry("decennial", 1990)
+
+
+@pytest.fixture(scope="module")
+def decennial_engine(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("wide_dec")
+    df = spark.createDataFrame(
+        [
+            ("36", "047", "000100", 3000.0),
+            ("36", "047", "000200", 999999999.0),  # sentinel → e 0
+        ],
+        "state string, county string, tract string, P001001 double",
+    )
+    df.write.mode("overwrite").parquet(str(root / "tract.parquet"))
+    cat = Catalog.from_registry("decennial", 2020)
+    lookup_raw = spark.createDataFrame(
+        [
+            ("360470001001000", "BK0101", "N", "BK01", "D", "3", "Brooklyn", "0", "0", "0"),
+        ],
+        "geoid string, nta2020 string, ntaname string, cdta2020 string, cdtaname string,"
+        " borocode string, boroname string, fp_100 string, fp_500 string, park_access string",
+    )
+    ratio_raw = spark.createDataFrame(
+        [("47000100", "47000100", "1.0")],
+        "boroct2010 string, boroct2020 string, ratio string",
+    )
+    geo = AggregatedGeography2020(
+        prepare_lookup_geo(lookup_raw), prepare_ratio(ratio_raw)
+    )
+    return FactFinderEngine(spark, cat, geo, ParquetWideSource(spark, root))
+
+
+def test_decennial_2020_base_variable_at_tract(decennial_engine):
+    rows = {
+        r["census_geoid"]: r.asDict()
+        for r in decennial_engine("decennial_pop", "tract").collect()
+    }
+    assert set(rows) == {"36047000100", "36047000200"}
+    r = rows["36047000100"]
+    # decennial: margin NULL, base variable → p=100, z=0 (cleaning)
+    assert r["e"] == 3000.0 and r["m"] is None
+    assert r["p"] == 100.0 and r["z"] == 0.0
+    assert r["c"] is None
+    assert r["labs_geoid"] == "3000100"
+    assert r["labs_geotype"] == "CT2010"
+    # sentinel-scrubbed tract: e 0 → c/m/p/z suppressed
+    s = rows["36047000200"]
+    assert s["e"] == 0.0
+    assert s["c"] is None and s["m"] is None
+    assert s["p"] is None and s["z"] is None
+
+
+def test_decennial_2020_aggregated_geotype_unreachable(decennial_engine):
+    # the 2010_to_2020 geography registers no decennial rollups
+    # (reference 2010_to_2020.py:200-219), so NTA is a clean error,
+    # not a StopIteration
+    with pytest.raises(ValueError, match="not reachable"):
+        decennial_engine("decennial_pop", "NTA")
