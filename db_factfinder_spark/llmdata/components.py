@@ -109,7 +109,21 @@ def select_survivors(scored: DataFrame, groups: DataFrame) -> DataFrame:
     Scale: two shuffles (the group join on doc_id, the per-group
     window on group_id).  ``groups`` is proportional to the duplicated
     subset, not the corpus — but can still be huge, so it is NOT
-    broadcast."""
+    broadcast.
+
+    Giant-group skew: with upstream hot-bucket caps disabled
+    (``cap_hot_buckets(..., max_bucket=None)`` in the pair
+    generators), a boilerplate flood can collapse millions of
+    documents into ONE component, making one window partition huge.
+    That is safe here — ``row_number`` over an ordered partition is
+    sort-based and streaming (external sort, spillable; no per-group
+    state), so the plan stays a single hash exchange on ``group_id``
+    regardless of group size; the cost of the giant group is one
+    task's sort, not memory.  The *upstream* mitigation is
+    ``cap_hot_buckets`` itself: capping candidate buckets bounds how
+    fast components can merge, which is the only true fix for a
+    pathological universal-boilerplate corpus (tested with a
+    10k-member group in test_llmdata)."""
     g = scored.join(groups, "doc_id", "left").select(
         "doc_id",
         "quality",

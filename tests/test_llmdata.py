@@ -705,3 +705,37 @@ def test_mixture_sample_empty_weights_uses_default(spark):
     )
     kept = df.filter(mixture_sample("doc_id", "src", {}, default=0.5)).count()
     assert 400 < kept < 600
+
+
+def test_select_survivors_giant_group_skew(spark):
+    """A 10k-member component (upstream caps disabled) must not change
+    the plan shape: ONE hash exchange on group_id for the survivor
+    window (row_number is sort-based/streaming — no per-group memory),
+    and exactly one survivor comes out of the giant group."""
+    from db_factfinder_spark.llmdata.components import select_survivors
+
+    n = 10_000
+    scored = spark.range(0, n + 50).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 997).cast("double").alias("quality"),
+    )
+    groups = spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).cast("bigint").alias("rep_id"),
+        F.lit(n).cast("bigint").alias("group_size"),
+    )
+    out = select_survivors(scored, groups)
+    jvm = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = out._jdf.queryExecution().explainString(jvm.fromString("formatted"))
+    assert plan.count("hashpartitioning(group_id") == 1, plan
+    assert "CartesianProduct" not in plan
+
+    rows = out.collect()
+    giant = [r for r in rows if r["group_id"] == 0]
+    keepers = [r for r in giant if r["keep"]]
+    assert len(giant) == n and len(keepers) == 1
+    # best quality 996.0, ties broken by lowest doc_id
+    assert keepers[0]["doc_id"] == 996 and keepers[0]["quality"] == 996.0
+    # ungrouped docs form singleton groups and all survive
+    singles = [r for r in rows if r["doc_id"] >= n]
+    assert len(singles) == 50 and all(r["keep"] for r in singles)
