@@ -60,6 +60,16 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     queries = entry.queries()
 
+    # Session startup: the first job through a fresh JVM pays session
+    # wiring, parquet-reader init, noop-sink registration, and baseline
+    # JIT — previously absorbed by whichever query ran first (q01's
+    # cold time was ~15s of which ~14s was this).  Measured on a
+    # trivial scan+agg and reported as its own field so cold numbers
+    # are per-query codegen cost, comparable round-over-round.
+    t0 = time.perf_counter()
+    _force(spark.read.parquet(f"{SF_DIR}/region.parquet").selectExpr("count(*)"))
+    startup_s = round(time.perf_counter() - t0, 3)
+
     # Cold pass: first execution pays one-time whole-stage-codegen
     # (janino) compilation of each query's expression stack — recorded
     # separately so the headline number is engine throughput, which is
@@ -105,6 +115,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "startup_s": startup_s,
                 "cold_total": round(sum(cold.values()), 3),
                 "queries_cold": cold,
                 "reexec_total": round(sum(reexec.values()), 3),
