@@ -97,6 +97,7 @@ from db_factfinder_spark.sources.readers import read_events, normalize_event_ts
 from db_factfinder_spark.streaming.events import (
     run_available_now,
     sessionize,
+    stream_dedup_keys,
     stream_sessionize,
     windowed_counts,
 )
@@ -1885,6 +1886,32 @@ def q70_decennial2020_e2e(spark, sf_dir):
     ).orderBy("census_geoid")
 
 
+def q71_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup run as a real Structured Streaming job:
+    file stream → event-time watermark → ``dropDuplicatesWithinWatermark``
+    on (user_id, event_type) → memory sink (availableNow).  Watermark
+    expiry bounds the dedup state to keys seen within the horizon —
+    the property that lets a continuous ingest dedup run forever;
+    the horizon here covers the whole bounded fixture, so the emitted
+    key set equals batch DISTINCT (which row survives per key is
+    arrival-order-dependent; the KEY SET is the deterministic,
+    oracle-checkable output).  Counted per user for a compact result."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.parque[t]")
+    )
+    kept = stream_dedup_keys(
+        stream, ["user_id", "event_type"], watermark="365 days"
+    )
+    res = run_available_now(kept, output_mode="append")
+    return (
+        res.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_event_types"))
+        .orderBy("user_id")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1966,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_community_profiles": q68_community_profiles,
         "q69_support_geoids": q69_support_geoids,
         "q70_decennial2020_e2e": q70_decennial2020_e2e,
+        "q71_stream_dedup": q71_stream_dedup,
     }
 
 

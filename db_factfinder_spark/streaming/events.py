@@ -208,3 +208,38 @@ def stream_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup_keys(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming exact deduplication — the ingest twin of
+    ``llmdata.exact_dedup`` for a continuously-arriving corpus:
+    ``dropDuplicatesWithinWatermark`` keeps the first-arriving row per
+    key and expires each key's state once the event-time watermark
+    passes it.
+
+    The watermark is what makes this 100 TB-safe: state holds one
+    entry per key seen within the horizon, not per key ever seen — a
+    plain streaming ``dropDuplicates`` grows state forever and
+    eventually OOMs the state store.  The tradeoff is explicit: a
+    duplicate arriving later than ``watermark`` after its original is
+    re-emitted (its state entry has expired), so the horizon is chosen
+    to cover the source's real duplicate window (retries, replays,
+    at-least-once queues).  Eviction is physical at micro-batch END:
+    a duplicate landing in the same batch whose watermark first passed
+    its key is still suppressed; re-emission starts the batch after
+    (tested in test_streaming).
+
+    Which ROW survives per key is arrival-order-dependent; the KEY SET
+    is deterministic, so this returns only the key columns — exactly
+    what a downstream anti-join needs to admit each document once.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+        .select(*key_cols)
+    )

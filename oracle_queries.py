@@ -1801,3 +1801,12 @@ SELECT census_geoid, 'decennial_pop' AS pff_variable,
 FROM final
 ORDER BY census_geoid
 """
+
+# q71: the streaming dedup's kept KEY SET equals batch DISTINCT when
+# the watermark horizon covers the bounded fixture.
+ORACLES["q71_stream_dedup"] = """
+WITH kept AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_event_types
+FROM kept GROUP BY user_id
+ORDER BY user_id
+"""

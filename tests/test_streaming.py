@@ -205,3 +205,82 @@ def test_stateful_sessionize_state_carries_across_microbatches(
         .collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stream_dedup_matches_batch_distinct(spark, events, tmp_path):
+    from db_factfinder_spark.streaming.events import (
+        run_available_now,
+        stream_dedup_keys,
+    )
+
+    src = str(tmp_path / "events_dedup")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    kept = run_available_now(
+        stream_dedup_keys(stream, ["user_id", "event_type"], watermark="365 days"),
+        output_mode="append",
+    )
+    got = {(r["user_id"], r["event_type"]) for r in kept.collect()}
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in events.select("user_id", "event_type").distinct().collect()
+    }
+    assert got == want
+    # first-arrival semantics: exactly one emit per key
+    assert kept.count() == len(want)
+
+
+def test_stream_dedup_reemits_after_watermark_expiry(spark, tmp_path):
+    """The state bound is real: a duplicate arriving after its key's
+    watermark horizon has passed is re-emitted — the documented
+    tradeoff that keeps state finite on an endless stream."""
+    import time
+
+    from db_factfinder_spark.streaming.events import stream_dedup_keys
+
+    src = tmp_path / "late_dupes"
+    src.mkdir()
+    schema = "k string, ts timestamp"
+    # batch 1: key X at 00:00; key Y at 01:00 advances the watermark
+    # (horizon 10s) far past X's state entry
+    spark.createDataFrame(
+        [("X", "2024-01-01 00:00:00"), ("Y", "2024-01-01 01:00:00")],
+        "k string, ts string",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts").coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    time.sleep(1.1)  # file mtime orders the micro-batches
+    # batch 2: a duplicate X in the SAME batch the watermark advances
+    # is still suppressed — expired entries are evicted at the END of
+    # the micro-batch, after lookup
+    spark.createDataFrame(
+        [("X", "2024-01-01 01:00:01")], "k string, ts string"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts").coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    time.sleep(1.1)
+    # batch 3: X's entry is now physically evicted → this one re-emits
+    spark.createDataFrame(
+        [("X", "2024-01-01 01:00:02")], "k string, ts string"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts").coalesce(1).write.parquet(
+        str(src / "b3")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    kept = stream_dedup_keys(stream, ["k"], watermark="10 seconds")
+    import uuid
+
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        kept.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [r["k"] for r in spark.table(name).collect()]
+    assert sorted(rows) == ["X", "X", "Y"]
