@@ -215,9 +215,12 @@ def community_profiles(
     merge is equivalent to a union + one grouped ``first(ignorenulls)``
     per output column — each geoid's row for a column comes from
     exactly one mapping's frame, so "first non-null" IS that frame's
-    value and the join collapses to a single shuffle on
+    value and the join collapses to one grouped aggregation on
     ``census_geoid`` regardless of mapping count (the SURVEY §2.3 J8
-    formulation).  ``assembly="group"`` (default) is that plan;
+    formulation) — and when every branch aggregate already partitions
+    on its geoid key with a common partition count, Spark's
+    partition-aligned union lets the assembly reuse those exchanges,
+    adding ZERO shuffles of its own (plan-audited in test_plans).  ``assembly="group"`` (default) is that plan;
     ``assembly="outer"`` is the literal reduce-full-outer-join for
     cross-checking (tests assert both produce identical results).
 

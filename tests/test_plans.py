@@ -258,3 +258,21 @@ def test_q57_range_join_is_equi_not_nested_loop(spark):
     plan = _plan(spark, "q57_range_join")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q68_profile_assembly_adds_no_shuffle(spark):
+    # the union + grouped first(ignorenulls) assembly plans NO join at
+    # all (the reference's 74 chained outer merges would be 74 join
+    # stages) and adds NO exchange of its own: every branch is already
+    # hash-partitioned on its groupBy key (aliased to census_geoid)
+    # with a common partition count, and Spark's partition-aligned
+    # union lets the final first() aggregate reuse those exchanges —
+    # the only hash exchanges in the plan are the three per-mapping
+    # aggregates' own
+    plan = _plan(spark, "q68_community_profiles")
+    import re as _re
+
+    assert "Join" not in plan
+    hashes = _re.findall(r"hashpartitioning\(\w+", plan)
+    assert len(hashes) == 3, f"assembly added an exchange: {hashes}\n{plan}"
+    assert all("_groupingexpression" in h for h in hashes), hashes
