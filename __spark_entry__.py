@@ -1912,6 +1912,20 @@ def q71_stream_dedup(spark, sf_dir):
     )
 
 
+def q72_shared_spans(spark, sf_dir):
+    """Substring-level contamination diagnostic: per document, the
+    longest run of consecutive 5-gram shingle positions shared with at
+    least one other document (a run of r shingles ≈ a verbatim span of
+    r+4 tokens).  Separates long verbatim copies (one long run) from
+    scattered idiom overlap (many 1-runs) — the signal q65's shared
+    *fraction* can't see.  Set-based gaps-and-islands over the gram
+    join; no pairwise work at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    from db_factfinder_spark.llmdata.dedup import shared_span_stats
+
+    return shared_span_stats(docs, n=5).orderBy("doc_id")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1994,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_support_geoids": q69_support_geoids,
         "q70_decennial2020_e2e": q70_decennial2020_e2e,
         "q71_stream_dedup": q71_stream_dedup,
+        "q72_shared_spans": q72_shared_spans,
     }
 
 

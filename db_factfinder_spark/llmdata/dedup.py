@@ -581,3 +581,91 @@ def ngram_contamination(
             "shared_frac"
         ),
     )
+
+
+def positional_shingles(text: Column | str, n: int = 8) -> Column:
+    """Word n-gram shingles in POSITION ORDER (no dedupe) — the
+    positional twin of ``shingles`` for span-level analysis, where a
+    gram's position and repetitions carry the signal."""
+
+    def build(toks: Column) -> Column:
+        k = F.size(toks) - (n - 1)
+        return F.when(k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(tokens(normalize_text(text)), build)
+
+
+def shared_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Substring-level contamination: per document, the longest run of
+    CONSECUTIVE shingle positions whose grams each occur in at least
+    one OTHER document — ≈ the longest shared span (a run of r
+    shingles covers r+n−1 tokens).  ``ngram_contamination`` reports
+    the *fraction* of shared grams; this reports their *contiguity*,
+    which is what separates a long verbatim copy (one long run —
+    benchmark leakage, licensing text) from scattered idiom overlap
+    (many 1-runs).
+
+    Set-based like the contamination pass — explode positional
+    shingles, count distinct docs per gram, semi-join the shared-gram
+    list back, then classic gaps-and-islands (idx − row_number) per
+    document — so there is no pairwise work at any corpus size; every
+    shuffle is keyed on the gram or the doc id.  The positional
+    explode is materialized once (per ``checkpoint_mode``) because it
+    feeds the gram counts, the probe side, and the per-doc totals."""
+    pos = materialize(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(positional_shingles(text_col, n)).alias("idx", "g"),
+        ),
+        checkpoint_mode,
+    )
+    per_gram = (
+        pos.select("id", "g").distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    shared_pos = pos.join(
+        per_gram.filter(F.col("n_docs") >= 2).select("g"), "g", "left_semi"
+    )
+    w = Window.partitionBy("id").orderBy("idx")
+    run_lens = (
+        shared_pos.withColumn("grp", F.col("idx") - F.row_number().over(w))
+        .groupBy("id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    per_doc = (
+        pos.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .join(
+            shared_pos.groupBy("id").agg(
+                F.count(F.lit(1)).alias("n_shared_pos")
+            ),
+            "id",
+            "left",
+        )
+        .join(
+            run_lens.groupBy("id").agg(
+                F.max("run_len").alias("max_shared_run")
+            ),
+            "id",
+            "left",
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_shared_pos", F.lit(0)).alias("n_shared_pos"),
+        F.coalesce("max_shared_run", F.lit(0)).alias("max_shared_run"),
+    )

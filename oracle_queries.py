@@ -1810,3 +1810,53 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_event_types
 FROM kept GROUP BY user_id
 ORDER BY user_id
 """
+
+
+def _positional_shingles_sql(n: int) -> str:
+    """Positional (idx, gram) struct list over `toks` — the
+    non-distinct, ordered twin of _shingles_sql for span analysis."""
+    concat = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return f"""
+CASE WHEN len(toks) - {n - 1} >= 1 THEN
+  list_transform(range(1, len(toks) - {n - 2}),
+                 i -> struct_pack(idx := i, g := {concat}))
+ELSE [] END"""
+
+
+# q72: gaps-and-islands longest shared-shingle run, mirrored over the
+# same positional shingle definition (grp = idx − row_number is
+# offset-invariant, so Spark's 0-based posexplode and this 1-based
+# range agree).
+ORACLES["q72_shared_spans"] = f"""
+WITH d AS (SELECT doc_id, {_NORMTOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_positional_shingles_sql(5)} AS pairs FROM d),
+posx AS (SELECT doc_id, unnest(pairs, recursive := true) FROM sh),
+per_gram AS (
+  SELECT g, count(*) AS n_docs
+  FROM (SELECT DISTINCT doc_id, g FROM posx) GROUP BY g),
+sharedpos AS (
+  SELECT doc_id, idx FROM posx JOIN per_gram USING (g)
+  WHERE n_docs >= 2),
+runs AS (
+  SELECT doc_id,
+         idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+           AS grp
+  FROM sharedpos),
+run_lens AS (
+  SELECT doc_id, grp, count(*) AS run_len FROM runs GROUP BY doc_id, grp),
+totals AS (SELECT doc_id, count(*) AS n_grams FROM posx GROUP BY doc_id),
+shared_counts AS (
+  SELECT doc_id, count(*) AS n_shared_pos FROM sharedpos GROUP BY doc_id),
+maxruns AS (
+  SELECT doc_id, max(run_len) AS max_shared_run FROM run_lens
+  GROUP BY doc_id)
+SELECT docs.doc_id,
+  coalesce(totals.n_grams, 0) AS n_grams,
+  coalesce(shared_counts.n_shared_pos, 0) AS n_shared_pos,
+  coalesce(maxruns.max_shared_run, 0) AS max_shared_run
+FROM documents docs
+LEFT JOIN totals ON docs.doc_id = totals.doc_id
+LEFT JOIN shared_counts ON docs.doc_id = shared_counts.doc_id
+LEFT JOIN maxruns ON docs.doc_id = maxruns.doc_id
+ORDER BY docs.doc_id
+"""

@@ -739,3 +739,51 @@ def test_select_survivors_giant_group_skew(spark):
     # ungrouped docs form singleton groups and all survive
     singles = [r for r in rows if r["doc_id"] >= n]
     assert len(singles) == 50 and all(r["keep"] for r in singles)
+
+
+def test_shared_span_stats_planted_copy(spark):
+    """A verbatim 10-token span shared by two docs shows up as one
+    8-long 3-gram run in each; an unrelated doc reports zero."""
+    from db_factfinder_spark.llmdata.dedup import shared_span_stats
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, base + " unique tail words here"),
+            (2, "prefix padding " + base + " different ending"),
+            (3, "totally unrelated content runs through many distinct tokens"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in shared_span_stats(df, n=3).collect()}
+    # doc 1: 14 tokens → 12 grams; the 8 base grams are shared, contiguous
+    assert out[1]["n_grams"] == 12
+    assert out[1]["n_shared_pos"] == 8
+    assert out[1]["max_shared_run"] == 8
+    # doc 2: same base span at a different offset
+    assert out[2]["n_shared_pos"] == 8 and out[2]["max_shared_run"] == 8
+    # doc 3: nothing shared
+    assert out[3]["n_shared_pos"] == 0 and out[3]["max_shared_run"] == 0
+
+
+def test_shared_span_scattered_vs_contiguous(spark):
+    """Same shared *fraction*, different contiguity: the run statistic
+    separates a verbatim block from scattered overlaps."""
+    from db_factfinder_spark.llmdata.dedup import shared_span_stats
+
+    block = "one two three four five six"
+    df = spark.createDataFrame(
+        [
+            # doc 1 carries the block intact; docs 2 carries its grams
+            # but interrupted in the middle
+            (1, block + " filler alpha beta"),
+            (2, "one two three four interruptor three four five six pad"),
+            (3, block + " other ending tokens"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in shared_span_stats(df, n=3).collect()}
+    # docs 1 and 3 share the whole 6-token block → 4-gram run
+    assert out[1]["max_shared_run"] == 4 and out[3]["max_shared_run"] == 4
+    # doc 2 shares fragments of it, but its longest run is shorter
+    assert 0 < out[2]["max_shared_run"] < 4
