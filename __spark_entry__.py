@@ -80,6 +80,8 @@ from db_factfinder_spark.functions.geoid import (
     format_geotype_2010,
 )
 from db_factfinder_spark.operators.asof import asof_join
+from db_factfinder_spark.operators.merge import merge_upsert
+from db_factfinder_spark.operators.scd import scd2_intervals
 from db_factfinder_spark.operators.rangejoin import point_in_interval_join
 from db_factfinder_spark.operators.rollup_cascade import cascaded_rollup
 from db_factfinder_spark.operators.cleaning import cleaning
@@ -1926,6 +1928,58 @@ def q72_shared_spans(spark, sf_dir):
     return shared_span_stats(docs, n=5).orderBy("doc_id")
 
 
+def q73_merge_upsert(spark, sf_dir):
+    """CDC merge (Delta/Iceberg MERGE INTO semantics as one Spark
+    plan): even-id events are the base snapshot, odd-id events the
+    change-log; per (user_id, event_type) the newest row wins (updates
+    beat base on ties) and an update whose value < 10 is a tombstone
+    that deletes the key.  Union + row_number window — ONE shuffle on
+    the merge key, no join, insert/update/delete handled uniformly."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    base = ev.filter(F.col("event_id") % 2 == 0).withColumn(
+        "is_delete", F.lit(False)
+    )
+    upd = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "is_delete", F.col("value") < 10.0
+    )
+    merged = merge_upsert(
+        base,
+        upd,
+        keys=["user_id", "event_type"],
+        order_by=["ts", "event_id"],
+        delete_flag=F.col("is_delete"),
+    )
+    return merged.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "value",
+    ).orderBy("user_id", "event_type")
+
+
+def q74_scd2_intervals(spark, sf_dir):
+    """SCD type-2 history: each user's event_type stream (ordered by
+    ts, event_id) collapses runs of identical consecutive types into
+    validity intervals [valid_from, valid_to) with the observation
+    count backing each run.  Change-flag + running segment id share
+    one window sort; output is proportional to CHANGES, not rows."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    runs = scd2_intervals(
+        ev, key="user_id", order_by=["ts", "event_id"], attr="event_type"
+    )
+    return runs.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "valid_from_s"
+        ),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "valid_to_s"
+        ),
+        "n_obs",
+    ).orderBy("user_id", "valid_from_s")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2009,6 +2063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_decennial2020_e2e": q70_decennial2020_e2e,
         "q71_stream_dedup": q71_stream_dedup,
         "q72_shared_spans": q72_shared_spans,
+        "q73_merge_upsert": q73_merge_upsert,
+        "q74_scd2_intervals": q74_scd2_intervals,
     }
 
 

@@ -1,0 +1,70 @@
+"""SCD Type-2 history build — change-log → validity intervals.
+
+``scd2_intervals(df, ...)`` turns a row-per-observation change log
+into slowly-changing-dimension type-2 history: per key, consecutive
+rows with the same tracked attribute collapse into one interval with
+``valid_from`` / ``valid_to`` (NULL ``valid_to`` = current) and the
+number of observations backing it.
+
+Plan shape: the change detection (``lag`` ≠ current, null-safe) and
+the running segment id (cumulative sum of change flags) share ONE
+window sort on (key, order); the interval roll-up is then a groupBy
+on (key, segment) — same leading key, so the rows for one entity stay
+on one executor — and the ``valid_to`` chaining is a ``lead`` window
+over the (already tiny) interval rows.  Raw rows are touched once.
+
+At 100 TB this is the standard event-sourcing compaction: everything
+partitions by the entity key, no join against the raw table, and the
+output is proportional to the number of *changes*, not observations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    order_by: Sequence[str],
+    attr: str,
+) -> DataFrame:
+    """Collapse per-``key`` runs of identical ``attr`` (in ``order_by``
+    order) into intervals.
+
+    Returns one row per run: ``key, attr, valid_from, valid_to,
+    n_obs`` where ``valid_from`` is the first ``order_by[0]`` of the
+    run, ``valid_to`` the next run's ``valid_from`` (NULL for the
+    current run) and ``n_obs`` the number of source rows collapsed.
+    """
+    ts = order_by[0]
+    w_row = Window.partitionBy(key).orderBy(*order_by)
+    # null-safe "changed" flag; the first row of a key always starts a
+    # segment (lag is NULL and eqNullSafe(NULL) is false unless attr
+    # is NULL too — guard with the explicit lag-is-null check)
+    prev = F.lag(F.col(attr)).over(w_row)
+    prev_seen = F.lag(F.lit(1)).over(w_row)
+    changed = F.when(prev_seen.isNull(), F.lit(1)).otherwise(
+        (~F.col(attr).eqNullSafe(prev)).cast("int")
+    )
+    seg = F.sum(changed).over(
+        w_row.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    segmented = df.select(
+        F.col(key), F.col(attr), F.col(ts).alias("__ts"), seg.alias("__seg")
+    )
+    runs = segmented.groupBy(key, "__seg", attr).agg(
+        F.min("__ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    w_seg = Window.partitionBy(key).orderBy("__seg")
+    return runs.select(
+        F.col(key),
+        F.col(attr),
+        F.col("valid_from"),
+        F.lead("valid_from").over(w_seg).alias("valid_to"),
+        F.col("n_obs"),
+    )

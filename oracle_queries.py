@@ -1860,3 +1860,60 @@ LEFT JOIN shared_counts ON docs.doc_id = shared_counts.doc_id
 LEFT JOIN maxruns ON docs.doc_id = maxruns.doc_id
 ORDER BY docs.doc_id
 """
+
+
+# q73: CDC merge — identical union + row_number formulation; the
+# tombstone (odd-id update with value < 10) is evaluated on the
+# winning row exactly as merge_upsert's delete_flag is.
+ORACLES["q73_merge_upsert"] = """
+WITH allr AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS src,
+         (event_id % 2 = 1 AND value < 10.0) AS is_delete
+  FROM events),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC, src DESC) AS rn
+  FROM allr)
+SELECT user_id, event_type,
+  strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+  value
+FROM w WHERE rn = 1 AND NOT is_delete
+ORDER BY user_id, event_type
+"""
+
+
+# q74: SCD2 — change flag (null-safe lag compare) + running segment
+# sum share one window order (ts, event_id), runs roll up by segment,
+# valid_to chains via lead over the run rows.
+ORACLES["q74_scd2_intervals"] = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+    CASE WHEN lag(event_id) OVER w IS NULL
+              OR event_type IS DISTINCT FROM lag(event_type) OVER w
+         THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+seg AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS seg
+  FROM flagged),
+runs AS (
+  SELECT user_id, seg, event_type, min(ts) AS valid_from,
+         count(*) AS n_obs
+  FROM seg GROUP BY user_id, seg, event_type),
+fin AS (
+  SELECT user_id, event_type, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg)
+           AS valid_to,
+         n_obs
+  FROM runs)
+SELECT user_id, event_type,
+  strftime(make_timestamp(epoch_us(valid_from)), '%Y-%m-%d %H:%M:%S.%f')
+    AS valid_from_s,
+  strftime(make_timestamp(epoch_us(valid_to)), '%Y-%m-%d %H:%M:%S.%f')
+    AS valid_to_s,
+  n_obs
+FROM fin
+ORDER BY user_id, valid_from_s
+"""
