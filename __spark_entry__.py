@@ -71,6 +71,7 @@ from db_factfinder_spark.llmdata.textstats import (
     repetition_stats,
     rolling_hash,
     stopword_ratio,
+    tfidf_top_terms,
     token_count,
     token_profile,
     tokens,
@@ -1980,6 +1981,16 @@ def q74_scd2_intervals(spark, sf_dir):
     ).orderBy("user_id", "valid_from_s")
 
 
+def q75_tfidf_topterms(spark, sf_dir):
+    """Per-document top-3 characteristic terms by tf-idf (rational-idf
+    variant tf·N/df — exact integer numerator + one correctly-rounded
+    IEEE division, so the ranking is engine-exact; see
+    tfidf_top_terms).  Explode → counts → vocab join → top-k window;
+    the vocabulary frame broadcasts at scale, nothing is pairwise."""
+    docs = _docs(spark, sf_dir)
+    return tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2065,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_shared_spans": q72_shared_spans,
         "q73_merge_upsert": q73_merge_upsert,
         "q74_scd2_intervals": q74_scd2_intervals,
+        "q75_tfidf_topterms": q75_tfidf_topterms,
     }
 
 

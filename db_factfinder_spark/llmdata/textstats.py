@@ -301,3 +301,46 @@ def pack_sequences(
             "chunk_offset": cum_before % seq_len,
         }
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` characteristic terms by tf-idf, using the
+    *rational* idf variant score = tf · N / df (N = corpus size, df =
+    documents containing the term).  Rational rather than log idf is a
+    deliberate exactness choice: tf·N is an exact integer and one IEEE
+    division is correctly rounded, so the score — and therefore the
+    ranking — is bit-identical on any engine, while log-idf's libm
+    last-bit differences could flip near-ties.  The ranking it induces
+    equals log-idf's whenever tf is constant (both are monotone
+    decreasing in df) and stays a standard tf-idf-family weighting.
+
+    Plan: explode → (doc, term) counts → term doc-frequencies → join
+    back → per-doc top-k window.  The df table is vocabulary-sized;
+    at 100 TB broadcast it when the vocabulary fits (Spark's AQE
+    converts the join automatically below the threshold) — nothing
+    here is pairwise or driver-side.  N arrives as a broadcast 1-row
+    cross join, not a collected literal, so the plan stays lazy.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col(
+        "df"
+    ).cast("double")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )

@@ -1917,3 +1917,22 @@ SELECT user_id, event_type,
 FROM fin
 ORDER BY user_id, valid_from_s
 """
+
+
+# q75: tf-idf with rational idf — tf·N exact integer, one IEEE
+# division; ranking window mirrors the Spark orderBy exactly.
+ORACLES["q75_tfidf_topterms"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+         row_number() OVER (PARTITION BY doc_id
+           ORDER BY CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) DESC,
+                    term) AS rank
+  FROM tf JOIN dfc USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, df, score, rank
+FROM scored WHERE rank <= 3 ORDER BY doc_id, rank
+"""

@@ -787,3 +787,29 @@ def test_shared_span_scattered_vs_contiguous(spark):
     assert out[1]["max_shared_run"] == 4 and out[3]["max_shared_run"] == 4
     # doc 2 shares fragments of it, but its longest run is shorter
     assert 0 < out[2]["max_shared_run"] < 4
+
+
+def test_tfidf_top_terms_known_corpus(spark):
+    from db_factfinder_spark.llmdata.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id int, text string",
+    )
+    out = tfidf_top_terms(docs, k=2)
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df, r.score)
+        for r in out.collect()
+    }
+    # N=3. doc1: apple tf2 df1 → 6.0; banana tf1 df2 → 1.5
+    assert got[(1, 1)] == ("apple", 2, 1, 6.0)
+    assert got[(1, 2)] == ("banana", 1, 2, 1.5)
+    # doc2: banana 1*3/2=1.5, cherry 1*3/2=1.5 → tie broken by term asc
+    assert got[(2, 1)][0] == "banana" and got[(2, 2)][0] == "cherry"
+    # doc3: cherry tf3 df2 → 4.5 beats durian tf1 df1 → 3.0
+    assert got[(3, 1)] == ("cherry", 3, 2, 4.5)
+    assert got[(3, 2)] == ("durian", 1, 1, 3.0)
