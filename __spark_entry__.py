@@ -49,7 +49,11 @@ from db_factfinder_spark.llmdata.dedup import (
 )
 from db_factfinder_spark.llmdata.components import neardup_groups, select_survivors
 from db_factfinder_spark.llmdata.redact import redact_pii
-from db_factfinder_spark.llmdata.sampling import mixture_sample, split_column
+from db_factfinder_spark.llmdata.sampling import (
+    cap_per_group,
+    mixture_sample,
+    split_column,
+)
 from db_factfinder_spark.llmdata.kmeans import kmeans_assignments
 from db_factfinder_spark.llmdata.multimodal import extract_features, resize_images
 from db_factfinder_spark.llmdata.similarity import (
@@ -1991,6 +1995,24 @@ def q75_tfidf_topterms(spark, sf_dir):
     return tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
 
 
+def q76_domain_caps(spark, sf_dir):
+    """Per-domain quota cap: keep the 10 longest documents per source
+    (n_chars desc, doc_id tiebreak) — the per-domain cap that stops
+    giant crawl domains from dominating a training mixture.  One rank
+    window on the group key; output bounded at cap×groups regardless
+    of skew."""
+    docs = _docs(spark, sf_dir)
+    kept = cap_per_group(
+        docs,
+        group_cols=["source"],
+        order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+        cap=10,
+    )
+    return kept.select("source", "doc_id", "n_chars", "rank").orderBy(
+        "source", "rank"
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2077,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_merge_upsert": q73_merge_upsert,
         "q74_scd2_intervals": q74_scd2_intervals,
         "q75_tfidf_topterms": q75_tfidf_topterms,
+        "q76_domain_caps": q76_domain_caps,
     }
 
 

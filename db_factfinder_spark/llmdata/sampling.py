@@ -73,3 +73,26 @@ def mixture_sample(
     default_t = F.lit(round(default * buckets))
     thresh = default_t if thresh is None else thresh.otherwise(default_t)
     return b < thresh
+
+
+def cap_per_group(df, group_cols, order_by, cap: int, rank_col: str = "rank"):
+    """Per-group quota cap: keep at most ``cap`` rows per group, chosen
+    by the deterministic ``order_by`` ranking (pass an explicit
+    tiebreak column — e.g. the document id — so the kept set is
+    reproducible on any cluster layout).  The standard per-domain /
+    per-source cap that stops a handful of giant crawl domains from
+    dominating a training mixture.
+
+    ONE shuffle (the rank window on the group key); a skewed giant
+    group concentrates one window partition exactly like any keyed
+    shuffle — AQE skew handling applies, and the cap itself bounds the
+    *output* per group regardless.  The rank is kept as ``rank_col``
+    for downstream budget accounting.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= cap)
+    )

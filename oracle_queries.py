@@ -1936,3 +1936,17 @@ scored AS (
 SELECT doc_id, term, tf, df, score, rank
 FROM scored WHERE rank <= 3 ORDER BY doc_id, rank
 """
+
+
+# q76: per-domain cap — row_number window with the same deterministic
+# (n_chars desc, doc_id) ranking, capped at 10 per source.
+ORACLES["q76_domain_caps"] = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+           ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents)
+SELECT source, doc_id, n_chars, rank
+FROM ranked WHERE rank <= 10
+ORDER BY source, rank
+"""

@@ -813,3 +813,24 @@ def test_tfidf_top_terms_known_corpus(spark):
     # doc3: cherry tf3 df2 → 4.5 beats durian tf1 df1 → 3.0
     assert got[(3, 1)] == ("cherry", 3, 2, 4.5)
     assert got[(3, 2)] == ("durian", 1, 1, 3.0)
+
+
+def test_cap_per_group_quota_and_determinism(spark):
+    from db_factfinder_spark.llmdata.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [("a", i, 100 - i) for i in range(5)] + [("b", 10, 7)],
+        "g string, id int, score int",
+    )
+    kept = cap_per_group(
+        df, ["g"], [F.col("score").desc(), F.col("id")], cap=2
+    )
+    got = sorted((r.g, r.id, r.rank) for r in kept.collect())
+    # group a keeps its two highest scores (ids 0, 1); b is under cap
+    assert got == [("a", 0, 1), ("a", 1, 2), ("b", 10, 1)]
+    # ties broken by id: two rows with equal score rank deterministically
+    tie = spark.createDataFrame(
+        [("t", 2, 5), ("t", 1, 5), ("t", 3, 5)], "g string, id int, score int"
+    )
+    kept2 = cap_per_group(tie, ["g"], [F.col("score").desc(), F.col("id")], cap=2)
+    assert sorted(r.id for r in kept2.collect()) == [1, 2]
