@@ -100,6 +100,7 @@ from db_factfinder_spark.operators.vertical import (
     prepare_lookup_geo_2010,
 )
 from db_factfinder_spark.sources.bucketing import bucketed_equi_join, write_bucketed
+from db_factfinder_spark.sources.layout import zvalue
 from db_factfinder_spark.sources.readers import read_events, normalize_event_ts
 from db_factfinder_spark.streaming.events import (
     run_available_now,
@@ -2013,6 +2014,23 @@ def q76_domain_caps(spark, sf_dir):
     )
 
 
+def q77_zorder_values(spark, sf_dir):
+    """Morton (Z-order) codes for lineitem's (partkey, suppkey) —
+    the clustering key behind multi-dimensional data skipping
+    (sources/layout.py::zorder_write).  Pure shift/mask/or column
+    expression inside codegen; the oracle re-derives every bit with
+    the same integer arithmetic."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.pmod(F.col("l_partkey"), F.lit(1024)).alias("px"),
+        F.pmod(F.col("l_suppkey"), F.lit(1024)).alias("sx"),
+    )
+    return li.withColumn("z", zvalue(["px", "sx"], bits=10)).orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2100,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_scd2_intervals": q74_scd2_intervals,
         "q75_tfidf_topterms": q75_tfidf_topterms,
         "q76_domain_caps": q76_domain_caps,
+        "q77_zorder_values": q77_zorder_values,
     }
 
 

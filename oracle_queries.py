@@ -1950,3 +1950,18 @@ SELECT source, doc_id, n_chars, rank
 FROM ranked WHERE rank <= 10
 ORDER BY source, rank
 """
+
+
+# q77: Morton code — identical shift/mask/or arithmetic expanded
+# term by term (generated for bits=10, k=2).
+ORACLES["q77_zorder_values"] = """
+WITH q AS (
+  SELECT l_orderkey, l_linenumber,
+         l_partkey % 1024 AS px, l_suppkey % 1024 AS sx
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber, px, sx,
+  ((((px >> 0) & 1) << 0) | (((px >> 1) & 1) << 2) | (((px >> 2) & 1) << 4) | (((px >> 3) & 1) << 6) | (((px >> 4) & 1) << 8) | (((px >> 5) & 1) << 10) | (((px >> 6) & 1) << 12) | (((px >> 7) & 1) << 14) | (((px >> 8) & 1) << 16) | (((px >> 9) & 1) << 18))
+  | ((((sx >> 0) & 1) << 1) | (((sx >> 1) & 1) << 3) | (((sx >> 2) & 1) << 5) | (((sx >> 3) & 1) << 7) | (((sx >> 4) & 1) << 9) | (((sx >> 5) & 1) << 11) | (((sx >> 6) & 1) << 13) | (((sx >> 7) & 1) << 15) | (((sx >> 8) & 1) << 17) | (((sx >> 9) & 1) << 19)) AS z
+FROM q
+ORDER BY l_orderkey, l_linenumber
+"""
