@@ -2031,6 +2031,36 @@ def q77_zorder_values(spark, sf_dir):
     )
 
 
+def q78_lsh_recall_eval(spark, sf_dir):
+    """Quality harness for the LSH candidate stage: full-outer join of
+    the exact Jaccard≥0.6 pairs (ground truth, q26 machinery) against
+    the banded MinHash candidates (q32's pre-verify stage, uncapped).
+    Per pair: 'tp' (candidate & true), 'fn' (true pair whose bands
+    never collided — the recall loss), 'fp_candidate' (bucket
+    collision below threshold — the verify-stage workload).  This is
+    the measurement loop that tunes bands/rows before a 100 TB run:
+    both sides are set-based (no all-pairs work beyond the exact
+    baseline, which IS the oracle-scale reference)."""
+    docs = _docs(spark, sf_dir)
+    exact = jaccard_pairs(docs, n=3, threshold=0.6)
+    cands = minhash_dedup_pairs(
+        docs, num_hashes=8, bands=4, n=3, verify_threshold=None,
+        max_bucket=None,
+    ).withColumn("is_cand", F.lit(1))
+    joined = exact.join(cands, ["id_a", "id_b"], "full_outer")
+    status = (
+        F.when(
+            F.col("jaccard").isNotNull() & F.col("is_cand").isNotNull(),
+            F.lit("tp"),
+        )
+        .when(F.col("jaccard").isNotNull(), F.lit("fn"))
+        .otherwise(F.lit("fp_candidate"))
+    )
+    return joined.select(
+        "id_a", "id_b", status.alias("status"), "jaccard"
+    ).orderBy("id_a", "id_b")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2119,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_tfidf_topterms": q75_tfidf_topterms,
         "q76_domain_caps": q76_domain_caps,
         "q77_zorder_values": q77_zorder_values,
+        "q78_lsh_recall_eval": q78_lsh_recall_eval,
     }
 
 

@@ -1965,3 +1965,41 @@ SELECT l_orderkey, l_linenumber, px, sx,
 FROM q
 ORDER BY l_orderkey, l_linenumber
 """
+
+
+# q78: LSH candidate-stage recall/precision — exact pairs (q26 logic)
+# FULL OUTER JOIN banded candidates (q32's pre-verify cands CTE).
+ORACLES["q78_lsh_recall_eval"] = f"""
+WITH d AS (
+  SELECT doc_id, {_NORMTOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS grams FROM d),
+sized AS (SELECT id, grams, len(grams) AS n_sh FROM sh),
+exploded AS (SELECT id, n_sh, unnest(grams) AS g FROM sized),
+exact AS (
+  SELECT id_a, id_b, n_common / (n_a + n_b - n_common) AS jaccard
+  FROM (
+    SELECT a.id AS id_a, b.id AS id_b,
+           a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_common
+    FROM exploded a JOIN exploded b
+      ON a.g = b.g AND a.id < b.id
+    GROUP BY 1, 2, 3, 4)
+  WHERE n_common / (n_a + n_b - n_common) >= 0.6),
+sigs AS (
+  SELECT id, grams, CASE WHEN len(grams) > 0 THEN {_MH8} END AS sig FROM sh),
+bands AS ({_BANDS32}),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, 1 AS is_cand
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+SELECT
+  coalesce(exact.id_a, cands.id_a) AS id_a,
+  coalesce(exact.id_b, cands.id_b) AS id_b,
+  CASE WHEN jaccard IS NOT NULL AND is_cand IS NOT NULL THEN 'tp'
+       WHEN jaccard IS NOT NULL THEN 'fn'
+       ELSE 'fp_candidate' END AS status,
+  jaccard
+FROM exact FULL OUTER JOIN cands
+  ON exact.id_a = cands.id_a AND exact.id_b = cands.id_b
+ORDER BY id_a, id_b
+"""
