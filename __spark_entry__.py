@@ -85,6 +85,10 @@ from db_factfinder_spark.functions.geoid import (
     format_geotype_2010,
 )
 from db_factfinder_spark.operators.asof import asof_join
+from db_factfinder_spark.operators.funnel import (
+    cohort_retention,
+    next_event_within,
+)
 from db_factfinder_spark.operators.merge import merge_upsert
 from db_factfinder_spark.operators.scd import scd2_intervals
 from db_factfinder_spark.operators.rangejoin import point_in_interval_join
@@ -2061,6 +2065,47 @@ def q78_lsh_recall_eval(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q79_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle: users bucket into their
+    first-activity week; each (cohort, offset) cell counts distinct
+    users still active that many weeks later.  Everything keys on the
+    user — no self-join, no raw-event window (operators/funnel.py)."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    ret = cohort_retention(ev, user_col="user_id", ts_col="ts")
+    return ret.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week_s"),
+        "offset_weeks",
+        "n_users",
+    ).orderBy("cohort_week_s", "offset_weeks")
+
+
+def q80_funnel_conversion(spark, sf_dir):
+    """Funnel step conversion: per user, how many clicks are followed
+    by a purchase within 1 hour.  Forward as-of carry in ONE window
+    over a union frame (linear, one shuffle on the user key) instead
+    of the quadratic click×purchase inequality self-join the SQL
+    oracle uses — same answer, cluster-safe plan."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    flagged = next_event_within(
+        clicks, purchases, by="user_id", on="ts",
+        horizon_us=3_600_000_000,
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count(F.when(F.col("converted"), 1)).alias("n_converted"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2150,6 +2195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_domain_caps": q76_domain_caps,
         "q77_zorder_values": q77_zorder_values,
         "q78_lsh_recall_eval": q78_lsh_recall_eval,
+        "q79_cohort_retention": q79_cohort_retention,
+        "q80_funnel_conversion": q80_funnel_conversion,
     }
 
 

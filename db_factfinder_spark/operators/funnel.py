@@ -1,0 +1,94 @@
+"""Product-analytics operators over event streams: cohort retention
+and funnel (A→B within horizon) conversion.
+
+Both are linear, single-key-shuffle formulations of queries that are
+usually written as self-joins.  At 100 TB a per-user inequality
+self-join (clicks × later purchases) explodes quadratically inside
+hot users; the forward-carry window form touches each event once and
+partitions by the user key like any keyed aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention triangle: users bucket into the week of
+    their first activity (Monday-truncated) and each (cohort_week,
+    offset_weeks) cell counts the distinct users active that many
+    weeks after their cohort week.
+
+    Plan: distinct (user, week) → per-user min → join back on the user
+    key → count-distinct per cell.  Every shuffle keys on the user (or
+    the tiny cell key); no self-join, no window over raw events.
+    """
+    weeks = df.select(
+        F.col(user_col), F.date_trunc("week", F.col(ts_col)).alias("week")
+    ).distinct()
+    first = weeks.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
+    joined = weeks.join(first, user_col)
+    offset = F.floor(
+        F.datediff(F.col("week"), F.col("cohort_week")) / 7
+    ).cast("int")
+    return (
+        joined.withColumn("offset_weeks", offset)
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )
+
+
+def next_event_within(
+    from_df: DataFrame,
+    to_df: DataFrame,
+    by: str,
+    on: str,
+    horizon_us: int,
+) -> DataFrame:
+    """For every ``from_df`` row, the timestamp of the nearest
+    ``to_df`` row at-or-after it (same ``by`` key) and whether it
+    falls within ``horizon_us`` microseconds — the funnel-step
+    primitive ("purchase within 1 h of click").
+
+    Forward as-of via the union-window form (mirrors operators/asof
+    backward logic, scanned in DESCENDING time): one shuffle on the
+    key, linear in rows.  Ties (target at the identical timestamp)
+    count as converted — the target sorts before the probe in the
+    descending scan.
+    """
+    from_cols = from_df.columns
+    p = from_df.withColumns(
+        {"__is_probe": F.lit(1), "__t": F.lit(None).cast("long")}
+    )
+    t = to_df.select(
+        F.col(by),
+        F.col(on),
+        F.unix_micros(F.col(on)).alias("__t"),
+        F.lit(0).alias("__is_probe"),
+    )
+    u = p.unionByName(t, allowMissingColumns=True)
+    # descending scan: rows seen earlier are LATER in time; the last
+    # target timestamp carried is the smallest one ≥ the probe's
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).desc(), F.col("__is_probe").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nxt = F.last("__t", ignorenulls=True).over(w)
+    return (
+        u.withColumn("__next", nxt)
+        .filter(F.col("__is_probe") == 1)
+        .select(
+            *from_cols,
+            F.timestamp_micros(F.col("__next")).alias("next_ts"),
+            (
+                F.col("__next").isNotNull()
+                & ((F.col("__next") - F.unix_micros(F.col(on))) <= horizon_us)
+            ).alias("converted"),
+        )
+    )

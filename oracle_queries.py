@@ -2003,3 +2003,44 @@ FROM exact FULL OUTER JOIN cands
   ON exact.id_a = cands.id_a AND exact.id_b = cands.id_b
 ORDER BY id_a, id_b
 """
+
+
+# q79: cohort retention — same Monday week-truncation and day/7
+# offset; count(DISTINCT) mirrors count_distinct.
+ORACLES["q79_cohort_retention"] = """
+WITH weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+first AS (
+  SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id),
+j AS (
+  SELECT w.user_id, cohort_week,
+         CAST(date_diff('day', cohort_week, week) // 7 AS INT)
+           AS offset_weeks
+  FROM weeks w JOIN first USING (user_id))
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week_s,
+       offset_weeks, count(DISTINCT user_id) AS n_users
+FROM j GROUP BY cohort_week, offset_weeks
+ORDER BY cohort_week_s, offset_weeks
+"""
+
+
+# q80: funnel conversion — the oracle uses the quadratic inequality
+# self-join (min purchase at-or-after each click) the Spark plan
+# deliberately avoids; identical µs horizon arithmetic.
+ORACLES["q80_funnel_conversion"] = """
+WITH c AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+np AS (
+  SELECT c.user_id, c.event_id, c.ts, min(p.ts) AS next_p
+  FROM c LEFT JOIN p
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+  GROUP BY c.user_id, c.event_id, c.ts)
+SELECT user_id, count(*) AS n_clicks,
+  count(*) FILTER (
+    WHERE next_p IS NOT NULL
+      AND epoch_us(next_p) - epoch_us(ts) <= 3600000000
+  ) AS n_converted
+FROM np GROUP BY user_id ORDER BY user_id
+"""

@@ -1,0 +1,87 @@
+"""Edge-case tests for operators/funnel.py (cohort retention, funnel
+next-event-within)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from db_factfinder_spark.operators.funnel import (
+    cohort_retention,
+    next_event_within,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_next_event_within_boundaries(spark):
+    clicks = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 1),  # purchase 1h later → inclusive edge
+            (1, _ts("2024-01-01 12:00:00"), 2),  # purchase at SAME ts → converted
+            (1, _ts("2024-01-01 14:00:00"), 3),  # next purchase 2h later → not conv
+            (2, _ts("2024-01-01 10:00:00"), 4),  # user with no purchase at all
+            (3, _ts("2024-01-01 10:00:00"), 5),  # only an EARLIER purchase → not conv
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    purchases = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 11:00:00")),
+            (1, _ts("2024-01-01 12:00:00")),
+            (1, _ts("2024-01-01 16:00:00")),
+            (3, _ts("2024-01-01 09:00:00")),
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = next_event_within(
+        clicks, purchases, by="user_id", on="ts", horizon_us=3_600_000_000
+    )
+    got = {r.event_id: (r.converted, r.next_ts) for r in out.collect()}
+    assert got[1] == (True, _ts("2024-01-01 11:00:00"))
+    assert got[2] == (True, _ts("2024-01-01 12:00:00"))
+    assert got[3] == (False, _ts("2024-01-01 16:00:00"))
+    assert got[4] == (False, None)
+    assert got[5] == (False, None)
+
+
+def test_next_event_within_plan_no_join(spark):
+    clicks = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 1)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    purchases = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:30:00"))], "user_id long, ts timestamp"
+    )
+    out = next_event_within(
+        clicks, purchases, by="user_id", on="ts", horizon_us=3_600_000_000
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # linear union-window form, not a self-join
+
+
+def test_cohort_retention_triangle(spark):
+    rows = [
+        # user 10: first week of 2024-01-01 (Mon), active weeks 0 and 2
+        (10, _ts("2024-01-02 00:00:00")),
+        (10, _ts("2024-01-04 00:00:00")),  # same week, dedup via distinct
+        (10, _ts("2024-01-16 00:00:00")),
+        # user 11: same cohort, only week 0
+        (11, _ts("2024-01-03 00:00:00")),
+        # user 12: cohort of 2024-01-08, active weeks 0 and 1
+        (12, _ts("2024-01-08 00:00:00")),
+        (12, _ts("2024-01-15 00:00:00")),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = cohort_retention(ev)
+    got = {
+        (str(r.cohort_week.date()), r.offset_weeks): r.n_users
+        for r in out.collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
