@@ -46,6 +46,10 @@ HEADLINE = [
     "q52_dedup_survivors",      # LSH pairs → components → survivor window
     "q53_vocab_topk",           # vocab heavy-hitters (explode + rank)
     "q54_sample_split",         # md5-stable split buckets, map-side
+    "q73_merge_upsert",         # CDC union + row_number merge (1 shuffle)
+    "q75_tfidf_topterms",       # explode → tf/df counts → top-k window
+    "q77_zorder_values",        # Morton codes, pure codegen map
+    "q80_funnel_conversion",    # forward as-of union-window funnel
 ]
 
 

@@ -276,3 +276,44 @@ def test_q68_profile_assembly_adds_no_shuffle(spark):
     hashes = _re.findall(r"hashpartitioning\(\w+", plan)
     assert len(hashes) == 3, f"assembly added an exchange: {hashes}\n{plan}"
     assert all("_groupingexpression" in h for h in hashes), hashes
+
+
+def test_q73_merge_is_one_hash_shuffle_no_join(spark):
+    """CDC merge: union + one row_number window on the merge key —
+    never a base⋈updates join (which would shuffle both sides and
+    need a second pass for insert-only keys)."""
+    plan = _plan(spark, "q73_merge_upsert")
+    assert "Join" not in plan
+    # one hash exchange (the merge-key window); the only other
+    # exchange is the presentation sort's range partitioning
+    assert plan.count("hashpartitioning(") == 1
+    # Spark 4's WindowGroupLimit prunes per-key rows below rank 1
+    # map-side BEFORE the shuffle — the merge ships winners, not logs
+    assert "WindowGroupLimit" in plan
+
+
+def test_q75_corpus_size_is_broadcast(spark):
+    """tf-idf: N arrives as a broadcast 1-row frame, not a collected
+    literal — the plan stays lazy end to end."""
+    plan = _plan(spark, "q75_tfidf_topterms")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q77_zvalue_is_map_only(spark):
+    """Morton codes are pure projection work: no aggregation, no join,
+    no hash shuffle — the only exchange is the final presentation
+    sort's range partitioning."""
+    plan = _plan(spark, "q77_zorder_values")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "hashpartitioning(" not in plan
+    assert "rangepartitioning" in plan  # presentation sort only
+
+
+def test_q80_funnel_has_no_self_join(spark):
+    """Funnel conversion: the click×purchase inequality self-join is
+    replaced by the union-window forward carry — one hash shuffle for
+    the window, one for the per-user aggregate (AQE may reuse)."""
+    plan = _plan(spark, "q80_funnel_conversion")
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(") <= 2
