@@ -89,6 +89,7 @@ from db_factfinder_spark.operators.funnel import (
     cohort_retention,
     next_event_within,
 )
+from db_factfinder_spark.operators.diff import table_diff
 from db_factfinder_spark.operators.merge import merge_upsert
 from db_factfinder_spark.operators.scd import scd2_intervals
 from db_factfinder_spark.operators.rangejoin import point_in_interval_join
@@ -2106,6 +2107,62 @@ def q80_funnel_conversion(spark, sf_dir):
     )
 
 
+def q81_json_extract(spark, sf_dir):
+    """Semi-structured extraction: events.props JSON parsed with an
+    EXPLICIT schema (`from_json(props, 'k INT')` — schema-on-read, no
+    sampling/inference pass, pure JVM Jackson parse inside codegen)
+    and aggregated per event type.  At 100 TB inference would cost a
+    full extra scan and make the schema data-dependent; the explicit
+    schema is the production contract."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k INT").alias("p"),
+    ).select("event_type", F.col("p.k").alias("k"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q82_table_diff(spark, sf_dir):
+    """Snapshot reconciliation: diff two deterministic variants of
+    orders (old drops keys ≡0 mod 10; new drops keys ≡0 mod 7,
+    doubles o_totalprice on ≡0 mod 5 and rewrites o_orderpriority on
+    ≡0 mod 11) — added/removed/changed keys with the exact changed
+    column list, from ONE full-outer key join
+    (operators/diff.py::table_diff)."""
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    new = (
+        orders.filter(F.col("o_orderkey") % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 11 == 0, F.lit("9-RECHECK"))
+            .otherwise(F.col("o_orderpriority")),
+        )
+    )
+    return table_diff(
+        old,
+        new,
+        keys=["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderstatus", "o_orderpriority"],
+    ).orderBy("o_orderkey")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2197,6 +2254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_lsh_recall_eval": q78_lsh_recall_eval,
         "q79_cohort_retention": q79_cohort_retention,
         "q80_funnel_conversion": q80_funnel_conversion,
+        "q81_json_extract": q81_json_extract,
+        "q82_table_diff": q82_table_diff,
     }
 
 

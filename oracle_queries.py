@@ -2044,3 +2044,57 @@ SELECT user_id, count(*) AS n_clicks,
   ) AS n_converted
 FROM np GROUP BY user_id ORDER BY user_id
 """
+
+
+# q81: explicit-schema JSON extraction (props->>'k') + per-type agg;
+# sum cast to BIGINT to match Spark's long sum.
+ORACLES["q81_json_extract"] = """
+WITH parsed AS (
+  SELECT event_type, CAST(props->>'k' AS INTEGER) AS k FROM events)
+SELECT event_type,
+  count(*) AS n,
+  count(k) AS n_k,
+  CAST(sum(k) AS BIGINT) AS sum_k,
+  min(k) AS min_k,
+  max(k) AS max_k
+FROM parsed GROUP BY event_type ORDER BY event_type
+"""
+
+
+# q82: snapshot diff — identical derived old/new variants, one full
+# outer key join, null-safe per-column compares, concat_ws skipping
+# non-diff columns exactly like the Spark side.
+ORACLES["q82_table_diff"] = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 <> 0),
+new AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+         ELSE o_totalprice END AS o_totalprice,
+    o_orderstatus,
+    CASE WHEN o_orderkey % 11 = 0 THEN '9-RECHECK'
+         ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 7 <> 0),
+j AS (
+  SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+    old.o_orderkey IS NOT NULL AS in_old,
+    new.o_orderkey IS NOT NULL AS in_new,
+    old.o_totalprice IS DISTINCT FROM new.o_totalprice AS d1,
+    old.o_orderstatus IS DISTINCT FROM new.o_orderstatus AS d2,
+    old.o_orderpriority IS DISTINCT FROM new.o_orderpriority AS d3
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey)
+SELECT o_orderkey,
+  CASE WHEN NOT in_old THEN 'added'
+       WHEN NOT in_new THEN 'removed'
+       WHEN d1 OR d2 OR d3 THEN 'changed'
+       ELSE 'same' END AS status,
+  CASE WHEN in_old AND in_new AND (d1 OR d2 OR d3) THEN
+    concat_ws(',', CASE WHEN d1 THEN 'o_totalprice' END,
+                   CASE WHEN d2 THEN 'o_orderstatus' END,
+                   CASE WHEN d3 THEN 'o_orderpriority' END)
+  ELSE '' END AS changed_cols
+FROM j
+WHERE NOT (in_old AND in_new AND NOT (d1 OR d2 OR d3))
+ORDER BY o_orderkey
+"""

@@ -123,3 +123,41 @@ def test_scd2_tiebreak_order(spark):
     ]
     # order is (t=1,id=1,'a') then (t=1,id=2,'b') → two 1-row runs
     assert got == [("a", 1, 1), ("b", None, 1)]
+
+
+def test_table_diff_statuses_and_changed_cols(spark):
+    from db_factfinder_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"), (5, None, "e")],
+        "k int, v double, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 21.0, "B"), (4, 40.0, "d"), (5, None, "e")],
+        "k int, v double, s string",
+    )
+    out = table_diff(old, new, keys=["k"], compare_cols=["v", "s"])
+    got = {r.k: (r.status, r.changed_cols) for r in out.collect()}
+    # k=1 same (excluded), k=5 same with NULLs both sides (null-safe)
+    assert got == {
+        2: ("changed", "v,s"),
+        3: ("removed", ""),
+        4: ("added", ""),
+    }
+    # include_same keeps the unchanged keys, NULL==NULL counts as same
+    full = table_diff(
+        old, new, keys=["k"], compare_cols=["v", "s"], include_same=True
+    )
+    got_full = {r.k: r.status for r in full.collect()}
+    assert got_full[1] == "same" and got_full[5] == "same"
+
+
+def test_table_diff_null_to_value_is_changed(spark):
+    from db_factfinder_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame([(1, None)], "k int, v string")
+    new = spark.createDataFrame([(1, "x")], "k int, v string")
+    out = table_diff(old, new, keys=["k"], compare_cols=["v"])
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].status == "changed"
+    assert rows[0].changed_cols == "v"
