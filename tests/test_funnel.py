@@ -85,3 +85,54 @@ def test_cohort_retention_triangle(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 1): 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# Property test: random click/purchase streams vs brute force
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, HealthCheck  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ev = st.tuples(
+    st.integers(min_value=0, max_value=2),    # key
+    st.integers(min_value=0, max_value=40),   # seconds offset
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    clicks=st.lists(_ev, min_size=1, max_size=12),
+    purchases=st.lists(_ev, min_size=0, max_size=12),
+    horizon_s=st.sampled_from([0, 5, 20]),
+)
+def test_next_event_within_matches_bruteforce(
+    spark, clicks, purchases, horizon_s
+):
+    base = dt.datetime(2024, 1, 1)
+    cdf = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=t)) for i, (k, t) in
+         enumerate(clicks)],
+        "cid long, user_id long, ts timestamp",
+    )
+    pset = sorted(set(purchases))
+    pdf = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=t)) for k, t in pset],
+        "user_id long, ts timestamp",
+    ) if pset else spark.createDataFrame([], "user_id long, ts timestamp")
+    out = next_event_within(
+        cdf, pdf, by="user_id", on="ts", horizon_us=horizon_s * 1_000_000
+    )
+    got = {r.cid: (r.converted, r.next_ts) for r in out.collect()}
+    for i, (k, t) in enumerate(clicks):
+        future = [pt for pk, pt in pset if pk == k and pt >= t]
+        if future:
+            nxt = min(future)
+            want = (nxt - t <= horizon_s,
+                    base + dt.timedelta(seconds=nxt))
+        else:
+            want = (False, None)
+        assert got[i] == want, f"click {i} (u{k}@{t})"

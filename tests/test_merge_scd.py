@@ -161,3 +161,98 @@ def test_table_diff_null_to_value_is_changed(spark):
     rows = out.collect()
     assert len(rows) == 1 and rows[0].status == "changed"
     assert rows[0].changed_cols == "v"
+
+
+# ---------------------------------------------------------------------------
+# Property tests: random change-logs vs brute-force references
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, HealthCheck  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_kv = st.tuples(
+    st.integers(min_value=0, max_value=3),    # key
+    st.integers(min_value=0, max_value=20),   # version
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(_kv, min_size=0, max_size=12),
+    upd=st.lists(st.tuples(_kv, st.booleans()), min_size=0, max_size=12),
+)
+def test_merge_matches_bruteforce(spark, base, upd):
+    # unique version per (key, side): ties then exist only ACROSS
+    # sides, where the documented contract (update wins) applies
+    brows = dict.fromkeys(base)
+    urows = {kv: d for kv, d in reversed([(kv, d) for kv, d in upd])}
+    bdf = spark.createDataFrame(
+        [(k, v, False) for k, v in brows], "k int, v int, is_delete boolean"
+    ) if brows else spark.createDataFrame([], "k int, v int, is_delete boolean")
+    udf = spark.createDataFrame(
+        [(k, v, d) for (k, v), d in urows.items()],
+        "k int, v int, is_delete boolean",
+    ) if urows else spark.createDataFrame([], "k int, v int, is_delete boolean")
+    out = merge_upsert(
+        bdf, udf, keys=["k"], order_by=["v"],
+        delete_flag=F.col("is_delete"),
+    )
+    got = {r.k: r.v for r in out.collect()}
+
+    want = {}
+    all_rows = [(k, v, 0, False) for k, v in brows] + [
+        (k, v, 1, d) for (k, v), d in urows.items()
+    ]
+    for k in {r[0] for r in all_rows}:
+        winner = max(
+            (r for r in all_rows if r[0] == k), key=lambda r: (r[1], r[2])
+        )
+        if not winner[3]:
+            want[k] = winner[1]
+    assert got == want
+
+
+_obs = st.tuples(
+    st.integers(min_value=0, max_value=2),    # key
+    st.integers(min_value=0, max_value=15),   # ts
+    st.sampled_from(["a", "b", None]),        # attr
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_obs, min_size=1, max_size=15))
+def test_scd2_matches_bruteforce(spark, rows):
+    df = spark.createDataFrame(
+        [(k, t, i, a) for i, (k, t, a) in enumerate(rows)],
+        "k int, t int, idx int, attr string",
+    )
+    out = scd2_intervals(df, key="k", order_by=["t", "idx"], attr="attr")
+    got = [
+        (r.k, r.attr, r.valid_from, r.valid_to, r.n_obs)
+        for r in out.collect()
+    ]
+
+    want = []
+    for k in {r[0] for r in rows}:
+        seq = sorted(
+            [(t, i, a) for i, (kk, t, a) in enumerate(rows) if kk == k],
+            key=lambda r: (r[0], r[1]),
+        )
+        runs = []
+        for t, _, a in seq:
+            if not runs or runs[-1][0] != a:
+                runs.append([a, t, 0])
+            runs[-1][2] += 1
+        for j, (a, vf, n) in enumerate(runs):
+            vt = runs[j + 1][1] if j + 1 < len(runs) else None
+            want.append((k, a, vf, vt, n))
+    # multiset compare — tuples contain Nones, which don't sort
+    from collections import Counter
+
+    assert Counter(got) == Counter(want)
