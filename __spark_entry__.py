@@ -112,6 +112,7 @@ from db_factfinder_spark.streaming.events import (
     sessionize,
     stream_dedup_keys,
     stream_sessionize,
+    stream_static_enrich,
     windowed_counts,
 )
 
@@ -2163,6 +2164,39 @@ def q82_table_diff(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
+def q83_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment as a real Structured Streaming job:
+    file stream → broadcast join against a category/weight dimension →
+    per-category aggregate (availableNow through the memory sink).
+    The dim ships to executors per micro-batch; the stream never
+    shuffles for the join.  Value sums use the fixed-decimal long
+    trick so stream-batch equality is bit-exact — the oracle is the
+    equivalent batch SQL."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.parque[t]")
+    )
+    dim = spark.createDataFrame(
+        [
+            ("click", "engage", 1),
+            ("view", "engage", 1),
+            ("signup", "convert", 5),
+            ("purchase", "convert", 3),
+            ("error", "ops", 0),
+        ],
+        "event_type string, category string, weight int",
+    )
+    enriched = stream_static_enrich(stream, dim, on="event_type")
+    agg = enriched.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("weight").alias("sum_weight"),
+        (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).cast("double")
+         / F.lit(100.0)).alias("sum_value"),
+    )
+    return run_available_now(agg, output_mode="complete").orderBy("category")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2256,6 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_funnel_conversion": q80_funnel_conversion,
         "q81_json_extract": q81_json_extract,
         "q82_table_diff": q82_table_diff,
+        "q83_stream_enrich": q83_stream_enrich,
     }
 
 

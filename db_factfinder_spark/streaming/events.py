@@ -243,3 +243,19 @@ def stream_dedup_keys(
         .dropDuplicatesWithinWatermark(key_cols)
         .select(*key_cols)
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Stream↔static enrichment join: every micro-batch of the stream
+    joins against the (bounded) dimension frame, explicitly broadcast
+    — Structured Streaming's supported stream-static join shape.  The
+    static side ships to executors once per batch and the stream side
+    never shuffles for the join; at any throughput the cost is the
+    map-side hash probe, which is why enrichment dims must be the
+    SMALL side (lookup tables, not fact tables)."""
+    return stream.join(F.broadcast(dim), on, how)

@@ -2098,3 +2098,20 @@ FROM j
 WHERE NOT (in_old AND in_new AND NOT (d1 OR d2 OR d3))
 ORDER BY o_orderkey
 """
+
+
+# q83: stream-static enrichment — the batch-equivalent SQL (inner join
+# to the inline dimension + per-category agg); fixed-decimal long sum
+# mirrors the Spark side so stream-vs-batch equality is bit-exact.
+ORACLES["q83_stream_enrich"] = """
+WITH dim(event_type, category, weight) AS (
+  VALUES ('click','engage',1), ('view','engage',1),
+         ('signup','convert',5), ('purchase','convert',3),
+         ('error','ops',0))
+SELECT category, count(*) AS n_events,
+  CAST(sum(weight) AS BIGINT) AS sum_weight,
+  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+    AS sum_value
+FROM events JOIN dim USING (event_type)
+GROUP BY category ORDER BY category
+"""

@@ -284,3 +284,28 @@ def test_stream_dedup_reemits_after_watermark_expiry(spark, tmp_path):
     q.awaitTermination()
     rows = [r["k"] for r in spark.table(name).collect()]
     assert sorted(rows) == ["X", "X", "Y"]
+
+
+def test_stream_static_enrich_left_join_and_broadcast(spark, tmp_path):
+    from db_factfinder_spark.streaming.events import (
+        run_available_now,
+        stream_static_enrich,
+    )
+
+    src = str(tmp_path / "enrich_src")
+    rows = spark.createDataFrame(
+        [(1, "click", 2.0), (2, "click", 3.0), (3, "mystery", 5.0)],
+        "event_id long, event_type string, value double",
+    )
+    rows.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(rows.schema).parquet(src)
+    dim = spark.createDataFrame(
+        [("click", "engage")], "event_type string, category string"
+    )
+    out = run_available_now(
+        stream_static_enrich(stream, dim, on="event_type", how="left"),
+        output_mode="append",
+    )
+    got = {r.event_id: r.category for r in out.collect()}
+    # left join keeps unmatched stream rows with NULL enrichment
+    assert got == {1: "engage", 2: "engage", 3: None}
