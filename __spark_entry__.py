@@ -55,6 +55,7 @@ from db_factfinder_spark.llmdata.sampling import (
     split_column,
 )
 from db_factfinder_spark.llmdata.kmeans import kmeans_assignments
+from db_factfinder_spark.llmdata.sketches import hll_distinct
 from db_factfinder_spark.llmdata.multimodal import extract_features, resize_images
 from db_factfinder_spark.llmdata.similarity import (
     brute_force_topk,
@@ -2197,6 +2198,28 @@ def q83_stream_enrich(spark, sf_dir):
     return run_available_now(agg, output_mode="complete").orderBy("category")
 
 
+def q84_hll_distinct(spark, sf_dir):
+    """Engine-portable deterministic HyperLogLog: per event type, the
+    raw HLL estimate of distinct users (m=64, md5-derived buckets and
+    ranks — any engine derives the bit-identical sketch; see
+    llmdata/sketches.py) joined against the exact count with the
+    relative error.  The sketch shuffles ≤64 partials per group
+    instead of every distinct key — the 100 TB cardinality path."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    sk = hll_distinct(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    out = sk.join(exact, "event_type")
+    rel_err = (
+        F.col("hll_raw") - F.col("n_exact").cast("double")
+    ) / F.col("n_exact").cast("double")
+    return out.select(
+        "event_type", "n_exact", "n_buckets", "hll_raw",
+        rel_err.alias("rel_err"),
+    ).orderBy("event_type")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2291,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_json_extract": q81_json_extract,
         "q82_table_diff": q82_table_diff,
         "q83_stream_enrich": q83_stream_enrich,
+        "q84_hll_distinct": q84_hll_distinct,
     }
 
 

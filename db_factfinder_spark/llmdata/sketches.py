@@ -1,0 +1,89 @@
+"""Engine-portable deterministic sketches.
+
+Native approximate aggregates (``approx_count_distinct``,
+``percentile_approx``) are engine-specific: Spark's HLL++ and DuckDB's
+HLL give different answers on identical data, so a cross-engine
+pipeline can't reconcile their outputs and an external oracle can't
+check them.  This module builds the sketch from *portable* primitives
+— md5-derived hashes, integer bit math, and IEEE doubles with a fixed
+operation order — so ANY engine (and the SQL oracle) derives the
+bit-identical estimate.
+
+Scale shape: the classic HLL trade.  Exact ``count_distinct`` shuffles
+every distinct key; the sketch shuffles at most ``m`` (bucket, max-
+rank) partials per group — constant per group, regardless of
+cardinality — and composes under union by bucket-wise max, so partial
+aggregation (map-side combine) does almost all the work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# alpha_m · m² for m=64 (HLL bias constant 0.709), written as the
+# decimal literal both engines parse to the same double
+_M = 64
+_ALPHA_M2 = "2904.064"
+
+
+def hll_bucket_rank(col: Column | str) -> tuple[Column, Column]:
+    """(bucket, rank) for one value: bucket = 28 md5 bits mod m,
+    rank = 1 + leading zeros of an independent 28-bit md5 field
+    (via ``29 - length(bin(h))`` — h=0, probability 2⁻²⁸, yields 28
+    instead of 29 on every engine equally, a deterministic and
+    negligible bias).  Pure expressions, map-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = c.cast("string")
+    h1 = F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(s), 8, 7), 16, 10).cast("long")
+    bucket = h1 % _M
+    rank = F.lit(29) - F.length(F.bin(h2))
+    return bucket, rank
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Raw HLL cardinality estimate of ``value_col`` per group:
+    ``raw = α·m² / (Σ_present 2^(−M_j) + (m − present)·1)``.
+
+    Every 2^(−M) is an exact power of two and the partial sums stay
+    within the double mantissa, so the sum is EXACT and order-
+    independent — no decimal casts needed, and any engine computing
+    the same formula agrees bit-for-bit.  Emits the estimate plus the
+    (present-bucket, zero-bucket) split so callers can apply the
+    standard small/large-range corrections (kept out of the sketch:
+    they need ``ln``, whose last bit is libm-specific).
+
+    Two shuffles, both tiny: (group, bucket) max-rank partials — at
+    most m rows per group — then the per-group fold."""
+    bucket, rank = hll_bucket_rank(value_col)
+    partials = (
+        df.select(*group_cols, bucket.alias("__bucket"), rank.alias("__rank"))
+        .groupBy(*group_cols, "__bucket")
+        .agg(F.max("__rank").alias("__m"))
+    )
+    # shiftleft's Python binding takes only literal shift amounts —
+    # the SQL form accepts the column
+    inv = F.lit(1.0) / F.expr("shiftleft(1, __m)").cast("double")
+    return (
+        partials.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(inv).alias("__sum_present"),
+        )
+        .select(
+            *group_cols,
+            "n_buckets",
+            (
+                F.lit(float(_ALPHA_M2))
+                / (
+                    F.col("__sum_present")
+                    + (F.lit(_M) - F.col("n_buckets")).cast("double")
+                )
+            ).alias("hll_raw"),
+        )
+    )

@@ -2115,3 +2115,31 @@ SELECT category, count(*) AS n_events,
 FROM events JOIN dim USING (event_type)
 GROUP BY category ORDER BY category
 """
+
+
+# q84: portable HLL — identical md5 bucket/rank derivation, exact
+# power-of-two partial sums, same fixed-order double formula.
+ORACLES["q84_hll_distinct"] = """
+WITH pr AS (
+  SELECT event_type,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT % 64
+      AS bucket,
+    29 - length(bin(
+      ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 8, 7))::BIGINT))
+      AS rank
+  FROM events),
+mx AS (
+  SELECT event_type, bucket, max(rank) AS mr FROM pr GROUP BY 1, 2),
+s AS (
+  SELECT event_type, count(*) AS n_buckets,
+         sum(1.0 / CAST(1 << mr AS DOUBLE)) AS sum_present
+  FROM mx GROUP BY 1),
+e AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1)
+SELECT s.event_type, n_exact, n_buckets,
+  2904.064 / (sum_present + CAST(64 - n_buckets AS DOUBLE)) AS hll_raw,
+  (2904.064 / (sum_present + CAST(64 - n_buckets AS DOUBLE))
+     - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+FROM s JOIN e USING (event_type) ORDER BY event_type
+"""

@@ -834,3 +834,39 @@ def test_cap_per_group_quota_and_determinism(spark):
     )
     kept2 = cap_per_group(tie, ["g"], [F.col("score").desc(), F.col("id")], cap=2)
     assert sorted(r.id for r in kept2.collect()) == [1, 2]
+
+
+def test_hll_distinct_accuracy_and_mergeability(spark):
+    from db_factfinder_spark.llmdata.sketches import hll_distinct
+
+    n = 5000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    out = hll_distinct(df, ["g"], "v").collect()[0]
+    # m=64 → rsd ≈ 1.04/√64 ≈ 13%; allow 3σ
+    assert abs(out.hll_raw - n) / n < 0.4, out.hll_raw
+
+    # sketch is union-mergeable: duplicating every value changes nothing
+    # (bucket-wise max is idempotent), so the estimate is identical
+    doubled = df.union(df)
+    out2 = hll_distinct(doubled, ["g"], "v").collect()[0]
+    assert out2.hll_raw == out.hll_raw
+    assert out2.n_buckets == out.n_buckets
+
+
+def test_hll_distinct_small_group_determinism(spark):
+    from db_factfinder_spark.llmdata.sketches import hll_distinct
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(3)] + [("b", 7)], "g string, v int"
+    )
+    rows = {r.g: r for r in hll_distinct(df, ["g"], "v").collect()}
+    # partitioning-independent: repartitioned input gives identical sketch
+    rows2 = {
+        r.g: r
+        for r in hll_distinct(df.repartition(7), ["g"], "v").collect()
+    }
+    for g in rows:
+        assert rows[g].hll_raw == rows2[g].hll_raw
+        assert rows[g].n_buckets == rows2[g].n_buckets
