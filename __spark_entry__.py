@@ -2220,6 +2220,31 @@ def q84_hll_distinct(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q85_rolling_stats(spark, sf_dir):
+    """Rolling window-frame aggregates: per user, the trailing 3-event
+    moving average and running max of value (rowsBetween frame — the
+    one window shape q20/q21's unbounded/lag windows don't cover).
+    One shuffle on the user key; the frame slides inside the sorted
+    partition.  Moving average is exact: micro-unit long sums divided
+    once, mirrored op-for-op in the oracle."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    ma3 = F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).over(w).cast(
+        "double"
+    ) / (F.lit(100.0) * F.count(F.lit(1)).over(w).cast("double"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        ma3.alias("ma3"),
+        F.max("value").over(w).alias("max3"),
+    ).orderBy("event_id")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2315,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_table_diff": q82_table_diff,
         "q83_stream_enrich": q83_stream_enrich,
         "q84_hll_distinct": q84_hll_distinct,
+        "q85_rolling_stats": q85_rolling_stats,
     }
 
 

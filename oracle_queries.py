@@ -2143,3 +2143,18 @@ SELECT s.event_type, n_exact, n_buckets,
      - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
 FROM s JOIN e USING (event_type) ORDER BY event_type
 """
+
+
+# q85: trailing 3-row frame — identical frame spec and micro-unit
+# arithmetic; ties in ts break on event_id in both engines.
+ORACLES["q85_rolling_stats"] = """
+SELECT event_id, user_id,
+  strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+    / (100.0 * CAST(count(*) OVER w AS DOUBLE)) AS ma3,
+  max(value) OVER w AS max3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
