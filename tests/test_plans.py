@@ -317,3 +317,34 @@ def test_q80_funnel_has_no_self_join(spark):
     plan = _plan(spark, "q80_funnel_conversion")
     assert "Join" not in plan
     assert plan.count("hashpartitioning(") <= 2
+
+
+def test_scd2_over_bucketed_log_is_shuffle_free(spark):
+    """Event-log compaction at scale: over a change-log stored
+    bucketed (and per-bucket sorted) on the entity key, the ENTIRE
+    SCD2 pipeline — change window, segment roll-up, valid_to chaining
+    — plans with ZERO Exchange nodes.  The scan's bucket layout
+    satisfies every stage's clustering requirement, so a 100 TB
+    compaction reads and writes without moving a single row between
+    executors."""
+    from db_factfinder_spark.operators.scd import scd2_intervals
+    from db_factfinder_spark.sources.bucketing import write_bucketed
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").selectExpr(
+        "user_id", "event_id", "event_type"
+    )
+    tbl = write_bucketed(ev, "events_scd_audit", "user_id", buckets=8)
+    out = scd2_intervals(
+        tbl, key="user_id", order_by=["event_id"], attr="event_type"
+    )
+    jvm = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = out._jdf.queryExecution().explainString(jvm.fromString("formatted"))
+    assert "Exchange" not in plan, plan.split("\n\n")[0]
+    assert "Bucketed: true" in plan
+    # identical result to the unbucketed path
+    base = scd2_intervals(
+        ev, key="user_id", order_by=["event_id"], attr="event_type"
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, base.collect())
+    )
