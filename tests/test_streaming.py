@@ -309,3 +309,38 @@ def test_stream_static_enrich_left_join_and_broadcast(spark, tmp_path):
     got = {r.event_id: r.category for r in out.collect()}
     # left join keeps unmatched stream rows with NULL enrichment
     assert got == {1: "engage", 2: "engage", 3: None}
+
+
+def test_stream_parquet_sink_checkpoint_resumes_exactly_once(spark, tmp_path):
+    """The production sink: file stream → parquet sink with a
+    checkpoint.  A restart with the same checkpoint must process ONLY
+    the new input files — every input row lands in the sink exactly
+    once across runs (the file-source offset log + sink commit log
+    give end-to-end exactly-once for file→file pipelines)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+
+    first = spark.range(0, 50).selectExpr("id", "id * 2 AS v")
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id long, v long").parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out).count() == 50
+
+    second = spark.range(50, 80).selectExpr("id", "id * 2 AS v")
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(80)), "restart must be exactly-once"
