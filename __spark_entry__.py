@@ -38,6 +38,7 @@ from db_factfinder_spark.functions.stats import (
     sum_skipna,
 )
 from db_factfinder_spark.llmdata.dedup import (
+    cross_corpus_matches,
     exact_dedup,
     jaccard_pairs,
     minhash_dedup_pairs,
@@ -2245,6 +2246,37 @@ def q85_rolling_stats(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q86_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: which held-out documents (odd ids)
+    near-duplicate something in the training corpus (even ids)?
+    Banded-MinHash buckets joined ACROSS the two corpora — no self-
+    pairs, no all-pairs — then exact-Jaccard verify on candidates
+    (llmdata/dedup.py::cross_corpus_matches).  Per probe doc: match
+    count and best Jaccard (0/NULL = clean).  Uncapped per the oracle
+    convention (see q32)."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+    m = cross_corpus_matches(
+        corpus, probe, num_hashes=8, bands=4, n=3,
+        verify_threshold=0.6, max_bucket=None,
+    )
+    per = m.groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        probe.select(F.col("doc_id").alias("probe_id"))
+        .join(per, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            "max_jaccard",
+        )
+        .orderBy("probe_id")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2341,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_stream_enrich": q83_stream_enrich,
         "q84_hll_distinct": q84_hll_distinct,
         "q85_rolling_stats": q85_rolling_stats,
+        "q86_decontaminate": q86_decontaminate,
     }
 
 

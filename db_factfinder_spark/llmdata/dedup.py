@@ -669,3 +669,113 @@ def shared_span_stats(
         F.coalesce("n_shared_pos", F.lit(0)).alias("n_shared_pos"),
         F.coalesce("max_shared_run", F.lit(0)).alias("max_shared_run"),
     )
+
+
+def cross_corpus_matches(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    verify_threshold: float = 0.6,
+    max_bucket: int | None = 10_000,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Cross-corpus near-duplicate matches — the decontamination
+    primitive: which ``probe`` documents near-duplicate something in
+    ``corpus`` (training data vs a benchmark/eval set, a fresh crawl
+    vs the already-ingested corpus)?
+
+    Same banded-MinHash shape as ``minhash_dedup_pairs`` but the
+    bucket join runs ACROSS the two corpora (no a<b self-guard):
+    signatures per side → explode band buckets → equi-join on
+    (band, bucket) → distinct (probe, corpus) candidate → exact
+    Jaccard verify on candidates only.  At 100 TB the corpus side's
+    band frame is typically the small one (benchmarks are tiny) and
+    broadcasts; neither corpus ever all-pairs.  Returns
+    ``(probe_id, corpus_id, jaccard)`` for verified matches.
+    """
+    rows = num_hashes // bands
+    assert rows * bands == num_hashes, "bands must divide num_hashes"
+
+    def _sh(df: DataFrame) -> DataFrame:
+        return materialize(
+            df.select(
+                F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
+            ),
+            checkpoint_mode,
+        )
+
+    def _band_keys(sh: DataFrame) -> DataFrame:
+        sigs = sh.select(
+            "id", _minhash_fold(num_hashes)(F.col("sh")).alias("sig")
+        ).select(
+            "id",
+            *[F.get("sig", i).alias(f"mh_{i}") for i in range(num_hashes)],
+        )
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh_{b * rows + r}")
+                                for r in range(rows)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+        exploded = sigs.select(
+            "id",
+            F.explode(
+                F.when(F.col("mh_0").isNotNull(), band_structs)
+            ).alias("bk"),
+        ).select(
+            "id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.bucket").alias("bucket"),
+        )
+        return cap_hot_buckets(exploded, ["band", "bucket"], max_bucket)
+
+    sh_c, sh_p = _sh(corpus), _sh(probe)
+    cands = (
+        _band_keys(sh_p)
+        .alias("p")
+        .join(
+            _band_keys(sh_c).alias("c"),
+            (F.col("p.band") == F.col("c.band"))
+            & (F.col("p.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("p.id").alias("probe_id"), F.col("c.id").alias("corpus_id")
+        )
+        .distinct()
+    )
+    joined = (
+        cands.join(
+            sh_p.select(
+                F.col("id").alias("probe_id"), F.col("sh").alias("sh_p")
+            ),
+            "probe_id",
+        )
+        .join(
+            sh_c.select(
+                F.col("id").alias("corpus_id"), F.col("sh").alias("sh_c")
+            ),
+            "corpus_id",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_p", "sh_c")).cast("double")
+    union = (F.size("sh_p") + F.size("sh_c")).cast("double") - inter
+    return (
+        joined.withColumn("jaccard", F.try_divide(inter, union))
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("probe_id", "corpus_id", "jaccard")
+    )

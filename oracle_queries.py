@@ -2158,3 +2158,55 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
+
+
+def _bands_from(cte: str) -> str:
+    """Band CTE body over an arbitrary signature CTE (the q32 macro
+    hardcodes `sigs`; the cross-corpus query needs one per side)."""
+    return " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(CAST(sig[{2*b+1}] AS VARCHAR) || '|' ||"
+        f" CAST(sig[{2*b+2}] AS VARCHAR)) AS bucket FROM {cte}"
+        for b in range(4)
+    )
+
+
+# q86: cross-corpus decontamination — two signature chains, bucket
+# join ACROSS them, candidate-only verification, per-probe accounting.
+ORACLES["q86_decontaminate"] = f"""
+WITH dc AS (
+  SELECT doc_id, {_NORMTOKS} AS toks FROM documents WHERE doc_id % 2 = 0),
+shc AS (SELECT doc_id AS id, {_SHINGLES} AS grams FROM dc),
+sigc AS (
+  SELECT id, grams, CASE WHEN len(grams) > 0 THEN {_MH8} END AS sig
+  FROM shc),
+bandsc AS ({_bands_from('sigc')}),
+dp AS (
+  SELECT doc_id, {_NORMTOKS} AS toks FROM documents WHERE doc_id % 2 = 1),
+shp AS (SELECT doc_id AS id, {_SHINGLES} AS grams FROM dp),
+sigp AS (
+  SELECT id, grams, CASE WHEN len(grams) > 0 THEN {_MH8} END AS sig
+  FROM shp),
+bandsp AS ({_bands_from('sigp')}),
+cands AS (
+  SELECT DISTINCT p.id AS probe_id, c.id AS corpus_id
+  FROM bandsp p JOIN bandsc c
+    ON p.band = c.band AND p.bucket = c.bucket),
+ver AS (
+  SELECT probe_id, corpus_id,
+    CAST(len(list_intersect(sp.grams, sc2.grams)) AS DOUBLE)
+      / (CAST(len(sp.grams) + len(sc2.grams) AS DOUBLE)
+         - CAST(len(list_intersect(sp.grams, sc2.grams)) AS DOUBLE))
+      AS jaccard
+  FROM cands
+  JOIN sigp sp ON sp.id = probe_id
+  JOIN sigc sc2 ON sc2.id = corpus_id),
+m AS (
+  SELECT probe_id, count(*) AS n_matches, max(jaccard) AS max_jaccard
+  FROM ver WHERE jaccard >= 0.6 GROUP BY probe_id)
+SELECT d.doc_id AS probe_id,
+  coalesce(n_matches, 0) AS n_matches,
+  max_jaccard
+FROM documents d LEFT JOIN m ON d.doc_id = m.probe_id
+WHERE d.doc_id % 2 = 1
+ORDER BY probe_id
+"""

@@ -870,3 +870,28 @@ def test_hll_distinct_small_group_determinism(spark):
     for g in rows:
         assert rows[g].hll_raw == rows2[g].hll_raw
         assert rows[g].n_buckets == rows2[g].n_buckets
+
+
+def test_cross_corpus_matches_planted_dup(spark):
+    from db_factfinder_spark.llmdata.dedup import cross_corpus_matches
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(0, text), (2, "completely unrelated material about spark plans")],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [
+            (1, text),                       # exact copy → must match doc 0
+            (3, "novel content with no twin in the training corpus at all"),
+        ],
+        "doc_id long, text string",
+    )
+    m = cross_corpus_matches(
+        corpus, probe, num_hashes=8, bands=4, n=3,
+        verify_threshold=0.6, max_bucket=None,
+    )
+    rows = [(r.probe_id, r.corpus_id, r.jaccard) for r in m.collect()]
+    assert rows == [(1, 0, 1.0)]
+    # no self-pairs, no probe×probe or corpus×corpus pairs by shape:
+    # ids 1/3 only appear as probe_id, 0/2 only as corpus_id
