@@ -92,6 +92,11 @@ from db_factfinder_spark.operators.funnel import (
     next_event_within,
 )
 from db_factfinder_spark.operators.diff import table_diff
+from db_factfinder_spark.operators.incremental import (
+    agg_state,
+    merge_agg_states,
+    state_to_result,
+)
 from db_factfinder_spark.operators.merge import merge_upsert
 from db_factfinder_spark.operators.scd import scd2_intervals
 from db_factfinder_spark.operators.rangejoin import point_in_interval_join
@@ -2277,6 +2282,28 @@ def q86_decontaminate(spark, sf_dir):
     )
 
 
+def q87_incremental_agg(spark, sf_dir):
+    """Materialized-view maintenance: three simulated loads (event_id
+    mod 3) each aggregate into an algebraic state (n, micro-unit sum,
+    min, max); the states merge into the final metrics — bit-identical
+    to aggregating all the data directly, which IS the oracle.  Merge
+    cost is proportional to groups, not data
+    (operators/incremental.py)."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    states = [
+        agg_state(
+            ev.filter(F.col("event_id") % 3 == i), ["event_type"], "value"
+        )
+        for i in range(3)
+    ]
+    merged = merge_agg_states(states, ["event_type"])
+    return (
+        state_to_result(merged)
+        .select("event_type", "n", "min_v", "max_v", "sum_v")
+        .orderBy("event_type")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2374,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_hll_distinct": q84_hll_distinct,
         "q85_rolling_stats": q85_rolling_stats,
         "q86_decontaminate": q86_decontaminate,
+        "q87_incremental_agg": q87_incremental_agg,
     }
 
 

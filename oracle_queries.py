@@ -2210,3 +2210,13 @@ FROM documents d LEFT JOIN m ON d.doc_id = m.probe_id
 WHERE d.doc_id % 2 = 1
 ORDER BY probe_id
 """
+
+
+# q87: incremental state merge must equal the direct aggregation —
+# the oracle computes it directly with the identical micro-unit sum.
+ORACLES["q87_incremental_agg"] = """
+SELECT event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
+  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+    AS sum_v
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -256,3 +256,47 @@ def test_scd2_matches_bruteforce(spark, rows):
     from collections import Counter
 
     assert Counter(got) == Counter(want)
+
+
+def test_incremental_state_merge_equals_direct(spark):
+    from db_factfinder_spark.operators.incremental import (
+        agg_state,
+        merge_agg_states,
+        state_to_result,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.25), ("a", 2.50), ("b", -1.00), ("a", 0.01), ("b", 9.99)],
+        "g string, v double",
+    )
+    # arbitrary split — states must compose regardless of partition
+    s1 = agg_state(df.limit(2), ["g"], "v")
+    s2 = agg_state(df.subtract(df.limit(2)), ["g"], "v")
+    merged = state_to_result(merge_agg_states([s1, s2], ["g"]))
+    direct = state_to_result(agg_state(df, ["g"], "v"))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    got = {r.g: (r.n, r.sum_v, r.min_v, r.max_v) for r in merged.collect()}
+    assert got["a"] == (3, 3.76, 0.01, 2.5)
+    assert got["b"] == (2, 8.99, -1.0, 9.99)
+
+
+def test_incremental_state_merge_disjoint_keys(spark):
+    from db_factfinder_spark.operators.incremental import (
+        agg_state,
+        merge_agg_states,
+        state_to_result,
+    )
+
+    s1 = agg_state(
+        spark.createDataFrame([("only1", 1.0)], "g string, v double"),
+        ["g"], "v",
+    )
+    s2 = agg_state(
+        spark.createDataFrame([("only2", 2.0)], "g string, v double"),
+        ["g"], "v",
+    )
+    out = {r.g: r.n for r in
+           state_to_result(merge_agg_states([s1, s2], ["g"])).collect()}
+    assert out == {"only1": 1, "only2": 1}
