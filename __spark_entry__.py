@@ -57,7 +57,11 @@ from db_factfinder_spark.llmdata.sampling import (
 )
 from db_factfinder_spark.llmdata.kmeans import kmeans_assignments
 from db_factfinder_spark.llmdata.sketches import hll_distinct
-from db_factfinder_spark.llmdata.multimodal import extract_features, resize_images
+from db_factfinder_spark.llmdata.multimodal import (
+    extract_features,
+    frame_energy,
+    resize_images,
+)
 from db_factfinder_spark.llmdata.similarity import (
     brute_force_topk,
     embedding_neardup_pairs,
@@ -2304,6 +2308,21 @@ def q87_incremental_agg(spark, sf_dir):
     )
 
 
+def q88_audio_frames(spark, sf_dir):
+    """Audio-shaped multimodal op: deterministic u8-PCM payloads
+    (utf-8 bytes of the documents, same synthesis as q36) framed into
+    256-sample windows by an Arrow-batched mapInPandas codec
+    (llmdata/multimodal.py::frame_energy); per media the frame count,
+    total and loudest-frame energy as exact integers the oracle
+    re-derives byte-for-byte from the hex expansion."""
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return frame_energy(media, frame_len=256).orderBy("media_id")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2402,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_rolling_stats": q85_rolling_stats,
         "q86_decontaminate": q86_decontaminate,
         "q87_incremental_agg": q87_incremental_agg,
+        "q88_audio_frames": q88_audio_frames,
     }
 
 

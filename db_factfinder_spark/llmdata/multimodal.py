@@ -178,3 +178,47 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ),
         ),
     )
+
+
+def frame_energy(df: DataFrame, frame_len: int = 256) -> DataFrame:
+    """Audio framing: the payload interpreted as unsigned 8-bit PCM,
+    split into frames of ``frame_len`` samples; per media the frame
+    count, total energy and loudest-frame energy (Σ(s−128)² — exact
+    integers, so an external oracle can re-derive every value from the
+    raw bytes).  Same Arrow-batched ``mapInPandas`` shape as
+    ``extract_features`` — a production deployment swaps the u8-PCM
+    interpretation for a real audio decode (soundfile/ffmpeg) inside
+    the same iterator; framing, schema and batch flow are unchanged.
+    Map-side only: no shuffle at any corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "media_id long, n_frames long, total_energy long,"
+        " max_frame_energy long"
+    )
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or len(p) == 0:
+                    rows.append((mid, 0, 0, 0))
+                    continue
+                s = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                sq = (s - 128) ** 2
+                n_frames = -(-len(sq) // frame_len)
+                energies = [
+                    int(sq[i * frame_len : (i + 1) * frame_len].sum())
+                    for i in range(n_frames)
+                ]
+                rows.append((mid, n_frames, int(sq.sum()), max(energies)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "total_energy",
+                    "max_frame_energy",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(op, out_schema)

@@ -2220,3 +2220,32 @@ SELECT event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
     AS sum_v
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# q88: audio framing — per byte: (val−128)² grouped into 256-sample
+# frames via i // 256; all integer math re-derived from the hex
+# expansion of the same utf-8 payload.
+ORACLES["q88_audio_frames"] = """
+WITH p AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx FROM documents),
+b AS (
+  SELECT media_id, i // 256 AS frame,
+    ((strpos('0123456789ABCDEF', substr(hx, 2 * i + 1, 1)) - 1) * 16
+   + (strpos('0123456789ABCDEF', substr(hx, 2 * i + 2, 1)) - 1) - 128)
+    AS s
+  FROM p, unnest(range(0, CAST(length(hx) // 2 AS BIGINT))) AS t(i)),
+frames AS (
+  SELECT media_id, frame, CAST(sum(s * s) AS BIGINT) AS fe
+  FROM b GROUP BY media_id, frame),
+agg AS (
+  SELECT media_id, count(*) AS n_frames,
+         CAST(sum(fe) AS BIGINT) AS total_energy,
+         max(fe) AS max_frame_energy
+  FROM frames GROUP BY media_id)
+SELECT p.media_id,
+  coalesce(n_frames, 0) AS n_frames,
+  coalesce(total_energy, 0) AS total_energy,
+  coalesce(max_frame_energy, 0) AS max_frame_energy
+FROM p LEFT JOIN agg USING (media_id)
+ORDER BY media_id
+"""

@@ -895,3 +895,32 @@ def test_cross_corpus_matches_planted_dup(spark):
     assert rows == [(1, 0, 1.0)]
     # no self-pairs, no probe×probe or corpus×corpus pairs by shape:
     # ids 1/3 only appear as probe_id, 0/2 only as corpus_id
+
+
+def test_frame_energy_known_payloads(spark):
+    from db_factfinder_spark.llmdata.multimodal import frame_energy
+
+    rows = [
+        (1, bytes([128] * 10)),        # silence → all energies 0
+        (2, bytes([129, 127])),        # (+1)² + (−1)² = 2
+        (3, bytes(range(256)) * 2),    # exactly 2 full frames, equal
+        (4, None),                     # NULL payload
+        (5, b""),                      # empty payload
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.n_frames, r.total_energy, r.max_frame_energy)
+           for r in frame_energy(df, frame_len=256).collect()}
+    assert got[1] == (1, 0, 0)
+    assert got[2] == (1, 2, 2)
+    e = sum((v - 128) ** 2 for v in range(256))
+    assert got[3] == (2, 2 * e, e)
+    assert got[4] == (0, 0, 0)
+    assert got[5] == (0, 0, 0)
+    # partial trailing frame: 300 samples → frames of 256 and 44
+    df2 = spark.createDataFrame(
+        [(6, bytes([130] * 300))], "media_id long, payload binary"
+    )
+    r6 = frame_energy(df2, frame_len=256).collect()[0]
+    assert (r6.n_frames, r6.total_energy, r6.max_frame_energy) == (
+        2, 300 * 4, 256 * 4
+    )
