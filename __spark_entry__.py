@@ -60,6 +60,7 @@ from db_factfinder_spark.llmdata.sketches import hll_distinct
 from db_factfinder_spark.llmdata.multimodal import (
     extract_features,
     frame_energy,
+    frame_sample,
     resize_images,
 )
 from db_factfinder_spark.llmdata.similarity import (
@@ -2323,6 +2324,30 @@ def q88_audio_frames(spark, sf_dir):
     return frame_energy(media, frame_len=256).orderBy("media_id")
 
 
+def q89_video_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan (metadata level): per media a sample
+    timestamp every second across the synthesized duration
+    (n_chars×10 ms), exploded to one row per sampled frame — the
+    work-list a decode stage consumes (llmdata/multimodal.py::
+    frame_sample; the decoder hook itself is stubbed like
+    resize_images).  Completes the modality trio: image (q36/q51),
+    audio (q88), video (here)."""
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+    sampled = frame_sample(media, every_ms=1000)
+    return (
+        sampled.select(
+            "media_id",
+            "duration_ms",
+            F.explode("sample_ts_ms").alias("ts_ms"),
+        )
+        .orderBy("media_id", "ts_ms")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2422,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_decontaminate": q86_decontaminate,
         "q87_incremental_agg": q87_incremental_agg,
         "q88_audio_frames": q88_audio_frames,
+        "q89_video_frame_sample": q89_video_frame_sample,
     }
 
 

@@ -2249,3 +2249,16 @@ SELECT p.media_id,
 FROM p LEFT JOIN agg USING (media_id)
 ORDER BY media_id
 """
+
+
+# q89: frame sampling — Spark sequence(0, stop, step) is stop-
+# INCLUSIVE; DuckDB range is exclusive, so the oracle ranges to
+# duration_ms + 1.
+ORACLES["q89_video_frame_sample"] = """
+WITH m AS (
+  SELECT doc_id AS media_id, CAST(n_chars * 10 AS BIGINT) AS duration_ms
+  FROM documents)
+SELECT media_id, duration_ms, CAST(ts_ms AS BIGINT) AS ts_ms
+FROM m, unnest(range(0, duration_ms + 1, 1000)) AS t(ts_ms)
+ORDER BY media_id, ts_ms
+"""
