@@ -27,6 +27,7 @@ from db_factfinder_spark.llmdata.checkpointing import (  # noqa: F401
 )
 from db_factfinder_spark.llmdata.dedup import (  # noqa: F401
     cap_hot_buckets,
+    cross_corpus_matches,
     exact_dedup,
     jaccard_pairs,
     minhash_dedup_pairs,
@@ -36,6 +37,7 @@ from db_factfinder_spark.llmdata.dedup import (  # noqa: F401
     simhash_multiprobe_pairs,
     simhash_near_pairs,
 )
+from db_factfinder_spark.llmdata.sketches import hll_distinct  # noqa: F401
 from db_factfinder_spark.llmdata.similarity import (  # noqa: F401
     brute_force_topk,
     cosine_similarity,
@@ -47,7 +49,9 @@ from db_factfinder_spark.llmdata.components import (  # noqa: F401
     select_survivors,
 )
 from db_factfinder_spark.llmdata.sampling import (  # noqa: F401
+    cap_per_group,
     deterministic_sample,
     hash_bucket,
     split_column,
 )
+from db_factfinder_spark.llmdata.textstats import tfidf_top_terms  # noqa: F401
