@@ -121,6 +121,7 @@ from db_factfinder_spark.sources.layout import zvalue
 from db_factfinder_spark.sources.readers import read_events, normalize_event_ts
 from db_factfinder_spark.streaming.events import (
     run_available_now,
+    session_paths,
     sessionize,
     stream_dedup_keys,
     stream_sessionize,
@@ -2348,6 +2349,19 @@ def q89_video_frame_sample(spark, sf_dir):
     )
 
 
+def q90_session_paths(spark, sf_dir):
+    """Session path strings ("view>click>purchase") per gap-based
+    session — funnel-mining input.  Deterministic ordering via struct
+    sort (streaming/events.py::session_paths); the oracle's
+    string_agg(ORDER BY ts, event_id) is the SQL twin."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return (
+        session_paths(ev, gap_minutes=30)
+        .select("user_id", "session_seq", "n_events", "path")
+        .orderBy("user_id", "session_seq")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2448,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_incremental_agg": q87_incremental_agg,
         "q88_audio_frames": q88_audio_frames,
         "q89_video_frame_sample": q89_video_frame_sample,
+        "q90_session_paths": q90_session_paths,
     }
 
 

@@ -259,3 +259,48 @@ def stream_static_enrich(
     map-side hash probe, which is why enrichment dims must be the
     SMALL side (lookup tables, not fact tables)."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Ordered event-type path per session ("view>click>purchase") —
+    the input to funnel mining and next-action models.  Session ids
+    come from the same gap rule as ``sessionize``; the path is made
+    deterministic on any cluster layout by collecting (ts, id, type)
+    STRUCTS and array_sort-ing them (struct order = field order, so
+    ties on ts break on the event id) before projecting the types —
+    a bare ``collect_list(type)`` would be partition-order-dependent.
+    One shuffle on the user key end to end."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), F.col(id_col)
+    )
+    gap = (
+        F.col(ts_col).cast("long")
+        - F.lag(F.col(ts_col).cast("long")).over(w)
+    )
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_id = events.withColumn(
+        "session_seq",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(ts_col), F.col(id_col), F.col(type_col))
+        )
+    )
+    return with_id.groupBy(user_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(ordered, lambda x: x[type_col]), ">"
+        ).alias("path"),
+    )

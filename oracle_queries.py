@@ -2262,3 +2262,29 @@ SELECT media_id, duration_ms, CAST(ts_ms AS BIGINT) AS ts_ms
 FROM m, unnest(range(0, duration_ms + 1, 1000)) AS t(ts_ms)
 ORDER BY media_id, ts_ms
 """
+
+
+# q90: session paths — same floored-epoch gap rule as q21 with the
+# defensive (ts, event_id) ordering; string_agg(ORDER BY) mirrors the
+# struct-sorted collect_list.
+ORACLES["q90_session_paths"] = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events),
+flagged AS (
+  SELECT user_id, event_id, event_type, ts, s,
+    CASE WHEN s - lag(s) OVER w > 1800 OR lag(s) OVER w IS NULL
+         THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, event_id, event_type, ts,
+    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS session_seq
+  FROM flagged)
+SELECT user_id, session_seq, count(*) AS n_events,
+  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+FROM sessions GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""

@@ -344,3 +344,34 @@ def test_stream_parquet_sink_checkpoint_resumes_exactly_once(spark, tmp_path):
 
     got = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got == list(range(80)), "restart must be exactly-once"
+
+
+def test_session_paths_deterministic_ordering(spark):
+    import datetime as dt
+
+    from db_factfinder_spark.streaming.events import session_paths
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(s):
+        return base + dt.timedelta(seconds=s)
+
+    ev = spark.createDataFrame(
+        [
+            # user 1, one session with a TS TIE broken by event_id
+            (1, 3, t(10), "b"),
+            (1, 2, t(10), "a"),
+            (1, 1, t(0), "view"),
+            # gap > 30 min → second session
+            (1, 4, t(10 + 31 * 60), "purchase"),
+            (2, 5, t(0), "click"),
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    out = {
+        (r.user_id, r.session_seq): (r.n_events, r.path)
+        for r in session_paths(ev, gap_minutes=30).collect()
+    }
+    assert out[(1, 1)] == (3, "view>a>b")  # tie a(id2) before b(id3)
+    assert out[(1, 2)] == (1, "purchase")
+    assert out[(2, 1)] == (1, "click")
