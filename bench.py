@@ -50,6 +50,8 @@ HEADLINE = [
     "q75_tfidf_topterms",       # explode → tf/df counts → top-k window
     "q77_zorder_values",        # Morton codes, pure codegen map
     "q80_funnel_conversion",    # forward as-of union-window funnel
+    "q84_hll_distinct",         # portable HLL sketch + exact twin
+    "q86_decontaminate",        # cross-corpus LSH decontamination
 ]
 
 

@@ -348,3 +348,12 @@ def test_scd2_over_bucketed_log_is_shuffle_free(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, base.collect())
     )
+
+
+def test_q86_cross_corpus_join_is_equi(spark):
+    """Decontamination candidates must come from the (band, bucket)
+    equi-join across corpora — never a nested loop over either side."""
+    plan = _plan(spark, "q86_decontaminate")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
