@@ -308,6 +308,7 @@ def tfidf_top_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Per-document top-``k`` characteristic terms by tf-idf, using the
     *rational* idf variant score = tf · N / df (N = corpus size, df =
@@ -325,9 +326,21 @@ def tfidf_top_terms(
     converts the join automatically below the threshold) — nothing
     here is pairwise or driver-side.  N arrives as a broadcast 1-row
     cross join, not a collected literal, so the plan stays lazy.
+
+    The tf frame is materialized once (per ``checkpoint_mode``, same
+    reuse rule as the dedup pipelines): it feeds both the join probe
+    side and the doc-frequency roll-up, and Catalyst shares no
+    subtree between the two — inline, the tokenize→explode→count
+    pipeline would run twice over the corpus (measured ~25% of the
+    query at sf0.1).
     """
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = materialize(
+        toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")),
+        checkpoint_mode,
+    )
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col(
