@@ -18,6 +18,7 @@ def cohort_retention(
     df: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Weekly cohort retention triangle: users bucket into the week of
     their first activity (Monday-truncated) and each (cohort_week,
@@ -26,11 +27,20 @@ def cohort_retention(
 
     Plan: distinct (user, week) → per-user min → join back on the user
     key → count-distinct per cell.  Every shuffle keys on the user (or
-    the tiny cell key); no self-join, no window over raw events.
+    the tiny cell key); no self-join, no window over raw events.  The
+    distinct frame is materialized once (per ``checkpoint_mode``) —
+    it feeds both the cohort roll-up and the join probe side, and
+    inline the scan+distinct would run twice over the raw events.
     """
-    weeks = df.select(
-        F.col(user_col), F.date_trunc("week", F.col(ts_col)).alias("week")
-    ).distinct()
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+
+    weeks = materialize(
+        df.select(
+            F.col(user_col),
+            F.date_trunc("week", F.col(ts_col)).alias("week"),
+        ).distinct(),
+        checkpoint_mode,
+    )
     first = weeks.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
     joined = weeks.join(first, user_col)
     offset = F.floor(
