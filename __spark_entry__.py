@@ -56,7 +56,7 @@ from db_factfinder_spark.llmdata.sampling import (
     split_column,
 )
 from db_factfinder_spark.llmdata.kmeans import kmeans_assignments
-from db_factfinder_spark.llmdata.sketches import hll_distinct
+from db_factfinder_spark.llmdata.sketches import hll_distinct, sampled_quantiles
 from db_factfinder_spark.llmdata.multimodal import (
     extract_features,
     frame_energy,
@@ -2362,6 +2362,26 @@ def q90_session_paths(spark, sf_dir):
     )
 
 
+def q91_sampled_quantiles(spark, sf_dir):
+    """Portable approximate quantiles: exact interpolated percentiles
+    over a deterministic md5 sample (20% keyed on event_id) — the
+    cross-engine-reproducible alternative to t-digest sketches
+    (llmdata/sketches.py::sampled_quantiles).  Only the sample sorts;
+    the oracle replays the identical selection and interpolation."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return (
+        sampled_quantiles(
+            ev,
+            ["event_type"],
+            "value",
+            probs=[0.25, 0.5, 0.9],
+            sample_id="event_id",
+            fraction=0.2,
+        )
+        .orderBy("event_type")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2463,6 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_audio_frames": q88_audio_frames,
         "q89_video_frame_sample": q89_video_frame_sample,
         "q90_session_paths": q90_session_paths,
+        "q91_sampled_quantiles": q91_sampled_quantiles,
     }
 
 

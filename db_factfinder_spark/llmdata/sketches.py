@@ -27,6 +27,50 @@ _M = 64
 _ALPHA_M2 = "2904.064"
 
 
+def sampled_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs: list[float],
+    sample_id: Column | str | None = None,
+    fraction: float = 0.1,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Engine-portable approximate quantiles: exact linearly-
+    interpolated percentiles over a DETERMINISTIC md5-selected sample.
+    Native sketches (t-digest / ``percentile_approx`` / DuckDB's
+    approx_quantile) are engine-specific and can't be cross-checked;
+    hash-sampling + exact percentile is reproducible anywhere — the
+    sample is a pure function of ``sample_id``, and q59 established
+    that Spark's ``percentile`` and DuckDB's ``quantile_cont`` agree
+    bit-for-bit on identical doubles.
+
+    Scale shape: only the ~``fraction`` sample shuffles and sorts;
+    the full-data exact percentile sorts everything.  Standard
+    order-statistic bounds apply (ε ≈ 1/√(f·n) rank error).
+    """
+    from db_factfinder_spark.llmdata.sampling import deterministic_sample
+
+    sid = F.col(value_col) if sample_id is None else (
+        F.col(sample_id) if isinstance(sample_id, str) else sample_id
+    )
+    sampled = df.filter(deterministic_sample(sid, fraction, buckets))
+    arr = ", ".join(repr(p) for p in probs)
+    aggs = [
+        F.expr(f"percentile({value_col}, array({arr}))").alias("__q"),
+        F.count(F.lit(1)).alias("n_sampled"),
+    ]
+    out = sampled.groupBy(*group_cols).agg(*aggs)
+    return out.select(
+        *group_cols,
+        *[
+            F.get("__q", i).alias(f"q{int(p * 100)}")
+            for i, p in enumerate(probs)
+        ],
+        "n_sampled",
+    )
+
+
 def hll_bucket_rank(col: Column | str) -> tuple[Column, Column]:
     """(bucket, rank) for one value: bucket = 28 md5 bits mod m,
     rank = 1 + leading zeros of an independent 28-bit md5 field

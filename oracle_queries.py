@@ -2288,3 +2288,19 @@ SELECT user_id, session_seq, count(*) AS n_events,
 FROM sessions GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq
 """
+
+
+# q91: deterministic-sample quantiles — identical md5 bucket
+# selection (see hash_bucket) and quantile_cont interpolation.
+ORACLES["q91_sampled_quantiles"] = """
+WITH s AS (
+  SELECT event_type, value FROM events
+  WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7))::BIGINT
+        % 10000 < 2000)
+SELECT event_type,
+  quantile_cont(value, 0.25) AS q25,
+  quantile_cont(value, 0.5) AS q50,
+  quantile_cont(value, 0.9) AS q90,
+  count(*) AS n_sampled
+FROM s GROUP BY event_type ORDER BY event_type
+"""

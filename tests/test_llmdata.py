@@ -924,3 +924,26 @@ def test_frame_energy_known_payloads(spark):
     assert (r6.n_frames, r6.total_energy, r6.max_frame_energy) == (
         2, 300 * 4, 256 * 4
     )
+
+
+def test_sampled_quantiles_tracks_exact(spark):
+    from db_factfinder_spark.llmdata.sketches import sampled_quantiles
+
+    n = 20000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"),
+        F.col("id").alias("sid"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    out = sampled_quantiles(
+        df, ["g"], "v", probs=[0.5], sample_id="sid", fraction=0.1
+    ).collect()[0]
+    # uniform 0..999 → true median 499.5; rank error ≈ 1/√(0.1·n) ≈ 2%
+    assert abs(out.q50 - 499.5) < 60, out.q50
+    assert 1500 < out.n_sampled < 2500  # ~10% of 20k
+    # determinism: identical result on a different partitioning
+    out2 = sampled_quantiles(
+        df.repartition(13), ["g"], "v", probs=[0.5],
+        sample_id="sid", fraction=0.1,
+    ).collect()[0]
+    assert out2.q50 == out.q50 and out2.n_sampled == out.n_sampled
