@@ -103,6 +103,7 @@ from db_factfinder_spark.operators.incremental import (
     state_to_result,
 )
 from db_factfinder_spark.operators.merge import merge_upsert
+from db_factfinder_spark.operators.regression import grouped_linreg
 from db_factfinder_spark.operators.scd import scd2_intervals
 from db_factfinder_spark.operators.rangejoin import point_in_interval_join
 from db_factfinder_spark.operators.rollup_cascade import cascaded_rollup
@@ -2382,6 +2383,30 @@ def q91_sampled_quantiles(spark, sf_dir):
     )
 
 
+def q92_grouped_linreg(spark, sf_dir):
+    """Per-type OLS trend of value over time (regr_slope/intercept
+    semantics) from exact integer sufficient statistics — native
+    regr_* co-moments are accumulation-order-dependent and can't be
+    reconciled across engines (operators/regression.py).  Coding: x =
+    day index since 2024-01-01, y = half-up-rounded whole value.  The
+    coarse units are deliberate: they keep every statistic and cross
+    term below 2^53 at all tested scales, so the closed form's
+    integer→double casts are EXACT and the division is the single
+    correctly-rounded op — finer units (seconds/cents) pushed
+    n·Σxy to ~10²⁰, where the two engines' big-int→double casts
+    disagreed by one ulp."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    x = F.floor(F.col("ts").cast("long") / F.lit(86400)) - F.lit(19723)
+    y = F.floor(F.col("value") + F.lit(0.5))
+    r = grouped_linreg(ev, ["event_type"], x, y)
+    return r.select(
+        "event_type",
+        "n",
+        F.col("slope_u").alias("slope_per_day"),
+        F.col("intercept_u").alias("intercept_value"),
+    ).orderBy("event_type")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2484,6 +2509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_video_frame_sample": q89_video_frame_sample,
         "q90_session_paths": q90_session_paths,
         "q91_sampled_quantiles": q91_sampled_quantiles,
+        "q92_grouped_linreg": q92_grouped_linreg,
     }
 
 

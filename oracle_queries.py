@@ -2304,3 +2304,39 @@ SELECT event_type,
   count(*) AS n_sampled
 FROM s GROUP BY event_type ORDER BY event_type
 """
+
+
+# q92: exact-sufficient-statistic OLS — HUGEINT sums mirror the
+# decimal(38,0) sums; every double op in the same order.
+ORACLES["q92_grouped_linreg"] = """
+WITH d AS (
+  SELECT event_type,
+    CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) AS BIGINT)
+      - 19723 AS x,
+    CAST(floor(value + 0.5) AS BIGINT) AS y
+  FROM events),
+s AS (
+  SELECT event_type,
+    CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(x) AS HUGEINT) AS sx,
+    CAST(sum(y) AS HUGEINT) AS sy,
+    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+  FROM d GROUP BY event_type),
+r AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n,
+    CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) != 0 THEN
+      CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+    END AS slope_u,
+    sx, sy
+  FROM s),
+f AS (
+  SELECT event_type, n, slope_u,
+    (CAST(sy AS DOUBLE) - slope_u * CAST(sx AS DOUBLE))
+      / CAST(n AS DOUBLE) AS intercept_u
+  FROM r)
+SELECT event_type, n,
+  slope_u AS slope_per_day,
+  intercept_u AS intercept_value
+FROM f ORDER BY event_type
+"""

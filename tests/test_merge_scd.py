@@ -300,3 +300,18 @@ def test_incremental_state_merge_disjoint_keys(spark):
     out = {r.g: r.n for r in
            state_to_result(merge_agg_states([s1, s2], ["g"])).collect()}
     assert out == {"only1": 1, "only2": 1}
+
+
+def test_grouped_linreg_known_line(spark):
+    from pyspark.sql import functions as F
+    from db_factfinder_spark.operators.regression import grouped_linreg
+
+    # exact line y = 3x + 7 → slope 3, intercept 7, regardless of noise-free fit
+    rows = [("g", x, 3 * x + 7) for x in range(10)]
+    # degenerate group: all x equal → NULL slope
+    rows += [("d", 5, 1), ("d", 5, 9)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r.g: (r.n, r.slope_u, r.intercept_u) for r in
+           grouped_linreg(df, ["g"], F.col("x"), F.col("y")).collect()}
+    assert out["g"] == (10, 3.0, 7.0)
+    assert out["d"][1] is None
