@@ -103,6 +103,10 @@ from db_factfinder_spark.operators.incremental import (
     state_to_result,
 )
 from db_factfinder_spark.operators.merge import merge_upsert
+from db_factfinder_spark.operators.quality import (
+    fk_violations,
+    profile_columns,
+)
 from db_factfinder_spark.operators.regression import grouped_linreg
 from db_factfinder_spark.operators.scd import scd2_intervals
 from db_factfinder_spark.operators.rangejoin import point_in_interval_join
@@ -2407,6 +2411,47 @@ def q92_grouped_linreg(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q93_fk_violations(spark, sf_dir):
+    """Referential-integrity audit: orders with deterministically
+    corrupted customer keys (every 13th key shifted out of range,
+    every 17th nulled) checked against the customer dimension — LEFT
+    ANTI join against the broadcast parent key set; NULL fks count as
+    orphans (operators/quality.py::fk_violations)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    corrupted = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit(None))
+        .when(
+            F.col("o_orderkey") % 13 == 0,
+            F.col("o_custkey") + 1_000_000,
+        )
+        .otherwise(F.col("o_custkey")),
+    )
+    return (
+        fk_violations(corrupted, cust, fk="o_custkey", pk="c_custkey")
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    )
+
+
+def q94_profile_columns(spark, sf_dir):
+    """Publish-gate column profile: per column its row/null/distinct
+    counts from ONE aggregate pass (Catalyst Expand shares the scan
+    across the distincts) — never a job per column
+    (operators/quality.py::profile_columns).  NULLs injected
+    deterministically so the null-rate path is exercised."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return profile_columns(
+        orders, ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    ).orderBy("col_name")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2510,6 +2555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_session_paths": q90_session_paths,
         "q91_sampled_quantiles": q91_sampled_quantiles,
         "q92_grouped_linreg": q92_grouped_linreg,
+        "q93_fk_violations": q93_fk_violations,
+        "q94_profile_columns": q94_profile_columns,
     }
 
 

@@ -2340,3 +2340,43 @@ SELECT event_type, n,
   intercept_u AS intercept_value
 FROM f ORDER BY event_type
 """
+
+
+# q93: FK orphans — same deterministic corruption; NOT EXISTS keeps
+# NULL fks as violations exactly like the anti join.
+ORACLES["q93_fk_violations"] = """
+WITH corrupted AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 17 = 0 THEN NULL
+         WHEN o_orderkey % 13 = 0 THEN o_custkey + 1000000
+         ELSE o_custkey END AS o_custkey
+  FROM orders)
+SELECT o_orderkey, o_custkey
+FROM corrupted c
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer WHERE c_custkey = c.o_custkey)
+ORDER BY o_orderkey
+"""
+
+
+# q94: one-pass column profile — per-column UNION ALL of the same
+# row/null/distinct counts (count(DISTINCT) skips NULLs both ways).
+ORACLES["q94_profile_columns"] = """
+WITH src AS (
+  SELECT o_custkey, o_orderstatus,
+    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+         ELSE o_orderpriority END AS o_orderpriority
+  FROM orders)
+SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+  count(*) FILTER (WHERE o_custkey IS NULL) AS n_null,
+  count(DISTINCT o_custkey) AS n_distinct FROM src
+UNION ALL
+SELECT 'o_orderstatus', count(*),
+  count(*) FILTER (WHERE o_orderstatus IS NULL),
+  count(DISTINCT o_orderstatus) FROM src
+UNION ALL
+SELECT 'o_orderpriority', count(*),
+  count(*) FILTER (WHERE o_orderpriority IS NULL),
+  count(DISTINCT o_orderpriority) FROM src
+ORDER BY col_name
+"""

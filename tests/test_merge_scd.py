@@ -315,3 +315,30 @@ def test_grouped_linreg_known_line(spark):
            grouped_linreg(df, ["g"], F.col("x"), F.col("y")).collect()}
     assert out["g"] == (10, 3.0, 7.0)
     assert out["d"][1] is None
+
+
+def test_fk_violations_nulls_and_orphans(spark):
+    from db_factfinder_spark.operators.quality import fk_violations
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None), (4, 20)], "id int, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+    bad = sorted(r.id for r in
+                 fk_violations(child, parent, fk="fk", pk="pk").collect())
+    assert bad == [2, 3]  # orphan key AND null fk are violations
+
+
+def test_profile_columns_single_pass(spark):
+    from db_factfinder_spark.operators.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "k int, s string"
+    )
+    out = {r.col_name: (r.n_rows, r.n_null, r.n_distinct)
+           for r in profile_columns(df, ["k", "s"]).collect()}
+    assert out == {"k": (3, 0, 2), "s": (3, 1, 2)}
+    # single job: the plan contains exactly one scan of the source
+    plan = profile_columns(df, ["k", "s"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
