@@ -57,6 +57,7 @@ from db_factfinder_spark.llmdata.sampling import (
 )
 from db_factfinder_spark.llmdata.kmeans import kmeans_assignments
 from db_factfinder_spark.llmdata.sketches import hll_distinct, sampled_quantiles
+from db_factfinder_spark.llmdata.strmatch import edit1_join
 from db_factfinder_spark.llmdata.multimodal import (
     extract_features,
     frame_energy,
@@ -2452,6 +2453,28 @@ def q94_profile_columns(spark, sf_dir):
     ).orderBy("col_name")
 
 
+def q95_fuzzy_name_match(spark, sf_dir):
+    """Fuzzy entity matching: supplier names with a deterministic typo
+    (third character deleted) matched back to the clean roster at edit
+    distance ≤ 1 — FastSS deletion-neighborhood blocking + exact
+    levenshtein verify on candidates only
+    (llmdata/strmatch.py::edit1_join); the oracle brute-forces the
+    cross product with the same integer metric."""
+    sup = _t(spark, sf_dir, "supplier")
+    probes = sup.select(
+        F.col("s_suppkey").alias("p_suppkey"),
+        F.concat(
+            F.substring("s_name", 1, 2), F.expr("substring(s_name, 4)")
+        ).alias("p_name"),
+    )
+    return (
+        edit1_join(
+            probes, sup, "p_suppkey", "p_name", "s_suppkey", "s_name"
+        )
+        .orderBy("p_suppkey", "s_suppkey")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2557,6 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_grouped_linreg": q92_grouped_linreg,
         "q93_fk_violations": q93_fk_violations,
         "q94_profile_columns": q94_profile_columns,
+        "q95_fuzzy_name_match": q95_fuzzy_name_match,
     }
 
 

@@ -1,0 +1,71 @@
+"""Approximate string matching — edit-distance joins without the
+cross product.
+
+A fuzzy join written naively is |L|×|R| ``levenshtein`` calls; at any
+real size that cross product is the whole cost.  The FastSS/deletion-
+neighborhood trick blocks it: two strings within edit distance 1
+(insert / delete / substitute) ALWAYS share a member of each other's
+deletion neighborhood D(s) = {s} ∪ {s minus one character}, so the
+candidate set is an EQUI-join on exploded neighborhood keys — linear
+in data, |s|+1 keys per string — and the (cheap, integer, engine-
+portable) ``levenshtein`` verify runs on candidates only.  Sharing a
+key is necessary but not sufficient ("ab"/"ba" share keys at distance
+2), which is exactly why the verify stage exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_neighborhood(s: Column) -> Column:
+    """D(s): the string plus every single-character deletion (distinct,
+    as an array).  Empty/NULL strings get just themselves."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            s.substr(F.lit(1), i - F.lit(1)),
+            s.substr(i + F.lit(1), F.length(s)),
+        ),
+    )
+    return F.when(
+        F.length(s) > 0, F.array_distinct(F.concat(F.array(s), dels))
+    ).otherwise(F.array(s))
+
+
+def edit1_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_str: str,
+    right_id: str,
+    right_str: str,
+) -> DataFrame:
+    """All (left, right) pairs with levenshtein ≤ 1 — deletion-
+    neighborhood candidate equi-join + exact verify.  Returns
+    ``left_id, right_id, dist``."""
+    lk = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(left_str).alias("__ls"),
+        F.explode(deletion_neighborhood(F.col(left_str))).alias("__k"),
+    )
+    rk = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(right_str).alias("__rs"),
+        F.explode(deletion_neighborhood(F.col(right_str))).alias("__k"),
+    )
+    cands = (
+        lk.join(rk, "__k")
+        .select("__lid", "__ls", "__rid", "__rs")
+        .distinct()
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("__ls", "__rs"))
+        .filter(F.col("dist") <= 1)
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            "dist",
+        )
+    )

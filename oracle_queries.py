@@ -2380,3 +2380,17 @@ SELECT 'o_orderpriority', count(*),
   count(DISTINCT o_orderpriority) FROM src
 ORDER BY col_name
 """
+
+
+# q95: fuzzy match — the oracle IS the cross product the blocking
+# avoids: identical probe synthesis, identical levenshtein metric.
+ORACLES["q95_fuzzy_name_match"] = """
+WITH probes AS (
+  SELECT s_suppkey AS p_suppkey,
+         substr(s_name, 1, 2) || substr(s_name, 4) AS p_name
+  FROM supplier)
+SELECT p_suppkey, s_suppkey, levenshtein(p_name, s_name) AS dist
+FROM probes CROSS JOIN supplier
+WHERE levenshtein(p_name, s_name) <= 1
+ORDER BY p_suppkey, s_suppkey
+"""

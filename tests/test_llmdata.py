@@ -947,3 +947,40 @@ def test_sampled_quantiles_tracks_exact(spark):
         sample_id="sid", fraction=0.1,
     ).collect()[0]
     assert out2.q50 == out.q50 and out2.n_sampled == out.n_sampled
+
+
+def test_edit1_join_exact_semantics(spark):
+    from db_factfinder_spark.llmdata.strmatch import edit1_join
+
+    left = spark.createDataFrame(
+        [(1, "abc"), (2, "ab"), (3, "xyz"), (4, "")],
+        "lid int, ls string",
+    )
+    right = spark.createDataFrame(
+        [(10, "abc"),   # equal → dist 0
+         (11, "abd"),   # substitution → 1
+         (12, "abcd"),  # insertion → 1
+         (13, "ba"),    # "ab" vs "ba": shares deletion keys, dist 2 → filtered
+         (14, "a")],    # "ab" minus b → 1; "" plus a → 1
+        "rid int, rs string",
+    )
+    got = sorted(
+        (r.lid, r.rid, r.dist)
+        for r in edit1_join(left, right, "lid", "ls", "rid", "rs").collect()
+    )
+    assert got == [
+        (1, 10, 0), (1, 11, 1), (1, 12, 1),
+        (2, 10, 1), (2, 11, 1), (2, 14, 1),
+        (4, 14, 1),
+    ]
+
+
+def test_edit1_join_plan_is_equi_not_cross(spark):
+    from db_factfinder_spark.llmdata.strmatch import edit1_join
+
+    l = spark.createDataFrame([(1, "aa")], "lid int, ls string")
+    r = spark.createDataFrame([(2, "ab")], "rid int, rs string")
+    plan = edit1_join(l, r, "lid", "ls", "rid", "rs") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
