@@ -98,6 +98,7 @@ from db_factfinder_spark.operators.funnel import (
     next_event_within,
 )
 from db_factfinder_spark.operators.diff import table_diff
+from db_factfinder_spark.operators.intervals import covered_time
 from db_factfinder_spark.operators.incremental import (
     agg_state,
     merge_agg_states,
@@ -2475,6 +2476,26 @@ def q95_fuzzy_name_match(spark, sf_dir):
     )
 
 
+def q96_covered_time(spark, sf_dir):
+    """Interval-union sweep: each purchase opens a ±5-minute window;
+    per user, the total microseconds covered by the UNION of windows
+    and the count of disjoint bursts — gaps-and-islands running-max
+    sweep (operators/intervals.py), one window sort per key instead
+    of a quadratic overlap join.  Exact integer bounds end to end."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    half = 300 * 1_000_000
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        (F.unix_micros("ts") - half).alias("s"),
+        (F.unix_micros("ts") + half).alias("e"),
+    )
+    return (
+        covered_time(iv, by="user_id", tiebreak="event_id")
+        .orderBy("user_id")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2581,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_fk_violations": q93_fk_violations,
         "q94_profile_columns": q94_profile_columns,
         "q95_fuzzy_name_match": q95_fuzzy_name_match,
+        "q96_covered_time": q96_covered_time,
     }
 
 

@@ -1,0 +1,65 @@
+"""Interval algebra: merging overlapping intervals per key.
+
+"Total time covered by (possibly overlapping) windows" is the classic
+gaps-and-islands sweep: sort a key's intervals by start, carry the
+running maximum end, and open a new island whenever a start clears
+everything seen so far.  One window sort per key + one roll-up — the
+naive alternative (interval × interval overlap join) is quadratic
+inside hot keys and O(n²) on a single giant key.
+
+All arithmetic is on integer bounds, so results are exact and the
+sweep is deterministic given a total order (pass a tiebreak column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_intervals(
+    df: DataFrame,
+    by: str,
+    s_col: str = "s",
+    e_col: str = "e",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Merge each key's overlapping/touching [s, e) intervals into
+    disjoint islands.  Returns ``by, island, s, e, n_intervals``."""
+    order = [F.col(s_col), F.col(e_col)]
+    if tiebreak:
+        order.append(F.col(tiebreak))
+    w = Window.partitionBy(by).orderBy(*order)
+    prev_max_e = F.max(e_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_e.isNull() | (F.col(s_col) > prev_max_e), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = df.withColumn(
+        "__island",
+        F.sum(new_island).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return islands.groupBy(by, "__island").agg(
+        F.min(s_col).alias(s_col),
+        F.max(e_col).alias(e_col),
+        F.count(F.lit(1)).alias("n_intervals"),
+    ).withColumnRenamed("__island", "island")
+
+
+def covered_time(
+    df: DataFrame,
+    by: str,
+    s_col: str = "s",
+    e_col: str = "e",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per key: total length covered by the union of its intervals and
+    the number of disjoint islands — exact integer sums."""
+    m = merge_intervals(df, by, s_col, e_col, tiebreak)
+    return m.groupBy(by).agg(
+        F.sum(F.col(e_col) - F.col(s_col)).alias("covered"),
+        F.count(F.lit(1)).alias("n_islands"),
+    )

@@ -2394,3 +2394,38 @@ FROM probes CROSS JOIN supplier
 WHERE levenshtein(p_name, s_name) <= 1
 ORDER BY p_suppkey, s_suppkey
 """
+
+
+# q96: interval union — identical running-max sweep; covered/island
+# sums cast to BIGINT (DuckDB window/group sums are HUGEINT).
+ORACLES["q96_covered_time"] = """
+WITH iv AS (
+  SELECT user_id, event_id,
+    epoch_us(ts) - 300000000 AS s,
+    epoch_us(ts) + 300000000 AS e
+  FROM events WHERE event_type = 'purchase'),
+flagged AS (
+  SELECT user_id, s, e,
+    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) IS NULL
+              OR s > max(e) OVER (PARTITION BY user_id
+                                  ORDER BY s, e, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS ni,
+    event_id
+  FROM iv),
+islands AS (
+  SELECT user_id, s, e,
+    sum(ni) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                  ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged),
+merged AS (
+  SELECT user_id, island, min(s) AS s, max(e) AS e
+  FROM islands GROUP BY user_id, island)
+SELECT user_id,
+  CAST(sum(e - s) AS BIGINT) AS covered,
+  count(*) AS n_islands
+FROM merged GROUP BY user_id ORDER BY user_id
+"""

@@ -136,3 +136,33 @@ def test_next_event_within_matches_bruteforce(
         else:
             want = (False, None)
         assert got[i] == want, f"click {i} (u{k}@{t})"
+
+
+def test_merge_intervals_islands(spark):
+    from db_factfinder_spark.operators.intervals import (
+        covered_time,
+        merge_intervals,
+    )
+
+    iv = spark.createDataFrame(
+        [
+            (1, 1, 0, 10),    # island A
+            (1, 2, 5, 12),    # overlaps → A
+            (1, 3, 12, 20),   # touches (s == running max e) → still A
+            (1, 4, 25, 30),   # gap → island B
+            (2, 5, 0, 1),
+        ],
+        "k int, id int, s long, e long",
+    )
+    m = {
+        (r.k, r.island): (r.s, r.e, r.n_intervals)
+        for r in merge_intervals(iv, "k", tiebreak="id").collect()
+    }
+    assert m == {
+        (1, 1): (0, 20, 3),
+        (1, 2): (25, 30, 1),
+        (2, 1): (0, 1, 1),
+    }
+    c = {r.k: (r.covered, r.n_islands)
+         for r in covered_time(iv, "k", tiebreak="id").collect()}
+    assert c == {1: (25, 2), 2: (1, 1)}
