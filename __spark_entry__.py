@@ -51,6 +51,7 @@ from db_factfinder_spark.llmdata.dedup import (
 from db_factfinder_spark.llmdata.components import neardup_groups, select_survivors
 from db_factfinder_spark.llmdata.redact import redact_pii
 from db_factfinder_spark.llmdata.sampling import (
+    budget_fill,
     cap_per_group,
     mixture_sample,
     split_column,
@@ -2496,6 +2497,28 @@ def q96_covered_time(spark, sf_dir):
     )
 
 
+def q97_token_budget_fill(spark, sf_dir):
+    """Token-budget mixture cut: per source, documents rank by length
+    (n_chars desc, doc_id tiebreak) and the maximal ranking prefix
+    whose cumulative BPE-ish token count fits a 2000-token budget is
+    kept (llmdata/sampling.py::budget_fill).  The cut that turns a
+    ranked crawl into a fixed-size training slice; one window shuffle
+    on the source key."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tokens", bpe_token_count("text")
+    )
+    kept = budget_fill(
+        docs,
+        group_cols=["source"],
+        order_by=[F.col("n_chars").desc(), F.col("doc_id")],
+        size_col="n_tokens",
+        budget=2000,
+    )
+    return kept.select(
+        "source", "doc_id", "n_tokens", "cum_size"
+    ).orderBy("source", "cum_size")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2603,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_profile_columns": q94_profile_columns,
         "q95_fuzzy_name_match": q95_fuzzy_name_match,
         "q96_covered_time": q96_covered_time,
+        "q97_token_budget_fill": q97_token_budget_fill,
     }
 
 

@@ -96,3 +96,26 @@ def cap_per_group(df, group_cols, order_by, cap: int, rank_col: str = "rank"):
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= cap)
     )
+
+
+def budget_fill(df, group_cols, order_by, size_col, budget: int):
+    """Budget-constrained selection: per group, keep the maximal
+    PREFIX of the ``order_by`` ranking whose cumulative ``size_col``
+    fits in ``budget`` — the token-budget cut that turns a ranked
+    corpus into a fixed-size training mixture slice.  Sizes must be
+    positive, which makes the running total monotone, so the simple
+    ``cum ≤ budget`` filter IS the maximal prefix (everything after
+    the first overflow also overflows).
+
+    One window shuffle on the group key; the cumulative size is kept
+    as ``cum_size`` for budget accounting downstream.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    cum = F.sum(F.col(size_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("cum_size", cum).filter(
+        F.col("cum_size") <= budget
+    )

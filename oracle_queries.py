@@ -2429,3 +2429,23 @@ SELECT user_id,
   count(*) AS n_islands
 FROM merged GROUP BY user_id ORDER BY user_id
 """
+
+
+# q97: token-budget prefix fill — same ranking, same cumulative sum
+# (BIGINT), same ≤ cut; the bpe tokenizer is the q39 mirror.
+ORACLES["q97_token_budget_fill"] = """
+WITH sized AS (
+  SELECT source, doc_id, n_chars,
+    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+'))
+      AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT source, doc_id, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY source
+         ORDER BY n_chars DESC, doc_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_size
+  FROM sized)
+SELECT source, doc_id, n_tokens, cum_size
+FROM cum WHERE cum_size <= 2000
+ORDER BY source, cum_size
+"""

@@ -984,3 +984,20 @@ def test_edit1_join_plan_is_equi_not_cross(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_budget_fill_maximal_prefix(spark):
+    from db_factfinder_spark.llmdata.sampling import budget_fill
+
+    df = spark.createDataFrame(
+        [("a", 1, 40), ("a", 2, 50), ("a", 3, 20), ("a", 4, 5),
+         ("b", 5, 200)],
+        "g string, id int, sz int",
+    )
+    kept = budget_fill(df, ["g"], [F.col("id")], "sz", budget=100)
+    got = {(r.g, r.id): r.cum_size for r in kept.collect()}
+    # a: 40, 90 fit; id=3 → 110 overflows and everything after is out
+    # (prefix semantics: id=4 would fit alone but is after the cut)
+    assert got == {("a", 1): 40, ("a", 2): 90}
+    # a group whose first row already overflows keeps nothing
+    assert ("b", 5) not in got
