@@ -2519,6 +2519,45 @@ def q97_token_budget_fill(spark, sf_dir):
     ).orderBy("source", "cum_size")
 
 
+def q98_lasttouch_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the latest click
+    at-or-before it (same user, 7-day lookback) — the as-of operator
+    (q56) applied to marketing attribution; per user the purchase
+    count, touched count and credited revenue (micro-unit exact).
+    Union-window as-of: one shuffle, no purchase×click join."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.unix_micros("ts")).alias("click_us"))
+    )
+    att = asof_join(
+        purchases, clicks, on="ts", by="user_id", value_col="click_us"
+    )
+    week_us = 7 * 24 * 3600 * 1_000_000
+    touched = F.col("click_us_asof").isNotNull() & (
+        (F.unix_micros("ts") - F.col("click_us_asof")) <= week_us
+    )
+    units = F.floor(F.col("value") * 100 + F.lit(0.5))
+    return (
+        att.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count(F.when(touched, 1)).alias("n_touched"),
+            (
+                F.sum(F.when(touched, units).otherwise(F.lit(0))).cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            ).alias("credited_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2627,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_fuzzy_name_match": q95_fuzzy_name_match,
         "q96_covered_time": q96_covered_time,
         "q97_token_budget_fill": q97_token_budget_fill,
+        "q98_lasttouch_attribution": q98_lasttouch_attribution,
     }
 
 

@@ -2449,3 +2449,28 @@ SELECT source, doc_id, n_tokens, cum_size
 FROM cum WHERE cum_size <= 2000
 ORDER BY source, cum_size
 """
+
+
+# q98: last-touch attribution — DuckDB's native ASOF LEFT JOIN is the
+# oracle for the union-window as-of; identical 7-day horizon and
+# micro-unit credit arithmetic.
+ORACLES["q98_lasttouch_attribution"] = """
+WITH p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts, max(epoch_us(ts)) AS click_us
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+j AS (
+  SELECT p.user_id, p.ts, p.value, c.click_us
+  FROM p ASOF LEFT JOIN c
+    ON p.user_id = c.user_id AND p.ts >= c.ts)
+SELECT user_id, count(*) AS n_purchases,
+  count(*) FILTER (
+    WHERE click_us IS NOT NULL
+      AND epoch_us(ts) - click_us <= 604800000000) AS n_touched,
+  CAST(sum(CASE WHEN click_us IS NOT NULL
+                 AND epoch_us(ts) - click_us <= 604800000000
+            THEN CAST(floor(value*100 + 0.5) AS BIGINT)
+            ELSE 0 END) AS DOUBLE) / 100.0 AS credited_value
+FROM j GROUP BY user_id ORDER BY user_id
+"""
