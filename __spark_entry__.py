@@ -2558,6 +2558,25 @@ def q98_lasttouch_attribution(spark, sf_dir):
     )
 
 
+def q99_share_of_total(spark, sf_dir):
+    """Ratio-to-report: each (week, type) cell's share of its week's
+    traffic — aggregate once, then an unbounded window sum over the
+    (tiny) cell table computes every denominator without re-scanning
+    raw events.  share = exact-int / exact-int, one rounded op."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    cells = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("week"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("week")
+    share = F.col("n").cast("double") / F.sum("n").over(w).cast("double")
+    return cells.select(
+        F.date_format("week", "yyyy-MM-dd").alias("week_s"),
+        "event_type",
+        "n",
+        share.alias("share"),
+    ).orderBy("week_s", "event_type")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2667,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_covered_time": q96_covered_time,
         "q97_token_budget_fill": q97_token_budget_fill,
         "q98_lasttouch_attribution": q98_lasttouch_attribution,
+        "q99_share_of_total": q99_share_of_total,
     }
 
 

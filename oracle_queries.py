@@ -2474,3 +2474,18 @@ SELECT user_id, count(*) AS n_purchases,
             ELSE 0 END) AS DOUBLE) / 100.0 AS credited_value
 FROM j GROUP BY user_id ORDER BY user_id
 """
+
+
+# q99: ratio-to-report — aggregate once, window-sum denominators;
+# exact-int counts, single rounded division.
+ORACLES["q99_share_of_total"] = """
+WITH cells AS (
+  SELECT date_trunc('week', ts) AS week, event_type,
+         count(*) AS n
+  FROM events GROUP BY week, event_type)
+SELECT strftime(week, '%Y-%m-%d') AS week_s, event_type, n,
+  CAST(n AS DOUBLE)
+    / CAST(CAST(sum(n) OVER (PARTITION BY week) AS BIGINT) AS DOUBLE)
+    AS share
+FROM cells ORDER BY week_s, event_type
+"""
