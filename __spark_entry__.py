@@ -2577,6 +2577,48 @@ def q99_share_of_total(spark, sf_dir):
     ).orderBy("week_s", "event_type")
 
 
+def q100_curation_pipeline(spark, sf_dir):
+    """Capstone: the full training-data curation chain as ONE lazy
+    plan — quality filter (≥0.5) → exact dedup (min-id survivor per
+    normalized fingerprint) → deterministic mixture sample (src0–4
+    full weight, rest 0.5) → per-language sequence packing into
+    2048-token chunks.  Every stage is an operator proven on its own
+    query (q30, q25, q64, q63); composed, Catalyst pipelines the
+    whole chain with one shuffle per keyed stage and the oracle
+    replays it stage for stage."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.withColumn("q", quality_score("text")).filter(
+        F.col("q") >= 0.5
+    )
+    fp = scored.withColumn(
+        "f",
+        F.coalesce(
+            fingerprint("text"),
+            F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+        ),
+    )
+    w = Window.partitionBy("f")
+    survivors = fp.withColumn("rep", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("rep")
+    )
+    weights = {f"src{i}": 1.0 for i in range(5)}
+    mixed = survivors.filter(
+        mixture_sample("doc_id", "source", weights, default=0.5)
+    )
+    tok = mixed.select(
+        "doc_id", "source", "lang", "q",
+        bpe_token_count("text").alias("n_tok"),
+    )
+    packed = pack_sequences(
+        tok, seq_len=2048, token_col="n_tok",
+        order_col="doc_id", part_col="lang",
+    )
+    return packed.select(
+        "doc_id", "source", "lang", "q", "n_tok", "chunk_id",
+        "chunk_offset",
+    ).orderBy("doc_id")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2687,6 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_token_budget_fill": q97_token_budget_fill,
         "q98_lasttouch_attribution": q98_lasttouch_attribution,
         "q99_share_of_total": q99_share_of_total,
+        "q100_curation_pipeline": q100_curation_pipeline,
     }
 
 

@@ -2489,3 +2489,40 @@ SELECT strftime(week, '%Y-%m-%d') AS week_s, event_type, n,
     AS share
 FROM cells ORDER BY week_s, event_type
 """
+
+
+# q100: the curation capstone — each stage replayed with its proven
+# oracle idiom (q30 quality, q25 fingerprint dedup, q64 mixture
+# buckets, q63 packing cumsum), composed in the same order.
+ORACLES["q100_curation_pipeline"] = f"""
+WITH scored AS (
+  SELECT doc_id, source, lang, text, {_QUALITY} AS q FROM documents),
+good AS (SELECT * FROM scored WHERE q >= 0.5),
+fp AS (
+  SELECT *, coalesce(md5({_NORM}), 'null:' || CAST(doc_id AS VARCHAR))
+    AS f
+  FROM good),
+survivors AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY f) AS rep FROM fp)
+  WHERE doc_id = rep),
+mixed AS (
+  SELECT * FROM survivors
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+        % 10000
+      < CASE WHEN source IN ('src0','src1','src2','src3','src4')
+             THEN 10000 ELSE 5000 END),
+tok AS (
+  SELECT doc_id, source, lang, q,
+    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+'))
+         AS BIGINT) AS n_tok
+  FROM mixed),
+c AS (
+  SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM tok)
+SELECT doc_id, source, lang, q, n_tok,
+  CAST(cum // 2048 AS BIGINT) AS chunk_id,
+  CAST(cum % 2048 AS BIGINT) AS chunk_offset
+FROM c ORDER BY doc_id
+"""
