@@ -52,6 +52,7 @@ HEADLINE = [
     "q80_funnel_conversion",    # forward as-of union-window funnel
     "q84_hll_distinct",         # portable HLL sketch + exact twin
     "q86_decontaminate",        # cross-corpus LSH decontamination
+    "q100_curation_pipeline",   # filter→dedup→mix→pack, one lazy plan
 ]
 
 

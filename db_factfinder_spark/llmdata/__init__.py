@@ -37,7 +37,11 @@ from db_factfinder_spark.llmdata.dedup import (  # noqa: F401
     simhash_multiprobe_pairs,
     simhash_near_pairs,
 )
-from db_factfinder_spark.llmdata.sketches import hll_distinct  # noqa: F401
+from db_factfinder_spark.llmdata.sketches import (  # noqa: F401
+    hll_distinct,
+    sampled_quantiles,
+)
+from db_factfinder_spark.llmdata.strmatch import edit1_join  # noqa: F401
 from db_factfinder_spark.llmdata.similarity import (  # noqa: F401
     brute_force_topk,
     cosine_similarity,
@@ -49,6 +53,7 @@ from db_factfinder_spark.llmdata.components import (  # noqa: F401
     select_survivors,
 )
 from db_factfinder_spark.llmdata.sampling import (  # noqa: F401
+    budget_fill,
     cap_per_group,
     deterministic_sample,
     hash_bucket,

@@ -166,3 +166,35 @@ def test_merge_intervals_islands(spark):
     c = {r.k: (r.covered, r.n_islands)
          for r in covered_time(iv, "k", tiebreak="id").collect()}
     assert c == {1: (25, 2), 2: (1, 1)}
+
+
+_iv2 = st.tuples(
+    st.integers(min_value=0, max_value=2),    # key
+    st.integers(min_value=0, max_value=30),   # start
+    st.integers(min_value=1, max_value=10),   # length
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ivs=st.lists(_iv2, min_size=1, max_size=14))
+def test_covered_time_matches_bruteforce(spark, ivs):
+    from db_factfinder_spark.operators.intervals import covered_time
+
+    df = spark.createDataFrame(
+        [(k, i, s, s + ln) for i, (k, s, ln) in enumerate(ivs)],
+        "k int, id int, s long, e long",
+    )
+    got = {r.k: (r.covered, r.n_islands)
+           for r in covered_time(df, "k", tiebreak="id").collect()}
+    for k in {k for k, _, _ in ivs}:
+        pts = set()
+        for kk, s, ln in ivs:
+            if kk == k:
+                pts.update(range(s, s + ln))
+        covered = len(pts)
+        # islands = maximal runs of consecutive covered points
+        islands = sum(1 for p in pts if p - 1 not in pts)
+        assert got[k] == (covered, islands), (k, got[k], covered, islands)
