@@ -237,6 +237,50 @@ def _minhash_fold(num_hashes: int):
     return fold
 
 
+def band_key_frame(
+    signatures: DataFrame,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Exploded ``(id, band, bucket)`` band keys from a wide ``mh_*``
+    signature frame — the candidate-generation key shared by the
+    self-dedup pair join and the cross-corpus decontamination join.
+
+    Shingle-less docs carry an all-NULL signature; concat_ws skips
+    NULLs, so without the mh_0 null gate they would all hash to
+    md5("") and share every band bucket — an O(m²) hot-bucket blowup
+    of bogus pairs among m empty/short docs.  The gate lives INSIDE
+    the generator (explode of a NULL array emits no rows) rather than
+    as a .filter(): a Filter node's predicate gets substituted through
+    the projection and pushed below the repartition into the parquet
+    scan, re-running the whole signature fold serially on the raw
+    (possibly single-split) input — measured 2× the entire stage cost.
+    """
+    rows = num_hashes // bands
+    assert rows * bands == num_hashes, "bands must divide num_hashes"
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = signatures.select(
+        "id",
+        F.explode(
+            F.when(F.col("mh_0").isNotNull(), band_structs)
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    return cap_hot_buckets(exploded, ["band", "bucket"], max_bucket)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 16,
@@ -254,37 +298,7 @@ def lsh_candidate_pairs(
     floods.  A capped result is a *subset* of the uncapped one — any
     exact external oracle must run uncapped (``max_bucket=None``) or
     model the cap."""
-    rows = num_hashes // bands
-    assert rows * bands == num_hashes, "bands must divide num_hashes"
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    # shingle-less docs carry an all-NULL signature; concat_ws skips
-    # NULLs, so without the mh_0 null gate they would all hash to
-    # md5("") and share every band bucket — an O(m²) hot-bucket blowup
-    # of bogus pairs among m empty/short docs.  The gate lives INSIDE
-    # the generator (explode of a NULL array emits no rows) rather than
-    # as a .filter(): a Filter node's predicate gets substituted through
-    # the projection and pushed below the repartition into the parquet
-    # scan, re-running the whole signature fold serially on the raw
-    # (possibly single-split) input — measured 2× the entire stage cost
-    exploded = signatures.select(
-        "id",
-        F.explode(
-            F.when(F.col("mh_0").isNotNull(), band_structs)
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
-    exploded = cap_hot_buckets(exploded, ["band", "bucket"], max_bucket)
+    exploded = band_key_frame(signatures, num_hashes, bands, max_bucket)
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -697,9 +711,6 @@ def cross_corpus_matches(
     broadcasts; neither corpus ever all-pairs.  Returns
     ``(probe_id, corpus_id, jaccard)`` for verified matches.
     """
-    rows = num_hashes // bands
-    assert rows * bands == num_hashes, "bands must divide num_hashes"
-
     def _sh(df: DataFrame) -> DataFrame:
         return materialize(
             df.select(
@@ -715,34 +726,7 @@ def cross_corpus_matches(
             "id",
             *[F.get("sig", i).alias(f"mh_{i}") for i in range(num_hashes)],
         )
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"mh_{b * rows + r}")
-                                for r in range(rows)
-                            ],
-                        )
-                    ).alias("bucket"),
-                )
-                for b in range(bands)
-            ]
-        )
-        exploded = sigs.select(
-            "id",
-            F.explode(
-                F.when(F.col("mh_0").isNotNull(), band_structs)
-            ).alias("bk"),
-        ).select(
-            "id",
-            F.col("bk.band").alias("band"),
-            F.col("bk.bucket").alias("bucket"),
-        )
-        return cap_hot_buckets(exploded, ["band", "bucket"], max_bucket)
+        return band_key_frame(sigs, num_hashes, bands, max_bucket)
 
     sh_c, sh_p = _sh(corpus), _sh(probe)
     cands = (

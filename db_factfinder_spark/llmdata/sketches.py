@@ -32,7 +32,7 @@ def sampled_quantiles(
     group_cols: list[str],
     value_col: str,
     probs: list[float],
-    sample_id: Column | str | None = None,
+    sample_id: Column | str,
     fraction: float = 0.1,
     buckets: int = 10_000,
 ) -> DataFrame:
@@ -41,7 +41,11 @@ def sampled_quantiles(
     Native sketches (t-digest / ``percentile_approx`` / DuckDB's
     approx_quantile) are engine-specific and can't be cross-checked;
     hash-sampling + exact percentile is reproducible anywhere — the
-    sample is a pure function of ``sample_id``, and q59 established
+    sample is a pure function of ``sample_id`` (REQUIRED, and it must
+    be row-unique: keying the sample on a non-unique column — worst,
+    the value itself — turns it into all-or-nothing selection of
+    whole value classes, with unbounded error on skewed data), and
+    q59 established
     that Spark's ``percentile`` and DuckDB's ``quantile_cont`` agree
     bit-for-bit on identical doubles.
 
@@ -51,9 +55,7 @@ def sampled_quantiles(
     """
     from db_factfinder_spark.llmdata.sampling import deterministic_sample
 
-    sid = F.col(value_col) if sample_id is None else (
-        F.col(sample_id) if isinstance(sample_id, str) else sample_id
-    )
+    sid = F.col(sample_id) if isinstance(sample_id, str) else sample_id
     sampled = df.filter(deterministic_sample(sid, fraction, buckets))
     arr = ", ".join(repr(p) for p in probs)
     aggs = [
@@ -106,7 +108,11 @@ def hll_distinct(
     most m rows per group — then the per-group fold."""
     bucket, rank = hll_bucket_rank(value_col)
     partials = (
-        df.select(*group_cols, bucket.alias("__bucket"), rank.alias("__rank"))
+        # NULLs don't count toward cardinality (count_distinct
+        # semantics) — unfiltered they'd form a phantom NULL bucket
+        # that inflates n_buckets without contributing rank mass
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket.alias("__bucket"), rank.alias("__rank"))
         .groupBy(*group_cols, "__bucket")
         .agg(F.max("__rank").alias("__m"))
     )

@@ -45,14 +45,17 @@ def grouped_linreg(
     dividing once at the end — one more identical IEEE op).
     Degenerate groups (all x equal → zero variance) yield NULL slope.
     """
-    xl = x.cast("long")
-    yl = y_units.cast("long")
+    # operands go to decimal BEFORE multiplying/summing: a long×long
+    # product (or a long sum) would silently wrap for large codings,
+    # exactly the magnitude failure this operator exists to avoid
+    xd = x.cast("long").cast(_DEC)
+    yd = y_units.cast("long").cast(_DEC)
     agg = df.groupBy(*keys).agg(
         F.count(F.lit(1)).cast(_DEC).alias("__n"),
-        F.sum(xl).cast(_DEC).alias("__sx"),
-        F.sum(yl).cast(_DEC).alias("__sy"),
-        F.sum((xl * yl).cast(_DEC)).alias("__sxy"),
-        F.sum((xl * xl).cast(_DEC)).alias("__sxx"),
+        F.sum(xd).alias("__sx"),
+        F.sum(yd).alias("__sy"),
+        F.sum(xd * yd).alias("__sxy"),
+        F.sum(xd * xd).alias("__sxx"),
     )
     num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
         "double"

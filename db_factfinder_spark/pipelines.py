@@ -152,7 +152,13 @@ def _profile_frames(
         var = inp["pff_variable"]
         geo = inp["geotype"]
         colmap = dict(inp["column_mapping"])
-        dup = [c for c in colmap.values() if c in out_cols]
+        vals = list(colmap.values())
+        # collisions with earlier mappings AND within this mapping —
+        # either would otherwise surface later as an opaque
+        # AMBIGUOUS_REFERENCE during assembly
+        dup = sorted(
+            {c for c in vals if c in out_cols or vals.count(c) > 1}
+        )
         if dup:
             raise ValueError(
                 f"community_profiles: duplicate output column(s) {dup} "

@@ -147,9 +147,24 @@ class CensusApiSource:
         measure_cols = sorted(
             {c for v in variables for cols in self.measure_columns(v).values() for c in cols}
         )
+        def geo_value(r: dict, g: str) -> str:
+            # the census API names the block-group column 'block group'
+            # (space); the landing schema uses 'block_group' — accept
+            # both, and FAIL on a missing part rather than landing ''
+            # (an empty part silently truncates every census_geoid)
+            v = r.get(g)
+            if v is None and "_" in g:
+                v = r.get(g.replace("_", " "))
+            if v is None:
+                raise KeyError(
+                    f"census row missing geo part {g!r} for geotype "
+                    f"{geotype!r} (row keys: {sorted(r)[:8]}…)"
+                )
+            return str(v)
+
         data = [
             tuple(
-                [str(r.get(g, "")) for g in geo_cols]
+                [geo_value(r, g) for g in geo_cols]
                 + [
                     float(r[c]) if r.get(c) not in (None, "") else None
                     for c in measure_cols

@@ -33,6 +33,13 @@ def zvalue(cols: Sequence[Column | str], bits: int = 16) -> Column:
     shift/mask/or expression — engine-portable and codegen-friendly."""
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     k = len(cs)
+    # positions ≥63 would hit the long sign bit / wrap the shift
+    # amount mod 64, silently colliding different columns' bits
+    if bits * k > 63:
+        raise ValueError(
+            f"bits*len(cols) = {bits * k} exceeds 63 — reduce bits "
+            f"(e.g. bits={63 // k}) so the Morton code fits a long"
+        )
     terms = [
         F.shiftleft(
             F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1)), b * k + i

@@ -122,3 +122,34 @@ def test_dataset_dispatch():
     assert by["acs5dp"] == ["DP05_0001E", "DP05_0001M"]
     assert by["decennial"] == ["P001001"]
     assert by["acs5st"] == ["S0101_001E", "S0101_001M"]
+
+
+def test_block_group_space_name_and_missing_part_raises(spark, tmp_path):
+    """The live API names the block-group geo column 'block group'
+    (space); the landing must accept it for the 'block_group' schema
+    slot — and a genuinely missing geo part must raise, never land ''
+    (an empty part silently truncates every census_geoid)."""
+    rows = {
+        ("acs5", "county:005"): [
+            {"NAME": "BG 1", "state": "36", "county": "005",
+             "tract": "000100", "block group": "1",
+             "B01001_001E": "10", "B01001_001M": "1"},
+        ]
+    }
+
+    def client(dataset, variables, geoquery):
+        county = geoquery["in"].split("county:")[-1]
+        return rows.get((dataset, f"county:{county}"), [])
+
+    src = CensusApiSource(spark, client, year=2019, counties=("005",))
+    v = Variable(pff_variable="pop", census_variable=["B01001_001"])
+    out = src.write_geotype(tmp_path, [v], "block group")
+    landed = spark.read.parquet(str(out))
+    row = landed.collect()[0]
+    assert row["block_group"] == "1"
+    assert row["tract"] == "000100"
+
+    # drop the geo part entirely → hard error, not ''
+    rows[("acs5", "county:005")][0].pop("block group")
+    with pytest.raises(Exception, match="missing geo part"):
+        src.write_geotype(tmp_path, [v], "block group")

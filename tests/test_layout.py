@@ -83,3 +83,13 @@ def test_zorder_write_quantized_roundtrip(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 1000
     assert sorted(back.columns) == ["x", "y"]
+
+
+def test_zvalue_rejects_overflowing_bit_budget(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 2, 3, 4)], "a long, b long, c long, d long")
+    with pytest.raises(ValueError, match="exceeds 63"):
+        df.select(zvalue(["a", "b", "c", "d"], bits=16))
+    # 4 × 15 = 60 bits is fine
+    assert df.select(zvalue(["a", "b", "c", "d"], bits=15)).collect()

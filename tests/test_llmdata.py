@@ -1001,3 +1001,22 @@ def test_budget_fill_maximal_prefix(spark):
     assert got == {("a", 1): 40, ("a", 2): 90}
     # a group whose first row already overflows keeps nothing
     assert ("b", 5) not in got
+
+
+def test_hll_distinct_ignores_nulls(spark):
+    from db_factfinder_spark.llmdata.sketches import hll_distinct
+
+    with_nulls = spark.createDataFrame(
+        [("g", 1), ("g", None), ("g", 2), ("g", None)],
+        "g string, v int",
+    )
+    without = spark.createDataFrame(
+        [("g", 1), ("g", 2)], "g string, v int"
+    )
+    a = hll_distinct(with_nulls, ["g"], "v").collect()[0]
+    b = hll_distinct(without, ["g"], "v").collect()[0]
+    # count_distinct semantics: NULLs contribute nothing
+    assert (a.n_buckets, a.hll_raw) == (b.n_buckets, b.hll_raw)
+    # an all-NULL group vanishes (0 distinct), it doesn't yield NULL
+    all_null = spark.createDataFrame([("g", None)], "g string, v int")
+    assert hll_distinct(all_null, ["g"], "v").count() == 0

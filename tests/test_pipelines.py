@@ -153,3 +153,24 @@ def test_community_profiles_all_failed_raises(spark):
             [{"pff_variable": "nope", "geotype": "x",
               "column_mapping": {"e": "y"}}],
         )
+
+
+def test_community_profiles_rejects_within_mapping_duplicates(spark):
+    import pytest
+
+    from db_factfinder_spark.pipelines import community_profiles
+
+    def calculate(var, geo):
+        return spark.createDataFrame(
+            [(1, 1.0, 2.0)], "census_geoid long, e double, m double"
+        )
+
+    mappings = [
+        {
+            "pff_variable": "v1",
+            "geotype": "NTA",
+            "column_mapping": {"e": "x", "m": "x"},  # collide WITHIN
+        }
+    ]
+    with pytest.raises(ValueError, match="duplicate output column"):
+        community_profiles(calculate, mappings)
