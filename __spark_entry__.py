@@ -48,7 +48,11 @@ from db_factfinder_spark.llmdata.dedup import (
     simhash_multiprobe_pairs,
     simhash_near_pairs,
 )
-from db_factfinder_spark.llmdata.components import neardup_groups, select_survivors
+from db_factfinder_spark.llmdata.components import (
+    neardup_groups,
+    select_survivors,
+    triangle_counts,
+)
 from db_factfinder_spark.llmdata.redact import redact_pii
 from db_factfinder_spark.llmdata.sampling import (
     budget_fill,
@@ -2619,6 +2623,21 @@ def q100_curation_pipeline(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q101_triangle_counts(spark, sf_dir):
+    """Graph analytics on the near-dup graph: per document, how many
+    triangles it sits in (q33's Hamming≤1 simhash pairs as edges) —
+    separates dense boilerplate cliques from accidental chains.
+    Degree-ordered wedge join (llmdata/components.py::triangle_counts)
+    bounds intermediates at O(|E|^{3/2}) under any skew; the oracle
+    counts the same triangles by id-ordered closure (orientation
+    changes the join order, never the triangle set)."""
+    docs = _docs(spark, sf_dir)
+    pairs = simhash_near_pairs(
+        docs, bits=32, max_hamming=1, prefix_bits=8, max_bucket=None
+    )
+    return triangle_counts(pairs).orderBy("node")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2730,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_lasttouch_attribution": q98_lasttouch_attribution,
         "q99_share_of_total": q99_share_of_total,
         "q100_curation_pipeline": q100_curation_pipeline,
+        "q101_triangle_counts": q101_triangle_counts,
     }
 
 

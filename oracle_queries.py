@@ -2526,3 +2526,20 @@ SELECT doc_id, source, lang, q, n_tok,
   CAST(cum % 2048 AS BIGINT) AS chunk_offset
 FROM c ORDER BY doc_id
 """
+
+
+# q101: triangle counts — edges are the q33 pair set; id-ordered
+# closure counts each triangle once, per-node via the 3-way unnest.
+ORACLES["q101_triangle_counts"] = f"""
+WITH edges AS (
+  SELECT id_a AS a, id_b AS b FROM ({ORACLES["q33_simhash_pairs"]})),
+tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+nodes AS (
+  SELECT unnest([x, y, z]) AS node FROM tris)
+SELECT node, count(*) AS n_triangles
+FROM nodes GROUP BY node ORDER BY node
+"""

@@ -1020,3 +1020,23 @@ def test_hll_distinct_ignores_nulls(spark):
     # an all-NULL group vanishes (0 distinct), it doesn't yield NULL
     all_null = spark.createDataFrame([("g", None)], "g string, v int")
     assert hll_distinct(all_null, ["g"], "v").count() == 0
+
+
+def test_triangle_counts_known_graphs(spark):
+    from db_factfinder_spark.llmdata.components import triangle_counts
+
+    # K4 on {1,2,3,4}: every node sits in C(3,2)=3 triangles;
+    # a star 10-(11,12,13) has none; edge 20-21 is triangle-free
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    star = [(10, 11), (10, 12), (10, 13)]
+    edges = spark.createDataFrame(
+        k4 + star + [(20, 21)], "id_a int, id_b int"
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # duplicate edges don't double-count
+    dup = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 2)], "id_a int, id_b int"
+    )
+    got2 = {r.node: r.n_triangles for r in triangle_counts(dup).collect()}
+    assert got2 == {1: 1, 2: 1, 3: 1}
