@@ -138,6 +138,7 @@ from db_factfinder_spark.streaming.events import (
     stream_dedup_keys,
     stream_sessionize,
     stream_static_enrich,
+    stream_stream_join,
     windowed_counts,
 )
 
@@ -2638,6 +2639,50 @@ def q101_triangle_counts(spark, sf_dir):
     return triangle_counts(pairs).orderBy("node")
 
 
+def q102_stream_stream_join(spark, sf_dir):
+    """Stream↔stream join as a real Structured Streaming job: the
+    click stream joins the purchase stream per user with a 1-hour
+    lookback, both sides watermarked so buffered state expires
+    (streaming/events.py::stream_stream_join) — the last Structured
+    Streaming join shape (q83 covered stream-static).  Joined pairs
+    land in the memory sink (availableNow) and aggregate per user;
+    the oracle is the equivalent batch inequality join."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def stream():
+        return normalize_event_ts(
+            spark.readStream.schema(raw_schema).parquet(
+                f"{sf_dir}/events.parque[t]"
+            )
+        )
+
+    clicks = stream().filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    purchases = stream().filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    joined = stream_stream_join(
+        clicks, purchases, by="user_id", left_ts="c_ts", right_ts="p_ts",
+        lookback="1 hour", watermark="365 days",
+    )
+    pairs = run_available_now(joined, output_mode="append")
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("c_id").alias("n_clicks_matched"),
+            F.count_distinct("p_id").alias("n_purchases_matched"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2750,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_share_of_total": q99_share_of_total,
         "q100_curation_pipeline": q100_curation_pipeline,
         "q101_triangle_counts": q101_triangle_counts,
+        "q102_stream_stream_join": q102_stream_stream_join,
     }
 
 

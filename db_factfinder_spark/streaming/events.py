@@ -304,3 +304,33 @@ def session_paths(
             F.transform(ordered, lambda x: x[type_col]), ">"
         ).alias("path"),
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream↔stream inner join: right-side rows match left-side rows
+    with the same ``by`` key whose timestamp falls in
+    ``[right_ts − lookback, right_ts]`` — the purchase-joins-recent-
+    clicks shape.  BOTH sides carry event-time watermarks and the join
+    condition bounds the time skew; together they let Structured
+    Streaming expire buffered state (an unbounded stream-stream join
+    would hold every row forever).  State per key is O(rows within
+    the watermark+lookback horizon) — the property that makes this
+    runnable continuously at ingest scale.
+    """
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l_wm[by] == r_wm[by])
+        & (l_wm[left_ts] >= r_wm[right_ts] - F.expr(f"INTERVAL {lookback}"))
+        & (l_wm[left_ts] <= r_wm[right_ts])
+    )
+    # drop the right side's duplicate key column from the output
+    return l_wm.join(r_wm, cond, "inner").drop(r_wm[by])

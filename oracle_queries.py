@@ -2543,3 +2543,25 @@ nodes AS (
 SELECT node, count(*) AS n_triangles
 FROM nodes GROUP BY node ORDER BY node
 """
+
+
+# q102: stream-stream join — batch inequality-join equivalent; the
+# streaming job's watermark horizon covers the bounded fixture so the
+# pair set equals this exactly.
+ORACLES["q102_stream_stream_join"] = """
+WITH c AS (
+  SELECT user_id, ts AS c_ts, event_id AS c_id
+  FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id
+  FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.user_id, c_id, p_id
+  FROM c JOIN p ON c.user_id = p.user_id
+    AND c_ts >= p_ts - INTERVAL 1 HOUR
+    AND c_ts <= p_ts)
+SELECT user_id, count(*) AS n_pairs,
+  count(DISTINCT c_id) AS n_clicks_matched,
+  count(DISTINCT p_id) AS n_purchases_matched
+FROM j GROUP BY user_id ORDER BY user_id
+"""
