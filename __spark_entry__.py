@@ -2683,6 +2683,28 @@ def q102_stream_stream_join(spark, sf_dir):
     )
 
 
+def q103_decile_assignment(spark, sf_dir):
+    """Equal-frequency binning: each order's price decile within its
+    priority class (ntile — the ranking-window family q17/q60 don't
+    cover).  ntile's remainder-to-early-buckets division is standard
+    SQL and deterministic once the order is total (price + key
+    tiebreak); per-decile aggregates confirm the bin boundaries."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    binned = orders.withColumn("decile", F.ntile(10).over(w))
+    return (
+        binned.groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("o_orderpriority", "decile")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2796,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_curation_pipeline": q100_curation_pipeline,
         "q101_triangle_counts": q101_triangle_counts,
         "q102_stream_stream_join": q102_stream_stream_join,
+        "q103_decile_assignment": q103_decile_assignment,
     }
 
 

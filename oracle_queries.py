@@ -2565,3 +2565,18 @@ SELECT user_id, count(*) AS n_pairs,
   count(DISTINCT p_id) AS n_purchases_matched
 FROM j GROUP BY user_id ORDER BY user_id
 """
+
+
+# q103: ntile deciles — identical total order and standard SQL
+# remainder-to-early-buckets division.
+ORACLES["q103_decile_assignment"] = """
+WITH binned AS (
+  SELECT o_orderpriority, o_totalprice,
+    ntile(10) OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders)
+SELECT o_orderpriority, decile, count(*) AS n,
+  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM binned GROUP BY o_orderpriority, decile
+ORDER BY o_orderpriority, decile
+"""
