@@ -2705,6 +2705,28 @@ def q103_decile_assignment(spark, sf_dir):
     )
 
 
+def q104_rank_distributions(spark, sf_dir):
+    """Distribution-position windows: percent_rank ((rank−1)/(n−1))
+    and cume_dist (rows ≤ current / n) of price within priority —
+    the last ranking-window variants (q17 row_number, q60 grouping,
+    q103 ntile).  Both are exact-integer ratios with one rounded
+    division, so cross-engine equality is structural."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .filter(F.col("o_orderkey") % 25 == 0)  # compact stable sample
+        .orderBy("o_orderkey")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2819,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_triangle_counts": q101_triangle_counts,
         "q102_stream_stream_join": q102_stream_stream_join,
         "q103_decile_assignment": q103_decile_assignment,
+        "q104_rank_distributions": q104_rank_distributions,
     }
 
 

@@ -2580,3 +2580,19 @@ SELECT o_orderpriority, decile, count(*) AS n,
 FROM binned GROUP BY o_orderpriority, decile
 ORDER BY o_orderpriority, decile
 """
+
+
+# q104: percent_rank / cume_dist — identical total order; the window
+# runs over ALL rows, the output sample filter applies after.
+ORACLES["q104_rank_distributions"] = """
+WITH ranked AS (
+  SELECT o_orderkey, o_orderpriority,
+    percent_rank() OVER w AS pr,
+    cume_dist() OVER w AS cd
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey))
+SELECT o_orderkey, o_orderpriority, pr, cd
+FROM ranked WHERE o_orderkey % 25 = 0
+ORDER BY o_orderkey
+"""
