@@ -2727,6 +2727,65 @@ def q104_rank_distributions(spark, sf_dir):
     )
 
 
+def q105_ordered_funnel(spark, sf_dir):
+    """Ordered multi-step funnel (MATCH_RECOGNIZE-lite): per user-day,
+    how far the strict view → click → purchase sequence progressed —
+    each stage's timestamp must follow the previous stage's.  Three
+    conditional aggregates chained by key joins (every shuffle on the
+    same (user, day) key, so AQE reuses the partitioning); no per-row
+    state machine, no self-join over raw events."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    keys = ["user_id", "day"]
+    s1 = ev.groupBy(*keys).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        )
+    )
+    s2 = (
+        ev.join(s1, keys)
+        .groupBy(*keys)
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    s3 = (
+        ev.join(s2, keys)
+        .groupBy(*keys)
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    staged = (
+        s1.join(s2, keys).join(s3, keys)
+        .withColumn(
+            "stage",
+            F.when(F.col("t_purchase").isNotNull(), F.lit(3))
+            .when(F.col("t_click").isNotNull(), F.lit(2))
+            .when(F.col("t_view").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+    )
+    return staged.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        "stage",
+    ).orderBy("user_id", "day_s")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2842,6 +2901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_stream_stream_join": q102_stream_stream_join,
         "q103_decile_assignment": q103_decile_assignment,
         "q104_rank_distributions": q104_rank_distributions,
+        "q105_ordered_funnel": q105_ordered_funnel,
     }
 
 

@@ -2596,3 +2596,36 @@ SELECT o_orderkey, o_orderpriority, pr, cd
 FROM ranked WHERE o_orderkey % 25 = 0
 ORDER BY o_orderkey
 """
+
+
+# q105: ordered funnel — the same three chained conditional
+# aggregates; to_date/date_trunc agree on UTC-naive timestamps.
+ORACLES["q105_ordered_funnel"] = """
+WITH ev AS (
+  SELECT user_id, event_type, ts, CAST(ts AS DATE) AS day FROM events),
+s1 AS (
+  SELECT user_id, day,
+    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM ev GROUP BY user_id, day),
+s2 AS (
+  SELECT ev.user_id, ev.day,
+    min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+      AS t_click
+  FROM ev JOIN s1 ON ev.user_id = s1.user_id AND ev.day = s1.day
+  GROUP BY ev.user_id, ev.day),
+s3 AS (
+  SELECT ev.user_id, ev.day,
+    min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+      AS t_purchase
+  FROM ev JOIN s2 ON ev.user_id = s2.user_id AND ev.day = s2.day
+  GROUP BY ev.user_id, ev.day)
+SELECT s1.user_id, strftime(s1.day, '%Y-%m-%d') AS day_s,
+  CASE WHEN t_purchase IS NOT NULL THEN 3
+       WHEN t_click IS NOT NULL THEN 2
+       WHEN t_view IS NOT NULL THEN 1
+       ELSE 0 END AS stage
+FROM s1
+JOIN s2 ON s1.user_id = s2.user_id AND s1.day = s2.day
+JOIN s3 ON s1.user_id = s3.user_id AND s1.day = s3.day
+ORDER BY s1.user_id, day_s
+"""
