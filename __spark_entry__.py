@@ -2731,19 +2731,25 @@ def q105_ordered_funnel(spark, sf_dir):
     """Ordered multi-step funnel (MATCH_RECOGNIZE-lite): per user-day,
     how far the strict view → click → purchase sequence progressed —
     each stage's timestamp must follow the previous stage's.  Three
-    conditional aggregates chained by key joins (every shuffle on the
-    same (user, day) key, so AQE reuses the partitioning); no per-row
-    state machine, no self-join over raw events."""
+    conditional aggregates chained by key joins; the (small) stage
+    frames are materialized once each — inline, Catalyst re-derives
+    s1 three times and s2 twice (6 raw scans instead of 3).  Raw
+    events scan once per stage; the per-key stage frames broadcast."""
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+
     ev = read_events(spark, f"{sf_dir}/events.parquet").withColumn(
         "day", F.to_date("ts")
     )
     keys = ["user_id", "day"]
-    s1 = ev.groupBy(*keys).agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
-            "t_view"
-        )
+    s1 = materialize(
+        ev.groupBy(*keys).agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("t_view")
+        ),
+        "local",
     )
-    s2 = (
+    s2 = materialize(
         ev.join(s1, keys)
         .groupBy(*keys)
         .agg(
@@ -2754,7 +2760,8 @@ def q105_ordered_funnel(spark, sf_dir):
                     F.col("ts"),
                 )
             ).alias("t_click")
-        )
+        ),
+        "local",
     )
     s3 = (
         ev.join(s2, keys)
