@@ -357,3 +357,14 @@ def test_q86_cross_corpus_join_is_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q105_stage_frames_materialize_once(spark):
+    """The chained-funnel stages must not re-derive: inline, Catalyst
+    re-computes s1 three times and s2 twice (6 raw scans); with the
+    stage frames materialized the plan holds at most 4 scans (3 raw
+    pushes + reused RDD frames)."""
+    plan = _plan(spark, "q105_ordered_funnel")
+    tree = plan.split("\n\n")[0]
+    n_scans = tree.count("Scan parquet") + tree.count("Scan ExistingRDD")
+    assert n_scans <= 4, tree
