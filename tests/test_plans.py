@@ -368,3 +368,23 @@ def test_q105_stage_frames_materialize_once(spark):
     tree = plan.split("\n\n")[0]
     n_scans = tree.count("Scan parquet") + tree.count("Scan ExistingRDD")
     assert n_scans <= 4, tree
+
+
+def test_partition_invariance_of_order_sensitive_queries(spark):
+    """Whole-contract partition invariance: the queries whose internals
+    are most order-sensitive (struct-sorted collect_list paths, window
+    cumsum packing over a filtered chain) must return IDENTICAL rows
+    under a radically different shuffle layout — the property that
+    makes results reproducible on any cluster size."""
+    targets = ["q90_session_paths", "q100_curation_pipeline"]
+    before = {}
+    for name in targets:
+        before[name] = [tuple(r) for r in QUERIES[name](spark, SF_DIR).collect()]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        for name in targets:
+            again = [tuple(r) for r in QUERIES[name](spark, SF_DIR).collect()]
+            assert again == before[name], f"{name} is partition-dependent"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
