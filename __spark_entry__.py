@@ -2793,6 +2793,84 @@ def q105_ordered_funnel(spark, sf_dir):
     ).orderBy("user_id", "day_s")
 
 
+def q106_multi_measure_pivot(spark, sf_dir):
+    """Multi-measure pivot: one pivot carrying TWO aggregates per
+    status column (count + exact micro-unit sum) — Spark names the
+    outputs <value>_<alias>, mirrored as conditional aggregation in
+    the oracle.  q12 covered the single-measure form; real report
+    tables pivot several measures at once."""
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            ).alias("units"),
+        )
+    )
+    cols = ["o_orderpriority"]
+    for s in ["F", "O", "P"]:
+        cols += [
+            F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"{s}_n"),
+            (
+                F.coalesce(F.col(f"{s}_units"), F.lit(0)).cast("double")
+                / F.lit(100.0)
+            ).alias(f"{s}_total"),
+        ]
+    return piv.select(*cols).orderBy("o_orderpriority")
+
+
+def q107_sliding_windows(spark, sf_dir):
+    """SLIDING event-time windows (2 h length, 1 h slide): every event
+    lands in TWO overlapping windows — the semantics q20's tumbling
+    windows can't express.  Spark's `window(ts, len, slide)` explodes
+    window membership natively; the oracle enumerates the two
+    candidate starts per event and filters containment."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("w_start"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
+def q108_weighted_mean(spark, sf_dir):
+    """Exact weighted average: quantity-weighted mean price per return
+    flag — Σ(w·x)/Σ(w) with both sums exact integers and ONE rounded
+    division, the engine-portable form of avg() with weights (native
+    weighted avg doesn't exist; naive double sums are order-
+    dependent).  Units chosen inside the 2^53 cast budget (whole
+    quantities × price cents; see the q92 ulp lesson)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w_units = F.floor(F.col("l_quantity") + F.lit(0.5))
+    x_units = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(w_units * x_units).alias("__wx"),
+            F.sum(w_units).alias("__w"),
+        )
+        .select(
+            "l_returnflag",
+            (
+                F.col("__wx").cast("double")
+                / (F.lit(100.0) * F.col("__w").cast("double"))
+            ).alias("weighted_avg_price"),
+            F.col("__w").alias("weight_units"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2909,6 +2987,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_decile_assignment": q103_decile_assignment,
         "q104_rank_distributions": q104_rank_distributions,
         "q105_ordered_funnel": q105_ordered_funnel,
+        "q106_multi_measure_pivot": q106_multi_measure_pivot,
+        "q107_sliding_windows": q107_sliding_windows,
+        "q108_weighted_mean": q108_weighted_mean,
     }
 
 

@@ -2629,3 +2629,53 @@ JOIN s2 ON s1.user_id = s2.user_id AND s1.day = s2.day
 JOIN s3 ON s1.user_id = s3.user_id AND s1.day = s3.day
 ORDER BY s1.user_id, day_s
 """
+
+
+# q106: multi-measure pivot — conditional aggregation twin; absent
+# combos land 0 like the coalesced pivot columns.
+ORACLES["q106_multi_measure_pivot"] = """
+SELECT o_orderpriority,
+  count(*) FILTER (WHERE o_orderstatus = 'F') AS F_n,
+  CAST(coalesce(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+       FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) / 100.0
+    AS F_total,
+  count(*) FILTER (WHERE o_orderstatus = 'O') AS O_n,
+  CAST(coalesce(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+       FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) / 100.0
+    AS O_total,
+  count(*) FILTER (WHERE o_orderstatus = 'P') AS P_n,
+  CAST(coalesce(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+       FILTER (WHERE o_orderstatus = 'P'), 0) AS DOUBLE) / 100.0
+    AS P_total
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# q107: sliding windows — every event belongs to the two hourly-
+# aligned 2-hour windows covering it.
+ORACLES["q107_sliding_windows"] = """
+WITH m AS (
+  SELECT event_type,
+    date_trunc('hour', ts) - CAST(k AS INT) * INTERVAL 1 HOUR AS ws
+  FROM events, unnest(range(2)) AS t(k))
+SELECT strftime(ws, '%Y-%m-%d %H:%M') AS w_start, event_type,
+  count(*) AS n_events
+FROM m GROUP BY ws, event_type ORDER BY w_start, event_type
+"""
+
+
+# q108: weighted mean — whole-quantity × price-cent integer sums
+# (all < 2^53 → exact casts), one rounded division.
+ORACLES["q108_weighted_mean"] = """
+WITH u AS (
+  SELECT l_returnflag,
+    CAST(floor(l_quantity + 0.5) AS BIGINT) AS w,
+    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS x
+  FROM lineitem)
+SELECT l_returnflag,
+  CAST(CAST(sum(w * x) AS BIGINT) AS DOUBLE)
+    / (100.0 * CAST(CAST(sum(w) AS BIGINT) AS DOUBLE))
+    AS weighted_avg_price,
+  CAST(sum(w) AS BIGINT) AS weight_units
+FROM u GROUP BY l_returnflag ORDER BY l_returnflag
+"""
