@@ -1040,3 +1040,14 @@ def test_triangle_counts_known_graphs(spark):
     )
     got2 = {r.node: r.n_triangles for r in triangle_counts(dup).collect()}
     assert got2 == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_bidirectional_edges(spark):
+    """An undirected edge arriving in BOTH orientations (and with
+    self-loops) must count each triangle exactly once."""
+    from db_factfinder_spark.llmdata.components import triangle_counts
+
+    sym = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1), (2, 2)]
+    edges = spark.createDataFrame(sym, "id_a int, id_b int")
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
