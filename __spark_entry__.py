@@ -2871,6 +2871,28 @@ def q108_weighted_mean(spark, sf_dir):
     )
 
 
+def q109_argmax_struct(spark, sf_dir):
+    """Deterministic arg-max as ONE aggregation: per event type, the
+    row holding the highest value (ties → lowest event_id) via
+    max(struct(value, −event_id)) — native max_by leaves ties
+    unspecified, and the q17 window form pays a per-group SORT where
+    this pays only a map-side-combined max.  The oracle specifies the
+    same winner independently through a ranking window."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    best = ev.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.col("value"), (-F.col("event_id")).alias("nid")
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "event_type",
+        F.col("m.value").alias("value"),
+        (-F.col("m.nid")).alias("event_id"),
+    ).orderBy("event_type")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2990,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_multi_measure_pivot": q106_multi_measure_pivot,
         "q107_sliding_windows": q107_sliding_windows,
         "q108_weighted_mean": q108_weighted_mean,
+        "q109_argmax_struct": q109_argmax_struct,
     }
 
 

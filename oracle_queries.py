@@ -2679,3 +2679,15 @@ SELECT l_returnflag,
   CAST(sum(w) AS BIGINT) AS weight_units
 FROM u GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+# q109: deterministic arg-max — independent specification of the same
+# winner via a ranking window (value desc, id asc).
+ORACLES["q109_argmax_struct"] = """
+SELECT event_type, value, event_id FROM (
+  SELECT event_type, value, event_id,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY value DESC, event_id ASC) AS rn
+  FROM events)
+WHERE rn = 1 ORDER BY event_type
+"""
