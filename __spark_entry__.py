@@ -44,6 +44,7 @@ from db_factfinder_spark.llmdata.dedup import (
     minhash_dedup_pairs,
     minhash_signatures,
     ngram_contamination,
+    prefix_filter_pairs,
     simhash,
     simhash_multiprobe_pairs,
     simhash_near_pairs,
@@ -61,6 +62,7 @@ from db_factfinder_spark.llmdata.sampling import (
     split_column,
 )
 from db_factfinder_spark.llmdata.kmeans import kmeans_assignments
+from db_factfinder_spark.llmdata.lines import line_dedup
 from db_factfinder_spark.llmdata.sketches import hll_distinct, sampled_quantiles
 from db_factfinder_spark.llmdata.strmatch import edit1_join
 from db_factfinder_spark.llmdata.multimodal import (
@@ -2893,6 +2895,31 @@ def q109_argmax_struct(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q110_line_dedup(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal: lines recurring in
+    ≥2 distinct documents are stripped, documents re-assembled from
+    the survivors in order.  clean_md5 proves byte-exact re-assembly
+    (same discipline as q61's redaction oracle)."""
+    docs = _docs(spark, sf_dir)
+    out = line_dedup(docs, max_docs=2)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_dropped",
+        F.md5(F.coalesce("clean_text", F.lit(" "))).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+def q111_prefix_filter_pairs(spark, sf_dir):
+    """EXACT Jaccard≥τ similarity join via AllPairs prefix filtering —
+    the scale path for exact near-dup pairs (q26 is the quadratic
+    baseline; q32 is the approximate path).  The oracle recomputes the
+    answer by brute force, so any false negative from the prefix
+    index would hash-mismatch."""
+    docs = _docs(spark, sf_dir)
+    return prefix_filter_pairs(docs, n=3, threshold=0.6).orderBy("id_a", "id_b")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -3013,6 +3040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_sliding_windows": q107_sliding_windows,
         "q108_weighted_mean": q108_weighted_mean,
         "q109_argmax_struct": q109_argmax_struct,
+        "q110_line_dedup": q110_line_dedup,
+        "q111_prefix_filter_pairs": q111_prefix_filter_pairs,
     }
 
 

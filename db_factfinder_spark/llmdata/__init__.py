@@ -33,6 +33,7 @@ from db_factfinder_spark.llmdata.dedup import (  # noqa: F401
     minhash_dedup_pairs,
     minhash_signatures,
     lsh_candidate_pairs,
+    prefix_filter_pairs,
     simhash,
     simhash_multiprobe_pairs,
     simhash_near_pairs,
@@ -60,3 +61,4 @@ from db_factfinder_spark.llmdata.sampling import (  # noqa: F401
     split_column,
 )
 from db_factfinder_spark.llmdata.textstats import tfidf_top_terms  # noqa: F401
+from db_factfinder_spark.llmdata.lines import line_dedup  # noqa: F401

@@ -763,3 +763,105 @@ def cross_corpus_matches(
         .filter(F.col("jaccard") >= verify_threshold)
         .select("probe_id", "corpus_id", "jaccard")
     )
+
+
+# ---------------------------------------------------- prefix filtering
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """EXACT Jaccard-threshold similarity join over word ``n``-gram
+    shingle sets via prefix filtering (AllPairs, Bayardo/Ma/Srikant
+    WWW'07) — the scalable *exact* alternative to both
+    ``jaccard_pairs`` (quadratic on any shared shingle) and MinHash
+    LSH (approximate).  Same inputs and same answer as
+    ``jaccard_pairs``; only the plan differs.
+
+    Order every document's shingle set by one global total order
+    (document frequency ascending, shingle ascending — rarest first),
+    and index only the first ``|A| − ⌈τ·|A|⌉ + 1`` shingles of each.
+    If J(A,B) ≥ τ then |A∩B| ≥ τ·max(|A|,|B|); were A's prefix
+    disjoint from A∩B, the shared shingles would all sit in A's suffix
+    of length ⌈τ|A|⌉ − 1 < τ|A| ≤ |A∩B| — contradiction, so each
+    side's prefix contains a shared shingle; under one total order the
+    *lowest-ranked* shared shingle is in BOTH prefixes, so the prefix
+    equi-join has no false negatives.  False positives are removed by
+    an exact verify on the candidate pairs only.
+
+    Shape at scale: shingle-frequency count (one shuffle), per-document
+    sort of its own shingles (map-side, bounded by document length),
+    prefix explode (Σ prefix lengths ≪ corpus shingles when τ is
+    high), equi-join on the prefix shingle, distinct, verify.  Rare
+    shingles lead the order, so prefix-join buckets are the *small*
+    postings — the boilerplate megabuckets that cripple the naive join
+    never enter the index.
+    """
+    toks = materialize(
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            shingles(text_col, n).alias("tk"),
+        )
+        .filter(F.size("tk") >= 1),
+        checkpoint_mode,
+    )
+    tok_df = (
+        toks.select(F.explode("tk").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+    )
+    # Global total order (df asc, token asc) applied per document:
+    # join each doc's tokens to their frequencies, re-assemble the
+    # ordered array with sort_array(struct(df, token)).
+    ordered = (
+        toks.select("id", F.size("tk").alias("n"), F.explode("tk").alias("t"))
+        .join(tok_df, "t")
+        .groupBy("id", "n")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df_t", "t"))),
+                lambda s: s["t"],
+            ).alias("tk_ord")
+        )
+    )
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    prefixes = materialize(
+        ordered.select(
+            "id",
+            "n",
+            "tk_ord",
+            F.slice("tk_ord", 1, prefix_len.cast("int")).alias("pref"),
+        ),
+        checkpoint_mode,
+    )
+    pe = prefixes.select("id", F.explode("pref").alias("t"))
+    cands = (
+        pe.alias("a")
+        .join(
+            pe.alias("b"),
+            (F.col("a.t") == F.col("b.t")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            prefixes.select(F.col("id").alias("id_a"), F.col("tk_ord").alias("tk_a")),
+            "id_a",
+        )
+        .join(
+            prefixes.select(F.col("id").alias("id_b"), F.col("tk_ord").alias("tk_b")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("tk_a", "tk_b")).cast("double")
+    union = (F.size("tk_a") + F.size("tk_b")).cast("double") - inter
+    return (
+        verified.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,136 @@
+"""Line-level (CCNet-style) boilerplate removal.
+
+Web-scale training corpora are full of per-site boilerplate (nav bars,
+cookie banners, footers) that repeats across thousands of pages while
+each page's body is unique.  Document-level dedup (exact_dedup /
+minhash LSH) keeps those pages, so the boilerplate survives into the
+training mix.  The published fix (CCNet, Wenzek et al. 2019; also the
+Gopher/MassiveText pipeline) is *line-level* dedup: hash every line,
+count how many distinct documents each line appears in, and strip
+lines that recur in too many documents.
+
+Scale shape (the whole point — nothing here is pairwise):
+
+* one explode to lines (linear in corpus bytes),
+* one map-side-combinable count-distinct per line key,
+* one equi-join line→count (both sides hash-partitioned by the line
+  key; boilerplate keys are high-count but the *count frame* is one
+  row per key, so no skewed build side),
+* one per-document re-assembly groupBy.
+
+At 100 TB this is exactly three shuffles, each on a key with bounded
+per-key payload — contrast with pair-generation dedup where a hot
+shingle explodes quadratically.
+
+Reference scope note: the factfinder reference has no text pipeline;
+this module is part of the LLM-data extension surface (SURVEY.md §2.10
+extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def line_key(line: Column | str) -> Column:
+    """Dedup key of one line: md5 of the lowercased, trimmed content.
+    Near-identical boilerplate that differs only in case/indentation
+    collapses to one key; the *original* line text is what's kept or
+    dropped, never rewritten."""
+    c = F.col(line) if isinstance(line, str) else line
+    return F.md5(F.lower(F.trim(c)))
+
+
+def line_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per (doc, line): ``id, pos, line`` with ``pos`` the
+    1-based line ordinal.  NULL-text documents contribute no rows (they
+    are re-attached by :func:`line_dedup`)."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos0", "line"),
+        )
+        .select("id", (F.col("pos0") + 1).alias("pos"), "line")
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int = 2,
+) -> DataFrame:
+    """Strip lines that occur in ``>= max_docs`` distinct documents;
+    re-assemble each document from its surviving lines in order.
+
+    Rules (chosen to be engine-portable and oracle-checkable):
+
+    * a line is *blank* when it trims to ''; blank lines are never
+      dropped (they are structure, not content, and would otherwise be
+      "duplicated" across every document);
+    * a non-blank line is dropped iff its :func:`line_key` appears in
+      at least ``max_docs`` distinct documents (a line repeated many
+      times *within* one document is kept — that is q62's repetition
+      signal, a different axis);
+    * output is one row per input document: ``doc_id, n_lines,
+      n_dropped, clean_text`` where ``clean_text`` joins kept lines
+      with ``\\n`` ('' when every line was dropped, NULL only for
+      NULL-text input).
+
+    Plan: explode → count-distinct per key (partial aggregation
+    upstream of the shuffle) → broadcast-free equi-join on the key →
+    per-document ``max(struct)``-free ordered re-assembly via
+    ``sort_array(collect_list(struct(pos, line)))`` (partition-order
+    independent by construction).
+    """
+    lines = line_frame(df, text_col, id_col)
+    nonblank = F.trim(F.col("line")) != ""
+    keyed = lines.withColumn(
+        "k", F.when(nonblank, line_key("line"))
+    )
+    counts = (
+        keyed.filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= max_docs)
+    )
+    # Left join against the *filtered* count frame: only boilerplate
+    # keys ship, so the join build stays proportional to the amount of
+    # boilerplate, not the corpus.
+    flagged = keyed.join(counts, "k", "left").withColumn(
+        "dropped", F.col("n_docs").isNotNull()
+    )
+    rebuilt = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("dropped").cast("bigint")).alias("n_dropped"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("dropped"),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    # Re-attach NULL-text documents (no line rows) with NULL clean_text.
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    return (
+        base.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            F.when(F.col("__t").isNotNull(), F.coalesce("clean_text", F.lit("")))
+            .alias("clean_text"),
+        )
+    )

@@ -2691,3 +2691,63 @@ SELECT event_type, value, event_id FROM (
   FROM events)
 WHERE rn = 1 ORDER BY event_type
 """
+
+
+# q110: line-level (CCNet-style) boilerplate removal — lines present
+# in >=2 distinct docs stripped, docs re-assembled in line order;
+# clean_md5 proves byte-exact re-assembly.
+ORACLES["q110_line_dedup"] = """
+WITH d AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS ls
+  FROM documents WHERE text IS NOT NULL),
+l AS (
+  SELECT doc_id, t.i + 1 AS pos, ls[t.i + 1] AS line
+  FROM d, unnest(range(len(ls))) AS t(i)),
+keyed AS (
+  SELECT doc_id, pos, line,
+    CASE WHEN trim(line) <> '' THEN md5(lower(trim(line))) END AS k
+  FROM l),
+boiler AS (
+  SELECT k FROM keyed WHERE k IS NOT NULL
+  GROUP BY k HAVING count(DISTINCT doc_id) >= 2),
+flagged AS (
+  SELECT keyed.*,
+    (k IS NOT NULL AND k IN (SELECT k FROM boiler)) AS dropped
+  FROM keyed),
+reb AS (
+  SELECT doc_id, count(*) AS n_lines,
+    CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+    coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+                        chr(10) ORDER BY pos), '') AS clean_text
+  FROM flagged GROUP BY doc_id)
+SELECT d0.doc_id,
+  CAST(coalesce(r.n_lines, 0) AS BIGINT) AS n_lines,
+  CAST(coalesce(r.n_dropped, 0) AS BIGINT) AS n_dropped,
+  md5(coalesce(CASE WHEN d0.text IS NOT NULL
+               THEN coalesce(r.clean_text, '') END, ' ')) AS clean_md5
+FROM documents d0 LEFT JOIN reb r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# q111: brute-force unigram-Jaccard pairs — the independent (quadratic)
+# specification that the AllPairs prefix index must reproduce exactly.
+ORACLES["q111_prefix_filter_pairs"] = f"""
+WITH d AS (
+  SELECT doc_id, {_NORMTOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, {_SHINGLES} AS grams FROM d),
+sized AS (SELECT doc_id, grams, len(grams) AS n_sh FROM sh
+          WHERE len(grams) >= 1),
+exploded AS (SELECT doc_id, n_sh, unnest(grams) AS g FROM sized),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_common
+  FROM exploded a JOIN exploded b
+    ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, n_common / (n_a + n_b - n_common) AS jaccard
+FROM pairs
+WHERE n_common / (n_a + n_b - n_common) >= 0.6
+ORDER BY id_a, id_b
+"""

@@ -1051,3 +1051,87 @@ def test_triangle_counts_bidirectional_edges(spark):
     edges = spark.createDataFrame(sym, "id_a int, id_b int")
     got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+# ------------------------------------------------------ prefix filtering
+def test_prefix_filter_matches_bruteforce(spark, docs):
+    """AllPairs must reproduce the quadratic jaccard_pairs answer
+    EXACTLY (same pairs, same jaccard values) on the real corpus."""
+    from db_factfinder_spark.llmdata.dedup import prefix_filter_pairs
+
+    brute = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, n=3, threshold=0.6).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_pairs(docs, n=3, threshold=0.6).collect()
+    }
+    assert fast == brute and len(brute) > 0
+
+
+def test_prefix_filter_no_false_negative_boundary(spark):
+    """A pair sitting exactly AT the threshold must survive the prefix
+    index (the ⌈τ·n⌉ ceiling is where off-by-ones live)."""
+    from db_factfinder_spark.llmdata.dedup import prefix_filter_pairs
+
+    # 6 tokens → 4 trigram shingles each, 3 shared → J = 3/5 = 0.6
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = prefix_filter_pairs(df, n=3, threshold=0.6).collect()
+    assert len(out) == 1 and abs(out[0]["jaccard"] - 0.6) < 1e-12
+
+
+# ------------------------------------------------------ line-level dedup
+def test_line_dedup_strips_boilerplate(spark):
+    from db_factfinder_spark.llmdata.lines import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nunique body one\n\nfooter text"),
+            (2, "cookie banner\nunique body two\nfooter text"),
+            (3, "all original\ncontent here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df, max_docs=2).collect()}
+    # banner (case-insensitive) + footer occur in 2 docs → dropped;
+    # blank line kept; body survives
+    assert out[1]["clean_text"] == "unique body one\n"
+    assert out[1]["n_lines"] == 4 and out[1]["n_dropped"] == 2
+    assert out[2]["clean_text"] == "unique body two"
+    assert out[3]["clean_text"] == "all original\ncontent here"
+    assert out[3]["n_dropped"] == 0
+    assert out[4]["clean_text"] is None and out[4]["n_lines"] == 0
+
+
+def test_line_dedup_within_doc_repeat_kept(spark):
+    """A line repeated many times WITHIN one document is not
+    boilerplate (distinct-doc count = 1) — it must survive."""
+    from db_factfinder_spark.llmdata.lines import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "echo\necho\necho"), (2, "other stuff")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df, max_docs=2).collect()}
+    assert out[1]["clean_text"] == "echo\necho\necho"
+    assert out[1]["n_dropped"] == 0
+
+
+def test_line_dedup_all_dropped_yields_empty_string(spark):
+    from db_factfinder_spark.llmdata.lines import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same line"), (2, "same line"), (3, "same line")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df, max_docs=2).collect()}
+    assert all(out[i]["clean_text"] == "" for i in (1, 2, 3))
+    assert all(out[i]["n_dropped"] == 1 for i in (1, 2, 3))
