@@ -63,7 +63,7 @@ from db_factfinder_spark.llmdata.sampling import (
 )
 from db_factfinder_spark.llmdata.kmeans import kmeans_assignments
 from db_factfinder_spark.llmdata.lines import line_dedup
-from db_factfinder_spark.llmdata.sketches import hll_distinct, sampled_quantiles
+from db_factfinder_spark.llmdata.sketches import heavy_hitters, hll_distinct, sampled_quantiles
 from db_factfinder_spark.llmdata.strmatch import edit1_join
 from db_factfinder_spark.llmdata.multimodal import (
     extract_features,
@@ -111,7 +111,9 @@ from db_factfinder_spark.operators.incremental import (
     merge_agg_states,
     state_to_result,
 )
+from db_factfinder_spark.operators.bloom import bloom_semi_join
 from db_factfinder_spark.operators.merge import merge_upsert
+from db_factfinder_spark.operators.timeseries import gap_fill_daily
 from db_factfinder_spark.operators.quality import (
     fk_violations,
     profile_columns,
@@ -2920,6 +2922,57 @@ def q111_prefix_filter_pairs(spark, sf_dir):
     return prefix_filter_pairs(docs, n=3, threshold=0.6).orderBy("id_a", "id_b")
 
 
+def q112_bloom_semi_join(spark, sf_dir):
+    """Bloom-pruned semi-join: lineitems of three nations' suppliers,
+    revenue per return flag.  The bitmap only prunes — the result is
+    byte-identical to the plain semi-join the oracle runs, which is
+    exactly the correctness contract of runtime filter pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_12", "NATION_13", "NATION_15")
+    )
+    build = supp.join(
+        F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"]
+    ).select("s_suppkey")
+    matched = bloom_semi_join(li, build, "l_suppkey", "s_suppkey", m_bits=1 << 12)
+    return (
+        matched.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (
+                _dec_sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)))
+                / 100.0
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q113_heavy_hitters(spark, sf_dir):
+    """Misra–Gries two-pass heavy hitters over event types: exact
+    counts for every item above the n/(k+1) frequency threshold,
+    without a full-cardinality shuffle.  The oracle recomputes the
+    same set by brute-force GROUP BY + HAVING."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return heavy_hitters(ev, "event_type", k=6).orderBy("item")
+
+
+def q114_gap_fill(spark, sf_dir):
+    """Per-user daily series with gap days zero-filled and the daily
+    max forward-filled — sequence() explode per key (no calendar
+    cross-join), span-bounded forward-fill window."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    out = gap_fill_daily(ev, key_col="user_id", ts_col="ts", value_col="value")
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        "n_events",
+        "day_max",
+        "ff_value",
+    ).orderBy("user_id", "day_s")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -3042,6 +3095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_argmax_struct": q109_argmax_struct,
         "q110_line_dedup": q110_line_dedup,
         "q111_prefix_filter_pairs": q111_prefix_filter_pairs,
+        "q112_bloom_semi_join": q112_bloom_semi_join,
+        "q113_heavy_hitters": q113_heavy_hitters,
+        "q114_gap_fill": q114_gap_fill,
     }
 
 

@@ -137,3 +137,67 @@ def hll_distinct(
             ).alias("hll_raw"),
         )
     )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, k: int = 10
+) -> DataFrame:
+    """EXACT frequent items above the n/(k+1) threshold, found with a
+    Misra–Gries candidate pass so the full-cardinality groupBy never
+    runs.
+
+    Two passes:
+
+    1. per-partition Misra–Gries with ``k`` counters (streamed over
+       Arrow batches via ``mapInPandas``).  Guarantee: any item with
+       partition frequency > n_p/(k+1) survives its partition summary;
+       an item with GLOBAL frequency > n/(k+1) must exceed the local
+       threshold in ≥1 partition (otherwise Σ counts ≤ n/(k+1)), so
+       the union of partition candidates is a superset of every global
+       heavy hitter.  Each partition emits ≤ k rows — the candidate
+       frame is tiny no matter the input size.
+    2. exact counts of candidate items only (semi-join then groupBy on
+       a ≤ k·P key set), filtered by ``count·(k+1) > n`` (integer
+       arithmetic, no float threshold).
+
+    At 100 TB this replaces a full-cardinality count shuffle (which
+    for, say, URLs is nearly |input| keys) with one map-side sketch +
+    one shuffle over a bounded candidate set.  NULLs are excluded
+    (they are not an "item").
+
+    Output: ``item string, n_item bigint, n_total bigint``.
+    """
+    import pandas as pd
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf["item"]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all: drop zeros
+                    counters = {
+                        key: c - 1 for key, c in counters.items() if c > 1
+                    }
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    items = df.select(F.col(col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    cands = items.mapInPandas(mg, "item string").distinct()
+    counted = (
+        items.join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    total = items.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("n_item") * (k + 1) > F.col("n_total"))
+        .select("item", "n_item", "n_total")
+    )

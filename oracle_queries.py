@@ -2751,3 +2751,61 @@ FROM pairs
 WHERE n_common / (n_a + n_b - n_common) >= 0.6
 ORDER BY id_a, id_b
 """
+
+
+# q112: the Bloom filter only prunes — the answer is the plain
+# semi-join's, which this oracle computes directly.
+ORACLES["q112_bloom_semi_join"] = """
+SELECT l_returnflag, count(*) AS n_items,
+  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(25,6)))
+       AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+WHERE l_suppkey IN (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_12', 'NATION_13', 'NATION_15'))
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# q113: brute-force specification of the Misra-Gries answer — every
+# item strictly above the n/(k+1) frequency threshold, exact counts
+# (k = 6 → multiplier 7; integer comparison, no float threshold).
+ORACLES["q113_heavy_hitters"] = """
+WITH t AS (
+  SELECT count(*) AS n_total FROM events WHERE event_type IS NOT NULL)
+SELECT CAST(event_type AS VARCHAR) AS item,
+  count(*) AS n_item, CAST(t.n_total AS BIGINT) AS n_total
+FROM events, t
+WHERE event_type IS NOT NULL
+GROUP BY event_type, t.n_total
+HAVING count(*) * 7 > t.n_total
+ORDER BY item
+"""
+
+
+# q114: calendar gap fill — generate_series per user span (DuckDB's
+# end-inclusive twin of Spark's stop-inclusive sequence()), zeros on
+# gap days, IGNORE NULLS forward fill of the daily max.
+ORACLES["q114_gap_fill"] = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n_events, max(value) AS day_max
+  FROM events GROUP BY 1, 2),
+span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+         FROM daily GROUP BY 1),
+cal AS (
+  SELECT user_id, CAST(t.d AS DATE) AS day
+  FROM span, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS t(d)),
+filled AS (
+  SELECT c.user_id, c.day,
+         coalesce(d.n_events, 0) AS n_events, d.day_max
+  FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day_s,
+  CAST(n_events AS BIGINT) AS n_events, day_max,
+  last_value(day_max IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_value
+FROM filled
+ORDER BY user_id, day_s
+"""

@@ -1,0 +1,131 @@
+"""Tests for the scale-path operators: Bloom semi-join pruning,
+Misra–Gries heavy hitters, time-series gap fill."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_factfinder_spark.operators.bloom import (
+    bloom_build,
+    bloom_might_contain,
+    bloom_semi_join,
+)
+from db_factfinder_spark.operators.timeseries import gap_fill_daily
+from db_factfinder_spark.llmdata.sketches import heavy_hitters
+
+
+# ------------------------------------------------------------- bloom
+def test_bloom_no_false_negatives(spark):
+    keys = spark.range(0, 500).select(F.col("id").alias("k"))
+    words = bloom_build(keys, "k", m_bits=1 << 12, k=5)
+    hits = keys.filter(
+        bloom_might_contain(F.col("k"), words, 1 << 12, 5)
+    ).count()
+    assert hits == 500  # a Bloom filter can never miss a member
+
+
+def test_bloom_semi_join_exact_even_with_saturated_bitmap(spark):
+    """With m_bits tiny the bitmap saturates (≈100% false positives);
+    the exact semi-join must still make the result identical to the
+    plain semi-join."""
+    probe = spark.range(0, 1000).select(F.col("id").alias("k"))
+    build = spark.range(0, 1000, 7).select(F.col("id").alias("b"))
+    got = sorted(
+        r["k"]
+        for r in bloom_semi_join(probe, build, "k", "b", m_bits=64).collect()
+    )
+    want = sorted(range(0, 1000, 7))
+    assert got == want
+
+
+def test_bloom_prunes_most_nonmembers(spark):
+    """At 10 bits/key the FP rate should be ~1%: the pruned probe side
+    must be close to the true match count — the whole point of the
+    operator is that non-members die before the join."""
+    probe = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    build = spark.range(0, 100).select(F.col("id").alias("b"))
+    words = bloom_build(build.select(F.col("b").alias("k")), "k", 1 << 12, 5)
+    passed = probe.filter(
+        bloom_might_contain(F.col("k"), words, 1 << 12, 5)
+    ).count()
+    assert 100 <= passed < 600  # 100 members + a few hundred FPs max
+
+
+# ----------------------------------------------------- heavy hitters
+def test_heavy_hitters_exact_on_skewed_stream(spark):
+    # 600×'hot', 250×'warm', 150 singletons → n=1000; k=4 ⇒
+    # threshold n/5 = 200: {hot, warm} qualify, nothing else.
+    rows = (
+        [("hot",)] * 600 + [("warm",)] * 250 + [(f"u{i}",) for i in range(150)]
+    )
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    got = {
+        r["item"]: r["n_item"]
+        for r in heavy_hitters(df, "item", k=4).collect()
+    }
+    assert got == {"hot": 600, "warm": 250}
+
+
+def test_heavy_hitters_ignores_nulls(spark):
+    rows = [("a",)] * 10 + [(None,)] * 90
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    got = {(r["item"], r["n_item"], r["n_total"])
+           for r in heavy_hitters(df, "item", k=3).collect()}
+    assert got == {("a", 10, 10)}  # NULLs are not items, n excludes them
+
+
+def test_heavy_hitters_partition_invariant(spark):
+    rows = [("x",)] * 300 + [("y",)] * 100 + [(f"z{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "item string")
+    a = sorted(
+        (r["item"], r["n_item"])
+        for r in heavy_hitters(df.repartition(1), "item", k=4).collect()
+    )
+    b = sorted(
+        (r["item"], r["n_item"])
+        for r in heavy_hitters(df.repartition(16), "item", k=4).collect()
+    )
+    assert a == b and ("x", 300) in a
+
+
+# ---------------------------------------------------------- gap fill
+def test_gap_fill_zeros_and_forward_fill(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 5.0),
+            (1, "2024-01-01 11:00:00", 7.0),
+            (1, "2024-01-04 09:00:00", 2.0),
+            (2, "2024-01-02 00:00:00", 1.0),
+        ],
+        "user_id long, ts_s string, value double",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    out = {
+        (r["user_id"], str(r["day"])): r
+        for r in gap_fill_daily(df).collect()
+    }
+    assert len(out) == 5  # user1 spans 4 days, user2 spans 1
+    assert out[(1, "2024-01-01")]["n_events"] == 2
+    assert out[(1, "2024-01-02")]["n_events"] == 0
+    assert out[(1, "2024-01-02")]["day_max"] is None
+    assert out[(1, "2024-01-02")]["ff_value"] == 7.0  # carried forward
+    assert out[(1, "2024-01-04")]["ff_value"] == 2.0  # replaced by new obs
+    assert out[(2, "2024-01-02")]["n_events"] == 1
+
+
+def test_gap_fill_partition_invariant(spark):
+    df = (
+        spark.range(0, 200)
+        .select(
+            (F.col("id") % 7).alias("user_id"),
+            F.to_timestamp(
+                F.concat(
+                    F.lit("2024-01-"),
+                    F.lpad(((F.col("id") * 3) % 25 + 1).cast("string"), 2, "0"),
+                    F.lit(" 12:00:00"),
+                )
+            ).alias("ts"),
+            (F.col("id") % 13).cast("double").alias("value"),
+        )
+    )
+    a = sorted(map(tuple, gap_fill_daily(df.repartition(1)).collect()))
+    b = sorted(map(tuple, gap_fill_daily(df.repartition(16)).collect()))
+    assert a == b and len(a) > 0
