@@ -84,6 +84,7 @@ from db_factfinder_spark.llmdata.textstats import (
     fingerprint,
     language_id,
     mean_token_length,
+    normalize_text,
     punct_ratio,
     quality_score,
     pack_sequences,
@@ -120,6 +121,7 @@ from db_factfinder_spark.operators.quality import (
 )
 from db_factfinder_spark.operators.regression import grouped_linreg
 from db_factfinder_spark.operators.scd import scd2_intervals
+from db_factfinder_spark.operators.skyline import skyline2d
 from db_factfinder_spark.operators.rangejoin import point_in_interval_join
 from db_factfinder_spark.operators.rollup_cascade import cascaded_rollup
 from db_factfinder_spark.operators.cleaning import cleaning
@@ -2973,6 +2975,195 @@ def q114_gap_fill(spark, sf_dir):
     ).orderBy("user_id", "day_s")
 
 
+def q115_cube_agg(spark, sf_dir):
+    """Full CUBE over (returnflag, linestatus): all four grouping sets
+    from ONE shuffle via Catalyst's Expand (q60 covers ROLLUP; CUBE is
+    the complete-lattice sibling).  grouping_id disambiguates NULL-key
+    rows from NULL data."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("l_quantity"), "decimal(18,2)").alias("sum_qty"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+def q116_skyline(spark, sf_dir):
+    """Pareto frontier of parts (minimize retail price, maximize
+    size) via the distinct-cost decomposition — one groupBy + a
+    window over the distinct-price frame, no quadratic dominance
+    join.  Price compared in exact cents.  The oracle is the textbook
+    NOT EXISTS dominance test, so the decomposition is independently
+    specified."""
+    part = _t(spark, sf_dir, "part")
+    pts = part.select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    return (
+        skyline2d(pts, "price_c", "p_size")
+        .select("p_partkey", "price_c", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+def q117_mode_per_group(spark, sf_dir):
+    """Deterministic mode: the most frequent order status per
+    priority, ties to the lexicographically smallest status —
+    min(struct(−n, status)) over the counted frame, one extra
+    map-side-combinable agg instead of a ranking window."""
+    orders = _t(spark, sf_dir, "orders")
+    counted = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    best = counted.groupBy("o_orderpriority").agg(
+        F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("o_orderstatus"))).alias(
+            "m"
+        )
+    )
+    return best.select(
+        "o_orderpriority",
+        F.col("m.o_orderstatus").alias("mode_status"),
+        (-F.col("m.neg_n")).alias("n_mode"),
+    ).orderBy("o_orderpriority")
+
+
+def q118_winsorize(spark, sf_dir):
+    """Per-group winsorization: clip price to the [p05, p95] band and
+    aggregate the clipped cents exactly.  The boundaries are DISCRETE
+    order statistics selected by integer rank k = ceil(p·n) computed
+    with integer arithmetic ((n+19)//20, (19n+19)//20) — interpolated
+    percentiles proved 1-ulp engine-divergent at sf0.1 (Spark and
+    DuckDB associate a+(b−a)·f differently), while an actual data
+    element is exact in any engine.  Clip, sum, and count all stay in
+    the integer-cents domain; one sort-window per group produces both
+    boundaries."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("xc"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("xc")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "xc",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k_lo = F.floor((F.col("n") + 19) / 20)
+    k_hi = F.floor((19 * F.col("n") + 19) / 20)
+    bounds = ranked.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("rn") == k_lo, F.col("xc"))).alias("lo"),
+        F.min(F.when(F.col("rn") == k_hi, F.col("xc"))).alias("hi"),
+    )
+    clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        F.least(F.greatest(F.col("xc"), F.col("lo")), F.col("hi")).alias("wc"),
+    )
+    return (
+        clipped.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("wc").cast("double") / 100.0).alias("winsorized_total"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q119_chunk_overlap(spark, sf_dir):
+    """Training-window chunking: each document's whitespace tokens cut
+    into chunks of 64 with 16-token overlap (stride 48), the map-side
+    twin of q63's cross-document packing.  One sequence() explode per
+    document, chunk text md5-hashed so the oracle proves byte-exact
+    slicing."""
+    docs = _docs(spark, sf_dir)
+    toked = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    )
+    sized = toked.withColumn("n", F.size("tk")).filter(F.col("n") >= 1)
+    chunks = sized.select(
+        "doc_id",
+        "n",
+        "tk",
+        F.posexplode(F.sequence(F.lit(1), F.col("n"), F.lit(48))).alias(
+            "chunk_idx", "start"
+        ),
+    )
+    piece = F.slice("tk", F.col("start"), 64)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(piece).alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def q120_keyword_search(spark, sf_dir):
+    """Conjunctive inverted-index search: documents containing BOTH
+    query terms, resolved by exploding distinct tokens, filtering to
+    the query vocabulary (the postings actually read), and
+    intersecting via a count-distinct groupBy — the document text is
+    never rescanned per term."""
+    terms = ["spark", "join"]
+    docs = _docs(spark, sf_dir)
+    postings = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(normalize_text("text")))).alias("t"),
+        )
+        .filter(F.col("t").isin(*terms))
+    )
+    hits = (
+        postings.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .filter(F.col("n_terms") == len(terms))
+    )
+    return (
+        docs.join(hits.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def q121_grouped_mad(spark, sf_dir):
+    """Median absolute deviation per return flag — the robust spread
+    statistic: median price (exact interpolated percentile), then the
+    median of |price − median|.  Two grouped percentile passes with a
+    broadcast join between them; all arithmetic on exact cent doubles
+    so both engines interpolate identical operands."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("double")
+        .alias("x"),
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(x, 0.5)").alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", "med", F.abs(F.col("x") - F.col("med")).alias("d")
+    )
+    return (
+        dev.groupBy("l_returnflag")
+        .agg(
+            F.first("med").alias("median_cents"),
+            F.expr("percentile(d, 0.5)").alias("mad_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -3098,6 +3289,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_bloom_semi_join": q112_bloom_semi_join,
         "q113_heavy_hitters": q113_heavy_hitters,
         "q114_gap_fill": q114_gap_fill,
+        "q115_cube_agg": q115_cube_agg,
+        "q116_skyline": q116_skyline,
+        "q117_mode_per_group": q117_mode_per_group,
+        "q118_winsorize": q118_winsorize,
+        "q119_chunk_overlap": q119_chunk_overlap,
+        "q120_keyword_search": q120_keyword_search,
+        "q121_grouped_mad": q121_grouped_mad,
     }
 
 

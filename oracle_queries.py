@@ -2809,3 +2809,117 @@ SELECT user_id, strftime(day, '%Y-%m-%d') AS day_s,
 FROM filled
 ORDER BY user_id, day_s
 """
+
+
+# q115: complete CUBE lattice — the GROUPING() bit vector matches
+# Spark's grouping_id bit order for the same column list.
+ORACLES["q115_cube_agg"] = """
+SELECT l_returnflag, l_linestatus,
+  count(*) AS n,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+# q116: textbook NOT-EXISTS strict-dominance skyline — the quadratic
+# specification the distinct-cost decomposition must reproduce.
+ORACLES["q116_skyline"] = """
+WITH pts AS (
+  SELECT p_partkey,
+    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+    CAST(p_size AS BIGINT) AS p_size
+  FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL)
+SELECT p_partkey, price_c, p_size FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+    AND (b.price_c < a.price_c OR b.p_size > a.p_size))
+ORDER BY p_partkey
+"""
+
+
+# q117: deterministic mode via ranking window (count desc, status asc).
+ORACLES["q117_mode_per_group"] = """
+SELECT o_orderpriority, o_orderstatus AS mode_status, n AS n_mode FROM (
+  SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+    row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY count(*) DESC, o_orderstatus ASC) AS rn
+  FROM orders GROUP BY 1, 2)
+WHERE rn = 1 ORDER BY o_orderpriority
+"""
+
+
+# q118: discrete order-statistic winsorization — integer ranks,
+# integer clip, decimal-exact sum; no float interpolation anywhere.
+ORACLES["q118_winsorize"] = """
+WITH x AS (
+  SELECT l_returnflag,
+    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS xc
+  FROM lineitem),
+r AS (
+  SELECT l_returnflag, xc,
+    row_number() OVER (PARTITION BY l_returnflag ORDER BY xc) AS rn,
+    count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM x),
+b AS (
+  SELECT l_returnflag,
+    min(CASE WHEN rn = (n + 19) // 20 THEN xc END) AS lo,
+    min(CASE WHEN rn = (19 * n + 19) // 20 THEN xc END) AS hi
+  FROM r GROUP BY 1)
+SELECT x.l_returnflag, count(*) AS n,
+  CAST(CAST(sum(least(greatest(xc, lo), hi)) AS BIGINT)
+       AS DOUBLE) / 100.0 AS winsorized_total
+FROM x JOIN b USING (l_returnflag)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# q119: chunk-with-overlap — starts 1, 49, 97, … (Spark sequence is
+# stop-inclusive; range() end-exclusive gets +1), 64-token slices,
+# md5 of the space-joined slice proves byte-exact chunking.
+ORACLES["q119_chunk_overlap"] = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents WHERE text IS NOT NULL),
+sized AS (SELECT doc_id, tk, len(tk) AS n FROM d WHERE len(tk) >= 1),
+chunks AS (
+  SELECT doc_id, n, tk, t.i AS chunk_idx, 1 + 48 * t.i AS start
+  FROM sized, unnest(range(CAST(ceil(n / 48.0) AS BIGINT))) AS t(i)),
+pieces AS (
+  SELECT doc_id, chunk_idx,
+    list_slice(tk, start, least(start + 63, n)) AS piece
+  FROM chunks WHERE start <= n)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+  CAST(len(piece) AS INT) AS chunk_tokens,
+  md5(array_to_string(piece, ' ')) AS chunk_md5
+FROM pieces ORDER BY doc_id, chunk_idx
+"""
+
+
+# q120: conjunctive keyword search — membership in the normalized
+# token set for every query term.
+ORACLES["q120_keyword_search"] = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE text IS NOT NULL
+  AND list_contains({_NORMTOKS}, 'spark')
+  AND list_contains({_NORMTOKS}, 'join')
+ORDER BY doc_id
+"""
+
+
+# q121: median absolute deviation — two quantile_cont passes over
+# exact cent doubles.
+ORACLES["q121_grouped_mad"] = """
+WITH x AS (
+  SELECT l_returnflag,
+    CAST(floor(l_extendedprice * 100 + 0.5) AS DOUBLE) AS x
+  FROM lineitem),
+m AS (SELECT l_returnflag, quantile_cont(x, 0.5) AS med FROM x GROUP BY 1)
+SELECT x.l_returnflag, min(med) AS median_cents,
+  quantile_cont(abs(x - med), 0.5) AS mad_cents, count(*) AS n
+FROM x JOIN m USING (l_returnflag)
+GROUP BY 1 ORDER BY 1
+"""

@@ -129,3 +129,54 @@ def test_gap_fill_partition_invariant(spark):
     a = sorted(map(tuple, gap_fill_daily(df.repartition(1)).collect()))
     b = sorted(map(tuple, gap_fill_daily(df.repartition(16)).collect()))
     assert a == b and len(a) > 0
+
+
+# ----------------------------------------------------------- skyline
+def _brute_skyline(points):
+    out = []
+    for (pid, c, g) in points:
+        dominated = any(
+            bc <= c and bg >= g and (bc < c or bg > g)
+            for (_, bc, bg) in points
+        )
+        if not dominated:
+            out.append((pid, c, g))
+    return sorted(out)
+
+
+def test_skyline_matches_bruteforce(spark):
+    from db_factfinder_spark.operators.skyline import skyline2d
+    import random
+
+    rng = random.Random(7)
+    pts = [(i, rng.randrange(0, 40), rng.randrange(0, 40)) for i in range(300)]
+    df = spark.createDataFrame(pts, "id long, cost long, gain long")
+    got = sorted(
+        (r["id"], r["cost"], r["gain"])
+        for r in skyline2d(df, "cost", "gain").collect()
+    )
+    assert got == _brute_skyline(pts) and len(got) > 0
+
+
+def test_skyline_keeps_duplicate_frontier_points(spark):
+    from db_factfinder_spark.operators.skyline import skyline2d
+
+    df = spark.createDataFrame(
+        [(1, 5, 9), (2, 5, 9), (3, 5, 8), (4, 6, 9), (5, 4, 1)],
+        "id long, cost long, gain long",
+    )
+    got = sorted(r["id"] for r in skyline2d(df, "cost", "gain").collect())
+    # (5,9) twins both survive (neither strictly dominates the other);
+    # (5,8) and (6,9) dominated; (4,1) is cheapest → frontier
+    assert got == [1, 2, 5]
+
+
+def test_skyline_excludes_null_coordinates(spark):
+    from db_factfinder_spark.operators.skyline import skyline2d
+
+    df = spark.createDataFrame(
+        [(1, None, 9), (2, 5, None), (3, 5, 9)],
+        "id long, cost long, gain long",
+    )
+    got = [r["id"] for r in skyline2d(df, "cost", "gain").collect()]
+    assert got == [3]
