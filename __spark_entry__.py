@@ -53,6 +53,7 @@ from db_factfinder_spark.llmdata.components import (
     neardup_groups,
     select_survivors,
     triangle_counts,
+    two_hop_counts,
 )
 from db_factfinder_spark.llmdata.redact import redact_pii
 from db_factfinder_spark.llmdata.sampling import (
@@ -3164,6 +3165,115 @@ def q121_grouped_mad(spark, sf_dir):
     )
 
 
+def q122_session_window_native(spark, sf_dir):
+    """Spark's NATIVE session_window in batch mode (the q21/q55
+    sessionizations build the same islands by hand; this exercises the
+    built-in merging session operator Catalyst plans as
+    UpdatingSessionsExec).  Boundary semantics: an event exactly
+    gap-after the previous one starts a NEW session (windows are
+    half-open [ts, ts+gap)), which the oracle mirrors with `>= gap`
+    in its island flag — one boundary STRICTER than q21's `> gap`."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    out = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dec_sum(F.col("value"), "decimal(18,2)").alias("sum_value"),
+    )
+    return out.select(
+        "user_id",
+        F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("s_start"),
+        F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("s_end"),
+        "n_events",
+        "sum_value",
+    ).orderBy("user_id", "s_start")
+
+
+def q123_histogram(spark, sf_dir):
+    """Equi-width histogram with PURE-INTEGER bucketing: bucket =
+    (xc−lo)·nbins ÷ (hi−lo+1) over exact cents, so bucket boundaries
+    can't drift by a float ulp between engines.  Observed per-bucket
+    min/max are data elements (exact); the global [lo, hi] frame is
+    one broadcast row."""
+    nbins = 20
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("xc")
+    )
+    span = li.agg(F.min("xc").alias("lo"), F.max("xc").alias("hi"))
+    bucketed = li.crossJoin(F.broadcast(span)).select(
+        F.floor(
+            ((F.col("xc") - F.col("lo")) * nbins) / (F.col("hi") - F.col("lo") + 1)
+        )
+        .cast("int")
+        .alias("bucket"),
+        "xc",
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("xc").alias("min_c"),
+            F.max("xc").alias("max_c"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q124_two_hop_reach(spark, sf_dir):
+    """Distinct ≤2-hop reach on the co-event graph (users active in
+    the same minute for the same event type).  Edge derivation is a
+    per-(type, minute) pair explode; expansion is one E⋈E equi-join —
+    the semi-naive step every distributed graph engine uses."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    occ = ev.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("minute", F.col("ts")).alias("m"),
+    ).distinct()
+    a, b = occ.alias("a"), occ.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.m") == F.col("b.m"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
+        .distinct()
+    )
+    return two_hop_counts(edges).orderBy("src")
+
+
+def q125_period_over_period(spark, sf_dir):
+    """Day-over-day revenue ratio per priority class: exact cent sums,
+    lag(1) over each priority's observed days, ONE double division on
+    identical operands.  NULL ratio on each series' first day."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("rev_c")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("day")
+    return (
+        daily.withColumn("prev_c", F.lag("rev_c").over(w))
+        .select(
+            "o_orderpriority",
+            F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+            "rev_c",
+            "prev_c",
+            (F.col("rev_c").cast("double") / F.col("prev_c").cast("double")).alias(
+                "dod_ratio"
+            ),
+        )
+        .orderBy("o_orderpriority", "day_s")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -3296,6 +3406,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_chunk_overlap": q119_chunk_overlap,
         "q120_keyword_search": q120_keyword_search,
         "q121_grouped_mad": q121_grouped_mad,
+        "q122_session_window_native": q122_session_window_native,
+        "q123_histogram": q123_histogram,
+        "q124_two_hop_reach": q124_two_hop_reach,
+        "q125_period_over_period": q125_period_over_period,
     }
 
 

@@ -205,3 +205,33 @@ def triangle_counts(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") ->
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def two_hop_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distinct ≤2-hop reach per vertex over an undirected edge list
+    (input rows are unordered pairs; both orientations are derived
+    here).  Classic semi-naive expansion: reach₂ = E ∪ (E ⋈ E on the
+    middle vertex), minus self-loops, then count-distinct per source.
+
+    Two shuffles: the E⋈E equi-join on the middle vertex and the
+    count-distinct.  At scale the join fan-out is Σ deg(v)² — the
+    hub-vertex hazard every 2-hop/triangle job has; the mitigation is
+    the same degree-capping used by ``triangle_counts`` (cap or
+    sample hub adjacency before expansion).  NULL endpoints are
+    dropped (an edge to nothing is not an edge)."""
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    hop2 = (
+        sym.alias("x")
+        .join(sym.alias("y"), F.col("x.b") == F.col("y.a"))
+        .select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    reach = sym.union(hop2)
+    return reach.groupBy(F.col("a").alias(src)).agg(
+        F.count_distinct("b").alias("n_reach")
+    )

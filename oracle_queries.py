@@ -2923,3 +2923,84 @@ SELECT x.l_returnflag, min(med) AS median_cents,
 FROM x JOIN m USING (l_returnflag)
 GROUP BY 1 ORDER BY 1
 """
+
+
+# q122: native session windows — islands with `>= gap` (half-open
+# [ts, ts+gap) windows: an event exactly gap-after starts anew);
+# window end = last event + gap.
+ORACLES["q122_session_window_native"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, value FROM events),
+flagged AS (
+  SELECT user_id, us, value,
+    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                 >= 1800000000
+         THEN 1 ELSE 0 END AS ns
+  FROM e),
+sess AS (
+  SELECT user_id, us, value,
+    sum(ns) OVER (PARTITION BY user_id ORDER BY us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged)
+SELECT user_id,
+  strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+  strftime(make_timestamp(max(us) + 1800000000),
+           '%Y-%m-%d %H:%M:%S.%f') AS s_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, s_start
+"""
+
+
+# q123: pure-integer equi-width bucketing — no float boundary drift.
+ORACLES["q123_histogram"] = """
+WITH x AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS xc
+  FROM lineitem),
+s AS (SELECT min(xc) AS lo, max(xc) AS hi FROM x)
+SELECT CAST(((xc - lo) * 20) // (hi - lo + 1) AS INT) AS bucket,
+  count(*) AS n, min(xc) AS min_c, max(xc) AS max_c
+FROM x, s
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# q124: ≤2-hop distinct reach on the co-event graph, specified
+# directly as SQL set algebra.
+ORACLES["q124_two_hop_reach"] = """
+WITH occ AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m
+  FROM events),
+e AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM occ a JOIN occ b
+    ON a.event_type = b.event_type AND a.m = b.m
+   AND a.user_id < b.user_id),
+sym AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION SELECT dst, src FROM e),
+hop2 AS (
+  SELECT x.a, y.b FROM sym x JOIN sym y ON x.b = y.a WHERE x.a <> y.b),
+reach AS (SELECT a, b FROM sym UNION SELECT a, b FROM hop2)
+SELECT a AS src, CAST(count(DISTINCT b) AS BIGINT) AS n_reach
+FROM reach GROUP BY a ORDER BY src
+"""
+
+
+# q125: day-over-day ratio — exact cent sums, one double division.
+ORACLES["q125_period_over_period"] = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    CAST(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+         AS BIGINT) AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderpriority, strftime(day, '%Y-%m-%d') AS day_s, rev_c,
+  lag(rev_c) OVER (PARTITION BY o_orderpriority ORDER BY day) AS prev_c,
+  CAST(rev_c AS DOUBLE)
+    / CAST(lag(rev_c) OVER (PARTITION BY o_orderpriority ORDER BY day)
+           AS DOUBLE) AS dod_ratio
+FROM daily
+ORDER BY o_orderpriority, day_s
+"""

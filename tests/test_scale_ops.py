@@ -180,3 +180,28 @@ def test_skyline_excludes_null_coordinates(spark):
     )
     got = [r["id"] for r in skyline2d(df, "cost", "gain").collect()]
     assert got == [3]
+
+
+# ------------------------------------------------------- two-hop reach
+def test_two_hop_counts_path_graph(spark):
+    from db_factfinder_spark.llmdata.components import two_hop_counts
+
+    # path 1-2-3-4-5: reach2(1)={2,3}, reach2(3)={1,2,4,5}
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r["src"]: r["n_reach"] for r in two_hop_counts(df).collect()}
+    assert got == {1: 2, 2: 3, 3: 4, 4: 3, 5: 2}
+
+
+def test_two_hop_counts_dedupes_and_drops_selfloops(spark):
+    from db_factfinder_spark.llmdata.components import two_hop_counts
+
+    # duplicate edges, reversed duplicates, and a self-loop must not
+    # inflate the distinct reach; triangle 1-2-3: everyone reaches 2
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (1, 1)],
+        "src long, dst long",
+    )
+    got = {r["src"]: r["n_reach"] for r in two_hop_counts(df).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
