@@ -838,15 +838,48 @@ def prefix_filter_pairs(
         ),
         checkpoint_mode,
     )
-    pe = prefixes.select("id", F.explode("pref").alias("t"))
+    pe = prefixes.select(
+        "id", "n", F.posexplode("pref").alias("pos", "t")
+    )
+    # PPJoin refinements (Xiao et al. WWW'08), both RELAXED so float
+    # rounding can only under-prune, never drop a true pair:
+    # * length filter: J ≥ τ ⇒ |small| ≥ τ·|large| — pruning at
+    #   floor(τ·n) keeps the boundary;
+    # * positional bound: the global df-order means the first common
+    #   prefix token has MINIMAL position in both lists at once, so
+    #   per pair min(pos_a)/min(pos_b) come from the same token and
+    #   overlap ≤ 1 + min(n_a − pos_a, n_b − pos_b); a pair needs
+    #   overlap ≥ τ/(1+τ)·(n_a+n_b) (relaxed to floor) to reach τ.
+    raw = pe.alias("a").join(
+        pe.alias("b"),
+        (F.col("a.t") == F.col("b.t"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (F.col("a.n") >= F.floor(F.lit(threshold) * F.col("b.n")))
+        & (F.col("b.n") >= F.floor(F.lit(threshold) * F.col("a.n"))),
+    )
     cands = (
-        pe.alias("a")
-        .join(
-            pe.alias("b"),
-            (F.col("a.t") == F.col("b.t")) & (F.col("a.id") < F.col("b.id")),
+        raw.groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .agg(
+            F.min("a.pos").alias("pa"),
+            F.min("b.pos").alias("pb"),
+        )
+        .filter(
+            # pos is 0-based: common tokens live in a[pa:] (n_a − pa
+            # slots) and b[pb:], so overlap ≤ min of the two tails
+            F.least(
+                F.col("n_a") - F.col("pa"), F.col("n_b") - F.col("pb")
+            )
+            >= F.floor(
+                F.lit(threshold / (1.0 + threshold))
+                * (F.col("n_a") + F.col("n_b"))
+            )
+        )
+        .select("id_a", "id_b")
     )
     verified = (
         cands.join(
