@@ -53,6 +53,10 @@ HEADLINE = [
     "q84_hll_distinct",         # portable HLL sketch + exact twin
     "q86_decontaminate",        # cross-corpus LSH decontamination
     "q100_curation_pipeline",   # filter→dedup→mix→pack, one lazy plan
+    "q110_line_dedup",          # line-key counts → strip → re-assembly
+    "q111_prefix_filter_pairs", # AllPairs exact sim-join (PPJoin bounds)
+    "q113_heavy_hitters",       # Misra-Gries 2-pass frequent items
+    "q116_skyline",             # distinct-cost Pareto frontier
 ]
 
 
