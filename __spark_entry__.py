@@ -64,7 +64,13 @@ from db_factfinder_spark.llmdata.sampling import (
 )
 from db_factfinder_spark.llmdata.kmeans import kmeans_assignments
 from db_factfinder_spark.llmdata.lines import line_dedup
-from db_factfinder_spark.llmdata.sketches import heavy_hitters, hll_distinct, sampled_quantiles
+from db_factfinder_spark.llmdata.sketches import (
+    heavy_hitters,
+    hll_distinct,
+    hll_merge,
+    hll_partials,
+    sampled_quantiles,
+)
 from db_factfinder_spark.llmdata.strmatch import edit1_join
 from db_factfinder_spark.llmdata.multimodal import (
     extract_features,
@@ -123,7 +129,10 @@ from db_factfinder_spark.operators.quality import (
 from db_factfinder_spark.operators.regression import grouped_linreg
 from db_factfinder_spark.operators.scd import scd2_intervals
 from db_factfinder_spark.operators.skyline import skyline2d
-from db_factfinder_spark.operators.rangejoin import point_in_interval_join
+from db_factfinder_spark.operators.rangejoin import (
+    interval_overlap_join,
+    point_in_interval_join,
+)
 from db_factfinder_spark.operators.rollup_cascade import cascaded_rollup
 from db_factfinder_spark.operators.cleaning import cleaning
 from db_factfinder_spark.operators.horizontal import aggregate_horizontal
@@ -3274,6 +3283,110 @@ def q125_period_over_period(spark, sf_dir):
     )
 
 
+def q126_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join, bucketed: purchase windows
+    (event + 30 min) × error windows (event + 15 min) per user.  Each
+    overlapping pair meets in every shared bucket but is charged to
+    exactly one (the overlap-start bucket) — no distinct over the
+    fan-out.  All arithmetic in epoch µs longs."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    us = (F.unix_micros(F.col("ts"))).alias("us")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("l_id"),
+        us,
+    ).select(
+        "user_id",
+        "l_id",
+        F.col("us").alias("l_start"),
+        (F.col("us") + F.lit(1_800_000_000)).alias("l_end"),
+    )
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("r_id"),
+        us,
+    ).select(
+        "user_id",
+        "r_id",
+        F.col("us").alias("r_start"),
+        (F.col("us") + F.lit(900_000_000)).alias("r_end"),
+    )
+    out = interval_overlap_join(
+        purch, errs, by="user_id", bucket_width=1_800_000_000
+    )
+    return out.select(
+        "user_id",
+        "l_id",
+        "r_id",
+        F.greatest("l_start", "r_start").alias("ov_start"),
+        F.least("l_end", "r_end").alias("ov_end"),
+    ).orderBy("user_id", "l_id", "r_id")
+
+
+def q127_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS — the general form behind ROLLUP (q60)
+    and CUBE (q115): per-flag totals, per-status totals, and the grand
+    total in ONE Expand shuffle, never three scans."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_q127")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty,
+               grouping_id() AS gid
+        FROM __li_q127
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+        """
+    )
+
+
+def q128_hll_rollup(spark, sf_dir):
+    """Sketch re-aggregation — the pattern that makes sketches worth
+    persisting: per-(type, day) HLL partials merge (bucket-wise max,
+    algebraic) up to per-type estimates WITHOUT rescanning raw data.
+    The oracle sketches the raw data directly at type level, so the
+    hash match proves merge ≡ direct."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    daily = hll_partials(
+        ev.withColumn("day", F.to_date("ts")),
+        ["event_type", "day"],
+        "user_id",
+    )
+    merged = hll_merge(daily, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select("event_type", "n_buckets", "hll_raw", "n_exact")
+        .orderBy("event_type")
+    )
+
+
+def q129_dynamic_pivot(spark, sf_dir):
+    """Two-phase dynamic pivot: the spine values are DISCOVERED at
+    plan time (distinct scan → tiny driver list, same broadcast-state
+    exception as IVF centroids/Bloom words) and then compiled into the
+    one-shuffle explicit-values pivot q12 uses — how a 100 TB pivot
+    avoids Spark's implicit collect-distinct inside the operator."""
+    orders = _t(spark, sf_dir, "orders")
+    vals = sorted(
+        r["o_orderpriority"]
+        for r in orders.select("o_orderpriority").distinct().collect()
+    )
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", vals)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("o_orderstatus")] + [
+        F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(f"p{v[0]}_n") for v in vals
+    ]
+    return piv.select(*cols).orderBy("o_orderstatus")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -3410,6 +3523,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_histogram": q123_histogram,
         "q124_two_hop_reach": q124_two_hop_reach,
         "q125_period_over_period": q125_period_over_period,
+        "q126_interval_overlap": q126_interval_overlap,
+        "q127_grouping_sets": q127_grouping_sets,
+        "q128_hll_rollup": q128_hll_rollup,
+        "q129_dynamic_pivot": q129_dynamic_pivot,
     }
 
 

@@ -201,3 +201,50 @@ def heavy_hitters(
         .filter(F.col("n_item") * (k + 1) > F.col("n_total"))
         .select("item", "n_item", "n_total")
     )
+
+
+def hll_partials(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Mergeable HLL state per group: (group_cols…, __bucket, __m).
+    At most m rows per group whatever the input size — this is the
+    frame a 100 TB pipeline PERSISTS (per day / per partition) so
+    coarser periods never rescan raw data."""
+    bucket, rank = hll_bucket_rank(value_col)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket.alias("__bucket"), rank.alias("__rank"))
+        .groupBy(*group_cols, "__bucket")
+        .agg(F.max("__rank").alias("__m"))
+    )
+
+
+def hll_merge(partials: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge persisted HLL states down to ``group_cols`` and estimate.
+    Sketch merge is bucket-wise max — ALGEBRAIC, so estimates from
+    merged partials are bit-identical to a direct sketch of the union
+    (the q126 oracle proves it: the SQL side sketches the raw data
+    directly).  Same exactness argument as ``hll_distinct``: every
+    2^(−M) term and the fold are exact in doubles."""
+    merged = partials.groupBy(*group_cols, "__bucket").agg(
+        F.max("__m").alias("__m")
+    )
+    inv = F.lit(1.0) / F.expr("shiftleft(1, __m)").cast("double")
+    return (
+        merged.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(inv).alias("__sum_present"),
+        )
+        .select(
+            *group_cols,
+            "n_buckets",
+            (
+                F.lit(float(_ALPHA_M2))
+                / (
+                    F.col("__sum_present")
+                    + (F.lit(_M) - F.col("n_buckets")).cast("double")
+                )
+            ).alias("hll_raw"),
+        )
+    )

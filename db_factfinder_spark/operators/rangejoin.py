@@ -60,3 +60,57 @@ def point_in_interval_join(
         F.col("__s").alias(s_col),
         F.col("__e").alias(e_col),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    bucket_width: int,
+    l_s: str = "l_start",
+    l_e: str = "l_end",
+    r_s: str = "r_start",
+    r_e: str = "r_end",
+) -> DataFrame:
+    """Interval×interval overlap join (inclusive: ``l_s ≤ r_e AND
+    r_s ≤ l_e``) for same-``by`` rows, as a bucketed equi-join.
+
+    Both sides explode to their covered buckets; the equi-join on
+    (key, bucket) meets every overlapping pair in every SHARED bucket,
+    so each pair is charged to exactly one — the bucket containing the
+    overlap's start ``max(l_s, r_s)`` — instead of paying a distinct
+    over the pair blow-up (same first-match discipline as the simhash
+    multiprobe tables).  Intermediate size is Σ span/width per side;
+    no pairwise product at any scale.
+
+    Columns ``l_s``/``l_e`` must exist in ``left`` and ``r_s``/``r_e``
+    in ``right``; all numeric (epoch µs, ids…)."""
+    lb = left.withColumn(
+        "__bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(l_s) / bucket_width),
+                F.floor(F.col(l_e) / bucket_width),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(r_s) / bucket_width),
+                F.floor(F.col(r_e) / bucket_width),
+            )
+        ),
+    ).withColumnRenamed(by, "__rby")
+    ov_start = F.greatest(F.col(l_s), F.col(r_s))
+    joined = lb.join(
+        rb,
+        (lb[by] == rb["__rby"])
+        & (lb["__bk"] == rb["__bk"])
+        & (F.col(l_s) <= F.col(r_e))
+        & (F.col(r_s) <= F.col(l_e))
+        & (lb["__bk"] == F.floor(ov_start / bucket_width)),
+        "inner",
+    )
+    return joined.drop("__bk", "__rby")

@@ -3004,3 +3004,76 @@ SELECT o_orderpriority, strftime(day, '%Y-%m-%d') AS day_s, rev_c,
 FROM daily
 ORDER BY o_orderpriority, day_s
 """
+
+
+# q126: interval overlap as a plain inequality join (the quadratic
+# spec the bucketed join must reproduce pair-for-pair).
+ORACLES["q126_interval_overlap"] = """
+WITH p AS (
+  SELECT user_id, event_id AS l_id, epoch_us(ts) AS l_start,
+         epoch_us(ts) + 1800000000 AS l_end
+  FROM events WHERE event_type = 'purchase'),
+e AS (
+  SELECT user_id, event_id AS r_id, epoch_us(ts) AS r_start,
+         epoch_us(ts) + 900000000 AS r_end
+  FROM events WHERE event_type = 'error')
+SELECT p.user_id, l_id, r_id,
+  greatest(l_start, r_start) AS ov_start,
+  least(l_end, r_end) AS ov_end
+FROM p JOIN e ON p.user_id = e.user_id
+ AND l_start <= r_end AND r_start <= l_end
+ORDER BY p.user_id, l_id, r_id
+"""
+
+
+# q127: arbitrary grouping sets; DuckDB's GROUPING() bit vector
+# matches Spark's grouping_id() for the same column list.
+ORACLES["q127_grouping_sets"] = """
+SELECT l_returnflag, l_linestatus,
+  count(*) AS n,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+# q128: direct type-level sketch of the raw data — equality with the
+# Spark side's day-partial merge proves the sketch is algebraic.
+ORACLES["q128_hll_rollup"] = """
+WITH pr AS (
+  SELECT event_type,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT % 64
+      AS bucket,
+    29 - length(bin(
+      ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 8, 7))::BIGINT))
+      AS rank
+  FROM events WHERE user_id IS NOT NULL),
+mx AS (
+  SELECT event_type, bucket, max(rank) AS mr FROM pr GROUP BY 1, 2),
+s AS (
+  SELECT event_type, count(*) AS n_buckets,
+         sum(1.0 / CAST(1 << mr AS DOUBLE)) AS sum_present
+  FROM mx GROUP BY 1),
+e AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1)
+SELECT s.event_type, CAST(n_buckets AS BIGINT) AS n_buckets,
+  2904.064 / (sum_present + CAST(64 - n_buckets AS DOUBLE)) AS hll_raw,
+  n_exact
+FROM s JOIN e USING (event_type) ORDER BY event_type
+"""
+
+
+# q129: the discovered pivot spine is stable ('1-URGENT'…'5-LOW'), so
+# the static conditional-aggregation twin specifies the same frame.
+ORACLES["q129_dynamic_pivot"] = """
+SELECT o_orderstatus,
+  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1_n,
+  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2_n,
+  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3_n,
+  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_n,
+  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5_n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""

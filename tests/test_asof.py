@@ -185,3 +185,49 @@ def test_asof_null_valued_quote_wins(spark):
     )
     out = asof_join(probes, quotes, on="ts", by="user_id").first()
     assert out["value_asof"] is None  # the t=20 NULL quote, not 1.5
+
+
+# ------------------------------------------------- interval overlap
+def _brute_overlap(L, R):
+    return sorted(
+        (k, li, ri)
+        for (k, li, ls, le) in L
+        for (k2, ri, rs, re) in R
+        if k == k2 and ls <= re and rs <= le
+    )
+
+
+def test_interval_overlap_matches_bruteforce(spark):
+    from db_factfinder_spark.operators.rangejoin import interval_overlap_join
+    import random
+
+    rng = random.Random(11)
+    L = [(rng.randrange(3), i, s := rng.randrange(0, 500), s + rng.randrange(0, 80))
+         for i, _ in enumerate(range(120))]
+    R = [(rng.randrange(3), i, s := rng.randrange(0, 500), s + rng.randrange(0, 40))
+         for i, _ in enumerate(range(120))]
+    ldf = spark.createDataFrame(L, "k long, l_id long, l_start long, l_end long")
+    rdf = spark.createDataFrame(R, "k long, r_id long, r_start long, r_end long")
+    out = interval_overlap_join(ldf, rdf, by="k", bucket_width=64)
+    got = sorted((r["k"], r["l_id"], r["r_id"]) for r in out.collect())
+    assert got == _brute_overlap(L, R) and len(got) > 0
+    # exactly-once: no duplicate pairs despite multi-bucket overlap
+    assert len(got) == len(set(got))
+
+
+def test_interval_overlap_inclusive_boundary_and_tiny_buckets(spark):
+    from db_factfinder_spark.operators.rangejoin import interval_overlap_join
+
+    # touching endpoints (l_end == r_start) overlap inclusively; width
+    # far smaller than the spans forces many shared buckets — the
+    # charge-to-overlap-start rule must still emit each pair once
+    ldf = spark.createDataFrame(
+        [(1, 10, 0, 100)], "k long, l_id long, l_start long, l_end long"
+    )
+    rdf = spark.createDataFrame(
+        [(1, 20, 100, 200), (1, 21, 101, 200), (1, 22, 0, 100)],
+        "k long, r_id long, r_start long, r_end long",
+    )
+    out = interval_overlap_join(ldf, rdf, by="k", bucket_width=7)
+    got = sorted((r["l_id"], r["r_id"]) for r in out.collect())
+    assert got == [(10, 20), (10, 22)]
