@@ -45,6 +45,7 @@ from db_factfinder_spark.llmdata.dedup import (
     minhash_signatures,
     ngram_contamination,
     prefix_filter_pairs,
+    remove_duplicated_spans,
     simhash,
     simhash_multiprobe_pairs,
     simhash_near_pairs,
@@ -138,7 +139,11 @@ from db_factfinder_spark.operators.cleaning import cleaning
 from db_factfinder_spark.operators.horizontal import aggregate_horizontal
 from db_factfinder_spark.operators.median import median_struct
 from db_factfinder_spark.operators.pivot import unpivot_cempz
-from db_factfinder_spark.operators.skew import salted_join, two_phase_agg
+from db_factfinder_spark.operators.skew import (
+    adaptive_salted_join,
+    salted_join,
+    two_phase_agg,
+)
 from db_factfinder_spark.pipelines import community_profiles, manual_update
 from db_factfinder_spark.operators.vertical import (
     AggregatedGeography2010,
@@ -3387,6 +3392,89 @@ def q129_dynamic_pivot(spark, sf_dir):
     return piv.select(*cols).orderBy("o_orderstatus")
 
 
+def q130_span_removal(spark, sf_dir):
+    """ExactSubstr-style dedup (Lee et al. 2022): delete every token
+    covered by an 8-gram occurring ≥2× in the corpus, re-assemble the
+    survivors.  q72 measures duplicated spans; this REMOVES them —
+    the curation pipeline's actual mutation step.  clean_md5 proves
+    byte-exact re-assembly."""
+    docs = _docs(spark, sf_dir)
+    out = remove_duplicated_spans(docs, n=8, min_count=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.coalesce("clean_text", F.lit(" "))).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+def q131_adaptive_skew_join(spark, sf_dir):
+    """Adaptive skew join: big-side key counts pick the hot keys
+    (driver list bounded by |big|/threshold), ONLY those salt; cold
+    keys join plain.  The synthetic key concentrates ~half the fact
+    table on key 0.  Salting never changes values — the plain join is
+    the oracle."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_suppkey") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.col("l_suppkey"), F.lit(23)))
+        .cast("long")
+        .alias("grp"),
+        "l_quantity",
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name"
+    )
+    joined = adaptive_salted_join(
+        li, nat, "grp", "n_nationkey", hot_threshold=2000, salt=8
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dec_sum(F.col("l_quantity"), "decimal(18,2)").alias("sum_qty"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q132_grouped_pandas_stats(spark, sf_dir):
+    """Grouped-map Pandas (applyInPandas): per-user inter-arrival
+    stats computed inside an Arrow batch per group — the escape hatch
+    for per-group logic SQL can't express (here it CAN, which is what
+    makes it oracle-checkable: the SQL spec uses lead() + median).
+    Exact: gaps are integer µs; the even-count median interpolates at
+    .5 granularity, exact in doubles on both engines."""
+    import numpy as np
+    import pandas as pd
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = pdf["user_id"].iloc[0]
+        gaps = pdf["us"].sort_values().diff().dropna()
+        n = len(gaps)
+        return pd.DataFrame(
+            [
+                [
+                    uid,
+                    n,
+                    float(np.median(gaps)) if n else None,
+                    int(gaps.max()) if n else None,
+                ]
+            ],
+            columns=["user_id", "n_gaps", "median_gap_us", "max_gap_us"],
+        )
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    out = (
+        ev.select("user_id", F.unix_micros("ts").alias("us"))
+        .groupBy("user_id")
+        .applyInPandas(
+            per_user,
+            "user_id long, n_gaps long, median_gap_us double, max_gap_us long",
+        )
+    )
+    return out.orderBy("user_id")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -3527,6 +3615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_grouping_sets": q127_grouping_sets,
         "q128_hll_rollup": q128_hll_rollup,
         "q129_dynamic_pivot": q129_dynamic_pivot,
+        "q130_span_removal": q130_span_removal,
+        "q131_adaptive_skew_join": q131_adaptive_skew_join,
+        "q132_grouped_pandas_stats": q132_grouped_pandas_stats,
     }
 
 

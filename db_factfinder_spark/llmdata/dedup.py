@@ -898,3 +898,109 @@ def prefix_filter_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """ExactSubstr-style span dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): delete every token
+    covered by an n-gram occurring ≥ ``min_count`` times in the whole
+    corpus (across documents or repeated within one), and re-assemble
+    each document from its surviving tokens.
+
+    Where ``shared_span_stats`` only *measures* duplicated spans, this
+    is the *removal* operator a curation pipeline actually runs.  Set
+    shape, no pairwise work at any size:
+
+    * positional n-grams explode once (linear in corpus tokens);
+    * one count shuffle on the gram key;
+    * flagged occurrences expand to their covered token positions
+      (×n fan-out, bounded) and dedupe on (doc, position);
+    * a left-anti join drops covered tokens; one per-document groupBy
+      re-assembles survivors in order.
+
+    Output: ``id_col, n_tokens, n_removed, clean_text`` (tokens are
+    the lowercased whitespace tokens of the raw text; clean_text joins
+    survivors with single spaces — '' when everything was removed).
+    NULL-text documents keep NULL clean_text and zero counts."""
+    toked = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            tokens(F.col(text_col)).alias("tk"),
+        )
+    )
+    tok_rows = materialize(
+        toked.select(
+            "id", F.posexplode_outer("tk").alias("tpos0", "tok")
+        ).select("id", (F.col("tpos0") + 1).alias("tpos"), "tok"),
+        checkpoint_mode,
+    )
+    # positional grams straight from the token frame's arrays
+    grams = toked.select(
+        "id",
+        F.posexplode(
+            F.when(
+                F.size("tk") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("tk", i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gpos0", "g"),
+    ).select("id", (F.col("gpos0") + 1).alias("gpos"), "g")
+    grams = materialize(grams, checkpoint_mode)
+    dup_grams = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("g")
+    )
+    covered = (
+        grams.join(dup_grams, "g", "left_semi")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + (n - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    kept = tok_rows.filter(F.col("tok").isNotNull()).join(
+        covered, ["id", "tpos"], "left_anti"
+    )
+    reb = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    totals = tok_rows.groupBy("id").agg(
+        F.count("tok").alias("n_tokens")
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    return (
+        base.join(totals, "id", "left")
+        .join(reb, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            (
+                F.coalesce("n_tokens", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_removed"),
+            F.when(
+                F.col("__t").isNotNull(), F.coalesce("clean_text", F.lit(""))
+            ).alias("clean_text"),
+        )
+    )

@@ -112,3 +112,63 @@ def two_phase_agg(
     return partial.groupBy(*keys).agg(
         *[f.alias(name) for name, (_, f) in aggs.items()]
     )
+
+
+def adaptive_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    hot_threshold: int,
+    salt: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Inner equi-join that salts ONLY the detected hot keys.
+
+    ``salted_join`` replicates the whole small side ``salt``× — the
+    right call when skew is broad.  When skew is a handful of
+    mega-keys (the common case: one null-ish default id, one
+    celebrity, one boilerplate bucket), replicating everything wastes
+    ``salt``× build memory for keys that never needed it.  This
+    operator first aggregates big-side key counts (map-side combined —
+    one tiny shuffle), collects keys above ``hot_threshold`` (a
+    bounded driver list by definition: Σ counts ≤ |big| caps the hot
+    set at |big|/threshold — the same broadcast-state exception as
+    the Bloom words), then:
+
+    * hot partition: big rows salt uniformly, small rows explode
+      ``salt``× — but only the hot subset;
+    * cold partition: plain equi-join, AQE free to broadcast;
+    * union — each big row appears in exactly one branch.
+
+    This is a static mirror of what AQE's skew-join does at runtime
+    for sort-merge joins; doing it explicitly also covers hash
+    aggregations and lets ``salt`` scale with the observed count."""
+    counts = big.groupBy(big_key).agg(F.count(F.lit(1)).alias("__n"))
+    hot_keys = [
+        r[big_key]
+        for r in counts.filter(F.col("__n") >= hot_threshold).collect()
+    ]
+    if not hot_keys:
+        return big.join(
+            small, big[big_key] == small[small_key], "inner"
+        ).drop(small_key)
+    big_hot = big.filter(F.col(big_key).isin(hot_keys)).withColumn(
+        "__salt", (F.rand(seed) * salt).cast("int")
+    )
+    big_cold = big.filter(~F.col(big_key).isin(hot_keys))
+    small_hot = (
+        small.filter(F.col(small_key).isin(hot_keys))
+        .withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    )
+    small_cold = small.filter(~F.col(small_key).isin(hot_keys))
+    hot = big_hot.join(
+        small_hot,
+        (big_hot[big_key] == small_hot[small_key])
+        & (big_hot["__salt"] == small_hot["__salt"]),
+        "inner",
+    ).drop("__salt").drop(small_key)
+    cold = big_cold.join(
+        small_cold, big_cold[big_key] == small_cold[small_key], "inner"
+    ).drop(small_key)
+    return hot.unionByName(cold)

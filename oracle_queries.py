@@ -3077,3 +3077,72 @@ SELECT o_orderstatus,
   count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5_n
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
+
+
+# q130: ExactSubstr span removal — 8-gram corpus counts, covered
+# positions, anti-join, ordered re-assembly.
+ORACLES["q130_span_removal"] = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents WHERE text IS NOT NULL),
+tok AS (
+  SELECT doc_id, t.i + 1 AS tpos, tk[t.i + 1] AS tok
+  FROM d, unnest(range(len(tk))) AS t(i)),
+gr AS (
+  SELECT doc_id, t.i + 1 AS gpos,
+    array_to_string(list_slice(tk, t.i + 1, t.i + 8), ' ') AS gram
+  FROM d, unnest(range(greatest(len(tk) - 7, 0))) AS t(i)),
+dup AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, gpos + t.k AS tpos
+  FROM (SELECT doc_id, gpos FROM gr
+        WHERE gram IN (SELECT gram FROM dup)) gg,
+       unnest(range(8)) AS t(k)),
+kept AS (
+  SELECT tok.doc_id, tok.tpos, tok.tok
+  FROM tok LEFT JOIN cov
+    ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos
+  WHERE cov.tpos IS NULL),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+    string_agg(tok, ' ' ORDER BY tpos) AS ct
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id)
+SELECT d0.doc_id,
+  CAST(coalesce(tot.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(tot.n_tokens, 0) - coalesce(reb.n_kept, 0) AS BIGINT)
+    AS n_removed,
+  md5(coalesce(CASE WHEN d0.text IS NOT NULL
+               THEN coalesce(reb.ct, '') END, ' ')) AS clean_md5
+FROM documents d0
+LEFT JOIN tot ON d0.doc_id = tot.doc_id
+LEFT JOIN reb ON d0.doc_id = reb.doc_id
+ORDER BY d0.doc_id
+"""
+
+
+# q131: the salt never changes values — plain join + agg is the spec.
+ORACLES["q131_adaptive_skew_join"] = """
+WITH li AS (
+  SELECT CASE WHEN l_suppkey % 2 = 0 THEN 0
+              ELSE l_suppkey % 23 END AS grp, l_quantity
+  FROM lineitem)
+SELECT n_name, count(*) AS n_items,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM li JOIN nation ON li.grp = nation.n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# q132: lead()-gap spec of the grouped-map Pandas stats; integer-µs
+# gaps make the even-count median interpolation exact.
+ORACLES["q132_grouped_pandas_stats"] = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+g AS (
+  SELECT user_id,
+    lead(us) OVER (PARTITION BY user_id ORDER BY us) - us AS gap
+  FROM e)
+SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+  quantile_cont(gap, 0.5) AS median_gap_us,
+  CAST(max(gap) AS BIGINT) AS max_gap_us
+FROM g GROUP BY user_id ORDER BY user_id
+"""

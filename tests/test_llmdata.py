@@ -1135,3 +1135,52 @@ def test_line_dedup_all_dropped_yields_empty_string(spark):
     out = {r["doc_id"]: r for r in line_dedup(df, max_docs=2).collect()}
     assert all(out[i]["clean_text"] == "" for i in (1, 2, 3))
     assert all(out[i]["n_dropped"] == 1 for i in (1, 2, 3))
+
+
+# ------------------------------------------------------- span removal
+def test_remove_duplicated_spans_cross_doc(spark):
+    from db_factfinder_spark.llmdata.dedup import remove_duplicated_spans
+
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} unique tail one"),
+            (2, f"{shared} other ending here"),
+            (3, "completely different text entirely"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, n=8).collect()}
+    # the shared 8-gram occurs twice → its 8 tokens vanish from both
+    assert out[1]["clean_text"] == "unique tail one"
+    assert out[1]["n_removed"] == 8 and out[1]["n_tokens"] == 11
+    assert out[2]["clean_text"] == "other ending here"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == "completely different text entirely"
+    assert out[4]["clean_text"] is None and out[4]["n_tokens"] == 0
+
+
+def test_remove_duplicated_spans_within_doc_repeat(spark):
+    from db_factfinder_spark.llmdata.dedup import remove_duplicated_spans
+
+    # the same 8-gram twice INSIDE one doc also counts (corpus count 2)
+    eight = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(1, f"{eight} X {eight}"), (2, "nothing shared with anyone")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, n=8).collect()}
+    assert out[1]["clean_text"] == "x"
+    assert out[1]["n_removed"] == 16
+
+
+def test_remove_duplicated_spans_short_docs_untouched(spark):
+    from db_factfinder_spark.llmdata.dedup import remove_duplicated_spans
+
+    df = spark.createDataFrame(
+        [(1, "short doc"), (2, "short doc")],  # < 8 tokens → no grams
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, n=8).collect()}
+    assert out[1]["n_removed"] == 0 and out[1]["clean_text"] == "short doc"

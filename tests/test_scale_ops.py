@@ -205,3 +205,43 @@ def test_two_hop_counts_dedupes_and_drops_selfloops(spark):
     )
     got = {r["src"]: r["n_reach"] for r in two_hop_counts(df).collect()}
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+# ------------------------------------------------ adaptive skew join
+def test_adaptive_salted_join_equals_plain(spark):
+    from db_factfinder_spark.operators.skew import adaptive_salted_join
+
+    big = spark.range(0, 5000).select(
+        (F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 7)).alias(
+            "k"
+        ),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(7)], "dk long, name string"
+    )
+    got = (
+        adaptive_salted_join(big, small, "k", "dk", hot_threshold=1000)
+        .groupBy("name")
+        .count()
+        .collect()
+    )
+    want = (
+        big.join(small, big["k"] == small["dk"])
+        .groupBy("name")
+        .count()
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_adaptive_salted_join_no_hot_keys_falls_back(spark):
+    from db_factfinder_spark.operators.skew import adaptive_salted_join
+
+    big = spark.range(0, 100).select((F.col("id") % 10).alias("k"),
+                                     F.col("id").alias("v"))
+    small = spark.createDataFrame(
+        [(i, i * 10) for i in range(10)], "dk long, w long"
+    )
+    out = adaptive_salted_join(big, small, "k", "dk", hot_threshold=10_000)
+    assert out.count() == 100 and "w" in out.columns
