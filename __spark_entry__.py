@@ -3475,6 +3475,163 @@ def q132_grouped_pandas_stats(spark, sf_dir):
     return out.orderBy("user_id")
 
 
+def q133_cogroup_asof(spark, sf_dir):
+    """Cogrouped-map Pandas (``cogroup().applyInPandas``): per-user
+    backward as-of match of each purchase to the latest prior click,
+    computed with pandas ``merge_asof`` inside one Arrow batch per
+    user — the two-input escape hatch (q56 is the pure-DataFrame
+    as-of; DuckDB's native ASOF JOIN is the spec for both)."""
+    import pandas as pd
+
+    def match(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
+        if purchases.empty:
+            return pd.DataFrame(
+                columns=["user_id", "p_id", "p_us", "click_us"]
+            )
+        p = purchases.sort_values("p_us")
+        c = clicks.sort_values("c_us")
+        if c.empty:
+            out = p.assign(click_us=pd.Series(dtype="float64"))
+        else:
+            out = pd.merge_asof(
+                p, c[["c_us"]], left_on="p_us", right_on="c_us",
+                direction="backward",
+            ).rename(columns={"c_us": "click_us"})
+        return out[["user_id", "p_id", "p_us", "click_us"]]
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("c_us")
+    )
+    out = (
+        purch.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            match, "user_id long, p_id long, p_us long, click_us double"
+        )
+    )
+    return out.select(
+        "user_id", "p_id", "p_us", F.col("click_us").cast("long").alias("click_us")
+    ).orderBy("user_id", "p_id")
+
+
+def q134_pandas_udf_dot(spark, sf_dir):
+    """Scalar Arrow ``@pandas_udf``: exact integer dot product of each
+    embedding with a fixed probe vector, vectorized with numpy over
+    Arrow batches.  Embedding floats are scaled ints (floor(x·1000+0.5) on
+    the same float64 in both engines), so the int64 dot is exact and
+    the SQL spec (list_zip + reduce) matches bit-for-bit — this query
+    exists to exercise the vectorized-UDF surface with an
+    oracle-checkable function."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    probe = [((i * 37) % 21) - 10 for i in range(64)]
+
+    def _dot(vecs):
+        p = np.array(probe, dtype=np.int64)
+        return vecs.map(
+            lambda v: int(
+                (
+                    np.floor(
+                        np.asarray(v, dtype=np.float64) * 1000 + 0.5
+                    ).astype(np.int64)
+                    * p
+                ).sum()
+            )
+            if v is not None
+            else None
+        )
+
+    dot_i64 = pandas_udf(_dot, "long")
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", dot_i64(F.col("embedding")).alias("dot_scaled"))
+        .orderBy("vec_id")
+    )
+
+
+def q135_range_frame_window(spark, sf_dir):
+    """Value-range window frames (RANGE BETWEEN): for every event, how
+    many events of the same type landed in the preceding hour, and
+    their exact value sum — rangeBetween on epoch seconds, the frame
+    kind rowsBetween (q85) can't express when rows are irregular."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, -1)
+    )
+    return base.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_prev_hour"),
+        F.coalesce(F.sum("vc").over(w), F.lit(0)).alias("sum_prev_hour_c"),
+    ).orderBy("event_id")
+
+
+def q136_null_safe_join(spark, sf_dir):
+    """NULL-safe equality join (<=>): sentinel-scrubbed dimension
+    values where NULL must MATCH NULL (IS NOT DISTINCT FROM) instead
+    of vanishing — the factfinder cleaning rules produce exactly such
+    NULL-keyed frames.  Plain = would silently drop every NULL group;
+    the oracle uses IS NOT DISTINCT FROM."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_linestatus") == "F", None)
+        .otherwise(F.col("l_linestatus"))
+        .alias("k"),
+        "l_quantity",
+    )
+    dim = spark.createDataFrame(
+        [("O", "open"), (None, "finished")], "k string, label string"
+    )
+    joined = li.join(dim, li["k"].eqNullSafe(dim["k"]), "inner").drop(dim["k"])
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("l_quantity"), "decimal(18,2)").alias("sum_qty"),
+        )
+        .orderBy("label")
+    )
+
+
+def q137_schema_evolution_union(spark, sf_dir):
+    """Schema-evolution union (unionByName + allowMissingColumns):
+    merge an old snapshot (no priority column) with a new one (extra
+    column) — missing fields NULL-fill by NAME, not by position, the
+    way a long-lived lakehouse table evolves.  Oracle: UNION ALL BY
+    NAME."""
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    merged = old.unionByName(new, allowMissingColumns=True)
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("o_orderpriority").alias("n_with_priority"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -3618,6 +3775,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_span_removal": q130_span_removal,
         "q131_adaptive_skew_join": q131_adaptive_skew_join,
         "q132_grouped_pandas_stats": q132_grouped_pandas_stats,
+        "q133_cogroup_asof": q133_cogroup_asof,
+        "q134_pandas_udf_dot": q134_pandas_udf_dot,
+        "q135_range_frame_window": q135_range_frame_window,
+        "q136_null_safe_join": q136_null_safe_join,
+        "q137_schema_evolution_union": q137_schema_evolution_union,
     }
 
 

@@ -3146,3 +3146,74 @@ SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
   CAST(max(gap) AS BIGINT) AS max_gap_us
 FROM g GROUP BY user_id ORDER BY user_id
 """
+
+
+# q133: DuckDB native ASOF (backward, inclusive) — the spec for the
+# cogrouped pandas merge_asof.
+ORACLES["q133_cogroup_asof"] = """
+WITH p AS (
+  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click')
+SELECT p.user_id, p_id, p_us, c.c_us AS click_us
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.p_us >= c.c_us
+ORDER BY p.user_id, p_id
+"""
+
+
+# q134: indexed zip spec of the vectorized-UDF integer dot product.
+ORACLES["q134_pandas_udf_dot"] = """
+SELECT vec_id,
+  CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+    i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+         * ([-10, 6, 1, -4, -9, 7, 2, -3, -8, 8, 3, -2, -7, 9, 4, -1, -6, 10, 5, 0, -5, -10, 6, 1, -4, -9, 7, 2, -3, -8, 8, 3, -2, -7, 9, 4, -1, -6, 10, 5, 0, -5, -10, 6, 1, -4, -9, 7, 2, -3, -8, 8, 3, -2, -7, 9, 4, -1, -6, 10, 5, 0, -5, -10])[i])) AS BIGINT) AS dot_scaled
+FROM embeddings ORDER BY vec_id
+"""
+
+
+# q135: value-range window frames, inclusive µs bounds.
+ORACLES["q135_range_frame_window"] = """
+WITH b AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events)
+SELECT event_id, event_type,
+  count(*) OVER w AS n_prev_hour,
+  CAST(coalesce(sum(vc) OVER w, 0) AS BIGINT) AS sum_prev_hour_c
+FROM b
+WINDOW w AS (PARTITION BY event_type ORDER BY us
+             RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+ORDER BY event_id
+"""
+
+
+# q136: IS NOT DISTINCT FROM — NULL matches NULL.
+ORACLES["q136_null_safe_join"] = """
+WITH li AS (
+  SELECT CASE WHEN l_linestatus = 'F' THEN NULL
+              ELSE l_linestatus END AS k, l_quantity
+  FROM lineitem)
+SELECT label, count(*) AS n,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM li JOIN (VALUES ('O', 'open'), (CAST(NULL AS VARCHAR), 'finished'))
+  AS dim(k, label)
+  ON li.k IS NOT DISTINCT FROM dim.k
+GROUP BY label ORDER BY label
+"""
+
+
+# q137: UNION ALL BY NAME with NULL fill for the missing column.
+ORACLES["q137_schema_evolution_union"] = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0),
+new AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1),
+m AS (SELECT * FROM old UNION ALL BY NAME SELECT * FROM new)
+SELECT o_orderstatus, count(*) AS n,
+  count(o_orderpriority) AS n_with_priority
+FROM m GROUP BY 1 ORDER BY 1
+"""
