@@ -55,6 +55,7 @@ from db_factfinder_spark.llmdata.components import (
     select_survivors,
     triangle_counts,
     two_hop_counts,
+    integer_pagerank,
 )
 from db_factfinder_spark.llmdata.redact import redact_pii
 from db_factfinder_spark.llmdata.sampling import (
@@ -3632,6 +3633,130 @@ def q137_schema_evolution_union(spark, sf_dir):
     )
 
 
+def q138_temperature_mixture(spark, sf_dir):
+    """Temperature resampling toward uniform (the multilingual-LLM
+    α=0.5 data trick): each source keeps fraction √(n_min/n_i) —
+    big domains shrink, the smallest stays whole (domains = source
+    first-digit groups, deliberately skewed ~11:1).  The per-domain
+    threshold is computed IN-PLAN (counts → broadcast min → sqrt) —
+    no driver round trip; keep decisions reuse the md5 bucket
+    machinery of q54/q64.  sqrt is IEEE-correctly-rounded, so both
+    engines floor the identical double."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "domain", F.substring("source", 4, 1)
+    )
+    counts = docs.groupBy("domain").agg(F.count(F.lit(1)).alias("n_i"))
+    nmin = counts.agg(F.min("n_i").alias("n_min"))
+    thr = counts.crossJoin(F.broadcast(nmin)).select(
+        "domain",
+        "n_i",
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_i").cast("double"))
+            * 10_000
+        ).alias("thr"),
+    )
+    from db_factfinder_spark.llmdata.sampling import hash_bucket
+
+    kept = (
+        docs.join(F.broadcast(thr), "domain")
+        .withColumn("__b", hash_bucket("doc_id", 10_000))
+        .withColumn("keep", F.col("__b") < F.col("thr"))
+    )
+    return (
+        kept.groupBy("domain")
+        .agg(
+            F.first("n_i").alias("n_orig"),
+            F.first("thr").alias("thr"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        )
+        .orderBy("domain")
+    )
+
+
+def q139_length_buckets(spark, sf_dir):
+    """Power-of-two length-bucketed batching: documents binned to the
+    next power of two of their token count (via bit-length — integer-
+    exact, no log2 float edge), with the padding waste Σ(bucket − n)
+    a training job would pay per bucket."""
+    docs = _docs(spark, sf_dir)
+    toked = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", token_count(F.col("text")).alias("n")
+    ).filter(F.col("n") >= 1)
+    bucket = F.call_function(
+        "shiftleft", F.lit(1), F.length(F.bin(F.col("n") - 1)).cast("int")
+    ).cast("long")
+    return (
+        toked.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.sum(F.col("bucket") - F.col("n")).alias("padding_waste"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q140_robust_outliers(spark, sf_dir):
+    """Robust outlier detection: |x − median| > 3·MAD per return flag
+    (the q121 statistics put to work).  All statistics are exact cent
+    integers or exact .25-granular doubles, so the flag compares
+    identical operands in both engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("double")
+        .alias("x"),
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(x, 0.5)").alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", "med", "x", F.abs(F.col("x") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr("percentile(d, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "l_returnflag").withColumn(
+        "is_outlier", F.col("d") > 3 * F.col("mad")
+    )
+    return (
+        flagged.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_outlier").cast("bigint")).alias("n_outliers"),
+            F.max(F.when(F.col("is_outlier"), F.col("x"))).alias("worst_x"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q141_integer_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank (3 iterations) on the hourly
+    co-event graph — iterative graph analytics beyond connected
+    components (q46) and triangles (q101), made oracle-able by
+    keeping every operation an exact int64 (float PR sums are
+    order-dependent; ``p DIV deg`` and ``(85·s) DIV 100`` are not).
+    The oracle unrolls the same three iterations as CTEs, the q45
+    k-means precedent."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    occ = ev.select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).distinct()
+    a, b = occ.alias("a"), occ.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
+        .distinct()
+    )
+    return integer_pagerank(edges, iters=3).orderBy("node")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -3780,6 +3905,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_range_frame_window": q135_range_frame_window,
         "q136_null_safe_join": q136_null_safe_join,
         "q137_schema_evolution_union": q137_schema_evolution_union,
+        "q138_temperature_mixture": q138_temperature_mixture,
+        "q139_length_buckets": q139_length_buckets,
+        "q140_robust_outliers": q140_robust_outliers,
+        "q141_integer_pagerank": q141_integer_pagerank,
     }
 
 

@@ -235,3 +235,63 @@ def two_hop_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return reach.groupBy(F.col("a").alias(src)).agg(
         F.count_distinct("b").alias("n_reach")
     )
+
+
+def integer_pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 1_000_000_000_000,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Fixed-iteration PageRank in INTEGER fixed-point: ranks carry
+    ``scale`` units, per-edge contribution is ``p // deg`` and the
+    damping step is ``0.15·scale + (85·Σ)//100`` — every operation an
+    exact int64, so the result is bit-identical on any engine, any
+    partitioning, any iteration order (float PageRank sums are
+    order-dependent; this is the oracle-able formulation, same trick
+    as the decimal-exact k-means update).
+
+    Per iteration: one broadcast-size degree join + one groupBy(dst)
+    shuffle — the standard distributed PR step; lineage is truncated
+    per ``checkpoint_mode``.  Input is an undirected pair list (both
+    orientations derived); dangling nodes don't occur (every vertex
+    here has degree ≥ 1 by construction).  max p ≈ scale·|V| keeps
+    int64 safe for |V| < 9·10⁶ at the default scale; lower ``scale``
+    for larger graphs."""
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    sym = materialize(
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct(),
+        checkpoint_mode,
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    p = deg.select("a", F.lit(scale).cast("long").alias("p"))
+    base = (15 * scale) // 100
+    for _ in range(iters):
+        # integer DIV, not float '/': at deg > ~8k a double quotient
+        # can round up across an integer and floor() lands one high
+        contrib = p.join(deg, "a").select(
+            "a", F.expr("p DIV deg").alias("c")
+        )
+        incoming = (
+            sym.join(contrib, "a")
+            .groupBy(F.col("b").alias("a"))
+            .agg(F.sum("c").alias("s"))
+        )
+        p = materialize(
+            incoming.select(
+                "a",
+                (
+                    F.lit(base).cast("long") + F.expr("(85 * s) DIV 100")
+                ).alias("p"),
+            ),
+            checkpoint_mode,
+        )
+    return p.select(F.col("a").alias("node"), "p")

@@ -3217,3 +3217,95 @@ SELECT o_orderstatus, count(*) AS n,
   count(o_orderpriority) AS n_with_priority
 FROM m GROUP BY 1 ORDER BY 1
 """
+
+
+# q138: temperature resampling toward uniform — identical sqrt/floor
+# on identical doubles; md5 buckets as in q54/q64.
+ORACLES["q138_temperature_mixture"] = """
+WITH d AS (
+  SELECT doc_id, substr(source, 4, 1) AS domain FROM documents),
+c AS (SELECT domain, count(*) AS n_i FROM d GROUP BY 1),
+m AS (SELECT min(n_i) AS n_min FROM c),
+t AS (
+  SELECT domain, n_i,
+    CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_i AS DOUBLE)) * 10000)
+         AS BIGINT) AS thr
+  FROM c, m),
+k AS (
+  SELECT d.domain, t.n_i, t.thr,
+    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000
+       < t.thr) AS keep
+  FROM d JOIN t USING (domain))
+SELECT domain, CAST(min(n_i) AS BIGINT) AS n_orig,
+  CAST(min(thr) AS BIGINT) AS thr,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM k GROUP BY domain ORDER BY domain
+"""
+
+
+# q139: next-power-of-two length buckets via bit length — integer
+# exact; padding waste = Σ(bucket − n).
+ORACLES["q139_length_buckets"] = f"""
+WITH tk AS (
+  SELECT doc_id, len({_TOKS}) AS n FROM documents WHERE text IS NOT NULL),
+f AS (
+  SELECT doc_id, n, CAST(1 << length(bin(n - 1)) AS BIGINT) AS bucket
+  FROM tk WHERE n >= 1)
+SELECT bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
+  CAST(sum(bucket - n) AS BIGINT) AS padding_waste
+FROM f GROUP BY bucket ORDER BY bucket
+"""
+
+
+# q140: |x − med| > 3·MAD — exact cent/quarter-granular operands.
+ORACLES["q140_robust_outliers"] = """
+WITH x AS (
+  SELECT l_returnflag,
+    CAST(floor(l_extendedprice * 100 + 0.5) AS DOUBLE) AS x
+  FROM lineitem),
+m AS (SELECT l_returnflag, quantile_cont(x, 0.5) AS med FROM x GROUP BY 1),
+d AS (
+  SELECT x.l_returnflag, x.x, abs(x.x - m.med) AS dv
+  FROM x JOIN m USING (l_returnflag)),
+md AS (SELECT l_returnflag, quantile_cont(dv, 0.5) AS mad FROM d GROUP BY 1),
+f AS (
+  SELECT d.l_returnflag, d.x, (d.dv > 3 * md.mad) AS is_outlier
+  FROM d JOIN md USING (l_returnflag))
+SELECT l_returnflag, count(*) AS n,
+  CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  max(CASE WHEN is_outlier THEN x END) AS worst_x
+FROM f GROUP BY 1 ORDER BY 1
+"""
+
+
+# q141: three unrolled integer-PageRank iterations (q45 precedent) —
+# every step BIGINT // division, bit-identical by construction.
+ORACLES["q141_integer_pagerank"] = """
+WITH occ AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
+  FROM events),
+e0 AS (
+  SELECT DISTINCT a.user_id AS s, b.user_id AS d
+  FROM occ a JOIN occ b
+    ON a.event_type = b.event_type AND a.h = b.h
+   AND a.user_id < b.user_id),
+sym AS (SELECT s AS a, d AS b FROM e0 UNION SELECT d, s FROM e0),
+deg AS (SELECT a, count(*) AS dg FROM sym GROUP BY 1),
+p0 AS (SELECT a, CAST(1000000000000 AS BIGINT) AS p FROM deg),
+c1 AS (SELECT p0.a, p0.p // deg.dg AS c FROM p0 JOIN deg USING (a)),
+s1 AS (SELECT sym.b AS a, sum(c) AS s FROM sym JOIN c1 ON sym.a = c1.a
+       GROUP BY 1),
+p1 AS (SELECT a, CAST(150000000000 + (85 * s) // 100 AS BIGINT) AS p
+       FROM s1),
+c2 AS (SELECT p1.a, p1.p // deg.dg AS c FROM p1 JOIN deg USING (a)),
+s2 AS (SELECT sym.b AS a, sum(c) AS s FROM sym JOIN c2 ON sym.a = c2.a
+       GROUP BY 1),
+p2 AS (SELECT a, CAST(150000000000 + (85 * s) // 100 AS BIGINT) AS p
+       FROM s2),
+c3 AS (SELECT p2.a, p2.p // deg.dg AS c FROM p2 JOIN deg USING (a)),
+s3 AS (SELECT sym.b AS a, sum(c) AS s FROM sym JOIN c3 ON sym.a = c3.a
+       GROUP BY 1),
+p3 AS (SELECT a, CAST(150000000000 + (85 * s) // 100 AS BIGINT) AS p
+       FROM s3)
+SELECT a AS node, p FROM p3 ORDER BY node
+"""

@@ -1184,3 +1184,51 @@ def test_remove_duplicated_spans_short_docs_untouched(spark):
     )
     out = {r["doc_id"]: r for r in remove_duplicated_spans(df, n=8).collect()}
     assert out[1]["n_removed"] == 0 and out[1]["clean_text"] == "short doc"
+
+
+# ---------------------------------------------------- integer pagerank
+def test_integer_pagerank_hand_computed_path(spark):
+    from db_factfinder_spark.llmdata.components import integer_pagerank
+
+    # path 1-2-3; degrees 1,2,1; one iteration by hand (scale 1e12):
+    # c = p//deg = [1e12, 5e11, 1e12]
+    # s(1) = c(2) = 5e11 ; s(2) = c(1)+c(3) = 2e12 ; s(3) = 5e11
+    # p' = 15e10 + 85*s//100 → [575e9, 1850e9, 575e9]
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r["node"]: r["p"] for r in integer_pagerank(df, iters=1).collect()}
+    assert got == {1: 575_000_000_000, 2: 1_850_000_000_000, 3: 575_000_000_000}
+
+
+def test_integer_pagerank_partition_invariant_and_mass_bounded(spark):
+    from db_factfinder_spark.llmdata.components import integer_pagerank
+    import random
+
+    rng = random.Random(3)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    df = spark.createDataFrame(
+        [e for e in edges if e[0] != e[1]], "src long, dst long"
+    )
+    a = sorted(map(tuple, integer_pagerank(df.repartition(1), iters=3).collect()))
+    b = sorted(map(tuple, integer_pagerank(df.repartition(16), iters=3).collect()))
+    assert a == b and len(a) > 0
+    # total mass stays ≈ |V|·scale (floor losses only shrink it)
+    total = sum(p for _, p in a)
+    assert total <= len(a) * 1_000_000_000_000
+    assert total >= len(a) * 900_000_000_000
+
+
+# ------------------------------------------------- temperature mixture
+def test_temperature_mixture_shrinks_big_domains(spark):
+    import __spark_entry__ as E
+
+    out = {
+        r["domain"]: r
+        for r in E.queries()["q138_temperature_mixture"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    # domain '1' holds src1 + src10..19 (11 sources) — the big one
+    big, small = out["1"], out["2"]
+    assert big["n_orig"] > small["n_orig"]
+    assert big["thr"] < small["thr"] == 10_000  # smallest keeps all
+    assert big["n_kept"] < big["n_orig"]
