@@ -57,6 +57,7 @@ HEADLINE = [
     "q111_prefix_filter_pairs", # AllPairs exact sim-join (PPJoin bounds)
     "q113_heavy_hitters",       # Misra-Gries 2-pass frequent items
     "q116_skyline",             # distinct-cost Pareto frontier
+    "q130_span_removal",        # ExactSubstr span dedup + re-assembly
 ]
 
 

@@ -1232,3 +1232,33 @@ def test_temperature_mixture_shrinks_big_domains(spark):
     assert big["n_orig"] > small["n_orig"]
     assert big["thr"] < small["thr"] == 10_000  # smallest keeps all
     assert big["n_kept"] < big["n_orig"]
+
+
+def test_prefix_filter_threshold_sweep_matches_bruteforce(spark):
+    """The ⌈τ·n⌉ prefix arithmetic and the PPJoin bounds must hold at
+    every threshold shape (ceil boundaries differ per τ) — sweep τ
+    over one random corpus and demand exact agreement each time."""
+    import random
+
+    from db_factfinder_spark.llmdata.dedup import (
+        jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(6, 30))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for tau in (0.3, 0.5, 0.6, 0.8, 0.95):
+        brute = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs(df, n=3, threshold=tau).collect()
+        }
+        fast = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in prefix_filter_pairs(df, n=3, threshold=tau).collect()
+        }
+        assert fast == brute, f"tau={tau}: {len(fast)} vs {len(brute)}"
