@@ -3757,6 +3757,89 @@ def q141_integer_pagerank(spark, sf_dir):
     return integer_pagerank(edges, iters=3).orderBy("node")
 
 
+def q142_star_join(spark, sf_dir):
+    """TPC-H Q5-shape star join: lineitem ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation ⋈ region with a region filter and same-nation
+    predicate — six relations left to Catalyst to reorder, dims
+    broadcast, the fact table shuffling only for the orders join.
+    Revenue in exact hundredths-of-cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            supp,
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(nat, supp["s_nationkey"] == nat["n_nationkey"])
+        .join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+    )
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(rev).cast("double") / 10000.0).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q143_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery, decorrelated by Catalyst into an
+    aggregate + join (RewriteCorrelatedScalarSubquery): parts priced
+    above their own brand's average price.  Average compared as an
+    exact rational — p·n > Σ — so no division touches the
+    predicate."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__part_q143")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c
+        FROM __part_q143 p
+        WHERE CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+              * (SELECT count(*) FROM __part_q143 q
+                 WHERE q.p_brand = p.p_brand)
+              > (SELECT sum(CAST(floor(q.p_retailprice * 100 + 0.5)
+                                 AS BIGINT))
+                 FROM __part_q143 q WHERE q.p_brand = p.p_brand)
+        ORDER BY p_partkey
+        """
+    )
+
+
+def q144_lateral_topk(spark, sf_dir):
+    """LATERAL correlated derived table: each nation's two richest
+    suppliers — the SQL-standard form of per-group top-k, planned by
+    Spark as a DomainJoin/decorrelated rank (q17 is the window
+    formulation).  Balance keyed to exact cents, id tiebreak."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__supp_q144")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("__nat_q144")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.s_suppkey,
+               CAST(floor(t.s_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+        FROM __nat_q144 n,
+        LATERAL (
+          SELECT s_suppkey, s_acctbal FROM __supp_q144 s
+          WHERE s.s_nationkey = n.n_nationkey
+          ORDER BY floor(s.s_acctbal * 100 + 0.5) DESC, s_suppkey ASC
+          LIMIT 2
+        ) AS t
+        ORDER BY n.n_name, bal_c DESC, t.s_suppkey
+        """
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -3909,6 +3992,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_length_buckets": q139_length_buckets,
         "q140_robust_outliers": q140_robust_outliers,
         "q141_integer_pagerank": q141_integer_pagerank,
+        "q142_star_join": q142_star_join,
+        "q143_scalar_subquery": q143_scalar_subquery,
+        "q144_lateral_topk": q144_lateral_topk,
     }
 
 

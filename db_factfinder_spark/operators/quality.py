@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -58,3 +58,22 @@ def profile_columns(
         ]
     )
     return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def observed(df, name: str, metrics: dict[str, Column]):
+    """Attach Spark's native observation metrics to a frame: the named
+    aggregates are computed ON THE SAME PASS as whatever action runs
+    the frame (CollectMetricsExec — no second scan, unlike running a
+    separate audit agg), and read back from the returned
+    ``Observation`` after the action.
+
+    This is how a 100 TB pipeline gets row counts / null rates /
+    checksum totals for free while writing its output: profiling with
+    ``profile_columns`` costs an extra scan; ``observed`` costs
+    nothing.  Metrics must be aggregates Spark allows in observations
+    (no distinct); returns ``(df, observation)``."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+    return out, obs

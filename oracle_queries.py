@@ -3309,3 +3309,49 @@ p3 AS (SELECT a, CAST(150000000000 + (85 * s) // 100 AS BIGINT) AS p
        FROM s3)
 SELECT a AS node, p FROM p3 ORDER BY node
 """
+
+
+# q142: six-relation star join, revenue in exact 10^-4 units.
+ORACLES["q142_star_join"] = """
+SELECT n_name, count(*) AS n_items,
+  CAST(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                           + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+    / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# q143: correlated scalar subqueries — exact rational average compare.
+ORACLES["q143_scalar_subquery"] = """
+SELECT p_partkey, p_brand,
+  CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c
+FROM part p
+WHERE CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+      * (SELECT count(*) FROM part q
+         WHERE q.p_brand = p.p_brand)
+      > (SELECT sum(CAST(floor(q.p_retailprice * 100 + 0.5) AS BIGINT))
+         FROM part q WHERE q.p_brand = p.p_brand)
+ORDER BY p_partkey
+"""
+
+
+# q144: LATERAL per-nation top-2 by exact cents, id tiebreak.
+ORACLES["q144_lateral_topk"] = """
+SELECT n.n_name, t.s_suppkey,
+  CAST(floor(t.s_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+FROM nation n,
+LATERAL (
+  SELECT s_suppkey, s_acctbal FROM supplier s
+  WHERE s.s_nationkey = n.n_nationkey
+  ORDER BY floor(s.s_acctbal * 100 + 0.5) DESC, s_suppkey ASC
+  LIMIT 2
+) AS t
+ORDER BY n.n_name, bal_c DESC, t.s_suppkey
+"""

@@ -342,3 +342,28 @@ def test_profile_columns_single_pass(spark):
     plan = profile_columns(df, ["k", "s"])._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+# --------------------------------------------------------- observe
+def test_observed_metrics_match_direct_agg(spark):
+    from db_factfinder_spark.operators.quality import observed
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    out, obs = observed(
+        df,
+        "audit",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.count(F.lit(1)) - F.count("v"),
+            "sum_id": F.sum("id"),
+        },
+    )
+    out.write.format("noop").mode("overwrite").save()  # ONE pass
+    got = obs.get
+    assert got["n_rows"] == 1000
+    assert got["n_null_v"] == 100
+    assert got["sum_id"] == sum(range(1000))
