@@ -3840,6 +3840,29 @@ def q144_lateral_topk(spark, sf_dir):
     )
 
 
+def q145_variant_shred(spark, sf_dir):
+    """Spark 4 VARIANT: ``parse_json`` to the binary semi-structured
+    type, typed ``variant_get`` paths — the open-schema alternative to
+    q81's fixed ``from_json`` contract (VARIANT keeps fields the
+    schema didn't anticipate and shreds access paths at read).
+    Aggregates the extracted int exactly."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    shredded = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+    )
+    return (
+        shredded.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -3995,6 +4018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_star_join": q142_star_join,
         "q143_scalar_subquery": q143_scalar_subquery,
         "q144_lateral_topk": q144_lateral_topk,
+        "q145_variant_shred": q145_variant_shred,
     }
 
 

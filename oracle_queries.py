@@ -3355,3 +3355,14 @@ LATERAL (
 ) AS t
 ORDER BY n.n_name, bal_c DESC, t.s_suppkey
 """
+
+
+# q145: typed JSON path extraction — DuckDB's JSON ->> mirrors the
+# variant_get('$.k','int') path; integer aggregates are exact.
+ORACLES["q145_variant_shred"] = """
+WITH s AS (
+  SELECT event_type, CAST(props ->> '$.k' AS INT) AS k FROM events)
+SELECT event_type, count(*) AS n, count(k) AS n_k,
+  CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
+FROM s GROUP BY event_type ORDER BY event_type
+"""
