@@ -99,3 +99,35 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files
+    near ``target_file_bytes``.  The long-running-pipeline hygiene op:
+    streaming sinks and per-partition appends produce thousands of
+    KB-scale files whose open/footer overhead dominates scans at
+    scale; compaction sizes output from the MEASURED input bytes (not
+    a guessed partition count).  Returns the file count written.
+
+    Uses coalesce (no shuffle — pure file merge) when shrinking; a
+    shuffleless coalesce of N→M only narrows, which is exactly the
+    compaction case.  Ordering within files is preserved per input
+    split; use ``zorder_write`` instead when clustering also needs
+    re-sorting."""
+    import glob
+    import os
+
+    in_bytes = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(src_path, "**", "*.parquet"),
+                           recursive=True)
+    )
+    n_files = max(1, (in_bytes + target_file_bytes - 1) // target_file_bytes)
+    df = spark.read.parquet(src_path)
+    df.coalesce(int(n_files)).write.mode("overwrite").parquet(dst_path)
+    return len(glob.glob(os.path.join(dst_path, "*.parquet")))

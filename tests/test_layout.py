@@ -93,3 +93,17 @@ def test_zvalue_rejects_overflowing_bit_budget(spark):
         df.select(zvalue(["a", "b", "c", "d"], bits=16))
     # 4 × 15 = 60 bits is fine
     assert df.select(zvalue(["a", "b", "c", "d"], bits=15)).collect()
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from db_factfinder_spark.sources.layout import compact_parquet
+    import glob
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    spark.range(0, 10_000).repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    n = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert n == 1  # tiny input → one file
+    a = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert a == list(range(10_000))  # lossless

@@ -245,3 +245,43 @@ def test_adaptive_salted_join_no_hot_keys_falls_back(spark):
     )
     out = adaptive_salted_join(big, small, "k", "dk", hot_threshold=10_000)
     assert out.count() == 100 and "w" in out.columns
+
+
+# ------------------------------------------------- NULL-robustness
+def test_bloom_semi_join_null_probe_keys_dropped(spark):
+    from db_factfinder_spark.operators.bloom import bloom_semi_join
+
+    probe = spark.createDataFrame(
+        [(1,), (None,), (2,)], "k long"
+    )
+    build = spark.createDataFrame([(1,), (2,)], "b long")
+    got = sorted(
+        r["k"] for r in bloom_semi_join(probe, build, "k", "b", m_bits=64).collect()
+    )
+    assert got == [1, 2]  # NULL never equi-matches; bloom must agree
+
+
+def test_gap_fill_null_values_dont_break_forward_fill(spark):
+    from db_factfinder_spark.operators.timeseries import gap_fill_daily
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 4.0),
+            (1, "2024-01-02 10:00:00", None),
+            (1, "2024-01-03 10:00:00", None),
+        ],
+        "user_id long, ts_s string, value double",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    out = {str(r["day"]): r for r in gap_fill_daily(df).collect()}
+    # day2/3 active but valueless: day_max NULL, ff carries day1's max
+    assert out["2024-01-02"]["n_events"] == 1
+    assert out["2024-01-02"]["day_max"] is None
+    assert out["2024-01-02"]["ff_value"] == 4.0
+    assert out["2024-01-03"]["ff_value"] == 4.0
+
+
+def test_heavy_hitters_empty_input(spark):
+    from db_factfinder_spark.llmdata.sketches import heavy_hitters
+
+    df = spark.createDataFrame([], "item string")
+    assert heavy_hitters(df, "item", k=4).count() == 0
