@@ -62,11 +62,14 @@ from db_factfinder_spark.llmdata.sampling import (
     budget_fill,
     cap_per_group,
     mixture_sample,
+    priority_sample,
     split_column,
 )
 from db_factfinder_spark.llmdata.kmeans import kmeans_assignments
 from db_factfinder_spark.llmdata.lines import line_dedup
 from db_factfinder_spark.llmdata.sketches import (
+    countmin_estimate,
+    countmin_partials,
     heavy_hitters,
     hll_distinct,
     hll_merge,
@@ -89,6 +92,7 @@ from db_factfinder_spark.llmdata.similarity import (
 )
 from db_factfinder_spark.llmdata.textstats import (
     LANG_STOPWORDS,
+    bm25_search,
     bpe_token_count,
     fingerprint,
     language_id,
@@ -102,6 +106,7 @@ from db_factfinder_spark.llmdata.textstats import (
     stopword_ratio,
     tfidf_top_terms,
     token_count,
+    token_diversity,
     token_profile,
     tokens,
 )
@@ -3863,6 +3868,73 @@ def q145_variant_shred(spark, sf_dir):
     )
 
 
+def q146_countmin_freq(spark, sf_dir):
+    """Count–Min sketch point-frequency estimates for every supplier
+    key in lineitem, compared against the exact counts (CMS guarantee:
+    est ≥ exact, deterministically — both sides integer, so the oracle
+    checks the sketch bit-for-bit).  The sketch is a CONSTANT
+    depth×width frame whatever the input size — the mergeable state a
+    100 TB pipeline persists per batch (see countmin_partials)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey")
+    sketch = countmin_partials(li, "l_suppkey", depth=4, width=256)
+    keys = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = countmin_estimate(keys, sketch, "l_suppkey", depth=4, width=256)
+    return (
+        keys.join(est, "l_suppkey")
+        .select(
+            "l_suppkey",
+            "n_exact",
+            "cm_est",
+            (F.col("cm_est") - F.col("n_exact")).alias("overcount"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+def q147_priority_sample(spark, sf_dir):
+    """Priority sampling (Duffield–Lund–Thorup) of orders weighted by
+    exact total-price cents: a fixed k-item weighted sample whose
+    max(w, τ) estimators answer subset-sum queries unbiasedly — the
+    audit-sample primitive for a weighted corpus.  Priorities are
+    md5-derived exact-integer ratios (no libm), TakeOrdered top-k, τ
+    broadcast back; est is rounded to whole cents fixed-point so both
+    engines serialize the identical value."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("w_c"),
+    )
+    sample = priority_sample(orders, "o_orderkey", "w_c", k=50)
+    return sample.select(
+        "o_orderkey",
+        F.col("w").alias("w_c"),
+        F.floor(F.col("est") + F.lit(0.5)).cast("long").alias("est_c"),
+    ).orderBy("o_orderkey")
+
+
+def q148_token_diversity(spark, sf_dir):
+    """Per-document Simpson concentration / inverse-Simpson effective
+    vocabulary — the repetition filter that catches keyword-stuffed
+    templates whose distinct-ratio (q62) still looks healthy.  One
+    IEEE division of exact integers per statistic (Shannon entropy is
+    deliberately avoided: its Σ c·ln c accumulates libm error in
+    partition order)."""
+    docs = _docs(spark, sf_dir)
+    return token_diversity(docs).orderBy("doc_id")
+
+
+def q149_bm25_search(spark, sf_dir):
+    """Top-10 documents for a two-term query under BM25 saturation +
+    length normalization with the rational-idf substitution (exact
+    cross-engine arithmetic; see bm25_search).  Postings are the only
+    thing read per term; corpus stats broadcast; one TakeOrdered."""
+    docs = _docs(spark, sf_dir)
+    return bm25_search(
+        docs, ["spark", "join"], k=10, k1=1.2, b=0.75
+    ).orderBy("rank")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -4019,6 +4091,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_scalar_subquery": q143_scalar_subquery,
         "q144_lateral_topk": q144_lateral_topk,
         "q145_variant_shred": q145_variant_shred,
+        "q146_countmin_freq": q146_countmin_freq,
+        "q147_priority_sample": q147_priority_sample,
+        "q148_token_diversity": q148_token_diversity,
+        "q149_bm25_search": q149_bm25_search,
     }
 
 

@@ -75,6 +75,73 @@ def mixture_sample(
     return b < thresh
 
 
+def priority_sample(df, id_col: str, weight_col, k: int):
+    """Deterministic priority sampling (Duffield, Lund & Thorup,
+    JACM 2007): weight-sensitive sampling WITHOUT replacement whose
+    k-item sample supports unbiased subset-sum estimation — the
+    principled way to keep a fixed-size audit sample of a weighted
+    corpus (bytes, tokens, cost) that still answers "how much weight
+    does slice X hold" from the sample alone.
+
+    Each item gets priority q = w / u with u uniform in (0, 1]; the
+    sample is the top-``k`` by priority and τ is the (k+1)-th
+    priority; each kept item's weight estimator is max(w, τ), which
+    is unbiased for subset sums over the sample.
+
+    Determinism & portability: u = (h + 1) / 2²⁸ with h the first 28
+    md5 bits of the id; q = w·2²⁸/(h+1) where the numerator is an
+    EXACT int64 product, and both the int64→double cast and the
+    division are correctly rounded under IEEE 754 — two deterministic
+    ops every engine performs identically, so the priority (and the
+    kept set) is bit-identical anywhere (the textbook alternative —
+    ln-based exponential keys — would inherit libm's last bit).
+    Ties broken by id, so the kept set is a pure function of the data.
+
+    Scale shape: priorities are map-side expressions; top-(k+1) is
+    Spark's TakeOrdered (per-partition heap + driver merge of k+1
+    rows per partition — no global sort, no full shuffle); τ comes
+    back as a 1-row broadcast.  Weights must be positive.
+
+    Output: ``id_col, w (the weight), priority, est = max(w, τ)``,
+    one row per sampled item (k rows, fewer if the input is smaller).
+    """
+    w_c = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10
+    ).cast("long")
+    # q = (w * 2^28) / (h + 1): exact int64 numerator (the long cast
+    # matters under ANSI — int32 weights would overflow the product),
+    # then one correctly-rounded IEEE division
+    q = (w_c.cast("long") * F.lit(268435456)).cast("double") / (
+        h + F.lit(1)
+    ).cast("double")
+    scored = df.select(
+        F.col(id_col), w_c.alias("w"), q.alias("priority")
+    )
+    topk1 = scored.orderBy(
+        F.col("priority").desc(), F.col(id_col).asc()
+    ).limit(k + 1)
+    # τ is the (k+1)-th priority; when the input has ≤ k items the
+    # whole population is kept and the estimator degenerates to the
+    # true weights (τ = 0), not to the smallest kept priority
+    tau = topk1.agg(
+        F.when(F.count(F.lit(1)) == k + 1, F.min("priority"))
+        .otherwise(F.lit(0.0))
+        .alias("tau")
+    )
+    return (
+        topk1.orderBy(F.col("priority").desc(), F.col(id_col).asc())
+        .limit(k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            id_col,
+            "w",
+            "priority",
+            F.greatest(F.col("w").cast("double"), F.col("tau")).alias("est"),
+        )
+    )
+
+
 def cap_per_group(df, group_cols, order_by, cap: int, rank_col: str = "rank"):
     """Per-group quota cap: keep at most ``cap`` rows per group, chosen
     by the deterministic ``order_by`` ranking (pass an explicit

@@ -203,6 +203,101 @@ def heavy_hitters(
     )
 
 
+def _cm_pairs(k: Column, depth: int, width: int) -> Column:
+    """array<struct<__row,__bucket>> — one (row, bucket) per hash row
+    for one key.  Row r's bucket is the first 28 md5 bits of the
+    row-salted key mod width; the salt prefix makes the rows pairwise
+    independent in the md5 sense while staying one-expression portable."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("__row"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"cm{r}|"), k)), 1, 7
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("__bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
+def countmin_partials(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Mergeable Count–Min sketch state (Cormode & Muthukrishnan,
+    J. Algorithms 2005): ``depth`` independent hash rows of ``width``
+    counters; every occurrence of a key increments one counter per
+    row.  Row hashes are md5 of a row-salted key (portable: DuckDB
+    ``('0x' || substr(md5('cm<r>|' || key), 1, 7))::BIGINT % width``),
+    so ANY engine — and the SQL oracle — derives the identical sketch.
+
+    Output: ``(__row, __bucket, __cnt)`` — exactly depth·width
+    counters whatever the input size, which is the point: the sketch
+    shuffles a CONSTANT frame, composes under union by counter-wise
+    sum (algebraic → map-side partial aggregation does almost all the
+    work), and is the frame a 100 TB pipeline persists per batch so
+    frequency queries never rescan raw data.
+
+    Plan shape: one explode (×depth, map-side) + one groupBy on
+    (row, bucket) whose key space is depth·width — the shuffle moves
+    at most depth·width rows per map partition.  NULL keys are
+    excluded (not an "item", matching heavy_hitters).
+    """
+    k = F.col(key_col).cast("string")
+    pairs = _cm_pairs(k, depth, width)
+    return (
+        df.filter(k.isNotNull())
+        .select(F.explode(pairs).alias("__p"))
+        .select("__p.__row", "__p.__bucket")
+        .groupBy("__row", "__bucket")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+
+
+def countmin_estimate(
+    keys: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from a Count–Min sketch: for each key
+    in ``keys``, est = min over rows of the counter the key hashes to.
+    The classic CMS guarantee holds deterministically here: est ≥ true
+    count always (counters only over-count), and collisions are a pure
+    function of the md5 row hashes, so the estimate is reproducible on
+    any engine.
+
+    The sketch (depth·width rows) broadcasts; the probe side explodes
+    ×depth, equi-joins on (row, bucket) map-side, and folds back with
+    a min — one shuffle on the probe keys only.  Keys absent from the
+    sketch still collide into some counter, so the join is inner and
+    always matches (every bucket that a key hashes to may legitimately
+    hold 0 only if no key ever touched it — then the sketch has no row
+    and the true count is 0; a left join + coalesce(0) keeps those).
+    """
+    k = F.col(key_col).cast("string")
+    pairs = _cm_pairs(k, depth, width)
+    probes = keys.select(
+        F.col(key_col), F.explode(pairs).alias("__p")
+    ).select(key_col, "__p.__row", "__p.__bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["__row", "__bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("__cnt"), F.lit(0))).alias("cm_est"))
+    )
+
+
 def hll_partials(
     df: DataFrame, group_cols: list[str], value_col: str
 ) -> DataFrame:

@@ -303,6 +303,167 @@ def pack_sequences(
     )
 
 
+def token_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document lexical concentration via the Simpson index —
+    the repetition signal that catches keyword-stuffed / template
+    pages whose *distinct ratio* still looks healthy (many distinct
+    tokens, but a few dominate the mass).
+
+    simpson = Σ c² / n²  (probability two sampled tokens match);
+    eff_vocab = n² / Σ c²  (inverse Simpson — the "effective number
+    of distinct tokens", n²/Σc² = n for a flat distribution, → 1 as
+    one token takes over).  Both are one IEEE division of EXACT
+    integers (Σ c² of bigint counts), so any engine agrees
+    bit-for-bit — unlike Shannon entropy, whose Σ c·ln c accumulates
+    libm last-bit error in an engine-specific order.
+
+    Plan: explode → (doc, token) counts → per-doc re-agg.  Two
+    shuffles on the doc id, no joins; at 100 TB both aggregations
+    partial map-side.  Empty/NULL docs are excluded (no tokens, the
+    index is undefined).
+
+    Output: ``id_col, n_tokens, n_distinct, sum_c2, simpson,
+    eff_vocab``.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("t")
+    )
+    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
+    n2 = F.col("n_tokens") * F.col("n_tokens")
+    return (
+        tf.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct",
+            "sum_c2",
+            (F.col("sum_c2").cast("double") / n2.cast("double")).alias(
+                "simpson"
+            ),
+            (n2.cast("double") / F.col("sum_c2").cast("double")).alias(
+                "eff_vocab"
+            ),
+        )
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query under BM25's
+    saturation + length normalization (Robertson & Spärck Jones
+    probabilistic relevance framework), with the same *rational* idf
+    substitution as ``tfidf_top_terms``: idf = (N − df + ½)/(df + ½)
+    instead of its log.  Rationale is identical — every input to the
+    score is an exact integer or an exact half, the per-term score is
+    a fixed chain of correctly-rounded IEEE ops, and log-idf's libm
+    last bit would make near-tie rankings engine-specific.  Per term
+    the substitution is a monotone transform of Robertson–Spärck
+    Jones idf, so single-term rankings match BM25 exactly; across
+    terms rare terms weigh relatively more than under log.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    summed in FIXED term order (query-list order, folded left) so the
+    double accumulation is engine-identical.
+
+    Plan: postings = explode → filter to the query vocabulary (the
+    only postings read) → (doc, term) tf counts; df(t) and avgdl are
+    vocabulary- and corpus-constant 1-row/|q|-row broadcasts; scores
+    pivot term-wise into fixed columns (conditional agg on the ≤|q|
+    postings per doc), then one TakeOrdered for the top-k — the
+    document text is scanned once and nothing pairwise exists.
+
+    Output: ``id_col, n_terms_hit, score, rank`` for the top-k
+    (score desc, id asc).
+    """
+    lens = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.size(tokens(text_col)).alias("dl")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    postings = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+        .filter(F.col("t").isin(*terms))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = postings.groupBy("t").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    # pivot the ≤|terms| postings per doc into fixed (tf_i, df_i)
+    # columns so the cross-term sum has one engine-independent order
+    per_doc = (
+        postings.join(F.broadcast(dfc), "t")
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(F.when(F.col("t") == t, F.col("tf"))).alias(f"tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+            *[
+                F.sum(F.when(F.col("t") == t, F.col("df"))).alias(f"df_{i}")
+                for i, t in enumerate(terms)
+            ],
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    joined = (
+        per_doc.join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "avgdl",
+            F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"),
+        )
+    )
+
+    def term_score(i: int) -> Column:
+        tf = F.col(f"tf_{i}").cast("double")
+        dfv = F.col(f"df_{i}").cast("double")
+        idf = (F.col("n_docs").cast("double") - dfv + F.lit(0.5)) / (
+            dfv + F.lit(0.5)
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b)
+            * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+        return F.coalesce(
+            idf * (tf * F.lit(k1 + 1.0) / denom), F.lit(0.0)
+        )
+
+    score = term_score(0)
+    for i in range(1, len(terms)):
+        score = score + term_score(i)
+    scored = joined.withColumn("score", score)
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+            ),
+        )
+        .select(id_col, "n_terms_hit", "score", "rank")
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

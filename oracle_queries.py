@@ -3366,3 +3366,135 @@ SELECT event_type, count(*) AS n, count(k) AS n_k,
   CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
 FROM s GROUP BY event_type ORDER BY event_type
 """
+
+
+# q146: Count–Min sketch re-derived counter by counter — identical
+# row-salted md5 buckets, integer counts, min over rows.
+ORACLES["q146_countmin_freq"] = """
+WITH keyed AS (
+  SELECT l_suppkey, CAST(l_suppkey AS VARCHAR) AS ks
+  FROM lineitem WHERE l_suppkey IS NOT NULL),
+rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+sketch AS (
+  SELECT r, ('0x' || substr(md5('cm' || r || '|' || ks), 1, 7))::BIGINT
+           % 256 AS bucket,
+         count(*) AS cnt
+  FROM keyed CROSS JOIN rows_ GROUP BY r, bucket),
+exact_ AS (
+  SELECT l_suppkey, ks, count(*) AS n_exact
+  FROM keyed GROUP BY l_suppkey, ks),
+probe AS (
+  SELECT l_suppkey, n_exact, r,
+         ('0x' || substr(md5('cm' || r || '|' || ks), 1, 7))::BIGINT
+           % 256 AS bucket
+  FROM exact_ CROSS JOIN rows_),
+est AS (
+  SELECT l_suppkey, min(coalesce(cnt, 0)) AS cm_est
+  FROM probe LEFT JOIN sketch USING (r, bucket)
+  GROUP BY l_suppkey)
+SELECT e.l_suppkey, e.n_exact, s.cm_est,
+       s.cm_est - e.n_exact AS overcount
+FROM exact_ e JOIN est s USING (l_suppkey)
+ORDER BY e.l_suppkey
+"""
+
+
+# q147: priority sampling — identical md5 priorities (exact int64
+# numerator, one correctly-rounded division), top-51 for τ, top-50
+# kept, est = max(w, τ) rounded to whole cents.
+ORACLES["q147_priority_sample"] = """
+WITH w AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w_c
+  FROM orders),
+p AS (
+  SELECT o_orderkey, w_c,
+         CAST(w_c * 268435456 AS DOUBLE)
+           / CAST((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 7))
+                     ::BIGINT + 1) AS DOUBLE) AS priority
+  FROM w),
+topk1 AS (
+  SELECT * FROM p ORDER BY priority DESC, o_orderkey ASC LIMIT 51),
+tau AS (
+  SELECT CASE WHEN count(*) = 51 THEN min(priority) ELSE 0.0 END AS tau
+  FROM topk1),
+samp AS (
+  SELECT * FROM topk1 ORDER BY priority DESC, o_orderkey ASC LIMIT 50)
+SELECT o_orderkey, w_c,
+       CAST(floor(greatest(CAST(w_c AS DOUBLE), tau) + 0.5) AS BIGINT)
+         AS est_c
+FROM samp CROSS JOIN tau
+ORDER BY o_orderkey
+"""
+
+
+# q148: Simpson / inverse-Simpson — exact integer Σc², n²; one IEEE
+# division each (entropy deliberately avoided: libm ln accumulation).
+ORACLES["q148_token_diversity"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct,
+         CAST(sum(c * c) AS BIGINT) AS sum_c2
+  FROM tf GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_distinct, sum_c2,
+  CAST(sum_c2 AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE) AS simpson,
+  CAST(n_tokens * n_tokens AS DOUBLE) / CAST(sum_c2 AS DOUBLE) AS eff_vocab
+FROM agg ORDER BY doc_id
+"""
+
+
+# q149: BM25 with rational idf — every double op mirrored with the
+# same parenthesization (term scores summed term0-then-term1), k1=1.2,
+# b=0.75, k1+1 = 2.2 and 1-b = 0.25 as exact literals.
+ORACLES["q149_bm25_search"] = f"""
+WITH lens AS (
+  SELECT doc_id, len({_TOKS}) AS dl FROM documents WHERE text IS NOT NULL),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+post AS (
+  SELECT doc_id, t, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t
+        FROM documents WHERE text IS NOT NULL)
+  WHERE t IN ('spark', 'join') GROUP BY doc_id, t),
+dfc AS (SELECT t, count(*) AS df FROM post GROUP BY t),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN t = 'spark' THEN tf END) AS BIGINT) AS tf_0,
+         CAST(sum(CASE WHEN t = 'join' THEN tf END) AS BIGINT) AS tf_1,
+         CAST(sum(CASE WHEN t = 'spark' THEN df END) AS BIGINT) AS df_0,
+         CAST(sum(CASE WHEN t = 'join' THEN df END) AS BIGINT) AS df_1,
+         count(*) AS n_terms_hit
+  FROM post JOIN dfc USING (t) GROUP BY doc_id),
+j AS (
+  SELECT per_doc.*, lens.dl, stats.n_docs,
+         CAST(stats.sum_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE)
+           AS avgdl
+  FROM per_doc JOIN lens USING (doc_id) CROSS JOIN stats),
+scored AS (
+  SELECT doc_id, n_terms_hit,
+    coalesce(
+      ((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5)
+         / (CAST(df_0 AS DOUBLE) + 0.5))
+      * ((CAST(tf_0 AS DOUBLE) * 2.2)
+         / (CAST(tf_0 AS DOUBLE)
+            + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))),
+      0.0)
+    + coalesce(
+      ((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5)
+         / (CAST(df_1 AS DOUBLE) + 0.5))
+      * ((CAST(tf_1 AS DOUBLE) * 2.2)
+         / (CAST(tf_1 AS DOUBLE)
+            + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))),
+      0.0) AS score
+  FROM j),
+ranked AS (
+  SELECT doc_id, n_terms_hit, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT doc_id, n_terms_hit, score, rank
+FROM ranked WHERE rank <= 10 ORDER BY rank
+"""

@@ -1262,3 +1262,144 @@ def test_prefix_filter_threshold_sweep_matches_bruteforce(spark):
             for r in prefix_filter_pairs(df, n=3, threshold=tau).collect()
         }
         assert fast == brute, f"tau={tau}: {len(fast)} vs {len(brute)}"
+
+
+# ---------------------------------------------------------------------
+# Count–Min sketch (q146)
+# ---------------------------------------------------------------------
+
+def test_countmin_never_undercounts_and_is_bounded(spark):
+    from db_factfinder_spark.llmdata.sketches import (
+        countmin_estimate,
+        countmin_partials,
+    )
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 7 + ["b"] * 3 + ["c"] * 1 + [None]],
+        "k string",
+    )
+    sketch = countmin_partials(df, "k", depth=4, width=8)
+    # sketch is bounded by depth*width counters and its mass is
+    # depth × (non-null rows)
+    rows = sketch.collect()
+    assert len(rows) <= 4 * 8
+    assert sum(r["__cnt"] for r in rows) == 4 * 11
+    keys = df.filter(F.col("k").isNotNull()).groupBy("k").count()
+    est = countmin_estimate(keys, sketch, "k", depth=4, width=8)
+    merged = {r["k"]: r["cm_est"] for r in est.collect()}
+    exact = {r["k"]: r["count"] for r in keys.collect()}
+    for k, n in exact.items():
+        assert merged[k] >= n  # CMS guarantee: only over-counts
+
+
+def test_countmin_composes_under_union(spark):
+    from db_factfinder_spark.llmdata.sketches import countmin_partials
+
+    a = spark.createDataFrame([("x",), ("y",), ("x",)], "k string")
+    b = spark.createDataFrame([("y",), ("z",)], "k string")
+    direct = countmin_partials(a.unionAll(b), "k", depth=2, width=4)
+    merged = (
+        countmin_partials(a, "k", depth=2, width=4)
+        .unionAll(countmin_partials(b, "k", depth=2, width=4))
+        .groupBy("__row", "__bucket")
+        .agg(F.sum("__cnt").alias("__cnt"))
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+# ---------------------------------------------------------------------
+# Priority sampling (q147)
+# ---------------------------------------------------------------------
+
+def test_priority_sample_small_population_degenerates_to_census(spark):
+    from db_factfinder_spark.llmdata.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id int, w int"
+    )
+    out = priority_sample(df, "id", "w", k=5).collect()
+    # n ≤ k: everything kept, τ = 0, estimator is the true weight
+    assert len(out) == 3
+    assert all(r["est"] == float(r["w"]) for r in out)
+
+
+def test_priority_sample_partition_invariant_and_dominates_weight(spark):
+    from db_factfinder_spark.llmdata.sampling import priority_sample
+
+    rows = [(i, (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, w int")
+    a = priority_sample(df, "id", "w", k=20).collect()
+    b = priority_sample(df.repartition(13), "id", "w", k=20).collect()
+    assert sorted(r["id"] for r in a) == sorted(r["id"] for r in b)
+    assert len(a) == 20
+    # estimator never falls below the item's true weight
+    assert all(r["est"] >= r["w"] for r in a)
+
+
+# ---------------------------------------------------------------------
+# Simpson diversity (q148)
+# ---------------------------------------------------------------------
+
+def test_token_diversity_hand_computed(spark):
+    from db_factfinder_spark.llmdata.textstats import token_diversity
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "x x x x"), (3, None)],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in token_diversity(df).collect()}
+    r1 = out[1]  # counts {a:2, b:1}: n=3, Σc²=5
+    assert (r1["n_tokens"], r1["n_distinct"], r1["sum_c2"]) == (3, 2, 5)
+    assert r1["simpson"] == 5.0 / 9.0
+    assert r1["eff_vocab"] == 9.0 / 5.0
+    r2 = out[2]  # degenerate: one token owns the mass
+    assert r2["simpson"] == 1.0 and r2["eff_vocab"] == 1.0
+    assert 3 not in out  # NULL text has no tokens — excluded
+
+
+# ---------------------------------------------------------------------
+# BM25 (q149)
+# ---------------------------------------------------------------------
+
+def test_bm25_ranks_density_and_coverage(spark):
+    from db_factfinder_spark.llmdata.textstats import bm25_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark join spark join"),        # both terms, dense, short
+            (2, "spark " + "filler " * 50),       # one term, long
+            (3, "join plans and join hints " + "pad " * 20),
+            (4, "nothing relevant here"),
+        ],
+        "doc_id int, text string",
+    )
+    out = bm25_search(df, ["spark", "join"], k=10)
+    rows = out.collect()
+    ids = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    # doc 4 has no query term — no postings, absent from the result
+    assert 4 not in ids
+    # the short dense doc with BOTH terms wins
+    assert ids[0] == 1
+    hit = {r["doc_id"]: r["n_terms_hit"] for r in rows}
+    assert hit[1] == 2 and hit[2] == 1 and hit[3] == 1
+
+
+def test_bm25_length_normalization(spark):
+    from db_factfinder_spark.llmdata.textstats import bm25_search
+
+    # same tf for the single query term; the longer document must
+    # score strictly lower (b > 0 length penalty)
+    df = spark.createDataFrame(
+        [
+            (1, "spark runs fast"),
+            (2, "spark " + "and much other prose goes on " * 10),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r["score"]
+        for r in bm25_search(df, ["spark"], k=10).collect()
+    }
+    assert rows[1] > rows[2]
