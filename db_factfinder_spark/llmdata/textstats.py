@@ -362,6 +362,7 @@ def bm25_search(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Top-``k`` documents for a bag-of-terms query under BM25's
     saturation + length normalization (Robertson & Spärck Jones
@@ -384,24 +385,34 @@ def bm25_search(
     only postings read) → (doc, term) tf counts; df(t) and avgdl are
     vocabulary- and corpus-constant 1-row/|q|-row broadcasts; scores
     pivot term-wise into fixed columns (conditional agg on the ≤|q|
-    postings per doc), then one TakeOrdered for the top-k — the
-    document text is scanned once and nothing pairwise exists.
+    postings per doc), then one TakeOrdered for the top-k — nothing
+    pairwise exists.  The ``lens`` and ``postings`` frames each feed
+    two consumers (stats + join, per-doc + df) and Catalyst shares no
+    subtree between them, so both are materialized once (same
+    ``checkpoint_mode`` rule as tfidf_top_terms) — without it the
+    corpus is tokenized four times instead of twice.
 
     Output: ``id_col, n_terms_hit, score, rank`` for the top-k
     (score desc, id asc).
     """
-    lens = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), F.size(tokens(text_col)).alias("dl")
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+
+    lens = materialize(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col), F.size(tokens(text_col)).alias("dl")
+        ),
+        checkpoint_mode,
     )
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    postings = (
+    postings = materialize(
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
         .filter(F.col("t").isin(*terms))
         .groupBy(id_col, "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf")),
+        checkpoint_mode,
     )
     dfc = postings.groupBy("t").agg(
         F.count(F.lit(1)).alias("df")

@@ -433,3 +433,36 @@ def test_q116_skyline_no_global_sort_of_raw_data(spark):
     # exactly one window node (node + detail mention) over the
     # aggregated frame, and the frontier joins back via broadcast
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_q146_sketch_probe_join_is_broadcast_equi(spark):
+    """Count–Min probe: the depth×width sketch (a constant-size frame)
+    broadcasts into an equi hash join on (row, bucket) — never a
+    shuffle of the probe side against the sketch, never nested-loop."""
+    plan = _plan(spark, "q146_countmin_freq")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q147_priority_sample_uses_take_ordered(spark):
+    """Top-(k+1) by priority is TakeOrdered (per-partition heap +
+    driver merge) — the weighted population is never shuffle-sorted
+    (the only Sort nodes order the ≤k-row result); τ comes back as a
+    broadcast, not a collect."""
+    plan = _plan(spark, "q147_priority_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    # no exchange below the TakeOrdered: the population is consumed
+    # in place (scan → project → per-partition heap)
+    below = plan.split("TakeOrderedAndProject")[-1]
+    assert "Exchange hashpartitioning" not in below.split("(1) Scan")[0]
+
+
+def test_q149_bm25_scans_corpus_twice_only(spark):
+    """BM25 tokenizes the corpus exactly twice (the doc-length pass
+    and the postings pass — both materialized once, never per term or
+    per consumer) and joins term/corpus stats via broadcast."""
+    plan = _plan(spark, "q149_bm25_search")
+    assert plan.count("Scan parquet") <= 2
+    assert "BroadcastHashJoin" in plan
