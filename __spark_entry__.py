@@ -63,6 +63,7 @@ from db_factfinder_spark.llmdata.sampling import (
     cap_per_group,
     mixture_sample,
     priority_sample,
+    priority_sample_per_group,
     split_column,
 )
 from db_factfinder_spark.llmdata.kmeans import kmeans_assignments
@@ -94,6 +95,7 @@ from db_factfinder_spark.llmdata.textstats import (
     LANG_STOPWORDS,
     bm25_search,
     bpe_token_count,
+    collocation_lift,
     fingerprint,
     language_id,
     mean_token_length,
@@ -3935,6 +3937,40 @@ def q149_bm25_search(spark, sf_dir):
     ).orderBy("rank")
 
 
+def q150_collocations(spark, sf_dir):
+    """Top term-pair collocations by lift (rational PMI — exact
+    integer ratio, monotone in PMI so the ranking is PMI's): presence
+    counts over the top-30 df vocabulary, pair space pruned BEFORE the
+    doc-id self-join so a document contributes at most C(30,2) pairs
+    whatever its length (see collocation_lift)."""
+    docs = _docs(spark, sf_dir)
+    return collocation_lift(
+        docs, vocab_size=30, min_pair_count=2, k=50
+    ).orderBy("rank")
+
+
+def q151_stratified_priority_sample(spark, sf_dir):
+    """Per-language priority sample of documents weighted by exact
+    char length: an independent weight-sensitive k-sample per stratum
+    with its own subset-sum threshold τ_g — one rank window, no
+    per-group driver loops.  est rounded to integer chars so both
+    engines serialize identically."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    sample = priority_sample_per_group(
+        docs.select("doc_id", "lang", F.col("n_chars").alias("w_n")),
+        "doc_id",
+        "w_n",
+        "lang",
+        k=5,
+    )
+    return sample.select(
+        "lang",
+        "doc_id",
+        F.col("w").alias("w_n"),
+        F.floor(F.col("est") + F.lit(0.5)).cast("long").alias("est_n"),
+    ).orderBy("lang", "doc_id")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -4095,6 +4131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_priority_sample": q147_priority_sample,
         "q148_token_diversity": q148_token_diversity,
         "q149_bm25_search": q149_bm25_search,
+        "q150_collocations": q150_collocations,
+        "q151_stratified_priority_sample": q151_stratified_priority_sample,
     }
 
 

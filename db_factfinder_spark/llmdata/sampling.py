@@ -142,6 +142,72 @@ def priority_sample(df, id_col: str, weight_col, k: int):
     )
 
 
+def priority_sample_per_group(
+    df, id_col: str, weight_col, group_col: str, k: int
+):
+    """Per-group priority sampling: an independent Duffield–Lund–
+    Thorup k-sample per group (domain, language, source…) with each
+    group's own threshold τ_g — the stratified audit-sample that keeps
+    a bounded, weight-sensitive slice of EVERY stratum (a single
+    global sample lets one heavy domain crowd out the rest).
+
+    Same exact-arithmetic priorities as ``priority_sample``; the
+    top-(k+1) per group comes from ONE rank window on the group key
+    (no TakeOrdered per group, no driver round-trips), τ_g is the
+    (k+1)-th priority within the group (0 when the group is smaller —
+    census degeneracy per group), and est = max(w, τ_g).
+
+    One shuffle (the window); a skewed giant group concentrates one
+    window partition exactly like any keyed shuffle — AQE skew
+    handling applies, and the output is bounded at k·groups.
+
+    Output: ``group_col, id_col, w, priority, est``.
+    """
+    from pyspark.sql import Window
+
+    w_c = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10
+    ).cast("long")
+    q = (w_c.cast("long") * F.lit(268435456)).cast("double") / (
+        h + F.lit(1)
+    ).cast("double")
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("priority").desc(), F.col(id_col).asc()
+    )
+    ranked = (
+        df.select(
+            F.col(group_col), F.col(id_col), w_c.alias("w"),
+            q.alias("priority"),
+        )
+        .withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") <= k + 1)
+    )
+    tau = ranked.groupBy(group_col).agg(
+        F.max(
+            F.when(F.col("__rk") == k + 1, F.col("priority"))
+        ).alias("__tau")
+    )
+    # no broadcast hint on τ: it is |groups| rows — tiny for domains/
+    # languages (AQE converts to broadcast), but a forced hint would
+    # OOM on pathological group cardinality; unhinted, the join keys
+    # are already co-partitioned by the window shuffle
+    return (
+        ranked.filter(F.col("__rk") <= k)
+        .join(tau, group_col)
+        .select(
+            group_col,
+            id_col,
+            "w",
+            "priority",
+            F.greatest(
+                F.col("w").cast("double"),
+                F.coalesce(F.col("__tau"), F.lit(0.0)),
+            ).alias("est"),
+        )
+    )
+
+
 def cap_per_group(df, group_cols, order_by, cap: int, rank_col: str = "rank"):
     """Per-group quota cap: keep at most ``cap`` rows per group, chosen
     by the deterministic ``order_by`` ranking (pass an explicit

@@ -475,6 +475,91 @@ def bm25_search(
     )
 
 
+def collocation_lift(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 30,
+    min_pair_count: int = 2,
+    k: int = 50,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Top-``k`` term-pair collocations by lift — the rational core of
+    PMI: lift(x,y) = P(x,y)/(P(x)·P(y)) = (c_xy·N)/(c_x·c_y) over
+    document-level presence counts (PMI is log of this; the log is
+    monotone, so the RANKING is PMI's, while the statistic stays an
+    exact-integer ratio any engine reproduces bit-for-bit — the same
+    libm-avoidance rationale as tfidf_top_terms).
+
+    The pair space is pruned BEFORE the self-join, which is what makes
+    this safe at corpus scale: only the top-``vocab_size`` terms by
+    document frequency (df desc, term asc — deterministic) enter the
+    join, so each document contributes at most C(vocab_size, 2) pairs
+    regardless of its length, and the join itself is an equi-join on
+    the document id — never an all-pairs token product.
+
+    Plan: presence (doc, term distinct) is materialized once (feeds
+    the df roll-up and both join sides); the vocabulary and the
+    per-term counts broadcast; pair counts shuffle on the pair key;
+    one TakeOrdered for the final ranking.
+
+    Output: ``t1, t2, c_pair, c1, c2, lift, rank`` with t1 < t2,
+    ranked by (lift desc, t1, t2).
+    """
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+
+    presence = materialize(
+        df.select(
+            F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("t")
+        ),
+        checkpoint_mode,
+    )
+    dfc = presence.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        dfc.orderBy(F.col("c").desc(), F.col("t").asc())
+        .limit(vocab_size)
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    pres_v = presence.join(
+        F.broadcast(vocab.select("t")), "t", "left_semi"
+    )
+    a = pres_v.select(F.col(id_col), F.col("t").alias("t1"))
+    b = pres_v.select(F.col(id_col), F.col("t").alias("t2"))
+    pairs = (
+        a.join(b, id_col)
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .filter(F.col("c_pair") >= min_pair_count)
+    )
+    c1 = vocab.select(F.col("t").alias("t1"), F.col("c").alias("c1"))
+    c2 = vocab.select(F.col("t").alias("t2"), F.col("c").alias("c2"))
+    lift = (F.col("c_pair") * F.col("n_docs")).cast("double") / (
+        F.col("c1") * F.col("c2")
+    ).cast("double")
+    scored = (
+        pairs.join(F.broadcast(c1), "t1")
+        .join(F.broadcast(c2), "t2")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("lift", lift)
+    )
+    return (
+        scored.orderBy(
+            F.col("lift").desc(), F.col("t1").asc(), F.col("t2").asc()
+        )
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("lift").desc(), F.col("t1").asc(), F.col("t2").asc()
+                )
+            ),
+        )
+        .select("t1", "t2", "c_pair", "c1", "c2", "lift", "rank")
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

@@ -3498,3 +3498,62 @@ ranked AS (
 SELECT doc_id, n_terms_hit, score, rank
 FROM ranked WHERE rank <= 10 ORDER BY rank
 """
+
+
+# q150: collocation lift — distinct presence, top-30 df vocabulary,
+# doc-id self-join with t1 < t2, exact-integer lift ratio.
+ORACLES["q150_collocations"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+pres AS (SELECT DISTINCT doc_id, t FROM tok),
+dfc AS (SELECT t, count(*) AS c FROM pres GROUP BY t),
+vocab AS (SELECT t, c FROM dfc ORDER BY c DESC, t ASC LIMIT 30),
+n AS (SELECT count(*) AS n_docs FROM documents),
+pv AS (SELECT p.doc_id, p.t FROM pres p JOIN vocab v USING (t)),
+pairs AS (
+  SELECT a.t AS t1, b.t AS t2, count(*) AS c_pair
+  FROM pv a JOIN pv b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY a.t, b.t HAVING count(*) >= 2),
+scored AS (
+  SELECT t1, t2, c_pair, v1.c AS c1, v2.c AS c2,
+         CAST(c_pair * n_docs AS DOUBLE)
+           / CAST(v1.c * v2.c AS DOUBLE) AS lift
+  FROM pairs
+  JOIN vocab v1 ON v1.t = t1
+  JOIN vocab v2 ON v2.t = t2
+  CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY lift DESC, t1 ASC, t2 ASC)
+              AS rank
+  FROM scored)
+SELECT t1, t2, c_pair, c1, c2, lift, rank
+FROM ranked WHERE rank <= 50 ORDER BY rank
+"""
+
+
+# q151: per-group priority sampling — same md5 priorities, one rank
+# window per language, τ_g = 6th priority (k=5), census degeneracy
+# via coalesce(τ, 0).
+ORACLES["q151_stratified_priority_sample"] = """
+WITH d AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE text IS NOT NULL),
+p AS (
+  SELECT lang, doc_id, n_chars AS w_n,
+         CAST(CAST(n_chars AS BIGINT) * 268435456 AS DOUBLE)
+           / CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                     ::BIGINT + 1) AS DOUBLE) AS priority
+  FROM d),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+              ORDER BY priority DESC, doc_id ASC) AS rk
+  FROM p),
+tau AS (
+  SELECT lang, max(CASE WHEN rk = 6 THEN priority END) AS tau
+  FROM r WHERE rk <= 6 GROUP BY lang)
+SELECT r.lang, r.doc_id, r.w_n,
+       CAST(floor(greatest(CAST(r.w_n AS DOUBLE), coalesce(tau.tau, 0.0))
+                  + 0.5) AS BIGINT) AS est_n
+FROM r JOIN tau USING (lang)
+WHERE r.rk <= 5
+ORDER BY r.lang, r.doc_id
+"""

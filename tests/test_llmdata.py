@@ -1403,3 +1403,89 @@ def test_bm25_length_normalization(spark):
         for r in bm25_search(df, ["spark"], k=10).collect()
     }
     assert rows[1] > rows[2]
+
+
+# ---------------------------------------------------------------------
+# Collocation lift (q150)
+# ---------------------------------------------------------------------
+
+def test_collocation_lift_hand_computed(spark):
+    from db_factfinder_spark.llmdata.textstats import collocation_lift
+
+    # 4 docs: (a,b) always co-occur (lift 4·2/(2·2)=2);
+    # (a,c)/(b,c) never do; c pairs with d once.
+    df = spark.createDataFrame(
+        [
+            (1, "a b"),
+            (2, "a b"),
+            (3, "c d"),
+            (4, "c d"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        (r["t1"], r["t2"]): r
+        for r in collocation_lift(
+            df, vocab_size=10, min_pair_count=2, k=10
+        ).collect()
+    }
+    assert set(out) == {("a", "b"), ("c", "d")}
+    ab = out[("a", "b")]
+    assert (ab["c_pair"], ab["c1"], ab["c2"]) == (2, 2, 2)
+    assert ab["lift"] == 2.0  # 2·4/(2·2)
+
+
+def test_collocation_pair_space_is_vocab_bounded(spark):
+    from db_factfinder_spark.llmdata.textstats import collocation_lift
+
+    # one giant doc with 100 distinct tokens: with vocab_size=5 the
+    # pair space is C(5,2)=10, not C(100,2)
+    text = " ".join(f"tok{i:03d}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id int, text string"
+    )
+    out = collocation_lift(df, vocab_size=5, min_pair_count=2, k=100)
+    assert out.count() == 10
+
+
+# ---------------------------------------------------------------------
+# Per-group priority sampling (q151)
+# ---------------------------------------------------------------------
+
+def test_priority_sample_per_group_independent_strata(spark):
+    from db_factfinder_spark.llmdata.sampling import (
+        priority_sample,
+        priority_sample_per_group,
+    )
+
+    rows = [(i, "g1" if i < 100 else "g2", (i % 9) + 1) for i in range(150)]
+    df = spark.createDataFrame(rows, "id int, g string, w int")
+    out = priority_sample_per_group(df, "id", "w", "g", k=10).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r)
+    assert len(by_g["g1"]) == 10 and len(by_g["g2"]) == 10
+    # each stratum's kept set equals an independent global sample of
+    # that stratum alone (same priorities, same τ)
+    solo = priority_sample(
+        df.filter(F.col("g") == "g1").select("id", "w"), "id", "w", k=10
+    ).collect()
+    assert sorted(r["id"] for r in by_g["g1"]) == sorted(
+        r["id"] for r in solo
+    )
+    assert sorted(r["est"] for r in by_g["g1"]) == sorted(
+        r["est"] for r in solo
+    )
+
+
+def test_priority_sample_per_group_census_degeneracy(spark):
+    from db_factfinder_spark.llmdata.sampling import (
+        priority_sample_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "tiny", 5), (2, "tiny", 7)], "id int, g string, w int"
+    )
+    out = priority_sample_per_group(df, "id", "w", "g", k=10).collect()
+    assert len(out) == 2
+    assert all(r["est"] == float(r["w"]) for r in out)
