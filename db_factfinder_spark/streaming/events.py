@@ -334,3 +334,109 @@ def stream_stream_join(
     )
     # drop the right side's duplicate key column from the output
     return l_wm.join(r_wm, cond, "inner").drop(r_wm[by])
+
+
+def transform_with_state_available() -> bool:
+    """True when Spark 4's transformWithStateInPandas can actually run:
+    its driver/state-server protocol needs ``google.protobuf``, which
+    is an optional pyspark dependency (pyspark's connect/streaming
+    extras) not guaranteed in a minimal install."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_quota_cap(
+    events: DataFrame,
+    quota: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Cross-batch per-key admission quota via Spark 4's
+    ``transformWithStateInPandas`` (the successor API to
+    ``applyInPandasWithState``: explicit named state variables on a
+    ``StatefulProcessorHandle`` instead of one opaque state tuple) —
+    each key admits at most ``quota`` events over the STREAM'S
+    LIFETIME, the per-domain/per-user crawl cap enforced online
+    rather than in a nightly batch.
+
+    Runtime dependency: the TWS state-server protocol requires
+    ``google.protobuf`` (see ``transform_with_state_available``);
+    plan construction works without it, execution does not — the
+    same semantics are covered end-to-end by the
+    ``applyInPandasWithState`` operators (stream_sessionize,
+    stream_dedup_keys), which need no extra dependency.
+
+    Per micro-batch the key's rows fold in (ts, id) order; a
+    ``ValueState`` carries the admitted-so-far count, so a key that
+    exhausts its quota in batch 3 admits nothing in batch 7.  Emitted
+    rows carry their 1-based lifetime ``admit_idx``, making the output
+    equivalent to the batch ``row_number() ≤ quota`` window whenever
+    micro-batches arrive in event-time order.
+
+    Scale: state is one bigint per key, partitioned by the groupBy
+    shuffle and stored in the state store (RocksDB on a real cluster);
+    Arrow batches amortize the Python crossing exactly as with
+    applyInPandasWithState.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField("admit_idx", T.LongType()),
+        ]
+    )
+
+    class QuotaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("admitted", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            (k,) = key
+            got = self._n.get()
+            n = got[0] if got is not None else 0
+            chunks = [pdf for pdf in rows]
+            if chunks and n < quota:
+                allr = (
+                    chunks[0]
+                    if len(chunks) == 1
+                    else pd.concat(chunks, ignore_index=True)
+                )
+                # concat THEN sort — same chunk-interleaving hazard as
+                # stream_sessionize's fold
+                allr = allr.sort_values([ts_col, id_col])
+                take = allr.head(quota - n)
+                m = len(take)
+                if m:
+                    yield pd.DataFrame(
+                        {
+                            key_col: [k] * m,
+                            id_col: list(take[id_col]),
+                            ts_col: list(take[ts_col]),
+                            "admit_idx": list(range(n + 1, n + m + 1)),
+                        }
+                    )
+                n += m
+            self._n.update((n,))
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=QuotaProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -375,3 +375,84 @@ def test_session_paths_deterministic_ordering(spark):
     assert out[(1, 1)] == (3, "view>a>b")  # tie a(id2) before b(id3)
     assert out[(1, 2)] == (1, "purchase")
     assert out[(2, 1)] == (1, "click")
+
+
+def test_stream_quota_cap_plan_builds_and_gate_reports(spark, events):
+    """transformWithStateInPandas needs google.protobuf at runtime
+    (optional pyspark dependency); the plan must still CONSTRUCT
+    without it — schema, grouping, processor wiring — and the gate
+    must answer honestly."""
+    from db_factfinder_spark.streaming.events import (
+        stream_quota_cap,
+        transform_with_state_available,
+    )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    out = stream_quota_cap(stream, quota=3)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "event_id", "ts", "admit_idx",
+    ]
+    assert isinstance(transform_with_state_available(), bool)
+
+
+def _tws_runtime_available():
+    from db_factfinder_spark.streaming.events import (
+        transform_with_state_available,
+    )
+
+    return transform_with_state_available()
+
+
+@pytest.mark.skipif(
+    not _tws_runtime_available(),
+    reason="google.protobuf not installed — transformWithStateInPandas "
+    "state server cannot start in this environment",
+)
+def test_stream_quota_cap_state_carries_across_microbatches(
+    spark, events, tmp_path
+):
+    """Full cross-batch drive (runs wherever protobuf is present): a
+    key that exhausts its quota in an early micro-batch must admit
+    nothing later, and the admitted set must equal the batch
+    row_number() ≤ quota window when batches arrive in time order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from db_factfinder_spark.streaming.events import stream_quota_cap
+
+    mid = events.selectExpr("percentile(cast(ts as long), 0.5) p").first()["p"]
+    src = tmp_path / "events_split"
+    (events.filter(F.col("ts").cast("long") <= mid)
+        .coalesce(1).write.parquet(str(src / "a=0")))
+    (events.filter(F.col("ts").cast("long") > mid)
+        .coalesce(1).write.parquet(str(src / "a=1")))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/a=*")
+    )
+    out = stream_quota_cap(stream, quota=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quota_split")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["event_id"], r["admit_idx"])
+        for r in spark.table("quota_split").collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    exp = {
+        (r["user_id"], r["event_id"], r["rn"])
+        for r in events.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .collect()
+    }
+    assert got == exp
