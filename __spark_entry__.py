@@ -130,7 +130,12 @@ from db_factfinder_spark.operators.incremental import (
 )
 from db_factfinder_spark.operators.bloom import bloom_semi_join
 from db_factfinder_spark.operators.merge import merge_upsert
-from db_factfinder_spark.operators.timeseries import gap_fill_daily
+from db_factfinder_spark.operators.timeseries import (
+    cumulative_uniques,
+    gap_fill_daily,
+    ohlc_bars,
+    twap,
+)
 from db_factfinder_spark.operators.quality import (
     fk_violations,
     profile_columns,
@@ -3937,6 +3942,56 @@ def q149_bm25_search(spark, sf_dir):
     ).orderBy("rank")
 
 
+def q152_twap(spark, sf_dir):
+    """Per-user time-weighted average value: each observation holds
+    until the next (right-open), weights = whole epoch seconds, values
+    = exact cents — all-integer products and sums, one final division;
+    zero-span users are NULL, never a 0/0 NaN (see twap)."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    out = twap(ev, key_col="user_id", ts_col="ts", value_col="value")
+    return out.select(
+        F.col("key").alias("user_id"), "n_obs", "span_s", "twap_c"
+    ).orderBy("user_id")
+
+
+def q153_ohlc_bars(spark, sf_dir):
+    """Daily open/high/low/close bars per user — open/close via
+    struct-ordered min/max (lexicographic (t, v) comparison IS
+    argmin/argmax), an algebraic aggregate with map-side partials:
+    one shuffle, no window, no self-join (see ohlc_bars)."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    out = ohlc_bars(ev, key_col="user_id", ts_col="ts", value_col="value")
+    return out.select(
+        "key",
+        F.date_format("bar", "yyyy-MM-dd").alias("bar_d"),
+        "n",
+        "open_c",
+        "high_c",
+        "low_c",
+        "close_c",
+    ).orderBy("key", "bar_d")
+
+
+def q154_cumulative_uniques(spark, sf_dir):
+    """Running distinct-users-to-date per day via the scalable
+    first-seen-then-cumsum identity — the naive expanding COUNT
+    DISTINCT rescans all history per day; this is one groupBy plus a
+    days-cardinality window (see cumulative_uniques)."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("ts").isNotNull()
+    )
+    out = cumulative_uniques(ev, key_col="user_id", ts_col="ts")
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        "new_keys",
+        "total_keys",
+    ).orderBy("day_s")
+
+
 def q150_collocations(spark, sf_dir):
     """Top term-pair collocations by lift (rational PMI — exact
     integer ratio, monotone in PMI so the ranking is PMI's): presence
@@ -4133,6 +4188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_bm25_search": q149_bm25_search,
         "q150_collocations": q150_collocations,
         "q151_stratified_priority_sample": q151_stratified_priority_sample,
+        "q152_twap": q152_twap,
+        "q153_ohlc_bars": q153_ohlc_bars,
+        "q154_cumulative_uniques": q154_cumulative_uniques,
     }
 
 

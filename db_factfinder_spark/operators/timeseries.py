@@ -59,3 +59,140 @@ def gap_fill_daily(
         "day_max",
         F.last("day_max", ignorenulls=True).over(w).alias("ff_value"),
     )
+
+
+def twap(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted average price/value per key: each observation
+    holds until the next one, so its weight is the seconds to the next
+    event — ``Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first)`` over each key's
+    span (the final observation has no holding interval and
+    contributes no weight, the standard right-open convention).  This
+    is the correct average for irregular series, where the plain mean
+    over-weights bursts.
+
+    Exactness: values fold as cents (exact bigints), durations as
+    whole epoch seconds, so every product and both sums are exact
+    int64 — one IEEE division at the end.  Keys with a zero span
+    (a single event, or every event on one timestamp) yield NULL —
+    never a 0/0 NaN, whose serialization is engine-discretionary.
+
+    One lead window + one groupBy, both on the key — a single shuffle
+    (the aggregation reuses the window's hash partitioning).
+
+    Output: ``key, n_obs, span_s, twap_c`` (TWAP in cents, double).
+    """
+    sec = F.col(ts_col).cast("long")
+    v_c = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    stepped = df.select(
+        F.col(key_col).alias("key"),
+        sec.alias("t_s"),
+        v_c.alias("v_c"),
+    ).withColumn(
+        "dur_s",
+        F.lead("t_s").over(
+            Window.partitionBy("key").orderBy("t_s", "v_c")
+        )
+        - F.col("t_s"),
+    )
+    return (
+        stepped.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.col("v_c") * F.col("dur_s")).alias("__wsum"),
+            F.sum("dur_s").alias("span_s"),
+        )
+        .select(
+            "key",
+            "n_obs",
+            F.coalesce("span_s", F.lit(0)).alias("span_s"),
+            F.when(
+                F.col("span_s") > 0,
+                F.col("__wsum").cast("double")
+                / F.col("span_s").cast("double"),
+            ).alias("twap_c"),
+        )
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "day",
+) -> DataFrame:
+    """Open/high/low/close bars per (key, calendar bucket) — the
+    classic series resample.  Open/close are the first/last value in
+    event-time order; ties at the same timestamp break on the value
+    itself (then deterministic, whatever the partitioning), encoded
+    with struct-ordered ``min``/``max`` — lexicographic struct
+    comparison IS argmin/argmax, computed map-side partially like any
+    algebraic aggregate: one shuffle, no window, no self-join.
+
+    Values fold as exact cents so min/max/compare are integer-exact.
+
+    Output: ``key, bar, n, open_c, high_c, low_c, close_c``.
+    """
+    v_c = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    sec = F.col(ts_col).cast("long")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bar"),
+        sec.alias("t_s"),
+        v_c.alias("v_c"),
+    )
+    return (
+        base.groupBy("key", "bar")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct("t_s", "v_c")).alias("__o"),
+            F.max("v_c").alias("high_c"),
+            F.min("v_c").alias("low_c"),
+            F.max(F.struct("t_s", "v_c")).alias("__c"),
+        )
+        .select(
+            "key",
+            "bar",
+            "n",
+            F.col("__o.v_c").alias("open_c"),
+            "high_c",
+            "low_c",
+            F.col("__c.v_c").alias("close_c"),
+        )
+    )
+
+
+def cumulative_uniques(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Running count of distinct keys ever seen, per day — corpus
+    growth curves, uniques-to-date dashboards.  The naive form
+    (per-day COUNT DISTINCT over an expanding window) rescans
+    all-history every day; the scalable identity is
+    first-seen-then-cumsum: distinct-to-date(d) = Σ_{d'≤d}
+    |{keys first seen on d'}| — one groupBy for first-seen days, one
+    tiny (days-cardinality) cumulative window.  Exact, no sketch.
+
+    Output: ``day, new_keys, total_keys``.
+    """
+    first_seen = df.groupBy(key_col).agg(
+        F.to_date(F.min(ts_col)).alias("day")
+    )
+    per_day = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_keys")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per_day.select(
+        "day",
+        "new_keys",
+        F.sum("new_keys").over(w).alias("total_keys"),
+    )

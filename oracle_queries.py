@@ -3557,3 +3557,66 @@ FROM r JOIN tau USING (lang)
 WHERE r.rk <= 5
 ORDER BY r.lang, r.doc_id
 """
+
+
+# q152: TWAP — identical lead-window durations (whole epoch seconds),
+# exact cent×second integer products, one final division; zero-span
+# keys NULL (never 0/0 NaN).
+ORACLES["q152_twap"] = """
+WITH s AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t_s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+st AS (
+  SELECT user_id, v_c,
+         lead(t_s) OVER (PARTITION BY user_id ORDER BY t_s, v_c)
+           - t_s AS dur_s
+  FROM s),
+a AS (
+  SELECT user_id, count(*) AS n_obs,
+         CAST(sum(v_c * dur_s) AS BIGINT) AS wsum,
+         CAST(sum(dur_s) AS BIGINT) AS span0
+  FROM st GROUP BY user_id)
+SELECT user_id, n_obs, coalesce(span0, 0) AS span_s,
+  CASE WHEN span0 > 0
+       THEN CAST(wsum AS DOUBLE) / CAST(span0 AS DOUBLE) END AS twap_c
+FROM a ORDER BY user_id
+"""
+
+
+# q153: OHLC — rf=1/rl=1 row_number rows reproduce the struct-ordered
+# (t, v) argmin/argmax exactly; all values exact cents.
+ORACLES["q153_ohlc_bars"] = """
+WITH s AS (
+  SELECT user_id AS key, CAST(date_trunc('day', ts) AS DATE) AS bar,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t_s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY key, bar ORDER BY t_s, v_c) AS rf,
+    row_number() OVER (PARTITION BY key, bar
+                       ORDER BY t_s DESC, v_c DESC) AS rl
+  FROM s)
+SELECT key, strftime(bar, '%Y-%m-%d') AS bar_d, count(*) AS n,
+  max(CASE WHEN rf = 1 THEN v_c END) AS open_c,
+  max(v_c) AS high_c,
+  min(v_c) AS low_c,
+  max(CASE WHEN rl = 1 THEN v_c END) AS close_c
+FROM r GROUP BY key, bar
+ORDER BY key, bar_d
+"""
+
+
+# q154: cumulative uniques — first-seen-then-cumsum identity, exact.
+ORACLES["q154_cumulative_uniques"] = """
+WITH fs AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+pd AS (SELECT day, count(*) AS new_keys FROM fs GROUP BY day)
+SELECT strftime(day, '%Y-%m-%d') AS day_s, new_keys,
+  CAST(sum(new_keys) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS total_keys
+FROM pd ORDER BY day_s
+"""

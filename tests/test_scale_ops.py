@@ -285,3 +285,69 @@ def test_heavy_hitters_empty_input(spark):
 
     df = spark.createDataFrame([], "item string")
     assert heavy_hitters(df, "item", k=4).count() == 0
+
+
+def test_twap_hand_computed(spark):
+    from db_factfinder_spark.operators.timeseries import twap
+
+    # u1: v=1.00 for 10s, v=3.00 for 30s, final obs no weight
+    #     → (100·10 + 300·30)/40 = 250.0 cents
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1.0),
+            (1, "2024-01-01 00:00:10", 3.0),
+            (1, "2024-01-01 00:00:40", 9.0),
+            (2, "2024-01-01 00:00:00", 5.0),  # single obs: zero span
+        ],
+        "user_id int, ts_s string, value double",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    out = {r["key"]: r for r in twap(df).collect()}
+    assert out[1]["twap_c"] == 250.0
+    assert out[1]["span_s"] == 40 and out[1]["n_obs"] == 3
+    assert out[2]["twap_c"] is None and out[2]["span_s"] == 0
+
+
+def test_ohlc_bars_open_close_ties(spark):
+    from db_factfinder_spark.operators.timeseries import ohlc_bars
+
+    # two rows share the opening timestamp: the tie breaks on value
+    # (smaller value wins min-struct → open), deterministic
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", 7.0),
+            (1, "2024-01-01 09:00:00", 3.0),
+            (1, "2024-01-01 12:00:00", 10.0),
+            (1, "2024-01-01 15:00:00", 5.0),
+            (1, "2024-01-02 09:00:00", 2.0),
+        ],
+        "user_id int, ts_s string, value double",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    out = {r["bar"].day: r for r in ohlc_bars(df).collect()}
+    d1 = out[1]
+    assert (d1["open_c"], d1["high_c"], d1["low_c"], d1["close_c"]) == (
+        300, 1000, 300, 500,
+    )
+    assert d1["n"] == 4
+    d2 = out[2]
+    assert (d2["open_c"], d2["close_c"]) == (200, 200)
+
+
+def test_cumulative_uniques_counts_first_seen_once(spark):
+    from db_factfinder_spark.operators.timeseries import (
+        cumulative_uniques,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-03 10:00:00"),  # repeat — not a new unique
+            (2, "2024-01-01 11:00:00"),
+            (3, "2024-01-03 09:00:00"),
+        ],
+        "user_id int, ts_s string",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+    rows = {str(r["day"]): r for r in cumulative_uniques(df).collect()}
+    assert rows["2024-01-01"]["new_keys"] == 2
+    assert rows["2024-01-01"]["total_keys"] == 2
+    assert rows["2024-01-03"]["new_keys"] == 1
+    assert rows["2024-01-03"]["total_keys"] == 3
