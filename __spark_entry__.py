@@ -90,6 +90,7 @@ from db_factfinder_spark.llmdata.similarity import (
     ivf_topk,
     lsh_bucketed_topk,
     quantized_topk,
+    semantic_dedup,
 )
 from db_factfinder_spark.llmdata.textstats import (
     LANG_STOPWORDS,
@@ -3942,6 +3943,18 @@ def q149_bm25_search(spark, sf_dir):
     ).orderBy("rank")
 
 
+def q155_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: spherical k-means clusters the
+    embedding space, exact cosine runs only within clusters (n²/k not
+    n²), greedy keep-lowest-id per near pair.  The oracle unrolls the
+    same Lloyd iterations (q45 machinery) then mirrors the
+    within-cluster pair scan."""
+    embs = _embs(spark, sf_dir)
+    return semantic_dedup(
+        embs, k=4, iters=3, threshold=0.4
+    ).orderBy("vec_id")
+
+
 def q152_twap(spark, sf_dir):
     """Per-user time-weighted average value: each observation holds
     until the next (right-open), weights = whole epoch seconds, values
@@ -4191,6 +4204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_twap": q152_twap,
         "q153_ohlc_bars": q153_ohlc_bars,
         "q154_cumulative_uniques": q154_cumulative_uniques,
+        "q155_semantic_dedup": q155_semantic_dedup,
     }
 
 

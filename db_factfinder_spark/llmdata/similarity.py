@@ -497,3 +497,83 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "qcosine", "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with spherical
+    k-means, then find cosine-near pairs ONLY within each cluster and
+    greedily drop the higher id of every near pair — the duplicate
+    removal that catches paraphrases lexical MinHash/SimHash cannot.
+
+    Clustering is the scale mechanism: the pairwise stage is
+    O(Σ cᵢ²) over cluster sizes instead of O(n²) — with balanced
+    clusters that is n²/k, and k grows with the corpus (SemDeDup runs
+    k≈10⁵ on LAION-scale data; here k is small because the synthetic
+    corpus is).  A degenerate giant cluster degrades toward n² — the
+    same hot-bucket risk as LSH, and the same remedy applies (cap or
+    re-split oversize clusters; cap_hot_buckets shows the pattern).
+
+    The greedy keep-lowest-id rule is deterministic and local (no
+    component closure): a vector is dropped iff SOME kept-or-dropped
+    cluster neighbor with a smaller id sits within the threshold —
+    matching SemDeDup, which keeps one representative per ε-ball, not
+    per connected component.
+
+    Plan: k-means assignment (literal-centroid map-side, q45
+    machinery), one equi self-join on cluster_id, exact cosine on
+    within-cluster pairs only, distinct dropped set, left join for
+    the kept flag.
+
+    Output: ``id_col, cluster_id, kept`` (kept ∈ {0, 1}).
+    """
+    from db_factfinder_spark.llmdata.kmeans import kmeans_assignments
+
+    asg = kmeans_assignments(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    j = asg.join(e, asg[id_col] == e["id"]).select(
+        F.col(id_col), "cluster_id", "v"
+    )
+    a = j.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cluster_id"),
+        F.col("v").alias("va"),
+    )
+    b = j.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cluster_id"),
+        F.col("v").alias("vb"),
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+    )
+    dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+    return (
+        j.join(
+            dropped.withColumn("__d", F.lit(1)),
+            j[id_col] == dropped["id"],
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            F.when(F.col("__d").isNotNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("kept"),
+        )
+    )

@@ -3620,3 +3620,28 @@ SELECT strftime(day, '%Y-%m-%d') AS day_s, new_keys,
     AS total_keys
 FROM pd ORDER BY day_s
 """
+
+
+# q155: SemDeDup — the q45 Lloyd unroll gives the assignments; the
+# within-cluster pair scan mirrors cosine (list_dot_product fold) and
+# the greedy keep-lowest-id rule.
+ORACLES["q155_semantic_dedup"] = f"""
+WITH asg AS (SELECT * FROM ({_kmeans_sql()})),
+ev AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+j AS (
+  SELECT a.vec_id, a.cluster_id, ev.v
+  FROM asg a JOIN ev ON ev.id = a.vec_id),
+pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM j x JOIN j y
+    ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+  WHERE {_IVF_COS.format(a="x.v", b="y.v")} >= 0.4),
+dropped AS (SELECT DISTINCT id_b AS id FROM pairs)
+SELECT j.vec_id, j.cluster_id,
+       CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS kept
+FROM j LEFT JOIN dropped d ON d.id = j.vec_id
+ORDER BY j.vec_id
+"""

@@ -1489,3 +1489,41 @@ def test_priority_sample_per_group_census_degeneracy(spark):
     out = priority_sample_per_group(df, "id", "w", "g", k=10).collect()
     assert len(out) == 2
     assert all(r["est"] == float(r["w"]) for r in out)
+
+
+# ---------------------------------------------------------------------
+# Semantic dedup (q155)
+# ---------------------------------------------------------------------
+
+def test_semantic_dedup_drops_planted_neardup(spark):
+    from db_factfinder_spark.llmdata.similarity import semantic_dedup
+
+    # vec 10 ≈ vec 11 (cosine ~1); vec 20 orthogonal.  With k=2 the
+    # near pair lands in one cluster; the higher id (11) is dropped.
+    rows = [
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [0.999, 0.01, 0.0, 0.0]),
+        (20, [0.0, 1.0, 0.0, 0.0]),
+        (21, [0.0, 0.98, 0.2, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r["vec_id"]: r["kept"] for r in
+           semantic_dedup(df, k=2, iters=2, threshold=0.95).collect()}
+    assert out[10] == 1 and out[11] == 0
+    assert out[20] == 1 and out[21] == 0  # cos(20,21) ≈ 0.98 ≥ 0.95
+
+
+def test_semantic_dedup_pairs_stay_within_clusters(spark):
+    from db_factfinder_spark.llmdata.similarity import semantic_dedup
+
+    # identical vectors in DIFFERENT dominant directions: k-means
+    # separates them, so cross-cluster twins are NOT compared and
+    # everything is kept at a threshold their cosine would fail anyway
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r["vec_id"]: r["kept"] for r in
+           semantic_dedup(df, k=2, iters=1, threshold=0.5).collect()}
+    assert out == {1: 1, 2: 1}
