@@ -89,12 +89,14 @@ from db_factfinder_spark.llmdata.similarity import (
     embedding_neardup_pairs,
     ivf_topk,
     lsh_bucketed_topk,
+    jl_projection,
     quantized_topk,
     semantic_dedup,
 )
 from db_factfinder_spark.llmdata.textstats import (
     LANG_STOPWORDS,
     bm25_search,
+    bpe_merge_candidates,
     bpe_token_count,
     collocation_lift,
     fingerprint,
@@ -3943,6 +3945,32 @@ def q149_bm25_search(spark, sf_dir):
     ).orderBy("rank")
 
 
+def q156_bpe_merges(spark, sf_dir):
+    """One BPE-training merge step: corpus-weighted adjacent character
+    pair counts over the word-frequency vocabulary — after the word
+    roll-up every stage is vocabulary-sized, not corpus-sized (see
+    bpe_merge_candidates)."""
+    docs = _docs(spark, sf_dir)
+    return bpe_merge_candidates(docs, k=20, min_count=2).orderBy("rank")
+
+
+def q157_jl_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss ±1 sign projection over int8 codes:
+    64 float dims → 8 exact-int64 components, map-side only (the sign
+    matrix is seed-derived literals), plus the integer self-dot for
+    downstream normalization (see jl_projection)."""
+    embs = _embs(spark, sf_dir)
+    out = jl_projection(embs, out_dim=8, dim=64, seed="jl")
+    # fixed scalar columns rather than the array: integer values are
+    # identical either way, but array *containers* serialize
+    # differently across comparators (list vs ndarray reprs)
+    return out.select(
+        "vec_id",
+        *[F.col("proj")[j].alias(f"p{j}") for j in range(8)],
+        "q_self",
+    ).orderBy("vec_id")
+
+
 def q155_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup: spherical k-means clusters the
     embedding space, exact cosine runs only within clusters (n²/k not
@@ -4205,6 +4233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_ohlc_bars": q153_ohlc_bars,
         "q154_cumulative_uniques": q154_cumulative_uniques,
         "q155_semantic_dedup": q155_semantic_dedup,
+        "q156_bpe_merges": q156_bpe_merges,
+        "q157_jl_projection": q157_jl_projection,
     }
 
 

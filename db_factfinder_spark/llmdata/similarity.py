@@ -577,3 +577,73 @@ def semantic_dedup(
             .alias("kept"),
         )
     )
+
+
+def jl_sign_matrix(out_dim: int, dim: int, seed: str = "jl") -> list[list[int]]:
+    """±1 sign matrix for the Johnson–Lindenstrauss projection,
+    derived from md5 of 'seed|j|i' (parity of the first hex nibble) —
+    a pure function of (seed, j, i), so any engine / the SQL oracle
+    regenerates the identical matrix with no RNG state to ship."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{seed}|{j}|{i}".encode()).hexdigest()[0], 16)
+            % 2
+            == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_projection(
+    df: DataFrame,
+    out_dim: int = 8,
+    dim: int = 64,
+    seed: str = "jl",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction by a random ±1
+    sign matrix (Achlioptas 2003, JCSS — database-friendly random
+    projections) over int8-quantized codes: proj_j = Σᵢ s_ji·qᵢ, all
+    exact int64, so the reduced vectors are bit-identical on any
+    engine AND order-free under any partitioning (no float
+    accumulation).  This is the candidate-stage transform for ANN at
+    scale: 64 float dims → ``out_dim`` small ints cuts the bytes per
+    comparison ~30× before an exact re-rank (quantized_topk /
+    brute_force_topk) touches full precision.
+
+    The sign matrix is out_dim×dim literals baked into the plan (the
+    IVF-centroid precedent: constants, not data, cross the driver);
+    everything else is a map-side expression — zero shuffles.
+
+    Output: ``id_col, proj array<long>, q_self bigint`` (the code
+    self-dot, kept so downstream distance bounds can normalize).
+    """
+    signs = jl_sign_matrix(out_dim, dim, seed)
+    q = quantize_embeddings(df, id_col, vec_col)
+    int_dot_lit = lambda arr, lits: F.aggregate(  # noqa: E731
+        F.zip_with(
+            arr,
+            F.array(*[F.lit(s) for s in lits]),
+            lambda x, y: x.cast("long") * y.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    self_dot = F.aggregate(
+        F.transform(F.col("q"), lambda x: x.cast("long") * x.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return q.select(
+        F.col("id").alias(id_col),
+        F.array(
+            *[int_dot_lit(F.col("q"), signs[j]) for j in range(out_dim)]
+        ).alias("proj"),
+        self_dot.alias("q_self"),
+    )

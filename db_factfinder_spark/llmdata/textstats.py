@@ -475,6 +475,75 @@ def bm25_search(
     )
 
 
+def bpe_merge_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """One step of BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909): corpus-weighted counts of adjacent symbol
+    pairs, ranked — the pair that wins is the next merge rule.  Run
+    over a 100 TB corpus this IS how production vocabularies are
+    built; the engine-shaped insight is that after the word-frequency
+    roll-up ALL remaining work is vocabulary-sized, not corpus-sized.
+
+    Plan: tokens → (word, freq) counts (the only corpus-scale
+    shuffle); each DISTINCT word explodes into its adjacent character
+    pairs ×freq (map-side over the vocab frame); one vocab-scale
+    count; TakeOrdered.  Exact integers throughout.
+
+    Output: ``lhs, rhs, pair_count, rank`` — top-``k`` by
+    (pair_count desc, lhs, rhs).  (Named lhs/rhs: LEFT/RIGHT are SQL
+    keywords and would force quoting in every downstream query.)
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = words.select(
+        "w", "freq", F.split(F.col("w"), "").alias("cs")
+    )
+    # single-character words have no pairs AND must not reach
+    # sequence(1, size-1): Spark's sequence STEPS BACKWARD when
+    # start > stop, so size=1 would evaluate cs[1] out of bounds
+    # (ANSI error), not an empty list
+    pairs = chars.filter(F.size("cs") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(cs) - 1),"
+                " i -> struct(cs[i - 1] AS l, cs[i] AS r))"
+            )
+        ).alias("p"),
+    )
+    counted = (
+        pairs.select(F.col("p.l").alias("lhs"), F.col("p.r").alias("rhs"), "freq")
+        .groupBy("lhs", "rhs")
+        .agg(F.sum("freq").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    return (
+        counted.orderBy(
+            F.col("pair_count").desc(),
+            F.col("lhs").asc(),
+            F.col("rhs").asc(),
+        )
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("pair_count").desc(),
+                    F.col("lhs").asc(),
+                    F.col("rhs").asc(),
+                )
+            ),
+        )
+    )
+
+
 def collocation_lift(
     df: DataFrame,
     text_col: str = "text",

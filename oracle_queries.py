@@ -3645,3 +3645,73 @@ SELECT j.vec_id, j.cluster_id,
 FROM j LEFT JOIN dropped d ON d.id = j.vec_id
 ORDER BY j.vec_id
 """
+
+
+# q156: BPE merge candidates — vocabulary roll-up then 1-based
+# adjacent character pairs (range(1, len) is end-exclusive, matching
+# Spark's 0-based sequence(1, size-1) pairs), exact integer counts.
+ORACLES["q156_bpe_merges"] = f"""
+WITH wrd AS (SELECT unnest({_TOKS}) AS w FROM documents),
+vocab AS (SELECT w, count(*) AS freq FROM wrd GROUP BY w),
+cs AS (SELECT string_split(w, '') AS cs, freq FROM vocab),
+pr AS (
+  SELECT unnest(list_transform(range(1, len(cs)),
+                i -> struct_pack(l := cs[i], r := cs[i + 1]))) AS p,
+         freq
+  FROM cs),
+sel AS (SELECT p.l AS lhs, p.r AS rhs, freq FROM pr),
+counted AS (
+  SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM sel GROUP BY lhs, rhs HAVING sum(freq) >= 2),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY pair_count DESC, lhs, rhs)
+              AS rank
+  FROM counted)
+SELECT lhs, rhs, pair_count, rank FROM ranked
+WHERE rank <= 20 ORDER BY rank
+"""
+
+
+def _jl_signs_sql(out_dim: int = 8, dim: int = 64, seed: str = "jl") -> list[str]:
+    """Re-derive jl_projection's ±1 sign rows independently (md5 of
+    'seed|j|i', parity of the first hex nibble) as SQL list literals."""
+    import hashlib
+
+    rows = []
+    for j in range(out_dim):
+        signs = [
+            "1"
+            if int(
+                hashlib.md5(f"{seed}|{j}|{i}".encode()).hexdigest()[0], 16
+            )
+            % 2
+            == 0
+            else "-1"
+            for i in range(dim)
+        ]
+        rows.append("[" + ", ".join(f"CAST({s} AS DOUBLE)" for s in signs) + "]")
+    return rows
+
+
+_JL_ROWS = _jl_signs_sql()
+
+# q157: JL sign projection — identical int8 quantization (q66 idiom),
+# integer dots via list_dot_product over exact-integer doubles.
+ORACLES["q157_jl_projection"] = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+sc AS (
+  SELECT vec_id, v,
+    greatest(list_max(list_transform(v, y -> abs(y))), 1e-30) / 127.0
+      AS scale
+  FROM e),
+q AS (
+  SELECT vec_id,
+    list_transform(v, x -> floor(x / scale + 0.5)) AS ld
+  FROM sc)
+SELECT vec_id,
+  {", ".join(f"CAST(list_dot_product(ld, {row}) AS BIGINT) AS p{j}" for j, row in enumerate(_JL_ROWS))},
+  CAST(list_dot_product(ld, ld) AS BIGINT) AS q_self
+FROM q ORDER BY vec_id
+"""

@@ -1527,3 +1527,42 @@ def test_semantic_dedup_pairs_stay_within_clusters(spark):
     out = {r["vec_id"]: r["kept"] for r in
            semantic_dedup(df, k=2, iters=1, threshold=0.5).collect()}
     assert out == {1: 1, 2: 1}
+
+
+# ---------------------------------------------------------------------
+# BPE merge candidates (q156) / JL projection (q157)
+# ---------------------------------------------------------------------
+
+def test_bpe_merges_weighted_by_word_freq(spark):
+    from db_factfinder_spark.llmdata.textstats import bpe_merge_candidates
+
+    df = spark.createDataFrame(
+        [("low lower",), ("low low newest",), ("a",)],
+        "text string",
+    )
+    out = {(r["lhs"], r["rhs"]): r["pair_count"]
+           for r in bpe_merge_candidates(df, k=10, min_count=2).collect()}
+    # 'low'×3 + 'lower' → l-o 4, o-w 4; 'lower'+'newest' → w-e 1+1=2;
+    # the 1-char word 'a' contributes nothing (and must not error)
+    assert out[("l", "o")] == 4 and out[("o", "w")] == 4
+    assert out[("w", "e")] == 2
+
+
+def test_jl_projection_exact_signed_sums(spark):
+    from db_factfinder_spark.llmdata.similarity import (
+        jl_projection,
+        jl_sign_matrix,
+    )
+
+    v = [float(i - 2) for i in range(4)]  # [-2,-1,0,1]; max|x|=2
+    df = spark.createDataFrame(
+        [(1, v)], "vec_id int, embedding array<double>"
+    )
+    row = jl_projection(df, out_dim=3, dim=4, seed="t").first()
+    signs = jl_sign_matrix(3, 4, seed="t")
+    scale = 2.0 / 127.0
+    import math
+    q = [math.floor(x / scale + 0.5) for x in v]
+    expect = [sum(s * qi for s, qi in zip(signs[j], q)) for j in range(3)]
+    assert list(row["proj"]) == expect
+    assert row["q_self"] == sum(x * x for x in q)
