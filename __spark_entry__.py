@@ -57,7 +57,7 @@ from db_factfinder_spark.llmdata.components import (
     two_hop_counts,
     integer_pagerank,
 )
-from db_factfinder_spark.llmdata.redact import redact_pii
+from db_factfinder_spark.llmdata.redact import domain_blocklist_filter, redact_pii
 from db_factfinder_spark.llmdata.sampling import (
     budget_fill,
     cap_per_group,
@@ -73,6 +73,7 @@ from db_factfinder_spark.llmdata.sketches import (
     countmin_partials,
     heavy_hitters,
     hll_distinct,
+    hll_intersect,
     hll_merge,
     hll_partials,
     sampled_quantiles,
@@ -153,7 +154,10 @@ from db_factfinder_spark.operators.rangejoin import (
 from db_factfinder_spark.operators.rollup_cascade import cascaded_rollup
 from db_factfinder_spark.operators.cleaning import cleaning
 from db_factfinder_spark.operators.horizontal import aggregate_horizontal
-from db_factfinder_spark.operators.median import median_struct
+from db_factfinder_spark.operators.median import (
+    grouped_weighted_median,
+    median_struct,
+)
 from db_factfinder_spark.operators.pivot import unpivot_cempz
 from db_factfinder_spark.operators.skew import (
     adaptive_salted_join,
@@ -3971,6 +3975,59 @@ def q157_jl_projection(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q158_hll_intersect(spark, sf_dir):
+    """Audience overlap by sketch algebra: |click ∩ view| users via
+    inclusion–exclusion over ONE set of portable HLL bucket partials
+    (union = bucket-wise max — no rescan).  Exact-arithmetic fold, so
+    the estimate is engine-identical (see hll_intersect)."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return hll_intersect(
+        ev,
+        group_a=F.col("event_type") == "click",
+        group_b=F.col("event_type") == "view",
+        value_col="user_id",
+    )
+
+
+def q159_domain_blocklist(spark, sf_dir):
+    """Label-boundary suffix blocklisting of synthesized dotted
+    domains: suffix-chain explode + broadcast equi-probe instead of a
+    per-row LIKE scan over the blocklist (see
+    domain_blocklist_filter).  'src3.com' blocks every 'dN.src3.com';
+    the host-specific entry blocks only itself."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("d"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("."),
+            F.col("source"),
+            F.lit(".com"),
+        ).alias("dom"),
+    )
+    kept = domain_blocklist_filter(
+        docs, "dom", ["src3.com", "src7.com", "d1.src2.com"]
+    )
+    return kept.select("doc_id", "dom").orderBy("doc_id")
+
+
+def q160_weighted_median(spark, sf_dir):
+    """Exact lower weighted median of price (cents) weighted by whole
+    quantity units, per return flag — the discrete 2·cum ≥ W rule is
+    all-integer, so both engines land on the identical row (see
+    grouped_weighted_median)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+        F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    return grouped_weighted_median(
+        li, ["l_returnflag"], "price_c", "qty"
+    ).orderBy("l_returnflag")
+
+
 def q155_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup: spherical k-means clusters the
     embedding space, exact cosine runs only within clusters (n²/k not
@@ -4235,6 +4292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_semantic_dedup": q155_semantic_dedup,
         "q156_bpe_merges": q156_bpe_merges,
         "q157_jl_projection": q157_jl_projection,
+        "q158_hll_intersect": q158_hll_intersect,
+        "q159_domain_blocklist": q159_domain_blocklist,
+        "q160_weighted_median": q160_weighted_median,
     }
 
 

@@ -80,3 +80,51 @@ def redact_pii(
             **{f"n_{label}": col for label, col in counts.items()},
         }
     )
+
+
+def domain_blocklist_filter(
+    df,
+    domain_col: str,
+    blocklist: list[str],
+    keep: bool = False,
+):
+    """Suffix-match domain blocklisting — drop (or keep, for
+    allowlists) every row whose dotted domain matches a blocklist
+    entry at a LABEL boundary ('ads.spam.com' matches 'spam.com' but
+    'notspam.com' does not).
+
+    The scalable formulation: explode each domain into its dot-suffix
+    chain ('a.b.c' → a.b.c, b.c, c — at most label-count entries,
+    bounded by hostname length), equi-join the broadcast blocklist on
+    the suffix, and semi/anti-join the hit ids back.  The naive
+    alternative — OR of LIKE '%.suffix' predicates — is a per-row
+    scan over the whole blocklist that no index or join strategy can
+    help; the suffix explode turns it into ONE hashed broadcast probe
+    per label.
+
+    NULL domains never match a suffix, so blocklist mode keeps them
+    and allowlist mode drops them — NULL is "unknown origin".
+
+    Output: the filtered frame (all original columns).
+    """
+    labs = F.split(F.col("__dom"), r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(0), F.size(labs) - 1),
+        lambda i: F.array_join(
+            F.slice(labs, i + 1, F.size(labs) - i), "."
+        ),
+    )
+    bl = df.sparkSession.createDataFrame(
+        [(s,) for s in blocklist], "suffix string"
+    )
+    hits = (
+        df.select(F.col(domain_col).alias("__dom"))
+        .filter(F.col("__dom").isNotNull())
+        .distinct()
+        .select("__dom", F.explode(suffixes).alias("suffix"))
+        .join(F.broadcast(bl), "suffix", "left_semi")
+        .select("__dom")
+        .distinct()
+    )
+    how = "left_semi" if keep else "left_anti"
+    return df.join(hits, df[domain_col] == hits["__dom"], how)

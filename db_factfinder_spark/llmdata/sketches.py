@@ -343,3 +343,73 @@ def hll_merge(partials: DataFrame, group_cols: list[str]) -> DataFrame:
             ).alias("hll_raw"),
         )
     )
+
+
+def hll_intersect(
+    df: DataFrame,
+    group_a,
+    group_b,
+    value_col: str,
+) -> DataFrame:
+    """Estimated |A ∩ B| of two sliced populations via
+    inclusion–exclusion over the portable HLL sketch: |A∩B| ≈
+    |A| + |B| − |A∪B|, where all three cardinalities come from the
+    SAME bucket partials (the union sketch is the bucket-wise max of
+    the slice sketches — sketch algebra, no rescan of raw data).
+    Standard caveat applies and is part of the contract: the
+    difference of estimates amplifies relative error when the true
+    intersection is small — use it for overlap TRIAGE (which day
+    pairs / domain pairs share audiences), not billing.
+
+    ``group_a`` / ``group_b`` are boolean Columns selecting the two
+    slices.  One pass over the data builds both slice partials
+    (filter inside the aggregation, not two scans); the three folds
+    run over at most 2·m bucket rows.
+
+    Output: one row — ``est_a, est_b, est_union, est_intersect``
+    (raw HLL estimates, exact-arithmetic portable like hll_distinct).
+    """
+    bucket, rank = hll_bucket_rank(value_col)
+    tagged = df.filter(F.col(value_col).isNotNull()).select(
+        bucket.alias("__bucket"),
+        rank.alias("__rank"),
+        group_a.alias("__a"),
+        group_b.alias("__b"),
+    )
+    partials = tagged.groupBy("__bucket").agg(
+        F.max(F.when(F.col("__a"), F.col("__rank"))).alias("__ma"),
+        F.max(F.when(F.col("__b"), F.col("__rank"))).alias("__mb"),
+    )
+
+    inv = lambda c: F.lit(1.0) / F.expr(  # noqa: E731
+        f"shiftleft(1, {c})"
+    ).cast("double")
+    folded = partials.agg(
+        F.count(F.col("__ma")).alias("__na"),
+        F.sum(F.when(F.col("__ma").isNotNull(), inv("__ma"))).alias("__sa"),
+        F.count(F.col("__mb")).alias("__nb"),
+        F.sum(F.when(F.col("__mb").isNotNull(), inv("__mb"))).alias("__sb"),
+        F.count(
+            F.when(F.col("__ma").isNotNull() | F.col("__mb").isNotNull(), 1)
+        ).alias("__nu"),
+        F.sum(
+            F.when(
+                F.col("__ma").isNotNull() | F.col("__mb").isNotNull(),
+                inv("greatest(coalesce(__ma, 0), coalesce(__mb, 0))"),
+            )
+        ).alias("__su"),
+    )
+    est = lambda s, n: F.lit(float(_ALPHA_M2)) / (  # noqa: E731
+        F.coalesce(F.col(s), F.lit(0.0))
+        + (F.lit(_M) - F.col(n)).cast("double")
+    )
+    return folded.select(
+        est("__sa", "__na").alias("est_a"),
+        est("__sb", "__nb").alias("est_b"),
+        est("__su", "__nu").alias("est_union"),
+        (
+            est("__sa", "__na")
+            + est("__sb", "__nb")
+            - est("__su", "__nu")
+        ).alias("est_intersect"),
+    )

@@ -231,3 +231,55 @@ def calculate_median(
         F.col("__med.e").alias("e"),
         F.col("__med.m").alias("m"),
     )
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact lower weighted median per group: the smallest value v
+    whose cumulative weight reaches half the group total
+    (2·cum(v) ≥ W).  The discrete rule is deliberate — it needs no
+    interpolation, so with integer weights every comparison is exact
+    integer arithmetic and any engine lands on the identical row.
+    (The census median above interpolates within coded bins; this is
+    the generic order-statistic for weighted rows.)
+
+    One window (value-ordered cumulative weight within the group) +
+    one aggregation taking the first qualifying value via min-struct.
+    Both shuffles key on the group; a skewed group concentrates one
+    window partition like any keyed sort — AQE applies.  Zero/negative
+    weights are excluded (they contribute no mass and would break the
+    monotone-cumulative argument); ties on value are merged by the
+    cumulative sum before the rule applies, so duplicates are safe.
+
+    Output: ``*group_cols, w_total, w_median``.
+    """
+    from pyspark.sql import Window
+
+    rows = df.filter(F.col(weight_col) > 0).select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        F.col(weight_col).alias("__w"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rows.withColumn("__cum", F.sum("__w").over(w))
+    tot = cum.groupBy(*group_cols).agg(
+        F.max("__cum").alias("w_total")
+    )
+    qualified = cum.join(tot, group_cols).filter(
+        F.col("__cum") * 2 >= F.col("w_total")
+    )
+    return (
+        qualified.groupBy(*group_cols)
+        .agg(
+            F.max("w_total").alias("w_total"),
+            F.min("__v").alias("w_median"),
+        )
+    )

@@ -3715,3 +3715,98 @@ SELECT vec_id,
   CAST(list_dot_product(ld, ld) AS BIGINT) AS q_self
 FROM q ORDER BY vec_id
 """
+
+
+# q158: HLL inclusion–exclusion — one partials pass with conditional
+# slice maxima; every 2^(−M) term exact, fixed left-assoc est sums.
+ORACLES["q158_hll_intersect"] = """
+WITH pr AS (
+  SELECT
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT % 64
+      AS bucket,
+    29 - length(bin(
+      ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 8, 7))::BIGINT))
+      AS rank,
+    event_type = 'click' AS a,
+    event_type = 'view' AS b
+  FROM events WHERE user_id IS NOT NULL),
+mx AS (
+  SELECT bucket,
+         max(CASE WHEN a THEN rank END) AS ma,
+         max(CASE WHEN b THEN rank END) AS mb
+  FROM pr GROUP BY bucket),
+s AS (
+  SELECT
+    count(ma) AS na,
+    sum(CASE WHEN ma IS NOT NULL
+             THEN 1.0 / CAST(1 << ma AS DOUBLE) END) AS sa,
+    count(mb) AS nb,
+    sum(CASE WHEN mb IS NOT NULL
+             THEN 1.0 / CAST(1 << mb AS DOUBLE) END) AS sb,
+    count(CASE WHEN ma IS NOT NULL OR mb IS NOT NULL THEN 1 END) AS nu,
+    sum(CASE WHEN ma IS NOT NULL OR mb IS NOT NULL
+             THEN 1.0 / CAST(1 << greatest(coalesce(ma, 0),
+                                           coalesce(mb, 0)) AS DOUBLE)
+        END) AS su
+  FROM mx)
+SELECT
+  2904.064 / (coalesce(sa, 0.0) + CAST(64 - na AS DOUBLE)) AS est_a,
+  2904.064 / (coalesce(sb, 0.0) + CAST(64 - nb AS DOUBLE)) AS est_b,
+  2904.064 / (coalesce(su, 0.0) + CAST(64 - nu AS DOUBLE)) AS est_union,
+  2904.064 / (coalesce(sa, 0.0) + CAST(64 - na AS DOUBLE))
+    + 2904.064 / (coalesce(sb, 0.0) + CAST(64 - nb AS DOUBLE))
+    - 2904.064 / (coalesce(su, 0.0) + CAST(64 - nu AS DOUBLE))
+    AS est_intersect
+FROM s
+"""
+
+
+# q159: suffix-chain blocklist — identical dotted synthesis, suffix
+# explode at label boundaries, anti-join of matched domains.
+ORACLES["q159_domain_blocklist"] = """
+WITH d AS (
+  SELECT doc_id,
+         'd' || CAST(doc_id % 7 AS VARCHAR) || '.' || source || '.com'
+           AS dom
+  FROM documents),
+dd AS (SELECT DISTINCT dom FROM d WHERE dom IS NOT NULL),
+suf AS (
+  SELECT dom,
+         unnest(list_transform(range(0, len(labs)),
+                i -> array_to_string(labs[i + 1:], '.'))) AS suffix
+  FROM (SELECT dom, string_split(dom, '.') AS labs FROM dd)),
+hits AS (
+  SELECT DISTINCT dom FROM suf
+  WHERE suffix IN ('src3.com', 'src7.com', 'd1.src2.com'))
+SELECT doc_id, dom FROM d
+WHERE dom NOT IN (SELECT dom FROM hits)
+ORDER BY doc_id
+"""
+
+
+# q160: lower weighted median — 2·cum ≥ W on integer weights; the
+# qualified-set row order differs across engines for tied values but
+# min(value) is invariant (argued in grouped_weighted_median).
+ORACLES["q160_weighted_median"] = """
+WITH rows_ AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(floor(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE floor(l_quantity) > 0),
+cum AS (
+  SELECT l_returnflag, price_c,
+         sum(qty) OVER (PARTITION BY l_returnflag ORDER BY price_c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM rows_),
+tot AS (
+  SELECT l_returnflag, CAST(max(c) AS BIGINT) AS w_total
+  FROM cum GROUP BY l_returnflag)
+SELECT c.l_returnflag,
+       CAST(max(t.w_total) AS BIGINT) AS w_total,
+       min(c.price_c) AS w_median
+FROM cum c JOIN tot t USING (l_returnflag)
+WHERE c.c * 2 >= t.w_total
+GROUP BY c.l_returnflag
+ORDER BY c.l_returnflag
+"""

@@ -1566,3 +1566,76 @@ def test_jl_projection_exact_signed_sums(spark):
     expect = [sum(s * qi for s, qi in zip(signs[j], q)) for j in range(3)]
     assert list(row["proj"]) == expect
     assert row["q_self"] == sum(x * x for x in q)
+
+
+# ---------------------------------------------------------------------
+# HLL intersection (q158) / blocklist (q159)
+# ---------------------------------------------------------------------
+
+def test_hll_intersect_identities(spark):
+    from db_factfinder_spark.llmdata.sketches import (
+        hll_distinct,
+        hll_intersect,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 60 else "b") for i in range(100)]
+        + [(i, "b") for i in range(40, 60)],  # overlap 40..59
+        "uid int, grp string",
+    )
+    row = hll_intersect(
+        df, F.col("grp") == "a", F.col("grp") == "b", "uid"
+    ).first()
+    # slice estimates must equal the stand-alone per-group sketch
+    solo = {
+        r["grp"]: r["hll_raw"]
+        for r in hll_distinct(df, ["grp"], "uid").collect()
+    }
+    assert row["est_a"] == solo["a"] and row["est_b"] == solo["b"]
+    # inclusion–exclusion identity holds exactly by construction
+    assert row["est_intersect"] == (
+        row["est_a"] + row["est_b"] - row["est_union"]
+    )
+    # m=64 sketch on ~100 keys: coarse, but the overlap (truth 20 of
+    # 100 union) must land in a sane band, and union ≤ a + b
+    assert row["est_union"] <= row["est_a"] + row["est_b"]
+
+
+def test_domain_blocklist_label_boundary(spark):
+    from db_factfinder_spark.llmdata.redact import domain_blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "ads.spam.com"),
+            (2, "spam.com"),
+            (3, "notspam.com"),   # must NOT match 'spam.com'
+            (4, "spam.com.evil"), # suffix chain never yields 'spam.com'
+            (5, None),
+        ],
+        "id int, dom string",
+    )
+    kept = domain_blocklist_filter(df, "dom", ["spam.com"])
+    assert sorted(r["id"] for r in kept.collect()) == [3, 4, 5]
+    allowed = domain_blocklist_filter(df, "dom", ["spam.com"], keep=True)
+    assert sorted(r["id"] for r in allowed.collect()) == [1, 2]
+
+
+def test_grouped_weighted_median_hand_computed(spark):
+    from db_factfinder_spark.operators.median import (
+        grouped_weighted_median,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("g", 10, 1), ("g", 20, 2), ("g", 30, 1),  # W=4, cum(20)=3 ≥ 2
+            ("h", 5, 9), ("h", 100, 1),                # heavy low value
+            ("z", 7, 0),                               # zero weight: excluded
+            ("z", 9, 2),
+        ],
+        "k string, v int, w int",
+    )
+    out = {r["k"]: r for r in
+           grouped_weighted_median(df, ["k"], "v", "w").collect()}
+    assert (out["g"]["w_median"], out["g"]["w_total"]) == (20, 4)
+    assert out["h"]["w_median"] == 5
+    assert (out["z"]["w_median"], out["z"]["w_total"]) == (9, 2)
