@@ -51,6 +51,7 @@ from db_factfinder_spark.llmdata.dedup import (
     simhash_near_pairs,
 )
 from db_factfinder_spark.llmdata.components import (
+    connected_components_star,
     neardup_groups,
     select_survivors,
     triangle_counts,
@@ -3975,6 +3976,21 @@ def q157_jl_projection(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q161_components_star(spark, sf_dir):
+    """Connected components via alternating large-star/small-star
+    contraction (O(log² n) rounds on high-diameter graphs, vs
+    O(diameter) for q46's label propagation) over the same LSH
+    near-dup pair graph — both converge to the identical
+    per-component-minimum fixpoint, checked against the same
+    recursive-CTE closure."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        docs, num_hashes=8, bands=4, n=3, verify_threshold=0.6,
+        max_bucket=None,
+    )
+    return connected_components_star(pairs).orderBy("id")
+
+
 def q158_hll_intersect(spark, sf_dir):
     """Audience overlap by sketch algebra: |click ∩ view| users via
     inclusion–exclusion over ONE set of portable HLL bucket partials
@@ -4295,6 +4311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_hll_intersect": q158_hll_intersect,
         "q159_domain_blocklist": q159_domain_blocklist,
         "q160_weighted_median": q160_weighted_median,
+        "q161_components_star": q161_components_star,
     }
 
 

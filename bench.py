@@ -58,6 +58,10 @@ HEADLINE = [
     "q113_heavy_hitters",       # Misra-Gries 2-pass frequent items
     "q116_skyline",             # distinct-cost Pareto frontier
     "q130_span_removal",        # ExactSubstr span dedup + re-assembly
+    "q146_countmin_freq",       # CMS build + broadcast probe join
+    "q149_bm25_search",         # postings-only BM25 + TakeOrdered
+    "q150_collocations",        # vocab-pruned pair self-join + lift
+    "q155_semantic_dedup",      # k-means clusters + in-cluster cosine
 ]
 
 

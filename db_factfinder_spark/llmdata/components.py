@@ -295,3 +295,103 @@ def integer_pagerank(
             checkpoint_mode,
         )
     return p.select(F.col("a").alias("node"), "p")
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al., SoCC 2014 — "Connected Components in
+    MapReduce and Beyond"), the algorithm built for the graphs that
+    break plain label propagation: high-diameter chains.
+
+    One round = a LARGE-STAR pass (every strictly-larger neighbor of
+    u reconnects to u's closed-neighborhood minimum m(u)) then a
+    SMALL-STAR pass (every not-larger neighbor, and u itself,
+    reconnects to m(u)).  Each pass is one groupBy-min + one
+    equi-join — the same shuffle cost as a propagation round — but
+    the alternation contracts path length GEOMETRICALLY: O(log² n)
+    rounds on any graph versus O(diameter) for propagation (a 10⁶
+    chain: tens of star rounds vs 10⁶ propagation rounds).  Near-dup
+    graphs are dense near-cliques and favor propagation's simplicity;
+    provenance/citation chains at 100 TB need this.
+
+    The fixpoint — every component a star centered at its minimum —
+    is the same unique object min-label propagation converges to, so
+    the two implementations are interchangeable and oracle-checked
+    against the same recursive-CTE closure.
+
+    Output: ``id, label`` (component minimum), one row per vertex
+    appearing in ``pairs``.
+    """
+
+    def symmetric(e: DataFrame) -> DataFrame:
+        return (
+            e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def closed_min(e: DataFrame) -> DataFrame:
+        # m(u) = min({u} ∪ N(u))
+        return (
+            e.select("u", F.col("v").alias("w"))
+            .union(e.select("u", F.col("u").alias("w")))
+            .groupBy("u")
+            .agg(F.min("w").alias("m"))
+        )
+
+    e0 = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = materialize(symmetric(e0), checkpoint_mode)
+    vertices = materialize(
+        edges.select(F.col("u").alias("id")).distinct(), checkpoint_mode
+    )
+    for _ in range(max_iter):
+        # large-star: each undirected edge {x, y}, x < y, rewires its
+        # upper endpoint to m(lower)
+        m1 = closed_min(edges)
+        ls = (
+            edges.join(m1, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        mid = materialize(symmetric(ls), checkpoint_mode)
+        # small-star: lower endpoints (and u itself) rewire to m(u)
+        m2 = closed_min(mid)
+        ss = (
+            mid.join(m2, "u")
+            .filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select(F.col("u").alias("u"), F.col("m").alias("v")))
+        )
+        new_edges = materialize(symmetric(ss), checkpoint_mode)
+        # converged ⇔ the UNDIRECTED edge set is unchanged (both
+        # anti-joins — contraction can shrink the set, which a
+        # one-sided "no new edges" probe would mistake for a fixpoint)
+        unchanged = (
+            new_edges.join(edges, ["u", "v"], "left_anti").limit(1).count()
+            == 0
+            and edges.join(new_edges, ["u", "v"], "left_anti")
+            .limit(1)
+            .count()
+            == 0
+        )
+        edges = new_edges
+        if unchanged:
+            break
+    # fixpoint stars: every non-minimum vertex has its minimum as a
+    # neighbor; minima label themselves
+    labels = edges.groupBy("u").agg(F.min("v").alias("label"))
+    return (
+        vertices.join(labels, vertices["id"] == labels["u"], "left")
+        .select(
+            "id",
+            F.least(
+                F.coalesce(F.col("label"), F.col("id")), F.col("id")
+            ).alias("label"),
+        )
+    )

@@ -3810,3 +3810,24 @@ WHERE c.c * 2 >= t.w_total
 GROUP BY c.l_returnflag
 ORDER BY c.l_returnflag
 """
+
+
+# q161: star-contraction components — the fixpoint is the identical
+# per-component minimum the q46 closure computes; only the output
+# shape differs (id, label).
+ORACLES["q161_components_star"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({ORACLES["q32_lsh_neardup_pairs"]})
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (
+  SELECT a AS id, least(a, min(b)) AS label FROM reach GROUP BY a)
+SELECT id, label FROM comp ORDER BY id
+"""

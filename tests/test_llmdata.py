@@ -1639,3 +1639,30 @@ def test_grouped_weighted_median_hand_computed(spark):
     assert (out["g"]["w_median"], out["g"]["w_total"]) == (20, 4)
     assert out["h"]["w_median"] == 5
     assert (out["z"]["w_median"], out["z"]["w_total"]) == (9, 2)
+
+
+def test_components_star_matches_propagation_on_chain(spark):
+    """The star contraction must land on the identical fixpoint as
+    min-label propagation — exercised on the propagation-hostile
+    shape (a long chain), plus a clique and a dangling leaf."""
+    from db_factfinder_spark.llmdata.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = (
+        [(i, i + 1) for i in range(30)]             # 31-node chain
+        + [(100, 101), (101, 102), (100, 102)]      # triangle
+        + [(15, 200)]                               # leaf off the chain
+    )
+    df = spark.createDataFrame(pairs, "id_a int, id_b int")
+    star = sorted(
+        map(tuple, connected_components_star(df).collect())
+    )
+    prop = sorted(
+        map(tuple,
+            connected_components(df, max_iter=40)
+            .select("id", "label").collect())
+    )
+    assert star == prop
+    assert all(lbl == 0 for _id, lbl in star if _id <= 30 or _id == 200)

@@ -376,7 +376,16 @@ def test_partition_invariance_of_order_sensitive_queries(spark):
     cumsum packing over a filtered chain) must return IDENTICAL rows
     under a radically different shuffle layout — the property that
     makes results reproducible on any cluster size."""
-    targets = ["q90_session_paths", "q100_curation_pipeline"]
+    targets = [
+        "q90_session_paths",
+        "q100_curation_pipeline",
+        # round-4 order-sensitive internals: TakeOrdered τ thresholds
+        # (priority sampling), greedy keep-lowest-id over a cluster
+        # self-join (semantic dedup), vocabulary LIMIT ties (BPE)
+        "q147_priority_sample",
+        "q155_semantic_dedup",
+        "q156_bpe_merges",
+    ]
     before = {}
     for name in targets:
         before[name] = [tuple(r) for r in QUERIES[name](spark, SF_DIR).collect()]
