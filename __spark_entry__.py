@@ -99,6 +99,7 @@ from db_factfinder_spark.llmdata.textstats import (
     LANG_STOPWORDS,
     bm25_search,
     bpe_merge_candidates,
+    char_chunker_udtf,
     bpe_token_count,
     collocation_lift,
     fingerprint,
@@ -3976,6 +3977,25 @@ def q157_jl_projection(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q162_udtf_chunks(spark, sf_dir):
+    """Python UDTF (Spark 4 `@udtf`) in a LATERAL join: overlapping
+    120-char windows every 90 chars per document — per-row variable
+    fan-out with imperative logic, Arrow-batched.  The chunks are a
+    pure function of the text, so the oracle re-derives every row
+    with substr arithmetic (UDTF ≠ unchecked)."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    spark.udtf.register(
+        "char_chunker", char_chunker_udtf(size=120, stride=90)
+    )
+    docs.createOrReplaceTempView("__q162_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.start_pos, c.piece
+        FROM __q162_docs d, LATERAL char_chunker(d.text) c
+        """
+    ).orderBy("doc_id", "chunk_id")
+
+
 def q161_components_star(spark, sf_dir):
     """Connected components via alternating large-star/small-star
     contraction (O(log² n) rounds on high-diameter graphs, vs
@@ -4312,6 +4332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_domain_blocklist": q159_domain_blocklist,
         "q160_weighted_median": q160_weighted_median,
         "q161_components_star": q161_components_star,
+        "q162_udtf_chunks": q162_udtf_chunks,
     }
 
 

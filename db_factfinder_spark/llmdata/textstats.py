@@ -683,3 +683,39 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "score", "rank")
     )
+
+
+def char_chunker_udtf(size: int, stride: int):
+    """Python UDTF (Spark 4 `@udtf`) producing overlapping character
+    windows of a string: one input row → ⌈len/stride⌉ chunk rows of
+    ``size`` chars starting every ``stride`` (overlap = size−stride).
+    The UDTF is the right tool precisely where `explode(transform(
+    sequence(...)))` gets awkward — per-row variable fan-out with
+    imperative logic — while staying Arrow-batched and lateral-join
+    composable (`... FROM docs d, LATERAL chunk(d.text)`).
+
+    Rows are a pure function of the input string, so a SQL oracle
+    re-derives every chunk with substr arithmetic — UDTF ≠ unchecked.
+
+    Returns the UDTF class, ready for ``spark.udtf.register``.
+    ``size > stride ≥ 1`` required (every character covered, bounded
+    fan-out).
+    """
+    if not (size > 0 and 0 < stride <= size):
+        raise ValueError("need size > 0 and 0 < stride <= size")
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, start_pos int, piece string")
+    class CharChunker:
+        def eval(self, text: str):
+            if text is None:
+                return
+            n = len(text)
+            cid = 0
+            for start in range(0, max(n, 1), stride):
+                yield (cid, start + 1, text[start : start + size])
+                cid += 1
+                if start + size >= n:
+                    break
+
+    return CharChunker

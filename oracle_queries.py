@@ -3831,3 +3831,22 @@ comp AS (
   SELECT a AS id, least(a, min(b)) AS label FROM reach GROUP BY a)
 SELECT id, label FROM comp ORDER BY id
 """
+
+
+# q162: UDTF chunker re-derived with substr arithmetic — start s is
+# emitted iff s = 0 or the previous chunk (s−90, length 120) did not
+# already cover the end: s + 30 < len.
+ORACLES["q162_udtf_chunks"] = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+pos AS (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(length(text), 1), 90)) AS s
+  FROM d)
+SELECT doc_id,
+       CAST(s / 90 AS INT) AS chunk_id,
+       CAST(s + 1 AS INT) AS start_pos,
+       substr(text, CAST(s + 1 AS INT), 120) AS piece
+FROM pos
+WHERE s = 0 OR s + 30 < length(text)
+ORDER BY doc_id, chunk_id
+"""

@@ -1666,3 +1666,22 @@ def test_components_star_matches_propagation_on_chain(spark):
     )
     assert star == prop
     assert all(lbl == 0 for _id, lbl in star if _id <= 30 or _id == 200)
+
+
+def test_char_chunker_udtf_overlap_and_tail(spark):
+    from db_factfinder_spark.llmdata.textstats import char_chunker_udtf
+
+    spark.udtf.register("t_chunk", char_chunker_udtf(size=5, stride=3))
+    rows = spark.sql(
+        "SELECT * FROM t_chunk('abcdefgh')"
+    ).collect()
+    got = [(r["chunk_id"], r["start_pos"], r["piece"]) for r in rows]
+    # 8 chars, size 5, stride 3: [abcde], [defgh] — second chunk
+    # reaches the end, so no third
+    assert got == [(0, 1, "abcde"), (1, 4, "defgh")]
+    # empty string: one empty chunk (still one row per input)
+    rows2 = spark.sql("SELECT * FROM t_chunk('')").collect()
+    assert [(r["chunk_id"], r["piece"]) for r in rows2] == [(0, "")]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        char_chunker_udtf(size=3, stride=5)
