@@ -127,7 +127,7 @@ from db_factfinder_spark.operators.funnel import (
     cohort_retention,
     next_event_within,
 )
-from db_factfinder_spark.operators.diff import table_diff
+from db_factfinder_spark.operators.diff import changed_buckets, table_diff
 from db_factfinder_spark.operators.intervals import covered_time
 from db_factfinder_spark.operators.incremental import (
     agg_state,
@@ -3977,6 +3977,30 @@ def q157_jl_projection(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q163_changed_buckets(spark, sf_dir):
+    """Merkle-style snapshot reconciliation: xor-fingerprint 64
+    buckets of each side, exchange only the bucket summaries, and
+    surface the buckets that disagree (here: a synthetic change-set —
+    every 997th order repriced, every 499th dropped).  Row-level diff
+    then runs on candidates only (see bucket_fingerprints)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+        "o_orderstatus",
+    )
+    new = orders.filter(F.col("o_orderkey") % 499 != 0).withColumn(
+        "price_c",
+        F.when(
+            F.col("o_orderkey") % 997 == 0, F.col("price_c") + 1
+        ).otherwise(F.col("price_c")),
+    )
+    return changed_buckets(
+        orders, new, "o_orderkey", ["price_c", "o_orderstatus"], buckets=64
+    ).orderBy("bucket")
+
+
 def q162_udtf_chunks(spark, sf_dir):
     """Python UDTF (Spark 4 `@udtf`) in a LATERAL join: overlapping
     120-char windows every 90 chars per document — per-row variable
@@ -4333,6 +4357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_weighted_median": q160_weighted_median,
         "q161_components_star": q161_components_star,
         "q162_udtf_chunks": q162_udtf_chunks,
+        "q163_changed_buckets": q163_changed_buckets,
     }
 
 

@@ -3850,3 +3850,41 @@ FROM pos
 WHERE s = 0 OR s + 30 < length(text)
 ORDER BY doc_id, chunk_id
 """
+
+
+# q163: merkle bucket reconciliation — identical md5 buckets and
+# 60-bit row hashes, bit_xor fold (order-free), NULL-safe disagree.
+ORACLES["q163_changed_buckets"] = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+         o_orderstatus AS st
+  FROM orders),
+newt AS (
+  SELECT k,
+         CASE WHEN k % 997 = 0 THEN price_c + 1 ELSE price_c END
+           AS price_c,
+         st
+  FROM base WHERE k % 499 != 0),
+fo AS (
+  SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 7))::BIGINT % 64
+           AS bucket,
+         count(*) AS n_old,
+         bit_xor(('0x' || substr(md5(CAST(k AS VARCHAR) || '|'
+             || CAST(price_c AS VARCHAR) || '|' || st), 1, 15))::BIGINT)
+           AS fp_old
+  FROM base GROUP BY 1),
+fn AS (
+  SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 7))::BIGINT % 64
+           AS bucket,
+         count(*) AS n_new,
+         bit_xor(('0x' || substr(md5(CAST(k AS VARCHAR) || '|'
+             || CAST(price_c AS VARCHAR) || '|' || st), 1, 15))::BIGINT)
+           AS fp_new
+  FROM newt GROUP BY 1)
+SELECT bucket, n_old, n_new, fp_old, fp_new
+FROM fo FULL OUTER JOIN fn USING (bucket)
+WHERE NOT (fp_old IS NOT DISTINCT FROM fp_new
+           AND n_old IS NOT DISTINCT FROM n_new)
+ORDER BY bucket
+"""

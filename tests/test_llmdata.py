@@ -1685,3 +1685,38 @@ def test_char_chunker_udtf_overlap_and_tail(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         char_chunker_udtf(size=3, stride=5)
+
+
+def test_changed_buckets_localizes_mutations(spark):
+    from db_factfinder_spark.operators.diff import (
+        bucket_fingerprints,
+        changed_buckets,
+    )
+
+    old = spark.createDataFrame(
+        [(i, i * 10, "ok") for i in range(200)], "k int, v int, s string"
+    )
+    # mutate one row, drop one row, add one row
+    new = (
+        old.filter(F.col("k") != 7)
+        .withColumn(
+            "v", F.when(F.col("k") == 13, F.lit(-1)).otherwise(F.col("v"))
+        )
+        .unionByName(
+            spark.createDataFrame([(9999, 1, "new")], "k int, v int, s string")
+        )
+    )
+    out = changed_buckets(old, new, "k", ["v", "s"], buckets=32).collect()
+    # ≤ 3 buckets can disagree (one per touched key, maybe colliding)
+    assert 1 <= len(out) <= 3
+    # identical snapshots produce NO disagreeing buckets
+    same = changed_buckets(old, old, "k", ["v", "s"], buckets=32)
+    assert same.count() == 0
+    # incrementality: xor of row-hash in == xor out (self-inverse)
+    fp = {r["bucket"]: r["fp"] for r in
+          bucket_fingerprints(old, "k", ["v", "s"], 32).collect()}
+    fp2 = {r["bucket"]: r["fp"] for r in
+           bucket_fingerprints(old.unionByName(old), "k", ["v", "s"], 32)
+           .collect()}
+    assert all(v == 0 for v in fp2.values())  # every hash xors itself out
+    assert fp.keys() == fp2.keys()
