@@ -127,6 +127,7 @@ from db_factfinder_spark.operators.funnel import (
     cohort_retention,
     next_event_within,
 )
+from db_factfinder_spark.operators.basket import association_rules
 from db_factfinder_spark.operators.diff import changed_buckets, table_diff
 from db_factfinder_spark.operators.intervals import covered_time
 from db_factfinder_spark.operators.incremental import (
@@ -3977,6 +3978,19 @@ def q157_jl_projection(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q164_association_rules(spark, sf_dir):
+    """Apriori 2-itemset rules over parts co-ordered in lineitem
+    baskets: support/confidence/lift as exact-integer ratios,
+    min-support pruning BEFORE the basket self-join (see
+    association_rules)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 500).alias("item")
+    )
+    return association_rules(
+        li, "l_orderkey", "item", min_support=3, k=25
+    ).orderBy("rank")
+
+
 def q163_changed_buckets(spark, sf_dir):
     """Merkle-style snapshot reconciliation: xor-fingerprint 64
     buckets of each side, exchange only the bucket summaries, and
@@ -4358,6 +4372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_components_star": q161_components_star,
         "q162_udtf_chunks": q162_udtf_chunks,
         "q163_changed_buckets": q163_changed_buckets,
+        "q164_association_rules": q164_association_rules,
     }
 
 

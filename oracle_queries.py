@@ -3888,3 +3888,40 @@ WHERE NOT (fp_old IS NOT DISTINCT FROM fp_new
            AND n_old IS NOT DISTINCT FROM n_new)
 ORDER BY bucket
 """
+
+
+# q164: Apriori 2-itemset rules — identical presence/prune/pair
+# pipeline, exact-integer support/confidence/lift ratios.
+ORACLES["q164_association_rules"] = """
+WITH pres AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey % 500 AS i FROM lineitem),
+counts AS (SELECT i, count(*) AS c FROM pres GROUP BY i),
+freq AS (SELECT * FROM counts WHERE c >= 3),
+pruned AS (SELECT p.b, p.i FROM pres p JOIN freq USING (i)),
+nb AS (SELECT count(DISTINCT b) AS n_baskets FROM pres),
+pairs AS (
+  SELECT p1.i AS x, p2.i AS y, count(*) AS support
+  FROM pruned p1 JOIN pruned p2 ON p1.b = p2.b AND p1.i < p2.i
+  GROUP BY 1, 2 HAVING count(*) >= 3),
+rules AS (
+  SELECT x AS antecedent, y AS consequent, support FROM pairs
+  UNION ALL
+  SELECT y AS antecedent, x AS consequent, support FROM pairs),
+scored AS (
+  SELECT r.antecedent, r.consequent, r.support,
+         fa.c AS n_ante, fc.c AS n_cons,
+         CAST(r.support AS DOUBLE) / CAST(fa.c AS DOUBLE) AS confidence,
+         CAST(r.support * n_baskets AS DOUBLE)
+           / CAST(fa.c * fc.c AS DOUBLE) AS lift
+  FROM rules r
+  JOIN freq fa ON fa.i = r.antecedent
+  JOIN freq fc ON fc.i = r.consequent
+  CROSS JOIN nb),
+ranked AS (
+  SELECT *, row_number() OVER (
+    ORDER BY lift DESC, antecedent, consequent) AS rank
+  FROM scored)
+SELECT antecedent, consequent, support, n_ante, n_cons,
+       confidence, lift, rank
+FROM ranked WHERE rank <= 25 ORDER BY rank
+"""

@@ -1720,3 +1720,27 @@ def test_changed_buckets_localizes_mutations(spark):
            .collect()}
     assert all(v == 0 for v in fp2.values())  # every hash xors itself out
     assert fp.keys() == fp2.keys()
+
+
+def test_association_rules_hand_computed(spark):
+    from db_factfinder_spark.operators.basket import association_rules
+
+    # 4 baskets: {a,b} ×3, {a,c} ×1 → a:4, b:3, c:1 baskets
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (4, "a"), (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "b int, i string")
+    out = {(r["antecedent"], r["consequent"]): r
+           for r in association_rules(df, "b", "i", min_support=2, k=10)
+           .collect()}
+    # c is pruned (1 < min_support): no a→c / c→a rule
+    assert set(out) == {("a", "b"), ("b", "a")}
+    ab = out[("a", "b")]
+    assert ab["support"] == 3 and ab["n_ante"] == 4 and ab["n_cons"] == 3
+    assert ab["confidence"] == 3.0 / 4.0
+    assert ab["lift"] == (3 * 4) / (4 * 3)  # = 1.0
+    ba = out[("b", "a")]
+    assert ba["confidence"] == 1.0 and ba["lift"] == 1.0
