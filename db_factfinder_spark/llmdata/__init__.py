@@ -39,17 +39,28 @@ from db_factfinder_spark.llmdata.dedup import (  # noqa: F401
     simhash_near_pairs,
 )
 from db_factfinder_spark.llmdata.sketches import (  # noqa: F401
+    countmin_estimate,
+    countmin_partials,
+    heavy_hitters,
     hll_distinct,
+    hll_intersect,
+    hll_merge,
+    hll_partials,
     sampled_quantiles,
 )
 from db_factfinder_spark.llmdata.strmatch import edit1_join  # noqa: F401
 from db_factfinder_spark.llmdata.similarity import (  # noqa: F401
     brute_force_topk,
     cosine_similarity,
+    jl_projection,
+    jl_sign_matrix,
     lsh_bucketed_topk,
+    quantized_topk,
+    semantic_dedup,
 )
 from db_factfinder_spark.llmdata.components import (  # noqa: F401
     connected_components,
+    connected_components_star,
     neardup_groups,
     select_survivors,
 )
@@ -58,7 +69,21 @@ from db_factfinder_spark.llmdata.sampling import (  # noqa: F401
     cap_per_group,
     deterministic_sample,
     hash_bucket,
+    mixture_sample,
+    priority_sample,
+    priority_sample_per_group,
     split_column,
 )
-from db_factfinder_spark.llmdata.textstats import tfidf_top_terms  # noqa: F401
+from db_factfinder_spark.llmdata.redact import (  # noqa: F401
+    domain_blocklist_filter,
+    redact_pii,
+)
+from db_factfinder_spark.llmdata.textstats import (  # noqa: F401
+    bm25_search,
+    bpe_merge_candidates,
+    char_chunker_udtf,
+    collocation_lift,
+    tfidf_top_terms,
+    token_diversity,
+)
 from db_factfinder_spark.llmdata.lines import line_dedup  # noqa: F401
