@@ -127,7 +127,7 @@ from db_factfinder_spark.operators.funnel import (
     cohort_retention,
     next_event_within,
 )
-from db_factfinder_spark.operators.basket import association_rules
+from db_factfinder_spark.operators.basket import association_rules, rfm_scores
 from db_factfinder_spark.operators.diff import changed_buckets, table_diff
 from db_factfinder_spark.operators.intervals import covered_time
 from db_factfinder_spark.operators.incremental import (
@@ -3978,6 +3978,22 @@ def q157_jl_projection(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q165_rfm_segments(spark, sf_dir):
+    """RFM quintile segmentation of customers: boundary-broadcast
+    exact percentiles + map-side comparisons (no ntile global sort),
+    monetary in exact cents (see rfm_scores)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("amount_c"),
+    )
+    return rfm_scores(
+        orders, "o_custkey", "o_orderdate", "amount_c", "2001-12-31"
+    ).orderBy("o_custkey")
+
+
 def q164_association_rules(spark, sf_dir):
     """Apriori 2-itemset rules over parts co-ordered in lineitem
     baskets: support/confidence/lift as exact-integer ratios,
@@ -4373,6 +4389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_udtf_chunks": q162_udtf_chunks,
         "q163_changed_buckets": q163_changed_buckets,
         "q164_association_rules": q164_association_rules,
+        "q165_rfm_segments": q165_rfm_segments,
     }
 
 

@@ -3925,3 +3925,42 @@ SELECT antecedent, consequent, support, n_ante, n_cons,
        confidence, lift, rank
 FROM ranked WHERE rank <= 25 ORDER BY rank
 """
+
+
+# q165: RFM — quantile_cont boundaries (q59 parity precedent), same
+# strict-> bucket comparisons, recency inverted.
+ORACLES["q165_rfm_segments"] = """
+WITH per_c AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(max(o_orderdate) AS DATE),
+                   DATE '2001-12-31') AS r_days,
+         count(*) AS f,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS m_c
+  FROM orders GROUP BY o_custkey),
+b AS (
+  SELECT quantile_cont(r_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+         quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS fb,
+         quantile_cont(m_c, [0.2, 0.4, 0.6, 0.8]) AS mb
+  FROM per_c),
+scored AS (
+  SELECT o_custkey, r_days, f, m_c,
+    6 - (1 + CASE WHEN CAST(r_days AS DOUBLE) > rb[1] THEN 1 ELSE 0 END
+           + CASE WHEN CAST(r_days AS DOUBLE) > rb[2] THEN 1 ELSE 0 END
+           + CASE WHEN CAST(r_days AS DOUBLE) > rb[3] THEN 1 ELSE 0 END
+           + CASE WHEN CAST(r_days AS DOUBLE) > rb[4] THEN 1 ELSE 0 END)
+      AS r_score,
+    1 + CASE WHEN CAST(f AS DOUBLE) > fb[1] THEN 1 ELSE 0 END
+      + CASE WHEN CAST(f AS DOUBLE) > fb[2] THEN 1 ELSE 0 END
+      + CASE WHEN CAST(f AS DOUBLE) > fb[3] THEN 1 ELSE 0 END
+      + CASE WHEN CAST(f AS DOUBLE) > fb[4] THEN 1 ELSE 0 END AS f_score,
+    1 + CASE WHEN CAST(m_c AS DOUBLE) > mb[1] THEN 1 ELSE 0 END
+      + CASE WHEN CAST(m_c AS DOUBLE) > mb[2] THEN 1 ELSE 0 END
+      + CASE WHEN CAST(m_c AS DOUBLE) > mb[3] THEN 1 ELSE 0 END
+      + CASE WHEN CAST(m_c AS DOUBLE) > mb[4] THEN 1 ELSE 0 END AS m_score
+  FROM per_c CROSS JOIN b)
+SELECT o_custkey, r_days, f, m_c, r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS rfm
+FROM scored ORDER BY o_custkey
+"""

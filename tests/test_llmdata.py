@@ -1744,3 +1744,27 @@ def test_association_rules_hand_computed(spark):
     assert ab["lift"] == (3 * 4) / (4 * 3)  # = 1.0
     ba = out[("b", "a")]
     assert ba["confidence"] == 1.0 and ba["lift"] == 1.0
+
+
+def test_rfm_scores_direction_and_coding(spark):
+    from db_factfinder_spark.operators.basket import rfm_scores
+
+    # 10 customers with strictly increasing recency gaps, order
+    # counts and spend — scores must track rank in each dimension
+    rows = []
+    for c in range(10):
+        for o in range(c + 1):  # customer c has c+1 orders
+            rows.append((c, f"2001-0{(c % 9) + 1}-15", (c + 1) * 1000))
+    df = spark.createDataFrame(
+        rows, "cust int, d string, amt int"
+    ).select("cust", F.to_timestamp("d").alias("d"), "amt")
+    out = {r["cust"]: r for r in
+           rfm_scores(df, "cust", "d", "amt", "2001-12-31").collect()}
+    # the heaviest/most frequent/most recent customer scores top
+    assert out[8]["f_score"] == 5 and out[8]["m_score"] == 5
+    assert out[0]["f_score"] == 1 and out[0]["m_score"] == 1
+    # recency: customer 8 ordered latest (2001-09) → best r_score
+    assert out[8]["r_score"] == 5
+    assert out[0]["rfm"] == "111"
+    assert all(1 <= out[c][s] <= 5 for c in out
+               for s in ("r_score", "f_score", "m_score"))
