@@ -38,6 +38,7 @@ from db_factfinder_spark.functions.stats import (
     sum_skipna,
 )
 from db_factfinder_spark.llmdata.dedup import (
+    containment_pairs,
     cross_corpus_matches,
     exact_dedup,
     jaccard_pairs,
@@ -3978,6 +3979,18 @@ def q157_jl_projection(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q166_containment_pairs(spark, sf_dir):
+    """Exact containment-threshold join (asymmetric Jaccard): the
+    quote/subset detector — a short excerpt inside a long page has
+    tiny Jaccard but containment ≈ 1.  Prefix filter on the contained
+    side, full postings on the containing side (see
+    containment_pairs)."""
+    docs = _docs(spark, sf_dir)
+    return containment_pairs(docs, n=3, threshold=0.6).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q165_rfm_segments(spark, sf_dir):
     """RFM quintile segmentation of customers: boundary-broadcast
     exact percentiles + map-side comparisons (no ntile global sort),
@@ -4390,6 +4403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_changed_buckets": q163_changed_buckets,
         "q164_association_rules": q164_association_rules,
         "q165_rfm_segments": q165_rfm_segments,
+        "q166_containment_pairs": q166_containment_pairs,
     }
 
 

@@ -1004,3 +1004,89 @@ def remove_duplicated_spans(
             ).alias("clean_text"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """EXACT containment-threshold join: pairs (a, b) with
+    C(a, b) = |Sₐ ∩ S_b| / |Sₐ| ≥ τ over word n-gram shingle sets —
+    the ASYMMETRIC cousin of prefix_filter_pairs' Jaccard join, and
+    the right predicate for quote/subset/near-superset detection
+    (a 50-shingle excerpt inside a 5000-shingle page has Jaccard
+    ≈ 0.01 but containment 1.0).
+
+    Prefix filter adapts (Chaudhuri/Ganti/Kaushik ICDE'06 SSJoin):
+    under the global (df asc, shingle asc) order, if C(a,b) ≥ τ then
+    a's prefix of length |Sₐ| − ⌈τ|Sₐ|⌉ + 1 must share a shingle
+    with S_b — were it disjoint, all ≥ ⌈τ|Sₐ|⌉ shared shingles would
+    sit in the suffix of length ⌈τ|Sₐ|⌉ − 1, a contradiction.  The
+    CONTAINED side indexes only its prefix; the containing side must
+    index ALL its shingles (no symmetric bound exists — that is the
+    price of asymmetry and why the candidate stage is bigger than
+    Jaccard's; rare-first ordering keeps the joined postings small).
+
+    Self-pairs are excluded; both (a,b) and (b,a) can qualify
+    independently.  Output: ``id_a, id_b, containment`` where id_a is
+    the contained side.
+    """
+    toks = materialize(
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), shingles(text_col, n).alias("tk"))
+        .filter(F.size("tk") >= 1),
+        checkpoint_mode,
+    )
+    dfc = (
+        toks.select(F.explode("tk").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+    )
+    ordered = materialize(
+        toks.select("id", F.size("tk").alias("n"), F.explode("tk").alias("t"))
+        .join(dfc, "t")
+        .groupBy("id", "n")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df_t", "t"))),
+                lambda s: s["t"],
+            ).alias("tk_ord")
+        ),
+        checkpoint_mode,
+    )
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    pe = ordered.select(
+        "id", F.explode(F.slice("tk_ord", 1, prefix_len.cast("int"))).alias("t")
+    )
+    full = ordered.select(
+        F.col("id").alias("id_b"), F.explode("tk_ord").alias("t")
+    )
+    cands = (
+        pe.alias("a")
+        .join(full, "t")
+        .filter(F.col("a.id") != F.col("id_b"))
+        .select(F.col("a.id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            ordered.select(F.col("id").alias("id_a"), F.col("tk_ord").alias("tk_a")),
+            "id_a",
+        )
+        .join(
+            ordered.select(F.col("id").alias("id_b"), F.col("tk_ord").alias("tk_b")),
+            "id_b",
+        )
+    )
+    containment = F.size(F.array_intersect("tk_a", "tk_b")).cast(
+        "double"
+    ) / F.size("tk_a").cast("double")
+    return (
+        verified.withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -3964,3 +3964,30 @@ SELECT o_custkey, r_days, f, m_c, r_score, f_score, m_score,
          || CAST(m_score AS VARCHAR) AS rfm
 FROM scored ORDER BY o_custkey
 """
+
+
+# q166: exact containment join — full intersect over all pairs above
+# the threshold; the prefix filter is a no-false-negative candidate
+# optimization, so the oracle can verify directly from the shingle
+# sets (same _SHINGLES derivation as q26).
+ORACLES["q166_containment_pairs"] = f"""
+WITH d AS (
+  SELECT doc_id, {_NORMTOKS} AS toks FROM documents
+  WHERE text IS NOT NULL),
+sh AS (
+  SELECT doc_id, {_SHINGLES} AS grams FROM d),
+sized AS (SELECT doc_id, grams, len(grams) AS n_sh FROM sh
+          WHERE len(grams) >= 1),
+exploded AS (SELECT doc_id, n_sh, unnest(grams) AS g FROM sized),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n_sh AS n_a, count(*) AS n_common
+  FROM exploded a JOIN exploded b
+    ON a.g = b.g AND a.doc_id != b.doc_id
+  GROUP BY 1, 2, 3)
+SELECT id_a, id_b,
+       CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+FROM pairs
+WHERE CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.6
+ORDER BY id_a, id_b
+"""

@@ -1768,3 +1768,26 @@ def test_rfm_scores_direction_and_coding(spark):
     assert out[0]["rfm"] == "111"
     assert all(1 <= out[c][s] <= 5 for c in out
                for s in ("r_score", "f_score", "m_score"))
+
+
+def test_containment_asymmetry_vs_jaccard(spark):
+    """A short excerpt fully inside a long page: containment from the
+    excerpt side ≈ 1 (pair found), Jaccard tiny (prefix_filter_pairs
+    must NOT find it at the same threshold)."""
+    from db_factfinder_spark.llmdata.dedup import (
+        containment_pairs,
+        prefix_filter_pairs,
+    )
+
+    base = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(10, 20))
+    df = spark.createDataFrame(
+        [(1, base), (2, excerpt), (3, "totally different text here ok")],
+        "doc_id int, text string",
+    )
+    cont = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in containment_pairs(df, n=3, threshold=0.9).collect()}
+    assert (2, 1) in cont and cont[(2, 1)] == 1.0   # excerpt ⊂ page
+    assert (1, 2) not in cont                        # page ⊄ excerpt
+    jac = prefix_filter_pairs(df, n=3, threshold=0.9).collect()
+    assert not [r for r in jac if {r["id_a"], r["id_b"]} == {1, 2}]
