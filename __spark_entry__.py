@@ -78,6 +78,7 @@ from db_factfinder_spark.llmdata.sketches import (
     hll_intersect,
     hll_merge,
     hll_partials,
+    rolling_hll_distinct,
     sampled_quantiles,
 )
 from db_factfinder_spark.llmdata.strmatch import edit1_join
@@ -3979,6 +3980,20 @@ def q157_jl_projection(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q167_rolling_hll(spark, sf_dir):
+    """Trailing-7-day distinct-user estimate per day from daily HLL
+    partials — one raw scan into ≤64 partial rows per day, then every
+    window is a bucket-wise max over the persisted sketch state (see
+    rolling_hll_distinct)."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    out = rolling_hll_distinct(ev, "ts", "user_id", window_days=7)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        "n_buckets",
+        "hll_raw",
+    ).orderBy("day_s")
+
+
 def q166_containment_pairs(spark, sf_dir):
     """Exact containment-threshold join (asymmetric Jaccard): the
     quote/subset detector — a short excerpt inside a long page has
@@ -4404,6 +4419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_association_rules": q164_association_rules,
         "q165_rfm_segments": q165_rfm_segments,
         "q166_containment_pairs": q166_containment_pairs,
+        "q167_rolling_hll": q167_rolling_hll,
     }
 
 

@@ -413,3 +413,60 @@ def hll_intersect(
             - est("__su", "__nu")
         ).alias("est_intersect"),
     )
+
+
+def rolling_hll_distinct(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window distinct estimate per day (7-day rolling
+    uniques, the growth-dashboard staple) from DAILY HLL PARTIALS:
+    raw data is scanned once into (day, bucket, max-rank) rows — at
+    most m per day — and every trailing window is a bucket-wise max
+    over ≤ window·m partial rows.  The naive form re-counts distinct
+    over each window, rescanning ``window_days`` of raw data per day;
+    this is the persist-the-sketch pattern (hll_partials/hll_merge)
+    applied to time.
+
+    The day↔partials range join is days × (window·m) rows — driver-
+    trivial at any corpus size; merge exactness is the usual
+    power-of-two-sum argument, so the oracle reproduces every
+    estimate bit-for-bit.
+
+    Output: ``day, n_buckets, hll_raw`` — one row per active day,
+    estimating distinct ``value_col`` over (day − window_days, day].
+    """
+    daily = df.filter(F.col(ts_col).isNotNull()).withColumn(
+        "__day", F.to_date(ts_col)
+    )
+    partials = hll_partials(daily, ["__day"], value_col)
+    days = partials.select(F.col("__day").alias("day")).distinct()
+    in_window = partials.join(
+        days,
+        (F.col("__day") <= F.col("day"))
+        & (F.col("__day") > F.date_sub(F.col("day"), window_days)),
+    )
+    merged = in_window.groupBy("day", "__bucket").agg(
+        F.max("__m").alias("__m")
+    )
+    inv = F.lit(1.0) / F.expr("shiftleft(1, __m)").cast("double")
+    return (
+        merged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(inv).alias("__sum_present"),
+        )
+        .select(
+            "day",
+            "n_buckets",
+            (
+                F.lit(float(_ALPHA_M2))
+                / (
+                    F.col("__sum_present")
+                    + (F.lit(_M) - F.col("n_buckets")).cast("double")
+                )
+            ).alias("hll_raw"),
+        )
+    )

@@ -3991,3 +3991,32 @@ FROM pairs
 WHERE CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.6
 ORDER BY id_a, id_b
 """
+
+
+# q167: rolling HLL — daily partials then trailing-window bucket max,
+# same exact power-of-two fold as q84/q128.
+ORACLES["q167_rolling_hll"] = """
+WITH pr AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT % 64
+      AS bucket,
+    29 - length(bin(
+      ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 8, 7))::BIGINT))
+      AS rank
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+daily AS (
+  SELECT day, bucket, max(rank) AS m FROM pr GROUP BY day, bucket),
+days AS (SELECT DISTINCT day FROM daily),
+win AS (
+  SELECT d.day AS day, p.bucket, max(p.m) AS m
+  FROM days d JOIN daily p
+    ON p.day <= d.day AND p.day > d.day - 7
+  GROUP BY d.day, p.bucket),
+s AS (
+  SELECT day, count(*) AS n_buckets,
+         sum(1.0 / CAST(1 << m AS DOUBLE)) AS sum_present
+  FROM win GROUP BY day)
+SELECT strftime(day, '%Y-%m-%d') AS day_s, n_buckets,
+  2904.064 / (sum_present + CAST(64 - n_buckets AS DOUBLE)) AS hll_raw
+FROM s ORDER BY day_s
+"""

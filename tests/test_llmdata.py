@@ -1791,3 +1791,33 @@ def test_containment_asymmetry_vs_jaccard(spark):
     assert (1, 2) not in cont                        # page ⊄ excerpt
     jac = prefix_filter_pairs(df, n=3, threshold=0.9).collect()
     assert not [r for r in jac if {r["id_a"], r["id_b"]} == {1, 2}]
+
+
+def test_rolling_hll_merges_window_days(spark):
+    from db_factfinder_spark.llmdata.sketches import (
+        hll_distinct,
+        rolling_hll_distinct,
+    )
+
+    # day1: users 0-49, day2: 50-99, day9: 0-9.  2-day window on day2
+    # must equal a direct sketch of the union 0-99; day9 stands alone.
+    rows = (
+        [(u, "2024-01-01 10:00:00") for u in range(50)]
+        + [(u, "2024-01-02 10:00:00") for u in range(50, 100)]
+        + [(u, "2024-01-09 10:00:00") for u in range(10)]
+    )
+    df = spark.createDataFrame(rows, "uid int, t string").select(
+        "uid", F.to_timestamp("t").alias("t")
+    )
+    out = {r["day"].isoformat(): r for r in
+           rolling_hll_distinct(df, "t", "uid", window_days=2).collect()}
+    direct_union = (
+        hll_distinct(df.filter("t < '2024-01-03'").withColumn("g", F.lit(1)),
+                     ["g"], "uid").first()["hll_raw"]
+    )
+    assert out["2024-01-02"]["hll_raw"] == direct_union
+    direct_day9 = (
+        hll_distinct(df.filter("t > '2024-01-08'").withColumn("g", F.lit(1)),
+                     ["g"], "uid").first()["hll_raw"]
+    )
+    assert out["2024-01-09"]["hll_raw"] == direct_day9
