@@ -128,6 +128,7 @@ from db_factfinder_spark.operators.asof import asof_join
 from db_factfinder_spark.operators.funnel import (
     cohort_retention,
     next_event_within,
+    transition_matrix,
 )
 from db_factfinder_spark.operators.basket import association_rules, rfm_scores
 from db_factfinder_spark.operators.diff import changed_buckets, table_diff
@@ -3980,6 +3981,15 @@ def q157_jl_projection(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q168_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: exact pair counts and conditional probabilities, with
+    an explicit (ts, event_id) order so same-timestamp events are
+    reproducible (see transition_matrix)."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return transition_matrix(ev).orderBy("state", "next")
+
+
 def q167_rolling_hll(spark, sf_dir):
     """Trailing-7-day distinct-user estimate per day from daily HLL
     partials — one raw scan into ≤64 partial rows per day, then every
@@ -4420,6 +4430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_rfm_segments": q165_rfm_segments,
         "q166_containment_pairs": q166_containment_pairs,
         "q167_rolling_hll": q167_rolling_hll,
+        "q168_markov_transitions": q168_markov_transitions,
     }
 
 

@@ -102,3 +102,53 @@ def next_event_within(
             ).alias("converted"),
         )
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts and probabilities over
+    each key's event sequence — the behavioral-model summary behind
+    next-action prediction and funnel-leak diagnosis.
+
+    Each user's events order by (ts, tiebreak); consecutive pairs
+    (state → next) count into the matrix; P(next | state) =
+    pair_count / row_total is an exact-integer ratio.  One lead
+    window + one groupBy — both shuffle on the key/state.  The
+    tiebreak column is REQUIRED for reproducibility: without it,
+    same-timestamp events order arbitrarily per run.
+
+    Output: ``state, next, n_trans, n_from, p`` sorted by state/next.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    steps = (
+        events.filter(
+            F.col(ts_col).isNotNull() & F.col(event_col).isNotNull()
+        )
+        .withColumn("__next", F.lead(event_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .select(F.col(event_col).alias("state"), F.col("__next").alias("next"))
+    )
+    counts = steps.groupBy("state", "next").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    totals = counts.groupBy("state").agg(
+        F.sum("n_trans").alias("n_from")
+    )
+    return (
+        counts.join(totals, "state")
+        .select(
+            "state",
+            "next",
+            "n_trans",
+            "n_from",
+            (
+                F.col("n_trans").cast("double")
+                / F.col("n_from").cast("double")
+            ).alias("p"),
+        )
+    )

@@ -4020,3 +4020,25 @@ SELECT strftime(day, '%Y-%m-%d') AS day_s, n_buckets,
   2904.064 / (sum_present + CAST(64 - n_buckets AS DOUBLE)) AS hll_raw
 FROM s ORDER BY day_s
 """
+
+
+# q168: Markov transitions — identical (ts, event_id) ordering, exact
+# count ratios.
+ORACLES["q168_markov_transitions"] = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS nxt
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+steps AS (
+  SELECT event_type AS state, nxt AS next FROM seq WHERE nxt IS NOT NULL),
+counts AS (
+  SELECT state, next, count(*) AS n_trans FROM steps GROUP BY 1, 2),
+tot AS (
+  SELECT state, CAST(sum(n_trans) AS BIGINT) AS n_from
+  FROM counts GROUP BY state)
+SELECT c.state, c.next, c.n_trans, t.n_from,
+       CAST(c.n_trans AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+FROM counts c JOIN tot t USING (state)
+ORDER BY c.state, c.next
+"""

@@ -198,3 +198,27 @@ def test_covered_time_matches_bruteforce(spark, ivs):
         # islands = maximal runs of consecutive covered points
         islands = sum(1 for p in pts if p - 1 not in pts)
         assert got[k] == (covered, islands), (k, got[k], covered, islands)
+
+
+def test_transition_matrix_hand_computed(spark):
+    from db_factfinder_spark.operators.funnel import transition_matrix
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "view"),
+        (1, 2, "2024-01-01 10:01:00", "click"),
+        (1, 3, "2024-01-01 10:02:00", "view"),
+        (2, 4, "2024-01-01 11:00:00", "view"),
+        (2, 5, "2024-01-01 11:05:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, t string, event_type string"
+    ).select("user_id", "event_id", F.to_timestamp("t").alias("ts"),
+             "event_type")
+    out = {(r["state"], r["next"]): r
+           for r in transition_matrix(df).collect()}
+    # transitions: u1 view→click, click→view; u2 view→click
+    assert out[("view", "click")]["n_trans"] == 2
+    assert out[("view", "click")]["p"] == 1.0      # view always → click
+    assert out[("click", "view")]["n_trans"] == 1
+    assert out[("click", "view")]["n_from"] == 1
