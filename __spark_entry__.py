@@ -66,6 +66,7 @@ from db_factfinder_spark.llmdata.sampling import (
     mixture_sample,
     priority_sample,
     priority_sample_per_group,
+    shuffle_shards,
     split_column,
 )
 from db_factfinder_spark.llmdata.kmeans import kmeans_assignments
@@ -3981,6 +3982,18 @@ def q157_jl_projection(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q169_shuffle_shards(spark, sf_dir):
+    """Deterministic epoch-shuffle layout: (shard, rank-in-shard)
+    md5 permutation of the corpus — reproducible on any cluster
+    layout, n_shards-way parallel ordering instead of one global sort
+    (see shuffle_shards)."""
+    docs = _docs(spark, sf_dir)
+    out = shuffle_shards(docs, "doc_id", n_shards=16)
+    return out.select("doc_id", "shard", "shard_rank").orderBy(
+        "shard", "shard_rank"
+    )
+
+
 def q168_markov_transitions(spark, sf_dir):
     """First-order Markov transition matrix over per-user event
     sequences: exact pair counts and conditional probabilities, with
@@ -4431,6 +4444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_containment_pairs": q166_containment_pairs,
         "q167_rolling_hll": q167_rolling_hll,
         "q168_markov_transitions": q168_markov_transitions,
+        "q169_shuffle_shards": q169_shuffle_shards,
     }
 
 

@@ -252,3 +252,37 @@ def budget_fill(df, group_cols, order_by, size_col, budget: int):
     return df.withColumn("cum_size", cum).filter(
         F.col("cum_size") <= budget
     )
+
+
+def shuffle_shards(df, id_col: str, n_shards: int = 64):
+    """Deterministic global shuffle for training epochs, sharded:
+    every row gets (shard, rank_in_shard) from md5 of its stable id —
+    shard = 28 md5 bits mod n_shards, rank = md5-order within the
+    shard.  Reading shards 0..n−1 sequentially yields a fixed
+    pseudorandom permutation of the dataset that is REPRODUCIBLE on
+    any cluster layout and any run — unlike ``df.orderBy(rand())``,
+    which is seed- and partitioning-dependent, and unlike a single
+    global sort, which funnels the corpus through one ordering stage.
+
+    The rank window partitions by shard — n_shards-way parallel, each
+    sorting ~n/n_shards rows.  Downstream, ``write.partitionBy``
+    on the shard column gives one file set per shard, which is the
+    layout epoch readers actually consume.
+
+    Output: original columns + ``shard int, shard_rank`` (1-based).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__hkey"), F.col(id_col)
+    )
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("__hkey", h)
+        .withColumn("shard_rank", F.row_number().over(w))
+        .drop("__hkey")
+    )

@@ -4042,3 +4042,18 @@ SELECT c.state, c.next, c.n_trans, t.n_from,
 FROM counts c JOIN tot t USING (state)
 ORDER BY c.state, c.next
 """
+
+
+# q169: shard shuffle — identical md5 shard + md5-hex rank order
+# (hex strings compare identically as ASCII in both engines).
+ORACLES["q169_shuffle_shards"] = """
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                ::BIGINT % 16 AS INT) AS shard
+  FROM documents)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+              ORDER BY hk, doc_id) AS BIGINT) AS shard_rank
+FROM h ORDER BY shard, shard_rank
+"""

@@ -1821,3 +1821,24 @@ def test_rolling_hll_merges_window_days(spark):
                      ["g"], "uid").first()["hll_raw"]
     )
     assert out["2024-01-09"]["hll_raw"] == direct_day9
+
+
+def test_shuffle_shards_reproducible_permutation(spark):
+    from db_factfinder_spark.llmdata.sampling import shuffle_shards
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(500)], "doc_id int, text string"
+    )
+    a = {(r["doc_id"]): (r["shard"], r["shard_rank"])
+         for r in shuffle_shards(df, "doc_id", 8).collect()}
+    b = {(r["doc_id"]): (r["shard"], r["shard_rank"])
+         for r in shuffle_shards(df.repartition(13), "doc_id", 8).collect()}
+    assert a == b  # layout-independent permutation
+    # ranks are contiguous 1..n within every shard
+    by_shard = {}
+    for doc, (s, r) in a.items():
+        by_shard.setdefault(s, []).append(r)
+    for s, ranks in by_shard.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # and it is a permutation: every doc appears exactly once
+    assert len(a) == 500
