@@ -60,6 +60,7 @@ from db_factfinder_spark.llmdata.components import (
     integer_pagerank,
 )
 from db_factfinder_spark.llmdata.redact import domain_blocklist_filter, redact_pii
+from db_factfinder_spark.llmdata.urls import normalize_urls
 from db_factfinder_spark.llmdata.sampling import (
     budget_fill,
     cap_per_group,
@@ -3982,6 +3983,36 @@ def q157_jl_projection(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q170_url_normalize(spark, sf_dir):
+    """URL canonicalization over synthesized crawl URLs (mixed case,
+    www, default/explicit ports, queries, fragments, trailing
+    slashes): two spellings of one page must collide on url_norm
+    before URL-keyed dedup (see normalize_urls)."""
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://WWW."))
+            .otherwise(F.lit("http://")),
+            F.col("source"),
+            F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(
+                F.when(F.col("doc_id") % 3 == 1, F.lit(":8080")).otherwise(
+                    F.lit("")
+                )
+            ),
+            F.lit("/Docs/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm=x#frag"),
+        ).alias("url"),
+    )
+    out = normalize_urls(urls, "url")
+    return out.select(
+        "doc_id", "url", "scheme", "host", "site", "path", "url_norm"
+    ).orderBy("doc_id")
+
+
 def q169_shuffle_shards(spark, sf_dir):
     """Deterministic epoch-shuffle layout: (shard, rank-in-shard)
     md5 permutation of the corpus — reproducible on any cluster
@@ -4445,6 +4476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_rolling_hll": q167_rolling_hll,
         "q168_markov_transitions": q168_markov_transitions,
         "q169_shuffle_shards": q169_shuffle_shards,
+        "q170_url_normalize": q170_url_normalize,
     }
 
 

@@ -1,0 +1,78 @@
+"""URL normalization for web-crawl corpora — the canonicalization pass
+that runs BEFORE URL-keyed dedup and domain accounting (two spellings
+of one page must collide on the key, or exact dedup silently
+under-merges).
+
+Pure column expressions over engine-portable regexes (simple character
+classes only — identical semantics under Java regex and RE2), so the
+pass runs inside whole-stage codegen on the scan and the SQL oracle
+re-derives every field.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# scheme://host[:port]/rest — anchored, greedy host up to :/ or end
+_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
+_PORT = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)"
+_PATH = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+
+def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add canonical URL components:
+
+    * ``scheme`` — lowercased;
+    * ``host`` — lowercased, leading 'www.' stripped;
+    * ``site`` — naive registrable domain = last two host labels
+      (documented approximation: a real deployment substitutes the
+      Public Suffix List here, as a broadcast suffix table — the
+      domain_blocklist_filter machinery);
+    * ``path`` — fragment and query stripped, trailing '/' removed
+      ('' for the root);
+    * ``url_norm`` — scheme://host/path with default ports (http 80,
+      https 443) dropped, non-default ports kept.
+
+    Unparseable rows (no scheme://host shape) keep NULL components —
+    surfaced, not guessed.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.nullif(F.regexp_extract(u, _SCHEME, 1), F.lit("")))
+    raw_host = F.lower(
+        F.nullif(F.regexp_extract(u, _HOST, 1), F.lit(""))
+    )
+    host = F.regexp_replace(raw_host, r"^www\.", "")
+    port = F.nullif(F.regexp_extract(u, _PORT, 1), F.lit(""))
+    path = F.regexp_replace(
+        F.regexp_extract(u, _PATH, 1), r"/+$", ""
+    )
+    labels = F.split(host, r"\.")
+    site = F.when(
+        F.size(labels) >= 2,
+        F.concat_ws(
+            ".",
+            F.element_at(labels, -2),
+            F.element_at(labels, -1),
+        ),
+    ).otherwise(host)
+    default_port = (
+        (scheme == "http") & (port == "80")
+    ) | ((scheme == "https") & (port == "443"))
+    port_part = F.when(
+        port.isNotNull() & ~default_port, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+    url_norm = F.when(
+        scheme.isNotNull() & host.isNotNull(),
+        F.concat(scheme, F.lit("://"), host, port_part, path),
+    )
+    return df.withColumns(
+        {
+            "scheme": scheme,
+            "host": host,
+            "site": site,
+            "path": path,
+            "url_norm": url_norm,
+        }
+    )

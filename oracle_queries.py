@@ -4057,3 +4057,47 @@ SELECT doc_id, shard,
               ORDER BY hk, doc_id) AS BIGINT) AS shard_rank
 FROM h ORDER BY shard, shard_rank
 """
+
+
+# q170: URL canonicalization — identical RE2/Java-portable regexes,
+# same synthesis, same default-port and www/trailing-slash rules.
+ORACLES["q170_url_normalize"] = r"""
+WITH urls AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END)
+    || source || '.Example.COM'
+    || (CASE WHEN doc_id % 3 = 0 THEN ':443'
+             WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+    || '/Docs/' || CAST(doc_id AS VARCHAR)
+    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+    || '?utm=x#frag' AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, url,
+    lower(nullif(regexp_extract(url,
+      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+    regexp_replace(lower(nullif(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1), '')),
+      '^www\.', '') AS host,
+    nullif(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1), '') AS port,
+    regexp_replace(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
+      AS path
+  FROM urls),
+sited AS (
+  SELECT *, string_split(host, '.') AS labs FROM parts)
+SELECT doc_id, url, scheme, host,
+  CASE WHEN len(labs) >= 2 THEN labs[-2] || '.' || labs[-1]
+       ELSE host END AS site,
+  path,
+  CASE WHEN scheme IS NOT NULL AND host IS NOT NULL THEN
+    scheme || '://' || host
+    || (CASE WHEN port IS NOT NULL
+              AND NOT ((scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443'))
+         THEN ':' || port ELSE '' END)
+    || path
+  END AS url_norm
+FROM sited ORDER BY doc_id
+"""

@@ -1842,3 +1842,27 @@ def test_shuffle_shards_reproducible_permutation(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
     # and it is a permutation: every doc appears exactly once
     assert len(a) == 500
+
+
+def test_normalize_urls_collides_spellings(spark):
+    from db_factfinder_spark.llmdata.urls import normalize_urls
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTP://WWW.Example.COM:80/a/b/?q=1#x"),
+            (2, "http://example.com/a/b"),
+            (3, "https://sub.shop.example.com:8443/c"),
+            (4, "not a url"),
+        ],
+        "id int, url string",
+    )
+    out = {r["id"]: r for r in normalize_urls(df).collect()}
+    # two spellings of one page collide on the canonical key
+    assert out[1]["url_norm"] == out[2]["url_norm"] == "http://example.com/a/b"
+    assert out[1]["site"] == "example.com"
+    r3 = out[3]
+    assert r3["host"] == "sub.shop.example.com"
+    assert r3["site"] == "example.com"
+    assert r3["url_norm"] == "https://sub.shop.example.com:8443/c"
+    # unparseable input surfaces as NULLs, not guesses
+    assert out[4]["scheme"] is None and out[4]["url_norm"] is None
