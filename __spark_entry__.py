@@ -152,7 +152,10 @@ from db_factfinder_spark.operators.quality import (
     fk_violations,
     profile_columns,
 )
-from db_factfinder_spark.operators.regression import grouped_linreg
+from db_factfinder_spark.operators.regression import (
+    chi_square_independence,
+    grouped_linreg,
+)
 from db_factfinder_spark.operators.scd import scd2_intervals
 from db_factfinder_spark.operators.skyline import skyline2d
 from db_factfinder_spark.operators.rangejoin import (
@@ -3983,6 +3986,19 @@ def q157_jl_projection(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q171_chi_square(spark, sf_dir):
+    """χ² independence between event type and ISO weekday: exact
+    integer marginals, fixed IEEE cell chain, 1e-9 fixed-point
+    cross-cell sum so the statistic is engine-identical (see
+    chi_square_independence)."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet").select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    return chi_square_independence(ev, "event_type", "dow").orderBy(
+        "a", "b"
+    )
+
+
 def q170_url_normalize(spark, sf_dir):
     """URL canonicalization over synthesized crawl URLs (mixed case,
     www, default/explicit ports, queries, fragments, trailing
@@ -4477,6 +4493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_markov_transitions": q168_markov_transitions,
         "q169_shuffle_shards": q169_shuffle_shards,
         "q170_url_normalize": q170_url_normalize,
+        "q171_chi_square": q171_chi_square,
     }
 
 

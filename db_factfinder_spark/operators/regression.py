@@ -73,3 +73,73 @@ def grouped_linreg(
         slope.alias("slope_u"),
         intercept.alias("intercept_u"),
     )
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson χ² test of independence between two categorical
+    columns — the data-quality / drift primitive ("did the label
+    distribution shift across sources?").
+
+    Exactness contract: observed counts and marginals are exact
+    integers; each cell's expected value E = (row·col)/n is one
+    correctly-rounded division; the cell statistic (O−E)²/E is a
+    fixed four-op IEEE chain; and the CROSS-CELL SUM — the one place
+    float order would differ between engines — is made order-free by
+    quantizing each cell to 1e-9 fixed point (exact bigint sum, one
+    final division).  dof = (r−1)(c−1) from exact distinct counts.
+
+    One count shuffle on (a, b); marginals fold from the cell frame
+    (never rescan); everything else broadcasts.
+
+    Output: per-cell rows ``a, b, n_obs, n_exp, cell_chi2`` plus the
+    table-level ``chi2, dof, n`` repeated on each row (broadcast
+    1-row join) so one frame carries the whole test.
+    """
+    observed = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    # COMPLETE the r×c grid: zero cells carry (0−E)²/E = E — dropping
+    # them (the natural groupBy output) silently understates χ², worst
+    # exactly when dependence is strongest (a diagonal table keeps
+    # only r cells of r²)
+    grid = observed.select("a").distinct().crossJoin(
+        observed.select("b").distinct()
+    )
+    cells = grid.join(observed, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("n_obs", F.lit(0)).alias("n_obs")
+    )
+    row_t = cells.groupBy("a").agg(F.sum("n_obs").alias("__ra"))
+    col_t = cells.groupBy("b").agg(F.sum("n_obs").alias("__cb"))
+    tot = cells.agg(
+        F.sum("n_obs").alias("n"),
+        F.countDistinct("a").alias("__nr"),
+        F.countDistinct("b").alias("__nc"),
+    )
+    j = (
+        cells.join(F.broadcast(row_t), "a")
+        .join(F.broadcast(col_t), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (F.col("__ra") * F.col("__cb")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    o = F.col("n_obs").cast("double")
+    cell = (o - e) * (o - e) / e
+    withq = j.withColumn("n_exp", e).withColumn(
+        "cell_chi2", cell
+    ).withColumn(
+        "__q", F.floor(cell * F.lit(1000000000.0) + F.lit(0.5)).cast("long")
+    )
+    total = withq.agg(
+        (F.sum("__q").cast("double") / F.lit(1000000000.0)).alias("chi2"),
+        F.max((F.col("__nr") - 1) * (F.col("__nc") - 1)).alias("dof"),
+        F.max("n").alias("n"),
+    )
+    return (
+        withq.select("a", "b", "n_obs", "n_exp", "cell_chi2")
+        .crossJoin(F.broadcast(total))
+    )

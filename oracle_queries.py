@@ -4101,3 +4101,49 @@ SELECT doc_id, url, scheme, host,
   END AS url_norm
 FROM sited ORDER BY doc_id
 """
+
+
+# q171: χ² independence — same exact marginals, same (O−E)²/E chain,
+# same 1e-9 fixed-point order-free cross-cell sum.
+ORACLES["q171_chi_square"] = """
+WITH ev AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+obs AS (
+  SELECT event_type AS a, dow AS b, count(*) AS n_obs
+  FROM ev GROUP BY 1, 2),
+grid AS (
+  SELECT a, b FROM (SELECT DISTINCT a FROM obs)
+  CROSS JOIN (SELECT DISTINCT b FROM obs)),
+cells AS (
+  SELECT g.a, g.b, coalesce(o.n_obs, 0) AS n_obs
+  FROM grid g LEFT JOIN obs o ON g.a = o.a AND g.b = o.b),
+rt AS (SELECT a, CAST(sum(n_obs) AS BIGINT) AS ra FROM cells GROUP BY a),
+ct AS (SELECT b, CAST(sum(n_obs) AS BIGINT) AS cb FROM cells GROUP BY b),
+tot AS (
+  SELECT CAST(sum(n_obs) AS BIGINT) AS n,
+         count(DISTINCT a) AS nr, count(DISTINCT b) AS nc
+  FROM cells),
+j AS (
+  SELECT c.a, c.b, c.n_obs,
+         CAST(rt.ra * ct.cb AS DOUBLE) / CAST(tot.n AS DOUBLE) AS n_exp,
+         tot.n, tot.nr, tot.nc
+  FROM cells c JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot),
+q AS (
+  SELECT a, b, n_obs, n_exp,
+         (CAST(n_obs AS DOUBLE) - n_exp) * (CAST(n_obs AS DOUBLE) - n_exp)
+           / n_exp AS cell_chi2,
+         CAST(floor(((CAST(n_obs AS DOUBLE) - n_exp)
+                     * (CAST(n_obs AS DOUBLE) - n_exp) / n_exp)
+                    * 1000000000.0 + 0.5) AS BIGINT) AS qq,
+         n, nr, nc
+  FROM j),
+total AS (
+  SELECT CAST(sum(qq) AS DOUBLE) / 1000000000.0 AS chi2,
+         max((nr - 1) * (nc - 1)) AS dof, max(n) AS n
+  FROM q)
+SELECT q.a, q.b, q.n_obs, q.n_exp, q.cell_chi2,
+       total.chi2, total.dof, total.n
+FROM q CROSS JOIN total
+ORDER BY q.a, q.b
+"""

@@ -1866,3 +1866,22 @@ def test_normalize_urls_collides_spellings(spark):
     assert r3["url_norm"] == "https://sub.shop.example.com:8443/c"
     # unparseable input surfaces as NULLs, not guesses
     assert out[4]["scheme"] is None and out[4]["url_norm"] is None
+
+
+def test_chi_square_known_tables(spark):
+    from db_factfinder_spark.operators.regression import (
+        chi_square_independence,
+    )
+
+    # perfectly independent 2×2 (all cells 25): chi2 = 0
+    rows = [("x", "u")] * 25 + [("x", "v")] * 25 \
+        + [("y", "u")] * 25 + [("y", "v")] * 25
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = chi_square_independence(df, "a", "b").collect()
+    assert all(r["chi2"] == 0.0 for r in out)
+    assert out[0]["dof"] == 1 and out[0]["n"] == 100
+    # maximally dependent 2×2 (diagonal): chi2 = n
+    rows2 = [("x", "u")] * 30 + [("y", "v")] * 30
+    df2 = spark.createDataFrame(rows2, "a string, b string")
+    out2 = chi_square_independence(df2, "a", "b").collect()
+    assert all(r["chi2"] == 60.0 for r in out2)

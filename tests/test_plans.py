@@ -475,3 +475,44 @@ def test_q149_bm25_scans_corpus_twice_only(spark):
     plan = _plan(spark, "q149_bm25_search")
     assert plan.count("Scan parquet") <= 2
     assert "BroadcastHashJoin" in plan
+
+
+def test_q159_blocklist_is_broadcast_semi_then_anti(spark):
+    """Suffix blocklisting: the blocklist probes as a BROADCAST
+    left-semi (never a shuffle against the corpus), and the final
+    filter is an anti join — no LIKE scan, no nested loop."""
+    plan = _plan(spark, "q159_domain_blocklist")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q164_rules_stat_joins_broadcast(spark):
+    """Association rules: item counts and the basket total join as
+    broadcasts; the only real shuffle partners are the basket
+    self-join and the pair groupBy."""
+    plan = _plan(spark, "q164_association_rules")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q166_containment_candidates_are_equi(spark):
+    """Containment join: candidate generation is an equi hash/merge
+    join on the shingle key — never a nested-loop pair scan."""
+    plan = _plan(spark, "q166_containment_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q169_shuffle_is_one_shard_window(spark):
+    """Epoch sharding: the rank window partitions on the shard key
+    (n_shards-way parallel) and nothing funnels through a single
+    partition — the failure mode of orderBy(rand()) / global
+    row_number.  (The other exchanges are the _docs fixture
+    repartition and the presentation orderBy.)"""
+    import re
+
+    plan = _plan(spark, "q169_shuffle_shards")
+    ex = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any(e.startswith("shard#") for e in ex), ex
+    assert "SinglePartition" not in plan
