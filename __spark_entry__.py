@@ -167,6 +167,7 @@ from db_factfinder_spark.operators.cleaning import cleaning
 from db_factfinder_spark.operators.horizontal import aggregate_horizontal
 from db_factfinder_spark.operators.median import (
     grouped_weighted_median,
+    grouped_weighted_quantiles,
     median_struct,
 )
 from db_factfinder_spark.operators.pivot import unpivot_cempz
@@ -3986,6 +3987,23 @@ def q157_jl_projection(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q172_weighted_quantiles(spark, sf_dir):
+    """Multi-probability exact weighted quantiles of price by whole
+    quantity units per return flag — one cumulative window reused for
+    every probability, all-integer common-denominator comparisons
+    (see grouped_weighted_quantiles)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+        F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    return grouped_weighted_quantiles(
+        li, ["l_returnflag"], "price_c", "qty", [0.1, 0.5, 0.9]
+    ).orderBy("l_returnflag")
+
+
 def q171_chi_square(spark, sf_dir):
     """χ² independence between event type and ISO weekday: exact
     integer marginals, fixed IEEE cell chain, 1e-9 fixed-point
@@ -4494,6 +4512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_shuffle_shards": q169_shuffle_shards,
         "q170_url_normalize": q170_url_normalize,
         "q171_chi_square": q171_chi_square,
+        "q172_weighted_quantiles": q172_weighted_quantiles,
     }
 
 

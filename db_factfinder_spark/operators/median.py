@@ -283,3 +283,54 @@ def grouped_weighted_median(
             F.min("__v").alias("w_median"),
         )
     )
+
+
+def grouped_weighted_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    probs: list[float],
+) -> DataFrame:
+    """Exact lower weighted quantiles per group for several
+    probabilities at once: q_p = smallest v with cum(v) ≥ p·W,
+    evaluated as ``cum·D ≥ round(p·D)·W`` over a common denominator
+    D = 10⁶ — ALL-INTEGER comparisons (probabilities become exact
+    integer numerators), so every engine lands on the identical rows.
+    Generalizes grouped_weighted_median (p = 0.5 reproduces its
+    2·cum ≥ W rule exactly when round(0.5·D)·2 = D).
+
+    ONE value-ordered cumulative window + one qualifying-min
+    aggregation per probability over the same cum frame — the window
+    runs once however many quantiles are asked.
+
+    Output: ``*group_cols, w_total, q<pct> per prob`` (q10, q50, …).
+    """
+    from pyspark.sql import Window
+
+    D = 1_000_000
+    rows = df.filter(F.col(weight_col) > 0).select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        F.col(weight_col).alias("__w"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rows.withColumn("__cum", F.sum("__w").over(w))
+    tot = cum.groupBy(*group_cols).agg(F.max("__cum").alias("w_total"))
+    j = cum.join(tot, group_cols)
+    aggs = [F.max("w_total").alias("w_total")]
+    for p in probs:
+        num = round(p * D)
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cum") * D >= F.lit(num) * F.col("w_total"),
+                    F.col("__v"),
+                )
+            ).alias(f"q{int(round(p * 100))}")
+        )
+    return j.groupBy(*group_cols).agg(*aggs)

@@ -4147,3 +4147,33 @@ SELECT q.a, q.b, q.n_obs, q.n_exp, q.cell_chi2,
 FROM q CROSS JOIN total
 ORDER BY q.a, q.b
 """
+
+
+# q172: weighted quantiles — same cum window, same D=1e6 common-
+# denominator integer rule per probability.
+ORACLES["q172_weighted_quantiles"] = """
+WITH rows_ AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(floor(l_quantity) AS BIGINT) AS qty
+  FROM lineitem WHERE floor(l_quantity) > 0),
+cum AS (
+  SELECT l_returnflag, price_c,
+         sum(qty) OVER (PARTITION BY l_returnflag ORDER BY price_c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM rows_),
+tot AS (
+  SELECT l_returnflag, CAST(max(c) AS BIGINT) AS w_total
+  FROM cum GROUP BY l_returnflag)
+SELECT c.l_returnflag,
+  CAST(max(t.w_total) AS BIGINT) AS w_total,
+  min(CASE WHEN c.c * 1000000 >= 100000 * t.w_total
+           THEN c.price_c END) AS q10,
+  min(CASE WHEN c.c * 1000000 >= 500000 * t.w_total
+           THEN c.price_c END) AS q50,
+  min(CASE WHEN c.c * 1000000 >= 900000 * t.w_total
+           THEN c.price_c END) AS q90
+FROM cum c JOIN tot t USING (l_returnflag)
+GROUP BY c.l_returnflag
+ORDER BY c.l_returnflag
+"""

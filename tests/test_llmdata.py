@@ -1885,3 +1885,24 @@ def test_chi_square_known_tables(spark):
     df2 = spark.createDataFrame(rows2, "a string, b string")
     out2 = chi_square_independence(df2, "a", "b").collect()
     assert all(r["chi2"] == 60.0 for r in out2)
+
+
+def test_grouped_weighted_quantiles_consistent_with_median(spark):
+    from db_factfinder_spark.operators.median import (
+        grouped_weighted_median,
+        grouped_weighted_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("g", v, w) for v, w in [(10, 1), (20, 2), (30, 1), (40, 4)]],
+        "k string, v int, w int",
+    )
+    out = grouped_weighted_quantiles(
+        df, ["k"], "v", "w", [0.25, 0.5, 0.9]
+    ).first()
+    med = grouped_weighted_median(df, ["k"], "v", "w").first()
+    assert out["q50"] == med["w_median"]
+    # W=8: cum(10)=1, cum(20)=3, cum(30)=4, cum(40)=8
+    assert out["q25"] == 20   # first cum ≥ 2
+    assert out["q90"] == 40   # first cum ≥ 7.2
+    assert out["w_total"] == 8
