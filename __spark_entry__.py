@@ -153,6 +153,7 @@ from db_factfinder_spark.operators.quality import (
     profile_columns,
 )
 from db_factfinder_spark.operators.regression import (
+    ab_test_summary,
     chi_square_independence,
     grouped_linreg,
 )
@@ -3987,6 +3988,17 @@ def q157_jl_projection(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q173_ab_test(spark, sf_dir):
+    """Deterministic A/B readout over event values in exact cents:
+    md5-salted arm assignment, integer sufficient statistics, Welch t
+    via a fixed IEEE chain (see ab_test_summary)."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_c"),
+    )
+    return ab_test_summary(ev, "user_id", "v_c", salt="exp1")
+
+
 def q172_weighted_quantiles(spark, sf_dir):
     """Multi-probability exact weighted quantiles of price by whole
     quantity units per return flag — one cumulative window reused for
@@ -4513,6 +4525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_url_normalize": q170_url_normalize,
         "q171_chi_square": q171_chi_square,
         "q172_weighted_quantiles": q172_weighted_quantiles,
+        "q173_ab_test": q173_ab_test,
     }
 
 

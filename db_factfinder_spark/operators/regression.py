@@ -143,3 +143,81 @@ def chi_square_independence(
         withq.select("a", "b", "n_obs", "n_exp", "cell_chi2")
         .crossJoin(F.broadcast(total))
     )
+
+
+def ab_test_summary(
+    df: DataFrame,
+    unit_col: str,
+    value_c_col: str,
+    salt: str = "ab",
+) -> DataFrame:
+    """Deterministic A/B experiment readout: units assign to arms by
+    md5 of (salt | unit) — the stable bucketing every experimentation
+    platform uses (re-runs and late-arriving data land in the same
+    arm; a new salt is a new experiment) — and the readout is the
+    Welch t statistic over an exact-cents metric.
+
+    Exactness: per-arm n, Σv, Σv² fold as exact integers; means,
+    sample variances and the t statistic are a FIXED chain of
+    correctly-rounded IEEE ops from those integers, so the decision
+    number is engine-identical (the oracle recomputes it op for op).
+    Degrees of freedom (Welch–Satterthwaite) are left to the caller —
+    they add nothing to the cross-engine contract and everything to
+    its fragility.
+
+    One aggregation shuffle on the arm (2 groups); the pivot to one
+    wide row is a conditional-agg fold, not a join.
+
+    Output: one row — ``n_a, n_b, mean_a, mean_b, var_a, var_b,
+    diff, t``.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}|"), F.col(unit_col).cast("string"))),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("long")
+    armed = df.filter(F.col(value_c_col).isNotNull()).select(
+        (h % 2).alias("arm"), F.col(value_c_col).alias("v")
+    )
+    per_arm = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    wide = per_arm.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}_{t}")
+            for a, t in [(0, "a"), (1, "b")]
+            for c in ("n", "s1", "s2")
+        ]
+    )
+
+    def stats(t: str):
+        n = F.col(f"n_{t}").cast("double")
+        s1 = F.col(f"s1_{t}").cast("double")
+        s2 = F.col(f"s2_{t}").cast("double")
+        mean = s1 / n
+        var = (s2 - (s1 * s1) / n) / (n - F.lit(1.0))
+        return mean, var
+
+    mean_a, var_a = stats("a")
+    mean_b, var_b = stats("b")
+    diff = mean_b - mean_a
+    t_stat = diff / F.sqrt(
+        var_a / F.col("n_a").cast("double")
+        + var_b / F.col("n_b").cast("double")
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        var_a.alias("var_a"),
+        var_b.alias("var_b"),
+        diff.alias("diff"),
+        t_stat.alias("t"),
+    )

@@ -4177,3 +4177,51 @@ FROM cum c JOIN tot t USING (l_returnflag)
 GROUP BY c.l_returnflag
 ORDER BY c.l_returnflag
 """
+
+
+# q173: A/B readout — identical md5 arm salt, exact integer n/Σv/Σv²,
+# Welch t re-derived with the same parenthesization.
+ORACLES["q173_ab_test"] = """
+WITH armed AS (
+  SELECT ('0x' || substr(md5('exp1|' || CAST(user_id AS VARCHAR)), 1, 7))
+           ::BIGINT % 2 AS arm,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE floor(value * 100 + 0.5) IS NOT NULL),
+per_arm AS (
+  SELECT arm, count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS s1,
+         CAST(sum(v * v) AS BIGINT) AS s2
+  FROM armed GROUP BY arm),
+wide AS (
+  SELECT
+    max(CASE WHEN arm = 0 THEN n END) AS n_a,
+    max(CASE WHEN arm = 0 THEN s1 END) AS s1_a,
+    max(CASE WHEN arm = 0 THEN s2 END) AS s2_a,
+    max(CASE WHEN arm = 1 THEN n END) AS n_b,
+    max(CASE WHEN arm = 1 THEN s1 END) AS s1_b,
+    max(CASE WHEN arm = 1 THEN s2 END) AS s2_b
+  FROM per_arm)
+SELECT n_a, n_b,
+  CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+  CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+  (CAST(s2_a AS DOUBLE)
+     - (CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE))
+       / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS var_a,
+  (CAST(s2_b AS DOUBLE)
+     - (CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE))
+       / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS var_b,
+  CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+    - CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS diff,
+  (CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+     - CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+  / sqrt(
+      ((CAST(s2_a AS DOUBLE)
+          - (CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE))
+            / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0))
+        / CAST(n_a AS DOUBLE)
+      + ((CAST(s2_b AS DOUBLE)
+            - (CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE))
+              / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0))
+          / CAST(n_b AS DOUBLE)) AS t
+FROM wide
+"""
