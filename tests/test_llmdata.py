@@ -1925,3 +1925,43 @@ def test_ab_test_summary_known_split(spark):
     assert (row["n_a"], row["mean_a"]) == (again["n_a"], again["mean_a"])
     other = ab_test_summary(df, "uid", "v", salt="s2").first()
     assert other["n_a"] != row["n_a"] or other["mean_a"] != row["mean_a"]
+
+
+# ---------------------------------------------------------------------
+# Round-4 edge-case robustness (ANSI mode: degenerate inputs must
+# yield empty/NULL results, never runtime errors)
+# ---------------------------------------------------------------------
+
+def test_round4_ops_survive_degenerate_inputs(spark):
+    from db_factfinder_spark.llmdata.dedup import containment_pairs
+    from db_factfinder_spark.llmdata.sampling import (
+        priority_sample,
+        shuffle_shards,
+    )
+    from db_factfinder_spark.llmdata.textstats import (
+        bm25_search,
+        bpe_merge_candidates,
+        collocation_lift,
+        token_diversity,
+    )
+    from db_factfinder_spark.operators.median import (
+        grouped_weighted_median,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id int, text string")
+    nulls = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id int, text string"
+    )
+    for frame in (empty_docs, nulls):
+        assert bm25_search(frame, ["x", "y"]).count() == 0
+        assert token_diversity(frame).count() == 0
+        assert collocation_lift(frame).count() == 0
+        assert bpe_merge_candidates(frame).count() == 0
+        assert containment_pairs(frame).count() == 0
+    # all-zero weights: no rows qualify, empty result (not div-by-zero)
+    zw = spark.createDataFrame([("g", 1, 0)], "k string, v int, w int")
+    assert grouped_weighted_median(zw, ["k"], "v", "w").count() == 0
+    # empty population: priority sample and shards are empty
+    ep = spark.createDataFrame([], "id int, w int")
+    assert priority_sample(ep, "id", "w", k=5).count() == 0
+    assert shuffle_shards(ep, "id").count() == 0
