@@ -149,6 +149,7 @@ from db_factfinder_spark.operators.timeseries import (
     twap,
 )
 from db_factfinder_spark.operators.quality import (
+    benford_digit_test,
     fk_violations,
     profile_columns,
 )
@@ -3988,6 +3989,16 @@ def q157_jl_projection(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q174_benford(spark, sf_dir):
+    """Benford first-digit audit of order totals in exact cents:
+    literal expected probabilities (no runtime log10), complete 1–9
+    digit grid, fixed-point order-free χ² (see benford_digit_test)."""
+    orders = _t(spark, sf_dir, "orders")
+    return benford_digit_test(orders, "o_totalprice", scale=100).orderBy(
+        "digit"
+    )
+
+
 def q173_ab_test(spark, sf_dir):
     """Deterministic A/B readout over event values in exact cents:
     md5-salted arm assignment, integer sufficient statistics, Welch t
@@ -4526,6 +4537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_chi_square": q171_chi_square,
         "q172_weighted_quantiles": q172_weighted_quantiles,
         "q173_ab_test": q173_ab_test,
+        "q174_benford": q174_benford,
     }
 
 

@@ -77,3 +77,66 @@ def observed(df, name: str, metrics: dict[str, Column]):
     obs = Observation(name)
     out = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
     return out, obs
+
+
+def benford_digit_test(
+    df, value_col: str, scale: int = 100
+) -> "DataFrame":
+    """Benford's-law first-digit audit — the forensic data-quality
+    screen for fabricated or truncated numeric columns (Benford 1938;
+    widely used in fraud auditing): observed leading-digit counts of
+    the positive values against expected p_d = log10(1 + 1/d), plus
+    the χ² distance.
+
+    The nine expected probabilities enter the plan as LITERALS
+    (computed once in Python — both engines then parse identical
+    decimal literals; no runtime log10, whose last bit is libm's).
+    Counts are exact integers; each digit's (O−E)²/E is a fixed IEEE
+    chain; the cross-digit sum is 1e-9 fixed-point (order-free).
+    ``scale`` integerizes the value first (cents by default) so the
+    leading digit comes from exact arithmetic, not float formatting.
+
+    One count shuffle on 9 keys.  Output: per-digit rows
+    ``digit, n_obs, p_expected, n_expected, cell_chi2`` + table-level
+    ``chi2, n`` on every row.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    p = {d: float(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+    v = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+    digit = F.substring(v.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(v > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    # complete 1..9 (a digit can be absent; its E still contributes)
+    digits = counts.sparkSession.createDataFrame(
+        [(d, p[d]) for d in range(1, 10)], "digit int, p_expected double"
+    )
+    full = digits.join(counts, "digit", "left").select(
+        "digit",
+        "p_expected",
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+    )
+    tot = full.agg(F.sum("n_obs").alias("n"))
+    j = full.crossJoin(F.broadcast(tot))
+    e = F.col("p_expected") * F.col("n").cast("double")
+    o = F.col("n_obs").cast("double")
+    cell = (o - e) * (o - e) / e
+    withq = j.withColumn("n_expected", e).withColumn(
+        "cell_chi2", cell
+    ).withColumn(
+        "__q", F.floor(cell * F.lit(1000000000.0) + F.lit(0.5)).cast("long")
+    )
+    total = withq.agg(
+        (F.sum("__q").cast("double") / F.lit(1000000000.0)).alias("chi2"),
+        F.max("n").alias("n"),
+    )
+    return (
+        withq.select("digit", "n_obs", "p_expected", "n_expected", "cell_chi2")
+        .crossJoin(F.broadcast(total))
+    )

@@ -4225,3 +4225,46 @@ SELECT n_a, n_b,
           / CAST(n_b AS DOUBLE)) AS t
 FROM wide
 """
+
+
+# q174: Benford — identical literal probabilities (CPython log10 at
+# oracle-authoring time, parsed as the same doubles), complete digit
+# grid, fixed-point order-free χ² sum.
+ORACLES["q174_benford"] = """
+WITH v AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders),
+counts AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n_obs
+  FROM v WHERE c > 0 GROUP BY 1),
+expected(digit, p_expected) AS (VALUES
+  (1, 0.3010299956639812), (2, 0.17609125905568124),
+  (3, 0.12493873660829992), (4, 0.09691001300805642),
+  (5, 0.07918124604762482), (6, 0.06694678963061322),
+  (7, 0.05799194697768673), (8, 0.05115252244738129),
+  (9, 0.04575749056067514)),
+full_ AS (
+  SELECT e.digit, e.p_expected, coalesce(c.n_obs, 0) AS n_obs
+  FROM expected e LEFT JOIN counts c USING (digit)),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM full_),
+j AS (
+  SELECT f.digit, f.n_obs, f.p_expected,
+         f.p_expected * CAST(t.n AS DOUBLE) AS n_expected, t.n
+  FROM full_ f CROSS JOIN tot t),
+q AS (
+  SELECT *,
+    (CAST(n_obs AS DOUBLE) - n_expected)
+      * (CAST(n_obs AS DOUBLE) - n_expected) / n_expected AS cell_chi2,
+    CAST(floor(((CAST(n_obs AS DOUBLE) - n_expected)
+                * (CAST(n_obs AS DOUBLE) - n_expected) / n_expected)
+               * 1000000000.0 + 0.5) AS BIGINT) AS qq
+  FROM j),
+total AS (
+  SELECT CAST(sum(qq) AS DOUBLE) / 1000000000.0 AS chi2, max(n) AS n
+  FROM q)
+SELECT q.digit, q.n_obs, q.p_expected, q.n_expected, q.cell_chi2,
+       total.chi2, total.n
+FROM q CROSS JOIN total
+ORDER BY q.digit
+"""

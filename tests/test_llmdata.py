@@ -1965,3 +1965,23 @@ def test_round4_ops_survive_degenerate_inputs(spark):
     ep = spark.createDataFrame([], "id int, w int")
     assert priority_sample(ep, "id", "w", k=5).count() == 0
     assert shuffle_shards(ep, "id").count() == 0
+
+
+def test_benford_perfect_and_skewed(spark):
+    import math
+
+    from db_factfinder_spark.operators.quality import benford_digit_test
+
+    # values engineered to hit each digit proportionally to Benford
+    # (1000 draws quantized) → tiny chi2; all-1-leading values → huge
+    rows = []
+    for d in range(1, 10):
+        k = round(1000 * math.log10(1 + 1 / d))
+        rows += [(float(d),)] * k
+    df = spark.createDataFrame(rows, "v double")
+    near = benford_digit_test(df, "v", scale=100).first()["chi2"]
+    ones = spark.createDataFrame([(1.23,)] * 500, "v double")
+    far = benford_digit_test(ones, "v", scale=100).first()["chi2"]
+    assert near < 1.0 < far
+    # absent digits still carry expected mass (9 rows always)
+    assert benford_digit_test(ones, "v", scale=100).count() == 9
