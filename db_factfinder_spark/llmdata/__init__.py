@@ -27,6 +27,7 @@ from db_factfinder_spark.llmdata.checkpointing import (  # noqa: F401
 )
 from db_factfinder_spark.llmdata.dedup import (  # noqa: F401
     cap_hot_buckets,
+    containment_pairs,
     cross_corpus_matches,
     exact_dedup,
     jaccard_pairs,
@@ -46,6 +47,7 @@ from db_factfinder_spark.llmdata.sketches import (  # noqa: F401
     hll_intersect,
     hll_merge,
     hll_partials,
+    rolling_hll_distinct,
     sampled_quantiles,
 )
 from db_factfinder_spark.llmdata.strmatch import edit1_join  # noqa: F401
@@ -72,12 +74,14 @@ from db_factfinder_spark.llmdata.sampling import (  # noqa: F401
     mixture_sample,
     priority_sample,
     priority_sample_per_group,
+    shuffle_shards,
     split_column,
 )
 from db_factfinder_spark.llmdata.redact import (  # noqa: F401
     domain_blocklist_filter,
     redact_pii,
 )
+from db_factfinder_spark.llmdata.urls import normalize_urls  # noqa: F401
 from db_factfinder_spark.llmdata.textstats import (  # noqa: F401
     bm25_search,
     bpe_merge_candidates,
