@@ -3989,6 +3989,53 @@ def q157_jl_projection(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q175_priority_sample_eval(spark, sf_dir):
+    """Estimator-quality harness for priority sampling (the q78
+    pattern applied to sampling): per order-priority class, the
+    subset-sum estimate Σ max(w, τ) over the k-sample next to the
+    exact class total — the measurement loop that sizes k before
+    trusting sample-only accounting at 100 TB.  Both sides
+    deterministic, so the comparison itself is oracle-checked."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("w_c"),
+    )
+    sample = priority_sample(orders, "o_orderkey", "w_c", k=100)
+    est = (
+        sample.join(
+            orders.select("o_orderkey", "o_orderpriority"), "o_orderkey"
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            # round each estimator to whole cents BEFORE summing: the
+            # per-row values are engine-identical doubles but a float
+            # SUM would fold in partition order — integer sums are
+            # order-free
+            F.sum(F.floor(F.col("est") + F.lit(0.5)).cast("long")).alias(
+                "est_c"
+            ),
+        )
+    )
+    truth = orders.groupBy("o_orderpriority").agg(
+        F.sum("w_c").alias("true_c"), F.count(F.lit(1)).alias("n_rows")
+    )
+    return (
+        truth.join(est, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            "true_c",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("est_c", F.lit(0)).alias("est_c"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q174_benford(spark, sf_dir):
     """Benford first-digit audit of order totals in exact cents:
     literal expected probabilities (no runtime log10), complete 1–9
@@ -4538,6 +4585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_weighted_quantiles": q172_weighted_quantiles,
         "q173_ab_test": q173_ab_test,
         "q174_benford": q174_benford,
+        "q175_priority_sample_eval": q175_priority_sample_eval,
     }
 
 

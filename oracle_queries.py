@@ -4268,3 +4268,42 @@ SELECT q.digit, q.n_obs, q.p_expected, q.n_expected, q.cell_chi2,
 FROM q CROSS JOIN total
 ORDER BY q.digit
 """
+
+
+# q175: priority-sampling estimator audit — the q147 sample machinery
+# re-derived, per-row cent rounding before the (order-free) sums.
+ORACLES["q175_priority_sample_eval"] = """
+WITH w AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w_c
+  FROM orders),
+p AS (
+  SELECT o_orderkey, w_c,
+         CAST(w_c * 268435456 AS DOUBLE)
+           / CAST((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 7))
+                     ::BIGINT + 1) AS DOUBLE) AS priority
+  FROM w),
+topk1 AS (
+  SELECT * FROM p ORDER BY priority DESC, o_orderkey ASC LIMIT 101),
+tau AS (
+  SELECT CASE WHEN count(*) = 101 THEN min(priority) ELSE 0.0 END AS tau
+  FROM topk1),
+samp AS (
+  SELECT * FROM topk1 ORDER BY priority DESC, o_orderkey ASC LIMIT 100),
+est AS (
+  SELECT w.o_orderpriority, count(*) AS n_sampled,
+         CAST(sum(CAST(floor(greatest(CAST(s.w_c AS DOUBLE), tau.tau)
+                             + 0.5) AS BIGINT)) AS BIGINT) AS est_c
+  FROM samp s CROSS JOIN tau
+  JOIN w ON w.o_orderkey = s.o_orderkey
+  GROUP BY w.o_orderpriority),
+truth AS (
+  SELECT o_orderpriority, CAST(sum(w_c) AS BIGINT) AS true_c,
+         count(*) AS n_rows
+  FROM w GROUP BY o_orderpriority)
+SELECT t.o_orderpriority, t.n_rows, t.true_c,
+       coalesce(e.n_sampled, 0) AS n_sampled,
+       coalesce(e.est_c, 0) AS est_c
+FROM truth t LEFT JOIN est e USING (o_orderpriority)
+ORDER BY t.o_orderpriority
+"""
