@@ -160,6 +160,7 @@ from db_factfinder_spark.operators.regression import (
 )
 from db_factfinder_spark.operators.scd import scd2_intervals
 from db_factfinder_spark.operators.skyline import skyline2d
+from db_factfinder_spark.operators.spatial import grid_distance_pairs
 from db_factfinder_spark.operators.rangejoin import (
     interval_overlap_join,
     point_in_interval_join,
@@ -3989,6 +3990,36 @@ def q157_jl_projection(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q176_grid_distance_join(spark, sf_dir):
+    """Spatial radius self-join via grid bucketing: customers get
+    md5-derived integer coordinates on a 10 000² grid; pairs within
+    r=150 come from a 3×3-neighborhood cell equi-join + exact integer
+    d² verify — the planar LSH pattern, no cross product (see
+    grid_distance_pairs)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("gx|"), F.col("c_custkey").cast("string"))), 1, 7),
+                16,
+                10,
+            ).cast("long")
+            % 10000
+        ).alias("x"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("gy|"), F.col("c_custkey").cast("string"))), 1, 7),
+                16,
+                10,
+            ).cast("long")
+            % 10000
+        ).alias("y"),
+    )
+    return grid_distance_pairs(
+        cust, "c_custkey", "x", "y", radius=150
+    ).orderBy("id_a", "id_b")
+
+
 def q175_priority_sample_eval(spark, sf_dir):
     """Estimator-quality harness for priority sampling (the q78
     pattern applied to sampling): per order-priority class, the
@@ -4586,6 +4617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_ab_test": q173_ab_test,
         "q174_benford": q174_benford,
         "q175_priority_sample_eval": q175_priority_sample_eval,
+        "q176_grid_distance_join": q176_grid_distance_join,
     }
 
 

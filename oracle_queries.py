@@ -4307,3 +4307,22 @@ SELECT t.o_orderpriority, t.n_rows, t.true_c,
 FROM truth t LEFT JOIN est e USING (o_orderpriority)
 ORDER BY t.o_orderpriority
 """
+
+
+# q176: grid distance join — exact verify over ALL pairs (the grid is
+# a no-false-negative candidate optimization, so the oracle checks the
+# predicate directly from the md5 coordinates).
+ORACLES["q176_grid_distance_join"] = """
+WITH pts AS (
+  SELECT c_custkey AS id,
+    ('0x' || substr(md5('gx|' || CAST(c_custkey AS VARCHAR)), 1, 7))
+      ::BIGINT % 10000 AS x,
+    ('0x' || substr(md5('gy|' || CAST(c_custkey AS VARCHAR)), 1, 7))
+      ::BIGINT % 10000 AS y
+  FROM customer)
+SELECT a.id AS id_a, b.id AS id_b,
+       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 22500
+ORDER BY id_a, id_b
+"""

@@ -1985,3 +1985,35 @@ def test_benford_perfect_and_skewed(spark):
     assert near < 1.0 < far
     # absent digits still carry expected mass (9 rows always)
     assert benford_digit_test(ones, "v", scale=100).count() == 9
+
+
+def test_grid_distance_pairs_matches_bruteforce(spark):
+    from db_factfinder_spark.operators.spatial import grid_distance_pairs
+
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    pts = [(i, rng.randrange(0, 400), rng.randrange(0, 400))
+           for i in range(120)]
+    df = spark.createDataFrame(pts, "id int, x int, y int")
+    r = 60
+    got = {(a, b): d for a, b, d in
+           grid_distance_pairs(df, "id", "x", "y", radius=r).collect()}
+    want = {}
+    for (i, xi, yi), (j, xj, yj) in itertools.combinations(pts, 2):
+        d2 = (xi - xj) ** 2 + (yi - yj) ** 2
+        if d2 <= r * r:
+            want[(min(i, j), max(i, j))] = d2
+    assert got == want
+    # boundary exactness: distance exactly r is INCLUDED
+    df2 = spark.createDataFrame(
+        [(1, 0, 0), (2, 60, 0), (3, 61, 0)], "id int, x int, y int"
+    )
+    out2 = {(a, b) for a, b, _ in
+            grid_distance_pairs(df2, "id", "x", "y", radius=60).collect()}
+    assert (1, 2) in out2 and (1, 3) not in out2
+    # cell < radius is rejected (would drop cross-cell pairs)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        grid_distance_pairs(df2, "id", "x", "y", radius=60, cell=30)

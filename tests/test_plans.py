@@ -516,3 +516,12 @@ def test_q169_shuffle_is_one_shard_window(spark):
     ex = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert any(e.startswith("shard#") for e in ex), ex
     assert "SinglePartition" not in plan
+
+
+def test_q176_spatial_join_is_cell_equi(spark):
+    """Grid distance join: candidates come from an equi join on the
+    cell key — never a nested-loop point-pair scan."""
+    plan = _plan(spark, "q176_grid_distance_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
