@@ -38,6 +38,7 @@ from db_factfinder_spark.functions.stats import (
     sum_skipna,
 )
 from db_factfinder_spark.llmdata.dedup import (
+    admit_new_documents,
     containment_pairs,
     cross_corpus_matches,
     exact_dedup,
@@ -3990,6 +3991,21 @@ def q157_jl_projection(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q177_ingest_admission(spark, sf_dir):
+    """Incremental-ingest gate: odd-id documents (the new batch)
+    classified against even-id documents (the ingested corpus) as
+    exact_dup / near_dup / admitted — fingerprint equi-join + the q86
+    cross-corpus LSH, never a from-scratch re-dedup (see
+    admit_new_documents).  Uncapped per the oracle convention."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return admit_new_documents(
+        corpus, new, num_hashes=8, bands=4, n=3,
+        verify_threshold=0.6, max_bucket=None,
+    ).orderBy("doc_id")
+
+
 def q176_grid_distance_join(spark, sf_dir):
     """Spatial radius self-join via grid bucketing: customers get
     md5-derived integer coordinates on a 10 000² grid; pairs within
@@ -4618,6 +4634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_benford": q174_benford,
         "q175_priority_sample_eval": q175_priority_sample_eval,
         "q176_grid_distance_join": q176_grid_distance_join,
+        "q177_ingest_admission": q177_ingest_admission,
     }
 
 

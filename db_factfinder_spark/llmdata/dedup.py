@@ -1090,3 +1090,77 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def admit_new_documents(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    verify_threshold: float = 0.6,
+    max_bucket: int | None = 10_000,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Incremental-ingest admission gate: classify each NEW document
+    against the ALREADY-INGESTED corpus as ``exact_dup`` (identical
+    normalized fingerprint), ``near_dup`` (banded-MinHash match ≥
+    verify_threshold via cross_corpus_matches), or ``admitted`` —
+    the nightly-batch operation a continuously-growing corpus runs
+    instead of ever re-deduplicating itself from scratch.
+
+    Scale contract: the corpus side contributes only its fingerprint
+    set (one keyed equi-join — NOT broadcast: corpus fingerprints are
+    corpus-sized) and its signature band keys (the persisted frames
+    hll_partials-style pipelines keep warm); nothing rescans corpus
+    text except the bounded candidate verify.  Exact beats near in
+    the status (a byte-identical copy is reported as exact even
+    though its Jaccard is 1.0).  NULL-text newcomers have no
+    fingerprint and no shingles — admitted by construction, surfaced
+    by their status for upstream triage.
+
+    Output: ``id_col, status`` for every new document.
+    """
+    from db_factfinder_spark.llmdata.textstats import fingerprint
+
+    corp_fp = (
+        corpus.filter(F.col(text_col).isNotNull())
+        .select(fingerprint(F.col(text_col)).alias("__fp"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    newd = new_docs.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("__fp")
+    )
+    exact = newd.join(corp_fp, "__fp", "left").select(
+        id_col, F.col("__hit").isNotNull().alias("__exact")
+    )
+    near = (
+        cross_corpus_matches(
+            corpus,
+            new_docs,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            n=n,
+            verify_threshold=verify_threshold,
+            max_bucket=max_bucket,
+            checkpoint_mode=checkpoint_mode,
+        )
+        .select(F.col("probe_id").alias(id_col))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    return (
+        exact.join(near, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__exact"), F.lit("exact_dup"))
+            .when(F.col("__near").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("admitted"))
+            .alias("status"),
+        )
+    )

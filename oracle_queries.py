@@ -4326,3 +4326,22 @@ FROM pts a JOIN pts b ON a.id < b.id
 WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 22500
 ORDER BY id_a, id_b
 """
+
+
+# q177: ingest admission — exact via the q25 fingerprint, near via the
+# q86 cross-corpus machinery (reused as a subquery), exact-beats-near.
+ORACLES["q177_ingest_admission"] = f"""
+WITH near AS (
+  SELECT probe_id FROM ({ORACLES["q86_decontaminate"]})
+  WHERE n_matches > 0),
+corp AS (
+  SELECT DISTINCT md5({_NORM}) AS fp FROM documents
+  WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+newd AS (
+  SELECT doc_id, md5({_NORM}) AS fp FROM documents WHERE doc_id % 2 = 1)
+SELECT doc_id,
+  CASE WHEN fp IN (SELECT fp FROM corp) THEN 'exact_dup'
+       WHEN doc_id IN (SELECT probe_id FROM near) THEN 'near_dup'
+       ELSE 'admitted' END AS status
+FROM newd ORDER BY doc_id
+"""

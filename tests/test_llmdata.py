@@ -2017,3 +2017,29 @@ def test_grid_distance_pairs_matches_bruteforce(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         grid_distance_pairs(df2, "id", "x", "y", radius=60, cell=30)
+
+
+def test_admit_new_documents_statuses(spark):
+    from db_factfinder_spark.llmdata.dedup import admit_new_documents
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "completely unrelated corpus text here")],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),                                    # byte-identical
+            (3, base.replace("tok7", "zzz")),             # near-dup
+            (5, "fresh material nothing shares shingles"),
+            (7, None),                                    # NULL text
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in
+           admit_new_documents(corpus, new, max_bucket=None).collect()}
+    assert out[1] == "exact_dup"
+    assert out[3] == "near_dup"
+    assert out[5] == "admitted"
+    assert out[7] == "admitted"
+    assert len(out) == 4  # every newcomer classified exactly once
