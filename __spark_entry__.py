@@ -39,6 +39,7 @@ from db_factfinder_spark.functions.stats import (
 )
 from db_factfinder_spark.llmdata.dedup import (
     admit_new_documents,
+    build_corpus_state,
     containment_pairs,
     cross_corpus_matches,
     exact_dedup,
@@ -4006,6 +4007,27 @@ def q177_ingest_admission(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q178_admission_with_state(spark, sf_dir):
+    """q177's admission gate driven through PERSISTED corpus state:
+    build_corpus_state once (fingerprints + band keys — the frames a
+    real ingest pipeline keeps warm), then admit the new batch against
+    the state, so corpus text is read only by the bounded candidate
+    verify.  The oracle is q177's — the state path must be
+    answer-identical to the bootstrap path (that equality IS the
+    incremental-ingest contract; union_corpus_state's delta-vs-rebuild
+    equality is pytest-pinned)."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    state = build_corpus_state(
+        corpus, num_hashes=8, bands=4, n=3, max_bucket=None
+    )
+    return admit_new_documents(
+        corpus, new, verify_threshold=0.6, max_bucket=None,
+        corpus_state=state,
+    ).orderBy("doc_id")
+
+
 def q176_grid_distance_join(spark, sf_dir):
     """Spatial radius self-join via grid bucketing: customers get
     md5-derived integer coordinates on a 10 000² grid; pairs within
@@ -4635,6 +4657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_priority_sample_eval": q175_priority_sample_eval,
         "q176_grid_distance_join": q176_grid_distance_join,
         "q177_ingest_admission": q177_ingest_admission,
+        "q178_admission_with_state": q178_admission_with_state,
     }
 
 

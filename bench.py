@@ -128,6 +128,28 @@ def main() -> None:
         _force(built[name])
         reexec[name] = round(time.perf_counter() - t0, 3)
 
+    # Per-query cold/reexec detail goes to a sidecar file: round 4's
+    # headline line grew past the driver's stdout tail capture and was
+    # truncated mid-line, losing the round's number.  The LAST stdout
+    # line is now a compact headline (warm per-query map + scalar
+    # totals only) so tail-based parsers always see complete JSON.
+    detail = {
+        "metric": "headline_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "startup_s": startup_s,
+        "cold_total": round(sum(cold.values()), 3),
+        "queries_cold": cold,
+        "reexec_total": round(sum(reexec.values()), 3),
+        "queries_reexec": reexec,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
     print(
         json.dumps(
             {
@@ -138,8 +160,8 @@ def main() -> None:
                 "sf": sf,
                 "startup_s": startup_s,
                 "cold_total": round(sum(cold.values()), 3),
-                "queries_cold": cold,
                 "reexec_total": round(sum(reexec.values()), 3),
+                "detail": "bench_detail.json",
             }
         )
     )

@@ -26,10 +26,14 @@ from db_factfinder_spark.llmdata.checkpointing import (  # noqa: F401
     materialize,
 )
 from db_factfinder_spark.llmdata.dedup import (  # noqa: F401
+    CorpusDedupState,
+    admit_new_documents,
+    build_corpus_state,
     cap_hot_buckets,
     containment_pairs,
     cross_corpus_matches,
     exact_dedup,
+    union_corpus_state,
     jaccard_pairs,
     minhash_dedup_pairs,
     minhash_signatures,

@@ -24,6 +24,8 @@ signatures.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1058,7 +1060,20 @@ def containment_pairs(
         ),
         checkpoint_mode,
     )
-    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    # Required overlap c = smallest integer with (c/n as double) ≥ τ —
+    # the EXACT comparison the verify stage runs, so the prefix bound
+    # can never disagree with it.  float ceil(τ·n) alone can round the
+    # product across an integer differently than the division for
+    # adversarial (τ, n) pairs, making the prefix one shingle short;
+    # the ±1 probe below repairs both rounding directions.
+    c0 = F.ceil(F.lit(threshold) * F.col("n")).cast("int")
+    nd = F.col("n").cast("double")
+    req = (
+        F.when((c0 - 1).cast("double") / nd >= F.lit(threshold), c0 - 1)
+        .when(c0.cast("double") / nd >= F.lit(threshold), c0)
+        .otherwise(c0 + 1)
+    )
+    prefix_len = F.col("n") - req + 1
     pe = ordered.select(
         "id", F.explode(F.slice("tk_ord", 1, prefix_len.cast("int"))).alias("t")
     )
@@ -1092,6 +1107,121 @@ def containment_pairs(
     )
 
 
+class CorpusDedupState(NamedTuple):
+    """Persisted dedup state of an already-ingested corpus — exactly
+    the two frames an admission gate needs, and NOTHING text-sized:
+
+    * ``fingerprints`` — distinct normalized-content md5s, one column
+      ``fp`` (the q25 exact-dup key);
+    * ``band_keys`` — ``(id, band, bucket)`` banded-MinHash keys (the
+      q86 candidate-generation key).
+
+    In production both live as tables the nightly pipeline keeps warm
+    (the ``hll_partials``/``hll_merge`` shape: build once, union
+    deltas, never rebuild).  Parameters are carried along because a
+    state built with one (num_hashes, bands, n) is meaningless under
+    another — ``admit_new_documents`` hashes the probe side with the
+    STATE's parameters, not its own defaults.
+    """
+
+    fingerprints: DataFrame
+    band_keys: DataFrame
+    num_hashes: int
+    bands: int
+    n: int
+
+
+def _signature_frame(
+    docs: DataFrame, text_col: str, id_col: str, num_hashes: int, n: int
+) -> DataFrame:
+    """Wide ``(id, mh_0..mh_{k-1})`` MinHash signature frame — the
+    shared input of ``band_key_frame`` for every cross-corpus path."""
+    return (
+        docs.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+        .select("id", _minhash_fold(num_hashes)(F.col("sh")).alias("sig"))
+        .select(
+            "id",
+            *[F.get("sig", i).alias(f"mh_{i}") for i in range(num_hashes)],
+        )
+    )
+
+
+def build_corpus_state(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    max_bucket: int | None = 10_000,
+    checkpoint_mode: str = "local",
+) -> CorpusDedupState:
+    """ONE full pass over corpus text → the persisted
+    ``CorpusDedupState`` every subsequent admission batch reuses.
+    Runs once at corpus bootstrap (or never, if the ingest pipeline
+    built the state incrementally via ``union_corpus_state`` from day
+    one); after that, corpus text is only ever touched by the bounded
+    candidate verify inside ``admit_new_documents``.
+    """
+    from db_factfinder_spark.llmdata.textstats import fingerprint
+
+    fp = materialize(
+        corpus.filter(F.col(text_col).isNotNull())
+        .select(fingerprint(F.col(text_col)).alias("fp"))
+        .distinct(),
+        checkpoint_mode,
+    )
+    bk = materialize(
+        band_key_frame(
+            _signature_frame(corpus, text_col, id_col, num_hashes, n),
+            num_hashes,
+            bands,
+            max_bucket,
+        ),
+        checkpoint_mode,
+    )
+    return CorpusDedupState(fp, bk, num_hashes, bands, n)
+
+
+def union_corpus_state(
+    state: CorpusDedupState,
+    admitted_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = 10_000,
+    checkpoint_mode: str = "local",
+) -> CorpusDedupState:
+    """Fold a just-admitted batch into the persisted state — the
+    incremental-ingest closing step: hash ONLY the new batch (with the
+    state's own parameters), union its fingerprints and band keys into
+    the warm frames.  Corpus text is never re-read; cost is O(batch),
+    not O(corpus).  ``union_corpus_state(build_corpus_state(A), B)``
+    is row-identical to ``build_corpus_state(A ∪ B)`` (pytest-pinned),
+    so a state grown delta-by-delta never drifts from a rebuild."""
+    delta = build_corpus_state(
+        admitted_docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=state.num_hashes,
+        bands=state.bands,
+        n=state.n,
+        max_bucket=max_bucket,
+        checkpoint_mode=checkpoint_mode,
+    )
+    return CorpusDedupState(
+        materialize(
+            state.fingerprints.union(delta.fingerprints).distinct(),
+            checkpoint_mode,
+        ),
+        materialize(
+            state.band_keys.union(delta.band_keys), checkpoint_mode
+        ),
+        state.num_hashes,
+        state.bands,
+        state.n,
+    )
+
+
 def admit_new_documents(
     corpus: DataFrame,
     new_docs: DataFrame,
@@ -1103,53 +1233,108 @@ def admit_new_documents(
     verify_threshold: float = 0.6,
     max_bucket: int | None = 10_000,
     checkpoint_mode: str = "local",
+    corpus_state: CorpusDedupState | None = None,
 ) -> DataFrame:
     """Incremental-ingest admission gate: classify each NEW document
     against the ALREADY-INGESTED corpus as ``exact_dup`` (identical
-    normalized fingerprint), ``near_dup`` (banded-MinHash match ≥
-    verify_threshold via cross_corpus_matches), or ``admitted`` —
-    the nightly-batch operation a continuously-growing corpus runs
+    normalized fingerprint), ``near_dup`` (banded-MinHash candidate
+    verified at Jaccard ≥ verify_threshold), or ``admitted`` — the
+    nightly-batch operation a continuously-growing corpus runs
     instead of ever re-deduplicating itself from scratch.
 
-    Scale contract: the corpus side contributes only its fingerprint
-    set (one keyed equi-join — NOT broadcast: corpus fingerprints are
-    corpus-sized) and its signature band keys (the persisted frames
-    hll_partials-style pipelines keep warm); nothing rescans corpus
-    text except the bounded candidate verify.  Exact beats near in
-    the status (a byte-identical copy is reported as exact even
-    though its Jaccard is 1.0).  NULL-text newcomers have no
-    fingerprint and no shingles — admitted by construction, surfaced
-    by their status for upstream triage.
+    Scale contract: pass ``corpus_state`` (built once via
+    ``build_corpus_state``, grown per batch via ``union_corpus_state``)
+    and corpus TEXT is read exactly once per batch — the bounded
+    candidate verify, which fetches only the corpus rows whose band
+    keys collided with the new batch (candidate ids are batch-sized,
+    so AQE broadcasts them against the corpus scan; a lakehouse with
+    id-clustered files additionally prunes that scan to candidate
+    row groups).  Everything corpus-SIZED the gate touches — the
+    fingerprint set (one keyed equi-join, NOT broadcast) and the band
+    keys — comes from the persisted state, never recomputed.  With
+    ``corpus_state=None`` the state is built in-call from corpus text
+    (the bootstrap / one-shot path; answer identical, plan-audited).
+
+    Exact beats near in the status (a byte-identical copy is reported
+    as exact even though its Jaccard is 1.0).  NULL-text newcomers
+    have no fingerprint and no shingles — admitted by construction,
+    surfaced by their status for upstream triage.
 
     Output: ``id_col, status`` for every new document.
     """
     from db_factfinder_spark.llmdata.textstats import fingerprint
 
-    corp_fp = (
-        corpus.filter(F.col(text_col).isNotNull())
-        .select(fingerprint(F.col(text_col)).alias("__fp"))
-        .distinct()
-        .withColumn("__hit", F.lit(1))
-    )
-    newd = new_docs.select(
-        F.col(id_col), fingerprint(F.col(text_col)).alias("__fp")
-    )
-    exact = newd.join(corp_fp, "__fp", "left").select(
-        id_col, F.col("__hit").isNotNull().alias("__exact")
-    )
-    near = (
-        cross_corpus_matches(
+    if corpus_state is None:
+        corpus_state = build_corpus_state(
             corpus,
-            new_docs,
             text_col=text_col,
             id_col=id_col,
             num_hashes=num_hashes,
             bands=bands,
             n=n,
-            verify_threshold=verify_threshold,
             max_bucket=max_bucket,
             checkpoint_mode=checkpoint_mode,
         )
+    newd = new_docs.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+    )
+    exact = newd.join(
+        corpus_state.fingerprints.withColumn("__hit", F.lit(1)), "fp", "left"
+    ).select(id_col, F.col("__hit").isNotNull().alias("__exact"))
+
+    sh_p = materialize(
+        new_docs.select(
+            F.col(id_col).alias("id"),
+            shingles(text_col, corpus_state.n).alias("sh"),
+        ),
+        checkpoint_mode,
+    )
+    bk_p = band_key_frame(
+        sh_p.select(
+            "id", _minhash_fold(corpus_state.num_hashes)(F.col("sh")).alias("sig")
+        ).select(
+            "id",
+            *[
+                F.get("sig", i).alias(f"mh_{i}")
+                for i in range(corpus_state.num_hashes)
+            ],
+        ),
+        corpus_state.num_hashes,
+        corpus_state.bands,
+        max_bucket,
+    )
+    cands = (
+        bk_p.alias("p")
+        .join(
+            corpus_state.band_keys.alias("c"),
+            (F.col("p.band") == F.col("c.band"))
+            & (F.col("p.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("p.id").alias("probe_id"), F.col("c.id").alias("corpus_id")
+        )
+        .distinct()
+    )
+    # the ONE corpus-text read: shingle only the candidate rows
+    sh_c = (
+        corpus.join(
+            cands.select(F.col("corpus_id").alias("__cid")).distinct(),
+            F.col(id_col) == F.col("__cid"),
+        )
+        .select(
+            F.col(id_col).alias("corpus_id"),
+            shingles(text_col, corpus_state.n).alias("sh_c"),
+        )
+    )
+    joined = cands.join(
+        sh_p.select(F.col("id").alias("probe_id"), F.col("sh").alias("sh_p")),
+        "probe_id",
+    ).join(sh_c, "corpus_id")
+    inter = F.size(F.array_intersect("sh_p", "sh_c")).cast("double")
+    union = (F.size("sh_p") + F.size("sh_c")).cast("double") - inter
+    near = (
+        joined.withColumn("jaccard", F.try_divide(inter, union))
+        .filter(F.col("jaccard") >= verify_threshold)
         .select(F.col("probe_id").alias(id_col))
         .distinct()
         .withColumn("__near", F.lit(True))

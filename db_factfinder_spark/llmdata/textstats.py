@@ -688,7 +688,8 @@ def tfidf_top_terms(
 def char_chunker_udtf(size: int, stride: int):
     """Python UDTF (Spark 4 `@udtf`) producing overlapping character
     windows of a string: one input row → ⌈len/stride⌉ chunk rows of
-    ``size`` chars starting every ``stride`` (overlap = size−stride).
+    ``size`` chars starting every ``stride`` (overlap = size−stride;
+    ``stride == size`` gives valid non-overlapping full coverage).
     The UDTF is the right tool precisely where `explode(transform(
     sequence(...)))` gets awkward — per-row variable fan-out with
     imperative logic — while staying Arrow-batched and lateral-join
@@ -698,7 +699,7 @@ def char_chunker_udtf(size: int, stride: int):
     re-derives every chunk with substr arithmetic — UDTF ≠ unchecked.
 
     Returns the UDTF class, ready for ``spark.udtf.register``.
-    ``size > stride ≥ 1`` required (every character covered, bounded
+    ``size ≥ stride ≥ 1`` required (every character covered, bounded
     fan-out).
     """
     if not (size > 0 and 0 < stride <= size):

@@ -45,8 +45,12 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
     host = F.regexp_replace(raw_host, r"^www\.", "")
     port = F.nullif(F.regexp_extract(u, _PORT, 1), F.lit(""))
-    path = F.regexp_replace(
-        F.regexp_extract(u, _PATH, 1), r"/+$", ""
+    # regexp_extract returns '' (not NULL) on no match, so gate path on
+    # a parsed host to honor the NULL-components contract for
+    # unparseable rows ('' is reserved for a parsed root path).
+    path = F.when(
+        host.isNotNull(),
+        F.regexp_replace(F.regexp_extract(u, _PATH, 1), r"/+$", ""),
     )
     labels = F.split(host, r"\.")
     site = F.when(

@@ -88,9 +88,10 @@ def benford_digit_test(
     the positive values against expected p_d = log10(1 + 1/d), plus
     the χ² distance.
 
-    The nine expected probabilities enter the plan as LITERALS
-    (computed once in Python — both engines then parse identical
-    decimal literals; no runtime log10, whose last bit is libm's).
+    The nine expected probabilities enter the plan as HARDCODED
+    decimal literals — the same nine doubles the SQL oracle hardcodes
+    — so both engines parse identical text and no runtime log10 (whose
+    last bit is the host libm's) can ever enter the comparison.
     Counts are exact integers; each digit's (O−E)²/E is a fixed IEEE
     chain; the cross-digit sum is 1e-9 fixed-point (order-free).
     ``scale`` integerizes the value first (cents by default) so the
@@ -100,11 +101,22 @@ def benford_digit_test(
     ``digit, n_obs, p_expected, n_expected, cell_chi2`` + table-level
     ``chi2, n`` on every row.
     """
-    import math
-
     from pyspark.sql import functions as F
 
-    p = {d: float(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+    # log10(1 + 1/d) for d = 1..9, frozen as literals (not recomputed
+    # via math.log10 at call time — a platform libm rounding any value
+    # differently from these would silently break oracle parity).
+    p = {
+        1: 0.3010299956639812,
+        2: 0.17609125905568124,
+        3: 0.12493873660829992,
+        4: 0.09691001300805642,
+        5: 0.07918124604762482,
+        6: 0.06694678963061322,
+        7: 0.05799194697768673,
+        8: 0.05115252244738129,
+        9: 0.04575749056067514,
+    }
     v = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
     digit = F.substring(v.cast("string"), 1, 1).cast("int")
     counts = (

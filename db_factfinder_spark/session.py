@@ -12,22 +12,50 @@ import os
 from pyspark.sql import SparkSession
 
 
+def resolve_shuffle_partitions(
+    cpus: int, shuffle_partitions: int | None, scale_profile: str
+) -> int:
+    """Initial shuffle-partition count for a profile (see get_spark);
+    an explicit ``shuffle_partitions`` always wins."""
+    if scale_profile not in ("local", "cluster"):
+        raise ValueError(
+            f"scale_profile must be 'local' or 'cluster', got {scale_profile!r}"
+        )
+    if shuffle_partitions is not None:
+        return shuffle_partitions
+    return cpus if scale_profile == "local" else 3 * cpus
+
+
 def get_spark(
     app_name: str = "db_factfinder_spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    scale_profile: str = "local",
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     AQE is on so runtime stats can re-plan joins (broadcast conversion,
     skew splitting, partition coalescing) — the behaviors that matter at
     100 TB where compile-time stats are wrong.
+
+    ``scale_profile`` sizes the initial shuffle-partition count:
+
+    - ``"local"`` (default): partitions == cores.  Right for a single
+      JVM where every extra partition is pure scheduling overhead.
+    - ``"cluster"``: partitions == 3x cores.  A 100 TB deployment wants
+      the initial count well above total cores so no single shuffle
+      partition exceeds executor memory; AQE coalesce then merges the
+      small ones back at runtime (over-partitioning is cheap with AQE,
+      under-partitioning OOMs).
+
+    An explicit ``shuffle_partitions`` overrides the profile.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    if shuffle_partitions is None:
-        shuffle_partitions = cpus
+    shuffle_partitions = resolve_shuffle_partitions(
+        cpus, shuffle_partitions, scale_profile
+    )
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")

@@ -4081,9 +4081,11 @@ parts AS (
       '^www\.', '') AS host,
     nullif(regexp_extract(url,
       '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1), '') AS port,
-    regexp_replace(regexp_extract(url,
-      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
-      AS path
+    CASE WHEN nullif(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1), '') IS NOT NULL
+         THEN regexp_replace(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
+    END AS path
   FROM urls),
 sited AS (
   SELECT *, string_split(host, '.') AS labs FROM parts)
@@ -4345,3 +4347,9 @@ SELECT doc_id,
        ELSE 'admitted' END AS status
 FROM newd ORDER BY doc_id
 """
+
+
+# q178: the SAME classification as q177 — the oracle pins that the
+# persisted-state path (build_corpus_state + admit_new_documents(
+# corpus_state=...)) is answer-identical to the bootstrap path.
+ORACLES["q178_admission_with_state"] = ORACLES["q177_ingest_admission"]

@@ -107,3 +107,19 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert n == 1  # tiny input → one file
     a = sorted(r["id"] for r in spark.read.parquet(dst).collect())
     assert a == list(range(10_000))  # lossless
+
+
+def test_scale_profile_partition_sizing():
+    """Session scale profiles: local == cores (every extra partition
+    on one JVM is scheduling overhead); cluster == 3x cores so no
+    shuffle partition outgrows executor memory at 100 TB and AQE
+    coalesces the excess at runtime.  Explicit count always wins."""
+    import pytest
+
+    from db_factfinder_spark.session import resolve_shuffle_partitions
+
+    assert resolve_shuffle_partitions(32, None, "local") == 32
+    assert resolve_shuffle_partitions(32, None, "cluster") == 96
+    assert resolve_shuffle_partitions(32, 7, "cluster") == 7
+    with pytest.raises(ValueError):
+        resolve_shuffle_partitions(32, None, "laptop")

@@ -2043,3 +2043,79 @@ def test_admit_new_documents_statuses(spark):
     assert out[5] == "admitted"
     assert out[7] == "admitted"
     assert len(out) == 4  # every newcomer classified exactly once
+
+
+def test_admission_state_path_matches_bootstrap(spark):
+    """The persisted-state path (build_corpus_state + corpus_state=)
+    must be answer-identical to the bootstrap path — that equality IS
+    the incremental-ingest contract q178 pins against the oracle."""
+    from db_factfinder_spark.llmdata.dedup import (
+        admit_new_documents,
+        build_corpus_state,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "completely unrelated corpus text here")],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),
+            (3, base.replace("tok7", "zzz")),
+            (5, "fresh material nothing shares shingles"),
+            (7, None),
+        ],
+        "doc_id int, text string",
+    )
+    boot = {r["doc_id"]: r["status"] for r in
+            admit_new_documents(corpus, new, max_bucket=None).collect()}
+    state = build_corpus_state(corpus, max_bucket=None)
+    via_state = {r["doc_id"]: r["status"] for r in
+                 admit_new_documents(
+                     corpus, new, max_bucket=None, corpus_state=state
+                 ).collect()}
+    assert via_state == boot
+    # parameters travel with the state: probe hashing uses the state's
+    # (num_hashes, bands, n), so a mismatched call-site default can't
+    # silently split buckets
+    state2 = build_corpus_state(
+        corpus, num_hashes=16, bands=8, max_bucket=None
+    )
+    via_state2 = {r["doc_id"]: r["status"] for r in
+                  admit_new_documents(
+                      corpus, new, max_bucket=None, corpus_state=state2
+                  ).collect()}
+    assert via_state2[1] == "exact_dup" and via_state2[7] == "admitted"
+
+
+def test_union_corpus_state_equals_rebuild(spark):
+    """Delta-grown state never drifts from a rebuild:
+    union_corpus_state(build(A), B) is row-identical to build(A ∪ B)
+    on both frames — so a corpus ingested batch-by-batch over months
+    classifies newcomers exactly like a from-scratch re-index would."""
+    from db_factfinder_spark.llmdata.dedup import (
+        build_corpus_state,
+        union_corpus_state,
+    )
+
+    base = " ".join(f"w{i}" for i in range(25))
+    a = spark.createDataFrame(
+        [(0, base), (2, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id int, text string",
+    )
+    b = spark.createDataFrame(
+        [(4, base.replace("w3", "q")), (6, None),
+         (8, "one two three four five six seven eight")],
+        "doc_id int, text string",
+    )
+    grown = union_corpus_state(build_corpus_state(a, max_bucket=None), b,
+                               max_bucket=None)
+    rebuilt = build_corpus_state(a.union(b), max_bucket=None)
+    assert sorted(r["fp"] for r in grown.fingerprints.collect()) == \
+        sorted(r["fp"] for r in rebuilt.fingerprints.collect())
+    key = lambda r: (r["id"], r["band"], r["bucket"])  # noqa: E731
+    assert sorted(map(key, grown.band_keys.collect())) == \
+        sorted(map(key, rebuilt.band_keys.collect()))
+    assert (grown.num_hashes, grown.bands, grown.n) == \
+        (rebuilt.num_hashes, rebuilt.bands, rebuilt.n)

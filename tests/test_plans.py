@@ -525,3 +525,43 @@ def test_q176_spatial_join_is_cell_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q178_state_path_scans_corpus_text_once(spark, tmp_path):
+    """The incremental-ingest contract, audited at the plan level:
+    with a warm CorpusDedupState, corpus TEXT appears in the admission
+    plan exactly once — the bounded candidate verify — never for
+    fingerprints, shingles, or signatures (those come from the
+    persisted state frames).  Corpus and batch live in separate
+    parquet files so the scan count is unambiguous."""
+    from db_factfinder_spark.llmdata.dedup import (
+        admit_new_documents,
+        build_corpus_state,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    corpus_path = str(tmp_path / "corpus.parquet")
+    new_path = str(tmp_path / "new.parquet")
+    spark.createDataFrame(
+        [(0, base), (2, "completely unrelated corpus text here")],
+        "doc_id int, text string",
+    ).write.parquet(corpus_path)
+    spark.createDataFrame(
+        [(1, base), (3, base.replace("tok7", "zzz")), (5, None)],
+        "doc_id int, text string",
+    ).write.parquet(new_path)
+    corpus = spark.read.parquet(corpus_path)
+    new = spark.read.parquet(new_path)
+
+    state = build_corpus_state(corpus, max_bucket=None)
+    # warm the state the way a real pipeline would (persisted tables);
+    # the lazy localCheckpoints truncate lineage at first action
+    state.fingerprints.count()
+    state.band_keys.count()
+
+    df = admit_new_documents(
+        corpus, new, max_bucket=None, corpus_state=state
+    )
+    jvm = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = df._jdf.queryExecution().explainString(jvm.fromString("formatted"))
+    assert plan.count("corpus.parquet") == 1, plan
