@@ -1,0 +1,94 @@
+"""Scale-ladder evidence for the headline dedup set (VERDICT r4 ask #5).
+
+sf0.1 correctness says nothing about the growth ORDER of a pipeline —
+a hidden quadratic candidate stage or a driver-side loop looks fine at
+5k docs and dies at 5M.  This ladder synthesizes a k-times corpus whose
+replicas are SHINGLE-DISJOINT (every token salted with its replica id,
+ids re-keyed), so the dedup structure is exactly k independent copies
+of the base corpus: candidate counts, group sizes, and pair yields all
+scale by k, and a linear engine must scale ≈ k while a quadratic
+candidate stage scales ≈ k².
+
+Asserted per query, 1x vs 6x:
+
+* runtime grows ≲ linearly (generous 2.5x slack per step + a fixed
+  absorber for constant overheads — a quadratic stage would show ≥ 20x
+  and trip the bound even under heavy timer noise);
+* the physical plan keeps the SAME number of shuffle exchanges
+  (shuffle-stable: scale must change data volume, never plan shape).
+"""
+
+import time
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from pyspark.sql import functions as F
+
+BASE = "/root/testdata/sf0.1"
+LADDER = ["q111_prefix_filter_pairs", "q130_span_removal",
+          "q48_simhash_multiprobe", "q52_dedup_survivors"]
+QUERIES = entry_mod.queries()
+
+
+def _write_scaled_docs(spark, k: int, out_dir: str) -> None:
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    parts = []
+    for i in range(k):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                # salt every alphanumeric run IN PLACE (suffix survives
+                # normalize_text as part of the token — a separator like
+                # '_' would normalize into a standalone token between
+                # every word, making any one shared vocabulary word a
+                # shared shingle and the workload itself quadratic) →
+                # replica shingle spaces are disjoint, per-replica
+                # structure identical to base
+                F.regexp_replace("text", r"([A-Za-z0-9]+)", f"$1zq{i}").alias("text"),
+                *[c for c in docs.columns if c not in ("doc_id", "text")],
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _exchanges(spark, df) -> int:
+    jvm = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = df._jdf.queryExecution().explainString(jvm.fromString("formatted"))
+    return plan.count("Exchange ")
+
+
+@pytest.mark.slow
+def test_scale_ladder_linear_and_shuffle_stable(spark, tmp_path):
+    scales = (1, 6)
+    dirs = {}
+    for k in scales:
+        d = str(tmp_path / f"x{k}")
+        _write_scaled_docs(spark, k, d)
+        dirs[k] = d
+
+    for name in LADDER:
+        t, ex = {}, {}
+        for k in scales:
+            df = QUERIES[name](spark, dirs[k])
+            ex[k] = _exchanges(spark, df)
+            t0 = time.perf_counter()
+            _force(df)
+            t[k] = time.perf_counter() - t0
+        assert ex[6] == ex[1], (
+            f"{name}: plan not shuffle-stable across scale "
+            f"({ex[1]} vs {ex[6]} exchanges)"
+        )
+        # linear bound with 2.5x slack + 3s fixed-cost absorber
+        bound = 6 * 2.5 * t[1] + 3.0
+        assert t[6] <= bound, (
+            f"{name}: 6x corpus took {t[6]:.1f}s vs 1x {t[1]:.1f}s "
+            f"(bound {bound:.1f}s) — superlinear growth"
+        )
