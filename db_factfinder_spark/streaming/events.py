@@ -336,6 +336,76 @@ def stream_stream_join(
     return l_wm.join(r_wm, cond, "inner").drop(r_wm[by])
 
 
+def stream_quota_cap_aiws(
+    events: DataFrame,
+    quota: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """``stream_quota_cap``'s dependency-free twin: the same
+    cross-batch per-key admission quota expressed with
+    ``applyInPandasWithState`` — no ``google.protobuf`` requirement,
+    so it runs on a minimal pyspark install and is the DEFAULT engine
+    entry for the operator.  Kept semantically interchangeable with
+    the ``transformWithStateInPandas`` version (identical output
+    schema and admitted set; an equivalence test drives both wherever
+    the TWS runtime is present).
+
+    State per key: one bigint (lifetime admitted count).  Per
+    micro-batch the key's chunks are concatenated THEN sorted on
+    (ts, id) — the same chunk-interleaving hazard every stateful fold
+    here guards against — and the first ``quota − n`` rows are
+    admitted with their 1-based lifetime ``admit_idx``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField("admit_idx", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def fold(key, pdfs, state: GroupState):
+        (k,) = key
+        n = state.get[0] if state.exists else 0
+        chunks = [pdf for pdf in pdfs]
+        if chunks and n < quota:
+            allr = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
+            allr = allr.sort_values([ts_col, id_col])
+            take = allr.head(quota - n)
+            m = len(take)
+            if m:
+                yield pd.DataFrame(
+                    {
+                        key_col: [k] * m,
+                        id_col: list(take[id_col]),
+                        ts_col: list(take[ts_col]),
+                        "admit_idx": list(range(n + 1, n + m + 1)),
+                    }
+                )
+            n += m
+        state.update((n,))
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def transform_with_state_available() -> bool:
     """True when Spark 4's transformWithStateInPandas can actually run:
     its driver/state-server protocol needs ``google.protobuf``, which

@@ -407,22 +407,45 @@ def _tws_runtime_available():
     return transform_with_state_available()
 
 
-@pytest.mark.skipif(
-    not _tws_runtime_available(),
-    reason="google.protobuf not installed — transformWithStateInPandas "
-    "state server cannot start in this environment",
-)
+def _drive_quota(spark, events, src, builder, qname):
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/a=*")
+    )
+    out = builder(stream, quota=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return {
+        (r["user_id"], r["event_id"], r["admit_idx"])
+        for r in spark.table(qname).collect()
+    }
+
+
 def test_stream_quota_cap_state_carries_across_microbatches(
     spark, events, tmp_path
 ):
-    """Full cross-batch drive (runs wherever protobuf is present): a
-    key that exhausts its quota in an early micro-batch must admit
-    nothing later, and the admitted set must equal the batch
-    row_number() ≤ quota window when batches arrive in time order."""
+    """Full cross-batch drive — ALWAYS runs, via the dependency-free
+    ``applyInPandasWithState`` twin: a key that exhausts its quota in
+    an early micro-batch must admit nothing later, and the admitted
+    set must equal the batch row_number() ≤ quota window when batches
+    arrive in time order.  Where the ``transformWithStateInPandas``
+    runtime is present (google.protobuf installed) the TWS original is
+    driven on the SAME fixture and must produce the identical admitted
+    set — the committed equivalence the twins promise."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from db_factfinder_spark.streaming.events import stream_quota_cap
+    from db_factfinder_spark.streaming.events import (
+        stream_quota_cap,
+        stream_quota_cap_aiws,
+    )
 
     mid = events.selectExpr("percentile(cast(ts as long), 0.5) p").first()["p"]
     src = tmp_path / "events_split"
@@ -430,24 +453,8 @@ def test_stream_quota_cap_state_carries_across_microbatches(
         .coalesce(1).write.parquet(str(src / "a=0")))
     (events.filter(F.col("ts").cast("long") > mid)
         .coalesce(1).write.parquet(str(src / "a=1")))
-    stream = (
-        spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src) + "/a=*")
-    )
-    out = stream_quota_cap(stream, quota=3)
-    q = (
-        out.writeStream.format("memory")
-        .queryName("quota_split")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    got = {
-        (r["user_id"], r["event_id"], r["admit_idx"])
-        for r in spark.table("quota_split").collect()
-    }
+
+    got = _drive_quota(spark, events, src, stream_quota_cap_aiws, "quota_aiws")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     exp = {
         (r["user_id"], r["event_id"], r["rn"])
@@ -456,3 +463,9 @@ def test_stream_quota_cap_state_carries_across_microbatches(
         .collect()
     }
     assert got == exp
+
+    if _tws_runtime_available():
+        got_tws = _drive_quota(
+            spark, events, src, stream_quota_cap, "quota_tws"
+        )
+        assert got_tws == got
