@@ -65,6 +65,7 @@ from db_factfinder_spark.llmdata.redact import domain_blocklist_filter, redact_p
 from db_factfinder_spark.llmdata.urls import normalize_urls
 from db_factfinder_spark.llmdata.sampling import (
     budget_fill,
+    temperature_allocation,
     cap_per_group,
     mixture_sample,
     priority_sample,
@@ -103,6 +104,7 @@ from db_factfinder_spark.llmdata.similarity import (
 )
 from db_factfinder_spark.llmdata.textstats import (
     LANG_STOPWORDS,
+    surprisal_score,
     bm25_search,
     bpe_merge_candidates,
     char_chunker_udtf,
@@ -152,6 +154,7 @@ from db_factfinder_spark.operators.timeseries import (
 )
 from db_factfinder_spark.operators.quality import (
     benford_digit_test,
+    vocabulary_drift_test,
     fk_violations,
     profile_columns,
 )
@@ -4028,6 +4031,49 @@ def q178_admission_with_state(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q179_unigram_surprisal(spark, sf_dir):
+    """Model-free LM-quality proxy: per-doc mean inverse unigram
+    probability over the corpus's own token distribution — rational
+    surprisal per the bm25/tfidf house rule (one exact IEEE division
+    replaces a libm log chain), 1e-6 fixed-point order-free sums (see
+    surprisal_score)."""
+    docs = _docs(spark, sf_dir)
+    return surprisal_score(docs).orderBy("doc_id")
+
+
+def q180_vocab_drift(spark, sf_dir):
+    """Per-domain vocabulary drift audit: χ² over the (source ×
+    top-20 corpus token) occurrence contingency table — the q171
+    exactness machinery pointed at crawl monitoring (see
+    vocabulary_drift_test)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        vocabulary_drift_test(docs, top_v=20)
+        .select(
+            F.col("a").alias("domain"),
+            F.col("b").alias("token"),
+            "n_obs",
+            "n_exp",
+            "cell_chi2",
+            "chi2",
+            "dof",
+            "n",
+        )
+        .orderBy("domain", "token")
+    )
+
+
+def q181_temperature_mix(spark, sf_dir):
+    """Temperature-scaled (α = ½) sampling allocation across sources:
+    sqrt-weighted largest-remainder split of a 1000-doc budget,
+    all-integer so Σ alloc == budget bit-exactly (see
+    temperature_allocation)."""
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_allocation(docs, "source", budget=1000).orderBy(
+        "source"
+    )
+
+
 def q176_grid_distance_join(spark, sf_dir):
     """Spatial radius self-join via grid bucketing: customers get
     md5-derived integer coordinates on a 10 000² grid; pairs within
@@ -4658,6 +4704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_grid_distance_join": q176_grid_distance_join,
         "q177_ingest_admission": q177_ingest_admission,
         "q178_admission_with_state": q178_admission_with_state,
+        "q179_unigram_surprisal": q179_unigram_surprisal,
+        "q180_vocab_drift": q180_vocab_drift,
+        "q181_temperature_mix": q181_temperature_mix,
     }
 
 

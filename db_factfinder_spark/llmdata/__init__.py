@@ -80,6 +80,7 @@ from db_factfinder_spark.llmdata.sampling import (  # noqa: F401
     priority_sample_per_group,
     shuffle_shards,
     split_column,
+    temperature_allocation,
 )
 from db_factfinder_spark.llmdata.redact import (  # noqa: F401
     domain_blocklist_filter,
@@ -91,6 +92,7 @@ from db_factfinder_spark.llmdata.textstats import (  # noqa: F401
     bpe_merge_candidates,
     char_chunker_udtf,
     collocation_lift,
+    surprisal_score,
     tfidf_top_terms,
     token_diversity,
 )

@@ -286,3 +286,76 @@ def shuffle_shards(df, id_col: str, n_shards: int = 64):
         .withColumn("shard_rank", F.row_number().over(w))
         .drop("__hkey")
     )
+
+
+def temperature_allocation(df, domain_col: str = "source", budget: int = 1000):
+    """Temperature-scaled sampling allocation across domains — the
+    data-mixing step of multilingual / multi-source corpus
+    construction (XLM-R, mT5: sample domain d with probability
+    ∝ n_d^α, α < 1, so head domains stop drowning the tail): given
+    per-domain document counts, split an integer sampling ``budget``
+    exactly, with weights n_d^(1/2).
+
+    α is FIXED at ½ because sqrt is an IEEE correctly-rounded
+    primitive — every engine computes the identical double, where a
+    general pow(n, α) = exp(α·ln n) inherits two libm rounding steps
+    (the same reasoning that bans log from bm25/tfidf/surprisal).
+
+    Exact-integer allocation: sqrt weights are 1e-6 fixed-pointed to
+    bigints (order-free sum); each domain's base share is the exact
+    integer floor (budget·w_d) DIV Σw, and the remaining
+    budget − Σ base units go to the largest integer remainders
+    (largest-remainder / Hamilton method), ties by domain name — so
+    Σ alloc == budget exactly, bit-identically on any engine.
+
+    Plan: one count shuffle on domain; everything after runs on the
+    domain-cardinality frame (bounded — sources, not documents), so
+    the single-partition ranking window is a non-issue at any corpus
+    size.
+
+    Output: ``domain_col, n_docs, sqrt_micro, base_alloc, remainder,
+    alloc``.
+    """
+    from pyspark.sql import Window
+
+    n_d = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = n_d.withColumn(
+        "sqrt_micro",
+        F.floor(
+            F.sqrt(F.col("n_docs").cast("double")) * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    tot = w.agg(F.sum("sqrt_micro").alias("__tot"))
+    j = w.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        "n_docs",
+        "sqrt_micro",
+        (F.lit(budget).cast("long") * F.col("sqrt_micro"))
+        .alias("__num"),
+        F.col("__tot"),
+    )
+    base = j.select(
+        domain_col,
+        "n_docs",
+        "sqrt_micro",
+        F.expr("__num DIV __tot").alias("base_alloc"),
+        F.expr("__num % __tot").alias("remainder"),
+    )
+    leftover = F.lit(budget).cast("long") - F.sum("base_alloc").over(
+        Window.partitionBy()
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("remainder"), F.asc(domain_col))
+    )
+    return base.select(
+        domain_col,
+        "n_docs",
+        "sqrt_micro",
+        "base_alloc",
+        "remainder",
+        (
+            F.col("base_alloc")
+            + F.when(rk <= leftover, F.lit(1)).otherwise(F.lit(0))
+        ).alias("alloc"),
+    )

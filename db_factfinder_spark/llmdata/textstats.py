@@ -203,6 +203,73 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def surprisal_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram *surprisal* score — the model-free stand-in
+    for LM-perplexity quality filtering (CCNet buckets documents by a
+    KenLM score; with no model shipped, the corpus's own unigram
+    distribution is the universal fallback): documents whose tokens
+    are rare corpus-wide score high (jargon, noise, rich content),
+    boilerplate of common tokens scores low.
+
+    Rational-surprisal house rule (see bm25_search/tfidf_top_terms):
+    per token the inverse unigram probability N/c_w replaces
+    −log(c_w/N) — each N/c_w is ONE correctly-rounded IEEE division of
+    exact bigints, where a log chain would accumulate libm last-bit
+    error in engine-specific order.  Monotone in the same direction
+    (rarer ⇒ larger), so threshold filters rank documents identically.
+    Per-token values are 1e-6 fixed-pointed to bigints, scaled by the
+    doc's term frequency (exact integer product) and integer-summed
+    (order-free); the final mean is one double division of bigints.
+
+    Plan: explode → (doc, token) counts (shuffle on doc+token) →
+    vocabulary counts (shuffle on token) → keyed join of tf to vocab →
+    doc re-agg; the corpus total N rides along as a one-row broadcast.
+    No pairwise work anywhere — everything is linear in corpus tokens,
+    the vocabulary join is an equi-join, and both aggregations combine
+    map-side at 100 TB.
+
+    Output: ``id_col, n_tokens, sum_micro, surprisal`` (mean inverse
+    unigram probability; ≥ 1.0, = vocabulary size for all-distinct
+    uniform corpora).  Token-less documents are excluded (score
+    undefined), mirroring token_diversity.
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("c_dt"))
+    )
+    vocab = tf.groupBy("t").agg(F.sum("c_dt").alias("c_w"))
+    total = vocab.agg(F.sum("c_w").alias("n_total"))
+    micro = F.floor(
+        F.col("n_total").cast("double") / F.col("c_w").cast("double")
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    contrib = tf.join(vocab, "t").crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        F.col("c_dt"),
+        (F.col("c_dt") * micro).alias("micro_tot"),
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(
+            F.sum("c_dt").alias("n_tokens"),
+            F.sum("micro_tot").alias("sum_micro"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_micro",
+            (
+                F.col("sum_micro").cast("double")
+                / (F.col("n_tokens") * F.lit(1000000)).cast("double")
+            ).alias("surprisal"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

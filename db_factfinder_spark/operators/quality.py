@@ -152,3 +152,55 @@ def benford_digit_test(
         withq.select("digit", "n_obs", "p_expected", "n_expected", "cell_chi2")
         .crossJoin(F.broadcast(total))
     )
+
+
+def vocabulary_drift_test(
+    df: DataFrame,
+    text_col: str = "text",
+    domain_col: str = "source",
+    top_v: int = 30,
+) -> DataFrame:
+    """Per-domain vocabulary drift audit: Pearson χ² over the
+    (domain × top-V corpus token) contingency table of token
+    OCCURRENCES — the crawl-monitoring screen that flags a source
+    whose language suddenly shifts (template change, spam flood,
+    encoding breakage) before it pollutes a training mix.
+
+    The vocabulary is the corpus's ``top_v`` most frequent tokens with
+    a deterministic tie-break (count desc, token asc — both engines
+    rank identically), restricting the table to a BOUNDED column set
+    so the complete-grid crossJoin stays domains × top_v however big
+    the corpus is.  The χ² arithmetic (exact marginals, fixed IEEE
+    cell chain, 1e-9 fixed-point order-free cross-cell sum) is
+    delegated to ``chi_square_independence`` — one audited exactness
+    contract, two operators.
+
+    Plan: explode → token counts (one shuffle) → top-V via one
+    TakeOrdered-sized window → broadcast semi-join restricts the
+    occurrence stream map-side → χ²'s single (domain, token) count
+    shuffle.  Linear in corpus tokens.
+
+    Output (from chi_square_independence): ``a`` = domain, ``b`` =
+    token, ``n_obs, n_exp, cell_chi2`` per cell + table ``chi2, dof,
+    n`` on every row.
+    """
+    from pyspark.sql import Window
+
+    from db_factfinder_spark.llmdata.textstats import tokens
+    from db_factfinder_spark.operators.regression import (
+        chi_square_independence,
+    )
+
+    occ = df.select(
+        F.col(domain_col).alias("__dom"), F.explode(tokens(text_col)).alias("__t")
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("__t"))
+    vocab = (
+        occ.groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= top_v)
+        .select("__t")
+    )
+    restricted = occ.join(F.broadcast(vocab), "__t")
+    return chi_square_independence(restricted, "__dom", "__t")

@@ -4353,3 +4353,99 @@ FROM newd ORDER BY doc_id
 # persisted-state path (build_corpus_state + admit_new_documents(
 # corpus_state=...)) is answer-identical to the bootstrap path.
 ORACLES["q178_admission_with_state"] = ORACLES["q177_ingest_admission"]
+
+
+# q179: rational unigram surprisal — same tokenization, same 1e-6
+# fixed-point of the exact N/c_w division, same order-free bigint sums.
+ORACLES["q179_unigram_surprisal"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+tf AS (SELECT doc_id, t, count(*) AS c_dt FROM tok GROUP BY 1, 2),
+vocab AS (SELECT t, CAST(sum(c_dt) AS BIGINT) AS c_w FROM tf GROUP BY t),
+tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_total FROM vocab),
+contrib AS (
+  SELECT doc_id, c_dt,
+         c_dt * CAST(floor(CAST(n_total AS DOUBLE) / CAST(c_w AS DOUBLE)
+                           * 1000000.0 + 0.5) AS BIGINT) AS micro_tot
+  FROM tf JOIN vocab USING (t) CROSS JOIN tot)
+SELECT doc_id,
+       CAST(sum(c_dt) AS BIGINT) AS n_tokens,
+       CAST(sum(micro_tot) AS BIGINT) AS sum_micro,
+       CAST(sum(micro_tot) AS DOUBLE)
+         / CAST(CAST(sum(c_dt) AS BIGINT) * 1000000 AS DOUBLE) AS surprisal
+FROM contrib GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# q180: domain × top-20-token χ² — q171's exactness chain with a
+# deterministically tie-broken (count desc, token asc) vocabulary.
+ORACLES["q180_vocab_drift"] = f"""
+WITH tok AS (SELECT source AS dom, unnest({_TOKS}) AS t FROM documents),
+vc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+vocab AS (
+  SELECT t FROM (
+    SELECT t, row_number() OVER (ORDER BY c DESC, t ASC) AS rk FROM vc)
+  WHERE rk <= 20),
+obs AS (
+  SELECT dom AS a, t AS b, count(*) AS n_obs
+  FROM tok JOIN vocab USING (t) GROUP BY 1, 2),
+grid AS (
+  SELECT a, b FROM (SELECT DISTINCT a FROM obs)
+  CROSS JOIN (SELECT DISTINCT b FROM obs)),
+cells AS (
+  SELECT g.a, g.b, coalesce(o.n_obs, 0) AS n_obs
+  FROM grid g LEFT JOIN obs o ON g.a = o.a AND g.b = o.b),
+rt AS (SELECT a, CAST(sum(n_obs) AS BIGINT) AS ra FROM cells GROUP BY a),
+ct AS (SELECT b, CAST(sum(n_obs) AS BIGINT) AS cb FROM cells GROUP BY b),
+tot AS (
+  SELECT CAST(sum(n_obs) AS BIGINT) AS n,
+         count(DISTINCT a) AS nr, count(DISTINCT b) AS nc
+  FROM cells),
+j AS (
+  SELECT c.a, c.b, c.n_obs,
+         CAST(rt.ra * ct.cb AS DOUBLE) / CAST(tot.n AS DOUBLE) AS n_exp,
+         tot.n, tot.nr, tot.nc
+  FROM cells c JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot),
+q AS (
+  SELECT a, b, n_obs, n_exp,
+         (CAST(n_obs AS DOUBLE) - n_exp) * (CAST(n_obs AS DOUBLE) - n_exp)
+           / n_exp AS cell_chi2,
+         CAST(floor(((CAST(n_obs AS DOUBLE) - n_exp)
+                     * (CAST(n_obs AS DOUBLE) - n_exp) / n_exp)
+                    * 1000000000.0 + 0.5) AS BIGINT) AS qq,
+         n, nr, nc
+  FROM j),
+total AS (
+  SELECT CAST(sum(qq) AS DOUBLE) / 1000000000.0 AS chi2,
+         max((nr - 1) * (nc - 1)) AS dof, max(n) AS n
+  FROM q)
+SELECT q.a AS domain, q.b AS token, q.n_obs, q.n_exp, q.cell_chi2,
+       total.chi2, total.dof, total.n
+FROM q CROSS JOIN total
+ORDER BY domain, token
+"""
+
+
+# q181: sqrt-weighted largest-remainder budget split — sqrt is IEEE
+# correctly-rounded (identical across engines), everything else pure
+# integer arithmetic.
+ORACLES["q181_temperature_mix"] = """
+WITH nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5)
+              AS BIGINT) AS sqrt_micro
+  FROM nd),
+tot AS (SELECT CAST(sum(sqrt_micro) AS BIGINT) AS t FROM w),
+base AS (
+  SELECT source, n_docs, sqrt_micro,
+         (1000 * sqrt_micro) // t AS base_alloc,
+         (1000 * sqrt_micro) % t AS remainder
+  FROM w CROSS JOIN tot),
+lo AS (SELECT 1000 - CAST(sum(base_alloc) AS BIGINT) AS leftover FROM base),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY remainder DESC, source ASC) AS r
+  FROM base)
+SELECT source, n_docs, sqrt_micro, base_alloc, remainder,
+       base_alloc + (CASE WHEN r <= leftover THEN 1 ELSE 0 END) AS alloc
+FROM rk CROSS JOIN lo ORDER BY source
+"""

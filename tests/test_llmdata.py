@@ -2119,3 +2119,62 @@ def test_union_corpus_state_equals_rebuild(spark):
         sorted(map(key, rebuilt.band_keys.collect()))
     assert (grown.num_hashes, grown.bands, grown.n) == \
         (rebuilt.num_hashes, rebuilt.bands, rebuilt.n)
+
+
+def test_surprisal_score_flat_and_skewed(spark):
+    """Flat corpus (every token unique) scores the vocabulary size for
+    every doc; a doc of the corpus's most common token scores the
+    minimum; token-less docs are excluded."""
+    from db_factfinder_spark.llmdata.textstats import surprisal_score
+
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc dd"), (3, None)],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in surprisal_score(df).collect()}
+    assert set(out) == {1, 2}
+    # 4 occurrences, each c_w=1 → N/c_w = 4 for every token
+    assert out[1]["surprisal"] == 4.0 and out[2]["surprisal"] == 4.0
+    df2 = spark.createDataFrame(
+        [(1, "x x x"), (2, "x y")], "doc_id int, text string"
+    )
+    o2 = {r["doc_id"]: r["surprisal"] for r in surprisal_score(df2).collect()}
+    # N=5, c_x=4, c_y=1: doc1 = 5/4; doc2 = (5/4 + 5)/2
+    assert o2[1] == 1.25 and o2[2] == 3.125
+
+
+def test_temperature_allocation_exact_budget(spark):
+    """Σ alloc == budget exactly; sqrt weighting gives the tail more
+    than proportional share; largest-remainder ties break by name."""
+    from db_factfinder_spark.llmdata.sampling import temperature_allocation
+
+    rows = [(i, "big") for i in range(900)] + [(i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = {r["source"]: r for r in
+           temperature_allocation(df, "source", budget=100).collect()}
+    assert out["big"]["alloc"] + out["small"]["alloc"] == 100
+    # proportional would give small 10; sqrt temperature gives it 25
+    assert out["small"]["alloc"] == 25
+    # degenerate: one domain takes the whole budget
+    one = spark.createDataFrame([(1, "only")], "doc_id int, source string")
+    (r,) = temperature_allocation(one, "source", budget=7).collect()
+    assert r["alloc"] == 7
+
+
+def test_vocabulary_drift_grid_is_complete(spark):
+    """Every (domain, vocab-token) cell exists even when a domain
+    never uses a token (zero cells contribute E to χ²), and the
+    restricted vocabulary caps the grid width."""
+    from db_factfinder_spark.operators.quality import vocabulary_drift_test
+
+    df = spark.createDataFrame(
+        [(1, "aa aa bb", "s1"), (2, "aa cc cc cc", "s2")],
+        "doc_id int, text string, source string",
+    )
+    out = vocabulary_drift_test(df, top_v=2).collect()
+    # vocab = top-2 by count: aa(3), cc(3) tie bb(1) → (count desc,
+    # token asc) picks aa, cc; grid = 2 domains x 2 tokens
+    cells = {(r["a"], r["b"]): r["n_obs"] for r in out}
+    assert set(cells) == {("s1", "aa"), ("s1", "cc"), ("s2", "aa"), ("s2", "cc")}
+    assert cells[("s1", "cc")] == 0 and cells[("s2", "cc")] == 3
+    assert all(r["dof"] == 1 for r in out)
