@@ -147,6 +147,7 @@ from db_factfinder_spark.operators.incremental import (
 from db_factfinder_spark.operators.bloom import bloom_semi_join
 from db_factfinder_spark.operators.merge import merge_upsert
 from db_factfinder_spark.operators.timeseries import (
+    count_anomalies,
     cumulative_uniques,
     gap_fill_daily,
     ohlc_bars,
@@ -174,6 +175,7 @@ from db_factfinder_spark.operators.rollup_cascade import cascaded_rollup
 from db_factfinder_spark.operators.cleaning import cleaning
 from db_factfinder_spark.operators.horizontal import aggregate_horizontal
 from db_factfinder_spark.operators.median import (
+    grouped_mad_outliers,
     grouped_weighted_median,
     grouped_weighted_quantiles,
     median_struct,
@@ -4074,6 +4076,32 @@ def q181_temperature_mix(spark, sf_dir):
     )
 
 
+def q182_count_anomalies(spark, sf_dir):
+    """Per-event-type daily-volume anomaly screen: |c·n − Σc| >
+    3·√(n·Σc² − (Σc)²) — exact-integer left side, one IEEE sqrt right
+    side, so both engines flag identical days (see count_anomalies)."""
+    ev = _t(spark, sf_dir, "events")
+    return count_anomalies(ev, "ts", "event_type", k=3).orderBy(
+        "event_type", "day"
+    )
+
+
+def q183_mad_outliers(spark, sf_dir):
+    """Robust per-priority price outlier screen: median + MAD from the
+    integer lower-median rule (grouped_weighted_median composed twice),
+    flag |v − med| > 3·MAD — all-integer end-to-end (see
+    grouped_mad_outliers)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+    )
+    return grouped_mad_outliers(
+        orders, ["o_orderpriority"], "price_c", k=3
+    ).orderBy("o_orderpriority")
+
+
 def q176_grid_distance_join(spark, sf_dir):
     """Spatial radius self-join via grid bucketing: customers get
     md5-derived integer coordinates on a 10 000² grid; pairs within
@@ -4707,6 +4735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_unigram_surprisal": q179_unigram_surprisal,
         "q180_vocab_drift": q180_vocab_drift,
         "q181_temperature_mix": q181_temperature_mix,
+        "q182_count_anomalies": q182_count_anomalies,
+        "q183_mad_outliers": q183_mad_outliers,
     }
 
 

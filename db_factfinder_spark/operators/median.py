@@ -334,3 +334,55 @@ def grouped_weighted_quantiles(
             ).alias(f"q{int(round(p * 100))}")
         )
     return j.groupBy(*group_cols).agg(*aggs)
+
+
+def grouped_mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier screen via the Median Absolute
+    Deviation — the audit rule that survives the very outliers it
+    hunts (mean/σ screens move with contamination; the median pair
+    does not).  A row is flagged when |v − median| > k·MAD.
+
+    Composition, not reimplementation: BOTH medians come from
+    ``grouped_weighted_median`` (weight 1) — its lower-median
+    integer rule makes every comparison here exact integer
+    arithmetic end-to-end, so any engine flags the identical rows.
+    ``value_col`` must already be integerized (cents — the q174/q175
+    convention).
+
+    Plan: median pass (window + agg on the group key) → broadcast
+    m_g back → deviation column map-side → second median pass on
+    |v − m| → broadcast MAD back → integer flag map-side.  Two
+    keyed median passes, no pairwise work; group count bounds the
+    broadcast frames.
+
+    Output: ``*group_cols, n, med, mad, n_outliers`` per group.
+    """
+    rows = df.select(*group_cols, F.col(value_col).alias("__v")).withColumn(
+        "__one", F.lit(1)
+    )
+    med = grouped_weighted_median(rows, group_cols, "__v", "__one").select(
+        *group_cols, F.col("w_median").alias("med")
+    )
+    dev = rows.join(F.broadcast(med), group_cols).withColumn(
+        "__d", F.abs(F.col("__v") - F.col("med"))
+    )
+    mad = grouped_weighted_median(
+        dev.withColumn("__one2", F.lit(1)), group_cols, "__d", "__one2"
+    ).select(*group_cols, F.col("w_median").alias("mad"))
+    flagged = dev.join(F.broadcast(mad), group_cols).withColumn(
+        "__out", (F.col("__d") > F.lit(k) * F.col("mad")).cast("int")
+    )
+    return (
+        flagged.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum("__out").cast("long").alias("n_outliers"),
+        )
+    )

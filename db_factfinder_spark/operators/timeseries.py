@@ -196,3 +196,61 @@ def cumulative_uniques(
         "new_keys",
         F.sum("new_keys").over(w).alias("total_keys"),
     )
+
+
+def count_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    k: int = 3,
+) -> DataFrame:
+    """Per-key daily-count anomaly screen — the monitoring query an
+    ingest pipeline runs over its own event volumes: flag days whose
+    count sits more than ``k`` population standard deviations from
+    the key's mean daily count.
+
+    Exactness: per-key daily counts c, day count n, Σc and Σc² are
+    exact integers; the test |c − Σc/n| > k·σ is evaluated in the
+    n-scaled form |c·n − Σc| > k·√(n·Σc² − (Σc)²) — the left side an
+    exact integer, the right ONE correctly-rounded IEEE sqrt of an
+    exact integer, so both engines flag identical days (no variance
+    ratio, no accumulation-order float error anywhere).
+
+    Plan: one count shuffle on (key, day), one re-agg on key, one
+    broadcast join back.  Linear, partial-agg map-side at any scale;
+    the integer products stay under 2⁶³ while c·n < 3·10⁹ — beyond
+    that (extreme 100 TB keys), lift the two products to
+    decimal(38,0) for the same exact semantics.
+
+    Output: ``key_col, day, c, n_days, dev_n`` (= c·n − Σc),
+    ``thresh`` (= k·√(n·Σc² − (Σc)²)), ``is_anomaly``.
+    """
+    daily = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(
+            F.col(key_col),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = daily.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    j = daily.join(F.broadcast(stats), key_col)
+    dev_n = F.col("c") * F.col("n_days") - F.col("s1")
+    thresh = F.lit(float(k)) * F.sqrt(
+        (F.col("n_days") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+            "double"
+        )
+    )
+    return j.select(
+        key_col,
+        "day",
+        "c",
+        "n_days",
+        dev_n.alias("dev_n"),
+        thresh.alias("thresh"),
+        (F.abs(dev_n).cast("double") > thresh).alias("is_anomaly"),
+    )

@@ -4449,3 +4449,65 @@ SELECT source, n_docs, sqrt_micro, base_alloc, remainder,
        base_alloc + (CASE WHEN r <= leftover THEN 1 ELSE 0 END) AS alloc
 FROM rk CROSS JOIN lo ORDER BY source
 """
+
+
+# q182: daily-count anomalies — n-scaled integer deviation vs one
+# IEEE sqrt threshold; no variance ratio, no float accumulation.
+ORACLES["q182_count_anomalies"] = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS c
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM daily GROUP BY event_type)
+SELECT d.event_type, d.day, d.c, s.n_days,
+       d.c * s.n_days - s.s1 AS dev_n,
+       3.0 * sqrt(CAST(s.n_days * s.s2 - s.s1 * s.s1 AS DOUBLE)) AS thresh,
+       CAST(abs(d.c * s.n_days - s.s1) AS DOUBLE)
+         > 3.0 * sqrt(CAST(s.n_days * s.s2 - s.s1 * s.s1 AS DOUBLE))
+         AS is_anomaly
+FROM daily d JOIN stats s USING (event_type)
+ORDER BY d.event_type, d.day
+"""
+
+
+# q183: MAD outliers — the q160 lower-median cumulative rule applied
+# twice (value, then |value − median|), then an all-integer flag.
+ORACLES["q183_mad_outliers"] = """
+WITH rows_ AS (
+  SELECT o_orderpriority AS g,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders),
+cum AS (
+  SELECT g, v, sum(1) OVER (PARTITION BY g ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM rows_),
+tot AS (SELECT g, CAST(max(cw) AS BIGINT) AS n FROM cum GROUP BY g),
+med AS (
+  SELECT c.g, min(c.v) AS med
+  FROM cum c JOIN tot t USING (g)
+  WHERE c.cw * 2 >= t.n GROUP BY c.g),
+dev AS (
+  SELECT r.g, r.v, abs(r.v - m.med) AS d, m.med
+  FROM rows_ r JOIN med m USING (g)),
+cumd AS (
+  SELECT g, d, sum(1) OVER (PARTITION BY g ORDER BY d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM dev),
+totd AS (SELECT g, CAST(max(cw) AS BIGINT) AS n FROM cumd GROUP BY g),
+mad AS (
+  SELECT c.g, min(c.d) AS mad
+  FROM cumd c JOIN totd t USING (g)
+  WHERE c.cw * 2 >= t.n GROUP BY c.g)
+SELECT d.g AS o_orderpriority,
+       count(*) AS n,
+       max(d.med) AS med,
+       max(m.mad) AS mad,
+       CAST(sum(CASE WHEN d.d > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (g)
+GROUP BY d.g ORDER BY o_orderpriority
+"""

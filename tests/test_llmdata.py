@@ -2178,3 +2178,46 @@ def test_vocabulary_drift_grid_is_complete(spark):
     assert set(cells) == {("s1", "aa"), ("s1", "cc"), ("s2", "aa"), ("s2", "cc")}
     assert cells[("s1", "cc")] == 0 and cells[("s2", "cc")] == 3
     assert all(r["dof"] == 1 for r in out)
+
+
+def test_count_anomalies_flags_spike_day(spark):
+    """A 10x spike day is flagged; steady days are not; a key with
+    zero variance flags nothing (threshold 0, |dev| 0)."""
+    from datetime import datetime
+
+    from db_factfinder_spark.operators.timeseries import count_anomalies
+
+    rows = []
+    for d in range(1, 22):
+        # a lone spike among n steady days sits at sqrt(n-1)·sigma —
+        # n = 21 puts it at sqrt(20) ≈ 4.47 sigma, clearly past k=3
+        # (n = 10 would land EXACTLY on 3.0 and the strict > keeps it)
+        n = 100 if d < 21 else 1000
+        rows += [("click", datetime(2024, 1, d, 12, 0, 0))] * n
+    for d in range(1, 6):
+        rows += [("view", datetime(2024, 1, d, 9, 0, 0))] * 7  # flat
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {(r["event_type"], r["day"].day): r["is_anomaly"]
+           for r in count_anomalies(df, k=3).collect()}
+    assert out[("click", 21)] is True
+    assert all(not v for k, v in out.items() if k != ("click", 21))
+
+
+def test_grouped_mad_outliers_exact_counts(spark):
+    """Median/MAD from the lower-median rule; |v − med| > k·MAD flags
+    exactly the planted outlier; a constant group (MAD 0) flags every
+    deviating row."""
+    from db_factfinder_spark.operators.median import grouped_mad_outliers
+
+    rows = [("a", v) for v in [10, 11, 12, 13, 14, 1000]] + [
+        ("b", 5), ("b", 5), ("b", 5), ("b", 9)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in
+           grouped_mad_outliers(df, ["g"], "v", k=3).collect()}
+    # a: sorted 10..14,1000 → lower median 12; devs 2,1,0,1,2,988 →
+    # MAD (lower median of 0,1,1,2,2,988) = 1; only 988 > 3
+    assert out["a"]["med"] == 12 and out["a"]["mad"] == 1
+    assert out["a"]["n_outliers"] == 1
+    # b: median 5, MAD 0 → the single 9 deviates
+    assert out["b"]["mad"] == 0 and out["b"]["n_outliers"] == 1
