@@ -204,7 +204,10 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def surprisal_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Per-document unigram *surprisal* score — the model-free stand-in
     for LM-perplexity quality filtering (CCNet buckets documents by a
@@ -235,10 +238,15 @@ def surprisal_score(
     uniform corpora).  Token-less documents are excluded (score
     undefined), mirroring token_diversity.
     """
-    tf = (
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+
+    # tf feeds the vocabulary roll-up AND the contribution join —
+    # materialized so the corpus tokenizes once, not per consumer
+    tf = materialize(
         df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
         .groupBy(id_col, "t")
-        .agg(F.count(F.lit(1)).alias("c_dt"))
+        .agg(F.count(F.lit(1)).alias("c_dt")),
+        checkpoint_mode,
     )
     vocab = tf.groupBy("t").agg(F.sum("c_dt").alias("c_w"))
     total = vocab.agg(F.sum("c_w").alias("n_total"))

@@ -341,6 +341,7 @@ def grouped_mad_outliers(
     group_cols: list[str],
     value_col: str,
     k: int = 3,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Robust per-group outlier screen via the Median Absolute
     Deviation — the audit rule that survives the very outliers it
@@ -362,14 +363,26 @@ def grouped_mad_outliers(
 
     Output: ``*group_cols, n, med, mad, n_outliers`` per group.
     """
-    rows = df.select(*group_cols, F.col(value_col).alias("__v")).withColumn(
-        "__one", F.lit(1)
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+
+    # rows and dev each feed a median pass AND a later join — without
+    # lineage truncation every consumer re-evaluates the source scan
+    # (measured 18 scans for the two-pass composition).  Both are
+    # narrow (group + one value column) projections.
+    rows = materialize(
+        df.select(*group_cols, F.col(value_col).alias("__v")).withColumn(
+            "__one", F.lit(1)
+        ),
+        checkpoint_mode,
     )
     med = grouped_weighted_median(rows, group_cols, "__v", "__one").select(
         *group_cols, F.col("w_median").alias("med")
     )
-    dev = rows.join(F.broadcast(med), group_cols).withColumn(
-        "__d", F.abs(F.col("__v") - F.col("med"))
+    dev = materialize(
+        rows.join(F.broadcast(med), group_cols).withColumn(
+            "__d", F.abs(F.col("__v") - F.col("med"))
+        ),
+        checkpoint_mode,
     )
     mad = grouped_weighted_median(
         dev.withColumn("__one2", F.lit(1)), group_cols, "__d", "__one2"

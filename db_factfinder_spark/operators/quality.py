@@ -159,6 +159,7 @@ def vocabulary_drift_test(
     text_col: str = "text",
     domain_col: str = "source",
     top_v: int = 30,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Per-domain vocabulary drift audit: Pearson χ² over the
     (domain × top-V corpus token) contingency table of token
@@ -203,4 +204,6 @@ def vocabulary_drift_test(
         .select("__t")
     )
     restricted = occ.join(F.broadcast(vocab), "__t")
-    return chi_square_independence(restricted, "__dom", "__t")
+    return chi_square_independence(
+        restricted, "__dom", "__t", checkpoint_mode=checkpoint_mode
+    )

@@ -76,7 +76,7 @@ def grouped_linreg(
 
 
 def chi_square_independence(
-    df: DataFrame, col_a: str, col_b: str
+    df: DataFrame, col_a: str, col_b: str, checkpoint_mode: str = "local"
 ) -> DataFrame:
     """Pearson χ² test of independence between two categorical
     columns — the data-quality / drift primitive ("did the label
@@ -97,10 +97,19 @@ def chi_square_independence(
     table-level ``chi2, dof, n`` repeated on each row (broadcast
     1-row join) so one frame carries the whole test.
     """
-    observed = (
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+
+    # observed and cells fan out to 4+ consumers each (grid distincts,
+    # marginals, totals, the cell join); without lineage truncation
+    # every consumer re-evaluates the whole upstream subtree — for a
+    # token-explode input that multiplied to ~100 scans of the source.
+    # Both frames are grid-bounded (≤ r×c rows), so materializing is
+    # free at any input scale.
+    observed = materialize(
         df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
         .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
-        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .agg(F.count(F.lit(1)).alias("n_obs")),
+        checkpoint_mode,
     )
     # COMPLETE the r×c grid: zero cells carry (0−E)²/E = E — dropping
     # them (the natural groupBy output) silently understates χ², worst
@@ -109,8 +118,11 @@ def chi_square_independence(
     grid = observed.select("a").distinct().crossJoin(
         observed.select("b").distinct()
     )
-    cells = grid.join(observed, ["a", "b"], "left").select(
-        "a", "b", F.coalesce("n_obs", F.lit(0)).alias("n_obs")
+    cells = materialize(
+        grid.join(observed, ["a", "b"], "left").select(
+            "a", "b", F.coalesce("n_obs", F.lit(0)).alias("n_obs")
+        ),
+        checkpoint_mode,
     )
     row_t = cells.groupBy("a").agg(F.sum("n_obs").alias("__ra"))
     col_t = cells.groupBy("b").agg(F.sum("n_obs").alias("__cb"))

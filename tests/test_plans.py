@@ -565,3 +565,44 @@ def test_q178_state_path_scans_corpus_text_once(spark, tmp_path):
     jvm = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     plan = df._jdf.queryExecution().explainString(jvm.fromString("formatted"))
     assert plan.count("corpus.parquet") == 1, plan
+
+
+def test_q180_drift_grid_is_bounded_and_materialized(spark):
+    """Vocabulary drift: the chi-square grid machinery runs over
+    MATERIALIZED grid-bounded frames — without lineage truncation the
+    multi-consumer observed/cells frames re-evaluated the token
+    explode per consumer (measured ~96 source scans; now the corpus
+    tokenizes twice: vocabulary pass + restricted pass)."""
+    plan = _plan(spark, "q180_vocab_drift")
+    assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange ") <= 20
+
+
+def test_q183_mad_passes_share_one_scan(spark):
+    """MAD outliers: the narrow rows/dev projections are materialized
+    so the two median passes and both flag joins share one source
+    read instead of re-scanning per consumer (was 18 scans)."""
+    plan = _plan(spark, "q183_mad_outliers")
+    assert plan.count("Scan parquet") <= 1
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q182_anomaly_stats_join_broadcast(spark):
+    """Count anomalies: per-key stats re-join the daily counts as a
+    BROADCAST (key-cardinality frame), never a shuffle of the daily
+    frame against itself."""
+    plan = _plan(spark, "q182_count_anomalies")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q179_surprisal_vocab_join_is_keyed(spark):
+    """Surprisal: the tf→vocabulary join is a keyed equi-join on the
+    token (never nested-loop); the corpus total rides as a one-row
+    broadcast."""
+    plan = _plan(spark, "q179_unigram_surprisal")
+    assert "CartesianProduct" not in plan
+    ex_nlj = plan.count("BroadcastNestedLoopJoin")
+    # exactly the one-row total broadcast(s), nothing data-sized
+    assert ex_nlj <= 2
