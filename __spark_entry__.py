@@ -149,6 +149,7 @@ from db_factfinder_spark.operators.merge import merge_upsert
 from db_factfinder_spark.operators.timeseries import (
     count_anomalies,
     cumulative_uniques,
+    rolling_daily_stats,
     gap_fill_daily,
     ohlc_bars,
     twap,
@@ -171,7 +172,10 @@ from db_factfinder_spark.operators.rangejoin import (
     interval_overlap_join,
     point_in_interval_join,
 )
-from db_factfinder_spark.operators.rollup_cascade import cascaded_rollup
+from db_factfinder_spark.operators.rollup_cascade import (
+    cascaded_rollup,
+    dimensional_rollup,
+)
 from db_factfinder_spark.operators.cleaning import cleaning
 from db_factfinder_spark.operators.horizontal import aggregate_horizontal
 from db_factfinder_spark.operators.median import (
@@ -4102,6 +4106,37 @@ def q183_mad_outliers(spark, sf_dir):
     ).orderBy("o_orderpriority")
 
 
+def q184_dimensional_rollup(spark, sf_dir):
+    """Native ROLLUP subtotal cube over (returnflag, linestatus) with
+    exact integer-microunit revenue sums — one Expand pass, one
+    shuffle, subtotal slots coalesced to 'ALL' with a portable
+    grouping bitmask (see dimensional_rollup)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return dimensional_rollup(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n_rows": F.count(F.lit(1)),
+            "revenue_c": F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ),
+        },
+    ).orderBy("level", "l_returnflag", "l_linestatus")
+
+
+def q185_rolling_daily(spark, sf_dir):
+    """Per-event-type rolling 7-day daily-count stats via a RANGE
+    window frame keyed on a tz-free day number — gap-correct moving
+    averages in one window pass, integer sums, one exact division
+    (see rolling_daily_stats)."""
+    ev = _t(spark, sf_dir, "events")
+    return rolling_daily_stats(ev, "ts", "event_type", window_days=7).orderBy(
+        "event_type", "day"
+    )
+
+
 def q176_grid_distance_join(spark, sf_dir):
     """Spatial radius self-join via grid bucketing: customers get
     md5-derived integer coordinates on a 10 000² grid; pairs within
@@ -4737,6 +4772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_temperature_mix": q181_temperature_mix,
         "q182_count_anomalies": q182_count_anomalies,
         "q183_mad_outliers": q183_mad_outliers,
+        "q184_dimensional_rollup": q184_dimensional_rollup,
+        "q185_rolling_daily": q185_rolling_daily,
     }
 
 

@@ -78,3 +78,50 @@ def cascaded_rollup(
         )
         out[g] = prev
     return out
+
+
+def dimensional_rollup(
+    df: DataFrame,
+    dims: list[str],
+    measures: dict[str, "F.Column"],
+    all_label: str = "ALL",
+) -> DataFrame:
+    """Hierarchical subtotal cube via native ROLLUP — every prefix of
+    ``dims`` gets a subtotal row plus the grand total, in ONE pass:
+    Catalyst's Expand rewrite replicates each input row once per
+    grouping set BEFORE the aggregation, so map-side partial
+    aggregation still applies and the cost is (#sets)× map work with
+    a single shuffle — not one job per subtotal level (the naive
+    union-of-groupbys a reporting layer otherwise runs).
+
+    Rolled-up dimension slots are COALESCED to ``all_label`` (never
+    exposed as NULL): engines/readers disagree on NULL rendering, and
+    a real NULL dimension value would be indistinguishable from a
+    subtotal row.  ``level`` is the grouping bitmask (0 = finest,
+    2^len(dims)−1 = grand total) computed from per-dim grouping()
+    flags — portable across engines that number bits differently.
+
+    Output: ``*dims, level, *measures``.
+    """
+    gid = None
+    for d in dims:
+        bit = F.grouping(d).cast("long")
+        gid = bit if gid is None else gid * F.lit(2) + bit
+    # grouping() is only legal INSIDE the rollup's agg clause — it
+    # reads the grouping-set id the Expand rewrite synthesizes, which
+    # no longer exists in a downstream Project
+    return (
+        df.rollup(*dims)
+        .agg(
+            gid.alias("level"),
+            *[m.alias(name) for name, m in measures.items()],
+        )
+        .select(
+            *[
+                F.coalesce(F.col(d).cast("string"), F.lit(all_label)).alias(d)
+                for d in dims
+            ],
+            "level",
+            *measures.keys(),
+        )
+    )

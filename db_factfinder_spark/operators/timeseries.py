@@ -254,3 +254,62 @@ def count_anomalies(
         thresh.alias("thresh"),
         (F.abs(dev_n).cast("double") > thresh).alias("is_anomaly"),
     )
+
+
+def rolling_daily_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_days: int = 7,
+) -> DataFrame:
+    """Per-key rolling ``window_days``-day daily-count statistics via a
+    RANGE window frame — the moving-average/volume trend every ingest
+    dashboard draws, computed the way that is correct with GAPS in the
+    calendar: the frame is bounded by event-TIME distance (epoch-second
+    range), not by row count, so a key with missing days still averages
+    over the true time window (a rowsBetween frame would silently
+    stretch across gaps).
+
+    Exactness: rolling sum and day count are exact integer window
+    aggregates; the average is their single correctly-rounded IEEE
+    division — no incremental float accumulation.
+
+    Plan: one count shuffle on (key, day), then ONE window pass
+    partitioned by key, ordered by day number — no self-join (the
+    classic alternative joins the daily frame to itself per offset).
+    The range key is a DAY COUNT from a fixed epoch date (datediff),
+    never unix_timestamp — epoch seconds of a wall-clock day depend on
+    the session time zone, and the driver-contract session does not
+    share the engine's UTC default.
+
+    Output: ``key_col, day, c, roll_sum, roll_days, roll_avg``.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(
+            F.col(key_col),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "__daynum", F.datediff(F.col("day"), F.lit("1970-01-01"))
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__daynum")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return daily.select(
+        key_col,
+        "day",
+        "c",
+        F.sum("c").over(w).alias("roll_sum"),
+        F.count(F.lit(1)).over(w).alias("roll_days"),
+        (
+            F.sum("c").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("roll_avg"),
+    )

@@ -4511,3 +4511,41 @@ SELECT d.g AS o_orderpriority,
 FROM dev d JOIN mad m USING (g)
 GROUP BY d.g ORDER BY o_orderpriority
 """
+
+
+# q184: ROLLUP subtotal cube — GROUPING() bitmask built identically
+# (msb = first dim), rolled-up slots coalesced to 'ALL', exact
+# integer-cent sums.
+ORACLES["q184_dimensional_rollup"] = """
+SELECT coalesce(CAST(l_returnflag AS VARCHAR), 'ALL') AS l_returnflag,
+       coalesce(CAST(l_linestatus AS VARCHAR), 'ALL') AS l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) * 2
+         + CAST(GROUPING(l_linestatus) AS BIGINT) AS level,
+       count(*) AS n_rows,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_c
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY level, l_returnflag, l_linestatus
+"""
+
+
+# q185: rolling 7-day RANGE window on a tz-free day number — exact
+# integer window sums, one division.
+ORACLES["q185_rolling_daily"] = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS c,
+         date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+           AS daynum
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2, 4)
+SELECT event_type, day, c,
+       CAST(sum(c) OVER w AS BIGINT) AS roll_sum,
+       CAST(count(*) OVER w AS BIGINT) AS roll_days,
+       CAST(CAST(sum(c) OVER w AS BIGINT) AS DOUBLE)
+         / CAST(count(*) OVER w AS DOUBLE) AS roll_avg
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY daynum
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, day
+"""

@@ -2221,3 +2221,45 @@ def test_grouped_mad_outliers_exact_counts(spark):
     assert out["a"]["n_outliers"] == 1
     # b: median 5, MAD 0 → the single 9 deviates
     assert out["b"]["mad"] == 0 and out["b"]["n_outliers"] == 1
+
+
+def test_dimensional_rollup_levels_and_totals(spark):
+    """One pass produces finest cells, per-prefix subtotals, and the
+    grand total; rolled-up slots read 'ALL'; measures are additive
+    across levels."""
+    from db_factfinder_spark.operators.rollup_cascade import (
+        dimensional_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)],
+        "d1 string, d2 string, v long",
+    )
+    out = {(r["d1"], r["d2"]): (r["level"], r["n"])
+           for r in dimensional_rollup(
+               df, ["d1", "d2"], {"n": F.sum("v")}).collect()}
+    assert out[("a", "x")] == (0, 1) and out[("a", "y")] == (0, 2)
+    assert out[("a", "ALL")] == (1, 3) and out[("b", "ALL")] == (1, 4)
+    assert out[("ALL", "ALL")] == (3, 7)
+    assert len(out) == 6  # 3 cells + 2 d1 subtotals + grand total
+
+
+def test_rolling_daily_stats_gap_correct(spark):
+    """The RANGE frame is time-bounded: a calendar gap larger than the
+    window excludes old days (a ROWS frame would stretch across it)."""
+    from datetime import datetime
+
+    from db_factfinder_spark.operators.timeseries import rolling_daily_stats
+
+    rows = (
+        [("e", datetime(2024, 1, 1, 1))] * 10
+        + [("e", datetime(2024, 1, 2, 1))] * 20
+        # 12-day gap — outside any 7-day window
+        + [("e", datetime(2024, 1, 14, 1))] * 30
+    )
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r["day"].day: (r["roll_sum"], r["roll_days"], r["roll_avg"])
+           for r in rolling_daily_stats(df, window_days=7).collect()}
+    assert out[1] == (10, 1, 10.0)
+    assert out[2] == (30, 2, 15.0)
+    assert out[14] == (30, 1, 30.0)  # gap excluded days 1-2
