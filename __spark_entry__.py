@@ -148,6 +148,7 @@ from db_factfinder_spark.operators.bloom import bloom_semi_join
 from db_factfinder_spark.operators.merge import merge_upsert
 from db_factfinder_spark.operators.timeseries import (
     count_anomalies,
+    cusum_drift,
     cumulative_uniques,
     rolling_daily_stats,
     gap_fill_daily,
@@ -4137,6 +4138,18 @@ def q185_rolling_daily(spark, sf_dir):
     )
 
 
+def q186_cusum_drift(spark, sf_dir):
+    """Per-event-type CUSUM level-shift detector over daily counts:
+    the sequential max(0, S+d) recursion evaluated as the closed-form
+    prefix-sum-minus-prefix-min (two integer windows, one shuffle),
+    with the same n-scaled integer deviations and single-sqrt
+    threshold as q182 (see cusum_drift)."""
+    ev = _t(spark, sf_dir, "events")
+    return cusum_drift(ev, "ts", "event_type", h=4).orderBy(
+        "event_type", "day"
+    )
+
+
 def q176_grid_distance_join(spark, sf_dir):
     """Spatial radius self-join via grid bucketing: customers get
     md5-derived integer coordinates on a 10 000² grid; pairs within
@@ -4774,6 +4787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_mad_outliers": q183_mad_outliers,
         "q184_dimensional_rollup": q184_dimensional_rollup,
         "q185_rolling_daily": q185_rolling_daily,
+        "q186_cusum_drift": q186_cusum_drift,
     }
 
 

@@ -313,3 +313,75 @@ def rolling_daily_stats(
             / F.count(F.lit(1)).over(w).cast("double")
         ).alias("roll_avg"),
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    h: int = 4,
+) -> DataFrame:
+    """Per-key CUSUM drift statistic over daily counts — the
+    change-POINT companion to ``count_anomalies``' spike screen: a
+    slow upward level shift never trips a per-day z-test (each day is
+    barely above mean) but accumulates linearly in the CUSUM, which is
+    the classical sequential-detection answer (Page 1954) to "did this
+    source's volume quietly double last month?".
+
+    The textbook recursion S_t = max(0, S_{t−1} + d_t) is not
+    window-expressible, but its closed form is: with P_t the prefix
+    sum of deviations, S_t = P_t − min_{j≤t} P_j — so TWO window
+    passes (cumulative sum, cumulative min) over the same
+    (key, day-order) frame replace the sequential loop, shuffling
+    once.  Zero-slack variant (no per-step k·σ drain) — S_t is the
+    pure drift integrator.
+
+    Exactness: deviations are the n-scaled integers d_t = c_t·n − Σc
+    (mean-centering without division); prefix sums and mins are exact
+    integer window aggregates; the decision interval h·σ_d uses the
+    ONE IEEE sqrt of the exact variance numerator, σ_d =
+    √(n·Σc² − (Σc)²), exactly as count_anomalies.
+
+    Output: ``key_col, day, c, cusum_n`` (= S_t, n-scaled),
+    ``thresh`` (= h·σ_d), ``drifted``.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(
+            F.col(key_col),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = daily.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    j = daily.join(F.broadcast(stats), key_col).withColumn(
+        "__d", F.col("c") * F.col("n_days") - F.col("s1")
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = j.withColumn("__p", F.sum("__d").over(w)).withColumn(
+        "__pmin", F.min(F.least(F.col("__p"), F.lit(0))).over(w)
+    )
+    thresh = F.lit(float(h)) * F.sqrt(
+        (F.col("n_days") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+            "double"
+        )
+    )
+    cusum = F.col("__p") - F.col("__pmin")
+    return p.select(
+        key_col,
+        "day",
+        "c",
+        cusum.alias("cusum_n"),
+        thresh.alias("thresh"),
+        (cusum.cast("double") > thresh).alias("drifted"),
+    )

@@ -4549,3 +4549,38 @@ WINDOW w AS (PARTITION BY event_type ORDER BY daynum
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 ORDER BY event_type, day
 """
+
+
+# q186: CUSUM drift — prefix sum minus floored prefix min of the
+# n-scaled integer deviations; one sqrt threshold (q182's).
+ORACLES["q186_cusum_drift"] = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS c
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM daily GROUP BY event_type),
+dev AS (
+  SELECT d.event_type, d.day, d.c,
+         d.c * s.n_days - s.s1 AS dd, s.n_days, s.s1, s.s2
+  FROM daily d JOIN stats s USING (event_type)),
+pre1 AS (
+  SELECT *, CAST(sum(dd) OVER w AS BIGINT) AS p
+  FROM dev
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+pre AS (
+  SELECT *, CAST(min(least(p, 0)) OVER w2 AS BIGINT) AS pmin
+  FROM pre1
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_type, day, c,
+       p - pmin AS cusum_n,
+       4.0 * sqrt(CAST(n_days * s2 - s1 * s1 AS DOUBLE)) AS thresh,
+       CAST(p - pmin AS DOUBLE)
+         > 4.0 * sqrt(CAST(n_days * s2 - s1 * s1 AS DOUBLE)) AS drifted
+FROM pre ORDER BY event_type, day
+"""

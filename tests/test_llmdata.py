@@ -2263,3 +2263,35 @@ def test_rolling_daily_stats_gap_correct(spark):
     assert out[1] == (10, 1, 10.0)
     assert out[2] == (30, 2, 15.0)
     assert out[14] == (30, 1, 30.0)  # gap excluded days 1-2
+
+
+def test_cusum_detects_level_shift_z_test_misses(spark):
+    """A quiet +2-per-day level shift over the second half never trips
+    the per-day 3-sigma screen but integrates past the CUSUM decision
+    interval — the exact separation the two operators exist for.  Also
+    pins the closed form against the textbook recursion."""
+    from datetime import datetime
+
+    from db_factfinder_spark.operators.timeseries import (
+        count_anomalies,
+        cusum_drift,
+    )
+
+    rows = []
+    counts = [10] * 15 + [12] * 15  # subtle shift at day 16
+    for d, n in enumerate(counts, start=1):
+        rows += [("e", datetime(2024, 1, d, 12))] * n
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    assert not any(
+        r["is_anomaly"] for r in count_anomalies(df, k=3).collect()
+    )
+    out = sorted(
+        cusum_drift(df, h=4).collect(), key=lambda r: r["day"]
+    )
+    assert any(r["drifted"] for r in out)
+    # closed form == recursion max(0, S + d)
+    n, s1 = 30, sum(counts)
+    s = 0
+    for r in out:
+        s = max(0, s + r["c"] * n - s1)
+        assert r["cusum_n"] == s, (r["day"], r["cusum_n"], s)
