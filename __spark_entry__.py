@@ -65,6 +65,7 @@ from db_factfinder_spark.llmdata.redact import domain_blocklist_filter, redact_p
 from db_factfinder_spark.llmdata.urls import normalize_urls
 from db_factfinder_spark.llmdata.sampling import (
     budget_fill,
+    stratified_split,
     temperature_allocation,
     cap_per_group,
     mixture_sample,
@@ -4150,6 +4151,16 @@ def q186_cusum_drift(spark, sf_dir):
     )
 
 
+def q187_stratified_split(spark, sf_dir):
+    """Exact-count per-source train/val/test split in deterministic
+    md5 order — integer DIV quotas per stratum, so every stratum hits
+    80/10/10 exactly, not in expectation (see stratified_split)."""
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_split(docs, "source", "doc_id", 80, 10).orderBy(
+        "doc_id"
+    )
+
+
 def q176_grid_distance_join(spark, sf_dir):
     """Spatial radius self-join via grid bucketing: customers get
     md5-derived integer coordinates on a 10 000² grid; pairs within
@@ -4788,6 +4799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_dimensional_rollup": q184_dimensional_rollup,
         "q185_rolling_daily": q185_rolling_daily,
         "q186_cusum_drift": q186_cusum_drift,
+        "q187_stratified_split": q187_stratified_split,
     }
 
 

@@ -63,6 +63,9 @@ HEADLINE = [
     "q150_collocations",        # vocab-pruned pair self-join + lift
     "q152_twap",                # lead-window durations + exact agg
     "q157_jl_projection",       # int8 quantize + sign-matrix dots
+    "q178_admission_with_state",  # state-reuse incremental ingest gate
+    "q179_unigram_surprisal",   # corpus-vocab keyed join + doc re-agg
+    "q183_mad_outliers",        # two-pass integer median composition
     # q155_semantic_dedup is deliberately NOT a headline entry: its
     # in-cluster pair scan is n²/k by design and the oracle pins k=4
     # (SemDeDup grows k with the corpus); at fixed k it measures the

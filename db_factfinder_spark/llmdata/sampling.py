@@ -359,3 +359,55 @@ def temperature_allocation(df, domain_col: str = "source", budget: int = 1000):
             + F.when(rk <= leftover, F.lit(1)).otherwise(F.lit(0))
         ).alias("alloc"),
     )
+
+
+def stratified_split(
+    df,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+):
+    """EXACT-count stratified train/val/test split: within every
+    stratum the bucket sizes are the integer floors n·p DIV 100 (test
+    takes the remainder), assigned in the md5-shuffled deterministic
+    order — the reproducible-split guarantee ``split_column``'s hash
+    buckets give IN EXPECTATION, hardened to exact counts (a 500-doc
+    rare-language stratum under a hash split can land 70/30; training
+    mixes care).
+
+    Determinism: the within-stratum order is (md5(id), id) — content-
+    free, partition-invariant, engine-portable — so the same document
+    lands in the same split on every run and any engine; adding NEW
+    documents to a stratum reshuffles it (exact quotas and insertion
+    stability are mutually exclusive; pipelines needing the latter use
+    split_column).
+
+    One row_number window per stratum (keyed shuffle) + a broadcast of
+    per-stratum counts; integer comparisons only.
+
+    Output: ``id_col, strata_col, split`` ∈ {train, val, test}.
+    """
+    from pyspark.sql import Window
+
+    if not (0 < train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
+        raise ValueError("need 0 < train_pct, 0 <= val_pct, sum <= 100")
+    rn = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+    )
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    ranked = df.select(strata_col, id_col).withColumn("__rn", rn).join(
+        F.broadcast(counts), strata_col
+    )
+    n_train = F.expr(f"__n * {train_pct} DIV 100")
+    n_val = F.expr(f"__n * {train_pct + val_pct} DIV 100")
+    return ranked.select(
+        id_col,
+        strata_col,
+        F.when(F.col("__rn") <= n_train, F.lit("train"))
+        .when(F.col("__rn") <= n_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

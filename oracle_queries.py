@@ -4584,3 +4584,21 @@ SELECT event_type, day, c,
          > 4.0 * sqrt(CAST(n_days * s2 - s1 * s1 AS DOUBLE)) AS drifted
 FROM pre ORDER BY event_type, day
 """
+
+
+# q187: exact stratified split — same md5 shuffle order, same integer
+# DIV quotas.
+ORACLES["q187_stratified_split"] = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents),
+counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
+SELECT r.doc_id, r.source,
+       CASE WHEN r.rn <= (c.n * 80) // 100 THEN 'train'
+            WHEN r.rn <= (c.n * 90) // 100 THEN 'val'
+            ELSE 'test' END AS split
+FROM ranked r JOIN counts c USING (source)
+ORDER BY r.doc_id
+"""

@@ -2295,3 +2295,34 @@ def test_cusum_detects_level_shift_z_test_misses(spark):
     for r in out:
         s = max(0, s + r["c"] * n - s1)
         assert r["cusum_n"] == s, (r["day"], r["cusum_n"], s)
+
+
+def test_stratified_split_exact_quotas_and_stability(spark):
+    """Every stratum hits its integer quotas exactly (hash splits only
+    approximate them), assignment is partition-invariant, and invalid
+    percentages are rejected."""
+    import pytest as _pytest
+
+    from db_factfinder_spark.llmdata.sampling import stratified_split
+
+    rows = [(i, "a") for i in range(17)] + [(1000 + i, "b") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_split(df, "source", "doc_id", 80, 10).collect()
+    from collections import Counter
+
+    by = Counter((r["source"], r["split"]) for r in out)
+    # a: n=17 → train 13 (17*80//100), val 2 (17*90//100 − 13), test 2
+    assert by[("a", "train")] == 13 and by[("a", "val")] == 2
+    assert by[("a", "test")] == 2
+    # b: n=5 → train 4, val 0 (5*90//100 = 4), test 1
+    assert by[("b", "train")] == 4 and by[("b", "val")] == 0
+    assert by[("b", "test")] == 1
+    # partition-invariance: same assignment from a different layout
+    out2 = stratified_split(
+        df.repartition(7), "source", "doc_id", 80, 10
+    ).collect()
+    assert {(r["doc_id"], r["split"]) for r in out} == {
+        (r["doc_id"], r["split"]) for r in out2
+    }
+    with _pytest.raises(ValueError):
+        stratified_split(df, "source", "doc_id", 95, 10)
