@@ -165,6 +165,7 @@ from db_factfinder_spark.operators.quality import (
 from db_factfinder_spark.operators.regression import (
     ab_test_summary,
     chi_square_independence,
+    grouped_correlation,
     grouped_linreg,
 )
 from db_factfinder_spark.operators.scd import scd2_intervals
@@ -4161,6 +4162,25 @@ def q187_stratified_split(spark, sf_dir):
     )
 
 
+def q188_grouped_correlation(spark, sf_dir):
+    """Per-priority Pearson r between order price (cents) and line
+    count — exact decimal sufficient statistics, two IEEE sqrts, one
+    division in fixed order (see grouped_correlation)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    j = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    )
+    return grouped_correlation(
+        j,
+        ["o_orderpriority"],
+        F.col("n_lines"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)),
+    ).orderBy("o_orderpriority")
+
+
 def q176_grid_distance_join(spark, sf_dir):
     """Spatial radius self-join via grid bucketing: customers get
     md5-derived integer coordinates on a 10 000² grid; pairs within
@@ -4800,6 +4820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q185_rolling_daily": q185_rolling_daily,
         "q186_cusum_drift": q186_cusum_drift,
         "q187_stratified_split": q187_stratified_split,
+        "q188_grouped_correlation": q188_grouped_correlation,
     }
 
 

@@ -233,3 +233,53 @@ def ab_test_summary(
         diff.alias("diff"),
         t_stat.alias("t"),
     )
+
+
+def grouped_correlation(
+    df: DataFrame,
+    keys: Sequence[str],
+    x: Column,
+    y_units: Column,
+) -> DataFrame:
+    """Per-key Pearson correlation of integer-coded (x, y) pairs —
+    grouped_linreg's companion: the same five exact sufficient
+    statistics (decimal-summed, no wrap, no float accumulation) plus
+    Σy², with
+
+        r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+
+    evaluated in a FIXED order: both radicands are exact integers
+    cast once to double, each √ is one correctly-rounded IEEE op, so
+    any engine produces the bit-identical r.  (Native ``corr()``
+    accumulates float co-moments in partition order — fine for
+    analytics, useless for cross-engine reconciliation.)  Degenerate
+    groups (either variance zero) yield NULL.
+
+    One map-side-combined groupBy — the cost of any keyed aggregate.
+    Output: ``keys..., n, r``.
+    """
+    xd = x.cast("long").cast(_DEC)
+    yd = y_units.cast("long").cast(_DEC)
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast(_DEC).alias("__n"),
+        F.sum(xd).alias("__sx"),
+        F.sum(yd).alias("__sy"),
+        F.sum(xd * yd).alias("__sxy"),
+        F.sum(xd * xd).alias("__sxx"),
+        F.sum(yd * yd).alias("__syy"),
+    )
+    num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    vx = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    vy = (F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast(
+        "double"
+    )
+    r = F.when((vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy)))
+    return agg.select(
+        *keys,
+        F.col("__n").cast("long").alias("n"),
+        r.alias("r"),
+    )

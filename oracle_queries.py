@@ -4602,3 +4602,31 @@ SELECT r.doc_id, r.source,
 FROM ranked r JOIN counts c USING (source)
 ORDER BY r.doc_id
 """
+
+
+# q188: grouped Pearson r — decimal-exact sufficient statistics, the
+# identical fixed-order double chain (two sqrts, one division).
+ORACLES["q188_grouped_correlation"] = """
+WITH li AS (
+  SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY l_orderkey),
+pairs AS (
+  SELECT o.o_orderpriority AS g,
+         CAST(li.n_lines AS HUGEINT) AS x,
+         CAST(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+              AS HUGEINT) AS y
+  FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey),
+agg AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pairs GROUP BY g)
+SELECT g AS o_orderpriority,
+       CAST(n AS BIGINT) AS n,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+         THEN CAST(n * sxy - sx * sy AS DOUBLE)
+              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS r
+FROM agg ORDER BY o_orderpriority
+"""

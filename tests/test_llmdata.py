@@ -2326,3 +2326,21 @@ def test_stratified_split_exact_quotas_and_stability(spark):
     }
     with _pytest.raises(ValueError):
         stratified_split(df, "source", "doc_id", 95, 10)
+
+
+def test_grouped_correlation_exact_and_degenerate(spark):
+    """Perfect linear relation gives r = 1 up to the two documented
+    sqrt roundings (√6·√24 = 11.999999999999998, not 12 — the value is
+    deterministic, which is the contract; exactly-1.0 is not);
+    zero-variance groups yield NULL, never NaN."""
+    from pyspark.sql import functions as F
+
+    from db_factfinder_spark.operators.regression import grouped_correlation
+
+    rows = [("a", 1, 2), ("a", 2, 4), ("a", 3, 6),
+            ("b", 5, 1), ("b", 5, 9)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r["g"]: r["r"] for r in
+           grouped_correlation(df, ["g"], F.col("x"), F.col("y")).collect()}
+    assert abs(out["a"] - 1.0) < 1e-12
+    assert out["b"] is None
