@@ -80,6 +80,7 @@ from db_factfinder_spark.llmdata.sampling import (  # noqa: F401
     priority_sample_per_group,
     shuffle_shards,
     split_column,
+    stratified_split,
     temperature_allocation,
 )
 from db_factfinder_spark.llmdata.redact import (  # noqa: F401
