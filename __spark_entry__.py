@@ -115,6 +115,7 @@ from db_factfinder_spark.llmdata.textstats import (
     language_id,
     mean_token_length,
     normalize_text,
+    phrase_search,
     punct_ratio,
     quality_score,
     pack_sequences,
@@ -132,6 +133,9 @@ from db_factfinder_spark.functions.geoid import (
     format_geotype_2010,
 )
 from db_factfinder_spark.operators.asof import asof_join
+from db_factfinder_spark.operators.cardinality import equi_join_cardinality
+from db_factfinder_spark.operators.concentration import gini_concentration
+from db_factfinder_spark.operators.zonemap import zone_map_stats
 from db_factfinder_spark.operators.funnel import (
     cohort_retention,
     next_event_within,
@@ -4181,6 +4185,71 @@ def q188_grouped_correlation(spark, sf_dir):
     ).orderBy("o_orderpriority")
 
 
+def q189_gini_concentration(spark, sf_dir):
+    """Per-segment Gini coefficient of order spend — the concentration
+    audit behind domain-cap decisions (q76): ascending cent ranks from
+    one window, decimal(38,0) sufficient statistics, one final
+    division (see gini_concentration)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    return gini_concentration(
+        j, "mktsegment", F.col("cents"), "o_orderkey"
+    ).orderBy("mktsegment")
+
+
+def q190_join_cardinality(spark, sf_dir):
+    """Exact output-size + skew forecast for the events-by-user
+    self-join, WITHOUT running the join — the measurement that drives
+    broadcast/salt planning (see equi_join_cardinality; q43/q131 act
+    on this signal)."""
+    ev = _t(spark, sf_dir, "events")
+    return equi_join_cardinality(ev, ev, "user_id", "user_id")
+
+
+def q191_zone_map_pruning(spark, sf_dir):
+    """Monthly zone maps over orders + prune audit: a date predicate
+    prunes hard against the month-clustered layout while a price
+    predicate (unclustered) barely prunes — the measurable case for
+    Z-ordering (q77).  Epoch-day and cent stats are exact integers
+    (see zone_map_stats)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = zone_map_stats(
+        orders,
+        F.date_format("o_orderdate", "yyyy-MM"),
+        {
+            "day": F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+            ).cast("long"),
+            "cents": F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long"),
+        },
+        {
+            # scan for o_orderdate >= 2000-01-01 (epoch day 10957)
+            "prune_date": ("day", ">=", 10957),
+            # scan for price > $490,000 — unclustered, rarely prunes
+            "prune_price": ("cents", ">", 49_000_000),
+        },
+    )
+    return out.orderBy("bucket")
+
+
+def q192_phrase_search(spark, sf_dir):
+    """Exact phrase query "hash join" via positional postings: k−1
+    equi-joins on (doc, pos+i) over vocabulary-pruned postings — no
+    window over token streams, no text rescans (see phrase_search)."""
+    docs = _docs(spark, sf_dir)
+    return phrase_search(docs, ["hash", "join"]).orderBy("doc_id")
+
+
 def q176_grid_distance_join(spark, sf_dir):
     """Spatial radius self-join via grid bucketing: customers get
     md5-derived integer coordinates on a 10 000² grid; pairs within
@@ -4821,6 +4890,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_cusum_drift": q186_cusum_drift,
         "q187_stratified_split": q187_stratified_split,
         "q188_grouped_correlation": q188_grouped_correlation,
+        "q189_gini_concentration": q189_gini_concentration,
+        "q190_join_cardinality": q190_join_cardinality,
+        "q191_zone_map_pruning": q191_zone_map_pruning,
+        "q192_phrase_search": q192_phrase_search,
     }
 
 

@@ -795,3 +795,43 @@ def char_chunker_udtf(size: int, stride: int):
                     break
 
     return CharChunker
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase (consecutive-token) search via positional postings.
+
+    Conjunctive search (``q120``-style membership) can't distinguish
+    "hash join" from "join ... hash"; phrase queries need token
+    POSITIONS.  The IR-standard plan: posexplode the normalized token
+    stream into (doc, term, pos) postings, keep only the query
+    vocabulary's postings (the index blocks actually read — at scale
+    this is the per-term postings fetch, not a corpus scan), then
+    chain-join term i+1's postings at pos+1.  A k-term phrase is k−1
+    equi-joins on (doc, expected position) — no window over the full
+    token stream, no text rescans.
+
+    Output: ``<id_col>, n_hits`` (occurrence count per matching doc) —
+    exact integers.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase needs >= 2 tokens")
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        id_col,
+        F.posexplode(tokens(normalize_text(text_col))).alias("pos", "t"),
+    )
+    postings = base.filter(F.col("t").isin(*phrase))
+    cur = (
+        postings.filter(F.col("t") == phrase[0])
+        .select(id_col, F.col("pos").alias("p0"))
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("t") == term).select(
+            id_col, (F.col("pos") - F.lit(i)).alias("p0")
+        )
+        cur = cur.join(nxt, [id_col, "p0"])
+    return cur.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))

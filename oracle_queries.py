@@ -4630,3 +4630,84 @@ SELECT g AS o_orderpriority,
        END AS r
 FROM agg ORDER BY o_orderpriority
 """
+
+
+# q189: per-segment Gini of order spend — row_number ranks over exact
+# cents (tie-broken on orderkey; tied values make the rank-weighted
+# sum order-invariant anyway), HUGEINT sufficient statistics, one
+# final division mirroring Spark's decimal(38,0) path.
+ORACLES["q189_gini_concentration"] = """
+WITH x AS (
+  SELECT c.c_mktsegment AS mktsegment,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o.o_orderkey AS k
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+r AS (
+  SELECT mktsegment, cents,
+         row_number() OVER (
+           PARTITION BY mktsegment ORDER BY cents, k) AS i
+  FROM x),
+a AS (
+  SELECT mktsegment, count(*) AS n,
+         sum(CAST(cents AS HUGEINT)) AS s,
+         sum(CAST(i AS HUGEINT) * CAST(cents AS HUGEINT)) AS si
+  FROM r GROUP BY 1)
+SELECT mktsegment, n,
+       CAST(2 * si - (n + 1) * s AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT) * s AS DOUBLE) AS gini
+FROM a ORDER BY mktsegment
+"""
+
+
+# q190: exact self-join cardinality forecast from the per-user count
+# histogram — sum/max of count products, one division for the skew
+# ratio.
+ORACLES["q190_join_cardinality"] = """
+WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1)
+SELECT count(*) AS n_keys,
+       sum(c * c) AS est_rows,
+       max(c * c) AS max_key_product,
+       CAST(max(c * c) * count(*) AS DOUBLE)
+         / CAST(sum(c * c) AS DOUBLE) AS skew_ratio
+FROM c
+"""
+
+
+# q191: monthly zone maps + prune audit — epoch-day/cent min-max per
+# month bucket; a bucket is prunable for `stat > lit` when max <= lit
+# and for `stat >= lit` when max < lit (the parquet row-group rule).
+ORACLES["q191_zone_map_pruning"] = """
+SELECT strftime(o_orderdate, '%Y-%m') AS bucket,
+       count(*) AS n_rows,
+       min(date_diff('day', DATE '1970-01-01',
+                     CAST(o_orderdate AS DATE))) AS min_day,
+       max(date_diff('day', DATE '1970-01-01',
+                     CAST(o_orderdate AS DATE))) AS max_day,
+       min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS min_cents,
+       max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS max_cents,
+       max(date_diff('day', DATE '1970-01-01',
+                     CAST(o_orderdate AS DATE))) < 10957 AS prune_date,
+       max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+         <= 49000000 AS prune_price
+FROM orders GROUP BY 1 ORDER BY bucket
+"""
+
+
+# q192: exact phrase search over normalized tokens — 1-based ordinal
+# positions via the parallel-unnest zip of (token list, range list)
+# (Spark's posexplode is 0-based; the self-join offset is identical
+# either way).
+ORACLES["q192_phrase_search"] = f"""
+WITH d AS (
+  SELECT doc_id, {_NORMTOKS} AS ts
+  FROM documents WHERE text IS NOT NULL),
+toks AS (
+  SELECT doc_id, unnest(ts) AS tok,
+         unnest(range(1, len(ts) + 1)) AS idx
+  FROM d)
+SELECT a.doc_id, count(*) AS n_hits
+FROM toks a
+JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+WHERE a.tok = 'hash' AND b.tok = 'join'
+GROUP BY 1 ORDER BY a.doc_id
+"""

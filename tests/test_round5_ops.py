@@ -1,0 +1,171 @@
+"""Round-5 operators: randomized brute-force cross-checks (the
+asof/funnel test strategy) for gini/cardinality, fixed-fixture truth
+tables for zone maps and phrase search."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from db_factfinder_spark.operators.cardinality import equi_join_cardinality
+from db_factfinder_spark.operators.concentration import gini_concentration
+from db_factfinder_spark.operators.zonemap import zone_map_stats
+from db_factfinder_spark.llmdata.textstats import phrase_search
+
+_grow = st.tuples(
+    st.integers(min_value=0, max_value=2),     # group
+    st.integers(min_value=0, max_value=1000),  # cents
+)
+
+
+def _gini_brute(xs):
+    xs = sorted(xs)
+    n, s = len(xs), sum(xs)
+    si = sum(i * x for i, x in enumerate(xs, start=1))
+    return float(2 * si - (n + 1) * s) / float(n * s)
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_grow, min_size=1, max_size=40))
+def test_gini_matches_bruteforce(spark, rows):
+    # keep every group's sum positive (gini undefined at all-zero)
+    rows = [(g, c + 1) for g, c in rows]
+    df = spark.createDataFrame(
+        [(g, c, i) for i, (g, c) in enumerate(rows)],
+        "g int, cents long, id long",
+    )
+    got = {
+        r["g"]: (r["n"], r["gini"])
+        for r in gini_concentration(df, "g", F.col("cents"), "id").collect()
+    }
+    by_g = {}
+    for g, c in rows:
+        by_g.setdefault(g, []).append(c)
+    for g, xs in by_g.items():
+        assert got[g][0] == len(xs)
+        assert got[g][1] == _gini_brute(xs)
+
+
+def test_gini_known_values(spark):
+    # perfectly equal values → G = 0; [0,...,0,1] → G = (n-1)/n
+    eq = spark.createDataFrame(
+        [(0, 7, i) for i in range(4)], "g int, cents long, id long"
+    )
+    assert gini_concentration(eq, "g", F.col("cents"), "id").first()[
+        "gini"
+    ] == 0.0
+    onehot = spark.createDataFrame(
+        [(0, 0, 0), (0, 0, 1), (0, 0, 2), (0, 5, 3)],
+        "g int, cents long, id long",
+    )
+    assert gini_concentration(onehot, "g", F.col("cents"), "id").first()[
+        "gini"
+    ] == 0.75
+
+
+_krow = st.integers(min_value=0, max_value=5)
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lk=st.lists(_krow, min_size=1, max_size=25),
+    rk=st.lists(_krow, min_size=1, max_size=25),
+)
+def test_join_cardinality_matches_actual_join(spark, lk, rk):
+    left = spark.createDataFrame([(k,) for k in lk], "k long")
+    right = spark.createDataFrame([(k,) for k in rk], "k long")
+    got = equi_join_cardinality(left, right, "k", "k").first()
+    actual = left.join(right, "k").count()
+    if actual == 0:
+        assert got["n_keys"] == 0 and (
+            got["est_rows"] is None or got["est_rows"] == 0
+        )
+        return
+    assert got["est_rows"] == actual
+    prods = {
+        k: lk.count(k) * rk.count(k)
+        for k in set(lk) & set(rk)
+    }
+    assert got["n_keys"] == len(prods)
+    assert got["max_key_product"] == max(prods.values())
+    assert got["skew_ratio"] == float(
+        max(prods.values()) * len(prods)
+    ) / float(actual)
+
+
+def test_zone_map_stats_prune_flags(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 6), ("b", 9)], "b string, v long"
+    )
+    out = {
+        r["bucket"]: r
+        for r in zone_map_stats(
+            df,
+            F.col("b"),
+            {"v": F.col("v")},
+            {
+                "p_gt5": ("v", ">", 5),    # skip when max <= 5
+                "p_ge6": ("v", ">=", 6),   # skip when max < 6
+                "p_lt6": ("v", "<", 6),    # skip when min >= 6
+                "p_le5": ("v", "<=", 5),   # skip when min > 5
+            },
+        ).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a["n_rows"], a["min_v"], a["max_v"]) == (2, 1, 5)
+    assert (a["p_gt5"], a["p_ge6"], a["p_lt6"], a["p_le5"]) == (
+        True, True, False, False,
+    )
+    assert (b["p_gt5"], b["p_ge6"], b["p_lt6"], b["p_le5"]) == (
+        False, False, True, True,
+    )
+
+
+def test_zone_map_stats_rejects_bad_op(spark):
+    df = spark.createDataFrame([("a", 1)], "b string, v long")
+    with pytest.raises(ValueError, match="unsupported op"):
+        zone_map_stats(
+            df, F.col("b"), {"v": F.col("v")}, {"p": ("v", "==", 1)}
+        ).collect()
+
+
+def test_phrase_search_counts_and_overlaps(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join is a hash join thing"),   # 2 hits
+            (2, "join hash"),                        # reversed: 0
+            (3, "a a a a"),                          # overlapping "a a": 3
+            (4, None),
+            (5, "Hash  JOIN, now"),                  # normalization: 1
+        ],
+        "doc_id long, text string",
+    )
+    two = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_search(docs, ["hash", "join"]).collect()
+    }
+    assert two == {1: 2, 5: 1}
+    over = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_search(docs, ["a", "a"]).collect()
+    }
+    assert over == {3: 3}  # overlapping occurrences each count
+    tri = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_search(docs, ["hash", "join", "is"]).collect()
+    }
+    assert tri == {1: 1}
+
+
+def test_phrase_search_rejects_short_phrase(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="phrase needs"):
+        phrase_search(docs, ["x"])
