@@ -112,6 +112,7 @@ from db_factfinder_spark.llmdata.textstats import (
     bpe_token_count,
     collocation_lift,
     fingerprint,
+    bigram_lm,
     language_id,
     mean_token_length,
     normalize_text,
@@ -138,6 +139,7 @@ from db_factfinder_spark.operators.concentration import gini_concentration
 from db_factfinder_spark.operators.zonemap import zone_map_stats
 from db_factfinder_spark.operators.funnel import (
     cohort_retention,
+    linear_attribution,
     next_event_within,
     transition_matrix,
 )
@@ -4250,6 +4252,29 @@ def q192_phrase_search(spark, sf_dir):
     return phrase_search(docs, ["hash", "join"]).orderBy("doc_id")
 
 
+def q193_bigram_lm(spark, sf_dir):
+    """Add-one-smoothed bigram next-token model over the corpus —
+    tail-zipped token arrays (no positional self-join), window c_prev,
+    one scalar vocab broadcast, one final division (see bigram_lm)."""
+    docs = _docs(spark, sf_dir)
+    return bigram_lm(docs).orderBy("w1", "w2")
+
+
+def q194_linear_attribution(spark, sf_dir):
+    """Linear multi-touch attribution of purchase value to click/view
+    channels with exact cent conservation via the largest-remainder
+    split — Σ credited ≡ Σ purchase cents, no penny leakage (see
+    linear_attribution)."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return linear_attribution(
+        ev,
+        touch_types=["click", "view"],
+        conv_type="purchase",
+        horizon_us=86_400_000_000,
+        channel=F.get_json_object("props", "$.k").cast("int") % 5,
+    ).orderBy("channel")
+
+
 def q176_grid_distance_join(spark, sf_dir):
     """Spatial radius self-join via grid bucketing: customers get
     md5-derived integer coordinates on a 10 000² grid; pairs within
@@ -4894,6 +4919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_join_cardinality": q190_join_cardinality,
         "q191_zone_map_pruning": q191_zone_map_pruning,
         "q192_phrase_search": q192_phrase_search,
+        "q193_bigram_lm": q193_bigram_lm,
+        "q194_linear_attribution": q194_linear_attribution,
     }
 
 

@@ -835,3 +835,68 @@ def phrase_search(
         )
         cur = cur.join(nxt, [id_col, "p0"])
     return cur.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
+
+
+def bigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Add-one-smoothed bigram language model table over the corpus —
+    the count-based next-token model used for cheap perplexity-style
+    quality filtering (complements the unigram surprisal score, which
+    ignores word order).
+
+    Bigrams come from zipping each token array with its own tail
+    (``slice``/``arrays_zip`` — pure JVM array ops in the scan, no
+    positional self-join, no window over token streams); documents
+    shorter than two tokens contribute nothing.  ``c_prev`` (bigram
+    rows starting with w1) rides on a window over the counts table —
+    grouped state, not a second corpus pass — and the vocabulary size
+    is the one scalar broadcast.  P(w2|w1) = (c+1)/(c_prev+V) is
+    exact-integer until the single division.
+
+    Scale: corpus text is scanned once; everything after the bigram
+    groupBy is vocabulary-bounded (≤ |V|² rows, in practice the
+    observed-bigram count), so the model table stays joinable as a
+    broadcast/bucketed dimension for scoring passes.
+
+    Output: ``w1, w2, c_bigram, c_prev, vocab, p_smoothed``.
+    """
+    toks = tokens(normalize_text(text_col))
+    arr = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(toks.alias("ts"))
+        .filter(F.size("ts") >= 2)
+    )
+    pairs = arr.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("ts", 1, F.size("ts") - 1).alias("w1"),
+                F.slice(F.col("ts"), F.lit(2), F.size("ts") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_bigram")
+    )
+    c_prev = F.sum("c_bigram").over(Window.partitionBy("w1"))
+    vocab = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(toks).alias("t"))
+        .agg(F.count_distinct("t").alias("vocab"))
+    )
+    return (
+        counts.withColumn("c_prev", c_prev)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "c_bigram",
+            "c_prev",
+            "vocab",
+            (
+                (F.col("c_bigram") + F.lit(1)).cast("double")
+                / (F.col("c_prev") + F.col("vocab")).cast("double")
+            ).alias("p_smoothed"),
+        )
+    )

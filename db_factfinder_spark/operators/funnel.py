@@ -152,3 +152,114 @@ def transition_matrix(
             ).alias("p"),
         )
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    touch_types: list[str],
+    conv_type: str,
+    horizon_us: int,
+    channel: Column,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linear multi-touch attribution with EXACT cent conservation.
+
+    Every conversion's value splits equally across the touch events
+    that precede it (same key, at-or-before by time, within
+    ``horizon_us``); conversions with no qualifying touch credit a
+    synthetic channel −1 ("direct").  Naive equal-split divides
+    cents/n per touch and leaks fractions of a cent per conversion —
+    at ledger scale the books stop balancing.  This operator uses the
+    largest-remainder rule instead: each touch gets ``cents div n``
+    and the first ``cents mod n`` touches (in (ts, id) order) get one
+    extra cent, so ``Σ credited ≡ Σ conversion value`` EXACTLY — the
+    conservation law the unit tests pin.
+
+    Plan: the touch→next-conversion assignment is the same
+    union-frame descending-time window as ``next_event_within`` (one
+    shuffle on the key, linear — never the touch×conversion
+    inequality self-join); the split is one window pair (count +
+    row_number) keyed by the conversion id; credits aggregate by
+    channel in integer cents.
+
+    Output: ``channel, n_credits, credited_cents``.
+    """
+    e = events.select(
+        F.col(key_col).alias("k"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(id_col).alias("eid"),
+        "event_type",
+        F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        channel.alias("channel"),
+    )
+    conv = e.filter(F.col("event_type") == conv_type).select(
+        "k", "us", "eid", "cents",
+        F.lit(0).alias("__is_probe"),
+    )
+    touch = e.filter(F.col("event_type").isin(*touch_types)).select(
+        "k", "us", "eid", "channel",
+        F.lit(1).alias("__is_probe"),
+    )
+    u = touch.unionByName(
+        conv.select(
+            "k", "us", "eid", "__is_probe",
+            F.struct("us", "eid", "cents").alias("__conv"),
+        ),
+        allowMissingColumns=True,
+    )
+    # descending scan: among conversions at-or-after the touch, the
+    # carried struct is the (us, eid)-smallest — conversions sort
+    # before probes at equal us, so a same-instant conversion counts.
+    w = (
+        Window.partitionBy("k")
+        .orderBy(
+            F.col("us").desc(), F.col("__is_probe").asc(),
+            F.col("eid").desc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = (
+        u.withColumn("__next", F.last("__conv", ignorenulls=True).over(w))
+        .filter(
+            (F.col("__is_probe") == 1)
+            & F.col("__next").isNotNull()
+            & ((F.col("__next.us") - F.col("us")) <= F.lit(horizon_us))
+        )
+        .select(
+            F.col("__next.eid").alias("conv_id"),
+            F.col("__next.cents").alias("cents"),
+            "us", "eid", "channel",
+        )
+    )
+    per_conv = Window.partitionBy("conv_id")
+    order = Window.partitionBy("conv_id").orderBy("us", "eid")
+    credits = (
+        assigned.withColumn("n", F.count(F.lit(1)).over(per_conv))
+        .withColumn("rn", F.row_number().over(order))
+        .select(
+            "channel",
+            (
+                F.expr("cents div n")
+                + (F.col("rn") <= F.col("cents") % F.col("n")).cast("long")
+            ).alias("credit"),
+        )
+    )
+    direct = (
+        conv.join(
+            assigned.select("conv_id").distinct(),
+            conv["eid"] == F.col("conv_id"),
+            "left_anti",
+        )
+        .select(F.lit(-1).alias("channel"), F.col("cents").alias("credit"))
+    )
+    return (
+        credits.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("credit").alias("credited_cents"),
+        )
+    )

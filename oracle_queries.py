@@ -4711,3 +4711,70 @@ JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
 WHERE a.tok = 'hash' AND b.tok = 'join'
 GROUP BY 1 ORDER BY a.doc_id
 """
+
+
+# q193: add-one bigram LM — independent implementation: positional
+# self-join on (doc, idx+1) instead of Spark's tail-zip; window sum
+# for c_prev; scalar-subquery vocab; identical final division.
+ORACLES["q193_bigram_lm"] = f"""
+WITH d AS (
+  SELECT doc_id, {_NORMTOKS} AS ts
+  FROM documents WHERE text IS NOT NULL),
+toks AS (
+  SELECT doc_id, unnest(ts) AS tok,
+         unnest(range(1, len(ts) + 1)) AS idx
+  FROM d),
+bg AS (
+  SELECT a.tok AS w1, b.tok AS w2, count(*) AS c_bigram
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+  GROUP BY 1, 2),
+v AS (SELECT count(DISTINCT tok) AS vocab FROM toks)
+SELECT w1, w2, c_bigram,
+       sum(c_bigram) OVER (PARTITION BY w1) AS c_prev,
+       vocab,
+       CAST(c_bigram + 1 AS DOUBLE)
+         / CAST(sum(c_bigram) OVER (PARTITION BY w1) + vocab AS DOUBLE)
+         AS p_smoothed
+FROM bg, v ORDER BY w1, w2
+"""
+
+
+# q194: linear multi-touch attribution — the quadratic formulation
+# (touch × later conversions, QUALIFY nearest) as the independent
+# check of Spark's linear union-window carry; identical
+# largest-remainder split so credited cents conserve exactly.
+ORACLES["q194_linear_attribution"] = """
+WITH e AS (
+  SELECT event_id AS eid, user_id AS k, epoch_us(ts) AS us, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(json_extract_string(props, '$.k') AS INT) % 5 AS channel
+  FROM events),
+conv AS (SELECT * FROM e WHERE event_type = 'purchase'),
+touch AS (SELECT * FROM e WHERE event_type IN ('click', 'view')),
+assigned AS (
+  SELECT t.eid AS teid, t.us AS tus, t.channel,
+         c.eid AS conv_id, c.cents
+  FROM touch t
+  JOIN conv c ON c.k = t.k AND c.us >= t.us
+             AND c.us - t.us <= 86400000000
+  QUALIFY row_number() OVER (
+    PARTITION BY t.eid ORDER BY c.us, c.eid) = 1),
+credits AS (
+  SELECT channel,
+         cents // n + CASE WHEN rn <= cents % n THEN 1 ELSE 0 END
+           AS credit
+  FROM (
+    SELECT channel, cents,
+           count(*) OVER (PARTITION BY conv_id) AS n,
+           row_number() OVER (
+             PARTITION BY conv_id ORDER BY tus, teid) AS rn
+    FROM assigned)),
+direct AS (
+  SELECT -1 AS channel, cents AS credit
+  FROM conv WHERE eid NOT IN (SELECT conv_id FROM assigned)),
+unioned AS (
+  SELECT * FROM credits UNION ALL SELECT * FROM direct)
+SELECT channel, count(*) AS n_credits, sum(credit) AS credited_cents
+FROM unioned GROUP BY 1 ORDER BY channel
+"""

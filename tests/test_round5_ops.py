@@ -169,3 +169,105 @@ def test_phrase_search_rejects_short_phrase(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="phrase needs"):
         phrase_search(docs, ["x"])
+
+
+def test_bigram_lm_known_counts(spark):
+    from db_factfinder_spark.llmdata.textstats import bigram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x"), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["w1"], r["w2"]): r for r in bigram_lm(docs).collect()
+    }
+    # bigrams: (a,b)x3, (b,a)x1, (b,c)x1; vocab = {a,b,c,x} = 4
+    assert rows[("a", "b")]["c_bigram"] == 3
+    assert rows[("b", "a")]["c_bigram"] == 1
+    assert rows[("b", "c")]["c_bigram"] == 1
+    assert set(rows) == {("a", "b"), ("b", "a"), ("b", "c")}
+    assert rows[("a", "b")]["c_prev"] == 3
+    assert rows[("b", "a")]["c_prev"] == 2
+    assert rows[("a", "b")]["vocab"] == 4
+    assert rows[("a", "b")]["p_smoothed"] == 4.0 / 7.0
+    assert rows[("b", "c")]["p_smoothed"] == 2.0 / 6.0
+
+
+_evrow = st.tuples(
+    st.integers(min_value=0, max_value=2),      # user
+    st.integers(min_value=0, max_value=50),     # ts seconds
+    st.sampled_from(["click", "view", "purchase", "error"]),
+    st.integers(min_value=0, max_value=999),    # value cents
+    st.integers(min_value=0, max_value=9),      # channel k
+)
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_evrow, min_size=1, max_size=30))
+def test_linear_attribution_conserves_cents(spark, rows):
+    """The operator's contract: Σ credited_cents over all channels
+    (incl. direct −1) equals Σ purchase cents exactly — the
+    largest-remainder split leaks nothing."""
+    from db_factfinder_spark.operators.funnel import linear_attribution
+
+    data = [
+        (i, u, f"1970-01-01 00:00:{s:02d}"[:19], et, c / 100.0,
+         '{"k": %d}' % k)
+        for i, (u, s, et, c, k) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data,
+        "event_id long, user_id long, ts_s string, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id", "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type", "value", "props",
+    )
+    out = linear_attribution(
+        ev, ["click", "view"], "purchase", horizon_us=10_000_000,
+        channel=F.get_json_object("props", "$.k").cast("int") % 5,
+    ).collect()
+    total_purchases = sum(c for (_, _, et, c, _) in rows if et == "purchase")
+    assert sum(r["credited_cents"] or 0 for r in out) == total_purchases
+    # every per-channel credit is a non-negative integer
+    assert all((r["credited_cents"] or 0) >= 0 for r in out)
+
+
+def test_linear_attribution_split_and_direct(spark):
+    from db_factfinder_spark.operators.funnel import linear_attribution
+
+    # user 1: 3 touches then a 100.04 purchase → 3335/3335/3334 split;
+    # user 2: purchase with no touch → direct; a touch AFTER the
+    # purchase gets nothing.
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 10:00:00", "click", 0.0, '{"k": 0}'),
+            (2, 1, "2024-01-01 10:00:01", "view", 0.0, '{"k": 1}'),
+            (3, 1, "2024-01-01 10:00:02", "click", 0.0, '{"k": 2}'),
+            (4, 1, "2024-01-01 10:00:03", "purchase", 100.04, "{}"),
+            (5, 2, "2024-01-01 11:00:00", "purchase", 7.00, "{}"),
+            (6, 2, "2024-01-01 12:00:00", "click", 0.0, '{"k": 3}'),
+        ],
+        "event_id long, user_id long, s string, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id", "user_id", F.col("s").cast("timestamp").alias("ts"),
+        "event_type", "value", "props",
+    )
+    out = {
+        r["channel"]: (r["n_credits"], r["credited_cents"])
+        for r in linear_attribution(
+            ev, ["click", "view"], "purchase", horizon_us=3_600_000_000,
+            channel=F.get_json_object("props", "$.k").cast("int") % 5,
+        ).collect()
+    }
+    # 10004 = 3334*3 + 2 → first two touches get 3335
+    assert out[0] == (1, 3335)
+    assert out[1] == (1, 3335)
+    assert out[2] == (1, 3334)
+    assert out[-1] == (1, 700)
+    assert 3 not in out  # post-purchase touch uncredited
