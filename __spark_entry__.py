@@ -139,6 +139,7 @@ from db_factfinder_spark.operators.concentration import gini_concentration
 from db_factfinder_spark.operators.zonemap import zone_map_stats
 from db_factfinder_spark.operators.funnel import (
     cohort_retention,
+    event_runs,
     linear_attribution,
     next_event_within,
     transition_matrix,
@@ -167,6 +168,7 @@ from db_factfinder_spark.operators.quality import (
     vocabulary_drift_test,
     fk_violations,
     profile_columns,
+    sequence_gaps,
 )
 from db_factfinder_spark.operators.regression import (
     ab_test_summary,
@@ -4275,6 +4277,25 @@ def q194_linear_attribution(spark, sf_dir):
     ).orderBy("channel")
 
 
+def q195_event_runs(spark, sf_dir):
+    """Run-length encoding of each user's event stream (gaps-and-
+    islands): lag-flag → running sum → per-run collapse, one user-key
+    shuffle end to end (see event_runs)."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return event_runs(ev).orderBy("user_id", "run_seq")
+
+
+def q196_sequence_gaps(spark, sf_dir):
+    """Missing ranges in a sparse id ledger (click event_ids stand in
+    for a gappy ingest sequence): anti-join boundary detection keeps
+    the full id set out of any single-partition sort — only gap
+    boundaries pass through the pairing window (see sequence_gaps)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    return sequence_gaps(ev, "event_id").orderBy("gap_start")
+
+
 def q176_grid_distance_join(spark, sf_dir):
     """Spatial radius self-join via grid bucketing: customers get
     md5-derived integer coordinates on a 10 000² grid; pairs within
@@ -4921,6 +4942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_phrase_search": q192_phrase_search,
         "q193_bigram_lm": q193_bigram_lm,
         "q194_linear_attribution": q194_linear_attribution,
+        "q195_event_runs": q195_event_runs,
+        "q196_sequence_gaps": q196_sequence_gaps,
     }
 
 

@@ -89,10 +89,12 @@ from db_factfinder_spark.llmdata.redact import (  # noqa: F401
 )
 from db_factfinder_spark.llmdata.urls import normalize_urls  # noqa: F401
 from db_factfinder_spark.llmdata.textstats import (  # noqa: F401
+    bigram_lm,
     bm25_search,
     bpe_merge_candidates,
     char_chunker_udtf,
     collocation_lift,
+    phrase_search,
     surprisal_score,
     tfidf_top_terms,
     token_diversity,

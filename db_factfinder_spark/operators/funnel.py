@@ -263,3 +263,49 @@ def linear_attribution(
             F.sum("credit").alias("credited_cents"),
         )
     )
+
+
+def event_runs(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Run-length encoding of each key's event sequence — the
+    gaps-and-islands compression behind "user clicked 5× then
+    purchased" behavioral summaries and repeated-state anomaly checks
+    (a 400-long run of 'error' is a stuck client).
+
+    Classic two-window form over ONE partitioning: a lag-inequality
+    flag marks run starts, its running sum numbers the runs, and a
+    groupBy on (key, run) collapses each island to state, length,
+    and [first, last] event times (epoch micros — exact integers).
+    Both windows and the final aggregate shuffle on the same user key
+    once; runs compress the stream so the output is bounded by
+    state-change count, not event count.
+
+    Output: ``<key_col>, run_seq, state, run_len, start_us, end_us``.
+    """
+    base = events.select(
+        F.col(key_col),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        F.col(tiebreak_col).alias("__tb"),
+        F.col(state_col).alias("state"),
+    )
+    w = Window.partitionBy(key_col).orderBy("__us", "__tb")
+    start_flag = F.when(
+        F.lag("state").over(w).eqNullSafe(F.col("state")),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = base.withColumn("__new", start_flag).withColumn(
+        "run_seq", F.sum("__new").over(wrun)
+    )
+    return runs.groupBy(key_col, "run_seq").agg(
+        # state is constant within a run; min() is the deterministic pick
+        F.min("state").alias("state"),
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("__us").alias("start_us"),
+        F.max("__us").alias("end_us"),
+    )

@@ -207,3 +207,52 @@ def vocabulary_drift_test(
     return chi_square_independence(
         restricted, "__dom", "__t", checkpoint_mode=checkpoint_mode
     )
+
+
+def sequence_gaps(df: DataFrame, id_col: str) -> DataFrame:
+    """Missing ranges in an integer id sequence — the completeness
+    audit for ingest pipelines ("which order ids never arrived?").
+
+    The textbook lead-window formulation sorts the ENTIRE id set in
+    one partition — a driver-killer at 100 TB.  This operator keeps
+    the heavy work embarrassingly parallel: a gap STARTS at id+1
+    wherever id exists but id+1 doesn't (hash anti-join), and ENDS at
+    id−1 wherever id exists but id−1 doesn't (second anti-join); the
+    k-th smallest start pairs with the k-th smallest end.  Only the
+    boundary rows — |gaps|, usually orders of magnitude smaller than
+    |ids| — pass through the single-partition pairing window, and the
+    min/max guards are one-row scalar broadcasts.
+
+    Output: ``gap_start, gap_end, missing`` (counts exact).
+    """
+    ids = df.select(F.col(id_col).cast("long").alias("i")).distinct()
+    bounds = ids.agg(
+        F.min("i").alias("lo"), F.max("i").alias("hi")
+    )
+    # starts: ids i where i+1 missing → gap starts at i+1 (unless i=hi)
+    starts = (
+        ids.join(ids.withColumnRenamed("i", "j"),
+                 F.col("i") + 1 == F.col("j"), "left_anti")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("i") < F.col("hi"))
+        .select((F.col("i") + 1).alias("gap_start"))
+    )
+    # ends: ids i where i-1 missing → previous gap ended at i-1
+    ends = (
+        ids.join(ids.withColumnRenamed("i", "j"),
+                 F.col("i") - 1 == F.col("j"), "left_anti")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("i") > F.col("lo"))
+        .select((F.col("i") - 1).alias("gap_end"))
+    )
+    from pyspark.sql import Window
+
+    ws = Window.orderBy("gap_start")
+    we = Window.orderBy("gap_end")
+    s = starts.withColumn("k", F.row_number().over(ws))
+    e = ends.withColumn("k", F.row_number().over(we))
+    return s.join(e, "k").select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).alias("missing"),
+    )

@@ -4778,3 +4778,39 @@ unioned AS (
 SELECT channel, count(*) AS n_credits, sum(credit) AS credited_cents
 FROM unioned GROUP BY 1 ORDER BY channel
 """
+
+
+# q195: per-user run-length encoding — the lead/lag islands SQL as the
+# independent check of Spark's flag-cumsum form; identical (us,
+# event_id) ordering, epoch-micro integers throughout.
+ORACLES["q195_event_runs"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+  FROM events),
+flagged AS (
+  SELECT user_id, us, event_id, event_type,
+    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+         THEN 1 ELSE 0 END AS nf
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+runs AS (
+  SELECT user_id, us, event_type,
+    sum(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS run_seq
+  FROM flagged)
+SELECT user_id, run_seq, min(event_type) AS state,
+       count(*) AS run_len, min(us) AS start_us, max(us) AS end_us
+FROM runs GROUP BY 1, 2 ORDER BY user_id, run_seq
+"""
+
+
+# q196: gaps in the click-id ledger — the single lead-window
+# formulation as the independent check of Spark's anti-join boundary
+# pairing.
+ORACLES["q196_sequence_gaps"] = """
+WITH ids AS (
+  SELECT DISTINCT event_id AS i FROM events WHERE event_type = 'click'),
+nxt AS (SELECT i, lead(i) OVER (ORDER BY i) AS nx FROM ids)
+SELECT i + 1 AS gap_start, nx - 1 AS gap_end, nx - i - 1 AS missing
+FROM nxt WHERE nx > i + 1 ORDER BY gap_start
+"""

@@ -271,3 +271,92 @@ def test_linear_attribution_split_and_direct(spark):
     assert out[2] == (1, 3334)
     assert out[-1] == (1, 700)
     assert 3 not in out  # post-purchase touch uncredited
+
+
+_runrow = st.tuples(
+    st.integers(min_value=0, max_value=1),  # user
+    st.integers(min_value=0, max_value=20), # ts seconds
+    st.sampled_from(["a", "b", "c"]),
+)
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_runrow, min_size=1, max_size=25))
+def test_event_runs_matches_bruteforce(spark, rows):
+    from db_factfinder_spark.operators.funnel import event_runs
+
+    data = [
+        (i, u, f"1970-01-01 00:00:{s:02d}", t)
+        for i, (u, s, t) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data, "event_id long, user_id long, s string, event_type string"
+    ).select(
+        "event_id", "user_id",
+        F.col("s").cast("timestamp").alias("ts"), "event_type",
+    )
+    got = {
+        (r["user_id"], r["run_seq"]):
+            (r["state"], r["run_len"], r["start_us"], r["end_us"])
+        for r in event_runs(ev).collect()
+    }
+    # brute force RLE per user over (ts, event_id) order
+    by_u = {}
+    for i, (u, s, t) in enumerate(rows):
+        by_u.setdefault(u, []).append((s * 1_000_000, i, t))
+    exp = {}
+    for u, evs in by_u.items():
+        evs.sort()
+        seq = 0
+        prev = object()
+        for us, _, t in evs:
+            if t != prev:
+                seq += 1
+                exp[(u, seq)] = [t, 0, us, us]
+                prev = t
+            exp[(u, seq)][1] += 1
+            exp[(u, seq)][3] = us
+    assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+def test_sequence_gaps_known(spark):
+    from db_factfinder_spark.operators.quality import sequence_gaps
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (5,), (6,), (9,), (9,)], "x long"
+    )
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["missing"])
+        for r in sequence_gaps(df, "x").collect()
+    )
+    assert got == [(3, 4, 2), (7, 8, 2)]
+    # dense sequence → no gaps
+    dense = spark.createDataFrame([(i,) for i in range(5)], "x long")
+    assert sequence_gaps(dense, "x").count() == 0
+    # single id → no gaps
+    one = spark.createDataFrame([(42,)], "x long")
+    assert sequence_gaps(one, "x").count() == 0
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ids=st.sets(st.integers(min_value=0, max_value=40), min_size=1))
+def test_sequence_gaps_matches_bruteforce(spark, ids):
+    from db_factfinder_spark.operators.quality import sequence_gaps
+
+    df = spark.createDataFrame([(i,) for i in ids], "x long")
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["missing"])
+        for r in sequence_gaps(df, "x").collect()
+    )
+    s = sorted(ids)
+    exp = [
+        (a + 1, b - 1, b - a - 1)
+        for a, b in zip(s, s[1:]) if b > a + 1
+    ]
+    assert got == exp
