@@ -66,6 +66,10 @@ HEADLINE = [
     "q178_admission_with_state",  # state-reuse incremental ingest gate
     "q179_unigram_surprisal",   # corpus-vocab keyed join + doc re-agg
     "q183_mad_outliers",        # two-pass integer median composition
+    "q189_gini_concentration",  # rank window + decimal sufficient stats
+    "q193_bigram_lm",           # tail-zip bigrams + window c_prev
+    "q194_linear_attribution",  # union-window assign + remainder split
+    "q195_event_runs",          # gaps-and-islands RLE, one key shuffle
     # q155_semantic_dedup is deliberately NOT a headline entry: its
     # in-cluster pair scan is n²/k by design and the oracle pins k=4
     # (SemDeDup grows k with the corpus); at fixed k it measures the

@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 
 from db_factfinder_spark.operators.merge import merge_upsert
 
-__all__ = ["UpsertSink", "read_table", "committed_batches"]
+__all__ = ["UpsertSink", "read_table", "committed_batches", "vacuum"]
 
 
 def _commit_dir(table_dir: str) -> str:
@@ -132,3 +132,38 @@ class UpsertSink:
         with open(tmp, "w") as f:
             f.write(str(nxt))
         os.replace(tmp, marker)  # atomic commit point
+
+
+def vacuum(table_dir: str, keep_last: int = 1) -> list[str]:
+    """Garbage-collect old snapshot versions, keeping the newest
+    ``keep_last`` committed ones — the copy-on-write table's disk
+    reclamation pass (Delta's VACUUM).
+
+    Commit markers are NEVER removed: they are the replay-idempotency
+    ledger (a few bytes per batch) and deleting them would let a
+    crash-replayed batch re-apply.  Returns the removed snapshot
+    paths.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    cd = _commit_dir(table_dir)
+    committed = []
+    if os.path.isdir(cd):
+        for marker in os.listdir(cd):
+            if not marker.isdigit():
+                continue
+            with open(os.path.join(cd, marker)) as f:
+                committed.append(int(f.read().strip()))
+    keep = set(sorted(committed)[-keep_last:])
+    removed = []
+    for entry in os.listdir(table_dir):
+        if not (entry.startswith("v") and entry[1:].isdigit()):
+            continue
+        if int(entry[1:]) in keep:
+            continue
+        path = os.path.join(table_dir, entry)
+        shutil.rmtree(path)
+        removed.append(path)
+    return sorted(removed)

@@ -147,3 +147,34 @@ def test_upsert_sink_drives_real_stream(spark, tmp_path):
     }
     assert got == {(1, "a2"), (2, "b"), (3, "c")}
     assert len(committed_batches(table)) >= 1
+
+
+def test_vacuum_keeps_latest_and_ledger(spark, tmp_path):
+    from db_factfinder_spark.streaming.sink import vacuum
+
+    table = str(tmp_path / "tbl4")
+    sink = UpsertSink(table, keys=["id"], order_by=["ver", "id"])
+    for b in range(3):
+        sink(
+            spark.createDataFrame(
+                [(1, b, f"v{b}")], "id long, ver long, val string"
+            ),
+            b,
+        )
+    removed = vacuum(table, keep_last=1)
+    assert [os.path.basename(p) for p in removed] == [
+        "v00000001", "v00000002",
+    ]
+    # current version still readable, ledger intact → replay still no-op
+    assert read_table(spark, table).first()["val"] == "v2"
+    assert committed_batches(table) == {0, 1, 2}
+    sink(
+        spark.createDataFrame([(1, 0, "v0")], "id long, ver long, val string"),
+        0,
+    )
+    assert read_table(spark, table).first()["val"] == "v2"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_last"):
+        vacuum(table, keep_last=0)

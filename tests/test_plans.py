@@ -385,6 +385,13 @@ def test_partition_invariance_of_order_sensitive_queries(spark):
         "q147_priority_sample",
         "q155_semantic_dedup",
         "q156_bpe_merges",
+        # round-5 order-sensitive internals: rank-weighted Gini sums,
+        # largest-remainder attribution (row_number ordered split),
+        # RLE run numbering, gap boundary pairing windows
+        "q189_gini_concentration",
+        "q194_linear_attribution",
+        "q195_event_runs",
+        "q196_sequence_gaps",
     ]
     before = {}
     for name in targets:
