@@ -92,3 +92,61 @@ def test_scale_ladder_linear_and_shuffle_stable(spark, tmp_path):
             f"{name}: 6x corpus took {t[6]:.1f}s vs 1x {t[1]:.1f}s "
             f"(bound {bound:.1f}s) — superlinear growth"
         )
+
+
+def _write_scaled_events(spark, k: int, out_dir: str) -> None:
+    """k replicas with disjoint user/event id spaces: every per-user
+    window/join workload becomes k independent copies of the base."""
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    parts = []
+    for i in range(k):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(i * 1_000_000_000)).alias(
+                    "event_id"
+                ),
+                "ts",
+                (F.col("user_id") + F.lit(i * 1_000_000_000)).alias(
+                    "user_id"
+                ),
+                "event_type", "value", "props",
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+
+EVENT_LADDER = ["q194_linear_attribution", "q195_event_runs"]
+
+
+@pytest.mark.slow
+def test_event_ladder_linear_and_shuffle_stable(spark, tmp_path):
+    """Same ladder discipline for the keyed event-stream operators:
+    the union-window attribution and RLE must scale with rows (their
+    shuffles key on the user), never with users² or events²."""
+    scales = (1, 6)
+    dirs = {}
+    for k in scales:
+        d = str(tmp_path / f"ev{k}")
+        _write_scaled_events(spark, k, d)
+        dirs[k] = d
+
+    for name in EVENT_LADDER:
+        t, ex = {}, {}
+        for k in scales:
+            df = QUERIES[name](spark, dirs[k])
+            ex[k] = _exchanges(spark, df)
+            t0 = time.perf_counter()
+            _force(df)
+            t[k] = time.perf_counter() - t0
+        assert ex[6] == ex[1], (
+            f"{name}: plan not shuffle-stable across scale "
+            f"({ex[1]} vs {ex[6]} exchanges)"
+        )
+        bound = 6 * 2.5 * t[1] + 3.0
+        assert t[6] <= bound, (
+            f"{name}: 6x events took {t[6]:.1f}s vs 1x {t[1]:.1f}s "
+            f"(bound {bound:.1f}s) — superlinear growth"
+        )
