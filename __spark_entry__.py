@@ -4296,6 +4296,50 @@ def q196_sequence_gaps(spark, sf_dir):
     return sequence_gaps(ev, "event_id").orderBy("gap_start")
 
 
+def q197_streaming_upsert(spark, sf_dir):
+    """Per-user latest event maintained through the exactly-once
+    versioned upsert sink (streaming/sink.py), driven as a REAL
+    Structured Streaming job split into ≥2 micro-batches
+    (maxFilesPerTrigger=1 over a parity-split source).  The final
+    committed snapshot must equal the batch last-writer-wins window
+    regardless of how the stream batches — the oracle runs exactly
+    that window.  Marker-last commits mean a replayed batch would
+    change nothing (pinned by test_maintenance)."""
+    import tempfile
+
+    from db_factfinder_spark.streaming.sink import UpsertSink, read_table
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    tmp = tempfile.mkdtemp(prefix="q197_")
+    src = os.path.join(tmp, "src")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        src + "/p=0"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        src + "/p=1"
+    )
+    table = os.path.join(tmp, "tbl")
+    sink = UpsertSink(table, keys=["user_id"], order_by=["us", "event_id"])
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/p=*")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return read_table(spark, table).select(
+        "user_id", "us", "event_id", "event_type"
+    ).orderBy("user_id")
+
+
 def q176_grid_distance_join(spark, sf_dir):
     """Spatial radius self-join via grid bucketing: customers get
     md5-derived integer coordinates on a 10 000² grid; pairs within
@@ -4944,6 +4988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q194_linear_attribution": q194_linear_attribution,
         "q195_event_runs": q195_event_runs,
         "q196_sequence_gaps": q196_sequence_gaps,
+        "q197_streaming_upsert": q197_streaming_upsert,
     }
 
 

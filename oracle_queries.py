@@ -4814,3 +4814,15 @@ nxt AS (SELECT i, lead(i) OVER (ORDER BY i) AS nx FROM ids)
 SELECT i + 1 AS gap_start, nx - 1 AS gap_end, nx - i - 1 AS missing
 FROM nxt WHERE nx > i + 1 ORDER BY gap_start
 """
+
+
+# q197: the streaming upsert sink's converged table — last-writer-wins
+# per user by (epoch_us, event_id), batch-split-invariant, so the
+# batch QUALIFY window is the exact oracle for the streamed protocol.
+ORACLES["q197_streaming_upsert"] = """
+SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+ORDER BY user_id
+"""
