@@ -236,15 +236,21 @@ def linear_attribution(
     )
     per_conv = Window.partitionBy("conv_id")
     order = Window.partitionBy("conv_id").orderBy("us", "eid")
+    # both engines truncate integer division toward zero, so the
+    # remainder carries the dividend's sign; the first |rem| touches
+    # absorb one signed extra cent each — conservation holds for
+    # refunds (negative value) too, not just purchases
+    rem = F.col("cents") % F.col("n")
+    extra = F.when(
+        F.col("rn") <= F.abs(rem),
+        F.when(rem > 0, F.lit(1)).when(rem < 0, F.lit(-1)).otherwise(0),
+    ).otherwise(F.lit(0))
     credits = (
         assigned.withColumn("n", F.count(F.lit(1)).over(per_conv))
         .withColumn("rn", F.row_number().over(order))
         .select(
             "channel",
-            (
-                F.expr("cents div n")
-                + (F.col("rn") <= F.col("cents") % F.col("n")).cast("long")
-            ).alias("credit"),
+            (F.expr("cents div n") + extra.cast("long")).alias("credit"),
         )
     )
     direct = (

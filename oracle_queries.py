@@ -4762,7 +4762,11 @@ assigned AS (
     PARTITION BY t.eid ORDER BY c.us, c.eid) = 1),
 credits AS (
   SELECT channel,
-         cents // n + CASE WHEN rn <= cents % n THEN 1 ELSE 0 END
+         cents // n
+           + CASE WHEN rn <= abs(cents % n)
+                  THEN CASE WHEN cents % n > 0 THEN 1
+                            WHEN cents % n < 0 THEN -1 ELSE 0 END
+                  ELSE 0 END
            AS credit
   FROM (
     SELECT channel, cents,
