@@ -225,7 +225,11 @@ def sequence_gaps(df: DataFrame, id_col: str) -> DataFrame:
 
     Output: ``gap_start, gap_end, missing`` (counts exact).
     """
-    ids = df.select(F.col(id_col).cast("long").alias("i")).distinct()
+    ids = (
+        df.select(F.col(id_col).cast("long").alias("i"))
+        .filter(F.col("i").isNotNull())  # NULL ids are absent, not gaps
+        .distinct()
+    )
     bounds = ids.agg(
         F.min("i").alias("lo"), F.max("i").alias("hi")
     )

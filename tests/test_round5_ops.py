@@ -362,3 +362,16 @@ def test_sequence_gaps_matches_bruteforce(spark, ids):
         for a, b in zip(s, s[1:]) if b > a + 1
     ]
     assert got == exp
+
+
+def test_sequence_gaps_ignores_nulls(spark):
+    from db_factfinder_spark.operators.quality import sequence_gaps
+
+    df = spark.createDataFrame(
+        [(1,), (None,), (4,), (None,)], "x long"
+    )
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["missing"])
+        for r in sequence_gaps(df, "x").collect()
+    )
+    assert got == [(2, 3, 2)]
