@@ -67,13 +67,32 @@ def committed_batches(table_dir: str) -> set[int]:
     return {int(m) for m in os.listdir(cd) if m.isdigit()}
 
 
-def read_table(spark: SparkSession, table_dir: str) -> DataFrame | None:
-    """Latest committed snapshot, or None before the first commit.
-    Never reads an un-marked (torn) snapshot."""
-    v = _latest_version(table_dir)
-    if v is None:
-        return None
-    return spark.read.parquet(os.path.join(table_dir, f"v{v:08d}"))
+def read_table(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame | None:
+    """Latest committed snapshot (or, with ``version``, the time-travel
+    read of that committed version), or None before the first commit.
+    Never reads an un-marked (torn) snapshot; a requested version that
+    was never committed — or was vacuumed — raises rather than
+    silently serving a torn or missing directory."""
+    if version is None:
+        version = _latest_version(table_dir)
+        if version is None:
+            return None
+    else:
+        committed = set()
+        cd = _commit_dir(table_dir)
+        if os.path.isdir(cd):
+            for marker in os.listdir(cd):
+                if marker.isdigit():
+                    with open(os.path.join(cd, marker)) as f:
+                        committed.add(int(f.read().strip()))
+        if version not in committed:
+            raise ValueError(f"version {version} was never committed")
+    path = os.path.join(table_dir, f"v{version:08d}")
+    if not os.path.isdir(path):
+        raise ValueError(f"version {version} has been vacuumed")
+    return spark.read.parquet(path)
 
 
 class UpsertSink:

@@ -178,3 +178,26 @@ def test_vacuum_keeps_latest_and_ledger(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="keep_last"):
         vacuum(table, keep_last=0)
+
+
+def test_read_table_time_travel(spark, tmp_path):
+    from db_factfinder_spark.streaming.sink import vacuum
+
+    table = str(tmp_path / "tbl5")
+    sink = UpsertSink(table, keys=["id"], order_by=["ver", "id"])
+    for b in range(3):
+        sink(
+            spark.createDataFrame(
+                [(1, b, f"s{b}")], "id long, ver long, val string"
+            ),
+            b,
+        )
+    assert read_table(spark, table, version=1).first()["val"] == "s0"
+    assert read_table(spark, table, version=3).first()["val"] == "s2"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="never committed"):
+        read_table(spark, table, version=9)
+    vacuum(table, keep_last=1)
+    with _pytest.raises(ValueError, match="vacuumed"):
+        read_table(spark, table, version=1)
