@@ -22,7 +22,16 @@ import __spark_entry__ as entry_mod
 
 SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.1")
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-NAMES = ["q111_prefix_filter_pairs", "q130_span_removal"]
+NAMES = [
+    "q111_prefix_filter_pairs",
+    "q130_span_removal",
+    # round-5 additions: the rank-window + decimal-sum Gini and the
+    # union-window + remainder-split attribution — their per-group
+    # sorts and window buffers are exactly what a starved executor
+    # spills first
+    "q189_gini_concentration",
+    "q194_linear_attribution",
+]
 
 _CHILD = r"""
 import json, sys
