@@ -47,15 +47,24 @@ def equi_join_cardinality(
     exchange), an inner join of the two count tables (key cardinality,
     not row cardinality — usually broadcastable), and a scalar agg.
     """
-    lc = left.groupBy(F.col(left_key).alias("k")).agg(
-        F.count(F.lit(1)).alias("lc")
-    )
-    rc = right.groupBy(F.col(right_key).alias("k")).agg(
-        F.count(F.lit(1)).alias("rc")
-    )
-    prod = lc.join(rc, "k").select(
-        (F.col("lc") * F.col("rc")).alias("p")
-    )
+    if left is right and left_key == right_key:
+        # self-join forecast: one histogram serves both sides — the
+        # per-key product is just c², no second scan, no count join
+        prod = (
+            left.groupBy(F.col(left_key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("lc"))
+            .select((F.col("lc") * F.col("lc")).alias("p"))
+        )
+    else:
+        lc = left.groupBy(F.col(left_key).alias("k")).agg(
+            F.count(F.lit(1)).alias("lc")
+        )
+        rc = right.groupBy(F.col(right_key).alias("k")).agg(
+            F.count(F.lit(1)).alias("rc")
+        )
+        prod = lc.join(rc, "k").select(
+            (F.col("lc") * F.col("rc")).alias("p")
+        )
     return prod.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("p").alias("est_rows"),

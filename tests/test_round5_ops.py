@@ -375,3 +375,17 @@ def test_sequence_gaps_ignores_nulls(spark):
         for r in sequence_gaps(df, "x").collect()
     )
     assert got == [(2, 3, 2)]
+
+
+def test_join_cardinality_self_fast_path(spark):
+    """`left is right` takes the single-histogram path: same answer,
+    one scan, no count-table join."""
+    df = spark.createDataFrame([(k,) for k in [1, 1, 1, 2, 5]], "k long")
+    got = equi_join_cardinality(df, df, "k", "k").first()
+    assert (got["n_keys"], got["est_rows"], got["max_key_product"]) == (
+        3, 9 + 1 + 1, 9,
+    )
+    plan = equi_join_cardinality(
+        df, df, "k", "k"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
