@@ -134,6 +134,7 @@ from db_factfinder_spark.functions.geoid import (
     format_geotype_2010,
 )
 from db_factfinder_spark.operators.asof import asof_join
+from db_factfinder_spark.operators.bootstrap import poisson_bootstrap_ci
 from db_factfinder_spark.operators.cardinality import equi_join_cardinality
 from db_factfinder_spark.operators.concentration import gini_concentration
 from db_factfinder_spark.operators.zonemap import zone_map_stats
@@ -4340,6 +4341,23 @@ def q197_streaming_upsert(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def q198_bootstrap_ci(spark, sf_dir):
+    """Per-priority mean order value with a deterministic Poisson-
+    bootstrap interval: 32 resamples as 64 integer aggregates in ONE
+    groupBy (no resampling passes, no explode), md5-derived weights,
+    literal Poisson CDF, order-statistic interval (see
+    poisson_bootstrap_ci)."""
+    orders = _t(spark, sf_dir, "orders")
+    return poisson_bootstrap_ci(
+        orders,
+        ["o_orderpriority"],
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)),
+        F.col("o_orderkey"),
+        b=32,
+        trim=1,
+    ).orderBy("o_orderpriority")
+
+
 def q176_grid_distance_join(spark, sf_dir):
     """Spatial radius self-join via grid bucketing: customers get
     md5-derived integer coordinates on a 10 000² grid; pairs within
@@ -4989,6 +5007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_event_runs": q195_event_runs,
         "q196_sequence_gaps": q196_sequence_gaps,
         "q197_streaming_upsert": q197_streaming_upsert,
+        "q198_bootstrap_ci": q198_bootstrap_ci,
     }
 
 

@@ -1,0 +1,119 @@
+"""Deterministic Poisson bootstrap — distributed confidence intervals
+without resampling passes.
+
+The classic bootstrap draws B resamples WITH replacement — impossible
+to do literally at 100 TB (each resample is a full-data shuffle).  The
+Poisson bootstrap replaces per-resample draws with an independent
+Poisson(1) weight per (row, resample): one scan computes all B
+weighted statistics simultaneously, and the weights need no
+coordination across rows or partitions.  This implementation makes the
+randomness DETERMINISTIC — weights derive from md5(row_id | b), the
+same device as the engine's sampling operators — so results are
+reproducible on any cluster layout and a SQL oracle can re-derive them
+bit-for-bit.
+
+Poisson(1) sampling uses the inverse-CDF over the md5-uniform with the
+cumulative probabilities frozen as literal doubles (the Benford rule:
+never recompute transcendental constants with a runtime libm; a
+platform that rounds e⁻¹ differently would silently fork the weights).
+Weights cap at 5 (P(X≥6) < 6e-5; the tail mass folds into 5 — a
+documented, shared truncation, not a hidden one).
+
+Per resample the statistic is a ratio of two exact integer sums
+(Σ w·x / Σ w), so the only floating arithmetic is B divisions and the
+final order statistics over B values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["POISSON1_CDF", "poisson_weight", "poisson_bootstrap_ci"]
+
+# Cumulative P(Poisson(1) <= k), k = 0..4, frozen as literals.
+POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+]
+
+
+def poisson_weight(row_key: Column, b: int) -> Column:
+    """Deterministic Poisson(1) draw for (row, resample b): md5 of
+    ``row_key || '|' || b`` → first 7 hex digits (the engine's
+    standard 28-bit md5-uniform idiom, `llmdata/sampling.py:19`) →
+    uniform in [0,1) → inverse CDF.  A 28-bit integer over 2²⁸ is an
+    EXACT double, so the uniform — and every comparison against the
+    literal thresholds — is bit-identical in any engine."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", row_key, F.lit(str(b)))), 1, 7),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**7))
+    )
+    w = F.lit(5)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w.cast("long")
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_cols: list[str],
+    value_cents: Column,
+    row_key: Column,
+    b: int = 32,
+    trim: int = 1,
+) -> DataFrame:
+    """Per-group mean (of an integer-cents value) with a bootstrap
+    interval from ``b`` deterministic Poisson resamples.
+
+    ONE groupBy computes 2·b integer aggregates (Σ w_i·x and Σ w_i per
+    resample — plain columns, no explode, no b× row blow-up); each
+    resample mean is one division; the interval is the (trim+1)-th
+    smallest / largest resample mean (literal order statistics — no
+    quantile interpolation to disagree over).  An all-zero-weight
+    resample (possible for tiny groups) yields a NULL mean that the
+    order statistics skip via ``array_compact``.
+
+    Output: ``<group_cols>, n, mean, ci_lo, ci_hi``.
+    """
+    if not (0 <= 2 * trim < b):
+        raise ValueError("need 0 <= 2*trim < b")
+    x = value_cents.cast("long")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+    ]
+    for i in range(b):
+        w = poisson_weight(row_key, i)
+        aggs.append(F.sum(w * x).alias(f"_wx{i}"))
+        aggs.append(F.sum(w).alias(f"_w{i}"))
+    agg = df.groupBy(*group_cols).agg(*aggs)
+    means = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    F.col(f"_w{i}") > 0,
+                    F.col(f"_wx{i}").cast("double")
+                    / F.col(f"_w{i}").cast("double"),
+                )
+                for i in range(b)
+            ]
+        )
+    )
+    s = F.array_sort(means)
+    return agg.select(
+        *group_cols,
+        "n",
+        (F.col("_sx").cast("double") / F.col("n").cast("double")).alias(
+            "mean"
+        ),
+        F.element_at(s, trim + 1).alias("ci_lo"),
+        F.element_at(s, -(trim + 1)).alias("ci_hi"),
+    )

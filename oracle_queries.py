@@ -4830,3 +4830,53 @@ QUALIFY row_number() OVER (
   PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
 ORDER BY user_id
 """
+
+
+# q198: deterministic Poisson bootstrap — weights re-derived from the
+# same 28-bit md5-uniform and the same literal Poisson(1) CDF the
+# operator freezes; 32 resamples as 64 integer aggregates, interval by
+# list order statistics (no quantile interpolation).
+def _q198_sql(b: int = 32, trim: int = 1) -> str:
+    from db_factfinder_spark.operators.bootstrap import POISSON1_CDF
+
+    def w(i: int) -> str:
+        u = (
+            "(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||"
+            f" '{i}'), 1, 7))::BIGINT / 268435456.0)"
+        )
+        cases = " ".join(
+            f"WHEN {u} < {POISSON1_CDF[k]!r} THEN {k}"
+            for k in range(len(POISSON1_CDF))
+        )
+        return f"(CASE {cases} ELSE 5 END)"
+
+    aggs = ", ".join(
+        f"sum({w(i)} * cents) AS wx{i}, sum({w(i)}) AS w{i}"
+        for i in range(b)
+    )
+    means = ", ".join(
+        f"CASE WHEN w{i} > 0 THEN CAST(wx{i} AS DOUBLE) / CAST(w{i} AS"
+        f" DOUBLE) END"
+        for i in range(b)
+    )
+    return f"""
+WITH x AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders),
+a AS (
+  SELECT o_orderpriority, count(*) AS n, sum(cents) AS sx, {aggs}
+  FROM x GROUP BY 1),
+m AS (
+  SELECT o_orderpriority, n, sx,
+         list_sort(list_filter([{means}], v -> v IS NOT NULL)) AS ms
+  FROM a)
+SELECT o_orderpriority, n,
+       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       ms[{trim + 1}] AS ci_lo, ms[-{trim + 1}] AS ci_hi
+FROM m ORDER BY o_orderpriority
+"""
+
+
+ORACLES["q198_bootstrap_ci"] = _q198_sql()

@@ -389,3 +389,60 @@ def test_join_cardinality_self_fast_path(spark):
         df, df, "k", "k"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_poisson_weight_distribution_and_determinism(spark):
+    from db_factfinder_spark.operators.bootstrap import poisson_weight
+
+    df = spark.range(0, 20_000)
+    w = df.select(
+        poisson_weight(F.col("id").cast("string"), 0).alias("w")
+    )
+    counts = {r["w"]: r["count"] for r in w.groupBy("w").count().collect()}
+    n = 20_000
+    # Poisson(1): P(0)=P(1)≈0.368, P(2)≈0.184 — wide tolerance, the
+    # md5-uniform just has to look Poisson-ish, not pass a GOF test
+    assert abs(counts[0] / n - 0.368) < 0.02
+    assert abs(counts[1] / n - 0.368) < 0.02
+    assert abs(counts[2] / n - 0.184) < 0.02
+    assert max(counts) <= 5
+    # deterministic: same draw twice, different draw per resample id
+    again = {
+        r["w"]: r["count"]
+        for r in df.select(
+            poisson_weight(F.col("id").cast("string"), 0).alias("w")
+        ).groupBy("w").count().collect()
+    }
+    assert again == counts
+    other = {
+        r["w"]: r["count"]
+        for r in df.select(
+            poisson_weight(F.col("id").cast("string"), 1).alias("w")
+        ).groupBy("w").count().collect()
+    }
+    assert other != counts  # same marginal, different assignment
+
+
+def test_poisson_bootstrap_ci_contains_mean(spark):
+    from db_factfinder_spark.operators.bootstrap import (
+        poisson_bootstrap_ci,
+    )
+
+    df = spark.createDataFrame(
+        [(0, i, 100 + (i * 37) % 50) for i in range(400)],
+        "g int, id long, cents long",
+    )
+    row = poisson_bootstrap_ci(
+        df, ["g"], F.col("cents"), F.col("id").cast("string"), b=32,
+        trim=1,
+    ).first()
+    assert row["n"] == 400
+    assert row["ci_lo"] <= row["mean"] <= row["ci_hi"]
+    # interval is tight for n=400, low-variance data
+    assert row["ci_hi"] - row["ci_lo"] < 10.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="2\\*trim"):
+        poisson_bootstrap_ci(
+            df, ["g"], F.col("cents"), F.col("id"), b=4, trim=2
+        )
