@@ -4347,7 +4347,12 @@ def q198_bootstrap_ci(spark, sf_dir):
     groupBy (no resampling passes, no explode), md5-derived weights,
     literal Poisson CDF, order-statistic interval (see
     poisson_bootstrap_ci)."""
-    orders = _t(spark, sf_dir, "orders")
+    # single-split workaround (see _docs): the per-row hash work is the
+    # dominant cost and must spread across cores, not sit on the lone
+    # input split of one small parquet file
+    orders = _t(spark, sf_dir, "orders").repartition(
+        _spread_partitions(sf_dir, "orders"), "o_orderkey"
+    )
     return poisson_bootstrap_ci(
         orders,
         ["o_orderpriority"],

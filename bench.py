@@ -70,6 +70,7 @@ HEADLINE = [
     "q193_bigram_lm",           # tail-zip bigrams + window c_prev
     "q194_linear_attribution",  # union-window assign + remainder split
     "q195_event_runs",          # gaps-and-islands RLE, one key shuffle
+    "q198_bootstrap_ci",        # 64 codegen aggregates, one groupBy
     # q155_semantic_dedup is deliberately NOT a headline entry: its
     # in-cluster pair scan is n²/k by design and the oracle pins k=4
     # (SemDeDup grows k with the corpus); at fixed k it measures the

@@ -4840,9 +4840,10 @@ def _q198_sql(b: int = 32, trim: int = 1) -> str:
     from db_factfinder_spark.operators.bootstrap import POISSON1_CDF
 
     def w(i: int) -> str:
+        grp, slot = divmod(i, 4)
         u = (
             "(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||"
-            f" '{i}'), 1, 7))::BIGINT / 268435456.0)"
+            f" '{grp}'), {1 + 7 * slot}, 7))::BIGINT / 268435456.0)"
         )
         cases = " ".join(
             f"WHEN {u} < {POISSON1_CDF[k]!r} THEN {k}"
