@@ -70,7 +70,12 @@ HEADLINE = [
     "q193_bigram_lm",           # tail-zip bigrams + window c_prev
     "q194_linear_attribution",  # union-window assign + remainder split
     "q195_event_runs",          # gaps-and-islands RLE, one key shuffle
-    "q198_bootstrap_ci",        # 64 codegen aggregates, one groupBy
+    # q198_bootstrap_ci is deliberately NOT a headline entry: its warm
+    # time is ~95% driver-side Catalyst/AQE assembly of the 64-wide
+    # aggregate tree (re-execution of the built plan runs in ~0.2 s,
+    # flat from sf0.01 to sf0.1) — a fixed cost that amortizes over a
+    # real scan and says nothing about data throughput at bench scale
+    # (measurements in operators/bootstrap.py's docstring rationale).
     # q155_semantic_dedup is deliberately NOT a headline entry: its
     # in-cluster pair scan is n²/k by design and the oracle pins k=4
     # (SemDeDup grows k with the corpus); at fixed k it measures the
