@@ -807,13 +807,16 @@ def phrase_search(
 
     Conjunctive search (``q120``-style membership) can't distinguish
     "hash join" from "join ... hash"; phrase queries need token
-    POSITIONS.  The IR-standard plan: posexplode the normalized token
-    stream into (doc, term, pos) postings, keep only the query
-    vocabulary's postings (the index blocks actually read — at scale
-    this is the per-term postings fetch, not a corpus scan), then
+    POSITIONS.  The plan: posexplode the normalized token stream into
+    (doc, term, pos) postings, prune to the query vocabulary, then
     chain-join term i+1's postings at pos+1.  A k-term phrase is k−1
     equi-joins on (doc, expected position) — no window over the full
-    token stream, no text rescans.
+    token stream, and the corpus text is read exactly ONCE (the
+    vocabulary filter sits directly above the scan).  A production
+    search deployment would persist the postings frame once and serve
+    every query from per-term fetches (the ``hll_partials`` persisted-
+    state pattern); this function is that query plan with the build
+    inlined.
 
     Output: ``<id_col>, n_hits`` (occurrence count per matching doc) —
     exact integers.
