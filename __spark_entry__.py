@@ -4363,6 +4363,34 @@ def q198_bootstrap_ci(spark, sf_dir):
     ).orderBy("o_orderpriority")
 
 
+def q199_phrase_index_reuse(spark, sf_dir):
+    """Two phrase queries served from ONE persisted positional
+    postings index: build_postings runs once (materialized — lineage
+    truncated), each query prunes to its own terms and chain-joins on
+    (doc, pos+i); the corpus text is never rescanned per query
+    (plan-audited: the final plan holds no parquet scan of documents).
+    The q178 persisted-state pattern applied to search."""
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+    from db_factfinder_spark.llmdata.textstats import (
+        build_postings,
+        phrase_search_postings,
+    )
+
+    docs = _docs(spark, sf_dir)
+    idx = materialize(build_postings(docs), "local")
+    a = phrase_search_postings(idx, ["hash", "join"]).withColumn(
+        "phrase", F.lit("hash join")
+    )
+    b = phrase_search_postings(idx, ["table", "scan"]).withColumn(
+        "phrase", F.lit("table scan")
+    )
+    return (
+        a.unionByName(b)
+        .select("phrase", "doc_id", "n_hits")
+        .orderBy("phrase", "doc_id")
+    )
+
+
 def q176_grid_distance_join(spark, sf_dir):
     """Spatial radius self-join via grid bucketing: customers get
     md5-derived integer coordinates on a 10 000² grid; pairs within
@@ -5013,6 +5041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q196_sequence_gaps": q196_sequence_gaps,
         "q197_streaming_upsert": q197_streaming_upsert,
         "q198_bootstrap_ci": q198_bootstrap_ci,
+        "q199_phrase_index_reuse": q199_phrase_index_reuse,
     }
 
 

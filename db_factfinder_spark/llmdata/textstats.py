@@ -813,27 +813,53 @@ def phrase_search(
     equi-joins on (doc, expected position) — no window over the full
     token stream, and the corpus text is read exactly ONCE (the
     vocabulary filter sits directly above the scan).  A production
-    search deployment would persist the postings frame once and serve
-    every query from per-term fetches (the ``hll_partials`` persisted-
-    state pattern); this function is that query plan with the build
-    inlined.
+    search deployment persists the postings frame once
+    (``build_postings``) and serves every query from per-term fetches
+    (``phrase_search_postings``); this convenience wrapper is that
+    query plan with the build inlined.
 
     Output: ``<id_col>, n_hits`` (occurrence count per matching doc) —
     exact integers.
     """
-    if len(phrase) < 2:
-        raise ValueError("phrase needs >= 2 tokens")
-    base = docs.filter(F.col(text_col).isNotNull()).select(
+    postings = build_postings(docs, text_col, id_col)
+    return phrase_search_postings(postings, phrase, id_col=id_col)
+
+
+def build_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional postings ``(t, <id_col>, pos)`` over the normalized
+    token stream — the persisted inverted index phrase/proximity
+    queries fetch from.  Build it ONCE per corpus snapshot (write
+    bucketed by ``t`` for shuffle-free term fetches); every query
+    after that touches only its own terms' postings, never corpus
+    text — the ``hll_partials``/``build_corpus_state`` persisted-state
+    pattern applied to search."""
+    return docs.filter(F.col(text_col).isNotNull()).select(
         id_col,
         F.posexplode(tokens(normalize_text(text_col))).alias("pos", "t"),
     )
-    postings = base.filter(F.col("t").isin(*phrase))
+
+
+def phrase_search_postings(
+    postings: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase match over a prebuilt postings frame: prune to the
+    query vocabulary, then k−1 equi-joins on (doc, pos+i).  Output:
+    ``<id_col>, n_hits`` (overlapping occurrences each count)."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs >= 2 tokens")
+    pruned = postings.filter(F.col("t").isin(*phrase))
     cur = (
-        postings.filter(F.col("t") == phrase[0])
+        pruned.filter(F.col("t") == phrase[0])
         .select(id_col, F.col("pos").alias("p0"))
     )
     for i, term in enumerate(phrase[1:], start=1):
-        nxt = postings.filter(F.col("t") == term).select(
+        nxt = pruned.filter(F.col("t") == term).select(
             id_col, (F.col("pos") - F.lit(i)).alias("p0")
         )
         cur = cur.join(nxt, [id_col, "p0"])

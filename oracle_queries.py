@@ -4881,3 +4881,29 @@ FROM m ORDER BY o_orderpriority
 
 
 ORACLES["q198_bootstrap_ci"] = _q198_sql()
+
+
+# q199: two phrase queries over one postings index — each phrase's
+# block is the q192 positional-join shape; the reuse being audited is
+# a plan property, so the oracle just answers both phrases.
+ORACLES["q199_phrase_index_reuse"] = f"""
+WITH d AS (
+  SELECT doc_id, {_NORMTOKS} AS ts
+  FROM documents WHERE text IS NOT NULL),
+toks AS (
+  SELECT doc_id, unnest(ts) AS tok,
+         unnest(range(1, len(ts) + 1)) AS idx
+  FROM d),
+hj AS (
+  SELECT 'hash join' AS phrase, a.doc_id, count(*) AS n_hits
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+  WHERE a.tok = 'hash' AND b.tok = 'join' GROUP BY 2),
+ts_ AS (
+  SELECT 'table scan' AS phrase, a.doc_id, count(*) AS n_hits
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+  WHERE a.tok = 'table' AND b.tok = 'scan' GROUP BY 2)
+SELECT * FROM hj UNION ALL SELECT * FROM ts_
+ORDER BY phrase, doc_id
+"""

@@ -613,3 +613,13 @@ def test_q179_surprisal_vocab_join_is_keyed(spark):
     ex_nlj = plan.count("BroadcastNestedLoopJoin")
     # exactly the one-row total broadcast(s), nothing data-sized
     assert ex_nlj <= 2
+
+
+def test_q199_queries_never_rescan_corpus_text(spark):
+    """The postings index is materialized once; the two phrase
+    queries' final plan must contain NO parquet scan of the documents
+    table — every term fetch reads the truncated-lineage index."""
+    plan = _plan(spark, "q199_phrase_index_reuse")
+    tree = plan.split("\n\n")[0]
+    assert "Scan parquet" not in tree, tree
+    assert "Scan ExistingRDD" in tree, tree
