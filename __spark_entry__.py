@@ -4391,6 +4391,23 @@ def q199_phrase_index_reuse(spark, sf_dir):
     )
 
 
+def q200_proximity_search(spark, sf_dir):
+    """NEAR/3 proximity query ("spark" within 3 tokens of "join"):
+    position-band bucketing turns the |pa−pb| ≤ k inequality join into
+    a 3-neighbor equi-join on (doc, bucket) with candidate-only verify
+    — the 1-D analogue of q176's spatial grid join (see
+    proximity_search)."""
+    from db_factfinder_spark.llmdata.textstats import (
+        build_postings,
+        proximity_search,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return proximity_search(
+        build_postings(docs), "spark", "join", k=3
+    ).orderBy("doc_id")
+
+
 def q176_grid_distance_join(spark, sf_dir):
     """Spatial radius self-join via grid bucketing: customers get
     md5-derived integer coordinates on a 10 000² grid; pairs within
@@ -5042,6 +5059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q197_streaming_upsert": q197_streaming_upsert,
         "q198_bootstrap_ci": q198_bootstrap_ci,
         "q199_phrase_index_reuse": q199_phrase_index_reuse,
+        "q200_proximity_search": q200_proximity_search,
     }
 
 

@@ -929,3 +929,53 @@ def bigram_lm(
             ).alias("p_smoothed"),
         )
     )
+
+
+def proximity_search(
+    postings: DataFrame,
+    term_a: str,
+    term_b: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NEAR/k proximity query over a postings frame: per document, the
+    number of (occurrence_a, occurrence_b) pairs within ``k`` token
+    positions of each other, either order — the relevance signal
+    between exact-phrase (q192/q199) and bag-of-words (q120/q149).
+
+    The naive form is an inequality join over positions (|pa−pb| ≤ k)
+    — a per-document cross product on frequent terms.  This plan
+    band-buckets positions instead (bucket = pos div k): any
+    qualifying pair sits in the same or an adjacent bucket, so the
+    candidate join is an EQUI-join on (doc, bucket) with the smaller
+    term's postings exploded to its 3 neighbor buckets (the spatial
+    grid-join technique, `operators/spatial.py`, applied to the 1-D
+    position axis); the |pa−pb| ≤ k verify runs on candidates only.
+    All-integer arithmetic.
+
+    Output: ``<id_col>, n_pairs``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if term_a == term_b:
+        raise ValueError("proximity terms must differ")
+    pa = postings.filter(F.col("t") == term_a).select(
+        id_col, F.col("pos").alias("pa"),
+        F.explode(
+            F.array(
+                (F.col("pos") / k).cast("long") - 1,
+                (F.col("pos") / k).cast("long"),
+                (F.col("pos") / k).cast("long") + 1,
+            )
+        ).alias("bk"),
+    )
+    pb = postings.filter(F.col("t") == term_b).select(
+        id_col, F.col("pos").alias("pb"),
+        (F.col("pos") / k).cast("long").alias("bk"),
+    )
+    return (
+        pa.join(pb, [id_col, "bk"])
+        .filter(F.abs(F.col("pa") - F.col("pb")) <= k)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

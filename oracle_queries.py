@@ -4907,3 +4907,21 @@ ts_ AS (
 SELECT * FROM hj UNION ALL SELECT * FROM ts_
 ORDER BY phrase, doc_id
 """
+
+
+# q200: NEAR/3 proximity — the quadratic position inequality join as
+# the independent check of Spark's position-band bucketed equi-join.
+ORACLES["q200_proximity_search"] = f"""
+WITH d AS (
+  SELECT doc_id, {_NORMTOKS} AS ts
+  FROM documents WHERE text IS NOT NULL),
+toks AS (
+  SELECT doc_id, unnest(ts) AS tok,
+         unnest(range(1, len(ts) + 1)) AS idx
+  FROM d)
+SELECT a.doc_id, count(*) AS n_pairs
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND abs(a.idx - b.idx) <= 3
+WHERE a.tok = 'spark' AND b.tok = 'join'
+GROUP BY 1 ORDER BY a.doc_id
+"""

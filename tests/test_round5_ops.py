@@ -446,3 +446,51 @@ def test_poisson_bootstrap_ci_contains_mean(spark):
         poisson_bootstrap_ci(
             df, ["g"], F.col("cents"), F.col("id"), b=4, trim=2
         )
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    toks=st.lists(
+        st.sampled_from(["x", "y", "z"]), min_size=1, max_size=30
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+def test_proximity_search_matches_bruteforce(spark, toks, k):
+    from db_factfinder_spark.llmdata.textstats import (
+        build_postings,
+        proximity_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_pairs"]
+        for r in proximity_search(
+            build_postings(docs), "x", "y", k=k
+        ).collect()
+    }
+    exp = sum(
+        1
+        for i, a in enumerate(toks)
+        for j, b in enumerate(toks)
+        if a == "x" and b == "y" and abs(i - j) <= k
+    )
+    assert got.get(1, 0) == exp
+
+
+def test_proximity_search_rejects_bad_args(spark):
+    from db_factfinder_spark.llmdata.textstats import (
+        build_postings,
+        proximity_search,
+    )
+
+    docs = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    p = build_postings(docs)
+    with pytest.raises(ValueError, match="terms must differ"):
+        proximity_search(p, "x", "x", k=2)
+    with pytest.raises(ValueError, match="k must be"):
+        proximity_search(p, "x", "y", k=0)
