@@ -92,9 +92,12 @@ from db_factfinder_spark.llmdata.textstats import (  # noqa: F401
     bigram_lm,
     bm25_search,
     bpe_merge_candidates,
+    build_postings,
     char_chunker_udtf,
     collocation_lift,
     phrase_search,
+    phrase_search_postings,
+    proximity_search,
     surprisal_score,
     tfidf_top_terms,
     token_diversity,
