@@ -4408,6 +4408,49 @@ def q200_proximity_search(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q201_snapshot_diff(spark, sf_dir):
+    """Time-travel + semantic diff over the versioned upsert sink: two
+    batch upserts (events split at the integer midpoint of their epoch
+    range) produce snapshots v1 and v2; ``table_diff`` of the
+    time-travel reads reports which users' latest event changed or
+    appeared between versions.  The maintenance surface (sink
+    versioning, q197) composed with the diff operator (q82) under one
+    oracle."""
+    import tempfile
+
+    from db_factfinder_spark.operators.diff import table_diff
+    from db_factfinder_spark.streaming.sink import UpsertSink, read_table
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    bounds = ev.agg(
+        F.min("us").alias("lo"), F.max("us").alias("hi")
+    )
+    # integer div, NOT /2-then-cast: Spark's double→long cast truncates
+    # while DuckDB's rounds — div is the portable midpoint
+    ev_b = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "__mid", F.expr("(lo + hi) div 2")
+    )
+    first = ev_b.filter(F.col("us") <= F.col("__mid")).select(
+        "user_id", "us", "event_id"
+    )
+    second = ev_b.filter(F.col("us") > F.col("__mid")).select(
+        "user_id", "us", "event_id"
+    )
+    table = tempfile.mkdtemp(prefix="q201_")
+    sink = UpsertSink(table, keys=["user_id"], order_by=["us", "event_id"])
+    sink(first, 0)
+    sink(second, 1)
+    v1 = read_table(spark, table, version=1)
+    v2 = read_table(spark, table, version=2)
+    return table_diff(
+        v1, v2, keys=["user_id"], compare_cols=["event_id"]
+    ).orderBy("user_id")
+
+
 def q176_grid_distance_join(spark, sf_dir):
     """Spatial radius self-join via grid bucketing: customers get
     md5-derived integer coordinates on a 10 000² grid; pairs within
@@ -5060,6 +5103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_bootstrap_ci": q198_bootstrap_ci,
         "q199_phrase_index_reuse": q199_phrase_index_reuse,
         "q200_proximity_search": q200_proximity_search,
+        "q201_snapshot_diff": q201_snapshot_diff,
     }
 
 

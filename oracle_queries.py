@@ -4925,3 +4925,40 @@ FROM toks a JOIN toks b
 WHERE a.tok = 'spark' AND b.tok = 'join'
 GROUP BY 1 ORDER BY a.doc_id
 """
+
+
+# q201: v1→v2 snapshot diff — v1 is last-writer-wins over the first
+# half of the epoch range (integer-div midpoint), v2 over everything;
+# FULL OUTER join classifies added/changed (a user active only in the
+# first half is 'same' and excluded, mirroring table_diff's default).
+ORACLES["q201_snapshot_diff"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+v1 AS (
+  SELECT user_id, event_id FROM (
+    SELECT user_id, event_id,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+    FROM e, b WHERE us <= mid) WHERE rn = 1),
+v2 AS (
+  SELECT user_id, event_id FROM (
+    SELECT user_id, event_id,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+    FROM e) WHERE rn = 1),
+j AS (
+  SELECT coalesce(v1.user_id, v2.user_id) AS user_id,
+         v1.event_id AS e1, v2.event_id AS e2,
+         v1.user_id IS NULL AS no1, v2.user_id IS NULL AS no2
+  FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id)
+SELECT user_id,
+       CASE WHEN no1 THEN 'added'
+            WHEN no2 THEN 'removed'
+            ELSE 'changed' END AS status,
+       CASE WHEN NOT no1 AND NOT no2 AND e1 IS DISTINCT FROM e2
+            THEN 'event_id' ELSE '' END AS changed_cols
+FROM j
+WHERE no1 OR no2 OR e1 IS DISTINCT FROM e2
+ORDER BY user_id
+"""
