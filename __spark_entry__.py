@@ -150,6 +150,7 @@ from db_factfinder_spark.operators.diff import changed_buckets, table_diff
 from db_factfinder_spark.operators.intervals import covered_time
 from db_factfinder_spark.operators.incremental import (
     agg_state,
+    incremental_join_update,
     merge_agg_states,
     state_to_result,
 )
@@ -4451,6 +4452,40 @@ def q201_snapshot_diff(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def q202_incremental_join(spark, sf_dir):
+    """Insert-only incremental view maintenance of orders ⋈ customer:
+    both tables split old/delta (orders at the date midpoint, customers
+    by key parity), the maintained view = prev ∪ ΔA⋈B_old ∪ A_old⋈ΔB ∪
+    ΔA⋈ΔB — row-identical to the full join the oracle recomputes,
+    summarized per segment with exact cents (see
+    incremental_join_update)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    a_old = orders.filter(F.col("d") < F.lit("1998-01-01"))
+    a_delta = orders.filter(F.col("d") >= F.lit("1998-01-01"))
+    b_old = cust.filter(F.col("c_custkey") % 2 == 0)
+    b_delta = cust.filter(F.col("c_custkey") % 2 == 1)
+    prev = a_old.join(b_old, a_old["o_custkey"] == b_old["c_custkey"])
+    view = incremental_join_update(
+        prev, a_delta, b_delta, a_old, b_old, "o_custkey", "c_custkey"
+    )
+    return (
+        view.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q176_grid_distance_join(spark, sf_dir):
     """Spatial radius self-join via grid bucketing: customers get
     md5-derived integer coordinates on a 10 000² grid; pairs within
@@ -5104,6 +5139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q199_phrase_index_reuse": q199_phrase_index_reuse,
         "q200_proximity_search": q200_proximity_search,
         "q201_snapshot_diff": q201_snapshot_diff,
+        "q202_incremental_join": q202_incremental_join,
     }
 
 

@@ -4962,3 +4962,17 @@ FROM j
 WHERE no1 OR no2 OR e1 IS DISTINCT FROM e2
 ORDER BY user_id
 """
+
+
+# q202: incremental join maintenance — the oracle recomputes the FULL
+# orders x customer join from scratch; the Spark side must reproduce
+# it from prev + three delta joins (row-identical, so the grouped
+# exact-cent summary matches bit-for-bit).
+ORACLES["q202_incremental_join"] = """
+SELECT c.c_mktsegment,
+       count(*) AS n_orders,
+       sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+         AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY c.c_mktsegment
+"""

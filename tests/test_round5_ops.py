@@ -494,3 +494,46 @@ def test_proximity_search_rejects_bad_args(spark):
         proximity_search(p, "x", "x", k=2)
     with pytest.raises(ValueError, match="k must be"):
         proximity_search(p, "x", "y", k=0)
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 99), st.booleans()),
+        min_size=0, max_size=20,
+    ),
+    b=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 9), st.booleans()),
+        min_size=0, max_size=10,
+    ),
+)
+def test_incremental_join_row_identical_to_recompute(spark, a, b):
+    """The delta rule must reproduce the full join ROW-FOR-ROW (as a
+    multiset), however the old/delta split falls."""
+    from db_factfinder_spark.operators.incremental import (
+        incremental_join_update,
+    )
+
+    A = spark.createDataFrame(
+        [(k, v, d) for k, v, d in a] or [(None, None, None)],
+        "ak int, av int, a_is_delta boolean",
+    ).filter(F.col("ak").isNotNull())
+    B = spark.createDataFrame(
+        [(k, v, d) for k, v, d in b] or [(None, None, None)],
+        "bk int, bv int, b_is_delta boolean",
+    ).filter(F.col("bk").isNotNull())
+    a_old, a_delta = A.filter(~F.col("a_is_delta")), A.filter("a_is_delta")
+    b_old, b_delta = B.filter(~F.col("b_is_delta")), B.filter("b_is_delta")
+    prev = a_old.join(b_old, a_old["ak"] == b_old["bk"])
+    view = incremental_join_update(
+        prev, a_delta, b_delta, a_old, b_old, "ak", "bk"
+    ).select("ak", "av", "a_is_delta", "bk", "bv", "b_is_delta")
+    full = A.join(B, A["ak"] == B["bk"]).select(
+        "ak", "av", "a_is_delta", "bk", "bv", "b_is_delta"
+    )
+    got = sorted(map(tuple, view.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want
