@@ -4486,6 +4486,26 @@ def q202_incremental_join(spark, sf_dir):
     )
 
 
+def q203_quantile_normalize(spark, sf_dir):
+    """Rank-based quantile normalization of order value across
+    priorities: each group's rank-r/n_g value maps to the global exact
+    lower quantile at the same p — global ranks computed by the
+    range-partition + offset-broadcast pattern, never a lone-task
+    window (see operators/ranking.py)."""
+    from db_factfinder_spark.operators.ranking import quantile_normalize
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return quantile_normalize(
+        orders, "o_orderpriority", "cents", "o_orderkey"
+    ).orderBy("o_orderkey")
+
+
 def q176_grid_distance_join(spark, sf_dir):
     """Spatial radius self-join via grid bucketing: customers get
     md5-derived integer coordinates on a 10 000² grid; pairs within
@@ -5140,6 +5160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q200_proximity_search": q200_proximity_search,
         "q201_snapshot_diff": q201_snapshot_diff,
         "q202_incremental_join": q202_incremental_join,
+        "q203_quantile_normalize": q203_quantile_normalize,
     }
 
 

@@ -4976,3 +4976,30 @@ SELECT c.c_mktsegment,
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1 ORDER BY c.c_mktsegment
 """
+
+
+# q203: quantile normalization — within-group ranks map to the global
+# value at index ceil(r*N/ng) (integer arithmetic, lower-quantile
+# rule); the oracle's global rank is the plain window, checking the
+# distributed range-partition + offset formulation against the spec.
+ORACLES["q203_quantile_normalize"] = """
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o_orderkey AS id
+  FROM orders),
+g AS (
+  SELECT grp, cents, id,
+         row_number() OVER (PARTITION BY grp ORDER BY cents, id) AS r,
+         count(*) OVER (PARTITION BY grp) AS ng,
+         (SELECT count(*) FROM base) AS N
+  FROM base),
+gl AS (
+  SELECT cents AS gx,
+         row_number() OVER (ORDER BY cents, id) AS i
+  FROM base)
+SELECT g.id AS o_orderkey, g.grp AS o_orderpriority,
+       g.cents, gl.gx AS norm
+FROM g JOIN gl ON gl.i = (g.r * g.N + g.ng - 1) // g.ng
+ORDER BY o_orderkey
+"""

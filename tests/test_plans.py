@@ -392,6 +392,9 @@ def test_partition_invariance_of_order_sensitive_queries(spark):
         "q194_linear_attribution",
         "q195_event_runs",
         "q196_sequence_gaps",
+        # repartitionByRange's sampled boundaries must not reach the
+        # output: offsets correct for any boundary placement
+        "q203_quantile_normalize",
     ]
     before = {}
     for name in targets:

@@ -537,3 +537,75 @@ def test_incremental_join_row_identical_to_recompute(spark, a, b):
     got = sorted(map(tuple, view.collect()))
     want = sorted(map(tuple, full.collect()))
     assert got == want
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+    )
+)
+def test_global_rank_matches_single_partition_window(spark, vals):
+    from db_factfinder_spark.operators.ranking import global_rank
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "v long, id long"
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in global_rank(df, ["v", "id"], partitions=4).collect()
+    }
+    order = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+    want = {i: k + 1 for k, i in enumerate(order)}
+    assert got == want
+
+
+def test_global_rank_plan_has_no_unpartitioned_window(spark):
+    from db_factfinder_spark.operators.ranking import global_rank
+
+    df = spark.range(0, 1000).withColumn("v", F.col("id") % 97)
+    ranked = global_rank(df, ["v", "id"], partitions=8)
+    jvm = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = ranked._jdf.queryExecution().explainString(
+        jvm.fromString("formatted")
+    )
+    for line in plan.splitlines():
+        if line.strip().startswith("Window ") or "] Window" in line:
+            assert "__pid" in line, f"unpartitioned window:\n{line}"
+
+
+def test_quantile_normalize_single_group_is_identity(spark):
+    from db_factfinder_spark.operators.ranking import quantile_normalize
+
+    df = spark.createDataFrame(
+        [("a", v, i) for i, v in enumerate([5, 1, 9, 1, 7])],
+        "g string, x long, id long",
+    )
+    out = quantile_normalize(df, "g", "x", "id", partitions=3).collect()
+    # one group: r == global rank position, ceil(r*N/N) = r → identity
+    assert all(r["x"] == r["norm"] for r in out)
+    assert len(out) == 5
+
+
+def test_quantile_normalize_pulls_groups_to_common_scale(spark):
+    from db_factfinder_spark.operators.ranking import quantile_normalize
+
+    # group "lo" = {1,2,3}, "hi" = {101,102,103}: after normalization
+    # both groups' medians map to the same global quantile values
+    df = spark.createDataFrame(
+        [("lo", 1, 0), ("lo", 2, 1), ("lo", 3, 2),
+         ("hi", 101, 3), ("hi", 102, 4), ("hi", 103, 5)],
+        "g string, x long, id long",
+    )
+    out = {
+        (r["g"], r["x"]): r["norm"]
+        for r in quantile_normalize(df, "g", "x", "id", partitions=2).collect()
+    }
+    # r/ng = 1/3, 2/3, 3/3 → global idx 2, 4, 6 for BOTH groups;
+    # global sorted values [1,2,3,101,102,103] → norms 2, 101, 103
+    assert out[("lo", 1)] == out[("hi", 101)] == 2
+    assert out[("lo", 2)] == out[("hi", 102)] == 101
+    assert out[("lo", 3)] == out[("hi", 103)] == 103
