@@ -4506,6 +4506,23 @@ def q203_quantile_normalize(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
+def q204_log2_histogram(spark, sf_dir):
+    """Power-of-two histogram of order value per priority — the exact
+    integer ⌊log2⌋+1 bucket via length(bin(x)) (no libm anywhere),
+    bucket bounds by integer shifts (see log2_histogram)."""
+    from db_factfinder_spark.operators.quality import log2_histogram
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return log2_histogram(orders, ["o_orderpriority"], "cents").orderBy(
+        "o_orderpriority", "bucket"
+    )
+
+
 def q176_grid_distance_join(spark, sf_dir):
     """Spatial radius self-join via grid bucketing: customers get
     md5-derived integer coordinates on a 10 000² grid; pairs within
@@ -5161,6 +5178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q201_snapshot_diff": q201_snapshot_diff,
         "q202_incremental_join": q202_incremental_join,
         "q203_quantile_normalize": q203_quantile_normalize,
+        "q204_log2_histogram": q204_log2_histogram,
     }
 
 

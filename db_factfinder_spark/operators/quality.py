@@ -260,3 +260,48 @@ def sequence_gaps(df: DataFrame, id_col: str) -> DataFrame:
         "gap_end",
         (F.col("gap_end") - F.col("gap_start") + 1).alias("missing"),
     )
+
+
+def log2_histogram(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Power-of-two (log-width) histogram per group — the HDR-style
+    bucketing latency/value metrics use, where equi-width bins (q123)
+    waste resolution at the head and clip the tail.
+
+    The bucket is the EXACT integer ⌊log2(x)⌋+1, computed with no
+    libm: the length of the value's binary-string representation
+    (``length(bin(x))``) — identical in any engine, no float rounding
+    to disagree over.  Bucket bounds come back via integer shifts.
+    Requires positive integral values (NULL/≤0 rows are dropped and
+    counted in the caller's completeness audit, not silently binned).
+
+    One partial-aggregated groupBy; output is O(groups × 64).
+
+    Output: ``<group_cols>, bucket, lo, hi, n, min_v, max_v``.
+    """
+    v = F.col(value_col)
+    b = F.length(F.bin(v)).alias("bucket")
+    return (
+        df.filter(v.isNotNull() & (v > 0))
+        .select(*group_cols, v.alias("__v"), b)
+        .groupBy(*group_cols, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__v").alias("min_v"),
+            F.max("__v").alias("max_v"),
+        )
+        .select(
+            *group_cols,
+            "bucket",
+            # SQL-form shifts: the Python shiftleft only takes int
+            # literals for the bit count
+            F.expr("shiftleft(1L, bucket - 1)").alias("lo"),
+            F.expr("shiftleft(1L, bucket) - 1L").alias("hi"),
+            "n",
+            "min_v",
+            "max_v",
+        )
+    )

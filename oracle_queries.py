@@ -5003,3 +5003,23 @@ SELECT g.id AS o_orderkey, g.grp AS o_orderpriority,
 FROM g JOIN gl ON gl.i = (g.r * g.N + g.ng - 1) // g.ng
 ORDER BY o_orderkey
 """
+
+
+# q204: power-of-two histogram — bucket = length(bin(cents)) is the
+# exact integer floor(log2)+1 in both engines; bounds via shifts.
+ORACLES["q204_log2_histogram"] = """
+WITH x AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  WHERE floor(o_totalprice * 100 + 0.5) > 0)
+SELECT o_orderpriority,
+       length(bin(cents)) AS bucket,
+       (CAST(1 AS BIGINT) << (length(bin(cents)) - 1)) AS lo,
+       (CAST(1 AS BIGINT) << length(bin(cents))) - 1 AS hi,
+       count(*) AS n,
+       min(cents) AS min_v,
+       max(cents) AS max_v
+FROM x GROUP BY 1, 2, 3, 4
+ORDER BY o_orderpriority, bucket
+"""

@@ -609,3 +609,24 @@ def test_quantile_normalize_pulls_groups_to_common_scale(spark):
     assert out[("lo", 1)] == out[("hi", 101)] == 2
     assert out[("lo", 2)] == out[("hi", 102)] == 101
     assert out[("lo", 3)] == out[("hi", 103)] == 103
+
+
+def test_log2_histogram_buckets_and_bounds(spark):
+    from db_factfinder_spark.operators.quality import log2_histogram
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", 7), ("a", 8), ("a", None),
+         ("a", 0), ("b", 1024)],
+        "g string, v long",
+    )
+    out = {
+        (r["g"], r["bucket"]): (r["lo"], r["hi"], r["n"], r["min_v"], r["max_v"])
+        for r in log2_histogram(df, ["g"], "v").collect()
+    }
+    assert out[("a", 1)] == (1, 1, 1, 1, 1)       # [1,1]
+    assert out[("a", 2)] == (2, 3, 2, 2, 3)       # [2,3]
+    assert out[("a", 3)] == (4, 7, 1, 7, 7)       # [4,7]
+    assert out[("a", 4)] == (8, 15, 1, 8, 8)      # [8,15]
+    assert out[("b", 11)] == (1024, 2047, 1, 1024, 1024)
+    # NULL and non-positive rows dropped, never silently binned
+    assert sum(v[2] for k, v in out.items() if k[0] == "a") == 5
