@@ -4523,6 +4523,44 @@ def q204_log2_histogram(spark, sf_dir):
     )
 
 
+def q205_longest_prefix_match(spark, sf_dir):
+    """Most-specific-rule resolution over a mixed-granularity date
+    rules table (year < year-month < exact-date, all derived
+    deterministically from the data): each order takes the longest
+    matching prefix's payload via bounded prefix explode + equi-join +
+    max-of-struct — never a LIKE scan (see longest_prefix_match)."""
+    from db_factfinder_spark.operators.lpm import longest_prefix_match
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+    )
+    years = orders.select(
+        F.substring("d", 1, 4).alias("pfx")
+    ).distinct().select("pfx", F.concat(F.lit("Y:"), "pfx").alias("rule"))
+    months = (
+        orders.select(F.substring("d", 1, 7).alias("pfx"))
+        .filter(F.substring("pfx", 6, 2).isin("03", "06", "09", "12"))
+        .distinct()
+        .select("pfx", F.concat(F.lit("M:"), "pfx").alias("rule"))
+    )
+    days = (
+        orders.select(F.col("d").alias("pfx"))
+        .filter(F.substring("pfx", 9, 2) == "15")
+        .distinct()
+        .select("pfx", F.concat(F.lit("D:"), "pfx").alias("rule"))
+    )
+    rules = years.unionByName(months).unionByName(days)
+    resolved = longest_prefix_match(
+        orders, "d", rules, "pfx", "rule", lengths=[4, 7, 10]
+    )
+    return (
+        resolved.groupBy("rule_len")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("rule_len")
+    )
+
+
 def q176_grid_distance_join(spark, sf_dir):
     """Spatial radius self-join via grid bucketing: customers get
     md5-derived integer coordinates on a 10 000² grid; pairs within
@@ -5179,6 +5217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q202_incremental_join": q202_incremental_join,
         "q203_quantile_normalize": q203_quantile_normalize,
         "q204_log2_histogram": q204_log2_histogram,
+        "q205_longest_prefix_match": q205_longest_prefix_match,
     }
 
 

@@ -5023,3 +5023,21 @@ SELECT o_orderpriority,
 FROM x GROUP BY 1, 2, 3, 4
 ORDER BY o_orderpriority, bucket
 """
+
+
+# q205: longest-prefix-match — the oracle resolves each order by the
+# CASE priority exact-date > listed-month > year (valid precisely
+# because the rules derive from the data: every day-15 date and every
+# listed month IS a rule), then counts per specificity level.
+ORACLES["q205_longest_prefix_match"] = """
+WITH o AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS d FROM orders),
+resolved AS (
+  SELECT CASE
+    WHEN substr(d, 9, 2) = '15' THEN 10
+    WHEN substr(d, 6, 2) IN ('03', '06', '09', '12') THEN 7
+    ELSE 4 END AS rule_len
+  FROM o)
+SELECT rule_len, count(*) AS n_orders
+FROM resolved GROUP BY 1 ORDER BY rule_len
+"""

@@ -630,3 +630,36 @@ def test_log2_histogram_buckets_and_bounds(spark):
     assert out[("b", 11)] == (1024, 2047, 1, 1024, 1024)
     # NULL and non-positive rows dropped, never silently binned
     assert sum(v[2] for k, v in out.items() if k[0] == "a") == 5
+
+
+def test_longest_prefix_match_picks_most_specific(spark):
+    from db_factfinder_spark.operators.lpm import longest_prefix_match
+
+    facts = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abzzzz"), (3, "zzzzzz"), (4, "abcdzz")],
+        "id long, k string",
+    )
+    rules = spark.createDataFrame(
+        [("ab", "R-ab"), ("abcd", "R-abcd"), ("abcdef", "R-exact")],
+        "pfx string, payload string",
+    )
+    out = {
+        r["id"]: (r["rule_len"], r["payload"])
+        for r in longest_prefix_match(
+            facts, "k", rules, "pfx", "payload", lengths=[2, 4, 6]
+        ).collect()
+    }
+    assert out[1] == (6, "R-exact")   # all three match; longest wins
+    assert out[2] == (2, "R-ab")      # only the 2-prefix matches
+    assert out[4] == (4, "R-abcd")
+    assert 3 not in out               # no rule at any level → dropped
+
+
+def test_longest_prefix_match_rejects_bad_lengths(spark):
+    from db_factfinder_spark.operators.lpm import longest_prefix_match
+
+    df = spark.createDataFrame([(1, "a")], "id long, k string")
+    with pytest.raises(ValueError, match="lengths"):
+        longest_prefix_match(df, "k", df, "k", "k", lengths=[2, 2])
+    with pytest.raises(ValueError, match="lengths"):
+        longest_prefix_match(df, "k", df, "k", "k", lengths=[])
