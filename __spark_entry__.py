@@ -5006,6 +5006,75 @@ def q151_stratified_priority_sample(spark, sf_dir):
 # Driver contract
 # =====================================================================
 
+
+def q206_grouped_auc(spark, sf_dir):
+    """Tie-corrected Mann-Whitney AUC of order value (cents) against
+    the finished-status label, per order priority -- rank arithmetic
+    x2-scaled to exact integers and run over the DISTINCT-score
+    histogram, never a table-sized window (see grouped_auc)."""
+    from db_factfinder_spark.operators.evaluation import grouped_auc
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").alias("is_final"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return grouped_auc(
+        orders, ["o_orderpriority"], "is_final", "cents"
+    ).orderBy("o_orderpriority")
+
+
+def q207_sequential_pairs(spark, sf_dir):
+    """Gap-<=3 sequential pattern counts over per-user event
+    sequences -- the GSP/PrefixSpan length-2 stage, computed with
+    lead-k windows instead of the unbounded position-range self-join
+    (see sequential_pairs)."""
+    from db_factfinder_spark.operators.funnel import sequential_pairs
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return sequential_pairs(ev, max_gap=3).orderBy("a", "b")
+
+
+def q208_ewma_smoothing(spark, sf_dir):
+    """Trailing 8-day dyadic-weight EWMA of daily event value per
+    event type: every weight a power of two, both weighted sums exact
+    longs, one IEEE division -- and gap-aware because decay follows
+    calendar distance, not row distance (see ewma_dyadic)."""
+    from db_factfinder_spark.operators.timeseries import ewma_dyadic
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily_in = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return ewma_dyadic(
+        daily_in, "event_type", "day", "cents", window_days=8
+    ).orderBy("event_type", "day")
+
+
+def q209_item_similarity(spark, sf_dir):
+    """Top-25 part pairs by multiplicity-weighted cosine^2 over
+    per-order quantity vectors -- item-item collaborative filtering
+    with basket-bounded pair fan-out and broadcast norm joins (see
+    item_similarity)."""
+    from db_factfinder_spark.operators.basket import item_similarity
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return item_similarity(
+        li, "l_orderkey", "l_partkey", "qty", min_co=2, k=25
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5218,6 +5287,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q203_quantile_normalize": q203_quantile_normalize,
         "q204_log2_histogram": q204_log2_histogram,
         "q205_longest_prefix_match": q205_longest_prefix_match,
+        "q206_grouped_auc": q206_grouped_auc,
+        "q207_sequential_pairs": q207_sequential_pairs,
+        "q208_ewma_smoothing": q208_ewma_smoothing,
+        "q209_item_similarity": q209_item_similarity,
     }
 
 

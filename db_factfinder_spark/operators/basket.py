@@ -170,3 +170,91 @@ def rfm_scores(
             F.col("m_score").cast("string"),
         ),
     )
+
+
+def item_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    rating_col: str,
+    min_co: int = 2,
+    k: int = 25,
+) -> DataFrame:
+    """Top-``k`` item pairs by multiplicity-weighted cosine² — the
+    item-item collaborative-filtering neighborhood (Sarwar et al.,
+    WWW'01) over rating vectors indexed by basket.
+
+    Where ``association_rules`` counts mere presence, this treats
+    each item as the sparse vector of its per-basket rating sums and
+    scores pairs by vector-space cosine.  To avoid a runtime sqrt
+    (libm, not bit-portable) the SQUARE of the cosine is reported —
+    monotone in cosine for non-negative ratings, so the ranking is
+    identical:
+
+        cos²(x,y) = (Σ_b r_bx·r_by)² / (Σ_b r_bx² · Σ_b r_by²)
+
+    with every sum an exact long and ONE IEEE division at the end.
+
+    Plan: groupBy to the (basket, item, rating) grain → self-equi-join
+    on the basket key with ``item_x < item_y`` (a basket of b items
+    yields C(b,2) pairs — bounded by basket size, never catalog
+    size) → pair dot-product groupBy → two broadcast joins against
+    the (small) per-item norm table → TakeOrdered.  Pairs co-occurring
+    in fewer than ``min_co`` baskets are dropped before scoring.
+
+    Output: ``item_x, item_y, n_co, dot, cos2`` — top ``k`` by
+    (cos2 desc, item_x, item_y).
+    """
+    ratings = df.groupBy(basket_col, item_col).agg(
+        F.sum(rating_col).cast("long").alias("r")
+    )
+    norms = ratings.groupBy(item_col).agg(
+        F.sum(F.col("r") * F.col("r")).alias("norm2")
+    )
+    lhs = ratings.select(
+        F.col(basket_col).alias("__b"),
+        F.col(item_col).alias("item_x"),
+        F.col("r").alias("rx"),
+    )
+    rhs = ratings.select(
+        F.col(basket_col).alias("__b"),
+        F.col(item_col).alias("item_y"),
+        F.col("r").alias("ry"),
+    )
+    pairs = (
+        lhs.join(rhs, "__b")
+        .filter(F.col("item_x") < F.col("item_y"))
+        .groupBy("item_x", "item_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_co"),
+            F.sum(F.col("rx") * F.col("ry")).alias("dot"),
+        )
+        .filter(F.col("n_co") >= min_co)
+    )
+    from pyspark.sql.functions import broadcast
+
+    scored = (
+        pairs.join(
+            broadcast(norms.select(F.col(item_col).alias("item_x"),
+                                   F.col("norm2").alias("nx2"))),
+            "item_x",
+        )
+        .join(
+            broadcast(norms.select(F.col(item_col).alias("item_y"),
+                                   F.col("norm2").alias("ny2"))),
+            "item_y",
+        )
+        .select(
+            "item_x",
+            "item_y",
+            "n_co",
+            "dot",
+            (
+                (F.col("dot") * F.col("dot")).cast("double")
+                / (F.col("nx2") * F.col("ny2")).cast("double")
+            ).alias("cos2"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("cos2"), "item_x", "item_y"
+    ).limit(k)

@@ -315,3 +315,51 @@ def event_runs(
         F.min("__us").alias("start_us"),
         F.max("__us").alias("end_us"),
     )
+
+
+def sequential_pairs(
+    events: DataFrame,
+    max_gap: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Gap-constrained sequential pattern counts: for every ordered
+    event pair (a → b), how often b follows a within ``max_gap``
+    sequence positions of the same key — the length-2 stage of
+    GSP/PrefixSpan sequential-pattern mining (Srikant & Agrawal,
+    EDBT'96), and a strict generalisation of ``transition_matrix``
+    (which is the ``max_gap=1`` slice).
+
+    The naive plan self-joins each key's sequence to itself under a
+    position-range predicate — a shuffle join whose output the
+    optimizer can't bound.  Because the gap is a small constant,
+    ``lead(event, k)`` for k = 1..max_gap replaces the join entirely:
+    ONE window pass emits every successor within the gap as columns,
+    a bounded array unpivot turns them into rows, and one groupBy
+    counts.  Work is rows × max_gap, never rows², and nothing
+    shuffles except the window's key partition and the final count.
+
+    Output: ``a, b, n_pairs`` (total gap-≤ occurrences) and
+    ``n_keys`` (distinct keys exhibiting the pattern — the sequence
+    SUPPORT in the mining sense), sorted by caller.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    seq = events.filter(
+        F.col(ts_col).isNotNull() & F.col(event_col).isNotNull()
+    )
+    succ = seq.select(
+        F.col(key_col).alias("__k"),
+        F.col(event_col).alias("a"),
+        F.array(
+            *[F.lead(event_col, k).over(w) for k in range(1, max_gap + 1)]
+        ).alias("__succ"),
+    )
+    pairs = succ.select(
+        "__k", "a", F.explode("__succ").alias("b")
+    ).filter(F.col("b").isNotNull())
+    return pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("__k").alias("n_keys"),
+    )

@@ -385,3 +385,82 @@ def cusum_drift(
         thresh.alias("thresh"),
         (cusum.cast("double") > thresh).alias("drifted"),
     )
+
+
+def ewma_dyadic(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    window_days: int = 8,
+) -> DataFrame:
+    """Trailing exponentially-weighted moving average with DYADIC
+    weights: value at day-distance Δ (0 ≤ Δ < ``window_days``) gets
+    weight 2^(window_days−1−Δ) — i.e. decay factor exactly ½ per day
+    — normalised over the weights of days actually present.
+
+    Why dyadic: the textbook recursive EWMA s_t = αx_t + (1−α)s_{t−1}
+    is a sequential scan (unparallelisable, and float-accumulating in
+    arrival order).  Truncating to a ``window_days`` horizon and
+    pinning α so every weight is a power of two turns the whole
+    statistic into two exact INTEGER window sums — num = Σ v·2^k,
+    den = Σ 2^k via ``shiftleft`` on long cents — followed by one
+    IEEE division: bit-reproducible on any engine, any partitioning.
+    Gap-aware by construction: a missing day contributes no weight
+    (the denominator shrinks), yet the decay of surviving days still
+    follows true calendar distance, not row distance.
+
+    Plan: one groupBy to the (key, day) grain (summing cents), then
+    ONE range-frame window partitioned by key ordered by day number —
+    the same no-self-join shape as ``rolling_daily_stats``, with the
+    Δ-dependent weighting done by ``F.aggregate`` over the frame's
+    collected (day, cents) structs.  The frame holds at most
+    ``window_days`` structs per row — constant state, never
+    corpus-bounded.
+
+    Output: ``key_col, day_col, cents, ewma_num, ewma_den, ewma``.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__dn")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    daily = df.groupBy(key_col, day_col).agg(
+        F.sum(value_col).cast("long").alias("cents")
+    )
+    framed = daily.withColumn(
+        "__dn", F.datediff(F.col(day_col), F.lit("1970-01-01"))
+    ).withColumn(
+        "__frame",
+        F.collect_list(F.struct("__dn", "cents")).over(w),
+    )
+    # weight for day-distance Δ, as a literal long array indexed 1-based
+    # by Δ+1 (shiftleft takes only int literals, so the powers are
+    # precomputed driver-side — window_days longs, not data).
+    weights = F.array(
+        *[
+            F.lit(1 << (window_days - 1 - d)).cast("long")
+            for d in range(window_days)
+        ]
+    )
+    def _w(s):
+        return F.element_at(weights, (F.col("__dn") - s["__dn"] + 1).cast("int"))
+
+    num = F.aggregate(
+        "__frame",
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + s["cents"] * _w(s),
+    )
+    den = F.aggregate(
+        "__frame",
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + _w(s),
+    )
+    return framed.select(
+        key_col,
+        day_col,
+        "cents",
+        num.alias("ewma_num"),
+        den.alias("ewma_den"),
+        (num.cast("double") / den.cast("double")).alias("ewma"),
+    )

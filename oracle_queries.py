@@ -5041,3 +5041,105 @@ resolved AS (
 SELECT rule_len, count(*) AS n_orders
 FROM resolved GROUP BY 1 ORDER BY rule_len
 """
+
+
+# q206: AUC — identical ×2-scaled tied-rank arithmetic over the
+# distinct-score histogram; independent of the Spark plan but the
+# same exact-integer formulation, so values match bit-for-bit.
+ORACLES["q206_grouped_auc"] = """
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS score,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders),
+hist AS (
+  SELECT o_orderpriority, score, count(*) AS cnt, sum(pos) AS pos_cnt
+  FROM o GROUP BY 1, 2),
+ranked AS (
+  SELECT o_orderpriority, cnt, pos_cnt,
+         2 * COALESCE(sum(cnt) OVER (PARTITION BY o_orderpriority
+             ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS avg_rank2
+  FROM hist),
+agg AS (
+  SELECT o_orderpriority,
+         CAST(sum(pos_cnt) AS BIGINT) AS n_pos,
+         CAST(sum(cnt) - sum(pos_cnt) AS BIGINT) AS n_neg,
+         CAST(sum(pos_cnt * avg_rank2) AS BIGINT) AS ranksum2
+  FROM ranked GROUP BY 1)
+SELECT o_orderpriority, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         CAST(ranksum2 - n_pos * (n_pos + 1) AS DOUBLE)
+           / CAST(2 * n_pos * n_neg AS DOUBLE)
+       END AS auc
+FROM agg ORDER BY o_orderpriority
+"""
+
+
+# q207: sequential pairs — brute-force position self-join (the plan
+# the Spark side deliberately avoids), same (ts, event_id) order.
+ORACLES["q207_sequential_pairs"] = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS pos
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+pairs AS (
+  SELECT s1.user_id, s1.event_type AS a, s2.event_type AS b
+  FROM seq s1 JOIN seq s2
+    ON s1.user_id = s2.user_id
+   AND s2.pos BETWEEN s1.pos + 1 AND s1.pos + 3)
+SELECT a, b, count(*) AS n_pairs,
+       count(DISTINCT user_id) AS n_keys
+FROM pairs GROUP BY 1, 2 ORDER BY a, b
+"""
+
+
+# q208: dyadic EWMA — day-offset self-join with the same power-of-two
+# weights; integer sums so both engines agree exactly.
+ORACLES["q208_ewma_smoothing"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+d2 AS (
+  SELECT *, date_diff('day', DATE '1970-01-01', day) AS dn FROM daily),
+sm AS (
+  SELECT t.event_type, t.day, t.cents,
+         CAST(sum(s.cents * (CAST(1 AS BIGINT) << (7 - (t.dn - s.dn))))
+              AS BIGINT) AS ewma_num,
+         CAST(sum(CAST(1 AS BIGINT) << (7 - (t.dn - s.dn)))
+              AS BIGINT) AS ewma_den
+  FROM d2 t JOIN d2 s
+    ON s.event_type = t.event_type AND s.dn BETWEEN t.dn - 7 AND t.dn
+  GROUP BY 1, 2, 3)
+SELECT event_type, day, cents, ewma_num, ewma_den,
+       CAST(ewma_num AS DOUBLE) / CAST(ewma_den AS DOUBLE) AS ewma
+FROM sm ORDER BY event_type, day
+"""
+
+
+# q209: item-item cosine² — same exact-integer dot/norm arithmetic,
+# plain join plan (no broadcast hints to mirror).
+ORACLES["q209_item_similarity"] = """
+WITH ratings AS (
+  SELECT l_orderkey AS b, l_partkey AS i,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+  FROM lineitem GROUP BY 1, 2),
+norms AS (SELECT i, sum(r * r) AS norm2 FROM ratings GROUP BY 1),
+pairs AS (
+  SELECT x.i AS item_x, y.i AS item_y,
+         count(*) AS n_co, CAST(sum(x.r * y.r) AS BIGINT) AS dot
+  FROM ratings x JOIN ratings y ON x.b = y.b AND x.i < y.i
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT item_x, item_y, n_co, dot,
+       CAST(dot * dot AS DOUBLE)
+         / CAST(nx.norm2 * ny.norm2 AS DOUBLE) AS cos2
+FROM pairs
+JOIN norms nx ON nx.i = item_x
+JOIN norms ny ON ny.i = item_y
+ORDER BY cos2 DESC, item_x, item_y LIMIT 25
+"""

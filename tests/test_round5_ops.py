@@ -663,3 +663,194 @@ def test_longest_prefix_match_rejects_bad_lengths(spark):
         longest_prefix_match(df, "k", df, "k", "k", lengths=[2, 2])
     with pytest.raises(ValueError, match="lengths"):
         longest_prefix_match(df, "k", df, "k", "k", lengths=[])
+
+
+# ---- grouped AUC (q206) ----------------------------------------------
+
+from db_factfinder_spark.operators.evaluation import grouped_auc
+
+_aucrow = st.tuples(
+    st.integers(min_value=0, max_value=1),    # group
+    st.booleans(),                            # label
+    st.integers(min_value=0, max_value=8),    # score (small → many ties)
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_aucrow, min_size=1, max_size=40))
+def test_grouped_auc_matches_pair_counting(spark, rows):
+    df = spark.createDataFrame(
+        [(g, b, s) for g, b, s in rows], "g int, y boolean, s long"
+    )
+    got = {
+        r["g"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in grouped_auc(df, ["g"], "y", "s").collect()
+    }
+    by_g = {}
+    for g, y, s in rows:
+        by_g.setdefault(g, []).append((y, s))
+    for g, obs in by_g.items():
+        pos = [s for y, s in obs if y]
+        neg = [s for y, s in obs if not y]
+        n_pos, n_neg, auc = got[g]
+        assert (n_pos, n_neg) == (len(pos), len(neg))
+        if not pos or not neg:
+            assert auc is None
+        else:
+            # numerator 2·wins + ties is exact; divide once like the op
+            num2 = sum(
+                2 if p > n else (1 if p == n else 0)
+                for p in pos for n in neg
+            )
+            assert auc == num2 / (2 * len(pos) * len(neg))
+
+
+def test_grouped_auc_perfect_separation(spark):
+    df = spark.createDataFrame(
+        [(1, True, 100), (1, True, 90), (1, False, 10), (1, False, 5)],
+        "g int, y boolean, s long",
+    )
+    [r] = grouped_auc(df, ["g"], "y", "s").collect()
+    assert r["auc"] == 1.0
+
+
+# ---- sequential pairs (q207) -----------------------------------------
+
+from db_factfinder_spark.operators.funnel import (
+    sequential_pairs,
+    transition_matrix,
+)
+
+_seq = st.lists(
+    st.integers(min_value=0, max_value=3), min_size=0, max_size=10
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seqs=st.lists(_seq, min_size=1, max_size=5),
+       gap=st.integers(min_value=1, max_value=4))
+def test_sequential_pairs_matches_bruteforce(spark, seqs, gap):
+    rows, eid = [], 0
+    for u, seq in enumerate(seqs):
+        for i, ev in enumerate(seq):
+            rows.append((u, i, eid, f"e{ev}"))
+            eid += 1
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [(u, f"2024-01-01 00:00:{i:02d}", e, t) for u, i, e, t in rows],
+        "user_id long, ts string, event_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["a"], r["b"]): (r["n_pairs"], r["n_keys"])
+        for r in sequential_pairs(df, max_gap=gap).collect()
+    }
+    want, keys = {}, {}
+    for u, seq in enumerate(seqs):
+        for i in range(len(seq)):
+            for j in range(i + 1, min(i + gap, len(seq) - 1) + 1):
+                k = (f"e{seq[i]}", f"e{seq[j]}")
+                want[k] = want.get(k, 0) + 1
+                keys.setdefault(k, set()).add(u)
+    assert got == {k: (n, len(keys[k])) for k, n in want.items()}
+
+
+def test_sequential_pairs_gap1_equals_transitions(spark):
+    df = spark.createDataFrame(
+        [(1, f"2024-01-01 00:00:{i:02d}", i, t)
+         for i, t in enumerate("abcabcab")],
+        "user_id long, ts string, event_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    sp = {
+        (r["a"], r["b"]): r["n_pairs"]
+        for r in sequential_pairs(df, max_gap=1).collect()
+    }
+    tm = {
+        (r["state"], r["next"]): r["n_trans"]
+        for r in transition_matrix(df).collect()
+    }
+    assert sp == tm
+
+
+# ---- dyadic EWMA (q208) ----------------------------------------------
+
+from db_factfinder_spark.operators.timeseries import ewma_dyadic
+
+
+def test_ewma_dyadic_gap_aware_weights(spark):
+    # days 1, 2, 4 (day 3 missing): at day 4 the frame holds Δ=0,2,3
+    df = spark.createDataFrame(
+        [("k", "2024-01-01", 100), ("k", "2024-01-02", 200),
+         ("k", "2024-01-04", 400)],
+        "k string, day string, cents long",
+    ).withColumn("day", F.to_date("day"))
+    got = {
+        str(r["day"]): (r["ewma_num"], r["ewma_den"], r["ewma"])
+        for r in ewma_dyadic(df, "k", "day", "cents", window_days=8).collect()
+    }
+    # Δ weights: 2^(7-Δ)
+    assert got["2024-01-01"] == (100 * 128, 128, 100.0)
+    assert got["2024-01-02"] == (200 * 128 + 100 * 64, 192,
+                                 (200 * 128 + 100 * 64) / 192)
+    assert got["2024-01-04"] == (
+        400 * 128 + 200 * 32 + 100 * 16, 176,
+        (400 * 128 + 200 * 32 + 100 * 16) / 176,
+    )
+
+
+def test_ewma_dyadic_horizon_truncates(spark):
+    # an observation window_days back contributes nothing
+    df = spark.createDataFrame(
+        [("k", "2024-01-01", 999), ("k", "2024-01-09", 500)],
+        "k string, day string, cents long",
+    ).withColumn("day", F.to_date("day"))
+    got = {
+        str(r["day"]): (r["ewma_den"], r["ewma"])
+        for r in ewma_dyadic(df, "k", "day", "cents", window_days=8).collect()
+    }
+    assert got["2024-01-09"] == (128, 500.0)
+
+
+def test_ewma_dyadic_sums_same_day(spark):
+    df = spark.createDataFrame(
+        [("k", "2024-01-01", 30), ("k", "2024-01-01", 70)],
+        "k string, day string, cents long",
+    ).withColumn("day", F.to_date("day"))
+    [r] = ewma_dyadic(df, "k", "day", "cents", window_days=4).collect()
+    assert (r["cents"], r["ewma"]) == (100, 100.0)
+
+
+# ---- item-item cosine² (q209) ----------------------------------------
+
+from db_factfinder_spark.operators.basket import item_similarity
+
+
+def test_item_similarity_identical_vectors_hit_one(spark):
+    # items 10 and 20 have IDENTICAL rating vectors → cos² exactly 1.0
+    df = spark.createDataFrame(
+        [(1, 10, 2), (1, 20, 2), (2, 10, 5), (2, 20, 5),
+         (2, 30, 1), (3, 30, 7)],
+        "b long, i long, q long",
+    )
+    rows = item_similarity(df, "b", "i", "q", min_co=2, k=10).collect()
+    top = rows[0]
+    assert (top["item_x"], top["item_y"], top["cos2"]) == (10, 20, 1.0)
+    # (10,30)/(20,30) co-occur once only → pruned by min_co=2
+    assert {(r["item_x"], r["item_y"]) for r in rows} == {(10, 20)}
+
+
+def test_item_similarity_exact_ratio(spark):
+    # r10 = {b1:1, b2:1}, r20 = {b1:2, b2:2}: dot=4, norms 2 and 8
+    df = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (2, 20, 2), (2, 10, 1)],
+        "b long, i long, q long",
+    )
+    [r] = item_similarity(df, "b", "i", "q", min_co=2, k=5).collect()
+    assert r["dot"] == 1 * 2 + 1 * 2
+    assert r["cos2"] == (4 * 4) / (2 * 8)
