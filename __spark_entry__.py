@@ -5075,6 +5075,84 @@ def q209_item_similarity(spark, sf_dir):
     )
 
 
+
+def q210_decile_gains(spark, sf_dir):
+    """Cumulative-gains table of order value against the finished
+    flag: global descending rank via range-repartitioned global_rank
+    (never one ORDER BY task), integer div bucket cut, cumulative
+    window over the 10-row bucket table (see decile_gains)."""
+    from db_factfinder_spark.operators.evaluation import decile_gains
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderstatus") == "F").alias("is_final"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return decile_gains(
+        orders, "is_final", "cents", "o_orderkey", n_buckets=10
+    ).orderBy("bucket")
+
+
+def q211_rolling_exact_distinct(spark, sf_dir):
+    """EXACT trailing-7-day distinct users per (event type, observed
+    day) — q167's HLL rollup with the sketch replaced by the
+    coverage-interval identity: explode each user-day into its
+    covered span until the next occurrence, so plain COUNT equals
+    COUNT DISTINCT (see rolling_exact_distinct)."""
+    from db_factfinder_spark.operators.timeseries import (
+        rolling_exact_distinct,
+    )
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return rolling_exact_distinct(ev, window_days=7).orderBy(
+        "event_type", "day"
+    )
+
+
+def q212_linear_interpolation(spark, sf_dir):
+    """Linear interpolation of interior calendar gaps in each order
+    priority's daily revenue series: exact long numerator, one IEEE
+    division per filled day, per-gap bounded sequence explode — no
+    calendar cross-join (see interpolate_daily_linear)."""
+    from db_factfinder_spark.operators.timeseries import (
+        interpolate_daily_linear,
+    )
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")
+            ).alias("cents")
+        )
+    )
+    return interpolate_daily_linear(
+        daily, "o_orderpriority", "day", "cents"
+    ).orderBy("o_orderpriority", "day")
+
+
+def q213_top_p_vocab(spark, sf_dir):
+    """Nucleus (top-p = 9/10) vocabulary truncation per language:
+    minimal covering prefix decided by the exact cross-multiplied
+    integer rule, never a float share at the boundary (see
+    top_p_truncate)."""
+    from db_factfinder_spark.llmdata.textstats import top_p_truncate
+
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select("lang", F.explode(tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return top_p_truncate(
+        counts, "lang", "token", "cnt", p_num=9, p_den=10
+    ).orderBy("lang", "rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5291,6 +5369,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q207_sequential_pairs": q207_sequential_pairs,
         "q208_ewma_smoothing": q208_ewma_smoothing,
         "q209_item_similarity": q209_item_similarity,
+        "q210_decile_gains": q210_decile_gains,
+        "q211_rolling_exact_distinct": q211_rolling_exact_distinct,
+        "q212_linear_interpolation": q212_linear_interpolation,
+        "q213_top_p_vocab": q213_top_p_vocab,
     }
 
 

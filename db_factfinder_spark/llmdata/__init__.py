@@ -101,5 +101,6 @@ from db_factfinder_spark.llmdata.textstats import (  # noqa: F401
     surprisal_score,
     tfidf_top_terms,
     token_diversity,
+    top_p_truncate,
 )
 from db_factfinder_spark.llmdata.lines import line_dedup  # noqa: F401

@@ -979,3 +979,56 @@ def proximity_search(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def top_p_truncate(
+    counts: DataFrame,
+    group_col: str,
+    item_col: str,
+    count_col: str,
+    p_num: int,
+    p_den: int,
+) -> DataFrame:
+    """Nucleus (top-p) truncation per group: keep the SMALLEST prefix
+    of items — ordered by count descending, item ascending — whose
+    cumulative share of the group's total mass reaches p = p_num /
+    p_den.  The vocabulary-truncation step of nucleus sampling and of
+    long-tail vocabulary pruning before tokenizer training.
+
+    The keep rule "row r is in the minimal covering prefix iff the
+    mass BEFORE r is still short of target" is evaluated in exact
+    integer cross-multiplied form —
+
+        (cum − cnt) · p_den < p_num · total
+
+    — so no float share ever decides a boundary item (a cumulative
+    double at p = 0.9 can tip either way in the last ulp).  The
+    probability p is taken as an exact rational, matching how configs
+    state it ("0.9" = 9/10).
+
+    One keyed groupBy to the (group, item) grain feeds two window
+    passes over that grain (cumulative and group-total) — both
+    partitioned by group, bounded by vocabulary, never by corpus
+    rows.  Output: kept rows only, with ``rank`` (1-based prefix
+    position) and ``cum`` (cumulative count through the row).
+    """
+    if not (0 < p_num <= p_den):
+        raise ValueError("need 0 < p_num <= p_den")
+    order = Window.partitionBy(group_col).orderBy(
+        F.col(count_col).desc(), F.col(item_col).asc()
+    )
+    w_cum = order.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = counts.select(
+        group_col,
+        item_col,
+        F.col(count_col).alias("cnt"),
+        F.row_number().over(order).alias("rank"),
+        F.sum(count_col).over(w_cum).cast("long").alias("cum"),
+        F.sum(count_col).over(w_all).cast("long").alias("__total"),
+    )
+    return ranked.filter(
+        (F.col("cum") - F.col("cnt")) * p_den < p_num * F.col("__total")
+    ).drop("__total")

@@ -91,3 +91,81 @@ def grouped_auc(
             / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
         ).alias("auc"),
     )
+
+
+def decile_gains(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 10,
+    partitions: int | None = None,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Cumulative-gains (lift) table: rank the population by score
+    descending, cut it into ``n_buckets`` equal-count buckets, and
+    report each bucket's positive rate plus the cumulative share of
+    ALL positives captured down to that bucket — the model-quality
+    readout campaign targeting reads ("the top decile captures X% of
+    conversions").
+
+    The ranking reuses ``global_rank`` (range-repartition + offset
+    broadcast), so no single-partition ORDER BY window anywhere;
+    descending order falls out of ranking ascending on the NEGATED
+    long score (exact for longs) with the tiebreak ascending.  Bucket
+    assignment is pure integer arithmetic, ``(rank−1)·n_buckets div
+    N``, against the one-row population count broadcast by crossJoin
+    (the repo's scalar-total idiom); the cumulative window then runs
+    over the ``n_buckets``-row aggregate, never the population.
+
+    Output: ``bucket (0 = best), n_rows, n_pos, pos_rate, cum_gain``
+    — both ratios exact-int divisions.
+    """
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+    from db_factfinder_spark.operators.ranking import global_rank
+
+    src = df.select(
+        F.col(label_col).cast("long").alias("__y"),
+        (-F.col(score_col).cast("long")).alias("__neg"),
+        F.col(tiebreak_col).alias("__tb"),
+    )
+    ranked = materialize(
+        global_rank(
+            src,
+            ["__neg", "__tb"],
+            partitions=partitions,
+            checkpoint_mode=checkpoint_mode,
+        ),
+        checkpoint_mode,
+    )
+    n_total = ranked.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    buckets = (
+        ranked.crossJoin(F.broadcast(n_total))
+        .select(
+            F.expr(f"(rank - 1L) * {n_buckets}L div __N").alias("bucket"),
+            "__y",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__y").cast("long").alias("n_pos"),
+        )
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return buckets.select(
+        "bucket",
+        "n_rows",
+        "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n_rows").cast("double"))
+        .alias("pos_rate"),
+        F.when(
+            F.sum("n_pos").over(w_all) > 0,
+            F.sum("n_pos").over(w_cum).cast("double")
+            / F.sum("n_pos").over(w_all).cast("double"),
+        ).alias("cum_gain"),
+    )

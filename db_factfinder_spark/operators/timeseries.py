@@ -464,3 +464,149 @@ def ewma_dyadic(
         den.alias("ewma_den"),
         (num.cast("double") / den.cast("double")).alias("ewma"),
     )
+
+
+def rolling_exact_distinct(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    user_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """EXACT trailing-``window_days``-day distinct-user count per
+    (key, observed day) — the precise twin of the HLL rollup (q167),
+    for when the ±2% sketch answer isn't contractual enough.
+
+    The naive exact plan re-scans every window (W-fold work) or runs
+    ``approx``-free COUNT(DISTINCT) per window (a shuffle per day).
+    This uses the coverage-interval identity instead: a user's
+    occurrence on day o covers days [o, o+W−1] UNTIL their next
+    occurrence, so exploding each distinct (key, user, day) row into
+    its covered span [o, min(o+W−1, next−1)] yields each user AT MOST
+    ONCE per covered day — the per-day row count IS the distinct
+    count, no DISTINCT needed after the explode.  Work is bounded by
+    W × distinct user-days, all equi-shuffles.
+
+    Output: ``key_col, day (date), u`` for each day the key was
+    actually observed, ``u`` = exact distinct users in the trailing
+    window.
+    """
+    occ = (
+        df.filter(
+            F.col(ts_col).isNotNull()
+            & F.col(key_col).isNotNull()
+            & F.col(user_col).isNotNull()
+        )
+        .select(
+            key_col,
+            user_col,
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("__dn"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(key_col, user_col).orderBy("__dn")
+    covered = (
+        occ.withColumn("__next", F.lead("__dn").over(w))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(
+                    F.col("__dn"),
+                    F.least(
+                        F.col("__dn") + (window_days - 1),
+                        F.coalesce(
+                            F.col("__next") - 1,
+                            F.col("__dn") + (window_days - 1),
+                        ),
+                    ),
+                )
+            ).alias("__d"),
+        )
+    )
+    counts = covered.groupBy(key_col, "__d").agg(
+        F.count(F.lit(1)).alias("u")
+    )
+    observed = occ.select(key_col, F.col("__dn").alias("__d")).distinct()
+    return counts.join(observed, [key_col, "__d"]).select(
+        key_col,
+        F.date_add(F.to_date(F.lit("1970-01-01")), F.col("__d").cast("int"))
+        .alias("day"),
+        "u",
+    )
+
+
+def interpolate_daily_linear(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Fill interior calendar gaps of each key's daily long-valued
+    series by LINEAR interpolation between the surrounding
+    observations — the regularization step models want when a flat
+    zero (``gap_fill_daily``) or a held value (forward fill) would
+    bias the series.
+
+    For a gap day at distance Δ inside an observed span (p, v_p) →
+    (n, v_n) of length g = n − p:
+
+        v = (v_p·g + (v_n − v_p)·Δ) / g
+
+    numerator and denominator exact longs, ONE IEEE division — the
+    same single-rounding exactness rule as every ratio in the repo.
+    Endpoints are never extrapolated.  One lead window per key plus a
+    per-gap ``sequence`` explode (bounded by the key's own span),
+    then a union with the observed rows — no calendar cross-join.
+
+    Output: ``key_col, day (date), val (double), is_interp``.
+    """
+    base = df.select(
+        key_col,
+        F.datediff(F.col(day_col), F.lit("1970-01-01")).alias("__dn"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    w = Window.partitionBy(key_col).orderBy("__dn")
+    nxt = base.withColumn("__ndn", F.lead("__dn").over(w)).withColumn(
+        "__nv", F.lead("__v").over(w)
+    )
+    gaps = (
+        nxt.filter(
+            F.col("__ndn").isNotNull() & (F.col("__ndn") > F.col("__dn") + 1)
+        )
+        .select(
+            key_col,
+            "__dn",
+            "__v",
+            "__ndn",
+            "__nv",
+            F.explode(
+                F.sequence(F.col("__dn") + 1, F.col("__ndn") - 1)
+            ).alias("__d"),
+        )
+        .select(
+            key_col,
+            F.col("__d"),
+            (
+                (
+                    F.col("__v") * (F.col("__ndn") - F.col("__dn"))
+                    + (F.col("__nv") - F.col("__v"))
+                    * (F.col("__d") - F.col("__dn"))
+                ).cast("double")
+                / (F.col("__ndn") - F.col("__dn")).cast("double")
+            ).alias("val"),
+            F.lit(True).alias("is_interp"),
+        )
+    )
+    observed = base.select(
+        key_col,
+        F.col("__dn").alias("__d"),
+        F.col("__v").cast("double").alias("val"),
+        F.lit(False).alias("is_interp"),
+    )
+    return observed.unionByName(gaps).select(
+        key_col,
+        F.date_add(F.to_date(F.lit("1970-01-01")), F.col("__d").cast("int"))
+        .alias("day"),
+        "val",
+        "is_interp",
+    )

@@ -5143,3 +5143,105 @@ JOIN norms nx ON nx.i = item_x
 JOIN norms ny ON ny.i = item_y
 ORDER BY cos2 DESC, item_x, item_y LIMIT 25
 """
+
+
+# q210: decile gains — lone row_number window (fine in DuckDB at
+# oracle scale; the Spark side must NOT plan one), same integer
+# bucket cut and single-division ratios.
+ORACLES["q210_decile_gains"] = """
+WITH o AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS score,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+         o_orderkey
+  FROM orders),
+r AS (
+  SELECT pos,
+         row_number() OVER (ORDER BY score DESC, o_orderkey ASC) AS rk,
+         count(*) OVER () AS n
+  FROM o),
+b AS (
+  SELECT CAST(((rk - 1) * 10) // n AS BIGINT) AS bucket,
+         count(*) AS n_rows, CAST(sum(pos) AS BIGINT) AS n_pos
+  FROM r GROUP BY 1)
+SELECT bucket, n_rows, n_pos,
+       CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE) AS pos_rate,
+       CAST(sum(n_pos) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE)
+         / CAST(sum(n_pos) OVER () AS DOUBLE) AS cum_gain
+FROM b ORDER BY bucket
+"""
+
+
+# q211: exact trailing distinct — brute-force window self-join with
+# COUNT DISTINCT (the plan the Spark side's coverage-interval
+# identity avoids).
+ORACLES["q211_rolling_exact_distinct"] = """
+WITH occ AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    AND user_id IS NOT NULL),
+days AS (SELECT DISTINCT event_type, day FROM occ)
+SELECT d.event_type AS event_type, d.day AS day,
+       count(DISTINCT o.user_id) AS u
+FROM days d JOIN occ o
+  ON o.event_type = d.event_type
+ AND o.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1, 2 ORDER BY d.event_type, d.day
+"""
+
+
+# q212: linear interpolation — lateral range explode per gap, same
+# exact numerator / one-division rule.
+ORACLES["q212_linear_interpolation"] = """
+WITH daily AS (
+  SELECT o_orderpriority, o_orderdate AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS v
+  FROM orders GROUP BY 1, 2),
+d2 AS (
+  SELECT *, date_diff('day', DATE '1970-01-01', day) AS dn FROM daily),
+n AS (
+  SELECT *,
+         lead(dn) OVER (PARTITION BY o_orderpriority ORDER BY dn) AS ndn,
+         lead(v)  OVER (PARTITION BY o_orderpriority ORDER BY dn) AS nv
+  FROM d2),
+interp AS (
+  SELECT o_orderpriority, g.d AS dn,
+         CAST(v * (ndn - dn) + (nv - v) * (g.d - dn) AS DOUBLE)
+           / CAST(ndn - dn AS DOUBLE) AS val,
+         TRUE AS is_interp
+  FROM n, LATERAL (SELECT unnest(range(dn + 1, ndn)) AS d) g
+  WHERE ndn IS NOT NULL AND ndn > dn + 1),
+allrows AS (
+  SELECT o_orderpriority, dn, CAST(v AS DOUBLE) AS val,
+         FALSE AS is_interp
+  FROM d2
+  UNION ALL SELECT * FROM interp)
+SELECT o_orderpriority, DATE '1970-01-01' + CAST(dn AS INTEGER) AS day,
+       val, is_interp
+FROM allrows ORDER BY o_orderpriority, day
+"""
+
+
+# q213: nucleus truncation — identical cross-multiplied integer keep
+# rule over the same tokenizer (_TOKS).
+ORACLES["q213_top_p_vocab"] = f"""
+WITH tok AS (SELECT lang, unnest({_TOKS}) AS token FROM documents),
+counts AS (
+  SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+ranked AS (
+  SELECT lang, token, cnt,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, token ASC) AS rank,
+         CAST(sum(cnt) OVER (PARTITION BY lang
+                ORDER BY cnt DESC, token ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS total
+  FROM counts)
+SELECT lang, token, cnt, rank, cum FROM ranked
+WHERE (cum - cnt) * 10 < 9 * total
+ORDER BY lang, rank
+"""

@@ -854,3 +854,184 @@ def test_item_similarity_exact_ratio(spark):
     [r] = item_similarity(df, "b", "i", "q", min_co=2, k=5).collect()
     assert r["dot"] == 1 * 2 + 1 * 2
     assert r["cos2"] == (4 * 4) / (2 * 8)
+
+
+# ---- decile gains (q210) ---------------------------------------------
+
+from db_factfinder_spark.operators.evaluation import decile_gains
+
+
+def test_decile_gains_matches_bruteforce(spark):
+    # 20 rows, scores 1..20, positives = top 5 scores → first quarter
+    rows = [(i, i >= 16, i) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "id long, y boolean, s long")
+    got = {
+        r["bucket"]: (r["n_rows"], r["n_pos"], r["pos_rate"], r["cum_gain"])
+        for r in decile_gains(df, "y", "s", "id", n_buckets=4).collect()
+    }
+    # desc order: bucket 0 = scores 20..16, all positive
+    assert got[0] == (5, 5, 1.0, 1.0)
+    assert got[1] == (5, 0, 0.0, 1.0)
+    assert got[3] == (5, 0, 0.0, 1.0)
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(
+    st.tuples(st.booleans(), st.integers(min_value=0, max_value=9)),
+    min_size=1, max_size=30,
+))
+def test_decile_gains_bucket_sizes_and_gains(spark, rows):
+    data = [(i, y, s) for i, (y, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, y boolean, s long")
+    out = sorted(
+        decile_gains(df, "y", "s", "id", n_buckets=3).collect(),
+        key=lambda r: r["bucket"],
+    )
+    # brute force: sort desc by (s, -id)? tiebreak is id ASC on the
+    # negated score, i.e. sort by (-s, id)
+    order = sorted(data, key=lambda t: (-t[2], t[0]))
+    n = len(order)
+    want = {}
+    for rk, (i, y, s) in enumerate(order, start=1):
+        b = (rk - 1) * 3 // n
+        nr, np_ = want.get(b, (0, 0))
+        want[b] = (nr + 1, np_ + (1 if y else 0))
+    assert {r["bucket"]: (r["n_rows"], r["n_pos"]) for r in out} == want
+    total_pos = sum(p for _, p in want.values())
+    cum = 0
+    for r in out:
+        cum += r["n_pos"]
+        if total_pos:
+            assert r["cum_gain"] == cum / total_pos
+        else:
+            assert r["cum_gain"] is None
+
+
+# ---- exact rolling distinct (q211) -----------------------------------
+
+from db_factfinder_spark.operators.timeseries import rolling_exact_distinct
+
+_udays = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # user
+        st.integers(min_value=0, max_value=15),  # day offset
+    ),
+    min_size=1, max_size=25,
+)
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(obs=_udays, w=st.integers(min_value=1, max_value=8))
+def test_rolling_exact_distinct_matches_bruteforce(spark, obs, w):
+    import datetime as dt
+    base = dt.date(2024, 1, 1)
+    rows = [
+        ("t", dt.datetime(2024, 1, 1, 12) + dt.timedelta(days=d), u, i)
+        for i, (u, d) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, user_id long, event_id long"
+    )
+    got = {
+        (r["event_type"], str(r["day"])): r["u"]
+        for r in rolling_exact_distinct(
+            df, window_days=w
+        ).collect()
+    }
+    days = sorted({d for _, d in obs})
+    want = {}
+    for d in days:
+        users = {u for u, o in obs if d - (w - 1) <= o <= d}
+        want[("t", str(base + dt.timedelta(days=d)))] = len(users)
+    assert got == want
+
+
+# ---- linear interpolation (q212) -------------------------------------
+
+from db_factfinder_spark.operators.timeseries import interpolate_daily_linear
+
+
+def test_interpolate_fills_gap_linearly(spark):
+    df = spark.createDataFrame(
+        [("k", "2024-01-01", 100), ("k", "2024-01-05", 500)],
+        "k string, day string, v long",
+    ).withColumn("day", F.to_date("day"))
+    got = {
+        str(r["day"]): (r["val"], r["is_interp"])
+        for r in interpolate_daily_linear(df, "k", "day", "v").collect()
+    }
+    assert got == {
+        "2024-01-01": (100.0, False),
+        "2024-01-02": (200.0, True),
+        "2024-01-03": (300.0, True),
+        "2024-01-04": (400.0, True),
+        "2024-01-05": (500.0, False),
+    }
+
+
+def test_interpolate_no_extrapolation_or_cross_key_leak(spark):
+    df = spark.createDataFrame(
+        [("a", "2024-01-01", 10), ("b", "2024-01-04", 40)],
+        "k string, day string, v long",
+    ).withColumn("day", F.to_date("day"))
+    rows = interpolate_daily_linear(df, "k", "day", "v").collect()
+    assert len(rows) == 2 and not any(r["is_interp"] for r in rows)
+
+
+def test_interpolate_exact_ratio_division(spark):
+    # gap of 3 with delta 100 → 100/3 is ONE division of exact ints
+    df = spark.createDataFrame(
+        [("k", "2024-01-01", 0), ("k", "2024-01-04", 100)],
+        "k string, day string, v long",
+    ).withColumn("day", F.to_date("day"))
+    got = {
+        str(r["day"]): r["val"]
+        for r in interpolate_daily_linear(df, "k", "day", "v").collect()
+    }
+    assert got["2024-01-02"] == 100 / 3
+    assert got["2024-01-03"] == 200 / 3
+
+
+# ---- top-p truncation (q213) -----------------------------------------
+
+from db_factfinder_spark.llmdata.textstats import top_p_truncate
+
+
+def test_top_p_minimal_covering_prefix(spark):
+    # counts 50, 30, 15, 5: p=0.8 → 50+30 = 80 exactly covers; the
+    # third item starts AT the target (cum_before 80 = 0.8·100) so it
+    # is excluded — strict < rule.
+    df = spark.createDataFrame(
+        [("g", "a", 50), ("g", "b", 30), ("g", "c", 15), ("g", "d", 5)],
+        "g string, tok string, n long",
+    )
+    kept = top_p_truncate(df, "g", "tok", "n", 8, 10).collect()
+    assert [(r["tok"], r["rank"], r["cum"]) for r in
+            sorted(kept, key=lambda r: r["rank"])] == [
+        ("a", 1, 50), ("b", 2, 80)]
+
+
+def test_top_p_one_includes_everything_and_ties_break_on_token(spark):
+    df = spark.createDataFrame(
+        [("g", "b", 10), ("g", "a", 10), ("g", "c", 1)],
+        "g string, tok string, n long",
+    )
+    kept = sorted(
+        top_p_truncate(df, "g", "tok", "n", 1, 1).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["tok"] for r in kept] == ["a", "b", "c"]
+
+
+def test_top_p_rejects_bad_p(spark):
+    df = spark.createDataFrame([("g", "a", 1)], "g string, tok string, n long")
+    with pytest.raises(ValueError):
+        top_p_truncate(df, "g", "tok", "n", 0, 10)
+    with pytest.raises(ValueError):
+        top_p_truncate(df, "g", "tok", "n", 11, 10)
