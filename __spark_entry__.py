@@ -5153,6 +5153,63 @@ def q213_top_p_vocab(spark, sf_dir):
     ).orderBy("lang", "rank")
 
 
+
+def q214_skipgram_counts(spark, sf_dir):
+    """Skip-gram (center, context) counts within +-2 token positions,
+    n >= 5: the word2vec/GloVe corpus statistic, via symmetrized
+    lead-k sequential pairs over posexploded tokens -- never a
+    positions^2 self-join (see skipgram_counts)."""
+    from db_factfinder_spark.llmdata.textstats import skipgram_counts
+
+    docs = _docs(spark, sf_dir)
+    return skipgram_counts(docs, window=2, min_count=5).orderBy(
+        "center", "context"
+    )
+
+
+def q215_seasonal_anomalies(spark, sf_dir):
+    """Day-of-week-seasonal anomaly screen over daily event counts:
+    each day tested against its own weekday's baseline with the
+    n-scaled exact-integer deviation test; weekday = epoch-day mod 7
+    so no engine weekday convention enters (see seasonal_anomalies)."""
+    from db_factfinder_spark.operators.timeseries import seasonal_anomalies
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return seasonal_anomalies(ev, k=2).orderBy("event_type", "day")
+
+
+def q216_dispersion_audit(spark, sf_dir):
+    """Fano factor + CV^2 burstiness audit of each event type's daily
+    counts -- exact-integer variance/mean ratios, integer-decided
+    overdispersion flag, no sqrt anywhere (see dispersion_stats)."""
+    from db_factfinder_spark.operators.timeseries import dispersion_stats
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return dispersion_stats(ev).orderBy("event_type")
+
+
+def q217_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the customer-supplier order graph:
+    Pearson r over the (deg(customer), deg(supplier)) pairs of every
+    distinct edge, computed with q188's fixed-order exact sufficient
+    statistics (the do-hubs-buy-from-hubs mixing question)."""
+    from db_factfinder_spark.operators.regression import grouped_correlation
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    dc = edges.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
+    ds = edges.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
+    j = edges.join(dc, "c").join(ds, "s").withColumn("g", F.lit("all"))
+    return grouped_correlation(
+        j, ["g"], F.col("dc"), F.col("ds")
+    ).orderBy("g")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5373,6 +5430,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q211_rolling_exact_distinct": q211_rolling_exact_distinct,
         "q212_linear_interpolation": q212_linear_interpolation,
         "q213_top_p_vocab": q213_top_p_vocab,
+        "q214_skipgram_counts": q214_skipgram_counts,
+        "q215_seasonal_anomalies": q215_seasonal_anomalies,
+        "q216_dispersion_audit": q216_dispersion_audit,
+        "q217_degree_assortativity": q217_degree_assortativity,
     }
 
 

@@ -1032,3 +1032,61 @@ def top_p_truncate(
     return ranked.filter(
         (F.col("cum") - F.col("cnt")) * p_den < p_num * F.col("__total")
     ).drop("__total")
+
+
+def skipgram_counts(
+    docs: DataFrame,
+    window: int = 2,
+    min_count: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts within ±
+    ``window`` token positions — the corpus statistic word2vec/GloVe
+    training consumes, and a positional sharpening of
+    ``collocation_lift`` (which only knows doc-level co-presence).
+
+    Built by REUSE: tokenize to (doc, position, token) rows, run
+    ``sequential_pairs`` (the lead-k window that replaces the
+    position-range self-join) over positions for the forward
+    neighborhood, then symmetrize — a forward pair (a, b) is the two
+    skip-grams a→b and b→a, so the symmetric count table is the
+    forward table summed with its swap.  Work: tokens × window rows
+    through one keyed window, one groupBy; never a positions².
+
+    Output: ``center, context, n`` with ``n >= min_count``.
+    """
+    from db_factfinder_spark.operators.funnel import sequential_pairs
+
+    toks = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__doc"),
+            F.posexplode(tokens(text_col)).alias("__pos", "__tok"),
+        )
+    )
+    fwd = sequential_pairs(
+        toks,
+        max_gap=window,
+        key_col="__doc",
+        ts_col="__pos",
+        event_col="__tok",
+        tiebreak_col="__pos",
+        with_support=False,
+    ).select("a", "b", "n_pairs")
+    sym = fwd.select(
+        F.col("a").alias("center"),
+        F.col("b").alias("context"),
+        "n_pairs",
+    ).unionByName(
+        fwd.select(
+            F.col("b").alias("center"),
+            F.col("a").alias("context"),
+            "n_pairs",
+        )
+    )
+    return (
+        sym.groupBy("center", "context")
+        .agg(F.sum("n_pairs").cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

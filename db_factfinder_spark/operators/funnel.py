@@ -324,6 +324,7 @@ def sequential_pairs(
     ts_col: str = "ts",
     event_col: str = "event_type",
     tiebreak_col: str = "event_id",
+    with_support: bool = True,
 ) -> DataFrame:
     """Gap-constrained sequential pattern counts: for every ordered
     event pair (a → b), how often b follows a within ``max_gap``
@@ -341,9 +342,13 @@ def sequential_pairs(
     counts.  Work is rows × max_gap, never rows², and nothing
     shuffles except the window's key partition and the final count.
 
-    Output: ``a, b, n_pairs`` (total gap-≤ occurrences) and
-    ``n_keys`` (distinct keys exhibiting the pattern — the sequence
-    SUPPORT in the mining sense), sorted by caller.
+    Output: ``a, b, n_pairs`` (total gap-≤ occurrences) and — when
+    ``with_support`` — ``n_keys`` (distinct keys exhibiting the
+    pattern, the sequence SUPPORT in the mining sense).  Pass
+    ``with_support=False`` when only counts are needed: COUNT
+    DISTINCT plans an expand over the pair stream (2× shuffle bytes),
+    which a corpus-scale caller like ``skipgram_counts`` shouldn't
+    pay for a column it drops.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     seq = events.filter(
@@ -359,7 +364,7 @@ def sequential_pairs(
     pairs = succ.select(
         "__k", "a", F.explode("__succ").alias("b")
     ).filter(F.col("b").isNotNull())
-    return pairs.groupBy("a", "b").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.countDistinct("__k").alias("n_keys"),
-    )
+    aggs = [F.count(F.lit(1)).alias("n_pairs")]
+    if with_support:
+        aggs.append(F.countDistinct("__k").alias("n_keys"))
+    return pairs.groupBy("a", "b").agg(*aggs)

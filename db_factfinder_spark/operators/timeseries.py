@@ -610,3 +610,118 @@ def interpolate_daily_linear(
         "val",
         "is_interp",
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    k: int = 3,
+) -> DataFrame:
+    """Day-of-week-seasonal twin of ``count_anomalies``: each daily
+    count is tested against the baseline of ITS OWN weekday for the
+    key, so a quiet Sunday stops tripping the flat-mean alarm and a
+    Sunday-sized Tuesday correctly does.
+
+    Same n-scaled exact-integer test, per (key, weekday) cell:
+    |c·n − Σc| > k·√(n·Σc² − (Σc)²), the √ being the ONE IEEE op.
+    The weekday is computed portably as ``day_number mod 7`` from the
+    1970-01-01 epoch (0 = Thursday) — engine date-function weekday
+    conventions (Sunday-0 vs Monday-1) never enter the plan.
+
+    Plan: one (key, day) count shuffle, one (key, dow) stats groupBy
+    (≤ 7 rows per key — broadcast back), linear and partial-agg
+    map-side.  Output: ``key_col, day, dow, c, n_days, dev_n,
+    thresh, is_anomaly``.
+    """
+    daily = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(
+            key_col,
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("__dn"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("dow", F.col("__dn") % 7)
+    )
+    stats = daily.groupBy(key_col, "dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("__s1"),
+        F.sum(F.col("c") * F.col("c")).alias("__s2"),
+    )
+    j = daily.join(F.broadcast(stats), [key_col, "dow"])
+    dev_n = F.col("c") * F.col("n_days") - F.col("__s1")
+    thresh = F.lit(float(k)) * F.sqrt(
+        (
+            F.col("n_days") * F.col("__s2") - F.col("__s1") * F.col("__s1")
+        ).cast("double")
+    )
+    return j.select(
+        key_col,
+        F.date_add(F.to_date(F.lit("1970-01-01")), F.col("__dn").cast("int"))
+        .alias("day"),
+        "dow",
+        "c",
+        "n_days",
+        dev_n.alias("dev_n"),
+        thresh.alias("thresh"),
+        (F.abs(dev_n).cast("double") > thresh).alias("is_anomaly"),
+    )
+
+
+def dispersion_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Burstiness audit of each key's daily-count series: Fano factor
+    (variance / mean) and squared coefficient of variation — the two
+    standard dispersion indices behind "is this feed Poisson-like or
+    bursty?".  A Poisson process has Fano ≈ 1; boilerplate floods and
+    bot traffic push it far above.
+
+    With n days, S₁ = Σc and S₂ = Σc² (exact integers):
+
+        fano = (n·S₂ − S₁²) / (n·S₁)        (population var / mean)
+        cv²  = (n·S₂ − S₁²) / S₁²
+
+    each ONE IEEE division of exact integers — no sqrt anywhere, so
+    every engine agrees bit-for-bit.  The over-dispersion flag is
+    decided in pure integers (n·S₂ − S₁² > n·S₁ ⟺ var > mean).
+    Keys with zero total count yield NULL ratios, never a division
+    error.
+
+    One count shuffle + one stats groupBy; constant output per key.
+    Output: ``key_col, n_days, total, fano, cv2, overdispersed``.
+    """
+    daily = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(
+            key_col,
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("__dn"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = daily.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("__s2"),
+    )
+    var_n2 = (
+        F.col("n_days") * F.col("__s2") - F.col("total") * F.col("total")
+    )
+    return stats.select(
+        key_col,
+        "n_days",
+        "total",
+        F.when(
+            F.col("total") > 0,
+            var_n2.cast("double")
+            / (F.col("n_days") * F.col("total")).cast("double"),
+        ).alias("fano"),
+        F.when(
+            F.col("total") > 0,
+            var_n2.cast("double")
+            / (F.col("total") * F.col("total")).cast("double"),
+        ).alias("cv2"),
+        (var_n2 > F.col("n_days") * F.col("total")).alias("overdispersed"),
+    )

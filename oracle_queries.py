@@ -5245,3 +5245,104 @@ SELECT lang, token, cnt, rank, cum FROM ranked
 WHERE (cum - cnt) * 10 < 9 * total
 ORDER BY lang, rank
 """
+
+
+# q214: skip-grams — positions self-join |Δ| ∈ [1, 2] (the quadratic
+# form the Spark side's lead-k windows avoid), same tokenizer.
+ORACLES["q214_skipgram_counts"] = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents WHERE text IS NOT NULL),
+toks AS (
+  SELECT doc_id, unnest(ts) AS tok,
+         unnest(range(1, len(ts) + 1)) AS idx
+  FROM d),
+pairs AS (
+  SELECT a.tok AS center, b.tok AS context
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id
+   AND abs(a.idx - b.idx) BETWEEN 1 AND 2)
+SELECT center, context, count(*) AS n
+FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5
+ORDER BY center, context
+"""
+
+
+# q215: seasonal anomalies — same epoch-day mod 7 weekday, n-scaled
+# integer deviation, one sqrt.
+ORACLES["q215_seasonal_anomalies"] = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+         count(*) AS c
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+d2 AS (SELECT *, dn % 7 AS dow FROM daily),
+stats AS (
+  SELECT event_type, dow, count(*) AS n_days,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM d2 GROUP BY 1, 2)
+SELECT d.event_type, DATE '1970-01-01' + CAST(d.dn AS INTEGER) AS day,
+       CAST(d.dow AS BIGINT) AS dow, d.c, s.n_days,
+       CAST(d.c * s.n_days - s.s1 AS BIGINT) AS dev_n,
+       2.0 * sqrt(CAST(s.n_days * s.s2 - s.s1 * s.s1 AS DOUBLE))
+         AS thresh,
+       CAST(abs(d.c * s.n_days - s.s1) AS DOUBLE)
+         > 2.0 * sqrt(CAST(s.n_days * s.s2 - s.s1 * s.s1 AS DOUBLE))
+         AS is_anomaly
+FROM d2 d JOIN stats s
+  ON s.event_type = d.event_type AND s.dow = d.dow
+ORDER BY d.event_type, day
+"""
+
+
+# q216: dispersion — exact-integer Fano / CV², integer flag.
+ORACLES["q216_dispersion_audit"] = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+         count(*) AS c
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(sum(c) AS BIGINT) AS total,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM daily GROUP BY 1)
+SELECT event_type, n_days, total,
+       CASE WHEN total > 0 THEN
+         CAST(n_days * s2 - total * total AS DOUBLE)
+           / CAST(n_days * total AS DOUBLE) END AS fano,
+       CASE WHEN total > 0 THEN
+         CAST(n_days * s2 - total * total AS DOUBLE)
+           / CAST(total * total AS DOUBLE) END AS cv2,
+       (n_days * s2 - total * total) > n_days * total AS overdispersed
+FROM stats ORDER BY event_type
+"""
+
+
+# q217: assortativity — q188's fixed-order sufficient-statistic r
+# over the distinct customer–supplier edge set.
+ORACLES["q217_degree_assortativity"] = """
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+dc AS (SELECT c, count(*) AS dc FROM e GROUP BY 1),
+ds AS (SELECT s, count(*) AS ds FROM e GROUP BY 1),
+pairs AS (
+  SELECT CAST(dc.dc AS HUGEINT) AS x, CAST(ds.ds AS HUGEINT) AS y
+  FROM e JOIN dc ON dc.c = e.c JOIN ds ON ds.s = e.s),
+agg AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pairs)
+SELECT 'all' AS g, CAST(n AS BIGINT) AS n,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+         THEN CAST(n * sxy - sx * sy AS DOUBLE)
+              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS r
+FROM agg
+"""

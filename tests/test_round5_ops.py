@@ -1035,3 +1035,118 @@ def test_top_p_rejects_bad_p(spark):
         top_p_truncate(df, "g", "tok", "n", 0, 10)
     with pytest.raises(ValueError):
         top_p_truncate(df, "g", "tok", "n", 11, 10)
+
+
+# ---- skip-gram counts (q214) -----------------------------------------
+
+from db_factfinder_spark.llmdata.textstats import skipgram_counts
+
+
+def test_skipgram_counts_window_and_symmetry(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, None)], "doc_id long, text string"
+    )
+    got = {
+        (r["center"], r["context"]): r["n"]
+        for r in skipgram_counts(docs, window=2, min_count=1).collect()
+    }
+    # positions: a1 b2 c3 a4
+    # fwd pairs |Δ|∈[1,2]: (a1,b2),(a1,c3),(b2,c3),(b2,a4),(c3,a4)
+    want = {
+        ("a", "b"): 1 + 1,   # fwd (a,b) + swap of (b,a)
+        ("b", "a"): 1 + 1,   # fwd (b,a) + swap of (a,b)
+        ("a", "c"): 1 + 1,   # fwd (a,c) + swap of (c,a)
+        ("c", "a"): 1 + 1,
+        ("b", "c"): 1,
+        ("c", "b"): 1,
+    }
+    assert got == want
+
+
+def test_skipgram_min_count_prunes(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y")], "doc_id long, text string"
+    )
+    got = skipgram_counts(docs, window=1, min_count=3).collect()
+    # adjacent pairs: (x,y)x3, (y,x)x2 → symmetric n(x,y)=n(y,x)=5
+    assert {(r["center"], r["context"]): r["n"] for r in got} == {
+        ("x", "y"): 5, ("y", "x"): 5,
+    }
+
+
+# ---- seasonal anomalies (q215) ---------------------------------------
+
+from db_factfinder_spark.operators.timeseries import seasonal_anomalies
+
+
+def test_seasonal_anomalies_flags_within_weekday_only(spark):
+    import datetime as dt
+    # Mondays: counts 10, 10, 40 (spike); the 40 would NOT be an
+    # anomaly vs a flat all-days baseline polluted by huge Fridays.
+    rows = []
+    eid = 0
+    for wk, n in [(0, 10), (1, 10), (2, 40)]:
+        day = dt.datetime(2024, 1, 1, 9) + dt.timedelta(weeks=wk)  # Mondays
+        for _ in range(n):
+            rows.append(("t", day, eid)); eid += 1
+    for wk in range(3):
+        day = dt.datetime(2024, 1, 5, 9) + dt.timedelta(weeks=wk)  # Fridays
+        for _ in range(500):
+            rows.append(("t", day, eid)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long"
+    )
+    out = {
+        (str(r["day"])): r
+        for r in seasonal_anomalies(df, k=1).collect()
+    }
+    assert out["2024-01-15"]["is_anomaly"]          # the 40-Monday
+    assert not out["2024-01-01"]["is_anomaly"]
+    assert not out["2024-01-05"]["is_anomaly"]      # Fridays are normal
+    # weekday baseline: Monday cell has n_days=3, s1=60
+    assert out["2024-01-15"]["n_days"] == 3
+    assert out["2024-01-15"]["dev_n"] == 40 * 3 - 60
+
+
+def test_seasonal_anomalies_portable_dow(spark):
+    import datetime as dt
+    # 1970-01-01 (dn=0) was a Thursday → dow 0; 1970-01-05 Monday → 4
+    df = spark.createDataFrame(
+        [("t", dt.datetime(1970, 1, 1, 1), 0),
+         ("t", dt.datetime(1970, 1, 5, 1), 1)],
+        "event_type string, ts timestamp, event_id long",
+    )
+    got = {str(r["day"]): r["dow"] for r in seasonal_anomalies(df).collect()}
+    assert got == {"1970-01-01": 0, "1970-01-05": 4}
+
+
+# ---- dispersion audit (q216) -----------------------------------------
+
+from db_factfinder_spark.operators.timeseries import dispersion_stats
+
+
+def test_dispersion_exact_values(spark):
+    import datetime as dt
+    # daily counts 1, 3 → n=2, S1=4, S2=10: var_n2 = 20-16 = 4
+    rows = [("t", dt.datetime(2024, 1, 1, 1), 0)]
+    rows += [("t", dt.datetime(2024, 1, 2, 1), i) for i in range(1, 4)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long"
+    )
+    [r] = dispersion_stats(df).collect()
+    assert (r["n_days"], r["total"]) == (2, 4)
+    assert r["fano"] == 4 / 8          # (2·10−16)/(2·4)
+    assert r["cv2"] == 4 / 16
+    assert not r["overdispersed"]      # var 1 < mean 2
+
+
+def test_dispersion_overdispersed_flag(spark):
+    import datetime as dt
+    # counts 1, 9 → n=2, S1=10, S2=82: var_n2 = 64 > n·S1 = 20
+    rows = [("t", dt.datetime(2024, 1, 1, 1), 0)]
+    rows += [("t", dt.datetime(2024, 1, 2, 1), i) for i in range(1, 10)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long"
+    )
+    [r] = dispersion_stats(df).collect()
+    assert r["overdispersed"] and r["fano"] == 64 / 20
