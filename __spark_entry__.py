@@ -5210,6 +5210,85 @@ def q217_degree_assortativity(spark, sf_dir):
     ).orderBy("g")
 
 
+
+def q218_cluster_silhouette(spark, sf_dir):
+    """Centroid-silhouette audit of the labeled embedding set:
+    int8-quantized codes, unnormalized (n, sum-vector) centroids as
+    bounded literals, exact-integer distance folds with one division
+    per (point, cluster) -- map-side scoring, no join (see
+    cluster_silhouette)."""
+    from db_factfinder_spark.llmdata.similarity import cluster_silhouette
+
+    embs = _embs(spark, sf_dir)
+    return (
+        cluster_silhouette(embs)
+        .select(F.col("id").alias("vec_id"), "label", "a2", "b2", "sil")
+        .orderBy("vec_id")
+    )
+
+
+def q219_target_encoding(spark, sf_dir):
+    """Leave-one-out + prior-smoothed target encoding of order
+    priority against order cents: exact-integer rationals, the
+    smoothed prior folded in cross-multiplied form so no intermediate
+    mean ever rounds (see target_encode_loo)."""
+    from db_factfinder_spark.operators.encoding import target_encode_loo
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return target_encode_loo(
+        orders, "o_orderpriority", "cents", "o_orderkey", smoothing=10
+    ).orderBy("o_orderkey")
+
+
+def q220_hashed_features(spark, sf_dir):
+    """Signed feature hashing of document tokens into 64 buckets --
+    md5 bucket + independent md5 sign bit, sparse per-doc signed sums
+    (see hashed_features)."""
+    from db_factfinder_spark.llmdata.textstats import hashed_features
+
+    docs = _docs(spark, sf_dir)
+    return (
+        hashed_features(docs, n_buckets=64)
+        .select(F.col("id").alias("doc_id"), "bucket", "w")
+        .orderBy("doc_id", "bucket")
+    )
+
+
+def q221_entity_resolution(spark, sf_dir):
+    """End-to-end entity resolution: deletion-neighborhood fuzzy
+    pairs (q95) become edges, connected components assign canonical
+    representatives, group sizes report cluster mass -- the
+    dedup-survivor pipeline pointed at dirty entity names."""
+    from db_factfinder_spark.llmdata.components import connected_components
+    from db_factfinder_spark.llmdata.strmatch import edit1_join
+
+    sup = _t(spark, sf_dir, "supplier")
+    probes = sup.select(
+        (F.col("s_suppkey") + 1000000).alias("p_id"),
+        F.concat(
+            F.substring("s_name", 1, 2), F.expr("substring(s_name, 4)")
+        ).alias("p_name"),
+    )
+    pairs = edit1_join(probes, sup, "p_id", "p_name", "s_suppkey", "s_name")
+    comp = connected_components(pairs, src="p_id", dst="s_suppkey")
+    sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        comp.join(sizes, "label")
+        .select(
+            F.col("id").alias("node_id"),
+            F.col("label").alias("rep_id"),
+            "group_size",
+        )
+        .orderBy("node_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5434,6 +5513,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q215_seasonal_anomalies": q215_seasonal_anomalies,
         "q216_dispersion_audit": q216_dispersion_audit,
         "q217_degree_assortativity": q217_degree_assortativity,
+        "q218_cluster_silhouette": q218_cluster_silhouette,
+        "q219_target_encoding": q219_target_encoding,
+        "q220_hashed_features": q220_hashed_features,
+        "q221_entity_resolution": q221_entity_resolution,
     }
 
 

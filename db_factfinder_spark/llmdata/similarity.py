@@ -647,3 +647,102 @@ def jl_projection(
         ).alias("proj"),
         self_dot.alias("q_self"),
     )
+
+
+def cluster_silhouette(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-point centroid-silhouette audit of a labeled embedding set
+    — the clustering-quality readout (a simplified silhouette: a² =
+    squared distance to the OWN label's centroid, b² = squared
+    distance to the nearest OTHER centroid, s = (b² − a²)/max(a², b²);
+    the classic all-pairs silhouette is O(n²), this centroid form is
+    the standard scalable surrogate, cf. sklearn's davies_bouldin /
+    MiniBatch practice).
+
+    Exactness: vectors are int8-quantized first
+    (``quantize_embeddings``), so each cluster's centroid is carried
+    UNNORMALIZED as (n_ℓ, S_ℓ = Σ codes): the squared distance to the
+    mean folds as the exact-integer sum Σ_d (n_ℓ·q_d − S_ℓd)² with ONE
+    division by n_ℓ² at the end — no float accumulation anywhere, any
+    engine reproduces every s bit-for-bit.  (Integer headroom: fine
+    while n_ℓ·127 stays under ~3·10⁹ per dimension — beyond that, at
+    billion-row clusters, lift the fold to decimal(38,0), same
+    semantics.)
+
+    Plan shape: one explode + groupBy builds the ≤ k×dim centroid
+    table, which crosses the driver as LITERALS (the kmeans
+    pattern) — the scoring pass is then map-side only: no join, no
+    shuffle, each row folds against k literal arrays.
+
+    Output: ``id, label, a2, b2, sil`` (sil NULL when only one
+    cluster exists; 0.0 when both distances are 0).
+    """
+    q = quantize_embeddings(df, id_col, vec_col).select("id", "q")
+    labeled = q.join(
+        df.select(F.col(id_col).alias("id"), F.col(label_col).alias("lbl")),
+        "id",
+    )
+    dims = labeled.select(
+        "lbl", F.posexplode(F.col("q")).alias("d", "v")
+    )
+    cent_rows = (
+        dims.groupBy("lbl", "d")
+        .agg(F.sum(F.col("v").cast("long")).alias("s"))
+        .groupBy("lbl")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("d", "s"))),
+                lambda x: x["s"],
+            ).alias("S"),
+        )
+        .join(labeled.groupBy("lbl").agg(F.count(F.lit(1)).alias("n")), "lbl")
+        .collect()
+    )
+    # bounded k×dim literal centroid state — the kmeans idiom
+    cents = {r["lbl"]: (int(r["n"]), [int(x) for x in r["S"]]) for r in cent_rows}
+
+    def d2_to(n_l: int, s_l: list[int]):
+        s_lit = F.array(*[F.lit(x).cast("long") for x in s_l])
+        num = F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                s_lit,
+                lambda x, s: (x.cast("long") * n_l - s)
+                * (x.cast("long") * n_l - s),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        return num.cast("double") / F.lit(float(n_l * n_l))
+
+    own = None
+    best_other = None
+    for lbl, (n_l, s_l) in sorted(cents.items()):
+        d2 = d2_to(n_l, s_l)
+        own = F.when(F.col("lbl") == lbl, d2) if own is None else own.when(
+            F.col("lbl") == lbl, d2
+        )
+        other = F.when(F.col("lbl") != lbl, d2)
+        best_other = (
+            other if best_other is None else F.least(best_other, other)
+        )
+    sil = F.when(
+        F.greatest(F.col("a2"), F.col("b2")) > 0,
+        (F.col("b2") - F.col("a2"))
+        / F.greatest(F.col("a2"), F.col("b2")),
+    ).otherwise(
+        F.when(F.col("b2").isNotNull(), F.lit(0.0))
+    )
+    return (
+        labeled.select(
+            "id",
+            F.col("lbl").alias("label"),
+            own.alias("a2"),
+            best_other.alias("b2"),
+        )
+        .withColumn("sil", sil)
+    )

@@ -1090,3 +1090,50 @@ def skipgram_counts(
         .agg(F.sum("n_pairs").cast("long").alias("n"))
         .filter(F.col("n") >= min_count)
     )
+
+
+def hashed_features(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Signed feature hashing (the "hashing trick", Weinberger et al.
+    ICML'09): each token lands in ``md5(token) mod n_buckets`` with a
+    ±1 sign drawn from an independent hash bit, and a document's
+    sparse feature vector is the per-bucket SUM of signs — the
+    fixed-width, vocabulary-free text featurization that needs no
+    dictionary build, no vocabulary shuffle, and no retraining when
+    new tokens appear (the 100 TB reasons it exists).
+
+    Hashing is md5-based like every stable hash in this repo — bucket
+    from the first 28 bits, sign from the 8th hex digit's low bit —
+    so any engine reproduces the exact vectors; engine-native hash
+    functions are never portable.  The signed sum makes collisions
+    cancel in expectation (the unbiasedness argument of the paper).
+
+    Plan: explode → map-side hash exprs → one (doc, bucket) groupBy.
+    Zero-weight buckets are kept sparse (dropped), never densified.
+
+    Output: ``id, bucket, w`` (w = signed count, long).
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    h = F.md5(F.col("tok"))
+    bucket = (
+        F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % n_buckets
+    )
+    sign = F.when(
+        F.conv(F.substring(h, 8, 1), 16, 10).cast("long") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select("id", bucket.alias("bucket"), sign.alias("s"))
+        .groupBy("id", "bucket")
+        .agg(F.sum("s").cast("long").alias("w"))
+        .filter(F.col("w") != 0)
+    )

@@ -1,0 +1,75 @@
+"""Leakage-free categorical feature encoding.
+
+Target (mean) encoding replaces a high-cardinality category with the
+mean of the target over that category — but the naive version leaks
+each row's own label into its feature.  The standard fix is
+leave-one-out: row i of category g gets (Σy_g − y_i)/(n_g − 1), and
+its smoothed variant shrinks small categories toward the global mean
+with pseudo-count m (Micci-Barreca, SIGKDD Explorations 2001).
+
+Both are computed here as exact-integer rationals with ONE IEEE
+division each — the smoothed encoding folds the global-mean prior in
+cross-multiplied form,
+
+    enc_s = (N·(Σy_g − y_i) + m·T) / (N·(n_g − 1 + m))
+
+(T = global target sum, N = global rows), so no intermediate float
+mean ever rounds.  Plan: one groupBy to per-category sufficient
+statistics, broadcast back onto the rows (category tables are small
+by construction — that's why the encoding exists), plus one scalar
+global aggregate crossJoin-broadcast.  No window, no self-join;
+map-side after the two joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["target_encode_loo"]
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    id_col: str,
+    smoothing: int = 10,
+) -> DataFrame:
+    """Leave-one-out and prior-smoothed target encodings of
+    ``cat_col`` against the integer ``target_col``.
+
+    ``enc_loo`` is NULL for singleton categories (nothing to leave
+    out); ``enc_smooth`` is always defined for ``smoothing > 0``.
+    Output: ``id_col, cat_col, <target_col>, enc_loo, enc_smooth``.
+    """
+    if smoothing < 0:
+        raise ValueError("smoothing must be >= 0")
+    y = F.col(target_col).cast("long")
+    base = df.select(id_col, cat_col, y.alias(target_col))
+    stats = base.groupBy(cat_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(target_col).alias("__s"),
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).cast("long").alias("__gn"),
+        F.sum(target_col).cast("long").alias("__gt"),
+    )
+    j = base.join(F.broadcast(stats), cat_col).crossJoin(F.broadcast(glob))
+    loo_num = F.col("__s") - F.col(target_col)
+    return j.select(
+        id_col,
+        cat_col,
+        target_col,
+        F.when(
+            F.col("__n") > 1,
+            loo_num.cast("double") / (F.col("__n") - 1).cast("double"),
+        ).alias("enc_loo"),
+        F.when(
+            (F.col("__n") - 1 + smoothing) > 0,
+            (F.col("__gn") * loo_num + smoothing * F.col("__gt"))
+            .cast("double")
+            / (F.col("__gn") * (F.col("__n") - 1 + smoothing))
+            .cast("double"),
+        ).alias("enc_smooth"),
+    )

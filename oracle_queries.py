@@ -5346,3 +5346,111 @@ SELECT 'all' AS g, CAST(n AS BIGINT) AS n,
        END AS r
 FROM agg
 """
+
+
+# q218: silhouette — exploded per-dim grain join against per-label
+# (n, S) stats; same exact-integer fold, one division per pair.
+ORACLES["q218_cluster_silhouette"] = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE label IS NOT NULL),
+sc AS (
+  SELECT vec_id, label, v,
+    greatest(list_max(list_transform(v, y -> abs(y))), 1e-30) / 127.0
+      AS scale
+  FROM e),
+q AS (
+  SELECT vec_id, label,
+    list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS ld
+  FROM sc),
+dims AS (
+  SELECT vec_id, label, unnest(ld) AS qd,
+         unnest(range(1, len(ld) + 1)) AS d
+  FROM q),
+cent AS (
+  SELECT label AS cl, d, CAST(sum(qd) AS BIGINT) AS s
+  FROM dims GROUP BY 1, 2),
+sizes AS (SELECT label AS cl, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1),
+d2 AS (
+  SELECT p.vec_id, p.label, c.cl,
+    CAST(sum((s2.n * p.qd - c.s) * (s2.n * p.qd - c.s)) AS DOUBLE)
+      / CAST(s2.n * s2.n AS DOUBLE) AS dd
+  FROM dims p JOIN cent c ON c.d = p.d JOIN sizes s2 ON s2.cl = c.cl
+  GROUP BY p.vec_id, p.label, c.cl, s2.n),
+agg AS (
+  SELECT vec_id, label,
+    max(CASE WHEN cl = label THEN dd END) AS a2,
+    min(CASE WHEN cl != label THEN dd END) AS b2
+  FROM d2 GROUP BY 1, 2)
+SELECT vec_id, label, a2, b2,
+  CASE WHEN greatest(a2, b2) > 0 THEN (b2 - a2) / greatest(a2, b2)
+       WHEN b2 IS NOT NULL THEN 0.0 END AS sil
+FROM agg ORDER BY vec_id
+"""
+
+
+# q219: target encoding — identical cross-multiplied rationals.
+ORACLES["q219_target_encoding"] = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+stats AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s
+  FROM o GROUP BY 1),
+gstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS gn, CAST(sum(cents) AS BIGINT) AS gt
+  FROM o)
+SELECT o.o_orderkey, o.o_orderpriority, o.cents,
+  CASE WHEN st.n > 1 THEN
+    CAST(st.s - o.cents AS DOUBLE) / CAST(st.n - 1 AS DOUBLE) END
+    AS enc_loo,
+  CASE WHEN st.n - 1 + 10 > 0 THEN
+    CAST(g.gn * (st.s - o.cents) + 10 * g.gt AS DOUBLE)
+      / CAST(g.gn * (st.n - 1 + 10) AS DOUBLE) END AS enc_smooth
+FROM o JOIN stats st USING (o_orderpriority) CROSS JOIN gstats g
+ORDER BY o.o_orderkey
+"""
+
+
+# q220: feature hashing — same md5 bucket/sign bits over _TOKS.
+ORACLES["q220_hashed_features"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok
+  FROM documents WHERE text IS NOT NULL),
+h AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(tok), 1, 7))::BIGINT % 64 AS bucket,
+    CASE WHEN ('0x' || substr(md5(tok), 8, 1))::BIGINT % 2 = 0
+         THEN 1 ELSE -1 END AS s
+  FROM tok)
+SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS w
+FROM h GROUP BY 1, 2 HAVING sum(s) != 0
+ORDER BY doc_id, bucket
+"""
+
+
+# q221: entity resolution — q95's brute-force pair set closed by the
+# q46 recursive-reach component pattern.
+ORACLES["q221_entity_resolution"] = """
+WITH RECURSIVE probes AS (
+  SELECT s_suppkey + 1000000 AS p_id,
+         substr(s_name, 1, 2) || substr(s_name, 4) AS p_name
+  FROM supplier),
+pairs AS (
+  SELECT p.p_id AS a, s.s_suppkey AS b
+  FROM probes p CROSS JOIN supplier s
+  WHERE levenshtein(p.p_name, s.s_name) <= 1),
+edges AS (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS node_id, min(b) AS rep_id FROM reach GROUP BY a),
+sizes AS (SELECT rep_id, count(*) AS group_size FROM comp GROUP BY rep_id)
+SELECT node_id, comp.rep_id, group_size
+FROM comp JOIN sizes USING (rep_id) ORDER BY node_id
+"""

@@ -1150,3 +1150,133 @@ def test_dispersion_overdispersed_flag(spark):
     )
     [r] = dispersion_stats(df).collect()
     assert r["overdispersed"] and r["fano"] == 64 / 20
+
+
+# ---- cluster silhouette (q218) ---------------------------------------
+
+from db_factfinder_spark.llmdata.similarity import cluster_silhouette
+
+
+def test_silhouette_separated_singletons(spark):
+    # two singleton clusters: each point IS its centroid → a2 = 0,
+    # b2 > 0 → sil exactly 1.0
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r["id"]: r for r in cluster_silhouette(df).collect()}
+    assert got[1]["a2"] == 0.0 and got[1]["sil"] == 1.0
+    assert got[2]["a2"] == 0.0 and got[2]["sil"] == 1.0
+
+
+def test_silhouette_single_cluster_null(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = cluster_silhouette(df).collect()
+    assert all(r["b2"] is None and r["sil"] is None for r in rows)
+
+
+def test_silhouette_exact_distances(spark):
+    # cluster 0: codes quantize to (127, 0) and (0, 127) → n=2,
+    # S=(127,127); cluster 1: one point (−127, 0).
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0), (3, [-1.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r["id"]: r for r in cluster_silhouette(df).collect()}
+    # point 1 vs own centroid: ((2·127−127)² + (0−127)²)/4 = 2·127²/4
+    assert got[1]["a2"] == 2 * 127 * 127 / 4
+    # point 1 vs cluster-1 centroid (n=1): (127−(−127))² = 254²
+    assert got[1]["b2"] == 254.0 * 254.0
+    assert got[3]["a2"] == 0.0 and got[3]["sil"] == 1.0
+
+
+# ---- target encoding (q219) ------------------------------------------
+
+from db_factfinder_spark.operators.encoding import target_encode_loo
+
+
+def test_target_encode_loo_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 100)],
+        "id long, cat string, y long",
+    )
+    got = {r["id"]: r for r in
+           target_encode_loo(df, "cat", "y", "id", smoothing=2).collect()}
+    # row 1: loo = (60-10)/2 = 25; smoothed = (4·50 + 2·160)/(4·(2+2))
+    assert got[1]["enc_loo"] == 25.0
+    assert got[1]["enc_smooth"] == (4 * 50 + 2 * 160) / (4 * 4)
+    # singleton category: loo NULL, smoothed defined
+    assert got[4]["enc_loo"] is None
+    assert got[4]["enc_smooth"] == (4 * 0 + 2 * 160) / (4 * 2)
+
+
+def test_target_encode_smoothing_zero_singleton_null(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10)], "id long, cat string, y long"
+    )
+    [r] = target_encode_loo(df, "cat", "y", "id", smoothing=0).collect()
+    assert r["enc_loo"] is None and r["enc_smooth"] is None
+    with pytest.raises(ValueError):
+        target_encode_loo(df, "cat", "y", "id", smoothing=-1)
+
+
+# ---- feature hashing (q220) ------------------------------------------
+
+from db_factfinder_spark.llmdata.textstats import hashed_features
+
+
+def test_hashed_features_deterministic_and_bounded(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, None)],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        (r["id"], r["bucket"], r["w"])
+        for r in hashed_features(docs, n_buckets=8).collect()
+    )
+    b = sorted(
+        (r["id"], r["bucket"], r["w"])
+        for r in hashed_features(docs, n_buckets=8).collect()
+    )
+    assert a == b and a
+    assert all(0 <= bk < 8 for _, bk, _ in a)
+    # repeated token accumulates: |w| for alpha's bucket ≥ 2 unless a
+    # colliding token cancels — with 3 distinct tokens in 8 buckets,
+    # total |w| is at most 4 and the sum of |w| has alpha parity
+    assert sum(abs(w) for _, _, w in a) >= 2
+
+
+def test_hashed_features_single_bucket_sums_signs(spark):
+    docs = spark.createDataFrame(
+        [(1, "x x x")], "doc_id long, text string"
+    )
+    rows = hashed_features(docs, n_buckets=1).collect()
+    assert len(rows) == 1 and rows[0]["bucket"] == 0
+    assert abs(rows[0]["w"]) == 3     # one token → one sign, 3 copies
+    with pytest.raises(ValueError):
+        hashed_features(docs, n_buckets=0)
+
+
+# ---- entity resolution composition (q221) ----------------------------
+
+def test_entity_resolution_components(spark):
+    from db_factfinder_spark.llmdata.components import connected_components
+    from db_factfinder_spark.llmdata.strmatch import edit1_join
+
+    clean = spark.createDataFrame(
+        [(1, "acme corp"), (2, "acme  corp"), (3, "zenith ltd")],
+        "sid long, name string",
+    )
+    probes = spark.createDataFrame(
+        [(101, "acme corp"), (103, "zenith ltdx")],
+        "pid long, name string",
+    )
+    pairs = edit1_join(probes, clean, "pid", "name", "sid", "name")
+    comp = connected_components(pairs, src="pid", dst="sid")
+    got = {r["id"]: r["label"] for r in comp.collect()}
+    # probe 101 links suppliers 1 and 2 (both within edit-1) → rep 1
+    assert got[101] == 1 and got[1] == 1 and got[2] == 1
+    assert got[103] == 3 and got[3] == 3
