@@ -5289,6 +5289,73 @@ def q221_entity_resolution(spark, sf_dir):
     )
 
 
+
+def q222_mutual_topk(spark, sf_dir):
+    """Reciprocal k-NN pairs over the whole embedding corpus:
+    int8-quantized exact-ratio cosine top-10 each way, mutuality by
+    one self-equi-join of the k-n edge list on the swapped key (see
+    mutual_topk)."""
+    from db_factfinder_spark.llmdata.similarity import mutual_topk
+
+    embs = _embs(spark, sf_dir)
+    return mutual_topk(embs, k=10).orderBy("item_a", "item_b")
+
+
+def q223_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient over the simhash near-dup graph:
+    cc = 2T / d(d-1) as an exact-int ratio, composing the
+    degree-ordered wedge triangle counts (q101) with edge degrees --
+    the clique-vs-chain separation per node, normalized."""
+    from db_factfinder_spark.llmdata.components import triangle_counts
+
+    docs = _docs(spark, sf_dir)
+    pairs = simhash_near_pairs(
+        docs, bits=32, max_hamming=1, prefix_bits=8, max_bucket=None
+    )
+    e = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(pairs)
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                (2 * F.coalesce("n_triangles", F.lit(0))).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+            ).alias("cc"),
+        )
+        .orderBy("node")
+    )
+
+
+def q224_survival_hazard(spark, sf_dir):
+    """Discrete survival hazard table over user lifespans: sweep-line
+    +-1 deltas give every day's risk set from one cumulative window
+    over the calendar (never days x users work); right-censoring at
+    the corpus edge; hazard = exact-int d/n (see hazard_table)."""
+    from db_factfinder_spark.operators.survival import hazard_table
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return hazard_table(ev, censor_gap=2).orderBy("day")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5517,6 +5584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q219_target_encoding": q219_target_encoding,
         "q220_hashed_features": q220_hashed_features,
         "q221_entity_resolution": q221_entity_resolution,
+        "q222_mutual_topk": q222_mutual_topk,
+        "q223_clustering_coefficient": q223_clustering_coefficient,
+        "q224_survival_hazard": q224_survival_hazard,
     }
 
 

@@ -70,6 +70,8 @@ HEADLINE = [
     "q193_bigram_lm",           # tail-zip bigrams + window c_prev
     "q194_linear_attribution",  # union-window assign + remainder split
     "q195_event_runs",          # gaps-and-islands RLE, one key shuffle
+    "q211_rolling_exact_distinct",  # coverage-interval explode, no distinct
+    "q214_skipgram_counts",     # posexplode + lead-k windows + symmetrize
     # q198_bootstrap_ci is deliberately NOT a headline entry: its warm
     # time is ~95% driver-side Catalyst/AQE assembly of the 64-wide
     # aggregate tree (re-execution of the built plan runs in ~0.2 s,

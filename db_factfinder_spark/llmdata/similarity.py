@@ -746,3 +746,42 @@ def cluster_silhouette(
         )
         .withColumn("sil", sil)
     )
+
+
+def mutual_topk(
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal (mutual) k-nearest-neighbor pairs: (a, b) such that
+    b is in a's quantized-cosine top-k AND a is in b's — the standard
+    high-precision edge filter for building k-NN graphs (one-sided
+    neighbors of a hub are mostly noise; mutuality kills them).
+
+    Built on ``quantized_topk`` with the corpus as its own probe set
+    (int8 codes broadcast — 65 bytes/vector, so even a million-vector
+    corpus broadcasts in tens of MB; beyond that, swap the scoring
+    stage for the LSH-bucketed candidate join of ``lsh_topk``, the
+    mutuality join below is unchanged).  The reciprocity test is one
+    self-equi-join of the top-k edge list on the swapped key pair —
+    k·n rows, never n².
+
+    Output: ``item_a < item_b, cosine (quantized, exact-ratio),
+    rank_ab (b's rank in a's list), rank_ba`` — one row per mutual
+    pair.
+    """
+    edges = quantized_topk(corpus, corpus, k=k, id_col=id_col,
+                           vec_col=vec_col)
+    fwd = edges.select(
+        F.col("probe_id").alias("item_a"),
+        F.col("neighbor_id").alias("item_b"),
+        F.col("qcosine").alias("cosine"),
+        F.col("rank").alias("rank_ab"),
+    ).filter(F.col("item_a") < F.col("item_b"))
+    rev = edges.select(
+        F.col("neighbor_id").alias("item_a"),
+        F.col("probe_id").alias("item_b"),
+        F.col("rank").alias("rank_ba"),
+    ).filter(F.col("item_a") < F.col("item_b"))
+    return fwd.join(rev, ["item_a", "item_b"])

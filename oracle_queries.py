@@ -5454,3 +5454,105 @@ sizes AS (SELECT rep_id, count(*) AS group_size FROM comp GROUP BY rep_id)
 SELECT node_id, comp.rep_id, group_size
 FROM comp JOIN sizes USING (rep_id) ORDER BY node_id
 """
+
+
+# q222: mutual k-NN — full-corpus quantized scoring (q66's SQL), two
+# one-sided top-k projections joined on the swapped key.
+ORACLES["q222_mutual_topk"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+sc AS (
+  SELECT vec_id, v,
+    greatest(list_max(list_transform(v, y -> abs(y))), 1e-30) / 127.0
+      AS scale
+  FROM e),
+q AS (
+  SELECT vec_id, list_transform(v, x -> floor(x / scale + 0.5)) AS ld
+  FROM sc),
+selfd AS (SELECT vec_id, ld, list_dot_product(ld, ld) AS sd FROM q),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+    list_dot_product(p.ld, c.ld) / (sqrt(p.sd) * sqrt(c.sd)) AS qcosine
+  FROM selfd p, selfd c WHERE c.vec_id != p.vec_id),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY qcosine DESC, neighbor_id ASC)
+              AS rank
+    FROM scored)
+  WHERE rank <= 10),
+fwd AS (
+  SELECT probe_id AS item_a, neighbor_id AS item_b,
+         qcosine AS cosine, rank AS rank_ab
+  FROM topk WHERE probe_id < neighbor_id),
+rev AS (
+  SELECT neighbor_id AS item_a, probe_id AS item_b, rank AS rank_ba
+  FROM topk WHERE neighbor_id < probe_id)
+SELECT item_a, item_b, cosine, rank_ab, rank_ba
+FROM fwd JOIN rev USING (item_a, item_b)
+ORDER BY item_a, item_b
+"""
+
+
+# q223: clustering coefficient — q33's edge set, id-ordered triangle
+# closure (q101's CTE), exact-int 2T/d(d−1).
+ORACLES["q223_clustering_coefficient"] = f"""
+WITH edges AS (
+  SELECT id_a AS a, id_b AS b FROM ({ORACLES["q33_simhash_pairs"]})),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges)
+  GROUP BY node),
+tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+tcount AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT unnest([x, y, z]) AS node FROM tris) GROUP BY node)
+SELECT d.node, d.deg, COALESCE(t.n_triangles, 0) AS n_triangles,
+  CASE WHEN d.deg >= 2 THEN
+    CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+      / CAST(d.deg * (d.deg - 1) AS DOUBLE) END AS cc
+FROM deg d LEFT JOIN tcount t USING (node)
+ORDER BY d.node
+"""
+
+
+# q224: survival hazard — same sweep-line deltas + cumulative window.
+ORACLES["q224_survival_hazard"] = """
+WITH spans AS (
+  SELECT user_id,
+         min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS fd,
+         max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS ld
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1),
+g AS (SELECT min(fd) AS mind, max(ld) AS maxd FROM spans),
+days AS (SELECT unnest(range(mind, maxd + 1)) AS d FROM g),
+deltas AS (
+  SELECT d, CAST(sum(delta) AS BIGINT) AS net FROM (
+    SELECT fd AS d, 1 AS delta FROM spans
+    UNION ALL SELECT ld + 1 AS d, -1 AS delta FROM spans)
+  GROUP BY 1),
+deaths AS (
+  SELECT ld AS d, count(*) AS d_events
+  FROM spans, g WHERE g.maxd - ld > 2 GROUP BY 1),
+j AS (
+  SELECT days.d, COALESCE(net, 0) AS net,
+         COALESCE(d_events, 0) AS d_events
+  FROM days LEFT JOIN deltas USING (d) LEFT JOIN deaths USING (d)),
+cum AS (
+  SELECT d,
+    CAST(sum(net) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS n_risk,
+    CAST(d_events AS BIGINT) AS d_events
+  FROM j)
+SELECT DATE '1970-01-01' + CAST(d AS INTEGER) AS day, n_risk, d_events,
+  CASE WHEN n_risk > 0
+       THEN CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE) END
+    AS hazard
+FROM cum ORDER BY day
+"""

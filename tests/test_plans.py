@@ -395,6 +395,9 @@ def test_partition_invariance_of_order_sensitive_queries(spark):
         # repartitionByRange's sampled boundaries must not reach the
         # output: offsets correct for any boundary placement
         "q203_quantile_normalize",
+        "q210_decile_gains",
+        # minimal-covering-prefix boundary under ties
+        "q213_top_p_vocab",
     ]
     before = {}
     for name in targets:
@@ -626,3 +629,31 @@ def test_q199_queries_never_rescan_corpus_text(spark):
     tree = plan.split("\n\n")[0]
     assert "Scan parquet" not in tree, tree
     assert "Scan ExistingRDD" in tree, tree
+
+
+def test_q211_exact_rolling_distinct_has_no_expand(spark):
+    """The coverage-interval identity means NO count-distinct anywhere:
+    a COUNT DISTINCT would plan an Expand (or a two-phase distinct
+    aggregate); the whole point of q211 is that plain COUNT suffices
+    because the explode emits each user at most once per covered day."""
+    plan = _plan(spark, "q211_rolling_exact_distinct")
+    assert "Expand" not in plan
+
+
+def test_q214_skipgram_plans_no_join(spark):
+    """Skip-grams come from lead-k windows + a union of projections —
+    the positions² self-join the naive formulation needs must never
+    appear (a join here is the scale bug the operator exists to avoid)."""
+    plan = _plan(spark, "q214_skipgram_counts")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"q214 plans a {node}"
+
+
+def test_q219_encoding_joins_are_broadcast(spark):
+    """Target encoding joins per-category stats and the one-row global
+    aggregate back onto the fact rows: both must broadcast — the fact
+    table never shuffles for a stats lookup."""
+    plan = _plan(spark, "q219_target_encoding")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

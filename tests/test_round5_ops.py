@@ -1280,3 +1280,74 @@ def test_entity_resolution_components(spark):
     # probe 101 links suppliers 1 and 2 (both within edit-1) → rep 1
     assert got[101] == 1 and got[1] == 1 and got[2] == 1
     assert got[103] == 3 and got[3] == 3
+
+
+# ---- mutual top-k (q222) ---------------------------------------------
+
+from db_factfinder_spark.llmdata.similarity import mutual_topk
+
+
+def test_mutual_topk_requires_reciprocity(spark):
+    # a and b are near-identical; c's nearest is a, but a's top-1 is b
+    # → at k=1 only (a, b) is mutual
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.01]), (3, [0.7, 0.7])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = mutual_topk(df, k=1).collect()
+    assert [(r["item_a"], r["item_b"]) for r in rows] == [(1, 2)]
+    assert rows[0]["rank_ab"] == 1 and rows[0]["rank_ba"] == 1
+
+
+def test_mutual_topk_full_k_is_symmetric_pairs(spark):
+    # with k = n−1 every pair is mutual: C(3,2) rows
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = mutual_topk(df, k=2).collect()
+    assert {(r["item_a"], r["item_b"]) for r in rows} == {
+        (1, 2), (1, 3), (2, 3)
+    }
+
+
+# ---- survival hazard table (q224) ------------------------------------
+
+from db_factfinder_spark.operators.survival import hazard_table
+
+
+def test_hazard_table_sweep_line_and_censoring(spark):
+    import datetime as dt
+    # corpus days 1..10 (maxd = day 10):
+    #   u1: [1, 3]  → death on 3 (10−3 > 2)
+    #   u2: [2, 10] → censored (10−10 = 0 ≤ 2)
+    #   u3: [1, 8]  → censored? 10−8 = 2 ≤ 2 → censored
+    def ev(u, d):
+        return (u, dt.datetime(2024, 1, d, 12))
+    df = spark.createDataFrame(
+        [ev(1, 1), ev(1, 3), ev(2, 2), ev(2, 10), ev(3, 1), ev(3, 8)],
+        "user_id long, ts timestamp",
+    )
+    got = {str(r["day"]): r for r in hazard_table(df, censor_gap=2).collect()}
+    assert len(got) == 10
+    # risk sets: d1 {u1,u3}=2, d2 {u1,u2,u3}=3, d3 =3, d4 {u2,u3}=2,
+    # d8 =2, d9 {u2}=1, d10 {u2}=1
+    assert got["2024-01-01"]["n_risk"] == 2
+    assert got["2024-01-02"]["n_risk"] == 3
+    assert got["2024-01-03"]["n_risk"] == 3
+    assert got["2024-01-04"]["n_risk"] == 2
+    assert got["2024-01-09"]["n_risk"] == 1
+    # only u1 dies, on day 3: hazard = 1/3 exactly; censored exits
+    # never appear as deaths
+    assert got["2024-01-03"]["d_events"] == 1
+    assert got["2024-01-03"]["hazard"] == 1 / 3
+    assert sum(r["d_events"] for r in got.values()) == 1
+    assert got["2024-01-10"]["d_events"] == 0
+
+
+def test_hazard_table_rejects_negative_gap(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with pytest.raises(ValueError):
+        hazard_table(df, censor_gap=-1)
