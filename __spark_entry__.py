@@ -5308,9 +5308,16 @@ def q223_clustering_coefficient(spark, sf_dir):
     the clique-vs-chain separation per node, normalized."""
     from db_factfinder_spark.llmdata.components import triangle_counts
 
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+
     docs = _docs(spark, sf_dir)
-    pairs = simhash_near_pairs(
-        docs, bits=32, max_hamming=1, prefix_bits=8, max_bucket=None
+    # consumed twice (degrees + triangle wedges): materialize so the
+    # simhash pair generation runs once
+    pairs = materialize(
+        simhash_near_pairs(
+            docs, bits=32, max_hamming=1, prefix_bits=8, max_bucket=None
+        ),
+        "local",
     )
     e = (
         pairs.select(
