@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 
 BASE = "/root/testdata/sf0.1"
 LADDER = ["q111_prefix_filter_pairs", "q130_span_removal",
-          "q48_simhash_multiprobe", "q52_dedup_survivors"]
+          "q48_simhash_multiprobe", "q52_dedup_survivors",
+          # round-5: lead-k skip-grams must scale with tokens x window
+          "q214_skipgram_counts"]
 QUERIES = entry_mod.queries()
 
 
@@ -118,7 +120,10 @@ def _write_scaled_events(spark, k: int, out_dir: str) -> None:
     u.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
 
-EVENT_LADDER = ["q194_linear_attribution", "q195_event_runs"]
+EVENT_LADDER = ["q194_linear_attribution", "q195_event_runs",
+                # round-5: gap-k pairs (window), coverage-interval
+                # rolling distinct (bounded explode, no re-scan)
+                "q207_sequential_pairs", "q211_rolling_exact_distinct"]
 
 
 @pytest.mark.slow
