@@ -5363,6 +5363,82 @@ def q224_survival_hazard(spark, sf_dir):
     return hazard_table(ev, censor_gap=2).orderBy("day")
 
 
+
+def q225_cluster_size_spectrum(spark, sf_dir):
+    """Dedup-cluster size spectrum: power-of-two histogram of q46's
+    near-dup group sizes (one row per CLUSTER, not per doc) -- the
+    boilerplate-flood monitoring readout, composing the component
+    groups with the exact log2 bucketing of q204."""
+    from db_factfinder_spark.operators.quality import log2_histogram
+
+    groups = q46_neardup_groups(spark, sf_dir)
+    clusters = groups.select("rep_id", "group_size").distinct()
+    return log2_histogram(clusters, [], "group_size").orderBy("bucket")
+
+
+def q226_conversion_lag_histogram(spark, sf_dir):
+    """Click-to-purchase latency spectrum: forward as-of conversion
+    lags (q80's union-window, never the quadratic inequality join)
+    bucketed by the exact power-of-two rule on whole seconds + 1 --
+    the HDR-style latency histogram for funnel timing."""
+    from db_factfinder_spark.operators.funnel import next_event_within
+    from db_factfinder_spark.operators.quality import log2_histogram
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    conv = next_event_within(
+        clicks, purchases, "user_id", "ts", horizon_us=3_600_000_000
+    ).filter("converted")
+    lags = conv.select(
+        F.expr(
+            "(unix_micros(next_ts) - unix_micros(ts)) div 1000000 + 1"
+        ).alias("lag_s1")
+    )
+    return log2_histogram(lags, [], "lag_s1").orderBy("bucket")
+
+
+def q227_topk_churn(spark, sf_dir):
+    """Top-20 user leaderboard churn between the two halves of the
+    event range: added / dropped / held / moved via two TakeOrdered
+    top-k passes and one full-outer join -- never a full-table rank
+    window (see topk_churn)."""
+    from db_factfinder_spark.operators.diff import topk_churn
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return topk_churn(ev, "user_id", "ts", k=20).orderBy("key")
+
+
+def q228_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood entity-resolution blocking over the
+    clean + typo supplier roster: global_rank sort order, exploded
+    rank+offset equi-join candidates (window 3), exact levenshtein
+    verify -- the complementary blocker to q95's deletion
+    neighborhoods (see sorted_neighborhood_pairs)."""
+    from db_factfinder_spark.llmdata.strmatch import (
+        sorted_neighborhood_pairs,
+    )
+
+    sup = _t(spark, sf_dir, "supplier")
+    records = sup.select(
+        F.col("s_suppkey").alias("rid"), F.col("s_name").alias("name")
+    ).unionByName(
+        sup.select(
+            (F.col("s_suppkey") + 1000000).alias("rid"),
+            F.concat(
+                F.substring("s_name", 1, 2), F.expr("substring(s_name, 4)")
+            ).alias("name"),
+        )
+    )
+    return sorted_neighborhood_pairs(
+        records, "rid", "name", window=3, max_dist=1
+    ).orderBy("id_a", "id_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5594,6 +5670,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q222_mutual_topk": q222_mutual_topk,
         "q223_clustering_coefficient": q223_clustering_coefficient,
         "q224_survival_hazard": q224_survival_hazard,
+        "q225_cluster_size_spectrum": q225_cluster_size_spectrum,
+        "q226_conversion_lag_histogram": q226_conversion_lag_histogram,
+        "q227_topk_churn": q227_topk_churn,
+        "q228_sorted_neighborhood": q228_sorted_neighborhood,
     }
 
 

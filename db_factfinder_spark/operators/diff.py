@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -154,4 +154,64 @@ def changed_buckets(
             )
         )
         .select("bucket", "n_old", "n_new", "fp_old", "fp_new")
+    )
+
+
+def topk_churn(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k leaderboard churn between the two halves of the observed
+    time range: which keys entered, left, or moved — the monitoring
+    diff behind "what changed in this week's heavy hitters".
+
+    The epoch range splits at its integer-div midpoint (q201's
+    portable rule); each half's top-k comes from a sort-LIMIT
+    (TakeOrdered — the q147 shape: k rows cross the driver plan, no
+    single-partition full-table rank window), ties broken on the key;
+    ranks attach via a row_number over the ≤ k surviving rows.  The
+    halves then FULL OUTER join on the key:
+
+        status = 'added'   (in top-k now, absent before)
+               | 'dropped' (absent now, in top-k before)
+               | 'held'    (both, rank unchanged)
+               | 'moved'   (both, rank changed)
+
+    Output: ``key, n1, r1, n2, r2, status`` — r1/r2 NULL on the
+    absent side.
+    """
+    e = df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+    us = F.unix_micros(F.col(ts_col))
+    bounds = e.agg(
+        F.min(us).alias("__a"), F.max(us).alias("__b")
+    ).select(F.expr("(__a + __b) div 2").alias("__mid"))
+    halves = e.select(F.col(key_col).alias("key"), us.alias("__us")).crossJoin(
+        F.broadcast(bounds)
+    ).select(
+        "key", (F.col("__us") <= F.col("__mid")).alias("__h1")
+    )
+
+    def top(flag: bool, n_name: str, r_name: str) -> DataFrame:
+        c = (
+            halves.filter(F.col("__h1") == flag)
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias(n_name))
+            .orderBy(F.desc(n_name), F.asc("key"))
+            .limit(k)
+        )
+        w = Window.orderBy(F.desc(n_name), F.asc("key"))
+        return c.withColumn(r_name, F.row_number().over(w))
+
+    t1 = top(True, "n1", "r1")
+    t2 = top(False, "n2", "r2")
+    status = (
+        F.when(F.col("r1").isNull(), F.lit("added"))
+        .when(F.col("r2").isNull(), F.lit("dropped"))
+        .when(F.col("r1") == F.col("r2"), F.lit("held"))
+        .otherwise(F.lit("moved"))
+    )
+    return t1.join(t2, "key", "full_outer").select(
+        "key", "n1", "r1", "n2", "r2", status.alias("status")
     )

@@ -5556,3 +5556,90 @@ SELECT DATE '1970-01-01' + CAST(d AS INTEGER) AS day, n_risk, d_events,
     AS hazard
 FROM cum ORDER BY day
 """
+
+
+# q225: cluster size spectrum — q46's recursive-reach groups, one row
+# per cluster, q204's bin-length bucket.
+ORACLES["q225_cluster_size_spectrum"] = f"""
+WITH groups AS ({ORACLES["q46_neardup_groups"]}),
+clusters AS (SELECT DISTINCT rep_id, group_size FROM groups),
+x AS (SELECT CAST(group_size AS BIGINT) AS v FROM clusters
+      WHERE group_size > 0)
+SELECT length(bin(v)) AS bucket,
+       (CAST(1 AS BIGINT) << (length(bin(v)) - 1)) AS lo,
+       (CAST(1 AS BIGINT) << length(bin(v))) - 1 AS hi,
+       count(*) AS n, min(v) AS min_v, max(v) AS max_v
+FROM x GROUP BY 1, 2, 3 ORDER BY bucket
+"""
+
+
+# q226: conversion lags — quadratic inequality join + min (the plan
+# the union-window avoids), whole-second + 1 bin-length buckets.
+ORACLES["q226_conversion_lag_histogram"] = """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ct
+  FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT user_id, epoch_us(ts) AS pt
+  FROM events WHERE event_type = 'purchase'),
+nxt AS (
+  SELECT c.event_id, c.ct, min(p.pt) AS pt
+  FROM c JOIN p ON p.user_id = c.user_id AND p.pt >= c.ct
+  GROUP BY 1, 2),
+conv AS (
+  SELECT ((pt - ct) // 1000000) + 1 AS v
+  FROM nxt WHERE pt - ct <= 3600000000)
+SELECT length(bin(v)) AS bucket,
+       (CAST(1 AS BIGINT) << (length(bin(v)) - 1)) AS lo,
+       (CAST(1 AS BIGINT) << length(bin(v))) - 1 AS hi,
+       count(*) AS n, min(v) AS min_v, max(v) AS max_v
+FROM conv GROUP BY 1, 2, 3 ORDER BY bucket
+"""
+
+
+# q227: top-k churn — same midpoint split, ORDER BY LIMIT top-k,
+# full-outer status classification.
+ORACLES["q227_topk_churn"] = """
+WITH e AS (
+  SELECT user_id AS key, epoch_us(ts) AS us
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+h1 AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n1 FROM e, b
+  WHERE us <= mid GROUP BY 1 ORDER BY n1 DESC, key LIMIT 20),
+t1 AS (SELECT *, row_number() OVER (ORDER BY n1 DESC, key) AS r1 FROM h1),
+h2 AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n2 FROM e, b
+  WHERE us > mid GROUP BY 1 ORDER BY n2 DESC, key LIMIT 20),
+t2 AS (SELECT *, row_number() OVER (ORDER BY n2 DESC, key) AS r2 FROM h2)
+SELECT key, n1, r1, n2, r2,
+  CASE WHEN r1 IS NULL THEN 'added'
+       WHEN r2 IS NULL THEN 'dropped'
+       WHEN r1 = r2 THEN 'held'
+       ELSE 'moved' END AS status
+FROM t1 FULL OUTER JOIN t2 USING (key)
+ORDER BY key
+"""
+
+
+# q228: sorted neighborhood — lone row_number sort (oracle scale),
+# rank-range self-join, same verify.
+ORACLES["q228_sorted_neighborhood"] = """
+WITH rec AS (
+  SELECT s_suppkey AS rid, s_name AS name FROM supplier
+  UNION ALL
+  SELECT s_suppkey + 1000000 AS rid,
+         substr(s_name, 1, 2) || substr(s_name, 4) AS name
+  FROM supplier),
+r AS (
+  SELECT rid, name, row_number() OVER (ORDER BY name, rid) AS rk
+  FROM rec),
+cand AS (
+  SELECT a.rid AS id_a, b.rid AS id_b,
+         a.name AS key_a, b.name AS key_b
+  FROM r a JOIN r b ON b.rk BETWEEN a.rk + 1 AND a.rk + 3)
+SELECT id_a, id_b, key_a, key_b,
+       CAST(levenshtein(key_a, key_b) AS INTEGER) AS dist
+FROM cand WHERE levenshtein(key_a, key_b) <= 1
+ORDER BY id_a, id_b
+"""

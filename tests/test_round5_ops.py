@@ -1351,3 +1351,70 @@ def test_hazard_table_rejects_negative_gap(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     with pytest.raises(ValueError):
         hazard_table(df, censor_gap=-1)
+
+
+# ---- top-k churn (q227) ----------------------------------------------
+
+from db_factfinder_spark.operators.diff import topk_churn
+
+
+def test_topk_churn_statuses(spark):
+    import datetime as dt
+    # half 1 (t ≤ mid): a×3, b×2, c×1; half 2: a×1, b×3, d×2
+    # k=3 → t1 = a(1) b(2) c(3); t2 = b(1) d(2) a(3)
+    rows = []
+    eid = [0]
+    def add(key, day, n):
+        for _ in range(n):
+            rows.append((key, dt.datetime(2024, 1, day, 12))); eid[0] += 1
+    add("a", 1, 3); add("b", 1, 2); add("c", 1, 1)
+    add("a", 9, 1); add("b", 9, 3); add("d", 9, 2)
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {r["key"]: r for r in topk_churn(df, "user_id", "ts", k=3).collect()}
+    assert got["a"]["status"] == "moved" and (got["a"]["r1"], got["a"]["r2"]) == (1, 3)
+    assert got["b"]["status"] == "moved" and (got["b"]["r1"], got["b"]["r2"]) == (2, 1)
+    assert got["c"]["status"] == "dropped" and got["c"]["r2"] is None
+    assert got["d"]["status"] == "added" and got["d"]["r1"] is None
+
+
+def test_topk_churn_held_rank(spark):
+    import datetime as dt
+    rows = []
+    for day, counts in [(1, {"x": 2, "y": 1}), (9, {"x": 5, "y": 2})]:
+        for key, n in counts.items():
+            for _ in range(n):
+                rows.append((key, dt.datetime(2024, 1, day, 12)))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {r["key"]: r["status"]
+           for r in topk_churn(df, "user_id", "ts", k=2).collect()}
+    assert got == {"x": "held", "y": "held"}
+
+
+# ---- sorted-neighborhood blocking (q228) -----------------------------
+
+from db_factfinder_spark.llmdata.strmatch import sorted_neighborhood_pairs
+
+
+def test_sorted_neighborhood_finds_adjacent_typos(spark):
+    df = spark.createDataFrame(
+        [(1, "acme corp"), (2, "acme corpx"), (3, "zenith")],
+        "rid long, name string",
+    )
+    rows = sorted_neighborhood_pairs(df, "rid", "name", window=2).collect()
+    assert [(r["id_a"], r["id_b"], r["dist"]) for r in rows] == [(1, 2, 1)]
+
+
+def test_sorted_neighborhood_window_limits_recall(spark):
+    # "aa" and "ab" are edit-1 but separated by 3 sort positions →
+    # window=2 misses them, window=3 finds them (the documented
+    # trade-off)
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "aax"), (3, "aay"), (4, "aaz"), (5, "ab")],
+        "rid long, name string",
+    )
+    near = sorted_neighborhood_pairs(df, "rid", "name", window=2).collect()
+    assert (1, 5) not in {(r["id_a"], r["id_b"]) for r in near}
+    far = sorted_neighborhood_pairs(df, "rid", "name", window=4).collect()
+    assert (1, 5) in {(r["id_a"], r["id_b"]) for r in far}
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "rid", "name", window=0)
