@@ -5439,6 +5439,28 @@ def q228_sorted_neighborhood(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+
+def q229_subtree_rollup(spark, sf_dir):
+    """Subtree revenue totals for EVERY node of the implicit decimal
+    part-category tree (parent = key div 10): bounded ancestor-closure
+    explode + ONE groupBy -- no recursive CTE, no per-level passes
+    (see subtree_rollup)."""
+    from db_factfinder_spark.operators.hierarchy import (
+        decimal_ancestors,
+        subtree_rollup,
+    )
+
+    parts = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return subtree_rollup(
+        parts, "p_partkey", "cents", decimal_ancestors("p_partkey", 7)
+    ).orderBy("node")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5674,6 +5696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q226_conversion_lag_histogram": q226_conversion_lag_histogram,
         "q227_topk_churn": q227_topk_churn,
         "q228_sorted_neighborhood": q228_sorted_neighborhood,
+        "q229_subtree_rollup": q229_subtree_rollup,
     }
 
 

@@ -212,3 +212,37 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **opti
     df.write.mode(mode).format("jdbc").option("url", url).option(
         "dbtable", table
     ).options(**options).save()
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (Spark's built-in ORC writer — the other columnar
+    interchange format warehouses commonly mandate).  Snappy
+    compression, same layout contract as ``write_parquet``."""
+    df.write.mode("overwrite").option("compression", "snappy").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — predicate pushdown and column pruning work exactly
+    as for parquet (``spark.sql.orc.filterPushdown`` defaults true)."""
+    return spark.read.orc(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (one object per line, gzip) — the text
+    interchange format crawl/annotation pipelines exchange.  Dates and
+    timestamps serialize ISO-8601; NULL fields are omitted per JSON
+    convention (round-trip readers must tolerate missing keys)."""
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """JSON-lines scan.  Pass an explicit DDL ``schema`` in
+    production — schema inference costs a full extra pass over the
+    data at 100 TB and types drift with sampling; inference is for
+    exploration only."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)

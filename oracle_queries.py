@@ -5643,3 +5643,22 @@ SELECT id_a, id_b, key_a, key_b,
 FROM cand WHERE levenshtein(key_a, key_b) <= 1
 ORDER BY id_a, id_b
 """
+
+
+# q229: subtree rollup — same ancestor closure via a literal divisor
+# list (integer //, distinct per leaf), one grouped join.
+ORACLES["q229_subtree_rollup"] = """
+WITH leaves AS (
+  SELECT p_partkey AS k,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM part),
+anc AS (
+  SELECT DISTINCT k, k // d.d AS node
+  FROM leaves, LATERAL (
+    SELECT unnest([1, 10, 100, 1000, 10000, 100000, 1000000,
+                   10000000]) AS d) d)
+SELECT a.node, count(*) AS n_leaves,
+       CAST(sum(l.cents) AS BIGINT) AS subtree_sum
+FROM anc a JOIN leaves l USING (k)
+GROUP BY 1 ORDER BY node
+"""

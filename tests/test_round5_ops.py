@@ -1418,3 +1418,67 @@ def test_sorted_neighborhood_window_limits_recall(spark):
     assert (1, 5) in {(r["id_a"], r["id_b"]) for r in far}
     with pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, "rid", "name", window=0)
+
+
+# ---- subtree rollup (q229) -------------------------------------------
+
+from db_factfinder_spark.operators.hierarchy import (
+    decimal_ancestors,
+    subtree_rollup,
+)
+
+
+def test_subtree_rollup_decimal_tree(spark):
+    # leaves 12, 15, 19, 3: node 1 covers {12,15,19}; root 0 covers all
+    df = spark.createDataFrame(
+        [(12, 100), (15, 200), (19, 400), (3, 800)], "k long, v long"
+    )
+    got = {
+        r["node"]: (r["n_leaves"], r["subtree_sum"])
+        for r in subtree_rollup(
+            df, "k", "v", decimal_ancestors("k", 3)
+        ).collect()
+    }
+    assert got[12] == (1, 100) and got[3] == (1, 800)
+    assert got[1] == (3, 700)          # 12, 15, 19
+    assert got[0] == (4, 1500)         # everything, charged ONCE each
+
+
+def test_decimal_ancestors_dedups_root(spark):
+    df = spark.createDataFrame([(5,)], "k long")
+    [r] = df.select(decimal_ancestors("k", 5).alias("a")).collect()
+    assert sorted(r["a"]) == [0, 5]    # root appears once despite 5 levels
+    with pytest.raises(ValueError):
+        decimal_ancestors("k", 0)
+
+
+# ---- ORC / JSONL source-sink roundtrips ------------------------------
+
+def test_orc_roundtrip_pushdown(spark, tmp_path):
+    from db_factfinder_spark.sources.readers import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "id long, s string, x double"
+    )
+    p = str(tmp_path / "orc")
+    write_orc(df, p)
+    back = read_orc(spark, p)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    plan = back.filter("id = 1")._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan.lower()
+
+
+def test_jsonl_roundtrip_with_schema(spark, tmp_path):
+    from db_factfinder_spark.sources.readers import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, None, 3)], "id long, s string, n long"
+    )
+    p = str(tmp_path / "jsonl")
+    write_jsonl(df, p)
+    back = read_jsonl(spark, p, schema="id long, s string, n long")
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
