@@ -5461,6 +5461,32 @@ def q229_subtree_rollup(spark, sf_dir):
     ).orderBy("node")
 
 
+
+def q230_perceptual_dedup(spark, sf_dir):
+    """Visual near-dup detection end-to-end: raw-codec 8x7 thumbnails
+    -> mean-threshold aHash bits packed into a sign-safe 56-bit long
+    -> pigeonhole-blocked Hamming<=2 pair join with candidate-only
+    verify (see perceptual_ahash / ahash_near_pairs).  Payloads are
+    the deterministic utf-8 synth of q36/q51, so the oracle rebuilds
+    every bit from the hex expansion."""
+    from db_factfinder_spark.llmdata.multimodal import (
+        ahash_near_pairs,
+        perceptual_ahash,
+    )
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(16).cast("int").alias("width"),
+        F.lit(8).cast("int").alias("height"),
+    )
+    sigs = perceptual_ahash(media, hash_w=8, hash_h=7)
+    return ahash_near_pairs(sigs, bits=56, max_hamming=2).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5697,6 +5723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q227_topk_churn": q227_topk_churn,
         "q228_sorted_neighborhood": q228_sorted_neighborhood,
         "q229_subtree_rollup": q229_subtree_rollup,
+        "q230_perceptual_dedup": q230_perceptual_dedup,
     }
 
 

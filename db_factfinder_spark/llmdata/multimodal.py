@@ -222,3 +222,115 @@ def frame_energy(df: DataFrame, frame_len: int = 256) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(op, out_schema)
+
+
+def perceptual_ahash(
+    df: DataFrame, hash_w: int = 8, hash_h: int = 7
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprints: resize to a
+    ``hash_w × hash_h`` thumbnail (the raw codec — PIL slots into the
+    same seam), then one bit per pixel, set when the pixel exceeds the
+    thumbnail MEAN — evaluated in the cross-multiplied integer form
+    ``px·n > Σpx`` so no mean ever rounds.  Bits pack big-endian into
+    one long; the default 8×7 = 56 bits stays clear of the sign bit,
+    so the packed value is identical in any engine's signed 64-bit
+    arithmetic.
+
+    This is the standard cheap image near-dup key (aHash/dHash
+    family): re-encodes, minor crops, and brightness shifts move few
+    bits, so Hamming distance over the packed longs finds visual
+    dupes that byte-hash equality misses.
+
+    Output: ``media_id, ahash`` (NULL payload → NULL hash).
+    """
+    import pandas as pd
+
+    thumbs = resize_images(df, hash_w, hash_h)
+    n = hash_w * hash_h
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                if p is None:
+                    out.append(None)
+                    continue
+                bs = bytes(p)
+                total = sum(bs)
+                sig = 0
+                for i, v in enumerate(bs):
+                    if v * n > total:
+                        sig |= 1 << (n - 1 - i)
+                out.append(sig)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "ahash": out}
+            )
+
+    return thumbs.mapInPandas(op, schema="media_id long, ahash long")
+
+
+def ahash_near_pairs(
+    sigs: DataFrame,
+    bits: int = 56,
+    max_hamming: int = 2,
+    id_col: str = "media_id",
+    sig_col: str = "ahash",
+) -> DataFrame:
+    """Hamming-≤ ``max_hamming`` pairs over packed perceptual hashes
+    with GUARANTEED recall: split the ``bits`` into ``max_hamming+1``
+    blocks — a pair within distance d must agree on at least one
+    block (pigeonhole), so candidates are the union of
+    block-value equi-joins and the exact ``bit_count(xor)`` verify
+    touches candidates only.  Never an all-pairs scan.  (Boilerplate
+    floods that collapse to one hash value make that block's bucket
+    hot — cap with ``cap_hot_buckets`` upstream if the corpus has
+    them; exact-duplicate hashes are the pairs you WANT here.)
+
+    Output: ``id_a < id_b, hamming``.
+    """
+    if not (0 <= max_hamming < bits):
+        raise ValueError("need 0 <= max_hamming < bits")
+    nb = max_hamming + 1
+    base, extra = divmod(bits, nb)
+    widths = [base + (1 if i < extra else 0) for i in range(nb)]
+    s = sigs.select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("sig")
+    ).filter(F.col("sig").isNotNull())
+    keyed = []
+    lo = bits
+    for j, w in enumerate(widths):
+        lo -= w
+        block = F.shiftright(F.col("sig"), lo).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+        keyed.append(
+            s.select(
+                "id", "sig", F.lit(j).alias("tbl"), block.alias("blk")
+            )
+        )
+    u = keyed[0]
+    for k in keyed[1:]:
+        u = u.unionByName(k)
+    a, b = u.alias("a"), u.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

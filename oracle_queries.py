@@ -5662,3 +5662,50 @@ SELECT a.node, count(*) AS n_leaves,
 FROM anc a JOIN leaves l USING (k)
 GROUP BY 1 ORDER BY node
 """
+
+
+def _ahash_sql(src_w=16, src_h=8, hw=8, hh=7, maxh=2) -> str:
+    """Mirror perceptual_ahash + brute-force Hamming pairs: thumbnail
+    bytes via the q51 floor index mapping, mean-threshold bits in the
+    same cross-multiplied integer form, big-endian packing with
+    shifts (56 bits — sign-safe)."""
+    idxs = [
+        ((r * src_h) // hh) * src_w + (c * src_w) // hw
+        for r in range(hh)
+        for c in range(hw)
+    ]
+    n = hw * hh
+    pad = 2 * src_w * src_h
+    idx_list = ", ".join(str(i) for i in idxs)
+    return f"""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         substr(rpad(hex(encode(text)), {pad}, '0'), 1, {pad}) AS hx
+  FROM documents WHERE text IS NOT NULL),
+ex AS (
+  SELECT media_id, hx,
+         unnest(range(0, {n})) AS i,
+         unnest([{idx_list}]) AS idx
+  FROM p),
+vals AS (
+  SELECT media_id, i,
+    ((strpos('0123456789ABCDEF', substr(hx, 2 * idx + 1, 1)) - 1) * 16
+     + strpos('0123456789ABCDEF', substr(hx, 2 * idx + 2, 1)) - 1) AS v
+  FROM ex),
+tot AS (
+  SELECT media_id, CAST(sum(v) AS BIGINT) AS total FROM vals GROUP BY 1),
+sigs AS (
+  SELECT v.media_id,
+    CAST(sum(CASE WHEN v.v * {n} > t.total
+         THEN (CAST(1 AS BIGINT) << CAST({n - 1} - v.i AS INTEGER))
+         ELSE 0 END) AS BIGINT) AS sig
+  FROM vals v JOIN tot t USING (media_id) GROUP BY 1)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {maxh}
+ORDER BY id_a, id_b
+"""
+
+
+ORACLES["q230_perceptual_dedup"] = _ahash_sql()

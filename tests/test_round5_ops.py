@@ -1482,3 +1482,50 @@ def test_jsonl_roundtrip_with_schema(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in df.collect()
     )
+
+
+# ---- perceptual aHash dedup (q230) -----------------------------------
+
+from db_factfinder_spark.llmdata.multimodal import (
+    ahash_near_pairs,
+    perceptual_ahash,
+)
+
+
+def test_perceptual_ahash_bits(spark):
+    # 2×2 source → 2×2 thumb (identity): bytes [10, 10, 10, 250]:
+    # total 280, n=4 → bit set only where v·4 > 280, i.e. the 250
+    df = spark.createDataFrame(
+        [(1, bytearray([10, 10, 10, 250]), 2, 2),
+         (2, bytearray([7, 7, 7, 7]), 2, 2),      # flat → no bit set
+         (3, None, 2, 2)],
+        "media_id long, payload binary, width int, height int",
+    )
+    got = {
+        r["media_id"]: r["ahash"]
+        for r in perceptual_ahash(df, hash_w=2, hash_h=2).collect()
+    }
+    assert got[1] == 0b0001
+    assert got[2] == 0
+    assert got[3] is None
+
+
+def test_ahash_near_pairs_pigeonhole_recall(spark):
+    # distance-2 pair whose differing bits land in TWO different
+    # blocks — a single-table blocker could miss it; the d+1 tables
+    # guarantee agreement on the remaining block
+    a = (1 << 55) | 1            # bits in block 0 and block 2
+    b = 0
+    far = (1 << 55) | (1 << 30) | 1   # hamming 3 from b
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, far)], "media_id long, ahash long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_near_pairs(df, bits=56, max_hamming=2).collect()
+    }
+    assert got[(1, 2)] == 2
+    assert got[(1, 3)] == 1          # far is hamming-1 from a
+    assert (2, 3) not in got         # hamming 3 → excluded
+    with pytest.raises(ValueError):
+        ahash_near_pairs(df, bits=56, max_hamming=56)
