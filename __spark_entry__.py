@@ -5487,6 +5487,58 @@ def q230_perceptual_dedup(spark, sf_dir):
     )
 
 
+
+def q231_rising_trend(spark, sf_dir):
+    """Rising-entity monitor: trailing 3-day count vs the immediately
+    preceding 3-day window as two offset RANGE frames in ONE window
+    pass; smoothed ratio one exact division, rising flag decided in
+    pure integers (see rising_trend)."""
+    from db_factfinder_spark.operators.timeseries import rising_trend
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return rising_trend(ev, recent_days=3).orderBy("event_type", "day")
+
+
+def q232_incremental_components(spark, sf_dir):
+    """Incremental dedup-graph maintenance: components of the base
+    edge split (2/3 of q46's LSH pairs) persisted as labels, then the
+    remaining batch folded in by CONTRACTION -- components run only
+    over the batch-sized contracted graph, old edges never re-read;
+    the result is bit-identical to a from-scratch recompute, which is
+    exactly what the oracle runs (see incremental_components)."""
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+    from db_factfinder_spark.llmdata.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = materialize(
+        minhash_dedup_pairs(
+            docs, num_hashes=8, bands=4, n=3, verify_threshold=0.6,
+            max_bucket=None,
+        ),
+        "local",
+    )
+    base = pairs.filter((F.col("id_a") + F.col("id_b")) % 3 != 0)
+    delta = pairs.filter((F.col("id_a") + F.col("id_b")) % 3 == 0)
+    base_labels = connected_components(base)
+    return incremental_components(base_labels, delta).orderBy("id")
+
+
+def q233_cohens_kappa(spark, sf_dir):
+    """Inter-rater agreement between the labeled language and the
+    n-gram language-ID heuristic: Cohen's kappa in cross-multiplied
+    exact integers, one division (see cohens_kappa)."""
+    from db_factfinder_spark.operators.quality import cohens_kappa
+
+    docs = _docs(spark, sf_dir)
+    labeled = docs.select(
+        "lang", language_id("text").alias("lang_guess")
+    )
+    return cohens_kappa(labeled, "lang", "lang_guess")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5724,6 +5776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q228_sorted_neighborhood": q228_sorted_neighborhood,
         "q229_subtree_rollup": q229_subtree_rollup,
         "q230_perceptual_dedup": q230_perceptual_dedup,
+        "q231_rising_trend": q231_rising_trend,
+        "q232_incremental_components": q232_incremental_components,
+        "q233_cohens_kappa": q233_cohens_kappa,
     }
 
 

@@ -395,3 +395,87 @@ def connected_components_star(
             ).alias("label"),
         )
     )
+
+
+def incremental_components(
+    base_labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str = "id",
+    label_col: str = "label",
+    max_iter: int = 20,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Incremental connected-component maintenance: given the
+    persisted ``(id, label)`` assignment of an already-clustered
+    graph (labels = component-minimum ids, what
+    ``connected_components`` emits) and a batch of NEW edges, produce
+    the assignment of the UNION graph without re-running components
+    over the old edge set — the q178/q202 persisted-state discipline
+    applied to the dedup graph (at 100 TB the edge log is the biggest
+    thing in the lake; nightly ingest must not re-traverse it).
+
+    Correctness rests on the contraction identity: every old
+    component behaves as a single super-node named by its
+    representative, so running components over the CONTRACTED new
+    edges (endpoints mapped through the old labels, self-loops
+    dropped) yields exactly the merges the batch causes — and because
+    each old representative IS its component's minimum id, the min
+    over merged representatives equals the min over all member ids,
+    i.e. the labels match a from-scratch recompute bit-for-bit
+    (property-tested over random splits).
+
+    Cost: two broadcast-joinable lookups of the (small) batch
+    endpoints against the label table, then components over a graph
+    no larger than the BATCH — old edges are never read.
+
+    Output: ``id, label`` for every node in the base ∪ batch.
+    """
+    e = new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    la = base_labels.select(
+        F.col(id_col).alias("a"), F.col(label_col).alias("__la")
+    )
+    lb = base_labels.select(
+        F.col(id_col).alias("b"), F.col(label_col).alias("__lb")
+    )
+    contracted = (
+        e.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .select(
+            F.coalesce("__la", F.col("a")).alias("ra"),
+            F.coalesce("__lb", F.col("b")).alias("rb"),
+        )
+        .filter(F.col("ra") != F.col("rb"))
+    )
+    delta = connected_components(
+        contracted, "ra", "rb", max_iter=max_iter,
+        checkpoint_mode=checkpoint_mode,
+    ).select(F.col("id").alias("__rep"), F.col("label").alias("__new"))
+    remapped_base = (
+        base_labels.select(id_col, label_col)
+        .join(
+            delta, F.col(label_col) == F.col("__rep"), "left"
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            F.coalesce("__new", F.col(label_col)).alias("label"),
+        )
+    )
+    batch_nodes = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .distinct()
+        .join(
+            base_labels.select(F.col(id_col).alias("id")),
+            "id",
+            "left_anti",
+        )
+    )
+    new_nodes = batch_nodes.join(
+        delta, batch_nodes["id"] == delta["__rep"], "left"
+    ).select(
+        batch_nodes["id"],
+        F.coalesce("__new", batch_nodes["id"]).alias("label"),
+    )
+    return remapped_base.unionByName(new_nodes)

@@ -305,3 +305,53 @@ def log2_histogram(
             "max_v",
         )
     )
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's κ inter-rater agreement between two categorical
+    columns — observed agreement corrected for the agreement two
+    raters with these marginals would reach by chance (Cohen, 1960).
+    The evaluation statistic for "does the cheap classifier agree
+    with the gold label beyond luck".
+
+    Evaluated entirely in cross-multiplied exact integers:
+
+        κ = (N·Σ_k diag_k − Σ_k row_k·col_k) / (N² − Σ_k row_k·col_k)
+
+    one IEEE division; NULL (undefined) when the chance term equals
+    N² (a degenerate marginal).  Rows with a NULL on either side are
+    excluded.
+
+    Plan: one (a, b) contingency groupBy, marginals as two further
+    tiny aggregates of it, scalars combined via one-row broadcast
+    crossJoins — the fact table is read once.
+
+    Output: one row — ``n, n_agree, pe_num, kappa``.
+    """
+    v = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+    cells = v.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    ra = cells.groupBy("a").agg(F.sum("c").alias("__r"))
+    cb = cells.groupBy("b").agg(F.sum("c").alias("__c"))
+    pe = (
+        ra.join(cb, ra["a"] == cb["b"])
+        .agg(F.coalesce(F.sum(F.col("__r") * F.col("__c")), F.lit(0))
+             .cast("long").alias("pe_num"))
+    )
+    return tot.crossJoin(F.broadcast(pe)).select(
+        "n",
+        "n_agree",
+        "pe_num",
+        F.when(
+            F.col("n") * F.col("n") - F.col("pe_num") != 0,
+            (F.col("n") * F.col("n_agree") - F.col("pe_num")).cast("double")
+            / (F.col("n") * F.col("n") - F.col("pe_num")).cast("double"),
+        ).alias("kappa"),
+    )

@@ -725,3 +725,55 @@ def dispersion_stats(
         ).alias("cv2"),
         (var_n2 > F.col("n_days") * F.col("total")).alias("overdispersed"),
     )
+
+
+def rising_trend(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    recent_days: int = 3,
+) -> DataFrame:
+    """Rising-entity detector: each (key, day)'s trailing
+    ``recent_days`` count against the IMMEDIATELY PRECEDING
+    ``recent_days`` window — the week-over-week "what's trending"
+    monitor, as two OFFSET range frames over one daily aggregate
+    (``rolling_daily_stats`` knows one trailing frame; the prior
+    window here is the RANGE BETWEEN 2r−1 PRECEDING AND r PRECEDING
+    frame, gap-correct by day distance).
+
+    The smoothed ratio (c_recent+1)/(c_prior+1) is one exact-integer
+    division; the ``rising`` flag is decided in pure integers,
+    2·c_recent > 3·c_prior (≥ 50% growth), so no float share ever
+    tips a boundary day.
+
+    Plan: one (key, day) count shuffle, ONE window pass (both frames
+    share the partition/order), no self-join.  Output: ``key_col,
+    day, c, c_recent, c_prior, ratio, rising``.
+    """
+    if recent_days < 1:
+        raise ValueError("recent_days must be >= 1")
+    daily = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(
+            key_col,
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("__dn"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    base = Window.partitionBy(key_col).orderBy("__dn")
+    w_r = base.rangeBetween(-(recent_days - 1), 0)
+    w_p = base.rangeBetween(-(2 * recent_days - 1), -recent_days)
+    c_r = F.sum("c").over(w_r).cast("long")
+    c_p = F.coalesce(F.sum("c").over(w_p), F.lit(0)).cast("long")
+    return daily.select(
+        key_col,
+        F.date_add(F.to_date(F.lit("1970-01-01")), F.col("__dn").cast("int"))
+        .alias("day"),
+        "c",
+        c_r.alias("c_recent"),
+        c_p.alias("c_prior"),
+        (
+            (c_r + 1).cast("double") / (c_p + 1).cast("double")
+        ).alias("ratio"),
+        (2 * c_r > 3 * c_p).alias("rising"),
+    )

@@ -5709,3 +5709,63 @@ ORDER BY id_a, id_b
 
 
 ORACLES["q230_perceptual_dedup"] = _ahash_sql()
+
+
+# q231: rising trend — same two offset RANGE frames.
+ORACLES["q231_rising_trend"] = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+         count(*) AS c
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2)
+SELECT event_type, DATE '1970-01-01' + CAST(dn AS INTEGER) AS day, c,
+  CAST(sum(c) OVER wr AS BIGINT) AS c_recent,
+  CAST(coalesce(sum(c) OVER wp, 0) AS BIGINT) AS c_prior,
+  CAST(CAST(sum(c) OVER wr AS BIGINT) + 1 AS DOUBLE)
+    / CAST(coalesce(sum(c) OVER wp, 0) + 1 AS DOUBLE) AS ratio,
+  2 * CAST(sum(c) OVER wr AS BIGINT)
+    > 3 * CAST(coalesce(sum(c) OVER wp, 0) AS BIGINT) AS rising
+FROM daily
+WINDOW wr AS (PARTITION BY event_type ORDER BY dn
+              RANGE BETWEEN 2 PRECEDING AND CURRENT ROW),
+       wp AS (PARTITION BY event_type ORDER BY dn
+              RANGE BETWEEN 5 PRECEDING AND 3 PRECEDING)
+ORDER BY event_type, day
+"""
+
+
+# q232: incremental components — the oracle IS the from-scratch
+# recompute (q46's recursive closure over the FULL pair set): the
+# operator's contract is bit-identity with it.
+ORACLES["q232_incremental_components"] = f"""
+WITH groups AS ({ORACLES["q46_neardup_groups"]})
+SELECT doc_id AS id, rep_id AS label FROM groups ORDER BY id
+"""
+
+
+# q233: Cohen's kappa — q24's langid subquery, cross-multiplied
+# integer kappa.
+ORACLES["q233_cohens_kappa"] = f"""
+WITH pred AS ({ORACLES["q24_langid"]}),
+j AS (
+  SELECT d.lang AS a, p.lang_guess AS b
+  FROM documents d JOIN pred p USING (doc_id)
+  WHERE d.lang IS NOT NULL AND p.lang_guess IS NOT NULL),
+cells AS (SELECT a, b, count(*) AS c FROM j GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+           AS n_agree
+  FROM cells),
+ra AS (SELECT a AS k, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY 1),
+cb AS (SELECT b AS k, CAST(sum(c) AS BIGINT) AS col FROM cells GROUP BY 1),
+pe AS (
+  SELECT CAST(coalesce(sum(r * col), 0) AS BIGINT) AS pe_num
+  FROM ra JOIN cb USING (k))
+SELECT n, n_agree, pe_num,
+  CASE WHEN n * n - pe_num != 0 THEN
+    CAST(n * n_agree - pe_num AS DOUBLE)
+      / CAST(n * n - pe_num AS DOUBLE) END AS kappa
+FROM tot, pe
+"""

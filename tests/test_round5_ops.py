@@ -1529,3 +1529,103 @@ def test_ahash_near_pairs_pigeonhole_recall(spark):
     assert (2, 3) not in got         # hamming 3 → excluded
     with pytest.raises(ValueError):
         ahash_near_pairs(df, bits=56, max_hamming=56)
+
+
+# ---- rising trend (q231) ---------------------------------------------
+
+from db_factfinder_spark.operators.timeseries import rising_trend
+
+
+def test_rising_trend_offset_frames_gap_correct(spark):
+    import datetime as dt
+    # days 1,2,3 at 1/day, then a gap, then day 7 with 9 events:
+    # at day 7 recent window {5,6,7} sees 9, prior {2,3,4} sees 2
+    rows = [("t", dt.datetime(2024, 1, d, 12)) for d in (1, 2, 3)]
+    rows += [("t", dt.datetime(2024, 1, 7, 12))] * 9
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {str(r["day"]): r for r in rising_trend(df, recent_days=3).collect()}
+    d7 = got["2024-01-07"]
+    assert (d7["c_recent"], d7["c_prior"]) == (9, 2)
+    assert d7["ratio"] == 10 / 3 and d7["rising"]
+    d1 = got["2024-01-01"]
+    assert (d1["c_recent"], d1["c_prior"], d1["rising"]) == (1, 0, True)
+    with pytest.raises(ValueError):
+        rising_trend(df, recent_days=0)
+
+
+# ---- incremental components (q232) -----------------------------------
+
+from db_factfinder_spark.llmdata.components import (
+    connected_components,
+    incremental_components,
+)
+
+_edge = st.tuples(
+    st.integers(min_value=0, max_value=9),
+    st.integers(min_value=0, max_value=9),
+)
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(_edge, min_size=1, max_size=15),
+    mask=st.lists(st.booleans(), min_size=15, max_size=15),
+)
+def test_incremental_components_equals_recompute(spark, edges, mask):
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    base_e = [e for e, m in zip(edges, mask) if m]
+    delta_e = [e for e, m in zip(edges, mask) if not m]
+    if not base_e or not delta_e:
+        return
+    mk = lambda es: spark.createDataFrame(es, "id_a long, id_b long")  # noqa: E731
+    full = {
+        (r["id"], r["label"])
+        for r in connected_components(mk(edges)).collect()
+    }
+    base_labels = connected_components(mk(base_e))
+    inc = {
+        (r["id"], r["label"])
+        for r in incremental_components(base_labels, mk(delta_e)).collect()
+    }
+    assert inc == full
+
+
+# ---- Cohen's kappa (q233) --------------------------------------------
+
+from db_factfinder_spark.operators.quality import cohens_kappa
+
+
+def test_cohens_kappa_textbook_value(spark):
+    # classic 2×2: a=20 agree-yes, d=15 agree-no, b=5, c=10 (N=50)
+    rows = (
+        [("y", "y")] * 20 + [("n", "n")] * 15
+        + [("y", "n")] * 5 + [("n", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "g string, p string")
+    [r] = cohens_kappa(df, "g", "p").collect()
+    # po=35/50; pe=(25·30 + 25·20)/2500 = 1250/2500
+    # κ = (50·35 − 1250)/(2500 − 1250) = 500/1250
+    assert (r["n"], r["n_agree"], r["pe_num"]) == (50, 35, 1250)
+    assert r["kappa"] == 500 / 1250
+
+
+def test_cohens_kappa_perfect_and_degenerate(spark):
+    perfect = spark.createDataFrame(
+        [("a", "a"), ("b", "b")], "g string, p string"
+    )
+    assert cohens_kappa(perfect, "g", "p").first()["kappa"] == 1.0
+    # both raters constant → pe = n² → undefined
+    const = spark.createDataFrame(
+        [("a", "a"), ("a", "a")], "g string, p string"
+    )
+    assert cohens_kappa(const, "g", "p").first()["kappa"] is None
+    # NULLs excluded
+    nulls = spark.createDataFrame(
+        [("a", None), (None, "a"), ("a", "a")], "g string, p string"
+    )
+    assert cohens_kappa(nulls, "g", "p").first()["n"] == 1
