@@ -5539,6 +5539,93 @@ def q233_cohens_kappa(spark, sf_dir):
     return cohens_kappa(labeled, "lang", "lang_guess")
 
 
+
+def q234_hierarchy_contribution(spark, sf_dir):
+    """Percent-of-parent contribution analysis over the decimal part
+    hierarchy: q229's one-pass subtree totals self-joined on
+    parent = node div 10 (root keeps NULL share) -- each node's exact
+    share of its parent's subtree revenue, one division per node."""
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+    from db_factfinder_spark.operators.hierarchy import (
+        decimal_ancestors,
+        subtree_rollup,
+    )
+
+    parts = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    # consumed twice (child + parent side of the self-join)
+    totals = materialize(
+        subtree_rollup(
+            parts, "p_partkey", "cents", decimal_ancestors("p_partkey", 7)
+        ),
+        "local",
+    )
+    parent = totals.select(
+        F.col("node").alias("__p"),
+        F.col("subtree_sum").alias("parent_sum"),
+    )
+    return (
+        totals.withColumn("__p", F.expr("node div 10L"))
+        .join(parent, "__p", "left")
+        .select(
+            "node",
+            "subtree_sum",
+            F.when(F.col("node") == 0, F.lit(None)).otherwise(
+                F.col("parent_sum")
+            ).alias("parent_sum"),
+            F.when(
+                (F.col("node") != 0) & (F.col("parent_sum") > 0),
+                F.col("subtree_sum").cast("double")
+                / F.col("parent_sum").cast("double"),
+            ).alias("share"),
+        )
+        .orderBy("node")
+    )
+
+
+def q235_vocab_growth(spark, sf_dir):
+    """Vocabulary growth / OOV-rate curve over synthetic crawl days
+    (day = doc_id mod 30, the q36 synth convention): per day, token
+    volume, NEW types (first-seen-day identity -- one groupBy, no
+    day-over-day anti-join chain), cumulative vocabulary, and the
+    exact-int OOV rate new_types / tokens -- the Heaps-law monitoring
+    readout tokenizer maintenance watches."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        (F.col("doc_id") % 30).alias("day"),
+        F.explode(tokens("text")).alias("tok"),
+    )
+    per_day = toks.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    first_seen = toks.groupBy("tok").agg(F.min("day").alias("day"))
+    new_types = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new_types")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_day.join(new_types, "day", "left")
+        .select(
+            "day",
+            "n_tokens",
+            F.coalesce("n_new_types", F.lit(0)).alias("n_new_types"),
+        )
+        .withColumn(
+            "vocab_size", F.sum("n_new_types").over(w).cast("long")
+        )
+        .withColumn(
+            "oov_rate",
+            F.col("n_new_types").cast("double")
+            / F.col("n_tokens").cast("double"),
+        )
+        .orderBy("day")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5779,6 +5866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q231_rising_trend": q231_rising_trend,
         "q232_incremental_components": q232_incremental_components,
         "q233_cohens_kappa": q233_cohens_kappa,
+        "q234_hierarchy_contribution": q234_hierarchy_contribution,
+        "q235_vocab_growth": q235_vocab_growth,
     }
 
 

@@ -5769,3 +5769,52 @@ SELECT n, n_agree, pe_num,
       / CAST(n * n - pe_num AS DOUBLE) END AS kappa
 FROM tot, pe
 """
+
+
+# q234: percent-of-parent — q229's closure totals self-joined on
+# node // 10.
+ORACLES["q234_hierarchy_contribution"] = """
+WITH leaves AS (
+  SELECT p_partkey AS k,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM part),
+anc AS (
+  SELECT DISTINCT k, k // d.d AS node
+  FROM leaves, LATERAL (
+    SELECT unnest([1, 10, 100, 1000, 10000, 100000, 1000000,
+                   10000000]) AS d) d),
+totals AS (
+  SELECT a.node, CAST(sum(l.cents) AS BIGINT) AS subtree_sum
+  FROM anc a JOIN leaves l USING (k) GROUP BY 1)
+SELECT t.node, t.subtree_sum,
+  CASE WHEN t.node != 0 THEN p.subtree_sum END AS parent_sum,
+  CASE WHEN t.node != 0 AND p.subtree_sum > 0 THEN
+    CAST(t.subtree_sum AS DOUBLE) / CAST(p.subtree_sum AS DOUBLE)
+  END AS share
+FROM totals t LEFT JOIN totals p ON p.node = t.node // 10
+ORDER BY t.node
+"""
+
+
+# q235: vocabulary growth — same first-seen-day identity.
+ORACLES["q235_vocab_growth"] = f"""
+WITH toks AS (
+  SELECT doc_id % 30 AS day, unnest({_TOKS}) AS tok
+  FROM documents WHERE text IS NOT NULL),
+per_day AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY 1),
+first_seen AS (SELECT tok, min(day) AS day FROM toks GROUP BY 1),
+new_types AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_new_types
+  FROM first_seen GROUP BY 1)
+SELECT p.day, p.n_tokens,
+  CAST(coalesce(n.n_new_types, 0) AS BIGINT) AS n_new_types,
+  CAST(sum(coalesce(n.n_new_types, 0)) OVER (ORDER BY p.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS vocab_size,
+  CAST(coalesce(n.n_new_types, 0) AS DOUBLE)
+    / CAST(p.n_tokens AS DOUBLE) AS oov_rate
+FROM per_day p LEFT JOIN new_types n USING (day)
+ORDER BY p.day
+"""

@@ -1629,3 +1629,43 @@ def test_cohens_kappa_perfect_and_degenerate(spark):
         [("a", None), (None, "a"), ("a", "a")], "g string, p string"
     )
     assert cohens_kappa(nulls, "g", "p").first()["n"] == 1
+
+
+# ---- hierarchy contribution / vocab growth (q234/q235) ---------------
+
+def test_hierarchy_contribution_shares(spark):
+    import __spark_entry__ as em
+    # use the real query at the smallest scale: shares under each
+    # parent must sum to ≤ 1 and to exactly 1 over complete families
+    rows = em.queries()["q234_hierarchy_contribution"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_node = {r["node"]: r for r in rows}
+    root = by_node[0]
+    assert root["parent_sum"] is None and root["share"] is None
+    # children of the root are nodes 1..9; part key 0 is a LEAF at
+    # the root itself, so the kids cover root-minus-leaf-0 exactly
+    kids = [r for r in rows if 1 <= r["node"] <= 9]
+    leaf0_direct = root["subtree_sum"] - sum(k["subtree_sum"] for k in kids)
+    assert 0 < leaf0_direct < root["subtree_sum"]
+    for k in kids:
+        assert k["parent_sum"] == root["subtree_sum"]
+        assert k["share"] == k["subtree_sum"] / root["subtree_sum"]
+
+
+def test_vocab_growth_first_seen_identity(spark):
+    from pyspark.sql import functions as F
+    # hand corpus: day0 {a b}, day1 {b c c}: new types 2 then 1
+    docs = spark.createDataFrame(
+        [(0, "a b"), (30, "b c c")], "doc_id long, text string"
+    )
+    import __spark_entry__ as em
+    # mirror the query body on the tiny frame via the same exprs
+    from db_factfinder_spark.llmdata.textstats import tokens
+    toks = docs.select((F.col("doc_id") % 30).alias("day"),
+                       F.explode(tokens("text")).alias("tok"))
+    per_day = toks.groupBy("day").count().collect()
+    assert {r["day"]: r["count"] for r in per_day} == {0: 5}
+    # both docs land on day 0 (30 % 30 == 0): 5 tokens, 3 types
+    first = toks.groupBy("tok").agg(F.min("day")).count()
+    assert first == 3
