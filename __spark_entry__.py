@@ -5626,6 +5626,73 @@ def q235_vocab_growth(spark, sf_dir):
     )
 
 
+
+def q236_tvd_drift(spark, sf_dir):
+    """Distribution drift without logarithms: total-variation distance
+    between URGENT and LOW order-value distributions over exact log2
+    buckets -- cross-multiplied integer TVD, one division (see
+    total_variation)."""
+    from db_factfinder_spark.operators.quality import total_variation
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.length(
+            F.bin(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")
+            )
+        ).alias("bucket"),
+    )
+    return total_variation(
+        orders, "o_orderpriority", "bucket", "1-URGENT", "5-LOW"
+    )
+
+
+def q237_audience_overlap(spark, sf_dir):
+    """Day-pair audience Jaccard matrix: per-user day-pair explode
+    (bounded by the calendar, never users^2) + inclusion-exclusion --
+    the retention overlap readout (see audience_overlap)."""
+    from db_factfinder_spark.operators.timeseries import audience_overlap
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return audience_overlap(ev).orderBy("day_a", "day_b")
+
+
+def q238_autocorrelation(spark, sf_dir):
+    """Gap-correct lag-1 and lag-7 autocorrelation of daily counts per
+    event type: calendar-shifted equi-join (a rows-lag would silently
+    stretch across missing days) feeding q188's fixed-order exact
+    sufficient statistics."""
+    from db_factfinder_spark.operators.regression import grouped_correlation
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    daily = (
+        ev.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("dn"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    frames = []
+    for k in (1, 7):
+        a = daily.select("event_type", "dn", F.col("c").alias("x"))
+        b = daily.select(
+            "event_type",
+            (F.col("dn") + k).alias("dn"),
+            F.col("c").alias("y"),
+        )
+        frames.append(
+            a.join(b, ["event_type", "dn"]).select(
+                "event_type", F.lit(k).alias("lag"), "x", "y"
+            )
+        )
+    pairs = frames[0].unionByName(frames[1])
+    return grouped_correlation(
+        pairs, ["event_type", "lag"], F.col("x"), F.col("y")
+    ).orderBy("event_type", "lag")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5868,6 +5935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q233_cohens_kappa": q233_cohens_kappa,
         "q234_hierarchy_contribution": q234_hierarchy_contribution,
         "q235_vocab_growth": q235_vocab_growth,
+        "q236_tvd_drift": q236_tvd_drift,
+        "q237_audience_overlap": q237_audience_overlap,
+        "q238_autocorrelation": q238_autocorrelation,
     }
 
 

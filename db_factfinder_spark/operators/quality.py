@@ -355,3 +355,63 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             / (F.col("n") * F.col("n") - F.col("pe_num")).cast("double"),
         ).alias("kappa"),
     )
+
+
+def total_variation(
+    df: DataFrame,
+    seg_col: str,
+    bucket_col: str,
+    seg_a,
+    seg_b,
+) -> DataFrame:
+    """Total-variation distance between two segments' bucket
+    distributions — the distribution-drift metric that needs NO
+    logarithm (PSI/KL do, and libm logs are not bit-portable):
+    TVD = ½·Σ_b |p_b − q_b|, here in cross-multiplied exact integers
+
+        TVD = Σ_b |c¹_b·N² − c²_b·N¹| / (2·N¹·N²)
+
+    so every intermediate is a long and the single division is the
+    only rounding.  TVD is the drift alarm's workhorse: 0 = identical
+    distributions, 1 = disjoint support.
+
+    Plan: one (segment, bucket) count shuffle filtered to the two
+    segments, a bucket-grain full outer self-merge (zero-filled), two
+    scalar totals broadcast, one final aggregate.
+
+    Output: one row — ``n_a, n_b, n_buckets, tvd`` (NULL when either
+    segment is empty).
+    """
+    counts = (
+        df.filter(F.col(seg_col).isin([seg_a, seg_b]))
+        .groupBy(seg_col, bucket_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = counts.filter(F.col(seg_col) == seg_a).select(
+        F.col(bucket_col).alias("b"), F.col("c").alias("ca")
+    )
+    b = counts.filter(F.col(seg_col) == seg_b).select(
+        F.col(bucket_col).alias("b"), F.col("c").alias("cb")
+    )
+    merged = a.join(b, "b", "full_outer").select(
+        "b",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tot = merged.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    j = merged.crossJoin(F.broadcast(tot))
+    return j.agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.when(
+            (F.first("n_a") > 0) & (F.first("n_b") > 0),
+            F.sum(
+                F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+            ).cast("double")
+            / (2 * F.first("n_a") * F.first("n_b")).cast("double"),
+        ).alias("tvd"),
+    )

@@ -777,3 +777,62 @@ def rising_trend(
         ).alias("ratio"),
         (2 * c_r > 3 * c_p).alias("rising"),
     )
+
+
+def audience_overlap(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Day-pair audience overlap: for every ordered pair of observed
+    days, the exact Jaccard of their active-user sets — the
+    retention/cannibalization matrix ("how much of Tuesday's audience
+    was also there Monday").
+
+    The identity that keeps it off the users² cliff: intersections
+    come from the per-USER day-pair explode — a user active on d days
+    contributes C(d, 2) pairs, bounded by the calendar, never by the
+    user count — and |A∪B| = |A| + |B| − |A∩B| completes Jaccard
+    without ever materializing union sets.  One distinct shuffle, one
+    keyed self-join on the user, two broadcast size joins; exact-int
+    ratio, one division.
+
+    Output: ``day_a < day_b, n_a, n_b, n_inter, jaccard`` — day pairs
+    with an empty intersection are absent (their Jaccard is 0).
+    """
+    ud = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(
+            F.col(user_col).alias("u"), F.to_date(ts_col).alias("day")
+        )
+        .distinct()
+    )
+    sizes = ud.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    l_ = ud.select("u", F.col("day").alias("day_a"))
+    r_ = ud.select("u", F.col("day").alias("day_b"))
+    inter = (
+        l_.join(r_, "u")
+        .filter(F.col("day_a") < F.col("day_b"))
+        .groupBy("day_a", "day_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("day").alias("day_a"),
+                                     F.col("n").alias("n_a"))),
+            "day_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("day").alias("day_b"),
+                                     F.col("n").alias("n_b"))),
+            "day_b",
+        )
+        .select(
+            "day_a", "day_b", "n_a", "n_b", "n_inter",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                .cast("double")
+            ).alias("jaccard"),
+        )
+    )

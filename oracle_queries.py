@@ -5818,3 +5818,81 @@ SELECT p.day, p.n_tokens,
 FROM per_day p LEFT JOIN new_types n USING (day)
 ORDER BY p.day
 """
+
+
+# q236: TVD — identical cross-multiplied integers.
+ORACLES["q236_tvd_drift"] = """
+WITH o AS (
+  SELECT o_orderpriority AS seg,
+         length(bin(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)))
+           AS bucket
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+counts AS (SELECT seg, bucket, count(*) AS c FROM o GROUP BY 1, 2),
+a AS (SELECT bucket, c AS ca FROM counts WHERE seg = '1-URGENT'),
+b AS (SELECT bucket, c AS cb FROM counts WHERE seg = '5-LOW'),
+m AS (
+  SELECT COALESCE(a.ca, 0) AS ca, COALESCE(b.cb, 0) AS cb
+  FROM a FULL OUTER JOIN b USING (bucket)),
+t AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+  FROM m)
+SELECT t.n_a, t.n_b, CAST(count(*) AS BIGINT) AS n_buckets,
+  CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+    CAST(sum(abs(m.ca * t.n_b - m.cb * t.n_a)) AS DOUBLE)
+      / CAST(2 * t.n_a * t.n_b AS DOUBLE) END AS tvd
+FROM m, t GROUP BY t.n_a, t.n_b
+"""
+
+
+# q237: audience overlap — same per-user pair explode in SQL.
+ORACLES["q237_audience_overlap"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+sizes AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM ud GROUP BY 1),
+inter AS (
+  SELECT a.day AS day_a, b.day AS day_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM ud a JOIN ud b ON a.u = b.u AND a.day < b.day
+  GROUP BY 1, 2)
+SELECT i.day_a, i.day_b, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+       CAST(i.n_inter AS DOUBLE)
+         / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.day = i.day_a
+JOIN sizes sb ON sb.day = i.day_b
+ORDER BY i.day_a, i.day_b
+"""
+
+
+# q238: autocorrelation — calendar-shifted join + q188 formula.
+ORACLES["q238_autocorrelation"] = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+         count(*) AS c
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+p2 AS (
+  SELECT event_type, lag, x, y FROM (
+    SELECT a.event_type, l.lag, CAST(a.c AS HUGEINT) AS x,
+           CAST(b.c AS HUGEINT) AS y
+    FROM (SELECT unnest([1, 7]) AS lag) l
+    CROSS JOIN daily a
+    JOIN daily b ON b.event_type = a.event_type
+                AND b.dn = a.dn - l.lag)),
+agg AS (
+  SELECT event_type, lag, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM p2 GROUP BY 1, 2)
+SELECT event_type, CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+         THEN CAST(n * sxy - sx * sy AS DOUBLE)
+              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS r
+FROM agg ORDER BY event_type, lag
+"""

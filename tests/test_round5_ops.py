@@ -1669,3 +1669,49 @@ def test_vocab_growth_first_seen_identity(spark):
     # both docs land on day 0 (30 % 30 == 0): 5 tokens, 3 types
     first = toks.groupBy("tok").agg(F.min("day")).count()
     assert first == 3
+
+
+# ---- total variation drift (q236) ------------------------------------
+
+from db_factfinder_spark.operators.quality import total_variation
+
+
+def test_total_variation_known_values(spark):
+    # A: {x:3, y:1}; B: {x:1, y:3} → TVD = |3·4−1·4| + |1·4−3·4| over
+    # 2·16 = (8+8)/32 = 0.5
+    rows = [("A", "x")] * 3 + [("A", "y")] + [("B", "x")] + [("B", "y")] * 3
+    df = spark.createDataFrame(rows, "seg string, b string")
+    [r] = total_variation(df, "seg", "b", "A", "B").collect()
+    assert (r["n_a"], r["n_b"], r["n_buckets"], r["tvd"]) == (4, 4, 2, 0.5)
+
+
+def test_total_variation_identical_and_disjoint(spark):
+    same = spark.createDataFrame(
+        [("A", "x"), ("B", "x")], "seg string, b string"
+    )
+    assert total_variation(same, "seg", "b", "A", "B").first()["tvd"] == 0.0
+    disj = spark.createDataFrame(
+        [("A", "x"), ("B", "y")], "seg string, b string"
+    )
+    assert total_variation(disj, "seg", "b", "A", "B").first()["tvd"] == 1.0
+    empty = spark.createDataFrame([("A", "x")], "seg string, b string")
+    assert total_variation(empty, "seg", "b", "A", "B").first()["tvd"] is None
+
+
+# ---- audience overlap (q237) -----------------------------------------
+
+from db_factfinder_spark.operators.timeseries import audience_overlap
+
+
+def test_audience_overlap_jaccard(spark):
+    import datetime as dt
+    # day1 {1,2,3}, day2 {2,3,4}: inter 2, union 4 → 0.5
+    rows = [
+        (u, dt.datetime(2024, 1, 1, 9)) for u in (1, 2, 3)
+    ] + [
+        (u, dt.datetime(2024, 1, 2, 9)) for u in (2, 3, 4)
+    ] + [(2, dt.datetime(2024, 1, 1, 15))]   # dup visit → still distinct
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    [r] = audience_overlap(df).collect()
+    assert (r["n_a"], r["n_b"], r["n_inter"]) == (3, 3, 2)
+    assert r["jaccard"] == 2 / 4
