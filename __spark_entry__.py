@@ -5693,6 +5693,74 @@ def q238_autocorrelation(spark, sf_dir):
     ).orderBy("event_type", "lag")
 
 
+def _pq_codebooks(embs):
+    """Full-dim integer codebook frame ``(code, centroid array<long>)``
+    for the PQ family: per-label element-wise means in the
+    ``int_quantized_vec`` integer domain (sum < 2^53 so the one double
+    division is exact, then the floor(+0.5) idiom re-enters int64) —
+    a deterministic stand-in for a k-means PQ trainer that is
+    bit-identical in any engine."""
+    from db_factfinder_spark.llmdata.similarity import int_quantized_vec
+
+    return (
+        embs.select(
+            "label",
+            F.posexplode(int_quantized_vec(F.col("embedding"))).alias(
+                "pos", "v"
+            ),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.floor(
+                F.sum("v").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cv")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("s"))
+        .select(
+            F.col("label").cast("int").alias("code"),
+            F.transform("s", lambda x: x["cv"]).alias("centroid"),
+        )
+    )
+
+
+def q239_pq_codes(spark, sf_dir):
+    """Product-quantization encoder: 64-dim vectors → 8 subspace
+    codeword ids + exact-integer reconstruction error.  The corpus is
+    touched by ONE map-side literal-argmin pass (codebook = bounded
+    driver literal, the ivf_topk pattern); at 100 TB the emitted codes
+    table is the ~32x-smaller frame every ADC scan reads instead of
+    raw embeddings.  Codes flattened to code_0..code_7 columns."""
+    from db_factfinder_spark.llmdata.similarity import pq_encode
+
+    embs = _embs(spark, sf_dir)
+    coded = pq_encode(embs, _pq_codebooks(embs), m=8)
+    return coded.select(
+        "vec_id",
+        *[F.col("codes").getItem(s).alias(f"code_{s}") for s in range(8)],
+        "recon_err",
+    )
+
+
+def q240_pq_adc_topk(spark, sf_dir):
+    """IVF-PQ's scoring half: asymmetric-distance top-5 neighbors for
+    probes vec_id<10 over the PQ-coded corpus — probe keeps its exact
+    integer-quantized vector, corpus rows are scored purely from their
+    8 codes via literal codebook lookup (map-side expression over the
+    codes scan x broadcast probes; the corpus never shuffles and the
+    raw embedding column is never read on the scoring side).  Exact
+    int64 distances -> engine-reproducible ranking."""
+    from db_factfinder_spark.llmdata.similarity import pq_adc_topk, pq_encode
+
+    embs = _embs(spark, sf_dir)
+    cb = _pq_codebooks(embs)
+    codes = pq_encode(embs, cb, m=8)
+    probes = embs.filter(F.col("vec_id") < 10)
+    return pq_adc_topk(probes, codes, cb, m=8, k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5936,6 +6004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q234_hierarchy_contribution": q234_hierarchy_contribution,
         "q235_vocab_growth": q235_vocab_growth,
         "q236_tvd_drift": q236_tvd_drift,
+        "q239_pq_codes": q239_pq_codes,
+        "q240_pq_adc_topk": q240_pq_adc_topk,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

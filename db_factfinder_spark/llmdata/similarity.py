@@ -795,3 +795,178 @@ def mutual_topk(
         F.col("rank").alias("rank_ba"),
     ).filter(F.col("item_a") < F.col("item_b"))
     return fwd.join(rev, ["item_a", "item_b"])
+
+
+def int_quantized_vec(col: Column, scale: int = 1_000_000) -> Column:
+    """Quantize a float/double array into exact int64 units via
+    ``floor(x*scale + 0.5)`` — the one rounding idiom that is
+    bit-identical arithmetic in every engine (no HALF_UP/HALF_EVEN
+    ambiguity), after which every distance below is an exact integer
+    sum, immune to accumulation order, spill, and re-aggregation."""
+    return F.transform(
+        col,
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+
+
+def _sq_dist_int(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance of two long arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _collect_codebook(codebooks: DataFrame) -> list:
+    """Collect ``(code, centroid array<long>)`` rows sorted by code.
+    PQ codebooks are tiny by construction (codes × dim ints — the
+    trainer bounds codes at 256/subspace), so this is the same
+    bounded driver literal ``ivf_topk`` already justifies."""
+    return sorted(
+        codebooks.select("code", "centroid").collect(),
+        key=lambda r: r["code"],
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoder: split each vector into ``m``
+    subvectors and store, per subspace, the id of the nearest codeword
+    — the 100 TB vector-store compression step (64 float32 → ``m``
+    small ints per vector; the corpus PQ-codes table is ~32× smaller
+    than the raw embeddings and is what ``pq_adc_topk`` scans).
+
+    ``codebooks`` is ``(code, centroid: array<long>)`` in the
+    ``int_quantized_vec`` integer domain; the per-subspace codeword is
+    the corresponding slice, so one full-dim codebook frame feeds all
+    ``m`` subspaces.  Assignment is a pure map-side literal argmin
+    fold (strict ``<`` keeps the lowest code on ties — the
+    ``row_number() OVER (ORDER BY d2, code)`` tie-break), exactly the
+    ``ivf_topk`` pattern: the corpus is touched by ONE map-side pass,
+    nothing shuffles.
+
+    Output: ``(id_col, codes: array<int>, recon_err: long)`` where
+    ``recon_err`` is the exact integer sum of per-subspace squared
+    quantization errors (the training-quality readout PQ monitoring
+    dashboards plot)."""
+    rows = _collect_codebook(codebooks)
+    dim = len(rows[0]["centroid"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    vi = int_quantized_vec(F.col(vec_col))
+    none_best = F.struct(
+        F.lit(None).cast("long").alias("d2"),
+        F.lit(None).cast("int").alias("code"),
+    )
+    code_cols, err_cols = [], []
+    for s in range(m):
+        cw = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["code"])).cast("int").alias("code"),
+                    F.lit(
+                        [int(x) for x in r["centroid"][s * sub:(s + 1) * sub]]
+                    ).alias("cv"),
+                )
+                for r in rows
+            ]
+        )
+        subv = F.slice(vi, s * sub + 1, sub)
+        best = F.aggregate(
+            F.transform(
+                cw,
+                lambda ct: F.struct(
+                    _sq_dist_int(subv, ct["cv"]).alias("d2"),
+                    ct["code"].alias("code"),
+                ),
+            ),
+            none_best,
+            lambda acc, x: F.when(
+                acc["d2"].isNull() | (x["d2"] < acc["d2"]), x
+            ).otherwise(acc),
+        )
+        code_cols.append(best["code"])
+        err_cols.append(best["d2"])
+    total_err = err_cols[0]
+    for e in err_cols[1:]:
+        total_err = total_err + e
+    return corpus.select(
+        F.col(id_col),
+        F.array(*code_cols).alias("codes"),
+        total_err.cast("long").alias("recon_err"),
+    )
+
+
+def pq_adc_topk(
+    probes: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-coded corpus: the
+    probe keeps its exact (integer-quantized) vector, each corpus row
+    is represented only by its ``m`` codes, and the scored distance is
+    the sum of squared distances from the probe's subvectors to the
+    corpus row's codewords — scanned off the compressed codes table,
+    never the raw embeddings.
+
+    The codebook is a literal map per subspace (``element_at`` by
+    code), so scoring is a map-side expression over the codes scan
+    joined to the broadcast probe set (BroadcastNestedLoopJoin on the
+    != predicate, same shape as ``brute_force_topk`` — the corpus
+    never shuffles).  At 100 TB this is the classic IVF-PQ split: pair
+    it with ``ivf_topk``'s inverted lists to bound the scan, and the
+    codes table is the only thing read per probe.
+
+    All distances are exact int64 (``int_quantized_vec`` domain), so
+    ranking is reproducible across engines and partitionings.
+    Output: ``(probe_id, neighbor_id, adc_dist, rank)``."""
+    rows = _collect_codebook(codebooks)
+    dim = len(rows[0]["centroid"])
+    sub = dim // m
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        int_quantized_vec(F.col(vec_col)).alias("probe_vi"),
+    )
+    joined = codes.select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    ).join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+    dist_cols = []
+    for s in range(m):
+        kv = []
+        for r in rows:
+            kv.append(F.lit(int(r["code"])).cast("int"))
+            kv.append(
+                F.lit([int(x) for x in r["centroid"][s * sub:(s + 1) * sub]])
+            )
+        cb_map = F.create_map(*kv)
+        dist_cols.append(
+            _sq_dist_int(
+                F.slice(F.col("probe_vi"), s * sub + 1, sub),
+                F.element_at(cb_map, F.col("codes").getItem(s)),
+            )
+        )
+    adc = dist_cols[0]
+    for d in dist_cols[1:]:
+        adc = adc + d
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        joined.withColumn("adc_dist", adc.cast("long"))
+        .select("probe_id", "neighbor_id", "adc_dist")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

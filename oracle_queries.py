@@ -5896,3 +5896,63 @@ SELECT event_type, CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n,
        END AS r
 FROM agg ORDER BY event_type, lag
 """
+
+
+# q239/q240: product quantization — the same integer domain
+# (floor(x*1e6 + 0.5)), per-label full-dim integer mean codebook,
+# per-subspace argmin assignment, and exact-int ADC distances, written
+# independently as relational SQL (explode positions + GROUP BY int
+# sums, order-independent because every term is int64).
+_PQ_CODES_CTE = """
+e AS (
+  SELECT vec_id, CAST(label AS INTEGER) AS label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+           AS vi
+  FROM embeddings),
+cent AS (
+  SELECT label AS code, p.pos AS pos,
+         CAST(floor(CAST(sum(e.vi[p.pos + 1]) AS DOUBLE) / count(*) + 0.5)
+              AS BIGINT) AS cv
+  FROM e, (SELECT unnest(range(64)) AS pos) p
+  GROUP BY 1, 2),
+dist AS (
+  SELECT e.vec_id, CAST(floor(c.pos / 8) AS INTEGER) AS s, c.code,
+         sum((e.vi[c.pos + 1] - c.cv) * (e.vi[c.pos + 1] - c.cv)) AS d2
+  FROM e, cent c
+  GROUP BY 1, 2, 3),
+best AS (
+  SELECT vec_id, s, code, d2,
+         row_number() OVER (PARTITION BY vec_id, s
+                            ORDER BY d2 ASC, code ASC) AS rn
+  FROM dist),
+codes AS (SELECT vec_id, s, code, d2 FROM best WHERE rn = 1)
+"""
+
+ORACLES["q239_pq_codes"] = f"""
+WITH {_PQ_CODES_CTE}
+SELECT vec_id,
+  {', '.join(
+    f"CAST(max(CASE WHEN s = {s} THEN code END) AS INTEGER) AS code_{s}"
+    for s in range(8))},
+  CAST(sum(d2) AS BIGINT) AS recon_err
+FROM codes GROUP BY vec_id
+"""
+
+ORACLES["q240_pq_adc_topk"] = f"""
+WITH {_PQ_CODES_CTE},
+adc AS (
+  SELECT p.vec_id AS probe_id, cd.vec_id AS neighbor_id,
+         CAST(sum((p.vi[c.pos + 1] - c.cv) * (p.vi[c.pos + 1] - c.cv))
+              AS BIGINT) AS adc_dist
+  FROM (SELECT * FROM e WHERE vec_id < 10) p
+  JOIN codes cd ON cd.vec_id != p.vec_id
+  JOIN cent c ON c.code = cd.code
+             AND CAST(floor(c.pos / 8) AS INTEGER) = cd.s
+  GROUP BY 1, 2)
+SELECT probe_id, neighbor_id, adc_dist, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+      ORDER BY adc_dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM adc)
+WHERE rank <= 5
+"""

@@ -2344,3 +2344,81 @@ def test_grouped_correlation_exact_and_degenerate(spark):
            grouped_correlation(df, ["g"], F.col("x"), F.col("y")).collect()}
     assert abs(out["a"] - 1.0) < 1e-12
     assert out["b"] is None
+
+
+def test_pq_encode_toy_exact_with_tiebreak(spark):
+    """Hand-computed codes on a 4-dim / m=2 toy: each subspace picks
+    the nearest codeword by exact int squared distance, equal
+    distances resolve to the LOWEST code, and recon_err is the sum of
+    the two winning distances."""
+    from db_factfinder_spark.llmdata.similarity import pq_encode
+
+    # integer-friendly values: x*1e6 is exact
+    corpus = spark.createDataFrame(
+        [(0, [0.0, 0.0, 3.0, 3.0]),
+         (1, [2.0, 2.0, 0.0, 0.0]),
+         (2, [1.0, 1.0, 1.0, 1.0])],  # equidistant → code 0 both
+        "vec_id long, embedding array<double>",
+    )
+    cb = spark.createDataFrame(
+        [(0, [0, 0, 0, 0]),
+         (1, [2_000_000, 2_000_000, 2_000_000, 2_000_000])],
+        "code int, centroid array<long>",
+    )
+    out = {r["vec_id"]: r for r in
+           pq_encode(corpus, cb, m=2).collect()}
+    assert list(out[0]["codes"]) == [0, 1]
+    assert list(out[1]["codes"]) == [1, 0]
+    # vec 2: dist to code0 = 2*(1e6)^2, to code1 = 2*(1e6)^2 → tie → 0
+    assert list(out[2]["codes"]) == [0, 0]
+    m = 1_000_000
+    assert out[0]["recon_err"] == 0 + 2 * m * m  # [3,3] vs [2,2]
+    assert out[2]["recon_err"] == 4 * m * m
+
+
+def test_pq_adc_equals_reconstructed_distance(spark, embs):
+    """ADC distance computed from codes + literal codebook must equal
+    the explicit squared distance between the probe's int vector and
+    the neighbor's codeword-reconstructed vector (same integer domain
+    — an exact equality, not a tolerance)."""
+    import __spark_entry__ as em
+    from db_factfinder_spark.llmdata.similarity import (
+        int_quantized_vec,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    cb = em._pq_codebooks(embs)
+    codes = pq_encode(embs, cb, m=8)
+    probes = embs.filter(F.col("vec_id") < 3)
+    out = pq_adc_topk(probes, codes, cb, m=8, k=500).collect()
+
+    cb_rows = {r["code"]: list(r["centroid"]) for r in cb.collect()}
+    code_rows = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    pvecs = {
+        r["vec_id"]: list(r["vi"])
+        for r in probes.select(
+            "vec_id", int_quantized_vec(F.col("embedding")).alias("vi")
+        ).collect()
+    }
+    assert len(out) == 3 * (codes.count() - 1)
+    for r in out[:200]:
+        pv = pvecs[r["probe_id"]]
+        recon = []
+        for s, c in enumerate(code_rows[r["neighbor_id"]]):
+            recon.extend(cb_rows[c][s * 8:(s + 1) * 8])
+        want = sum((a - b) * (a - b) for a, b in zip(pv, recon))
+        assert r["adc_dist"] == want
+
+
+def test_pq_encode_rejects_bad_m(spark):
+    from db_factfinder_spark.llmdata.similarity import pq_encode
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    cb = spark.createDataFrame(
+        [(0, [0, 0, 0])], "code int, centroid array<long>"
+    )
+    with pytest.raises(ValueError):
+        pq_encode(corpus, cb, m=2)
