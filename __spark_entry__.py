@@ -5761,6 +5761,32 @@ def q240_pq_adc_topk(spark, sf_dir):
     return pq_adc_topk(probes, codes, cb, m=8, k=5)
 
 
+def q241_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-part sketch per return flag,
+    built the way a 100 TB pipeline would: per-shard partials
+    (l_orderkey % 4 stands in for daily partitions), ALGEBRAIC merge
+    (union hash sets, drop cross-shard duplicates, keep k smallest),
+    then the (k-1)·2^60/h_k readout.  The oracle sketches the raw rows
+    directly in one pass — passing proves merged-partials ≡ direct
+    sketch, the property that lets warehouses persist per-day state
+    and never rescan raw data."""
+    from db_factfinder_spark.llmdata.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_partials,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_partkey",
+        (F.col("l_orderkey") % 4).alias("shard"),
+    )
+    parts = kmv_partials(
+        li, ["l_returnflag"], "l_partkey", k=64, shard_cols=["shard"]
+    )
+    return kmv_estimate(kmv_merge(parts, ["l_returnflag"], k=64), k=64)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6006,6 +6032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q236_tvd_drift": q236_tvd_drift,
         "q239_pq_codes": q239_pq_codes,
         "q240_pq_adc_topk": q240_pq_adc_topk,
+        "q241_kmv_distinct": q241_kmv_distinct,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

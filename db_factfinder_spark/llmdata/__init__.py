@@ -51,6 +51,9 @@ from db_factfinder_spark.llmdata.sketches import (  # noqa: F401
     hll_intersect,
     hll_merge,
     hll_partials,
+    kmv_estimate,
+    kmv_merge,
+    kmv_partials,
     rolling_hll_distinct,
     sampled_quantiles,
 )
@@ -61,6 +64,8 @@ from db_factfinder_spark.llmdata.similarity import (  # noqa: F401
     jl_projection,
     jl_sign_matrix,
     lsh_bucketed_topk,
+    pq_adc_topk,
+    pq_encode,
     quantized_topk,
     semantic_dedup,
 )

@@ -18,7 +18,7 @@ aggregation (map-side combine) does almost all the work.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # alpha_m · m² for m=64 (HLL bias constant 0.709), written as the
@@ -470,3 +470,92 @@ def rolling_hll_distinct(
             ).alias("hll_raw"),
         )
     )
+
+
+# ---------------------------------------------------------------- KMV
+
+_KMV_RANGE = "1152921504606846976.0"  # 2^60 as an exact double literal
+
+
+def _kmv_hash(value: Column) -> Column:
+    """60-bit uniform hash: first 15 md5 hex chars as int64 — the
+    repo-standard portable idiom (DuckDB:
+    ``('0x' || substr(md5(v), 1, 15))::BIGINT``)."""
+    return F.conv(
+        F.substring(F.md5(value.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    shard_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mergeable k-minimum-values state: per (group, shard), the
+    sorted array of the k SMALLEST distinct 60-bit hashes of
+    ``value_col`` — at most k int64s per shard whatever the input
+    cardinality.  This is the KMV/theta-sketch counterpart to
+    ``hll_partials``: same persist-per-day / merge-later story, but
+    the state also supports set operations (intersection via the
+    common k-min domain) and gives an unbiased (k-1)/h_k estimator.
+
+    Shape at 100 TB: one distinct-shuffle on (group, shard, hash),
+    then a per-group-shard sort bounded by row_number ≤ k — the heavy
+    frame never leaves the executors and the emitted state is k ints
+    per shard."""
+    keys = list(group_cols) + list(shard_cols or [])
+    dedup = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, _kmv_hash(F.col(value_col)).alias("__hv"))
+        .distinct()
+    )
+    w = Window.partitionBy(*keys).orderBy("__hv")
+    return (
+        dedup.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list("__hv")).alias("kmins"))
+    )
+
+
+def kmv_merge(
+    partials: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Merge KMV states down to ``group_cols``: union the hash sets,
+    drop duplicates (the same value hashes identically in every
+    shard), keep the k smallest.  ALGEBRAIC — merged state is
+    bit-identical to a direct sketch of the unioned data, which is
+    exactly what the q241 oracle proves by sketching the raw rows."""
+    return (
+        partials.groupBy(*group_cols)
+        .agg(F.flatten(F.collect_list("kmins")).alias("__all"))
+        .select(
+            *group_cols,
+            F.slice(
+                F.array_sort(F.array_distinct("__all")), 1, k
+            ).alias("kmins"),
+        )
+    )
+
+
+def kmv_estimate(state: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count readout of a KMV state: exact size when the
+    group holds fewer than k distinct values (the sketch IS the value
+    set), else (k-1) · 2^60 / h_k — every operand an exact double, one
+    multiply and one divide in a fixed order, so the estimate is
+    engine-reproducible."""
+    n_kept = F.size("kmins")
+    kth = F.element_at("kmins", k).cast("double")
+    est = F.when(n_kept < k, n_kept.cast("double")).otherwise(
+        F.lit(float(k - 1))
+        * float(_KMV_RANGE)
+        / kth
+    )
+    return state.select(
+        "*",
+        n_kept.cast("long").alias("n_kept"),
+        F.element_at("kmins", F.least(n_kept, F.lit(k))).alias("kth_hash"),
+        est.alias("est_distinct"),
+    ).drop("kmins")

@@ -5956,3 +5956,30 @@ SELECT probe_id, neighbor_id, adc_dist, rank FROM (
   FROM adc)
 WHERE rank <= 5
 """
+
+
+# q241: KMV sketch — the oracle sketches the RAW rows in one pass
+# (distinct 60-bit hashes, k smallest via row_number), while the Spark
+# side goes partials→merge→estimate; equality proves the merge is
+# algebraic.  est uses the identical fixed-order double expression.
+ORACLES["q241_kmv_distinct"] = """
+WITH vals AS (
+  SELECT DISTINCT l_returnflag,
+    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM lineitem WHERE l_partkey IS NOT NULL),
+ranked AS (
+  SELECT l_returnflag, hv,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+  FROM vals),
+g AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
+         max(CASE WHEN rn = 64 THEN hv END) AS h64,
+         max(hv) AS hmax
+  FROM ranked WHERE rn <= 64 GROUP BY l_returnflag)
+SELECT l_returnflag, n_kept,
+  CASE WHEN n_kept < 64 THEN hmax ELSE h64 END AS kth_hash,
+  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+       ELSE 63.0 * 1152921504606846976.0 / CAST(h64 AS DOUBLE)
+  END AS est_distinct
+FROM g
+"""

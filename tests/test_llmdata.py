@@ -2422,3 +2422,43 @@ def test_pq_encode_rejects_bad_m(spark):
     )
     with pytest.raises(ValueError):
         pq_encode(corpus, cb, m=2)
+
+
+def test_kmv_merge_equals_direct_sketch(spark):
+    """Merged per-shard KMV partials must be BIT-IDENTICAL to a direct
+    sketch of the union — the algebraic-merge property that lets a
+    warehouse persist per-day state.  Also: duplicate values across
+    shards must not double-count (array_distinct in the merge)."""
+    from db_factfinder_spark.llmdata.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_partials,
+    )
+
+    rows = [("g", i % 3, f"v{i % 500}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, shard int, v string")
+    merged = kmv_merge(
+        kmv_partials(df, ["g"], "v", k=32, shard_cols=["shard"]),
+        ["g"],
+        k=32,
+    )
+    direct = kmv_partials(df, ["g"], "v", k=32)
+    assert merged.collect()[0]["kmins"] == direct.collect()[0]["kmins"]
+    est = kmv_estimate(merged, k=32).collect()[0]
+    # 500 distinct, k=32 → relative error well under 3/sqrt(k) ≈ 53%
+    assert 0.5 * 500 < est["est_distinct"] < 1.5 * 500
+    assert est["n_kept"] == 32
+
+
+def test_kmv_small_group_is_exact(spark):
+    from db_factfinder_spark.llmdata.sketches import (
+        kmv_estimate,
+        kmv_partials,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", "b"), ("g", "a"), ("g", None)],
+        "g string, v string",
+    )
+    out = kmv_estimate(kmv_partials(df, ["g"], "v", k=64), k=64).collect()
+    assert out[0]["est_distinct"] == 2.0 and out[0]["n_kept"] == 2
