@@ -5787,6 +5787,24 @@ def q241_kmv_distinct(spark, sf_dir):
     return kmv_estimate(kmv_merge(parts, ["l_returnflag"], k=64), k=64)
 
 
+def q242_timedecay_attribution(spark, sf_dir):
+    """Recency-weighted multi-touch attribution: touch aged d days
+    carries weight 2^(7-d) (dyadic — no libm pow), credits allocated
+    by the exact-rational largest-remainder rule so total credited
+    cents conserve exactly, refunds included (see
+    time_decay_attribution)."""
+    from db_factfinder_spark.operators.funnel import time_decay_attribution
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return time_decay_attribution(
+        ev,
+        touch_types=["click", "view"],
+        conv_type="purchase",
+        horizon_days=7,
+        channel=F.get_json_object("props", "$.k").cast("int") % 5,
+    ).orderBy("channel")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6033,6 +6051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q239_pq_codes": q239_pq_codes,
         "q240_pq_adc_topk": q240_pq_adc_topk,
         "q241_kmv_distinct": q241_kmv_distinct,
+        "q242_timedecay_attribution": q242_timedecay_attribution,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -368,3 +368,127 @@ def sequential_pairs(
     if with_support:
         aggs.append(F.countDistinct("__k").alias("n_keys"))
     return pairs.groupBy("a", "b").agg(*aggs)
+
+
+def time_decay_attribution(
+    events: DataFrame,
+    touch_types: list[str],
+    conv_type: str,
+    horizon_days: int,
+    channel: Column,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-decay multi-touch attribution (half-life = 1 day) with
+    EXACT cent conservation — the recency-weighted sibling of
+    ``linear_attribution``.
+
+    A touch aged ``d`` whole days at conversion time carries weight
+    2^(horizon_days − d): all weights are exact integer powers of two
+    (the dyadic-weight trick of ``ewma_dyadic`` — no libm ``pow``
+    anywhere), so per conversion the credit of touch i is the exact
+    rational cents·wᵢ/W.  Integer floor credits leave a residual of at
+    most n−1 cents, assigned by the largest-remainder rule (|rem|
+    desc, then (ts, id) — deterministic), so ``Σ credited ≡ Σ
+    conversion cents`` EXACTLY, refunds included (every remainder
+    carries the dividend's sign, mirroring ``linear_attribution``).
+
+    Plan shape: identical to ``linear_attribution`` — one union-frame
+    descending-time window on the user key assigns each touch its next
+    conversion (never a touch×conversion inequality join), then two
+    windows keyed by conversion id compute W, the running base sum,
+    and the remainder ranks.  ``horizon_days ≤ 40`` keeps
+    ``cents·2^horizon`` comfortably inside int64 for ledger-scale
+    cents.
+
+    Output: ``channel, n_credits, credited_cents``.
+    """
+    if not 0 <= horizon_days <= 40:
+        raise ValueError("horizon_days must be in [0, 40]")
+    day_us = 86_400_000_000
+    horizon_us = horizon_days * day_us
+    e = events.select(
+        F.col(key_col).alias("k"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(id_col).alias("eid"),
+        "event_type",
+        F.floor(F.col(value_col) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        channel.alias("channel"),
+    )
+    conv = e.filter(F.col("event_type") == conv_type).select(
+        "k", "us", "eid", "cents", F.lit(0).alias("__is_probe")
+    )
+    touch = e.filter(F.col("event_type").isin(*touch_types)).select(
+        "k", "us", "eid", "channel", F.lit(1).alias("__is_probe")
+    )
+    u = touch.unionByName(
+        conv.select(
+            "k", "us", "eid", "__is_probe",
+            F.struct("us", "eid", "cents").alias("__conv"),
+        ),
+        allowMissingColumns=True,
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(
+            F.col("us").desc(), F.col("__is_probe").asc(),
+            F.col("eid").desc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = (
+        u.withColumn("__next", F.last("__conv", ignorenulls=True).over(w))
+        .filter(
+            (F.col("__is_probe") == 1)
+            & F.col("__next").isNotNull()
+            & ((F.col("__next.us") - F.col("us")) <= F.lit(horizon_us))
+        )
+        .select(
+            F.col("__next.eid").alias("conv_id"),
+            F.col("__next.cents").alias("cents"),
+            F.expr(f"(__next.us - us) div {day_us}").alias("d"),
+            "us", "eid", "channel",
+        )
+        .withColumn(
+            "wt", F.expr(f"shiftleft(CAST(1 AS BIGINT), {horizon_days} - d)")
+        )
+    )
+    per_conv = Window.partitionBy("conv_id")
+    rem_order = Window.partitionBy("conv_id").orderBy(
+        F.abs(F.col("rem")).desc(), F.asc("us"), F.asc("eid")
+    )
+    credits = (
+        assigned.withColumn("W", F.sum("wt").over(per_conv))
+        .withColumn("prod", F.col("cents") * F.col("wt"))
+        .withColumn("base", F.expr("prod div W"))
+        .withColumn("rem", F.col("prod") % F.col("W"))
+        .withColumn("R", F.col("cents") - F.sum("base").over(per_conv))
+        .withColumn("rn", F.row_number().over(rem_order))
+        .select(
+            "channel",
+            (
+                F.col("base")
+                + F.when(
+                    F.col("rn") <= F.abs("R"),
+                    F.signum("R").cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("credit"),
+        )
+    )
+    direct = conv.join(
+        assigned.select("conv_id").distinct(),
+        conv["eid"] == F.col("conv_id"),
+        "left_anti",
+    ).select(F.lit(-1).alias("channel"), F.col("cents").alias("credit"))
+    return (
+        credits.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("credit").alias("credited_cents"),
+        )
+    )

@@ -5983,3 +5983,58 @@ SELECT l_returnflag, n_kept,
   END AS est_distinct
 FROM g
 """
+
+
+# q242: time-decay attribution — inequality-join assignment (oracle
+# scale) + the same dyadic weights / largest-remainder integer split.
+ORACLES["q242_timedecay_attribution"] = """
+WITH e AS (
+  SELECT event_id AS eid, user_id AS k, epoch_us(ts) AS us, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(json_extract_string(props, '$.k') AS INT) % 5 AS channel
+  FROM events),
+conv AS (SELECT * FROM e WHERE event_type = 'purchase'),
+touch AS (SELECT * FROM e WHERE event_type IN ('click', 'view')),
+assigned AS (
+  SELECT t.eid AS teid, t.us AS tus, t.channel,
+         c.eid AS conv_id, c.cents,
+         (c.us - t.us) // 86400000000 AS d
+  FROM touch t
+  JOIN conv c ON c.k = t.k AND c.us >= t.us
+             AND c.us - t.us <= 7 * 86400000000
+  QUALIFY row_number() OVER (
+    PARTITION BY t.eid ORDER BY c.us, c.eid) = 1),
+weighted AS (
+  SELECT *, CAST(1 AS BIGINT) << CAST(7 - d AS INTEGER) AS wt
+  FROM assigned),
+split AS (
+  SELECT channel, cents, tus, teid,
+         cents * wt AS prod,
+         sum(wt) OVER (PARTITION BY conv_id) AS W,
+         conv_id
+  FROM weighted),
+based AS (
+  SELECT channel, conv_id, cents, tus, teid,
+         prod // W AS base, prod % W AS rem
+  FROM split),
+ranked AS (
+  SELECT channel, base,
+         cents - sum(base) OVER (PARTITION BY conv_id) AS R,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY abs(rem) DESC, tus, teid) AS rn
+  FROM based),
+credits AS (
+  SELECT channel,
+         base + CASE WHEN rn <= abs(R)
+                     THEN CASE WHEN R > 0 THEN 1
+                               WHEN R < 0 THEN -1 ELSE 0 END
+                     ELSE 0 END AS credit
+  FROM ranked),
+direct AS (
+  SELECT -1 AS channel, cents AS credit
+  FROM conv WHERE eid NOT IN (SELECT conv_id FROM assigned)),
+unioned AS (SELECT * FROM credits UNION ALL SELECT * FROM direct)
+SELECT channel, count(*) AS n_credits,
+       CAST(sum(credit) AS BIGINT) AS credited_cents
+FROM unioned GROUP BY 1 ORDER BY channel
+"""
