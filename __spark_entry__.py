@@ -5805,6 +5805,30 @@ def q242_timedecay_attribution(spark, sf_dir):
     ).orderBy("channel")
 
 
+def q243_calibration_bins(spark, sf_dir):
+    """Reliability diagram + per-bin Brier score per order priority:
+    model score = 28-bit md5 of the order key (deterministic dyadic
+    probability), label = order finished.  All sums exact ints (the
+    squared errors in DECIMAL — they pass 2^56), divisions once per
+    output row (see calibration_bins)."""
+    from db_factfinder_spark.operators.evaluation import calibration_bins
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 7),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("score28"),
+        (F.col("o_orderstatus") == "F").alias("is_final"),
+    )
+    return calibration_bins(
+        orders, ["o_orderpriority"], "score28", "is_final", bins=10
+    ).orderBy("o_orderpriority", "bin")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6052,6 +6076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q240_pq_adc_topk": q240_pq_adc_topk,
         "q241_kmv_distinct": q241_kmv_distinct,
         "q242_timedecay_attribution": q242_timedecay_attribution,
+        "q243_calibration_bins": q243_calibration_bins,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_auc"]
+__all__ = ["calibration_bins", "decile_gains", "grouped_auc"]
 
 
 def grouped_auc(
@@ -168,4 +168,83 @@ def decile_gains(
             F.sum("n_pos").over(w_cum).cast("double")
             / F.sum("n_pos").over(w_all).cast("double"),
         ).alias("cum_gain"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    group_cols: list[str],
+    score28_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins + per-bin Brier score for a
+    probability model, computed entirely in exact arithmetic.
+
+    The score is a 28-bit integer ``h`` (probability = h/2^28 — a
+    dyadic rational, so the implied double is exact; q206/q243 derive
+    it from md5 as the deterministic model-score stand-in).  Per
+    (group, bin = h·bins div 2^28):
+
+    * ``n``, ``n_pos`` — exact counts;
+    * ``mean_p`` — Σh as exact int, ONE division cascade at the end;
+    * ``frac_pos`` — calibration target, one division;
+    * ``brier`` — each squared error (h − y·2^28)² fits int64 (≤ 2^56)
+      but their SUM does not stay below 2^53, and a wide-integer →
+      double conversion is the one place engines legally disagree by
+      an ulp (measured: Spark DECIMAL(38,0)→double vs DuckDB
+      HUGEINT→double differ at sf0.1).  So the square is split per
+      row into ``se div 2^28`` and ``se mod 2^28`` — both sums stay
+      exact int64 doubles — and recombined as the fixed-order double
+      expression ``sum_q/(n·2^28) + sum_r/(n·2^56)``: every operand
+      exact, every operation identical in any engine.
+
+    Every aggregation is an integer sum — order-independent, spill-
+    safe, and bit-identical in any engine; the handful of IEEE
+    divisions happen once per OUTPUT row in a fixed order.  One
+    groupBy, map-side partials do the work.  A well-calibrated model
+    shows mean_p ≈ frac_pos per bin; Brier decomposes over the same
+    bins — this is the monitoring readout behind "is the ranker's
+    0.9 really a 0.9".
+    """
+    two28 = 268_435_456  # 2^28
+    h = F.col(score28_col).cast("long")
+    y = F.col(label_col).cast("long")
+    d = h - y * F.lit(two28)
+    se = d * d
+    binc = F.expr(f"({score28_col} * {bins}) div {two28}").alias("bin")
+    g = (
+        df.select(
+            *group_cols, binc, h.alias("__h"), y.alias("__y"),
+            se.alias("__se"),
+        )
+        .select(
+            *group_cols, "bin", "__h", "__y",
+            F.expr(f"__se div {two28}").alias("__se_q"),
+            (F.col("__se") % F.lit(two28)).alias("__se_r"),
+        )
+        .groupBy(*group_cols, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("n_pos"),
+            F.sum("__h").alias("__sum_h"),
+            F.sum("__se_q").alias("__sum_q"),
+            F.sum("__se_r").alias("__sum_r"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    return g.select(
+        *group_cols,
+        "bin",
+        "n",
+        "n_pos",
+        (
+            F.col("__sum_h").cast("double") / nd / F.lit(float(two28))
+        ).alias("mean_p"),
+        (F.col("n_pos").cast("double") / nd).alias("frac_pos"),
+        (
+            F.col("__sum_q").cast("double") / (nd * F.lit(float(two28)))
+            + F.col("__sum_r").cast("double")
+            / (nd * F.lit(72_057_594_037_927_936.0))  # 2^56
+        ).alias("brier"),
     )

@@ -6038,3 +6038,33 @@ SELECT channel, count(*) AS n_credits,
        CAST(sum(credit) AS BIGINT) AS credited_cents
 FROM unioned GROUP BY 1 ORDER BY channel
 """
+
+
+# q243: calibration bins — same md5 dyadic score, HUGEINT squares.
+ORACLES["q243_calibration_bins"] = """
+WITH s AS (
+  SELECT o_orderpriority,
+    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 7))::BIGINT
+      AS h,
+    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders),
+se AS (
+  SELECT o_orderpriority, (h * 10) // 268435456 AS bin, h, y,
+         (h - y * 268435456) * (h - y * 268435456) AS sq
+  FROM s),
+g AS (
+  SELECT o_orderpriority, bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(h) AS BIGINT) AS sum_h,
+         CAST(sum(sq // 268435456) AS BIGINT) AS sum_q,
+         CAST(sum(sq % 268435456) AS BIGINT) AS sum_r
+  FROM se GROUP BY 1, 2)
+SELECT o_orderpriority, bin, n, n_pos,
+  CAST(sum_h AS DOUBLE) / CAST(n AS DOUBLE) / 268435456.0 AS mean_p,
+  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+  CAST(sum_q AS DOUBLE) / (CAST(n AS DOUBLE) * 268435456.0)
+    + CAST(sum_r AS DOUBLE) / (CAST(n AS DOUBLE) * 72057594037927936.0)
+    AS brier
+FROM g ORDER BY o_orderpriority, bin
+"""

@@ -88,3 +88,23 @@ def test_time_decay_rejects_bad_horizon(spark):
             _ev_df(spark, []), ["click"], "purchase", horizon_days=41,
             channel=F.lit(0),
         )
+
+
+def test_calibration_bins_exact_toy(spark):
+    """Hand-computed bins: h=2^27 (p=0.5) with y=1 → squared error
+    (2^27-2^28)² = 2^54 → brier 0.25; same h with y=0 → 0.25 too;
+    h=0,y=0 → brier 0; bin ids = h*10 div 2^28."""
+    from db_factfinder_spark.operators.evaluation import calibration_bins
+
+    two27 = 1 << 27
+    df = spark.createDataFrame(
+        [("g", two27, True), ("g", two27, False), ("g", 0, False)],
+        "g string, score28 long, y boolean",
+    )
+    out = {r["bin"]: r for r in
+           calibration_bins(df, ["g"], "score28", "y").collect()}
+    assert out[5]["n"] == 2 and out[5]["n_pos"] == 1
+    assert out[5]["mean_p"] == 0.5 and out[5]["frac_pos"] == 0.5
+    assert out[5]["brier"] == 0.25
+    assert out[0]["n"] == 1 and out[0]["brier"] == 0.0
+    assert out[0]["mean_p"] == 0.0
