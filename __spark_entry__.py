@@ -5829,6 +5829,35 @@ def q243_calibration_bins(spark, sf_dir):
     ).orderBy("o_orderpriority", "bin")
 
 
+def q244_sequential_triples(spark, sf_dir):
+    """Length-3 sequential patterns (a→b→c within gap ≤ 2 at each
+    step) per user sequence: two stacked lead fans over one window
+    partitioning — max_gap² columns per row, never a double
+    position-range self-join (see sequential_triples)."""
+    from db_factfinder_spark.operators.funnel import sequential_triples
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return sequential_triples(ev, max_gap=2).orderBy("a", "b", "c")
+
+
+def q245_kcore_prune(spark, sf_dir):
+    """Bounded k-core peel (k=20, 4 rounds) of the part↔supplier
+    bipartite graph: iterative drop-degree-<k with an explicit
+    convergence readout — each round two keyed shuffles over a frame
+    that only shrinks (see kcore_prune)."""
+    from db_factfinder_spark.llmdata.components import kcore_prune
+
+    und = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("id_a"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("id_b"),
+        )
+        .distinct()
+    )
+    return kcore_prune(und, k=20, rounds=4).orderBy("node")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6077,6 +6106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q241_kmv_distinct": q241_kmv_distinct,
         "q242_timedecay_attribution": q242_timedecay_attribution,
         "q243_calibration_bins": q243_calibration_bins,
+        "q244_sequential_triples": q244_sequential_triples,
+        "q245_kcore_prune": q245_kcore_prune,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -479,3 +479,72 @@ def incremental_components(
         F.coalesce("__new", batch_nodes["id"]).alias("label"),
     )
     return remapped_base.unionByName(new_nodes)
+
+
+def kcore_prune(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    src: str = "id_a",
+    dst: str = "id_b",
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` passes of "drop every node
+    with degree < k, then drop edges touching dropped nodes" — the
+    standard dense-subgraph extractor (Seidman 1983; at corpus scale:
+    isolate boilerplate/template cliques the near-dup graph surfaces,
+    or spam rings in interaction graphs).
+
+    After R rounds the survivor set is a (certified) SUPERSET of the
+    true k-core that equals it once a round removes nothing; callers
+    pick R by graph diameter or iterate on the ``converged`` readout.
+    Exact k-core is an inherently iterative fixpoint (its depth can
+    be Θ(n) on a path graph) — a bounded-round operator with an
+    explicit convergence flag is the honest distributed contract, the
+    same shape as ``connected_components``' diameter-bounded rounds.
+
+    Each round is two keyed shuffles (degree groupBy + semi-join back
+    to edges) over a frame that only SHRINKS; intermediate frames are
+    materialized per ``checkpoint_mode`` to cut lineage growth, the
+    connected-components discipline.
+
+    Output: one row per surviving node — ``node, degree`` (degree
+    within the surviving subgraph) — plus ``converged`` (boolean:
+    did the last round change nothing).
+    """
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+
+    und = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    # undirected degree: count each edge from both endpoints
+    e = materialize(
+        und.unionByName(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct(),
+        checkpoint_mode,
+    )
+    converged = False
+    for _ in range(rounds):
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("a")
+        pruned = materialize(
+            e.join(keep, "a")
+            .join(keep.select(F.col("a").alias("b")), "b")
+            .select("a", "b"),
+            checkpoint_mode,
+        )
+        if pruned.count() == e.count():
+            e = pruned
+            converged = True
+            break
+        e = pruned
+    return (
+        e.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(
+            F.col("a").alias("node"),
+            "degree",
+            F.lit(converged).alias("converged"),
+        )
+    )

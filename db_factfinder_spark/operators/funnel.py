@@ -492,3 +492,54 @@ def time_decay_attribution(
             F.sum("credit").alias("credited_cents"),
         )
     )
+
+
+def sequential_triples(
+    events: DataFrame,
+    max_gap: int = 1,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Length-3 sequential pattern counts: (a → b → c) where b follows
+    a within ``max_gap`` positions and c follows b within ``max_gap``
+    — the GSP/PrefixSpan length-3 stage on top of
+    ``sequential_pairs``.
+
+    Same plan discipline: a position-range double self-join would be
+    unbounded; two stacked ``lead`` fans over ONE window partitioning
+    emit every (gap₁, gap₂) successor combination as max_gap² columns
+    — constant per row — then one groupBy counts.  Work is
+    rows × max_gap², one key shuffle plus the count shuffle, nothing
+    quadratic at any skew.
+
+    Output: ``a, b, c, n_triples, n_keys`` (distinct-key support).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    seq = events.filter(
+        F.col(ts_col).isNotNull() & F.col(event_col).isNotNull()
+    )
+    combos = []
+    for g1 in range(1, max_gap + 1):
+        for g2 in range(1, max_gap + 1):
+            combos.append(
+                F.struct(
+                    F.lead(event_col, g1).over(w).alias("b"),
+                    F.lead(event_col, g1 + g2).over(w).alias("c"),
+                )
+            )
+    fanned = seq.select(
+        F.col(key_col).alias("__k"),
+        F.col(event_col).alias("a"),
+        F.array(*combos).alias("__succ"),
+    )
+    triples = (
+        fanned.select("__k", "a", F.explode("__succ").alias("s"))
+        .select("__k", "a", F.col("s.b").alias("b"), F.col("s.c").alias("c"))
+        .filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    )
+    return triples.groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("__k").alias("n_keys"),
+    )

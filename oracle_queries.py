@@ -6068,3 +6068,73 @@ SELECT o_orderpriority, bin, n, n_pos,
     AS brier
 FROM g ORDER BY o_orderpriority, bin
 """
+
+
+# q244: length-3 sequential patterns — the same stacked-lead fan in
+# SQL (lead(e, g1) and lead(e, g1+g2) over one user window).
+ORACLES["q244_sequential_triples"] = """
+WITH seq AS (
+  SELECT user_id AS k, event_type AS a,
+         lead(event_type, 1) OVER w AS b1,
+         lead(event_type, 2) OVER w AS b2,
+         lead(event_type, 3) OVER w AS c3,
+         lead(event_type, 4) OVER w AS c4
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+triples AS (
+  SELECT k, a, b1 AS b, b2 AS c FROM seq     -- g1=1, g2=1
+  UNION ALL
+  SELECT k, a, b1, c3 FROM seq               -- g1=1, g2=2
+  UNION ALL
+  SELECT k, a, b2, c3 FROM seq               -- g1=2, g2=1
+  UNION ALL
+  SELECT k, a, b2, c4 FROM seq)              -- g1=2, g2=2
+SELECT a, b, c,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+FROM triples
+WHERE b IS NOT NULL AND c IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY a, b, c
+"""
+
+
+# q245: bounded k-core — the same 4 peel rounds as chained CTEs;
+# converged iff the final round removed nothing (the frame only
+# shrinks, so equality of the last two edge counts is exactly the
+# operator's break condition).
+ORACLES["q245_kcore_prune"] = """
+WITH und AS (
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM lineitem),
+e0 AS (SELECT a, b FROM und UNION SELECT b, a FROM und),
+deg1 AS (SELECT a, count(*) AS c FROM e0 GROUP BY a),
+keep1 AS (SELECT a FROM deg1 WHERE c >= 20),
+e1 AS (
+  SELECT e.a, e.b FROM e0 e
+  JOIN keep1 ka ON e.a = ka.a
+  JOIN keep1 kb ON e.b = kb.a),
+deg2 AS (SELECT a, count(*) AS c FROM e1 GROUP BY a),
+keep2 AS (SELECT a FROM deg2 WHERE c >= 20),
+e2 AS (
+  SELECT e.a, e.b FROM e1 e
+  JOIN keep2 ka ON e.a = ka.a
+  JOIN keep2 kb ON e.b = kb.a),
+deg3 AS (SELECT a, count(*) AS c FROM e2 GROUP BY a),
+keep3 AS (SELECT a FROM deg3 WHERE c >= 20),
+e3 AS (
+  SELECT e.a, e.b FROM e2 e
+  JOIN keep3 ka ON e.a = ka.a
+  JOIN keep3 kb ON e.b = kb.a),
+deg4 AS (SELECT a, count(*) AS c FROM e3 GROUP BY a),
+keep4 AS (SELECT a FROM deg4 WHERE c >= 20),
+e4 AS (
+  SELECT e.a, e.b FROM e3 e
+  JOIN keep4 ka ON e.a = ka.a
+  JOIN keep4 kb ON e.b = kb.a)
+SELECT a AS node, CAST(count(*) AS BIGINT) AS degree,
+       (SELECT count(*) FROM e4) =
+         (SELECT count(*) FROM e3) AS converged
+FROM e4 GROUP BY a ORDER BY node
+"""

@@ -108,3 +108,59 @@ def test_calibration_bins_exact_toy(spark):
     assert out[5]["brier"] == 0.25
     assert out[0]["n"] == 1 and out[0]["brier"] == 0.0
     assert out[0]["mean_p"] == 0.0
+
+
+def test_kcore_cascade_and_convergence(spark):
+    """Pendant chain hanging off a 4-clique, k=2: the chain must peel
+    one node per round (degree drops to 1 only after its outer
+    neighbor goes), the clique survives with degree 3, and converged
+    flips only when enough rounds are allowed."""
+    from db_factfinder_spark.llmdata.components import kcore_prune
+
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+             ("b", "d"), ("c", "d"),           # 4-clique
+             ("d", "x1"), ("x1", "x2"), ("x2", "x3")]  # pendant chain
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    done = kcore_prune(df, k=2, rounds=6).collect()
+    nodes = {r["node"]: r["degree"] for r in done}
+    assert nodes == {"a": 3, "b": 3, "c": 3, "d": 3}
+    assert all(r["converged"] for r in done)
+    # 1 round is not enough to finish peeling the 3-node chain
+    partial = kcore_prune(df, k=2, rounds=1).collect()
+    assert {r["node"] for r in partial} > set("abcd")
+    assert not any(r["converged"] for r in partial)
+
+
+def test_kcore_empty_when_k_exceeds_degrees(spark):
+    from db_factfinder_spark.llmdata.components import kcore_prune
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    assert kcore_prune(df, k=3, rounds=3).count() == 0
+
+
+def test_sequential_triples_hand_counts(spark):
+    """u1: A B C D with max_gap=1 → ABC, BCD; max_gap=2 adds the
+    skip combinations; support counts distinct users."""
+    from db_factfinder_spark.operators.funnel import sequential_triples
+
+    rows = [(i, 1, f"1970-01-01 00:00:{i:02d}", t)
+            for i, t in enumerate(["A", "B", "C", "D"])]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, event_type string"
+    ).select(
+        "event_id", "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type",
+    )
+    g1 = {(r["a"], r["b"], r["c"]): r["n_triples"]
+          for r in sequential_triples(ev, max_gap=1).collect()}
+    assert g1 == {("A", "B", "C"): 1, ("B", "C", "D"): 1}
+    g2 = {(r["a"], r["b"], r["c"]): r["n_triples"]
+          for r in sequential_triples(ev, max_gap=2).collect()}
+    # A: (1,1)=ABC (1,2)=ABD (2,1)=ACD (2,2)=A C _ → none
+    assert g2[("A", "B", "C")] == 1 and g2[("A", "B", "D")] == 1
+    assert g2[("A", "C", "D")] == 1 and ("A", "C", "E") not in g2
+    assert g2[("B", "C", "D")] == 1
+    assert all(r["n_keys"] == 1
+               for r in sequential_triples(ev, max_gap=2).collect())
