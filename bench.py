@@ -72,6 +72,9 @@ HEADLINE = [
     "q195_event_runs",          # gaps-and-islands RLE, one key shuffle
     "q211_rolling_exact_distinct",  # coverage-interval explode, no distinct
     "q214_skipgram_counts",     # posexplode + lead-k windows + symmetrize
+    "q240_pq_adc_topk",         # PQ codes scan + literal-codebook ADC
+    "q241_kmv_distinct",        # KMV sketch: distinct → k-min → merge
+    "q245_kcore_prune",         # iterative degree peel, materialized rounds
     # q198_bootstrap_ci is deliberately NOT a headline entry: its warm
     # time is ~95% driver-side Catalyst/AQE assembly of the 64-wide
     # aggregate tree (re-execution of the built plan runs in ~0.2 s,
