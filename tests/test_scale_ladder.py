@@ -155,3 +155,80 @@ def test_event_ladder_linear_and_shuffle_stable(spark, tmp_path):
             f"{name}: 6x events took {t[6]:.1f}s vs 1x {t[1]:.1f}s "
             f"(bound {bound:.1f}s) — superlinear growth"
         )
+
+
+def _write_scaled_embs(spark, k: int, out_dir: str) -> None:
+    """k replicas with disjoint vec_ids (labels kept: the PQ/IVF
+    codebooks stay k-invariant, so runtime must scale with corpus
+    rows only — codebook work is a constant)."""
+    em = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    parts = [
+        em.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            "embedding", "label",
+        )
+        for i in range(k)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def _write_scaled_lineitem(spark, k: int, out_dir: str) -> None:
+    """k replicas with disjoint order/part/supplier key spaces: the
+    KMV distinct stage sees k× distinct hashes per group while the
+    k-min state stays constant-size."""
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    parts = [
+        li.select(
+            (F.col("l_orderkey") + F.lit(i * 1_000_000_000)).alias(
+                "l_orderkey"
+            ),
+            (F.col("l_partkey") + F.lit(i * 1_000_000_000)).alias(
+                "l_partkey"
+            ),
+            *[c for c in li.columns
+              if c not in ("l_orderkey", "l_partkey")],
+        )
+        for i in range(k)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+
+@pytest.mark.slow
+def test_round6_ladder_linear_and_shuffle_stable(spark, tmp_path):
+    """Round-6 operators under the same discipline: PQ encode+ADC must
+    scale with corpus rows (codebook literal is constant), KMV with
+    distinct values (state constant), time-decay attribution and
+    triples with events (all shuffles key on the user)."""
+    scales = (1, 6)
+    dirs = {}
+    for k in scales:
+        d = str(tmp_path / f"r6x{k}")
+        _write_scaled_embs(spark, k, d)
+        _write_scaled_lineitem(spark, k, d)
+        _write_scaled_events(spark, k, d)
+        dirs[k] = d
+
+    for name in ["q240_pq_adc_topk", "q241_kmv_distinct",
+                 "q242_timedecay_attribution", "q244_sequential_triples"]:
+        t, ex = {}, {}
+        for k in scales:
+            df = QUERIES[name](spark, dirs[k])
+            ex[k] = _exchanges(spark, df)
+            t0 = time.perf_counter()
+            _force(df)
+            t[k] = time.perf_counter() - t0
+        assert ex[6] == ex[1], (
+            f"{name}: plan not shuffle-stable across scale "
+            f"({ex[1]} vs {ex[6]} exchanges)"
+        )
+        bound = 6 * 2.5 * t[1] + 3.0
+        assert t[6] <= bound, (
+            f"{name}: 6x data took {t[6]:.1f}s vs 1x {t[1]:.1f}s "
+            f"(bound {bound:.1f}s) — superlinear growth"
+        )
