@@ -5858,6 +5858,24 @@ def q245_kcore_prune(spark, sf_dir):
     return kcore_prune(und, k=20, rounds=4).orderBy("node")
 
 
+def q246_kmv_intersect(spark, sf_dir):
+    """KMV set intersection — the set operation HLL cannot do: how
+    many distinct parts appear in BOTH returned (R) and accepted (A)
+    lineitems, estimated from k-min sketch state.  k-min sets come
+    from TakeOrderedAndProject (distributed top-k, no lone sort task)
+    over one distinct-shuffle (see kmv_intersect)."""
+    from db_factfinder_spark.llmdata.sketches import kmv_intersect
+
+    li = _t(spark, sf_dir, "lineitem")
+    return kmv_intersect(
+        li,
+        F.col("l_returnflag") == "R",
+        F.col("l_returnflag") == "A",
+        "l_partkey",
+        k=64,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6108,6 +6126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q243_calibration_bins": q243_calibration_bins,
         "q244_sequential_triples": q244_sequential_triples,
         "q245_kcore_prune": q245_kcore_prune,
+        "q246_kmv_intersect": q246_kmv_intersect,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

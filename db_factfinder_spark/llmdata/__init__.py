@@ -52,6 +52,7 @@ from db_factfinder_spark.llmdata.sketches import (  # noqa: F401
     hll_merge,
     hll_partials,
     kmv_estimate,
+    kmv_intersect,
     kmv_merge,
     kmv_partials,
     rolling_hll_distinct,

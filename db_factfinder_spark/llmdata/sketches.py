@@ -559,3 +559,94 @@ def kmv_estimate(state: DataFrame, k: int = 64) -> DataFrame:
         F.element_at("kmins", F.least(n_kept, F.lit(k))).alias("kth_hash"),
         est.alias("est_distinct"),
     ).drop("kmins")
+
+
+def kmv_intersect(
+    df: DataFrame,
+    group_a: Column,
+    group_b: Column,
+    value_col: str,
+    k: int = 64,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Estimated |A ∩ B| of two sliced populations from KMV state —
+    the set operation HLL's union-only algebra cannot do directly.
+    Standard KMV intersection (Beyer et al., SIGMOD'07): with both
+    slices hashed by the SAME function, take U = the k smallest
+    distinct hashes of A ∪ B; the fraction ρ of U that lies in both
+    slices' own k-min sets is an unbiased Jaccard estimate, and
+    |A∩B| ≈ ρ · |A∪B|.
+
+    Scale shape: ONE distinct-shuffle on the hash builds the
+    membership frame (hash, in_a, in_b), materialized once; the three
+    k-min sets come from ``orderBy().limit(k)`` — Spark plans
+    TakeOrderedAndProject, the distributed top-k (per-partition heaps
+    + a k-row driver merge), NEVER a single-partition sort or window.
+    The ≤k-row slice sets broadcast back onto U, and the readout is a
+    one-row fold crossed with two one-row counts (the scalar-
+    broadcast idiom).  Counts exact; the last two arithmetic steps
+    are a fixed-order double expression — engine-reproducible.
+
+    Output: one row — ``n_a, n_b, n_union_kept, n_common, est_union,
+    est_intersect`` (estimates exact below k by the kmv_estimate
+    rule).
+    """
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+
+    member = materialize(
+        df.filter(F.col(value_col).isNotNull())
+        .filter(group_a | group_b)
+        .select(
+            _kmv_hash(F.col(value_col)).alias("hv"),
+            group_a.alias("__a"),
+            group_b.alias("__b"),
+        )
+        .groupBy("hv")
+        .agg(
+            F.max("__a").alias("__a"),
+            F.max("__b").alias("__b"),
+        ),
+        checkpoint_mode,
+    )
+    u = member.orderBy("hv").limit(k)
+    a_k = (
+        member.filter("__a").orderBy("hv").limit(k)
+        .select(F.col("hv").alias("hv_a"))
+    )
+    b_k = (
+        member.filter("__b").orderBy("hv").limit(k)
+        .select(F.col("hv").alias("hv_b"))
+    )
+    u2 = u.join(
+        F.broadcast(a_k), F.col("hv") == F.col("hv_a"), "left"
+    ).join(F.broadcast(b_k), F.col("hv") == F.col("hv_b"), "left")
+    fold = u2.agg(
+        F.count(F.lit(1)).alias("n_union_kept"),
+        F.sum(
+            (F.col("hv_a").isNotNull() & F.col("hv_b").isNotNull())
+            .cast("long")
+        ).alias("n_common"),
+        F.max("hv").alias("__hk"),
+    )
+    na = a_k.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = b_k.agg(F.count(F.lit(1)).alias("n_b"))
+    folded = fold.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb))
+    est_union = F.when(
+        F.col("n_union_kept") < k, F.col("n_union_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        * float(_KMV_RANGE)
+        / F.col("__hk").cast("double")
+    )
+    return folded.select(
+        "n_a",
+        "n_b",
+        "n_union_kept",
+        "n_common",
+        est_union.alias("est_union"),
+        (
+            F.col("n_common").cast("double")
+            * est_union
+            / F.lit(float(k))
+        ).alias("est_intersect"),
+    )

@@ -6138,3 +6138,40 @@ SELECT a AS node, CAST(count(*) AS BIGINT) AS degree,
          (SELECT count(*) FROM e3) AS converged
 FROM e4 GROUP BY a ORDER BY node
 """
+
+
+# q246: KMV intersection — same hash domain, k-min via ORDER BY/LIMIT.
+ORACLES["q246_kmv_intersect"] = """
+WITH member AS (
+  SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+           AS hv,
+         bool_or(l_returnflag = 'R') AS a,
+         bool_or(l_returnflag = 'A') AS b
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_returnflag IN ('R', 'A')
+  GROUP BY 1),
+u AS (SELECT * FROM member ORDER BY hv LIMIT 64),
+a_k AS (SELECT hv AS hv_a FROM member WHERE a ORDER BY hv LIMIT 64),
+b_k AS (SELECT hv AS hv_b FROM member WHERE b ORDER BY hv LIMIT 64),
+fold AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_union_kept,
+         CAST(sum(CASE WHEN a_k.hv_a IS NOT NULL
+                        AND b_k.hv_b IS NOT NULL
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+         max(u.hv) AS hk
+  FROM u
+  LEFT JOIN a_k ON u.hv = a_k.hv_a
+  LEFT JOIN b_k ON u.hv = b_k.hv_b),
+counts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM a_k) AS n_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM b_k) AS n_b)
+SELECT n_a, n_b, n_union_kept, n_common,
+  CASE WHEN n_union_kept < 64 THEN CAST(n_union_kept AS DOUBLE)
+       ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)
+  END AS est_union,
+  CAST(n_common AS DOUBLE)
+    * (CASE WHEN n_union_kept < 64 THEN CAST(n_union_kept AS DOUBLE)
+            ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)
+       END) / 64.0 AS est_intersect
+FROM fold, counts
+"""

@@ -2462,3 +2462,35 @@ def test_kmv_small_group_is_exact(spark):
     )
     out = kmv_estimate(kmv_partials(df, ["g"], "v", k=64), k=64).collect()
     assert out[0]["est_distinct"] == 2.0 and out[0]["n_kept"] == 2
+
+
+def test_kmv_intersect_partial_overlap(spark):
+    """A = {0..599}, B = {400..999} → |A∪B| = 1000, |A∩B| = 200,
+    Jaccard 0.2: the ρ·|U| estimate must land within KMV error bounds,
+    and the slice k-min sets must be full (n_a = n_b = k)."""
+    from db_factfinder_spark.llmdata.sketches import kmv_intersect
+
+    rows = [(f"v{i}", i < 600, i >= 400) for i in range(1000)]
+    df = spark.createDataFrame(rows, "v string, a boolean, b boolean")
+    out = kmv_intersect(
+        df, F.col("a"), F.col("b"), "v", k=128
+    ).collect()[0]
+    assert out["n_a"] == 128 and out["n_b"] == 128
+    assert out["n_union_kept"] == 128
+    assert 700 < out["est_union"] < 1400
+    assert 80 < out["est_intersect"] < 360
+    # containment sanity: intersection never exceeds union estimate
+    assert out["est_intersect"] <= out["est_union"]
+
+
+def test_kmv_intersect_disjoint_and_exact(spark):
+    from db_factfinder_spark.llmdata.sketches import kmv_intersect
+
+    rows = [(f"x{i}", True, False) for i in range(10)] + [
+        (f"y{i}", False, True) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "v string, a boolean, b boolean")
+    out = kmv_intersect(df, F.col("a"), F.col("b"), "v", k=64).collect()[0]
+    # below k everything is exact: union 20, intersection 0
+    assert out["est_union"] == 20.0 and out["est_intersect"] == 0.0
+    assert out["n_common"] == 0
