@@ -5702,6 +5702,10 @@ def _pq_codebooks(embs):
     bit-identical in any engine."""
     from db_factfinder_spark.llmdata.similarity import int_quantized_vec
 
+    # posexplode + (label, pos) groupBy, NOT 64 per-position aggregate
+    # expressions: the wide-agg alternative was measured 3x SLOWER at
+    # sf0.1 (65 codegen'd agg exprs lose to one exploded hash agg
+    # whose partials collapse map-side)
     return (
         embs.select(
             "label",
@@ -5752,10 +5756,15 @@ def q240_pq_adc_topk(spark, sf_dir):
     codes scan x broadcast probes; the corpus never shuffles and the
     raw embedding column is never read on the scoring side).  Exact
     int64 distances -> engine-reproducible ranking."""
-    from db_factfinder_spark.llmdata.similarity import pq_adc_topk, pq_encode
+    from db_factfinder_spark.llmdata.similarity import (
+        _collect_codebook,
+        pq_adc_topk,
+        pq_encode,
+    )
 
     embs = _embs(spark, sf_dir)
-    cb = _pq_codebooks(embs)
+    # collect the codebook ONCE; encode and ADC share the literal rows
+    cb = _collect_codebook(_pq_codebooks(embs))
     codes = pq_encode(embs, cb, m=8)
     probes = embs.filter(F.col("vec_id") < 10)
     return pq_adc_topk(probes, codes, cb, m=8, k=5)

@@ -525,6 +525,9 @@ def kcore_prune(
         checkpoint_mode,
     )
     converged = False
+    # one count per round: the previous round's pruned count IS this
+    # round's input count — recounting e doubled the count jobs
+    n_prev = e.count()
     for _ in range(rounds):
         deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("a")
@@ -534,11 +537,12 @@ def kcore_prune(
             .select("a", "b"),
             checkpoint_mode,
         )
-        if pruned.count() == e.count():
-            e = pruned
+        n_new = pruned.count()
+        e = pruned
+        if n_new == n_prev:
             converged = True
             break
-        e = pruned
+        n_prev = n_new
     return (
         e.groupBy("a")
         .agg(F.count(F.lit(1)).alias("degree"))

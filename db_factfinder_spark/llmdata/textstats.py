@@ -1137,3 +1137,50 @@ def hashed_features(
         .agg(F.sum("s").cast("long").alias("w"))
         .filter(F.col("w") != 0)
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    c: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09)
+    of two ranked lists: score(d) = Σ_lists 1/(c + rank_d), absent
+    list membership contributing 0 — the standard score-free way to
+    combine heterogeneous rankers (BM25 × proximity, lexical ×
+    vector) without calibrating their score scales.
+
+    Both inputs are top-k lists by contract, so the fusion frame is
+    ≤ |A|+|B| rows — the full-outer join and the final rank window
+    are bounded no matter the corpus size; all heavy lifting stays
+    inside the upstream rankers.  Each contribution is ONE IEEE
+    division of exact inputs and the sum has a fixed operand order,
+    so fused scores (and therefore ranks, tie-broken by id) are
+    engine-reproducible.
+
+    Output: ``id_col, rank_a, rank_b, rrf_score, rank`` for the
+    fused top-``topk``.
+    """
+    ra = ranked_a.select(
+        F.col(id_col), F.col(rank_col).cast("int").alias("rank_a")
+    )
+    rb = ranked_b.select(
+        F.col(id_col), F.col(rank_col).cast("int").alias("rank_b")
+    )
+    j = ra.join(rb, id_col, "full_outer")
+
+    def contrib(col: str) -> Column:
+        return F.coalesce(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(col).cast("double")),
+            F.lit(0.0),
+        )
+
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        j.withColumn("rrf_score", contrib("rank_a") + contrib("rank_b"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )

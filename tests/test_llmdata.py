@@ -2494,3 +2494,23 @@ def test_kmv_intersect_disjoint_and_exact(spark):
     # below k everything is exact: union 20, intersection 0
     assert out["est_union"] == 20.0 and out["est_intersect"] == 0.0
     assert out["n_common"] == 0
+
+
+def test_pq_adc_table_path_identical(spark, embs):
+    """The driver-side distance-table path must be bit-identical to
+    the per-pair expression path (same exact int64 distances)."""
+    import __spark_entry__ as em
+    from db_factfinder_spark.llmdata.similarity import (
+        _collect_codebook,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    cb = _collect_codebook(em._pq_codebooks(embs))
+    codes = pq_encode(embs, cb, m=8)
+    probes = embs.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, pq_adc_topk(
+        probes, codes, cb, m=8, k=7, table_probes=False).collect()))
+    b = sorted(map(tuple, pq_adc_topk(
+        probes, codes, cb, m=8, k=7, table_probes=True).collect()))
+    assert a == b and len(a) == 5 * 7
