@@ -5885,6 +5885,35 @@ def q246_kmv_intersect(spark, sf_dir):
     )
 
 
+def q247_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two heterogeneous rankers for the
+    query ["spark", "join"]: BM25 top-10 × NEAR/3 proximity top-10 —
+    the score-free hybrid-retrieval combiner.  The proximity side
+    ranks via TakeOrderedAndProject (orderBy+limit, distributed
+    top-k); the fusion join and final window run over ≤20 rows (see
+    rrf_fuse)."""
+    from db_factfinder_spark.llmdata.textstats import (
+        build_postings,
+        proximity_search,
+        rrf_fuse,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bm = bm25_search(docs, ["spark", "join"], k=10, k1=1.2, b=0.75)
+    prox = (
+        proximity_search(build_postings(docs), "spark", "join", k=3)
+        .orderBy(F.desc("n_pairs"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_pairs"), F.asc("doc_id"))
+            ),
+        )
+    )
+    return rrf_fuse(bm, prox, id_col="doc_id", c=60, topk=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6136,6 +6165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q244_sequential_triples": q244_sequential_triples,
         "q245_kcore_prune": q245_kcore_prune,
         "q246_kmv_intersect": q246_kmv_intersect,
+        "q247_rrf_fusion": q247_rrf_fusion,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -6175,3 +6175,30 @@ SELECT n_a, n_b, n_union_kept, n_common,
        END) / 64.0 AS est_intersect
 FROM fold, counts
 """
+
+
+# q247: RRF fusion — composes the two component oracles verbatim as
+# derived tables (nested WITH is legal in a subquery), then the same
+# fixed-order 1/(60+r) sum.
+ORACLES["q247_rrf_fusion"] = f"""
+WITH bm AS (SELECT * FROM ({ORACLES["q149_bm25_search"]})),
+px0 AS (SELECT * FROM ({ORACLES["q200_proximity_search"]})),
+px AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY n_pairs DESC, doc_id)
+              AS INTEGER) AS rank_b
+  FROM px0 ORDER BY n_pairs DESC, doc_id LIMIT 10),
+fused AS (
+  SELECT COALESCE(bm.doc_id, px.doc_id) AS doc_id,
+         CAST(bm.rank AS INTEGER) AS rank_a, px.rank_b,
+         COALESCE(1.0 / (60.0 + CAST(bm.rank AS DOUBLE)), 0.0)
+           + COALESCE(1.0 / (60.0 + CAST(px.rank_b AS DOUBLE)), 0.0)
+           AS rrf_score
+  FROM bm FULL OUTER JOIN px ON bm.doc_id = px.doc_id)
+SELECT doc_id, rank_a, rank_b, rrf_score,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused)
+WHERE rank <= 10
+"""

@@ -164,3 +164,27 @@ def test_sequential_triples_hand_counts(spark):
     assert g2[("B", "C", "D")] == 1
     assert all(r["n_keys"] == 1
                for r in sequential_triples(ev, max_gap=2).collect())
+
+
+def test_rrf_fuse_hand_scores(spark):
+    """RRF of two 3-item lists with one overlap: scores are exactly
+    1/(60+ra)+1/(60+rb), absent membership contributes 0, ties break
+    by id."""
+    from db_factfinder_spark.llmdata.textstats import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (4, 2), (5, 3)], "doc_id long, rank int"
+    )
+    out = {r["doc_id"]: r for r in
+           rrf_fuse(a, b, id_col="doc_id", c=60, topk=10).collect()}
+    assert out[2]["rrf_score"] == 1.0 / 62 + 1.0 / 61
+    assert out[2]["rank"] == 1
+    assert out[1]["rrf_score"] == 1.0 / 61
+    assert out[4]["rrf_score"] == 1.0 / 62
+    # 1 (rank 1 in a) vs 4 (rank 2 in b): 1/61 > 1/62
+    assert out[1]["rank"] == 2 and out[4]["rank"] == 3
+    # tie between 3 (1/63) and 5 (1/63) → lower id first
+    assert out[3]["rank"] == 4 and out[5]["rank"] == 5
