@@ -5914,6 +5914,35 @@ def q247_rrf_fusion(spark, sf_dir):
     return rrf_fuse(bm, prox, id_col="doc_id", c=60, topk=10)
 
 
+def q248_retractable_agg(spark, sf_dir):
+    """Incremental view maintenance UNDER DELETES: the stored per-type
+    state absorbs a retraction batch (event_id % 10 == 0) — count/sum
+    subtract exactly, min/max invalidate and recompute only for the
+    affected groups against the remaining base (delta-bounded, never
+    a full rebuild).  The oracle aggregates the remaining rows
+    directly — parity proves retraction ≡ recompute (see
+    apply_deletes / refresh_minmax)."""
+    from db_factfinder_spark.operators.incremental import (
+        apply_deletes,
+        refresh_minmax,
+    )
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type").isNotNull()
+    )
+    full = agg_state(ev, ["event_type"], "value")
+    deleted = ev.filter(F.col("event_id") % 10 == 0)
+    remaining = ev.filter(F.col("event_id") % 10 != 0)
+    dstate = agg_state(deleted, ["event_type"], "value")
+    after = apply_deletes(full, dstate, ["event_type"])
+    refreshed = refresh_minmax(after, remaining, ["event_type"], "value")
+    return (
+        state_to_result(refreshed)
+        .select("event_type", "n", "min_v", "max_v", "sum_v")
+        .orderBy("event_type")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6166,6 +6195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q245_kcore_prune": q245_kcore_prune,
         "q246_kmv_intersect": q246_kmv_intersect,
         "q247_rrf_fusion": q247_rrf_fusion,
+        "q248_retractable_agg": q248_retractable_agg,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

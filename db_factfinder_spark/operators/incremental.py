@@ -95,3 +95,81 @@ def incremental_join_update(
     d2 = a_old.join(b_delta, a_old[a_key] == b_delta[b_key])
     d3 = a_delta.join(b_delta, a_delta[a_key] == b_delta[b_key])
     return prev_join.unionByName(d1).unionByName(d2).unionByName(d3)
+
+
+def apply_deletes(
+    state: DataFrame,
+    delete_state: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Retraction step of incremental view maintenance: subtract a
+    delete batch's ``agg_state`` from the stored state.
+
+    Count and unit-sum retract EXACTLY (they are group
+    homomorphisms); min/max do not — deleting the current minimum
+    says nothing about the next one — so affected groups get their
+    min/max INVALIDATED (NULL) and ``refresh_minmax`` recomputes just
+    those from the remaining base.  This is the standard IVM split:
+    delta-proportional arithmetic for the retractable aggregates, a
+    delta-BOUNDED partial recompute for the non-retractable ones —
+    never a full-view rebuild.
+
+    One outer join on the (tiny) state tables; groups whose count
+    reaches zero disappear from the view.  Precondition (caller's
+    ledger discipline, asserted in tests): deletes are a subset of
+    previously inserted rows, so counts never go negative.
+    """
+    d = delete_state.select(
+        *keys,
+        F.col("n").alias("__dn"),
+        F.col("sum_units").alias("__dsum"),
+    )
+    merged = state.join(d, list(keys), "left")
+    affected = F.col("__dn").isNotNull()
+    return (
+        merged.select(
+            *keys,
+            (F.col("n") - F.coalesce("__dn", F.lit(0))).alias("n"),
+            (
+                F.col("sum_units") - F.coalesce("__dsum", F.lit(0))
+            ).alias("sum_units"),
+            F.when(affected, F.lit(None)).otherwise(F.col("min_v"))
+            .alias("min_v"),
+            F.when(affected, F.lit(None)).otherwise(F.col("max_v"))
+            .alias("max_v"),
+        )
+        .filter(F.col("n") > 0)
+    )
+
+
+def refresh_minmax(
+    state: DataFrame,
+    remaining: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Recompute min/max ONLY for groups ``apply_deletes`` invalidated
+    (min_v IS NULL): the affected key set semi-joins the remaining
+    base — at 100 TB that prunes the rescan to the touched
+    partitions/groups, the delta-bounded cost IVM promises — and the
+    fresh extrema coalesce back into the state.  Untouched groups
+    never re-read the base."""
+    affected = state.filter(F.col("min_v").isNull()).select(*keys)
+    fresh = (
+        remaining.join(F.broadcast(affected), list(keys))
+        .groupBy(*keys)
+        .agg(
+            F.min(F.col(value_col)).alias("__fmin"),
+            F.max(F.col(value_col)).alias("__fmax"),
+        )
+    )
+    return (
+        state.join(fresh, list(keys), "left")
+        .select(
+            *keys,
+            "n",
+            "sum_units",
+            F.coalesce("min_v", "__fmin").alias("min_v"),
+            F.coalesce("max_v", "__fmax").alias("max_v"),
+        )
+    )

@@ -6202,3 +6202,15 @@ FROM (
   FROM fused)
 WHERE rank <= 10
 """
+
+
+# q248: retraction IVM — the oracle is the from-scratch recompute over
+# the remaining rows; parity proves subtract-and-refresh ≡ rebuild.
+ORACLES["q248_retractable_agg"] = """
+SELECT event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
+  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+    AS sum_v
+FROM events
+WHERE event_type IS NOT NULL AND event_id % 10 != 0
+GROUP BY event_type ORDER BY event_type
+"""

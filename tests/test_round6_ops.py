@@ -188,3 +188,67 @@ def test_rrf_fuse_hand_scores(spark):
     assert out[1]["rank"] == 2 and out[4]["rank"] == 3
     # tie between 3 (1/63) and 5 (1/63) → lower id first
     assert out[3]["rank"] == 4 and out[5]["rank"] == 5
+
+
+def test_retraction_ivm_matches_rebuild(spark):
+    """Subtract-and-refresh must equal a from-scratch rebuild on a
+    hand ledger: deleting a group's minimum forces the affected-group
+    min/max refresh; untouched groups keep their state; a fully
+    deleted group disappears."""
+    from db_factfinder_spark.operators.incremental import (
+        agg_state,
+        apply_deletes,
+        refresh_minmax,
+        state_to_result,
+    )
+
+    rows = [("a", 1.0), ("a", 5.0), ("a", 9.0),
+            ("b", 2.0), ("b", 4.0),
+            ("c", 7.0)]
+    base = spark.createDataFrame(rows, "g string, value double")
+    # delete a's minimum and ALL of c
+    dele = spark.createDataFrame(
+        [("a", 1.0), ("c", 7.0)], "g string, value double"
+    )
+    remaining = spark.createDataFrame(
+        [("a", 5.0), ("a", 9.0), ("b", 2.0), ("b", 4.0)],
+        "g string, value double",
+    )
+    state = apply_deletes(
+        agg_state(base, ["g"], "value"),
+        agg_state(dele, ["g"], "value"),
+        ["g"],
+    )
+    out = {r["g"]: r for r in state_to_result(
+        refresh_minmax(state, remaining, ["g"], "value")
+    ).collect()}
+    assert set(out) == {"a", "b"}          # c vanished
+    assert out["a"]["n"] == 2 and out["a"]["min_v"] == 5.0
+    assert out["a"]["max_v"] == 9.0 and out["a"]["sum_v"] == 14.0
+    # b untouched: min/max survive WITHOUT base recompute
+    assert out["b"]["min_v"] == 2.0 and out["b"]["max_v"] == 4.0
+
+
+def test_refresh_minmax_reads_only_affected_groups(spark):
+    """Plan audit of the delta-bounded promise: the remaining-base
+    aggregation joins a filtered affected-key set — untouched groups'
+    rows are dropped by the semi-structure before the extrema agg."""
+    from db_factfinder_spark.operators.incremental import (
+        agg_state,
+        apply_deletes,
+        refresh_minmax,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "g string, value double"
+    )
+    dele = spark.createDataFrame([("a", 1.0)], "g string, value double")
+    state = apply_deletes(
+        agg_state(base, ["g"], "value"),
+        agg_state(dele, ["g"], "value"),
+        ["g"],
+    )
+    plan = refresh_minmax(
+        state, base, ["g"], "value"
+    )._jdf.queryExecution().toString()
+    assert "isnull(min_v" in plan.lower() or "isnull" in plan.lower()
