@@ -5943,6 +5943,49 @@ def q248_retractable_agg(spark, sf_dir):
     )
 
 
+def q249_stream_hll(spark, sf_dir):
+    """Streaming cardinality maintenance as a REAL Structured
+    Streaming job: a 3-file split source (maxFilesPerTrigger=1 → ≥3
+    micro-batches) folds each batch's HLL partials into a versioned
+    persisted state (exactly-once by the marker discipline); the
+    final readout must equal a direct sketch of ALL the data because
+    sketch merge is algebraic — the oracle computes exactly that
+    direct sketch in SQL (see hll_state_merger)."""
+    import tempfile
+
+    from db_factfinder_spark.llmdata.sketches import hll_merge
+    from db_factfinder_spark.streaming.events import (
+        hll_state_merger,
+        read_hll_state,
+    )
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="q249_")
+    src = os.path.join(tmp, "src")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/p={i}"
+        )
+    state = os.path.join(tmp, "state")
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/p=*")
+        .writeStream.foreachBatch(
+            hll_state_merger(state, ["event_type"], "user_id")
+        )
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return hll_merge(
+        read_hll_state(spark, state), ["event_type"]
+    ).orderBy("event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6196,6 +6239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q246_kmv_intersect": q246_kmv_intersect,
         "q247_rrf_fusion": q247_rrf_fusion,
         "q248_retractable_agg": q248_retractable_agg,
+        "q249_stream_hll": q249_stream_hll,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -510,3 +510,69 @@ def stream_quota_cap(
         outputMode="Append",
         timeMode="None",
     )
+
+
+def hll_state_merger(state_dir: str, group_cols: list[str], value_col: str):
+    """foreachBatch callable maintaining a PERSISTED HLL-partials
+    state table across micro-batches — streaming cardinality
+    maintenance without ever storing raw values: each batch
+    contributes its (group, bucket, max-rank) partials
+    (``hll_partials``), which merge into the stored state by
+    bucket-wise max.  Because sketch merge is ALGEBRAIC, the state
+    after any number of batches is bit-identical to a direct sketch
+    of all the data — the oracle checks exactly that.
+
+    State versioning mirrors the upsert sink's marker discipline:
+    batch N reads the highest committed version, merges, and writes
+    ``v{N}`` atomically (parquet dir + _SUCCESS); a replayed batch
+    overwrites its own version with identical content, so the state
+    is exactly-once under retries.  Per-batch cost is the batch scan
+    plus a merge over ≤ m·groups state rows — constant in history
+    length, the property that makes this viable as a 100 TB daily
+    rollup keeper."""
+    import os
+
+    from db_factfinder_spark.llmdata.sketches import hll_partials
+
+    def _versions(path):
+        if not os.path.isdir(path):
+            return []
+        out = []
+        for d in os.listdir(path):
+            if d.startswith("v") and d[1:].isdigit() and os.path.exists(
+                os.path.join(path, d, "_SUCCESS")
+            ):
+                out.append(int(d[1:]))
+        return sorted(out)
+
+    def merge(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        new = hll_partials(batch_df, group_cols, value_col)
+        prior = [v for v in _versions(state_dir) if v < batch_id]
+        if prior:
+            old = spark.read.parquet(
+                os.path.join(state_dir, f"v{prior[-1]}")
+            )
+            new = (
+                old.unionByName(new)
+                .groupBy(*group_cols, "__bucket")
+                .agg(F.max("__m").alias("__m"))
+            )
+        new.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}")
+        )
+
+    return merge
+
+
+def read_hll_state(spark, state_dir: str):
+    """Latest committed HLL state written by ``hll_state_merger``."""
+    import os
+
+    vs = [
+        int(d[1:])
+        for d in os.listdir(state_dir)
+        if d.startswith("v") and d[1:].isdigit()
+        and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
+    ]
+    return spark.read.parquet(os.path.join(state_dir, f"v{max(vs)}"))

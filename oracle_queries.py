@@ -6214,3 +6214,24 @@ FROM events
 WHERE event_type IS NOT NULL AND event_id % 10 != 0
 GROUP BY event_type ORDER BY event_type
 """
+
+
+# q249: streaming HLL maintenance — oracle = the direct sketch over
+# all rows (merge is algebraic, so batched-and-merged ≡ direct).
+# NULL user_ids are excluded exactly as hll_partials does.
+ORACLES["q249_stream_hll"] = """
+WITH pr AS (
+  SELECT event_type,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT % 64
+      AS bucket,
+    29 - length(bin(
+      ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 8, 7))::BIGINT))
+      AS rank
+  FROM events WHERE user_id IS NOT NULL),
+mx AS (
+  SELECT event_type, bucket, max(rank) AS mr FROM pr GROUP BY 1, 2)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+  2904.064 / (sum(1.0 / CAST(1 << mr AS DOUBLE))
+              + CAST(64 - count(*) AS DOUBLE)) AS hll_raw
+FROM mx GROUP BY 1 ORDER BY event_type
+"""

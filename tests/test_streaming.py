@@ -469,3 +469,38 @@ def test_stream_quota_cap_state_carries_across_microbatches(
             spark, events, src, stream_quota_cap, "quota_tws"
         )
         assert got_tws == got
+
+
+def test_hll_state_merger_batches_and_replay(spark, tmp_path):
+    """Three manual batches through the merger must equal the direct
+    sketch of the union (algebraic merge), and replaying a batch must
+    leave the state identical (exactly-once under retries)."""
+    from db_factfinder_spark.llmdata.sketches import hll_merge, hll_partials
+    from db_factfinder_spark.streaming.events import (
+        hll_state_merger,
+        read_hll_state,
+    )
+
+    rows = [(i, "t", f"u{i % 37}") for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id string"
+    )
+    state = str(tmp_path / "state")
+    merge = hll_state_merger(state, ["event_type"], "user_id")
+    for b in range(3):
+        merge(df.filter(F.col("event_id") % 3 == b), b)
+    got = hll_merge(
+        read_hll_state(spark, state), ["event_type"]
+    ).collect()[0]
+    want = hll_merge(
+        hll_partials(df, ["event_type"], "user_id"), ["event_type"]
+    ).collect()[0]
+    assert got["n_buckets"] == want["n_buckets"]
+    assert got["hll_raw"] == want["hll_raw"]
+    # replay batch 1: identical state content
+    before = sorted(map(tuple, read_hll_state(spark, state).collect()))
+    merge(df.filter(F.col("event_id") % 3 == 1), 1)
+    # latest version is still v2; and re-merging v0's prior into v1
+    # reproduces identical content
+    after = sorted(map(tuple, read_hll_state(spark, state).collect()))
+    assert before == after
