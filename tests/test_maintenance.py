@@ -201,3 +201,72 @@ def test_read_table_time_travel(spark, tmp_path):
     vacuum(table, keep_last=1)
     with _pytest.raises(ValueError, match="vacuumed"):
         read_table(spark, table, version=1)
+
+
+def test_targeted_delete_prunes_untouched_files(spark, tmp_path):
+    """Key-clustered 4-file table, 2 target keys in one file: exactly
+    one file rewrites; pruned files stay BYTE-IDENTICAL; remaining
+    rows are exactly the non-targets."""
+    import os
+
+    from db_factfinder_spark.sources.targeted_delete import (
+        plan_targeted_delete,
+        targeted_delete,
+    )
+
+    d = str(tmp_path / "tbl")
+    os.makedirs(d)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i in range(4):
+        keys = list(range(i * 100, i * 100 + 100))
+        pq.write_table(
+            pa.table({"k": keys, "v": [x * 2 for x in keys]}),
+            os.path.join(d, f"part-{i}.parquet"),
+        )
+    before = {
+        f: open(os.path.join(d, f), "rb").read()
+        for f in os.listdir(d)
+    }
+    plan = plan_targeted_delete(d, "k", [105, 142])
+    assert [os.path.basename(p) for p in plan["affected"]] == [
+        "part-1.parquet"
+    ]
+    stats = targeted_delete(d, "k", [105, 142])
+    assert stats == {
+        "files_total": 4, "files_rewritten": 1, "rows_deleted": 2
+    }
+    for f, blob in before.items():
+        same = open(os.path.join(d, f), "rb").read() == blob
+        assert same == (f != "part-1.parquet")
+    left = spark.read.parquet(d)
+    assert left.count() == 398
+    assert left.filter(F.col("k").isin(105, 142)).count() == 0
+
+
+def test_targeted_delete_missing_stats_is_safe(tmp_path):
+    """A file whose footer lacks key stats must count as affected
+    (correctness over pruning) — and a no-match affected file is NOT
+    rewritten."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from db_factfinder_spark.sources.targeted_delete import (
+        plan_targeted_delete,
+        targeted_delete,
+    )
+
+    d = str(tmp_path / "tbl2")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"k": [1, 2, 3], "v": [1, 1, 1]}),
+        os.path.join(d, "a.parquet"),
+        write_statistics=False,
+    )
+    plan = plan_targeted_delete(d, "k", [99])
+    assert [os.path.basename(p) for p in plan["affected"]] == ["a.parquet"]
+    stats = targeted_delete(d, "k", [99])
+    assert stats["files_rewritten"] == 0 and stats["rows_deleted"] == 0
