@@ -5986,6 +5986,53 @@ def q249_stream_hll(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q250_business_day_lag(spark, sf_dir):
+    """Fulfillment SLA histogram in BUSINESS days: per order, weekday
+    count from order date to first ship date via the closed-form
+    Monday-anchored expression (no calendar table, no UDF, map-side);
+    bucketed per priority with an exact-integer within-SLA share
+    (see business_days_between)."""
+    from db_factfinder_spark.operators.timeseries import (
+        business_days_between,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    first_ship = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+    )
+    lag = orders.join(
+        first_ship, orders["o_orderkey"] == first_ship["l_orderkey"]
+    ).select(
+        "o_orderpriority",
+        business_days_between(
+            F.col("o_orderdate"), F.col("first_ship")
+        ).alias("bd_lag"),
+    )
+    counts = lag.groupBy("o_orderpriority", "bd_lag").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    totals = counts.groupBy("o_orderpriority").agg(
+        F.sum("n_orders").alias("n_total")
+    )
+    return (
+        counts.join(totals, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "bd_lag",
+            "n_orders",
+            (
+                F.col("n_orders").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("o_orderpriority", "bd_lag")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6240,6 +6287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q247_rrf_fusion": q247_rrf_fusion,
         "q248_retractable_agg": q248_retractable_agg,
         "q249_stream_hll": q249_stream_hll,
+        "q250_business_day_lag": q250_business_day_lag,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

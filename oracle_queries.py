@@ -6235,3 +6235,30 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
               + CAST(64 - count(*) AS DOUBLE)) AS hll_raw
 FROM mx GROUP BY 1 ORDER BY event_type
 """
+
+
+# q250: business-day lag — same Monday-anchored closed form in SQL.
+ORACLES["q250_business_day_lag"] = """
+WITH fs AS (
+  SELECT l_orderkey, min(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY 1),
+lag AS (
+  SELECT o.o_orderpriority,
+    ((date_diff('day', DATE '1970-01-01', f.first_ship) + 3) // 7) * 5
+      + least((date_diff('day', DATE '1970-01-01', f.first_ship) + 3) % 7, 5)
+    - (((date_diff('day', DATE '1970-01-01', o.o_orderdate) + 3) // 7) * 5
+      + least((date_diff('day', DATE '1970-01-01', o.o_orderdate) + 3) % 7, 5))
+      AS bd_lag
+  FROM orders o JOIN fs f ON o.o_orderkey = f.l_orderkey),
+counts AS (
+  SELECT o_orderpriority, CAST(bd_lag AS BIGINT) AS bd_lag,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM lag GROUP BY 1, 2),
+totals AS (
+  SELECT o_orderpriority, sum(n_orders) AS n_total
+  FROM counts GROUP BY 1)
+SELECT c.o_orderpriority, c.bd_lag, c.n_orders,
+       CAST(c.n_orders AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share
+FROM counts c JOIN totals t USING (o_orderpriority)
+ORDER BY c.o_orderpriority, c.bd_lag
+"""

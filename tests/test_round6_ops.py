@@ -252,3 +252,28 @@ def test_refresh_minmax_reads_only_affected_groups(spark):
         state, base, ["g"], "value"
     )._jdf.queryExecution().toString()
     assert "isnull(min_v" in plan.lower() or "isnull" in plan.lower()
+
+
+def test_business_days_between_hand_cases(spark):
+    """Fri→Mon spans exactly 1 weekday (the Friday); Sat→Mon spans 0;
+    a full week spans 5; reversed ranges are negative-signed."""
+    from db_factfinder_spark.operators.timeseries import (
+        business_days_between,
+    )
+
+    rows = [
+        ("2024-01-05", "2024-01-08", 1),   # Fri → Mon
+        ("2024-01-06", "2024-01-08", 0),   # Sat → Mon
+        ("2024-01-01", "2024-01-08", 5),   # Mon → Mon
+        ("2024-01-08", "2024-01-01", -5),  # reversed
+        ("2024-01-03", "2024-01-03", 0),   # empty range
+        ("2024-01-06", "2024-01-07", 0),   # Sat → Sun
+    ]
+    df = spark.createDataFrame(rows, "a string, b string, want long")
+    out = df.select(
+        business_days_between(
+            F.to_date("a"), F.to_date("b")
+        ).alias("got"),
+        "want",
+    ).collect()
+    assert all(r["got"] == r["want"] for r in out)
