@@ -6033,6 +6033,36 @@ def q250_business_day_lag(spark, sf_dir):
     )
 
 
+def q251_topn_plus_other(spark, sf_dir):
+    """BI "top-3 brands + OTHER" revenue rollup per return flag:
+    named winners keep identity, the tail collapses into one
+    mass-conserving OTHER row — window runs over the (flag, brand)
+    item list, never raw lineitems (see topn_plus_other)."""
+    from db_factfinder_spark.operators.ranking import topn_plus_other
+
+    li = _t(spark, sf_dir, "lineitem")
+    parts = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(parts), li["l_partkey"] == parts["p_partkey"])
+    cents = F.floor(
+        F.col("l_extendedprice") * 100 + F.lit(0.5)
+    ).cast("long")
+    return topn_plus_other(
+        j, ["l_returnflag"], "p_brand", cents, n=3
+    ).orderBy("l_returnflag", "rank", "item")
+
+
+def q252_count_of_counts(spark, sf_dir):
+    """Frequency-of-frequencies catalog profile: how many parts sold
+    exactly k times, with Good–Turing discounted counts and the
+    n_1/N unseen-mass share — two keyed aggregations + a (k+1)
+    equi-join on the tiny histogram, no unpartitioned window (see
+    count_of_counts)."""
+    from db_factfinder_spark.operators.quality import count_of_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    return count_of_counts(li, "l_partkey").orderBy("k")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6288,6 +6318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q248_retractable_agg": q248_retractable_agg,
         "q249_stream_hll": q249_stream_hll,
         "q250_business_day_lag": q250_business_day_lag,
+        "q251_topn_plus_other": q251_topn_plus_other,
+        "q252_count_of_counts": q252_count_of_counts,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

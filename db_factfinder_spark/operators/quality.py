@@ -415,3 +415,61 @@ def total_variation(
             / (2 * F.first("n_a") * F.first("n_b")).cast("double"),
         ).alias("tvd"),
     )
+
+
+def count_of_counts(
+    df: DataFrame,
+    item_col: str,
+) -> DataFrame:
+    """Frequency-of-frequencies profile n_k = #items occurring exactly
+    k times, plus the Good–Turing readouts LM smoothing and
+    catalog-tail analysis both need: the discounted count
+    c*(k) = (k+1)·n_{k+1}/n_k and the unseen-mass share n_1/N.
+
+    Two keyed aggregations (item counts → count histogram); the
+    n_{k+1} lookup is a (k+1) calendar-style equi-join on the TINY
+    histogram — no unpartitioned window anywhere.  Every statistic
+    until the final two divisions is an exact integer; the divisions
+    are single fixed-order IEEE ops, so the profile is
+    engine-reproducible.  c* is NULL where n_{k+1} = 0 (the classic
+    GT estimator is undefined there — smoothing variants interpolate;
+    emitting NULL keeps the operator honest).
+
+    Output: ``k, n_k, gt_cstar, p_unseen`` (p_unseen repeated per
+    row: n_1/N with N = total occurrences).
+    """
+    item_counts = (
+        df.filter(F.col(item_col).isNotNull())
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    hist = item_counts.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_k")
+    )
+    nxt = hist.select(
+        (F.col("k") - 1).alias("k"), F.col("n_k").alias("__n_k1")
+    )
+    totals = item_counts.agg(
+        F.sum("k").alias("__N"),
+    )
+    n1 = hist.filter(F.col("k") == 1).agg(
+        F.sum("n_k").alias("__n1")
+    )
+    return (
+        hist.join(nxt, "k", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "k",
+            "n_k",
+            (
+                (F.col("k") + 1).cast("double")
+                * F.col("__n_k1").cast("double")
+                / F.col("n_k").cast("double")
+            ).alias("gt_cstar"),
+            (
+                F.coalesce(F.col("__n1"), F.lit(0)).cast("double")
+                / F.col("__N").cast("double")
+            ).alias("p_unseen"),
+        )
+    )

@@ -123,3 +123,57 @@ def quantile_normalize(
     return grouped.join(ranked_global, "__i").select(
         id_col, group_col, value_col, "norm"
     )
+
+
+def topn_plus_other(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    measure: Column,
+    n: int = 3,
+) -> DataFrame:
+    """The BI "top-N + OTHER" rollup: per group, the ``n`` largest
+    items by an exact-integer measure keep their identity; everything
+    else collapses into one ``OTHER`` row — total mass is conserved
+    exactly (the OTHER row is the group total minus the named rows,
+    all integer sums).
+
+    Plan: one (group, item) aggregation (map-side combined), a
+    row_number window over the per-group ITEM list (bounded by item
+    cardinality, never raw rows), then a conditional re-aggregation
+    on the winner flag.  Ties break by item ascending — ranks and
+    membership are deterministic.
+
+    Output: ``group_cols…, item (OTHER for the tail), rank (n+1 for
+    OTHER), n_rows, measure_total``.
+    """
+    per_item = (
+        df.select(*group_cols, F.col(item_col).alias("item"),
+                  measure.alias("__m"))
+        .groupBy(*group_cols, "item")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__m").alias("__t"),
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("__t"), F.asc("item")
+    )
+    ranked = per_item.withColumn("rank", F.row_number().over(w))
+    keep = F.col("rank") <= n
+    return (
+        ranked.select(
+            *group_cols,
+            F.when(keep, F.col("item")).otherwise(F.lit("OTHER"))
+            .alias("item"),
+            F.when(keep, F.col("rank")).otherwise(F.lit(n + 1))
+            .alias("rank"),
+            "n_rows",
+            F.col("__t").alias("__t"),
+        )
+        .groupBy(*group_cols, "item", "rank")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("__t").alias("measure_total"),
+        )
+    )

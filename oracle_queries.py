@@ -6262,3 +6262,47 @@ SELECT c.o_orderpriority, c.bd_lag, c.n_orders,
 FROM counts c JOIN totals t USING (o_orderpriority)
 ORDER BY c.o_orderpriority, c.bd_lag
 """
+
+
+# q251: top-N + OTHER — same item-list window and winner-flag rollup.
+ORACLES["q251_topn_plus_other"] = """
+WITH per_item AS (
+  SELECT l.l_returnflag, p.p_brand AS item,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS t
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY l_returnflag ORDER BY t DESC, item) AS INTEGER)
+      AS rank
+  FROM per_item)
+SELECT l_returnflag,
+       CASE WHEN rank <= 3 THEN item ELSE 'OTHER' END AS item,
+       CAST(CASE WHEN rank <= 3 THEN rank ELSE 4 END AS INTEGER) AS rank,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       CAST(sum(t) AS BIGINT) AS measure_total
+FROM ranked GROUP BY 1, 2, 3 ORDER BY l_returnflag, rank, item
+"""
+
+
+# q252: frequency-of-frequencies + Good–Turing.
+ORACLES["q252_count_of_counts"] = """
+WITH ic AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS k
+  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+hist AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_k FROM ic GROUP BY 1),
+tot AS (SELECT CAST(sum(k) AS BIGINT) AS N FROM ic),
+one AS (SELECT CAST(sum(n_k) AS BIGINT) AS n1 FROM hist WHERE k = 1)
+SELECT h.k, h.n_k,
+  CAST(h.k + 1 AS DOUBLE) * CAST(nx.n_k AS DOUBLE)
+    / CAST(h.n_k AS DOUBLE) AS gt_cstar,
+  CAST(COALESCE(one.n1, 0) AS DOUBLE) / CAST(tot.N AS DOUBLE)
+    AS p_unseen
+FROM hist h
+LEFT JOIN hist nx ON nx.k = h.k + 1
+CROSS JOIN tot CROSS JOIN one
+ORDER BY h.k
+"""

@@ -277,3 +277,36 @@ def test_business_days_between_hand_cases(spark):
         "want",
     ).collect()
     assert all(r["got"] == r["want"] for r in out)
+
+
+def test_topn_plus_other_conserves_mass(spark):
+    """OTHER absorbs exactly total − named winners; ranks and
+    membership tie-break by item ascending."""
+    from db_factfinder_spark.operators.ranking import topn_plus_other
+
+    rows = [("g", "a", 10), ("g", "b", 10), ("g", "c", 5),
+            ("g", "d", 3), ("g", "e", 2)]
+    df = spark.createDataFrame(rows, "g string, item string, v long")
+    out = {(r["item"]): r for r in topn_plus_other(
+        df, ["g"], "item", F.col("v"), n=2
+    ).collect()}
+    # tie at 10: a before b; top-2 = a, b; OTHER = 5+3+2
+    assert out["a"]["rank"] == 1 and out["b"]["rank"] == 2
+    assert out["OTHER"]["rank"] == 3
+    assert out["OTHER"]["measure_total"] == 10
+    assert sum(r["measure_total"] for r in out.values()) == 30
+    assert out["OTHER"]["n_rows"] == 3
+
+
+def test_count_of_counts_hand_profile(spark):
+    """Items with counts {a:3, b:1, c:1, d:2} → n_1=2, n_2=1, n_3=1;
+    GT c*(1) = 2·n_2/n_1 = 1.0; p_unseen = n_1/N = 2/7."""
+    from db_factfinder_spark.operators.quality import count_of_counts
+
+    rows = [("a",)] * 3 + [("b",)] + [("c",)] + [("d",)] * 2
+    df = spark.createDataFrame(rows, "item string")
+    out = {r["k"]: r for r in count_of_counts(df, "item").collect()}
+    assert out[1]["n_k"] == 2 and out[2]["n_k"] == 1 and out[3]["n_k"] == 1
+    assert out[1]["gt_cstar"] == 2 * 1.0 / 2
+    assert out[3]["gt_cstar"] is None          # n_4 = 0 → undefined
+    assert out[2]["p_unseen"] == 2.0 / 7.0
