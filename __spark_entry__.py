@@ -6063,6 +6063,20 @@ def q252_count_of_counts(spark, sf_dir):
     return count_of_counts(li, "l_partkey").orderBy("k")
 
 
+def q253_activity_bitmap(spark, sf_dir):
+    """Per-user 63-day activity bitmap: 8-byte OR-mergeable engagement
+    state; bit_count for active days, the AND-shift fold for longest
+    streak.  The oracle computes streaks with the INDEPENDENT
+    gaps-and-islands algorithm — two different algorithms must agree
+    on every user (see activity_bitmap)."""
+    from db_factfinder_spark.operators.timeseries import activity_bitmap
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return activity_bitmap(ev, "user_id", "ts", window_days=63).orderBy(
+        "user_id"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6320,6 +6334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q250_business_day_lag": q250_business_day_lag,
         "q251_topn_plus_other": q251_topn_plus_other,
         "q252_count_of_counts": q252_count_of_counts,
+        "q253_activity_bitmap": q253_activity_bitmap,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -858,3 +858,69 @@ def business_days_between(start: Column, end: Column) -> Column:
         ).cast("long")
 
     return g(end) - g(start)
+
+
+def activity_bitmap(
+    df: DataFrame,
+    key_col: str,
+    date_col: str,
+    window_days: int = 63,
+) -> DataFrame:
+    """Per-key daily-activity BITMAP over the trailing
+    ``window_days`` (≤ 63) ending at the dataset's max date: bit i set
+    ⇔ active i days before the anchor.  The engagement-state
+    representation warehouses keep per user because it is 8 BYTES per
+    key (vs a row per active day), merges across loads by bitwise OR
+    (algebraic, like the sketches), and answers count and streak
+    questions with pure integer ops:
+
+    * ``n_active`` = ``bit_count(mask)``;
+    * ``longest_streak`` = iterations of ``m ← m & (m << 1)`` until 0
+      — each AND-shift shortens every run by one, so the iteration
+      count is the longest run.  Implemented as ONE ``aggregate``
+      fold over ``sequence(1, 63)`` whose state carries (mask, count):
+      a naive chain of 63 ``m & (m << 1)`` Column expressions
+      duplicates its subtree per step (Catalyst trees, not DAGs —
+      2^63 nodes); the fold's lambda references its accumulator once,
+      so the plan stays linear.
+
+    One bit_or aggregation per key + a scalar max-date broadcast.
+    The oracle checks streaks with the INDEPENDENT gaps-and-islands
+    algorithm (row_number difference grouping) — two different
+    algorithms agreeing on every key.
+
+    Output: ``key, mask, n_active, longest_streak``.
+    """
+    if not 1 <= window_days <= 63:
+        raise ValueError("window_days must be in [1, 63]")
+    sel = df.select(
+        F.col(key_col).alias("k"),
+        F.to_date(F.col(date_col)).alias("d"),
+    ).filter(F.col("d").isNotNull() & F.col("k").isNotNull())
+    anchor = sel.agg(F.max("d").alias("__maxd"))
+    idx = F.datediff(F.col("__maxd"), F.col("d"))
+    masks = (
+        sel.crossJoin(F.broadcast(anchor))
+        .filter(idx < window_days)
+        .select(
+            "k",
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"datediff(__maxd, d))"
+            ).alias("__bit"),
+        )
+        .groupBy("k")
+        .agg(F.bit_or("__bit").alias("mask"))
+    )
+    streak = F.expr(
+        "aggregate(sequence(1, 63), "
+        "struct(mask AS m, CAST(0 AS INT) AS c), "
+        "(acc, i) -> struct(acc.m & shiftleft(acc.m, 1) AS m, "
+        "acc.c + IF(acc.m != 0, 1, 0) AS c)).c"
+    )
+    return masks.select(
+        F.col("k").alias(key_col),
+        "mask",
+        F.bit_count("mask").alias("n_active"),
+        streak.alias("longest_streak"),
+    )

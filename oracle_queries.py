@@ -6306,3 +6306,34 @@ LEFT JOIN hist nx ON nx.k = h.k + 1
 CROSS JOIN tot CROSS JOIN one
 ORDER BY h.k
 """
+
+
+# q253: activity bitmap — mask rebuilt by bit_or in SQL; the streak
+# comes from the INDEPENDENT gaps-and-islands algorithm (row_number
+# difference grouping), not the AND-shift fold.
+ORACLES["q253_activity_bitmap"] = """
+WITH d AS (
+  SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+mx AS (SELECT max(day) AS maxd FROM d),
+win AS (
+  SELECT k, date_diff('day', day, mx.maxd) AS idx
+  FROM d, mx WHERE date_diff('day', day, mx.maxd) < 63),
+mask AS (
+  SELECT k, CAST(bit_or(CAST(1 AS BIGINT) << CAST(idx AS INTEGER))
+                 AS BIGINT) AS mask
+  FROM win GROUP BY k),
+isl AS (
+  SELECT k, idx - row_number() OVER (PARTITION BY k ORDER BY idx)
+               AS grp
+  FROM win),
+streaks AS (
+  SELECT k, CAST(max(run) AS INTEGER) AS longest_streak FROM (
+    SELECT k, grp, count(*) AS run FROM isl GROUP BY 1, 2)
+  GROUP BY k)
+SELECT m.k AS user_id, m.mask,
+       CAST(bit_count(m.mask) AS INTEGER) AS n_active,
+       s.longest_streak
+FROM mask m JOIN streaks s ON m.k = s.k
+ORDER BY m.k
+"""

@@ -310,3 +310,25 @@ def test_count_of_counts_hand_profile(spark):
     assert out[1]["gt_cstar"] == 2 * 1.0 / 2
     assert out[3]["gt_cstar"] is None          # n_4 = 0 → undefined
     assert out[2]["p_unseen"] == 2.0 / 7.0
+
+
+def test_activity_bitmap_hand_masks(spark):
+    """u1 active on anchor-day, -1, -2 and -5 → mask 0b100111,
+    n_active 4, streak 3; u2 active only outside the window → absent;
+    window guard rejects 64."""
+    from db_factfinder_spark.operators.timeseries import activity_bitmap
+
+    rows = [
+        (1, "2024-03-10"), (1, "2024-03-09"), (1, "2024-03-08"),
+        (1, "2024-03-05"), (1, "2024-03-10"),       # dup day ORs away
+        (2, "2023-01-01"),                          # > 63 days before
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string")
+    out = {r["user_id"]: r for r in
+           activity_bitmap(df, "user_id", "ts", window_days=63).collect()}
+    assert set(out) == {1}
+    assert out[1]["mask"] == 0b100111
+    assert out[1]["n_active"] == 4
+    assert out[1]["longest_streak"] == 3
+    with pytest.raises(ValueError):
+        activity_bitmap(df, "user_id", "ts", window_days=64)
