@@ -6077,6 +6077,69 @@ def q253_activity_bitmap(spark, sf_dir):
     )
 
 
+def q254_fellegi_sunter(spark, sf_dir):
+    """Probabilistic record linkage: q95's FastSS candidate pairs
+    scored by Fellegi–Sunter with pre-trained milli-log-odds integer
+    weights over three comparison fields (exact name, nation,
+    acctbal within $1) — blocking bounds the pairs, scoring is a
+    pure map-side integer sum (see fellegi_sunter_score)."""
+    from db_factfinder_spark.llmdata.strmatch import (
+        edit1_join,
+        fellegi_sunter_score,
+    )
+
+    sup = _t(spark, sf_dir, "supplier")
+    probes = sup.select(
+        F.col("s_suppkey").alias("p_suppkey"),
+        F.concat(
+            F.substring("s_name", 1, 2), F.expr("substring(s_name, 4)")
+        ).alias("p_name"),
+        F.col("s_nationkey").alias("p_nationkey"),
+        F.col("s_acctbal").alias("p_acctbal"),
+    )
+    pairs = edit1_join(
+        probes.select("p_suppkey", "p_name"),
+        sup.select("s_suppkey", "s_name"),
+        "p_suppkey", "p_name", "s_suppkey", "s_name",
+    )
+    enriched = (
+        pairs.join(
+            probes.select("p_suppkey", "p_nationkey", "p_acctbal"),
+            "p_suppkey",
+        )
+        .join(
+            sup.select("s_suppkey", "s_nationkey", "s_acctbal"),
+            "s_suppkey",
+        )
+        .join(
+            probes.select("p_suppkey", "p_name"), "p_suppkey"
+        )
+        .join(sup.select("s_suppkey", "s_name"), "s_suppkey")
+    )
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    scored = fellegi_sunter_score(
+        enriched,
+        agreements={
+            "name": F.col("p_name") == F.col("s_name"),
+            "nation": F.col("p_nationkey") == F.col("s_nationkey"),
+            "acctbal": F.abs(cents("p_acctbal") - cents("s_acctbal"))
+            <= 100,
+        },
+        weights={
+            "name": (4000, -500),
+            "nation": (1200, -2500),
+            "acctbal": (2000, -1000),
+        },
+        upper=2500,
+        lower=0,
+    )
+    return scored.select(
+        "p_suppkey", "s_suppkey", "dist",
+        "agr_name", "agr_nation", "agr_acctbal",
+        "fs_score", "decision",
+    ).orderBy("p_suppkey", "s_suppkey")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6335,6 +6398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q251_topn_plus_other": q251_topn_plus_other,
         "q252_count_of_counts": q252_count_of_counts,
         "q253_activity_bitmap": q253_activity_bitmap,
+        "q254_fellegi_sunter": q254_fellegi_sunter,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -136,3 +136,47 @@ def sorted_neighborhood_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "key_a", "key_b", "dist")
     )
+
+
+def fellegi_sunter_score(
+    pairs: DataFrame,
+    agreements: dict[str, Column],
+    weights: dict[str, tuple[int, int]],
+    upper: int,
+    lower: int,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage decision over a
+    CANDIDATE pair frame (blocking — FastSS, LSH, sorted
+    neighborhood — has already bounded the pair space; this operator
+    never joins).
+
+    Classic FS: each comparison field contributes log(m/u) on
+    agreement and log((1−m)/(1−u)) on disagreement, and the summed
+    score thresholds into match / possible / non-match.  The weights
+    arrive as PRE-TRAINED milli-log-odds integer literals
+    (``{field: (w_agree, w_disagree)}``) — the same
+    literal-not-libm rule as the Benford probabilities: training
+    computes logs offline once; the engine-side score is a pure
+    integer sum, bit-identical anywhere and immune to summation
+    order.
+
+    Output: input columns + per-field boolean flags
+    (``agr_<field>``), integer ``fs_score`` (milli-log-odds), and
+    ``decision`` in {'match', 'possible', 'non_match'} by
+    ``score ≥ upper`` / ``≥ lower``.
+    """
+    out = pairs
+    score = F.lit(0)
+    for name, agree in agreements.items():
+        wa, wd = weights[name]
+        flag = F.coalesce(agree, F.lit(False))
+        out = out.withColumn(f"agr_{name}", flag)
+        score = score + F.when(
+            F.col(f"agr_{name}"), F.lit(int(wa))
+        ).otherwise(F.lit(int(wd)))
+    return out.withColumn("fs_score", score.cast("long")).withColumn(
+        "decision",
+        F.when(F.col("fs_score") >= upper, F.lit("match"))
+        .when(F.col("fs_score") >= lower, F.lit("possible"))
+        .otherwise(F.lit("non_match")),
+    )

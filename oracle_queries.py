@@ -6337,3 +6337,39 @@ SELECT m.k AS user_id, m.mask,
 FROM mask m JOIN streaks s ON m.k = s.k
 ORDER BY m.k
 """
+
+
+# q254: Fellegi–Sunter over q95's candidate pairs — the oracle
+# composes q95's brute-force edit-distance pair SQL and rescoring
+# with the same literal milli-log-odds weights.
+ORACLES["q254_fellegi_sunter"] = f"""
+WITH cand AS (SELECT * FROM ({ORACLES["q95_fuzzy_name_match"]})),
+probes AS (
+  SELECT s_suppkey AS p_suppkey,
+         substr(s_name, 1, 2) || substr(s_name, 4) AS p_name,
+         s_nationkey AS p_nationkey, s_acctbal AS p_acctbal
+  FROM supplier),
+en AS (
+  SELECT c.p_suppkey, c.s_suppkey, c.dist,
+         p.p_name = s.s_name AS agr_name,
+         p.p_nationkey = s.s_nationkey AS agr_nation,
+         abs(CAST(floor(p.p_acctbal * 100 + 0.5) AS BIGINT)
+             - CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)) <= 100
+           AS agr_acctbal
+  FROM cand c
+  JOIN probes p ON c.p_suppkey = p.p_suppkey
+  JOIN supplier s ON c.s_suppkey = s.s_suppkey),
+sc AS (
+  SELECT *,
+    CAST(CASE WHEN agr_name THEN 4000 ELSE -500 END
+       + CASE WHEN agr_nation THEN 1200 ELSE -2500 END
+       + CASE WHEN agr_acctbal THEN 2000 ELSE -1000 END AS BIGINT)
+      AS fs_score
+  FROM en)
+SELECT p_suppkey, s_suppkey, dist, agr_name, agr_nation, agr_acctbal,
+  fs_score,
+  CASE WHEN fs_score >= 2500 THEN 'match'
+       WHEN fs_score >= 0 THEN 'possible'
+       ELSE 'non_match' END AS decision
+FROM sc ORDER BY p_suppkey, s_suppkey
+"""

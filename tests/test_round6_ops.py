@@ -332,3 +332,32 @@ def test_activity_bitmap_hand_masks(spark):
     assert out[1]["longest_streak"] == 3
     with pytest.raises(ValueError):
         activity_bitmap(df, "user_id", "ts", window_days=64)
+
+
+def test_fellegi_sunter_three_way_decisions(spark):
+    """Hand pairs exercising every decision band: all-agree → match,
+    mixed → possible, all-disagree → non_match; NULL agreement counts
+    as disagreement (coalesce to False)."""
+    from db_factfinder_spark.llmdata.strmatch import fellegi_sunter_score
+
+    pairs = spark.createDataFrame(
+        [(1, 1, "x", "x", 5, 5),
+         (2, 9, "x", "y", 5, 5),
+         (3, 8, "x", "y", 5, 7),
+         (4, 7, None, "y", 5, 7)],
+        "a long, b long, na string, nb string, va long, vb long",
+    )
+    out = {r["a"]: r for r in fellegi_sunter_score(
+        pairs,
+        agreements={
+            "name": F.col("na") == F.col("nb"),
+            "val": F.col("va") == F.col("vb"),
+        },
+        weights={"name": (3000, -1000), "val": (1000, -2000)},
+        upper=3500, lower=0,
+    ).collect()}
+    assert out[1]["decision"] == "match" and out[1]["fs_score"] == 4000
+    assert out[2]["decision"] == "possible" and out[2]["fs_score"] == 0
+    assert out[3]["decision"] == "non_match"
+    # NULL name comparison → treated as disagreement
+    assert out[4]["agr_name"] is False and out[4]["fs_score"] == -3000
