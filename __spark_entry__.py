@@ -6140,6 +6140,26 @@ def q254_fellegi_sunter(spark, sf_dir):
     ).orderBy("p_suppkey", "s_suppkey")
 
 
+def q255_grouped_spearman(spark, sf_dir):
+    """Spearman rank correlation of order value vs order date per
+    priority — exact tie handling via ×2-scaled integer ranks from
+    the distinct-value histogram (never a raw-table window), Pearson
+    on ranks through the fixed-order exact-statistic path (see
+    grouped_spearman)."""
+    from db_factfinder_spark.operators.regression import grouped_spearman
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("dn"),
+    )
+    return grouped_spearman(
+        orders, ["o_orderpriority"], F.col("cents"), F.col("dn")
+    ).orderBy("o_orderpriority")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6399,6 +6419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q252_count_of_counts": q252_count_of_counts,
         "q253_activity_bitmap": q253_activity_bitmap,
         "q254_fellegi_sunter": q254_fellegi_sunter,
+        "q255_grouped_spearman": q255_grouped_spearman,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _DEC = "decimal(38,0)"
@@ -282,4 +282,55 @@ def grouped_correlation(
         *keys,
         F.col("__n").cast("long").alias("n"),
         r.alias("r"),
+    )
+
+
+def grouped_spearman(
+    df: DataFrame,
+    keys: Sequence[str],
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Per-key Spearman rank correlation with exact tie handling —
+    the robust (monotone-invariant) sibling of ``grouped_correlation``.
+
+    Tied-average ranks are kept in exact integers by the ×2 trick
+    shared with ``grouped_auc``: every row of a value-run [lo..hi]
+    gets rank₂ = 2·cum_before + cnt + 1 (twice the tied-average rank,
+    always integral), computed per variable from the DISTINCT-value
+    histogram — the cumulative window orders only (group, value)
+    rows, never the raw table.  Pearson on the two rank₂ columns is
+    Spearman exactly (r is scale-invariant), evaluated through
+    ``grouped_correlation``'s fixed-order exact-statistic path, so ρ
+    is bit-identical in any engine, ties included.
+
+    Three keyed shuffles (two histogram+join passes, one aggregate).
+    Output: ``keys…, n, r`` (r = ρ; NULL for degenerate groups).
+    """
+    work = df.select(
+        *keys, x.alias("__x"), y.alias("__y")
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+
+    def with_rank2(d: DataFrame, col: str, out: str) -> DataFrame:
+        cnt = d.groupBy(*keys, col).agg(F.count(F.lit(1)).alias("__c"))
+        w = Window.partitionBy(*keys).orderBy(col)
+        ranked = (
+            cnt.withColumn("__cum", F.sum("__c").over(w))
+            .withColumn(
+                out,
+                (
+                    F.lit(2) * (F.col("__cum") - F.col("__c"))
+                    + F.col("__c")
+                    + F.lit(1)
+                ).cast("long"),
+            )
+            .select(*keys, col, out)
+        )
+        return d.join(ranked, [*keys, col])
+
+    ranked = with_rank2(
+        with_rank2(work, "__x", "__rx"), "__y", "__ry"
+    )
+    return grouped_correlation(
+        ranked, list(keys), F.col("__rx"), F.col("__ry")
     )

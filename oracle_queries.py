@@ -6373,3 +6373,46 @@ SELECT p_suppkey, s_suppkey, dist, agr_name, agr_nation, agr_acctbal,
        ELSE 'non_match' END AS decision
 FROM sc ORDER BY p_suppkey, s_suppkey
 """
+
+
+# q255: Spearman — same x2 tied-average integer ranks from the
+# distinct-value histogram, then the q188/q238 correlation formula.
+ORACLES["q255_grouped_spearman"] = """
+WITH o AS (
+  SELECT o_orderpriority AS g,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+         date_diff('day', DATE '1970-01-01', o_orderdate) AS y
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+cx AS (
+  SELECT g, x, count(*) AS c FROM o GROUP BY 1, 2),
+rx AS (
+  SELECT g, x,
+         2 * (sum(c) OVER (PARTITION BY g ORDER BY x) - c) + c + 1
+           AS r2x
+  FROM cx),
+cy AS (
+  SELECT g, y, count(*) AS c FROM o GROUP BY 1, 2),
+ry AS (
+  SELECT g, y,
+         2 * (sum(c) OVER (PARTITION BY g ORDER BY y) - c) + c + 1
+           AS r2y
+  FROM cy),
+ranked AS (
+  SELECT o.g, CAST(rx.r2x AS HUGEINT) AS a, CAST(ry.r2y AS HUGEINT) AS b
+  FROM o JOIN rx ON o.g = rx.g AND o.x = rx.x
+         JOIN ry ON o.g = ry.g AND o.y = ry.y),
+agg AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+         sum(a) AS sx, sum(b) AS sy,
+         sum(a * b) AS sxy, sum(a * a) AS sxx, sum(b * b) AS syy
+  FROM ranked GROUP BY 1)
+SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n,
+  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+        AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+  END AS r
+FROM agg ORDER BY o_orderpriority
+"""

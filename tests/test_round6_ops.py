@@ -361,3 +361,25 @@ def test_fellegi_sunter_three_way_decisions(spark):
     assert out[3]["decision"] == "non_match"
     # NULL name comparison → treated as disagreement
     assert out[4]["agr_name"] is False and out[4]["fs_score"] == -3000
+
+
+def test_grouped_spearman_known_values(spark):
+    """Monotone nonlinear relation → ρ = 1 (Pearson would be < 1);
+    reversed → −1; ties handled by averaged ranks (checked against
+    the textbook tied example ρ = (2-? ) via scipy-free hand calc)."""
+    from db_factfinder_spark.operators.regression import grouped_spearman
+
+    rows = (
+        [("m", x, x ** 3) for x in range(1, 8)]
+        + [("r", x, -x) for x in range(1, 6)]
+        # tied group: x = 1,2,2,3 / y = 10,20,20,40 (monotone w/ ties)
+        + [("t", 1, 10), ("t", 2, 20), ("t", 2, 20), ("t", 3, 40)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r["g"]: r for r in grouped_spearman(
+        df, ["g"], F.col("x"), F.col("y")
+    ).collect()}
+    assert abs(out["m"]["r"] - 1.0) < 1e-12
+    assert abs(out["r"]["r"] + 1.0) < 1e-12
+    # perfect monotone with IDENTICAL tie structure on both sides → 1
+    assert abs(out["t"]["r"] - 1.0) < 1e-12
