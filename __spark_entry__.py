@@ -6160,6 +6160,44 @@ def q255_grouped_spearman(spark, sf_dir):
     ).orderBy("o_orderpriority")
 
 
+def q256_asof_directions(spark, sf_dir):
+    """Full merge_asof surface in one readout: for every click, the
+    latest purchase at-or-before (backward), the earliest at-or-after
+    within 2 days (forward+tolerance), and the closer of the two
+    (nearest, ties backward) — each a linear union-window pass on the
+    user key, never an inequality join (see asof_join)."""
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        # (by, on) must be unique on the quote side: keep the max
+        # cents per (user, ts) — deterministic pre-aggregation
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents")
+        )
+    )
+    kw = dict(on="ts", by="user_id", value_col="cents")
+    back = asof_join(clicks, buys, out_col="v_back", **kw)
+    fwd = asof_join(
+        clicks, buys, out_col="v_fwd", direction="forward",
+        tolerance=2 * 86_400_000_000, **kw
+    ).select("event_id", "v_fwd")
+    near = asof_join(
+        clicks, buys, out_col="v_near", direction="nearest", **kw
+    ).select("event_id", "v_near")
+    return (
+        back.join(fwd, "event_id")
+        .join(near, "event_id")
+        .select("event_id", "user_id", "v_back", "v_fwd", "v_near")
+        .orderBy("event_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6420,6 +6458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q253_activity_bitmap": q253_activity_bitmap,
         "q254_fellegi_sunter": q254_fellegi_sunter,
         "q255_grouped_spearman": q255_grouped_spearman,
+        "q256_asof_directions": q256_asof_directions,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -6416,3 +6416,29 @@ SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n,
   END AS r
 FROM agg ORDER BY o_orderpriority
 """
+
+
+# q256: merge_asof surface — INDEPENDENT correlated-subquery
+# formulation (the Spark side is the union-window scan).
+ORACLES["q256_asof_directions"] = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+buys AS (
+  SELECT user_id, ts,
+         max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT c.event_id, c.user_id,
+  (SELECT b.cents FROM buys b
+   WHERE b.user_id = c.user_id AND b.ts <= c.ts
+   ORDER BY b.ts DESC LIMIT 1) AS v_back,
+  (SELECT b.cents FROM buys b
+   WHERE b.user_id = c.user_id AND b.ts >= c.ts
+     AND epoch_us(b.ts) - epoch_us(c.ts) <= 172800000000
+   ORDER BY b.ts ASC LIMIT 1) AS v_fwd,
+  (SELECT b.cents FROM buys b
+   WHERE b.user_id = c.user_id
+   ORDER BY abs(epoch_us(b.ts) - epoch_us(c.ts)) ASC,
+            (b.ts > c.ts) ASC
+   LIMIT 1) AS v_near
+FROM clicks c ORDER BY c.event_id
+"""

@@ -1,5 +1,7 @@
 """As-of join semantics: backward inclusive match per key."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from db_factfinder_spark.operators.asof import asof_join
@@ -231,3 +233,53 @@ def test_interval_overlap_inclusive_boundary_and_tiny_buckets(spark):
     out = interval_overlap_join(ldf, rdf, by="k", bucket_width=7)
     got = sorted((r["l_id"], r["r_id"]) for r in out.collect())
     assert got == [(10, 20), (10, 22)]
+
+
+def test_asof_forward_nearest_and_tolerance(spark):
+    """Hand quotes at t=10 and t=20 around probes at 5/12/30:
+    backward/forward/nearest and tolerance behave per merge_asof."""
+    from db_factfinder_spark.operators.asof import asof_join
+
+    probes = spark.createDataFrame(
+        [(1, "u", 5), (2, "u", 12), (3, "u", 30), (4, "u", 15)],
+        "pid long, user_id string, ts long",
+    )
+    quotes = spark.createDataFrame(
+        [("u", 10, 100), ("u", 20, 200)],
+        "user_id string, ts long, value long",
+    )
+
+    def run(**kw):
+        return {
+            r["pid"]: r["value_asof"]
+            for r in asof_join(probes, quotes, **kw).collect()
+        }
+
+    assert run() == {1: None, 2: 100, 3: 200, 4: 100}
+    assert run(direction="forward") == {1: 100, 2: 200, 3: None, 4: 200}
+    # nearest: probe 15 is equidistant (gap 5 both ways) → backward
+    assert run(direction="nearest") == {1: 100, 2: 100, 3: 200, 4: 100}
+    # tolerance 5: probe 30's backward match (gap 10) drops out
+    assert run(tolerance=5) == {1: None, 2: 100, 3: None, 4: 100}
+    assert run(direction="forward", tolerance=5) == {
+        1: 100, 2: None, 3: None, 4: 200
+    }
+    with pytest.raises(ValueError):
+        asof_join(probes, quotes, direction="sideways")
+
+
+def test_asof_nearest_tolerance_both_sides(spark):
+    from db_factfinder_spark.operators.asof import asof_join
+
+    probes = spark.createDataFrame(
+        [(1, "u", 14)], "pid long, user_id string, ts long"
+    )
+    quotes = spark.createDataFrame(
+        [("u", 10, 100), ("u", 16, 200)],
+        "user_id string, ts long, value long",
+    )
+    out = asof_join(
+        probes, quotes, direction="nearest", tolerance=3
+    ).collect()[0]
+    # backward gap 4 > tol, forward gap 2 ≤ tol → forward wins
+    assert out["value_asof"] == 200
