@@ -6198,6 +6198,28 @@ def q256_asof_directions(spark, sf_dir):
     )
 
 
+def q257_char_shingle_neardup(spark, sf_dir):
+    """Near-dup pairs on CHARACTER 4-gram shingles — the shingle
+    basis for space-free scripts (CJK/Thai) where word shingles
+    degenerate; the whole MinHash→LSH→verify pipeline is reused
+    unchanged via shingle_fn (see char_shingles,
+    minhash_dedup_pairs)."""
+    from db_factfinder_spark.llmdata.dedup import char_shingles
+
+    docs = _docs(spark, sf_dir)
+    return (
+        minhash_dedup_pairs(
+            docs,
+            num_hashes=8,
+            bands=4,
+            verify_threshold=0.6,
+            max_bucket=None,
+            shingle_fn=lambda c: char_shingles(c, 4),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6459,6 +6481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q254_fellegi_sunter": q254_fellegi_sunter,
         "q255_grouped_spearman": q255_grouped_spearman,
         "q256_asof_directions": q256_asof_directions,
+        "q257_char_shingle_neardup": q257_char_shingle_neardup,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

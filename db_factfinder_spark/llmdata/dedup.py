@@ -324,6 +324,7 @@ def minhash_dedup_pairs(
     verify_threshold: float | None = 0.8,
     max_bucket: int | None = 10_000,
     checkpoint_mode: str = "local",
+    shingle_fn=None,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → (optional)
     exact-Jaccard verification of only the candidates.
@@ -332,12 +333,22 @@ def minhash_dedup_pairs(
     see ``llmdata.checkpointing``) and
     feeds all three consumers — the signature fold and both verify
     sides.  Inline, the tokenize→shingle pipeline would run 3× over
-    the full corpus (self-join sides share no exchange)."""
+    the full corpus (self-join sides share no exchange).
+
+    ``shingle_fn`` (Column → Column array<string>) swaps the shingle
+    basis — e.g. ``char_shingles`` for space-free scripts; every
+    downstream stage (minhash fold, banding, Jaccard verify) is
+    representation-agnostic.  Default: word ``shingles(·, n)``."""
+    if shingle_fn is None:
+        shingle_fn = lambda c: shingles(c, n)  # noqa: E731
     if verify_threshold is None:
         sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
         return lsh_candidate_pairs(sigs, num_hashes, bands, max_bucket)
     sh = materialize(
-        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")),
+        df.select(
+            F.col(id_col).alias("id"),
+            shingle_fn(F.col(text_col)).alias("sh"),
+        ),
         checkpoint_mode,
     )
     sigs = sh.select(
@@ -1349,3 +1360,28 @@ def admit_new_documents(
             .alias("status"),
         )
     )
+
+
+def char_shingles(text: Column | str, n: int = 4) -> Column:
+    """Character n-gram shingle set (distinct) over NORMALIZED text —
+    the shingle basis for space-free scripts (CJK, Thai) where word
+    shingles degenerate to whole-sentence tokens.  Same let-binding
+    rule as ``shingles``: the normalized string materializes once,
+    each gram is one substring slice.  Interoperates with every
+    downstream MinHash/LSH stage (``minhash_dedup_pairs(shingle_fn=
+    lambda c: char_shingles(c, 4))``) — the pipeline is shingle-
+    representation agnostic."""
+
+    def build(s: Column) -> Column:
+        k = F.length(s) - (n - 1)
+        return F.when(
+            k >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.substring(s, i, F.lit(n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(normalize_text(text), build)

@@ -6442,3 +6442,38 @@ SELECT c.event_id, c.user_id,
    LIMIT 1) AS v_near
 FROM clicks c ORDER BY c.event_id
 """
+
+
+# q257: char-4-gram near-dup — q32's band/verify SQL over character
+# shingles of the normalized string.
+_CHAR_SHINGLES4 = """
+list_distinct(
+  CASE WHEN length(norm) - 3 >= 1 THEN
+    list_transform(range(1, length(norm) - 2),
+                   i -> substr(norm, CAST(i AS INT), 4))
+  ELSE [] END)
+"""
+
+ORACLES["q257_char_shingle_neardup"] = f"""
+WITH d AS (
+  SELECT doc_id, {_NORM} AS norm FROM documents),
+sh AS (
+  SELECT doc_id AS id, {_CHAR_SHINGLES4} AS grams FROM d),
+sigs AS (
+  SELECT id, grams, CASE WHEN len(grams) > 0 THEN {_MH8} END AS sig FROM sh),
+bands AS ({_BANDS32}),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+verified AS (
+  SELECT id_a, id_b,
+    CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+      / (CAST(len(sa.grams) + len(sb.grams) AS DOUBLE)
+         - CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE))
+      AS jaccard
+  FROM cands
+  JOIN sigs sa ON sa.id = id_a
+  JOIN sigs sb ON sb.id = id_b)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.6
+"""

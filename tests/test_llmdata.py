@@ -2514,3 +2514,34 @@ def test_pq_adc_table_path_identical(spark, embs):
     b = sorted(map(tuple, pq_adc_topk(
         probes, codes, cb, m=8, k=7, table_probes=True).collect()))
     assert a == b and len(a) == 5 * 7
+
+
+def test_char_shingles_basic_and_agnostic_pipeline(spark):
+    """Char 4-grams of 'ab cd' normalize to {'ab c','b cd'}; short
+    strings yield empty; the LSH pipeline accepts the swapped basis
+    and still finds the exact duplicate pair."""
+    from db_factfinder_spark.llmdata.dedup import (
+        char_shingles,
+        minhash_dedup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Ab cd"), (2, "ab")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["g"] for r in df.select(
+        "doc_id", char_shingles("text", 4).alias("g")
+    ).collect()}
+    assert sorted(out[1]) == ["ab c", "b cd"]
+    assert out[2] == []
+
+    dup = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "completely different words here")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_dedup_pairs(
+        dup, num_hashes=8, bands=4, verify_threshold=0.6,
+        max_bucket=None, shingle_fn=lambda c: char_shingles(c, 4),
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] == 1.0
