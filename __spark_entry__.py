@@ -5767,7 +5767,9 @@ def q240_pq_adc_topk(spark, sf_dir):
     cb = _collect_codebook(_pq_codebooks(embs))
     codes = pq_encode(embs, cb, m=8)
     probes = embs.filter(F.col("vec_id") < 10)
-    return pq_adc_topk(probes, codes, cb, m=8, k=5)
+    return pq_adc_topk(probes, codes, cb, m=8, k=5).orderBy(
+        "probe_id", "rank"
+    )
 
 
 def q241_kmv_distinct(spark, sf_dir):
@@ -5793,7 +5795,9 @@ def q241_kmv_distinct(spark, sf_dir):
     parts = kmv_partials(
         li, ["l_returnflag"], "l_partkey", k=64, shard_cols=["shard"]
     )
-    return kmv_estimate(kmv_merge(parts, ["l_returnflag"], k=64), k=64)
+    return kmv_estimate(
+        kmv_merge(parts, ["l_returnflag"], k=64), k=64
+    ).orderBy("l_returnflag")
 
 
 def q242_timedecay_attribution(spark, sf_dir):

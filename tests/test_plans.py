@@ -398,6 +398,16 @@ def test_partition_invariance_of_order_sensitive_queries(spark):
         "q210_decile_gains",
         # minimal-covering-prefix boundary under ties
         "q213_top_p_vocab",
+        # round-6 order-sensitive internals: PQ argmin tie-breaks,
+        # KMV k-min rank windows + TakeOrdered, largest-remainder
+        # time-decay split, iterative peel with materialized rounds,
+        # nearest-asof tie rule
+        "q240_pq_adc_topk",
+        "q241_kmv_distinct",
+        "q242_timedecay_attribution",
+        "q245_kcore_prune",
+        "q246_kmv_intersect",
+        "q256_asof_directions",
     ]
     before = {}
     for name in targets:
