@@ -6224,6 +6224,28 @@ def q257_char_shingle_neardup(spark, sf_dir):
     )
 
 
+def q258_ancestor_closure(spark, sf_dir):
+    """Recursive-CTE-equivalent on Spark: full ancestor closure of the
+    decimal part hierarchy (parent = key div 10, the q229 convention)
+    by POINTER DOUBLING — reachable distance doubles per materialized
+    round, so the depth-4 tree closes in 2 rounds where a recursive
+    CTE iterates 4.  The oracle runs DuckDB's actual WITH RECURSIVE:
+    two different algorithms agreeing pair-for-pair (see
+    ancestor_closure)."""
+    from db_factfinder_spark.operators.hierarchy import ancestor_closure
+
+    edges = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("child"))
+        .filter(F.col("child") >= 10)
+        .select(
+            "child", F.expr("child div 10").alias("parent")
+        )
+        .distinct()
+    )
+    return ancestor_closure(edges).orderBy("node", "dist")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6486,6 +6508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q255_grouped_spearman": q255_grouped_spearman,
         "q256_asof_directions": q256_asof_directions,
         "q257_char_shingle_neardup": q257_char_shingle_neardup,
+        "q258_ancestor_closure": q258_ancestor_closure,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

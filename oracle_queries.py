@@ -6477,3 +6477,22 @@ verified AS (
   JOIN sigs sb ON sb.id = id_b)
 SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.6
 """
+
+
+# q258: ancestor closure — DuckDB's native WITH RECURSIVE vs Spark's
+# pointer doubling.  converged is literal TRUE: the decimal hierarchy
+# is ≤ 6 levels deep at every test sf, so 6 doubling rounds always
+# close it (the non-converged path is pinned by unit test instead).
+ORACLES["q258_ancestor_closure"] = """
+WITH RECURSIVE e AS (
+  SELECT p_partkey AS child, p_partkey // 10 AS parent
+  FROM part WHERE p_partkey >= 10
+  GROUP BY 1, 2),
+anc AS (
+  SELECT child AS node, parent AS ancestor, 1 AS dist FROM e
+  UNION ALL
+  SELECT a.node, e.parent, a.dist + 1
+  FROM anc a JOIN e ON a.ancestor = e.child)
+SELECT node, ancestor, CAST(dist AS INTEGER) AS dist, TRUE AS converged
+FROM anc ORDER BY node, dist
+"""

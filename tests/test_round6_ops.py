@@ -383,3 +383,23 @@ def test_grouped_spearman_known_values(spark):
     assert abs(out["r"]["r"] + 1.0) < 1e-12
     # perfect monotone with IDENTICAL tie structure on both sides → 1
     assert abs(out["t"]["r"] - 1.0) < 1e-12
+
+
+def test_ancestor_closure_doubling_and_convergence(spark):
+    """A depth-8 chain closes in 3 doubling rounds (certified by the
+    4th no-op round); the full closure is all (i, j<i) pairs with
+    dist i-j; max_rounds=1 reaches only dist ≤ 2 and reports
+    converged=False."""
+    from db_factfinder_spark.operators.hierarchy import ancestor_closure
+
+    edges = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 9)], "child long, parent long"
+    )
+    full = ancestor_closure(edges, max_rounds=4).collect()
+    assert all(r["converged"] for r in full)
+    pairs = {(r["node"], r["ancestor"]): r["dist"] for r in full}
+    want = {(i, j): i - j for i in range(1, 9) for j in range(0, i)}
+    assert pairs == want
+    partial = ancestor_closure(edges, max_rounds=1).collect()
+    assert not any(r["converged"] for r in partial)
+    assert max(r["dist"] for r in partial) == 2
