@@ -6246,6 +6246,41 @@ def q258_ancestor_closure(spark, sf_dir):
     return ancestor_closure(edges).orderBy("node", "dist")
 
 
+def q259_ipf_raking(spark, sf_dir):
+    """Survey raking (IPF) of the priority × status order table toward
+    uniform margins, two alternating rounds in fixed-point micro-units
+    — every margin an exact integer sum, requantized per half-round so
+    results are partition-reproducible (see ipf_rake).  The census
+    post-stratification step, run on the engine's own arithmetic
+    rules."""
+    from db_factfinder_spark.operators.raking import ipf_rake
+
+    orders = _t(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    total = orders.agg(F.count(F.lit(1)).alias("__t"))
+    rt = (
+        cells.select("o_orderpriority").distinct()
+        .crossJoin(F.broadcast(total))
+        .select(
+            "o_orderpriority",
+            F.expr("__t div 5").alias("target_units"),
+        )
+    )
+    ct = (
+        cells.select("o_orderstatus").distinct()
+        .crossJoin(F.broadcast(total))
+        .select(
+            "o_orderstatus",
+            F.expr("__t div 3").alias("target_units"),
+        )
+    )
+    return ipf_rake(
+        cells, "o_orderpriority", "o_orderstatus", "w", rt, ct, rounds=2
+    ).orderBy("o_orderpriority", "o_orderstatus")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6509,6 +6544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q256_asof_directions": q256_asof_directions,
         "q257_char_shingle_neardup": q257_char_shingle_neardup,
         "q258_ancestor_closure": q258_ancestor_closure,
+        "q259_ipf_raking": q259_ipf_raking,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

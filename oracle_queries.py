@@ -6496,3 +6496,50 @@ anc AS (
 SELECT node, ancestor, CAST(dist AS INTEGER) AS dist, TRUE AS converged
 FROM anc ORDER BY node, dist
 """
+
+
+# q259: fixed-point IPF — the same two alternating half-rounds as
+# chained CTEs (floor(w*target/margin + 0.5) requantization each).
+ORACLES["q259_ipf_raking"] = """
+WITH cells AS (
+  SELECT o_orderpriority AS r, o_orderstatus AS c,
+         CAST(count(*) AS BIGINT) AS w
+  FROM orders GROUP BY 1, 2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM orders),
+rt AS (SELECT DISTINCT r, (SELECT t // 5 FROM tot) AS rt FROM cells),
+ct AS (SELECT DISTINCT c, (SELECT t // 3 FROM tot) AS ct FROM cells),
+r1 AS (
+  SELECT cells.r, cells.c,
+    CASE WHEN rm.m > 0 THEN CAST(floor(
+      CAST(w AS DOUBLE) * CAST(rt.rt AS DOUBLE) / CAST(rm.m AS DOUBLE)
+      + 0.5) AS BIGINT) ELSE w END AS w
+  FROM cells
+  JOIN (SELECT r, sum(w) AS m FROM cells GROUP BY 1) rm ON cells.r = rm.r
+  JOIN rt ON cells.r = rt.r),
+c1 AS (
+  SELECT r1.r, r1.c,
+    CASE WHEN cm.m > 0 THEN CAST(floor(
+      CAST(w AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(cm.m AS DOUBLE)
+      + 0.5) AS BIGINT) ELSE w END AS w
+  FROM r1
+  JOIN (SELECT c, sum(w) AS m FROM r1 GROUP BY 1) cm ON r1.c = cm.c
+  JOIN ct ON r1.c = ct.c),
+r2 AS (
+  SELECT c1.r, c1.c,
+    CASE WHEN rm.m > 0 THEN CAST(floor(
+      CAST(w AS DOUBLE) * CAST(rt.rt AS DOUBLE) / CAST(rm.m AS DOUBLE)
+      + 0.5) AS BIGINT) ELSE w END AS w
+  FROM c1
+  JOIN (SELECT r, sum(w) AS m FROM c1 GROUP BY 1) rm ON c1.r = rm.r
+  JOIN rt ON c1.r = rt.r),
+c2 AS (
+  SELECT r2.r, r2.c,
+    CASE WHEN cm.m > 0 THEN CAST(floor(
+      CAST(w AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(cm.m AS DOUBLE)
+      + 0.5) AS BIGINT) ELSE w END AS w
+  FROM r2
+  JOIN (SELECT c, sum(w) AS m FROM r2 GROUP BY 1) cm ON r2.c = cm.c
+  JOIN ct ON r2.c = ct.c)
+SELECT r AS o_orderpriority, c AS o_orderstatus, w
+FROM c2 ORDER BY o_orderpriority, o_orderstatus
+"""

@@ -403,3 +403,33 @@ def test_ancestor_closure_doubling_and_convergence(spark):
     partial = ancestor_closure(edges, max_rounds=1).collect()
     assert not any(r["converged"] for r in partial)
     assert max(r["dist"] for r in partial) == 2
+
+
+def test_ipf_rake_hits_achievable_margins(spark):
+    """2x2 table with consistent integer targets: two rounds land the
+    margins exactly (classic IPF on a compatible table); zero-margin
+    rows keep their weights."""
+    from db_factfinder_spark.operators.raking import ipf_rake
+
+    cells = spark.createDataFrame(
+        [("a", "x", 10), ("a", "y", 30), ("b", "x", 30), ("b", "y", 30)],
+        "r string, c string, w long",
+    )
+    rt = spark.createDataFrame(
+        [("a", 40), ("b", 60)], "r string, target_units long"
+    )
+    ct = spark.createDataFrame(
+        [("x", 50), ("y", 50)], "c string, target_units long"
+    )
+    out = ipf_rake(cells, "r", "c", "w", rt, ct, rounds=8)
+    rows = {(r["r"], r["c"]): r["w"] for r in out.collect()}
+    import collections
+
+    rm = collections.Counter()
+    cm = collections.Counter()
+    for (r, c), w in rows.items():
+        rm[r] += w
+        cm[c] += w
+    assert rm["a"] in (39, 40, 41) and rm["b"] in (59, 60, 61)
+    assert cm["x"] == 50 and cm["y"] == 50  # last half-round is cols
+    assert sum(rows.values()) == 100
