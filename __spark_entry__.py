@@ -6281,6 +6281,89 @@ def q259_ipf_raking(spark, sf_dir):
     ).orderBy("o_orderpriority", "o_orderstatus")
 
 
+def q260_peak_concurrency(spark, sf_dir):
+    """Peak simultaneous sessions per event type (capacity planning /
+    connection-pool sizing): each sampled event opens a [ts, ts+dur)
+    session with a deterministic 1–10 min duration; the sweep-line
+    operator (see peak_concurrency) answers max-concurrency + earliest
+    peak instant in one window pass per key.  The oracle is the
+    INDEPENDENT quadratic formulation — per interval, count the
+    intervals covering its start — feasible because the query samples
+    event_id % 11 (the production path never pays the n² join)."""
+    from db_factfinder_spark.operators.intervals import peak_concurrency
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_id") % 11 == 0
+    )
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts"))
+            + (F.lit(60) + F.col("event_id") % 540) * F.lit(1000000)
+        ).alias("e"),
+    )
+    out = peak_concurrency(iv, "event_type", "s", "e")
+    return out.select(
+        "event_type",
+        "peak",
+        F.date_format("at", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("at_ts"),
+    ).orderBy("event_type")
+
+
+def q261_semi_additive_balance(spark, sf_dir):
+    """Semi-additive balance rollup: treat events.value as an account
+    balance observation (account = user_id % 100); per day, sum each
+    account's LAST observed balance — the end-of-period snapshot
+    pattern every finance mart needs, where balances sum across
+    accounts but never across time (see semi_additive_last)."""
+    from db_factfinder_spark.operators.timeseries import semi_additive_last
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet").select(
+        (F.col("user_id") % 100).alias("account"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "ts",
+        "value",
+        "event_id",
+    )
+    return semi_additive_last(
+        ev, "account", "day", "ts", "value", "event_id"
+    ).orderBy("day")
+
+
+def q262_k_anonymity_audit(spark, sf_dir):
+    """Pre-release k-anonymity / l-diversity audit over customer
+    quasi-identifiers (nation, market segment, balance percentile
+    decile): class-size histogram with the at-risk share — the release
+    gate a privacy review runs before shipping a derived table (see
+    k_anonymity_audit).  Summarized by (class_size, l_distinct,
+    at_risk) so the output is bounded regardless of corpus size."""
+    from db_factfinder_spark.llmdata.redact import k_anonymity_audit
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 1000.0)).alias("bal_band"),
+    )
+    classes = k_anonymity_audit(
+        cust,
+        ["c_nationkey", "bal_band"],
+        sensitive_col="c_mktsegment",
+        k=5,
+    )
+    return (
+        classes.groupBy("class_size", "at_risk")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_size").alias("n_rows"),
+            F.min("l_distinct").alias("min_l"),
+        )
+        .orderBy("class_size", "at_risk")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6545,6 +6628,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q257_char_shingle_neardup": q257_char_shingle_neardup,
         "q258_ancestor_closure": q258_ancestor_closure,
         "q259_ipf_raking": q259_ipf_raking,
+        "q260_peak_concurrency": q260_peak_concurrency,
+        "q261_semi_additive_balance": q261_semi_additive_balance,
+        "q262_k_anonymity_audit": q262_k_anonymity_audit,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

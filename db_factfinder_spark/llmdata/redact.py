@@ -128,3 +128,35 @@ def domain_blocklist_filter(
     )
     how = "left_semi" if keep else "left_anti"
     return df.join(hits, df[domain_col] == hits["__dom"], how)
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Privacy audit before releasing a training corpus or derived
+    table: group rows into equivalence classes over the
+    quasi-identifier columns and measure how identifiable each class
+    is.  Returns one row per class: the quasi values, ``class_size``
+    (k-anonymity — a class smaller than ``k`` re-identifies its
+    members), ``l_distinct`` (l-diversity — a class whose sensitive
+    column holds one value leaks it even at large k), and ``at_risk``
+    (class_size < k OR l_distinct < 2).
+
+    One hash-aggregate shuffle on the quasi columns; both statistics
+    are exact integers from the same pass (count + count distinct over
+    identical grouping keys — Spark plans the distinct as a partial
+    two-phase expand, still a single shuffle family).  At 100 TB this
+    is the cheapest shape a release gate can have: no joins, no
+    windows, and the downstream suppression step is a broadcast-able
+    semi-join against the (tiny) at-risk class list.
+    """
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct(F.col(sensitive_col)).alias("l_distinct"),
+    ).withColumn(
+        "at_risk",
+        (F.col("class_size") < F.lit(k)) | (F.col("l_distinct") < 2),
+    )

@@ -63,3 +63,68 @@ def covered_time(
         F.sum(F.col(e_col) - F.col(s_col)).alias("covered"),
         F.count(F.lit(1)).alias("n_islands"),
     )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    by: str,
+    s_col: str = "s",
+    e_col: str = "e",
+) -> DataFrame:
+    """Per key: the maximum number of simultaneously-open [s, e)
+    intervals and the earliest instant it is reached.  Returns
+    ``by, peak, at``.
+
+    The sweep-line formulation: each interval contributes a +1 event
+    at its start and a -1 event at its end; concurrency at any instant
+    is the running sum of events ordered by ``(time, delta)``.  Delta
+    -1 sorts before +1 at equal times, which IS the half-open
+    semantics — an interval ending at t and one starting at t never
+    overlap.  The peak is always attained on a +1 row (a -1 row only
+    ever lowers the sum), so the per-key answer is one max over the
+    start rows' running sums; the earliest attaining instant rides
+    along in the same aggregate via max(struct(c, -t)) — single window
+    pass + single aggregation, both partitioned by the key, vs the
+    quadratic interval x interval overlap join (which the q260 oracle
+    deliberately IS, as the independent check).
+
+    Bounds are timestamps (integer bounds are interpreted as epoch
+    seconds via the cast); ``at`` is always returned as a timestamp,
+    carried through its exact micro-epoch integer.
+    """
+    starts = df.select(
+        F.col(by).alias("__k"),
+        F.col(s_col).alias("__t"),
+        F.lit(1).alias("__d"),
+    )
+    ends = df.select(
+        F.col(by).alias("__k"),
+        F.col(e_col).alias("__t"),
+        F.lit(-1).alias("__d"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = (
+        starts.unionAll(ends)
+        .withColumn("__c", F.sum("__d").over(w))
+        .filter(F.col("__d") == 1)
+    )
+    # Earliest peak instant in the same aggregate: maximize (c, -t_us).
+    best = F.max(
+        F.struct(
+            F.col("__c").alias("c"),
+            (-F.unix_micros(F.col("__t").cast("timestamp"))).alias("negt"),
+        )
+    )
+    return (
+        run.groupBy("__k")
+        .agg(best.alias("__best"))
+        .select(
+            F.col("__k").alias(by),
+            F.col("__best.c").alias("peak"),
+            F.timestamp_micros(-F.col("__best.negt")).alias("at"),
+        )
+    )

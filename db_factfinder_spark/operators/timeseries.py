@@ -924,3 +924,42 @@ def activity_bitmap(
         F.bit_count("mask").alias("n_active"),
         streak.alias("longest_streak"),
     )
+
+
+def semi_additive_last(
+    df: DataFrame,
+    key_col: str,
+    period_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Semi-additive measure rollup: a balance-like ``value_col`` sums
+    across ``key_col`` (accounts) but NOT across time — each account
+    contributes its LAST observation within a period.  Returns one row
+    per ``period_col``: ``period, balance_total, n_accounts``.
+
+    The warehouse-classic LAST_VALUE pitfall is frame-dependence;
+    instead each (key, period)'s last row is picked by one descending
+    row_number over ``(ts, tiebreak)`` — total order, so the choice is
+    partition-invariant — then a plain sum over accounts.  One shuffle
+    on (key, period) for the window, one on period for the rollup.
+    Balances aggregate through decimal(18,2), never a double sum, so
+    the total is exact and ordering-independent; the cast back to
+    double is presentation only.
+    """
+    w = Window.partitionBy(key_col, period_col).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    last = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(period_col),
+            F.col(value_col).cast("decimal(18,2)").alias("__bal"),
+        )
+    )
+    return last.groupBy(period_col).agg(
+        F.sum("__bal").cast("double").alias("balance_total"),
+        F.count(F.lit(1)).alias("n_accounts"),
+    )

@@ -6543,3 +6543,62 @@ c2 AS (
 SELECT r AS o_orderpriority, c AS o_orderstatus, w
 FROM c2 ORDER BY o_orderpriority, o_orderstatus
 """
+
+
+# q260: peak concurrency — INDEPENDENT quadratic formulation: per
+# interval, count the group's intervals covering its start (the peak
+# is always attained at some start under [s, e) semantics).
+ORACLES["q260_peak_concurrency"] = """
+WITH iv AS (
+  SELECT event_id AS eid, event_type AS k, ts AS s,
+         make_timestamp(epoch_us(ts)
+                        + (60 + event_id % 540) * 1000000) AS e
+  FROM events WHERE event_id % 11 = 0),
+conc AS (
+  SELECT i.k, i.eid, i.s, CAST(count(*) AS BIGINT) AS c
+  FROM iv i JOIN iv j ON j.k = i.k AND j.s <= i.s AND i.s < j.e
+  GROUP BY i.k, i.eid, i.s),
+peaks AS (SELECT k, max(c) AS peak FROM conc GROUP BY k)
+SELECT conc.k AS event_type, peaks.peak,
+       strftime(min(conc.s), '%Y-%m-%d %H:%M:%S.%f') AS at_ts
+FROM conc JOIN peaks ON conc.k = peaks.k AND conc.c = peaks.peak
+GROUP BY 1, 2
+ORDER BY event_type
+"""
+
+
+# q261: semi-additive balances — row_number picks each (account,
+# month)'s last observation under the same (ts, event_id) total
+# order; decimal(18,2) keeps the cross-account sum exact.
+ORACLES["q261_semi_additive_balance"] = """
+WITH obs AS (
+  SELECT user_id % 100 AS account,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         ts, event_id, CAST(value AS DECIMAL(18,2)) AS bal
+  FROM events),
+last AS (
+  SELECT account, day, bal,
+         row_number() OVER (PARTITION BY account, day
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM obs)
+SELECT day, CAST(sum(bal) AS DOUBLE) AS balance_total,
+       CAST(count(*) AS BIGINT) AS n_accounts
+FROM last WHERE rn = 1 GROUP BY day ORDER BY day
+"""
+
+
+# q262: k-anonymity / l-diversity audit — equivalence classes over
+# (nation, 1000-unit balance band), sensitive = market segment.
+ORACLES["q262_k_anonymity_audit"] = """
+WITH classes AS (
+  SELECT c_nationkey, floor(c_acctbal / 1000.0) AS bal_band,
+         CAST(count(*) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct
+  FROM customer GROUP BY 1, 2)
+SELECT class_size,
+       (class_size < 5 OR l_distinct < 2) AS at_risk,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       min(l_distinct) AS min_l
+FROM classes GROUP BY 1, 2 ORDER BY class_size, at_risk
+"""

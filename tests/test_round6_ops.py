@@ -433,3 +433,78 @@ def test_ipf_rake_hits_achievable_margins(spark):
     assert rm["a"] in (39, 40, 41) and rm["b"] in (59, 60, 61)
     assert cm["x"] == 50 and cm["y"] == 50  # last half-round is cols
     assert sum(rows.values()) == 100
+
+
+def test_peak_concurrency_half_open_and_earliest(spark):
+    """[s, e) semantics: an interval ending at t and one starting at t
+    never overlap; the reported instant is the EARLIEST peak."""
+    import datetime as dt
+
+    from db_factfinder_spark.operators.intervals import peak_concurrency
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # k=a: [0,10) [5,15) [10,20) — peak 2 (at 5), 10 is NOT 3-deep
+        ("a", t(0), t(10)),
+        ("a", t(5), t(15)),
+        ("a", t(10), t(20)),
+        # k=b: two identical intervals + a later singleton — peak 2 at 1
+        ("b", t(1), t(4)),
+        ("b", t(1), t(4)),
+        ("b", t(30), t(40)),
+    ]
+    df = spark.createDataFrame(rows, "k string, s timestamp, e timestamp")
+    out = {r["k"]: r for r in peak_concurrency(df, "k", "s", "e").collect()}
+    assert out["a"]["peak"] == 2 and out["a"]["at"] == t(5)
+    assert out["b"]["peak"] == 2 and out["b"]["at"] == t(1)
+
+
+def test_semi_additive_last_picks_last_and_sums_exact(spark):
+    """Each (account, period)'s LAST observation wins (ts then
+    tiebreak); totals sum across accounts only."""
+    import datetime as dt
+
+    from db_factfinder_spark.operators.timeseries import semi_additive_last
+
+    t = lambda d, h=0: dt.datetime(2024, 1, d, h)
+    rows = [
+        ("a1", "2024-01", t(1), 10.10, 1),
+        ("a1", "2024-01", t(5), 20.20, 2),   # last for a1/Jan
+        ("a2", "2024-01", t(3), 5.05, 3),
+        ("a2", "2024-01", t(3), 7.07, 4),    # same ts → tiebreak picks id 4
+        ("a1", "2024-02", t(28), 1.01, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "acct string, month string, ts timestamp, value double, eid long"
+    )
+    out = {
+        r["month"]: r
+        for r in semi_additive_last(
+            df, "acct", "month", "ts", "value", "eid"
+        ).collect()
+    }
+    assert out["2024-01"]["balance_total"] == 27.27  # 20.20 + 7.07
+    assert out["2024-01"]["n_accounts"] == 2
+    assert out["2024-02"]["balance_total"] == 1.01
+
+
+def test_k_anonymity_audit_flags_small_and_uniform_classes(spark):
+    """A class below k is at risk; so is a large class whose sensitive
+    column is uniform (l < 2)."""
+    from db_factfinder_spark.llmdata.redact import k_anonymity_audit
+
+    rows = (
+        [("US", 1, "A"), ("US", 1, "B"), ("US", 1, "A")]  # n=3 < k
+        + [("FR", 2, "A")] * 5                             # n=5, l=1
+        + [("DE", 3, "A"), ("DE", 3, "B")] * 3             # n=6, l=2: safe
+    )
+    df = spark.createDataFrame(rows, "nation string, band int, seg string")
+    out = {
+        (r["nation"], r["band"]): r
+        for r in k_anonymity_audit(
+            df, ["nation", "band"], "seg", k=5
+        ).collect()
+    }
+    assert out[("US", 1)]["class_size"] == 3 and out[("US", 1)]["at_risk"]
+    assert out[("FR", 2)]["l_distinct"] == 1 and out[("FR", 2)]["at_risk"]
+    assert out[("DE", 3)]["class_size"] == 6 and not out[("DE", 3)]["at_risk"]
