@@ -6364,6 +6364,71 @@ def q262_k_anonymity_audit(spark, sf_dir):
     )
 
 
+def q263_golden_record(spark, sf_dir):
+    """Master-data survivorship: two synthetic source feeds of the
+    sampled customer list (feed 1 carries names with deterministic
+    holes, newer feed 2 carries segments with different holes); the
+    golden record takes each field's most recent NON-NULL value, so
+    feed 2's blank name never erases feed 1's (see golden_record).
+    Every field resolves in one struct-max hash aggregate."""
+    from db_factfinder_spark.operators.merge import golden_record
+
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 97 == 0
+    )
+    feed1 = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("c_custkey") % 3 != 0, F.col("c_name")).alias("name"),
+        F.lit(None).cast("string").alias("segment"),
+        F.lit(1).alias("ts"),
+        F.lit(1).alias("src"),
+    )
+    feed2 = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit(None).cast("string").alias("name"),
+        F.when(F.col("c_custkey") % 5 != 0, F.col("c_mktsegment")).alias(
+            "segment"
+        ),
+        F.lit(2).alias("ts"),
+        F.lit(2).alias("src"),
+    )
+    recs = feed1.unionAll(feed2)
+    return golden_record(
+        recs, "custkey", "ts", "src", ["name", "segment"]
+    ).orderBy("custkey")
+
+
+def q264_interval_gaps(spark, sf_dir):
+    """Downtime report: uncovered stretches between each event type's
+    sampled-session coverage islands (see interval_gaps), summarized
+    per type as gap count / total / max in exact micro-epoch integers.
+    The oracle is the INDEPENDENT one-pass formulation — gap = start
+    minus the running max of prior ends, no island frame at all."""
+    from db_factfinder_spark.operators.intervals import interval_gaps
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_id") % 11 == 0
+    )
+    iv = ev.select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (
+            F.unix_micros(F.col("ts"))
+            + (F.lit(60) + F.col("event_id") % 540) * F.lit(1000000)
+        ).alias("e"),
+    )
+    g = interval_gaps(iv, "event_type", "s", "e")
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_len").alias("total_gap_us"),
+            F.max("gap_len").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6631,6 +6696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q260_peak_concurrency": q260_peak_concurrency,
         "q261_semi_additive_balance": q261_semi_additive_balance,
         "q262_k_anonymity_audit": q262_k_anonymity_audit,
+        "q263_golden_record": q263_golden_record,
+        "q264_interval_gaps": q264_interval_gaps,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

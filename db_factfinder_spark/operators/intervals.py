@@ -128,3 +128,34 @@ def peak_concurrency(
             F.timestamp_micros(-F.col("__best.negt")).alias("at"),
         )
     )
+
+
+def interval_gaps(
+    df: DataFrame,
+    by: str,
+    s_col: str = "s",
+    e_col: str = "e",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per key: the uncovered stretches BETWEEN a key's coverage
+    islands (downtime / SLA-gap report).  Returns one row per gap:
+    ``by, gap_start, gap_end, gap_len`` — exact integer bounds.
+
+    Composes merge_intervals (one window sort per key) with a lag over
+    the disjoint islands: a key with k islands yields k-1 gaps; fully
+    covered keys yield none.  The island frame is tiny relative to the
+    input (bounded by the interval count), so the second window pass
+    costs nothing at scale.
+    """
+    m = merge_intervals(df, by, s_col, e_col, tiebreak)
+    w = Window.partitionBy(by).orderBy(F.col(s_col))
+    prev_e = F.lag(F.col(e_col)).over(w)
+    return (
+        m.select(
+            F.col(by),
+            prev_e.alias("gap_start"),
+            F.col(s_col).alias("gap_end"),
+        )
+        .filter(F.col("gap_start").isNotNull())
+        .withColumn("gap_len", F.col("gap_end") - F.col("gap_start"))
+    )

@@ -60,3 +60,40 @@ def merge_upsert(
     if delete_flag is not None:
         winners = winners.filter(~F.coalesce(delete_flag, F.lit(False)))
     return winners.select(*out_cols)
+
+
+def golden_record(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    fields: list[str],
+) -> DataFrame:
+    """Master-data survivorship: collapse multi-source records for one
+    entity into a single golden row, picking each field's most recent
+    NON-NULL observation independently (so a newer record that left
+    ``phone`` blank doesn't erase the older phone).  Returns one row
+    per key: ``key, <fields...>, n_records``.
+
+    Per-field winner = max over (field IS NOT NULL, ts, tiebreak,
+    value) — a lexicographic struct max, so presence beats recency,
+    recency beats the tiebreak, and the total order makes the result
+    partition-invariant.  Every field resolves inside ONE hash
+    aggregate on the entity key (struct max is algebraic: partials
+    combine map-side), vs the row_number-per-field alternative which
+    pays a window sort per field.  At 100 TB: one shuffle, period.
+    """
+    aggs = [
+        F.max(
+            F.struct(
+                F.col(f).isNotNull().alias("p"),
+                F.col(ts_col).alias("t"),
+                F.col(tiebreak_col).alias("b"),
+                F.col(f).alias("v"),
+            )
+        )["v"].alias(f)
+        for f in fields
+    ]
+    return df.groupBy(key_col).agg(
+        *aggs, F.count(F.lit(1)).alias("n_records")
+    )

@@ -6602,3 +6602,56 @@ SELECT class_size,
        min(l_distinct) AS min_l
 FROM classes GROUP BY 1, 2 ORDER BY class_size, at_risk
 """
+
+
+# q263: golden record — per-field winner via an INDEPENDENT
+# row_number-per-field formulation (presence, recency, tiebreak).
+ORACLES["q263_golden_record"] = """
+WITH cust AS (SELECT * FROM customer WHERE c_custkey % 97 = 0),
+recs AS (
+  SELECT c_custkey AS custkey,
+         CASE WHEN c_custkey % 3 <> 0 THEN c_name END AS name,
+         CAST(NULL AS VARCHAR) AS segment, 1 AS ts, 1 AS src
+  FROM cust
+  UNION ALL
+  SELECT c_custkey, CAST(NULL AS VARCHAR),
+         CASE WHEN c_custkey % 5 <> 0 THEN c_mktsegment END, 2, 2
+  FROM cust),
+nm AS (
+  SELECT custkey, name, row_number() OVER (
+    PARTITION BY custkey
+    ORDER BY (name IS NOT NULL) DESC, ts DESC, src DESC) AS rn
+  FROM recs),
+ad AS (
+  SELECT custkey, segment, row_number() OVER (
+    PARTITION BY custkey
+    ORDER BY (segment IS NOT NULL) DESC, ts DESC, src DESC) AS rn
+  FROM recs),
+cnt AS (SELECT custkey, CAST(count(*) AS BIGINT) AS n_records
+        FROM recs GROUP BY 1)
+SELECT cnt.custkey, nm.name, ad.segment, cnt.n_records
+FROM cnt
+JOIN nm ON nm.custkey = cnt.custkey AND nm.rn = 1
+JOIN ad ON ad.custkey = cnt.custkey AND ad.rn = 1
+ORDER BY cnt.custkey
+"""
+
+
+# q264: interval gaps — INDEPENDENT one-pass formulation: a gap is
+# start minus the running max of all prior ends, when positive.
+ORACLES["q264_interval_gaps"] = """
+WITH iv AS (
+  SELECT event_type AS k, epoch_us(ts) AS s,
+         epoch_us(ts) + (60 + event_id % 540) * 1000000 AS e
+  FROM events WHERE event_id % 11 = 0),
+o AS (
+  SELECT k, s,
+         max(e) OVER (PARTITION BY k ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv),
+g AS (SELECT k, s - pm AS gap FROM o WHERE pm IS NOT NULL AND s > pm)
+SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap) AS BIGINT) AS total_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us
+FROM g GROUP BY k ORDER BY event_type
+"""

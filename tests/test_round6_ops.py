@@ -508,3 +508,43 @@ def test_k_anonymity_audit_flags_small_and_uniform_classes(spark):
     assert out[("US", 1)]["class_size"] == 3 and out[("US", 1)]["at_risk"]
     assert out[("FR", 2)]["l_distinct"] == 1 and out[("FR", 2)]["at_risk"]
     assert out[("DE", 3)]["class_size"] == 6 and not out[("DE", 3)]["at_risk"]
+
+
+def test_golden_record_presence_beats_recency(spark):
+    """A newer record's NULL never erases an older non-null; recency
+    wins among non-nulls; all-null fields stay null."""
+    from db_factfinder_spark.operators.merge import golden_record
+
+    rows = [
+        ("k1", "old-name", None, 1, 1),
+        ("k1", None, "new-seg", 2, 2),      # newer, but name is NULL
+        ("k2", "a", "s1", 1, 1),
+        ("k2", "b", "s2", 2, 2),            # newer non-null wins both
+        ("k3", None, None, 1, 1),           # all null stays null
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, name string, seg string, ts int, src int"
+    )
+    out = {
+        r["k"]: r
+        for r in golden_record(df, "k", "ts", "src", ["name", "seg"]).collect()
+    }
+    assert out["k1"]["name"] == "old-name" and out["k1"]["seg"] == "new-seg"
+    assert out["k2"]["name"] == "b" and out["k2"]["seg"] == "s2"
+    assert out["k3"]["name"] is None and out["k3"]["n_records"] == 1
+
+
+def test_interval_gaps_between_islands(spark):
+    """Two islands yield one gap; touching intervals merge (no gap);
+    single-island keys yield nothing."""
+    from db_factfinder_spark.operators.intervals import interval_gaps
+
+    rows = [
+        ("a", 0, 10), ("a", 5, 12), ("a", 20, 30),   # gap [12, 20)
+        ("b", 0, 5), ("b", 5, 9),                     # touching: no gap
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = interval_gaps(df, "k", "s", "e").collect()
+    assert len(out) == 1
+    g = out[0]
+    assert (g["k"], g["gap_start"], g["gap_end"], g["gap_len"]) == ("a", 12, 20, 8)
