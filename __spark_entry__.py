@@ -6429,6 +6429,55 @@ def q264_interval_gaps(spark, sf_dir):
     )
 
 
+def q265_conversation_audit(spark, sf_dir):
+    """Chat-corpus integrity gate: documents become deterministic
+    (turns, roles) conversations — leading words as turns, alternating
+    roles, with doc_id % 7 == 0 forced single-role to inject
+    violations — then the array-native audit (see conversation_audit:
+    zip_with/filter/aggregate, zero explode, zero shuffle) rolls up
+    per source.  The oracle is the INDEPENDENT explode+window
+    formulation of the same audit."""
+    from db_factfinder_spark.llmdata.conversations import (
+        conversation_audit,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    turns = F.slice(
+        F.split(F.col("text"), " "),
+        1,
+        (F.lit(1) + F.col("doc_id") % 6).cast("int"),
+    )
+    conv = docs.select(
+        "doc_id", "source", turns.alias("turns")
+    ).filter(F.size("turns") >= 2)
+    n = F.size("turns")
+    roles = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), (n - 1).cast("bigint")),
+        lambda i: F.when(
+            F.col("doc_id") % 7 == 0, F.lit(0).cast("bigint")
+        ).otherwise((i + F.col("doc_id")) % 2),
+    )
+    audited = conversation_audit(
+        conv.select("doc_id", "source", "turns", roles.alias("roles")),
+        "turns",
+        "roles",
+    )
+    return (
+        audited.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum(
+                F.when(F.col("n_violations") > 0, 1).otherwise(0)
+            ).alias("n_bad"),
+            F.sum(F.col("starts_role0").cast("int")).alias("n_role0_first"),
+            F.sum("chars_role0").alias("chars_role0"),
+            F.sum("chars_total").alias("chars_total"),
+            F.sum("n_turns").alias("n_turns_total"),
+        )
+        .orderBy("source")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6698,6 +6747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q262_k_anonymity_audit": q262_k_anonymity_audit,
         "q263_golden_record": q263_golden_record,
         "q264_interval_gaps": q264_interval_gaps,
+        "q265_conversation_audit": q265_conversation_audit,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

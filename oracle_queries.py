@@ -6655,3 +6655,49 @@ SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_gaps,
        CAST(max(gap) AS BIGINT) AS max_gap_us
 FROM g GROUP BY k ORDER BY event_type
 """
+
+
+# q265: conversation audit — INDEPENDENT explode+window formulation
+# of the array-native Spark audit (1-based subscripts → i-1).
+ORACLES["q265_conversation_audit"] = """
+WITH conv AS (
+  SELECT doc_id, source,
+         list_slice(string_split(text, ' '), 1,
+                    CAST(1 + doc_id % 6 AS INTEGER)) AS turns
+  FROM documents),
+conv2 AS (SELECT * FROM conv WHERE len(turns) >= 2),
+t AS (
+  SELECT doc_id, source,
+         unnest(turns) AS turn,
+         generate_subscripts(turns, 1) AS i
+  FROM conv2),
+t2 AS (
+  SELECT doc_id, source, turn, i,
+         CASE WHEN doc_id % 7 = 0 THEN 0
+              ELSE (i - 1 + doc_id) % 2 END AS role
+  FROM t),
+t3 AS (
+  SELECT doc_id, source, turn, i, role,
+         lag(role) OVER (PARTITION BY doc_id ORDER BY i) AS prev_role
+  FROM t2),
+per_conv AS (
+  SELECT doc_id, source,
+         CAST(count(*) AS INTEGER) AS n_turns,
+         CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END)
+              AS INTEGER) AS n_violations,
+         bool_or(i = 1 AND role = 0) AS starts_role0,
+         CAST(sum(CASE WHEN role = 0 THEN length(turn) ELSE 0 END)
+              AS BIGINT) AS chars_role0,
+         CAST(sum(length(turn)) AS BIGINT) AS chars_total
+  FROM t3 GROUP BY 1, 2)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(CASE WHEN n_violations > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bad,
+       CAST(sum(CASE WHEN starts_role0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_role0_first,
+       CAST(sum(chars_role0) AS BIGINT) AS chars_role0,
+       CAST(sum(chars_total) AS BIGINT) AS chars_total,
+       CAST(sum(n_turns) AS BIGINT) AS n_turns_total
+FROM per_conv GROUP BY source ORDER BY source
+"""

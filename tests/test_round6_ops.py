@@ -548,3 +548,27 @@ def test_interval_gaps_between_islands(spark):
     assert len(out) == 1
     g = out[0]
     assert (g["k"], g["gap_start"], g["gap_end"], g["gap_len"]) == ("a", 12, 20, 8)
+
+
+def test_conversation_audit_alternation_and_budgets(spark):
+    """Hand conversations: alternating chat is clean, stuck-role chat
+    counts every adjacent repeat; char budgets are exact; a 1-turn
+    conversation has an empty pair zip (no violations)."""
+    from db_factfinder_spark.llmdata.conversations import (
+        conversation_audit,
+    )
+
+    rows = [
+        (1, ["hi", "hello", "bye"], [0, 1, 0]),      # clean
+        (2, ["a", "bb", "ccc"], [0, 0, 0]),          # 2 violations
+        (3, ["solo"], [1]),                           # 1 turn, role 1
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, turns array<string>, roles array<bigint>"
+    )
+    out = {r["id"]: r for r in conversation_audit(df, "turns", "roles").collect()}
+    assert out[1]["n_violations"] == 0 and out[1]["starts_role0"]
+    assert out[1]["chars_role0"] == 5 and out[1]["chars_total"] == 10
+    assert out[2]["n_violations"] == 2 and out[2]["chars_role0"] == 6
+    assert out[3]["n_violations"] == 0 and not out[3]["starts_role0"]
+    assert out[3]["n_turns"] == 1 and out[3]["chars_total"] == 4
