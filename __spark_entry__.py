@@ -6478,6 +6478,52 @@ def q265_conversation_audit(spark, sf_dir):
     )
 
 
+def q266_bitemporal_asof(spark, sf_dir):
+    """Bitemporal snapshot: orders become a correction-carrying change
+    log (tx=1 original price, tx=2 a +100 restatement for every 4th
+    order); the as-of lookup answers "per customer, the latest order
+    state effective by mid-1997 as known after corrections" (see
+    bitemporal_asof).  The valid axis is an integer day*1e10+orderkey
+    key, so (valid, tx) totally orders the log and the winner is
+    partition-invariant."""
+    from db_factfinder_spark.operators.scd import bitemporal_asof
+
+    day0 = F.lit("1990-01-01").cast("date")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    base = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), day0).cast("bigint")
+            * F.lit(10000000000).cast("bigint")
+            + F.col("o_orderkey")
+        ).alias("valid"),
+        F.lit(1).alias("tx"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    corr = base.filter(F.col("orderkey") % 4 == 0).select(
+        "custkey",
+        "orderkey",
+        "valid",
+        F.lit(2).alias("tx"),
+        (F.col("price") + F.lit(100)).cast("decimal(18,2)").alias("price"),
+    )
+    log = base.unionAll(corr)
+    cutoff = (
+        F.datediff(F.lit("1997-06-30").cast("date"), day0).cast("bigint")
+        * F.lit(10000000000).cast("bigint")
+        + F.lit(9999999999).cast("bigint")
+    )
+    snap = bitemporal_asof(log, "custkey", "valid", "tx", cutoff, F.lit(2))
+    return snap.select(
+        "custkey",
+        "orderkey",
+        F.col("price").cast("double").alias("price"),
+        "valid",
+        "tx",
+    ).orderBy("custkey")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6748,6 +6794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q263_golden_record": q263_golden_record,
         "q264_interval_gaps": q264_interval_gaps,
         "q265_conversation_audit": q265_conversation_audit,
+        "q266_bitemporal_asof": q266_bitemporal_asof,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

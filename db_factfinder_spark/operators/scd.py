@@ -68,3 +68,39 @@ def scd2_intervals(
         F.lead("valid_from").over(w_seg).alias("valid_to"),
         F.col("n_obs"),
     )
+
+
+def bitemporal_asof(
+    log: DataFrame,
+    key_col: str,
+    valid_col: str,
+    tx_col: str,
+    as_of_valid,
+    as_of_tx,
+) -> DataFrame:
+    """Bitemporal point lookup over a correction-carrying change log:
+    per key, the row that was VALID at ``as_of_valid`` *as the system
+    knew it* at ``as_of_tx`` — the "what did we believe on date K
+    about date V" query that restatements, backfills and late
+    corrections force on every warehouse (the transaction dimension
+    scd2_intervals deliberately does not model).
+
+    Winner = among rows with ``valid <= as_of_valid`` and
+    ``tx <= as_of_tx``, the max (valid, tx) — newest effective state,
+    then newest correction of it.  One filtered window with a rank-1
+    row_number: Spark 4 plans it as WindowGroupLimit, so each
+    partition keeps one candidate per key map-side and the shuffle
+    carries winners, not history.  Keys with no qualifying row are
+    absent (the caller left-joins if presence is required).
+    """
+    f = log.filter(
+        (F.col(valid_col) <= as_of_valid) & (F.col(tx_col) <= as_of_tx)
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(valid_col).desc(), F.col(tx_col).desc()
+    )
+    return (
+        f.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -6701,3 +6701,33 @@ SELECT source,
        CAST(sum(n_turns) AS BIGINT) AS n_turns_total
 FROM per_conv GROUP BY source ORDER BY source
 """
+
+
+# q266: bitemporal as-of — same log construction; winner via
+# row_number over (valid DESC, tx DESC) after the two as-of filters.
+ORACLES["q266_bitemporal_asof"] = """
+WITH base AS (
+  SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+         date_diff('day', TIMESTAMP '1990-01-01', o_orderdate)
+           * 10000000000 + o_orderkey AS valid,
+         1 AS tx, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders WHERE o_custkey % 50 = 0),
+corr AS (
+  SELECT custkey, orderkey, valid, 2 AS tx,
+         CAST(price + 100 AS DECIMAL(18,2)) AS price
+  FROM base WHERE orderkey % 4 = 0),
+log AS (SELECT * FROM base UNION ALL SELECT * FROM corr),
+f AS (
+  SELECT * FROM log
+  WHERE valid <= date_diff('day', TIMESTAMP '1990-01-01',
+                           TIMESTAMP '1997-06-30')
+                   * 10000000000 + 9999999999
+    AND tx <= 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY custkey
+                               ORDER BY valid DESC, tx DESC) AS rn
+  FROM f)
+SELECT custkey, orderkey, CAST(price AS DOUBLE) AS price,
+       CAST(valid AS BIGINT) AS valid, tx
+FROM r WHERE rn = 1 ORDER BY custkey
+"""

@@ -572,3 +572,30 @@ def test_conversation_audit_alternation_and_budgets(spark):
     assert out[2]["n_violations"] == 2 and out[2]["chars_role0"] == 6
     assert out[3]["n_violations"] == 0 and not out[3]["starts_role0"]
     assert out[3]["n_turns"] == 1 and out[3]["chars_total"] == 4
+
+
+def test_bitemporal_asof_corrections_and_cutoffs(spark):
+    """The lookup honors BOTH axes: a correction known too late
+    (tx > as_of_tx) is invisible, a state effective too late
+    (valid > as_of_valid) is invisible, and within bounds the newest
+    (valid, tx) wins."""
+    from db_factfinder_spark.operators.scd import bitemporal_asof
+
+    rows = [
+        ("k1", 10, 1, 100),   # original state at v=10
+        ("k1", 10, 2, 150),   # correction, known at tx=2
+        ("k1", 10, 3, 999),   # later correction — after as_of_tx
+        ("k1", 20, 1, 200),   # newer state — after as_of_valid
+        ("k2", 5, 1, 50),
+    ]
+    df = spark.createDataFrame(rows, "k string, valid int, tx int, v int")
+    from pyspark.sql import functions as F
+
+    out = {
+        r["k"]: r
+        for r in bitemporal_asof(
+            df, "k", "valid", "tx", F.lit(15), F.lit(2)
+        ).collect()
+    }
+    assert out["k1"]["v"] == 150 and out["k1"]["valid"] == 10
+    assert out["k2"]["v"] == 50
