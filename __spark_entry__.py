@@ -6524,6 +6524,165 @@ def q266_bitemporal_asof(spark, sf_dir):
     ).orderBy("custkey")
 
 
+def q267_dsir_selection(spark, sf_dir):
+    """DSIR-style target-domain data selection (see llmdata/dsir.py):
+    documents from src1/src2 define the target domain; every other doc
+    is scored by the share of its tokens landing in target-favored
+    hash buckets — favored decided by exact int64 cross-multiply, the
+    per-doc share by one terminal division.  Output is the bounded
+    affinity-decile histogram (band = n_fav*10 DIV n_tok), the curation
+    report a data-selection run ships before resampling."""
+    from db_factfinder_spark.llmdata.dsir import (
+        dsir_affinity,
+        target_favored_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    is_target = F.col("source").isin("src1", "src2")
+    target, raw = docs.filter(is_target), docs.filter(~is_target)
+    buckets = target_favored_buckets(target, raw, n_buckets=4096)
+    scored = dsir_affinity(raw, buckets, n_buckets=4096)
+    return (
+        scored.groupBy(F.expr("n_fav * 10 DIV n_tok").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tot_tok"),
+            F.sum("n_fav").alias("tot_fav"),
+        )
+        .orderBy("band")
+    )
+
+
+def q268_largest_remainder(spark, sf_dir):
+    """Hamilton largest-remainder apportionment of 1000 seats across
+    nations ∝ customer count (see operators/apportion.py): base share
+    by exact integer division of w·seats, leftovers to the largest
+    integer remainders with key-ascending tie-break; Σalloc == 1000
+    exactly.  The census allocation rule behind published counts that
+    must sum to a constrained total."""
+    from db_factfinder_spark.operators.apportion import largest_remainder
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    pop = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("pop"))
+    alloc = largest_remainder(pop, "c_nationkey", "pop", 1000)
+    return (
+        alloc.join(
+            F.broadcast(nation),
+            alloc["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select(
+            F.col("n_name").alias("nation"), "pop", "base", "rem", "alloc"
+        )
+        .orderBy("nation")
+    )
+
+
+def q269_label_propagation(spark, sf_dir):
+    """Two-round majority label propagation over the customer–supplier
+    bipartite graph (edge = supplier served one of the customer's
+    orders; see bipartite_label_propagation): seed customers
+    (custkey%3==0) vote their market segment onto suppliers, supplier
+    labels vote back onto unlabeled customers.  Evaluated against the
+    held-out true segment, summarized per label — the label-expansion
+    audit a semi-supervised curation run reports."""
+    from db_factfinder_spark.llmdata.components import (
+        bipartite_label_propagation,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_suppkey").alias("v")
+        )
+        .distinct()
+    )
+    cust = _t(spark, sf_dir, "customer")
+    seeds = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("u"), F.col("c_mktsegment").alias("label")
+    )
+    prop = bipartite_label_propagation(edges, seeds)
+    truth = cust.select(
+        F.col("c_custkey").alias("u"), F.col("c_mktsegment").alias("actual")
+    )
+    return (
+        prop.join(truth, "u")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(
+                F.when(F.col("label") == F.col("actual"), 1).otherwise(0)
+            ).alias("n_correct"),
+            F.sum("votes").alias("tot_votes"),
+            F.sum("n_labeled_neighbors").alias("tot_reach"),
+        )
+        .orderBy("label")
+    )
+
+
+def q270_hits_authorities(spark, sf_dir):
+    """HITS hubs/authorities over the customer→supplier graph (edge =
+    supplier served one of the customer's orders), two exact-int64
+    iterations with the float L2 normalizer dropped — ranks are
+    invariant to it, so every score is oracle-checkable bit-for-bit
+    (see hits_scores).  Returns the top-12 authority suppliers."""
+    from db_factfinder_spark.llmdata.components import hits_scores
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    sc = hits_scores(edges, "src", "dst", iterations=2)
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node"), "s_name"
+    )
+    return (
+        sc.filter(F.col("authority") > 0)
+        .join(F.broadcast(supp), "node")
+        .orderBy(F.desc("authority"), F.asc("node"))
+        .select("s_name", "authority")
+        .limit(12)
+    )
+
+
+def q271_rendezvous_resharding(spark, sf_dir):
+    """Rendezvous-hash placement audit (see rendezvous_assign): assign
+    documents to 10 shards, then simulate growing to 11 and report per
+    old shard how many rows move — the defining highest-random-weight
+    property is that EVERY mover lands on the new shard (n_moved ==
+    n_to_new per shard), which this output exposes for the oracle to
+    verify bit-for-bit."""
+    from db_factfinder_spark.llmdata.sampling import rendezvous_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    both = rendezvous_assign(
+        rendezvous_assign(docs, "doc_id", 10, shard_col="shard"),
+        "doc_id",
+        11,
+        shard_col="shard11",
+    )
+    return (
+        both.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard") != F.col("shard11"), 1).otherwise(0)
+            ).alias("n_moved"),
+            F.sum(
+                F.when(F.col("shard11") == 10, 1).otherwise(0)
+            ).alias("n_to_new"),
+        )
+        .orderBy("shard")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6795,6 +6954,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q264_interval_gaps": q264_interval_gaps,
         "q265_conversation_audit": q265_conversation_audit,
         "q266_bitemporal_asof": q266_bitemporal_asof,
+        "q267_dsir_selection": q267_dsir_selection,
+        "q268_largest_remainder": q268_largest_remainder,
+        "q269_label_propagation": q269_label_propagation,
+        "q270_hits_authorities": q270_hits_authorities,
+        "q271_rendezvous_resharding": q271_rendezvous_resharding,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

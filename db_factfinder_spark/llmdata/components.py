@@ -552,3 +552,135 @@ def kcore_prune(
             F.lit(converged).alias("converged"),
         )
     )
+
+
+def bipartite_label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+    label_col: str = "label",
+) -> DataFrame:
+    """Two-round majority label propagation over a bipartite graph.
+
+    Semi-supervised labeling, the workhorse behind spam/quality label
+    expansion over user–item or doc–domain graphs: a handful of
+    ``seeds`` (``u, label``) vote their label onto every right-side
+    node they touch, then right-side labels vote back onto *unlabeled*
+    left nodes.  Majority = highest exact int64 vote count, ties broken
+    by ascending label (then nothing else is needed — counts and labels
+    fully determine the winner), so the result is partition-invariant
+    without any float scoring.
+
+    Returns ``u, label, votes, n_seeds_reached`` for left nodes that
+    were NOT seeds but received at least one vote: ``votes`` is the
+    winning label's count, ``n_seeds_reached`` the number of distinct
+    right-side neighbors that carried any label.
+
+    Scale shape: two keyed groupBys and two equi-joins — no iteration
+    state beyond the (node, label) vote frame, which is at most
+    |edges| rows before the majority prune.  Deeper propagation =
+    calling this again with the output unioned into the seeds
+    (label tables stay one row per node, so state never grows past
+    the node set).
+    """
+    e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    s = seeds.select(
+        F.col(u_col).alias("u"), F.col(label_col).alias("label")
+    )
+    # Round 1: each right node takes the majority label of its seeded
+    # left neighbors (vote = number of distinct seeded neighbors with
+    # that label — distinct, so a multi-edge pair can't double-vote).
+    v_votes = (
+        e.join(s, "u")
+        .groupBy("v", "label")
+        .agg(F.count_distinct("u").alias("votes"))
+    )
+    w_v = Window.partitionBy("v").orderBy(
+        F.desc("votes"), F.asc("label")
+    )
+    v_labels = (
+        v_votes.withColumn("rk", F.row_number().over(w_v))
+        .filter(F.col("rk") == 1)
+        .select("v", "label")
+    )
+    # Round 2: unlabeled left nodes (anti-join against the seed set)
+    # take the majority over their right neighbors' round-1 labels.
+    u_votes = (
+        e.join(s, "u", "left_anti")
+        .join(v_labels, "v")
+        .groupBy("u", "label")
+        .agg(F.count_distinct("v").alias("votes"))
+    )
+    w_u = Window.partitionBy("u").orderBy(
+        F.desc("votes"), F.asc("label")
+    )
+    reach = (
+        e.join(s, "u", "left_anti")
+        .join(v_labels.select("v"), "v")
+        .groupBy("u")
+        .agg(F.count_distinct("v").alias("n_labeled_neighbors"))
+    )
+    return (
+        u_votes.withColumn("rk", F.row_number().over(w_u))
+        .filter(F.col("rk") == 1)
+        .select("u", "label", "votes")
+        .join(reach, "u")
+    )
+
+
+def hits_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) in exact integers.
+
+    The usual formulation L2-normalizes each round — a float global
+    reduction whose value depends on summation order.  Rankings are
+    invariant to the positive normalizer, so this drops it entirely:
+    hub/authority scores stay exact int64 sums (``a ← Σ h(in)``,
+    ``h ← Σ a(out)``, both from ``h = 1``), making every rank
+    partition-invariant and oracle-checkable bit-for-bit.  With int64
+    and k iterations the scores are bounded by (max degree)^(2k) —
+    callers keep ``iterations`` small (the classic "few rounds on the
+    focused subgraph" usage), which is also the scale story: each
+    round is two keyed aggregate+join shuffles, no driver state.
+
+    Returns ``node, authority, hub`` for every node that appears on
+    either side (missing side scores 0).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    hub = e.select(F.col("s").alias("n")).distinct().withColumn(
+        "h", F.lit(1).cast("long")
+    )
+    auth = None
+    for _ in range(iterations):
+        auth = (
+            e.join(hub, e["s"] == hub["n"])
+            .groupBy("d")
+            .agg(F.sum("h").alias("a"))
+        )
+        hub = (
+            e.join(auth, e["d"] == auth["d"])
+            .groupBy("s")
+            .agg(F.sum("a").alias("h"))
+            .select(F.col("s").alias("n"), "h")
+        )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select("d"))
+        .distinct()
+    )
+    return (
+        nodes.join(
+            auth.select(F.col("d").alias("node"), "a"), "node", "left"
+        )
+        .join(hub.select(F.col("n").alias("node"), "h"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("a", F.lit(0)).alias("authority"),
+            F.coalesce("h", F.lit(0)).alias("hub"),
+        )
+    )

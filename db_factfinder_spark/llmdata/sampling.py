@@ -411,3 +411,48 @@ def stratified_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def rendezvous_assign(df, id_col: str, n_shards: int, shard_col: str = "shard"):
+    """Rendezvous (highest-random-weight) shard assignment.
+
+    ``shard = argmax over s∈[0,n_shards) of md5(id ‖ '|' ‖ s)`` — the
+    placement rule (Thaler & Ravishankar 1998) whose defining property
+    is resharding stability: growing to ``n+1`` shards moves ONLY the
+    rows whose (n+1)-th weight is the new global max (≈ 1/(n+1) of
+    them), and every moved row lands on the NEW shard.  Contrast with
+    ``id % n``, which reshuffles almost everything.
+
+    Purely map-side: the per-row candidate list is built with
+    ``transform(sequence(...))`` and reduced with ``array_max`` over
+    ``(weight, shard)`` structs — no explode, no shuffle, no state.
+    The weight is the first 60 bits of ``md5(CAST(id AS STRING) || '|'
+    || s)``, the engine's md5-literal idiom, so a DuckDB oracle can
+    reproduce the assignment bit-for-bit.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    cands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_shards - 1)),
+        lambda s: F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(id_col).cast("string"),
+                            F.lit("|"),
+                            s.cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("w"),
+            s.cast("long").alias("s"),
+        ),
+    )
+    return df.withColumn(shard_col, F.array_max(cands)["s"])

@@ -6731,3 +6731,166 @@ SELECT custkey, orderkey, CAST(price AS DOUBLE) AS price,
        CAST(valid AS BIGINT) AS valid, tx
 FROM r WHERE rn = 1 ORDER BY custkey
 """
+
+
+# q267: DSIR-style selection — favored buckets by exact integer
+# cross-multiply, doc affinity by integer-division decile band.
+ORACLES["q267_dsir_selection"] = """
+WITH tgt AS (SELECT text FROM documents WHERE source IN ('src1','src2')),
+rawd AS (SELECT doc_id, text FROM documents
+         WHERE source NOT IN ('src1','src2')),
+ttok AS (
+  SELECT ('0x' || substr(md5(t), 1, 7))::BIGINT % 4096 AS bucket
+  FROM (SELECT unnest(list_filter(
+          string_split_regex(lower(text), '\\s+'), x -> x != '')) AS t
+        FROM tgt)),
+rtok AS (
+  SELECT ('0x' || substr(md5(t), 1, 7))::BIGINT % 4096 AS bucket
+  FROM (SELECT unnest(list_filter(
+          string_split_regex(lower(text), '\\s+'), x -> x != '')) AS t
+        FROM rawd)),
+tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM ttok GROUP BY 1),
+rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM rtok GROUP BY 1),
+b AS (
+  SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+         coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+  FROM tc FULL JOIN rc ON tc.bucket = rc.bucket),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+               CAST(sum(cr) AS BIGINT) AS tr FROM b),
+fav AS (SELECT bucket, (ct * tr > cr * tt) AS favored FROM b CROSS JOIN tot),
+dtok AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t), 1, 7))::BIGINT % 4096 AS bucket
+  FROM (SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(text), '\\s+'), x -> x != '')) AS t
+        FROM rawd)),
+sc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(CASE WHEN coalesce(favored, FALSE) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_fav
+  FROM dtok LEFT JOIN fav USING (bucket) GROUP BY 1)
+SELECT CAST(n_fav * 10 // n_tok AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tot_tok,
+       CAST(sum(n_fav) AS BIGINT) AS tot_fav
+FROM sc GROUP BY 1 ORDER BY band
+"""
+
+
+# q268: Hamilton apportionment — integer base DIV/%, leftovers to the
+# largest remainders, nationkey-ascending tie-break.
+ORACLES["q268_largest_remainder"] = """
+WITH pop AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS pop
+             FROM customer GROUP BY 1),
+tot AS (SELECT CAST(sum(pop) AS BIGINT) AS w FROM pop),
+q AS (
+  SELECT c_nationkey, pop,
+         CAST(pop * 1000 // w AS BIGINT) AS base,
+         CAST((pop * 1000) % w AS BIGINT) AS rem
+  FROM pop CROSS JOIN tot),
+lo AS (SELECT 1000 - CAST(sum(base) AS BIGINT) AS leftover FROM q),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, c_nationkey ASC)
+        AS rk FROM q)
+SELECT n_name AS nation, pop, base, rem,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM r CROSS JOIN lo JOIN nation ON c_nationkey = n_nationkey
+ORDER BY nation
+"""
+
+
+# q269: two-round bipartite majority label propagation — INDEPENDENT
+# NOT-IN/row_number formulation of the anti-join + vote windows.
+ORACLES["q269_label_propagation"] = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS u, l_suppkey AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+seeds AS (SELECT c_custkey AS u, c_mktsegment AS label
+          FROM customer WHERE c_custkey % 3 = 0),
+vv AS (
+  SELECT v, label, CAST(count(DISTINCT u) AS BIGINT) AS votes
+  FROM edges JOIN seeds USING (u) GROUP BY 1, 2),
+vl AS (
+  SELECT v, label FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY v ORDER BY votes DESC, label ASC) AS rk FROM vv)
+  WHERE rk = 1),
+ue AS (SELECT e.u, e.v FROM edges e
+       WHERE e.u NOT IN (SELECT u FROM seeds)),
+uv AS (
+  SELECT u, label, CAST(count(DISTINCT v) AS BIGINT) AS votes
+  FROM ue JOIN vl USING (v) GROUP BY 1, 2),
+win AS (
+  SELECT u, label, votes FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY u ORDER BY votes DESC, label ASC) AS rk FROM uv)
+  WHERE rk = 1),
+reach AS (
+  SELECT u, CAST(count(DISTINCT v) AS BIGINT) AS n_labeled_neighbors
+  FROM ue JOIN (SELECT v FROM vl) USING (v) GROUP BY 1)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN label = actual THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(sum(votes) AS BIGINT) AS tot_votes,
+       CAST(sum(n_labeled_neighbors) AS BIGINT) AS tot_reach
+FROM win JOIN reach USING (u)
+JOIN (SELECT c_custkey AS u, c_mktsegment AS actual FROM customer)
+  USING (u)
+GROUP BY label ORDER BY label
+"""
+
+
+# q270: HITS (2 unnormalized integer iterations) — h0=1, a1=Σh0,
+# h1=Σa1, a2=Σh1; top-12 authorities, suppkey-ascending tie-break.
+ORACLES["q270_hits_authorities"] = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS s, l_suppkey AS d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+a1 AS (SELECT d, CAST(count(*) AS BIGINT) AS a FROM edges GROUP BY 1),
+h1 AS (SELECT s, CAST(sum(a) AS BIGINT) AS h
+       FROM edges JOIN a1 USING (d) GROUP BY 1),
+a2 AS (SELECT d, CAST(sum(h) AS BIGINT) AS a
+       FROM edges JOIN h1 USING (s) GROUP BY 1)
+SELECT s_name, a AS authority
+FROM a2 JOIN supplier ON d = s_suppkey
+WHERE a > 0
+ORDER BY a DESC, d ASC
+LIMIT 12
+"""
+
+
+# q271: rendezvous resharding 10→11 — argmax md5(id|s) weight per
+# row, movement audit; INDEPENDENT row_number formulation of the
+# struct array_max.
+ORACLES["q271_rendezvous_resharding"] = """
+WITH d AS (SELECT doc_id FROM documents),
+c10 AS (
+  SELECT doc_id, s,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+            CAST(s AS VARCHAR)), 1, 15))::BIGINT AS w
+  FROM d CROSS JOIN (SELECT unnest(range(10)) AS s)),
+r10 AS (
+  SELECT doc_id, s AS shard FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY w DESC, s DESC) AS rk FROM c10)
+  WHERE rk = 1),
+c11 AS (
+  SELECT doc_id, s,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+            CAST(s AS VARCHAR)), 1, 15))::BIGINT AS w
+  FROM d CROSS JOIN (SELECT unnest(range(11)) AS s)),
+r11 AS (
+  SELECT doc_id, s AS shard11 FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY w DESC, s DESC) AS rk FROM c11)
+  WHERE rk = 1)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN shard <> shard11 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved,
+       CAST(sum(CASE WHEN shard11 = 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_to_new
+FROM r10 JOIN r11 USING (doc_id)
+GROUP BY shard ORDER BY shard
+"""

@@ -599,3 +599,160 @@ def test_bitemporal_asof_corrections_and_cutoffs(spark):
     }
     assert out["k1"]["v"] == 150 and out["k1"]["valid"] == 10
     assert out["k2"]["v"] == 50
+
+
+# ---------------------------------------------------------------- q267-q269
+
+
+def test_largest_remainder_conserves_and_floors(spark):
+    """Σalloc == seats exactly; every alloc is base or base+1; base is
+    the exact floor share."""
+    from db_factfinder_spark.operators.apportion import largest_remainder
+
+    df = spark.createDataFrame(
+        [("a", 7), ("b", 13), ("c", 1), ("d", 0), ("e", 29)],
+        "k string, w long",
+    )
+    out = {r["k"]: r for r in largest_remainder(df, "k", "w", 17).collect()}
+    assert sum(r["alloc"] for r in out.values()) == 17
+    W = 7 + 13 + 1 + 0 + 29
+    for k, w in [("a", 7), ("b", 13), ("c", 1), ("d", 0), ("e", 29)]:
+        assert out[k]["base"] == (w * 17) // W
+        assert out[k]["alloc"] in (out[k]["base"], out[k]["base"] + 1)
+    assert out["d"]["alloc"] == 0
+
+
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ws=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                max_size=12).filter(lambda xs: sum(xs) > 0),
+    seats=st.integers(min_value=0, max_value=5000),
+)
+def test_largest_remainder_conservation_property(spark, ws, seats):
+    from db_factfinder_spark.operators.apportion import largest_remainder
+
+    df = spark.createDataFrame(
+        [(f"k{i:02d}", w) for i, w in enumerate(ws)], "k string, w long"
+    )
+    rows = largest_remainder(df, "k", "w", seats).collect()
+    assert sum(r["alloc"] for r in rows) == seats
+    assert all(0 <= r["alloc"] - r["base"] <= 1 for r in rows)
+
+
+def test_largest_remainder_tiebreak_by_key(spark):
+    """Equal remainders: the leftover seat goes to the ascending key."""
+    from db_factfinder_spark.operators.apportion import largest_remainder
+
+    df = spark.createDataFrame([("b", 1), ("a", 1)], "k string, w long")
+    out = {r["k"]: r["alloc"] for r in
+           largest_remainder(df, "k", "w", 3).collect()}
+    assert out == {"a": 2, "b": 1}
+
+
+def test_dsir_favored_and_affinity(spark):
+    """Target-only vocab → favored → affinity 1.0; raw-only vocab → 0."""
+    from db_factfinder_spark.llmdata.dsir import (
+        dsir_affinity,
+        target_favored_buckets,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "alpha alpha beta")], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(2, "gamma delta"), (3, "alpha beta"), (4, "gamma gamma")],
+        "doc_id long, text string",
+    )
+    buckets = target_favored_buckets(target, raw, n_buckets=1 << 20)
+    scored = {
+        r["doc_id"]: r
+        for r in dsir_affinity(raw, buckets, n_buckets=1 << 20).collect()
+    }
+    # doc 3 is pure target vocab (alpha/beta rates higher in target);
+    # docs 2/4 are pure raw-only vocab.
+    assert scored[3]["n_fav"] == scored[3]["n_tok"] == 2
+    assert scored[3]["affinity"] == 1.0
+    assert scored[2]["n_fav"] == 0 and scored[4]["n_fav"] == 0
+
+
+def test_dsir_bucket_table_bounded(spark):
+    """The bucket table never exceeds n_buckets rows."""
+    from db_factfinder_spark.llmdata.dsir import target_favored_buckets
+
+    target = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(i, f"v{i} v{i+1}") for i in range(50)], "doc_id long, text string"
+    )
+    assert target_favored_buckets(target, raw, n_buckets=16).count() <= 16
+
+
+def test_label_propagation_majority_and_antijoin(spark):
+    """Hand graph: seeds never reappear; majority + asc-label tie-break."""
+    from db_factfinder_spark.llmdata.components import (
+        bipartite_label_propagation,
+    )
+
+    # seeds 1:X, 2:X, 3:Y.  v10 ← {1,2,3} → majority X (2 votes).
+    # v11 ← {3} → Y.  u20 touches v10,v11 → X:1, Y:1 tie → X (asc).
+    # u21 touches v11 only → Y.
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (3, 11), (20, 10), (20, 11), (21, 11),
+         (1, 12)],  # v12 sees only seed 1 → X; no unlabeled u touches it
+        "u long, v long",
+    )
+    seeds = spark.createDataFrame(
+        [(1, "X"), (2, "X"), (3, "Y")], "u long, label string"
+    )
+    out = {r["u"]: r for r in
+           bipartite_label_propagation(edges, seeds).collect()}
+    assert set(out) == {20, 21}
+    assert out[20]["label"] == "X" and out[20]["n_labeled_neighbors"] == 2
+    assert out[21]["label"] == "Y" and out[21]["votes"] == 1
+
+
+def test_hits_exact_two_iterations(spark):
+    """Hand graph, exact int scores: edges u1→{v1,v2}, u2→{v1}.
+    a1 = in-deg: v1=2, v2=1.  h1: u1=3, u2=2.  a2: v1=5, v2=3.
+    h2: u1=5+3=8, u2=5 (both sides update every iteration)."""
+    from db_factfinder_spark.llmdata.components import hits_scores
+
+    edges = spark.createDataFrame(
+        [(1, 101), (1, 102), (2, 101)], "src long, dst long"
+    )
+    out = {r["node"]: r for r in hits_scores(edges, iterations=2).collect()}
+    assert out[101]["authority"] == 5 and out[102]["authority"] == 3
+    assert out[1]["hub"] == 8 and out[2]["hub"] == 5
+    assert out[1]["authority"] == 0 and out[101]["hub"] == 0
+
+
+def test_rendezvous_stability_on_grow(spark):
+    """Growing 10→11 shards: every moved row lands on the NEW shard
+    (the defining HRW property), and assignments stay in range."""
+    from db_factfinder_spark.llmdata.sampling import rendezvous_assign
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    both = rendezvous_assign(
+        rendezvous_assign(df, "doc_id", 10, shard_col="s10"),
+        "doc_id", 11, shard_col="s11",
+    ).collect()
+    assert all(0 <= r["s10"] < 10 and 0 <= r["s11"] < 11 for r in both)
+    movers = [r for r in both if r["s10"] != r["s11"]]
+    assert movers, "some rows must move"
+    assert all(r["s11"] == 10 for r in movers)
+    # ≈1/11 of rows move; allow generous slack on 500 ids
+    assert len(movers) < 500 * 0.25
+
+
+def test_rendezvous_single_shard(spark):
+    from db_factfinder_spark.llmdata.sampling import rendezvous_assign
+
+    rows = rendezvous_assign(
+        spark.range(0, 20).withColumnRenamed("id", "doc_id"), "doc_id", 1
+    ).collect()
+    assert all(r["shard"] == 0 for r in rows)
