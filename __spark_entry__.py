@@ -6683,6 +6683,51 @@ def q271_rendezvous_resharding(spark, sf_dir):
     )
 
 
+def q272_fifo_cogs(spark, sf_dir):
+    """FIFO cost-of-goods-sold per part (see operators/fifo.py): odd
+    lineitems are purchase lots, even ones sales (halved qty, clamped
+    so cumulative sales never outrun cumulative buys); each sale
+    consumes the oldest remaining lots via the cumulative-axis overlap
+    join — the sequential queue semantics with zero iteration.  Exact
+    int64 quantities/costs make COGS oracle-checkable bit-for-bit."""
+    from db_factfinder_spark.operators.fifo import fifo_allocate
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 61 == 0)
+        .select(
+            F.col("l_partkey").alias("k"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seq"),
+            F.col("l_quantity").cast("long").alias("qty"),
+            (F.col("l_suppkey") % 90 + 10).cast("long").alias("cost"),
+            (F.col("l_linenumber") % 2).alias("par"),
+        )
+    )
+    lots = li.filter(F.col("par") == 1).select("k", "seq", "qty", "cost")
+    sells0 = li.filter(F.col("par") == 0).select(
+        "k", "seq", F.greatest(F.lit(1), F.expr("qty DIV 2")).alias("qty")
+    )
+    ws = Window.partitionBy("k").orderBy("seq")
+    s1 = sells0.withColumn("cs", F.sum("qty").over(ws))
+    btot = lots.groupBy("k").agg(F.sum("qty").alias("b_total"))
+    sells = (
+        s1.join(btot, "k")
+        .filter(F.col("cs") <= F.col("b_total"))
+        .select("k", "seq", "qty")
+    )
+    out = fifo_allocate(lots, sells, "k", "seq", "qty", "cost")
+    return (
+        out.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_sells"),
+            F.sum("sell_qty").alias("qty_sold"),
+            F.sum("qty_filled").alias("qty_filled"),
+            F.sum("cogs").alias("cogs"),
+        )
+        .orderBy("k")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6959,6 +7004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q269_label_propagation": q269_label_propagation,
         "q270_hits_authorities": q270_hits_authorities,
         "q271_rendezvous_resharding": q271_rendezvous_resharding,
+        "q272_fifo_cogs": q272_fifo_cogs,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

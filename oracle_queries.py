@@ -6894,3 +6894,47 @@ SELECT CAST(shard AS BIGINT) AS shard,
 FROM r10 JOIN r11 USING (doc_id)
 GROUP BY shard ORDER BY shard
 """
+
+
+# q272: FIFO COGS — INDEPENDENT formulation of the same cumulative-
+# axis overlap (the math is the spec; both engines derive it from
+# their own window/join machinery).
+ORACLES["q272_fifo_cogs"] = """
+WITH li AS (
+  SELECT l_partkey AS k,
+         l_orderkey * 10 + l_linenumber AS seq,
+         CAST(l_quantity AS BIGINT) AS q,
+         (l_suppkey % 90) + 10 AS cost,
+         l_linenumber % 2 AS par
+  FROM lineitem WHERE l_partkey % 61 = 0),
+lots AS (
+  SELECT k, seq, q, cost,
+         sum(q) OVER (PARTITION BY k ORDER BY seq) AS cb
+  FROM li WHERE par = 1),
+sells0 AS (
+  SELECT k, seq, greatest(1, q // 2) AS q FROM li WHERE par = 0),
+sells1 AS (
+  SELECT k, seq, q,
+         sum(q) OVER (PARTITION BY k ORDER BY seq) AS cs
+  FROM sells0),
+btot AS (SELECT k, CAST(sum(q) AS BIGINT) AS b FROM lots GROUP BY 1),
+sells AS (
+  SELECT s.k, s.seq, s.q, s.cs FROM sells1 s
+  JOIN btot USING (k) WHERE s.cs <= b),
+m AS (
+  SELECT l.k, s.seq AS sseq, s.q AS sq,
+         least(l.cb, s.cs) - greatest(l.cb - l.q, s.cs - s.q) AS mq,
+         l.cost
+  FROM lots l JOIN sells s
+    ON l.k = s.k AND (l.cb - l.q) < s.cs AND (s.cs - s.q) < l.cb),
+per_sell AS (
+  SELECT k, sseq, sq,
+         CAST(sum(mq) AS BIGINT) AS filled,
+         CAST(sum(mq * cost) AS BIGINT) AS cogs
+  FROM m GROUP BY 1, 2, 3)
+SELECT k, CAST(count(*) AS BIGINT) AS n_sells,
+       CAST(sum(sq) AS BIGINT) AS qty_sold,
+       CAST(sum(filled) AS BIGINT) AS qty_filled,
+       CAST(sum(cogs) AS BIGINT) AS cogs
+FROM per_sell GROUP BY k ORDER BY k
+"""

@@ -756,3 +756,53 @@ def test_rendezvous_single_shard(spark):
         spark.range(0, 20).withColumnRenamed("id", "doc_id"), "doc_id", 1
     ).collect()
     assert all(r["shard"] == 0 for r in rows)
+
+
+def _fifo_reference(lots, sells):
+    """Sequential queue reference: lots/sells = [(seq, qty[, cost])]."""
+    queue = [[q, c] for _, q, c in sorted(lots)]
+    out = {}
+    for seq, q in sorted(sells):
+        filled = cogs = 0
+        while q > 0 and queue:
+            take = min(q, queue[0][0])
+            filled += take
+            cogs += take * queue[0][1]
+            queue[0][0] -= take
+            q -= take
+            if queue[0][0] == 0:
+                queue.pop(0)
+        out[seq] = (filled, cogs)
+    return out
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lotq=st.lists(st.tuples(st.integers(1, 20), st.integers(1, 9)),
+                  min_size=1, max_size=8),
+    sellq=st.lists(st.integers(1, 20), min_size=1, max_size=8),
+)
+def test_fifo_matches_sequential_reference(spark, lotq, sellq):
+    """The cumulative-axis overlap join reproduces the imperative FIFO
+    queue exactly, including partial fills when sales outrun lots."""
+    from db_factfinder_spark.operators.fifo import fifo_allocate
+
+    lots = [(i, q, c) for i, (q, c) in enumerate(lotq)]
+    sells = [(100 + j, q) for j, q in enumerate(sellq)]
+    ldf = spark.createDataFrame(
+        [("k",) + t for t in lots], "key string, seq long, qty long, cost long"
+    )
+    sdf = spark.createDataFrame(
+        [("k",) + t for t in sells], "key string, seq long, qty long"
+    )
+    got = {
+        r["sell_seq"]: (r["qty_filled"], r["cogs"])
+        for r in fifo_allocate(ldf, sdf, "key").collect()
+    }
+    ref = _fifo_reference(lots, sells)
+    # sales that matched nothing (queue already empty) produce no row
+    ref_nonzero = {k: v for k, v in ref.items() if v[0] > 0}
+    assert got == ref_nonzero
