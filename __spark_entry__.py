@@ -6728,6 +6728,45 @@ def q272_fifo_cogs(spark, sf_dir):
     )
 
 
+def q273_negative_sampling(spark, sf_dir):
+    """Deterministic hash-probe negative sampling (see negative_sample):
+    positives = (customer, partkey mod 50) interactions from a
+    sampled order set; k=5 negatives per user proposed by md5(user:slot)
+    with 3× oversampling, anti-joined against positives, first-k by
+    slot.  Output is the bounded shortfall histogram (how many users
+    got the full k vs fewer) plus pair totals — the audit a training-
+    pair generation job ships."""
+    from db_factfinder_spark.llmdata.sampling import negative_sample
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 7 == 0
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("user"),
+            (F.col("l_partkey") % 50).alias("item"),
+        )
+        .distinct()
+    )
+    neg = negative_sample(pos, "user", "item", n_items=50, k=5)
+    per_user = neg.groupBy("user").agg(
+        F.count(F.lit(1)).alias("n_neg"),
+        F.sum("slot").alias("slot_sum"),
+        F.count_distinct("item").alias("n_items"),
+    )
+    return (
+        per_user.groupBy("n_neg")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("slot_sum").alias("tot_slot"),
+            F.sum("n_items").alias("tot_items"),
+        )
+        .orderBy("n_neg")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7005,6 +7044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q270_hits_authorities": q270_hits_authorities,
         "q271_rendezvous_resharding": q271_rendezvous_resharding,
         "q272_fifo_cogs": q272_fifo_cogs,
+        "q273_negative_sampling": q273_negative_sampling,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -456,3 +456,79 @@ def rendezvous_assign(df, id_col: str, n_shards: int, shard_col: str = "shard"):
         ),
     )
     return df.withColumn(shard_col, F.array_max(cands)["s"])
+
+
+def negative_sample(
+    positives,
+    user_col: str,
+    item_col: str,
+    n_items: int,
+    k: int,
+    oversample: int = 3,
+):
+    """Deterministic hash-probe negative sampling for training pairs.
+
+    For every user with at least one positive, propose ``k·oversample``
+    candidate items ``md5(user ‖ ':' ‖ slot) % n_items``, drop
+    collisions with the user's positives (and duplicate proposals,
+    keeping the lowest slot), and keep the first ``k`` surviving slots.
+    The recsys/contrastive-training move — but md5-stable, so the same
+    (user, slot) always proposes the same item: resumable shards
+    regenerate identical negatives with zero persisted state, the same
+    contract the deterministic samplers above honor.
+
+    Never materializes user×item: the candidate frame is |users|·k·
+    oversample rows (one ``transform(sequence)`` + explode, map-side),
+    then ONE anti-join on (user, item) and one per-user window.  A user
+    whose positives swallow too many proposals yields fewer than ``k``
+    rows — callers see the true count rather than a silent refill (the
+    no-silent-caps rule); raise ``oversample`` to push the shortfall
+    probability down geometrically.
+
+    Returns ``{user_col}, {item_col}, slot`` with ≤ k rows per user.
+    """
+    from pyspark.sql import Window
+
+    if not (n_items > 0 and k > 0 and oversample >= 1):
+        raise ValueError("need n_items > 0, k > 0, oversample >= 1")
+    u = positives.select(user_col).distinct()
+    slots = F.explode(
+        F.sequence(F.lit(0), F.lit(k * oversample - 1))
+    ).alias("slot")
+    cand = u.select(user_col, slots).select(
+        user_col,
+        "slot",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(user_col).cast("string"),
+                            F.lit(":"),
+                            F.col("slot").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_items
+        ).alias(item_col),
+    )
+    # same item proposed twice for one user → keep the earliest slot
+    first = cand.groupBy(user_col, item_col).agg(
+        F.min("slot").alias("slot")
+    )
+    neg = first.join(
+        positives.select(user_col, item_col).distinct(),
+        [user_col, item_col],
+        "left_anti",
+    )
+    w = Window.partitionBy(user_col).orderBy("slot")
+    return (
+        neg.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(user_col, item_col, "slot")
+    )

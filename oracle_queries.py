@@ -6938,3 +6938,40 @@ SELECT k, CAST(count(*) AS BIGINT) AS n_sells,
        CAST(sum(cogs) AS BIGINT) AS cogs
 FROM per_sell GROUP BY k ORDER BY k
 """
+
+
+# q273: negative sampling — md5(user:slot) proposals, min-slot dedup,
+# anti-join vs positives, first-5 per user; shortfall histogram.
+ORACLES["q273_negative_sampling"] = """
+WITH pos AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey % 50 AS item
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey % 7 = 0),
+users AS (SELECT DISTINCT u FROM pos),
+cand AS (
+  SELECT u, s AS slot,
+         ('0x' || substr(md5(CAST(u AS VARCHAR) || ':' ||
+            CAST(s AS VARCHAR)), 1, 15))::BIGINT % 50 AS item
+  FROM users CROSS JOIN (SELECT unnest(range(15)) AS s)),
+first AS (
+  SELECT u, item, CAST(min(slot) AS BIGINT) AS slot
+  FROM cand GROUP BY 1, 2),
+neg AS (
+  SELECT f.* FROM first f
+  WHERE NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.u = f.u AND p.item = f.item)),
+kept AS (
+  SELECT u, item, slot FROM (
+    SELECT *, row_number() OVER (PARTITION BY u ORDER BY slot) AS rk
+    FROM neg)
+  WHERE rk <= 5),
+per_user AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS n_neg,
+         CAST(sum(slot) AS BIGINT) AS slot_sum,
+         CAST(count(DISTINCT item) AS BIGINT) AS n_items
+  FROM kept GROUP BY 1)
+SELECT n_neg, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(slot_sum) AS BIGINT) AS tot_slot,
+       CAST(sum(n_items) AS BIGINT) AS tot_items
+FROM per_user GROUP BY 1 ORDER BY n_neg
+"""

@@ -806,3 +806,36 @@ def test_fifo_matches_sequential_reference(spark, lotq, sellq):
     # sales that matched nothing (queue already empty) produce no row
     ref_nonzero = {k: v for k, v in ref.items() if v[0] > 0}
     assert got == ref_nonzero
+
+
+def test_negative_sample_excludes_positives_and_caps_k(spark):
+    from db_factfinder_spark.llmdata.sampling import negative_sample
+
+    pos = spark.createDataFrame(
+        [(u, i) for u in range(6) for i in range(u + 1)],
+        "user long, item long",
+    )
+    out = negative_sample(pos, "user", "item", n_items=10, k=3).collect()
+    pos_set = {(r["user"], r["item"]) for r in pos.collect()}
+    assert all((r["user"], r["item"]) not in pos_set for r in out)
+    from collections import Counter
+
+    per_user = Counter(r["user"] for r in out)
+    assert all(c <= 3 for c in per_user.values())
+    # deterministic: a second run is row-identical
+    again = negative_sample(pos, "user", "item", n_items=10, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_negative_sample_no_duplicate_items_per_user(spark):
+    from db_factfinder_spark.llmdata.sampling import negative_sample
+
+    pos = spark.createDataFrame([(1, 0)], "user long, item long")
+    # tiny item space forces proposal collisions → min-slot dedup
+    out = negative_sample(
+        pos, "user", "item", n_items=3, k=5, oversample=10
+    ).collect()
+    items = [r["item"] for r in out]
+    assert len(items) == len(set(items))
+    assert all(r["item"] != 0 for r in out)
+    assert len(items) <= 2  # only items 1,2 exist outside the positive
