@@ -6767,6 +6767,74 @@ def q273_negative_sampling(spark, sf_dir):
     )
 
 
+def q274_fd_audit(spark, sf_dir):
+    """Functional-dependency discovery audit (see fd_violations): four
+    candidate FDs over part/orders validated in one pass each — the
+    violation census (groups, violating groups, max distinct RHS) that
+    distinguishes a 99.9%-held soft FD from a dead one.  The key FD
+    partkey→name holds by construction; the others fail in measured
+    ways, which is the point of profiling."""
+    from functools import reduce
+
+    from db_factfinder_spark.operators.quality import fd_violations
+
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    checks = [
+        fd_violations(part, ["p_partkey"], "p_name"),
+        fd_violations(part, ["p_brand"], "p_type"),
+        fd_violations(part, ["p_type"], "p_size"),
+        fd_violations(orders, ["o_custkey"], "o_orderpriority"),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), checks).orderBy("fd")
+
+
+def q275_temporal_reach(spark, sf_dir):
+    """Time-respecting two-hop reachability (see time_respecting_reach):
+    could a defect in customer c1's sampled order flow through its
+    supplier to customer c2 within 30 days (t1 ≤ t2 ≤ t1+30)?  Bipartite
+    ids are parity-encoded (cust=2k, supp=2k+1) so the generic directed
+    operator applies; output is the bounded reach-count histogram.
+    Static two-hop would overcount paths running backwards in time —
+    the temporal band is the semantics AND the join pruner."""
+    from db_factfinder_spark.llmdata.components import (
+        time_respecting_reach,
+    )
+
+    day0 = F.lit("1990-01-01").cast("date")
+    ord_s = _t(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 11 == 0
+    ).select(
+        "o_orderkey",
+        (F.col("o_custkey") * 2).alias("cnode"),
+        F.datediff(F.col("o_orderdate").cast("date"), day0).alias("day"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = li.join(
+        ord_s, li["l_orderkey"] == ord_s["o_orderkey"]
+    ).select(
+        "cnode",
+        (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        "day",
+    ).distinct()
+    edges = pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst"),
+        F.col("day").alias("t"),
+    ).unionByName(
+        pairs.select(
+            F.col("snode").alias("src"), F.col("cnode").alias("dst"),
+            F.col("day").alias("t"),
+        )
+    )
+    reach = time_respecting_reach(edges, horizon=30)
+    return (
+        reach.filter(F.col("src") % 2 == 0)
+        .groupBy("n_reachable")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_reachable")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7045,6 +7113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q271_rendezvous_resharding": q271_rendezvous_resharding,
         "q272_fifo_cogs": q272_fifo_cogs,
         "q273_negative_sampling": q273_negative_sampling,
+        "q274_fd_audit": q274_fd_audit,
+        "q275_temporal_reach": q275_temporal_reach,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

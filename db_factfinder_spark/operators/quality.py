@@ -473,3 +473,37 @@ def count_of_counts(
             ).alias("p_unseen"),
         )
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs_cols: list[str],
+    rhs_col: str,
+    fd_name: str | None = None,
+) -> DataFrame:
+    """Functional-dependency check ``lhs → rhs`` for data profiling.
+
+    The candidate-FD validation step of discovery tools (Metanome/TANE
+    family): an FD holds iff no LHS group sees more than one distinct
+    RHS value.  One row out: ``fd, n_groups, n_violating, n_rows,
+    max_rhs_distinct`` — the violation census, not just a boolean, so
+    a 99.9%-held "soft" FD is distinguishable from a dead one.
+
+    Two hash aggregations, both map-side-combinable: distinct (lhs,
+    rhs) pairs, then per-lhs distinct-rhs counts.  NULL RHS counts as
+    a value (two groups differing only in NULL-ness violate) — the
+    strict FD semantics; filter upstream for the lenient reading.
+    """
+    name = fd_name or (",".join(lhs_cols) + "->" + rhs_col)
+    pairs = df.select(*lhs_cols, rhs_col).distinct()
+    per_lhs = pairs.groupBy(*lhs_cols).agg(
+        F.count(F.lit(1)).alias("n_rhs")
+    )
+    return per_lhs.agg(
+        F.lit(name).alias("fd"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).alias(
+            "n_violating"
+        ),
+        F.max("n_rhs").alias("max_rhs_distinct"),
+    )

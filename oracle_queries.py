@@ -6975,3 +6975,63 @@ SELECT n_neg, CAST(count(*) AS BIGINT) AS n_users,
        CAST(sum(n_items) AS BIGINT) AS tot_items
 FROM per_user GROUP BY 1 ORDER BY n_neg
 """
+
+
+# q274: FD violation census — TPC-H data is NULL-free so DuckDB's
+# count(DISTINCT) formulation is equivalent to the distinct-pair count.
+ORACLES["q274_fd_audit"] = """
+WITH a AS (
+  SELECT 'p_partkey->p_name' AS fd, CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+         CAST(max(n) AS BIGINT) AS max_rhs_distinct
+  FROM (SELECT p_partkey, count(DISTINCT p_name) AS n
+        FROM part GROUP BY 1)),
+b AS (
+  SELECT 'p_brand->p_type', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(max(n) AS BIGINT)
+  FROM (SELECT p_brand, count(DISTINCT p_type) AS n
+        FROM part GROUP BY 1)),
+c AS (
+  SELECT 'p_type->p_size', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(max(n) AS BIGINT)
+  FROM (SELECT p_type, count(DISTINCT p_size) AS n
+        FROM part GROUP BY 1)),
+d AS (
+  SELECT 'o_custkey->o_orderpriority', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(max(n) AS BIGINT)
+  FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS n
+        FROM orders GROUP BY 1))
+SELECT * FROM a UNION ALL SELECT * FROM b
+UNION ALL SELECT * FROM c UNION ALL SELECT * FROM d
+ORDER BY fd
+"""
+
+
+# q275: time-respecting two-hop reach — INDEPENDENT single self-join
+# formulation over the parity-encoded bipartite edge list.
+ORACLES["q275_temporal_reach"] = """
+WITH ord_s AS (
+  SELECT o_orderkey, o_custkey * 2 AS cnode,
+         date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+           AS day
+  FROM orders WHERE o_custkey % 11 = 0),
+pairs AS (
+  SELECT DISTINCT cnode, l_suppkey * 2 + 1 AS snode, day
+  FROM lineitem JOIN ord_s ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT cnode AS src, snode AS dst, day AS t FROM pairs
+  UNION ALL
+  SELECT snode, cnode, day FROM pairs),
+reach AS (
+  SELECT e1.src AS u, CAST(count(DISTINCT e2.dst) AS BIGINT)
+           AS n_reachable
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+  WHERE e1.t <= e2.t AND e2.t - e1.t <= 30 AND e2.dst <> e1.src
+  GROUP BY 1)
+SELECT n_reachable, CAST(count(*) AS BIGINT) AS n_customers
+FROM reach WHERE u % 2 = 0 GROUP BY 1 ORDER BY n_reachable
+"""

@@ -839,3 +839,44 @@ def test_negative_sample_no_duplicate_items_per_user(spark):
     assert len(items) == len(set(items))
     assert all(r["item"] != 0 for r in out)
     assert len(items) <= 2  # only items 1,2 exist outside the positive
+
+
+def test_fd_violations_census(spark):
+    """Held FD → 0 violating; broken FD → per-group distinct census;
+    NULL RHS counts as a value (strict semantics)."""
+    from db_factfinder_spark.operators.quality import fd_violations
+
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 1, "y"), ("b", 2, "z"), ("b", 2, "z"),
+         ("c", 3, None), ("c", 3, "w")],
+        "k string, held int, broken string",
+    )
+    held = fd_violations(df, ["k"], "held").collect()[0]
+    assert held["fd"] == "k->held"
+    assert held["n_groups"] == 3 and held["n_violating"] == 0
+    assert held["max_rhs_distinct"] == 1
+    broken = fd_violations(df, ["k"], "broken").collect()[0]
+    # a: {x,y}, b: {z}, c: {NULL,w} — NULL is a distinct strict value
+    assert broken["n_groups"] == 3 and broken["n_violating"] == 2
+    assert broken["max_rhs_distinct"] == 2
+
+
+def test_time_respecting_reach_bands(spark):
+    """u→m@5, m→w@7 reaches (Δ=2 ≤ horizon); m→w2@3 is backwards in
+    time; m→w3@50 is beyond horizon 10; self-reach excluded."""
+    from db_factfinder_spark.llmdata.components import (
+        time_respecting_reach,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 9, 5), (9, 2, 7), (9, 3, 3), (9, 4, 50), (9, 1, 6)],
+        "src long, dst long, t long",
+    )
+    out = {r["src"]: r["n_reachable"]
+           for r in time_respecting_reach(edges, horizon=10).collect()}
+    # from 1: w=2 (t 5→7 ok), w=3 backwards, w=4 Δ=45 > 10, w=1 self
+    assert out[1] == 1
+    # horizon=0 → unbounded forward: adds w=4
+    un = {r["src"]: r["n_reachable"]
+          for r in time_respecting_reach(edges, horizon=0).collect()}
+    assert un[1] == 2
