@@ -6835,6 +6835,28 @@ def q275_temporal_reach(spark, sf_dir):
     )
 
 
+def q276_sax_symbols(spark, sf_dir):
+    """SAX shape signatures per event type (see sax_symbols): each
+    type's daily fixed-point value series is PAA-reduced to 8 segments
+    and discretized into a 4-letter empirical-breakpoint word — the
+    compact motif key series clustering runs on.  Everything is exact
+    int until the one per-segment mean division, so the words are
+    bit-stable across engines."""
+    from db_factfinder_spark.operators.timeseries import sax_symbols
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    return sax_symbols(
+        daily, "event_type", "d", "cents", n_segments=8, alphabet=4
+    ).orderBy("event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7115,6 +7137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q273_negative_sampling": q273_negative_sampling,
         "q274_fd_audit": q274_fd_audit,
         "q275_temporal_reach": q275_temporal_reach,
+        "q276_sax_symbols": q276_sax_symbols,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

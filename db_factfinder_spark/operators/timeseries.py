@@ -963,3 +963,86 @@ def semi_additive_last(
         F.sum("__bal").cast("double").alias("balance_total"),
         F.count(F.lit(1)).alias("n_accounts"),
     )
+
+
+def sax_symbols(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    n_segments: int = 8,
+    alphabet: int = 4,
+) -> DataFrame:
+    """SAX-style series symbolization with empirical breakpoints.
+
+    Piecewise Aggregate Approximation + discretization (Lin et al.
+    2003): each key's ordered series is cut into ``n_segments``
+    equal-count segments, each segment reduced to its mean, and the
+    means discretized into an ``alphabet``-letter word — the compact
+    shape signature motif mining / series clustering runs on instead
+    of the raw points.  Two departures keep it exact and
+    oracle-checkable: breakpoints are *empirical* per-series
+    (rank-equiprobable over the segment means — the equal-frequency
+    variant, not the Gaussian table, so no normal-quantile float
+    constants), and every statistic is exact-int until the single
+    per-segment IEEE division for the mean, whose double is the same
+    bit pattern in any engine given the same (sum, count).
+
+    Returns ``{key_col}, n_points, sax`` where ``sax`` is the word as
+    a digit string ('0' = lowest band).  Rows with fewer points than
+    ``n_segments`` still produce a (shorter-alphabet-resolution) word
+    over however many non-empty segments they have.
+
+    Scale: two window passes over the same (key, order) partitioning —
+    Spark reuses the sort — plus one groupBy per reduction; no state
+    beyond n_segments rows per key after the first aggregate.
+    ``value_col`` must already be an exact integer (fixed-point the
+    caller's doubles).
+    """
+    wn = Window.partitionBy("__k").orderBy(order_col)
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(order_col).alias(order_col),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    counted = base.withColumn("__rn", F.row_number().over(wn)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("__k"))
+    )
+    seg = counted.select(
+        "__k",
+        "__n",
+        F.expr(f"(__rn - 1) * {n_segments} DIV __n").alias("__seg"),
+        "__v",
+    )
+    means = seg.groupBy("__k", "__n", "__seg").agg(
+        (F.sum("__v") / F.count(F.lit(1))).alias("__mean")
+    )
+    wseg = Window.partitionBy("__k")
+    wrank = Window.partitionBy("__k").orderBy("__mean", "__seg")
+    banded = (
+        means.withColumn("__nseg", F.count(F.lit(1)).over(wseg))
+        .withColumn("__rk", F.row_number().over(wrank))
+        .withColumn(
+            "__band",
+            F.expr(f"(__rk - 1) * {alphabet} DIV __nseg"),
+        )
+    )
+    return (
+        banded.groupBy("__k", "__n")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("__seg", "__band"))
+                    ),
+                    lambda s: s["__band"].cast("string"),
+                ),
+            ).alias("sax")
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__n").alias("n_points"),
+            "sax",
+        )
+    )

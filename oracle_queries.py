@@ -7035,3 +7035,32 @@ reach AS (
 SELECT n_reachable, CAST(count(*) AS BIGINT) AS n_customers
 FROM reach WHERE u % 2 = 0 GROUP BY 1 ORDER BY n_reachable
 """
+
+
+# q276: SAX words — PAA equal-count segments, per-segment mean (one
+# IEEE division of exact ints), rank-equiprobable banding, digit word.
+ORACLES["q276_sax_symbols"] = """
+WITH daily AS (
+  SELECT event_type AS k, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS v
+  FROM events GROUP BY 1, 2),
+c AS (
+  SELECT k, d, v,
+         row_number() OVER (PARTITION BY k ORDER BY d) AS rn,
+         count(*) OVER (PARTITION BY k) AS n
+  FROM daily),
+seg AS (SELECT k, n, (rn - 1) * 8 // n AS seg, v FROM c),
+m AS (
+  SELECT k, n, seg, CAST(sum(v) AS BIGINT) / count(*) AS mean
+  FROM seg GROUP BY 1, 2, 3),
+b AS (
+  SELECT k, n, seg,
+         row_number() OVER (PARTITION BY k ORDER BY mean, seg) AS rk,
+         count(*) OVER (PARTITION BY k) AS nseg
+  FROM m),
+w AS (SELECT k, n, seg, (rk - 1) * 4 // nseg AS band FROM b)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n_points,
+       string_agg(CAST(band AS VARCHAR), '' ORDER BY seg) AS sax
+FROM w GROUP BY 1, 2 ORDER BY event_type
+"""

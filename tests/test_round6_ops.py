@@ -880,3 +880,38 @@ def test_time_respecting_reach_bands(spark):
     un = {r["src"]: r["n_reachable"]
           for r in time_respecting_reach(edges, horizon=0).collect()}
     assert un[1] == 2
+
+
+def test_sax_symbols_hand_word(spark):
+    """12 points, 4 segments of 3, alphabet 2: segment means 2, 10,
+    4, 8 → rank order (2,4,8,10) → bands (0,0,1,1) → word '0101'
+    in segment order (2→0, 10→1, 4→0, 8→1)."""
+    from db_factfinder_spark.operators.timeseries import sax_symbols
+
+    vals = [1, 2, 3, 9, 10, 11, 3, 4, 5, 7, 8, 9]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)],
+        "k string, t long, v long",
+    )
+    out = sax_symbols(df, "k", "t", "v", n_segments=4, alphabet=2).collect()
+    assert len(out) == 1
+    assert out[0]["n_points"] == 12
+    assert out[0]["sax"] == "0101"
+
+
+def test_sax_symbols_short_series(spark):
+    """Fewer points than segments still yields one band per non-empty
+    segment, and distinct keys stay independent."""
+    from db_factfinder_spark.operators.timeseries import sax_symbols
+
+    df = spark.createDataFrame(
+        [("a", 0, 5), ("a", 1, 50), ("b", 0, 7)],
+        "k string, t long, v long",
+    )
+    out = {r["k"]: r for r in
+           sax_symbols(df, "k", "t", "v", n_segments=4, alphabet=4)
+           .collect()}
+    # key a: 2 points → segments 0 and 2 → 2-char word, low then high
+    assert out["a"]["n_points"] == 2 and len(out["a"]["sax"]) == 2
+    assert out["a"]["sax"][0] < out["a"]["sax"][1]
+    assert out["b"]["n_points"] == 1 and len(out["b"]["sax"]) == 1
