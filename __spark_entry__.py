@@ -6857,6 +6857,35 @@ def q276_sax_symbols(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q277_group_medoids(spark, sf_dir):
+    """Canonical-document selection upgraded from lowest-id/highest-
+    quality to the group *medoid* (see group_medoids): within each
+    q46-style near-dup component, keep the member minimizing the exact
+    sum of shingle-set symmetric differences to its groupmates — the
+    most central paraphrase.  Pairwise work stays inside groups (the
+    LSH bounded-candidate argument), and the giant-group guard refuses
+    rather than explodes."""
+    from db_factfinder_spark.llmdata.components import (
+        group_medoids,
+        neardup_groups,
+    )
+    from db_factfinder_spark.llmdata.dedup import (
+        minhash_dedup_pairs,
+        shingles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        docs, num_hashes=8, bands=4, n=3, verify_threshold=0.6,
+        max_bucket=None,
+    )
+    groups = neardup_groups(pairs).select(
+        "doc_id", F.col("rep_id").alias("group_id")
+    )
+    items = docs.select("doc_id", shingles(F.col("text"), 3).alias("toks"))
+    return group_medoids(groups, items).orderBy("group_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7138,6 +7167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q274_fd_audit": q274_fd_audit,
         "q275_temporal_reach": q275_temporal_reach,
         "q276_sax_symbols": q276_sax_symbols,
+        "q277_group_medoids": q277_group_medoids,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -732,3 +732,92 @@ def time_respecting_reach(
         .agg(F.count_distinct("w").alias("n_reachable"))
         .select(F.col("u").alias(src), "n_reachable")
     )
+
+
+def group_medoids(
+    members: DataFrame,
+    items: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "group_id",
+    set_col: str = "toks",
+    max_group: int = 1000,
+) -> DataFrame:
+    """Medoid per near-dup group: the member minimizing the exact sum
+    of set symmetric-difference distances to its groupmates.
+
+    Survivor selection usually keeps the highest-quality or lowest-id
+    member (``select_survivors``); when groups mix paraphrases the
+    better canonical pick is the *medoid* — the most central text.
+    Distance is ``|A| + |B| − 2·|A∩B|`` over the item's token/shingle
+    set: exact integers, no cosine floats, so the argmin (ties →
+    ascending id) is partition-invariant.
+
+    Pairwise work is confined *within* groups (one self-equi-join on
+    ``group_col``), so cost is Σ g² over group sizes — the same
+    bounded-candidate argument the LSH verify stage makes.  Groups
+    larger than ``max_group`` are excluded up front (returned with
+    ``medoid`` NULL) rather than silently exploding the join: a
+    boilerplate flood that collapses 10⁶ docs into one group is an
+    upstream capping problem (``cap_hot_buckets``), not a medoid one.
+
+    ``members``: ``(id, group)``; ``items``: ``(id, set_col array)``.
+    Returns ``{group_col}, medoid, group_size, sum_dist`` (``sum_dist``
+    NULL for excluded giants).
+    """
+    m = members.select(
+        F.col(id_col).alias("id"), F.col(group_col).alias("g")
+    )
+    sizes = m.groupBy("g").agg(F.count(F.lit(1)).alias("group_size"))
+    ok = sizes.filter(F.col("group_size") <= max_group)
+    tagged = m.join(ok, "g").join(
+        items.select(
+            F.col(id_col).alias("id"), F.col(set_col).alias("s")
+        ),
+        "id",
+    )
+    a = tagged.select(
+        "g", F.col("id").alias("ia"), F.col("s").alias("sa"),
+        "group_size",
+    )
+    b = tagged.select(
+        "g", F.col("id").alias("ib"), F.col("s").alias("sb")
+    )
+    dist = (
+        F.size("sa") + F.size("sb")
+        - 2 * F.size(F.array_intersect("sa", "sb"))
+    )
+    sums = (
+        a.join(b, "g")
+        .filter(F.col("ia") != F.col("ib"))
+        .groupBy("g", "ia", "group_size")
+        .agg(F.sum(dist).alias("d"))
+    )
+    wg = Window.partitionBy("g").orderBy(F.asc("d"), F.asc("ia"))
+    best = (
+        sums.withColumn("rk", F.row_number().over(wg))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("ia").alias("medoid"),
+            "group_size",
+            F.col("d").alias("sum_dist"),
+        )
+    )
+    # singletons never enter the pair join (ia != ib empties them):
+    # they are their own medoid with distance 0
+    singles = (
+        m.join(ok.filter(F.col("group_size") == 1), "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("id").alias("medoid"),
+            F.lit(1).alias("group_size"),
+            F.lit(0).cast("long").alias("sum_dist"),
+        )
+    )
+    giants = sizes.filter(F.col("group_size") > max_group).select(
+        F.col("g").alias(group_col),
+        F.lit(None).cast(m.schema["id"].dataType).alias("medoid"),
+        "group_size",
+        F.lit(None).cast("long").alias("sum_dist"),
+    )
+    return best.unionByName(singles).unionByName(giants)

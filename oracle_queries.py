@@ -7064,3 +7064,36 @@ SELECT k AS event_type, CAST(n AS BIGINT) AS n_points,
        string_agg(CAST(band AS VARCHAR), '' ORDER BY seg) AS sax
 FROM w GROUP BY 1, 2 ORDER BY event_type
 """
+
+
+# q277: group medoids — q46's closure gives the groups; the medoid is
+# the exact symmetric-difference argmin, ties by ascending doc id.
+ORACLES["q277_group_medoids"] = f"""
+WITH grp AS (SELECT * FROM ({ORACLES["q46_neardup_groups"]})),
+d AS (SELECT doc_id, {{_NT}} AS toks FROM documents),
+sh AS (SELECT doc_id, {{_SH}} AS grams FROM d),
+mem AS (
+  SELECT g.doc_id, g.rep_id AS group_id, g.group_size, sh.grams
+  FROM grp g JOIN sh USING (doc_id)),
+pd AS (
+  SELECT a.group_id, a.doc_id AS ia, a.group_size,
+         CAST(sum(len(a.grams) + len(b.grams)
+              - 2 * len(list_intersect(a.grams, b.grams))) AS BIGINT)
+           AS dsum
+  FROM mem a JOIN mem b
+    ON a.group_id = b.group_id AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2, 3),
+best AS (
+  SELECT group_id, ia AS medoid,
+         CAST(group_size AS BIGINT) AS group_size, dsum AS sum_dist,
+         row_number() OVER (PARTITION BY group_id ORDER BY dsum, ia)
+           AS rk
+  FROM pd)
+SELECT group_id, medoid, group_size, sum_dist
+FROM best WHERE rk = 1 ORDER BY group_id
+"""
+ORACLES["q277_group_medoids"] = (
+    ORACLES["q277_group_medoids"]
+    .replace("{_NT}", _NORMTOKS)
+    .replace("{_SH}", _SHINGLES)
+)

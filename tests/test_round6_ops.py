@@ -915,3 +915,44 @@ def test_sax_symbols_short_series(spark):
     assert out["a"]["n_points"] == 2 and len(out["a"]["sax"]) == 2
     assert out["a"]["sax"][0] < out["a"]["sax"][1]
     assert out["b"]["n_points"] == 1 and len(out["b"]["sax"]) == 1
+
+
+def test_group_medoids_center_ties_giants(spark):
+    """Chain-shaped group: the middle doc minimizes Σ distances; a
+    singleton is its own medoid at 0; a group over max_group returns
+    NULL medoid instead of a quadratic join."""
+    from db_factfinder_spark.llmdata.components import group_medoids
+
+    items = spark.createDataFrame(
+        [
+            (1, ["a", "b"]),          # dist(1,2)=1·2… sets: {a,b}
+            (2, ["a", "b", "c"]),     # middle of the chain
+            (3, ["b", "c"]),
+            (9, ["z"]),               # singleton group
+            (10, ["x"]), (11, ["x"]), (12, ["x"]), (13, ["x"]),  # giant
+        ],
+        "doc_id long, toks array<string>",
+    )
+    members = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (9, 200),
+         (10, 300), (11, 300), (12, 300), (13, 300)],
+        "doc_id long, group_id long",
+    )
+    out = {r["group_id"]: r for r in group_medoids(
+        members, items, max_group=3
+    ).collect()}
+    # group 100: d(1)=1+4=5? sym diffs: |{a,b}Δ{a,b,c}|=1, |{a,b}Δ{b,c}|=2
+    # doc1: 1+2=3, doc2: 1+1=2, doc3: 2+1=3 → medoid 2
+    assert out[100]["medoid"] == 2 and out[100]["sum_dist"] == 2
+    assert out[100]["group_size"] == 3
+    assert out[200]["medoid"] == 9 and out[200]["sum_dist"] == 0
+    assert out[300]["medoid"] is None and out[300]["group_size"] == 4
+    # identical sets → distance ties → lowest id wins
+    twin_items = spark.createDataFrame(
+        [(5, ["q"]), (6, ["q"])], "doc_id long, toks array<string>"
+    )
+    twin_members = spark.createDataFrame(
+        [(5, 1), (6, 1)], "doc_id long, group_id long"
+    )
+    tw = group_medoids(twin_members, twin_items).collect()[0]
+    assert tw["medoid"] == 5 and tw["sum_dist"] == 0
