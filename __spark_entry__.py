@@ -6886,6 +6886,57 @@ def q277_group_medoids(spark, sf_dir):
     return group_medoids(groups, items).orderBy("group_id")
 
 
+def q278_deterministic_walks(spark, sf_dir):
+    """DeepWalk-style corpus generation, md5-stable (see
+    deterministic_walks): 2 three-step walks per seed over the parity-
+    encoded customer↔supplier graph, each step picking the out-neighbor
+    minimizing md5(seed|walk|step|neighbor) — reproducible shards with
+    zero persisted RNG state.  Output is every walk's path string, so
+    the oracle checks the exact trajectories, not just counts."""
+    from db_factfinder_spark.llmdata.components import (
+        deterministic_walks,
+    )
+
+    day0 = F.lit("1990-01-01").cast("date")
+    ord_s = _t(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 11 == 0
+    ).select(
+        "o_orderkey",
+        (F.col("o_custkey") * 2).alias("cnode"),
+        F.datediff(F.col("o_orderdate").cast("date"), day0).alias("day"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = li.join(
+        ord_s, li["l_orderkey"] == ord_s["o_orderkey"]
+    ).select(
+        "cnode", (F.col("l_suppkey") * 2 + 1).alias("snode")
+    ).distinct()
+    edges = pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("snode").alias("src"), F.col("cnode").alias("dst")
+        )
+    )
+    seeds = (
+        pairs.select(F.col("cnode").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 110 == 0)
+    )
+    walks = deterministic_walks(
+        edges, seeds, walks_per_seed=2, length=3
+    )
+    return walks.select(
+        "seed",
+        "walk",
+        "steps",
+        F.element_at("path", -1).alias("final"),
+        F.concat_ws("-", F.transform(
+            "path", lambda x: x.cast("string")
+        )).alias("path_str"),
+    ).orderBy("seed", "walk")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7168,6 +7219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q275_temporal_reach": q275_temporal_reach,
         "q276_sax_symbols": q276_sax_symbols,
         "q277_group_medoids": q277_group_medoids,
+        "q278_deterministic_walks": q278_deterministic_walks,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

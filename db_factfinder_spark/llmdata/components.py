@@ -821,3 +821,90 @@ def group_medoids(
         F.lit(None).cast("long").alias("sum_dist"),
     )
     return best.unionByName(singles).unionByName(giants)
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    walks_per_seed: int = 2,
+    length: int = 3,
+) -> DataFrame:
+    """Hash-guided random walks — the DeepWalk/node2vec corpus step
+    made deterministic.
+
+    Embedding pipelines sample walks with an RNG, which makes shards
+    unreproducible; here step *i* of walk *w* from seed *s* moves to
+    the out-neighbor minimizing ``md5(s ‖ w ‖ i ‖ neighbor)`` — a
+    uniform-looking but md5-stable choice, so regenerating any shard
+    yields byte-identical walks (the same contract as
+    ``negative_sample``).  Dead ends simply stop the walk.
+
+    Returns ``seed, walk, path, steps``: ``path`` the visited node
+    array (seed first), ``steps`` the edges actually taken (≤ length).
+
+    Scale: ``length`` keyed equi-joins (state ⋈ edges on the current
+    node) each followed by a per-(seed, walk) min-struct aggregate —
+    no driver state, state frame stays |seeds|·walks_per_seed rows.
+    Hub fan-out in the join is one row per neighbor *before* the min
+    collapses it; hot hubs are AQE skew territory, and length is the
+    loop bound, so plans stay fixed-size (lineage does not grow with
+    data, only with the constant ``length``).
+    """
+    state = seeds.select(
+        F.col(node_col).alias("seed"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_seed - 1))
+        ).alias("walk"),
+    ).select(
+        "seed",
+        "walk",
+        F.col("seed").alias("cur"),
+        F.array(F.col("seed")).alias("path"),
+    )
+    e = edges.select(F.col(src).alias("cur"), F.col(dst).alias("nxt"))
+    for i in range(1, length + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("seed").cast("string"),
+                        F.col("walk").cast("string"),
+                        F.lit(str(i)),
+                        F.col("nxt").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        stepped = (
+            state.join(e, "cur")
+            .groupBy("seed", "walk")
+            .agg(
+                F.min(F.struct(h.alias("h"), F.col("nxt").alias("n")))
+                .alias("pick"),
+                F.first("path").alias("path"),
+            )
+            .select(
+                "seed",
+                "walk",
+                F.col("pick.n").alias("cur"),
+                F.concat(
+                    "path", F.array(F.col("pick.n"))
+                ).alias("path"),
+            )
+        )
+        # dead-ended walks keep their shorter path (left anti side)
+        ended = state.join(
+            stepped.select("seed", "walk"), ["seed", "walk"], "left_anti"
+        )
+        state = stepped.unionByName(ended)
+    return state.select(
+        "seed", "walk", "path", (F.size("path") - 1).alias("steps")
+    )

@@ -7097,3 +7097,69 @@ ORACLES["q277_group_medoids"] = (
     .replace("{_NT}", _NORMTOKS)
     .replace("{_SH}", _SHINGLES)
 )
+
+
+# q278: deterministic walks — 3 unrolled argmin-hash steps; dead ends
+# carry forward (none occur on this bipartite graph, but the branch
+# is mirrored for fidelity).
+ORACLES["q278_deterministic_walks"] = """
+WITH ord_s AS (
+  SELECT o_orderkey, o_custkey * 2 AS cnode
+  FROM orders WHERE o_custkey % 11 = 0),
+pairs AS (
+  SELECT DISTINCT cnode, l_suppkey * 2 + 1 AS snode
+  FROM lineitem JOIN ord_s ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT cnode AS src, snode AS dst FROM pairs
+  UNION ALL
+  SELECT snode, cnode FROM pairs),
+seeds AS (
+  SELECT DISTINCT cnode AS seed FROM pairs WHERE cnode % 110 = 0),
+s0 AS (
+  SELECT seed, w AS walk, seed AS cur, [seed] AS path
+  FROM seeds CROSS JOIN (SELECT unnest(range(2)) AS w)),
+c1 AS (
+  SELECT s.seed, s.walk, e.dst AS nxt, s.path,
+         row_number() OVER (PARTITION BY s.seed, s.walk ORDER BY
+           ('0x' || substr(md5(CAST(s.seed AS VARCHAR) || '|' ||
+             CAST(s.walk AS VARCHAR) || '|1|' ||
+             CAST(e.dst AS VARCHAR)), 1, 15))::BIGINT, e.dst) AS rk
+  FROM s0 s JOIN edges e ON s.cur = e.src),
+s1 AS (
+  SELECT seed, walk, nxt AS cur, list_append(path, nxt) AS path
+  FROM c1 WHERE rk = 1
+  UNION ALL
+  SELECT s.seed, s.walk, s.cur, s.path FROM s0 s
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = s.cur)),
+c2 AS (
+  SELECT s.seed, s.walk, e.dst AS nxt, s.path,
+         row_number() OVER (PARTITION BY s.seed, s.walk ORDER BY
+           ('0x' || substr(md5(CAST(s.seed AS VARCHAR) || '|' ||
+             CAST(s.walk AS VARCHAR) || '|2|' ||
+             CAST(e.dst AS VARCHAR)), 1, 15))::BIGINT, e.dst) AS rk
+  FROM s1 s JOIN edges e ON s.cur = e.src),
+s2 AS (
+  SELECT seed, walk, nxt AS cur, list_append(path, nxt) AS path
+  FROM c2 WHERE rk = 1
+  UNION ALL
+  SELECT s.seed, s.walk, s.cur, s.path FROM s1 s
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = s.cur)),
+c3 AS (
+  SELECT s.seed, s.walk, e.dst AS nxt, s.path,
+         row_number() OVER (PARTITION BY s.seed, s.walk ORDER BY
+           ('0x' || substr(md5(CAST(s.seed AS VARCHAR) || '|' ||
+             CAST(s.walk AS VARCHAR) || '|3|' ||
+             CAST(e.dst AS VARCHAR)), 1, 15))::BIGINT, e.dst) AS rk
+  FROM s2 s JOIN edges e ON s.cur = e.src),
+s3 AS (
+  SELECT seed, walk, nxt AS cur, list_append(path, nxt) AS path
+  FROM c3 WHERE rk = 1
+  UNION ALL
+  SELECT s.seed, s.walk, s.cur, s.path FROM s2 s
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = s.cur))
+SELECT seed, CAST(walk AS BIGINT) AS walk,
+       CAST(len(path) - 1 AS BIGINT) AS steps,
+       path[len(path)] AS final,
+       array_to_string(path, '-') AS path_str
+FROM s3 ORDER BY seed, walk
+"""

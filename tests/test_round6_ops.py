@@ -956,3 +956,36 @@ def test_group_medoids_center_ties_giants(spark):
     )
     tw = group_medoids(twin_members, twin_items).collect()[0]
     assert tw["medoid"] == 5 and tw["sum_dist"] == 0
+
+
+def test_deterministic_walks_validity_and_dead_ends(spark):
+    from db_factfinder_spark.llmdata.components import deterministic_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)],  # 5 is a dead end
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], "node long")
+    out = deterministic_walks(
+        edges, seeds, walks_per_seed=3, length=4
+    ).collect()
+    eset = {(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)}
+    by_seed = {}
+    for r in out:
+        by_seed.setdefault(r["seed"], []).append(r)
+        path = r["path"]
+        assert path[0] == r["seed"] and r["steps"] == len(path) - 1
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in eset
+    assert len(by_seed[1]) == 3 and len(by_seed[5]) == 3
+    # seed 5 has no out-edges: all its walks stop immediately
+    assert all(r["steps"] == 0 for r in by_seed[5])
+    # from 1 the walk hits the 4→5 dead end after 3 steps, never 4
+    assert all(r["steps"] <= 3 for r in by_seed[1])
+    # md5-stable: a rerun is row-identical
+    again = deterministic_walks(
+        edges, seeds, walks_per_seed=3, length=4
+    ).collect()
+    key = lambda r: (r["seed"], r["walk"])  # noqa: E731
+    assert sorted((r["seed"], r["walk"], r["path"]) for r in out) == \
+        sorted((r["seed"], r["walk"], r["path"]) for r in again)
