@@ -6937,6 +6937,41 @@ def q278_deterministic_walks(spark, sf_dir):
     ).orderBy("seed", "walk")
 
 
+def q279_maxmin_fair_quota(spark, sf_dir):
+    """Max-min fair (water-filling) quota split of a 5000-order
+    processing budget across nations by order demand (see
+    maxmin_fair_allocate): small nations are satisfied in full, the
+    rest share the residual evenly with key-ascending +1s — Σalloc =
+    min(capacity, Σdemand) exactly, all integers, closed-form sorted
+    solution instead of the iterative waterline."""
+    from db_factfinder_spark.operators.apportion import (
+        maxmin_fair_allocate,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    dem = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("demand"))
+    )
+    alloc = maxmin_fair_allocate(dem, "c_nationkey", "demand", 5000)
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        alloc.join(
+            F.broadcast(nation),
+            alloc["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select(
+            F.col("n_name").alias("tenant"), "demand", "alloc",
+            "satisfied",
+        )
+        .orderBy("tenant")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7220,6 +7255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q276_sax_symbols": q276_sax_symbols,
         "q277_group_medoids": q277_group_medoids,
         "q278_deterministic_walks": q278_deterministic_walks,
+        "q279_maxmin_fair_quota": q279_maxmin_fair_quota,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -72,3 +72,72 @@ def largest_remainder(
             + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
         ).alias("alloc"),
     )
+
+
+def maxmin_fair_allocate(
+    df: DataFrame, key_col: str, demand_col: str, capacity: int
+) -> DataFrame:
+    """Max-min fair (water-filling) allocation in exact integers.
+
+    The multi-tenant quota rule: satisfy small demands fully, split
+    what remains evenly among the rest — no tenant can gain without a
+    poorer one losing.  Uses the closed-form sorted solution instead
+    of the iterative waterline: with demands sorted ascending, tenant
+    *i* is fully satisfied iff ``d_i·(n−i) + prefix_i ≤ C`` (the flag
+    is monotone), and every unsatisfied tenant gets an even integer
+    split of the residual ``R = C − Σ satisfied``, the ``R % m``
+    leftover units going +1 to the lowest keys — so Σalloc equals
+    ``min(C, Σdemand)`` exactly and the max-min property
+    ``unsatisfied alloc ≥ every satisfied demand`` holds in integers.
+
+    Returns ``{key_col}, {demand_col}, alloc, satisfied``.
+
+    Scale: one window pass over the (demand, key) sort plus one-row
+    broadcast aggregates — the same bounded-domain global-sort
+    argument as ``largest_remainder`` (tenant counts are small by
+    construction).
+    """
+    w = Window.orderBy(F.asc("d"), F.asc(key_col))
+    base = df.select(
+        key_col, F.col(demand_col).cast("long").alias("d")
+    ).withColumn("i", F.row_number().over(w)).withColumn(
+        "prefix",
+        F.sum("d").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    n_tot = base.agg(
+        F.count(F.lit(1)).alias("n"),
+    )
+    flagged = base.crossJoin(F.broadcast(n_tot)).withColumn(
+        "satisfied",
+        F.col("d") * (F.col("n") - F.col("i")) + F.col("prefix")
+        <= F.lit(capacity),
+    )
+    resid = flagged.agg(
+        (
+            F.lit(capacity)
+            - F.coalesce(
+                F.sum(F.when(F.col("satisfied"), F.col("d"))), F.lit(0)
+            )
+        ).alias("R"),
+        F.sum(F.when(~F.col("satisfied"), 1).otherwise(0)).alias("m"),
+    )
+    wu = Window.orderBy(F.asc(key_col))
+    ranked = flagged.withColumn(
+        "u_rk",
+        F.sum(F.when(~F.col("satisfied"), 1).otherwise(0)).over(
+            wu.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return ranked.crossJoin(F.broadcast(resid)).select(
+        key_col,
+        F.col("d").alias(demand_col),
+        F.when(F.col("satisfied"), F.col("d"))
+        .otherwise(
+            F.expr("R DIV m")
+            + F.when(
+                F.col("u_rk") <= F.expr("R % m"), 1
+            ).otherwise(0)
+        )
+        .alias("alloc"),
+        "satisfied",
+    )

@@ -7163,3 +7163,39 @@ SELECT seed, CAST(walk AS BIGINT) AS walk,
        array_to_string(path, '-') AS path_str
 FROM s3 ORDER BY seed, walk
 """
+
+
+# q279: max-min fair allocation — closed-form sorted waterline; the
+# monotone satisfied flag, residual even split, key-asc leftovers.
+ORACLES["q279_maxmin_fair_quota"] = """
+WITH dem AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS d
+  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+s AS (
+  SELECT c_nationkey, d,
+         row_number() OVER (ORDER BY d, c_nationkey) AS i,
+         sum(d) OVER (ORDER BY d, c_nationkey
+           ROWS UNBOUNDED PRECEDING) AS prefix,
+         count(*) OVER () AS n
+  FROM dem),
+f AS (SELECT *, (d * (n - i) + prefix <= 5000) AS satisfied FROM s),
+r AS (
+  SELECT CAST(coalesce(sum(CASE WHEN satisfied THEN d END), 0)
+           AS BIGINT) AS sat_sum,
+         CAST(sum(CASE WHEN NOT satisfied THEN 1 ELSE 0 END)
+           AS BIGINT) AS m
+  FROM f),
+u AS (
+  SELECT f.*, sum(CASE WHEN NOT satisfied THEN 1 ELSE 0 END)
+           OVER (ORDER BY c_nationkey ROWS UNBOUNDED PRECEDING) AS u_rk
+  FROM f)
+SELECT n_name AS tenant, d AS demand,
+       CAST(CASE WHEN satisfied THEN d
+            ELSE (5000 - sat_sum) // m
+                 + CASE WHEN u_rk <= (5000 - sat_sum) % m
+                        THEN 1 ELSE 0 END
+            END AS BIGINT) AS alloc,
+       satisfied
+FROM u CROSS JOIN r JOIN nation ON c_nationkey = n_nationkey
+ORDER BY tenant
+"""

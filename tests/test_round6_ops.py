@@ -989,3 +989,48 @@ def test_deterministic_walks_validity_and_dead_ends(spark):
     key = lambda r: (r["seed"], r["walk"])  # noqa: E731
     assert sorted((r["seed"], r["walk"], r["path"]) for r in out) == \
         sorted((r["seed"], r["walk"], r["path"]) for r in again)
+
+
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ds=st.lists(st.integers(min_value=0, max_value=1000), min_size=1,
+                max_size=10),
+    cap=st.integers(min_value=0, max_value=4000),
+)
+def test_maxmin_fair_invariants(spark, ds, cap):
+    """Σalloc == min(C, Σd); alloc ≤ demand; max-min: every
+    unsatisfied tenant's alloc ≥ every satisfied tenant's demand."""
+    from db_factfinder_spark.operators.apportion import (
+        maxmin_fair_allocate,
+    )
+
+    df = spark.createDataFrame(
+        [(f"t{i:02d}", d) for i, d in enumerate(ds)], "k string, d long"
+    )
+    rows = maxmin_fair_allocate(df, "k", "d", cap).collect()
+    assert sum(r["alloc"] for r in rows) == min(cap, sum(ds))
+    assert all(r["alloc"] <= r["d"] for r in rows)
+    sat_d = [r["d"] for r in rows if r["satisfied"]]
+    unsat_a = [r["alloc"] for r in rows if not r["satisfied"]]
+    if sat_d and unsat_a:
+        assert min(unsat_a) >= max(sat_d)
+    # unsatisfied allocations differ by at most 1 (even split + crumbs)
+    if unsat_a:
+        assert max(unsat_a) - min(unsat_a) <= 1
+
+
+def test_maxmin_fair_all_satisfied(spark):
+    from db_factfinder_spark.operators.apportion import (
+        maxmin_fair_allocate,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 3), ("b", 4)], "k string, d long"
+    )
+    rows = {r["k"]: r for r in
+            maxmin_fair_allocate(df, "k", "d", 100).collect()}
+    assert rows["a"]["alloc"] == 3 and rows["b"]["alloc"] == 4
+    assert all(r["satisfied"] for r in rows.values())
