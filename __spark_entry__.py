@@ -6972,6 +6972,32 @@ def q279_maxmin_fair_quota(spark, sf_dir):
     )
 
 
+def q280_percentile_drift_probe(spark, sf_dir):
+    """Train/serve drift banding (see reference_percentile_grid /
+    percentile_band_probe): every third document is the reference,
+    whose n_chars distribution becomes an exact 21-point rank grid;
+    the remaining docs band against it map-side (grid as a bounded
+    literal, like k-means centroids).  Output is the band histogram —
+    the rank-space PSI view with zero log floats."""
+    from db_factfinder_spark.operators.evaluation import (
+        percentile_band_probe,
+        reference_percentile_grid,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    grid = reference_percentile_grid(ref, "n_chars", "doc_id", points=20)
+    probe = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "n_chars"
+    )
+    banded = percentile_band_probe(probe, grid, "n_chars")
+    return (
+        banded.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("band")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7256,6 +7282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q277_group_medoids": q277_group_medoids,
         "q278_deterministic_walks": q278_deterministic_walks,
         "q279_maxmin_fair_quota": q279_maxmin_fair_quota,
+        "q280_percentile_drift_probe": q280_percentile_drift_probe,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

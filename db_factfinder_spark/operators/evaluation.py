@@ -248,3 +248,63 @@ def calibration_bins(
             / (nd * F.lit(72_057_594_037_927_936.0))  # 2^56
         ).alias("brier"),
     )
+
+
+def reference_percentile_grid(
+    ref, value_col: str, id_col: str, points: int = 20
+):
+    """Exact rank-based percentile grid from a reference corpus.
+
+    ``(p, gv)`` for p = 0..points: ``gv`` is the value at 1-based rank
+    ``1 + (n−1)·p DIV points`` under the (value, id) total order — the
+    min at p=0, the max at p=points, no interpolation floats anywhere.
+    This is the train-time half of train/serve drift monitoring: the
+    grid is tiny (points+1 rows), persistable, and comparable across
+    days.
+
+    Scale: ranks come from ``global_rank`` (range-repartition +
+    per-partition row_number + broadcast offsets — never a
+    single-partition sort); the position frame is one scalar aggregate
+    crossed with a literal sequence.
+    """
+    from db_factfinder_spark.operators.ranking import global_rank
+
+    ranked = global_rank(
+        ref.select(F.col(value_col).alias("__v"), F.col(id_col)),
+        ["__v", id_col],
+    )
+    n = ref.agg(F.count(F.lit(1)).alias("__n"))
+    pos = n.select(
+        F.explode(F.sequence(F.lit(0), F.lit(points))).alias("p"),
+        F.col("__n"),
+    ).select(
+        "p",
+        (1 + F.expr(f"(__n - 1) * p DIV {points}")).alias("__idx"),
+    )
+    return pos.join(
+        ranked, pos["__idx"] == ranked["rank"]
+    ).select("p", F.col("__v").alias("gv"))
+
+
+def percentile_band_probe(batch, grid, value_col: str):
+    """Band every batch row against a reference grid: ``band(x)`` =
+    number of grid values ≤ x (0 = below the reference min,
+    points+1 = above its max).
+
+    The serving-time half of drift monitoring: a healthy batch bands
+    uniformly; mass piling into few bands is distribution shift —
+    the rank-space view of PSI without its log floats.
+
+    The grid is collected to a literal array (points+1 values — the
+    same bounded-literal pattern as k-means centroids), so banding is
+    a pure map-side ``size(filter(...))`` over each row: zero joins,
+    zero shuffles on the batch side.
+    """
+    vals = [r["gv"] for r in grid.orderBy("p").collect()]
+    arr = F.array(*[F.lit(v) for v in vals])
+    return batch.withColumn(
+        "band",
+        F.size(F.filter(arr, lambda v: v <= F.col(value_col))).cast(
+            "long"
+        ),
+    )

@@ -7199,3 +7199,25 @@ SELECT n_name AS tenant, d AS demand,
 FROM u CROSS JOIN r JOIN nation ON c_nationkey = n_nationkey
 ORDER BY tenant
 """
+
+
+# q280: percentile drift probe — exact rank grid from the reference
+# third, correlated-count banding for the rest.
+ORACLES["q280_percentile_drift_probe"] = """
+WITH ref AS (
+  SELECT n_chars AS v, doc_id AS id FROM documents WHERE doc_id % 3 = 0),
+rk AS (SELECT v, row_number() OVER (ORDER BY v, id) AS r FROM ref),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ref),
+pos AS (
+  SELECT p, 1 + ((n - 1) * p) // 20 AS idx
+  FROM n CROSS JOIN (SELECT unnest(range(21)) AS p)),
+grid AS (SELECT p, v AS gv FROM pos JOIN rk ON idx = r),
+probe AS (
+  SELECT doc_id, n_chars AS x FROM documents WHERE doc_id % 3 <> 0),
+banded AS (
+  SELECT doc_id,
+         (SELECT count(*) FROM grid g WHERE g.gv <= probe.x) AS band
+  FROM probe)
+SELECT CAST(band AS BIGINT) AS band, CAST(count(*) AS BIGINT) AS n_docs
+FROM banded GROUP BY 1 ORDER BY band
+"""

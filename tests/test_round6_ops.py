@@ -1034,3 +1034,27 @@ def test_maxmin_fair_all_satisfied(spark):
             maxmin_fair_allocate(df, "k", "d", 100).collect()}
     assert rows["a"]["alloc"] == 3 and rows["b"]["alloc"] == 4
     assert all(r["satisfied"] for r in rows.values())
+
+
+def test_percentile_grid_and_banding(spark):
+    """Grid endpoints are exact min/max; a probe below the min bands
+    0, above the max bands points+1, equal-to-min bands ≥ 1."""
+    from db_factfinder_spark.operators.evaluation import (
+        percentile_band_probe,
+        reference_percentile_grid,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([10, 20, 30, 40, 50])],
+        "id long, v long",
+    )
+    grid = reference_percentile_grid(ref, "v", "id", points=4)
+    g = {r["p"]: r["gv"] for r in grid.collect()}
+    # ranks for p=0..4 over n=5: 1 + (4*p DIV 4) = 1,2,3,4,5
+    assert g == {0: 10, 1: 20, 2: 30, 3: 40, 4: 50}
+    probe = spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 35), (4, 99)], "doc_id long, x long"
+    )
+    bands = {r["doc_id"]: r["band"] for r in
+             percentile_band_probe(probe, grid, "x").collect()}
+    assert bands == {1: 0, 2: 1, 3: 3, 4: 5}
