@@ -75,6 +75,9 @@ HEADLINE = [
     "q240_pq_adc_topk",         # PQ codes scan + literal-codebook ADC
     "q241_kmv_distinct",        # KMV sketch: distinct → k-min → merge
     "q245_kcore_prune",         # iterative degree peel, materialized rounds
+    "q272_fifo_cogs",           # cumulative-axis FIFO overlap join
+    "q277_group_medoids",       # LSH groups → within-group medoid argmin
+    "q278_deterministic_walks", # 3 keyed join steps + min-struct collapse
     # q198_bootstrap_ci is deliberately NOT a headline entry: its warm
     # time is ~95% driver-side Catalyst/AQE assembly of the 64-wide
     # aggregate tree (re-execution of the built plan runs in ~0.2 s,
