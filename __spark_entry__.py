@@ -6998,6 +6998,61 @@ def q280_percentile_drift_probe(spark, sf_dir):
     )
 
 
+def q281_topdown_reconcile(spark, sf_dir):
+    """Top-down hierarchical reconciliation (see
+    largest_remainder_grouped): each region's integer budget (a
+    deterministic function of its customer mass) apportions down to
+    its nations ∝ customer counts with per-group largest-remainder
+    leftovers — children sum EXACTLY to each parent, the coherence
+    constraint reconciled forecasts must satisfy.  All groups
+    apportion in one pass; no per-group driver loop."""
+    from db_factfinder_spark.operators.apportion import (
+        largest_remainder_grouped,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    weights = (
+        cust.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("pop"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == nation["n_nationkey"],
+        )
+        .select("n_regionkey", "n_nationkey", "n_name", "pop")
+    )
+    budgets = weights.groupBy("n_regionkey").agg(
+        (F.expr("sum(pop) DIV 3") + 7).alias("seats")
+    )
+    alloc = largest_remainder_grouped(
+        weights.select("n_regionkey", "n_nationkey", "pop"),
+        "n_regionkey",
+        "n_nationkey",
+        "pop",
+        budgets,
+    )
+    return (
+        alloc.join(
+            F.broadcast(region),
+            alloc["n_regionkey"] == region["r_regionkey"],
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            "n_nationkey",
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "pop",
+            "base",
+            "rem",
+            "alloc",
+        )
+        .orderBy("region", "nation")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7283,6 +7338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q278_deterministic_walks": q278_deterministic_walks,
         "q279_maxmin_fair_quota": q279_maxmin_fair_quota,
         "q280_percentile_drift_probe": q280_percentile_drift_probe,
+        "q281_topdown_reconcile": q281_topdown_reconcile,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

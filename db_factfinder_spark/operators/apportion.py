@@ -141,3 +141,68 @@ def maxmin_fair_allocate(
         .alias("alloc"),
         "satisfied",
     )
+
+
+def largest_remainder_grouped(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    seats: DataFrame,
+    seats_col: str = "seats",
+) -> DataFrame:
+    """Per-group Hamilton apportionment — top-down reconciliation.
+
+    The hierarchical-forecast move: each parent's integer budget
+    (``seats``: one row per group) is distributed across its children
+    ∝ ``weight_col`` with largest-remainder leftovers, so every
+    group's children sum EXACTLY to the parent total — the coherence
+    constraint top-down reconciliation exists for.  Same exact-int
+    arithmetic as :func:`largest_remainder`, with the global sort
+    replaced by per-group windows and the scalar broadcasts by keyed
+    aggregate joins, so groups apportion independently in one pass
+    (no per-group driver loop).
+    """
+    w_tot = df.groupBy(group_col).agg(
+        F.sum(weight_col).cast("long").alias("__W")
+    )
+    s = seats.select(
+        group_col, F.col(seats_col).cast("long").alias("__S")
+    )
+    quota = (
+        df.join(w_tot, group_col)
+        .join(s, group_col)
+        .select(
+            group_col,
+            key_col,
+            F.col(weight_col).cast("long").alias(weight_col),
+            F.expr(
+                f"CAST({weight_col} AS BIGINT) * __S DIV __W"
+            ).alias("base"),
+            F.expr(
+                f"(CAST({weight_col} AS BIGINT) * __S) % __W"
+            ).alias("rem"),
+            F.col("__S"),
+        )
+    )
+    leftover = quota.groupBy(group_col).agg(
+        (F.first("__S") - F.sum("base")).alias("__L")
+    )
+    wk = Window.partitionBy(group_col).orderBy(
+        F.desc("rem"), F.asc(key_col)
+    )
+    return (
+        quota.join(leftover, group_col)
+        .withColumn("rk", F.row_number().over(wk))
+        .select(
+            group_col,
+            key_col,
+            weight_col,
+            "base",
+            "rem",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("__L"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+    )

@@ -7221,3 +7221,40 @@ banded AS (
 SELECT CAST(band AS BIGINT) AS band, CAST(count(*) AS BIGINT) AS n_docs
 FROM banded GROUP BY 1 ORDER BY band
 """
+
+
+# q281: per-group Hamilton reconciliation — children sum exactly to
+# each parent's budget (Σpop_region DIV 3 + 7).
+ORACLES["q281_topdown_reconcile"] = """
+WITH w AS (
+  SELECT n_regionkey, n_nationkey, CAST(count(*) AS BIGINT) AS pop
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+b AS (
+  SELECT n_regionkey,
+         CAST(sum(pop) // 3 + 7 AS BIGINT) AS s,
+         CAST(sum(pop) AS BIGINT) AS wt
+  FROM w GROUP BY 1),
+q AS (
+  SELECT w.n_regionkey, w.n_nationkey, w.pop,
+         CAST(w.pop * b.s // b.wt AS BIGINT) AS base,
+         CAST((w.pop * b.s) % b.wt AS BIGINT) AS rem,
+         b.s
+  FROM w JOIN b USING (n_regionkey)),
+lo AS (
+  SELECT n_regionkey, CAST(min(s) - sum(base) AS BIGINT) AS l
+  FROM q GROUP BY 1),
+r AS (
+  SELECT q.*, row_number() OVER (
+    PARTITION BY q.n_regionkey ORDER BY rem DESC, n_nationkey ASC)
+    AS rk
+  FROM q)
+SELECT r_name AS region, n_name AS nation, pop, base, rem,
+       CAST(base + CASE WHEN rk <= l THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM r
+JOIN lo USING (n_regionkey)
+JOIN region ON r.n_regionkey = r_regionkey
+JOIN nation ON r.n_nationkey = nation.n_nationkey
+ORDER BY region, nation
+"""

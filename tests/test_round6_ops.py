@@ -1058,3 +1058,38 @@ def test_percentile_grid_and_banding(spark):
     bands = {r["doc_id"]: r["band"] for r in
              percentile_band_probe(probe, grid, "x").collect()}
     assert bands == {1: 0, 2: 1, 3: 3, 4: 5}
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    gs=st.lists(
+        st.tuples(
+            st.lists(st.integers(0, 10**6), min_size=1, max_size=6)
+            .filter(lambda xs: sum(xs) > 0),
+            st.integers(0, 2000),
+        ),
+        min_size=1, max_size=4,
+    ),
+)
+def test_grouped_remainder_coherence(spark, gs):
+    """Every group's children sum EXACTLY to its budget, independently
+    of the other groups."""
+    from db_factfinder_spark.operators.apportion import (
+        largest_remainder_grouped,
+    )
+
+    rows, seat_rows = [], []
+    for g, (ws, s) in enumerate(gs):
+        seat_rows.append((g, s))
+        rows += [(g, i, w) for i, w in enumerate(ws)]
+    df = spark.createDataFrame(rows, "g long, k long, w long")
+    seats = spark.createDataFrame(seat_rows, "g long, seats long")
+    out = largest_remainder_grouped(df, "g", "k", "w", seats).collect()
+    per_g = {}
+    for r in out:
+        per_g[r["g"]] = per_g.get(r["g"], 0) + r["alloc"]
+        assert 0 <= r["alloc"] - r["base"] <= 1
+    assert per_g == {g: s for g, (_, s) in enumerate(gs)}
