@@ -7053,6 +7053,48 @@ def q281_topdown_reconcile(spark, sf_dir):
     )
 
 
+def q282_retention_sweep(spark, sf_dir):
+    """Vacuum dry-run (see retention_sweep): orders as a per-customer
+    version log (version = day-keyed integer, bytes = price cents);
+    policy = keep each customer's last 3 versions plus everything from
+    1997 on.  Output is the reclaimable-rows/bytes census summarized
+    by retained-count band — the report storage ops signs off on
+    before the targeted delete runs."""
+    from db_factfinder_spark.operators.scd import retention_sweep
+
+    day0 = F.lit("1990-01-01").cast("date")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), day0).cast(
+                "bigint"
+            )
+            * F.lit(10000000000).cast("bigint")
+            + F.col("o_orderkey")
+        ).alias("version"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("bytes"),
+    )
+    from datetime import date
+
+    cutoff_day = (date(1997, 1, 1) - date(1990, 1, 1)).days
+    swept = retention_sweep(
+        orders, "custkey", "version", "bytes", keep_last=3,
+        keep_from=cutoff_day * 10000000000,
+    )
+    return (
+        swept.groupBy("n_keep")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n_versions").alias("tot_versions"),
+            F.sum("n_reclaim").alias("tot_reclaim"),
+            F.sum("bytes_reclaim").alias("tot_bytes_reclaim"),
+        )
+        .orderBy("n_keep")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7339,6 +7381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q279_maxmin_fair_quota": q279_maxmin_fair_quota,
         "q280_percentile_drift_probe": q280_percentile_drift_probe,
         "q281_topdown_reconcile": q281_topdown_reconcile,
+        "q282_retention_sweep": q282_retention_sweep,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -104,3 +104,54 @@ def bitemporal_asof(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def retention_sweep(
+    df: DataFrame,
+    key_col: str,
+    version_col: str,
+    bytes_col: str,
+    keep_last: int,
+    keep_from: int,
+) -> DataFrame:
+    """Version-retention (vacuum) planner over a versioned table.
+
+    The lakehouse GC policy — keep each key's last ``keep_last``
+    versions plus every version at or after ``keep_from`` (time-travel
+    horizon) — evaluated as a *report before the delete*: per key,
+    how many versions and bytes are reclaimable vs retained.  Exactly
+    the dry-run a storage-ops reviewer signs off on before the sweep
+    mutates anything (the delete itself is ``sources.targeted_delete``
+    territory).
+
+    One window pass (rank per key by version desc) + one aggregate;
+    ``version_col``/``bytes_col`` are exact integers.
+
+    Returns ``{key_col}, n_versions, n_keep, n_reclaim,
+    bytes_keep, bytes_reclaim``.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc("__v"), F.desc("__b")
+    )
+    flagged = df.select(
+        key_col,
+        F.col(version_col).cast("long").alias("__v"),
+        F.col(bytes_col).cast("long").alias("__b"),
+    ).withColumn(
+        "__keep",
+        (F.row_number().over(w) <= keep_last)
+        | (F.col("__v") >= keep_from),
+    )
+    return flagged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias("n_keep"),
+        F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias(
+            "n_reclaim"
+        ),
+        F.sum(F.when(F.col("__keep"), F.col("__b")).otherwise(0)).alias(
+            "bytes_keep"
+        ),
+        F.sum(
+            F.when(~F.col("__keep"), F.col("__b")).otherwise(0)
+        ).alias("bytes_reclaim"),
+    )

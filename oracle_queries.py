@@ -7258,3 +7258,39 @@ JOIN region ON r.n_regionkey = r_regionkey
 JOIN nation ON r.n_nationkey = nation.n_nationkey
 ORDER BY region, nation
 """
+
+
+# q282: retention sweep dry-run — keep last 3 per key OR version at/
+# after the 1997 horizon; reclaim census by retained-count band.
+ORACLES["q282_retention_sweep"] = """
+WITH v AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', DATE '1990-01-01',
+                   CAST(o_orderdate AS DATE)) * 10000000000
+           + o_orderkey AS version,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS bytes
+  FROM orders),
+f AS (
+  SELECT custkey, version, bytes,
+         (row_number() OVER (PARTITION BY custkey
+            ORDER BY version DESC, bytes DESC) <= 3
+          OR version >= date_diff('day', DATE '1990-01-01',
+                                  DATE '1997-01-01') * 10000000000)
+           AS keep
+  FROM v),
+per_key AS (
+  SELECT custkey,
+         CAST(count(*) AS BIGINT) AS n_versions,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_keep,
+         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_reclaim,
+         CAST(sum(CASE WHEN keep THEN 0 ELSE bytes END) AS BIGINT)
+           AS bytes_reclaim
+  FROM f GROUP BY 1)
+SELECT n_keep, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n_versions) AS BIGINT) AS tot_versions,
+       CAST(sum(n_reclaim) AS BIGINT) AS tot_reclaim,
+       CAST(sum(bytes_reclaim) AS BIGINT) AS tot_bytes_reclaim
+FROM per_key GROUP BY 1 ORDER BY n_keep
+"""

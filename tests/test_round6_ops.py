@@ -1093,3 +1093,27 @@ def test_grouped_remainder_coherence(spark, gs):
         per_g[r["g"]] = per_g.get(r["g"], 0) + r["alloc"]
         assert 0 <= r["alloc"] - r["base"] <= 1
     assert per_g == {g: s for g, (_, s) in enumerate(gs)}
+
+
+def test_retention_sweep_policy(spark):
+    """keep_last=2 plus keep_from=100: versions 100+ always kept, the
+    two newest kept regardless, everything else reclaims with its
+    bytes."""
+    from db_factfinder_spark.operators.scd import retention_sweep
+
+    df = spark.createDataFrame(
+        [("k", 10, 1), ("k", 20, 2), ("k", 30, 4), ("k", 120, 8),
+         ("k", 150, 16), ("j", 5, 32)],
+        "key string, version long, bytes long",
+    )
+    out = {r["key"]: r for r in retention_sweep(
+        df, "key", "version", "bytes", keep_last=2, keep_from=100
+    ).collect()}
+    # k: 150,120 are both newest-2 AND ≥100; 30 reclaims? no — newest-2
+    # are 150,120 so 30,20,10 fall to the age rule: all < 100 → reclaim
+    assert out["k"]["n_versions"] == 5 and out["k"]["n_keep"] == 2
+    assert out["k"]["n_reclaim"] == 3
+    assert out["k"]["bytes_reclaim"] == 1 + 2 + 4
+    assert out["k"]["bytes_keep"] == 8 + 16
+    # j: single old version still kept by keep_last
+    assert out["j"]["n_keep"] == 1 and out["j"]["n_reclaim"] == 0
