@@ -7095,6 +7095,25 @@ def q282_retention_sweep(spark, sf_dir):
     )
 
 
+def q283_decision_stump(spark, sf_dir):
+    """Gini-optimal decision stump (see decision_stump): does order
+    value predict urgency?  Feature = thousand-dollar price band
+    (pre-bucketed, per the operator's cardinality guidance), label =
+    1-URGENT priority; all candidate splits evaluated from one
+    cumulative window pass, scores exact-int up to the single terminal
+    division.  Top-5 thresholds returned."""
+    from db_factfinder_spark.operators.regression import decision_stump
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+            " DIV 100000"
+        ).alias("band"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("urgent"),
+    )
+    return decision_stump(orders, "band", "urgent", top_k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7382,6 +7401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q280_percentile_drift_probe": q280_percentile_drift_probe,
         "q281_topdown_reconcile": q281_topdown_reconcile,
         "q282_retention_sweep": q282_retention_sweep,
+        "q283_decision_stump": q283_decision_stump,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -334,3 +334,81 @@ def grouped_spearman(
     return grouped_correlation(
         ranked, list(keys), F.col("__rx"), F.col("__ry")
     )
+
+
+def decision_stump(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Best binary split by Gini — the 1-D decision-stump inducer.
+
+    Every observed feature value is a candidate threshold (left =
+    ``feature ≤ v``); the Gini-optimal split maximizes
+    ``A/n_L + B/n_R`` where A/B are the sums of squared class counts
+    on each side — derived from ONE cumulative window over the sorted
+    distinct-value frame, so evaluating all n candidate splits costs
+    one sort + one pass, not n scans (the CART batch trick).
+
+    Arithmetic: every count is exact int64; the score's single IEEE
+    division ``(A·n_R + B·n_L) / (n_L·n_R)`` happens once per
+    candidate on exact integers (numerator ≤ n³ — int64-safe to
+    n ≈ 2M rows per stump; larger inputs should pre-bucket the
+    feature, which is also statistically wiser).  Ranking ties break
+    on ascending threshold.
+
+    ``label_col`` must be boolean.  Returns the ``top_k`` splits:
+    ``threshold, n_left, n_right, pos_left, pos_right, score, rank``
+    (splits with an empty right side are excluded — they are the
+    no-split).
+    """
+    agg = df.select(
+        F.col(feature_col).alias("v"),
+        F.col(label_col).cast("int").alias("y"),
+    ).groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("y").alias("pos"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = agg.agg(
+        F.sum("cnt").alias("n"), F.sum("pos").alias("p")
+    )
+    cum = agg.select(
+        "v",
+        F.sum("cnt").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+    ).crossJoin(F.broadcast(tot))
+    cand = cum.filter(F.col("nl") < F.col("n")).select(
+        F.col("v").alias("threshold"),
+        F.col("nl").alias("n_left"),
+        (F.col("n") - F.col("nl")).alias("n_right"),
+        F.col("pl").alias("pos_left"),
+        (F.col("p") - F.col("pl")).alias("pos_right"),
+        F.col("n"),
+        F.col("p"),
+    )
+    a = (
+        F.col("pos_left") * F.col("pos_left")
+        + (F.col("n_left") - F.col("pos_left"))
+        * (F.col("n_left") - F.col("pos_left"))
+    )
+    b = (
+        F.col("pos_right") * F.col("pos_right")
+        + (F.col("n_right") - F.col("pos_right"))
+        * (F.col("n_right") - F.col("pos_right"))
+    )
+    scored = cand.withColumn(
+        "score",
+        (a * F.col("n_right") + b * F.col("n_left"))
+        / (F.col("n_left") * F.col("n_right")),
+    )
+    wr = Window.orderBy(F.desc("score"), F.asc("threshold"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "threshold", "n_left", "n_right", "pos_left", "pos_right",
+            "score", "rank",
+        )
+    )

@@ -7294,3 +7294,49 @@ SELECT n_keep, CAST(count(*) AS BIGINT) AS n_keys,
        CAST(sum(bytes_reclaim) AS BIGINT) AS tot_bytes_reclaim
 FROM per_key GROUP BY 1 ORDER BY n_keep
 """
+
+
+# q283: decision stump — cumulative class counts over sorted bands,
+# Gini score (A·nR + B·nL)/(nL·nR) as the one terminal division.
+ORACLES["q283_decision_stump"] = """
+WITH o AS (
+  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) // 100000
+           AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders),
+agg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM o GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS p FROM agg),
+cum AS (
+  SELECT v,
+         CAST(sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+           AS BIGINT) AS nl,
+         CAST(sum(pos) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+           AS BIGINT) AS pl
+  FROM agg),
+cand AS (
+  SELECT v AS threshold, nl AS n_left, n - nl AS n_right,
+         pl AS pos_left, p - pl AS pos_right
+  FROM cum CROSS JOIN tot WHERE nl < n),
+scored AS (
+  SELECT threshold, n_left, n_right, pos_left, pos_right,
+         CAST(pos_left * pos_left
+              + (n_left - pos_left) * (n_left - pos_left) AS BIGINT)
+           * n_right
+         + CAST(pos_right * pos_right
+              + (n_right - pos_right) * (n_right - pos_right)
+             AS BIGINT) * n_left AS num,
+         n_left * n_right AS den
+  FROM cand)
+SELECT threshold, n_left, n_right, pos_left, pos_right,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS score,
+       CAST(row_number() OVER (
+         ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE) DESC,
+                  threshold ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY rank
+"""

@@ -1117,3 +1117,22 @@ def test_retention_sweep_policy(spark):
     assert out["k"]["bytes_keep"] == 8 + 16
     # j: single old version still kept by keep_last
     assert out["j"]["n_keep"] == 1 and out["j"]["n_reclaim"] == 0
+
+
+def test_decision_stump_perfect_split(spark):
+    """Feature separates classes perfectly at v=2: score hits the
+    maximum (n_left·... → A/nL + B/nR = nL + nR = n); the no-split
+    (all-left) candidate is excluded."""
+    from db_factfinder_spark.operators.regression import decision_stump
+
+    rows = [(1, True), (2, True), (2, True), (5, False), (9, False)]
+    df = spark.createDataFrame(rows, "x long, y boolean")
+    out = decision_stump(df, "x", "y", top_k=10).collect()
+    best = out[0]
+    assert best["threshold"] == 2
+    assert best["n_left"] == 3 and best["pos_left"] == 3
+    assert best["n_right"] == 2 and best["pos_right"] == 0
+    # perfect purity: A=9, B=4 → (9·2 + 4·3)/6 = 5 = n
+    assert best["score"] == 5.0
+    assert all(r["n_right"] > 0 for r in out)
+    assert len(out) == 3  # thresholds 1, 2, 5 (9 = no-split, excluded)
