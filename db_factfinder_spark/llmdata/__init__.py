@@ -71,10 +71,15 @@ from db_factfinder_spark.llmdata.similarity import (  # noqa: F401
     semantic_dedup,
 )
 from db_factfinder_spark.llmdata.components import (  # noqa: F401
+    bipartite_label_propagation,
     connected_components,
     connected_components_star,
+    deterministic_walks,
+    group_medoids,
+    hits_scores,
     neardup_groups,
     select_survivors,
+    time_respecting_reach,
 )
 from db_factfinder_spark.llmdata.sampling import (  # noqa: F401
     budget_fill,
@@ -84,6 +89,8 @@ from db_factfinder_spark.llmdata.sampling import (  # noqa: F401
     mixture_sample,
     priority_sample,
     priority_sample_per_group,
+    negative_sample,
+    rendezvous_assign,
     shuffle_shards,
     split_column,
     stratified_split,
@@ -110,3 +117,7 @@ from db_factfinder_spark.llmdata.textstats import (  # noqa: F401
     top_p_truncate,
 )
 from db_factfinder_spark.llmdata.lines import line_dedup  # noqa: F401
+from db_factfinder_spark.llmdata.dsir import (  # noqa: F401
+    dsir_affinity,
+    target_favored_buckets,
+)
