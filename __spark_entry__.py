@@ -7114,6 +7114,35 @@ def q283_decision_stump(spark, sf_dir):
     return decision_stump(orders, "band", "urgent", top_k=5)
 
 
+def q284_percolate_routing(spark, sf_dir):
+    """Reverse search / percolator routing (see percolate): four stored
+    conjunctive keyword queries become the index and every document is
+    the probe — containment-by-counting over one term equi-join, so
+    stored queries scale as dimension rows, not corpus passes.  Output
+    is matches per stored query with a doc-id checksum."""
+    from db_factfinder_spark.llmdata.textstats import percolate
+
+    docs = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        [
+            (1, ["spark", "table"]),
+            (2, ["hash", "join", "row"]),
+            (3, ["zzz_nonexistent_term"]),
+            (4, ["the"]),
+        ],
+        "query_id long, terms array<string>",
+    )
+    m = percolate(docs, qdf)
+    return (
+        m.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("docid_sum"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7402,6 +7431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q281_topdown_reconcile": q281_topdown_reconcile,
         "q282_retention_sweep": q282_retention_sweep,
         "q283_decision_stump": q283_decision_stump,
+        "q284_percolate_routing": q284_percolate_routing,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -1184,3 +1184,49 @@ def rrf_fuse(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
     )
+
+
+def percolate(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Reverse search (percolator): match documents against STORED
+    conjunctive keyword queries — the alerting/routing primitive
+    (saved searches, topic taps on an ingest firehose) where the
+    queries are the index and the documents are the probes.
+
+    A document matches a query iff its distinct token set contains
+    every query term.  Evaluated as containment-by-counting: explode
+    query terms, equi-join on the term, and a (doc, query) pair
+    matches when its hit count equals the query's term count —
+    one keyed join, no per-query scans, so adding the 10 000th stored
+    query costs rows in a dimension table, not another pass over the
+    corpus.  Queries with duplicate terms are deduped up front.
+
+    Returns ``{id_col}, {query_id_col}`` match pairs.
+    """
+    q = queries.select(
+        query_id_col,
+        F.explode(F.array_distinct(F.col(terms_col))).alias("t"),
+    )
+    qn = q.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("__n_terms")
+    )
+    d = docs.select(
+        id_col,
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
+    )
+    hits = (
+        d.join(q, "t")
+        .groupBy(id_col, query_id_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return (
+        hits.join(qn, query_id_col)
+        .filter(F.col("__hits") == F.col("__n_terms"))
+        .select(id_col, query_id_col)
+    )

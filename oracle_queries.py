@@ -7340,3 +7340,32 @@ FROM scored
 QUALIFY rank <= 5
 ORDER BY rank
 """
+
+
+# q284: percolator — containment by counting over the term equi-join.
+ORACLES["q284_percolate_routing"] = """
+WITH q AS (
+  SELECT * FROM (VALUES
+    (1, ['spark', 'table']),
+    (2, ['hash', 'join', 'row']),
+    (3, ['zzz_nonexistent_term']),
+    (4, ['the'])) AS t(query_id, terms)),
+qe AS (
+  SELECT query_id, unnest(list_distinct(terms)) AS t FROM q),
+qn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms
+       FROM qe GROUP BY 1),
+d AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+           string_split_regex(lower(trim(text)), '\\s+'),
+           x -> x != ''))) AS t
+  FROM documents),
+hits AS (
+  SELECT doc_id, query_id, CAST(count(*) AS BIGINT) AS h
+  FROM d JOIN qe USING (t) GROUP BY 1, 2),
+m AS (
+  SELECT doc_id, hits.query_id FROM hits
+  JOIN qn USING (query_id) WHERE h = n_terms)
+SELECT query_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS docid_sum
+FROM m GROUP BY 1 ORDER BY query_id
+"""

@@ -1136,3 +1136,22 @@ def test_decision_stump_perfect_split(spark):
     assert best["score"] == 5.0
     assert all(r["n_right"] > 0 for r in out)
     assert len(out) == 3  # thresholds 1, 2, 5 (9 = no-split, excluded)
+
+
+def test_percolate_conjunctive_containment(spark):
+    """All terms must be present; duplicate query terms don't inflate
+    the hit requirement; token match is on distinct lowercased words."""
+    from db_factfinder_spark.llmdata.textstats import percolate
+
+    docs = spark.createDataFrame(
+        [(1, "Alpha beta gamma"), (2, "alpha alpha delta"), (3, "beta")],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [(10, ["alpha", "beta"]), (11, ["alpha", "alpha"]),
+         (12, ["missing"])],
+        "query_id long, terms array<string>",
+    )
+    got = {(r["doc_id"], r["query_id"])
+           for r in percolate(docs, qdf).collect()}
+    assert got == {(1, 10), (1, 11), (2, 11)}
