@@ -7143,6 +7143,36 @@ def q284_percolate_routing(spark, sf_dir):
     )
 
 
+def q285_coordinated_sample_join(spark, sf_dir):
+    """Coordinated sampling demo (see coordinated_sample): orders AND
+    lineitem each keep the same md5-bucket eighth OF THE JOIN KEY, so
+    joining the samples equals sampling the join — exactly, which is
+    what the oracle verifies by computing the OTHER side of the
+    identity (filter after the full join).  Fixed-point revenue per
+    priority over the sampled eighth."""
+    from db_factfinder_spark.llmdata.sampling import coordinated_sample
+
+    orders = coordinated_sample(
+        _t(spark, sf_dir, "orders"), "o_orderkey", 0.125
+    )
+    li = coordinated_sample(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", 0.125
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).alias("revenue_fp"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7432,6 +7462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q282_retention_sweep": q282_retention_sweep,
         "q283_decision_stump": q283_decision_stump,
         "q284_percolate_routing": q284_percolate_routing,
+        "q285_coordinated_sample_join": q285_coordinated_sample_join,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -532,3 +532,22 @@ def negative_sample(
         .filter(F.col("__rk") <= k)
         .select(user_col, item_col, "slot")
     )
+
+
+def coordinated_sample(
+    df, join_key: str, fraction: float, buckets: int = 10_000
+):
+    """Join-consistent (coordinated) sample: filter on the JOIN KEY's
+    stable hash bucket, not the row id.
+
+    Debug subsets of a 100 TB star schema are useless if sampled fact
+    rows lose their dimension partners; sampling every table by the
+    SAME hash of the SAME join key guarantees the identity
+    ``sample(A) ⋈ sample(B) = sample(A ⋈ B)`` — exactly, not in
+    expectation — because a key is either wholly in or wholly out on
+    every side.  This is :func:`deterministic_sample`'s mask applied
+    to a foreign key; the wrapper exists to name the contract (and the
+    q285 oracle proves the identity by computing the OTHER side of
+    it).  Purely map-side; composes with partition pruning.
+    """
+    return df.filter(deterministic_sample(join_key, fraction, buckets))

@@ -7369,3 +7369,21 @@ SELECT query_id, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(doc_id) AS BIGINT) AS docid_sum
 FROM m GROUP BY 1 ORDER BY query_id
 """
+
+
+# q285: coordinated sampling — the oracle computes the OTHER side of
+# the identity: sample AFTER the full join, same join-key bucket mask.
+ORACLES["q285_coordinated_sample_join"] = """
+WITH j AS (
+  SELECT o_orderkey, o_orderpriority, l_extendedprice, l_discount
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+s AS (
+  SELECT * FROM j
+  WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 7))::BIGINT
+          % 10000 < 1250)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0
+                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_fp
+FROM s GROUP BY 1 ORDER BY o_orderpriority
+"""

@@ -1155,3 +1155,26 @@ def test_percolate_conjunctive_containment(spark):
     got = {(r["doc_id"], r["query_id"])
            for r in percolate(docs, qdf).collect()}
     assert got == {(1, 10), (1, 11), (2, 11)}
+
+
+def test_coordinated_sample_join_identity(spark):
+    """sample(A) ⋈ sample(B) == sample(A ⋈ B) — exactly, row for row —
+    when both sides sample the same hash of the join key."""
+    from db_factfinder_spark.llmdata.sampling import (
+        coordinated_sample,
+        deterministic_sample,
+    )
+
+    a = spark.createDataFrame(
+        [(k, k * 10) for k in range(200)], "k long, va long"
+    )
+    b = spark.createDataFrame(
+        [(k, k + 1) for k in range(0, 200, 2)], "k long, vb long"
+    )
+    left = coordinated_sample(a, "k", 0.3).join(
+        coordinated_sample(b, "k", 0.3), "k"
+    )
+    right = a.join(b, "k").filter(deterministic_sample("k", 0.3))
+    lrows = sorted(map(tuple, left.collect()))
+    rrows = sorted(map(tuple, right.collect()))
+    assert lrows == rrows and len(lrows) > 0
