@@ -408,6 +408,16 @@ def test_partition_invariance_of_order_sensitive_queries(spark):
         "q245_kcore_prune",
         "q246_kmv_intersect",
         "q256_asof_directions",
+        # round-6 late additions: global/grouped largest-remainder
+        # ranks, HITS top-k ties, medoid argmin, min-struct walk picks,
+        # waterline windows, Gini stump rank
+        "q268_largest_remainder",
+        "q270_hits_authorities",
+        "q277_group_medoids",
+        "q278_deterministic_walks",
+        "q279_maxmin_fair_quota",
+        "q281_topdown_reconcile",
+        "q283_decision_stump",
     ]
     before = {}
     for name in targets:
