@@ -232,3 +232,60 @@ def test_round6_ladder_linear_and_shuffle_stable(spark, tmp_path):
             f"{name}: 6x data took {t[6]:.1f}s vs 1x {t[1]:.1f}s "
             f"(bound {bound:.1f}s) — superlinear growth"
         )
+
+
+def _write_scaled_orders(spark, k: int, out_dir: str) -> None:
+    # orderkey offsets MATCH _write_scaled_lineitem's (i·1e9) so the
+    # orders⋈lineitem joins still pair within each replica
+    o = spark.read.parquet(f"{BASE}/orders.parquet")
+    parts = [
+        o.select(
+            (F.col("o_orderkey") + F.lit(i * 1_000_000_000)).alias(
+                "o_orderkey"
+            ),
+            (F.col("o_custkey") + F.lit(i * 10_000_000)).alias(
+                "o_custkey"
+            ),
+            *[c for c in o.columns
+              if c not in ("o_orderkey", "o_custkey")],
+        )
+        for i in range(k)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+
+@pytest.mark.slow
+def test_round6_late_ladder_linear_and_shuffle_stable(spark, tmp_path):
+    """Late round-6 operators under the ladder discipline: FIFO's
+    cumulative-axis join scales with lineitems per part (replicas add
+    parts, not per-part depth), the walks' per-step joins with edges,
+    the stump's window with distinct bands."""
+    scales = (1, 6)
+    dirs = {}
+    for k in scales:
+        d = str(tmp_path / f"r6lx{k}")
+        _write_scaled_lineitem(spark, k, d)
+        _write_scaled_orders(spark, k, d)
+        dirs[k] = d
+
+    for name in ["q272_fifo_cogs", "q278_deterministic_walks",
+                 "q283_decision_stump"]:
+        t, ex = {}, {}
+        for k in scales:
+            df = QUERIES[name](spark, dirs[k])
+            ex[k] = _exchanges(spark, df)
+            t0 = time.perf_counter()
+            _force(df)
+            t[k] = time.perf_counter() - t0
+        assert ex[6] == ex[1], (
+            f"{name}: plan not shuffle-stable across scale "
+            f"({ex[1]} vs {ex[6]} exchanges)"
+        )
+        bound = 6 * 2.5 * t[1] + 3.0
+        assert t[6] <= bound, (
+            f"{name}: 6x data took {t[6]:.1f}s vs 1x {t[1]:.1f}s "
+            f"(bound {bound:.1f}s) — superlinear growth"
+        )
