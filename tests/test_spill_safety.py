@@ -31,6 +31,11 @@ NAMES = [
     # spills first
     "q189_gini_concentration",
     "q194_linear_attribution",
+    # late round-6: the medoid's within-group pair join + argmin
+    # window and FIFO's cumulative windows + keyed overlap join are
+    # the new largest sort buffers
+    "q272_fifo_cogs",
+    "q277_group_medoids",
 ]
 
 _CHILD = r"""
