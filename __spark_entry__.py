@@ -7173,6 +7173,31 @@ def q285_coordinated_sample_join(spark, sf_dir):
     )
 
 
+def q286_lateness_audit(spark, sf_dir):
+    """Watermark sizing study (see watermark_lateness_audit): events
+    arrive in event_id order but carry event times up to 12 minutes
+    behind their slot (deterministic jitter), and the audit answers
+    how many rows each candidate watermark delay (0s/1m/5m/10m) would
+    drop — the capacity study run on history before touching the
+    streaming job."""
+    from db_factfinder_spark.operators.timeseries import (
+        watermark_lateness_audit,
+    )
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.col("event_id").alias("arrival"),
+        (
+            F.unix_micros(F.col("ts"))
+            - (F.col("event_id") % 13) * F.lit(60000000)
+        ).alias("ets"),
+    )
+    return watermark_lateness_audit(
+        ev, "event_type", "ets", "arrival",
+        delays=[0, 60000000, 300000000, 600000000],
+    ).orderBy("delay")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7463,6 +7488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q283_decision_stump": q283_decision_stump,
         "q284_percolate_routing": q284_percolate_routing,
         "q285_coordinated_sample_join": q285_coordinated_sample_join,
+        "q286_lateness_audit": q286_lateness_audit,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -1046,3 +1046,60 @@ def sax_symbols(
             "sax",
         )
     )
+
+
+def watermark_lateness_audit(
+    df: DataFrame,
+    key_col: str,
+    event_ts_col: str,
+    arrival_col: str,
+    delays: list[int],
+) -> DataFrame:
+    """How late does this stream actually run?  The sizing study for
+    a Structured Streaming watermark, computed from history.
+
+    An event is DROPPED at watermark delay *d* iff the maximum event
+    time already seen on its key when it arrives exceeds its own event
+    time by more than *d* — so the audit is one running max over
+    ARRIVAL order (a different order than event time: that disorder is
+    the whole phenomenon) and one comparison per candidate delay.
+    Feeding it the proposed delays answers "what loss rate does a
+    5-minute watermark buy me" before any streaming job restarts.
+
+    ``event_ts_col``/``arrival_col``/``delays`` are exact integers in
+    the caller's unit.  Returns one row per delay: ``delay, n_late,
+    n_events`` (``n_late`` = events strictly later than ``delay``).
+
+    Scale: one window pass partitioned by key (per-key arrival order
+    is what a partitioned source preserves), then a single aggregate
+    — the delay sweep is a fixed-width column list, not a join.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(arrival_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = df.select(
+        (
+            F.max(F.col(event_ts_col)).over(w) - F.col(event_ts_col)
+        ).alias("__late")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")] + [
+        F.sum(F.when(F.col("__late") > d, 1).otherwise(0)).alias(
+            f"late_{d}"
+        )
+        for d in delays
+    ]
+    wide = late.agg(*aggs)
+    rows = [
+        wide.select(
+            F.lit(d).alias("delay"),
+            F.col(f"late_{d}").alias("n_late"),
+            F.col("n_events"),
+        )
+        for d in delays
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -7387,3 +7387,36 @@ SELECT o_orderpriority,
                            + 0.5) AS BIGINT)) AS BIGINT) AS revenue_fp
 FROM s GROUP BY 1 ORDER BY o_orderpriority
 """
+
+
+# q286: watermark lateness audit — running max over ARRIVAL order per
+# key; dropped iff (seen max − event time) > delay.
+ORACLES["q286_lateness_audit"] = """
+WITH ev AS (
+  SELECT event_type, event_id AS arrival,
+         epoch_us(ts) - (event_id % 13) * 60000000 AS ets
+  FROM events),
+l AS (
+  SELECT max(ets) OVER (PARTITION BY event_type ORDER BY arrival
+           ROWS UNBOUNDED PRECEDING) - ets AS late
+  FROM ev),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS l0,
+         CAST(sum(CASE WHEN late > 60000000 THEN 1 ELSE 0 END)
+           AS BIGINT) AS l1,
+         CAST(sum(CASE WHEN late > 300000000 THEN 1 ELSE 0 END)
+           AS BIGINT) AS l5,
+         CAST(sum(CASE WHEN late > 600000000 THEN 1 ELSE 0 END)
+           AS BIGINT) AS l10
+  FROM l)
+SELECT CAST(0 AS BIGINT) AS delay, l0 AS n_late, n_events FROM agg
+UNION ALL
+SELECT 60000000, l1, n_events FROM agg
+UNION ALL
+SELECT 300000000, l5, n_events FROM agg
+UNION ALL
+SELECT 600000000, l10, n_events FROM agg
+ORDER BY delay
+"""

@@ -1178,3 +1178,21 @@ def test_coordinated_sample_join_identity(spark):
     lrows = sorted(map(tuple, left.collect()))
     rrows = sorted(map(tuple, right.collect()))
     assert lrows == rrows and len(lrows) > 0
+
+
+def test_watermark_lateness_hand_case(spark):
+    """Arrival order 1,2,3 with event times 100, 40, 90: seen-max at
+    each arrival is 100 → latenesses 0, 60, 10.  delay 0 drops 2,
+    delay 30 drops 1, delay 60 drops 0 (strictly-greater rule)."""
+    from db_factfinder_spark.operators.timeseries import (
+        watermark_lateness_audit,
+    )
+
+    df = spark.createDataFrame(
+        [("k", 1, 100), ("k", 2, 40), ("k", 3, 90)],
+        "key string, arrival long, ets long",
+    )
+    out = {r["delay"]: r["n_late"] for r in watermark_lateness_audit(
+        df, "key", "ets", "arrival", delays=[0, 30, 60]
+    ).collect()}
+    assert out == {0: 2, 30: 1, 60: 0}
