@@ -572,10 +572,10 @@ def bipartite_label_propagation(
     fully determine the winner), so the result is partition-invariant
     without any float scoring.
 
-    Returns ``u, label, votes, n_seeds_reached`` for left nodes that
-    were NOT seeds but received at least one vote: ``votes`` is the
-    winning label's count, ``n_seeds_reached`` the number of distinct
-    right-side neighbors that carried any label.
+    Returns ``u, label, votes, n_labeled_neighbors`` for left nodes
+    that were NOT seeds but received at least one vote: ``votes`` is
+    the winning label's count, ``n_labeled_neighbors`` the number of
+    distinct right-side neighbors that carried any label.
 
     Scale shape: two keyed groupBys and two equi-joins — no iteration
     state beyond the (node, label) vote frame, which is at most
@@ -649,8 +649,10 @@ def hits_scores(
     round is two keyed aggregate+join shuffles, no driver state.
 
     Returns ``node, authority, hub`` for every node that appears on
-    either side (missing side scores 0).
+    either side (missing side scores 0).  ``iterations`` must be ≥ 1.
     """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     hub = e.select(F.col("s").alias("n")).distinct().withColumn(
         "h", F.lit(1).cast("long")

@@ -1074,6 +1074,8 @@ def watermark_lateness_audit(
     is what a partitioned source preserves), then a single aggregate
     — the delay sweep is a fixed-width column list, not a join.
     """
+    if not delays:
+        raise ValueError("delays must be non-empty")
     w = (
         Window.partitionBy(key_col)
         .orderBy(arrival_col)
