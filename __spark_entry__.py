@@ -7198,6 +7198,42 @@ def q286_lateness_audit(spark, sf_dir):
     ).orderBy("delay")
 
 
+def q287_churn_labels(spark, sf_dir):
+    """Leakage-safe churn labeling (see churn_labels): each user's
+    last event per epoch-week is labeled churned iff their next event
+    is more than 1 day away (or never comes) — the label window is
+    strictly future-of-row by construction, so no at-or-before feature
+    can leak into it.  Output is the weekly churn-rate census."""
+    from db_factfinder_spark.operators.funnel import churn_labels
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ets"),
+        F.expr(
+            "unix_micros(ts) DIV 86400000000 DIV 7"
+        ).alias("wk"),
+    ).distinct()
+    lab = churn_labels(
+        ev, "user_id", "ets",
+        horizon=86400 * 1000000,
+        period_col=F.col("wk"),
+    )
+    return (
+        lab.groupBy("period")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias(
+                "n_churned"
+            ),
+            F.sum(
+                F.when(F.col("next_gap").isNull(), 1).otherwise(0)
+            ).alias("n_no_return"),
+            F.sum(F.coalesce("next_gap", F.lit(0))).alias("tot_gap_us"),
+        )
+        .orderBy("period")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7489,6 +7525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q284_percolate_routing": q284_percolate_routing,
         "q285_coordinated_sample_join": q285_coordinated_sample_join,
         "q286_lateness_audit": q286_lateness_audit,
+        "q287_churn_labels": q287_churn_labels,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

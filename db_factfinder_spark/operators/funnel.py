@@ -543,3 +543,61 @@ def sequential_triples(
         F.count(F.lit(1)).alias("n_triples"),
         F.countDistinct("__k").alias("n_keys"),
     )
+
+
+def churn_labels(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    horizon: int,
+    period_col=None,
+) -> DataFrame:
+    """Leakage-safe churn labels: did the user go quiet for ``horizon``
+    after this activity?
+
+    The training-label generator for churn models, built so the label
+    can only see the FUTURE relative to its own row — ``churned`` is
+    true iff the user's next event is more than ``horizon`` time units
+    away (or never comes).  Computing it from the ordered per-user
+    event sequence (one ``lead`` window) makes leakage structurally
+    impossible: no feature computed at-or-before the row's timestamp
+    can overlap the label window.
+
+    ``ts_col`` is an exact integer (epoch µs, day number — caller's
+    unit, ``horizon`` matches).  Returns the input keys plus
+    ``next_gap`` (NULL when no later event) and ``churned``.
+
+    If ``period_col`` is given (a Column, e.g. a month number), only
+    each user's LAST event per period is labeled — the snapshot
+    formulation ("active in month M, silent for horizon after their
+    last touch") that avoids double-counting heavy users.
+
+    Rows must be unique per (user, ts): with exact-duplicate
+    timestamps the lead gap and the per-period last-row pick would be
+    ordering-ambiguous — dedupe activity instants upstream.
+
+    Scale: one window over (user, ts) — the same partitioning every
+    sessionization pass already uses.
+    """
+    w = Window.partitionBy("__u").orderBy("__t")
+    base = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).cast("long").alias("__t"),
+        *([] if period_col is None else [period_col.alias("__p")]),
+    ).withColumn("__next", F.lead("__t").over(w))
+    if period_col is not None:
+        wp = Window.partitionBy("__u", "__p").orderBy(F.desc("__t"))
+        base = base.withColumn(
+            "__rk", F.row_number().over(wp)
+        ).filter(F.col("__rk") == 1)
+    out = base.select(
+        F.col("__u").alias(user_col),
+        F.col("__t").alias(ts_col),
+        *([] if period_col is None else [F.col("__p").alias("period")]),
+        (F.col("__next") - F.col("__t")).alias("next_gap"),
+        (
+            F.col("__next").isNull()
+            | (F.col("__next") - F.col("__t") > horizon)
+        ).alias("churned"),
+    )
+    return out

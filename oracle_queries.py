@@ -7420,3 +7420,35 @@ UNION ALL
 SELECT 600000000, l10, n_events FROM agg
 ORDER BY delay
 """
+
+
+# q287: churn labels — lead over per-user event instants, week-end
+# snapshot (last instant per epoch-week), 1-day horizon.
+ORACLES["q287_churn_labels"] = """
+WITH ev AS (
+  SELECT DISTINCT user_id, epoch_us(ts) AS ets,
+         epoch_us(ts) // 86400000000 // 7 AS wk
+  FROM events),
+led AS (
+  SELECT user_id, ets, wk,
+         lead(ets) OVER (PARTITION BY user_id ORDER BY ets) AS nxt
+  FROM ev),
+snap AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, wk ORDER BY ets DESC) AS rk
+    FROM led)
+  WHERE rk = 1),
+lab AS (
+  SELECT wk AS period, nxt - ets AS next_gap,
+         (nxt IS NULL OR nxt - ets > 86400000000::BIGINT) AS churned
+  FROM snap)
+SELECT CAST(period AS BIGINT) AS period,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_churned,
+       CAST(sum(CASE WHEN next_gap IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_no_return,
+       CAST(sum(coalesce(next_gap, 0)) AS BIGINT) AS tot_gap_us
+FROM lab GROUP BY 1 ORDER BY period
+"""

@@ -1196,3 +1196,30 @@ def test_watermark_lateness_hand_case(spark):
         df, "key", "ets", "arrival", delays=[0, 30, 60]
     ).collect()}
     assert out == {0: 2, 30: 1, 60: 0}
+
+
+def test_churn_labels_future_window_only(spark):
+    """Labels see only the future: gap to the NEXT event decides; the
+    per-period snapshot keeps each user's last row per period; the
+    final event labels churned with NULL gap."""
+    from db_factfinder_spark.operators.funnel import churn_labels
+
+    # user 1: t=10 (p0), t=12 (p0), t=30 (p1)  — horizon 5
+    df = spark.createDataFrame(
+        [(1, 10, 0), (1, 12, 0), (1, 30, 1), (2, 11, 0)],
+        "u long, t long, p long",
+    )
+    out = {(r["u"], r["period"]): r for r in churn_labels(
+        df, "u", "t", horizon=5, period_col=F.col("p")
+    ).collect()}
+    # user1 p0 snapshot = t=12 (not t=10), next=30 → gap 18 > 5 churned
+    assert out[(1, 0)]["t"] == 12 and out[(1, 0)]["next_gap"] == 18
+    assert out[(1, 0)]["churned"]
+    # user1 p1 last event: no next → churned, NULL gap
+    assert out[(1, 1)]["churned"] and out[(1, 1)]["next_gap"] is None
+    assert out[(2, 0)]["churned"]
+    # unsnapshotted variant labels every row
+    allrows = churn_labels(df, "u", "t", horizon=30).collect()
+    assert len(allrows) == 4
+    assert all(not r["churned"] or r["next_gap"] is None
+               for r in allrows)
