@@ -7234,6 +7234,38 @@ def q287_churn_labels(spark, sf_dir):
     )
 
 
+def q288_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking storage-dedup estimate (see
+    cdc_chunks): every document splits at content-anchored boundaries
+    (md5-of-8-gram & 63 == 0, ~64-char expected chunks), then chunk
+    fingerprints dedup per source — the what-would-a-chunk-store-save
+    report, insertion-shift-resistant where fixed blocks are not."""
+    from db_factfinder_spark.llmdata.dedup import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    ch = cdc_chunks(docs.select("doc_id", "text"))
+    fp = (
+        ch.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", F.md5("chunk").alias("f"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("chunk_len").alias("l"),
+        )
+    )
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum(F.col("cnt") * F.col("l")).alias("bytes_total"),
+            F.sum("l").alias("bytes_unique"),
+        )
+        .orderBy("source")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7526,6 +7558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q285_coordinated_sample_join": q285_coordinated_sample_join,
         "q286_lateness_audit": q286_lateness_audit,
         "q287_churn_labels": q287_churn_labels,
+        "q288_cdc_chunk_dedup": q288_cdc_chunk_dedup,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -1385,3 +1385,70 @@ def char_shingles(text: Column | str, n: int = 4) -> Column:
         ).otherwise(F.array().cast("array<string>"))
 
     return let(normalize_text(text), build)
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    mask: int = 63,
+) -> DataFrame:
+    """Content-defined chunking — the storage-dedup splitter
+    (LBFS/restic/borg family): a chunk boundary falls AFTER position
+    *i* iff the hash of the ``window``-gram ending at *i* satisfies
+    ``h & mask == 0``, so boundaries are anchored to CONTENT, not
+    offsets — inserting one byte shifts one chunk, not every chunk
+    after it (the fixed-size-block failure CDC exists to avoid).
+
+    The per-position hash is the engine's md5-literal idiom (first 28
+    bits of md5 of the substring), expression-only: one
+    ``transform(sequence)`` over positions, a filter to boundary
+    offsets, and a ``zip_with`` over adjacent boundaries to slice the
+    chunks — zero joins, zero shuffles, no Python.  Texts shorter than
+    ``window`` form one whole-text chunk.  Expected chunk length is
+    ``mask + 1`` characters.
+
+    Returns one row per chunk: ``{id_col}, chunk_idx, chunk,
+    chunk_len``.  Downstream chunk-level dedup is a plain hash groupBy
+    on ``md5(chunk)`` — see q288.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    pos_hash_ok = lambda i: (  # noqa: E731 — md5 28-bit of window at i
+        F.conv(
+            F.substring(
+                F.md5(t.substr(i - window + 1, F.lit(window))), 1, 7
+            ),
+            16, 10,
+        ).cast("long")
+        % F.lit(mask + 1)
+        == 0
+    )
+    # candidate cut offsets: after position i for i in [window, n-1]
+    # (a boundary at n would duplicate the final sentinel)
+    cuts = F.when(
+        n >= window + 1,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(window), n - 1),
+                lambda i: F.when(pos_hash_ok(i), i).otherwise(F.lit(-1)),
+            ),
+            lambda x: x >= 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.concat(
+        F.array(F.lit(0).cast("int")),
+        cuts.cast("array<int>"),
+        F.array(n.cast("int")),
+    )
+    chunks = F.zip_with(
+        F.slice(bounds, 1, F.size(bounds) - 1),
+        F.slice(bounds, 2, F.size(bounds) - 1),
+        lambda s, e: t.substr(s + 1, e - s),
+    )
+    return docs.select(
+        id_col, F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select(
+        id_col, "chunk_idx", "chunk", F.length("chunk").alias("chunk_len")
+    )

@@ -7452,3 +7452,42 @@ SELECT CAST(period AS BIGINT) AS period,
        CAST(sum(coalesce(next_gap, 0)) AS BIGINT) AS tot_gap_us
 FROM lab GROUP BY 1 ORDER BY period
 """
+
+
+# q288: CDC chunk dedup — content-anchored boundaries (md5 of the
+# 8-gram ending at i, & 63 == 0), per-source fingerprint dedup.
+ORACLES["q288_cdc_chunk_dedup"] = """
+WITH d AS (
+  SELECT doc_id, source, text, length(text) AS n
+  FROM documents WHERE length(text) > 0),
+cuts AS (
+  SELECT doc_id, source, text, n,
+         CASE WHEN n >= 9 THEN list_filter(
+           list_transform(range(8, n), i ->
+             CASE WHEN ('0x' || substr(md5(substr(text, CAST(i AS INT)
+                          - 7, 8)), 1, 7))::BIGINT % 64 = 0
+                  THEN i ELSE -1 END),
+           x -> x >= 0)
+         ELSE []::BIGINT[] END AS c
+  FROM d),
+b AS (
+  SELECT doc_id, source, text,
+         list_concat(list_concat([0::BIGINT], c), [n::BIGINT]) AS bs
+  FROM cuts),
+ch AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(2, len(bs) + 1), j ->
+           substr(text, CAST(bs[CAST(j AS INT) - 1] AS INT) + 1,
+                  CAST(bs[CAST(j AS INT)] - bs[CAST(j AS INT) - 1]
+                       AS INT)))) AS chunk
+  FROM b),
+fp AS (
+  SELECT source, md5(chunk) AS f, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(min(length(chunk)) AS BIGINT) AS l
+  FROM ch GROUP BY 1, 2)
+SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(sum(cnt * l) AS BIGINT) AS bytes_total,
+       CAST(sum(l) AS BIGINT) AS bytes_unique
+FROM fp GROUP BY 1 ORDER BY source
+"""

@@ -1223,3 +1223,31 @@ def test_churn_labels_future_window_only(spark):
     assert len(allrows) == 4
     assert all(not r["churned"] or r["next_gap"] is None
                for r in allrows)
+
+
+def test_cdc_chunks_reassemble_and_shift_resist(spark):
+    """Chunks concatenate back to the exact original text, and a
+    prefix-length change leaves most shared-suffix chunks identical
+    (the property fixed-size blocks lack)."""
+    from collections import defaultdict
+
+    from db_factfinder_spark.llmdata.dedup import cdc_chunks
+
+    shared = " ".join(f"word{i}" for i in range(120))
+    rows = [(1, "x" * 50 + " " + shared), (2, "y" * 53 + " " + shared),
+            (3, "short"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cdc_chunks(df).collect()
+    parts = defaultdict(list)
+    for r in out:
+        parts[r["doc_id"]].append((r["chunk_idx"], r["chunk"]))
+        assert r["chunk_len"] == len(r["chunk"])
+    for d, txt in rows:
+        joined = "".join(c for _, c in sorted(parts.get(d, [])))
+        assert joined == txt
+    s1 = {c for _, c in parts[1]}
+    s2 = {c for _, c in parts[2]}
+    shared_bytes = sum(map(len, s1 & s2))
+    assert shared_bytes > 0.7 * len(rows[0][1])
+    # sub-window text = one whole chunk
+    assert parts[3] == [(0, "short")]
