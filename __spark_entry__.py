@@ -7266,6 +7266,26 @@ def q288_cdc_chunk_dedup(spark, sf_dir):
     )
 
 
+def q289_diversified_topn(spark, sf_dir):
+    """Diversified leaderboard (see diversified_topn): the global
+    top-40 orders by price with a 2-slot floor per order priority —
+    every category is represented before the best-overall fill, the
+    feed-diversity rule a pure top-N can't express.  All ranks keyed
+    (score desc, key asc), so the page is partition-invariant."""
+    from db_factfinder_spark.operators.ranking import diversified_topn
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderkey").alias("okey"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return diversified_topn(
+        orders, "prio", "cents", "okey", n=40, floor_per_group=2
+    ).orderBy("sel_rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7559,6 +7579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q286_lateness_audit": q286_lateness_audit,
         "q287_churn_labels": q287_churn_labels,
         "q288_cdc_chunk_dedup": q288_cdc_chunk_dedup,
+        "q289_diversified_topn": q289_diversified_topn,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -177,3 +177,58 @@ def topn_plus_other(
             F.sum("__t").alias("measure_total"),
         )
     )
+
+
+def diversified_topn(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    n: int,
+    floor_per_group: int = 1,
+) -> DataFrame:
+    """Global top-N with per-group representation floors — the
+    feed-diversification rule (every category gets at least
+    ``floor_per_group`` slots, the rest go to the best overall).
+
+    Two deterministic passes: each group's top ``floor_per_group``
+    items (score desc, id asc) are guaranteed in; the remaining
+    ``n − floor-taken`` slots fill from the leftovers by global score
+    order.  If the floors alone exceed ``n`` they are all kept (the
+    floor is a guarantee, not a cap) and no fill happens.  All ranks
+    are (score, id)-keyed, so the selection is partition-invariant.
+
+    Returns ``{group_col}, {id_col}, {score_col}, via, sel_rank``
+    where ``via`` ∈ {'floor', 'fill'} and ``sel_rank`` orders the
+    final selection by (score desc, id asc).
+
+    Scale: one per-group window, one global rank over the floor
+    REMAINDER only (the already-small non-floor candidates can be
+    pre-pruned by per-group caps upstream), one scalar broadcast.
+    """
+    wg = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    ranked = df.select(group_col, id_col, score_col).withColumn(
+        "__rg", F.row_number().over(wg)
+    )
+    floors = ranked.filter(F.col("__rg") <= floor_per_group)
+    n_floor = floors.agg(F.count(F.lit(1)).alias("__nf"))
+    rest = ranked.filter(F.col("__rg") > floor_per_group)
+    wfill = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    fills = (
+        rest.withColumn("__rf", F.row_number().over(wfill))
+        .crossJoin(F.broadcast(n_floor))
+        .filter(F.col("__rf") <= F.greatest(
+            F.lit(n) - F.col("__nf"), F.lit(0)
+        ))
+    )
+    sel = floors.select(
+        group_col, id_col, score_col, F.lit("floor").alias("via")
+    ).unionByName(
+        fills.select(
+            group_col, id_col, score_col, F.lit("fill").alias("via")
+        )
+    )
+    wsel = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    return sel.withColumn("sel_rank", F.row_number().over(wsel))

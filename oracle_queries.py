@@ -7491,3 +7491,31 @@ SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chunks,
        CAST(sum(l) AS BIGINT) AS bytes_unique
 FROM fp GROUP BY 1 ORDER BY source
 """
+
+
+# q289: diversified top-N — per-group floors then best-overall fill,
+# every rank (score desc, key asc)-keyed.
+ORACLES["q289_diversified_topn"] = """
+WITH o AS (
+  SELECT o_orderpriority AS prio, o_orderkey AS okey,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+r AS (
+  SELECT prio, okey, cents,
+         row_number() OVER (PARTITION BY prio
+           ORDER BY cents DESC, okey ASC) AS rg
+  FROM o),
+fl AS (SELECT prio, okey, cents, 'floor' AS via FROM r WHERE rg <= 2),
+nf AS (SELECT CAST(count(*) AS BIGINT) AS n_floor FROM fl),
+fi AS (
+  SELECT prio, okey, cents, 'fill' AS via FROM (
+    SELECT r.*, row_number() OVER (
+      ORDER BY cents DESC, okey ASC) AS rf
+    FROM r WHERE rg > 2) CROSS JOIN nf
+  WHERE rf <= greatest(40 - n_floor, 0)),
+sel AS (SELECT * FROM fl UNION ALL SELECT * FROM fi)
+SELECT prio, okey, cents, via,
+       CAST(row_number() OVER (ORDER BY cents DESC, okey ASC)
+         AS BIGINT) AS sel_rank
+FROM sel ORDER BY sel_rank
+"""

@@ -1251,3 +1251,26 @@ def test_cdc_chunks_reassemble_and_shift_resist(spark):
     assert shared_bytes > 0.7 * len(rows[0][1])
     # sub-window text = one whole chunk
     assert parts[3] == [(0, "short")]
+
+
+def test_diversified_topn_floors_and_fill(spark):
+    """Every group keeps its floor even when globally outscored; the
+    fill takes best-overall leftovers; floors exceeding n suppress
+    fill entirely."""
+    from db_factfinder_spark.operators.ranking import diversified_topn
+
+    rows = [("a", 1, 100), ("a", 2, 99), ("a", 3, 98),
+            ("b", 4, 5), ("b", 5, 4), ("c", 6, 1)]
+    df = spark.createDataFrame(rows, "g string, i long, s long")
+    out = {r["i"]: r for r in
+           diversified_topn(df, "g", "s", "i", n=4,
+                            floor_per_group=1).collect()}
+    # floors: 1 (a), 4 (b), 6 (c); fill 1 slot → item 2 (s=99)
+    assert set(out) == {1, 4, 6, 2}
+    assert out[6]["via"] == "floor" and out[2]["via"] == "fill"
+    assert out[1]["sel_rank"] == 1 and out[6]["sel_rank"] == 4
+    # floors exceed n → all floors kept, no fill
+    big = diversified_topn(df, "g", "s", "i", n=2,
+                           floor_per_group=1).collect()
+    assert {r["i"] for r in big} == {1, 4, 6}
+    assert all(r["via"] == "floor" for r in big)
