@@ -7286,6 +7286,23 @@ def q289_diversified_topn(spark, sf_dir):
     ).orderBy("sel_rank")
 
 
+def q290_generalization_search(spark, sf_dir):
+    """Anonymization-design sweep (see generalization_search): how
+    coarse must the balance band be before (nation, band) classes
+    reach k=5?  Reports the whole utility/privacy frontier (classes,
+    min size, at-risk count per candidate width) so the reviewer sees
+    the trade-off, not just the winner."""
+    from db_factfinder_spark.llmdata.redact import generalization_search
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", (F.col("c_acctbal") + 1000).alias("bal_pos")
+    )
+    return generalization_search(
+        cust, ["c_nationkey"], "bal_pos",
+        widths=[100, 500, 1000, 2500, 5000, 20000], k=5,
+    ).orderBy("width")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7580,6 +7597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q287_churn_labels": q287_churn_labels,
         "q288_cdc_chunk_dedup": q288_cdc_chunk_dedup,
         "q289_diversified_topn": q289_diversified_topn,
+        "q290_generalization_search": q290_generalization_search,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

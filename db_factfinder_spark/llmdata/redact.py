@@ -160,3 +160,51 @@ def k_anonymity_audit(
         "at_risk",
         (F.col("class_size") < F.lit(k)) | (F.col("l_distinct") < 2),
     )
+
+
+def generalization_search(
+    df,
+    key_cols: list[str],
+    numeric_col: str,
+    widths: list[int],
+    k: int,
+):
+    """Pick the FINEST generalization band width that achieves
+    k-anonymity — the anonymization-design step before
+    ``k_anonymity_audit`` signs the release.
+
+    Privacy engineering generalizes quasi-identifiers (bucket the
+    salary, truncate the zip) until every equivalence class holds ≥ k
+    rows; publishing coarser than necessary destroys utility, finer
+    leaks.  This evaluates every candidate width in ONE pass each
+    (bucket = value DIV width, then a class-size min/histogram
+    aggregate) and reports per width: ``width, n_classes,
+    min_class_size, n_at_risk, achieves_k`` — the utility/privacy
+    frontier, not just the winner, so the reviewer sees the trade-off.
+
+    Scale: one groupBy per candidate width over (key_cols, bucket) —
+    a fixed-width sweep of independent aggregates unioned at the end;
+    candidates are a handful, data is scanned once per candidate (or
+    cache the projected frame upstream).
+    """
+    out = None
+    for w in widths:
+        # floor (not DIV): floor division is the same in every engine
+        # for negatives, where truncating DIV would disagree
+        classes = df.groupBy(
+            *key_cols,
+            F.floor(F.col(numeric_col) / F.lit(w))
+            .cast("long")
+            .alias("__band"),
+        ).agg(F.count(F.lit(1)).alias("__size"))
+        row = classes.agg(
+            F.lit(w).alias("width"),
+            F.count(F.lit(1)).alias("n_classes"),
+            F.min("__size").alias("min_class_size"),
+            F.sum(F.when(F.col("__size") < k, 1).otherwise(0)).alias(
+                "n_at_risk"
+            ),
+            (F.min("__size") >= k).alias("achieves_k"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -7519,3 +7519,23 @@ SELECT prio, okey, cents, via,
          AS BIGINT) AS sel_rank
 FROM sel ORDER BY sel_rank
 """
+
+
+# q290: generalization sweep — floor-banded classes per candidate
+# width; the full utility/privacy frontier.
+ORACLES["q290_generalization_search"] = """
+WITH w AS (SELECT unnest([100, 500, 1000, 2500, 5000, 20000]) AS width),
+cls AS (
+  SELECT w.width, c_nationkey,
+         CAST(floor((c_acctbal + 1000) / w.width) AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS sz
+  FROM customer CROSS JOIN w
+  GROUP BY 1, 2, 3)
+SELECT CAST(width AS BIGINT) AS width,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(sz) AS BIGINT) AS min_class_size,
+       CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_at_risk,
+       (min(sz) >= 5) AS achieves_k
+FROM cls GROUP BY width ORDER BY width
+"""

@@ -1274,3 +1274,24 @@ def test_diversified_topn_floors_and_fill(spark):
                            floor_per_group=1).collect()
     assert {r["i"] for r in big} == {1, 4, 6}
     assert all(r["via"] == "floor" for r in big)
+
+
+def test_generalization_search_frontier(spark):
+    """Coarser widths shrink classes monotonically; the flag flips at
+    the first width whose smallest class reaches k; negative values
+    band by floor (same in both engines)."""
+    from db_factfinder_spark.llmdata.redact import generalization_search
+
+    df = spark.createDataFrame(
+        [("g", v) for v in [-5, 1, 2, 3, 11, 12, 13, 21]],
+        "k string, v long",
+    )
+    out = {r["width"]: r for r in generalization_search(
+        df, ["k"], "v", widths=[10, 100], k=3
+    ).collect()}
+    # width 10: bands -1:{-5}, 0:{1,2,3}, 1:{11,12,13}, 2:{21}
+    assert out[10]["n_classes"] == 4
+    assert out[10]["min_class_size"] == 1
+    assert out[10]["n_at_risk"] == 2 and not out[10]["achieves_k"]
+    # width 100: bands -1:{-5}, 0:{rest}
+    assert out[100]["n_classes"] == 2 and not out[100]["achieves_k"]
