@@ -7303,6 +7303,21 @@ def q290_generalization_search(spark, sf_dir):
     ).orderBy("width")
 
 
+def q291_vocab_coverage(spark, sf_dir):
+    """Tokenizer-budget curve (see vocab_coverage_curve): OOV rate at
+    candidate vocabulary sizes 4/8/16/32 over the ~31-term corpus —
+    the keep-the-top-k trade-off read off the corpus itself, ranks
+    deterministic under (freq desc, term asc)."""
+    from db_factfinder_spark.llmdata.textstats import (
+        vocab_coverage_curve,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage_curve(
+        docs, vocab_sizes=[4, 8, 16, 32]
+    ).orderBy("vocab_size")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7598,6 +7613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q288_cdc_chunk_dedup": q288_cdc_chunk_dedup,
         "q289_diversified_topn": q289_diversified_topn,
         "q290_generalization_search": q290_generalization_search,
+        "q291_vocab_coverage": q291_vocab_coverage,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

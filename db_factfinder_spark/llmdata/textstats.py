@@ -1230,3 +1230,60 @@ def percolate(
         .filter(F.col("__hits") == F.col("__n_terms"))
         .select(id_col, query_id_col)
     )
+
+
+def vocab_coverage_curve(
+    docs: DataFrame,
+    vocab_sizes: list[int],
+    text_col: str = "text",
+) -> DataFrame:
+    """OOV-rate-vs-vocab-size curve — the tokenizer-design trade-off.
+
+    For each candidate vocabulary size *k* (vocab = the *k* most
+    frequent corpus terms, ties by ascending term so the cut is
+    deterministic): what share of token OCCURRENCES falls outside it?
+    The curve decides vocabulary budgets the way the percentile grid
+    decides drift thresholds — from the corpus itself.
+
+    One term-frequency aggregate, one global rank over the DISTINCT
+    term frame (``global_rank``'s range-repartition plan — the frame
+    is |vocab|, not |corpus|), then one filtered aggregate per
+    candidate size (no cumulative global window — each k sums the
+    rank-≤-k frequencies directly, fully partial-aggregated).
+    ``oov_rate`` is the single terminal division per row.
+
+    Returns per size: ``vocab_size, covered_tokens, total_tokens,
+    oov_rate``.
+    """
+    from db_factfinder_spark.operators.ranking import global_rank
+
+    tf = (
+        docs.select(
+            F.explode(tokens(F.col(text_col))).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = global_rank(
+        tf.select((-F.col("freq")).alias("negfreq"), "t", "freq"),
+        ["negfreq", "t"],
+    )
+    tot = tf.agg(F.sum("freq").alias("total_tokens"))
+    out = None
+    for k in vocab_sizes:
+        at_k = (
+            ranked.filter(F.col("rank") <= k)
+            .agg(F.coalesce(F.sum("freq"), F.lit(0)).alias("covered"))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(k).alias("vocab_size"),
+                F.col("covered").alias("covered_tokens"),
+                "total_tokens",
+                (
+                    (F.col("total_tokens") - F.col("covered"))
+                    / F.col("total_tokens")
+                ).alias("oov_rate"),
+            )
+        )
+        out = at_k if out is None else out.unionByName(at_k)
+    return out

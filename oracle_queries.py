@@ -7539,3 +7539,31 @@ SELECT CAST(width AS BIGINT) AS width,
        (min(sz) >= 5) AS achieves_k
 FROM cls GROUP BY width ORDER BY width
 """
+
+
+# q291: vocab coverage — rank terms (freq desc, term asc), covered =
+# Σ freq at rank ≤ k, single terminal division for the OOV rate.
+# plain whitespace tokens (textstats.tokens: lower+trim+split)
+_NT_PLAIN = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+    " x -> x != '')"
+)
+ORACLES["q291_vocab_coverage"] = f"""
+WITH tok AS (
+  SELECT unnest({_NT_PLAIN}) AS t FROM documents),
+tf AS (SELECT t, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+r AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, t ASC) AS rank
+  FROM tf),
+tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total_tokens FROM tf),
+ks AS (SELECT unnest([4, 8, 16, 32]) AS k)
+SELECT CAST(k AS BIGINT) AS vocab_size,
+       CAST(coalesce(sum(CASE WHEN rank <= k THEN freq END), 0)
+         AS BIGINT) AS covered_tokens,
+       CAST(min(total_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(total_tokens)
+            - coalesce(sum(CASE WHEN rank <= k THEN freq END), 0)
+            AS DOUBLE) / CAST(min(total_tokens) AS DOUBLE) AS oov_rate
+FROM ks CROSS JOIN r CROSS JOIN tot
+GROUP BY k ORDER BY vocab_size
+"""

@@ -1295,3 +1295,22 @@ def test_generalization_search_frontier(spark):
     assert out[10]["n_at_risk"] == 2 and not out[10]["achieves_k"]
     # width 100: bands -1:{-5}, 0:{rest}
     assert out[100]["n_classes"] == 2 and not out[100]["achieves_k"]
+
+
+def test_vocab_coverage_curve_exact(spark):
+    """freqs: a×5 b×3 c×1 d×1 → k=1 covers 5/10, k=2 covers 8/10,
+    k=3 covers 9/10 (tie c<d by term), k=10 covers all."""
+    from db_factfinder_spark.llmdata.textstats import (
+        vocab_coverage_curve,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a a a b b b c d")], "doc_id long, text string"
+    )
+    out = {r["vocab_size"]: r for r in vocab_coverage_curve(
+        df, vocab_sizes=[1, 2, 3, 10]
+    ).collect()}
+    assert out[1]["covered_tokens"] == 5 and out[1]["oov_rate"] == 0.5
+    assert out[2]["covered_tokens"] == 8
+    assert out[3]["covered_tokens"] == 9
+    assert out[10]["covered_tokens"] == 10 and out[10]["oov_rate"] == 0.0
