@@ -7318,6 +7318,22 @@ def q291_vocab_coverage(spark, sf_dir):
     ).orderBy("vocab_size")
 
 
+def q292_growth_accounting(spark, sf_dir):
+    """New/retained/resurrected/churned user ledger by epoch-week (see
+    growth_accounting): the startup-metrics decomposition where
+    actives(p) = new + retained + resurrected exactly and churn lands
+    in the first skipped period, right-censored at the horizon.  A
+    deterministic (user+week)%3 sparsifier creates the gaps the dense
+    synthetic activity lacks."""
+    from db_factfinder_spark.operators.funnel import growth_accounting
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr("unix_micros(ts) DIV 86400000000 DIV 7").alias("wk"),
+    ).filter((F.col("user_id") + F.col("wk")) % 3 != 0)
+    return growth_accounting(ev, "user_id", "wk").orderBy("period")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7614,6 +7630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q289_diversified_topn": q289_diversified_topn,
         "q290_generalization_search": q290_generalization_search,
         "q291_vocab_coverage": q291_vocab_coverage,
+        "q292_growth_accounting": q292_growth_accounting,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -601,3 +601,73 @@ def churn_labels(
         ).alias("churned"),
     )
     return out
+
+
+def growth_accounting(
+    actives: DataFrame, user_col: str, period_col: str
+) -> DataFrame:
+    """Growth accounting — the new/retained/resurrected/churned user
+    ledger (the startup-metrics standard for explaining MAU deltas).
+
+    ``actives``: distinct (user, period) activity rows with integer
+    consecutive-unit periods (week number, month number).  Per user,
+    one ordered window classifies each active period — ``new`` (first
+    ever), ``retained`` (also active the period before), ``resurrected``
+    (active after a gap) — and attributes a ``churned`` event to the
+    period AFTER the last one of each gap (active at p, absent at
+    p+1).  Right-censoring is honest: a user silent after the final
+    observed period is not counted churned, since the next period
+    hasn't happened.
+
+    The accounting identity ``actives(p) = new + retained +
+    resurrected`` holds exactly (pytest-pinned).
+
+    Scale: one (user, period) window — lag/lead on the per-user
+    timeline, then a per-period count aggregate.
+    """
+    w = Window.partitionBy("__u").orderBy("__p")
+    base = (
+        actives.select(
+            F.col(user_col).alias("__u"),
+            F.col(period_col).cast("long").alias("__p"),
+        )
+        .distinct()
+        .withColumn("__prev", F.lag("__p").over(w))
+        .withColumn("__next", F.lead("__p").over(w))
+    )
+    states = base.select(
+        "__p",
+        F.when(F.col("__prev").isNull(), "new")
+        .when(F.col("__prev") == F.col("__p") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+        # churn event lands in period __p + 1 when the user skips it
+        F.when(
+            F.col("__next").isNotNull()
+            & (F.col("__next") > F.col("__p") + 1),
+            F.col("__p") + 1,
+        ).alias("churn_period"),
+    )
+    by_state = states.groupBy(F.col("__p").alias("period")).agg(
+        F.sum(F.when(F.col("state") == "new", 1).otherwise(0)).alias(
+            "n_new"
+        ),
+        F.sum(
+            F.when(F.col("state") == "retained", 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(F.col("state") == "resurrected", 1).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    churns = (
+        states.filter(F.col("churn_period").isNotNull())
+        .groupBy(F.col("churn_period").alias("period"))
+        .agg(F.count(F.lit(1)).alias("n_churned_in"))
+    )
+    return by_state.join(churns, "period", "full").select(
+        "period",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+        F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+        F.coalesce("n_churned_in", F.lit(0)).alias("n_churned_in"),
+    )

