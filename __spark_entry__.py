@@ -7334,6 +7334,43 @@ def q292_growth_accounting(spark, sf_dir):
     return growth_accounting(ev, "user_id", "wk").orderBy("period")
 
 
+def q293_funnel_exclusion(spark, sf_dir):
+    """Exclusion-window funnel (see funnel_with_exclusion): view →
+    first purchase within 2 days, VOIDED when an error event falls
+    strictly between — the attribution-invalidating mode a plain
+    funnel can't express.  Daily census of views / conversions /
+    voids."""
+    from db_factfinder_spark.operators.funnel import (
+        funnel_with_exclusion,
+    )
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ets"),
+        "event_type",
+    )
+    out = funnel_with_exclusion(
+        ev, "user_id", "ets", "event_type",
+        step_a="view", step_b="purchase", exclude="error",
+        horizon=2 * 86400 * 1000000,
+    )
+    return (
+        out.groupBy(
+            F.expr("a_ts DIV 86400000000").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias(
+                "n_converted"
+            ),
+            F.sum(F.when(F.col("voided"), 1).otherwise(0)).alias(
+                "n_voided"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7631,6 +7668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q290_generalization_search": q290_generalization_search,
         "q291_vocab_coverage": q291_vocab_coverage,
         "q292_growth_accounting": q292_growth_accounting,
+        "q293_funnel_exclusion": q293_funnel_exclusion,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

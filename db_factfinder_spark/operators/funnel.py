@@ -671,3 +671,82 @@ def growth_accounting(
         F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
         F.coalesce("n_churned_in", F.lit(0)).alias("n_churned_in"),
     )
+
+
+def funnel_with_exclusion(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    step_a: str,
+    step_b: str,
+    exclude: str,
+    horizon: int,
+) -> DataFrame:
+    """Two-step funnel with an exclusion event — the windowFunnel
+    'strict_deduplication'-style mode: a ``step_a`` converts on the
+    FIRST ``step_b`` within ``horizon``, but the conversion is VOIDED
+    if an ``exclude`` event falls strictly between them (the checkout
+    error that invalidates the view→purchase attribution).
+
+    Per step_a row returns ``{user}, a_ts, b_ts, voided, converted``:
+    ``converted`` = matched and not voided; unmatched step_a rows keep
+    NULL ``b_ts``.  All timestamps integer; first-match tie = smallest
+    ``b_ts``.
+
+    Plan: one keyed (user) join A×B with the time band (first match
+    via min-aggregate, never a row explosion past the band), then ONE
+    keyed anti-join probe of the exclusion set against the matched
+    interval — exclusion events are filtered to the type first, so the
+    probe side is small.  The horizon bounds the band join exactly
+    like the temporal-reach operator.
+    """
+    a = events.filter(F.col(type_col) == step_a).select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("a_ts")
+    )
+    b = events.filter(F.col(type_col) == step_b).select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("b_ts")
+    )
+    matched = (
+        a.join(b, "u", "left")
+        .filter(
+            F.col("b_ts").isNull()
+            | (
+                (F.col("b_ts") > F.col("a_ts"))
+                & (F.col("b_ts") - F.col("a_ts") <= horizon)
+            )
+        )
+        .groupBy("u", "a_ts")
+        .agg(F.min("b_ts").alias("b_ts"))
+    )
+    # a left join b keeps null-b rows only when the user has NO b at
+    # all; users with b rows but none in-band lose their a rows to the
+    # filter — restore them with an anti-join union
+    unmatched = a.join(
+        matched.select("u", "a_ts"), ["u", "a_ts"], "left_anti"
+    ).withColumn("b_ts", F.lit(None).cast("long"))
+    pairs = matched.unionByName(unmatched)
+    ex = events.filter(F.col(type_col) == exclude).select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("e_ts")
+    )
+    voided = (
+        pairs.filter(F.col("b_ts").isNotNull())
+        .join(ex, "u")
+        .filter(
+            (F.col("e_ts") > F.col("a_ts"))
+            & (F.col("e_ts") < F.col("b_ts"))
+        )
+        .select("u", "a_ts")
+        .distinct()
+        .withColumn("__v", F.lit(True))
+    )
+    return pairs.join(voided, ["u", "a_ts"], "left").select(
+        F.col("u").alias(user_col),
+        "a_ts",
+        "b_ts",
+        F.coalesce("__v", F.lit(False)).alias("voided"),
+        (
+            F.col("b_ts").isNotNull()
+            & ~F.coalesce("__v", F.lit(False))
+        ).alias("converted"),
+    )

@@ -7611,3 +7611,34 @@ SELECT CAST(coalesce(bs.period, ch.period) AS BIGINT) AS period,
 FROM bs FULL JOIN ch ON bs.period = ch.period
 ORDER BY period
 """
+
+
+# q293: exclusion funnel — first purchase within the band per view,
+# voided by an error strictly inside the matched interval.
+ORACLES["q293_funnel_exclusion"] = """
+WITH ev AS (
+  SELECT user_id AS u, epoch_us(ts) AS ets, event_type FROM events),
+a AS (SELECT u, ets AS a_ts FROM ev WHERE event_type = 'view'),
+b AS (SELECT u, ets AS b_ts FROM ev WHERE event_type = 'purchase'),
+x AS (SELECT u, ets AS e_ts FROM ev WHERE event_type = 'error'),
+m AS (
+  SELECT a.u, a.a_ts, min(b.b_ts) AS b_ts
+  FROM a LEFT JOIN b ON a.u = b.u AND b.b_ts > a.a_ts
+    AND b.b_ts - a.a_ts <= 172800000000
+  GROUP BY 1, 2),
+v AS (
+  SELECT DISTINCT m.u, m.a_ts FROM m JOIN x ON m.u = x.u
+  WHERE m.b_ts IS NOT NULL AND x.e_ts > m.a_ts AND x.e_ts < m.b_ts),
+lab AS (
+  SELECT m.u, m.a_ts, m.b_ts,
+         (v.u IS NOT NULL) AS voided,
+         (m.b_ts IS NOT NULL AND v.u IS NULL) AS converted
+  FROM m LEFT JOIN v ON m.u = v.u AND m.a_ts = v.a_ts)
+SELECT CAST(a_ts // 86400000000 AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_views,
+       CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted,
+       CAST(sum(CASE WHEN voided THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_voided
+FROM lab GROUP BY 1 ORDER BY day
+"""

@@ -1340,3 +1340,28 @@ def test_growth_accounting_ledger(spark):
         assert r["n_new"] + r["n_retained"] + r["n_resurrected"] == n
     # u2 (and u1's final week) are right-censored, never churned
     assert all(out[p]["n_churned_in"] == 0 for p in (1, 2, 4))
+
+
+def test_funnel_exclusion_semantics(spark):
+    """First in-band B matches; an error strictly between voids; an
+    error AT the endpoints does not; out-of-band B leaves the A
+    unconverted even when the user has other Bs."""
+    from db_factfinder_spark.operators.funnel import (
+        funnel_with_exclusion,
+    )
+
+    rows = [
+        (1, 10, "view"), (1, 20, "purchase"), (1, 15, "error"),   # voided
+        (2, 10, "view"), (2, 30, "purchase"), (2, 10, "error"),   # edge ok
+        (3, 10, "view"), (3, 500, "purchase"),                    # out-of-band
+        (4, 10, "view"), (4, 12, "purchase"), (4, 14, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "u long, ets long, event_type string")
+    out = {r["u"]: r for r in funnel_with_exclusion(
+        ev, "u", "ets", "event_type", "view", "purchase", "error",
+        horizon=100,
+    ).collect()}
+    assert out[1]["voided"] and not out[1]["converted"]
+    assert out[2]["converted"] and not out[2]["voided"]
+    assert out[3]["b_ts"] is None and not out[3]["converted"]
+    assert out[4]["b_ts"] == 12 and out[4]["converted"]
