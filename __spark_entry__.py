@@ -7371,6 +7371,53 @@ def q293_funnel_exclusion(spark, sf_dir):
     )
 
 
+def q294_fifo_open_lots(spark, sf_dir):
+    """Inventory balance after FIFO consumption (see fifo_open_lots):
+    the same lots/sells as q272, but the balance-sheet side — per part,
+    how many lots stay open and what the remaining units are worth.
+    The sold total is a single waterline on the cumulative axis, so
+    there is NO pairwise join at all; Σremaining = Σbuys − Σsells
+    exactly."""
+    from db_factfinder_spark.operators.fifo import fifo_open_lots
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 61 == 0)
+        .select(
+            F.col("l_partkey").alias("k"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seq"),
+            F.col("l_quantity").cast("long").alias("qty"),
+            (F.col("l_suppkey") % 90 + 10).cast("long").alias("cost"),
+            (F.col("l_linenumber") % 2).alias("par"),
+        )
+    )
+    lots = li.filter(F.col("par") == 1).select("k", "seq", "qty", "cost")
+    sells0 = li.filter(F.col("par") == 0).select(
+        "k", "seq", F.greatest(F.lit(1), F.expr("qty DIV 2")).alias("qty")
+    )
+    ws = Window.partitionBy("k").orderBy("seq")
+    s1 = sells0.withColumn("cs", F.sum("qty").over(ws))
+    btot = lots.groupBy("k").agg(F.sum("qty").alias("b_total"))
+    sells = (
+        s1.join(btot, "k")
+        .filter(F.col("cs") <= F.col("b_total"))
+        .select("k", "seq", "qty")
+    )
+    open_lots = fifo_open_lots(lots, sells, "k", "seq", "qty", "cost")
+    return (
+        open_lots.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_lots"),
+            F.sum(
+                F.when(F.col("remaining") > 0, 1).otherwise(0)
+            ).alias("n_open"),
+            F.sum("remaining").alias("qty_remaining"),
+            F.sum("remaining_value").alias("value_remaining"),
+        )
+        .orderBy("k")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7669,6 +7716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q291_vocab_coverage": q291_vocab_coverage,
         "q292_growth_accounting": q292_growth_accounting,
         "q293_funnel_exclusion": q293_funnel_exclusion,
+        "q294_fifo_open_lots": q294_fifo_open_lots,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -89,3 +89,55 @@ def fifo_allocate(
             "cogs",
         )
     )
+
+
+def fifo_open_lots(
+    lots: DataFrame,
+    sells: DataFrame,
+    key_col: str = "key",
+    seq_col: str = "seq",
+    qty_col: str = "qty",
+    cost_col: str = "cost",
+) -> DataFrame:
+    """The balance-sheet side of :func:`fifo_allocate`: what remains
+    on the shelf, per lot, after FIFO consumption.
+
+    On the cumulative axis the total sold ``S`` is a single waterline:
+    lot *i* (interval ``(cb0, cb]``) has ``remaining = cb −
+    max(S, cb0)`` clamped at ≥ 0 — fully consumed lots hit 0, at most
+    one lot is partial, newer lots are untouched.  Remaining value =
+    remaining · unit cost, exact int64.  This is the inventory-aging
+    input: group the output by lot age to get the aging report.
+
+    One window pass over lots + one keyed aggregate of sells (no
+    pairwise join at all — the waterline replaces it).  Returns
+    ``{key_col}, {seq_col}, lot_qty, remaining, remaining_value``.
+    """
+    wk = Window.partitionBy("k").orderBy("lot_seq")
+    l = (
+        lots.select(
+            F.col(key_col).alias("k"),
+            F.col(seq_col).alias("lot_seq"),
+            F.col(qty_col).cast("long").alias("lot_qty"),
+            F.col(cost_col).cast("long").alias("cost"),
+        )
+        .withColumn("cb", F.sum("lot_qty").over(wk))
+        .withColumn("cb0", F.col("cb") - F.col("lot_qty"))
+    )
+    s = sells.groupBy(F.col(key_col).alias("k")).agg(
+        F.sum(F.col(qty_col).cast("long")).alias("S")
+    )
+    rem = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("cb") - F.greatest(F.coalesce("S", F.lit(0)), F.col("cb0")),
+    )
+    return (
+        l.join(s, "k", "left")
+        .select(
+            F.col("k").alias(key_col),
+            F.col("lot_seq").alias(seq_col),
+            "lot_qty",
+            rem.alias("remaining"),
+            (rem * F.col("cost")).alias("remaining_value"),
+        )
+    )

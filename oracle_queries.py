@@ -7642,3 +7642,42 @@ SELECT CAST(a_ts // 86400000000 AS BIGINT) AS day,
          AS n_voided
 FROM lab GROUP BY 1 ORDER BY day
 """
+
+
+# q294: FIFO open lots — waterline remaining = cb − max(S, cb0),
+# clamped; INDEPENDENT of the q272 overlap-join formulation.
+ORACLES["q294_fifo_open_lots"] = """
+WITH li AS (
+  SELECT l_partkey AS k,
+         l_orderkey * 10 + l_linenumber AS seq,
+         CAST(l_quantity AS BIGINT) AS q,
+         (l_suppkey % 90) + 10 AS cost,
+         l_linenumber % 2 AS par
+  FROM lineitem WHERE l_partkey % 61 = 0),
+lots AS (
+  SELECT k, seq, q, cost,
+         sum(q) OVER (PARTITION BY k ORDER BY seq) AS cb
+  FROM li WHERE par = 1),
+sells0 AS (
+  SELECT k, seq, greatest(1, q // 2) AS q FROM li WHERE par = 0),
+sells1 AS (
+  SELECT k, seq, q,
+         sum(q) OVER (PARTITION BY k ORDER BY seq) AS cs
+  FROM sells0),
+btot AS (SELECT k, CAST(sum(q) AS BIGINT) AS b FROM lots GROUP BY 1),
+stot AS (
+  SELECT s.k, CAST(sum(s.q) AS BIGINT) AS sold
+  FROM sells1 s JOIN btot USING (k) WHERE s.cs <= b GROUP BY 1),
+open_lots AS (
+  SELECT l.k, l.seq, l.q AS lot_qty,
+         greatest(0, l.cb - greatest(coalesce(stot.sold, 0),
+                                     l.cb - l.q)) AS remaining,
+         l.cost
+  FROM lots l LEFT JOIN stot ON l.k = stot.k)
+SELECT k, CAST(count(*) AS BIGINT) AS n_lots,
+       CAST(sum(CASE WHEN remaining > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_open,
+       CAST(sum(remaining) AS BIGINT) AS qty_remaining,
+       CAST(sum(remaining * cost) AS BIGINT) AS value_remaining
+FROM open_lots GROUP BY k ORDER BY k
+"""

@@ -1365,3 +1365,51 @@ def test_funnel_exclusion_semantics(spark):
     assert out[2]["converted"] and not out[2]["voided"]
     assert out[3]["b_ts"] is None and not out[3]["converted"]
     assert out[4]["b_ts"] == 12 and out[4]["converted"]
+
+
+def test_fifo_open_lots_waterline(spark):
+    """Lots 5,5,5 with 7 sold: lot1 empty, lot2 has 3 left, lot3
+    full; Σremaining = buys − sold; no-sales key keeps everything."""
+    from db_factfinder_spark.operators.fifo import fifo_open_lots
+
+    lots = spark.createDataFrame(
+        [("k", 1, 5, 10), ("k", 2, 5, 20), ("k", 3, 5, 30),
+         ("j", 1, 4, 7)],
+        "key string, seq long, qty long, cost long",
+    )
+    sells = spark.createDataFrame(
+        [("k", 9, 7)], "key string, seq long, qty long"
+    )
+    out = {(r["key"], r["seq"]): r for r in
+           fifo_open_lots(lots, sells).collect()}
+    assert out[("k", 1)]["remaining"] == 0
+    assert out[("k", 2)]["remaining"] == 3
+    assert out[("k", 2)]["remaining_value"] == 60
+    assert out[("k", 3)]["remaining"] == 5
+    assert sum(r["remaining"] for kk, r in out.items()
+               if kk[0] == "k") == 15 - 7
+    assert out[("j", 1)]["remaining"] == 4
+
+
+def test_fifo_sides_agree(spark):
+    """Consumption (fifo_allocate) and balance (fifo_open_lots) are
+    two views of one waterline: Σ filled + Σ remaining = Σ lot qty."""
+    from db_factfinder_spark.operators.fifo import (
+        fifo_allocate,
+        fifo_open_lots,
+    )
+
+    lots = spark.createDataFrame(
+        [("k", i, 3 + i % 4, 5 + i) for i in range(6)],
+        "key string, seq long, qty long, cost long",
+    )
+    sells = spark.createDataFrame(
+        [("k", 100 + j, 4) for j in range(3)],
+        "key string, seq long, qty long",
+    )
+    filled = sum(r["qty_filled"] for r in
+                 fifo_allocate(lots, sells).collect())
+    remaining = sum(r["remaining"] for r in
+                    fifo_open_lots(lots, sells).collect())
+    total = sum(3 + i % 4 for i in range(6))
+    assert filled + remaining == total
