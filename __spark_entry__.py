@@ -7418,6 +7418,33 @@ def q294_fifo_open_lots(spark, sf_dir):
     )
 
 
+def q295_missing_partitions(spark, sf_dir):
+    """Backfill planner (see missing_partitions): the expected grid is
+    every active user × the contracted 30-day window (epoch days
+    19723–19752); a deterministic event thinning (event_id % 7 < 2)
+    creates the holes, and the report is the per-user missing-day
+    census summarized by gap count — the work list a backfill job
+    consumes."""
+    from db_factfinder_spark.operators.quality import missing_partitions
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_id") % 7 < 2
+    ).select(
+        "user_id",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+    )
+    rep = missing_partitions(ev, "user_id", "day", 19723, 19752)
+    return (
+        rep.groupBy("n_missing")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("first_missing").alias("earliest_gap"),
+            F.max("last_missing").alias("latest_gap"),
+        )
+        .orderBy("n_missing")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7717,6 +7744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q292_growth_accounting": q292_growth_accounting,
         "q293_funnel_exclusion": q293_funnel_exclusion,
         "q294_fifo_open_lots": q294_fifo_open_lots,
+        "q295_missing_partitions": q295_missing_partitions,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -507,3 +507,61 @@ def fd_violations(
         ),
         F.max("n_rhs").alias("max_rhs_distinct"),
     )
+
+
+def missing_partitions(
+    df: DataFrame,
+    key_col: str,
+    period_col: str,
+    period_start: int,
+    period_end: int,
+) -> DataFrame:
+    """Backfill planner: which (key, period) cells are MISSING from a
+    table that should cover every key × every period in the range?
+
+    The data-completeness audit behind every "why is Tuesday empty for
+    tenant X" incident: the expected grid is each observed key crossed
+    with the literal period range (``sequence`` — generated, not
+    scanned), present cells anti-join away, and what remains is the
+    backfill work list, summarized per key so a million-cell gap
+    doesn't explode the report.
+
+    Returns ``{key_col}, n_expected, n_present, n_missing,
+    first_missing, last_missing``.
+
+    Scale: the grid is |keys| × |periods| rows from a map-side
+    explode; the anti-join is one keyed shuffle.  Period ranges are
+    bounded by calendars (days, months) — the key set carries the
+    scale, and it is never collected.
+    """
+    keys = df.select(F.col(key_col).alias("__k")).distinct()
+    grid = keys.select(
+        "__k",
+        F.explode(
+            F.sequence(F.lit(period_start), F.lit(period_end))
+        ).alias("__p"),
+    )
+    present = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(period_col).cast("long").alias("__p"),
+    ).distinct()
+    missing = grid.join(present, ["__k", "__p"], "left_anti")
+    per_key = missing.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n_missing"),
+        F.min("__p").alias("first_missing"),
+        F.max("__p").alias("last_missing"),
+    )
+    n_expected = period_end - period_start + 1
+    return (
+        keys.join(per_key, "__k", "left")
+        .select(
+            F.col("__k").alias(key_col),
+            F.lit(n_expected).alias("n_expected"),
+            (
+                F.lit(n_expected) - F.coalesce("n_missing", F.lit(0))
+            ).alias("n_present"),
+            F.coalesce("n_missing", F.lit(0)).alias("n_missing"),
+            "first_missing",
+            "last_missing",
+        )
+    )

@@ -7681,3 +7681,31 @@ SELECT k, CAST(count(*) AS BIGINT) AS n_lots,
        CAST(sum(remaining * cost) AS BIGINT) AS value_remaining
 FROM open_lots GROUP BY k ORDER BY k
 """
+
+
+# q295: missing partitions — expected grid = keys × literal period
+# range; present cells anti-join away; per-user census histogram.
+ORACLES["q295_missing_partitions"] = """
+WITH ev AS (
+  SELECT user_id AS u, epoch_us(ts) // 86400000000 AS d
+  FROM events WHERE event_id % 7 < 2),
+keys AS (SELECT DISTINCT u FROM ev),
+grid AS (
+  SELECT u, p FROM keys
+  CROSS JOIN (SELECT unnest(range(19723, 19753)) AS p)),
+present AS (SELECT DISTINCT u, d AS p FROM ev),
+miss AS (
+  SELECT g.u, g.p FROM grid g
+  WHERE NOT EXISTS (SELECT 1 FROM present pr
+                    WHERE pr.u = g.u AND pr.p = g.p)),
+per_key AS (
+  SELECT k.u,
+         CAST(coalesce(count(m.p), 0) AS BIGINT) AS n_missing,
+         min(m.p) AS first_missing, max(m.p) AS last_missing
+  FROM keys k LEFT JOIN miss m ON k.u = m.u
+  GROUP BY 1)
+SELECT n_missing, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(min(first_missing) AS BIGINT) AS earliest_gap,
+       CAST(max(last_missing) AS BIGINT) AS latest_gap
+FROM per_key GROUP BY 1 ORDER BY n_missing
+"""

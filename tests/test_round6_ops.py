@@ -1413,3 +1413,23 @@ def test_fifo_sides_agree(spark):
                     fifo_open_lots(lots, sells).collect())
     total = sum(3 + i % 4 for i in range(6))
     assert filled + remaining == total
+
+
+def test_missing_partitions_grid(spark):
+    """Key a present 1,2,4 of [1,5] → missing 3,5; complete key b →
+    0 missing with NULL bounds; out-of-range rows don't credit."""
+    from db_factfinder_spark.operators.quality import missing_partitions
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 4), ("a", 99)]
+        + [("b", p) for p in range(1, 6)],
+        "k string, p long",
+    )
+    out = {r["k"]: r for r in
+           missing_partitions(df, "k", "p", 1, 5).collect()}
+    assert out["a"]["n_missing"] == 2
+    assert out["a"]["first_missing"] == 3
+    assert out["a"]["last_missing"] == 5
+    assert out["a"]["n_present"] == 3  # the 99 is outside the window
+    assert out["b"]["n_missing"] == 0
+    assert out["b"]["first_missing"] is None
