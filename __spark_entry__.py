@@ -7445,6 +7445,31 @@ def q295_missing_partitions(spark, sf_dir):
     )
 
 
+def q296_slo_burn(spark, sf_dir):
+    """Multiwindow SLO burn-rate alerts (see slo_burn_alerts): daily
+    error/total event counts against a 1/5 error budget; the alert
+    fires only when both the 1-day and 6-day windows burn > 1× budget
+    — responsiveness AND blip suppression, every rate comparison an
+    exact integer cross-multiplication, windows gap-correct RANGE
+    frames."""
+    from db_factfinder_spark.operators.timeseries import slo_burn_alerts
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("err"),
+        F.count(F.lit(1)).alias("tot"),
+    )
+    return slo_burn_alerts(
+        daily, "day", "err", "tot",
+        slo_num=1, slo_den=5, burn_factor=1,
+        short_days=1, long_days=6,
+    ).orderBy("day")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7745,6 +7770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q293_funnel_exclusion": q293_funnel_exclusion,
         "q294_fifo_open_lots": q294_fifo_open_lots,
         "q295_missing_partitions": q295_missing_partitions,
+        "q296_slo_burn": q296_slo_burn,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

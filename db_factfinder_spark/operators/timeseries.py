@@ -1105,3 +1105,60 @@ def watermark_lateness_audit(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def slo_burn_alerts(
+    daily: DataFrame,
+    day_col: str,
+    err_col: str,
+    total_col: str,
+    slo_num: int,
+    slo_den: int,
+    burn_factor: int,
+    short_days: int,
+    long_days: int,
+) -> DataFrame:
+    """Multiwindow SLO burn-rate alerting (the SRE-workbook policy)
+    in exact integers.
+
+    With an error budget of ``slo_num/slo_den`` of requests, the burn
+    rate over a window is ``err_W / (total_W · budget)``; the alert
+    fires when BOTH the short and the long window burn faster than
+    ``burn_factor`` — short for responsiveness, long to suppress
+    blips.  Every comparison is the cross-multiplication
+    ``err_W · slo_den > burn_factor · slo_num · total_W`` — no float
+    rates anywhere, so alert edges are bit-stable.
+
+    ``daily`` is one row per (integer day) with exact counts; windows
+    are RANGE frames on the day value, so missing days shrink the
+    window correctly instead of silently stretching it (the ROWS-frame
+    bug).  Returns per day: the window sums, per-window burn booleans,
+    and ``alert``.
+    """
+    def frame(days: int):
+        return (
+            Window.orderBy(F.col(day_col))
+            .rangeBetween(-(days - 1), 0)
+        )
+
+    out = daily.select(
+        day_col,
+        F.col(err_col).cast("long").alias("e"),
+        F.col(total_col).cast("long").alias("t"),
+    )
+    for tag, days in (("short", short_days), ("long", long_days)):
+        w = frame(days)
+        out = out.withColumn(
+            f"err_{tag}", F.sum("e").over(w)
+        ).withColumn(f"tot_{tag}", F.sum("t").over(w))
+    burn = lambda tag: (  # noqa: E731 — exact cross-multiplied rate
+        F.col(f"err_{tag}") * F.lit(slo_den)
+        > F.lit(burn_factor * slo_num) * F.col(f"tot_{tag}")
+    )
+    return out.select(
+        day_col,
+        "err_short", "tot_short", "err_long", "tot_long",
+        burn("short").alias("burn_short"),
+        burn("long").alias("burn_long"),
+        (burn("short") & burn("long")).alias("alert"),
+    )

@@ -7709,3 +7709,32 @@ SELECT n_missing, CAST(count(*) AS BIGINT) AS n_users,
        CAST(max(last_missing) AS BIGINT) AS latest_gap
 FROM per_key GROUP BY 1 ORDER BY n_missing
 """
+
+
+# q296: SLO burn — RANGE-frame window sums, exact cross-multiplied
+# burn comparisons (err·den > factor·num·total).
+ORACLES["q296_slo_burn"] = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           AS BIGINT) AS e,
+         CAST(count(*) AS BIGINT) AS t
+  FROM events GROUP BY 1),
+w AS (
+  SELECT day,
+         CAST(sum(e) OVER (ORDER BY day RANGE BETWEEN 0 PRECEDING
+           AND CURRENT ROW) AS BIGINT) AS err_short,
+         CAST(sum(t) OVER (ORDER BY day RANGE BETWEEN 0 PRECEDING
+           AND CURRENT ROW) AS BIGINT) AS tot_short,
+         CAST(sum(e) OVER (ORDER BY day RANGE BETWEEN 5 PRECEDING
+           AND CURRENT ROW) AS BIGINT) AS err_long,
+         CAST(sum(t) OVER (ORDER BY day RANGE BETWEEN 5 PRECEDING
+           AND CURRENT ROW) AS BIGINT) AS tot_long
+  FROM daily)
+SELECT day, err_short, tot_short, err_long, tot_long,
+       (err_short * 5 > tot_short) AS burn_short,
+       (err_long * 5 > tot_long) AS burn_long,
+       (err_short * 5 > tot_short AND err_long * 5 > tot_long)
+         AS alert
+FROM w ORDER BY day
+"""

@@ -1433,3 +1433,29 @@ def test_missing_partitions_grid(spark):
     assert out["a"]["n_present"] == 3  # the 99 is outside the window
     assert out["b"]["n_missing"] == 0
     assert out["b"]["first_missing"] is None
+
+
+def test_slo_burn_multiwindow_and_gaps(spark):
+    """A one-day error spike fires the short window but not the long
+    one (no alert); sustained errors fire both; a missing day must NOT
+    stretch the RANGE window."""
+    from db_factfinder_spark.operators.timeseries import slo_burn_alerts
+
+    # budget 1/10, factor 1 → burn iff err*10 > tot
+    daily = spark.createDataFrame(
+        [(1, 0, 100), (2, 50, 100), (3, 0, 100),
+         (10, 50, 100), (11, 50, 100), (12, 50, 100)],
+        "day long, err long, tot long",
+    )
+    out = {r["day"]: r for r in slo_burn_alerts(
+        daily, "day", "err", "tot", 1, 10, 1, 1, 3
+    ).collect()}
+    # day 2 spike: short fires, long (days 1-2 ≈ 50/200·10=2.5 > 1)...
+    # long window sums days ≥ day-2: {1,2} → 50*10 > 200 → fires too;
+    # the suppression shows on day 3: short quiet, no alert
+    assert out[2]["burn_short"] and out[2]["alert"]
+    assert not out[3]["burn_short"] and not out[3]["alert"]
+    # sustained: day 12 long window = days 10-12 only (RANGE frame —
+    # the gap days 4-9 contribute nothing)
+    assert out[12]["err_long"] == 150 and out[12]["tot_long"] == 300
+    assert out[12]["alert"]
