@@ -7470,6 +7470,25 @@ def q296_slo_burn(spark, sf_dir):
     ).orderBy("day")
 
 
+def q297_smoothed_rates(spark, sf_dir):
+    """m-estimate smoothed high-value-event rates per event-type ×
+    user-band (see m_estimate_rates): the share of events with value >
+    50, shrunk toward the global prior with m=50 and ranked by the
+    exact rational so a lucky 2-for-3 cell can't outrank a consistent
+    300-for-1000 one.  All integers until the one reported division
+    per row."""
+    from db_factfinder_spark.operators.encoding import m_estimate_rates
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet").select(
+        (F.col("user_id") % 10).alias("band"),
+        "event_type",
+        (F.col("value") > 50).alias("hit"),
+    )
+    return m_estimate_rates(
+        ev, ["event_type", "band"], "hit", m=50
+    ).orderBy("rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7771,6 +7790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q294_fifo_open_lots": q294_fifo_open_lots,
         "q295_missing_partitions": q295_missing_partitions,
         "q296_slo_burn": q296_slo_burn,
+        "q297_smoothed_rates": q297_smoothed_rates,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -23,7 +23,7 @@ map-side after the two joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["target_encode_loo"]
@@ -72,4 +72,62 @@ def target_encode_loo(
             / (F.col("__gn") * (F.col("__n") - 1 + smoothing))
             .cast("double"),
         ).alias("enc_smooth"),
+    )
+
+
+def m_estimate_rates(
+    df: DataFrame,
+    group_cols: list[str],
+    hit_col: str,
+    m: int,
+) -> DataFrame:
+    """Bayesian m-estimate smoothing of per-group rates — the
+    cold-start fix for CTR/quality rankings where a 1-for-1 newcomer
+    would otherwise outrank a 980-for-1000 veteran.
+
+    ``smoothed = (hits + m·prior) / (n + m)`` with the prior being the
+    GLOBAL rate.  Exact-rational form: with prior = H/N the smoothed
+    rate equals ``(hits·N + m·H) / (N·(n + m))`` — integer numerator
+    and denominator, ONE terminal IEEE division for the reported
+    value, and the rank is computed on the exact cross-multiplied
+    comparison (num_a·den_b vs num_b·den_a is monotone with the
+    division since denominators are positive), so ordering never
+    depends on float rounding.
+
+    Returns per group: ``*group_cols, n, hits, sm_num, sm_den,
+    smoothed_rate, rank`` (rank 1 = highest smoothed rate; ties by
+    group columns ascending).
+
+    Scale: one hash aggregate + a one-row broadcast of the prior; the
+    rank window orders the GROUP frame (bounded by group cardinality),
+    not raw rows.
+    """
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(hit_col).cast("long")).alias("hits"),
+    )
+    prior = agg.agg(
+        F.sum("hits").alias("g_hits"), F.sum("n").alias("g_n")
+    )
+    scored = agg.crossJoin(F.broadcast(prior)).select(
+        *group_cols,
+        "n",
+        "hits",
+        (
+            F.col("hits") * F.col("g_n") + F.lit(m) * F.col("g_hits")
+        ).alias("sm_num"),
+        (F.col("g_n") * (F.col("n") + F.lit(m))).alias("sm_den"),
+    )
+    w = Window.orderBy(
+        F.desc(F.col("sm_num") / F.col("sm_den")),
+        *[F.asc(c) for c in group_cols],
+    )
+    return scored.select(
+        *group_cols,
+        "n",
+        "hits",
+        "sm_num",
+        "sm_den",
+        (F.col("sm_num") / F.col("sm_den")).alias("smoothed_rate"),
+        F.row_number().over(w).alias("rank"),
     )

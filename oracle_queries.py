@@ -7738,3 +7738,32 @@ SELECT day, err_short, tot_short, err_long, tot_long,
          AS alert
 FROM w ORDER BY day
 """
+
+
+# q297: m-estimate smoothing — exact rational (hits·N + m·H) over
+# (N·(n+m)); rank on the identical division, group-asc ties.
+ORACLES["q297_smoothed_rates"] = """
+WITH ev AS (
+  SELECT user_id % 10 AS band, event_type,
+         CASE WHEN value > 50 THEN 1 ELSE 0 END AS hit
+  FROM events),
+agg AS (
+  SELECT event_type, band, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(hit) AS BIGINT) AS hits
+  FROM ev GROUP BY 1, 2),
+prior AS (SELECT CAST(sum(hits) AS BIGINT) AS gh,
+                 CAST(sum(n) AS BIGINT) AS gn FROM agg),
+sc AS (
+  SELECT event_type, band, n, hits,
+         CAST(hits * gn + 50 * gh AS BIGINT) AS sm_num,
+         CAST(gn * (n + 50) AS BIGINT) AS sm_den
+  FROM agg CROSS JOIN prior)
+SELECT event_type, CAST(band AS BIGINT) AS band, n, hits,
+       sm_num, sm_den,
+       CAST(sm_num AS DOUBLE) / CAST(sm_den AS DOUBLE)
+         AS smoothed_rate,
+       CAST(row_number() OVER (
+         ORDER BY CAST(sm_num AS DOUBLE) / CAST(sm_den AS DOUBLE)
+           DESC, event_type ASC, band ASC) AS BIGINT) AS rank
+FROM sc ORDER BY rank
+"""

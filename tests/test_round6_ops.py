@@ -1459,3 +1459,24 @@ def test_slo_burn_multiwindow_and_gaps(spark):
     # the gap days 4-9 contribute nothing)
     assert out[12]["err_long"] == 150 and out[12]["tot_long"] == 300
     assert out[12]["alert"]
+
+
+def test_m_estimate_shrinkage_beats_small_sample(spark):
+    """A lucky 2-of-2 cell ranks BELOW a consistent 60-of-100 cell
+    under m=10 shrinkage toward a low global prior, even though its
+    raw rate (1.0) is higher; exact rationals throughout."""
+    from db_factfinder_spark.operators.encoding import m_estimate_rates
+
+    rows = (
+        [("lucky", True)] * 2
+        + [("steady", True)] * 60 + [("steady", False)] * 40
+        + [("cold", False)] * 100
+    )
+    df = spark.createDataFrame(rows, "g string, hit boolean")
+    out = {r["g"]: r for r in
+           m_estimate_rates(df, ["g"], "hit", m=10).collect()}
+    # global prior = 62/202; smoothed(lucky) = (2·202 + 10·62)/(202·12)
+    assert out["lucky"]["sm_num"] == 2 * 202 + 10 * 62
+    assert out["lucky"]["sm_den"] == 202 * 12
+    assert out["steady"]["rank"] == 1 and out["lucky"]["rank"] == 2
+    assert out["cold"]["rank"] == 3
