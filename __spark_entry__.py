@@ -7489,6 +7489,50 @@ def q297_smoothed_rates(spark, sf_dir):
     ).orderBy("rank")
 
 
+def q298_rbo_rankings(spark, sf_dir):
+    """How different are two supplier leaderboards?  Top-10 by revenue
+    vs top-10 by distinct order count, compared with truncated
+    Rank-Biased Overlap at p=1/2 (see rbo_overlap) — dyadic weights
+    keep every term an exact integer, so the top-weighted agreement
+    score is bit-stable.  Output is the per-depth overlap/term table
+    (Σ term_scaled / scale = the RBO)."""
+    from db_factfinder_spark.operators.evaluation import rbo_overlap
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0
+            + F.lit(0.5)
+        ).cast("long").alias("rev_fp"),
+    )
+    by_rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum("rev_fp").alias("rev"))
+        .orderBy(F.desc("rev"), F.asc("l_suppkey"))
+        .limit(10)
+        .select(
+            F.col("l_suppkey").alias("id"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("rev"), F.asc("l_suppkey")))
+            .alias("rank"),
+        )
+    )
+    by_orders = (
+        li.groupBy("l_suppkey")
+        .agg(F.count_distinct("l_orderkey").alias("n_ord"))
+        .orderBy(F.desc("n_ord"), F.asc("l_suppkey"))
+        .limit(10)
+        .select(
+            F.col("l_suppkey").alias("id"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_ord"), F.asc("l_suppkey")))
+            .alias("rank"),
+        )
+    )
+    return rbo_overlap(by_rev, by_orders, depth=10).orderBy("depth_d")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7791,6 +7835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q295_missing_partitions": q295_missing_partitions,
         "q296_slo_burn": q296_slo_burn,
         "q297_smoothed_rates": q297_smoothed_rates,
+        "q298_rbo_rankings": q298_rbo_rankings,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

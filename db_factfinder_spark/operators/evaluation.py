@@ -308,3 +308,69 @@ def percentile_band_probe(batch, grid, value_col: str):
             "long"
         ),
     )
+
+
+def rbo_overlap(
+    rank_a,
+    rank_b,
+    id_col: str = "id",
+    rank_col: str = "rank",
+    depth: int = 10,
+):
+    """Truncated Rank-Biased Overlap (Webber et al. 2010) between two
+    top-``depth`` rankings, with persistence p = 1/2 — chosen because
+    dyadic weights make every term an exact integer:
+
+        RBO ≈ Σ_{d=1..depth} overlap(d) / (d · 2^d)
+
+    scaled by ``S = lcm(1..depth) · 2^depth`` each term becomes
+    ``overlap(d) · (lcm/d) · 2^(depth−d)`` — int64, order-independent;
+    the single division by S happens once at the end.  The metric
+    search evaluation uses to answer "how much did the ranking change"
+    with top-weighted emphasis, minus the float-accumulation
+    nondeterminism of the textbook form.
+
+    Inputs: two frames of ``(id, rank)`` with ranks 1..depth (extra
+    rows beyond depth are ignored).  Returns one row per d:
+    ``depth_d, overlap, term_scaled`` plus the constant ``scale`` —
+    callers sum term_scaled / scale for the RBO value.
+
+    Plan: one equi-join on the id (both sides ≤ depth rows — this is
+    a metric over two small TOP lists, not over corpora), then a
+    fixed-width conditional-sum sweep.
+    """
+    import math
+
+    lcm = math.lcm(*range(1, depth + 1))
+    a = rank_a.filter(F.col(rank_col) <= depth).select(
+        F.col(id_col).alias("__i"), F.col(rank_col).alias("__ra")
+    )
+    b = rank_b.filter(F.col(rank_col) <= depth).select(
+        F.col(id_col).alias("__i"), F.col(rank_col).alias("__rb")
+    )
+    m = a.join(b, "__i").select(
+        F.greatest("__ra", "__rb").alias("__m")
+    )
+    aggs = [
+        F.sum(F.when(F.col("__m") <= d, 1).otherwise(0)).alias(
+            f"ov_{d}"
+        )
+        for d in range(1, depth + 1)
+    ]
+    wide = m.agg(*aggs)
+    rows = [
+        wide.select(
+            F.lit(d).alias("depth_d"),
+            F.coalesce(F.col(f"ov_{d}"), F.lit(0)).alias("overlap"),
+            (
+                F.coalesce(F.col(f"ov_{d}"), F.lit(0))
+                * F.lit((lcm // d) * (1 << (depth - d)))
+            ).alias("term_scaled"),
+            F.lit(lcm * (1 << depth)).alias("scale"),
+        )
+        for d in range(1, depth + 1)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

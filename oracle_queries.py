@@ -7767,3 +7767,37 @@ SELECT event_type, CAST(band AS BIGINT) AS band, n, hits,
            DESC, event_type ASC, band ASC) AS BIGINT) AS rank
 FROM sc ORDER BY rank
 """
+
+
+# q298: truncated RBO at p=1/2 — lcm(1..10)=2520, scale 2520·1024;
+# term_d = overlap_d · (2520/d) · 2^(10−d), all exact integers.
+ORACLES["q298_rbo_rankings"] = """
+WITH li AS (
+  SELECT l_suppkey, l_orderkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0
+              + 0.5) AS BIGINT) AS rev_fp
+  FROM lineitem),
+ra AS (
+  SELECT l_suppkey AS id, row_number() OVER (
+    ORDER BY sum(rev_fp) DESC, l_suppkey ASC) AS rank
+  FROM li GROUP BY l_suppkey
+  ORDER BY sum(rev_fp) DESC, l_suppkey ASC LIMIT 10),
+rb AS (
+  SELECT l_suppkey AS id, row_number() OVER (
+    ORDER BY count(DISTINCT l_orderkey) DESC, l_suppkey ASC) AS rank
+  FROM li GROUP BY l_suppkey
+  ORDER BY count(DISTINCT l_orderkey) DESC, l_suppkey ASC LIMIT 10),
+m AS (
+  SELECT greatest(ra.rank, rb.rank) AS mx
+  FROM ra JOIN rb USING (id)),
+ds AS (SELECT unnest(range(1, 11)) AS d)
+SELECT CAST(d AS BIGINT) AS depth_d,
+       CAST(coalesce(sum(CASE WHEN mx <= d THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS overlap,
+       CAST(coalesce(sum(CASE WHEN mx <= d THEN 1 ELSE 0 END), 0)
+            * (2520 // d) * (1 << (10 - CAST(d AS INT))) AS BIGINT)
+         AS term_scaled,
+       CAST(2520 * 1024 AS BIGINT) AS scale
+FROM ds LEFT JOIN m ON true
+GROUP BY d ORDER BY depth_d
+"""

@@ -1480,3 +1480,22 @@ def test_m_estimate_shrinkage_beats_small_sample(spark):
     assert out["lucky"]["sm_den"] == 202 * 12
     assert out["steady"]["rank"] == 1 and out["lucky"]["rank"] == 2
     assert out["cold"]["rank"] == 3
+
+
+def test_rbo_identical_disjoint_and_exactness(spark):
+    """Identical top-10 lists score the truncated maximum 1 − 2⁻¹⁰;
+    disjoint lists score 0; terms are exact dyadic integers."""
+    from db_factfinder_spark.operators.evaluation import rbo_overlap
+
+    a = spark.createDataFrame(
+        [(i, i) for i in range(1, 11)], "id long, rank long"
+    )
+    same = rbo_overlap(a, a, depth=10).collect()
+    scale = same[0]["scale"]
+    assert sum(r["term_scaled"] for r in same) / scale == 1023 / 1024
+    b = spark.createDataFrame(
+        [(100 + i, i) for i in range(1, 11)], "id long, rank long"
+    )
+    disj = rbo_overlap(a, b, depth=10).collect()
+    assert sum(r["term_scaled"] for r in disj) == 0
+    assert all(r["overlap"] == 0 for r in disj)
