@@ -418,6 +418,12 @@ def test_partition_invariance_of_order_sensitive_queries(spark):
         "q279_maxmin_fair_quota",
         "q281_topdown_reconcile",
         "q283_decision_stump",
+        # session-close rank-bearing additions: floor/fill selection,
+        # vocab cut ties, smoothed-rate ranks, top-10 RBO lists
+        "q289_diversified_topn",
+        "q291_vocab_coverage",
+        "q297_smoothed_rates",
+        "q298_rbo_rankings",
     ]
     before = {}
     for name in targets:
