@@ -7533,6 +7533,47 @@ def q298_rbo_rankings(spark, sf_dir):
     return rbo_overlap(by_rev, by_orders, depth=10).orderBy("depth_d")
 
 
+def q299_stream_burn_alerts(spark, sf_dir):
+    """Streaming SLO burn monitoring: an ACTUAL Structured Streaming
+    job (file source → watermark → 1-day tumbling windows, exact
+    integer error/total state, availableNow to completion) produces
+    the daily aggregate store, and the multiwindow burn evaluator
+    (slo_burn_alerts — exact cross-multiplied comparisons over RANGE
+    frames) runs as the batch post-pass over that store — the split
+    production alerting actually uses: the stream maintains state,
+    the evaluator reads it.  Bounded-replay equivalence makes the
+    whole pipeline batch-oracle-checkable."""
+    from db_factfinder_spark.operators.timeseries import slo_burn_alerts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(
+            f"{sf_dir}/events.parque[t]"
+        )
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("err"),
+            F.count(F.lit(1)).alias("tot"),
+        )
+    )
+    dailies = run_available_now(agg, output_mode="complete").select(
+        F.expr("unix_micros(w.start) DIV 86400000000").alias("day"),
+        "err",
+        "tot",
+    )
+    return slo_burn_alerts(
+        dailies, "day", "err", "tot",
+        slo_num=1, slo_den=5, burn_factor=1,
+        short_days=1, long_days=6,
+    ).orderBy("day")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7836,6 +7877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q296_slo_burn": q296_slo_burn,
         "q297_smoothed_rates": q297_smoothed_rates,
         "q298_rbo_rankings": q298_rbo_rankings,
+        "q299_stream_burn_alerts": q299_stream_burn_alerts,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

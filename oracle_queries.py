@@ -7801,3 +7801,10 @@ SELECT CAST(d AS BIGINT) AS depth_d,
 FROM ds LEFT JOIN m ON true
 GROUP BY d ORDER BY depth_d
 """
+
+
+# q299: streaming burn alerts — the SPEC is identical to q296 (daily
+# aggregate + multiwindow sweep); only the execution path differs
+# (Structured Streaming state vs batch), which is the point: the
+# bounded-replay stream must land on the same answer.
+ORACLES["q299_stream_burn_alerts"] = ORACLES["q296_slo_burn"]
