@@ -7574,6 +7574,75 @@ def q299_stream_burn_alerts(spark, sf_dir):
     ).orderBy("day")
 
 
+def q300_curation_v2(spark, sf_dir):
+    """Capstone composition of the round-6 operators: LSH near-dup
+    groups → MEDOID survivor per group (q277 machinery, most-central
+    paraphrase instead of lowest id) → DSIR target-affinity scoring of
+    the deduped corpus against the src1/src2 domain (q267 machinery)
+    → per-source curation report (docs in, survivors kept, exact
+    token/favored counts).  Every stage is the oracle-checked operator
+    itself, so the composed pipeline stays bit-checkable end to end."""
+    from db_factfinder_spark.llmdata.components import (
+        group_medoids,
+        neardup_groups,
+    )
+    from db_factfinder_spark.llmdata.dedup import (
+        minhash_dedup_pairs,
+        shingles,
+    )
+    from db_factfinder_spark.llmdata.dsir import (
+        dsir_affinity,
+        target_favored_buckets,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        docs, num_hashes=8, bands=4, n=3, verify_threshold=0.6,
+        max_bucket=None,
+    )
+    groups = neardup_groups(pairs).select(
+        "doc_id", F.col("rep_id").alias("group_id")
+    )
+    items = docs.select("doc_id", shingles(F.col("text"), 3).alias("toks"))
+    medoids = group_medoids(groups, items).select(
+        F.col("medoid").alias("doc_id")
+    )
+    ungrouped = docs.select("doc_id").join(groups, "doc_id", "left_anti")
+    survivors = docs.join(
+        medoids.unionByName(ungrouped).distinct(), "doc_id"
+    )
+    is_target = F.col("source").isin("src1", "src2")
+    buckets = target_favored_buckets(
+        docs.filter(is_target), docs.filter(~is_target), n_buckets=4096
+    )
+    scored = dsir_affinity(
+        survivors.filter(~is_target), buckets, n_buckets=4096
+    )
+    per_doc = scored.join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    kept = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tok").alias("tot_tok"),
+        F.sum("n_fav").alias("tot_fav"),
+    )
+    return (
+        totals.join(kept, "source", "left")
+        .filter(~F.col("source").isin("src1", "src2"))
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("tot_tok", F.lit(0)).alias("tot_tok"),
+            F.coalesce("tot_fav", F.lit(0)).alias("tot_fav"),
+        )
+        .orderBy("source")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7878,6 +7947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q297_smoothed_rates": q297_smoothed_rates,
         "q298_rbo_rankings": q298_rbo_rankings,
         "q299_stream_burn_alerts": q299_stream_burn_alerts,
+        "q300_curation_v2": q300_curation_v2,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -7808,3 +7808,68 @@ GROUP BY d ORDER BY depth_d
 # (Structured Streaming state vs batch), which is the point: the
 # bounded-replay stream must land on the same answer.
 ORACLES["q299_stream_burn_alerts"] = ORACLES["q296_slo_burn"]
+
+
+# q300: curation v2 capstone — q277's medoids + q46's groups pick the
+# survivors; q267's bucket machinery scores them; per-source report.
+ORACLES["q300_curation_v2"] = f"""
+WITH med AS (SELECT * FROM ({ORACLES["q277_group_medoids"]})),
+grp AS (SELECT * FROM ({ORACLES["q46_neardup_groups"]})),
+surv AS (
+  SELECT medoid AS doc_id FROM med
+  UNION
+  SELECT doc_id FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM grp)),
+tgt AS (SELECT text FROM documents WHERE source IN ('src1','src2')),
+rawd AS (SELECT doc_id, text FROM documents
+         WHERE source NOT IN ('src1','src2')),
+ttok AS (
+  SELECT ('0x' || substr(md5(t), 1, 7))::BIGINT % 4096 AS bucket
+  FROM (SELECT unnest(list_filter(
+          string_split_regex(lower(text), '\\s+'), x -> x != '')) AS t
+        FROM tgt)),
+rtok AS (
+  SELECT ('0x' || substr(md5(t), 1, 7))::BIGINT % 4096 AS bucket
+  FROM (SELECT unnest(list_filter(
+          string_split_regex(lower(text), '\\s+'), x -> x != '')) AS t
+        FROM rawd)),
+tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM ttok GROUP BY 1),
+rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM rtok GROUP BY 1),
+bb AS (
+  SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+         coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+  FROM tc FULL JOIN rc ON tc.bucket = rc.bucket),
+tt AS (SELECT CAST(sum(ct) AS BIGINT) AS t_t,
+              CAST(sum(cr) AS BIGINT) AS t_r FROM bb),
+fav AS (SELECT bucket, (ct * t_r > cr * t_t) AS favored
+        FROM bb CROSS JOIN tt),
+sdocs AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d
+  JOIN surv USING (doc_id)
+  WHERE d.source NOT IN ('src1','src2')),
+dtok AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t), 1, 7))::BIGINT % 4096 AS bucket
+  FROM (SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(text), '\\s+'), x -> x != '')) AS t
+        FROM sdocs)),
+sc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(CASE WHEN coalesce(favored, FALSE) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_fav
+  FROM dtok LEFT JOIN fav USING (bucket) GROUP BY 1),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1),
+kept AS (
+  SELECT s.source, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(n_tok) AS BIGINT) AS tot_tok,
+         CAST(sum(n_fav) AS BIGINT) AS tot_fav
+  FROM sc JOIN sdocs s USING (doc_id) GROUP BY 1)
+SELECT tot.source, n_docs,
+       coalesce(n_kept, 0) AS n_kept,
+       coalesce(tot_tok, 0) AS tot_tok,
+       coalesce(tot_fav, 0) AS tot_fav
+FROM tot LEFT JOIN kept ON tot.source = kept.source
+WHERE tot.source NOT IN ('src1','src2')
+ORDER BY tot.source
+"""
