@@ -38,6 +38,7 @@ from db_factfinder_spark.llmdata.dedup import (  # noqa: F401
     minhash_dedup_pairs,
     minhash_signatures,
     lsh_candidate_pairs,
+    min_count_for_ratio,
     prefix_filter_pairs,
     simhash,
     simhash_multiprobe_pairs,

@@ -61,6 +61,33 @@ def cap_hot_buckets(
     )
 
 
+def min_count_for_ratio(n: Column, threshold: float) -> Column:
+    """Smallest integer ``c`` with ``(c / n) as double >= threshold`` —
+    the EXACT comparison every verify stage runs, so any integer bound
+    derived from it can never disagree with the verification filter.
+
+    The naive ``ceil(threshold * n)`` computes the float PRODUCT, which
+    for adversarial (threshold, n) pairs crosses an integer differently
+    than the correctly-rounded DIVISION the verify stage evaluates
+    (e.g. threshold=0.07, n=100: 0.07*100 = 7.000000000000001 in
+    binary64, so ceil gives 8, yet 7/100 = 0.07 >= 0.07 — the true
+    minimum is 7).  A prefix length derived from the inflated bound is
+    one shingle short and a true boundary pair silently generates no
+    candidate.  The fix probes c0±1 around the float ceil with the
+    division itself, repairing both rounding directions.
+
+    Shared by ``prefix_filter_pairs`` and ``containment_pairs`` (and
+    any future count-vs-ratio bound); audited by
+    ``tests/test_dedup.py`` against a brute-force sweep."""
+    c0 = F.ceil(F.lit(threshold) * n).cast("int")
+    nd = n.cast("double")
+    return (
+        F.when((c0 - 1).cast("double") / nd >= F.lit(threshold), c0 - 1)
+        .when(c0.cast("double") / nd >= F.lit(threshold), c0)
+        .otherwise(c0 + 1)
+    )
+
+
 def _md5_long(c: Column) -> Column:
     """First 15 hex chars of md5 as a non-negative bigint (60 bits) —
     portable: DuckDB `('0x' || substr(md5(x),1,15))::BIGINT` matches."""
@@ -148,10 +175,26 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     checkpoint_mode: str = "local",
+    max_df: int | None = None,
 ) -> DataFrame:
     """All document pairs with shingle-set Jaccard ≥ threshold.
     Explode → equi-join on shingle → per-pair intersection count →
-    |A∪B| = |A|+|B|−|A∩B|.  The a<b guard halves the join output."""
+    |A∪B| = |A|+|B|−|A∩B|.  The a<b guard halves the join output.
+
+    ``max_df`` is the hot-shingle guard (the exact-join twin of
+    ``cap_hot_buckets``): a shingle shared by m documents produces m²
+    join rows inside one reduce task — one boilerplate shingle
+    (license header, navigation chrome) across 10⁶ docs is a task
+    that never finishes.  With ``max_df=k``, shingles whose document
+    frequency exceeds k are dropped from the POSTINGS before the
+    self-join.  Contract (same as cap_hot_buckets): the capped result
+    is a SUBSET of the exact answer — n_a/n_b stay the full set
+    sizes, only n_common can shrink, so every computed jaccard is an
+    underestimate and the filter only gets stricter; no spurious pair
+    can appear.  ``max_df=None`` (default) is the exact oracle mode.
+    For exact answers WITH bounded candidates use
+    ``prefix_filter_pairs`` — q111 proves it yields the identical
+    answer with the megabuckets never entering the index."""
     # Materialize the shingled frame once: the self-join would otherwise
     # re-run the whole tokenize→shingle pipeline on BOTH sides (Spark
     # reuses no exchange across differently-projected self-join sides).
@@ -163,6 +206,16 @@ def jaccard_pairs(
         checkpoint_mode,
     )
     exploded = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    if max_df is not None:
+        # Window-count partitioned by the same key the self-join
+        # shuffles on (exchange reuse — one extra pass, no extra
+        # all-to-all), mirroring cap_hot_buckets.
+        wg = Window.partitionBy("g")
+        exploded = (
+            exploded.withColumn("__df_g", F.count(F.lit(1)).over(wg))
+            .filter(F.col("__df_g") <= max_df)
+            .drop("__df_g")
+        )
     a, b = exploded.alias("a"), exploded.alias("b")
     pairs = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
@@ -841,7 +894,14 @@ def prefix_filter_pairs(
             ).alias("tk_ord")
         )
     )
-    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    # Required overlap: smallest integer c with (c/n as double) >= tau.
+    # J = inter/union with union >= n (union contains this doc's own
+    # set), and correctly-rounded double division is monotone in the
+    # denominator, so inter/n >= inter/union >= tau whenever the verify
+    # filter passes — the prefix bound derived from this exact-integer
+    # req can therefore never miss a pair the verify stage would keep,
+    # unlike the raw float ceil(tau*n) (see min_count_for_ratio).
+    prefix_len = F.col("n") - min_count_for_ratio(F.col("n"), threshold) + 1
     prefixes = materialize(
         ordered.select(
             "id",
@@ -1072,19 +1132,9 @@ def containment_pairs(
         checkpoint_mode,
     )
     # Required overlap c = smallest integer with (c/n as double) ≥ τ —
-    # the EXACT comparison the verify stage runs, so the prefix bound
-    # can never disagree with it.  float ceil(τ·n) alone can round the
-    # product across an integer differently than the division for
-    # adversarial (τ, n) pairs, making the prefix one shingle short;
-    # the ±1 probe below repairs both rounding directions.
-    c0 = F.ceil(F.lit(threshold) * F.col("n")).cast("int")
-    nd = F.col("n").cast("double")
-    req = (
-        F.when((c0 - 1).cast("double") / nd >= F.lit(threshold), c0 - 1)
-        .when(c0.cast("double") / nd >= F.lit(threshold), c0)
-        .otherwise(c0 + 1)
-    )
-    prefix_len = F.col("n") - req + 1
+    # the EXACT comparison the verify stage runs (shared helper; see
+    # min_count_for_ratio for the float-ceil hazard it repairs).
+    prefix_len = F.col("n") - min_count_for_ratio(F.col("n"), threshold) + 1
     pe = ordered.select(
         "id", F.explode(F.slice("tk_ord", 1, prefix_len.cast("int"))).alias("t")
     )
@@ -1397,9 +1447,13 @@ def cdc_chunks(
     """Content-defined chunking — the storage-dedup splitter
     (LBFS/restic/borg family): a chunk boundary falls AFTER position
     *i* iff the hash of the ``window``-gram ending at *i* satisfies
-    ``h & mask == 0``, so boundaries are anchored to CONTENT, not
-    offsets — inserting one byte shifts one chunk, not every chunk
-    after it (the fixed-size-block failure CDC exists to avoid).
+    ``h % (mask + 1) == 0`` — equivalent to the classic
+    ``h & mask == 0`` because ``mask + 1`` is REQUIRED to be a power
+    of two (validated below; a mask like 100 would silently give
+    mod-101 semantics otherwise).  Boundaries are anchored to
+    CONTENT, not offsets — inserting one byte shifts one chunk, not
+    every chunk after it (the fixed-size-block failure CDC exists to
+    avoid).
 
     The per-position hash is the engine's md5-literal idiom (first 28
     bits of md5 of the substring), expression-only: one
@@ -1413,6 +1467,12 @@ def cdc_chunks(
     chunk_len``.  Downstream chunk-level dedup is a plain hash groupBy
     on ``md5(chunk)`` — see q288.
     """
+    if mask < 0 or (mask + 1) & mask:
+        raise ValueError(
+            f"mask must be 2^k - 1 (got {mask}): the boundary rule is "
+            "h & mask == 0, implemented as h % (mask+1) == 0, and the "
+            "two agree only when mask+1 is a power of two"
+        )
     t = F.col(text_col)
     n = F.length(t)
     pos_hash_ok = lambda i: (  # noqa: E731 — md5 28-bit of window at i

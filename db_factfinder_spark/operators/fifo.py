@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["fifo_allocate"]
+__all__ = ["fifo_allocate", "fifo_open_lots"]
 
 
 def fifo_allocate(

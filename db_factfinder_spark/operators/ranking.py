@@ -202,9 +202,17 @@ def diversified_topn(
     where ``via`` ∈ {'floor', 'fill'} and ``sel_rank`` orders the
     final selection by (score desc, id asc).
 
-    Scale: one per-group window, one global rank over the floor
-    REMAINDER only (the already-small non-floor candidates can be
-    pre-pruned by per-group caps upstream), one scalar broadcast.
+    Scale: one per-group window, then the fill's global rank runs
+    over a PRE-PRUNED frame — ``rest`` is first cut to per-group rank
+    ≤ ``floor_per_group + n``.  Answer-preserving proof: the fill
+    takes at most ``n`` items globally; an item with per-group rank
+    beyond ``floor_per_group + n`` has ≥ n rest-items in its OWN
+    group strictly ahead of it in the global (score desc, id asc)
+    order, so its global fill rank is > n and it can never be
+    selected.  The unpartitioned window therefore sorts at most
+    ``n × |groups|`` rows instead of the whole non-floor input — the
+    per-group window (a partitioned shuffle) has already done the
+    heavy lifting.
     """
     wg = Window.partitionBy(group_col).orderBy(
         F.desc(score_col), F.asc(id_col)
@@ -214,7 +222,10 @@ def diversified_topn(
     )
     floors = ranked.filter(F.col("__rg") <= floor_per_group)
     n_floor = floors.agg(F.count(F.lit(1)).alias("__nf"))
-    rest = ranked.filter(F.col("__rg") > floor_per_group)
+    rest = ranked.filter(
+        (F.col("__rg") > floor_per_group)
+        & (F.col("__rg") <= floor_per_group + n)
+    )
     wfill = Window.orderBy(F.desc(score_col), F.asc(id_col))
     fills = (
         rest.withColumn("__rf", F.row_number().over(wfill))

@@ -7068,13 +7068,24 @@ FROM w GROUP BY 1, 2 ORDER BY event_type
 
 # q277: group medoids — q46's closure gives the groups; the medoid is
 # the exact symmetric-difference argmin, ties by ascending doc id.
+# Mirrors group_medoids' full branch structure (components.py:739):
+# the max_group=1000 giant-group guard (NULL medoid / NULL sum_dist),
+# the singleton branch (own medoid, sum_dist 0), and the pair join
+# confined to admitted groups — so parity holds even at scale factors
+# where a near-dup group exceeds the bound.
 ORACLES["q277_group_medoids"] = f"""
 WITH grp AS (SELECT * FROM ({ORACLES["q46_neardup_groups"]})),
 d AS (SELECT doc_id, {{_NT}} AS toks FROM documents),
 sh AS (SELECT doc_id, {{_SH}} AS grams FROM d),
+sizes AS (
+  SELECT rep_id AS group_id, count(*) AS gsz FROM (
+    SELECT * FROM ({ORACLES["q46_neardup_groups"]})
+  ) GROUP BY 1),
 mem AS (
-  SELECT g.doc_id, g.rep_id AS group_id, g.group_size, sh.grams
-  FROM grp g JOIN sh USING (doc_id)),
+  SELECT g.doc_id, g.rep_id AS group_id, s.gsz AS group_size, sh.grams
+  FROM grp g JOIN sizes s ON g.rep_id = s.group_id
+  JOIN sh USING (doc_id)
+  WHERE s.gsz <= 1000),
 pd AS (
   SELECT a.group_id, a.doc_id AS ia, a.group_size,
          CAST(sum(len(a.grams) + len(b.grams)
@@ -7088,9 +7099,23 @@ best AS (
          CAST(group_size AS BIGINT) AS group_size, dsum AS sum_dist,
          row_number() OVER (PARTITION BY group_id ORDER BY dsum, ia)
            AS rk
-  FROM pd)
-SELECT group_id, medoid, group_size, sum_dist
-FROM best WHERE rk = 1 ORDER BY group_id
+  FROM pd),
+picked AS (
+  SELECT group_id, medoid, group_size, sum_dist
+  FROM best WHERE rk = 1),
+singles AS (
+  SELECT group_id, min(doc_id) AS medoid,
+         CAST(1 AS BIGINT) AS group_size, CAST(0 AS BIGINT) AS sum_dist
+  FROM mem WHERE group_size = 1 GROUP BY group_id),
+giants AS (
+  SELECT group_id, CAST(NULL AS BIGINT) AS medoid,
+         CAST(gsz AS BIGINT) AS group_size,
+         CAST(NULL AS BIGINT) AS sum_dist
+  FROM sizes WHERE gsz > 1000)
+SELECT * FROM picked
+UNION ALL SELECT * FROM singles
+UNION ALL SELECT * FROM giants
+ORDER BY group_id
 """
 ORACLES["q277_group_medoids"] = (
     ORACLES["q277_group_medoids"]
