@@ -171,21 +171,33 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "startup_s": startup_s,
-                "cold_total": round(sum(cold.values()), 3),
-                "reexec_total": round(sum(reexec.values()), 3),
-                "detail": "bench_detail.json",
-            }
-        )
+    headline = {
+        "metric": "headline_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "startup_s": startup_s,
+        "cold_total": round(sum(cold.values()), 3),
+        "reexec_total": round(sum(reexec.values()), 3),
+        "detail": "bench_detail.json",
+    }
+    # Driver-proof artifact (VERDICT r6 ask #6): also WRITE the
+    # headline to BENCH_local_r{N}.json in-repo so a driver capture
+    # gap can never lose a round's numbers again (r5's were lost).
+    # Round number from $SPARK_GRAFT_ROUND, default a dateless
+    # "latest" slot so repeated local runs don't litter.
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "")
+    local_name = (
+        f"BENCH_local_r{int(rnd):02d}.json" if rnd.isdigit()
+        else "BENCH_local_latest.json"
     )
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), local_name),
+        "w",
+    ) as f:
+        json.dump(headline, f, indent=1)
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -36,8 +36,11 @@ computation happens in Spark after landing.
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 from typing import Callable
+from urllib.parse import quote
+from urllib.request import urlopen
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -59,6 +62,93 @@ GEO_COLUMNS = {
 }
 
 NYC_COUNTIES = ("005", "081", "085", "047", "061")
+
+
+class CensusRestClient:
+    """Production HTTP client for ``CensusApiSource`` — the shipped
+    equivalent of the reference's ``census``-package wrapper
+    (download.py:14-27, which instantiates ``census.Census`` clients
+    acs5 / acs5dp / acs5st / sf1).  Zero third-party deps: stdlib
+    ``urllib`` against the public data.census.gov JSON API.
+
+    Instances are the ``client(dataset, variables, geoquery) ->
+    list[dict]`` callable the adapter takes, so production wiring is::
+
+        src = CensusApiSource(spark, CensusRestClient(api_key=KEY))
+
+    The HTTP transport is injectable (``opener(url) -> str``) so tests
+    replay recorded JSON without network — this sandbox has none, and
+    CI should never depend on a live government API either.
+
+    The census JSON shape is array-of-arrays with a header row::
+
+        [["NAME","B01001_001E","state","county","tract"],
+         ["Census Tract 1","1000","36","005","000100"], ...]
+
+    parsed here into the adapter's row dicts.
+    """
+
+    # dataset → URL path fragment (the ``census`` package's routing:
+    # acs5→acs/acs5, acs5dp→acs/acs5/profile, acs5st→acs/acs5/subject,
+    # decennial sf1→dec/sf1)
+    DATASET_PATHS = {
+        "acs5": "acs/acs5",
+        "acs5dp": "acs/acs5/profile",
+        "acs5st": "acs/acs5/subject",
+        "decennial": "dec/sf1",
+    }
+    # sf1 exists only for decennial years; the reference pins 2010
+    DECENNIAL_YEAR = 2010
+
+    def __init__(
+        self,
+        year: int = 2019,
+        api_key: str | None = None,
+        base_url: str = "https://api.census.gov/data",
+        opener: Callable[[str], str] | None = None,
+        timeout: float = 60.0,
+    ):
+        self.year = year
+        self.api_key = api_key
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+        self._opener = opener or self._default_opener
+
+    def _default_opener(self, url: str) -> str:
+        with urlopen(url, timeout=self.timeout) as resp:  # noqa: S310
+            return resp.read().decode("utf-8")
+
+    def url(self, dataset: str, variables: list[str], geoquery: dict) -> str:
+        """Request URL for one (dataset, variables, geoquery) — the
+        census API's ``get``/``for``/``in`` parameter convention."""
+        path = self.DATASET_PATHS.get(dataset)
+        if path is None:
+            raise ValueError(
+                f"unknown dataset {dataset!r} "
+                f"(known: {sorted(self.DATASET_PATHS)})"
+            )
+        year = self.DECENNIAL_YEAR if dataset == "decennial" else self.year
+        params = [("get", ",".join(variables))]
+        if "for" in geoquery:
+            params.append(("for", geoquery["for"]))
+        if "in" in geoquery:
+            params.append(("in", geoquery["in"]))
+        if self.api_key:
+            params.append(("key", self.api_key))
+        qs = "&".join(
+            f"{k}={quote(str(v), safe='*:,')}" for k, v in params
+        )
+        return f"{self.base_url}/{year}/{path}?{qs}"
+
+    def __call__(
+        self, dataset: str, variables: list[str], geoquery: dict
+    ) -> list[dict]:
+        body = self._opener(self.url(dataset, variables, geoquery))
+        table = json.loads(body)
+        if not table:
+            return []
+        header, *rows = table
+        return [dict(zip(header, r)) for r in rows]
 
 
 class CensusApiSource:
