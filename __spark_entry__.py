@@ -7687,6 +7687,174 @@ def q301_acs_catalog_median(spark, sf_dir):
     )
 
 
+def q302_winnow_pairs(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint near-dup pairs: char-20-gram md5
+    hashes, window-8 minima, pairs sharing >= 2 fingerprints — the
+    LOCAL-similarity (shared-passage) detector complementing MinHash's
+    whole-set resemblance.  Map-side fingerprinting, one postings
+    join.  k=20 (MOSS-typical) means only a shared run of >= 27
+    normalized chars guarantees a fingerprint — generic English
+    5-char overlaps never pair, so the candidate space stays sparse
+    at scale."""
+    from db_factfinder_spark.llmdata.winnow import winnow_pairs
+
+    docs = _docs(spark, sf_dir)
+    return (
+        winnow_pairs(docs, k=20, w=8, min_shared=2)
+        .select("id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q303_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the q278 bipartite
+    customer-supplier graph: wedge join through the middle vertex,
+    per-pair integer-quantized 1/ln(deg) sum (order-independent exact
+    arithmetic)."""
+    from db_factfinder_spark.llmdata.components import adamic_adar
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ords = orders.filter(F.col("o_custkey") % 11 == 0).select(
+        "o_orderkey", (F.col("o_custkey") * 2).alias("cnode")
+    )
+    pairs = (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .select("cnode", (F.col("l_suppkey") * 2 + 1).alias("snode"))
+        .distinct()
+    )
+    return (
+        adamic_adar(pairs, "cnode", "snode")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("aa_units").cast("long").alias("aa_units"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q304_curriculum_interleave(spark, sf_dir):
+    """Curriculum round-robin interleave: documents bucketed by length
+    quintile-ish bands, top-5 per bucket by (n_chars desc, id), emitted
+    in interleaved difficulty order."""
+    from db_factfinder_spark.llmdata.sampling import curriculum_interleave
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "bucket", F.least(F.floor(F.col("n_chars") / 120), F.lit(4)).cast("int")
+    )
+    out = curriculum_interleave(
+        docs, "bucket", F.desc("n_chars"), "doc_id", per_bucket=5
+    )
+    return out.select(
+        "doc_id",
+        "bucket",
+        F.col("within_rank").cast("long").alias("within_rank"),
+        F.col("bucket_rank").cast("long").alias("bucket_rank"),
+        F.col("interleave_pos").cast("long").alias("interleave_pos"),
+    ).orderBy("interleave_pos", "doc_id")
+
+
+def q305_boilerplate_density(spark, sf_dir):
+    """Per-document boilerplate fraction over synthesized multi-line
+    docs (body line + a universal footer + a per-doc header slice):
+    the footer's line fingerprint recurs in every doc (df >= 5) so
+    every doc scores 1 boilerplate line out of 3."""
+    from db_factfinder_spark.llmdata.lines import boilerplate_density
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 40),
+            F.lit("standard cookie consent footer"),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return (
+        boilerplate_density(docs, min_df=5)
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_boiler").cast("long").alias("n_boiler"),
+            "boiler_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q306_char_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the normalized char
+    distribution — bounded-alphabet expression-only quality signal.
+    Reported in integer nano-nat units (the portable-exactness
+    contract: JVM and DuckDB libm ln() disagree by 1 ulp on ~5% of
+    inputs, so the double sum is not cross-engine comparable)."""
+    from db_factfinder_spark.llmdata.textstats import (
+        char_entropy,
+        normalize_text,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.length(normalize_text(F.col("text"))).cast("long").alias(
+                "n_chars_norm"
+            ),
+            char_entropy(F.col("text"), quantize=1_000_000_000).alias(
+                "entropy_nanonats"
+            ),
+        )
+        .filter(F.col("n_chars_norm") >= 1)
+        .orderBy("doc_id")
+    )
+
+
+def q307_stitch_candidates(spark, sf_dir):
+    """Fragment stitching: split each document into two overlapping
+    fragments (chars 1..120 and 91..end — 30 normalized chars of
+    shared boundary), then detect tail-of-A == head-of-B pairs.  Every
+    sufficiently long source doc must yield its own (A, B) stitch."""
+    from db_factfinder_spark.llmdata.winnow import stitch_candidates
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    frag_a = docs.select(
+        (F.col("doc_id") * 2).alias("doc_id"),
+        F.substring("text", 1, 120).alias("text"),
+    )
+    frag_b = docs.select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.expr("substring(text, 91)").alias("text"),
+    )
+    frags = frag_a.unionByName(frag_b)
+    return (
+        stitch_candidates(frags, k=30)
+        .select("id_prev", "id_next", F.md5("boundary").alias("boundary_md5"))
+        .orderBy("id_prev", "id_next")
+    )
+
+
+def q308_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency slope per source over the top-100 tokens —
+    OLS on integer-quantized ln(rank)/ln(freq) via grouped_linreg's
+    exact-decimal sums."""
+    from db_factfinder_spark.llmdata.textstats import zipf_slope
+
+    docs = _docs(spark, sf_dir)
+    return (
+        zipf_slope(docs, by="source", top_ranks=100)
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n"),
+            F.col("slope_u").alias("slope"),
+            (F.col("intercept_u") / F.lit(1e6)).alias("intercept_nats"),
+        )
+        .orderBy("source")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7993,6 +8161,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q299_stream_burn_alerts": q299_stream_burn_alerts,
         "q300_curation_v2": q300_curation_v2,
         "q301_acs_catalog_median": q301_acs_catalog_median,
+        "q302_winnow_pairs": q302_winnow_pairs,
+        "q303_adamic_adar": q303_adamic_adar,
+        "q304_curriculum_interleave": q304_curriculum_interleave,
+        "q305_boilerplate_density": q305_boilerplate_density,
+        "q306_char_entropy": q306_char_entropy,
+        "q307_stitch_candidates": q307_stitch_candidates,
+        "q308_zipf_slope": q308_zipf_slope,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -72,6 +72,7 @@ from db_factfinder_spark.llmdata.similarity import (  # noqa: F401
     semantic_dedup,
 )
 from db_factfinder_spark.llmdata.components import (  # noqa: F401
+    adamic_adar,
     bipartite_label_propagation,
     connected_components,
     connected_components_star,
@@ -85,6 +86,7 @@ from db_factfinder_spark.llmdata.components import (  # noqa: F401
 from db_factfinder_spark.llmdata.sampling import (  # noqa: F401
     budget_fill,
     cap_per_group,
+    curriculum_interleave,
     deterministic_sample,
     hash_bucket,
     mixture_sample,
@@ -109,6 +111,7 @@ from db_factfinder_spark.llmdata.textstats import (  # noqa: F401
     build_postings,
     char_chunker_udtf,
     collocation_lift,
+    char_entropy,
     phrase_search,
     phrase_search_postings,
     proximity_search,
@@ -116,8 +119,17 @@ from db_factfinder_spark.llmdata.textstats import (  # noqa: F401
     tfidf_top_terms,
     token_diversity,
     top_p_truncate,
+    zipf_slope,
 )
-from db_factfinder_spark.llmdata.lines import line_dedup  # noqa: F401
+from db_factfinder_spark.llmdata.lines import (  # noqa: F401
+    boilerplate_density,
+    line_dedup,
+)
+from db_factfinder_spark.llmdata.winnow import (  # noqa: F401
+    stitch_candidates,
+    winnow_fingerprint_sets,
+    winnow_pairs,
+)
 from db_factfinder_spark.llmdata.dsir import (  # noqa: F401
     dsir_affinity,
     target_favored_buckets,

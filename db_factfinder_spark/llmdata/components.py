@@ -918,3 +918,78 @@ def deterministic_walks(
     return state.select(
         "seed", "walk", "path", (F.size("path") - 1).alias("steps")
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected edge list: for
+    every non-adjacent-or-not pair (u, w) with ≥ 1 common neighbor,
+    ``AA(u, w) = Σ_{v ∈ N(u) ∩ N(w)} 1 / ln(deg(v))`` — common
+    neighbors discounted by how promiscuous they are (a shared hub
+    says little; a shared degree-2 friend says a lot).
+
+    Exactness contract: each term is QUANTIZED to integer
+    ``aa_units = floor(scale / ln(deg) + 0.5)`` before summation, so
+    the per-pair total is an order-independent integer sum — the same
+    portability idiom as ``grouped_linreg``'s integer coding (a double
+    sum's accumulation order differs between engines and between
+    partitionings of the same engine).  Report ``aa_units / scale``
+    for display; compare on ``aa_units``.
+
+    Plan: degrees (one groupBy), wedge join through the middle vertex
+    (one shuffle on v), per-pair integer sum.  Wedge fan-out is
+    Σ deg(v)² — the hub hazard every triangle/2-hop job has;
+    ``max_degree`` drops hub MIDDLES before the self-join (their
+    ln-discounted terms are the smallest anyway, but the capped result
+    is a LOWER BOUND and pairs reachable only through hubs vanish —
+    same explicit-truncation contract as ``cap_hot_buckets``).
+    Degree-1 middles cannot form a wedge (need two distinct
+    neighbors), so ln(deg) ≥ ln 2 > 0 — no division hazard.
+
+    Returns ``id_a, id_b, n_common, aa_units`` with ``id_a < id_b``.
+    """
+    e = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    deg = sym.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    if max_degree is not None:
+        deg = deg.filter(F.col("deg") <= max_degree)
+    # adjacency keyed by the middle vertex, each row carrying the
+    # middle's quantized discount so the wedge join needs no third join
+    adj = sym.select(F.col("b").alias("v"), F.col("a").alias("u")).join(
+        deg, "v"
+    )
+    term = F.floor(
+        F.lit(float(scale)) / F.log(F.col("x.deg").cast("double")) + 0.5
+    ).cast("long")
+    wedges = (
+        adj.alias("x")
+        .join(
+            adj.select(
+                F.col("v").alias("v2"), F.col("u").alias("w")
+            ).alias("y"),
+            F.col("x.v") == F.col("y.v2"),
+        )
+        .filter(F.col("x.u") < F.col("y.w"))
+    )
+    return (
+        wedges.groupBy(
+            F.col("x.u").alias("id_a"), F.col("y.w").alias("id_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(term).alias("aa_units"),
+        )
+    )

@@ -134,3 +134,43 @@ def line_dedup(
             .alias("clean_text"),
         )
     )
+
+
+def boilerplate_density(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 5,
+) -> DataFrame:
+    """Per-document boilerplate fraction: a line is BOILERPLATE when
+    its normalized fingerprint appears in ≥ ``min_df`` documents
+    (nav chrome, cookie banners, license footers — the lines CCNet
+    drops corpus-wide).  Where :func:`line_dedup` rewrites documents,
+    this SCORES them, feeding quality filters that drop documents
+    which are mostly template.
+
+    Two keyed shuffles: line-key document frequency (count DISTINCT
+    docs per key — a line repeated within one doc is repetition, not
+    boilerplate), then the per-doc rollup.  Returns
+    ``{id_col}, n_lines, n_boiler, boiler_frac``.
+    """
+    lines = line_frame(df, text_col, id_col).select(
+        "id", "pos", line_key("line").alias("k")
+    )
+    dfreq = lines.select("id", "k").distinct().groupBy("k").agg(
+        F.count(F.lit(1)).alias("line_df")
+    )
+    scored = lines.join(dfreq, "k")
+    return (
+        scored.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("line_df") >= min_df, 1).otherwise(0)
+            ).alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_frac",
+            F.col("n_boiler").cast("double") / F.col("n_lines").cast("double"),
+        )
+    )

@@ -551,3 +551,68 @@ def coordinated_sample(
     it).  Purely map-side; composes with partition pruning.
     """
     return df.filter(deterministic_sample(join_key, fraction, buckets))
+
+
+def curriculum_interleave(
+    df,
+    bucket_col: str,
+    order_by,
+    id_col: str,
+    per_bucket: int | None = None,
+):
+    """Curriculum ordering: round-robin interleave across difficulty
+    buckets — emit every bucket's best item first, then every bucket's
+    second, … so a training run sees a difficulty mix from step one
+    instead of an easy-first wall (the standard curriculum/data-mixing
+    layout step).
+
+    ``bucket_col`` is a caller-supplied difficulty bucket (an explicit
+    expression or precomputed decile — NOT inferred here: global
+    quantile inference is its own operator and would hide a global
+    sort inside a layout primitive).  Within each bucket items rank by
+    ``(order_by, id)`` — a PARTITIONED window, the only shuffle.  The
+    interleave position is computed arithmetically from
+    ``(within_rank, bucket_rank)`` — no global window; materializing
+    the final order is the consumer's ``orderBy(interleave_pos)``,
+    which Spark executes as a distributed range-partitioned sort.
+
+    ``per_bucket`` caps each bucket (curriculum head); ``None`` keeps
+    everything.  Buckets are dense-ranked by their value so gaps in
+    bucket ids don't leave holes in the interleave.
+
+    Returns input columns + ``within_rank, bucket_rank,
+    interleave_pos`` (0-based; ``pos = (within_rank-1) * n_buckets +
+    bucket_rank - 1``).
+    """
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy(bucket_col).orderBy(
+        *(order_by if isinstance(order_by, (list, tuple)) else [order_by]),
+        F.asc(id_col),
+    )
+    ranked = df.withColumn("within_rank", F.row_number().over(wb))
+    if per_bucket is not None:
+        ranked = ranked.filter(F.col("within_rank") <= per_bucket)
+    buckets = (
+        ranked.select(bucket_col)
+        .distinct()
+        .groupBy()
+        .agg(
+            F.sort_array(F.collect_list(bucket_col)).alias("__bs"),
+            F.count(F.lit(1)).alias("__nb"),
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(buckets))
+        .withColumn(
+            "bucket_rank",
+            F.array_position(F.col("__bs"), F.col(bucket_col)).cast("int"),
+        )
+        .withColumn(
+            "interleave_pos",
+            (F.col("within_rank") - 1) * F.col("__nb")
+            + F.col("bucket_rank")
+            - 1,
+        )
+        .drop("__bs", "__nb")
+    )

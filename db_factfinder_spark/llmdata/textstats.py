@@ -1299,3 +1299,117 @@ def vocab_coverage_curve(
         )
         out = at_k if out is None else out.unionByName(at_k)
     return out
+
+
+def char_entropy(
+    text: Column | str, quantize: int | None = None
+) -> Column:
+    """Shannon entropy (nats) of the normalized character distribution
+    — the cheap compressibility proxy quality filters use to catch
+    keyboard-mash, base64 blobs, and single-char padding (low entropy)
+    or uniform noise (max entropy) without running a compressor.
+
+    Pure per-row expressions: the normalized alphabet is ≤ 37 symbols
+    (a-z, 0-9, space), so the distinct-symbol scan is a BOUNDED
+    ``transform`` over the sorted distinct chars — O(37·len) per row,
+    map-side, no shuffle, no UDF.  Empty/NULL-normalized text → NULL.
+
+    ``quantize=None`` returns the double entropy with terms folded in
+    sorted-symbol order — reproducible within ONE engine, but libm's
+    ``ln`` is only within-1-ulp and JVM vs DuckDB disagree on ~5% of
+    real inputs, so the double form is NOT cross-engine exact.
+    ``quantize=k`` applies the engine's portable-exactness idiom
+    (see ``adamic_adar``/``grouped_linreg``): each term is quantized
+    to integer ``floor(term·k + 0.5)`` units and summed as longs —
+    order-independent and oracle-exact; report ``units / k``.
+    """
+    t = normalize_text(text)
+
+    def over_chars(chars: Column) -> Column:
+        n = F.size(chars).cast("double")
+        uniq = F.array_sort(F.array_distinct(chars))
+        term = lambda c: (  # noqa: E731
+            let(
+                F.size(F.filter(chars, lambda x: x == c)).cast("double") / n,
+                lambda p: -p * F.log(p),
+            )
+        )
+        if quantize is not None:
+            q = lambda c: F.floor(  # noqa: E731
+                term(c) * F.lit(float(quantize)) + 0.5
+            ).cast("long")
+            return F.aggregate(
+                F.transform(uniq, q),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        return F.aggregate(
+            F.transform(uniq, term),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    chars0 = F.split(t, "")
+    return F.when(F.length(t) >= 1, let(chars0, over_chars))
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str | None = None,
+    top_ranks: int = 200,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Zipf rank–frequency slope per corpus slice: OLS slope of
+    ``ln(freq)`` on ``ln(rank)`` over the top ``top_ranks`` tokens —
+    natural text sits near −1; templated/generated text and token-soup
+    spam drift off, making the slope a corpus-health metric per
+    source/snapshot.
+
+    Plan: token counts (one shuffle), per-slice rank window
+    (partitioned by the slice key; frame bounded by the slice's
+    vocabulary), filter to ``top_ranks``, then ``grouped_linreg`` on
+    integer-quantized logs (``floor(ln·scale + 0.5)``) — the engine's
+    order-independent exact-sum idiom.  The log itself is
+    ``portable_ln`` (libm-free dyadic + atanh series): JVM and DuckDB
+    libm ``ln`` disagree by 1 ulp on ~5% of inputs, which flips the
+    quantization floor at boundaries — portable_ln computes identical
+    BITS in both engines, so the coding carries zero boundary risk.
+
+    ``scale`` defaults to 1e6 (not 1e9) so every OLS cross-product
+    stays below 2^63: ``n·Σxy ≤ top_ranks²·(ln r·s)·(ln f·s) ≈ 1e18``
+    at s=1e6 — int128→double casts DOUBLE-ROUND in some engines
+    (observed: DuckDB HUGEINT→DOUBLE vs Spark's single-rounded
+    BigDecimal cast diverge by 1 ulp above 2^63), while every integer
+    below 2^63 casts with one correctly-rounded step everywhere.
+    Slope resolution at 1e-6 coding is ~1e-6 — far beyond any
+    corpus-health use.
+
+    Returns ``{by}, n, slope_u, intercept_u`` from grouped_linreg;
+    ``slope = slope_u`` (x and y share the same coding so units
+    cancel), ``intercept(nats) = intercept_u / scale``.
+    """
+    from pyspark.sql import Window
+
+    from db_factfinder_spark.operators.regression import grouped_linreg
+
+    keys = [by] if by else []
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        *keys, F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    counts = toks.groupBy(*keys, "t").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy(*keys).orderBy(F.desc("freq"), F.asc("t"))
+    ranked = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_ranks
+    )
+    from db_factfinder_spark.functions.portable_math import portable_ln
+
+    code = lambda c: F.floor(  # noqa: E731
+        portable_ln(c) * F.lit(float(scale)) + 0.5
+    ).cast("long")
+    if not keys:
+        ranked = ranked.withColumn("corpus", F.lit("all"))
+        keys = ["corpus"]
+    return grouped_linreg(
+        ranked, keys, code(F.col("rank")), code(F.col("freq"))
+    )

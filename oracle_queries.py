@@ -8065,3 +8065,204 @@ def _acs2019_mdage_oracle() -> str:
 
 
 ORACLES["q301_acs_catalog_median"] = _acs2019_mdage_oracle()
+
+
+# ===================================================================
+# round 7 extensions: winnowing, link prediction, curriculum layout,
+# boilerplate scoring, char entropy, fragment stitching, Zipf slope.
+
+# q302: winnowing (MOSS) fingerprints — char-5-gram md5-28 hashes,
+# window-4 minima, distinct per doc; pairs sharing >= 2 fingerprints.
+ORACLES["q302_winnow_pairs"] = f"""
+WITH d AS (SELECT doc_id, {_NORM} AS t FROM documents
+           WHERE text IS NOT NULL),
+h AS (SELECT doc_id,
+        CASE WHEN len(t) >= 20 THEN
+          list_transform(range(1, len(t) - 20 + 2),
+            i -> ('0x' || substr(md5(substr(t, CAST(i AS INT), 20)), 1, 7))
+                   ::BIGINT)
+        ELSE [] END AS hl
+      FROM d),
+f AS (SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(hl) - 7, 1) + 1),
+          j -> list_min(hl[CAST(j AS INT):CAST(j AS INT) + 7]))) AS fps
+      FROM h WHERE len(hl) >= 1),
+p AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(count(*) AS BIGINT) AS n_shared
+       FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT id_a, id_b, n_shared FROM pr WHERE n_shared >= 2
+ORDER BY id_a, id_b
+"""
+
+# q303: Adamic-Adar over the q278 bipartite graph; per-wedge terms
+# quantized to integer units so the sum is order-independent.
+ORACLES["q303_adamic_adar"] = """
+WITH ords AS (
+  SELECT o_orderkey, o_custkey * 2 AS cnode
+  FROM orders WHERE o_custkey % 11 = 0),
+pairs AS (
+  SELECT DISTINCT cnode, l_suppkey * 2 + 1 AS snode
+  FROM lineitem JOIN ords ON l_orderkey = o_orderkey),
+sym AS (
+  SELECT cnode AS a, snode AS b FROM pairs
+  UNION
+  SELECT snode, cnode FROM pairs),
+deg AS (SELECT a AS v, count(*) AS deg FROM sym GROUP BY 1),
+adj AS (SELECT s.b AS v, s.a AS u, d.deg
+        FROM sym s JOIN deg d ON s.b = d.v),
+w AS (
+  SELECT x.u AS id_a, y.u AS id_b,
+         CAST(floor(1000000000.0 / ln(CAST(x.deg AS DOUBLE)) + 0.5)
+              AS BIGINT) AS term
+  FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u)
+SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_common,
+       CAST(sum(term) AS BIGINT) AS aa_units
+FROM w GROUP BY 1, 2 ORDER BY id_a, id_b
+"""
+
+# q304: curriculum round-robin interleave — per-bucket rank, dense
+# bucket positions over the post-cap bucket set, arithmetic position.
+ORACLES["q304_curriculum_interleave"] = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(least(floor(n_chars / 120), 4) AS INT) AS bucket,
+         n_chars
+  FROM documents),
+r AS (
+  SELECT doc_id, bucket,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY n_chars DESC, doc_id) AS within_rank
+  FROM d),
+keep AS (SELECT * FROM r WHERE within_rank <= 5),
+bs AS (
+  SELECT bucket, row_number() OVER (ORDER BY bucket) AS bucket_rank
+  FROM (SELECT DISTINCT bucket FROM keep)),
+nb AS (SELECT count(*) AS n_b FROM bs)
+SELECT k.doc_id, k.bucket,
+       CAST(k.within_rank AS BIGINT) AS within_rank,
+       CAST(b.bucket_rank AS BIGINT) AS bucket_rank,
+       CAST((k.within_rank - 1) * nb.n_b + b.bucket_rank - 1 AS BIGINT)
+         AS interleave_pos
+FROM keep k JOIN bs b USING (bucket) CROSS JOIN nb
+ORDER BY interleave_pos, doc_id
+"""
+
+# q305: boilerplate-line density over synthesized 3-line documents
+# (header slice + universal footer + body); a line is boilerplate
+# when its md5(lower(trim(line))) key spans >= 5 distinct docs.
+ORACLES["q305_boilerplate_density"] = """
+WITH d AS (
+  SELECT doc_id,
+         concat_ws(chr(10), substr(text, 1, 40),
+                   'standard cookie consent footer', text) AS text
+  FROM documents),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS parts
+       FROM d WHERE text IS NOT NULL),
+l AS (SELECT doc_id, t.i + 1 AS pos, parts[t.i + 1] AS line
+      FROM ls, unnest(range(len(parts))) AS t(i)),
+k AS (SELECT doc_id, pos, md5(lower(trim(line))) AS k FROM l),
+dfreq AS (
+  SELECT k, count(*) AS line_df
+  FROM (SELECT DISTINCT doc_id, k FROM k) GROUP BY k)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN line_df >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       CAST(sum(CASE WHEN line_df >= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS boiler_frac
+FROM k JOIN dfreq USING (k)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+# q306: per-doc Shannon entropy over the normalized char
+# distribution, in integer nano-nat units — per-term quantization is
+# the portable-exactness idiom (JVM vs DuckDB ln() differs by 1 ulp
+# on ~5% of inputs; the integer sum is order- and libm-independent up
+# to the quantization grid).
+ORACLES["q306_char_entropy"] = f"""
+WITH d AS (SELECT doc_id, {_NORM} AS t FROM documents
+           WHERE text IS NOT NULL),
+c AS (SELECT doc_id, len(t) AS n,
+             list_transform(range(1, len(t) + 1),
+                            i -> substr(t, CAST(i AS INT), 1)) AS chars
+      FROM d WHERE len(t) >= 1),
+e AS (SELECT doc_id, n,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT), list_transform(
+            list_sort(list_distinct(chars)),
+            u -> CAST(floor(
+              (CAST(-(CAST(len(list_filter(chars, x -> x = u)) AS DOUBLE)
+                      / CAST(n AS DOUBLE)) AS DOUBLE)
+               * ln(CAST(len(list_filter(chars, x -> x = u)) AS DOUBLE)
+                    / CAST(n AS DOUBLE)))
+              * 1000000000.0 + 0.5) AS BIGINT))),
+          (acc, x) -> acc + x) AS entropy_nanonats
+      FROM c)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars_norm, entropy_nanonats
+FROM e ORDER BY doc_id
+"""
+
+# q307: fragment stitching — overlapping halves of each doc; pairs
+# where A's trailing 30 normalized chars equal B's leading 30.
+ORACLES["q307_stitch_candidates"] = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+frags AS (
+  SELECT doc_id * 2 AS doc_id, substr(text, 1, 120) AS text FROM docs
+  UNION ALL
+  SELECT doc_id * 2 + 1, substr(text, 91) FROM docs),
+base AS (
+  SELECT doc_id AS id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ',
+                                       'g'), '\\s+', ' ', 'g')) AS t
+  FROM frags WHERE text IS NOT NULL),
+b2 AS (SELECT id, t FROM base WHERE len(t) >= 30),
+heads AS (SELECT id AS id_next, substr(t, 1, 30) AS head FROM b2),
+tails AS (SELECT id AS id_prev, substr(t, len(t) - 29, 30) AS tail
+          FROM b2)
+SELECT id_prev, id_next, md5(tail) AS boundary_md5
+FROM tails JOIN heads ON tail = head AND id_prev != id_next
+ORDER BY id_prev, id_next
+"""
+
+# q308: Zipf rank-frequency slope per source — grouped_linreg's
+# integer-quantized-log coding + HUGEINT exact sums (q92 idiom).
+from db_factfinder_spark.functions.portable_math import portable_ln_sql  # noqa: E402
+
+ORACLES["q308_zipf_slope"] = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS}) AS t
+  FROM documents WHERE text IS NOT NULL),
+counts AS (SELECT source, t, count(*) AS freq FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT source, freq,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY freq DESC, t ASC) AS rank
+  FROM counts),
+coded AS (
+  SELECT source,
+    CAST(floor({portable_ln_sql("rank")} * 1000000.0 + 0.5) AS BIGINT) AS x,
+    CAST(floor({portable_ln_sql("freq")} * 1000000.0 + 0.5) AS BIGINT) AS y
+  FROM ranked WHERE rank <= 100),
+s AS (
+  SELECT source,
+    CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(x) AS HUGEINT) AS sx,
+    CAST(sum(y) AS HUGEINT) AS sy,
+    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+  FROM coded GROUP BY source),
+r AS (
+  SELECT source, CAST(n AS BIGINT) AS n,
+    CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) != 0 THEN
+      CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+    END AS slope,
+    sx, sy, n AS nh
+  FROM s)
+SELECT source, n, slope,
+  ((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+   / CAST(nh AS DOUBLE)) / 1000000.0 AS intercept_nats
+FROM r ORDER BY source
+"""

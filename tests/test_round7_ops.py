@@ -1,0 +1,279 @@
+"""Round-7 extension operators: winnowing, stitching, Adamic-Adar,
+curriculum interleave, boilerplate density, char entropy, Zipf slope."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_factfinder_spark.llmdata.components import adamic_adar
+from db_factfinder_spark.llmdata.lines import boilerplate_density
+from db_factfinder_spark.llmdata.sampling import curriculum_interleave
+from db_factfinder_spark.llmdata.textstats import char_entropy, zipf_slope
+from db_factfinder_spark.llmdata.winnow import (
+    stitch_candidates,
+    winnow_fingerprint_sets,
+    winnow_pairs,
+)
+
+
+# ------------------------------------------------------------ winnowing
+def test_winnow_guarantee_shared_passage(spark):
+    """SIGMOD'03 Thm 1: a shared substring of >= k + w - 1 normalized
+    chars always yields >= 1 shared fingerprint."""
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha bravo {shared} charlie delta"),
+            (2, f"totally different prefix {shared} and suffix"),
+            (3, "nothing in common with the others at all xyzzy"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_pairs(df, k=5, w=4, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnow_density(spark):
+    """Fingerprint count is ~2/(w+1) of the gram count, never more
+    than the window count."""
+    text = " ".join(f"tok{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = winnow_fingerprint_sets(df, k=5, w=4).collect()[0]
+    n_grams = len(" ".join(f"tok{i}" for i in range(100))) - 5 + 1
+    assert 1 <= len(row["fps"]) <= n_grams - 4 + 1
+
+
+def test_winnow_short_text_single_window(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefg"), (2, "abc")], "doc_id long, text string"
+    )
+    rows = {r["id"]: r["fps"] for r in
+            winnow_fingerprint_sets(df, k=5, w=4).collect()}
+    assert len(rows[1]) == 1          # 3 grams < w -> one window min
+    assert 2 not in rows              # shorter than k -> no fingerprints
+
+
+def test_winnow_max_df_subset(spark):
+    rows = [(i, f"common shared passage here unique{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r["id_a"], r["id_b"])
+             for r in winnow_pairs(df, min_shared=1).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in winnow_pairs(df, min_shared=1, max_df=5).collect()}
+    assert capped <= exact
+
+
+# ------------------------------------------------------------ stitching
+def test_stitch_detects_split_docs(spark):
+    # fragment B resumes exactly 30 normalized chars before A ends
+    s = "boundary run xyz shared middle"          # 30 chars, clean
+    assert len(s) == 30
+    a = "first fragment body text here " + s
+    b = s + " second fragment continues on"
+    df = spark.createDataFrame(
+        [(10, a), (11, b), (12, "unrelated content entirely")],
+        "doc_id long, text string",
+    )
+    got = stitch_candidates(df, k=30).collect()
+    assert {(r["id_prev"], r["id_next"]) for r in got} == {(10, 11)}
+    assert got[0]["boundary"] == s
+
+
+def test_stitch_no_self_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "a" * 100), (2, "a" * 100)], "doc_id long, text string"
+    )
+    got = {(r["id_prev"], r["id_next"])
+           for r in stitch_candidates(df, k=30).collect()}
+    # identical texts stitch in both directions but never to self
+    assert got == {(1, 2), (2, 1)}
+
+
+# ------------------------------------------------------------ adamic-adar
+def test_adamic_adar_hand_example(spark):
+    # u(1) and w(2) share middles 10 (deg 2) and 11 (deg 3)
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (1, 11), (2, 11), (3, 11)],
+        "src long, dst long",
+    )
+    rows = {(r["id_a"], r["id_b"]): r for r in
+            adamic_adar(edges).collect()}
+    r12 = rows[(1, 2)]
+    assert r12["n_common"] == 2
+    want = int(math.floor(1e9 / math.log(2) + 0.5)) + int(
+        math.floor(1e9 / math.log(3) + 0.5)
+    )
+    assert r12["aa_units"] == want
+
+
+def test_adamic_adar_max_degree_drops_hub_middles(spark):
+    edges = [(u, 99) for u in range(10)] + [(1, 50), (2, 50)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    full = adamic_adar(df).collect()
+    capped = adamic_adar(df, max_degree=5).collect()
+    full_pairs = {(r["id_a"], r["id_b"]) for r in full}
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert capped_pairs <= full_pairs
+    # pairs only reachable through the hub vanish; (1,2) survives via 50
+    assert (1, 2) in capped_pairs
+    assert (3, 4) in full_pairs and (3, 4) not in capped_pairs
+
+
+# ------------------------------------------------- curriculum interleave
+def test_curriculum_interleave_round_robin(spark):
+    rows = [(b, i, float(100 - i)) for b in range(3) for i in range(10)]
+    df = spark.createDataFrame(rows, "bucket int, id long, score double")
+    out = curriculum_interleave(
+        df, "bucket", F.desc("score"), "id", per_bucket=4
+    ).orderBy("interleave_pos").collect()
+    assert len(out) == 12
+    # first n_buckets positions are each bucket's best item
+    assert [r["bucket"] for r in out[:3]] == [0, 1, 2]
+    assert all(r["within_rank"] == 1 for r in out[:3])
+    # positions are a dense permutation
+    assert sorted(r["interleave_pos"] for r in out) == list(range(12))
+
+
+def test_curriculum_interleave_dense_over_gappy_buckets(spark):
+    rows = [(7, 1, 1.0), (42, 2, 1.0)]
+    df = spark.createDataFrame(rows, "bucket int, id long, score double")
+    out = {r["bucket"]: r for r in curriculum_interleave(
+        df, "bucket", F.desc("score"), "id"
+    ).collect()}
+    assert out[7]["bucket_rank"] == 1 and out[42]["bucket_rank"] == 2
+    assert out[7]["interleave_pos"] == 0 and out[42]["interleave_pos"] == 1
+
+
+# ------------------------------------------------- boilerplate density
+def test_boilerplate_density(spark):
+    docs = [
+        (i, f"unique line {i}\nshared footer\nanother unique {i}")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           boilerplate_density(df, min_df=5).collect()}
+    for i in range(6):
+        assert out[i]["n_lines"] == 3
+        assert out[i]["n_boiler"] == 1
+        assert abs(out[i]["boiler_frac"] - 1 / 3) < 1e-12
+
+
+def test_boilerplate_within_doc_repeat_not_boiler(spark):
+    """A line repeated inside ONE doc is repetition, not boilerplate —
+    df counts distinct docs."""
+    df = spark.createDataFrame(
+        [(1, "same\nsame\nsame"), (2, "other\nlines\nhere")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           boilerplate_density(df, min_df=2).collect()}
+    assert out[1]["n_boiler"] == 0
+
+
+# ------------------------------------------------------- char entropy
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, "....")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["e"] for r in df.select(
+        "doc_id", char_entropy("text").alias("e")
+    ).collect()}
+    assert out[1] == 0.0                         # single symbol
+    assert abs(out[2] - math.log(2)) < 1e-12     # two equal symbols
+    assert abs(out[3] - math.log(4)) < 1e-12     # four equal symbols
+    assert out[4] is None                        # normalizes to empty
+
+
+def test_char_entropy_quantized_matches_python(spark):
+    text = "the quick brown fox 123"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = df.select(
+        char_entropy("text", quantize=10**9).alias("u")
+    ).collect()[0]["u"]
+    import collections
+    norm = text.lower()
+    cnt = collections.Counter(norm)
+    n = len(norm)
+    want = sum(
+        int(math.floor((-(c / n) * math.log(c / n)) * 1e9 + 0.5))
+        for _, c in sorted(cnt.items())
+    )
+    assert got == want
+
+
+# --------------------------------------------------------- zipf slope
+def test_zipf_slope_on_zipfian_text(spark):
+    # frequencies ~ 1/rank -> slope ~ -1
+    words = []
+    for rank in range(1, 51):
+        words += [f"w{rank:03d}"] * (1000 // rank)
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    row = zipf_slope(df, top_ranks=50).collect()[0]
+    assert row["n"] == 50
+    assert -1.1 < row["slope_u"] < -0.9
+
+
+def test_zipf_slope_grouped(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b b c", "s1"), (2, "x x y", "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in
+            zipf_slope(df, by="source", top_ranks=10).collect()}
+    assert set(rows) == {"s1", "s2"}
+    assert rows["s1"]["n"] == 3 and rows["s2"]["n"] == 2
+    assert rows["s1"]["slope_u"] < 0
+
+
+# ------------------------------------------------------- portable_ln
+def test_portable_ln_bit_identical_to_duckdb(spark):
+    """The whole point of portable_ln: identical BITS in both engines
+    (libm ln diverges by 1 ulp on ~5% of inputs; this must not)."""
+    import struct
+
+    import duckdb
+
+    from db_factfinder_spark.functions.portable_math import (
+        portable_ln,
+        portable_ln_sql,
+    )
+
+    vals = list(range(1, 2000)) + [10**6, 10**9, 10**12, 2**40, 2**40 + 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    srows = {
+        r["v"]: r["pl"]
+        for r in df.select("v", portable_ln(F.col("v")).alias("pl")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    orows = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT v, {portable_ln_sql('v')} FROM t"
+        ).fetchall()
+    }
+    for v in vals:
+        assert struct.pack("d", srows[v]) == struct.pack("d", orows[v]), v
+
+
+def test_portable_ln_accuracy():
+    """Within 1e-10 relative of the true ln (determinism is the
+    contract; accuracy must still be far below the 1e-6 grid)."""
+    import duckdb
+
+    from db_factfinder_spark.functions.portable_math import portable_ln_sql
+
+    con = duckdb.connect()
+    for v in [2, 3, 7, 97, 12345, 10**8, 2**50 - 1]:
+        got = con.execute(f"SELECT {portable_ln_sql(str(v))}").fetchone()[0]
+        assert abs(got - math.log(v)) <= 1e-10 * max(1.0, math.log(v)), v
