@@ -7855,6 +7855,106 @@ def q308_zipf_slope(spark, sf_dir):
     )
 
 
+def q309_kneser_ney_bigram(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram model over the corpus —
+    continuation-count backoff, exact-integer counts, terminal
+    divisions op-order-mirrored by the oracle."""
+    from db_factfinder_spark.llmdata.textstats import kneser_ney_bigram
+
+    docs = _docs(spark, sf_dir)
+    return (
+        kneser_ney_bigram(docs, discount=0.75)
+        .select(
+            "w1",
+            "w2",
+            F.col("c_bigram").cast("long").alias("c_bigram"),
+            F.col("c_prev").cast("long").alias("c_prev"),
+            F.col("n1_fw").cast("long").alias("n1_fw"),
+            F.col("n1_bw").cast("long").alias("n1_bw"),
+            "p_kn",
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+def q310_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit over 8 corpus-prefix
+    checkpoints — first-occurrence bucketing (no per-prefix distinct),
+    K-row cumulative, portable-ln-coded OLS."""
+    from db_factfinder_spark.llmdata.textstats import heaps_law_fit
+
+    docs = _docs(spark, sf_dir)
+    # bounded driver scalar (same class as centroid/codebook collects);
+    # log-spaced checkpoints (n/128 .. n) so the fit sees the growth
+    # region, not just the saturated tail
+    n = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] + 1
+    cps = sorted({max(n // (2 ** k) - 1, 0) for k in range(8)})
+    return heaps_law_fit(docs, cps).select(
+        F.col("n_points").cast("long").alias("n_points"),
+        "slope_u",
+        "intercept_u",
+    )
+
+
+def q311_rouge_pairs(spark, sf_dir):
+    """ROUGE-2 between consecutive document pairs (even id = candidate,
+    odd id = reference) — clipped bigram multiset overlap, exact
+    integers until the terminal P/R/F1 divisions."""
+    from db_factfinder_spark.llmdata.textstats import rouge_n_pairs
+
+    docs = _docs(spark, sf_dir)
+    cand = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pair_id"), F.col("text").alias("cand")
+    )
+    ref = docs.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("pair_id"), F.col("text").alias("ref")
+    )
+    pairs = cand.join(ref, "pair_id")
+    return rouge_n_pairs(pairs, n=2).orderBy("pair_id")
+
+
+def q312_data_card(spark, sf_dir):
+    """Round-7 capstone: per-source dataset card — doc counts, exact
+    dup rate (distinct content fingerprints), mean char entropy
+    (integer nano-nat sums), and Zipf slope, each the already
+    oracle-checked operator, joined into one curation report."""
+    from db_factfinder_spark.llmdata.textstats import (
+        char_entropy,
+        fingerprint,
+        zipf_slope,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ent = char_entropy(F.col("text"), quantize=1_000_000_000)
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(fingerprint(F.col("text"))).alias("n_distinct"),
+        F.sum(ent).alias("entropy_sum"),
+        F.count(ent).alias("n_scored"),
+    )
+    z = zipf_slope(docs, by="source", top_ranks=100).select(
+        "source", F.col("slope_u").alias("zipf_slope")
+    )
+    return (
+        per.join(z, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            (
+                (F.col("n_docs") - F.col("n_distinct")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+            (
+                F.col("entropy_sum").cast("double")
+                / F.col("n_scored").cast("double")
+            ).alias("mean_entropy_nanonats"),
+            "zipf_slope",
+        )
+        .orderBy("source")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8168,6 +8268,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q306_char_entropy": q306_char_entropy,
         "q307_stitch_candidates": q307_stitch_candidates,
         "q308_zipf_slope": q308_zipf_slope,
+        "q309_kneser_ney_bigram": q309_kneser_ney_bigram,
+        "q310_heaps_law": q310_heaps_law,
+        "q311_rouge_pairs": q311_rouge_pairs,
+        "q312_data_card": q312_data_card,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

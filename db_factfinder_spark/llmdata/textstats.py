@@ -1413,3 +1413,240 @@ def zipf_slope(
     return grouped_linreg(
         ranked, keys, code(F.col("rank")), code(F.col("freq"))
     )
+
+
+def kneser_ney_bigram(
+    docs: DataFrame,
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser–Ney smoothed bigram model — the LM-quality
+    upgrade over ``bigram_lm``'s add-one: the backoff weight comes
+    from CONTINUATION counts (in how many distinct contexts has w2
+    been seen?), which is what makes "san francisco" not leak
+    probability to "francisco" after every word.
+
+      P_KN(w2|w1) = max(c(w1w2) − D, 0)/c(w1)
+                    + D·N1+(w1,·)/c(w1) · P_cont(w2)
+      P_cont(w2)  = N1+(·,w2) / N1+(·,·)
+
+    Everything is integer counts until the terminal divisions
+    (op-order mirrored by the oracle); D = 0.75 is exactly
+    representable, so ``c − D`` is a single exact IEEE subtraction.
+
+    Plan: one bigram groupBy; N1+(w1,·) and c(w1) ride windows over
+    the counts table partitioned by w1 (grouped state, no second
+    corpus pass); N1+(·,w2) is one more groupBy on the counts table
+    joined back; N1+(·,·) is a one-row broadcast.  The output is the
+    observed-bigram table — vocabulary-bounded, broadcastable for
+    scoring passes.
+
+    Output: ``w1, w2, c_bigram, c_prev, n1_fw, n1_bw, p_kn``.
+    """
+    toks = tokens(normalize_text(text_col))
+    arr = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(toks.alias("ts"))
+        .filter(F.size("ts") >= 2)
+    )
+    pairs = arr.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("ts", 1, F.size("ts") - 1).alias("w1"),
+                F.slice(F.col("ts"), F.lit(2), F.size("ts") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_bigram")
+    )
+    w1w = Window.partitionBy("w1")
+    counts = counts.withColumn("c_prev", F.sum("c_bigram").over(w1w))
+    counts = counts.withColumn("n1_fw", F.count(F.lit(1)).over(w1w))
+    n1_bw = counts.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_bw"))
+    n1_all = counts.agg(F.count(F.lit(1)).alias("n1_all"))
+    d = F.lit(float(discount))
+    p_kn = (
+        F.greatest(F.col("c_bigram").cast("double") - d, F.lit(0.0))
+        / F.col("c_prev").cast("double")
+        + d
+        * F.col("n1_fw").cast("double")
+        / F.col("c_prev").cast("double")
+        * (F.col("n1_bw").cast("double") / F.col("n1_all").cast("double"))
+    )
+    return (
+        counts.join(n1_bw, "w2")
+        .crossJoin(F.broadcast(n1_all))
+        .select(
+            "w1", "w2", "c_bigram", "c_prev", "n1_fw", "n1_bw",
+            p_kn.alias("p_kn"),
+        )
+    )
+
+
+def rouge_n_pairs(
+    pairs: DataFrame,
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    id_col: str = "pair_id",
+    n: int = 1,
+) -> DataFrame:
+    """ROUGE-N between paired texts: clipped n-gram MULTISET overlap —
+    the standard summary/generation eval, and at corpus scale the
+    "how derivative is the candidate of its source" audit for
+    synthetic/augmented training data.
+
+      match = Σ_g min(count_cand(g), count_ref(g))
+      precision = match/|cand grams|, recall = match/|ref grams|,
+      f1 = 2·P·R/(P+R)
+
+    Explode each side's n-grams WITH multiplicity, count per (pair,
+    gram), inner-join on (pair, gram), sum the clipped minima — all
+    exact integers until the terminal divisions (ROUGE's clipping is
+    exactly the multiset intersection).  Pairs with zero matches get
+    0.0 scores (left join + coalesce), pairs where either side has no
+    n-grams get NULL (undefined, surfaced rather than silently 0).
+
+    Scale: the join key is (pair_id, gram) — co-partitioned, no
+    cross-pair work; each pair's cost is its own gram count.
+
+    Output: ``{id_col}, n_cand, n_ref, n_match, precision, recall,
+    f1``.
+    """
+
+    def grams(col: str) -> Column:
+        t = tokens(normalize_text(F.col(col)))
+        if n == 1:
+            return t
+        return let(
+            t,
+            lambda ts: F.when(
+                F.size(ts) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ts) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(ts, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+
+    base = pairs.select(
+        F.col(id_col).alias("pid"),
+        grams(cand_col).alias("cg"),
+        grams(ref_col).alias("rg"),
+    )
+    sizes = base.select(
+        "pid",
+        F.size("cg").alias("n_cand"),
+        F.size("rg").alias("n_ref"),
+    )
+    cc = base.select("pid", F.explode("cg").alias("g")).groupBy(
+        "pid", "g"
+    ).agg(F.count(F.lit(1)).alias("nc"))
+    rc = base.select("pid", F.explode("rg").alias("g")).groupBy(
+        "pid", "g"
+    ).agg(F.count(F.lit(1)).alias("nr"))
+    match = (
+        cc.join(rc, ["pid", "g"])
+        .groupBy("pid")
+        .agg(F.sum(F.least("nc", "nr")).alias("n_match"))
+    )
+    j = sizes.join(match, "pid", "left").withColumn(
+        "n_match", F.coalesce("n_match", F.lit(0))
+    )
+    p = F.col("n_match").cast("double") / F.col("n_cand").cast("double")
+    r = F.col("n_match").cast("double") / F.col("n_ref").cast("double")
+    f1 = F.when(
+        (p + r) > 0.0, F.lit(2.0) * p * r / (p + r)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("pid").alias(id_col),
+        "n_cand",
+        "n_ref",
+        F.col("n_match").cast("long").alias("n_match"),
+        F.when(F.col("n_cand") > 0, p).alias("precision"),
+        F.when(F.col("n_ref") > 0, r).alias("recall"),
+        F.when((F.col("n_cand") > 0) & (F.col("n_ref") > 0), f1).alias("f1"),
+    )
+
+
+def heaps_law_fit(
+    docs: DataFrame,
+    checkpoints: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Heaps'-law fit V(n) ≈ K·n^β: vocabulary growth vs corpus size,
+    the planning curve for tokenizer budgets and dedup payoff (β well
+    below the corpus norm ⇒ the new data is mostly old types).
+
+    ``checkpoints`` are explicit ``id_col`` thresholds (ascending);
+    checkpoint *t* measures the corpus prefix ``id ≤ t``.  Exact plan
+    with NO per-checkpoint corpus pass:
+
+    * tokens at *t*: per-doc token counts, each doc assigned to its
+      FIRST covering checkpoint, cumulative over the ≤K bucket rows;
+    * types at *t*: each type's FIRST document id (one groupBy — a
+      type is "new" exactly once), bucketed and cumulated the same
+      way — counting first occurrences is what makes the cumulative
+      distinct-count exact without a quadratic distinct-per-prefix.
+
+    The K-row cumulative window is unpartitioned but provably bounded
+    by ``len(checkpoints)``.  β comes from ``grouped_linreg`` on
+    integer-quantized ``portable_ln`` codes (cross-engine bit-exact;
+    see ``zipf_slope`` for the 2^63 scale argument).
+
+    Returns one row: ``n_points, slope_u (β), intercept_u``
+    (``K = e^(intercept_u/scale)``).
+    """
+    from db_factfinder_spark.functions.portable_math import portable_ln
+    from db_factfinder_spark.operators.regression import grouped_linreg
+
+    cps = F.array(*[F.lit(int(c)) for c in sorted(checkpoints)])
+    bucket_of = lambda idc: F.get(  # noqa: E731 — first covering cp
+        F.filter(cps, lambda c: c >= idc), 0
+    )
+    toks = tokens(normalize_text(F.col(text_col)))
+    per_doc = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            bucket_of(F.col(id_col)).alias("cp"),
+            F.size(toks).alias("n_toks"),
+        )
+        .filter(F.col("cp").isNotNull())
+        .groupBy("cp")
+        .agg(F.sum("n_toks").alias("b_toks"))
+    )
+    first_doc = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.min("id").alias("first_id"))
+    )
+    per_type = (
+        first_doc.select(bucket_of(F.col("first_id")).alias("cp"))
+        .filter(F.col("cp").isNotNull())
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).alias("b_types"))
+    )
+    w = Window.orderBy("cp").rowsBetween(Window.unboundedPreceding, 0)
+    points = (
+        per_doc.join(per_type, "cp", "full")
+        .select(
+            "cp",
+            F.coalesce("b_toks", F.lit(0)).alias("b_toks"),
+            F.coalesce("b_types", F.lit(0)).alias("b_types"),
+        )
+        .withColumn("cum_toks", F.sum("b_toks").over(w))
+        .withColumn("cum_types", F.sum("b_types").over(w))
+        .filter((F.col("cum_toks") >= 1) & (F.col("cum_types") >= 1))
+        .withColumn("corpus", F.lit("all"))
+    )
+    code = lambda c: F.floor(  # noqa: E731
+        portable_ln(c) * F.lit(float(scale)) + 0.5
+    ).cast("long")
+    return grouped_linreg(
+        points, ["corpus"], code(F.col("cum_toks")), code(F.col("cum_types"))
+    ).select(
+        F.col("n").alias("n_points"), "slope_u", "intercept_u"
+    )

@@ -8266,3 +8266,195 @@ SELECT source, n, slope,
    / CAST(nh AS DOUBLE)) / 1000000.0 AS intercept_nats
 FROM r ORDER BY source
 """
+
+
+# q309: interpolated Kneser-Ney bigram — continuation-count backoff;
+# D = 0.75 exactly representable, op order mirrors textstats.py.
+ORACLES["q309_kneser_ney_bigram"] = f"""
+WITH t AS (SELECT {_NORMTOKS} AS ts FROM documents WHERE text IS NOT NULL),
+t2 AS (SELECT ts FROM t WHERE len(ts) >= 2),
+bg AS (SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+       FROM t2, unnest(range(1, len(ts))) AS u(i)),
+counts AS (SELECT w1, w2, count(*) AS c_bigram FROM bg GROUP BY 1, 2),
+cp AS (SELECT *,
+         sum(c_bigram) OVER (PARTITION BY w1) AS c_prev,
+         count(*) OVER (PARTITION BY w1) AS n1_fw
+       FROM counts),
+nb AS (SELECT w2, count(*) AS n1_bw FROM counts GROUP BY 1),
+na AS (SELECT count(*) AS n1_all FROM counts)
+SELECT w1, w2,
+  CAST(c_bigram AS BIGINT) AS c_bigram,
+  CAST(c_prev AS BIGINT) AS c_prev,
+  CAST(n1_fw AS BIGINT) AS n1_fw,
+  CAST(n1_bw AS BIGINT) AS n1_bw,
+  greatest(CAST(c_bigram AS DOUBLE) - 0.75, 0.0) / CAST(c_prev AS DOUBLE)
+    + 0.75 * CAST(n1_fw AS DOUBLE) / CAST(c_prev AS DOUBLE)
+      * (CAST(n1_bw AS DOUBLE) / CAST(n1_all AS DOUBLE)) AS p_kn
+FROM cp JOIN nb USING (w2) CROSS JOIN na
+ORDER BY w1, w2
+"""
+
+# q310: Heaps'-law fit — first-occurrence bucketing to 8 prefix
+# checkpoints derived from max(doc_id) by identical integer floor
+# division on both engines; portable-ln-coded OLS (q308 machinery).
+ORACLES["q310_heaps_law"] = f"""
+WITH mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+cps AS (SELECT DISTINCT greatest(n // (2 ** k) - 1, 0) AS cp
+        FROM mx, unnest(range(0, 8)) AS u(k)),
+pd AS (SELECT doc_id, len({_NORMTOKS}) AS n_toks
+       FROM documents WHERE text IS NOT NULL),
+pdb AS (SELECT (SELECT min(cp) FROM cps WHERE cp >= doc_id) AS cp,
+               n_toks FROM pd),
+tb AS (SELECT cp, CAST(sum(n_toks) AS BIGINT) AS b_toks
+       FROM pdb WHERE cp IS NOT NULL GROUP BY 1),
+fd AS (SELECT t, min(doc_id) AS first_id
+       FROM (SELECT doc_id, unnest({_NORMTOKS}) AS t
+             FROM documents WHERE text IS NOT NULL) GROUP BY 1),
+fdb AS (SELECT (SELECT min(cp) FROM cps WHERE cp >= first_id) AS cp
+        FROM fd),
+ty AS (SELECT cp, CAST(count(*) AS BIGINT) AS b_types
+       FROM fdb WHERE cp IS NOT NULL GROUP BY 1),
+pts AS (SELECT coalesce(tb.cp, ty.cp) AS cp,
+               coalesce(b_toks, 0) AS b_toks,
+               coalesce(b_types, 0) AS b_types
+        FROM tb FULL JOIN ty ON tb.cp = ty.cp),
+cum AS (SELECT cp,
+          CAST(sum(b_toks) OVER (ORDER BY cp ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_toks,
+          CAST(sum(b_types) OVER (ORDER BY cp ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_types
+        FROM pts),
+coded AS (SELECT
+    CAST(floor({portable_ln_sql("cum_toks")} * 1000000.0 + 0.5) AS BIGINT)
+      AS x,
+    CAST(floor({portable_ln_sql("cum_types")} * 1000000.0 + 0.5) AS BIGINT)
+      AS y
+  FROM cum WHERE cum_toks >= 1 AND cum_types >= 1),
+s AS (SELECT
+    CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(x) AS HUGEINT) AS sx,
+    CAST(sum(y) AS HUGEINT) AS sy,
+    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+  FROM coded),
+r AS (SELECT CAST(n AS BIGINT) AS n_points,
+    CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) != 0 THEN
+      CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+    END AS slope_u,
+    sx, sy, n AS nh
+  FROM s)
+SELECT n_points, slope_u,
+  (CAST(sy AS DOUBLE) - slope_u * CAST(sx AS DOUBLE))
+    / CAST(nh AS DOUBLE) AS intercept_u
+FROM r
+"""
+
+# q311: ROUGE-2 on consecutive doc pairs — clipped bigram multiset
+# overlap; gram extraction keeps multiplicity (no distinct).
+ORACLES["q311_rouge_pairs"] = f"""
+WITH cand AS (SELECT doc_id AS pid, text FROM documents
+              WHERE doc_id % 2 = 0),
+refs AS (SELECT doc_id - 1 AS pid, text FROM documents
+         WHERE doc_id % 2 = 1),
+cg0 AS (SELECT pid, {_NORMTOKS} AS ts FROM cand),
+rg0 AS (SELECT pid, {_NORMTOKS} AS ts FROM refs),
+cg AS (SELECT pid, CASE WHEN len(ts) >= 2 THEN
+         list_transform(range(1, len(ts)),
+           i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1])
+       ELSE [] END AS grams FROM cg0),
+rg AS (SELECT pid, CASE WHEN len(ts) >= 2 THEN
+         list_transform(range(1, len(ts)),
+           i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1])
+       ELSE [] END AS grams FROM rg0),
+p AS (SELECT cg.pid, cg.grams AS cgr, rg.grams AS rgr
+      FROM cg JOIN rg ON cg.pid = rg.pid),
+sizes AS (SELECT pid, len(cgr) AS n_cand, len(rgr) AS n_ref FROM p),
+cc AS (SELECT pid, g, count(*) AS nc
+       FROM (SELECT pid, unnest(cgr) AS g FROM p) GROUP BY 1, 2),
+rc AS (SELECT pid, g, count(*) AS nr
+       FROM (SELECT pid, unnest(rgr) AS g FROM p) GROUP BY 1, 2),
+mt AS (SELECT pid, CAST(sum(least(nc, nr)) AS BIGINT) AS n_match
+       FROM cc JOIN rc USING (pid, g) GROUP BY 1),
+j AS (SELECT s.pid, s.n_cand, s.n_ref, coalesce(mt.n_match, 0) AS n_match
+      FROM sizes s LEFT JOIN mt USING (pid))
+SELECT pid AS pair_id,
+  CAST(n_cand AS INT) AS n_cand,
+  CAST(n_ref AS INT) AS n_ref,
+  CAST(n_match AS BIGINT) AS n_match,
+  CASE WHEN n_cand > 0 THEN
+    CAST(n_match AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS precision,
+  CASE WHEN n_ref > 0 THEN
+    CAST(n_match AS DOUBLE) / CAST(n_ref AS DOUBLE) END AS recall,
+  CASE WHEN n_cand > 0 AND n_ref > 0 THEN
+    CASE WHEN (CAST(n_match AS DOUBLE) / CAST(n_cand AS DOUBLE)
+               + CAST(n_match AS DOUBLE) / CAST(n_ref AS DOUBLE)) > 0.0
+    THEN 2.0 * (CAST(n_match AS DOUBLE) / CAST(n_cand AS DOUBLE))
+             * (CAST(n_match AS DOUBLE) / CAST(n_ref AS DOUBLE))
+             / (CAST(n_match AS DOUBLE) / CAST(n_cand AS DOUBLE)
+                + CAST(n_match AS DOUBLE) / CAST(n_ref AS DOUBLE))
+    ELSE 0.0 END
+  END AS f1
+FROM j ORDER BY pair_id
+"""
+
+# q312: per-source data card capstone — doc counts, exact-dup rate
+# (distinct md5-of-normalized-text fingerprints), mean char entropy
+# in nano-nats (integer sums / count), Zipf slope (q308 machinery).
+ORACLES["q312_data_card"] = f"""
+WITH dn AS (SELECT source, doc_id, {_NORM} AS t FROM documents),
+ch AS (SELECT source, doc_id, len(t) AS n,
+         list_transform(range(1, len(t) + 1),
+                        i -> substr(t, CAST(i AS INT), 1)) AS chars
+       FROM dn WHERE t IS NOT NULL AND len(t) >= 1),
+ent AS (SELECT source, doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT), list_transform(
+              list_sort(list_distinct(chars)),
+              u -> CAST(floor(
+                (CAST(-(CAST(len(list_filter(chars, x -> x = u)) AS DOUBLE)
+                        / CAST(n AS DOUBLE)) AS DOUBLE)
+                 * ln(CAST(len(list_filter(chars, x -> x = u)) AS DOUBLE)
+                      / CAST(n AS DOUBLE)))
+                * 1000000000.0 + 0.5) AS BIGINT))),
+            (acc, x) -> acc + x) AS e
+        FROM ch),
+per AS (SELECT source,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(DISTINCT md5({_NORM})) AS BIGINT) AS n_distinct
+        FROM documents GROUP BY 1),
+es AS (SELECT source, CAST(sum(e) AS BIGINT) AS entropy_sum,
+              CAST(count(e) AS BIGINT) AS n_scored
+       FROM ent GROUP BY 1),
+toks AS (SELECT source, unnest({_TOKS}) AS t
+         FROM documents WHERE text IS NOT NULL),
+cnts AS (SELECT source, t, count(*) AS freq FROM toks GROUP BY 1, 2),
+rkd AS (SELECT source, freq,
+          row_number() OVER (PARTITION BY source
+                             ORDER BY freq DESC, t ASC) AS rank
+        FROM cnts),
+coded AS (SELECT source,
+    CAST(floor({portable_ln_sql("rank")} * 1000000.0 + 0.5) AS BIGINT)
+      AS x,
+    CAST(floor({portable_ln_sql("freq")} * 1000000.0 + 0.5) AS BIGINT)
+      AS y
+  FROM rkd WHERE rank <= 100),
+s AS (SELECT source,
+    CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS sx,
+    CAST(sum(y) AS HUGEINT) AS sy,
+    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+  FROM coded GROUP BY source),
+z AS (SELECT source,
+    CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) != 0 THEN
+      CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+    END AS zipf_slope
+  FROM s)
+SELECT per.source, n_docs, n_distinct,
+  CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE)
+    AS dup_rate,
+  CAST(entropy_sum AS DOUBLE) / CAST(n_scored AS DOUBLE)
+    AS mean_entropy_nanonats,
+  zipf_slope
+FROM per JOIN es USING (source) LEFT JOIN z USING (source)
+ORDER BY per.source
+"""

@@ -277,3 +277,103 @@ def test_portable_ln_accuracy():
     for v in [2, 3, 7, 97, 12345, 10**8, 2**50 - 1]:
         got = con.execute(f"SELECT {portable_ln_sql(str(v))}").fetchone()[0]
         assert abs(got - math.log(v)) <= 1e-10 * max(1.0, math.log(v)), v
+
+
+# ---------------------------------------------------- kneser-ney bigram
+def test_kneser_ney_probabilities_sum_to_one_per_context(spark):
+    """For a context w1 where every following type was observed,
+    sum over OBSERVED w2 of P_KN(w2|w1) equals
+    1 - D·N1+(w1,·)/c(w1)·(1 - Σ_observed P_cont) ≈ 1 when the
+    observed w2 set covers all continuations; check the exact
+    identity instead: Σ max(c-D,0)/c_prev = 1 - D·n1_fw/c_prev."""
+    from db_factfinder_spark.llmdata.textstats import kneser_ney_bigram
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "b a b c a b")],
+        "doc_id long, text string",
+    )
+    rows = kneser_ney_bigram(df).collect()
+    by_ctx = {}
+    for r in rows:
+        by_ctx.setdefault(r["w1"], []).append(r)
+    for w1, rs in by_ctx.items():
+        c_prev = rs[0]["c_prev"]
+        n1_fw = rs[0]["n1_fw"]
+        discounted = sum(max(r["c_bigram"] - 0.75, 0.0) for r in rs)
+        assert abs(discounted / c_prev - (1 - 0.75 * n1_fw / c_prev)) < 1e-12
+    # continuation prob reflects context diversity, not raw frequency
+    r_map = {(r["w1"], r["w2"]): r for r in rows}
+    assert r_map[("a", "b")]["n1_bw"] >= 1
+
+
+def test_kneser_ney_continuation_beats_frequency(spark):
+    """'of the' pathology: a token frequent in ONE context only gets a
+    LOW continuation count even if its raw frequency is high."""
+    from db_factfinder_spark.llmdata.textstats import kneser_ney_bigram
+
+    # 'thing' follows only 'the' (freq 4); 'x' follows a, b, c, d
+    df = spark.createDataFrame(
+        [(1, "the thing the thing the thing the thing"),
+         (2, "a x b x c x d x")],
+        "doc_id long, text string",
+    )
+    rows = {(r["w1"], r["w2"]): r for r in kneser_ney_bigram(df).collect()}
+    assert rows[("the", "thing")]["n1_bw"] == 1      # one context
+    assert rows[("a", "x")]["n1_bw"] == 4            # four contexts
+
+
+# --------------------------------------------------------- heaps law
+def test_heaps_law_growing_vocab(spark):
+    """Synthetic corpus where each doc introduces new types: beta
+    should be near 1 (vocab grows linearly with tokens)."""
+    from db_factfinder_spark.llmdata.textstats import heaps_law_fit
+
+    # tokens must survive normalization (underscores are stripped)
+    docs = [(i, " ".join(f"t{i}x{j}" for j in range(10)))
+            for i in range(64)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    row = heaps_law_fit(df, [7, 15, 31, 63]).collect()[0]
+    assert row["n_points"] == 4
+    assert 0.98 < row["slope_u"] < 1.02
+
+
+def test_heaps_law_saturated_vocab(spark):
+    """All docs share one tiny vocabulary: beta ~ 0."""
+    from db_factfinder_spark.llmdata.textstats import heaps_law_fit
+
+    docs = [(i, "alpha beta gamma") for i in range(64)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    row = heaps_law_fit(df, [7, 15, 31, 63]).collect()[0]
+    assert abs(row["slope_u"]) < 1e-9
+
+
+# ------------------------------------------------------------- rouge
+def test_rouge_identical_and_disjoint(spark):
+    from db_factfinder_spark.llmdata.textstats import rouge_n_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "the cat sat on the mat"),
+         (2, "alpha beta gamma", "delta epsilon zeta"),
+         (3, "a b c d", "b c d e")],
+        "pair_id long, cand string, ref string",
+    )
+    out = {r["pair_id"]: r for r in rouge_n_pairs(pairs, n=2).collect()}
+    assert out[1]["precision"] == 1.0 and out[1]["recall"] == 1.0
+    assert out[1]["f1"] == 1.0
+    assert out[2]["n_match"] == 0 and out[2]["f1"] == 0.0
+    # bigrams of cand: ab bc cd; ref: bc cd de -> 2 matches
+    assert out[3]["n_match"] == 2
+    assert abs(out[3]["precision"] - 2 / 3) < 1e-12
+
+
+def test_rouge_clipping_is_multiset(spark):
+    """Repeated gram in cand counts only up to its ref multiplicity."""
+    from db_factfinder_spark.llmdata.textstats import rouge_n_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, "x y x y x y", "x y z")],
+        "pair_id long, cand string, ref string",
+    )
+    r = rouge_n_pairs(pairs, n=2).collect()[0]
+    # cand bigrams: xy yx xy yx xy (3 xy, 2 yx); ref: xy yz (1 xy)
+    assert r["n_match"] == 1
