@@ -78,6 +78,13 @@ HEADLINE = [
     "q272_fifo_cogs",           # cumulative-axis FIFO overlap join
     "q277_group_medoids",       # LSH groups → within-group medoid argmin
     "q278_deterministic_walks", # 3 keyed join steps + min-struct collapse
+    "q301_acs_catalog_median",  # packaged-catalog 23-bin median spine
+    "q302_winnow_pairs",        # winnowing fingerprints + postings join
+    "q303_adamic_adar",         # wedge join + quantized ln-discount sum
+    "q306_char_entropy",        # bounded-alphabet entropy, map-side
+    "q308_zipf_slope",          # rank window + portable-ln coded OLS
+    "q309_kneser_ney_bigram",   # bigram groupBy + w1 windows + backoff
+    "q312_data_card",           # per-source curation report capstone
     # q198_bootstrap_ci is deliberately NOT a headline entry: its warm
     # time is ~95% driver-side Catalyst/AQE assembly of the 64-wide
     # aggregate tree (re-execution of the built plan runs in ~0.2 s,

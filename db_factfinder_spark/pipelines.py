@@ -257,3 +257,90 @@ def community_profiles(
     return unioned.groupBy("census_geoid").agg(
         *[F.first(c, ignorenulls=True).alias(c) for c in out_cols]
     )
+
+
+# ---------------------------------------------------------------------------
+# Manual-update workbook ingest (reference pipelines/acs_manual_update.py:
+# 71-115 — sheet_names registry + pd.read_excel(sheet_name=None))
+# ---------------------------------------------------------------------------
+
+def manual_update_sheet_names(year: str) -> list[tuple[str, str]]:
+    """The reference's per-year (sheet_name, domain) registry
+    (acs_manual_update.py:71-97): four domain sheets whose names carry
+    a year-range suffix and, for 2010, an ``_Inflated`` marker (the
+    app represents 2010 data in later-year dollars)."""
+    if year == "2010":
+        suffix, inflated = "0610", "_Inflated"
+    elif year == "2020":
+        suffix, inflated = "1620", ""
+    elif year == "2021":
+        suffix, inflated = "1721", ""
+    else:
+        raise ValueError(
+            f"unknown manual-update year {year!r} (known: 2010/2020/2021)"
+        )
+    return [
+        (f"Dem{suffix}", "demographic"),
+        (f"Social{suffix}", "social"),
+        (f"Econ{suffix}{inflated}", "economic"),
+        (f"Housing{suffix}{inflated}", "housing"),
+    ]
+
+
+def read_manual_workbook(
+    spark: SparkSession,
+    path: str,
+    sheet_domains: list[tuple[str, str]],
+) -> list[tuple[DataFrame, str]]:
+    """Workbook → the ``(DataFrame, domain)`` list ``manual_update``
+    takes — the glue the reference implements with
+    ``pd.read_excel(..., sheet_name=None, engine="openpyxl")``
+    (acs_manual_update.py:114).
+
+    Two source layouts:
+
+    * ``*.xlsx`` — the reference's actual artifact; read driver-side
+      via pandas/openpyxl (import-gated: this container ships
+      neither the workbook nor openpyxl, so the path raises a clear
+      error instead of an ImportError mid-pipeline);
+    * a DIRECTORY of ``{sheet_name}.csv`` files — the recorded
+      workbook layout used in tests and available anywhere (a
+      workbook is a few thousand rows; CSV round-trips it exactly).
+
+    The workbook is driver-sized by construction (SURVEY §2.1 S7), so
+    ``spark.createDataFrame`` per sheet is the right boundary — the
+    Spark-side reshape (melt/union/semi-join) is ``manual_update``.
+    """
+    import os
+
+    out: list[tuple[DataFrame, str]] = []
+    if str(path).endswith(".xlsx"):
+        try:
+            import pandas as _pd
+
+            frames = _pd.read_excel(path, sheet_name=None, engine="openpyxl")
+        except ImportError as e:  # pragma: no cover — env without openpyxl
+            raise RuntimeError(
+                "reading .xlsx manual-update workbooks needs openpyxl; "
+                "install it, or export the workbook to a directory of "
+                "{sheet_name}.csv files and pass that directory instead"
+            ) from e
+        for sheet, domain in sheet_domains:
+            if sheet not in frames:
+                raise KeyError(
+                    f"workbook has no sheet {sheet!r} "
+                    f"(sheets: {sorted(frames)})"
+                )
+            out.append((spark.createDataFrame(frames[sheet]), domain))
+        return out
+    for sheet, domain in sheet_domains:
+        f = os.path.join(path, f"{sheet}.csv")
+        if not os.path.exists(f):
+            raise FileNotFoundError(
+                f"no recorded sheet {sheet!r} at {f} — export the "
+                "workbook sheet as CSV with its header row"
+            )
+        out.append(
+            (spark.read.csv(f, header=True, inferSchema=False), domain)
+        )
+    return out
