@@ -7955,6 +7955,141 @@ def q312_data_card(spark, sf_dir):
     )
 
 
+def q313_woe_encode(spark, sf_dir):
+    """Weight-of-evidence encoding of order priority against the
+    filled-order label — portable-ln integer logs, add-one smoothing,
+    mirrored IV arithmetic."""
+    from db_factfinder_spark.operators.encoding import woe_encode
+
+    orders = _t(spark, sf_dir, "orders")
+    df = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("filled"),
+    )
+    return (
+        woe_encode(df, "priority", "filled")
+        .select(
+            "priority",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("n_neg").cast("long").alias("n_neg"),
+            "woe",
+            "iv_contrib",
+        )
+        .orderBy("priority")
+    )
+
+
+def q314_ks_drift(spark, sf_dir):
+    """Two-sample KS statistic per event type (even vs odd event ids)
+    — exact integer cross-multiplied CDF comparison, one terminal
+    division."""
+    from db_factfinder_spark.operators.regression import ks_statistic
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ks_statistic(
+            ev.select(
+                "event_type",
+                (F.col("event_id") % 2).alias("s"),
+                "value",
+            ),
+            ["event_type"],
+            "s",
+            "value",
+        )
+        .select(
+            "event_type",
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            "d_num",
+            "d_den",
+            "ks",
+        )
+        .orderBy("event_type")
+    )
+
+
+def q315_record_linkage(spark, sf_dir):
+    """Fellegi-Sunter record linkage: customers vs a deterministically
+    perturbed copy, blocked on the name's last-3 digits, scored on
+    nation/segment/balance agreement with driver-literal ln weights."""
+    from db_factfinder_spark.operators.linkage import (
+        FieldSpec,
+        block_pairs,
+        fs_score,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    bal = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    a = cust.select(
+        (F.col("c_custkey") * 2).alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        bal.alias("bal_cents"),
+    )
+    b = cust.select(
+        (F.col("c_custkey") * 2 + 1).alias("rid"),
+        F.col("c_name").alias("name"),
+        F.when(
+            F.col("c_custkey") % 97 == 0, (F.col("c_nationkey") + 1) % 25
+        ).otherwise(F.col("c_nationkey")).alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("c_custkey") % 5 == 0, bal + 7).otherwise(bal).alias(
+            "bal_cents"
+        ),
+    )
+    recs = a.unionByName(b).withColumn(
+        "blk", F.substring("name", -3, 3)
+    )
+    pairs = block_pairs(recs, "rid", "blk")
+    specs = [
+        (
+            FieldSpec("nat", 0.95, 0.04),
+            F.col("nat_a") == F.col("nat_b"),
+        ),
+        (
+            FieldSpec("seg", 0.90, 0.20),
+            F.col("seg_a") == F.col("seg_b"),
+        ),
+        (
+            FieldSpec("bal", 0.98, 0.01),
+            F.abs(F.col("bal_cents_a") - F.col("bal_cents_b")) <= 10,
+        ),
+    ]
+    return (
+        fs_score(pairs, specs, threshold=3.0)
+        .select(
+            "id_a",
+            "id_b",
+            "agree_nat",
+            "agree_seg",
+            "agree_bal",
+            "fs_score",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q316_psi_drift(spark, sf_dir):
+    """Population Stability Index of the event-value distribution
+    between even and odd months — portable-ln smoothed buckets,
+    integer-unit contributions (order-independent sum)."""
+    from db_factfinder_spark.operators.quality import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("int").alias(
+            "bucket"
+        ),
+        (F.month("ts") % 2).alias("snap"),
+    )
+    return psi_drift(df, "bucket", "snap").select(
+        "n_buckets", "psi_units", "psi"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8272,6 +8407,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q310_heaps_law": q310_heaps_law,
         "q311_rouge_pairs": q311_rouge_pairs,
         "q312_data_card": q312_data_card,
+        "q313_woe_encode": q313_woe_encode,
+        "q314_ks_drift": q314_ks_drift,
+        "q315_record_linkage": q315_record_linkage,
+        "q316_psi_drift": q316_psi_drift,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

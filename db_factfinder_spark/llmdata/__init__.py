@@ -112,9 +112,12 @@ from db_factfinder_spark.llmdata.textstats import (  # noqa: F401
     char_chunker_udtf,
     collocation_lift,
     char_entropy,
+    heaps_law_fit,
+    kneser_ney_bigram,
     phrase_search,
     phrase_search_postings,
     proximity_search,
+    rouge_n_pairs,
     surprisal_score,
     tfidf_top_terms,
     token_diversity,

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["target_encode_loo", "m_estimate_rates"]
+__all__ = ["target_encode_loo", "m_estimate_rates", "woe_encode"]
 
 
 def target_encode_loo(
@@ -133,4 +133,61 @@ def m_estimate_rates(
         "sm_den",
         (F.col("sm_num") / F.col("sm_den")).alias("smoothed_rate"),
         F.row_number().over(w).alias("rank"),
+    )
+
+
+def woe_encode(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Weight-of-evidence encoding per category with information-value
+    contributions — the credit-scoring/feature-engineering standard
+    for turning a high-cardinality categorical into one monotone
+    numeric:
+
+      WOE(c) = ln( P(c|pos) / P(c|neg) )
+             = ln(pos_c) + ln(NEG) − ln(neg_c) − ln(POS)
+
+    with add-one smoothing on every count (integer, so the inputs stay
+    exact; a zero-count bucket gets a finite WOE instead of ±inf).
+    The logs are ``portable_ln`` — cross-engine bit-exact on integer
+    inputs — composed as ``(ln a + ln b) − (ln c + ln d)``, which also
+    sidesteps the ``pos·NEG`` product overflow a literal ratio would
+    hit at 100 TB counts.  IV contribution =
+    ``(pos_c/POS − neg_c/NEG) · WOE`` (terminal doubles, op-order
+    mirrored by the oracle).
+
+    One hash aggregate + a one-row broadcast.  Returns
+    ``{cat_col}, n, n_pos, n_neg, woe, iv_contrib``.
+    """
+    from db_factfinder_spark.functions.portable_math import portable_ln
+
+    agg = df.groupBy(cat_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+    )
+    agg = agg.withColumn("n_neg", F.col("n") - F.col("n_pos"))
+    tot = agg.agg(
+        F.sum("n_pos").alias("t_pos"), F.sum("n_neg").alias("t_neg")
+    )
+    j = agg.crossJoin(F.broadcast(tot))
+    woe = (
+        portable_ln(F.col("n_pos") + 1) + portable_ln(F.col("t_neg") + 2)
+    ) - (
+        portable_ln(F.col("n_neg") + 1) + portable_ln(F.col("t_pos") + 2)
+    )
+    p_pos = (F.col("n_pos") + 1).cast("double") / (
+        F.col("t_pos") + 2
+    ).cast("double")
+    p_neg = (F.col("n_neg") + 1).cast("double") / (
+        F.col("t_neg") + 2
+    ).cast("double")
+    return j.select(
+        cat_col,
+        "n",
+        "n_pos",
+        "n_neg",
+        woe.alias("woe"),
+        ((p_pos - p_neg) * woe).alias("iv_contrib"),
     )

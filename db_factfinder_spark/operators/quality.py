@@ -565,3 +565,75 @@ def missing_partitions(
             "last_missing",
         )
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    bucket_col: str,
+    snapshot_col: str,
+    quantize: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Population Stability Index between snapshot 0 (reference) and
+    snapshot 1 (current) of ``snapshot_col``, over ``bucket_col``
+    bins — the model-monitoring drift score (rule of thumb: < 0.1
+    stable, > 0.25 shifted):
+
+      PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+
+    with add-one smoothing so empty buckets stay finite.  Exactness:
+    the log is ``ln(c₁+1) + ln(N₂+B) − ln(c₂+1) − ln(N₁+B)`` on
+    integers via ``portable_ln`` (bit-exact cross-engine, no product
+    overflow), each bucket's contribution is computed in doubles with
+    mirrored op order and then QUANTIZED to integer units — the
+    per-bucket SUM is therefore order-independent (a raw double sum
+    would depend on partitioning).  Report ``psi_units / quantize``.
+
+    One (bucket, snapshot) count + a one-row broadcast of totals + one
+    integer sum.  Returns one row: ``n_buckets, psi_units, psi``.
+    """
+    from db_factfinder_spark.functions.portable_math import portable_ln
+
+    per = df.groupBy(bucket_col).agg(
+        F.sum(
+            F.when(F.col(snapshot_col).cast("int") == 0, 1).otherwise(0)
+        ).alias("c1"),
+        F.sum(
+            F.when(F.col(snapshot_col).cast("int") == 1, 1).otherwise(0)
+        ).alias("c2"),
+    )
+    tot = per.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    p = (F.col("c1") + 1).cast("double") / (
+        F.col("n1") + F.col("nb")
+    ).cast("double")
+    q = (F.col("c2") + 1).cast("double") / (
+        F.col("n2") + F.col("nb")
+    ).cast("double")
+    lnratio = (
+        portable_ln(F.col("c1") + 1)
+        + portable_ln(F.col("n2") + F.col("nb"))
+    ) - (
+        portable_ln(F.col("c2") + 1)
+        + portable_ln(F.col("n1") + F.col("nb"))
+    )
+    unit = F.floor((p - q) * lnratio * F.lit(float(quantize)) + 0.5).cast(
+        "long"
+    )
+    return (
+        j.select(unit.alias("u"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("u").alias("psi_units"),
+        )
+        .select(
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            "psi_units",
+            (F.col("psi_units").cast("double") / F.lit(float(quantize))).alias(
+                "psi"
+            ),
+        )
+    )

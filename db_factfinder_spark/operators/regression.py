@@ -412,3 +412,81 @@ def decision_stump(
             "score", "rank",
         )
     )
+
+
+def ks_statistic(
+    df: DataFrame,
+    group_cols: list[str],
+    sample_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per group — the
+    distribution-drift test: D = max over values of
+    |F̂₁(v) − F̂₂(v)| between sample 0 and sample 1 of ``sample_col``.
+
+    Exact-rational form: with cumulative counts c₁(v), c₂(v) and
+    totals N₁, N₂,
+
+      D = max |c₁·N₂ − c₂·N₁| / (N₁·N₂)
+
+    — the max runs over INTEGERS (no float CDF ever compared), and the
+    one terminal division is mirrored by the oracle.  The cross
+    product goes through decimal before multiplying (two 100 TB-scale
+    counts would wrap int64).
+
+    Plan: one (group, value, sample) count aggregate, cumulative
+    window PARTITIONED by group ordered by value (frame = the group's
+    distinct-value cardinality — the operator's documented bound; a
+    continuous 100 TB column should be pre-bucketed, which changes D
+    by at most the bucket mass), then one max per group.
+
+    Returns ``*group_cols, n1, n2, d_num, d_den, ks`` (``d_num/d_den``
+    exact; ``ks`` the single division).
+    """
+    base = df.select(
+        *group_cols,
+        F.col(value_col).alias("v"),
+        F.when(F.col(sample_col).cast("int") == 1, 1).otherwise(0).alias("s"),
+    )
+    per_v = base.groupBy(*group_cols, "v").agg(
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("a1"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("a2"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_v.withColumn("c1", F.sum("a1").over(w)).withColumn(
+        "c2", F.sum("a2").over(w)
+    )
+    tot = df.groupBy(*group_cols).agg(
+        F.sum(
+            F.when(F.col(sample_col).cast("int") == 1, 0).otherwise(1)
+        ).alias("n1"),
+        F.sum(
+            F.when(F.col(sample_col).cast("int") == 1, 1).otherwise(0)
+        ).alias("n2"),
+    )
+    dec = "decimal(38,0)"
+    j = cum.join(tot, group_cols)
+    diff = F.abs(
+        F.col("c1").cast(dec) * F.col("n2").cast(dec)
+        - F.col("c2").cast(dec) * F.col("n1").cast(dec)
+    )
+    per_group = j.groupBy(*group_cols, "n1", "n2").agg(
+        F.max(diff).alias("d_num")
+    )
+    return per_group.select(
+        *group_cols,
+        "n1",
+        "n2",
+        F.col("d_num").cast("double").alias("d_num"),
+        (F.col("n1").cast(dec) * F.col("n2").cast(dec))
+        .cast("double")
+        .alias("d_den"),
+        (
+            F.col("d_num").cast("double")
+            / (F.col("n1").cast(dec) * F.col("n2").cast(dec)).cast("double")
+        ).alias("ks"),
+    )

@@ -8458,3 +8458,142 @@ SELECT per.source, n_docs, n_distinct,
 FROM per JOIN es USING (source) LEFT JOIN z USING (source)
 ORDER BY per.source
 """
+
+
+# q313: WOE encoding — portable-ln integer logs, add-one smoothing.
+ORACLES["q313_woe_encode"] = f"""
+WITH agg AS (
+  SELECT o_orderpriority AS priority,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_pos
+  FROM orders GROUP BY 1),
+a2 AS (SELECT *, n - n_pos AS n_neg FROM agg),
+tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS t_pos,
+               CAST(sum(n_neg) AS BIGINT) AS t_neg FROM a2),
+j AS (SELECT priority, n, n_pos, n_neg, t_pos, t_neg,
+        n_pos + 1 AS la, t_neg + 2 AS lb,
+        n_neg + 1 AS lc, t_pos + 2 AS ld
+      FROM a2 CROSS JOIN tot)
+SELECT priority, n, n_pos, n_neg,
+  (({portable_ln_sql("la")} + {portable_ln_sql("lb")})
+   - ({portable_ln_sql("lc")} + {portable_ln_sql("ld")})) AS woe,
+  ((CAST(n_pos + 1 AS DOUBLE) / CAST(t_pos + 2 AS DOUBLE)
+    - CAST(n_neg + 1 AS DOUBLE) / CAST(t_neg + 2 AS DOUBLE))
+   * (({portable_ln_sql("la")} + {portable_ln_sql("lb")})
+      - ({portable_ln_sql("lc")} + {portable_ln_sql("ld")})))
+    AS iv_contrib
+FROM j ORDER BY priority
+"""
+
+# q314: two-sample KS per event type — exact integer cross-multiplied
+# CDF comparison (max over integers), one terminal division.
+ORACLES["q314_ks_drift"] = """
+WITH base AS (
+  SELECT event_type, value AS v,
+         CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS s
+  FROM events),
+per_v AS (
+  SELECT event_type, v,
+    CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a2
+  FROM base GROUP BY 1, 2),
+cum AS (
+  SELECT event_type,
+    CAST(sum(a1) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+    CAST(sum(a2) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2
+  FROM per_v),
+tot AS (
+  SELECT event_type,
+    CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM base GROUP BY 1),
+d AS (
+  SELECT c.event_type, t.n1, t.n2,
+         max(abs(c.c1 * t.n2 - c.c2 * t.n1)) AS d_num
+  FROM cum c JOIN tot t USING (event_type)
+  GROUP BY 1, 2, 3)
+SELECT event_type, n1, n2,
+  CAST(d_num AS DOUBLE) AS d_num,
+  CAST(n1 * n2 AS DOUBLE) AS d_den,
+  CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks
+FROM d ORDER BY event_type
+"""
+
+# q315: Fellegi-Sunter linkage — weights are driver-side math.log
+# literals shared with the Spark plan via the same FieldSpec objects.
+from db_factfinder_spark.operators.linkage import FieldSpec  # noqa: E402
+
+_FS_NAT = FieldSpec("nat", 0.95, 0.04)
+_FS_SEG = FieldSpec("seg", 0.90, 0.20)
+_FS_BAL = FieldSpec("bal", 0.98, 0.01)
+ORACLES["q315_record_linkage"] = f"""
+WITH bal AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer),
+a AS (SELECT c_custkey * 2 AS rid, c_name AS name,
+             c_nationkey AS nat, c_mktsegment AS seg, bal_cents
+      FROM bal),
+b AS (SELECT c_custkey * 2 + 1 AS rid, c_name AS name,
+        CASE WHEN c_custkey % 97 = 0 THEN (c_nationkey + 1) % 25
+             ELSE c_nationkey END AS nat,
+        c_mktsegment AS seg,
+        CASE WHEN c_custkey % 5 = 0 THEN bal_cents + 7
+             ELSE bal_cents END AS bal_cents
+      FROM bal),
+recs AS (SELECT *, substr(name, length(name) - 2, 3) AS blk
+         FROM (SELECT * FROM a UNION ALL SELECT * FROM b)),
+p AS (SELECT x.rid AS id_a, y.rid AS id_b,
+        x.nat AS nat_a, y.nat AS nat_b,
+        x.seg AS seg_a, y.seg AS seg_b,
+        x.bal_cents AS bc_a, y.bal_cents AS bc_b
+      FROM recs x JOIN recs y ON x.blk = y.blk AND x.rid < y.rid),
+sc AS (SELECT id_a, id_b,
+        nat_a = nat_b AS agree_nat,
+        seg_a = seg_b AS agree_seg,
+        abs(bc_a - bc_b) <= 10 AS agree_bal,
+        0.0
+        + (CASE WHEN nat_a = nat_b THEN {_FS_NAT.w_agree!r}
+                ELSE {_FS_NAT.w_disagree!r} END)
+        + (CASE WHEN seg_a = seg_b THEN {_FS_SEG.w_agree!r}
+                ELSE {_FS_SEG.w_disagree!r} END)
+        + (CASE WHEN abs(bc_a - bc_b) <= 10 THEN {_FS_BAL.w_agree!r}
+                ELSE {_FS_BAL.w_disagree!r} END) AS fs_score
+       FROM p)
+SELECT id_a, id_b, agree_nat, agree_seg, agree_bal, fs_score
+FROM sc WHERE fs_score >= 3.0 ORDER BY id_a, id_b
+"""
+
+# q316: PSI drift — portable-ln smoothed buckets, integer-unit
+# contributions so the sum is order-independent.
+ORACLES["q316_psi_drift"] = f"""
+WITH df AS (
+  SELECT CAST(least(floor(value / 50), 9) AS INT) AS bucket,
+         month(ts) % 2 AS snap
+  FROM events),
+per AS (
+  SELECT bucket,
+    CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM df GROUP BY 1),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c2) AS BIGINT) AS n2,
+               CAST(count(*) AS BIGINT) AS nb FROM per),
+j AS (SELECT c1, c2, n1, n2, nb,
+        c1 + 1 AS la, n2 + nb AS lb, c2 + 1 AS lc, n1 + nb AS ld
+      FROM per CROSS JOIN tot),
+u AS (SELECT CAST(floor(
+        (CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE)
+         - CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE))
+        * (({portable_ln_sql("la")} + {portable_ln_sql("lb")})
+           - ({portable_ln_sql("lc")} + {portable_ln_sql("ld")}))
+        * 1000000000000.0 + 0.5) AS BIGINT) AS u
+      FROM j)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(u) AS BIGINT) AS psi_units,
+       CAST(sum(u) AS DOUBLE) / 1000000000000.0 AS psi
+FROM u
+"""

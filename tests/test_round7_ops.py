@@ -377,3 +377,129 @@ def test_rouge_clipping_is_multiset(spark):
     r = rouge_n_pairs(pairs, n=2).collect()[0]
     # cand bigrams: xy yx xy yx xy (3 xy, 2 yx); ref: xy yz (1 xy)
     assert r["n_match"] == 1
+
+
+# ------------------------------------------------------------ woe
+def test_woe_sign_and_iv(spark):
+    from db_factfinder_spark.operators.encoding import woe_encode
+
+    rows = [("good", 1)] * 8 + [("good", 0)] * 2 \
+        + [("bad", 1)] * 2 + [("bad", 0)] * 8
+    df = spark.createDataFrame(rows, "cat string, y int")
+    out = {r["cat"]: r for r in woe_encode(df, "cat", "y").collect()}
+    assert out["good"]["woe"] > 0 > out["bad"]["woe"]
+    # IV contributions are positive for informative buckets
+    assert out["good"]["iv_contrib"] > 0 and out["bad"]["iv_contrib"] > 0
+    # smoothing keeps empty cells finite
+    df2 = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 0)], "cat string, y int"
+    )
+    vals = woe_encode(df2, "cat", "y").collect()
+    assert all(r["woe"] is not None for r in vals)
+
+
+# ------------------------------------------------------------- ks
+def test_ks_identical_and_shifted(spark):
+    from db_factfinder_spark.operators.regression import ks_statistic
+
+    same = [("g", s, float(v)) for v in range(50) for s in (0, 1)]
+    shifted = [("h", 0, float(v)) for v in range(50)] + [
+        ("h", 1, float(v + 25)) for v in range(50)
+    ]
+    df = spark.createDataFrame(same + shifted, "g string, s int, v double")
+    out = {r["g"]: r for r in
+           ks_statistic(df, ["g"], "s", "v").collect()}
+    assert out["g"]["ks"] == 0.0
+    assert abs(out["h"]["ks"] - 0.5) < 1e-12   # half the mass shifted
+
+
+def test_ks_matches_scipy_style_brute(spark):
+    import random
+
+    from db_factfinder_spark.operators.regression import ks_statistic
+
+    rng = random.Random(7)
+    s0 = [rng.randint(0, 30) for _ in range(80)]
+    s1 = [rng.randint(5, 40) for _ in range(60)]
+    rows = [("g", 0, float(v)) for v in s0] + [("g", 1, float(v)) for v in s1]
+    df = spark.createDataFrame(rows, "g string, s int, v double")
+    got = ks_statistic(df, ["g"], "s", "v").collect()[0]["ks"]
+    vals = sorted(set(s0 + s1))
+    want = max(
+        abs(sum(1 for x in s0 if x <= v) / len(s0)
+            - sum(1 for x in s1 if x <= v) / len(s1))
+        for v in vals
+    )
+    assert abs(got - want) < 1e-12
+
+
+# -------------------------------------------------------- linkage
+def test_fs_linkage_blocks_and_scores(spark):
+    from db_factfinder_spark.operators.linkage import (
+        FieldSpec,
+        block_pairs,
+        fs_score,
+    )
+
+    recs = spark.createDataFrame(
+        [
+            (1, "blk1", 10, "A"),
+            (2, "blk1", 10, "A"),   # same block, full agreement with 1
+            (3, "blk1", 99, "B"),   # same block, disagreement
+            (4, "blk2", 10, "A"),   # different block: never paired
+        ],
+        "rid long, blk string, nat int, seg string",
+    )
+    pairs = block_pairs(recs, "rid", "blk")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+    scored = fs_score(
+        pairs,
+        [
+            (FieldSpec("nat", 0.9, 0.1), F.col("nat_a") == F.col("nat_b")),
+            (FieldSpec("seg", 0.8, 0.2), F.col("seg_a") == F.col("seg_b")),
+        ],
+    ).collect()
+    by = {(r["id_a"], r["id_b"]): r["fs_score"] for r in scored}
+    import math as _m
+
+    full = _m.log(0.9 / 0.1) + _m.log(0.8 / 0.2)
+    none = _m.log(0.1 / 0.9) + _m.log(0.2 / 0.8)
+    assert abs(by[(1, 2)] - full) < 1e-12
+    assert abs(by[(1, 3)] - none) < 1e-12
+
+
+def test_fs_fieldspec_validation():
+    import pytest as _pytest
+
+    from db_factfinder_spark.operators.linkage import FieldSpec
+
+    with _pytest.raises(ValueError, match="0 < u < m < 1"):
+        FieldSpec("x", 0.2, 0.9)
+
+
+def test_block_pairs_max_block(spark):
+    from db_factfinder_spark.operators.linkage import block_pairs
+
+    recs = spark.createDataFrame(
+        [(i, "hot") for i in range(10)] + [(100, "ok"), (101, "ok")],
+        "rid long, blk string",
+    )
+    out = block_pairs(recs, "rid", "blk", max_block=5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(100, 101)}
+
+
+# ------------------------------------------------------------ psi
+def test_psi_identical_and_shifted(spark):
+    from db_factfinder_spark.operators.quality import psi_drift
+
+    same = [(b, s) for b in range(10) for s in (0, 1) for _ in range(20)]
+    df = spark.createDataFrame(same, "bucket int, snap int")
+    r = psi_drift(df, "bucket", "snap").collect()[0]
+    assert r["psi_units"] == 0 and r["psi"] == 0.0
+    moved = [(b, 0) for b in range(5) for _ in range(40)] + [
+        (b, 1) for b in range(5, 10) for _ in range(40)
+    ]
+    df2 = spark.createDataFrame(moved, "bucket int, snap int")
+    r2 = psi_drift(df2, "bucket", "snap").collect()[0]
+    assert r2["psi"] > 0.25   # fully disjoint -> severe drift
