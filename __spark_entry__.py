@@ -8090,6 +8090,130 @@ def q316_psi_drift(spark, sf_dir):
     )
 
 
+def q317_ucb1_arms(spark, sf_dir):
+    """UCB1 bandit scores per event type (reward = value cents) —
+    portable-ln optimism bonus, IEEE-exact sqrt, arm-frame rank."""
+    from db_factfinder_spark.operators.bandit import ucb1_scores
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("event_type").alias("arm"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("ru"),
+    )
+    return (
+        ucb1_scores(log, "arm", "ru", unit_scale=100)
+        .select(
+            "arm",
+            F.col("n_pulls").cast("long").alias("n_pulls"),
+            F.col("total_n").cast("long").alias("total_n"),
+            F.col("reward_units").cast("long").alias("reward_units"),
+            "mean_reward",
+            "bonus",
+            "ucb",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("arm")
+    )
+
+
+def q318_conformal_threshold(spark, sf_dir):
+    """Split-conformal per-event-type score thresholds at alpha=0.1 —
+    exact smallest-integer rank bound (min_count_for_ratio), k-th
+    order statistic."""
+    from db_factfinder_spark.operators.evaluation import (
+        conformal_threshold,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        conformal_threshold(ev, ["event_type"], "value", alpha=0.1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k"),
+            "coverage_target",
+            "threshold",
+        )
+        .orderBy("event_type")
+    )
+
+
+def q319_trimmed_mean(spark, sf_dir):
+    """10% symmetric trimmed mean of order totals (cents) per
+    priority — exact largest-integer trim bound, decimal sums, one
+    terminal division."""
+    from db_factfinder_spark.operators.median import trimmed_mean
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        trimmed_mean(
+            orders.select(
+                F.col("o_orderpriority").alias("priority"),
+                "o_totalprice",
+            ),
+            ["priority"],
+            F.floor(F.col("o_totalprice") * 100 + 0.5),
+            trim=0.1,
+        )
+        .select(
+            "priority",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_trimmed_each").cast("long").alias("n_trimmed_each"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            "mean_units",
+        )
+        .orderBy("priority")
+    )
+
+
+def q320_drift_dashboard(spark, sf_dir):
+    """Round-7 monitoring capstone: per event type, the KS statistic
+    (even vs odd event ids) + the PSI (even vs odd months) + volume —
+    the drift dashboard row, each column the already-oracle-checked
+    operator."""
+    from db_factfinder_spark.operators.quality import psi_drift
+    from db_factfinder_spark.operators.regression import ks_statistic
+
+    ev = _t(spark, sf_dir, "events")
+    ks = ks_statistic(
+        ev.select(
+            "event_type", (F.col("event_id") % 2).alias("s"), "value"
+        ),
+        ["event_type"],
+        "s",
+        "value",
+    ).select("event_type", "ks")
+    psi = psi_drift(
+        ev.select(
+            "event_type",
+            F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("int").alias(
+                "bucket"
+            ),
+            (F.month("ts") % 2).alias("snap"),
+        ),
+        "bucket",
+        "snap",
+        group_cols=["event_type"],
+    ).select("event_type", "psi")
+    vol = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        vol.join(ks, "event_type")
+        .join(psi, "event_type")
+        .select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            "ks",
+            "psi",
+            ((F.col("ks") > 0.05) | (F.col("psi") > 0.2)).alias(
+                "drift_flag"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8411,6 +8535,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q314_ks_drift": q314_ks_drift,
         "q315_record_linkage": q315_record_linkage,
         "q316_psi_drift": q316_psi_drift,
+        "q317_ucb1_arms": q317_ucb1_arms,
+        "q318_conformal_threshold": q318_conformal_threshold,
+        "q319_trimmed_mean": q319_trimmed_mean,
+        "q320_drift_dashboard": q320_drift_dashboard,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -88,6 +88,21 @@ def min_count_for_ratio(n: Column, threshold: float) -> Column:
     )
 
 
+def max_count_for_ratio(n: Column, threshold: float) -> Column:
+    """Largest integer ``c`` with ``(c / n) as double <= threshold`` —
+    the complement of :func:`min_count_for_ratio`, for "drop at most a
+    ``threshold`` fraction" bounds (trimming, truncation budgets).
+    Same float-ceil/floor hazard, same ±1 probe repair around the raw
+    float product; audited by the same brute-force sweep."""
+    c0 = F.floor(F.lit(threshold) * n).cast("int")
+    nd = n.cast("double")
+    return (
+        F.when((c0 + 1).cast("double") / nd <= F.lit(threshold), c0 + 1)
+        .when(c0.cast("double") / nd <= F.lit(threshold), c0)
+        .otherwise(c0 - 1)
+    )
+
+
 def _md5_long(c: Column) -> Column:
     """First 15 hex chars of md5 as a non-negative bigint (60 bits) —
     portable: DuckDB `('0x' || substr(md5(x),1,15))::BIGINT` matches."""

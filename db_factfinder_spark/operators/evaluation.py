@@ -374,3 +374,59 @@ def rbo_overlap(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def conformal_threshold(
+    df,
+    group_cols: list[str],
+    score_col: str,
+    alpha: float = 0.1,
+):
+    """Split-conformal prediction threshold per group: the k-th
+    smallest calibration score with the finite-sample correction
+    ``k = min{c : c/(n+1) >= 1 - alpha}`` — guaranteeing
+    ``P(new score <= threshold) >= 1 - alpha`` under exchangeability
+    (Vovk et al.; the distribution-free coverage recipe).
+
+    The rank bound reuses ``min_count_for_ratio`` — the exact
+    smallest-integer-vs-float-threshold probe (a raw
+    ``ceil((n+1)(1-alpha))`` float product can be one off at
+    adversarial (alpha, n), silently breaking the coverage
+    guarantee).  The k-th order statistic is deterministic even under
+    score ties (the VALUE at sorted position k does not depend on
+    how equal scores permute).
+
+    One count aggregate + one per-group rank window (frame = group
+    size — calibration sets are bounded by construction).  Groups
+    with ``k > n`` (tiny n vs the coverage demand) return a NULL
+    threshold — surfaced, not clamped.
+
+    Returns ``*group_cols, n, k, coverage_target, threshold``.
+    """
+    from db_factfinder_spark.llmdata.dedup import min_count_for_ratio
+
+    base = df.select(*group_cols, F.col(score_col).alias("__s"))
+    n = base.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    n = n.withColumn(
+        "k", min_count_for_ratio(F.col("n") + 1, 1.0 - alpha).cast("long")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("__s"))
+    ranked = base.withColumn("__r", F.row_number().over(w))
+    picked = (
+        ranked.join(n, group_cols)
+        .filter(F.col("__r") == F.col("k"))
+        .select(*group_cols, F.col("__s").alias("threshold"))
+    )
+    return (
+        n.join(picked, group_cols, "left")
+        .select(
+            *group_cols,
+            "n",
+            "k",
+            (
+                F.col("k").cast("double")
+                / (F.col("n") + 1).cast("double")
+            ).alias("coverage_target"),
+            "threshold",
+        )
+    )

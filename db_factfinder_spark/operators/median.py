@@ -36,7 +36,7 @@ SURVEY §7.3).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from db_factfinder_spark.catalog import MedianSpec
@@ -398,4 +398,58 @@ def grouped_mad_outliers(
             F.max("mad").alias("mad"),
             F.sum("__out").cast("long").alias("n_outliers"),
         )
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    value_units: Column,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Symmetric trimmed mean per group over integer-coded values:
+    drop the lowest and highest ``k`` observations where ``k`` is the
+    LARGEST integer with ``(k/n as double) <= trim`` (exact probe —
+    ``max_count_for_ratio`` — because ``floor(trim·n)`` in float can
+    disagree with the ratio comparison at adversarial (trim, n)),
+    then average the exact decimal sum of the middle.
+
+    Robust-location companion to ``grouped_mad_outliers``: the
+    outlier-insensitive mean the reference's sentinel scrub
+    approximates by hand-listed codes.  Groups too small to keep
+    anything after trimming (``n − 2k < 1``) return NULL.
+
+    One rank window per group (both directions derived from one
+    ordering), decimal-exact sum, ONE terminal division.
+
+    Returns ``*group_cols, n, n_trimmed_each, n_kept, mean_units``.
+    """
+    from db_factfinder_spark.llmdata.dedup import max_count_for_ratio
+
+    base = df.select(
+        *group_cols, value_units.cast("long").alias("__v")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.asc("__v")
+    )
+    ranked = base.withColumn("__r", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    )
+    k = max_count_for_ratio(F.col("__n"), trim).cast("long")
+    kept = ranked.withColumn("__k", k).filter(
+        (F.col("__r") > F.col("__k"))
+        & (F.col("__r") <= F.col("__n") - F.col("__k"))
+    )
+    agg = kept.groupBy(*group_cols, "__n", "__k").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("__v").cast("decimal(38,0)")).alias("__sum"),
+    )
+    return agg.select(
+        *group_cols,
+        F.col("__n").alias("n"),
+        F.col("__k").alias("n_trimmed_each"),
+        "n_kept",
+        (
+            F.col("__sum").cast("double") / F.col("n_kept").cast("double")
+        ).alias("mean_units"),
     )

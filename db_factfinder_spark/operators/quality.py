@@ -572,6 +572,7 @@ def psi_drift(
     bucket_col: str,
     snapshot_col: str,
     quantize: int = 1_000_000_000_000,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Population Stability Index between snapshot 0 (reference) and
     snapshot 1 (current) of ``snapshot_col``, over ``bucket_col``
@@ -588,12 +589,16 @@ def psi_drift(
     per-bucket SUM is therefore order-independent (a raw double sum
     would depend on partitioning).  Report ``psi_units / quantize``.
 
-    One (bucket, snapshot) count + a one-row broadcast of totals + one
-    integer sum.  Returns one row: ``n_buckets, psi_units, psi``.
+    One (bucket, snapshot) count + a totals broadcast/join + one
+    integer sum.  ``group_cols`` scopes the index per group (one PSI
+    row per group — the per-feature/per-slice monitoring layout);
+    ``None`` gives the single-row corpus PSI.  Returns
+    ``*group_cols, n_buckets, psi_units, psi``.
     """
     from db_factfinder_spark.functions.portable_math import portable_ln
 
-    per = df.groupBy(bucket_col).agg(
+    keys = list(group_cols or [])
+    per = df.groupBy(*keys, bucket_col).agg(
         F.sum(
             F.when(F.col(snapshot_col).cast("int") == 0, 1).otherwise(0)
         ).alias("c1"),
@@ -601,12 +606,20 @@ def psi_drift(
             F.when(F.col(snapshot_col).cast("int") == 1, 1).otherwise(0)
         ).alias("c2"),
     )
-    tot = per.agg(
-        F.sum("c1").alias("n1"),
-        F.sum("c2").alias("n2"),
-        F.count(F.lit(1)).alias("nb"),
-    )
-    j = per.crossJoin(F.broadcast(tot))
+    if keys:
+        tot = per.groupBy(*keys).agg(
+            F.sum("c1").alias("n1"),
+            F.sum("c2").alias("n2"),
+            F.count(F.lit(1)).alias("nb"),
+        )
+        j = per.join(tot, keys)
+    else:
+        tot = per.agg(
+            F.sum("c1").alias("n1"),
+            F.sum("c2").alias("n2"),
+            F.count(F.lit(1)).alias("nb"),
+        )
+        j = per.crossJoin(F.broadcast(tot))
     p = (F.col("c1") + 1).cast("double") / (
         F.col("n1") + F.col("nb")
     ).cast("double")
@@ -624,12 +637,14 @@ def psi_drift(
         "long"
     )
     return (
-        j.select(unit.alias("u"))
+        j.select(*keys, unit.alias("u"))
+        .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("n_buckets"),
             F.sum("u").alias("psi_units"),
         )
         .select(
+            *keys,
             F.col("n_buckets").cast("long").alias("n_buckets"),
             "psi_units",
             (F.col("psi_units").cast("double") / F.lit(float(quantize))).alias(

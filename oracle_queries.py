@@ -8597,3 +8597,159 @@ SELECT CAST(count(*) AS BIGINT) AS n_buckets,
        CAST(sum(u) AS DOUBLE) / 1000000000000.0 AS psi
 FROM u
 """
+
+
+# q317: UCB1 — portable-ln bonus, IEEE sqrt (correctly rounded in
+# every engine), reward cents exact.
+ORACLES["q317_ucb1_arms"] = f"""
+WITH per AS (
+  SELECT event_type AS arm,
+    CAST(count(*) AS BIGINT) AS n_pulls,
+    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS reward_units
+  FROM events GROUP BY 1),
+tot AS (SELECT CAST(sum(n_pulls) AS BIGINT) AS total_n FROM per),
+j AS (SELECT arm, n_pulls, total_n, reward_units,
+        CAST(reward_units AS DOUBLE) / CAST(n_pulls AS DOUBLE) / 100.0
+          AS mean_reward,
+        sqrt(2.0 * {portable_ln_sql("total_n")}
+             / CAST(n_pulls AS DOUBLE)) AS bonus
+      FROM per CROSS JOIN tot)
+SELECT arm, n_pulls, total_n, reward_units, mean_reward, bonus,
+  mean_reward + bonus AS ucb,
+  CAST(row_number() OVER (ORDER BY mean_reward + bonus DESC, arm ASC)
+       AS BIGINT) AS rank
+FROM j ORDER BY arm
+"""
+
+# q318: split-conformal thresholds — exact smallest-integer rank
+# bound (the min_count_for_ratio probe) on n+1, k-th order statistic.
+_CONF_T = 1.0 - 0.1
+ORACLES["q318_conformal_threshold"] = f"""
+WITH n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events
+  GROUP BY 1),
+k AS (
+  SELECT event_type, n,
+    CAST(CASE
+      WHEN CAST(CAST(ceil({_CONF_T!r} * (n + 1)) AS INT) - 1 AS DOUBLE)
+             / CAST(n + 1 AS DOUBLE) >= {_CONF_T!r}
+        THEN CAST(ceil({_CONF_T!r} * (n + 1)) AS INT) - 1
+      WHEN CAST(CAST(ceil({_CONF_T!r} * (n + 1)) AS INT) AS DOUBLE)
+             / CAST(n + 1 AS DOUBLE) >= {_CONF_T!r}
+        THEN CAST(ceil({_CONF_T!r} * (n + 1)) AS INT)
+      ELSE CAST(ceil({_CONF_T!r} * (n + 1)) AS INT) + 1
+    END AS BIGINT) AS k
+  FROM n),
+ranked AS (
+  SELECT event_type, value AS s,
+         row_number() OVER (PARTITION BY event_type ORDER BY value ASC)
+           AS r
+  FROM events),
+picked AS (
+  SELECT r.event_type, r.s AS threshold
+  FROM ranked r JOIN k ON r.event_type = k.event_type AND r.r = k.k)
+SELECT k.event_type, k.n, k.k,
+  CAST(k.k AS DOUBLE) / CAST(k.n + 1 AS DOUBLE) AS coverage_target,
+  picked.threshold
+FROM k LEFT JOIN picked ON k.event_type = picked.event_type
+ORDER BY k.event_type
+"""
+
+# q319: 10% symmetric trimmed mean — exact largest-integer trim bound
+# probe, decimal sums, one terminal division.
+ORACLES["q319_trimmed_mean"] = """
+WITH base AS (
+  SELECT o_orderpriority AS priority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders),
+ranked AS (
+  SELECT priority, v,
+    row_number() OVER (PARTITION BY priority ORDER BY v ASC) AS r,
+    count(*) OVER (PARTITION BY priority) AS n
+  FROM base),
+kd AS (
+  SELECT *,
+    CAST(CASE
+      WHEN CAST(CAST(floor(0.1 * n) AS INT) + 1 AS DOUBLE)
+             / CAST(n AS DOUBLE) <= 0.1
+        THEN CAST(floor(0.1 * n) AS INT) + 1
+      WHEN CAST(CAST(floor(0.1 * n) AS INT) AS DOUBLE)
+             / CAST(n AS DOUBLE) <= 0.1
+        THEN CAST(floor(0.1 * n) AS INT)
+      ELSE CAST(floor(0.1 * n) AS INT) - 1
+    END AS BIGINT) AS k
+  FROM ranked),
+kept AS (SELECT * FROM kd WHERE r > k AND r <= n - k)
+SELECT priority,
+  CAST(max(n) AS BIGINT) AS n,
+  CAST(max(k) AS BIGINT) AS n_trimmed_each,
+  CAST(count(*) AS BIGINT) AS n_kept,
+  CAST(CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE)
+       / CAST(count(*) AS DOUBLE) AS DOUBLE) AS mean_units
+FROM kept GROUP BY priority ORDER BY priority
+"""
+
+# q320: drift dashboard capstone — per-type KS + grouped PSI + volume.
+ORACLES["q320_drift_dashboard"] = f"""
+WITH base AS (
+  SELECT event_type, value AS v,
+         CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS s
+  FROM events),
+per_v AS (
+  SELECT event_type, v,
+    CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a2
+  FROM base GROUP BY 1, 2),
+cum AS (
+  SELECT event_type,
+    CAST(sum(a1) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+    CAST(sum(a2) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2
+  FROM per_v),
+tot AS (
+  SELECT event_type,
+    CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM base GROUP BY 1),
+ksq AS (
+  SELECT c.event_type,
+    CAST(max(abs(c.c1 * t.n2 - c.c2 * t.n1)) AS DOUBLE)
+      / CAST(t.n1 * t.n2 AS DOUBLE) AS ks
+  FROM cum c JOIN tot t USING (event_type)
+  GROUP BY c.event_type, t.n1, t.n2),
+pdf AS (
+  SELECT event_type,
+         CAST(least(floor(value / 50), 9) AS INT) AS bucket,
+         month(ts) % 2 AS snap
+  FROM events),
+pper AS (
+  SELECT event_type, bucket,
+    CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM pdf GROUP BY 1, 2),
+ptot AS (SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+                CAST(sum(c2) AS BIGINT) AS n2,
+                CAST(count(*) AS BIGINT) AS nb
+         FROM pper GROUP BY 1),
+pj AS (SELECT p.event_type, c1, c2, n1, n2, nb,
+         c1 + 1 AS la, n2 + nb AS lb, c2 + 1 AS lc, n1 + nb AS ld
+       FROM pper p JOIN ptot USING (event_type)),
+pu AS (SELECT event_type, CAST(floor(
+         (CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE)
+          - CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE))
+         * (({portable_ln_sql("la")} + {portable_ln_sql("lb")})
+            - ({portable_ln_sql("lc")} + {portable_ln_sql("ld")}))
+         * 1000000000000.0 + 0.5) AS BIGINT) AS u
+       FROM pj),
+psiq AS (SELECT event_type,
+           CAST(sum(u) AS DOUBLE) / 1000000000000.0 AS psi
+         FROM pu GROUP BY 1),
+vol AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1)
+SELECT vol.event_type, n_events, ks, psi,
+  (ks > 0.05 OR psi > 0.2) AS drift_flag
+FROM vol JOIN ksq USING (event_type) JOIN psiq USING (event_type)
+ORDER BY vol.event_type
+"""

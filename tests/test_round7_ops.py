@@ -503,3 +503,122 @@ def test_psi_identical_and_shifted(spark):
     df2 = spark.createDataFrame(moved, "bucket int, snap int")
     r2 = psi_drift(df2, "bucket", "snap").collect()[0]
     assert r2["psi"] > 0.25   # fully disjoint -> severe drift
+
+
+# ------------------------------------------------------------ ucb1
+def test_ucb1_explore_exploit(spark):
+    from db_factfinder_spark.operators.bandit import ucb1_scores
+
+    # arm A: 100 pulls at mean 0.5; arm B: 2 pulls at mean 0.4 —
+    # UCB must rank the under-explored B first despite lower mean
+    rows = [("A", 50) for _ in range(50)] + [("A", 51) for _ in range(50)]
+    rows += [("B", 40), ("B", 40)]
+    df = spark.createDataFrame(rows, "arm string, ru long")
+    out = {r["arm"]: r for r in
+           ucb1_scores(df, "arm", "ru", unit_scale=100).collect()}
+    assert out["A"]["mean_reward"] > out["B"]["mean_reward"]
+    assert out["B"]["bonus"] > out["A"]["bonus"]
+    assert out["B"]["rank"] == 1
+
+
+def test_ucb1_bonus_formula(spark):
+    import math as _m
+
+    from db_factfinder_spark.operators.bandit import ucb1_scores
+
+    df = spark.createDataFrame(
+        [("A", 1)] * 10 + [("B", 1)] * 30, "arm string, ru long"
+    )
+    out = {r["arm"]: r for r in ucb1_scores(df, "arm", "ru").collect()}
+    # portable_ln is within 1e-10 of true ln
+    assert abs(out["A"]["bonus"] - _m.sqrt(2 * _m.log(40) / 10)) < 1e-9
+
+
+# ------------------------------------------------------ conformal
+def test_conformal_threshold_coverage(spark):
+    from db_factfinder_spark.operators.evaluation import (
+        conformal_threshold,
+    )
+
+    rows = [("g", float(v)) for v in range(1, 100)]   # n=99
+    df = spark.createDataFrame(rows, "g string, score double")
+    r = conformal_threshold(df, ["g"], "score", alpha=0.1).collect()[0]
+    # k = min{c : c/100 >= 0.9} = 90 -> threshold = 90.0
+    assert r["n"] == 99 and r["k"] == 90
+    assert r["threshold"] == 90.0
+    assert abs(r["coverage_target"] - 0.9) < 1e-15
+    # empirical coverage on the calibration set itself >= target
+    covered = sum(1 for v in range(1, 100) if v <= r["threshold"])
+    assert covered / 100 >= 0.9 - 1e-12
+
+
+def test_conformal_tiny_group_null(spark):
+    from db_factfinder_spark.operators.evaluation import (
+        conformal_threshold,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0)], "g string, score double"
+    )
+    r = conformal_threshold(df, ["g"], "score", alpha=0.1).collect()[0]
+    # k = min{c : c/3 >= 0.9} = 3 > n=2 -> no threshold
+    assert r["k"] == 3 and r["threshold"] is None
+
+
+# --------------------------------------------------- trimmed mean
+def test_trimmed_mean_drops_outliers(spark):
+    from db_factfinder_spark.operators.median import trimmed_mean
+
+    vals = list(range(1, 9)) + [1000, -1000]          # n=10, trim 1 each
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, v long"
+    )
+    r = trimmed_mean(df, ["g"], F.col("v"), trim=0.1).collect()[0]
+    assert r["n"] == 10 and r["n_trimmed_each"] == 1 and r["n_kept"] == 8
+    assert r["mean_units"] == sum(range(1, 9)) / 8
+
+
+def test_trimmed_mean_overtrim_empty(spark):
+    from db_factfinder_spark.operators.median import trimmed_mean
+
+    df = spark.createDataFrame([("g", 1), ("g", 2)], "g string, v long")
+    out = trimmed_mean(df, ["g"], F.col("v"), trim=0.5).collect()
+    # k = 1 each side on n=2 -> nothing kept -> group absent
+    assert out == []
+
+
+# ------------------------------------------------ max_count probe
+def test_max_count_for_ratio_sweep(spark):
+    from db_factfinder_spark.llmdata.dedup import max_count_for_ratio
+
+    def brute(n, t):
+        c = n
+        while c >= 0 and not (c / n) <= t:
+            c -= 1
+        return c
+
+    df = spark.createDataFrame([(n,) for n in range(1, 201)], "n int")
+    for t in [0.07, 0.1, 0.3, 0.5, 0.9, 1.0 / 3.0]:
+        got = {
+            r["n"]: r["c"]
+            for r in df.select(
+                "n", max_count_for_ratio(F.col("n"), t).alias("c")
+            ).collect()
+        }
+        for n in range(1, 201):
+            assert got[n] == brute(n, t), (t, n, got[n])
+
+
+# ------------------------------------------------- grouped psi
+def test_psi_grouped(spark):
+    from db_factfinder_spark.operators.quality import psi_drift
+
+    rows = [("stable", b, s) for b in range(5) for s in (0, 1)
+            for _ in range(10)]
+    rows += [("moved", b, 0) for b in range(3) for _ in range(20)]
+    rows += [("moved", b, 1) for b in range(3, 6) for _ in range(20)]
+    df = spark.createDataFrame(rows, "g string, bucket int, snap int")
+    out = {r["g"]: r for r in
+           psi_drift(df, "bucket", "snap", group_cols=["g"]).collect()}
+    assert out["stable"]["psi"] == 0.0
+    assert out["moved"]["psi"] > 0.25
