@@ -8214,6 +8214,120 @@ def q320_drift_dashboard(spark, sf_dir):
     )
 
 
+def q321_fuzzy_linkage(spark, sf_dir):
+    """Fellegi-Sunter linkage with a FUZZY string agreement: B-side
+    names get deterministic typos (6th char dropped when custkey%13
+    == 0); the name field agrees when levenshtein <= 1 (built-in DP
+    edit distance — identical integers in Spark and DuckDB).  Blocked
+    on custkey % 500 (sorted-neighborhood stand-in)."""
+    from db_factfinder_spark.operators.linkage import (
+        FieldSpec,
+        block_pairs,
+        fs_score,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select(
+        (F.col("c_custkey") * 2).alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        (F.col("c_custkey") % 500).alias("blk"),
+    )
+    b = cust.select(
+        (F.col("c_custkey") * 2 + 1).alias("rid"),
+        F.when(
+            F.col("c_custkey") % 13 == 0,
+            F.concat(
+                F.substring("c_name", 1, 5), F.expr("substring(c_name, 7)")
+            ),
+        ).otherwise(F.col("c_name")).alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        (F.col("c_custkey") % 500).alias("blk"),
+    )
+    recs = a.unionByName(b)
+    pairs = block_pairs(recs, "rid", "blk")
+    specs = [
+        (
+            FieldSpec("name", 0.97, 0.02),
+            F.levenshtein("name_a", "name_b") <= 1,
+        ),
+        (
+            FieldSpec("nat", 0.95, 0.04),
+            F.col("nat_a") == F.col("nat_b"),
+        ),
+    ]
+    return (
+        fs_score(pairs, specs, threshold=4.0)
+        .select("id_a", "id_b", "agree_name", "agree_nat", "fs_score")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q322_dp_noisy_counts(spark, sf_dir):
+    """Deterministic-seed Laplace-mechanism noisy counts per event
+    type (epsilon=1) — difference-of-exponentials noise from keyed
+    md5 hashes through portable_ln, integer-unit quantization."""
+    from db_factfinder_spark.operators.privacy import dp_noisy_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        dp_noisy_counts(
+            ev.select("event_type"), ["event_type"], epsilon=1.0,
+            seed="round7",
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("noise_units").cast("long").alias("noise_units"),
+            "noisy_count",
+        )
+        .orderBy("event_type")
+    )
+
+
+def q323_stream_drift_monitor(spark, sf_dir):
+    """Streaming drift monitoring: an ACTUAL Structured Streaming job
+    maintains the per-(type, bucket) snapshot counts store
+    (availableNow to completion), and the PSI evaluator
+    (psi_from_counts) scores it as the batch post-pass — the
+    state-maintainer/evaluator split of q299 applied to the q316/q320
+    drift machinery.  Bounded-replay equivalence keeps it
+    batch-oracle-checkable."""
+    from db_factfinder_spark.operators.quality import psi_from_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(
+            f"{sf_dir}/events.parque[t]"
+        )
+    )
+    agg = stream.groupBy(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("int").alias(
+            "bucket"
+        ),
+    ).agg(
+        F.sum(
+            F.when(F.month("ts") % 2 == 0, 1).otherwise(0)
+        ).alias("c1"),
+        F.sum(
+            F.when(F.month("ts") % 2 == 1, 1).otherwise(0)
+        ).alias("c2"),
+    )
+    counts = run_available_now(agg, output_mode="complete")
+    return (
+        psi_from_counts(counts, group_cols=["event_type"])
+        .select(
+            "event_type",
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            "psi_units",
+            "psi",
+        )
+        .orderBy("event_type")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8539,6 +8653,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q318_conformal_threshold": q318_conformal_threshold,
         "q319_trimmed_mean": q319_trimmed_mean,
         "q320_drift_dashboard": q320_drift_dashboard,
+        "q321_fuzzy_linkage": q321_fuzzy_linkage,
+        "q322_dp_noisy_counts": q322_dp_noisy_counts,
+        "q323_stream_drift_monitor": q323_stream_drift_monitor,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

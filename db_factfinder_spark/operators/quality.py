@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -595,8 +595,6 @@ def psi_drift(
     ``None`` gives the single-row corpus PSI.  Returns
     ``*group_cols, n_buckets, psi_units, psi``.
     """
-    from db_factfinder_spark.functions.portable_math import portable_ln
-
     keys = list(group_cols or [])
     per = df.groupBy(*keys, bucket_col).agg(
         F.sum(
@@ -606,20 +604,33 @@ def psi_drift(
             F.when(F.col(snapshot_col).cast("int") == 1, 1).otherwise(0)
         ).alias("c2"),
     )
-    if keys:
-        tot = per.groupBy(*keys).agg(
-            F.sum("c1").alias("n1"),
-            F.sum("c2").alias("n2"),
-            F.count(F.lit(1)).alias("nb"),
-        )
-        j = per.join(tot, keys)
-    else:
-        tot = per.agg(
-            F.sum("c1").alias("n1"),
-            F.sum("c2").alias("n2"),
-            F.count(F.lit(1)).alias("nb"),
-        )
-        j = per.crossJoin(F.broadcast(tot))
+    return psi_from_counts(per, group_cols=keys, quantize=quantize)
+
+
+def psi_from_counts(
+    per: DataFrame,
+    group_cols: list[str] | None = None,
+    quantize: int = 1_000_000_000_000,
+) -> DataFrame:
+    """PSI from a PRE-AGGREGATED per-bucket count frame
+    ``(*group_cols, <bucket>, c1, c2)`` — the evaluator half of
+    :func:`psi_drift`, split out so a Structured Streaming job can
+    maintain the counts store incrementally and this batch post-pass
+    scores it (the state-maintainer/evaluator split of q299).
+    Same smoothing/quantization contract as ``psi_drift``."""
+    from db_factfinder_spark.functions.portable_math import portable_ln
+
+    keys = list(group_cols or [])
+    # totals as windows over the COUNTS frame (bounded: groups x
+    # buckets) — no self-join, which both saves a shuffle and avoids
+    # the conflicting-attribute trap when ``per`` is a streaming
+    # memory-sink view (self-joins on those fail analysis)
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    j = (
+        per.withColumn("n1", F.sum("c1").over(w))
+        .withColumn("n2", F.sum("c2").over(w))
+        .withColumn("nb", F.count(F.lit(1)).over(w))
+    )
     p = (F.col("c1") + 1).cast("double") / (
         F.col("n1") + F.col("nb")
     ).cast("double")

@@ -8753,3 +8753,95 @@ SELECT vol.event_type, n_events, ks, psi,
 FROM vol JOIN ksq USING (event_type) JOIN psiq USING (event_type)
 ORDER BY vol.event_type
 """
+
+
+# q321: fuzzy FS linkage — levenshtein is the same DP integer in both
+# engines; weights are shared FieldSpec literals.
+_FS_FNAME = FieldSpec("name", 0.97, 0.02)
+_FS_FNAT = FieldSpec("nat", 0.95, 0.04)
+ORACLES["q321_fuzzy_linkage"] = f"""
+WITH a AS (SELECT c_custkey * 2 AS rid, c_name AS name,
+                  c_nationkey AS nat, c_custkey % 500 AS blk
+           FROM customer),
+b AS (SELECT c_custkey * 2 + 1 AS rid,
+        CASE WHEN c_custkey % 13 = 0
+             THEN substr(c_name, 1, 5) || substr(c_name, 7)
+             ELSE c_name END AS name,
+        c_nationkey AS nat, c_custkey % 500 AS blk
+      FROM customer),
+recs AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+p AS (SELECT x.rid AS id_a, y.rid AS id_b,
+        x.name AS name_a, y.name AS name_b,
+        x.nat AS nat_a, y.nat AS nat_b
+      FROM recs x JOIN recs y ON x.blk = y.blk AND x.rid < y.rid),
+sc AS (SELECT id_a, id_b,
+        levenshtein(name_a, name_b) <= 1 AS agree_name,
+        nat_a = nat_b AS agree_nat,
+        0.0
+        + (CASE WHEN levenshtein(name_a, name_b) <= 1
+                THEN {_FS_FNAME.w_agree!r}
+                ELSE {_FS_FNAME.w_disagree!r} END)
+        + (CASE WHEN nat_a = nat_b THEN {_FS_FNAT.w_agree!r}
+                ELSE {_FS_FNAT.w_disagree!r} END) AS fs_score
+       FROM p)
+SELECT id_a, id_b, agree_name, agree_nat, fs_score
+FROM sc WHERE fs_score >= 4.0 ORDER BY id_a, id_b
+"""
+
+# q322: deterministic-seed Laplace counts — difference of keyed
+# exponentials through portable_ln; 28-bit md5 uniform source.
+ORACLES["q322_dp_noisy_counts"] = f"""
+WITH per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+h AS (SELECT event_type, n,
+    ('0x' || substr(md5('round7' || '|' || event_type || ':1'), 1, 7))
+      ::BIGINT + 1 AS h1,
+    ('0x' || substr(md5('round7' || '|' || event_type || ':2'), 1, 7))
+      ::BIGINT + 1 AS h2
+  FROM per),
+u AS (SELECT event_type, n,
+    CAST(floor(
+      (1.0 * ({portable_ln_sql("h2")} - {portable_ln_sql("h1")}))
+      * 1000000.0 + 0.5) AS BIGINT) AS noise_units
+  FROM h)
+SELECT event_type, n, noise_units,
+  CAST(n AS DOUBLE) + CAST(noise_units AS DOUBLE) / 1000000.0
+    AS noisy_count
+FROM u ORDER BY event_type
+"""
+
+# q323: streaming drift monitor — availableNow over the full file
+# equals the batch aggregate, so the oracle is the batch PSI from the
+# same (type, bucket, snapshot) counts.
+ORACLES["q323_stream_drift_monitor"] = f"""
+WITH pdf AS (
+  SELECT event_type,
+         CAST(least(floor(value / 50), 9) AS INT) AS bucket,
+         month(ts) % 2 AS snap
+  FROM events),
+pper AS (
+  SELECT event_type, bucket,
+    CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM pdf GROUP BY 1, 2),
+ptot AS (SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+                CAST(sum(c2) AS BIGINT) AS n2,
+                CAST(count(*) AS BIGINT) AS nb
+         FROM pper GROUP BY 1),
+pj AS (SELECT p.event_type, c1, c2, n1, n2, nb,
+         c1 + 1 AS la, n2 + nb AS lb, c2 + 1 AS lc, n1 + nb AS ld
+       FROM pper p JOIN ptot USING (event_type)),
+pu AS (SELECT event_type, CAST(floor(
+         (CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE)
+          - CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE))
+         * (({portable_ln_sql("la")} + {portable_ln_sql("lb")})
+            - ({portable_ln_sql("lc")} + {portable_ln_sql("ld")}))
+         * 1000000000000.0 + 0.5) AS BIGINT) AS u
+       FROM pj)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_buckets,
+  CAST(sum(u) AS BIGINT) AS psi_units,
+  CAST(sum(u) AS DOUBLE) / 1000000000000.0 AS psi
+FROM pu GROUP BY event_type ORDER BY event_type
+"""

@@ -622,3 +622,67 @@ def test_psi_grouped(spark):
            psi_drift(df, "bucket", "snap", group_cols=["g"]).collect()}
     assert out["stable"]["psi"] == 0.0
     assert out["moved"]["psi"] > 0.25
+
+
+# ------------------------------------------------------- dp counts
+def test_dp_noisy_counts_deterministic_and_centered(spark):
+    from db_factfinder_spark.operators.privacy import dp_noisy_counts
+
+    rows = [(f"g{i % 50}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string")
+    a = {r["g"]: r for r in
+         dp_noisy_counts(df, ["g"], epsilon=1.0, seed="s1").collect()}
+    b = {r["g"]: r for r in
+         dp_noisy_counts(df, ["g"], epsilon=1.0, seed="s1").collect()}
+    assert a == b                                  # same seed = replay
+    c = {r["g"]: r for r in
+         dp_noisy_counts(df, ["g"], epsilon=1.0, seed="s2").collect()}
+    assert any(a[g]["noise_units"] != c[g]["noise_units"] for g in a)
+    # Laplace(1) noise: mean near 0, spread of order b=1
+    noises = [r["noise_units"] / 1e6 for r in a.values()]
+    assert abs(sum(noises) / len(noises)) < 1.0
+    assert max(abs(x) for x in noises) < 15.0      # tail sanity
+    # tighter epsilon -> larger noise scale
+    d = {r["g"]: r for r in
+         dp_noisy_counts(df, ["g"], epsilon=0.1, seed="s1").collect()}
+    # same uniforms, b scales ~linearly (exact up to the floor grid)
+    assert all(
+        abs(d[g]["noise_units"] - 10 * a[g]["noise_units"]) <= 10
+        for g in a
+    )
+
+
+def test_dp_rejects_bad_epsilon(spark):
+    import pytest as _pytest
+
+    from db_factfinder_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame([("g",)], "g string")
+    with _pytest.raises(ValueError, match="epsilon"):
+        dp_noisy_counts(df, ["g"], epsilon=0.0)
+
+
+# --------------------------------------------------- fuzzy linkage
+def test_levenshtein_agreement_links_typos(spark):
+    from db_factfinder_spark.operators.linkage import (
+        FieldSpec,
+        block_pairs,
+        fs_score,
+    )
+
+    recs = spark.createDataFrame(
+        [
+            (1, "b", "jonathan smith"),
+            (2, "b", "jonathan smth"),     # 1 deletion
+            (3, "b", "completely other"),
+        ],
+        "rid long, blk string, name string",
+    )
+    pairs = block_pairs(recs, "rid", "blk")
+    scored = fs_score(
+        pairs,
+        [(FieldSpec("nm", 0.97, 0.02),
+          F.levenshtein("name_a", "name_b") <= 1)],
+        threshold=1.0,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in scored} == {(1, 2)}
