@@ -8328,6 +8328,112 @@ def q323_stream_drift_monitor(spark, sf_dir):
     )
 
 
+def q324_bigram_perplexity(spark, sf_dir):
+    """Per-doc cross-entropy under the corpus add-one bigram LM —
+    the LM quality filter; portable-ln integer logs per bigram,
+    integer-unit sums, one terminal division."""
+    from db_factfinder_spark.llmdata.textstats import bigram_perplexity
+
+    docs = _docs(spark, sf_dir)
+    return (
+        bigram_perplexity(docs)
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("nll_units").cast("long").alias("nll_units"),
+            "nats_per_bigram",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q325_modularity(spark, sf_dir):
+    """Newman modularity of the LSH near-dup clustering (q32 edges,
+    q46 groups) — exact integer L_c/d_c/m, per-cluster terms
+    quantized to units before the order-independent sum."""
+    from db_factfinder_spark.llmdata.components import (
+        modularity_score,
+        neardup_groups,
+    )
+
+    docs = _docs(spark, sf_dir)
+    edges = minhash_dedup_pairs(
+        docs, num_hashes=8, bands=4, n=3, verify_threshold=0.6,
+        max_bucket=None,
+    ).select("id_a", "id_b")
+    groups = neardup_groups(edges).select(
+        "doc_id", F.col("rep_id").alias("group_id")
+    )
+    return modularity_score(edges, groups).select(
+        "n_clusters", "m_edges", "q_units", "modularity"
+    )
+
+
+def q326_curation_v3(spark, sf_dir):
+    """Round-7 curation capstone: winnowing passage-dup removal
+    (pair-drop survivor rule: every id_b of a winnow pair is dropped)
+    + per-source conformal entropy gate (alpha=0.1 over nano-nat
+    entropy units) -> per-source report.  Every stage is the already
+    oracle-checked operator."""
+    from db_factfinder_spark.llmdata.textstats import char_entropy
+    from db_factfinder_spark.llmdata.winnow import winnow_pairs
+    from db_factfinder_spark.operators.evaluation import (
+        conformal_threshold,
+    )
+
+    docs = _docs(spark, sf_dir)
+    dup_b = (
+        winnow_pairs(docs, k=20, w=8, min_shared=2)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    ent = docs.select(
+        "doc_id",
+        "source",
+        char_entropy(F.col("text"), quantize=1_000_000_000).alias("e"),
+    ).filter(F.col("e").isNotNull())
+    thr = conformal_threshold(ent, ["source"], "e", alpha=0.1).select(
+        "source", "threshold"
+    )
+    flagged = (
+        ent.join(dup_b.withColumn("is_dup", F.lit(1)), "doc_id", "left")
+        .join(thr, "source", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("is_dup", F.lit(0)).alias("is_dup"),
+            F.when(
+                F.col("e") <= F.col("threshold"), F.lit(0)
+            ).otherwise(F.lit(1)).alias("is_high_ent"),
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_dup").alias("n_dup"),
+            F.sum(
+                F.when(F.col("is_dup") == 0, F.col("is_high_ent")).otherwise(
+                    0
+                )
+            ).alias("n_high_entropy"),
+            F.sum(
+                F.when(
+                    (F.col("is_dup") == 0) & (F.col("is_high_ent") == 0), 1
+                ).otherwise(0)
+            ).alias("n_kept"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_dup").cast("long").alias("n_dup"),
+            F.col("n_high_entropy").cast("long").alias("n_high_entropy"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8656,6 +8762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q321_fuzzy_linkage": q321_fuzzy_linkage,
         "q322_dp_noisy_counts": q322_dp_noisy_counts,
         "q323_stream_drift_monitor": q323_stream_drift_monitor,
+        "q324_bigram_perplexity": q324_bigram_perplexity,
+        "q325_modularity": q325_modularity,
+        "q326_curation_v3": q326_curation_v3,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

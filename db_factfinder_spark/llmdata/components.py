@@ -993,3 +993,103 @@ def adamic_adar(
             F.sum(term).alias("aa_units"),
         )
     )
+
+
+def modularity_score(
+    edges: DataFrame,
+    members: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "group_id",
+    quantize: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Newman modularity Q of a clustering over an undirected simple
+    graph — the "are these clusters denser than chance" audit for
+    near-dup groups / kNN communities:
+
+      Q = Σ_c [ L_c/m − (d_c / 2m)² ]
+
+    (L_c intra-cluster edges, d_c cluster degree sum, m total edges).
+    Unclustered vertices count as singletons (no intra edges; their
+    degree still burns expectation), matching the usual convention.
+
+    Exactness: L_c, d_c, m are exact integers; each cluster term is a
+    mirrored double expression QUANTIZED to integer units before the
+    cluster sum (order-independent — the portable-sum idiom).
+
+    Plan: degrees (one groupBy), membership join on each endpoint
+    (two broadcastable joins when the membership table is dimension
+    sized), per-cluster aggregate, integer sum.  Returns one row:
+    ``n_clusters, m_edges, q_units, modularity``.
+    """
+    from pyspark.sql import Window as _W  # noqa: F401 (parity w/ file style)
+
+    e = (
+        edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    mem = members.select(
+        F.col(id_col).alias("v"),
+        F.col(group_col).cast("string").alias("g"),
+    )
+    # effective cluster of a vertex: its group, else itself (singleton)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select("b"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dv = deg.join(mem, "v", "left").withColumn(
+        "gc",
+        F.coalesce(
+            F.col("g"), F.concat(F.lit("solo:"), F.col("v").cast("string"))
+        ),
+    )
+    d_c = dv.groupBy("gc").agg(F.sum("deg").alias("d_sum"))
+    ga = mem.select(F.col("v").alias("a"), F.col("g").alias("g_a"))
+    gb = mem.select(F.col("v").alias("b"), F.col("g").alias("g_b"))
+    intra = (
+        e.join(ga, "a", "left")
+        .join(gb, "b", "left")
+        .withColumn(
+            "gc",
+            F.when(
+                F.col("g_a").isNotNull() & (F.col("g_a") == F.col("g_b")),
+                F.col("g_a"),
+            ),
+        )
+        .filter(F.col("gc").isNotNull())
+        .groupBy("gc")
+        .agg(F.count(F.lit(1)).alias("l_c"))
+    )
+    m_tot = e.agg(F.count(F.lit(1)).alias("m"))
+    per = (
+        d_c.join(intra, "gc", "left")
+        .withColumn("l_c", F.coalesce("l_c", F.lit(0)))
+        .crossJoin(F.broadcast(m_tot))
+    )
+    term = (
+        F.col("l_c").cast("double") / F.col("m").cast("double")
+        - (
+            F.col("d_sum").cast("double")
+            / (F.lit(2.0) * F.col("m").cast("double"))
+        )
+        * (
+            F.col("d_sum").cast("double")
+            / (F.lit(2.0) * F.col("m").cast("double"))
+        )
+    )
+    unit = F.floor(term * F.lit(float(quantize)) + 0.5).cast("long")
+    return (
+        per.select(unit.alias("u"), "m")
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("n_clusters"), F.sum("u").alias("qu"))
+        .select(
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.col("m").cast("long").alias("m_edges"),
+            F.col("qu").alias("q_units"),
+            (F.col("qu").cast("double") / F.lit(float(quantize))).alias(
+                "modularity"
+            ),
+        )
+    )

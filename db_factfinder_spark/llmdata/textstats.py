@@ -1650,3 +1650,89 @@ def heaps_law_fit(
     ).select(
         F.col("n").alias("n_points"), "slope_u", "intercept_u"
     )
+
+
+def bigram_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model: DataFrame | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document cross-entropy (nats/bigram) under the corpus
+    add-one bigram LM — the Gopher/CCNet-style "does this read like
+    the corpus" quality filter.  High values flag token soup,
+    boilerplate grids and wrong-language content; the LM is
+    ``bigram_lm``'s (c+1)/(c_prev+V), trained on the same corpus
+    unless a ``model`` frame (w1, w2, c_bigram, c_prev, vocab) is
+    supplied (train-on-reference, score-everything — the production
+    split).
+
+    Exactness: −ln P = ln(c_prev+V) − ln(c+1) — ``portable_ln`` on
+    INTEGERS per bigram (bit-exact cross-engine), quantized to units
+    and integer-summed per document (order-independent), ONE terminal
+    division for nats/bigram.  Unseen bigrams (novel w1w2 with seen
+    w1) and unseen contexts both fall back to the add-one floor via a
+    left join + per-context/global defaults.
+
+    Plan: docs explode to (doc, w1, w2) with multiplicity; one keyed
+    join to the broadcast-size model table; per-doc integer sum.
+    Returns ``{id_col}, n_bigrams, nll_units, nats_per_bigram``.
+    """
+    from db_factfinder_spark.functions.portable_math import portable_ln
+
+    if model is None:
+        model = bigram_lm(docs, text_col)
+    toks = tokens(normalize_text(text_col))
+    arr = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), toks.alias("ts"))
+        .filter(F.size("ts") >= 2)
+    )
+    pairs = arr.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("ts", 1, F.size("ts") - 1).alias("w1"),
+                F.slice(F.col("ts"), F.lit(2), F.size("ts") - 1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # per-context stats (c_prev is constant per w1; vocab global) for
+    # the unseen-bigram fallback: P = 1/(c_prev+V); unseen context:
+    # P = 1/V
+    ctx = model.groupBy("w1").agg(
+        F.max("c_prev").alias("ctx_prev"), F.max("vocab").alias("v1")
+    )
+    vocab = model.agg(F.max("vocab").alias("v"))
+    j = (
+        pairs.join(
+            model.select("w1", "w2", "c_bigram", "c_prev"),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    den = F.coalesce(
+        F.col("c_prev") + F.col("v"),      # seen bigram
+        F.col("ctx_prev") + F.col("v"),    # seen context, novel w2
+        F.col("v"),                        # novel context: 0 + V
+    )
+    num = F.coalesce(F.col("c_bigram"), F.lit(0)) + 1
+    nll = portable_ln(den) - portable_ln(num)
+    units = F.floor(nll * F.lit(float(scale)) + 0.5).cast("long")
+    per = j.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(units).alias("nll_units"),
+    )
+    return per.select(
+        id_col,
+        "n_bigrams",
+        "nll_units",
+        (
+            F.col("nll_units").cast("double")
+            / F.col("n_bigrams").cast("double")
+            / F.lit(float(scale))
+        ).alias("nats_per_bigram"),
+    )

@@ -8845,3 +8845,150 @@ SELECT event_type,
   CAST(sum(u) AS DOUBLE) / 1000000000000.0 AS psi
 FROM pu GROUP BY event_type ORDER BY event_type
 """
+
+
+# q324: per-doc cross-entropy under the corpus add-one bigram LM —
+# portable-ln integer logs, integer-unit sums.
+ORACLES["q324_bigram_perplexity"] = f"""
+WITH t AS (SELECT doc_id, {_NORMTOKS} AS ts FROM documents
+           WHERE text IS NOT NULL),
+t2 AS (SELECT doc_id, ts FROM t WHERE len(ts) >= 2),
+bg AS (SELECT doc_id, ts[CAST(i AS INT)] AS w1,
+              ts[CAST(i AS INT) + 1] AS w2
+       FROM t2, unnest(range(1, len(ts))) AS u(i)),
+counts AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bigram
+           FROM bg GROUP BY 1, 2),
+cp AS (SELECT *, CAST(sum(c_bigram) OVER (PARTITION BY w1) AS BIGINT)
+                   AS c_prev
+       FROM counts),
+voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        FROM (SELECT unnest(ts) AS tok FROM t)),
+ctx AS (SELECT w1, CAST(max(c_prev) AS BIGINT) AS ctx_prev
+        FROM cp GROUP BY 1),
+j AS (SELECT b.doc_id,
+        coalesce(cp.c_prev + voc.v, ctx.ctx_prev + voc.v, voc.v) AS den,
+        coalesce(cp.c_bigram, 0) + 1 AS num
+      FROM bg b
+      LEFT JOIN cp ON b.w1 = cp.w1 AND b.w2 = cp.w2
+      LEFT JOIN ctx ON b.w1 = ctx.w1
+      CROSS JOIN voc),
+u AS (SELECT doc_id,
+        CAST(floor(({portable_ln_sql("den")} - {portable_ln_sql("num")})
+                   * 1000000.0 + 0.5) AS BIGINT) AS uu
+      FROM j)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(sum(uu) AS BIGINT) AS nll_units,
+  CAST(sum(uu) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0
+    AS nats_per_bigram
+FROM u GROUP BY doc_id ORDER BY doc_id
+"""
+
+# q325: Newman modularity of the q32/q46 near-dup clustering —
+# exact integer L_c/d_c/m, per-cluster quantized terms.
+ORACLES["q325_modularity"] = f"""
+WITH e AS (
+  SELECT DISTINCT id_a AS a, id_b AS b
+  FROM ({ORACLES["q32_lsh_neardup_pairs"]}) WHERE id_a != id_b),
+grp AS (SELECT doc_id AS v, CAST(rep_id AS VARCHAR) AS g
+        FROM ({ORACLES["q46_neardup_groups"]})),
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        GROUP BY 1),
+dv AS (SELECT d.v, d.deg,
+         coalesce(g.g, 'solo:' || CAST(d.v AS VARCHAR)) AS gc
+       FROM deg d LEFT JOIN grp g ON d.v = g.v),
+d_c AS (SELECT gc, CAST(sum(deg) AS BIGINT) AS d_sum
+        FROM dv GROUP BY 1),
+intra AS (
+  SELECT ga.g AS gc, CAST(count(*) AS BIGINT) AS l_c
+  FROM e LEFT JOIN grp ga ON e.a = ga.v
+         LEFT JOIN grp gb ON e.b = gb.v
+  WHERE ga.g IS NOT NULL AND ga.g = gb.g
+  GROUP BY 1),
+mt AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+per AS (SELECT d_c.gc, d_c.d_sum, coalesce(intra.l_c, 0) AS l_c, mt.m
+        FROM d_c LEFT JOIN intra USING (gc) CROSS JOIN mt),
+uq AS (SELECT m, CAST(floor(
+         (CAST(l_c AS DOUBLE) / CAST(m AS DOUBLE)
+          - (CAST(d_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+            * (CAST(d_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))))
+         * 1000000000000.0 + 0.5) AS BIGINT) AS u
+       FROM per)
+SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(m AS BIGINT) AS m_edges,
+       CAST(sum(u) AS BIGINT) AS q_units,
+       CAST(sum(u) AS DOUBLE) / 1000000000000.0 AS modularity
+FROM uq GROUP BY m
+"""
+
+# q326: curation v3 — winnow pair-drop + per-source conformal
+# entropy gate; composes the q302/q306/q318 machinery.
+ORACLES["q326_curation_v3"] = f"""
+WITH d AS (SELECT doc_id, source, {_NORM} AS t FROM documents
+           WHERE text IS NOT NULL),
+h AS (SELECT doc_id,
+        CASE WHEN len(t) >= 20 THEN
+          list_transform(range(1, len(t) - 20 + 2),
+            i -> ('0x' || substr(md5(substr(t, CAST(i AS INT), 20)), 1, 7))
+                   ::BIGINT)
+        ELSE [] END AS hl
+      FROM d),
+f AS (SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(hl) - 7, 1) + 1),
+          j -> list_min(hl[CAST(j AS INT):CAST(j AS INT) + 7]))) AS fps
+      FROM h WHERE len(hl) >= 1),
+pfp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+wp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM pfp a JOIN pfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING count(*) >= 2),
+dupb AS (SELECT DISTINCT id_b AS doc_id FROM wp),
+ch AS (SELECT doc_id, source, len(t) AS n,
+         list_transform(range(1, len(t) + 1),
+                        i -> substr(t, CAST(i AS INT), 1)) AS chars
+       FROM d WHERE len(t) >= 1),
+ent AS (SELECT doc_id, source,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT), list_transform(
+              list_sort(list_distinct(chars)),
+              uu -> CAST(floor(
+                (CAST(-(CAST(len(list_filter(chars, x -> x = uu)) AS DOUBLE)
+                        / CAST(n AS DOUBLE)) AS DOUBLE)
+                 * ln(CAST(len(list_filter(chars, x -> x = uu)) AS DOUBLE)
+                      / CAST(n AS DOUBLE)))
+                * 1000000000.0 + 0.5) AS BIGINT))),
+            (acc, x) -> acc + x) AS e
+        FROM ch),
+ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ent GROUP BY 1),
+kk AS (SELECT source, n,
+    CAST(CASE
+      WHEN CAST(CAST(ceil(0.9 * (n + 1)) AS INT) - 1 AS DOUBLE)
+             / CAST(n + 1 AS DOUBLE) >= 0.9
+        THEN CAST(ceil(0.9 * (n + 1)) AS INT) - 1
+      WHEN CAST(CAST(ceil(0.9 * (n + 1)) AS INT) AS DOUBLE)
+             / CAST(n + 1 AS DOUBLE) >= 0.9
+        THEN CAST(ceil(0.9 * (n + 1)) AS INT)
+      ELSE CAST(ceil(0.9 * (n + 1)) AS INT) + 1
+    END AS BIGINT) AS k
+  FROM ns),
+rk AS (SELECT source, e,
+         row_number() OVER (PARTITION BY source ORDER BY e ASC) AS r
+       FROM ent),
+thr AS (SELECT rk.source, rk.e AS threshold
+        FROM rk JOIN kk ON rk.source = kk.source AND rk.r = kk.k),
+flagged AS (
+  SELECT ent.doc_id, ent.source,
+         CASE WHEN dupb.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+         CASE WHEN ent.e <= thr.threshold THEN 0 ELSE 1 END AS is_high
+  FROM ent LEFT JOIN dupb ON ent.doc_id = dupb.doc_id
+           LEFT JOIN thr ON ent.source = thr.source)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(is_dup) AS BIGINT) AS n_dup,
+  CAST(sum(CASE WHEN is_dup = 0 THEN is_high ELSE 0 END) AS BIGINT)
+    AS n_high_entropy,
+  CAST(sum(CASE WHEN is_dup = 0 AND is_high = 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_kept
+FROM flagged GROUP BY source ORDER BY source
+"""

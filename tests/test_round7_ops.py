@@ -686,3 +686,72 @@ def test_levenshtein_agreement_links_typos(spark):
         threshold=1.0,
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in scored} == {(1, 2)}
+
+
+# -------------------------------------------------- bigram perplexity
+def test_bigram_perplexity_flags_shuffled_text(spark):
+    from db_factfinder_spark.llmdata.textstats import bigram_perplexity
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    # same unigrams, scrambled order -> unseen bigrams -> higher NLL
+    soup = "mat the on dog sat rug the cat the and on sat the"
+    corpus = [(i, fluent) for i in range(10)] + [(100, soup)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_perplexity(df).collect()}
+    assert out[100]["nats_per_bigram"] > out[0]["nats_per_bigram"]
+
+
+def test_bigram_perplexity_external_model(spark):
+    from db_factfinder_spark.llmdata.textstats import (
+        bigram_lm,
+        bigram_perplexity,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "a b a b a b")], "doc_id long, text string"
+    )
+    model = bigram_lm(ref)
+    probe = spark.createDataFrame(
+        [(9, "a b a b"), (10, "x y z w")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           bigram_perplexity(probe, model=model).collect()}
+    # in-distribution doc scores lower than fully-novel doc
+    assert out[9]["nats_per_bigram"] < out[10]["nats_per_bigram"]
+
+
+# ------------------------------------------------------- modularity
+def test_modularity_perfect_vs_random(spark):
+    from db_factfinder_spark.llmdata.components import modularity_score
+
+    # two 4-cliques, no cross edges: near-maximal modularity (~0.5)
+    edges = []
+    for base in (0, 10):
+        ids = [base + i for i in range(4)]
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    mem = spark.createDataFrame(
+        [(i, 0) for i in range(4)] + [(10 + i, 1) for i in range(4)],
+        "doc_id long, group_id long",
+    )
+    r = modularity_score(e, mem).collect()[0]
+    assert abs(r["modularity"] - 0.5) < 1e-9
+    # one cluster containing everything: Q = 1 - 1 = ... intra = m,
+    # degree-sum = 2m -> Q = 1 - 1 = 0
+    mem_all = spark.createDataFrame(
+        [(i, 0) for i in range(4)] + [(10 + i, 0) for i in range(4)],
+        "doc_id long, group_id long",
+    )
+    r2 = modularity_score(e, mem_all).collect()[0]
+    assert abs(r2["modularity"]) < 1e-9
+
+
+def test_modularity_unclustered_singletons(spark):
+    from db_factfinder_spark.llmdata.components import modularity_score
+
+    e = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    mem = spark.createDataFrame([(1, 7)], "doc_id long, group_id long")
+    r = modularity_score(e, mem).collect()[0]
+    # vertex 2 unclustered -> singleton cluster; no intra edges at all
+    assert r["n_clusters"] == 2 and r["m_edges"] == 1
+    assert r["modularity"] < 0
