@@ -29,7 +29,12 @@ BASE = "/root/testdata/sf0.1"
 LADDER = ["q111_prefix_filter_pairs", "q130_span_removal",
           "q48_simhash_multiprobe", "q52_dedup_survivors",
           # round-5: lead-k skip-grams must scale with tokens x window
-          "q214_skipgram_counts"]
+          "q214_skipgram_counts",
+          # round-7: winnowing postings join (shingle-disjoint replicas
+          # -> fingerprint spaces disjoint, pair yield scales by k) and
+          # the per-doc LM scoring join (model grows by k, doc-side
+          # lookups stay per-bigram)
+          "q302_winnow_pairs", "q324_bigram_perplexity"]
 QUERIES = entry_mod.queries()
 
 
