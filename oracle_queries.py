@@ -8992,3 +8992,121 @@ SELECT source,
        AS BIGINT) AS n_kept
 FROM flagged GROUP BY source ORDER BY source
 """
+
+
+# q327: real ACS variable (lgoenlep1, 12 E/M pairs) vs its real base
+# (pop5pl1) through the packaged 2019 catalog — the q37 spine with
+# catalog-driven columns; oracle GENERATED from the same catalog JSON.
+def _he1(x: str) -> str:
+    """Half-even rounding to 1 digit (the q37 idiom: DuckDB round()
+    is half-away-from-zero, so exact dyadic ties get an explicit
+    even-selection branch)."""
+    return (
+        f"CASE WHEN ({x}) * 10 - floor(({x}) * 10) = 0.5 THEN "
+        f"(CASE WHEN CAST(floor(({x}) * 10) AS BIGINT) % 2 = 0 "
+        f"THEN floor(({x}) * 10) ELSE floor(({x}) * 10) + 1 END) / 10 "
+        f"ELSE round(({x}), 1) END"
+    )
+
+
+def _acs_lgoenlep1_oracle() -> str:
+    import json as _json
+    from pathlib import Path as _Path
+
+    meta = _json.loads(
+        (
+            _Path(__file__).parent
+            / "db_factfinder_spark" / "data" / "acs" / "2019"
+            / "metadata.json"
+        ).read_text()
+    )
+    d = {m["pff_variable"]: m for m in meta}
+    cols = d["lgoenlep1"]["census_variable"]          # 12 C16001_* codes
+    base_col = d["pop5pl1"]["census_variable"][0]
+    e_defs, m_defs, e_sum, m_sq = [], [], [], []
+    for i, c in enumerate(cols):
+        e_defs.append(
+            f"CASE WHEN c_custkey % {11 + i} = 0 THEN NULL "
+            f"ELSE CAST(floor(c_acctbal / {i + 1}) AS DOUBLE) END"
+            f" AS {c}E"
+        )
+        m_defs.append(
+            f"CAST(floor(c_acctbal / {10 + i}) AS DOUBLE) AS {c}M"
+        )
+        e_sum.append(f"coalesce({c}E, 0.0)")
+        m_sq.append(f"coalesce({c}M * {c}M, 0.0)")
+    return f"""
+WITH wide AS (
+  SELECT
+    '36047' || lpad(CAST(CAST(c_custkey % 200 AS INT) AS VARCHAR), 6, '0')
+      AS census_geoid,
+    {", ".join(e_defs)},
+    {", ".join(m_defs)},
+    CAST(floor(c_acctbal) * 2 AS DOUBLE) AS {base_col}E,
+    CAST(floor(c_acctbal / 8) AS DOUBLE) AS {base_col}M
+  FROM customer),
+horizontal AS (
+  SELECT census_geoid,
+    0.0 + {" + ".join(e_sum)} AS e,
+    sqrt(0.0 + {" + ".join(m_sq)}) AS m,
+    0.0 + coalesce({base_col}E, 0.0) AS be,
+    sqrt(0.0 + coalesce({base_col}M * {base_col}M, 0.0)) AS bm
+  FROM wide),
+child AS (
+  SELECT census_geoid,
+    coalesce(sum(e), 0.0) AS e,
+    sqrt(coalesce(sum(m * m), 0.0)) AS m
+  FROM horizontal GROUP BY census_geoid),
+base AS (
+  SELECT census_geoid,
+    coalesce(sum(be), 0.0) AS agg_e,
+    sqrt(coalesce(sum(bm * bm), 0.0)) AS agg_m
+  FROM horizontal GROUP BY census_geoid),
+j AS (SELECT child.*, agg_e, agg_m
+      FROM child LEFT JOIN base USING (census_geoid)),
+withp AS (
+  SELECT *, CASE WHEN agg_e = 0 THEN NULL ELSE e / agg_e * 100 END AS p
+  FROM j),
+stats AS (
+  SELECT census_geoid, e, m, p,
+    CASE WHEN p = 0 THEN NULL
+         WHEN p = 100 THEN NULL
+         WHEN agg_e = 0 THEN NULL
+         WHEN m * m - (e * agg_m / agg_e) * (e * agg_m / agg_e) < 0
+           THEN sqrt(m * m + (e * agg_m / agg_e) * (e * agg_m / agg_e))
+                / agg_e * 100
+         ELSE sqrt(m * m - (e * agg_m / agg_e) * (e * agg_m / agg_e))
+              / agg_e * 100
+    END AS z,
+    CASE WHEN e = 0 THEN NULL ELSE m / 1.645 / e * 100 END AS c
+  FROM withp),
+rounded AS (
+  SELECT census_geoid, 'lgoenlep1' AS pff_variable, 'tract' AS geotype,
+    {_he1("c")} AS c, round(e, 0) AS e, round(m, 0) AS m,
+    {_he1("p")} AS p, {_he1("z")} AS z
+  FROM stats),
+t1 AS (
+  SELECT census_geoid, pff_variable, geotype,
+    CASE WHEN c < 0 THEN NULL ELSE c END AS c,
+    CASE WHEN e < 0 THEN NULL ELSE e END AS e,
+    CASE WHEN m < 0 THEN NULL ELSE m END AS m,
+    CASE WHEN p < 0 THEN NULL ELSE p END AS p,
+    CASE WHEN z < 0 THEN NULL ELSE z END AS z
+  FROM rounded),
+t2 AS (SELECT census_geoid, pff_variable, geotype, c, e, m,
+         CASE WHEN p > 100 THEN NULL ELSE p END AS p, z FROM t1),
+t3 AS (SELECT census_geoid, pff_variable, geotype, c, e, m, p,
+         CASE WHEN p IS NULL THEN NULL ELSE z END AS z FROM t2),
+t4 AS (SELECT census_geoid, pff_variable, geotype, c, e, m, p,
+         CASE WHEN p = 100 THEN 0.0 ELSE z END AS z FROM t3)
+SELECT census_geoid, pff_variable, geotype,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE c END AS c,
+  e,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE m END AS m,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE p END AS p,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE z END AS z
+FROM t4 ORDER BY census_geoid
+"""
+
+
+ORACLES["q327_acs_variable_e2e"] = _acs_lgoenlep1_oracle()
