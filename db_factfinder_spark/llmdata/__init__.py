@@ -73,6 +73,7 @@ from db_factfinder_spark.llmdata.similarity import (  # noqa: F401
 )
 from db_factfinder_spark.llmdata.components import (  # noqa: F401
     adamic_adar,
+    modularity_score,
     bipartite_label_propagation,
     connected_components,
     connected_components_star,
@@ -111,6 +112,7 @@ from db_factfinder_spark.llmdata.textstats import (  # noqa: F401
     build_postings,
     char_chunker_udtf,
     collocation_lift,
+    bigram_perplexity,
     char_entropy,
     heaps_law_fit,
     kneser_ney_bigram,
