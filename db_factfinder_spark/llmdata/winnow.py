@@ -141,6 +141,7 @@ def stitch_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 30,
+    max_key_df: int | None = None,
 ) -> DataFrame:
     """Detect documents that are FRAGMENTS of one original: pairs
     where A's trailing ``k`` normalized chars equal B's leading ``k``
@@ -153,6 +154,13 @@ def stitch_candidates(
     shorter than ``k`` normalized chars cannot anchor a stitch and are
     excluded.  Self-pairs are excluded; A→B and B→A are distinct
     directions (tail-of-A = head-of-B is asymmetric).
+
+    ``max_key_df`` is the hot-key guard: a boilerplate opening (the
+    same cookie banner starting thousands of docs) makes one head key
+    match every tail ending with it — O(m·n) join rows in one task.
+    With a cap, any head/tail key carried by more than ``max_key_df``
+    records is dropped WHOLESALE before the join (cap_hot_buckets'
+    subset contract: such a key stitches nothing specific anyway).
 
     Returns ``id_prev, id_next, boundary`` (the shared k-char run).
     """
@@ -171,6 +179,8 @@ def stitch_candidates(
         F.col("id").alias("id_prev"),
         F.col("t").substr(F.length("t") - (k - 1), F.lit(k)).alias("tail"),
     ).withColumn("tk", _md5_long28(F.col("tail")))
+    heads = cap_hot_buckets(heads, ["hk"], max_key_df)
+    tails = cap_hot_buckets(tails, ["tk"], max_key_df)
     return (
         tails.join(heads, F.col("tk") == F.col("hk"))
         .filter(

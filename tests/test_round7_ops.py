@@ -755,3 +755,19 @@ def test_modularity_unclustered_singletons(spark):
     # vertex 2 unclustered -> singleton cluster; no intra edges at all
     assert r["n_clusters"] == 2 and r["m_edges"] == 1
     assert r["modularity"] < 0
+
+
+def test_stitch_max_key_df_drops_boilerplate_heads(spark):
+    from db_factfinder_spark.llmdata.winnow import stitch_candidates
+
+    banner = "this site uses cookies to improve your experience ok"
+    rows = [(i, banner + f" body {i}") for i in range(20)]
+    rows += [(100, "x" * 50 + " " + banner[:40])]   # tail ends like banner head? no — unrelated
+    rows += [(200, "unique ending alpha beta gamma delta epsilon zeta"),
+             (201, "gamma delta epsilon zeta" + " continues here with more words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r["id_prev"], r["id_next"])
+            for r in stitch_candidates(df, k=20).collect()}
+    capped = {(r["id_prev"], r["id_next"])
+              for r in stitch_candidates(df, k=20, max_key_df=5).collect()}
+    assert capped <= full
