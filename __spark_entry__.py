@@ -8502,6 +8502,96 @@ def q327_acs_variable_e2e(spark, sf_dir):
     ).orderBy("census_geoid")
 
 
+def q328_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood ER blocking over originals + typo'd copies
+    (the q321 record set): one range-partitioned rank, bucketed
+    neighbor equi-join, window=3 — typo'd names sort adjacent to
+    their originals, which hash blocking on the name would miss."""
+    from db_factfinder_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select(
+        (F.col("c_custkey") * 2).alias("rid"), F.col("c_name").alias("name")
+    )
+    b = cust.select(
+        (F.col("c_custkey") * 2 + 1).alias("rid"),
+        F.when(
+            F.col("c_custkey") % 13 == 0,
+            F.concat(
+                F.substring("c_name", 1, 5), F.expr("substring(c_name, 7)")
+            ),
+        ).otherwise(F.col("c_name")).alias("name"),
+    )
+    recs = a.unionByName(b)
+    return (
+        sorted_neighborhood_pairs(recs, "rid", F.col("name"), window=3)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("rank_a").cast("long").alias("rank_a"),
+            F.col("rank_b").cast("long").alias("rank_b"),
+        )
+        .orderBy("rank_a", "rank_b")
+    )
+
+
+def q329_l_diversity(spark, sf_dir):
+    """l-diversity audit of (nation, segment) quasi-groups against a
+    pseudo-sensitive balance digit — the release gate companion to
+    the k-anonymity audit."""
+    from db_factfinder_spark.operators.privacy import l_diversity_audit
+
+    cust = _t(spark, sf_dir, "customer")
+    df = cust.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.floor(F.col("c_acctbal") * 10).cast("long") % 10).alias(
+            "sensitive"
+        ),
+    )
+    return (
+        l_diversity_audit(df, ["nation", "segment"], "sensitive",
+                          l_threshold=3)
+        .select(
+            "nation",
+            "segment",
+            F.col("group_size").cast("long").alias("group_size"),
+            F.col("n_sensitive_values").cast("long").alias(
+                "n_sensitive_values"
+            ),
+            "is_diverse",
+        )
+        .orderBy("nation", "segment")
+    )
+
+
+def q330_percolate_negation(spark, sf_dir):
+    """Percolator with must-not terms: saved searches with includes
+    AND excludes routed over the corpus — containment-counting
+    positives, one anti-join for the negations."""
+    from db_factfinder_spark.llmdata.textstats import (
+        percolate_with_negation,
+    )
+
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [
+            ("q_the", ["the"], []),
+            ("q_the_not_and", ["the"], ["and"]),
+            ("q_data", ["data"], None),
+            ("q_empty", [], ["the"]),
+        ],
+        "query_id string, terms array<string>, exclude_terms array<string>",
+    )
+    return (
+        percolate_with_negation(docs, queries)
+        .select("doc_id", "query_id")
+        .orderBy("doc_id", "query_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8834,6 +8924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q325_modularity": q325_modularity,
         "q326_curation_v3": q326_curation_v3,
         "q327_acs_variable_e2e": q327_acs_variable_e2e,
+        "q328_sorted_neighborhood": q328_sorted_neighborhood,
+        "q329_l_diversity": q329_l_diversity,
+        "q330_percolate_negation": q330_percolate_negation,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

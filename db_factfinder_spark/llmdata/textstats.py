@@ -1736,3 +1736,42 @@ def bigram_perplexity(
             / F.lit(float(scale))
         ).alias("nats_per_bigram"),
     )
+
+
+def percolate_with_negation(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    exclude_col: str = "exclude_terms",
+) -> DataFrame:
+    """Percolator with MUST-NOT terms: a document matches a stored
+    query iff it contains every term of ``terms_col`` AND none of
+    ``exclude_col`` — the alerting shape real saved searches need
+    ("kubernetes AND NOT helm").
+
+    Positives evaluate by containment-counting (the :func:`percolate`
+    plan); negatives are ONE anti-join on the exploded exclude terms
+    — a (doc, query) pair that hits any exclude term is removed.
+    NULL/empty exclude lists exclude nothing; empty/NULL positive
+    terms match nothing (same explicit contract as ``percolate``).
+
+    Returns ``{id_col}, {query_id_col}`` match pairs.
+    """
+    pos = percolate(
+        docs, queries, id_col, text_col, query_id_col, terms_col
+    )
+    ex = queries.filter(
+        F.col(exclude_col).isNotNull() & (F.size(exclude_col) >= 1)
+    ).select(
+        query_id_col,
+        F.explode(F.array_distinct(F.col(exclude_col))).alias("t"),
+    )
+    d = docs.select(
+        id_col,
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
+    )
+    hits_ex = d.join(ex, "t").select(id_col, query_id_col).distinct()
+    return pos.join(hits_ex, [id_col, query_id_col], "left_anti")

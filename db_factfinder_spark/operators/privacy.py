@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from db_factfinder_spark.functions.portable_math import portable_ln
 
-__all__ = ["dp_noisy_counts"]
+__all__ = ["dp_noisy_counts", "l_diversity_audit"]
 
 
 def _h28(c: Column) -> Column:
@@ -70,4 +70,29 @@ def dp_noisy_counts(
             F.col("n").cast("double")
             + units.cast("double") / F.lit(float(quantize))
         ).alias("noisy_count"),
+    )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l_threshold: int = 2,
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's companion: a quasi-identifier
+    group is l-diverse when its SENSITIVE attribute takes at least
+    ``l`` distinct values (a 50-person group that all share one
+    diagnosis is k-anonymous yet fully disclosive).
+
+    One (quasi, sensitive) distinct + one group aggregate.  Returns
+    per quasi-group: ``*quasi_cols, group_size, n_sensitive_values,
+    is_diverse`` — the release gate joins this back and suppresses
+    non-diverse groups.
+    """
+    per = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.count_distinct(F.col(sensitive_col)).alias("n_sensitive_values"),
+    )
+    return per.withColumn(
+        "is_diverse", F.col("n_sensitive_values") >= l_threshold
     )

@@ -9110,3 +9110,69 @@ FROM t4 ORDER BY census_geoid
 
 
 ORACLES["q327_acs_variable_e2e"] = _acs_lgoenlep1_oracle()
+
+
+# q328: sorted-neighborhood blocking — global rank, floor-bucketed
+# neighbor equi-join (floor() is the portable bucket rule: Spark's
+# double->long cast truncates but DuckDB's CAST rounds).
+ORACLES["q328_sorted_neighborhood"] = """
+WITH a AS (SELECT c_custkey * 2 AS rid, c_name AS name FROM customer),
+b AS (SELECT c_custkey * 2 + 1 AS rid,
+        CASE WHEN c_custkey % 13 = 0
+             THEN substr(c_name, 1, 5) || substr(c_name, 7)
+             ELSE c_name END AS name
+      FROM customer),
+recs AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+ranked AS (
+  SELECT rid, row_number() OVER (ORDER BY name ASC, rid ASC) AS r
+  FROM recs),
+bk AS (SELECT rid, r, CAST(floor(r / 3) AS BIGINT) AS bkt FROM ranked),
+probes AS (
+  SELECT rid AS id_b, r AS rank_b, unnest([bkt - 1, bkt]) AS bkt
+  FROM bk)
+SELECT l.rid AS id_a, p.id_b,
+  CAST(l.r AS BIGINT) AS rank_a, CAST(p.rank_b AS BIGINT) AS rank_b
+FROM bk l JOIN probes p ON l.bkt = p.bkt
+WHERE p.rank_b > l.r AND p.rank_b - l.r <= 3
+ORDER BY rank_a, rank_b
+"""
+
+# q329: l-diversity audit of (nation, segment) quasi-groups.
+ORACLES["q329_l_diversity"] = """
+SELECT c_nationkey AS nation, c_mktsegment AS segment,
+  CAST(count(*) AS BIGINT) AS group_size,
+  CAST(count(DISTINCT CAST(floor(c_acctbal * 10) AS BIGINT) % 10)
+       AS BIGINT) AS n_sensitive_values,
+  count(DISTINCT CAST(floor(c_acctbal * 10) AS BIGINT) % 10) >= 3
+    AS is_diverse
+FROM customer GROUP BY 1, 2 ORDER BY nation, segment
+"""
+
+# q330: percolator with must-not terms — containment-count positives
+# minus one exclude anti-join.
+ORACLES["q330_percolate_negation"] = f"""
+WITH q(query_id, terms, exclude_terms) AS (VALUES
+  ('q_the', ['the'], CAST([] AS VARCHAR[])),
+  ('q_the_not_and', ['the'], ['and']),
+  ('q_data', ['data'], CAST(NULL AS VARCHAR[])),
+  ('q_empty', CAST([] AS VARCHAR[]), ['the'])),
+qt AS (SELECT query_id, unnest(list_distinct(terms)) AS t FROM q
+       WHERE terms IS NOT NULL AND len(terms) >= 1),
+qn AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY 1),
+d AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS t
+      FROM documents WHERE text IS NOT NULL),
+hits AS (SELECT d.doc_id, qt.query_id, count(*) AS h
+         FROM d JOIN qt USING (t) GROUP BY 1, 2),
+pos AS (SELECT doc_id, query_id FROM hits JOIN qn USING (query_id)
+        WHERE h = n_terms),
+ex AS (SELECT query_id, unnest(list_distinct(exclude_terms)) AS t
+       FROM q WHERE exclude_terms IS NOT NULL
+              AND len(exclude_terms) >= 1),
+hit_ex AS (SELECT DISTINCT d.doc_id, ex.query_id
+           FROM d JOIN ex USING (t))
+SELECT pos.doc_id, pos.query_id
+FROM pos LEFT JOIN hit_ex
+  ON pos.doc_id = hit_ex.doc_id AND pos.query_id = hit_ex.query_id
+WHERE hit_ex.doc_id IS NULL
+ORDER BY pos.doc_id, pos.query_id
+"""

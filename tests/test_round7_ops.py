@@ -771,3 +771,70 @@ def test_stitch_max_key_df_drops_boilerplate_heads(spark):
     capped = {(r["id_prev"], r["id_next"])
               for r in stitch_candidates(df, k=20, max_key_df=5).collect()}
     assert capped <= full
+
+
+# ----------------------------------------------- sorted neighborhood
+def test_sorted_neighborhood_window_semantics(spark):
+    from db_factfinder_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    recs = spark.createDataFrame(
+        [(i, f"name{i:03d}") for i in range(10)], "rid long, k string"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           sorted_neighborhood_pairs(recs, "rid", F.col("k"), window=2)
+           .collect()}
+    want = {(i, j) for i in range(10) for j in range(10)
+            if 1 <= j - i <= 2}
+    assert got == want
+
+
+def test_sorted_neighborhood_catches_typos_across_hash_blocks(spark):
+    from db_factfinder_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    recs = spark.createDataFrame(
+        [(1, "jonathan smith"), (2, "jonathan smith x"),
+         (3, "zzz unrelated")],
+        "rid long, k string",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           sorted_neighborhood_pairs(recs, "rid", F.col("k"), window=1)
+           .collect()}
+    assert (1, 2) in got and (1, 3) not in got
+
+
+# ---------------------------------------------------- l-diversity
+def test_l_diversity(spark):
+    from db_factfinder_spark.operators.privacy import l_diversity_audit
+
+    rows = [("g1", "a"), ("g1", "b"), ("g1", "c"),
+            ("g2", "same"), ("g2", "same"), ("g2", "same")]
+    df = spark.createDataFrame(rows, "quasi string, sens string")
+    out = {r["quasi"]: r for r in
+           l_diversity_audit(df, ["quasi"], "sens", 2).collect()}
+    assert out["g1"]["is_diverse"] and out["g1"]["n_sensitive_values"] == 3
+    assert not out["g2"]["is_diverse"]
+
+
+# ------------------------------------------------ percolate negation
+def test_percolate_negation(spark):
+    from db_factfinder_spark.llmdata.textstats import (
+        percolate_with_negation,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "kubernetes cluster with helm charts"),
+         (2, "kubernetes cluster plain manifests")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [("knh", ["kubernetes"], ["helm"]),
+         ("k", ["kubernetes"], None)],
+        "query_id string, terms array<string>, exclude_terms array<string>",
+    )
+    got = {(r["doc_id"], r["query_id"]) for r in
+           percolate_with_negation(docs, qs).collect()}
+    assert got == {(2, "knh"), (1, "k"), (2, "k")}
