@@ -8592,6 +8592,202 @@ def q330_percolate_negation(spark, sf_dir):
     )
 
 
+def _catalog_batch_engine(spark, sf_dir, source, year):
+    """FactFinderEngine over the deterministic synthetic wide parquet
+    (synth_catalog.ensure_fixture derives it from ``customer``; the
+    oracle regenerates the same values in SQL).  Native geotypes only,
+    so the geography registry gets empty lookup/ratio dims."""
+    from db_factfinder_spark.catalog import Catalog
+    from db_factfinder_spark.operators.vertical import (
+        AggregatedGeography2020,
+        prepare_lookup_geo,
+        prepare_ratio,
+    )
+    from db_factfinder_spark.plans.planner import (
+        FactFinderEngine,
+        ParquetWideSource,
+    )
+    from synth_catalog import ensure_fixture
+
+    root = ensure_fixture(sf_dir, source, year)
+    cat = Catalog.from_registry(source, year)
+    lookup = prepare_lookup_geo(
+        spark.createDataFrame(
+            [],
+            "geoid string, nta2020 string, ntaname string, cdta2020"
+            " string, cdtaname string, borocode string, boroname string,"
+            " fp_100 string, fp_500 string, park_access string",
+        )
+    )
+    ratio = prepare_ratio(
+        spark.createDataFrame(
+            [], "boroct2010 string, boroct2020 string, ratio string"
+        )
+    )
+    geo = AggregatedGeography2020(lookup, ratio)
+    return FactFinderEngine(spark, cat, geo, ParquetWideSource(spark, root))
+
+
+def q331_acs_full_catalog_batch(spark, sf_dir):
+    """The reference's WHOLE production workload in one plan: every
+    variable of the packaged 2019 ACS catalog (all 1,047 — 307
+    profile-only incl. the 10 medians and 9 specials, wrkrnothm's
+    every-geotype special formula, the 3 poverty p/z twins, 83 base
+    variables, all rounding digits and the full cleaning cascade)
+    × the native download-grain geotypes (tract / borough / city),
+    mirroring pipelines/acs.py:36-63's task grid.  Set-based: one
+    wide-parquet scan per geotype → stack-melt → column-local scrub →
+    broadcast (variable, census column) mapping → ONE groupBy fold →
+    keyed self-joins reuse each base variable once for all its
+    dependents (plans/batch.py).  Values are integer-valued doubles,
+    so every fold is order-exact; the oracle regenerates the fixture
+    from ``customer`` and replays the same pipeline in SQL."""
+    eng = _catalog_batch_engine(spark, sf_dir, "acs", 2019)
+    out = eng.calculate_batch_catalog(["tract", "borough", "city"])
+    return out.orderBy("geotype", "pff_variable", "census_geoid")
+
+
+def q332_decennial_full_catalog_batch(spark, sf_dir):
+    """q331's decennial-2020 twin through
+    ``Catalog.from_registry("decennial", 2020)``: the real vintage's
+    25 variables — one P-column variable (decennial_pop, margins NULL
+    end-to-end: m/c/z never publish — metadata.py:16-29), 24
+    empty-column placeholders that still emit e = Σ∅ = 0.0 rows like
+    the reference, 'mean'/'ratio'-based tasks dropping like the
+    reference pool's isolated failures, and the borough/city
+    controlled-total cleaning rules on the decennial spine."""
+    eng = _catalog_batch_engine(spark, sf_dir, "decennial", 2020)
+    out = eng.calculate_batch_catalog(["tract", "borough", "city"])
+    return out.orderBy("geotype", "pff_variable", "census_geoid")
+
+
+def q333_real_crosswalk_weights(spark, sf_dir):
+    """ct2010→ct2020 apportionment on the PACKAGED REAL weights
+    (db_factfinder_spark/data/lookup_geo/2010_to_2020/ratio.csv —
+    byte-identical to the reference's data file: 2,416 splits, 2,167
+    source tracts, 2,051 identity ratios, ratios down to 0.0) through
+    the real loader chain ``read_ratio`` (by-HEADER-name, the real file
+    orders columns boroct2020-first) → ``prepare_ratio``.  Facts: every
+    real 2010 tract draws a deterministic integer e/m from customer;
+    the right-join keeps factless 2020 tracts at e=0/m=0 like the
+    reference's pandas sum over an all-NaN group.  MOE deflation runs
+    the real ``convert_moe`` power law; e/m are quantized to fixed
+    point BEFORE the final fold (the q07 idiom) so the ~300 non-unit
+    ratios' pow() stays bit-stable across engines."""
+    import csv as _csv
+
+    from db_factfinder_spark.operators.vertical import prepare_ratio
+    from db_factfinder_spark.sources.readers import (
+        packaged_ratio_path,
+        read_ratio,
+    )
+
+    ratio = prepare_ratio(read_ratio(spark))  # packaged default path
+    with open(packaged_ratio_path()) as f:
+        codes = sorted({r["boroct2010"] for r in _csv.DictReader(f)})
+    n = len(codes)
+    codes_df = spark.createDataFrame(
+        list(enumerate(codes)), "idx long, boroct2010 string"
+    )
+    cust = _t(spark, sf_dir, "customer")
+    facts = (
+        cust.groupBy((F.col("c_custkey") % n).alias("idx"))
+        .agg(
+            F.sum(F.floor("c_acctbal")).cast("double").alias("e"),
+            F.sum(F.floor(F.col("c_acctbal") / 7 + 1000))
+            .cast("double")
+            .alias("m"),
+        )
+        .join(F.broadcast(codes_df), "idx")
+        .select(
+            F.concat(F.lit("360"), F.lpad("boroct2010", 8, "0")).alias(
+                "geoid_ct2010"
+            ),
+            "e",
+            "m",
+        )
+    )
+    joined = facts.join(F.broadcast(ratio), "geoid_ct2010", "right")
+    e2 = F.col("e") * F.col("ratio")
+    m2 = convert_moe(F.col("e"), F.col("m"), e2, F.col("ratio"))
+    m_q = F.floor(m2 * 100 + 0.5).cast("double") / 100
+    scaled = joined.select(
+        "geoid_ct2020",
+        F.floor(e2 * 1e6 + 0.5).alias("e_fx"),
+        F.floor(m_q * m_q * 1e4 + 0.5).alias("m_sq_fx"),
+    )
+    return (
+        scaled.groupBy(F.col("geoid_ct2020").alias("census_geoid"))
+        .agg(
+            (F.coalesce(F.sum("e_fx"), F.lit(0)).cast("double") / F.lit(1e6))
+            .alias("e"),
+            F.sqrt(
+                F.coalesce(F.sum("m_sq_fx"), F.lit(0)).cast("double")
+                / F.lit(1e4)
+            ).alias("m"),
+            F.count(F.lit(1)).alias("n_splits"),
+        )
+        .orderBy("census_geoid")
+    )
+
+
+def q334_real_profile_mapping(spark, sf_dir):
+    """Community-profiles assembly driven by the PACKAGED REAL variable
+    mapping (data/pipelines/acs_community_profiles_variable_mapping
+    .json — byte-identical to the reference's 75 mappings over
+    CDTA / borough / city / flood-zone geotypes, reference
+    acs_community_profiles.py:31-58).  A deterministic calculate stub
+    serves every real (variable, geotype) pair with integer
+    measure-letter values derived from customer; the engine assembles
+    the real rename/select set with the one-shuffle grouped
+    first(ignorenulls) plan (pipelines.py:199), CDTA and flood-zone
+    rows landing on the same geoid rows exactly like the reference's
+    outer merges."""
+    import json as _json
+
+    from db_factfinder_spark.sources.readers import (
+        packaged_profile_mapping_path,
+    )
+
+    with open(packaged_profile_mapping_path()) as f:
+        mappings = _json.load(f)
+    vi = {v: i for i, v in enumerate(
+        sorted({m["pff_variable"] for m in mappings})
+    )}
+    cust = _t(spark, sf_dir, "customer")
+    sizes = {"CDTA": 15, "borough": 5, "city": 1,
+             "cdta_fp_100": 15, "cdta_fp_500": 15}
+    prefixes = {"CDTA": "CD", "borough": "B", "city": "Z",
+                "cdta_fp_100": "CD", "cdta_fp_500": "CD"}
+
+    def calc(var, geo):
+        sz = sizes[geo]
+        key = (F.col("c_custkey") % sz).alias("key")
+        seeds = cust.groupBy(key).agg(
+            F.sum(F.floor("c_acctbal")).alias("s1"),
+        )
+        if geo == "cdta_fp_100":
+            seeds = seeds.filter(F.col("key") % 3 == 0)
+        elif geo == "cdta_fp_500":
+            seeds = seeds.filter(F.col("key") % 2 == 0)
+        i = vi[var]
+        letters = {
+            letter: (
+                F.col("s1") * (i + 1) + F.lit(l * 7919 + i)
+            ).cast("double").alias(letter)
+            for l, letter in enumerate(["c", "e", "m", "p", "z"])
+        }
+        return seeds.select(
+            F.concat(
+                F.lit(prefixes[geo]),
+                F.lpad(F.col("key").cast("string"), 2, "0"),
+            ).alias("census_geoid"),
+            *letters.values(),
+        )
+
+    return community_profiles(calc, mappings).orderBy("census_geoid")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8927,6 +9123,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q328_sorted_neighborhood": q328_sorted_neighborhood,
         "q329_l_diversity": q329_l_diversity,
         "q330_percolate_negation": q330_percolate_negation,
+        "q331_acs_full_catalog_batch": q331_acs_full_catalog_batch,
+        "q332_decennial_full_catalog_batch": q332_decennial_full_catalog_batch,
+        "q333_real_crosswalk_weights": q333_real_crosswalk_weights,
+        "q334_real_profile_mapping": q334_real_profile_mapping,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

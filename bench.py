@@ -85,6 +85,8 @@ HEADLINE = [
     "q308_zipf_slope",          # rank window + portable-ln coded OLS
     "q309_kneser_ney_bigram",   # bigram groupBy + w1 windows + backoff
     "q312_data_card",           # per-source curation report capstone
+    "q331_acs_full_catalog_batch",  # WHOLE 1,047-var catalog, set-based
+    "q333_real_crosswalk_weights",  # packaged real ratio.csv apportionment
     # q198_bootstrap_ci is deliberately NOT a headline entry: its warm
     # time is ~95% driver-side Catalyst/AQE assembly of the 64-wide
     # aggregate tree (re-execution of the built plan runs in ~0.2 s,
@@ -102,12 +104,37 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _host_calibration(spark) -> float:
+    """Fixed synthetic canary (never changes across rounds): a codegen
+    sum over 30M rows plus a 4096-key shuffle over 3M rows, median of
+    3 runs.  Its cost depends only on the host (CPU speed/steal, JIT),
+    not on any repo code, so cross-round bench comparisons can divide
+    out host variance instead of inferring it from per-query ratios
+    (the PERF_NOTES r5 checkout-control methodology, automated —
+    VERDICT r7 ask #6)."""
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 30_000_000, 1, 32).selectExpr(
+            "sum(id * 2654435761 % 1000003) AS s"
+        ).collect()
+        _force(
+            spark.range(0, 3_000_000, 1, 32)
+            .selectExpr("id % 4096 AS k", "id AS v")
+            .groupBy("k")
+            .sum("v")
+        )
+        runs.append(time.perf_counter() - t0)
+    return round(sorted(runs)[1], 3)
+
+
 def main() -> None:
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1)) if sf_match else None
 
     spark = get_spark(app_name="bench")
     queries = entry.queries()
+    host_cal = _host_calibration(spark)
 
     # Session startup: the first job through a fresh JVM pays session
     # wiring, parquet-reader init, noop-sink registration, and baseline
@@ -168,6 +195,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "startup_s": startup_s,
+        "host_calibration": host_cal,
         "cold_total": round(sum(cold.values()), 3),
         "queries_cold": cold,
         "reexec_total": round(sum(reexec.values()), 3),
@@ -185,6 +213,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "startup_s": startup_s,
+        "host_calibration": host_cal,
         "cold_total": round(sum(cold.values()), 3),
         "reexec_total": round(sum(reexec.values()), 3),
         "detail": "bench_detail.json",

@@ -121,12 +121,45 @@ def resize_images(
     import pandas as pd
 
     if codec != "raw":
+        # Real-format payloads decode through PIL when it is installed
+        # (same mapInPandas iterator, same schema/batching); without
+        # PIL the documented NotImplementedError gate stands.  Output
+        # payload is the nearest-neighbor-resized 8-bit-grayscale RAW
+        # bytes (same _resize_nn as the raw codec) — pinning re-ENCODED
+        # bytes would couple tests to the encoder build, pixels don't.
         def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-            raise NotImplementedError(
-                f"image codec {codec!r} not available in this environment; "
-                "swap in PIL/libvips inside resize_images.op"
-            )
-            yield  # pragma: no cover
+            try:
+                from PIL import Image  # noqa: PLC0415
+            except ImportError as exc:  # pragma: no cover - env-dependent
+                raise NotImplementedError(
+                    f"image codec {codec!r} needs PIL, which is not "
+                    "available in this environment; the raw codec is "
+                    "the supported path here"
+                ) from exc
+            import io
+
+            for pdf in batches:
+                out = []
+                for p in pdf["payload"]:
+                    if p is None:
+                        out.append(None)
+                        continue
+                    try:
+                        img = Image.open(io.BytesIO(bytes(p)))
+                        img.load()
+                    except Exception:  # codec failure isolation
+                        out.append(None)
+                        continue
+                    arr = np.asarray(img.convert("L"), dtype=np.uint8)
+                    out.append(_resize_nn(arr, width, height).tobytes())
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "payload": out,
+                        "width": width,
+                        "height": height,
+                    }
+                )
     else:
         def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
             for pdf in batches:

@@ -380,3 +380,22 @@ class FactFinderEngine:
         for p in plans[1:]:
             out = out.unionByName(p)
         return out
+
+    # ---- grid-scale batch (the whole catalog at once) ---------------
+    def calculate_batch_catalog(
+        self,
+        geotypes: list[str],
+        variables: list[str] | None = None,
+        tag_domain: bool = True,
+    ) -> DataFrame:
+        """Set-based batch over (catalog × geotypes) for NATIVE
+        geotypes: one source scan per geotype instead of one per
+        (variable, geotype), zero joins/shuffles.  Result-identical to
+        looping ``self(var, geotype)`` — see plans/batch.py for the
+        row-locality argument and tests/test_catalog_batch.py for the
+        pinned equivalence."""
+        from db_factfinder_spark.plans.batch import calculate_batch_catalog
+
+        return calculate_batch_catalog(
+            self, geotypes, variables=variables, tag_domain=tag_domain
+        )

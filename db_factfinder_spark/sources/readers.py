@@ -118,9 +118,43 @@ def read_lookup_geo(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.csv(path, header=True, schema=LOOKUP_GEO_SCHEMA)
 
 
-def read_ratio(spark: SparkSession, path: str) -> DataFrame:
-    """2010→2020 tract apportionment weights, all-string on read."""
-    return spark.read.csv(path, header=True, schema=RATIO_SCHEMA)
+def packaged_ratio_path() -> str:
+    """The packaged real apportionment weights (byte-identical copy of
+    reference data/lookup_geo/2010_to_2020/ratio.csv — 2,416 splits,
+    2,167 2010 tracts → 2,327 2020 tracts)."""
+    from pathlib import Path
+
+    return str(
+        Path(__file__).parent.parent
+        / "data" / "lookup_geo" / "2010_to_2020" / "ratio.csv"
+    )
+
+
+def packaged_profile_mapping_path() -> str:
+    """The packaged community-profiles variable mapping (byte-identical
+    copy of reference pipelines/acs_community_profiles_variable_mapping
+    .json — 75 mappings over CDTA/borough/city/flood-zone geotypes)."""
+    from pathlib import Path
+
+    return str(
+        Path(__file__).parent.parent
+        / "data" / "pipelines"
+        / "acs_community_profiles_variable_mapping.json"
+    )
+
+
+def read_ratio(spark: SparkSession, path: str | None = None) -> DataFrame:
+    """2010→2020 tract apportionment weights, all-string on read.
+
+    Columns are matched BY HEADER NAME like the reference's
+    ``pd.read_csv(dtype=str)`` (2010_to_2020.py:37-50) — the real file
+    orders them (boroct2020, boroct2010, ratio), so a positional schema
+    would silently swap the crosswalk direction.  Defaults to the
+    packaged real weights."""
+    if path is None:
+        path = packaged_ratio_path()
+    df = spark.read.csv(path, header=True, inferSchema=False)
+    return df.select("boroct2010", "boroct2020", "ratio")
 
 
 def scrub_wide(df: DataFrame, v: Variable, geotype: str) -> DataFrame:

@@ -9112,6 +9112,159 @@ FROM t4 ORDER BY census_geoid
 ORACLES["q327_acs_variable_e2e"] = _acs_lgoenlep1_oracle()
 
 
+# q331/q332: the WHOLE packaged catalog through the set-based batch
+# planner — the oracle is GENERATED from the same catalog JSON + the
+# shared synthetic value spec (synth_catalog.py): it rebuilds the wide
+# values from `customer` in SQL and replays scrub → melt → horizontal
+# fold → base/twin/profile assembly → rounding → the full cleaning
+# cascade → labs formatting, set-based like the engine plan.
+from synth_catalog import full_catalog_oracle_sql as _fc_sql  # noqa: E402
+
+ORACLES["q331_acs_full_catalog_batch"] = _fc_sql(
+    "acs", 2019, ["tract", "borough", "city"]
+)
+ORACLES["q332_decennial_full_catalog_batch"] = _fc_sql(
+    "decennial", 2020, ["tract", "borough", "city"]
+)
+
+
+# q333: the PACKAGED REAL ratio.csv inlined as VALUES (ratio strings
+# CAST to DOUBLE — a bare 18-decimal literal would parse as DECIMAL and
+# change the arithmetic); pipeline mirrors q07's quantize-before-fold
+# idiom around the real convert_moe power law.
+def _real_ratio_oracle() -> str:
+    import csv as _csv
+    from pathlib import Path as _Path
+
+    p = (
+        _Path(__file__).parent / "db_factfinder_spark" / "data"
+        / "lookup_geo" / "2010_to_2020" / "ratio.csv"
+    )
+    with open(p) as f:
+        rows = list(_csv.DictReader(f))
+    n = len({r["boroct2010"] for r in rows})
+    vals = ",\n  ".join(
+        f"('{r['boroct2010']}', '{r['boroct2020']}', '{r['ratio']}')"
+        for r in rows
+    )
+    mq = "CAST(floor(m2 * 100 + 0.5) AS DOUBLE) / 100"
+    return f"""
+WITH rv(boroct2010, boroct2020, rs) AS (VALUES
+  {vals}),
+codes AS (
+  SELECT boroct2010, row_number() OVER (ORDER BY boroct2010) - 1 AS idx
+  FROM (SELECT DISTINCT boroct2010 FROM rv)),
+facts0 AS (
+  SELECT c_custkey % {n} AS idx,
+    CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS DOUBLE) AS e,
+    CAST(sum(CAST(floor(c_acctbal / 7 + 1000) AS BIGINT)) AS DOUBLE) AS m
+  FROM customer GROUP BY 1),
+facts AS (
+  SELECT '360' || lpad(c.boroct2010, 8, '0') AS geoid_ct2010, e, m
+  FROM facts0 f JOIN codes c USING (idx)),
+r AS (
+  SELECT '360' || lpad(boroct2010, 8, '0') AS geoid_ct2010,
+         '360' || lpad(boroct2020, 8, '0') AS geoid_ct2020,
+         CAST(rs AS DOUBLE) AS ratio
+  FROM rv),
+j AS (SELECT r.geoid_ct2020, f.e, f.m, r.ratio
+      FROM r LEFT JOIN facts f USING (geoid_ct2010)),
+s AS (
+  SELECT geoid_ct2020, e * ratio AS e2,
+    CASE WHEN ratio = 1 THEN m
+         WHEN e * ratio = 0 THEN NULL
+         WHEN pow(ratio * 100, 0.56901) * 7.96309 >= 100 THEN m
+         ELSE pow(ratio * 100, 0.56901) * 7.96309 / 100 * m END AS m2
+  FROM j),
+q AS (
+  SELECT geoid_ct2020,
+    CAST(floor(e2 * 1000000.0 + 0.5) AS BIGINT) AS e_fx,
+    CAST(floor(({mq}) * ({mq}) * 10000.0 + 0.5) AS BIGINT) AS m_sq_fx
+  FROM s)
+SELECT geoid_ct2020 AS census_geoid,
+  CAST(coalesce(sum(e_fx), 0) AS DOUBLE) / 1000000.0 AS e,
+  sqrt(CAST(coalesce(sum(m_sq_fx), 0) AS DOUBLE) / 10000.0) AS m,
+  count(*) AS n_splits
+FROM q GROUP BY 1 ORDER BY census_geoid
+"""
+
+
+ORACLES["q333_real_crosswalk_weights"] = _real_ratio_oracle()
+
+
+# q334: the PACKAGED REAL community-profiles mapping inlined — the
+# oracle reads the same JSON, regenerates the deterministic
+# measure-letter values per (variable index, letter ordinal), and
+# assembles the 105 real output columns with MAX-CASE pivoting (the
+# engine's grouped first(ignorenulls) over one-row-per-geoid frames).
+def _real_profile_mapping_oracle() -> str:
+    import json as _json
+    from pathlib import Path as _Path
+
+    p = (
+        _Path(__file__).parent / "db_factfinder_spark" / "data"
+        / "pipelines" / "acs_community_profiles_variable_mapping.json"
+    )
+    with open(p) as f:
+        mappings = _json.load(f)
+    vi = {
+        v: i
+        for i, v in enumerate(sorted({m["pff_variable"] for m in mappings}))
+    }
+    letters = ["c", "e", "m", "p", "z"]
+    mv_rows, out_cols = [], []
+    for m in mappings:
+        for letter, oc in m["column_mapping"].items():
+            mv_rows.append(
+                f"('{m['geotype']}', {letters.index(letter)},"
+                f" {vi[m['pff_variable']]}, '{oc}')"
+            )
+            out_cols.append(oc)
+    pivots = ",\n  ".join(
+        f"max(CASE WHEN oc = '{oc}' THEN v END) AS {oc}" for oc in out_cols
+    )
+    return f"""
+WITH base15 AS (
+  SELECT c_custkey % 15 AS key,
+    CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT) AS s1
+  FROM customer GROUP BY 1),
+base5 AS (
+  SELECT c_custkey % 5 AS key,
+    CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT) AS s1
+  FROM customer GROUP BY 1),
+base1 AS (
+  SELECT CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT) AS s1
+  FROM customer),
+gf AS (
+  SELECT 'CDTA' AS geo,
+         'CD' || lpad(CAST(key AS VARCHAR), 2, '0') AS census_geoid, s1
+  FROM base15
+  UNION ALL
+  SELECT 'cdta_fp_100', 'CD' || lpad(CAST(key AS VARCHAR), 2, '0'), s1
+  FROM base15 WHERE key % 3 = 0
+  UNION ALL
+  SELECT 'cdta_fp_500', 'CD' || lpad(CAST(key AS VARCHAR), 2, '0'), s1
+  FROM base15 WHERE key % 2 = 0
+  UNION ALL
+  SELECT 'borough', 'B' || lpad(CAST(key AS VARCHAR), 2, '0'), s1
+  FROM base5
+  UNION ALL
+  SELECT 'city', 'Z00', s1 FROM base1),
+mv(geo, l, i, oc) AS (VALUES
+  {",  ".join(mv_rows)}),
+long AS (
+  SELECT g.census_geoid, mv.oc,
+    CAST(g.s1 * (mv.i + 1) + mv.l * 7919 + mv.i AS DOUBLE) AS v
+  FROM gf g JOIN mv ON mv.geo = g.geo)
+SELECT census_geoid,
+  {pivots}
+FROM long GROUP BY 1 ORDER BY census_geoid
+"""
+
+
+ORACLES["q334_real_profile_mapping"] = _real_profile_mapping_oracle()
+
+
 # q328: sorted-neighborhood blocking — global rank, floor-bucketed
 # neighbor equi-join (floor() is the portable bucket rule: Spark's
 # double->long cast truncates but DuckDB's CAST rounds).

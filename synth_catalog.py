@@ -1,0 +1,602 @@
+"""Shared synthetic wide-table spec for the full-catalog batch queries
+(q331 ACS-2019 native grid, q332 decennial-2020, q336 NTA rollup).
+
+One deterministic value formula per census column index, rendered twice
+from the same integer constants:
+
+* as numpy (``ensure_fixture`` writes the wide parquet the engine's
+  ``ParquetWideSource`` reads), and
+* as DuckDB SQL (``full_catalog_oracle_sql`` regenerates the same
+  values straight from the ``customer`` table, so the oracle never
+  touches the parquet fixture).
+
+Every surviving value is an integer-valued double (sentinels are
+scrubbed to NULL/0 by the engine), so sums are order-exact and the
+Spark-vs-DuckDB comparison is bit-exact without any portable-math
+shims.  Modulo is trunc-mod everywhere (DuckDB ``%``, Spark ``%``,
+and the numpy ``_tmod`` below all take the dividend's sign).
+
+Reference parity notes: the wide layout mirrors the Census API
+download frame (reference download.py:51-141 — E/M per ACS variable,
+PE/PM for data-profile variables, raw names for decennial P-vars); the
+geo-part columns feed ``make_census_geoid`` (download.py:143-156).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# Census sentinel codes (reference utils.py:8-21); keep in sync with
+# db_factfinder_spark.functions.stats.OUTLIER_SENTINELS.
+SENTINELS = [
+    999999999.0, 333333333.0, 222222222.0, 666666666.0, 888888888.0,
+    555555555.0, -999999999.0, -333333333.0, -222222222.0,
+    -666666666.0, -888888888.0, -555555555.0,
+]
+CONTROLLED = [-555555555.0, 555555555.0]
+
+# (county fips, boro digit) — geography/2010_to_2020.py:233
+BOROS = [("005", "2"), ("047", "3"), ("061", "1"), ("081", "4"), ("085", "5")]
+
+N_TRACTS = 200  # tract gid = c_custkey % N_TRACTS, county 047
+
+SPEC_VERSION = 3  # bump to invalidate cached fixtures
+
+
+# ---------------------------------------------------------------------------
+# catalog introspection (raw JSON — deliberately independent of
+# db_factfinder_spark.catalog so the oracle side shares no engine code)
+# ---------------------------------------------------------------------------
+
+_DATA = Path(__file__).parent / "db_factfinder_spark" / "data"
+
+PROFILE_ONLY_EXCEPTIONS = [
+    "abroad", "cvlfuem2", "dfhsdfcnt", "dfhssmcnt", "dfhsus", "hh5",
+    "oochu4", "p65plbwpv", "pbwpv", "pu18bwpv",
+]
+
+POVERTY_VARIABLES = ["pbwpv", "pu18bwpv", "p65plbwpv"]
+
+
+def load_meta(source: str, year: int) -> list[dict]:
+    with open(_DATA / source / str(year) / "metadata.json") as f:
+        return json.load(f)
+
+
+def load_side(source: str, year: int, name: str):
+    p = _DATA / source / str(year) / f"{name}.json"
+    if not p.exists():
+        return {} if name == "median" else []
+    with open(p) as f:
+        return json.load(f)
+
+
+def profile_only(meta: list[dict], source: str) -> set[str]:
+    """Reference metadata.py:84-101 semantics (decennial: none)."""
+    if source == "decennial":
+        return set()
+    return {
+        m["pff_variable"]
+        for m in meta
+        if m["census_variable"]
+        and m["census_variable"][0][:2] == "DP"
+        and len(m["census_variable"]) == 1
+        and m["pff_variable"] not in PROFILE_ONLY_EXCEPTIONS
+    }
+
+
+def census_cols(meta: list[dict]) -> list[str]:
+    """Distinct census columns, sorted — the column index assignment."""
+    return sorted({cv for m in meta for cv in m["census_variable"]})
+
+
+def profile_cols(meta: list[dict], source: str) -> list[str]:
+    po = profile_only(meta, source)
+    d = {m["pff_variable"]: m for m in meta}
+    return sorted({d[v]["census_variable"][0] for v in po})
+
+
+# ---------------------------------------------------------------------------
+# the value spec — numpy rendering
+# ---------------------------------------------------------------------------
+
+def _tmod(a, b: int):
+    """Trunc-mod (sign of dividend) for int64 arrays — matches Spark's
+    ``%`` and DuckDB's ``%``; numpy's native ``%`` is floor-mod."""
+    a = np.asarray(a, dtype=np.int64)
+    q = np.sign(a) * (np.abs(a) // b)
+    return a - b * q
+
+
+def raw_values_np(i: int, s1, s2, s3):
+    """E/M/PE/PM raw (pre-scrub) values for column index ``i`` over geo
+    rows with seeds s1/s2/s3 (int64 arrays).  Plants: E sentinel, E==0,
+    negative-E sentinel; M controlled + negative; PE sentinel +
+    negative + >100; PM controlled."""
+    s1 = np.asarray(s1, np.int64); s2 = np.asarray(s2, np.int64)
+    s3 = np.asarray(s3, np.int64)
+    h = s2 + (i + 1) * 7919
+    e = np.where(
+        _tmod(h, 37) == 0, 999999999,
+        np.where(
+            _tmod(h, 31) == 0, 0,
+            np.where(_tmod(h, 29) == 0, -666666666,
+                     _tmod(s1 + i * s3, 99991)),
+        ),
+    )
+    m = np.where(
+        _tmod(h + 11, 41) == 0, 555555555,
+        np.where(_tmod(h + 3, 43) == 0, -7,
+                 _tmod(s1 * 3 + i * 17 + s3, 9973)),
+    )
+    pe = np.where(
+        _tmod(h + 13, 59) == 0, 999999999,
+        np.where(_tmod(h + 5, 47) == 0, -12, _tmod(s1 + i * 13, 1009)),
+    )
+    pm = np.where(_tmod(h + 7, 53) == 0, 555555555,
+                  _tmod(s2 + i * 19, 97))
+    return (e.astype(np.float64), m.astype(np.float64),
+            pe.astype(np.float64), pm.astype(np.float64))
+
+
+# the same spec as SQL fragments; `h`, `s1`, `s2`, `s3`, `i` are columns
+E_SQL = ("CAST(CASE WHEN h % 37 = 0 THEN 999999999 "
+         "WHEN h % 31 = 0 THEN 0 "
+         "WHEN h % 29 = 0 THEN -666666666 "
+         "ELSE (s1 + i * s3) % 99991 END AS DOUBLE)")
+M_SQL = ("CAST(CASE WHEN (h + 11) % 41 = 0 THEN 555555555 "
+         "WHEN (h + 3) % 43 = 0 THEN -7 "
+         "ELSE (s1 * 3 + i * 17 + s3) % 9973 END AS DOUBLE)")
+PE_SQL = ("CAST(CASE WHEN (h + 13) % 59 = 0 THEN 999999999 "
+          "WHEN (h + 5) % 47 = 0 THEN -12 "
+          "ELSE (s1 + i * 13) % 1009 END AS DOUBLE)")
+PM_SQL = ("CAST(CASE WHEN (h + 7) % 53 = 0 THEN 555555555 "
+          "ELSE (s2 + i * 19) % 97 END AS DOUBLE)")
+
+
+# ---------------------------------------------------------------------------
+# geo seeds from the customer table
+# ---------------------------------------------------------------------------
+
+def _customer_arrays(sf_dir: str):
+    t = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                      columns=["c_custkey", "c_acctbal"])
+    ck = np.asarray(t["c_custkey"], dtype=np.int64)
+    bal = np.floor(np.asarray(t["c_acctbal"], dtype=np.float64)).astype(np.int64)
+    return ck, bal
+
+
+def _seeds_by(ck, bal, gid):
+    """Per-gid (s1=Σ floor(acctbal), s2=Σ custkey, s3=count), sorted by gid."""
+    order = np.argsort(gid, kind="stable")
+    gid, ck, bal = gid[order], ck[order], bal[order]
+    uniq, idx = np.unique(gid, return_index=True)
+    s1 = np.add.reduceat(bal, idx)
+    s2 = np.add.reduceat(ck, idx)
+    s3 = np.diff(np.append(idx, len(gid)))
+    return uniq, s1.astype(np.int64), s2.astype(np.int64), s3.astype(np.int64)
+
+
+def geo_tables(sf_dir: str):
+    """{geotype: (geo_part_cols: dict[str, list[str]], s1, s2, s3)}."""
+    ck, bal = _customer_arrays(sf_dir)
+    out = {}
+    gid, s1, s2, s3 = _seeds_by(ck, bal, ck % N_TRACTS)
+    out["tract"] = (
+        {
+            "state": ["36"] * len(gid),
+            "county": ["047"] * len(gid),
+            "tract": [f"{g:06d}" for g in gid],
+        },
+        s1, s2, s3,
+    )
+    bid, b1, b2, b3 = _seeds_by(ck, bal, ck % 5)
+    out["borough"] = (
+        {
+            "state": ["36"] * len(bid),
+            "county": [BOROS[int(b)][0] for b in bid],
+        },
+        b1, b2, b3,
+    )
+    out["city"] = (
+        {"state": ["36"], "place": ["51000"]},
+        np.array([bal.sum()], np.int64),
+        np.array([ck.sum()], np.int64),
+        np.array([len(ck)], np.int64),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fixture builder
+# ---------------------------------------------------------------------------
+
+def native_varattr(source: str, year: int) -> list[tuple]:
+    """Per-variable native-geotype classification rows for the oracle:
+    (pff, domain, rounding, cls, pz_mode, base, twin, profile_cv).
+    Mirrors the branch order of reference calculate.py:198-291 at a
+    non-aggregated geotype; variables whose base is not in the catalog
+    ('rate') are dropped — the reference task raises and the pool
+    isolates it (pipelines/acs.py:14-21)."""
+    meta = load_meta(source, year)
+    med = load_side(source, year, "median")
+    spec = load_side(source, year, "special")
+    po = profile_only(meta, source)
+    medians = set(med.keys())
+    bases = {str(m["base_variable"]) for m in meta}
+    names = {m["pff_variable"] for m in meta}
+    rows = []
+    for m in meta:
+        pff = m["pff_variable"]
+        base = str(m.get("base_variable", "nan"))
+        rnd = int(m.get("rounding", 0))
+        dom = m.get("domain", "")
+        cls, pz, b, twin, pcv = "plain", "none", None, None, None
+        if pff in po:
+            cls, pz, pcv = "prof", "prof", m["census_variable"][0]
+        elif pff in medians:
+            cls, pz = "med", "med"
+        else:
+            if pff == "wrkrnothm":
+                cls = "wrk"
+            if pff not in bases:
+                if pff in POVERTY_VARIABLES and year != 2010:
+                    if pff + "_pct" not in names:
+                        continue
+                    pz, twin = "pov", pff + "_pct"
+                elif base != "nan":
+                    if base not in names:
+                        continue  # dropped task ('rate' base)
+                    pz, b = "base", base
+            else:
+                pz = "p100"
+        rows.append((pff, dom, rnd, cls, pz, b, twin, pcv))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle generator
+# ---------------------------------------------------------------------------
+
+_S = ", ".join(str(int(s)) for s in SENTINELS)
+_C = "-555555555, 555555555"
+
+
+def _he(x: str, d: int) -> str:
+    """Half-even rounding to ``d`` digits — the q37/q327 idiom: DuckDB
+    round() is half-away-from-zero, so exact dyadic ties get an
+    explicit even-selection branch (matches Spark bround)."""
+    if d == 0:
+        return (
+            f"CASE WHEN ({x}) - floor({x}) = 0.5 THEN "
+            f"(CASE WHEN CAST(floor({x}) AS BIGINT) % 2 = 0 "
+            f"THEN floor({x}) ELSE floor({x}) + 1 END) "
+            f"ELSE round(({x}), 0) END"
+        )
+    f = 10**d
+    return (
+        f"CASE WHEN ({x}) * {f} - floor(({x}) * {f}) = 0.5 THEN "
+        f"(CASE WHEN CAST(floor(({x}) * {f}) AS BIGINT) % 2 = 0 "
+        f"THEN floor(({x}) * {f}) ELSE floor(({x}) * {f}) + 1 END) / {f} "
+        f"ELSE round(({x}), {d}) END"
+    )
+
+
+def _q(v) -> str:
+    if v is None:
+        return "CAST(NULL AS VARCHAR)"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _inlist(names) -> str:
+    return ", ".join(_q(n) for n in sorted(names))
+
+
+def _geo_sql(geotypes: list[str]) -> str:
+    branches = []
+    if "tract" in geotypes:
+        branches.append(f"""
+  SELECT 'tract' AS geotype,
+         '36047' || lpad(CAST(gid AS VARCHAR), 6, '0') AS census_geoid,
+         '3' || lpad(CAST(gid AS VARCHAR), 6, '0') AS labs_geoid,
+         s1, s2, s3
+  FROM (SELECT CAST(c_custkey % {N_TRACTS} AS BIGINT) AS gid,
+               CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(c_custkey) AS BIGINT) AS s2,
+               CAST(count(*) AS BIGINT) AS s3
+        FROM customer GROUP BY 1)""")
+    if "borough" in geotypes:
+        county = " ".join(
+            f"WHEN {i} THEN '{fips}'" for i, (fips, _) in enumerate(BOROS)
+        )
+        digit = " ".join(
+            f"WHEN {i} THEN '{d}'" for i, (_, d) in enumerate(BOROS)
+        )
+        branches.append(f"""
+  SELECT 'borough', '36' || CASE gid {county} END,
+         CASE gid {digit} END, s1, s2, s3
+  FROM (SELECT CAST(c_custkey % 5 AS BIGINT) AS gid,
+               CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(c_custkey) AS BIGINT) AS s2,
+               CAST(count(*) AS BIGINT) AS s3
+        FROM customer GROUP BY 1)""")
+    if "city" in geotypes:
+        branches.append("""
+  SELECT 'city', '3651000', '0',
+         CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT),
+         CAST(sum(c_custkey) AS BIGINT), CAST(count(*) AS BIGINT)
+  FROM customer""")
+    return "\nUNION ALL".join(branches)
+
+
+def full_catalog_oracle_sql(
+    source: str, year: int, geotypes: list[str]
+) -> str:
+    """The DuckDB twin of ``calculate_batch_catalog`` over the
+    synthetic wide spec — regenerates the same values from
+    ``customer``, melts through a (pff, census column) mapping table,
+    and applies the same scrub / horizontal / p-z / rounding /
+    cleaning / labs pipeline set-based."""
+    meta = load_meta(source, year)
+    med = load_side(source, year, "median")
+    spec = load_side(source, year, "special")
+    cols = census_cols(meta)
+    pcols = set(profile_cols(meta, source))
+    decennial = source == "decennial"
+
+    colmap = ",\n  ".join(
+        f"({_q(cv)}, {i})" for i, cv in enumerate(cols)
+    )
+    varmap = ",\n  ".join(
+        f"({_q(m['pff_variable'])}, {_q(cv)})"
+        for m in meta
+        for cv in m["census_variable"]
+    )
+    varattr = ",\n  ".join(
+        f"({_q(p)}, {_q(d)}, {r}, {_q(c)}, {_q(z)}, {_q(b)}, {_q(t)}, {_q(pc)})"
+        for (p, d, r, c, z, b, t, pc) in native_varattr(source, year)
+    )
+
+    bases = {str(m["base_variable"]) for m in meta}
+    medians = set(med.keys())
+    specials = {s["pff_variable"] for s in spec}
+    med_inputs = [iv for v in med for iv in med[v]["ranges"].keys()]
+
+    m_plain = (
+        "CAST(NULL AS DOUBLE)"
+        if decennial
+        else "sqrt(0.0 + sum(coalesce(M * M, 0.0)))"
+    )
+    # variables with an EMPTY census-column list (the decennial
+    # placeholders) have no melt rows: the engine still emits
+    # e = Σ∅ = 0.0 (hsum([])), m = √0 for ACS / NULL for decennial
+    e_fold = "coalesce(p0.e, 0.0)"
+    m_fold = "CAST(NULL AS DOUBLE)" if decennial else "coalesce(p0.m, 0.0)"
+
+    zx = "(e * agg_m / agg_e) * (e * agg_m / agg_e)"
+    z_base = (
+        f"CASE WHEN p = 0 THEN NULL WHEN p = 100 THEN NULL "
+        f"WHEN agg_e = 0 THEN NULL "
+        f"WHEN m * m - {zx} < 0 THEN sqrt(m * m + {zx}) / agg_e * 100 "
+        f"ELSE sqrt(m * m - {zx}) / agg_e * 100 END"
+    )
+
+    def em_round(x: str) -> str:
+        return (
+            f"CASE rnd WHEN 1 THEN {_he(x, 1)} WHEN 2 THEN {_he(x, 2)} "
+            f"ELSE {_he(x, 0)} END"
+        )
+
+    # cleaning tier 5/6 need the base/median lists; 7/8 conditional
+    t7_rule = (
+        f"pff_variable IN ({_inlist(med_inputs)}) "
+        "AND pff_variable NOT LIKE '%rms%'"
+        if med_inputs
+        else "FALSE"
+    )
+    t8_rule = (
+        f"pff_variable IN ({_inlist(specials)})" if specials else "FALSE"
+    )
+    med_list = _inlist(medians) if medians else "''"
+
+    labs_geotype = (
+        "CASE geotype WHEN 'tract' THEN 'CT2010' "
+        "WHEN 'borough' THEN 'Boro2020' WHEN 'city' THEN 'City2020' "
+        "WHEN 'NTA' THEN 'NTA2020' WHEN 'CDTA' THEN 'CDTA2020' "
+        "WHEN 'CT20' THEN 'CT2020' ELSE geotype END"
+    )
+
+    return f"""
+WITH geo AS ({_geo_sql(geotypes)}),
+colmap(cv, i) AS (VALUES
+  {colmap}),
+varmap(pff, cv) AS (VALUES
+  {varmap}),
+varattr(pff, domain, rnd, cls, pz, base, twin, prof_cv) AS (VALUES
+  {varattr}),
+rawv AS (
+  SELECT geotype, census_geoid, labs_geoid, cv,
+    {E_SQL} AS E_raw, {M_SQL} AS M_raw,
+    {PE_SQL} AS PE_raw, {PM_SQL} AS PM_raw
+  FROM (SELECT g.*, c.cv, c.i, (g.s2 + (c.i + 1) * 7919) AS h
+        FROM geo g CROSS JOIN colmap c)),
+scrub AS (
+  SELECT geotype, census_geoid, labs_geoid, cv,
+    CASE WHEN E_raw IN ({_S}) THEN NULL ELSE E_raw END AS E,
+    CASE WHEN m1 IN ({_S}) THEN NULL ELSE m1 END AS M,
+    CASE WHEN PE_raw IN ({_S}) THEN NULL ELSE PE_raw END AS PPE,
+    CASE WHEN pm1 IN ({_S}) THEN NULL ELSE pm1 END AS PPM
+  FROM (
+    SELECT *,
+      CASE WHEN geotype IN ('borough','city') AND m0 IN ({_C})
+           THEN 0.0 ELSE m0 END AS m1,
+      CASE WHEN geotype IN ('borough','city') AND PM_raw IN ({_C})
+           THEN 0.0 ELSE PM_raw END AS pm1
+    FROM (
+      SELECT *, CASE WHEN E_raw IN ({_S}) THEN NULL
+                     WHEN E_raw = 0 THEN 0.0
+                     ELSE M_raw END AS m0
+      FROM rawv) t1) t2),
+plain AS (
+  SELECT geotype, census_geoid, v.pff,
+    0.0 + sum(coalesce(E, 0.0)) AS e,
+    {m_plain} AS m
+  FROM scrub s JOIN varmap v ON s.cv = v.cv
+  GROUP BY 1, 2, 3),
+wrk AS (
+  SELECT geotype, census_geoid,
+    max(CASE WHEN pff = 'wrkr16pl' THEN e END) AS we,
+    max(CASE WHEN pff = 'wrkr16pl' THEN m END) AS wm,
+    max(CASE WHEN pff = 'cw_wrkdhm' THEN e END) AS ce,
+    max(CASE WHEN pff = 'cw_wrkdhm' THEN m END) AS cm
+  FROM plain WHERE pff IN ('wrkr16pl', 'cw_wrkdhm') GROUP BY 1, 2),
+asm AS (
+  SELECT g.geotype, g.census_geoid, g.labs_geoid,
+    a.pff, a.domain, a.rnd, a.pz,
+    CASE a.cls WHEN 'prof' THEN pr.E
+         WHEN 'wrk' THEN w.we - w.ce ELSE {e_fold} END AS e,
+    CASE a.cls WHEN 'prof' THEN pr.M
+         WHEN 'wrk' THEN sqrt(w.wm * w.wm + w.cm * w.cm)
+         ELSE {m_fold} END AS m,
+    pr.PPE AS prof_p, pr.PPM AS prof_z,
+    b.e AS agg_e, b.m AS agg_m, t.e AS tw_e, t.m AS tw_m
+  FROM geo g
+  CROSS JOIN varattr a
+  LEFT JOIN plain p0 ON p0.geotype = g.geotype
+    AND p0.census_geoid = g.census_geoid AND p0.pff = a.pff
+  LEFT JOIN plain b ON b.geotype = g.geotype
+    AND b.census_geoid = g.census_geoid AND b.pff = a.base
+  LEFT JOIN plain t ON t.geotype = g.geotype
+    AND t.census_geoid = g.census_geoid AND t.pff = a.twin
+  LEFT JOIN wrk w ON w.geotype = g.geotype
+    AND w.census_geoid = g.census_geoid
+  LEFT JOIN scrub pr ON pr.geotype = g.geotype
+    AND pr.census_geoid = g.census_geoid AND pr.cv = a.prof_cv),
+withp AS (
+  SELECT *,
+    CASE pz WHEN 'prof' THEN prof_p
+         WHEN 'med' THEN CASE WHEN geotype IN ('borough','city')
+                              THEN 100.0 ELSE NULL END
+         WHEN 'pov' THEN tw_e
+         WHEN 'p100' THEN 100.0
+         WHEN 'base' THEN CASE WHEN agg_e = 0 THEN NULL
+                               ELSE e / agg_e * 100 END
+         ELSE NULL END AS p
+  FROM asm),
+stats AS (
+  SELECT geotype, census_geoid, labs_geoid, pff, domain, rnd, e, m, p,
+    CASE pz WHEN 'prof' THEN prof_z WHEN 'pov' THEN tw_m
+         WHEN 'base' THEN {z_base}
+         ELSE NULL END AS z,
+    CASE WHEN e = 0 THEN NULL ELSE m / 1.645 / e * 100 END AS c
+  FROM withp),
+rounded AS (
+  SELECT geotype, census_geoid, labs_geoid, pff AS pff_variable, domain,
+    {_he("c", 1)} AS c,
+    {em_round("e")} AS e,
+    {em_round("m")} AS m,
+    {_he("p", 1)} AS p,
+    {_he("z", 1)} AS z
+  FROM stats),
+t1 AS (
+  SELECT geotype, census_geoid, labs_geoid, pff_variable, domain,
+    CASE WHEN c < 0 THEN NULL ELSE c END AS c,
+    CASE WHEN e < 0 THEN NULL ELSE e END AS e,
+    CASE WHEN m < 0 THEN NULL ELSE m END AS m,
+    CASE WHEN p < 0 THEN NULL ELSE p END AS p,
+    CASE WHEN z < 0 THEN NULL ELSE z END AS z
+  FROM rounded),
+t2 AS (SELECT geotype, census_geoid, labs_geoid, pff_variable, domain,
+  c, e, m, CASE WHEN p > 100 THEN NULL ELSE p END AS p, z FROM t1),
+t3 AS (SELECT geotype, census_geoid, labs_geoid, pff_variable, domain,
+  c, e, m, p, CASE WHEN p IS NULL THEN NULL ELSE z END AS z FROM t2),
+t4 AS (SELECT geotype, census_geoid, labs_geoid, pff_variable, domain,
+  c, e, m, p, CASE WHEN p = 100 THEN 0.0 ELSE z END AS z FROM t3),
+t5 AS (SELECT geotype, census_geoid, labs_geoid, pff_variable, domain,
+  CASE WHEN geotype IN ('borough','city')
+        AND pff_variable IN ({_inlist(bases)}) AND c IS NULL
+       THEN 0.0 ELSE c END AS c,
+  e,
+  CASE WHEN geotype IN ('borough','city')
+        AND pff_variable IN ({_inlist(bases)}) AND m IS NULL
+       THEN 0.0 ELSE m END AS m,
+  p, z FROM t4),
+t6 AS (SELECT geotype, census_geoid, labs_geoid, pff_variable, domain,
+  c, e, m,
+  CASE WHEN pff_variable IN ({_inlist(bases)})
+        AND pff_variable NOT IN ({med_list})
+       THEN 100.0 ELSE p END AS p,
+  CASE WHEN pff_variable IN ({_inlist(bases)})
+        AND pff_variable NOT IN ({med_list})
+       THEN 0.0 ELSE z END AS z
+  FROM t5),
+t7 AS (SELECT geotype, census_geoid, labs_geoid, pff_variable, domain,
+  CASE WHEN {t7_rule} THEN NULL ELSE c END AS c, e,
+  CASE WHEN {t7_rule} THEN NULL ELSE m END AS m,
+  CASE WHEN {t7_rule} THEN NULL ELSE p END AS p,
+  CASE WHEN {t7_rule} THEN NULL ELSE z END AS z
+  FROM t6),
+t8 AS (SELECT geotype, census_geoid, labs_geoid, pff_variable, domain,
+  c, e, m,
+  CASE WHEN {t8_rule} THEN NULL ELSE p END AS p,
+  CASE WHEN {t8_rule} THEN NULL ELSE z END AS z
+  FROM t7)
+SELECT census_geoid, labs_geoid, geotype,
+  {labs_geotype} AS labs_geotype,
+  pff_variable,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE c END AS c,
+  e,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE m END AS m,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE p END AS p,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE z END AS z,
+  domain
+FROM t8 ORDER BY geotype, pff_variable, census_geoid
+"""
+
+
+def fixture_root(sf_dir: str, source: str, year: int) -> str:
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{source}|{year}|v{SPEC_VERSION}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_wide_{source}{year}_{key}")
+
+
+def ensure_fixture(sf_dir: str, source: str, year: int) -> str:
+    """Write (once) the synthetic wide parquet per native geotype and
+    return the source root for ``ParquetWideSource``."""
+    root = fixture_root(sf_dir, source, year)
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        return root
+    os.makedirs(root, exist_ok=True)
+    meta = load_meta(source, year)
+    cols = census_cols(meta)
+    pcols = set(profile_cols(meta, source))
+    for geotype, (parts, s1, s2, s3) in geo_tables(sf_dir).items():
+        data: dict[str, pa.Array] = {
+            k: pa.array(v, pa.string()) for k, v in parts.items()
+        }
+        for i, cv in enumerate(cols):
+            e, m, pe, pm = raw_values_np(i, s1, s2, s3)
+            if cv[0] == "P":  # decennial raw column: no E/M suffix
+                data[cv] = pa.array(e, pa.float64())
+                continue
+            data[f"{cv}E"] = pa.array(e, pa.float64())
+            data[f"{cv}M"] = pa.array(m, pa.float64())
+            if cv in pcols:
+                data[f"{cv}PE"] = pa.array(pe, pa.float64())
+                data[f"{cv}PM"] = pa.array(pm, pa.float64())
+        fname = geotype.replace(" ", "_")
+        pq.write_table(pa.table(data), os.path.join(root, f"{fname}.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return root
