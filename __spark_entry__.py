@@ -7695,7 +7695,8 @@ def q302_winnow_pairs(spark, sf_dir):
     join.  k=20 (MOSS-typical) means only a shared run of >= 27
     normalized chars guarantees a fingerprint — generic English
     5-char overlaps never pair, so the candidate space stays sparse
-    at scale."""
+    at scale.  This is the EXACT (uncapped) form; the scale-safe
+    shipped form with the max_df flood guard is q335."""
     from db_factfinder_spark.llmdata.winnow import winnow_pairs
 
     docs = _docs(spark, sf_dir)
@@ -7710,7 +7711,8 @@ def q303_adamic_adar(spark, sf_dir):
     """Adamic-Adar link prediction over the q278 bipartite
     customer-supplier graph: wedge join through the middle vertex,
     per-pair integer-quantized 1/ln(deg) sum (order-independent exact
-    arithmetic)."""
+    arithmetic).  This is the EXACT (uncapped) form; the scale-safe
+    shipped form with the max_degree hub guard is q336."""
     from db_factfinder_spark.llmdata.components import adamic_adar
 
     orders = _t(spark, sf_dir, "orders")
@@ -8788,6 +8790,59 @@ def q334_real_profile_mapping(spark, sf_dir):
     return community_profiles(calc, mappings).orderBy("census_geoid")
 
 
+def q335_winnow_pairs_capped(spark, sf_dir):
+    """q302's winnowing pair detector in the SCALE-SAFE shipped form:
+    ``max_df=4`` drops flood fingerprints (ubiquitous boilerplate
+    passages) before the postings self-join — the subset contract of
+    cap_hot_buckets (pairs reachable only through dropped fingerprints
+    vanish; everything reported is a true shared-fingerprint pair).
+    This is the form a 100 TB corpus runs: the q302 headline keeps the
+    uncapped exact semantics, this one bounds the join fan-out at
+    max_df² per fingerprint (flood-binding pinned in
+    tests/test_round8_ops)."""
+    from db_factfinder_spark.llmdata.winnow import winnow_pairs
+
+    docs = _docs(spark, sf_dir)
+    return (
+        winnow_pairs(docs, k=20, w=8, min_shared=2, max_df=4)
+        .select(
+            "id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared")
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q336_adamic_adar_capped(spark, sf_dir):
+    """q303's Adamic-Adar in the SCALE-SAFE shipped form:
+    ``max_degree=25`` drops hub MIDDLE vertices before the wedge join,
+    bounding the Σdeg² fan-out (a hub's ln-discounted terms are the
+    smallest anyway; the capped score is an explicit lower bound and
+    hub-only pairs vanish — cap_hot_buckets' truncation contract).
+    Hub-binding pinned in tests/test_round8_ops."""
+    from db_factfinder_spark.llmdata.components import adamic_adar
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ords = orders.filter(F.col("o_custkey") % 11 == 0).select(
+        "o_orderkey", (F.col("o_custkey") * 2).alias("cnode")
+    )
+    pairs = (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .select("cnode", (F.col("l_suppkey") * 2 + 1).alias("snode"))
+        .distinct()
+    )
+    return (
+        adamic_adar(pairs, "cnode", "snode", max_degree=25)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("aa_units").cast("long").alias("aa_units"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9127,6 +9182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q332_decennial_full_catalog_batch": q332_decennial_full_catalog_batch,
         "q333_real_crosswalk_weights": q333_real_crosswalk_weights,
         "q334_real_profile_mapping": q334_real_profile_mapping,
+        "q335_winnow_pairs_capped": q335_winnow_pairs_capped,
+        "q336_adamic_adar_capped": q336_adamic_adar_capped,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

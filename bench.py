@@ -87,6 +87,8 @@ HEADLINE = [
     "q312_data_card",           # per-source curation report capstone
     "q331_acs_full_catalog_batch",  # WHOLE 1,047-var catalog, set-based
     "q333_real_crosswalk_weights",  # packaged real ratio.csv apportionment
+    "q335_winnow_pairs_capped",     # q302's scale-safe max_df form
+    "q336_adamic_adar_capped",      # q303's scale-safe max_degree form
     # q198_bootstrap_ci is deliberately NOT a headline entry: its warm
     # time is ~95% driver-side Catalyst/AQE assembly of the 64-wide
     # aggregate tree (re-execution of the built plan runs in ~0.2 s,

@@ -9265,6 +9265,63 @@ FROM long GROUP BY 1 ORDER BY census_geoid
 ORACLES["q334_real_profile_mapping"] = _real_profile_mapping_oracle()
 
 
+# q335: q302's winnow pairs with the max_df=4 flood-fingerprint cap —
+# postings whose fingerprint has df > 4 drop before the self-join
+# (cap_hot_buckets subset contract).
+ORACLES["q335_winnow_pairs_capped"] = f"""
+WITH d AS (SELECT doc_id, {_NORM} AS t FROM documents
+           WHERE text IS NOT NULL),
+h AS (SELECT doc_id,
+        CASE WHEN len(t) >= 20 THEN
+          list_transform(range(1, len(t) - 20 + 2),
+            i -> ('0x' || substr(md5(substr(t, CAST(i AS INT), 20)), 1, 7))
+                   ::BIGINT)
+        ELSE [] END AS hl
+      FROM d),
+f AS (SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(hl) - 7, 1) + 1),
+          j -> list_min(hl[CAST(j AS INT):CAST(j AS INT) + 7]))) AS fps
+      FROM h WHERE len(hl) >= 1),
+p AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+keep AS (SELECT fp FROM p GROUP BY fp HAVING count(*) <= 4),
+p2 AS (SELECT p.doc_id, p.fp FROM p JOIN keep USING (fp)),
+pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(count(*) AS BIGINT) AS n_shared
+       FROM p2 a JOIN p2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT id_a, id_b, n_shared FROM pr WHERE n_shared >= 2
+ORDER BY id_a, id_b
+"""
+
+# q336: q303's Adamic-Adar with the max_degree=25 hub-middle cap —
+# middles above the cap leave the adjacency before the wedge join.
+ORACLES["q336_adamic_adar_capped"] = """
+WITH ords AS (
+  SELECT o_orderkey, o_custkey * 2 AS cnode
+  FROM orders WHERE o_custkey % 11 = 0),
+pairs AS (
+  SELECT DISTINCT cnode, l_suppkey * 2 + 1 AS snode
+  FROM lineitem JOIN ords ON l_orderkey = o_orderkey),
+sym AS (
+  SELECT cnode AS a, snode AS b FROM pairs
+  UNION
+  SELECT snode, cnode FROM pairs),
+deg AS (SELECT a AS v, count(*) AS deg FROM sym GROUP BY 1
+        HAVING count(*) <= 25),
+adj AS (SELECT s.b AS v, s.a AS u, d.deg
+        FROM sym s JOIN deg d ON s.b = d.v),
+w AS (
+  SELECT x.u AS id_a, y.u AS id_b,
+         CAST(floor(1000000000.0 / ln(CAST(x.deg AS DOUBLE)) + 0.5)
+              AS BIGINT) AS term
+  FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u)
+SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_common,
+       CAST(sum(term) AS BIGINT) AS aa_units
+FROM w GROUP BY 1, 2 ORDER BY id_a, id_b
+"""
+
+
 # q328: sorted-neighborhood blocking — global rank, floor-bucketed
 # neighbor equi-join (floor() is the portable bucket rule: Spark's
 # double->long cast truncates but DuckDB's CAST rounds).

@@ -139,6 +139,53 @@ def test_real_mapping_through_community_profiles(spark):
 
 
 # ---------------------------------------------------------------------------
+# capped headliner twins (VERDICT r7 ask #4): the caps must BIND under
+# a planted flood/hub, keeping candidate counts bounded
+# ---------------------------------------------------------------------------
+
+def test_winnow_max_df_bounds_planted_flood(spark):
+    """20 documents sharing one long boilerplate passage: uncapped the
+    postings join emits all C(20,2)=190 boilerplate pairs; with
+    max_df=4 every flood fingerprint drops and ONLY the planted
+    2-document unique overlap survives."""
+    from db_factfinder_spark.llmdata.winnow import winnow_pairs
+
+    boiler = "this license text is identical boilerplate " * 4
+    uniq = "a genuinely shared unique passage of real content here"
+    rows = [(i, boiler + f" tail{i}") for i in range(20)]
+    rows += [(100, uniq + " alpha ending one"), (101, uniq + " beta end")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = winnow_pairs(docs, k=20, w=8, min_shared=2).count()
+    capped = winnow_pairs(docs, k=20, w=8, min_shared=2, max_df=4)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert uncapped >= 190
+    assert got == {(100, 101)}
+
+
+def test_adamic_max_degree_bounds_planted_hub(spark):
+    """A degree-50 hub middle: uncapped the wedge join emits
+    C(50,2)=1225 hub pairs; max_degree=25 drops the hub, leaving only
+    the planted degree-2 middle's single wedge (whose score is exact,
+    not truncated — the cap is a subset contract on middles)."""
+    from db_factfinder_spark.llmdata.components import adamic_adar
+
+    hub = [(i, 9999) for i in range(1000, 1050)]  # hub node 9999
+    small = [(2001, 8888), (2002, 8888)]          # degree-2 middle
+    edges = spark.createDataFrame(hub + small, "src long, dst long")
+
+    uncapped = adamic_adar(edges, "src", "dst").count()
+    capped = adamic_adar(edges, "src", "dst", max_degree=25).collect()
+    assert uncapped == 1225 + 1
+    assert len(capped) == 1
+    r = capped[0]
+    assert (r["id_a"], r["id_b"], r["n_common"]) == (2001, 2002, 1)
+    import math
+
+    assert r["aa_units"] == math.floor(1e9 / math.log(2.0) + 0.5)
+
+
+# ---------------------------------------------------------------------------
 # real image codec gate (VERDICT r7 ask #7)
 # ---------------------------------------------------------------------------
 

@@ -294,3 +294,90 @@ def test_round6_late_ladder_linear_and_shuffle_stable(spark, tmp_path):
             f"{name}: 6x data took {t[6]:.1f}s vs 1x {t[1]:.1f}s "
             f"(bound {bound:.1f}s) — superlinear growth"
         )
+
+
+def _write_scaled_graph(spark, k: int, out_dir: str) -> None:
+    """k replicas with FULLY disjoint customer AND supplier node
+    spaces (the generic lineitem scaler keeps suppkeys shared, which
+    would grow supplier-hub degrees by k and make the wedge workload
+    itself quadratic).  The custkey offset is a multiple of 11 so the
+    q303 family's ``o_custkey % 11`` filter selects the same customers
+    in every replica — the graph is exactly k independent copies."""
+    o = spark.read.parquet(f"{BASE}/orders.parquet")
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    oparts = [
+        o.select(
+            (F.col("o_orderkey") + F.lit(i * 1_000_000_000)).alias(
+                "o_orderkey"
+            ),
+            (F.col("o_custkey") + F.lit(i * 11_000_000)).alias(
+                "o_custkey"
+            ),
+            *[c for c in o.columns
+              if c not in ("o_orderkey", "o_custkey")],
+        )
+        for i in range(k)
+    ]
+    lparts = [
+        li.select(
+            (F.col("l_orderkey") + F.lit(i * 1_000_000_000)).alias(
+                "l_orderkey"
+            ),
+            (F.col("l_suppkey") + F.lit(i * 1_000_000)).alias(
+                "l_suppkey"
+            ),
+            *[c for c in li.columns
+              if c not in ("l_orderkey", "l_suppkey")],
+        )
+        for i in range(k)
+    ]
+    u = oparts[0]
+    for p in oparts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+    u = lparts[0]
+    for p in lparts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+
+@pytest.mark.slow
+def test_round8_ladder_linear_and_shuffle_stable(spark, tmp_path):
+    """Round-8 cost leaders under the ladder discipline (VERDICT r7
+    ask #5): the Kneser-Ney LM join scales with bigram volume, the
+    Adamic-Adar wedge join with Σdeg² over disjoint replica graphs
+    (capped and uncapped twins both), the capped winnow postings join
+    with fingerprint postings."""
+    scales = (1, 6)
+    doc_dirs, graph_dirs = {}, {}
+    for k in scales:
+        d = str(tmp_path / f"r8dx{k}")
+        _write_scaled_docs(spark, k, d)
+        doc_dirs[k] = d
+        g = str(tmp_path / f"r8gx{k}")
+        _write_scaled_graph(spark, k, g)
+        graph_dirs[k] = g
+
+    cases = [
+        ("q309_kneser_ney_bigram", doc_dirs),
+        ("q335_winnow_pairs_capped", doc_dirs),
+        ("q303_adamic_adar", graph_dirs),
+        ("q336_adamic_adar_capped", graph_dirs),
+    ]
+    for name, dirs in cases:
+        t, ex = {}, {}
+        for k in scales:
+            df = QUERIES[name](spark, dirs[k])
+            ex[k] = _exchanges(spark, df)
+            t0 = time.perf_counter()
+            _force(df)
+            t[k] = time.perf_counter() - t0
+        assert ex[6] == ex[1], (
+            f"{name}: plan not shuffle-stable across scale "
+            f"({ex[1]} vs {ex[6]} exchanges)"
+        )
+        bound = 6 * 2.5 * t[1] + 3.0
+        assert t[6] <= bound, (
+            f"{name}: 6x data took {t[6]:.1f}s vs 1x {t[1]:.1f}s "
+            f"(bound {bound:.1f}s) — superlinear growth"
+        )
