@@ -8843,6 +8843,89 @@ def q336_adamic_adar_capped(spark, sf_dir):
     )
 
 
+def q337_acs_catalog_batch_nta(spark, sf_dir):
+    """The full 2019 ACS catalog at AGGREGATED geotypes — the
+    production grid's other half (pipelines/acs.py geogs NTA/CDTA/CT20):
+    all 1,047 variables × {CT20, NTA}, set-based.  Per variable this is
+    the tract horizontal fold → identity-ratio crosswalk right-join →
+    convert_moe → CT20 rollup → NTA dimension rollup, then the REAL
+    grouped-median algorithm for the 10 median variables (23-26 bins,
+    design factors, top/bottom coding) over the rolled-up bins, the 10
+    special formulas (mntrvtm consuming wrkrnothm's special values like
+    the reference's recursion), 190 median-base children taking p/z
+    against the grouped MEDIAN (the calculate.py:248-259 quirk), and
+    special-base children rolling back to plain base values.  Identity
+    ratios keep convert_moe on its ratio==1 branch (the real-weight pow
+    path is q333's job) so every NTA sum stays order-exact: tract m =
+    √S with integer S ⇒ fl(m²) == S, so rollup sums are integer sums.
+    Crosswalk + dimension fixtures derive from ``customer`` in both
+    engines (tract gid → boroct '47'+gid, NTA 'BX'+gid%20)."""
+    eng = _crosswalk_2020_engine(spark, sf_dir)
+    out = eng.calculate_batch_catalog(["CT20", "NTA"])
+    return out.orderBy("geotype", "pff_variable", "census_geoid")
+
+
+def _crosswalk_2020_engine(spark, sf_dir):
+    """FactFinderEngine with the identity-crosswalk 2020 geography
+    fixture derived from ``customer`` (tract gid → boroct '47'+gid,
+    NTA 'BX'+gid%20, CDTA 'BK'+gid%7) over the synthetic 2019 wide
+    parquet — the q337 spine, shared with tests."""
+    from pyspark.sql import functions as _F
+
+    from db_factfinder_spark.catalog import Catalog
+    from db_factfinder_spark.operators.vertical import (
+        AggregatedGeography2020,
+        prepare_lookup_geo,
+        prepare_ratio,
+    )
+    from db_factfinder_spark.plans.planner import (
+        FactFinderEngine,
+        ParquetWideSource,
+    )
+    from synth_catalog import N_TRACTS, ensure_fixture
+
+    root = ensure_fixture(sf_dir, "acs", 2019)
+    cat = Catalog.from_registry("acs", 2019)
+    cust = _t(spark, sf_dir, "customer")
+    gids = cust.select(
+        (_F.col("c_custkey") % N_TRACTS).alias("gid")
+    ).distinct()
+    code = _F.concat(
+        _F.lit("47"), _F.lpad(_F.col("gid").cast("string"), 6, "0")
+    )
+    ratio_raw = gids.select(
+        code.alias("boroct2010"),
+        code.alias("boroct2020"),
+        _F.lit("1.000000000000000000").alias("ratio"),
+    )
+    lookup_raw = gids.select(
+        _F.concat(
+            _F.lit("36047"),
+            _F.lpad(_F.col("gid").cast("string"), 6, "0"),
+            _F.lit("1000"),
+        ).alias("geoid"),
+        _F.concat(
+            _F.lit("BX"),
+            _F.lpad((_F.col("gid") % 20).cast("string"), 2, "0"),
+        ).alias("nta2020"),
+        _F.lit("nta name").alias("ntaname"),
+        _F.concat(
+            _F.lit("BK"),
+            _F.lpad((_F.col("gid") % 7).cast("string"), 2, "0"),
+        ).alias("cdta2020"),
+        _F.lit("cdta name").alias("cdtaname"),
+        _F.lit("2").alias("borocode"),
+        _F.lit("Bronx").alias("boroname"),
+        _F.lit("0").alias("fp_100"),
+        _F.lit("0").alias("fp_500"),
+        _F.lit("0").alias("park_access"),
+    )
+    geo = AggregatedGeography2020(
+        prepare_lookup_geo(lookup_raw), prepare_ratio(ratio_raw)
+    )
+    return FactFinderEngine(spark, cat, geo, ParquetWideSource(spark, root))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9184,6 +9267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q334_real_profile_mapping": q334_real_profile_mapping,
         "q335_winnow_pairs_capped": q335_winnow_pairs_capped,
         "q336_adamic_adar_capped": q336_adamic_adar_capped,
+        "q337_acs_catalog_batch_nta": q337_acs_catalog_batch_nta,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

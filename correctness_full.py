@@ -27,6 +27,10 @@ import __spark_entry__ as entry_mod
 from db_factfinder_spark.session import get_spark
 
 SF_DIR = os.environ.get("FULL_SF_DIR", "/root/testdata/sf0.01")
+# FULL_STRICT=1: floats must match at repr level (catches signed-zero
+# -0.0 vs 0.0 asymmetries that == hides); the artifact is written with
+# a "strict" marker so the two modes aren't conflated.
+STRICT = os.environ.get("FULL_STRICT", "") == "1"
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -60,6 +64,10 @@ def _values_equal(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
+        if STRICT:
+            # repr-level equality: distinguishes -0.0 from 0.0 (a
+            # value-hash over rendered values would too)
+            return repr(a) == repr(b)
         return a == b
     return a == b
 
@@ -100,7 +108,11 @@ def main() -> None:
             rec["hash_match"] or (rec["err"] or "").startswith("rows-only")
         ) else "FAIL"
         print(f"{name}: {status}", flush=True)
-    path = f"CORRECTNESS_full_r{rnd:02d}.json"
+    path = (
+        f"CORRECTNESS_full_strict_r{rnd:02d}.json"
+        if STRICT
+        else f"CORRECTNESS_full_r{rnd:02d}.json"
+    )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     n_pass = sum(

@@ -61,20 +61,39 @@ def calculate_batch_catalog(
     geotypes: list[str],
     variables: list[str] | None = None,
     tag_domain: bool = True,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """One set-based lazy plan for (``variables`` × ``geotypes``) —
     result-identical to looping ``engine(var, geotype)`` +
     ``unionByName`` (equivalence pinned in tests/test_catalog_batch).
 
-    Native geotypes only: aggregated geographies go through the
-    per-variable rollup operators (``calculate_batch``)."""
+    Native geotypes and the tract-sourced 2020 rollups (NTA / CDTA /
+    CT20) are supported set-based; the block-group zone rollups
+    (cdta_fp_*) stay on the per-variable path (``calculate_batch``).
+
+    ``checkpoint_mode`` (``llmdata.checkpointing`` policy) governs the
+    aggregated-geotype frame: the rolled-up (geoid, variable, e, m)
+    frame feeds ~22 downstream branches (10 grouped medians, 10
+    special formulas, base/median-base self-joins), and without
+    lineage truncation every branch re-embeds the melt→fold→crosswalk
+    subtree — the driver then pays 22× the plan in Catalyst
+    analysis/canonicalization memory (measured: OOMs a default-1g
+    driver; a production 100 TB driver hits the same wall at larger
+    heaps).  ``"local"`` truncates via ``localCheckpoint`` (single-JVM
+    / static cluster), ``"reliable"`` via the checkpoint directory
+    (dynamic-allocation clusters), ``"none"`` keeps the pure lazy plan
+    (plan-inspection tests)."""
     aggregated = set(engine.geo.aggregated_geography)
-    bad = [g for g in geotypes if g in aggregated]
+    bad = [
+        g for g in geotypes if g in aggregated and g not in AGG2020_DIM
+    ]
     if bad:
         raise NotImplementedError(
             f"calculate_batch_catalog: aggregated geotypes {bad} take "
             "the per-variable rollup path (calculate_batch)"
         )
+    agg_geos = [g for g in geotypes if g in aggregated]
+    native_geos = [g for g in geotypes if g not in aggregated]
     cat, spark = engine.catalog, engine.spark
     all_vars = [m["pff_variable"] for m in cat.metadata]
     vars_ = list(variables) if variables is not None else all_vars
@@ -96,7 +115,13 @@ def calculate_batch_catalog(
     )
     frames = [
         _native_geotype_frame(engine, g, attr, varmap, varattr, tag_domain)
-        for g in geotypes
+        for g in native_geos
+    ]
+    frames += [
+        _aggregated_2020_frame(
+            engine, g, vars_, varmap, tag_domain, checkpoint_mode
+        )
+        for g in agg_geos
     ]
     out = frames[0]
     for f in frames[1:]:
@@ -314,24 +339,361 @@ def _native_geotype_frame(
 
     def _round_em(x: Column) -> Column:
         rnd = F.col("rnd")
+        # + 0.0 canonicalizes IEEE -0.0 → +0.0 (identity elsewhere,
+        # NULL-preserving): m=0 over a negative fold gives c = -0.0 on
+        # one accumulation path and +0.0 on another, and a value-hash
+        # distinguishes the two renderings.
         return (
             F.when(rnd == 1, F.bround(x, 1))
             .when(rnd == 2, F.bround(x, 2))
             .otherwise(F.bround(x, 0))
-        )
+        ) + F.lit(0.0)
 
     stats = df.select(
         "census_geoid",
         F.lit(geotype).alias("geotype"),
         F.col("pff").alias("pff_variable"),
         "domain",
-        F.bround(c, 1).alias("c"),
+        (F.bround(c, 1) + F.lit(0.0)).alias("c"),
         _round_em(e).alias("e"),
         _round_em(m).alias("m"),
-        F.bround(p, 1).alias("p"),
-        F.bround(z, 1).alias("z"),
+        (F.bround(p, 1) + F.lit(0.0)).alias("p"),
+        (F.bround(z, 1) + F.lit(0.0)).alias("z"),
     )
 
+    cleaned = cleaning(
+        stats,
+        cat.base_variables,
+        cat.median_variables,
+        cat.special_variables,
+        cat.median_inputs,
+    )
+    return cleaned.select(
+        "census_geoid",
+        engine.geo.format_geoid("census_geoid").alias("labs_geoid"),
+        "geotype",
+        engine.geo.format_geotype("geotype").alias("labs_geotype"),
+        "pff_variable",
+        "c",
+        "e",
+        "m",
+        "p",
+        "z",
+        *(["domain"] if tag_domain else []),
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregated geotypes on the 2010→2020 geography (tract-sourced rollups)
+# ---------------------------------------------------------------------------
+
+# output geotype → lookup dimension column (None = stop at CT20);
+# the block-group zone rollups (cdta_fp_*) stay on the per-variable path
+AGG2020_DIM = {"NTA": "nta2020", "CDTA": "cdta2020", "CT20": None}
+
+
+def _classify_aggregated(cat, variables):
+    """Per-variable attributes at an AGGREGATED geotype (the other
+    branch ordering of calculate.py:198-291: profile-only does NOT
+    apply, medians take the grouped-median algorithm, every special
+    takes its formula, poverty twins take the plain base join).
+    Returns (pff, domain, rounding, cls, pz, base, medbase) with
+    cls ∈ {plain, med, spec} and pz ∈ {med, p100, base, medbase,
+    none}.  A special whose base is itself special rolls back to the
+    base's PLAIN e/m — the reference computes the special base then
+    unconditionally overwrites it (calculate.py:248-259)."""
+    meta_by = {m["pff_variable"]: m for m in cat.metadata}
+    medians = set(cat.median_variables)
+    specials = set(cat.special_variables)
+    bases = set(cat.base_variables)
+    rows = []
+    for pff in variables:
+        m = meta_by.get(pff)
+        if m is None:
+            continue
+        base = str(m.get("base_variable", "nan"))
+        rnd = int(m.get("rounding", 0))
+        dom = m.get("domain", "")
+        cls, pz, b, mb = "plain", "none", None, None
+        if pff in medians:
+            cls, pz = "med", "med"
+        else:
+            if pff in specials or pff == "wrkrnothm":
+                cls = "spec"
+            if pff not in bases:
+                if base != "nan":
+                    if base not in meta_by:
+                        continue  # dropped task (missing base)
+                    if base in medians:
+                        pz, mb = "medbase", base
+                    else:
+                        pz, b = "base", base
+            else:
+                pz = "p100"
+        rows.append((pff, dom, rnd, cls, pz, b, mb))
+    return rows
+
+
+def _aggregated_2020_frame(
+    engine,
+    geotype: str,
+    variables,
+    varmap,
+    tag_domain: bool,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Set-based full-catalog batch at one aggregated 2020 geotype.
+
+    Pipeline (mirrors tract_to_dimension / ct2010_to_ct2020 per
+    variable — vertical.py:49-100 — but multi-variable):
+
+        tract melt-agg (one scan, one fold shuffle) → broadcast ratio
+        right-join + convert_moe + bround16 → CT20 fold → broadcast
+        dimension join → output-geotype fold → grouped medians (10
+        specs over the SAME aggregated frame) → special formulas
+        (topologically ordered; mntrvtm consumes wrkrnothm's special
+        values like calculate_e_m_multi's recursion) → base /
+        median-base p-z joins → shared rounding/cleaning/labs tail.
+
+    Contract note: the set-based right join reproduces the
+    per-variable ratio semantics exactly when every crosswalk source
+    tract has source rows (a factless tract would need fan-out to
+    every variable); the synthetic fixtures guarantee it and the
+    per-variable path remains for sparser crosswalks."""
+    from db_factfinder_spark.functions.stats import (
+        agg_moe,
+        convert_moe,
+        sum_skipna,
+    )
+    from db_factfinder_spark.operators.median import calculate_median
+    from db_factfinder_spark.operators.pivot import pivot_e, pivot_e_m
+    from db_factfinder_spark.operators.special import SPECIAL_FUNCTIONS
+
+    cat = engine.catalog
+    spark = engine.spark
+    if cat.source != "acs":
+        raise NotImplementedError(
+            "aggregated set-based batch: acs source only (the 2010_to_"
+            "2020 geography registers no decennial rollups)"
+        )
+    dim_col = AGG2020_DIM[geotype]
+    attr = _classify_aggregated(cat, variables)
+    varattr = spark.createDataFrame(
+        attr,
+        "pff string, domain string, rnd int, cls string, pz string,"
+        " base string, medbase string",
+    )
+    meta = cat.metadata
+    cvs = sorted({cv for m in meta for cv in m["census_variable"]})
+
+    # ---- tract-grain melt + scrub + horizontal fold (as native) -----
+    raw = make_census_geoid(engine.source._read("tract"), "tract")
+    long = raw.selectExpr("census_geoid", _stack_expr(cvs, set()))
+    e0 = F.col("E_raw")
+    m0 = (
+        F.when(e0.isin(OUTLIER_SENTINELS), _null())
+        .when(e0 == 0, F.lit(0.0))
+        .otherwise(F.col("M_raw"))
+    )
+    scrub = long.select(
+        "census_geoid",
+        "cv",
+        _sentinel_null(e0).alias("E"),
+        _sentinel_null(m0).alias("M"),
+    )
+    agg_tract = (
+        scrub.join(F.broadcast(varmap), "cv")
+        .groupBy("census_geoid", "pff")
+        .agg(
+            (F.lit(0.0) + F.sum(F.coalesce(F.col("E"), F.lit(0.0)))).alias("e"),
+            F.sqrt(
+                F.lit(0.0)
+                + F.sum(F.coalesce(F.col("M") * F.col("M"), F.lit(0.0)))
+            ).alias("m"),
+        )
+    )
+
+    # ---- vertical: ratio right-join → CT20 fold → dim fold ----------
+    ratio = engine.geo.ratio
+    j = agg_tract.join(
+        F.broadcast(ratio),
+        agg_tract["census_geoid"] == ratio["geoid_ct2010"],
+        "right",
+    )
+    e2 = F.col("e") * F.col("ratio")
+    m2 = convert_moe(F.col("e"), F.col("m"), e2, F.col("ratio"))
+    scaled = j.select(
+        "geoid_ct2020",
+        "pff",
+        F.bround(e2, 16).alias("e"),
+        F.bround(m2, 16).alias("m"),
+    )
+    ct20 = scaled.groupBy(
+        F.col("geoid_ct2020").alias("census_geoid"), "pff"
+    ).agg(sum_skipna("e").alias("e"), agg_moe("m").alias("m"))
+    if dim_col is not None:
+        dim = engine.geo.lookup.select("geoid_tract", dim_col).distinct()
+        agg2 = (
+            ct20.join(
+                F.broadcast(dim),
+                ct20["census_geoid"] == dim["geoid_tract"],
+                "left",
+            )
+            .filter(F.col(dim_col).isNotNull())
+            .groupBy(F.col(dim_col).alias("census_geoid"), "pff")
+            .agg(sum_skipna("e").alias("e"), agg_moe("m").alias("m"))
+        )
+    else:
+        agg2 = ct20
+    # agg2 serves plain values, every base, every median bin, and every
+    # special member — ~22 downstream branches.  Truncate its lineage
+    # (checkpoint_mode policy, llmdata.checkpointing) so each branch
+    # plans against the materialized frame, not a re-embedded copy of
+    # the melt→fold→crosswalk subtree; persist() alone would cache the
+    # DATA but leave the driver paying 22× the PLAN (OOMs a default-1g
+    # driver at catalog size).
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+
+    if checkpoint_mode == "none":
+        agg2 = agg2.persist()
+    else:
+        agg2 = materialize(agg2, checkpoint_mode)
+
+    long2 = agg2.select(
+        "census_geoid",
+        F.col("pff").alias("pff_variable"),
+        F.lit(geotype).alias("geotype"),
+        "e",
+        "m",
+    )
+
+    # ---- grouped medians over the aggregated frame -------------------
+    med_frames = {}
+    for mv in cat.median_variables:
+        spec = cat.median_spec(mv)
+        piv = pivot_e(
+            long2.filter(F.col("pff_variable").isin(spec.input_variables)),
+            spec.input_variables,
+        )
+        med_frames[mv] = calculate_median(piv, spec, geotype)
+
+    # ---- special formulas (wrkrnothm first: mntrvtm consumes it) ----
+    spec_results: dict[str, DataFrame] = {}
+    order = [s for s in ("wrkrnothm",) if s in cat.special_variables]
+    order += [s for s in cat.special_variables if s not in order]
+    for s in order:
+        spec = cat.special_spec(s)
+        members = [
+            spec_results[b].select(
+                "census_geoid",
+                F.lit(b).alias("pff_variable"),
+                "e",
+                "m",
+            )
+            if b in spec_results
+            else long2.filter(F.col("pff_variable") == b).select(
+                "census_geoid", "pff_variable", "e", "m"
+            )
+            for b in spec.base_variables
+        ]
+        u = members[0]
+        for mdf in members[1:]:
+            u = u.unionByName(mdf)
+        piv = pivot_e_m(u, spec.base_variables)
+        out = SPECIAL_FUNCTIONS[s](piv)
+        spec_results[s] = out.select("census_geoid", "e", "m")
+
+    # ---- assemble e/m per class --------------------------------------
+    want = {r[0]: r for r in attr}
+    plain_pffs = [p for p, (_, _, _, cls, *_r) in (
+        (r[0], r) for r in attr
+    ) if cls == "plain"]
+    em = long2.select(
+        F.col("census_geoid"), F.col("pff_variable").alias("pff"), "e", "m"
+    ).join(
+        F.broadcast(
+            spark.createDataFrame([(p,) for p in plain_pffs], "pff string")
+        ),
+        "pff",
+    )
+    for pff, (_, _, _, cls, *_r) in ((r[0], r) for r in attr):
+        if cls == "med":
+            em = em.unionByName(
+                med_frames[pff].select(
+                    "census_geoid", F.lit(pff).alias("pff"), "e", "m"
+                )
+            )
+        elif cls == "spec":
+            em = em.unionByName(
+                spec_results[pff].select(
+                    "census_geoid", F.lit(pff).alias("pff"), "e", "m"
+                )
+            )
+
+    base_vals = agg2.select(
+        "census_geoid",
+        F.col("pff").alias("base"),
+        F.col("e").alias("agg_e"),
+        F.col("m").alias("agg_m"),
+    )
+    med_union = None
+    for mv, mdf in med_frames.items():
+        part = mdf.select(
+            "census_geoid",
+            F.lit(mv).alias("medbase"),
+            F.col("e").alias("mb_e"),
+            F.col("m").alias("mb_m"),
+        )
+        med_union = part if med_union is None else med_union.unionByName(part)
+
+    df = (
+        em.join(F.broadcast(varattr), "pff")
+        .join(base_vals, ["census_geoid", "base"], "left")
+        .join(med_union, ["census_geoid", "medbase"], "left")
+    )
+    pz = F.col("pz")
+    e = F.col("e")
+    m = F.col("m")
+    p = (
+        F.when(
+            pz == "med",
+            F.lit(100.0) if geotype in ("city", "borough") else _null(),
+        )
+        .when(pz == "p100", F.lit(100.0))
+        .when(pz == "base", get_p(e, F.col("agg_e")))
+        .when(pz == "medbase", get_p(e, F.col("mb_e")))
+        .otherwise(_null())
+    )
+    z = (
+        F.when(pz == "base", get_z(e, m, p, F.col("agg_e"), F.col("agg_m")))
+        .when(pz == "medbase", get_z(e, m, p, F.col("mb_e"), F.col("mb_m")))
+        .otherwise(_null())
+    )
+    c = get_c(e, m)
+    rnd = F.col("rnd")
+
+    def _round_em(x: Column) -> Column:
+        # + 0.0 canonicalizes IEEE -0.0 → +0.0 (identity elsewhere,
+        # NULL-preserving): the special-formula divisions can yield a
+        # signed zero whose sign differs by accumulation path across
+        # engines, and a value-hash distinguishes "-0.0" from "0.0".
+        return (
+            F.when(rnd == 1, F.bround(x, 1))
+            .when(rnd == 2, F.bround(x, 2))
+            .otherwise(F.bround(x, 0))
+        ) + F.lit(0.0)
+
+    stats = df.select(
+        "census_geoid",
+        F.lit(geotype).alias("geotype"),
+        F.col("pff").alias("pff_variable"),
+        "domain",
+        (F.bround(c, 1) + F.lit(0.0)).alias("c"),
+        _round_em(e).alias("e"),
+        _round_em(m).alias("m"),
+        (F.bround(p, 1) + F.lit(0.0)).alias("p"),
+        (F.bround(z, 1) + F.lit(0.0)).alias("z"),
+    )
     cleaned = cleaning(
         stats,
         cat.base_variables,

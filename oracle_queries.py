@@ -9265,6 +9265,15 @@ FROM long GROUP BY 1 ORDER BY census_geoid
 ORACLES["q334_real_profile_mapping"] = _real_profile_mapping_oracle()
 
 
+# q337: the full catalog at AGGREGATED geotypes (CT20 + NTA) — oracle
+# generated from the same catalog JSON: identity-ratio crosswalk fold,
+# grouped medians from the rolled-up bins, special formulas, base and
+# median-base p/z, and the shared rounding/cleaning/labs tail.
+from synth_catalog import nta_catalog_oracle_sql as _nta_sql  # noqa: E402
+
+ORACLES["q337_acs_catalog_batch_nta"] = _nta_sql(2019)
+
+
 # q335: q302's winnow pairs with the max_df=4 flood-fingerprint cap —
 # postings whose fingerprint has df > 4 drop before the self-join
 # (cap_hot_buckets subset contract).

@@ -48,7 +48,7 @@ BOROS = [("005", "2"), ("047", "3"), ("061", "1"), ("081", "4"), ("085", "5")]
 
 N_TRACTS = 200  # tract gid = c_custkey % N_TRACTS, county 047
 
-SPEC_VERSION = 3  # bump to invalidate cached fixtures
+SPEC_VERSION = 4  # bump to invalidate cached fixtures
 
 
 # ---------------------------------------------------------------------------
@@ -124,12 +124,21 @@ def raw_values_np(i: int, s1, s2, s3):
     s1 = np.asarray(s1, np.int64); s2 = np.asarray(s2, np.int64)
     s3 = np.asarray(s3, np.int64)
     h = s2 + (i + 1) * 7919
+    # the main E value is FLOOR-mod (always >= 0): census estimates are
+    # never negative, and a negative grouped-median bin total would make
+    # sqrt(se²) NaN on Spark but an error on DuckDB.  The e<0 cleaning
+    # rule keeps coverage through the explicit rare -5 plant (h%23; at
+    # most 2 of a median's 23-26 bins can hit it per row, so bin totals
+    # stay provably positive).
     e = np.where(
         _tmod(h, 37) == 0, 999999999,
         np.where(
             _tmod(h, 31) == 0, 0,
-            np.where(_tmod(h, 29) == 0, -666666666,
-                     _tmod(s1 + i * s3, 99991)),
+            np.where(
+                _tmod(h, 29) == 0, -666666666,
+                np.where(_tmod(h, 23) == 0, -5,
+                         np.mod(s1 + i * s3, 99991)),
+            ),
         ),
     )
     m = np.where(
@@ -151,7 +160,8 @@ def raw_values_np(i: int, s1, s2, s3):
 E_SQL = ("CAST(CASE WHEN h % 37 = 0 THEN 999999999 "
          "WHEN h % 31 = 0 THEN 0 "
          "WHEN h % 29 = 0 THEN -666666666 "
-         "ELSE (s1 + i * s3) % 99991 END AS DOUBLE)")
+         "WHEN h % 23 = 0 THEN -5 "
+         "ELSE ((s1 + i * s3) % 99991 + 99991) % 99991 END AS DOUBLE)")
 M_SQL = ("CAST(CASE WHEN (h + 11) % 41 = 0 THEN 555555555 "
          "WHEN (h + 3) % 43 = 0 THEN -7 "
          "ELSE (s1 * 3 + i * 17 + s3) % 9973 END AS DOUBLE)")
@@ -499,12 +509,14 @@ stats AS (
     CASE WHEN e = 0 THEN NULL ELSE m / 1.645 / e * 100 END AS c
   FROM withp),
 rounded AS (
+  -- + 0.0 canonicalizes IEEE -0.0 -> +0.0 (mirrors the Spark frame;
+  -- a value-hash distinguishes "-0.0" from "0.0")
   SELECT geotype, census_geoid, labs_geoid, pff AS pff_variable, domain,
-    {_he("c", 1)} AS c,
-    {em_round("e")} AS e,
-    {em_round("m")} AS m,
-    {_he("p", 1)} AS p,
-    {_he("z", 1)} AS z
+    ({_he("c", 1)}) + 0.0 AS c,
+    ({em_round("e")}) + 0.0 AS e,
+    ({em_round("m")}) + 0.0 AS m,
+    ({_he("p", 1)}) + 0.0 AS p,
+    ({_he("z", 1)}) + 0.0 AS z
   FROM stats),
 t1 AS (
   SELECT geotype, census_geoid, labs_geoid, pff_variable, domain,
@@ -550,6 +562,497 @@ t8 AS (SELECT geotype, census_geoid, labs_geoid, pff_variable, domain,
   CASE WHEN {t8_rule} THEN NULL ELSE z END AS z
   FROM t7)
 SELECT census_geoid, labs_geoid, geotype,
+  {labs_geotype} AS labs_geotype,
+  pff_variable,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE c END AS c,
+  e,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE m END AS m,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE p END AS p,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE z END AS z,
+  domain
+FROM t8 ORDER BY geotype, pff_variable, census_geoid
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregated-geotype (CT20/NTA) oracle generator for q337
+# ---------------------------------------------------------------------------
+
+def aggregated_varattr(source: str, year: int) -> list[tuple]:
+    """Per-variable classification at an AGGREGATED geotype (the other
+    branch order of calculate.py:198-291): no profile path, medians
+    take the grouped-median algorithm, every special takes its
+    formula; p/z come from the base (or the grouped MEDIAN when the
+    base is a median — the calculate.py:248-259 quirk).  Rows:
+    (pff, domain, rounding, cls, pz, base, medbase)."""
+    meta = load_meta(source, year)
+    med = load_side(source, year, "median")
+    spec = load_side(source, year, "special")
+    medians = set(med.keys())
+    specials = {s["pff_variable"] for s in spec}
+    bases = {str(m["base_variable"]) for m in meta}
+    names = {m["pff_variable"] for m in meta}
+    rows = []
+    for m in meta:
+        pff = m["pff_variable"]
+        base = str(m.get("base_variable", "nan"))
+        rnd = int(m.get("rounding", 0))
+        dom = m.get("domain", "")
+        cls, pz, b, mb = "plain", "none", None, None
+        if pff in medians:
+            cls, pz = "med", "med"
+        else:
+            if pff in specials or pff == "wrkrnothm":
+                cls = "spec"
+            if pff not in bases:
+                if base != "nan":
+                    if base not in names:
+                        continue  # dropped task
+                    if base in medians:
+                        pz, mb = "medbase", base
+                    else:
+                        pz, b = "base", base
+            else:
+                pz = "p100"
+        rows.append((pff, dom, rnd, cls, pz, b, mb))
+    return rows
+
+
+def _median_ctes(
+    tag: str,
+    src_cte: str,
+    pff: str,
+    spec: dict,
+    rms: bool,
+) -> tuple[str, str]:
+    """Grouped-median CTE chain over per-bin COUNT COLUMNS pivoted from
+    a long (census_geoid, pff, e) source — the q301 template
+    (operators/median.py quirk-for-quirk: first-bin bottom-coding,
+    the `&`-precedence upper-bound quirk, the row[-1] wraparound, the
+    mdrms 0.5 floor) with the bins fed by aggregated estimates instead
+    of row counts.  Returns (cte_sql_fragment, final_cte_name)."""
+    bins = [(k, float(v[0]), float(v[1])) for k, v in spec["ranges"].items()]
+    n = len(bins)
+    lo = [b[1] for b in bins]
+    hi = [b[2] for b in bins]
+    df = float(spec["design_factor"])
+    nl = ",\n    ".join(
+        f"max(CASE WHEN pff = {_q(v)} THEN e END) AS n{i}"
+        for i, (v, _, _) in enumerate(bins)
+    )
+    cums = ", ".join(
+        f"{' + '.join(f'n{j}' for j in range(i + 1))} AS c{i}"
+        for i in range(n)
+    )
+    mi_case = " ".join(f"WHEN c{i} >= c{n-1} / 2 THEN {i}" for i in range(n))
+    nlist = ", ".join(f"n{i}" for i in range(n))
+    clist = ", ".join(f"c{i}" for i in range(n))
+    lolist = ", ".join(repr(float(x)) for x in lo)
+    wlist = ", ".join(repr(float(h - l)) for l, h in zip(lo, hi))
+    bot = f"WHEN mi = 0 THEN {float(hi[0])!r}" if spec["bottom_coding"] else ""
+    top = f"WHEN mi = {n-1} THEN {float(lo[n-1])!r}" if spec["top_coding"] else ""
+    lb_case = " ".join(f"WHEN cpl[{i+1}] > 50.0 - se THEN {i}" for i in range(n))
+    ub_case = " ".join(f"WHEN cpl[{i+1}] > 50.0 + se THEN {i}" for i in range(n))
+    fnz_case = " ".join(f"WHEN cpl[{i+1}] != 0.0 THEN {i}" for i in range(n))
+    floor0 = 0.5 if rms else 0.0
+    t = f"md_{pff}_{tag}"
+    sql = f"""
+{t}_counts AS (
+  SELECT census_geoid,
+    {nl}
+  FROM {src_cte} GROUP BY census_geoid),
+{t}_cums AS (SELECT *, {cums} FROM {t}_counts),
+{t}_base AS (
+  SELECT *, c{n-1} AS B, CASE {mi_case} END AS mi FROM {t}_cums),
+{t}_med AS (
+  SELECT *,
+    list_value({nlist}) AS nlst,
+    list_value({clist}) AS cl,
+    list_value({lolist}) AS lol,
+    list_value({wlist}) AS wl,
+    CASE WHEN B = 0 THEN NULL
+         {bot}
+         WHEN cl[mi + 1] = 0 THEN NULL
+         {top}
+         ELSE lol[mi + 1]
+              + (B / 2 - (cl[mi + 1] - nlst[mi + 1]))
+                * wl[mi + 1] / nlst[mi + 1]
+    END AS med_e
+  FROM {t}_base),
+{t}_moe AS (
+  SELECT *,
+    CASE WHEN B != 0
+         THEN {df!r} * sqrt(93.0 / (7.0 * B) * 2500.0) END AS se,
+    CASE WHEN B != 0 THEN list_transform(cl, c -> c / B * 100) END AS cpl
+  FROM {t}_med),
+{t}_bf AS (
+  SELECT *,
+    CASE {lb_case} END AS lb,
+    CASE {ub_case} END AS ub,
+    CASE {fnz_case} END AS fnz
+  FROM {t}_moe),
+{t}_bounds AS (
+  SELECT *,
+    CASE WHEN lb = fnz THEN {floor0!r} ELSE lol[lb + 1] END AS a1l,
+    CASE WHEN lb = fnz THEN {float(lo[1])!r}
+         WHEN lb + 1 <= {n-1} THEN lol[lb + 2] END AS a2l,
+    CASE WHEN lb = 0 THEN 0.0 ELSE cpl[lb] END AS c1l,
+    cpl[lb + 1] AS c2l,
+    CASE WHEN (ub = (lb & ub)) AND ((lb & ub) = fnz) THEN 0.0
+         WHEN ub = {n-1} THEN {float(lo[n-1])!r} ELSE lol[ub + 1] END AS a1u,
+    CASE WHEN (ub = (lb & ub)) AND ((lb & ub) = fnz) THEN {float(lo[1])!r}
+         WHEN ub = {n-1} THEN {float(lo[n-1])!r}
+         WHEN ub + 1 <= {n-1} THEN lol[ub + 2] END AS a2u,
+    cpl[((ub - 1 + {n}) % {n}) + 1] AS c1u,
+    cpl[ub + 1] AS c2u
+  FROM {t}_bf),
+{t}_final AS (
+  SELECT *,
+    CASE WHEN ((c2l - c1l) + a1l) != 0 THEN
+      CASE WHEN (c2l - c1l) = 0 THEN NULL
+           ELSE ((50.0 - se) - c1l) * (a2l - a1l) / (c2l - c1l) + a1l END
+    END AS lbound,
+    CASE WHEN ((c2u - c1u) + a1u) != 0 THEN
+      CASE WHEN (c2u - c1u) = 0 THEN NULL
+           ELSE ((50.0 + se) - c1u) * (a2u - a1u) / (c2u - c1u) + a1u END
+    END AS ubound
+  FROM {t}_bounds),
+{t} AS (
+  SELECT census_geoid, med_e AS e,
+    CASE WHEN med_e >= {float(lo[n-1])!r} THEN NULL
+         WHEN B = 0 THEN NULL
+         WHEN se >= 50 THEN NULL
+         WHEN lb >= {n-1} THEN NULL
+         ELSE (ubound - lbound) * 1.645 / 2 END AS m
+  FROM {t}_final)"""
+    return sql, t
+
+
+def _rdiv(num: str, den: str) -> str:
+    """try_divide parity: NULL when the denominator is 0 (or NULL)."""
+    return f"CASE WHEN {den} = 0 THEN NULL ELSE {num} / ({den}) END"
+
+
+def _ratio_m_sql(ne: str, nm: str, de: str, dm: str) -> str:
+    """special.py _ratio_m: try_divide(sqrt(nm² + pow(ne·dm/de, 2)), de)."""
+    inner = _rdiv(f"{ne} * {dm}", de)
+    return _rdiv(f"sqrt({nm} * {nm} + pow({inner}, 2))", de)
+
+
+def _special_sqls() -> dict[str, tuple[str, str]]:
+    """(e_sql, m_sql) per special over the pivoted base columns
+    ``{base}e`` / ``{base}m`` (+ wrknoe/wrknom = wrkrnothm's special
+    values) — operand order mirrors operators/special.py exactly."""
+    vac = lambda de, ne, nm, dm: (  # noqa: E731 — vacancy_rate_moe
+        f"CASE WHEN {de} = 0 THEN 0.0 WHEN {ne} = 0 THEN 0.0 "
+        f"WHEN {nm} * {nm} - pow({ne} * {dm} / {de}, 2) < 0 "
+        f"THEN sqrt({nm} * {nm} + pow({ne} * {dm} / {de}, 2)) / {de} * 100 "
+        f"ELSE sqrt({nm} * {nm} - pow({ne} * {dm} / {de}, 2)) / {de} * 100 END"
+    )
+    out = {
+        "percapinc": (
+            _rdiv("agip15ple", "pop_6e"),
+            _ratio_m_sql("agip15ple", "agip15plm", "pop_6e", "pop_6m"),
+        ),
+        "mntrvtm": (
+            _rdiv("agttme", "wrkr16ple - cw_wrkdhme"),
+            _ratio_m_sql("agttme", "agttmm", "wrknoe", "wrknom"),
+        ),
+        "mnhhinc": (
+            _rdiv("aghhince", "hh2e"),
+            _ratio_m_sql("aghhince", "aghhincm", "hh5e", "hh5m"),
+        ),
+        "avghhsooc": (
+            _rdiv("popoochue", "oochu1e"),
+            _ratio_m_sql("popoochue", "popoochum", "oochu4e", "oochu4m"),
+        ),
+        "avghhsroc": (
+            _rdiv("poprtochue", "rochu1e"),
+            _ratio_m_sql("poprtochue", "poprtochum", "rochu2e", "rochu2m"),
+        ),
+        "avghhsz": (
+            _rdiv("hhpop1e", "hh1e"),
+            _rdiv(
+                "sqrt(hhpop1m * hhpop1m + pow("
+                + _rdiv("hh4m * hhpop1e", "hh4e")
+                + ", 2))",
+                "hh4e",
+            ),
+        ),
+        "avgfmsz": (
+            _rdiv("popinfmse", "fam1e"),
+            _rdiv(
+                "sqrt(popinfmsm * popinfmsm + pow("
+                + _rdiv("fam3m * popinfmse", "fam3e")
+                + ", 2))",
+                "fam3e",
+            ),
+        ),
+        "hovacrt": (
+            "CASE WHEN e0h = 0 THEN NULL ELSE e0h END",
+            vac("hovacue", "vacsalee", "vacsalem", "hovacum"),
+        ),
+        "rntvacrt": (
+            "CASE WHEN e0r = 0 THEN NULL ELSE e0r END",
+            vac("rntvacue", "vacrnte", "vacrntm", "rntvacum"),
+        ),
+        "wrkrnothm": ("wrknoe", "wrknom"),
+    }
+    return out
+
+
+def nta_catalog_oracle_sql(year: int = 2019) -> str:
+    """DuckDB twin of the aggregated-geotype catalog batch (q337):
+    tract melt → identity-ratio CT20 fold → NTA dimension fold →
+    grouped medians / special formulas / base and median-base p-z →
+    rounding → cleaning → labs, for geotypes CT20 and NTA."""
+    source = "acs"
+    meta = load_meta(source, year)
+    med = load_side(source, year, "median")
+    spec = load_side(source, year, "special")
+    cols = census_cols(meta)
+    specials_sql = _special_sqls()
+    spec_by = {s["pff_variable"]: s for s in spec}
+
+    colmap = ",\n  ".join(f"({_q(cv)}, {i})" for i, cv in enumerate(cols))
+    varmap = ",\n  ".join(
+        f"({_q(m['pff_variable'])}, {_q(cv)})"
+        for m in meta
+        for cv in m["census_variable"]
+    )
+    varattr = ",\n  ".join(
+        f"({_q(p)}, {_q(d)}, {r}, {_q(c)}, {_q(z)}, {_q(b)}, {_q(mb)})"
+        for (p, d, r, c, z, b, mb) in aggregated_varattr(source, year)
+    )
+
+    # pivot columns for every PLAIN special base member (special members
+    # like wrkrnothm ride their own computed columns — wrknoe/wrknom)
+    members = sorted(
+        {
+            b
+            for s in spec
+            for b in s["base_variables"]
+            if b not in spec_by
+        }
+    )
+    piv_cols = ",\n    ".join(
+        f"max(CASE WHEN pff = {_q(b)} THEN e END) AS {b}e,\n"
+        f"    max(CASE WHEN pff = {_q(b)} THEN m END) AS {b}m"
+        for b in members
+    )
+
+    bases = {str(m["base_variable"]) for m in meta}
+    medians = set(med.keys())
+    specials = set(spec_by.keys())
+    med_inputs = [iv for v in med for iv in med[v]["ranges"].keys()]
+
+    geo_ctes: list[str] = []
+    asm_parts: list[str] = []
+    for tag, roll, geotype in (("c", "roll_ct20", "CT20"),
+                               ("n", "roll_nta", "NTA")):
+        med_chain, med_union = [], []
+        for mv in med:
+            c_sql, c_name = _median_ctes(
+                tag, roll, mv, med[mv], rms=(mv == "mdrms")
+            )
+            med_chain.append(c_sql)
+            med_union.append(
+                f"SELECT census_geoid, {_q(mv)} AS pff, e, m FROM {c_name}"
+            )
+        spec_sel = []
+        for sname in spec_by:
+            e_sql, m_sql = specials_sql[sname]
+            spec_sel.append(
+                f"SELECT census_geoid, {_q(sname)} AS pff,\n"
+                f"  {e_sql} AS e,\n  {m_sql} AS m FROM spv_{tag}"
+            )
+        geo_ctes.append(
+            ",\n".join(med_chain)
+            + f""",
+sp_{tag} AS (
+  SELECT census_geoid,
+    {piv_cols}
+  FROM {roll} GROUP BY census_geoid),
+spv_{tag} AS (
+  SELECT *,
+    wrkr16ple - cw_wrkdhme AS wrknoe,
+    sqrt(wrkr16plm * wrkr16plm + cw_wrkdhmm * cw_wrkdhmm) AS wrknom,
+    100 * ({_rdiv("vacsalee", "hovacue")}) AS e0h,
+    100 * ({_rdiv("vacrnte", "rntvacue")}) AS e0r
+  FROM sp_{tag}),
+medall_{tag} AS (
+  {" UNION ALL ".join(med_union)}),
+specall_{tag} AS (
+  {" UNION ALL ".join(spec_sel)}),
+em_{tag} AS (
+  SELECT r.census_geoid, r.pff, r.e, r.m
+  FROM {roll} r JOIN varattr a USING (pff) WHERE a.cls = 'plain'
+  UNION ALL SELECT census_geoid, pff, e, m FROM medall_{tag}
+  UNION ALL SELECT census_geoid, pff, e, m FROM specall_{tag}),
+asm_{tag} AS (
+  SELECT '{geotype}' AS geotype, em.census_geoid, em.pff,
+    a.domain, a.rnd, a.pz, em.e, em.m,
+    b.e AS agg_e, b.m AS agg_m, mb.e AS mb_e, mb.m AS mb_m
+  FROM em_{tag} em
+  JOIN varattr a USING (pff)
+  LEFT JOIN {roll} b ON b.census_geoid = em.census_geoid
+    AND b.pff = a.base
+  LEFT JOIN medall_{tag} mb ON mb.census_geoid = em.census_geoid
+    AND mb.pff = a.medbase)"""
+        )
+        asm_parts.append(f"SELECT * FROM asm_{tag}")
+
+    zx_b = "(e * agg_m / agg_e) * (e * agg_m / agg_e)"
+    zx_m = "(e * mb_m / mb_e) * (e * mb_m / mb_e)"
+    z_base = (
+        f"CASE WHEN p = 0 THEN NULL WHEN p = 100 THEN NULL "
+        f"WHEN agg_e = 0 THEN NULL "
+        f"WHEN m * m - {zx_b} < 0 THEN sqrt(m * m + {zx_b}) / agg_e * 100 "
+        f"ELSE sqrt(m * m - {zx_b}) / agg_e * 100 END"
+    )
+    z_medb = (
+        f"CASE WHEN p = 0 THEN NULL WHEN p = 100 THEN NULL "
+        f"WHEN mb_e = 0 THEN NULL "
+        f"WHEN m * m - {zx_m} < 0 THEN sqrt(m * m + {zx_m}) / mb_e * 100 "
+        f"ELSE sqrt(m * m - {zx_m}) / mb_e * 100 END"
+    )
+
+    def em_round(x: str) -> str:
+        return (
+            f"CASE rnd WHEN 1 THEN {_he(x, 1)} WHEN 2 THEN {_he(x, 2)} "
+            f"ELSE {_he(x, 0)} END"
+        )
+
+    t7_rule = (
+        f"pff_variable IN ({_inlist(med_inputs)}) "
+        "AND pff_variable NOT LIKE '%rms%'"
+    )
+    t8_rule = f"pff_variable IN ({_inlist(specials)})"
+    labs_geoid = (
+        "CASE WHEN length(census_geoid) = 11 "
+        "THEN '3' || substr(census_geoid, 6, 6) ELSE census_geoid END"
+    )
+    labs_geotype = (
+        "CASE geotype WHEN 'CT20' THEN 'CT2020' "
+        "WHEN 'NTA' THEN 'NTA2020' ELSE geotype END"
+    )
+
+    return f"""
+WITH g_tract AS (
+  SELECT CAST(c_custkey % {N_TRACTS} AS BIGINT) AS gid,
+         CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(c_custkey) AS BIGINT) AS s2,
+         CAST(count(*) AS BIGINT) AS s3
+  FROM customer GROUP BY 1),
+geo AS (
+  SELECT '36047' || lpad(CAST(gid AS VARCHAR), 6, '0') AS census_geoid,
+         'BX' || lpad(CAST(gid % 20 AS VARCHAR), 2, '0') AS nta,
+         gid, s1, s2, s3
+  FROM g_tract),
+colmap(cv, i) AS (VALUES
+  {colmap}),
+varmap(pff, cv) AS (VALUES
+  {varmap}),
+varattr(pff, domain, rnd, cls, pz, base, medbase) AS (VALUES
+  {varattr}),
+rawv AS (
+  SELECT census_geoid, cv, {E_SQL} AS E_raw, {M_SQL} AS M_raw
+  FROM (SELECT g.census_geoid, c.cv, c.i, g.s1, g.s2, g.s3,
+               (g.s2 + (c.i + 1) * 7919) AS h
+        FROM geo g CROSS JOIN colmap c)),
+scrub AS (
+  SELECT census_geoid, cv,
+    CASE WHEN E_raw IN ({_S}) THEN NULL ELSE E_raw END AS E,
+    CASE WHEN m0 IN ({_S}) THEN NULL ELSE m0 END AS M
+  FROM (SELECT *, CASE WHEN E_raw IN ({_S}) THEN NULL
+                       WHEN E_raw = 0 THEN 0.0
+                       ELSE M_raw END AS m0
+        FROM rawv) t1),
+plain AS (
+  SELECT census_geoid, v.pff,
+    0.0 + sum(coalesce(E, 0.0)) AS e,
+    sqrt(0.0 + sum(coalesce(M * M, 0.0))) AS m
+  FROM scrub s JOIN varmap v ON s.cv = v.cv
+  GROUP BY 1, 2),
+roll_ct20 AS (
+  SELECT census_geoid, pff,
+    coalesce(sum(e), 0.0) AS e,
+    sqrt(coalesce(sum(m * m), 0.0)) AS m
+  FROM plain GROUP BY 1, 2),
+roll_nta AS (
+  SELECT g.nta AS census_geoid, r.pff,
+    coalesce(sum(r.e), 0.0) AS e,
+    sqrt(coalesce(sum(r.m * r.m), 0.0)) AS m
+  FROM roll_ct20 r JOIN geo g ON r.census_geoid = g.census_geoid
+  GROUP BY 1, 2),
+{",".join(geo_ctes)},
+asm AS ({" UNION ALL ".join(asm_parts)}),
+withp AS (
+  SELECT *,
+    CASE pz WHEN 'med' THEN NULL
+         WHEN 'p100' THEN 100.0
+         WHEN 'base' THEN CASE WHEN agg_e = 0 THEN NULL
+                               ELSE e / agg_e * 100 END
+         WHEN 'medbase' THEN CASE WHEN mb_e = 0 THEN NULL
+                                  ELSE e / mb_e * 100 END
+         ELSE NULL END AS p
+  FROM asm),
+stats AS (
+  SELECT geotype, census_geoid, pff AS pff_variable, domain, rnd,
+    e, m, p,
+    CASE pz WHEN 'base' THEN {z_base}
+         WHEN 'medbase' THEN {z_medb}
+         ELSE NULL END AS z,
+    CASE WHEN e = 0 THEN NULL ELSE m / 1.645 / e * 100 END AS c
+  FROM withp),
+rounded AS (
+  -- + 0.0 canonicalizes IEEE -0.0 -> +0.0 (mirrors the Spark frame:
+  -- signed-zero accumulation paths differ across engines and a
+  -- value-hash distinguishes the two renderings)
+  SELECT geotype, census_geoid, pff_variable, domain,
+    ({_he("c", 1)}) + 0.0 AS c,
+    ({em_round("e")}) + 0.0 AS e,
+    ({em_round("m")}) + 0.0 AS m,
+    ({_he("p", 1)}) + 0.0 AS p,
+    ({_he("z", 1)}) + 0.0 AS z
+  FROM stats),
+t1 AS (
+  SELECT geotype, census_geoid, pff_variable, domain,
+    CASE WHEN c < 0 THEN NULL ELSE c END AS c,
+    CASE WHEN e < 0 THEN NULL ELSE e END AS e,
+    CASE WHEN m < 0 THEN NULL ELSE m END AS m,
+    CASE WHEN p < 0 THEN NULL ELSE p END AS p,
+    CASE WHEN z < 0 THEN NULL ELSE z END AS z
+  FROM rounded),
+t2 AS (SELECT geotype, census_geoid, pff_variable, domain,
+  c, e, m, CASE WHEN p > 100 THEN NULL ELSE p END AS p, z FROM t1),
+t3 AS (SELECT geotype, census_geoid, pff_variable, domain,
+  c, e, m, p, CASE WHEN p IS NULL THEN NULL ELSE z END AS z FROM t2),
+t4 AS (SELECT geotype, census_geoid, pff_variable, domain,
+  c, e, m, p, CASE WHEN p = 100 THEN 0.0 ELSE z END AS z FROM t3),
+t6 AS (SELECT geotype, census_geoid, pff_variable, domain,
+  c, e, m,
+  CASE WHEN pff_variable IN ({_inlist(bases)})
+        AND pff_variable NOT IN ({_inlist(medians)})
+       THEN 100.0 ELSE p END AS p,
+  CASE WHEN pff_variable IN ({_inlist(bases)})
+        AND pff_variable NOT IN ({_inlist(medians)})
+       THEN 0.0 ELSE z END AS z
+  FROM t4),
+t7 AS (SELECT geotype, census_geoid, pff_variable, domain,
+  CASE WHEN {t7_rule} THEN NULL ELSE c END AS c, e,
+  CASE WHEN {t7_rule} THEN NULL ELSE m END AS m,
+  CASE WHEN {t7_rule} THEN NULL ELSE p END AS p,
+  CASE WHEN {t7_rule} THEN NULL ELSE z END AS z
+  FROM t6),
+t8 AS (SELECT geotype, census_geoid, pff_variable, domain,
+  c, e, m,
+  CASE WHEN {t8_rule} THEN NULL ELSE p END AS p,
+  CASE WHEN {t8_rule} THEN NULL ELSE z END AS z
+  FROM t7)
+SELECT census_geoid,
+  {labs_geoid} AS labs_geoid,
+  geotype,
   {labs_geotype} AS labs_geotype,
   pff_variable,
   CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE c END AS c,

@@ -187,9 +187,62 @@ def test_batch_drops_tasks_like_reference_pool(engine):
         assert r["p"] == 100.0 and r["z"] == 0.0
 
 
-def test_aggregated_geotype_rejected(engine):
-    with pytest.raises(NotImplementedError, match="aggregated"):
-        engine.calculate_batch_catalog(["NTA"])
+def test_unsupported_aggregated_geotype_rejected(engine):
+    # block-group zone rollups stay on the per-variable path
+    with pytest.raises(NotImplementedError, match="per-variable"):
+        engine.calculate_batch_catalog(["cdta_fp_100"])
+
+
+# one representative per AGGREGATED-geotype class (no profile path;
+# grouped medians incl. the mdrms 0.5 floor; specials incl. the
+# wrkrnothm↔mntrvtm recursion and the special-that-is-a-base pair;
+# median-base children; poverty via plain base join)
+AGG_STRATIFIED = [
+    "mdage",       # grouped median, bottom+top coded
+    "mdrms",       # the 0.5-floor rms median
+    "percapinc",   # special, nan base
+    "wrkrnothm",   # special; base mntrvtm rolls back to PLAIN values
+    "mntrvtm",     # special consuming wrkrnothm's SPECIAL values
+    "hovacrt",     # special that is itself a base ('rate' never joins)
+    "lgoenlep1",   # plain child with base
+    "pop5pl1",     # its base
+    "mdhh",        # median-base child: p/z vs the grouped mdhhinc
+    "mdhhinc",     # the median base itself
+    "pbwpv",       # poverty at aggregated → plain base join
+    "rms1",        # median-input bin with the rms exemption
+]
+
+
+@pytest.mark.parametrize("geotype", ["CT20", "NTA"])
+def test_aggregated_stratified_equivalence(spark, geotype):
+    """The set-based aggregated plan must be row- and bit-identical to
+    the per-variable engine path (vertical rollups, grouped medians,
+    special recursion, median-base p/z) for every branch class."""
+    import __spark_entry__ as entry_mod
+
+    eng = entry_mod._crosswalk_2020_engine(spark, SF)
+    batch = {
+        _key(r): r.asDict()
+        for r in eng.calculate_batch_catalog(
+            [geotype], variables=AGG_STRATIFIED
+        ).collect()
+    }
+    pervar = {}
+    for v in AGG_STRATIFIED:
+        df = eng(v, geotype)
+        df = df.withColumn(
+            "domain", F.lit(eng.catalog.create_variable(v).domain)
+        )
+        for r in df.collect():
+            pervar[_key(r)] = r.asDict()
+    assert set(batch) == set(pervar)
+    for k, brow in batch.items():
+        prow = pervar[k]
+        for col in ("labs_geoid", "labs_geotype", "c", "e", "m", "p",
+                    "z", "domain"):
+            assert _eq(brow[col], prow[col]), (
+                f"{k} {col}: batch={brow[col]!r} pervar={prow[col]!r}"
+            )
 
 
 def test_plan_audit_scan_count_independent_of_variable_count(engine):
