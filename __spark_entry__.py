@@ -8926,6 +8926,124 @@ def _crosswalk_2020_engine(spark, sf_dir):
     return FactFinderEngine(spark, cat, geo, ParquetWideSource(spark, root))
 
 
+def q338_maxsim_late_interaction(spark, sf_dir):
+    """ColBERT-style MaxSim late-interaction retrieval: score(q, d) =
+    Σ_qtok max_dtok cos(qtok, dtok), top-5 docs per query.  Multi-
+    vector fixture derived map-side from ``embeddings``: each doc
+    contributes 3 token vectors (identity / reversed / 32-rotated
+    embedding), queries are vec_id<6 with 2 tokens (identity /
+    reversed).  Corpus tokens never shuffle (broadcast query tokens);
+    per-token maxima quantized to integer nano-units before the
+    per-query sum so the score is accumulation-order-free."""
+    from db_factfinder_spark.llmdata.similarity import maxsim_topk
+
+    e = _embs(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    rot = F.concat(F.slice(F.col("v"), 33, 32), F.slice(F.col("v"), 1, 32))
+
+    def toks(df, idc, variants):
+        parts = [
+            df.select(
+                F.col("vec_id").alias(idc),
+                F.lit(i).alias("tok_pos"),
+                expr.alias("vec"),
+            )
+            for i, expr in enumerate(variants)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    dt = toks(e, "doc_id", [F.col("v"), F.reverse(F.col("v")), rot])
+    q = e.filter(F.col("vec_id") < 6)
+    qt = toks(q, "query_id", [F.col("v"), F.reverse(F.col("v"))])
+    return maxsim_topk(qt, dt, k=5).orderBy("query_id", "rank")
+
+
+def q339_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of a lexical and a dense retriever: BM25
+    top-50 for a two-term query fused with cosine top-50 for probe
+    vec_id=0 via score = 1/(60+r_bm25) + 1/(60+r_cos) (fixed operand
+    order — no group-sum over retriever rows), top-10.  The standard
+    hybrid-retrieval merge when scores are incomparable."""
+    from db_factfinder_spark.llmdata.similarity import (
+        brute_force_topk,
+        rrf_fuse,
+    )
+    from db_factfinder_spark.llmdata.textstats import bm25_search
+
+    docs = _docs(spark, sf_dir)
+    lex = bm25_search(docs, ["spark", "join"], k=50).select(
+        F.lit(0).alias("query_id"),
+        "doc_id",
+        "rank",
+        F.lit("bm25").alias("source"),
+    )
+    embs = _embs(spark, sf_dir)
+    dense = brute_force_topk(
+        embs.filter(F.col("vec_id") == 0), embs, k=50
+    ).select(
+        F.lit(0).alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+        F.lit("cos").alias("source"),
+    )
+    return rrf_fuse(
+        lex.unionByName(dense), ["bm25", "cos"], k=10
+    ).orderBy("rank")
+
+
+def q340_hashed_quality_logit(spark, sf_dir):
+    """fastText-shape linear scoring over hashed bag-of-words features:
+    token → md5 bucket (mod 2^20) → broadcast weight lookup → exact
+    long feature sum per doc, logit = Σw/n_tokens.  The stand-in model
+    is built set-based from the doc_id%7==0 'training' slice's vocab
+    (integer weights, a pure bucket function) — production swaps in a
+    trained weights table, same broadcast-join plan."""
+    from db_factfinder_spark.llmdata.textstats import (
+        hashed_linear_score,
+        tokens,
+    )
+
+    docs = _docs(spark, sf_dir)
+    dim = 1 << 20
+    vocab = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(F.explode(tokens("text")).alias("tok"))
+        .distinct()
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
+        F.lit(dim).cast("long"),
+    )
+    weights = (
+        vocab.select(bucket.alias("bucket"))
+        .distinct()
+        .select(
+            "bucket",
+            (
+                F.pmod(F.col("bucket") * F.lit(2654435761), F.lit(4001))
+                - F.lit(2000)
+            ).alias("w"),
+        )
+    )
+    return hashed_linear_score(docs, weights, dim=dim).orderBy("doc_id")
+
+
+def q341_ngram_novelty(spark, sf_dir):
+    """Marginal-novelty curve: per doc (ingestion order = doc_id), the
+    fraction of its distinct 3-gram shingles unseen in any earlier doc
+    — the crawl-saturation signal.  Order-free formulation: novel ⇔
+    gram's min(doc_id) equals the doc, two partial-agg shuffles, hot
+    boilerplate grams min-reduced map-side."""
+    from db_factfinder_spark.llmdata.textstats import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir), n=3).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9268,6 +9386,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q335_winnow_pairs_capped": q335_winnow_pairs_capped,
         "q336_adamic_adar_capped": q336_adamic_adar_capped,
         "q337_acs_catalog_batch_nta": q337_acs_catalog_batch_nta,
+        "q338_maxsim_late_interaction": q338_maxsim_late_interaction,
+        "q339_rrf_fusion": q339_rrf_fusion,
+        "q340_hashed_quality_logit": q340_hashed_quality_logit,
+        "q341_ngram_novelty": q341_ngram_novelty,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -66,9 +66,11 @@ from db_factfinder_spark.llmdata.similarity import (  # noqa: F401
     jl_projection,
     jl_sign_matrix,
     lsh_bucketed_topk,
+    maxsim_topk,
     pq_adc_topk,
     pq_encode,
     quantized_topk,
+    rrf_fuse,
     semantic_dedup,
 )
 from db_factfinder_spark.llmdata.components import (  # noqa: F401
@@ -108,6 +110,8 @@ from db_factfinder_spark.llmdata.urls import normalize_urls  # noqa: F401
 from db_factfinder_spark.llmdata.textstats import (  # noqa: F401
     bigram_lm,
     bm25_search,
+    hashed_linear_score,
+    ngram_novelty,
     bpe_merge_candidates,
     build_postings,
     char_chunker_udtf,

@@ -1036,3 +1036,136 @@ def pq_adc_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def maxsim_topk(
+    query_tokens: DataFrame,
+    doc_tokens: DataFrame,
+    k: int = 10,
+    scale: int = 1_000_000_000,
+    query_id: str = "query_id",
+    doc_id: str = "doc_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Late-interaction (ColBERT-style) MaxSim retrieval: score(q, d) =
+    Σ over q's token vectors of the MAX cosine against any of d's token
+    vectors, top-``k`` docs per query.  The multi-vector analog of
+    ``brute_force_topk`` — one vector per *token* instead of per
+    document, so exact term-level matches survive pooling.
+
+    Inputs are long-form token frames ``(id, tok_pos, vec)`` — the
+    layout a token-vector store scans naturally (no per-row
+    array<array> blobs to blow past parquet page limits).
+
+    Scale shape: the query side (queries × their few tokens) is tiny
+    and broadcast; the corpus token table NEVER shuffles for scoring —
+    each partition scores its own rows against every query token
+    map-side (broadcast NLJ).  The only shuffled grain is the partial
+    max/sum aggregate at (doc, query, query-token) — corpus-token
+    count × |query tokens| rows reduced map-side before exchange.
+
+    Exactness: each per-token max cosine is quantized to integer
+    ``scale``-ths (floor(x·scale + ½)) and the per-query sum
+    accumulates LONGS — the double sum over query tokens would be
+    accumulation-order-dependent across engines.  A query token with
+    no scoreable doc token (zero-norm vectors) contributes 0.
+
+    Output: ``query_id, doc_id, score`` (quantized back to double),
+    ``rank`` (ties broken by doc id).
+    """
+    qt = query_tokens.select(
+        F.col(query_id).alias("q_id"),
+        F.col("tok_pos").alias("q_tok"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("q_vec"),
+    )
+    qt = qt.withColumn("q_norm", _norm(F.col("q_vec")))
+    dt = doc_tokens.select(
+        F.col(doc_id).alias("d_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("d_vec"),
+    )
+    dt = dt.withColumn("d_norm", _norm(F.col("d_vec")))
+    pair = dt.crossJoin(F.broadcast(qt)).select(
+        "d_id",
+        "q_id",
+        "q_tok",
+        F.try_divide(
+            _dot(F.col("q_vec"), F.col("d_vec")),
+            F.col("q_norm") * F.col("d_norm"),
+        ).alias("cos"),
+    )
+    per_tok = pair.groupBy("d_id", "q_id", "q_tok").agg(
+        F.max("cos").alias("max_cos")
+    )
+    quant = F.floor(F.col("max_cos") * F.lit(float(scale)) + F.lit(0.5)).cast(
+        "long"
+    )
+    scored = per_tok.groupBy("q_id", "d_id").agg(
+        F.sum(F.coalesce(quant, F.lit(0).cast("long"))).alias("score_q")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_q"), F.asc("d_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias(query_id),
+            F.col("d_id").alias(doc_id),
+            (F.col("score_q").cast("double") / F.lit(float(scale))).alias(
+                "score"
+            ),
+            "rank",
+        )
+    )
+
+
+def rrf_fuse(
+    rankings: DataFrame,
+    sources: list[str],
+    k: int = 10,
+    c: int = 60,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    source_col: str = "source",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR '09)
+    of heterogeneous retriever rankings: score(d) = Σ over retrievers
+    of 1/(c + rank_r(d)), top-``k`` per query.  The standard way to
+    merge lexical (BM25) and dense (cosine) candidate lists without
+    calibrating their incomparable scores — only ranks are consumed.
+
+    ``sources`` is the EXPLICIT retriever list: it fixes both the
+    pivot columns and the score's operand order, so the double sum is
+    the same left-to-right chain on every engine (a GROUP-BY sum over
+    the source rows would be accumulation-order-dependent).  A doc
+    absent from a retriever contributes 0 for it.
+
+    Scale shape: one pivot aggregate on (query, doc) — map-side
+    combine over the per-retriever rows — then a per-query top-k
+    window; no joins, no per-retriever passes.
+    """
+    piv = (
+        rankings.groupBy(
+            F.col(query_col).alias("q_id"), F.col(doc_col).alias("d_id")
+        )
+        .pivot(source_col, sources)
+        .agg(F.min(rank_col))
+    )
+    score = None
+    for s in sources:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(s).cast("double")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf_score"), F.asc("d_id"))
+    return (
+        piv.withColumn("rrf_score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias(query_col),
+            F.col("d_id").alias(doc_col),
+            "rrf_score",
+            "rank",
+        )
+    )

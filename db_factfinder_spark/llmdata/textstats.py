@@ -1775,3 +1775,111 @@ def percolate_with_negation(
     )
     hits_ex = d.join(ex, "t").select(id_col, query_id_col).distinct()
     return pos.join(hits_ex, [id_col, query_id_col], "left_anti")
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: DataFrame,
+    dim: int = 1 << 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Linear text classifier over hashed bag-of-words features — the
+    fastText / Vowpal-Wabbit serving shape: token → hash bucket (mod
+    ``dim``) → weight lookup → per-document sum, logit = Σw / n_tokens.
+    The standard cheap quality/topic filter in front of a training-data
+    pipeline once a model has been trained offline.
+
+    ``weights`` is the model: ``(bucket BIGINT, w BIGINT)``, broadcast
+    — at any corpus size the model rides along to every executor and
+    the corpus never shuffles for the lookup.  Weights are INTEGER
+    (fixed-point, trainer's choice of scale): the per-document sum
+    accumulates longs, so the score is order-independent and exact;
+    only the final mean divides.  Buckets absent from the model (OOV /
+    pruned) contribute 0, like a sparse model file.
+
+    Scale shape: explode to token grain → broadcast-join the model →
+    partial-sum map-side → one shuffle at document grain.  The hash is
+    the first 60 bits of md5, portable across engines.
+
+    Output: ``id_col, n_toks, feat_sum, logit`` (logit NULL for
+    token-less documents).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("tok")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"),
+        F.lit(dim).cast("long"),
+    )
+    hashed = toks.withColumn(
+        "bucket", F.when(F.col("tok").isNotNull(), bucket)
+    )
+    joined = hashed.join(F.broadcast(weights), "bucket", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum(F.col("tok").isNotNull().cast("long")).alias("n_toks"),
+            F.sum(
+                F.coalesce(F.col("w").cast("long"), F.lit(0).cast("long"))
+            ).alias("feat_sum"),
+        )
+        .select(
+            id_col,
+            "n_toks",
+            "feat_sum",
+            F.try_divide(
+                F.col("feat_sum").cast("double"),
+                F.when(F.col("n_toks") > 0, F.col("n_toks")).cast("double"),
+            ).alias("logit"),
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Marginal-novelty curve over an ordered corpus: for each document
+    (in ``id_col`` ingestion order), the fraction of its distinct word
+    ``n``-grams never seen in ANY earlier document.  The curation
+    signal behind "is this source still adding new content or are we
+    re-crawling the same text" — novelty decays toward 0 as a crawl
+    saturates, and per-source novelty curves rank sources by marginal
+    value per ingested byte.
+
+    Set-based, order-free formulation: a gram's first appearance is
+    ``min(doc id)`` over its posting list, so a doc's novel grams are
+    exactly those whose min-id equals the doc — two partial-agg
+    shuffles at gram grain (min, then the per-doc count), no window
+    over the whole corpus, no iteration.  Hot grams (boilerplate) are
+    min-reduced map-side, so a gram appearing in every document costs
+    one row per partition, not a skewed reduce.
+
+    Output: ``id_col, n_grams, n_novel, novelty`` (novelty NULL when
+    the doc has no grams; first doc of the corpus scores 1.0).
+    """
+    from db_factfinder_spark.llmdata.dedup import shingles
+
+    grams = df.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("gram")
+    )
+    first = grams.groupBy("gram").agg(F.min(id_col).alias("first_id"))
+    tagged = grams.join(first, "gram")
+    per_doc = tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(
+            (F.col("first_id") == F.col(id_col)).cast("long")
+        ).alias("n_novel"),
+    )
+    base = df.select(id_col)
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias("n_grams"),
+        F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias("n_novel"),
+        F.try_divide(
+            F.col("n_novel").cast("double"), F.col("n_grams").cast("double")
+        ).alias("novelty"),
+    )

@@ -9395,3 +9395,175 @@ FROM pos LEFT JOIN hit_ex
 WHERE hit_ex.doc_id IS NULL
 ORDER BY pos.doc_id, pos.query_id
 """
+
+
+# q338: MaxSim late-interaction — doc tokens (identity/reversed/
+# 32-rotated embedding), query tokens (identity/reversed, vec_id<6);
+# per-token max cosine quantized to integer nano-units, long sum.
+ORACLES["q338_maxsim_late_interaction"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+dt AS (
+  SELECT vec_id AS d_id, v FROM e
+  UNION ALL SELECT vec_id, list_reverse(v) FROM e
+  UNION ALL SELECT vec_id, v[33:64] || v[1:32] FROM e),
+qt AS (
+  SELECT vec_id AS q_id, 0 AS q_tok, v FROM e WHERE vec_id < 6
+  UNION ALL SELECT vec_id, 1, list_reverse(v) FROM e WHERE vec_id < 6),
+pair AS (
+  SELECT dt.d_id, qt.q_id, qt.q_tok,
+    CASE WHEN sqrt(list_dot_product(qt.v, qt.v))
+              * sqrt(list_dot_product(dt.v, dt.v)) = 0 THEN NULL
+         ELSE list_dot_product(qt.v, dt.v)
+              / (sqrt(list_dot_product(qt.v, qt.v))
+                 * sqrt(list_dot_product(dt.v, dt.v)))
+    END AS cos
+  FROM dt CROSS JOIN qt),
+per_tok AS (
+  SELECT d_id, q_id, q_tok, max(cos) AS max_cos
+  FROM pair GROUP BY 1, 2, 3),
+scored AS (
+  SELECT q_id, d_id,
+    sum(coalesce(CAST(floor(max_cos * 1000000000.0 + 0.5) AS BIGINT),
+                 0)) AS score_q
+  FROM per_tok GROUP BY 1, 2),
+ranked AS (
+  SELECT q_id AS query_id, d_id AS doc_id,
+    CAST(score_q AS DOUBLE) / 1000000000.0 AS score,
+    row_number() OVER (PARTITION BY q_id
+                       ORDER BY score_q DESC, d_id ASC) AS rank
+  FROM scored)
+SELECT query_id, doc_id, score, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+# q339: RRF fusion of BM25 (q149's exact chain, top-50) and cosine
+# (q29's chain, probe vec_id=0, top-50): 1/(60+r) terms added in the
+# fixed bm25-then-cos order, top-10 by (score desc, doc asc).
+ORACLES["q339_rrf_fusion"] = f"""
+WITH lens AS (
+  SELECT doc_id, len({_TOKS}) AS dl FROM documents WHERE text IS NOT NULL),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+post AS (
+  SELECT doc_id, t, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t
+        FROM documents WHERE text IS NOT NULL)
+  WHERE t IN ('spark', 'join') GROUP BY doc_id, t),
+dfc AS (SELECT t, count(*) AS df FROM post GROUP BY t),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN t = 'spark' THEN tf END) AS BIGINT) AS tf_0,
+         CAST(sum(CASE WHEN t = 'join' THEN tf END) AS BIGINT) AS tf_1,
+         CAST(sum(CASE WHEN t = 'spark' THEN df END) AS BIGINT) AS df_0,
+         CAST(sum(CASE WHEN t = 'join' THEN df END) AS BIGINT) AS df_1
+  FROM post JOIN dfc USING (t) GROUP BY doc_id),
+j AS (
+  SELECT per_doc.*, lens.dl, stats.n_docs,
+         CAST(stats.sum_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE)
+           AS avgdl
+  FROM per_doc JOIN lens USING (doc_id) CROSS JOIN stats),
+bscored AS (
+  SELECT doc_id,
+    coalesce(
+      ((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5)
+         / (CAST(df_0 AS DOUBLE) + 0.5))
+      * ((CAST(tf_0 AS DOUBLE) * 2.2)
+         / (CAST(tf_0 AS DOUBLE)
+            + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))),
+      0.0)
+    + coalesce(
+      ((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5)
+         / (CAST(df_1 AS DOUBLE) + 0.5))
+      * ((CAST(tf_1 AS DOUBLE) * 2.2)
+         / (CAST(tf_1 AS DOUBLE)
+            + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))),
+      0.0) AS score
+  FROM j),
+bm25r AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM bscored) WHERE rank <= 50),
+ev AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+p0 AS (SELECT * FROM ev WHERE vec_id = 0),
+cscored AS (
+  SELECT c.vec_id AS doc_id,
+    list_dot_product(p0.v, c.v)
+      / (sqrt(list_dot_product(p0.v, p0.v))
+         * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM p0 JOIN ev c ON p0.vec_id != c.vec_id),
+cosr AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+    FROM cscored) WHERE rank <= 50),
+fused AS (
+  SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+    coalesce(1.0 / (60.0 + CAST(b.rank AS DOUBLE)), 0.0)
+    + coalesce(1.0 / (60.0 + CAST(c.rank AS DOUBLE)), 0.0) AS rrf_score
+  FROM bm25r b FULL OUTER JOIN cosr c USING (doc_id))
+SELECT 0 AS query_id, doc_id, rrf_score, rank FROM (
+  SELECT doc_id, rrf_score,
+         row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM fused)
+WHERE rank <= 10 ORDER BY rank
+"""
+
+
+# q340: hashed linear classifier — md5 bucket mod 2^20, sparse weights
+# from the doc_id%7==0 training slice's vocab, exact long feature sums.
+ORACLES["q340_hashed_quality_logit"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+train_vocab AS (
+  SELECT DISTINCT tok
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        WHERE doc_id % 7 = 0)),
+buckets AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1048576 AS bucket
+  FROM train_vocab),
+weights AS (
+  SELECT bucket, (bucket * 2654435761) % 4001 - 2000 AS w FROM buckets),
+hashed AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1048576 AS bucket
+  FROM toks),
+scores AS (
+  SELECT h.doc_id, count(*) AS n_toks,
+         CAST(sum(coalesce(w.w, 0)) AS BIGINT) AS feat_sum
+  FROM hashed h LEFT JOIN weights w USING (bucket) GROUP BY h.doc_id)
+SELECT d.doc_id,
+  coalesce(s.n_toks, 0) AS n_toks,
+  coalesce(s.feat_sum, 0) AS feat_sum,
+  CASE WHEN coalesce(s.n_toks, 0) > 0
+       THEN CAST(s.feat_sum AS DOUBLE) / CAST(s.n_toks AS DOUBLE)
+  END AS logit
+FROM documents d LEFT JOIN scores s USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+# q341: n-gram novelty — a gram is novel in the doc holding its
+# min(doc_id); fraction of the doc's distinct 3-gram shingles.
+ORACLES["q341_ngram_novelty"] = f"""
+WITH d AS (SELECT doc_id, {_NORMTOKS} AS toks FROM documents),
+g AS (SELECT doc_id, unnest({_SHINGLES}) AS gram FROM d),
+fst AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY gram),
+per AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM g JOIN fst f USING (gram) GROUP BY g.doc_id)
+SELECT d2.doc_id,
+  coalesce(p.n_grams, 0) AS n_grams,
+  coalesce(p.n_novel, 0) AS n_novel,
+  CASE WHEN p.n_grams > 0
+       THEN CAST(p.n_novel AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+  END AS novelty
+FROM documents d2 LEFT JOIN per p USING (doc_id) ORDER BY d2.doc_id
+"""

@@ -231,3 +231,165 @@ def test_png_codec_with_pil_pins_resized_pixels(spark):
     }
     assert bytes(rows[1]["payload"]) == _resize_nn(arr, 2, 2).tobytes()
     assert rows[2]["payload"] is None
+
+
+# ---------------------------------------------------------------------------
+# round-8 retrieval/curation operators
+# ---------------------------------------------------------------------------
+
+def test_maxsim_topk_hand_computed(spark):
+    """Orthogonal unit token vectors make MaxSim exactly countable:
+    score = number of query tokens with a matching doc token."""
+    from db_factfinder_spark.llmdata.similarity import maxsim_topk
+
+    ex = [1.0, 0.0, 0.0]
+    ey = [0.0, 1.0, 0.0]
+    ez = [0.0, 0.0, 1.0]
+    qt = spark.createDataFrame(
+        [(0, 0, ex), (0, 1, ey)],
+        "query_id int, tok_pos int, vec array<double>",
+    )
+    dt = spark.createDataFrame(
+        [
+            (10, 0, ex), (10, 1, ey),   # matches both  → 2.0
+            (11, 0, ex), (11, 1, ez),   # matches x only → 1.0
+            (12, 0, ez), (12, 1, ez),   # matches none  → 0.0
+        ],
+        "doc_id int, tok_pos int, vec array<double>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in maxsim_topk(qt, dt, k=3).collect()
+    }
+    assert out[10]["score"] == 2.0 and out[10]["rank"] == 1
+    assert out[11]["score"] == 1.0 and out[11]["rank"] == 2
+    assert out[12]["score"] == 0.0 and out[12]["rank"] == 3
+
+
+def test_maxsim_zero_norm_token_contributes_zero(spark):
+    from db_factfinder_spark.llmdata.similarity import maxsim_topk
+
+    qt = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0]), (0, 1, [0.0, 0.0])],  # 2nd token zero-norm
+        "query_id int, tok_pos int, vec array<double>",
+    )
+    dt = spark.createDataFrame(
+        [(5, 0, [1.0, 0.0])],
+        "doc_id int, tok_pos int, vec array<double>",
+    )
+    [r] = maxsim_topk(qt, dt, k=1).collect()
+    assert r["score"] == 1.0  # zero-norm token adds 0, not NULL
+
+
+def test_maxsim_plan_corpus_never_shuffles_before_score(spark):
+    """The corpus token frame must reach the scoring join without an
+    Exchange: query tokens broadcast (BroadcastNestedLoopJoin), the
+    only shuffles are the two aggregate grains."""
+    from db_factfinder_spark.llmdata.similarity import maxsim_topk
+
+    qt = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0])],
+        "query_id int, tok_pos int, vec array<double>",
+    )
+    dt = spark.createDataFrame(
+        [(i, 0, [float(i), 1.0]) for i in range(20)],
+        "doc_id int, tok_pos int, vec array<double>",
+    )
+    plan = maxsim_topk(qt, dt, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rrf_fuse_formula_and_missing_source(spark):
+    from db_factfinder_spark.llmdata.similarity import rrf_fuse
+
+    rankings = spark.createDataFrame(
+        [
+            (0, 100, 1, "a"), (0, 101, 2, "a"),
+            (0, 101, 1, "b"), (0, 102, 2, "b"),
+        ],
+        "query_id int, doc_id int, rank int, source string",
+    )
+    rows = {r["doc_id"]: r for r in rrf_fuse(rankings, ["a", "b"], k=10).collect()}
+    assert rows[101]["rrf_score"] == 1.0 / 62 + 1.0 / 61
+    assert rows[100]["rrf_score"] == 1.0 / 61          # missing in b → 0
+    assert rows[102]["rrf_score"] == 1.0 / 62
+    assert rows[101]["rank"] == 1
+    # tie-break: 100 (1/61) > 102 (1/62)
+    assert rows[100]["rank"] == 2 and rows[102]["rank"] == 3
+
+
+def test_rrf_fuse_plan_has_no_join(spark):
+    """Fusion is one pivot aggregate + a window — no join stage."""
+    from db_factfinder_spark.llmdata.similarity import rrf_fuse
+
+    rankings = spark.createDataFrame(
+        [(0, 1, 1, "a")], "query_id int, doc_id int, rank int, source string"
+    )
+    plan = (
+        rrf_fuse(rankings, ["a", "b"], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+
+
+def test_hashed_linear_score_exact_sums_and_oov(spark):
+    from db_factfinder_spark.llmdata.textstats import hashed_linear_score
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma"), (3, " ")],
+        "doc_id int, text string",
+    )
+    # weights for alpha/beta's buckets only — gamma is OOV
+    dim = 1 << 20
+    buckets = spark.sql(
+        f"SELECT tok, pmod(cast(conv(substring(md5(tok), 1, 15), 16, 10)"
+        f" AS long), {dim}) AS bucket"
+        " FROM VALUES ('alpha'), ('beta') AS t(tok)"
+    ).collect()
+    bk = {r["tok"]: r["bucket"] for r in buckets}
+    weights = spark.createDataFrame(
+        [(bk["alpha"], 10), (bk["beta"], -4)], "bucket long, w long"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in hashed_linear_score(docs, weights, dim=dim).collect()
+    }
+    assert rows[1]["n_toks"] == 3 and rows[1]["feat_sum"] == 16
+    assert rows[1]["logit"] == 16.0 / 3.0
+    assert rows[2]["n_toks"] == 1 and rows[2]["feat_sum"] == 0  # OOV
+    assert rows[3]["n_toks"] == 0 and rows[3]["logit"] is None
+
+
+def test_hashed_linear_score_plan_broadcasts_model(spark):
+    from db_factfinder_spark.llmdata.textstats import hashed_linear_score
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)], "doc_id int, text string"
+    )
+    weights = spark.createDataFrame([(1, 1)], "bucket long, w long")
+    plan = (
+        hashed_linear_score(docs, weights)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ngram_novelty_first_dup_and_empty(spark):
+    from db_factfinder_spark.llmdata.textstats import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four"),       # 2 grams, both novel
+            (2, "one two three five"),       # "one two three" seen
+            (3, "one two three four"),       # exact dup → 0 novel
+            (4, ""),                          # no grams
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert rows[1]["n_grams"] == 2 and rows[1]["novelty"] == 1.0
+    assert rows[2]["n_grams"] == 2 and rows[2]["n_novel"] == 1
+    assert rows[3]["n_grams"] == 2 and rows[3]["n_novel"] == 0
+    assert rows[4]["n_grams"] == 0 and rows[4]["novelty"] is None
