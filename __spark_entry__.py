@@ -9044,6 +9044,54 @@ def q341_ngram_novelty(spark, sf_dir):
     return ngram_novelty(_docs(spark, sf_dir), n=3).orderBy("doc_id")
 
 
+def q342_crawl_schedule(spark, sf_dir):
+    """Politeness-bounded crawl-frontier scheduling: per-host queue
+    position (priority desc, id asc) × per-host delay = earliest legal
+    fetch offset; host→worker via sticky md5 hash so one worker owns a
+    host's politeness clock.  Fixture: documents as the frontier
+    (host=source, url=doc_id, priority=n_chars)."""
+    from db_factfinder_spark.llmdata.crawl import crawl_schedule
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("source").alias("host"),
+        F.col("doc_id").alias("url"),
+        F.col("n_chars").alias("priority"),
+    )
+    return crawl_schedule(
+        docs, n_workers=8, per_host_delay_s=10
+    ).orderBy("host", "slot")
+
+
+def q343_novelty_with_state(spark, sf_dir):
+    """Incremental novelty: the doc_id%3==0 slice is yesterday's
+    ingested corpus (its distinct 3-gram state persisted); today's
+    batch (the rest) scores novel = absent from state AND first in
+    batch.  Delta-only shingling — the admit_new_documents pattern
+    applied to the novelty curve."""
+    from db_factfinder_spark.llmdata.textstats import (
+        build_gram_state,
+        ngram_novelty_with_state,
+    )
+
+    docs = _docs(spark, sf_dir)
+    state = build_gram_state(docs.filter(F.col("doc_id") % 3 == 0), n=3)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return ngram_novelty_with_state(batch, state, n=3).orderBy("doc_id")
+
+
+def q344_hard_negative_mining(spark, sf_dir):
+    """Contrastive-training hard negatives: top-5 nearest DIFFERENT-
+    label vectors per probe (vec_id<8) — the near-miss negatives an
+    embedding model learns from.  Broadcast-probe scan; the label
+    inequality drops same-class candidates before scoring."""
+    from db_factfinder_spark.llmdata.similarity import hard_negative_topk
+
+    embs = _embs(spark, sf_dir)
+    return hard_negative_topk(
+        embs.filter(F.col("vec_id") < 8), embs, k=5
+    ).orderBy("probe_id", "rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9390,6 +9438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q339_rrf_fusion": q339_rrf_fusion,
         "q340_hashed_quality_logit": q340_hashed_quality_logit,
         "q341_ngram_novelty": q341_ngram_novelty,
+        "q342_crawl_schedule": q342_crawl_schedule,
+        "q343_novelty_with_state": q343_novelty_with_state,
+        "q344_hard_negative_mining": q344_hard_negative_mining,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -89,6 +89,10 @@ HEADLINE = [
     "q333_real_crosswalk_weights",  # packaged real ratio.csv apportionment
     "q335_winnow_pairs_capped",     # q302's scale-safe max_df form
     "q336_adamic_adar_capped",      # q303's scale-safe max_degree form
+    "q337_acs_catalog_batch_nta",   # catalog batch at AGGREGATED geotypes
+    "q338_maxsim_late_interaction", # multi-vector MaxSim broadcast NLJ
+    "q340_hashed_quality_logit",    # hashed-feature linear scoring
+    "q341_ngram_novelty",           # gram min-id novelty, 2 partial aggs
     # q198_bootstrap_ci is deliberately NOT a headline entry: its warm
     # time is ~95% driver-side Catalyst/AQE assembly of the 64-wide
     # aggregate tree (re-execution of the built plan runs in ~0.2 s,

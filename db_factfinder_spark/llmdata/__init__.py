@@ -65,6 +65,7 @@ from db_factfinder_spark.llmdata.similarity import (  # noqa: F401
     cosine_similarity,
     jl_projection,
     jl_sign_matrix,
+    hard_negative_topk,
     lsh_bucketed_topk,
     maxsim_topk,
     pq_adc_topk,
@@ -107,11 +108,14 @@ from db_factfinder_spark.llmdata.redact import (  # noqa: F401
     redact_pii,
 )
 from db_factfinder_spark.llmdata.urls import normalize_urls  # noqa: F401
+from db_factfinder_spark.llmdata.crawl import crawl_schedule  # noqa: F401
 from db_factfinder_spark.llmdata.textstats import (  # noqa: F401
     bigram_lm,
     bm25_search,
+    build_gram_state,
     hashed_linear_score,
     ngram_novelty,
+    ngram_novelty_with_state,
     bpe_merge_candidates,
     build_postings,
     char_chunker_udtf,

@@ -1169,3 +1169,59 @@ def rrf_fuse(
             "rank",
         )
     )
+
+
+def hard_negative_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for embedding-model training: for each
+    probe, the top-``k`` nearest corpus vectors with a DIFFERENT label
+    — the near-misses a contrastive loss learns the most from (random
+    negatives are trivially far; see ``negative_sample`` for that
+    baseline).  Same broadcast-probe shape as ``brute_force_topk``
+    (corpus never shuffles); the label inequality rides in the join
+    condition so same-label candidates are dropped before scoring.
+
+    Output: ``probe_id, neighbor_id, neighbor_label, cosine, rank``.
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(label_col).alias("probe_label"),
+        F.col(vec_col).alias("probe_vec"),
+        vec_norm(F.col(vec_col)).alias("probe_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("cand_vec"),
+        vec_norm(F.col(vec_col)).alias("cand_norm"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(p),
+            (F.col("probe_id") != F.col("neighbor_id"))
+            & (F.col("probe_label") != F.col("neighbor_label")),
+        )
+        .withColumn(
+            "cosine",
+            _cosine_with_norms(
+                F.col("probe_vec"),
+                F.col("cand_vec"),
+                F.col("probe_norm"),
+                F.col("cand_norm"),
+            ),
+        )
+        .select("probe_id", "neighbor_id", "neighbor_label", "cosine")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

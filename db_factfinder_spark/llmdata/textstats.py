@@ -1883,3 +1883,78 @@ def ngram_novelty(
             F.col("n_novel").cast("double"), F.col("n_grams").cast("double")
         ).alias("novelty"),
     )
+
+
+def build_gram_state(
+    df: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Distinct word ``n``-gram set of a corpus — the persisted state
+    ``ngram_novelty_with_state`` scores new batches against (persist
+    it as Parquet between ingestion runs, like ``CorpusDedupState``).
+    One column: ``gram``."""
+    from db_factfinder_spark.llmdata.dedup import shingles
+
+    return (
+        df.select(F.explode(shingles(text_col, n)).alias("gram")).distinct()
+    )
+
+
+def ngram_novelty_with_state(
+    df: DataFrame,
+    state_grams: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ``ngram_novelty``: a gram is novel only if it is
+    absent from the persisted corpus state AND this doc is its first
+    appearance (min id) within the batch.  The delta-only scoring
+    pattern of ``admit_new_documents`` applied to the novelty curve —
+    a nightly ingest scores against yesterday's state instead of
+    re-shingling the whole corpus.
+
+    Scale shape: the batch's gram table anti-joins the state at gram
+    grain (at 100 TB, pre-prune with a Bloom filter of the state —
+    ``bloom_prune`` — so only probable-new grams shuffle), then the
+    same two partial aggs as the batch-local novelty.  ``n_grams``
+    still counts ALL of the doc's distinct grams, so novelty is
+    comparable across runs.
+
+    Output: ``id_col, n_grams, n_novel, novelty`` (novelty NULL for
+    gram-less docs)."""
+    from db_factfinder_spark.llmdata.dedup import shingles
+
+    grams = df.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("gram")
+    )
+    fresh = grams.join(
+        state_grams.select("gram").distinct(), "gram", "left_anti"
+    )
+    first = fresh.groupBy("gram").agg(F.min(id_col).alias("first_id"))
+    novel = (
+        fresh.join(first, "gram")
+        .filter(F.col("first_id") == F.col(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    totals = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(novel, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias(
+                "n_grams"
+            ),
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias(
+                "n_novel"
+            ),
+            F.try_divide(
+                F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).cast(
+                    "double"
+                ),
+                F.col("n_grams").cast("double"),
+            ).alias("novelty"),
+        )
+    )

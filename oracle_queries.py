@@ -9567,3 +9567,78 @@ SELECT d2.doc_id,
   END AS novelty
 FROM documents d2 LEFT JOIN per p USING (doc_id) ORDER BY d2.doc_id
 """
+
+
+# q342: crawl-frontier politeness scheduling — per-host rank window,
+# sticky md5 host→worker, slot × delay fetch offsets.
+ORACLES["q342_crawl_schedule"] = """
+WITH f AS (
+  SELECT source AS host, doc_id AS url, n_chars AS priority
+  FROM documents),
+ranked AS (
+  SELECT host, url, priority,
+    row_number() OVER (PARTITION BY host
+                       ORDER BY priority DESC, url ASC) - 1 AS slot
+  FROM f)
+SELECT host, url, priority, slot,
+  CAST(slot AS BIGINT) * 10 AS fetch_offset_s,
+  ('0x' || substr(md5(host), 1, 15))::BIGINT % 8 AS worker
+FROM ranked ORDER BY host, slot
+"""
+
+
+# q343: incremental novelty — state = distinct 3-grams of doc_id%3==0;
+# batch grams anti-join the state, then the q341 min-id rule.
+ORACLES["q343_novelty_with_state"] = f"""
+WITH d AS (SELECT doc_id, {_NORMTOKS} AS toks FROM documents),
+state AS (
+  SELECT DISTINCT unnest({_SHINGLES}) AS gram FROM d
+  WHERE doc_id % 3 = 0),
+batch AS (SELECT * FROM d WHERE doc_id % 3 != 0),
+g AS (SELECT doc_id, unnest({_SHINGLES}) AS gram FROM batch),
+fresh AS (
+  SELECT g.* FROM g LEFT JOIN state USING (gram)
+  WHERE state.gram IS NULL),
+fst AS (SELECT gram, min(doc_id) AS first_id FROM fresh GROUP BY gram),
+novel AS (
+  SELECT f.doc_id, count(*) AS n_novel
+  FROM fresh f JOIN fst USING (gram)
+  WHERE fst.first_id = f.doc_id GROUP BY f.doc_id),
+totals AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id)
+SELECT b.doc_id,
+  coalesce(t.n_grams, 0) AS n_grams,
+  coalesce(nv.n_novel, 0) AS n_novel,
+  CASE WHEN t.n_grams > 0
+       THEN CAST(coalesce(nv.n_novel, 0) AS DOUBLE)
+            / CAST(t.n_grams AS DOUBLE)
+  END AS novelty
+FROM batch b
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN novel nv USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+# q344: hard negatives — q29's cosine chain with the label-inequality
+# predicate in the join.
+ORACLES["q344_hard_negative_mining"] = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+p AS (SELECT * FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+    c.label AS neighbor_label,
+    list_dot_product(p.v, c.v)
+      / (sqrt(list_dot_product(p.v, p.v))
+         * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM p JOIN e c
+    ON p.vec_id != c.vec_id AND p.label != c.label)
+SELECT probe_id, neighbor_id, neighbor_label, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, neighbor_id ASC)
+              AS rank
+  FROM scored)
+WHERE rank <= 5 ORDER BY probe_id, rank
+"""

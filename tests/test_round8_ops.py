@@ -393,3 +393,91 @@ def test_ngram_novelty_first_dup_and_empty(spark):
     assert rows[2]["n_grams"] == 2 and rows[2]["n_novel"] == 1
     assert rows[3]["n_grams"] == 2 and rows[3]["n_novel"] == 0
     assert rows[4]["n_grams"] == 0 and rows[4]["novelty"] is None
+
+
+def test_crawl_schedule_politeness_and_sticky_worker(spark):
+    from db_factfinder_spark.llmdata.crawl import crawl_schedule
+
+    frontier = spark.createDataFrame(
+        [
+            ("a.com", 1, 50), ("a.com", 2, 90), ("a.com", 3, 90),
+            ("b.org", 4, 10),
+        ],
+        "host string, url int, priority int",
+    )
+    rows = crawl_schedule(
+        frontier, n_workers=4, per_host_delay_s=7
+    ).collect()
+    by_url = {r["url"]: r for r in rows}
+    # priority desc, url asc: 2 (90), 3 (90 tie → url), 1 (50)
+    assert [by_url[u]["slot"] for u in (2, 3, 1)] == [0, 1, 2]
+    assert by_url[1]["fetch_offset_s"] == 14
+    assert by_url[4]["slot"] == 0
+    # worker sticky per host
+    a_workers = {r["worker"] for r in rows if r["host"] == "a.com"}
+    assert len(a_workers) == 1 and 0 <= a_workers.pop() < 4
+    # per-host politeness: offsets within a host are distinct multiples
+    a_offsets = sorted(
+        r["fetch_offset_s"] for r in rows if r["host"] == "a.com"
+    )
+    assert a_offsets == [0, 7, 14]
+
+
+def test_crawl_schedule_plan_single_host_window(spark):
+    """No global window: the only sort is partitioned by host."""
+    from db_factfinder_spark.llmdata.crawl import crawl_schedule
+
+    frontier = spark.createDataFrame(
+        [("h", 1, 1)], "host string, url int, priority int"
+    )
+    plan = (
+        crawl_schedule(frontier)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan and "Join" not in plan
+
+
+def test_novelty_with_state_excludes_known_grams(spark):
+    from db_factfinder_spark.llmdata.textstats import (
+        build_gram_state,
+        ngram_novelty_with_state,
+    )
+
+    old = spark.createDataFrame(
+        [(0, "one two three four")], "doc_id int, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "one two three five"),   # "one two three" known
+            (2, "one two three five"),   # dup of 1 within batch
+            (3, "six seven eight"),      # all new
+        ],
+        "doc_id int, text string",
+    )
+    state = build_gram_state(old, n=3)
+    rows = {
+        r["doc_id"]: r
+        for r in ngram_novelty_with_state(batch, state, n=3).collect()
+    }
+    assert rows[1]["n_grams"] == 2 and rows[1]["n_novel"] == 1
+    assert rows[2]["n_novel"] == 0        # both grams taken (state/doc1)
+    assert rows[3]["novelty"] == 1.0
+
+
+def test_hard_negative_mining_excludes_same_label(spark):
+    from db_factfinder_spark.llmdata.similarity import hard_negative_topk
+
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 7),
+            (1, [1.0, 0.01], 7),   # nearest but SAME label — excluded
+            (2, [1.0, 0.2], 3),    # nearest different-label
+            (3, [0.0, 1.0], 3),
+        ],
+        "vec_id int, embedding array<double>, label int",
+    )
+    out = hard_negative_topk(
+        embs.filter("vec_id = 0"), embs, k=2
+    ).collect()
+    assert [r["neighbor_id"] for r in out] == [2, 3]
+    assert all(r["neighbor_label"] != 7 for r in out)
