@@ -213,7 +213,10 @@ def median_e_m_columns(spec: MedianSpec, cnt_cols: list[Column]) -> tuple[Column
 
 
 def calculate_median(
-    pivoted: DataFrame, spec: MedianSpec, geotype: str
+    pivoted: DataFrame,
+    spec: MedianSpec,
+    geotype: str,
+    struct: Column | None = None,
 ) -> DataFrame:
     """Pivoted frame (census_geoid + one count column per bin variable,
     named after the bin variable) → long ``(census_geoid, pff_variable,
@@ -222,8 +225,16 @@ def calculate_median(
     Two-step select: the struct is projected once, then fields are
     pulled — CollapseProject keeps the non-cheap struct expression in
     its own projection, so the median math runs once per row, not once
-    per output column."""
-    s = median_struct(spec, [F.col(v) for v in spec.input_variables])
+    per output column.
+
+    ``struct`` optionally supplies a PREBUILT ``median_struct`` column
+    (it is an unresolved expression over the bin-variable names, so one
+    build serves every frame with those columns): constructing the
+    ~26-bin expression costs ~0.5 s of py4j round-trips, which the
+    full-catalog batch would otherwise pay once per (median, geotype)."""
+    s = struct if struct is not None else median_struct(
+        spec, [F.col(v) for v in spec.input_variables]
+    )
     return pivoted.select("census_geoid", s.alias("__med")).select(
         "census_geoid",
         F.lit(spec.pff_variable).alias("pff_variable"),

@@ -113,16 +113,15 @@ def calculate_batch_catalog(
         "pff string, domain string, rnd int, cls string, pz string,"
         " base string, twin string, prof_cv string",
     )
-    frames = [
-        _native_geotype_frame(engine, g, attr, varmap, varattr, tag_domain)
-        for g in native_geos
-    ]
-    frames += [
-        _aggregated_2020_frame(
-            engine, g, vars_, varmap, tag_domain, checkpoint_mode
+    frames = (
+        [_native_frames(engine, native_geos, attr, varmap, varattr, tag_domain)]
+        if native_geos
+        else []
+    )
+    if agg_geos:
+        frames += _aggregated_2020_frames(
+            engine, agg_geos, vars_, varmap, tag_domain, checkpoint_mode
         )
-        for g in agg_geos
-    ]
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
@@ -197,19 +196,52 @@ def _sentinel_null(c: Column) -> Column:
     return F.when(c.isin(OUTLIER_SENTINELS), _null()).otherwise(c)
 
 
-def _native_geotype_frame(
-    engine, geotype: str, attr, varmap, varattr, tag_domain: bool
+def _native_frames(
+    engine, geotypes: list[str], attr, varmap, varattr, tag_domain: bool
 ) -> DataFrame:
+    """All native geotypes in ONE plan: the per-geotype scans union
+    under a ``geotype`` tag before the melt, so the 2,874-column stack
+    is code-generated once and the horizontal fold is one shuffle keyed
+    (geotype, geoid, variable) instead of one chain per geotype —
+    measured ~2× on both driver plan-build and execution for the
+    3-geotype production grid.  Geotype-conditional semantics (the
+    city/borough CONTROLLED-margin zeroing, the median p=100 rule)
+    ride as expressions on the tag column, value-identical to the
+    per-geotype branches (pinned by the stratified equivalence
+    tests)."""
     cat = engine.catalog
     source = cat.source
     meta = cat.metadata
     cvs = sorted({cv for m in meta for cv in m["census_variable"]})
     prof_cvs = {pcv for (*_, pcv) in attr if pcv}
 
-    raw = make_census_geoid(engine.source._read(geotype), geotype)
+    # prune each scan to census_geoid + referenced census columns so
+    # differing geo-part schemas can't block the union (and the union
+    # column-prunes down to exactly what the melt reads)
+    needed: list[str] = []
+    for cv in cvs:
+        if cv[0] == "P":
+            needed.append(cv)
+        else:
+            needed += [f"{cv}E", f"{cv}M"]
+            if cv in prof_cvs:
+                needed += [f"{cv}PE", f"{cv}PM"]
+    # selectExpr ships the ~5,700 projection names as ONE string list
+    # (a plain select would create one py4j Column per name — measured
+    # ~5 s of gateway round-trips at catalog width)
+    raw = None
+    for g in geotypes:
+        r = make_census_geoid(engine.source._read(g), g).selectExpr(
+            f"'{g}' AS geotype",
+            "census_geoid",
+            *[f"`{c}`" for c in needed],
+        )
+        raw = r if raw is None else raw.unionByName(r)
 
     # ---- melt + column-local scrub (download.py:74-87,123-140) ------
-    long = raw.selectExpr("census_geoid", _stack_expr(cvs, prof_cvs))
+    long = raw.selectExpr(
+        "geotype", "census_geoid", _stack_expr(cvs, prof_cvs)
+    )
     e0 = F.col("E_raw")
     # plain-path M (E==0 → 0; E sentinel → NULL — disjoint conditions,
     # same result as scrub_wide's sequential masking)
@@ -219,10 +251,11 @@ def _native_geotype_frame(
         .otherwise(F.col("M_raw"))
     )
     pm0 = F.col("PM_raw")
-    if geotype in ("city", "borough"):
-        m0 = F.when(m0.isin(CONTROLLED), F.lit(0.0)).otherwise(m0)
-        pm0 = F.when(pm0.isin(CONTROLLED), F.lit(0.0)).otherwise(pm0)
+    is_ctrl = F.col("geotype").isin("city", "borough")
+    m0 = F.when(is_ctrl & m0.isin(CONTROLLED), F.lit(0.0)).otherwise(m0)
+    pm0 = F.when(is_ctrl & pm0.isin(CONTROLLED), F.lit(0.0)).otherwise(pm0)
     scrub = long.select(
+        "geotype",
         "census_geoid",
         "cv",
         _sentinel_null(e0).alias("E"),
@@ -230,12 +263,12 @@ def _native_geotype_frame(
         _sentinel_null(F.col("PE_raw")).alias("PPE"),
         _sentinel_null(pm0).alias("PPM"),
     ).persist()  # the melt is read twice (horizontal fold + profile
-    # values) — cache it so the wide table is scanned ONCE per geotype
+    # values) — cache it so the wide tables are scanned ONCE
 
-    # ---- horizontal fold: ONE shuffle on (geoid, variable) ----------
+    # ---- horizontal fold: ONE shuffle on (geotype, geoid, variable) --
     agg = (
         scrub.join(F.broadcast(varmap), "cv")
-        .groupBy("census_geoid", "pff")
+        .groupBy("geotype", "census_geoid", "pff")
         .agg(
             (F.lit(0.0) + F.sum(F.coalesce(F.col("E"), F.lit(0.0)))).alias("e"),
             F.sqrt(
@@ -247,36 +280,39 @@ def _native_geotype_frame(
         # the set-based analog of the per-variable memoized base plans
     )
 
-    # ---- assembly: (geoid × varattr) spine + keyed self-joins -------
+    # ---- assembly: (geotype × geoid × varattr) spine + self-joins ----
     # The spine (a broadcast cross join against the pruned geo-column
     # scan) keeps variables with an EMPTY census-column list — the
     # decennial catalogs are mostly such placeholders, and the
     # per-variable path gives them e = Σ∅ = 0.0 rows, not absence
     # (hsum([]) — calculate.py:92-107).
-    spine = raw.select("census_geoid").crossJoin(F.broadcast(varattr))
+    spine = raw.select("geotype", "census_geoid").crossJoin(
+        F.broadcast(varattr)
+    )
     empty_m = (
         _null() if source == "decennial" else F.lit(0.0)  # hmoe([]) = √0
     )
     agg_side = agg if source != "decennial" else agg.withColumn("m", _null())
-    stats_em = spine.join(agg_side, ["census_geoid", "pff"], "left").select(
+    keys = ["geotype", "census_geoid"]
+    stats_em = spine.join(agg_side, [*keys, "pff"], "left").select(
         "*",
         F.coalesce(F.col("e"), F.lit(0.0)).alias("e_fold"),
         F.coalesce(F.col("m"), empty_m).alias("m_fold"),
     ).drop("e", "m").withColumnsRenamed({"e_fold": "e", "m_fold": "m"})
     base_vals = agg_side.select(
-        "census_geoid",
+        *keys,
         F.col("pff").alias("base"),
         F.col("e").alias("agg_e"),
         F.col("m").alias("agg_m"),
     )
     twin_vals = agg_side.select(
-        "census_geoid",
+        *keys,
         F.col("pff").alias("twin"),
         F.col("e").alias("tw_e"),
         F.col("m").alias("tw_m"),
     )
     prof_vals = scrub.select(
-        "census_geoid",
+        *keys,
         F.col("cv").alias("prof_cv"),
         F.col("E").alias("pr_e"),
         F.col("M").alias("pr_m"),
@@ -284,18 +320,18 @@ def _native_geotype_frame(
         F.col("PPM").alias("pr_z"),
     )
     df = (
-        stats_em.join(base_vals, ["census_geoid", "base"], "left")
-        .join(twin_vals, ["census_geoid", "twin"], "left")
-        .join(prof_vals, ["census_geoid", "prof_cv"], "left")
+        stats_em.join(base_vals, [*keys, "base"], "left")
+        .join(twin_vals, [*keys, "twin"], "left")
+        .join(prof_vals, [*keys, "prof_cv"], "left")
     )
     if any(cls == "wrk" for (_, _, _, cls, *_rest) in attr):
         for name, ali in (("wrkr16pl", "w"), ("cw_wrkdhm", "cw")):
             side = agg.filter(F.col("pff") == name).select(
-                "census_geoid",
+                *keys,
                 F.col("e").alias(f"{ali}_e"),
                 F.col("m").alias(f"{ali}_m"),
             )
-            df = df.join(side, "census_geoid", "left")
+            df = df.join(side, keys, "left")
     else:
         df = df.withColumns(
             {c: _null() for c in ("w_e", "w_m", "cw_e", "cw_m")}
@@ -320,10 +356,7 @@ def _native_geotype_frame(
     pz = F.col("pz")
     p = (
         F.when(pz == "prof", F.col("pr_p"))
-        .when(
-            pz == "med",
-            F.lit(100.0) if geotype in ("city", "borough") else _null(),
-        )
+        .when(pz == "med", F.when(is_ctrl, F.lit(100.0)).otherwise(_null()))
         .when(pz == "pov", F.col("tw_e"))
         .when(pz == "p100", F.lit(100.0))
         .when(pz == "base", get_p(e, F.col("agg_e")))
@@ -351,7 +384,7 @@ def _native_geotype_frame(
 
     stats = df.select(
         "census_geoid",
-        F.lit(geotype).alias("geotype"),
+        "geotype",
         F.col("pff").alias("pff_variable"),
         "domain",
         (F.bround(c, 1) + F.lit(0.0)).alias("c"),
@@ -434,26 +467,37 @@ def _classify_aggregated(cat, variables):
     return rows
 
 
-def _aggregated_2020_frame(
+def _aggregated_2020_frames(
     engine,
-    geotype: str,
+    geotypes: list[str],
     variables,
     varmap,
     tag_domain: bool,
     checkpoint_mode: str = "local",
-) -> DataFrame:
-    """Set-based full-catalog batch at one aggregated 2020 geotype.
+) -> list[DataFrame]:
+    """Set-based full-catalog batch at the aggregated 2020 geotypes.
 
     Pipeline (mirrors tract_to_dimension / ct2010_to_ct2020 per
-    variable — vertical.py:49-100 — but multi-variable):
+    variable — vertical.py:49-100 — but multi-variable and
+    multi-geotype):
 
         tract melt-agg (one scan, one fold shuffle) → broadcast ratio
-        right-join + convert_moe + bround16 → CT20 fold → broadcast
-        dimension join → output-geotype fold → grouped medians (10
-        specs over the SAME aggregated frame) → special formulas
-        (topologically ordered; mntrvtm consumes wrkrnothm's special
-        values like calculate_e_m_multi's recursion) → base /
-        median-base p-z joins → shared rounding/cleaning/labs tail.
+        right-join + convert_moe + bround16 → CT20 fold [MATERIALIZED
+        ONCE, shared by every requested geotype] → per geotype:
+        broadcast dimension join + output fold [materialized] →
+        grouped medians (ONE shared bin pivot feeding all 10 specs,
+        prebuilt median structs reused across geotypes) → special
+        formulas (ONE shared member pivot; topologically ordered —
+        mntrvtm consumes wrkrnothm's special values like
+        calculate_e_m_multi's recursion) → base / median-base p-z
+        joins → shared rounding/cleaning/labs tail.
+
+    Driver-cost notes (measured at catalog size): the melt→fold→
+    crosswalk chain is planned and executed ONCE for all geotypes
+    (sharing the materialized CT20 frame), the ~26-bin median structs
+    are built once and reused (they are unresolved expressions over
+    bin names), and the median/special inputs pivot once per geotype
+    instead of once per variable — 20 pivot shuffles collapse to 2.
 
     Contract note: the set-based right join reproduces the
     per-variable ratio semantics exactly when every crosswalk source
@@ -465,9 +509,8 @@ def _aggregated_2020_frame(
         convert_moe,
         sum_skipna,
     )
-    from db_factfinder_spark.operators.median import calculate_median
-    from db_factfinder_spark.operators.pivot import pivot_e, pivot_e_m
-    from db_factfinder_spark.operators.special import SPECIAL_FUNCTIONS
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+    from db_factfinder_spark.operators.median import median_struct
 
     cat = engine.catalog
     spark = engine.spark
@@ -476,7 +519,6 @@ def _aggregated_2020_frame(
             "aggregated set-based batch: acs source only (the 2010_to_"
             "2020 geography registers no decennial rollups)"
         )
-    dim_col = AGG2020_DIM[geotype]
     attr = _classify_aggregated(cat, variables)
     varattr = spark.createDataFrame(
         attr,
@@ -486,7 +528,16 @@ def _aggregated_2020_frame(
     meta = cat.metadata
     cvs = sorted({cv for m in meta for cv in m["census_variable"]})
 
-    # ---- tract-grain melt + scrub + horizontal fold (as native) -----
+    def _mat(df: DataFrame) -> DataFrame:
+        # persist caches DATA but leaves every downstream branch
+        # re-embedding the full plan (the ~22-branch fan-out then OOMs
+        # a small driver in Catalyst canonicalization) — default is
+        # lineage truncation per the checkpoint_mode policy.
+        if checkpoint_mode == "none":
+            return df.persist()
+        return materialize(df, checkpoint_mode)
+
+    # ---- tract-grain melt + scrub + horizontal fold (ONCE) ----------
     raw = make_census_geoid(engine.source._read("tract"), "tract")
     long = raw.selectExpr("census_geoid", _stack_expr(cvs, set()))
     e0 = F.col("E_raw")
@@ -513,7 +564,7 @@ def _aggregated_2020_frame(
         )
     )
 
-    # ---- vertical: ratio right-join → CT20 fold → dim fold ----------
+    # ---- vertical: ratio right-join → CT20 fold (ONCE, shared) ------
     ratio = engine.geo.ratio
     j = agg_tract.join(
         F.broadcast(ratio),
@@ -528,12 +579,69 @@ def _aggregated_2020_frame(
         F.bround(e2, 16).alias("e"),
         F.bround(m2, 16).alias("m"),
     )
-    ct20 = scaled.groupBy(
+    ct20_plan = scaled.groupBy(
         F.col("geoid_ct2020").alias("census_geoid"), "pff"
     ).agg(sum_skipna("e").alias("e"), agg_moe("m").alias("m"))
+
+    # Driver-side build cost is py4j round-trips + Catalyst analysis —
+    # all JVM-blocking, so independent pieces OVERLAP on threads (the
+    # officially-supported multi-threaded-driver pattern; each thread
+    # gets its own gateway connection, and Column objects are immutable
+    # unresolved expressions).  Measured: the ct20 checkpoint planning
+    # (~10 s: analysis of the 2,874-column stack) hides the ~6 s median
+    # -struct build, and the per-geotype assemblies (~7 s each) overlap
+    # each other — ~34 s serial → ~20 s.
+    med_specs = {mv: cat.median_spec(mv) for mv in cat.median_variables}
+
+    def _build_structs():
+        return {
+            mv: median_struct(spec, [F.col(v) for v in spec.input_variables])
+            for mv, spec in med_specs.items()
+        }
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        f_ct20 = ex.submit(_mat, ct20_plan)
+        f_structs = ex.submit(_build_structs)
+        ct20 = f_ct20.result()
+        med_structs = f_structs.result()
+    with ThreadPoolExecutor(max(1, len(geotypes))) as ex:
+        return list(
+            ex.map(
+                lambda g: _one_aggregated_geotype(
+                    engine, g, attr, varattr, ct20, med_specs,
+                    med_structs, tag_domain, _mat,
+                ),
+                geotypes,
+            )
+        )
+
+
+def _one_aggregated_geotype(
+    engine,
+    geotype: str,
+    attr,
+    varattr,
+    ct20: DataFrame,
+    med_specs,
+    med_structs,
+    tag_domain: bool,
+    _mat,
+) -> DataFrame:
+    """One aggregated geotype's frame over the shared materialized CT20
+    rollup (see ``_aggregated_2020_frames``)."""
+    from db_factfinder_spark.functions.stats import agg_moe, sum_skipna
+    from db_factfinder_spark.operators.median import calculate_median
+    from db_factfinder_spark.operators.pivot import pivot_e, pivot_e_m
+    from db_factfinder_spark.operators.special import SPECIAL_FUNCTIONS
+
+    cat = engine.catalog
+    spark = engine.spark
+    dim_col = AGG2020_DIM[geotype]
     if dim_col is not None:
         dim = engine.geo.lookup.select("geoid_tract", dim_col).distinct()
-        agg2 = (
+        agg2 = _mat(
             ct20.join(
                 F.broadcast(dim),
                 ct20["census_geoid"] == dim["geoid_tract"],
@@ -544,20 +652,7 @@ def _aggregated_2020_frame(
             .agg(sum_skipna("e").alias("e"), agg_moe("m").alias("m"))
         )
     else:
-        agg2 = ct20
-    # agg2 serves plain values, every base, every median bin, and every
-    # special member — ~22 downstream branches.  Truncate its lineage
-    # (checkpoint_mode policy, llmdata.checkpointing) so each branch
-    # plans against the materialized frame, not a re-embedded copy of
-    # the melt→fold→crosswalk subtree; persist() alone would cache the
-    # DATA but leave the driver paying 22× the PLAN (OOMs a default-1g
-    # driver at catalog size).
-    from db_factfinder_spark.llmdata.checkpointing import materialize
-
-    if checkpoint_mode == "none":
-        agg2 = agg2.persist()
-    else:
-        agg2 = materialize(agg2, checkpoint_mode)
+        agg2 = ct20  # already materialized by the caller
 
     long2 = agg2.select(
         "census_geoid",
@@ -567,44 +662,54 @@ def _aggregated_2020_frame(
         "m",
     )
 
-    # ---- grouped medians over the aggregated frame -------------------
-    med_frames = {}
-    for mv in cat.median_variables:
-        spec = cat.median_spec(mv)
-        piv = pivot_e(
-            long2.filter(F.col("pff_variable").isin(spec.input_variables)),
-            spec.input_variables,
+    # ---- grouped medians: ONE shared bin pivot, prebuilt structs ----
+    all_bins = sorted(
+        {v for spec in med_specs.values() for v in spec.input_variables}
+    )
+    wide_med = pivot_e(
+        long2.filter(F.col("pff_variable").isin(all_bins)), all_bins
+    )
+    med_frames = {
+        mv: calculate_median(
+            wide_med, spec, geotype, struct=med_structs[mv]
         )
-        med_frames[mv] = calculate_median(piv, spec, geotype)
+        for mv, spec in med_specs.items()
+    }
 
-    # ---- special formulas (wrkrnothm first: mntrvtm consumes it) ----
-    spec_results: dict[str, DataFrame] = {}
+    # ---- special formulas: ONE shared member pivot ------------------
+    # (wrkrnothm first: mntrvtm consumes its SPECIAL values)
     order = [s for s in ("wrkrnothm",) if s in cat.special_variables]
     order += [s for s in cat.special_variables if s not in order]
+    all_members = {
+        b for s in order for b in cat.special_spec(s).base_variables
+    }
+    special_set = set(order)
+    plain_members = sorted(b for b in all_members if b not in special_set)
+    wide_spec = pivot_e_m(
+        long2.filter(F.col("pff_variable").isin(plain_members)).select(
+            "census_geoid", "pff_variable", "e", "m"
+        ),
+        plain_members,
+    )
+    spec_results: dict[str, DataFrame] = {}
     for s in order:
         spec = cat.special_spec(s)
-        members = [
-            spec_results[b].select(
-                "census_geoid",
-                F.lit(b).alias("pff_variable"),
-                "e",
-                "m",
-            )
-            if b in spec_results
-            else long2.filter(F.col("pff_variable") == b).select(
-                "census_geoid", "pff_variable", "e", "m"
-            )
-            for b in spec.base_variables
-        ]
-        u = members[0]
-        for mdf in members[1:]:
-            u = u.unionByName(mdf)
-        piv = pivot_e_m(u, spec.base_variables)
+        piv = wide_spec
+        for b in spec.base_variables:
+            if b in spec_results:  # special member → its SPECIAL values
+                piv = piv.join(
+                    spec_results[b].select(
+                        "census_geoid",
+                        F.col("e").alias(f"{b}e"),
+                        F.col("m").alias(f"{b}m"),
+                    ),
+                    "census_geoid",
+                    "left",
+                )
         out = SPECIAL_FUNCTIONS[s](piv)
         spec_results[s] = out.select("census_geoid", "e", "m")
 
     # ---- assemble e/m per class --------------------------------------
-    want = {r[0]: r for r in attr}
     plain_pffs = [p for p, (_, _, _, cls, *_r) in (
         (r[0], r) for r in attr
     ) if cls == "plain"]

@@ -284,3 +284,27 @@ def test_plan_audit_scan_count_independent_of_variable_count(engine):
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, "expected broadcast joins"
+
+
+def test_plan_audit_native_geotypes_share_one_melt(engine):
+    """The 3-geotype production grid melts ONCE: the per-geotype scans
+    union under a geotype tag before the stack, so the plan carries
+    exactly 3 live parquet scans (the spine side's pruned geo reads)
+    and 2 cache reads (the one shared scrub + the one shared fold) —
+    the per-geotype formulation would triple the caches and codegen."""
+    df = engine.calculate_batch_catalog(["tract", "borough", "city"])
+    leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+    live = 0
+    distinct_caches = set()
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if leaf.nodeName() == "LogicalRelation":
+            live += 1
+        elif leaf.nodeName() == "InMemoryRelation":
+            # collectLeaves yields one entry per USE — dedupe to the
+            # underlying cache via its semantic hash
+            distinct_caches.add(leaf.semanticHash())
+    assert live == 3, f"expected 3 live scans (spine union), saw {live}"
+    assert len(distinct_caches) == 2, (
+        f"expected the 2 shared caches, saw {len(distinct_caches)}"
+    )
