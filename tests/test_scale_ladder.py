@@ -381,3 +381,66 @@ def test_round8_ladder_linear_and_shuffle_stable(spark, tmp_path):
             f"{name}: 6x data took {t[6]:.1f}s vs 1x {t[1]:.1f}s "
             f"(bound {bound:.1f}s) — superlinear growth"
         )
+
+
+def _write_scaled_embs(spark, k: int, out_dir: str) -> None:
+    """k replicas with disjoint vec_id spaces; the q338/q344 probe sets
+    (vec_id < 6 / < 8) stay fixed, so corpus-side work must scale by k
+    while the broadcast probe side is constant."""
+    e = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    parts = [
+        e.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        for i in range(k)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+@pytest.mark.slow
+def test_round8_new_ops_ladder_linear_and_shuffle_stable(spark, tmp_path):
+    """The round-8 retrieval/curation operators under the ladder
+    discipline: MaxSim scoring scales with corpus tokens (fixed
+    broadcast query side), hashed-logit with token volume (the model
+    broadcast grows but stays KB-scale), the novelty curves with gram
+    volume (shingle-disjoint replicas keep per-replica structure), and
+    crawl scheduling with per-host queue length."""
+    scales = (1, 6)
+    doc_dirs, emb_dirs = {}, {}
+    for k in scales:
+        d = str(tmp_path / f"r8nx{k}")
+        _write_scaled_docs(spark, k, d)
+        doc_dirs[k] = d
+        e = str(tmp_path / f"r8ex{k}")
+        _write_scaled_embs(spark, k, e)
+        emb_dirs[k] = e
+
+    cases = [
+        ("q338_maxsim_late_interaction", emb_dirs),
+        ("q340_hashed_quality_logit", doc_dirs),
+        ("q341_ngram_novelty", doc_dirs),
+        ("q342_crawl_schedule", doc_dirs),
+        ("q343_novelty_with_state", doc_dirs),
+    ]
+    for name, dirs in cases:
+        t, ex = {}, {}
+        for k in scales:
+            df = QUERIES[name](spark, dirs[k])
+            ex[k] = _exchanges(spark, df)
+            t0 = time.perf_counter()
+            _force(df)
+            t[k] = time.perf_counter() - t0
+        assert ex[6] == ex[1], (
+            f"{name}: plan not shuffle-stable across scale "
+            f"({ex[1]} vs {ex[6]} exchanges)"
+        )
+        bound = 6 * 2.5 * t[1] + 3.0
+        assert t[6] <= bound, (
+            f"{name}: 6x data took {t[6]:.1f}s vs 1x {t[1]:.1f}s "
+            f"(bound {bound:.1f}s) — superlinear growth"
+        )
