@@ -308,3 +308,45 @@ def test_plan_audit_native_geotypes_share_one_melt(engine):
     assert len(distinct_caches) == 2, (
         f"expected the 2 shared caches, saw {len(distinct_caches)}"
     )
+
+
+@pytest.mark.slow
+def test_aggregated_batch_survives_default_1g_driver():
+    """Regression pin for the driver-memory hazard: the aggregated
+    catalog batch (q337's shape) must run to completion in a STOCK
+    SparkSession (default 1g driver heap, no tuning).  Before the
+    checkpoint_mode lineage truncation, the ~22-branch fan-out
+    re-embedded the melt plan per branch and OOM'd the driver in
+    Catalyst canonicalization."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = str(Path(__file__).parent.parent)
+    child = r"""
+import json, sys
+sys.path.insert(0, %(root)r)
+import __spark_entry__ as E
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)  # deliberately STOCK: 1g driver heap
+n = E.queries()["q337_acs_catalog_batch_nta"](spark, %(sf)r).count()
+print("ONEGRESULT:" + json.dumps({"rows": n}))
+""" % {"root": root, "sf": SF}
+    env = dict(os.environ)
+    env.pop("SPARK_DRIVER_MEMORY", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", child],
+        capture_output=True, text=True, timeout=560, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [
+        l for l in proc.stdout.splitlines() if l.startswith("ONEGRESULT:")
+    ]
+    assert line, proc.stdout[-2000:]
+    got = json.loads(line[-1][len("ONEGRESULT:"):])
+    assert got["rows"] > 0
