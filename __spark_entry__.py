@@ -9092,6 +9092,47 @@ def q344_hard_negative_mining(spark, sf_dir):
     ).orderBy("probe_id", "rank")
 
 
+def q345_c4_cleaning(spark, sf_dir):
+    """C4-style sentence-level cleaning (Raffel et al. 2020 §2.2) as
+    ONE map-side projection: tokens → 10-token pseudo-sentences →
+    sentence rules (≥5 tokens, ≥1 stopword, no blocklist token) →
+    document rules (≥3 kept sentences, 50–50k kept tokens) →
+    reassembled-text md5.  Zero shuffles — the 100 TB front-line
+    cleaning pass is embarrassingly parallel by construction."""
+    from db_factfinder_spark.llmdata.webclean import c4_clean
+
+    return c4_clean(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q346_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule vector (Rae et al. 2021 §A1.1): token-count
+    bounds, mean-word-length bounds, stopword floor, alphabetic-token
+    floor, top-unigram occupancy cap — per-rule booleans plus the
+    conjunction, statistics kept for audit.  Map-side stats + exactly
+    two keyed shuffles for the top-unigram share (doc×token partial
+    count → per-doc max), joined back on the same key."""
+    from db_factfinder_spark.llmdata.webclean import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q347_redirect_resolution(spark, sf_dir):
+    """Redirect-chain resolution by POINTER DOUBLING
+    (llmdata/urls.py:resolve_redirects): log2(max_hops) self-joins
+    resolve every chain ≤ max_hops — the crawl-graph canonicalization
+    that runs before URL-keyed dedup.  Fixture: doc_id%5!=0 redirects
+    to doc_id-1, so chains of length ≤4 end at multiples of 5; hop
+    counts stay exact under composition (terminal maps to itself with
+    hop 0)."""
+    from db_factfinder_spark.llmdata.urls import resolve_redirects
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    return resolve_redirects(edges, max_hops=16).orderBy("url")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9441,6 +9482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q342_crawl_schedule": q342_crawl_schedule,
         "q343_novelty_with_state": q343_novelty_with_state,
         "q344_hard_negative_mining": q344_hard_negative_mining,
+        "q345_c4_cleaning": q345_c4_cleaning,
+        "q346_gopher_rules": q346_gopher_rules,
+        "q347_redirect_resolution": q347_redirect_resolution,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

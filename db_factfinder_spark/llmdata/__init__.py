@@ -107,8 +107,15 @@ from db_factfinder_spark.llmdata.redact import (  # noqa: F401
     domain_blocklist_filter,
     redact_pii,
 )
-from db_factfinder_spark.llmdata.urls import normalize_urls  # noqa: F401
+from db_factfinder_spark.llmdata.urls import (  # noqa: F401
+    normalize_urls,
+    resolve_redirects,
+)
 from db_factfinder_spark.llmdata.crawl import crawl_schedule  # noqa: F401
+from db_factfinder_spark.llmdata.webclean import (  # noqa: F401
+    c4_clean,
+    gopher_rules,
+)
 from db_factfinder_spark.llmdata.textstats import (  # noqa: F401
     bigram_lm,
     bm25_search,

@@ -11,6 +11,8 @@ re-derives every field.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -79,4 +81,72 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
             "path": path,
             "url_norm": url_norm,
         }
+    )
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 16,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Resolve redirect chains to their final target by POINTER
+    DOUBLING: ``ceil(log2(max_hops))`` self-joins instead of
+    ``max_hops`` sequential ones — the only shape that survives long
+    chains at crawl scale (each round squares the reachable distance;
+    every round is one equi-join shuffle on the node id).
+
+    ``edges`` holds one row per redirecting URL (``src`` → ``dst``);
+    a URL absent from ``src`` is terminal.  Returns one row per node
+    (every URL appearing on either side): ``url``, ``final_url``,
+    ``hops`` (exact chain length when resolved), and ``resolved`` —
+    False for chains longer than ``max_hops`` and for redirect cycles,
+    whose walk never reaches a terminal node (surfaced, not guessed).
+
+    The hop count stays exact under composition because a terminal
+    node maps to itself with hop 0: once a walk lands, further rounds
+    add zero.
+
+    Lineage is truncated per round (``checkpoint_mode`` — see
+    ``llmdata.checkpointing``): a self-join whose input is a live plan
+    re-embeds the whole subtree on BOTH sides, doubling plan size per
+    round (2^rounds copies of the base scan by round r — the
+    exponential-plan trap, same class the catalog batch hit).
+    """
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+    nodes = (
+        edges.select(F.col(src).alias("u"))
+        .unionByName(edges.select(F.col(dst).alias("u")))
+        .distinct()
+    )
+    step = edges.select(F.col(src).alias("u"), F.col(dst).alias("nxt"))
+    jump = nodes.join(step, "u", "left").select(
+        "u",
+        F.coalesce(F.col("nxt"), F.col("u")).alias("v"),
+        F.when(F.col("nxt").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("h"),
+    )
+    for _ in range(max(1, math.ceil(math.log2(max(2, max_hops))))):
+        jump = materialize(jump, checkpoint_mode)
+        b = jump.select(
+            F.col("u").alias("bu"),
+            F.col("v").alias("bv"),
+            F.col("h").alias("bh"),
+        )
+        jump = jump.join(b, jump["v"] == b["bu"]).select(
+            "u",
+            F.col("bv").alias("v"),
+            (F.col("h") + F.col("bh")).alias("h"),
+        )
+    terminal = edges.select(F.col(src).alias("v")).distinct().withColumn(
+        "_redirects", F.lit(True)
+    )
+    return jump.join(terminal, "v", "left").select(
+        F.col("u").alias("url"),
+        F.col("v").alias("final_url"),
+        F.col("h").alias("hops"),
+        F.col("_redirects").isNull().alias("resolved"),
     )

@@ -9642,3 +9642,112 @@ SELECT probe_id, neighbor_id, neighbor_label, cosine, rank FROM (
   FROM scored)
 WHERE rank <= 5 ORDER BY probe_id, rank
 """
+
+
+# shared rule-word lists for the web-cleaning oracles (mirror
+# llmdata/webclean.py C4_STOPWORDS / C4_BADWORDS)
+_C4_STOP = (
+    "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for']"
+)
+_C4_BAD = "['javascript', 'lorem', 'cookie']"
+
+
+# q345: C4-style sentence cleaning — 10-token pseudo-sentences, the
+# three sentence rules, the two document rules, md5 of the
+# reassembled kept text.  Mirrors webclean.c4_clean op-for-op.
+ORACLES["q345_c4_cleaning"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) > 0 THEN
+      list_transform(
+        range(0, CAST(floor((len(toks) - 1) / 10) AS BIGINT) + 1),
+        i -> toks[(i * 10 + 1):(i * 10 + 10)])
+    ELSE CAST([] AS VARCHAR[][]) END AS sents
+  FROM d),
+k AS (
+  SELECT doc_id, sents,
+    list_filter(sents, s -> len(s) >= 5
+      AND len(list_filter(s, t -> list_contains({_C4_STOP}, t))) > 0
+      AND len(list_filter(s, t -> list_contains({_C4_BAD}, t))) = 0)
+      AS keptsents
+  FROM s)
+SELECT doc_id,
+  len(sents) AS n_sentences,
+  len(keptsents) AS n_kept,
+  len(flatten(keptsents)) AS n_tokens_kept,
+  md5(coalesce(array_to_string(flatten(keptsents), ' '), ''))
+    AS cleaned_md5,
+  (len(keptsents) >= 3 AND len(flatten(keptsents)) >= 50
+   AND len(flatten(keptsents)) <= 50000) AS kept
+FROM k ORDER BY doc_id
+"""
+
+
+# q346: Gopher rule vector — map-side token stats + (doc, token)
+# partial count -> per-doc max for the top-unigram share; ratios are
+# single IEEE divisions of exact integer counts.
+ORACLES["q346_gopher_rules"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+stats AS (
+  SELECT doc_id,
+    len(toks) AS n_tok,
+    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+      AS char_sum,
+    CAST(len(list_filter(toks, t -> list_contains({_C4_STOP}, t)))
+         AS BIGINT) AS stop_count,
+    CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+         AS BIGINT) AS alpha_count
+  FROM d),
+g AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM g GROUP BY doc_id, tok),
+top AS (SELECT doc_id, max(c) AS top_count FROM cnt GROUP BY doc_id),
+j AS (
+  SELECT s.doc_id, s.n_tok, s.stop_count,
+    CAST(s.char_sum AS DOUBLE) / CAST(s.n_tok AS DOUBLE)
+      AS mean_word_len,
+    CAST(s.alpha_count AS DOUBLE) / CAST(s.n_tok AS DOUBLE)
+      AS alpha_frac,
+    CAST(coalesce(t.top_count, 0) AS DOUBLE) / CAST(s.n_tok AS DOUBLE)
+      AS top_unigram_frac
+  FROM stats s LEFT JOIN top t USING (doc_id))
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, stop_count,
+  mean_word_len, alpha_frac, top_unigram_frac,
+  (n_tok >= 50 AND n_tok <= 100000) AS r_len,
+  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mwl,
+  (stop_count >= 2) AS r_stop,
+  (alpha_frac >= 0.8) AS r_alpha,
+  (top_unigram_frac <= 0.12) AS r_top,
+  ((n_tok >= 50 AND n_tok <= 100000)
+   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+   AND (stop_count >= 2) AND (alpha_frac >= 0.8)
+   AND (top_unigram_frac <= 0.12)) AS kept
+FROM j ORDER BY doc_id
+"""
+
+
+# q347: redirect resolution — the recursive walk the pointer-doubling
+# joins compute in log rounds; final hop per url, terminal check for
+# the resolved flag.
+ORACLES["q347_redirect_resolution"] = """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS src, doc_id - 1 AS dst FROM documents
+  WHERE doc_id % 5 != 0),
+nodes AS (
+  SELECT DISTINCT u FROM (
+    SELECT src AS u FROM e UNION ALL SELECT dst FROM e)),
+walk(u, v, h) AS (
+  SELECT u, u, 0 FROM nodes
+  UNION ALL
+  SELECT w.u, e.dst, w.h + 1
+  FROM walk w JOIN e ON w.v = e.src
+  WHERE w.h < 16),
+fin AS (
+  SELECT u, v, h,
+    row_number() OVER (PARTITION BY u ORDER BY h DESC) AS rn
+  FROM walk)
+SELECT f.u AS url, f.v AS final_url, CAST(f.h AS BIGINT) AS hops,
+  (s.src IS NULL) AS resolved
+FROM fin f LEFT JOIN (SELECT DISTINCT src FROM e) s ON f.v = s.src
+WHERE f.rn = 1 ORDER BY url
+"""

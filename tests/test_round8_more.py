@@ -1,0 +1,191 @@
+"""Round-8 second-wave operators: web-corpus cleaning (C4 sentence
+rules, Gopher rule vector), redirect-chain resolution.
+
+Planted-case discipline: every rule/branch gets a row that flips it,
+so a silently inverted predicate cannot stay green.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_factfinder_spark.llmdata.urls import resolve_redirects
+from db_factfinder_spark.llmdata.webclean import c4_clean, gopher_rules
+
+
+def _rows(df, *cols):
+    return [tuple(r[c] for c in cols) for r in df.collect()]
+
+
+class TestC4Clean:
+    def test_sentence_rules(self, spark):
+        # sent_len=3, min_sent_tokens=2: doc 1 has one kept sentence
+        # ("the x y"), one dropped for no stopword ("p q r"), one
+        # dropped for badword ("the javascript z"), and a short tail.
+        docs = spark.createDataFrame(
+            [(1, "the x y p q r the javascript z tail")],
+            "doc_id long, text string",
+        )
+        out = c4_clean(
+            docs, sent_len=3, min_sent_tokens=2,
+            min_kept_sentences=1, min_doc_tokens=1,
+        ).collect()[0]
+        assert out["n_sentences"] == 4
+        assert out["n_kept"] == 1
+        assert out["n_tokens_kept"] == 3
+        assert out["kept"] is True
+
+    def test_doc_rules(self, spark):
+        # two docs: one with 3 kept sentences (kept), one with 2
+        # (dropped by min_kept_sentences=3)
+        three = "the a b " * 3
+        two = "the a b " * 2
+        docs = spark.createDataFrame(
+            [(1, three.strip()), (2, two.strip())],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in c4_clean(
+                docs, sent_len=3, min_sent_tokens=2,
+                min_kept_sentences=3, min_doc_tokens=1,
+            ).collect()
+        }
+        assert out[1]["kept"] is True
+        assert out[2]["kept"] is False
+
+    def test_token_bounds(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "the a b"), (2, "the a b the c d")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["kept"]
+            for r in c4_clean(
+                docs, sent_len=3, min_sent_tokens=2,
+                min_kept_sentences=1, min_doc_tokens=4,
+            ).collect()
+        }
+        assert out == {1: False, 2: True}
+
+    def test_empty_text(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "   ")], "doc_id long, text string"
+        )
+        out = c4_clean(docs).collect()[0]
+        assert out["n_sentences"] == 0
+        assert out["kept"] is False
+
+    def test_map_side_only(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "the a b")], "doc_id long, text string"
+        )
+        plan = c4_clean(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # zero shuffles by construction
+
+
+class TestGopherRules:
+    def test_rule_flips(self, spark):
+        base = "the a and of " + " ".join(
+            f"word{chr(97 + i % 26)}{chr(97 + i // 26)}" for i in range(46)
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, base),                       # passes everything
+                (2, "the a " + "x " * 10),       # too few tokens
+                (3, "the of " + "zz9 " * 48),    # non-alpha tokens
+                (4, " ".join(f"w{i}" for i in range(50))),  # no stopwords
+                (5, "the a and of " + "dup " * 46),  # top unigram flood
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in gopher_rules(docs, max_top_unigram_frac=0.2).collect()
+        }
+        assert out[1]["kept"] is True
+        assert out[2]["r_len"] is False and out[2]["kept"] is False
+        assert out[3]["r_alpha"] is False and out[3]["kept"] is False
+        assert out[4]["r_stop"] is False and out[4]["kept"] is False
+        assert out[5]["r_top"] is False and out[5]["kept"] is False
+
+    def test_mean_word_len_bounds(self, spark):
+        # 50 single-char tokens -> mwl 1.0 < 3.0
+        docs = spark.createDataFrame(
+            [(1, "the a " + "b " * 48)], "doc_id long, text string"
+        )
+        row = gopher_rules(docs).collect()[0]
+        assert row["mean_word_len"] < 3.0
+        assert row["r_mwl"] is False
+
+    def test_statistics_exact(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "the the cat sat")], "doc_id long, text string"
+        )
+        row = gopher_rules(docs).collect()[0]
+        assert row["n_tok"] == 4
+        assert row["stop_count"] == 2
+        assert row["mean_word_len"] == pytest.approx(3.0)
+        assert row["top_unigram_frac"] == pytest.approx(0.5)
+
+
+class TestResolveRedirects:
+    def test_chain_and_terminal(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+        )
+        out = {
+            r["url"]: (r["final_url"], r["hops"], r["resolved"])
+            for r in resolve_redirects(edges, max_hops=8).collect()
+        }
+        assert out["a"] == ("d", 3, True)
+        assert out["b"] == ("d", 2, True)
+        assert out["d"] == ("d", 0, True)  # terminal maps to itself
+
+    def test_cycle_unresolved(self, spark):
+        edges = spark.createDataFrame(
+            [("x", "y"), ("y", "x"), ("a", "x")], "src string, dst string"
+        )
+        out = {
+            r["url"]: r["resolved"]
+            for r in resolve_redirects(edges, max_hops=8).collect()
+        }
+        assert out["x"] is False and out["y"] is False
+        assert out["a"] is False  # chain feeding a cycle never lands
+
+    def test_long_chain_beyond_cap(self, spark):
+        # chain of 20 > max_hops=8 (doubling reaches 2^3): unresolved
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(20)], "src long, dst long"
+        )
+        out = {
+            r["url"]: (r["final_url"], r["resolved"])
+            for r in resolve_redirects(edges, max_hops=8).collect()
+        }
+        assert out[0] == (8, False)  # walked 2^3 hops, not terminal
+        assert out[15] == (20, True)
+
+    def test_plan_truncated_per_round(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b")], "src string, dst string"
+        )
+        # a self-join whose input is a live plan re-embeds the subtree
+        # on BOTH sides (2^rounds leaf copies by the last round); the
+        # per-round materialize keeps the visible plan to the final
+        # round's join + the terminal-flag join
+        plan = (
+            resolve_redirects(edges, max_hops=16)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert plan.count("Join") <= 3
+
+    def test_checkpoint_mode_none_keeps_pure_plan(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string"
+        )
+        out = {
+            r["url"]: (r["final_url"], r["hops"], r["resolved"])
+            for r in resolve_redirects(
+                edges, max_hops=4, checkpoint_mode="none"
+            ).collect()
+        }
+        assert out["a"] == ("c", 2, True)
