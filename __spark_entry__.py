@@ -9133,6 +9133,79 @@ def q347_redirect_resolution(spark, sf_dir):
     return resolve_redirects(edges, max_hops=16).orderBy("url")
 
 
+def q348_isotonic_calibration(spark, sf_dir):
+    """Isotonic calibration fit (operators/evaluation.py:isotonic_fit)
+    by the PAV minimax CLOSED FORM — fitted(k) = max_{i≤k} min_{j≥k}
+    mean(y[i..j]) — pure set algebra over the 20-bin reliability frame
+    (bounded by design; the per-example pass is the one groupBy).
+    Deterministic model stand-in: score s = (doc_id·2654435761) mod
+    1000, label = ((doc_id·1103515245 + 12345) mod 1000) < s, so the
+    per-bin rate trends up but wiggles — PAV genuinely pools."""
+    from db_factfinder_spark.operators.evaluation import isotonic_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        (F.col("doc_id") * F.lit(2654435761) % F.lit(1000)).alias("s"),
+        F.col("doc_id"),
+    ).select(
+        F.expr("s div 50").alias("bin"),
+        (
+            (F.col("doc_id") * F.lit(1103515245) + F.lit(12345))
+            % F.lit(1000)
+            < F.col("s")
+        ).cast("long").alias("y"),
+    )
+    binned = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sum_y")
+    )
+    return isotonic_fit(binned).orderBy("bin")
+
+
+def q349_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-truncation evaluation: per-probe recall@10 of
+    16-dim-truncated cosine top-k against the full 64-dim top-k
+    (llmdata/similarity.py:topk_recall).  Both retrievals are the
+    broadcast-probe brute-force contract (corpus never shuffles); the
+    recall join is bounded at k² per probe."""
+    from db_factfinder_spark.llmdata.similarity import (
+        brute_force_topk,
+        topk_recall,
+    )
+
+    embs = _embs(spark, sf_dir)
+    probes = embs.filter(F.col("vec_id") < 10)
+
+    def t16(df):
+        return df.select(
+            "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+        )
+
+    full = brute_force_topk(probes, embs, k=10)
+    trunc = brute_force_topk(t16(probes), t16(embs), k=10)
+    return topk_recall(full, trunc, k=10).orderBy("probe_id")
+
+
+def q350_sprt_monitor(spark, sf_dir):
+    """Wald SPRT A/B monitor (operators/evaluation.py:sprt_decision):
+    three arms (user_id mod 3), success = purchase event, H0 p=1/5 vs
+    H1 p=1/4 at α=1/20, β=1/10.  Increments and bounds are differences
+    of portable_ln over POSITIVE INTEGERS quantized to nano-nats, so
+    the cumulative LLR is an exact integer cumsum — no float
+    accumulation, byte-identical on any engine/partitioning.  One
+    window shuffle + one groupBy on the arm key."""
+    from db_factfinder_spark.operators.evaluation import sprt_decision
+
+    events = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 3).alias("arm"),
+        "event_id",
+        (F.col("event_type") == "purchase").alias("success"),
+    )
+    return sprt_decision(
+        events, ["arm"], "event_id", "success",
+        p0=(1, 5), p1=(1, 4), alpha=(1, 20), beta=(1, 10),
+    ).orderBy("arm")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9485,6 +9558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q345_c4_cleaning": q345_c4_cleaning,
         "q346_gopher_rules": q346_gopher_rules,
         "q347_redirect_resolution": q347_redirect_resolution,
+        "q348_isotonic_calibration": q348_isotonic_calibration,
+        "q349_matryoshka_recall": q349_matryoshka_recall,
+        "q350_sprt_monitor": q350_sprt_monitor,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -1225,3 +1225,43 @@ def hard_negative_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def topk_recall(
+    reference: DataFrame,
+    candidate: DataFrame,
+    k: int,
+    probe_col: str = "probe_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-probe recall@k of a candidate top-k frame against a
+    reference top-k frame (both in the brute_force_topk shape) — the
+    standard readout for ANN-vs-exact and truncated-embedding
+    (Matryoshka) evaluations.
+
+    One equi-join on (probe, neighbor) + one groupBy on the probe —
+    both frames are k rows per probe, so the join is bounded at k²
+    per probe regardless of corpus size.  Probes whose candidate set
+    misses entirely still report (left join from the reference side).
+    """
+    r = reference.select(
+        F.col(probe_col).alias("probe_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+    )
+    c = candidate.select(
+        F.col(probe_col).alias("probe_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+        F.lit(1).alias("__hit"),
+    )
+    return (
+        r.join(c, ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(F.sum(F.coalesce("__hit", F.lit(0))).alias("n_overlap"))
+        .select(
+            "probe_id",
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            (
+                F.col("n_overlap").cast("double") / F.lit(float(k))
+            ).alias("recall"),
+        )
+    )

@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["calibration_bins", "decile_gains", "grouped_auc"]
+__all__ = [
+    "calibration_bins",
+    "decile_gains",
+    "grouped_auc",
+    "isotonic_fit",
+    "sprt_decision",
+]
 
 
 def grouped_auc(
@@ -428,5 +434,177 @@ def conformal_threshold(
                 / (F.col("n") + 1).cast("double")
             ).alias("coverage_target"),
             "threshold",
+        )
+    )
+
+
+def isotonic_fit(
+    bins_df: DataFrame,
+    bin_col: str = "bin",
+    n_col: str = "n",
+    sum_col: str = "sum_y",
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration fit over score
+    bins — pool-adjacent-violators by its CLOSED FORM rather than the
+    sequential PAV sweep: ``fitted(k) = max_{i<=k} min_{j>=k}
+    mean(y[i..j])`` (Barlow et al. 1972, the minimax characterisation),
+    which is pure set algebra and needs no ordered iteration.
+
+    Input is the already-binned reliability frame (one row per bin:
+    exact ``n`` and ``sum_y`` counts — the calibration_bins shape), so
+    the frame is BOUNDED BY DESIGN: B = O(bins), and the closed form
+    materialises O(B³) (bin, i, j) rows.  At the customary 10–100
+    calibration bins that is ≤ 1e6 tiny rows; this operator is for
+    fitting the calibration map, never for per-example data (the
+    per-example pass is the groupBy that produced ``bins_df``).
+
+    Exactness: each candidate mean is ONE IEEE division of two exact
+    integer sums (identical operands → identical double on any
+    engine); min/max over identical doubles are exact, and equal
+    rationals round to the same double (IEEE division is correctly
+    rounded), so pooling ties cross-engine.
+    """
+    b = bins_df.select(
+        F.col(bin_col).alias("bin"),
+        F.col(n_col).cast("long").alias("n"),
+        F.col(sum_col).cast("long").alias("sum_y"),
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # single-partition window over the BINS frame only (bounded by
+    # design, see docstring) — never over the raw data
+    cum = b.select(
+        "bin", "n", "sum_y",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("sum_y").over(w).alias("cum_y"),
+    ).select(
+        "bin", "n", "sum_y", "cum_n", "cum_y",
+        (F.col("cum_n") - F.col("n")).alias("prev_n"),
+        (F.col("cum_y") - F.col("sum_y")).alias("prev_y"),
+    )
+    i = cum.select(
+        F.col("bin").alias("i"),
+        F.col("prev_n").alias("i_prev_n"),
+        F.col("prev_y").alias("i_prev_y"),
+    )
+    j = cum.select(
+        F.col("bin").alias("j"),
+        F.col("cum_n").alias("j_cum_n"),
+        F.col("cum_y").alias("j_cum_y"),
+    )
+    spans = i.join(j, F.col("i") <= F.col("j")).select(
+        "i", "j",
+        (
+            (F.col("j_cum_y") - F.col("i_prev_y")).cast("double")
+            / (F.col("j_cum_n") - F.col("i_prev_n")).cast("double")
+        ).alias("avg"),
+    )
+    k = b.select(F.col("bin").alias("k"))
+    inner = (
+        spans.join(
+            k, (F.col("i") <= F.col("k")) & (F.col("k") <= F.col("j"))
+        )
+        .groupBy("k", "i")
+        .agg(F.min("avg").alias("m"))
+        .groupBy("k")
+        .agg(F.max("m").alias("fitted"))
+    )
+    return b.join(inner, b["bin"] == inner["k"]).select(
+        "bin", "n", "sum_y",
+        (
+            F.col("sum_y").cast("double") / F.col("n").cast("double")
+        ).alias("rate"),
+        "fitted",
+    )
+
+
+def sprt_decision(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    success_col: str,
+    p0: tuple[int, int] = (3, 10),
+    p1: tuple[int, int] = (4, 10),
+    alpha: tuple[int, int] = (1, 20),
+    beta: tuple[int, int] = (1, 10),
+) -> DataFrame:
+    """Wald's sequential probability-ratio test over an ordered event
+    stream, one decision row per group — the always-on A/B monitor
+    that stops an experiment the moment the evidence crosses a bound
+    instead of waiting for a fixed horizon.
+
+    Parameters are exact integer rationals (num, den).  The two
+    per-event log-likelihood increments and the two Wald bounds
+    ``A = ln((1-β)/α)``, ``B = ln(β/(1-α))`` reduce to differences of
+    ``ln`` of POSITIVE INTEGERS, computed by ``portable_ln`` (libm-
+    free, cross-engine bit-identical) and quantized to integer
+    nano-nats, so the cumulative LLR is an exact integer cumsum: no
+    float accumulation anywhere, byte-identical on any engine and any
+    partitioning.
+
+    Plan: one window cumsum per group (single shuffle on the group
+    key) + one groupBy on the same key (AQE reuses the exchange).
+    Decision is taken at the FIRST bound crossing (SPRT stops there;
+    later wandering is reported only through ``final_llr_nano``).
+    """
+    from db_factfinder_spark.functions.portable_math import portable_ln
+
+    p0n, p0d = p0
+    p1n, p1d = p1
+    an, ad = alpha
+    bn, bd = beta
+    if not (0 < p0n < p0d and 0 < p1n < p1d):
+        raise ValueError("p0 and p1 must be strict rationals in (0, 1)")
+
+    def _ln_ratio_nano(num: int, den: int) -> Column:
+        return F.floor(
+            (portable_ln(F.lit(num)) - portable_ln(F.lit(den)))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long")
+
+    c1 = _ln_ratio_nano(p1n * p0d, p0n * p1d)          # ln(p1/p0)
+    c0 = _ln_ratio_nano((p1d - p1n) * p0d, (p0d - p0n) * p1d)
+    a_bound = _ln_ratio_nano((bd - bn) * ad, bd * an)  # ln((1-β)/α)
+    b_bound = _ln_ratio_nano(bn * ad, bd * (ad - an))  # ln(β/(1-α))
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    inc = F.when(F.col(success_col).cast("boolean"), c1).otherwise(c0)
+    scored = df.select(
+        *group_cols, F.col(order_col).alias("__ord"), inc.alias("__inc")
+    ).withColumn("__llr", F.sum("__inc").over(w))
+    crossing = F.when(F.col("__llr") >= a_bound, F.lit("h1")).when(
+        F.col("__llr") <= b_bound, F.lit("h0")
+    )
+    marked = scored.withColumn("__cross", crossing)
+    return (
+        marked.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max_by("__llr", "__ord").alias("final_llr_nano"),
+            F.min(
+                F.when(F.col("__cross").isNotNull(), F.col("__ord"))
+            ).alias("decided_at"),
+            F.min_by(
+                F.struct("__cross", "__llr"),
+                F.when(F.col("__cross").isNotNull(), F.col("__ord")),
+            ).alias("__at"),
+        )
+        .select(
+            *group_cols,
+            "n_events",
+            "final_llr_nano",
+            F.coalesce(F.col("__at.__cross"), F.lit("continue")).alias(
+                "decision"
+            ),
+            "decided_at",
+            F.when(
+                F.col("decided_at").isNotNull(), F.col("__at.__llr")
+            ).alias("llr_at_decision"),
         )
     )

@@ -9751,3 +9751,126 @@ SELECT f.u AS url, f.v AS final_url, CAST(f.h AS BIGINT) AS hops,
 FROM fin f LEFT JOIN (SELECT DISTINCT src FROM e) s ON f.v = s.src
 WHERE f.rn = 1 ORDER BY url
 """
+
+
+# q348: isotonic calibration — PAV by the minimax closed form over 20
+# score bins; every candidate mean is one IEEE division of exact
+# integer sums (equal rationals round identically, so pooling ties
+# cross-engine).
+ORACLES["q348_isotonic_calibration"] = """
+WITH sc AS (
+  SELECT doc_id, (doc_id * 2654435761) % 1000 AS s FROM documents),
+l AS (
+  SELECT s // 50 AS bin,
+    CASE WHEN (doc_id * 1103515245 + 12345) % 1000 < s
+         THEN 1 ELSE 0 END AS y
+  FROM sc),
+b AS (
+  SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS sum_y
+  FROM l GROUP BY bin),
+cum AS (
+  SELECT bin, n, sum_y,
+    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum_n,
+    CAST(sum(sum_y) OVER (ORDER BY bin) AS BIGINT) AS cum_y
+  FROM b),
+cp AS (
+  SELECT bin, n, sum_y, cum_n, cum_y,
+    cum_n - n AS prev_n, cum_y - sum_y AS prev_y
+  FROM cum),
+spans AS (
+  SELECT i.bin AS i, j.bin AS j,
+    CAST(j.cum_y - i.prev_y AS DOUBLE)
+      / CAST(j.cum_n - i.prev_n AS DOUBLE) AS mu
+  FROM cp i JOIN cp j ON i.bin <= j.bin),
+pooled AS (
+  SELECT k.bin AS k, s.i, min(s.mu) AS m
+  FROM spans s JOIN cp k ON s.i <= k.bin AND k.bin <= s.j
+  GROUP BY k.bin, s.i),
+fit AS (SELECT k, max(m) AS fitted FROM pooled GROUP BY k)
+SELECT b.bin, b.n, b.sum_y,
+  CAST(b.sum_y AS DOUBLE) / CAST(b.n AS DOUBLE) AS rate, f.fitted
+FROM b JOIN fit f ON b.bin = f.k ORDER BY b.bin
+"""
+
+
+# q349: matryoshka recall — the q29/q344 cosine chain twice (full 64d
+# and the first-16-dims truncation), then the bounded recall join.
+ORACLES["q349_matryoshka_recall"] = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+p AS (SELECT * FROM e WHERE vec_id < 10),
+fs AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+    list_dot_product(p.v, c.v)
+      / (sqrt(list_dot_product(p.v, p.v))
+         * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM p JOIN e c ON p.vec_id != c.vec_id),
+fr AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM fs) WHERE rank <= 10),
+e16 AS (SELECT vec_id, v[1:16] AS v FROM e),
+p16 AS (SELECT * FROM e16 WHERE vec_id < 10),
+ts AS (
+  SELECT p16.vec_id AS probe_id, c.vec_id AS neighbor_id,
+    list_dot_product(p16.v, c.v)
+      / (sqrt(list_dot_product(p16.v, p16.v))
+         * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM p16 JOIN e16 c ON p16.vec_id != c.vec_id),
+tr AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM ts) WHERE rank <= 10)
+SELECT fr.probe_id,
+  CAST(count(tr.neighbor_id) AS BIGINT) AS n_overlap,
+  CAST(count(tr.neighbor_id) AS DOUBLE) / 10.0 AS recall
+FROM fr LEFT JOIN tr
+  ON fr.probe_id = tr.probe_id AND fr.neighbor_id = tr.neighbor_id
+GROUP BY fr.probe_id ORDER BY fr.probe_id
+"""
+
+
+
+# q350: Wald SPRT — integer nano-nat increments/bounds from
+# portable_ln differences of positive integers; exact integer LLR
+# cumsum per arm, decision at the first bound crossing.
+ORACLES["q350_sprt_monitor"] = """
+WITH ev AS (
+  SELECT user_id % 3 AS arm, event_id,
+    (event_type = 'purchase') AS success
+  FROM events),
+c AS (SELECT
+  CAST(floor(((CAST((length(format('{:b}', 5)) - 1) AS DOUBLE) * 0.6931471805599453 + 2.0 * ((((((((((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) + ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) / 3.0) + (((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) / 5.0) + ((((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) / 7.0) + (((((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) / 9.0) + ((((((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) / 11.0) + (((((((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) / 13.0) + ((((((((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) / 15.0) + (((((((((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) / 17.0) + ((((((((((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(5 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 5)) - 1)) AS DOUBLE)) + 1.0)))) / 19.0)) - (CAST((length(format('{:b}', 4)) - 1) AS DOUBLE) * 0.6931471805599453 + 2.0 * ((((((((((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) + ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) / 3.0) + (((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) / 5.0) + ((((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) / 7.0) + (((((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) / 9.0) + ((((((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) / 11.0) + (((((((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) / 13.0) + ((((((((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) / 15.0) + (((((((((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) / 17.0) + ((((((((((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(4 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 4)) - 1)) AS DOUBLE)) + 1.0)))) / 19.0))) * 1000000000.0 + 0.5) AS BIGINT) AS c1,
+  CAST(floor(((CAST((length(format('{:b}', 15)) - 1) AS DOUBLE) * 0.6931471805599453 + 2.0 * ((((((((((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) + ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) / 3.0) + (((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) / 5.0) + ((((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) / 7.0) + (((((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) / 9.0) + ((((((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) / 11.0) + (((((((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) / 13.0) + ((((((((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) / 15.0) + (((((((((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) / 17.0) + ((((((((((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(15 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 15)) - 1)) AS DOUBLE)) + 1.0)))) / 19.0)) - (CAST((length(format('{:b}', 16)) - 1) AS DOUBLE) * 0.6931471805599453 + 2.0 * ((((((((((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) + ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) / 3.0) + (((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) / 5.0) + ((((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) / 7.0) + (((((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) / 9.0) + ((((((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) / 11.0) + (((((((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) / 13.0) + ((((((((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) / 15.0) + (((((((((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) / 17.0) + ((((((((((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(16 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 16)) - 1)) AS DOUBLE)) + 1.0)))) / 19.0))) * 1000000000.0 + 0.5) AS BIGINT) AS c0,
+  CAST(floor(((CAST((length(format('{:b}', 180)) - 1) AS DOUBLE) * 0.6931471805599453 + 2.0 * ((((((((((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) + ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) / 3.0) + (((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) / 5.0) + ((((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) / 7.0) + (((((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) / 9.0) + ((((((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) / 11.0) + (((((((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) / 13.0) + ((((((((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) / 15.0) + (((((((((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) / 17.0) + ((((((((((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(180 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 180)) - 1)) AS DOUBLE)) + 1.0)))) / 19.0)) - (CAST((length(format('{:b}', 10)) - 1) AS DOUBLE) * 0.6931471805599453 + 2.0 * ((((((((((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) + ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) / 3.0) + (((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) / 5.0) + ((((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) / 7.0) + (((((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) / 9.0) + ((((((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) / 11.0) + (((((((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) / 13.0) + ((((((((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) / 15.0) + (((((((((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) / 17.0) + ((((((((((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(10 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 10)) - 1)) AS DOUBLE)) + 1.0)))) / 19.0))) * 1000000000.0 + 0.5) AS BIGINT) AS a_bound,
+  CAST(floor(((CAST((length(format('{:b}', 20)) - 1) AS DOUBLE) * 0.6931471805599453 + 2.0 * ((((((((((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) + ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) / 3.0) + (((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) / 5.0) + ((((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) / 7.0) + (((((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) / 9.0) + ((((((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) / 11.0) + (((((((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) / 13.0) + ((((((((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) / 15.0) + (((((((((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) / 17.0) + ((((((((((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(20 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 20)) - 1)) AS DOUBLE)) + 1.0)))) / 19.0)) - (CAST((length(format('{:b}', 190)) - 1) AS DOUBLE) * 0.6931471805599453 + 2.0 * ((((((((((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) + ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) / 3.0) + (((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) / 5.0) + ((((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) / 7.0) + (((((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) / 9.0) + ((((((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) / 11.0) + (((((((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) / 13.0) + ((((((((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) / 15.0) + (((((((((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) / 17.0) + ((((((((((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(190 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', 190)) - 1)) AS DOUBLE)) + 1.0)))) / 19.0))) * 1000000000.0 + 0.5) AS BIGINT) AS b_bound),
+s AS (
+  SELECT arm, event_id,
+    CAST(sum(CASE WHEN success THEN c.c1 ELSE c.c0 END)
+         OVER (PARTITION BY arm ORDER BY event_id) AS BIGINT) AS llr
+  FROM ev, c),
+m AS (
+  SELECT s.arm, s.event_id, s.llr,
+    CASE WHEN s.llr >= c.a_bound THEN 'h1'
+         WHEN s.llr <= c.b_bound THEN 'h0' END AS crossv
+  FROM s, c),
+dec AS (
+  SELECT arm, min(event_id) AS decided_at
+  FROM m WHERE crossv IS NOT NULL GROUP BY arm),
+tot AS (
+  SELECT arm, count(*) AS n_events,
+    CAST(arg_max(llr, event_id) AS BIGINT) AS final_llr_nano
+  FROM m GROUP BY arm)
+SELECT t.arm, t.n_events, t.final_llr_nano,
+  coalesce(md.crossv, 'continue') AS decision,
+  d.decided_at,
+  CAST(md.llr AS BIGINT) AS llr_at_decision
+FROM tot t
+LEFT JOIN dec d USING (arm)
+LEFT JOIN m md ON md.arm = d.arm AND md.event_id = d.decided_at
+ORDER BY t.arm
+"""

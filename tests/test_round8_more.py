@@ -189,3 +189,123 @@ class TestResolveRedirects:
             ).collect()
         }
         assert out["a"] == ("c", 2, True)
+
+
+class TestIsotonicFit:
+    def _fit(self, spark, rows):
+        from db_factfinder_spark.operators.evaluation import isotonic_fit
+
+        df = spark.createDataFrame(rows, "bin long, n long, sum_y long")
+        return {
+            r["bin"]: r["fitted"] for r in isotonic_fit(df).collect()
+        }
+
+    def test_pools_violation(self, spark):
+        # rates 0.5, 0.2, 0.8 -> PAV pools the first two to 2/7
+        out = self._fit(spark, [(0, 2, 1), (1, 5, 1), (2, 5, 4)])
+        assert out[0] == pytest.approx(2 / 7)
+        assert out[1] == pytest.approx(2 / 7)
+        assert out[2] == pytest.approx(0.8)
+
+    def test_monotone_input_unchanged(self, spark):
+        out = self._fit(spark, [(0, 4, 1), (1, 4, 2), (2, 4, 3)])
+        assert out == {
+            0: pytest.approx(0.25),
+            1: pytest.approx(0.5),
+            2: pytest.approx(0.75),
+        }
+
+    def test_output_is_monotone(self, spark):
+        rows = [(b, 7, (b * 13) % 8) for b in range(10)]
+        out = self._fit(spark, rows)
+        fitted = [out[b] for b in range(10)]
+        assert fitted == sorted(fitted)
+
+    def test_total_pool_on_decreasing(self, spark):
+        # strictly decreasing rates -> one global pool at the mean
+        out = self._fit(spark, [(0, 2, 2), (1, 2, 1), (2, 2, 0)])
+        assert all(v == pytest.approx(0.5) for v in out.values())
+
+
+class TestSprtDecision:
+    def _run(self, spark, rows, **kw):
+        from db_factfinder_spark.operators.evaluation import sprt_decision
+
+        df = spark.createDataFrame(
+            rows, "arm long, event_id long, success boolean"
+        )
+        kw.setdefault("p0", (1, 4))
+        kw.setdefault("p1", (3, 4))
+        kw.setdefault("alpha", (1, 10))
+        kw.setdefault("beta", (1, 10))
+        return {
+            r["arm"]: r
+            for r in sprt_decision(
+                df, ["arm"], "event_id", "success", **kw
+            ).collect()
+        }
+
+    def test_h1_on_successes(self, spark):
+        # c1 = ln 3 ~ 1.0986e9 nano; A = ln 9 ~ 2.1972e9: 2 successes
+        rows = [(0, i, True) for i in range(5)]
+        out = self._run(spark, rows)[0]
+        assert out["decision"] == "h1"
+        assert out["decided_at"] == 1  # second event crosses
+        assert out["n_events"] == 5
+
+    def test_h0_on_failures(self, spark):
+        rows = [(0, i, False) for i in range(5)]
+        out = self._run(spark, rows)[0]
+        assert out["decision"] == "h0"
+        assert out["decided_at"] == 1
+
+    def test_continue_on_alternating(self, spark):
+        # success+failure nets ln3 + ln(1/3) = 0: never crosses
+        rows = [(0, i, i % 2 == 0) for i in range(6)]
+        out = self._run(spark, rows)[0]
+        assert out["decision"] == "continue"
+        assert out["decided_at"] is None
+        assert out["llr_at_decision"] is None
+
+    def test_first_crossing_sticks(self, spark):
+        # cross h1 at event 1, then wander back below the bound:
+        # decision and decided_at stay at the first crossing
+        rows = [(0, 0, True), (0, 1, True)] + [
+            (0, i, False) for i in range(2, 10)
+        ]
+        out = self._run(spark, rows)[0]
+        assert out["decision"] == "h1"
+        assert out["decided_at"] == 1
+        assert out["final_llr_nano"] < out["llr_at_decision"]
+
+    def test_groups_independent(self, spark):
+        rows = [(0, i, True) for i in range(3)] + [
+            (1, i, False) for i in range(3)
+        ]
+        out = self._run(spark, rows)
+        assert out[0]["decision"] == "h1"
+        assert out[1]["decision"] == "h0"
+
+    def test_invalid_rational_raises(self, spark):
+        with pytest.raises(ValueError):
+            self._run(spark, [(0, 0, True)], p0=(5, 4))
+
+
+class TestTopkRecall:
+    def test_overlap_counting(self, spark):
+        from db_factfinder_spark.llmdata.similarity import topk_recall
+
+        ref = spark.createDataFrame(
+            [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+            "probe_id long, neighbor_id long",
+        )
+        cand = spark.createDataFrame(
+            [(1, 11), (1, 12), (1, 99), (2, 77), (2, 88), (2, 99)],
+            "probe_id long, neighbor_id long",
+        )
+        out = {
+            r["probe_id"]: (r["n_overlap"], r["recall"])
+            for r in topk_recall(ref, cand, k=3).collect()
+        }
+        assert out[1] == (2, pytest.approx(2 / 3))
+        assert out[2] == (0, pytest.approx(0.0))  # zero-overlap reported
