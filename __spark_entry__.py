@@ -9206,6 +9206,55 @@ def q350_sprt_monitor(spark, sf_dir):
     ).orderBy("arm")
 
 
+def q351_t_closeness(spark, sf_dir):
+    """t-closeness audit (operators/privacy.py:t_closeness_audit) —
+    the release gate above k-anonymity (q262) and l-diversity (q329):
+    per nation, the ordered-EMD between the group's account-balance
+    decile distribution and the global one, in EXACT integers (the
+    rational-numerator sum), one IEEE division per group at the end;
+    the t=1/5 decision is an integer cross-multiplication."""
+    from db_factfinder_spark.operators.privacy import t_closeness_audit
+
+    cust = _t(spark, sf_dir, "customer")
+    d = cust.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    ).select(
+        "c_nationkey",
+        F.expr("(cents + 99999) div 110000").alias("bal_bucket"),
+    )
+    return t_closeness_audit(
+        d, ["c_nationkey"], "bal_bucket", t=(1, 5)
+    ).orderBy("c_nationkey")
+
+
+def q352_loo_influence(spark, sf_dir):
+    """Leave-one-group-out OLS influence
+    (operators/regression.py:loo_influence): global price~quantity
+    slope refit without each supplier-bucket by sufficient-statistic
+    subtraction — one groupBy over the data, totals re-summed from the
+    group stats (order-free decimals), no second scan.  The 1%-order
+    sample keeps every product below 2^53 (the decimal→double ulp
+    contract documented on the operator)."""
+    from db_factfinder_spark.operators.regression import loo_influence
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    d = li.select(
+        (F.col("l_suppkey") % 50).alias("grp"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("xq"),
+        F.floor(F.col("l_extendedprice") + F.lit(0.5))
+        .cast("long")
+        .alias("yd"),
+    )
+    return loo_influence(d, ["grp"], F.col("xq"), F.col("yd")).orderBy(
+        "grp"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9561,6 +9610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q348_isotonic_calibration": q348_isotonic_calibration,
         "q349_matryoshka_recall": q349_matryoshka_recall,
         "q350_sprt_monitor": q350_sprt_monitor,
+        "q351_t_closeness": q351_t_closeness,
+        "q352_loo_influence": q352_loo_influence,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -23,12 +23,12 @@ and comparisons are order-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from db_factfinder_spark.functions.portable_math import portable_ln
 
-__all__ = ["dp_noisy_counts", "l_diversity_audit"]
+__all__ = ["dp_noisy_counts", "l_diversity_audit", "t_closeness_audit"]
 
 
 def _h28(c: Column) -> Column:
@@ -95,4 +95,108 @@ def l_diversity_audit(
     )
     return per.withColumn(
         "is_diverse", F.col("n_sensitive_values") >= l_threshold
+    )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    ordered_col: str,
+    t: tuple[int, int] = (1, 5),
+) -> DataFrame:
+    """t-closeness audit — the third rung after k-anonymity and
+    l-diversity: a quasi-identifier group leaks when the DISTRIBUTION
+    of its sensitive attribute strays from the global one, even if it
+    is diverse.  For an ORDERED sensitive attribute the Earth Mover's
+    Distance has the closed form (Li et al. 2007 §5.2)
+
+        EMD(g) = (1/(m-1)) · Σ_c |CumP_g(c) − CumP_all(c)|
+
+    over the m ordered categories.  Computed in EXACT integers: each
+    cumulative-probability difference is the rational
+    ``(cum_g·N − cum_all·n_g) / (n_g·N)``, so the per-group sum of
+    absolute numerators is an exact long and the EMD is ONE IEEE
+    division at the end.  The ``t`` threshold is an integer rational
+    compared by cross-multiplication — no float enters the decision.
+
+    Magnitude contract: ``n_g·N·(m−1)`` must stay below 2^53 (exact
+    as a double) — at m ≤ ~100 that is tables to ~30M rows; larger
+    tables bucket the sensitive attribute coarser (they should
+    anyway: m is the release grid, not the raw domain).
+
+    Plan: one (quasi × category) count, a broadcast category-spine
+    right-join to materialize zero cells, one bounded per-group window
+    (m rows per group), one group aggregate — all keyed on the quasi
+    columns, so AQE reuses the exchange.
+    """
+    tn, td = t
+    cat = F.col(ordered_col)
+    cats = (
+        df.groupBy(cat.alias("__cat"))
+        .agg(F.count(F.lit(1)).alias("__nc"))
+        .select(
+            "__cat",
+            F.sum("__nc").over(
+                Window.orderBy("__cat").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ).alias("__cum_all"),
+            F.sum("__nc").over(
+                Window.orderBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("__n_all"),
+        )
+    )
+    groups = df.groupBy(*quasi_cols, cat.alias("__cat2")).agg(
+        F.count(F.lit(1)).alias("__ng_c")
+    )
+    spine = (
+        df.select(*quasi_cols).distinct().crossJoin(F.broadcast(cats))
+    )
+    cells = spine.join(
+        groups,
+        [
+            spine[q].eqNullSafe(groups[q]) for q in quasi_cols
+        ] + [spine["__cat"].eqNullSafe(groups["__cat2"])],
+        "left",
+    ).select(
+        *[spine[q] for q in quasi_cols],
+        "__cat", "__cum_all", "__n_all",
+        F.coalesce(F.col("__ng_c"), F.lit(0)).alias("__c"),
+    )
+    wg = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy("__cat")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*quasi_cols)
+    cum = cells.withColumns(
+        {
+            "__cum_g": F.sum("__c").over(wg),
+            "__n_g": F.sum("__c").over(wtot),
+        }
+    )
+    agg = cum.groupBy(*quasi_cols).agg(
+        F.max("__n_g").alias("__n_g"),
+        F.max("__n_all").alias("__N"),
+        F.count(F.lit(1)).alias("__m"),
+        F.sum(
+            F.abs(
+                F.col("__cum_g") * F.col("__n_all")
+                - F.col("__cum_all") * F.col("__n_g")
+            )
+        ).alias("__s"),
+    )
+    den = F.col("__n_g") * F.col("__N") * (F.col("__m") - 1)
+    # m == 1 (single global category): no mass can be displaced — EMD
+    # is 0 by convention, not 0/0
+    emd = F.when(
+        F.col("__m") > 1, F.col("__s").cast("double") / den.cast("double")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        *quasi_cols,
+        F.col("__n_g").cast("long").alias("group_size"),
+        emd.alias("emd"),
+        (F.col("__s") * F.lit(td) <= den * F.lit(tn)).alias("is_close"),
     )

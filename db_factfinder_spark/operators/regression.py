@@ -490,3 +490,70 @@ def ks_statistic(
             / (F.col("n1").cast(dec) * F.col("n2").cast(dec)).cast("double")
         ).alias("ks"),
     )
+
+
+def loo_influence(
+    df: DataFrame,
+    keys: Sequence[str],
+    x: Column,
+    y_units: Column,
+) -> DataFrame:
+    """Leave-one-group-out OLS influence: for every group, the global
+    slope refit WITHOUT that group, by sufficient-statistic
+    subtraction — the closed-form data-valuation readout ("which
+    source is dragging the fit") that needs no second pass over the
+    data: the five global sums minus the group's five sums ARE the
+    refit's sufficient statistics.
+
+    Exactness follows grouped_linreg: integer-coded inputs, decimal
+    sums (order-free), and the slope closed form evaluated in a fixed
+    IEEE order.  Callers must code x/y so that ``n·Σxy`` stays below
+    2^53 — beyond that the wide-integer→double cast is the one step
+    where engines legally disagree by an ulp (the calibration_bins
+    finding); sample or rescale first.
+
+    Plan: ONE map-side-combined groupBy builds the per-group stats;
+    the global stats are their order-free decimal re-sum, broadcast
+    back as a single row.  No second scan of the raw table.
+    """
+    xd = x.cast("long").cast(_DEC)
+    yd = y_units.cast("long").cast(_DEC)
+    per = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast(_DEC).alias("__n"),
+        F.sum(xd).alias("__sx"),
+        F.sum(yd).alias("__sy"),
+        F.sum(xd * yd).alias("__sxy"),
+        F.sum(xd * xd).alias("__sxx"),
+    )
+    tot = per.agg(
+        F.sum("__n").alias("__tn"),
+        F.sum("__sx").alias("__tsx"),
+        F.sum("__sy").alias("__tsy"),
+        F.sum("__sxy").alias("__tsxy"),
+        F.sum("__sxx").alias("__tsxx"),
+    )
+
+    def _slope(n, sx, sy, sxy, sxx):
+        num = (n * sxy - sx * sy).cast("double")
+        den = (n * sxx - sx * sx).cast("double")
+        return F.when(den != 0, num / den)
+
+    j = per.crossJoin(F.broadcast(tot))
+    slope_full = _slope(
+        F.col("__tn"), F.col("__tsx"), F.col("__tsy"),
+        F.col("__tsxy"), F.col("__tsxx"),
+    )
+    slope_wo = _slope(
+        F.col("__tn") - F.col("__n"),
+        F.col("__tsx") - F.col("__sx"),
+        F.col("__tsy") - F.col("__sy"),
+        F.col("__tsxy") - F.col("__sxy"),
+        F.col("__tsxx") - F.col("__sxx"),
+    )
+    return j.select(
+        *keys,
+        F.col("__n").cast("long").alias("n"),
+        slope_full.alias("slope_full"),
+        slope_wo.alias("slope_without"),
+        (slope_wo - slope_full).alias("influence"),
+    )

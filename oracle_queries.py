@@ -9874,3 +9874,89 @@ LEFT JOIN dec d USING (arm)
 LEFT JOIN m md ON md.arm = d.arm AND md.event_id = d.decided_at
 ORDER BY t.arm
 """
+
+
+# q351: t-closeness — ordered EMD in exact integers (rational
+# numerators against the common denominator n_g*N), one division per
+# group; the t decision is integer cross-multiplication.
+ORACLES["q351_t_closeness"] = """
+WITH d AS (
+  SELECT c_nationkey,
+    (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 99999) // 110000
+      AS bal_bucket
+  FROM customer),
+cats AS (
+  SELECT bal_bucket AS cat, count(*) AS nc FROM d GROUP BY 1),
+catsc AS (
+  SELECT cat,
+    CAST(sum(nc) OVER (ORDER BY cat) AS BIGINT) AS cum_all,
+    CAST(sum(nc) OVER () AS BIGINT) AS n_all
+  FROM cats),
+grp AS (
+  SELECT c_nationkey, bal_bucket AS cat, count(*) AS c
+  FROM d GROUP BY 1, 2),
+spine AS (
+  SELECT q.c_nationkey, s.cat, s.cum_all, s.n_all
+  FROM (SELECT DISTINCT c_nationkey FROM d) q CROSS JOIN catsc s),
+cells AS (
+  SELECT sp.c_nationkey, sp.cat, sp.cum_all, sp.n_all,
+    CAST(coalesce(g.c, 0) AS BIGINT) AS c
+  FROM spine sp LEFT JOIN grp g
+    ON sp.c_nationkey = g.c_nationkey AND sp.cat = g.cat),
+cum AS (
+  SELECT *,
+    CAST(sum(c) OVER (PARTITION BY c_nationkey ORDER BY cat)
+         AS BIGINT) AS cum_g,
+    CAST(sum(c) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n_g
+  FROM cells),
+a AS (
+  SELECT c_nationkey, max(n_g) AS n_g, max(n_all) AS n_all,
+    count(*) AS m,
+    CAST(sum(abs(cum_g * n_all - cum_all * n_g)) AS BIGINT) AS s
+  FROM cum GROUP BY c_nationkey)
+SELECT c_nationkey, CAST(n_g AS BIGINT) AS group_size,
+  CASE WHEN m > 1
+       THEN CAST(s AS DOUBLE) / CAST(n_g * n_all * (m - 1) AS DOUBLE)
+       ELSE 0.0 END AS emd,
+  (s * 5 <= n_g * n_all * (m - 1) * 1) AS is_close
+FROM a ORDER BY c_nationkey
+"""
+
+
+# q352: leave-one-group-out OLS influence — per-group sufficient
+# stats, totals re-summed from the groups, slope closed form in fixed
+# IEEE order; the 1%-order sample keeps every product below 2^53.
+ORACLES["q352_loo_influence"] = """
+WITH d AS (
+  SELECT l_suppkey % 50 AS grp,
+    CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+    CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+  FROM lineitem WHERE l_orderkey % 100 = 0),
+per AS (
+  SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+    CAST(sum(x * y) AS HUGEINT) AS sxy,
+    CAST(sum(x * x) AS HUGEINT) AS sxx
+  FROM d GROUP BY grp),
+tot AS (
+  SELECT sum(n) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+    sum(sxy) AS tsxy, sum(sxx) AS tsxx
+  FROM per),
+sl AS (
+  SELECT p.grp, p.n,
+    CASE WHEN CAST(t.tn * t.tsxx - t.tsx * t.tsx AS DOUBLE) != 0
+         THEN CAST(t.tn * t.tsxy - t.tsx * t.tsy AS DOUBLE)
+              / CAST(t.tn * t.tsxx - t.tsx * t.tsx AS DOUBLE)
+    END AS slope_full,
+    CASE WHEN CAST((t.tn - p.n) * (t.tsxx - p.sxx)
+                   - (t.tsx - p.sx) * (t.tsx - p.sx) AS DOUBLE) != 0
+         THEN CAST((t.tn - p.n) * (t.tsxy - p.sxy)
+                   - (t.tsx - p.sx) * (t.tsy - p.sy) AS DOUBLE)
+              / CAST((t.tn - p.n) * (t.tsxx - p.sxx)
+                     - (t.tsx - p.sx) * (t.tsx - p.sx) AS DOUBLE)
+    END AS slope_without
+  FROM per p, tot t)
+SELECT grp, CAST(n AS BIGINT) AS n, slope_full, slope_without,
+  slope_without - slope_full AS influence
+FROM sl ORDER BY grp
+"""

@@ -309,3 +309,83 @@ class TestTopkRecall:
         }
         assert out[1] == (2, pytest.approx(2 / 3))
         assert out[2] == (0, pytest.approx(0.0))  # zero-overlap reported
+
+
+class TestTClosenessAudit:
+    def _audit(self, spark, rows, t=(1, 5)):
+        from db_factfinder_spark.operators.privacy import t_closeness_audit
+
+        df = spark.createDataFrame(rows, "grp string, cat long")
+        return {
+            r["grp"]: r
+            for r in t_closeness_audit(df, ["grp"], "cat", t=t).collect()
+        }
+
+    def test_hand_computed_emd(self, spark):
+        # global: 3x cat0 + 3x cat1; group a all cat0, group b all cat1
+        # -> each EMD = |3/3 - 3/6| / (2-1) = 0.5
+        rows = [("a", 0)] * 3 + [("b", 1)] * 3
+        out = self._audit(spark, rows)
+        assert out["a"]["emd"] == pytest.approx(0.5)
+        assert out["b"]["emd"] == pytest.approx(0.5)
+        assert out["a"]["is_close"] is False  # 0.5 > 1/5
+
+    def test_identical_distribution_is_close(self, spark):
+        rows = [("a", 0), ("a", 1), ("b", 0), ("b", 1)]
+        out = self._audit(spark, rows)
+        assert out["a"]["emd"] == pytest.approx(0.0)
+        assert out["a"]["is_close"] is True
+
+    def test_zero_cells_materialized(self, spark):
+        # group b never sees cat 2: the spine must still produce the
+        # cumulative row, or b's EMD silently shrinks
+        rows = [("a", 0), ("a", 1), ("a", 2), ("b", 0), ("b", 1), ("b", 1)]
+        out = self._audit(spark, rows)
+        assert out["b"]["group_size"] == 3
+        assert out["b"]["emd"] > 0.0
+
+    def test_single_category_edge(self, spark):
+        rows = [("a", 7), ("b", 7)]
+        out = self._audit(spark, rows)
+        assert out["a"]["emd"] == 0.0
+        assert out["a"]["is_close"] is True
+
+    def test_threshold_cross_multiplication(self, spark):
+        # EMD exactly 1/2: t=(1,2) accepts (<=), t=(49,100) rejects
+        rows = [("a", 0)] * 3 + [("b", 1)] * 3
+        assert self._audit(spark, rows, t=(1, 2))["a"]["is_close"] is True
+        assert (
+            self._audit(spark, rows, t=(49, 100))["a"]["is_close"] is False
+        )
+
+
+class TestLooInfluence:
+    def _run(self, spark, rows):
+        from db_factfinder_spark.operators.regression import loo_influence
+
+        df = spark.createDataFrame(rows, "grp long, x long, y long")
+        return {
+            r["grp"]: r
+            for r in loo_influence(
+                df, ["grp"], F.col("x"), F.col("y")
+            ).collect()
+        }
+
+    def test_removing_outlier_group_restores_slope(self, spark):
+        rows = [(0, 1, 1), (0, 2, 2), (0, 3, 3), (1, 1, 10), (1, 2, 20)]
+        out = self._run(spark, rows)
+        # without the 10x group the fit is exactly y = x
+        assert out[1]["slope_without"] == pytest.approx(1.0)
+        assert out[0]["slope_without"] == pytest.approx(10.0)
+        assert out[0]["slope_full"] == out[1]["slope_full"]
+        assert out[1]["influence"] == pytest.approx(
+            1.0 - out[1]["slope_full"]
+        )
+
+    def test_degenerate_refit_is_null(self, spark):
+        # without group 1 only x=5 remains: zero variance -> NULL
+        rows = [(0, 5, 1), (0, 5, 2), (1, 1, 1), (1, 2, 2)]
+        out = self._run(spark, rows)
+        assert out[1]["slope_without"] is None
+        assert out[1]["influence"] is None
+        assert out[0]["slope_without"] == pytest.approx(1.0)
