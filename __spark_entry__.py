@@ -9255,6 +9255,78 @@ def q352_loo_influence(spark, sf_dir):
     )
 
 
+def q353_typeahead_completions(spark, sf_dir):
+    """Typeahead completion index
+    (llmdata/strmatch.py:typeahead_completions): corpus → vocabulary
+    (one map-side-combined count) → per-prefix top-3 completions.
+    Every window partition is bounded by the vocab tokens sharing the
+    prefix, never by corpus size."""
+    from db_factfinder_spark.llmdata.strmatch import typeahead_completions
+
+    return typeahead_completions(
+        _docs(spark, sf_dir), max_prefix_len=3, k=3
+    ).orderBy("prefix", "rank")
+
+
+def q354_lsh_parameter_plan(spark, sf_dir):
+    """MinHash-LSH banding planner
+    (llmdata/dedup.py:lsh_parameter_plan): S-curve FP+FN mass for
+    every power-of-two split of 128 hashes at threshold 4/5 — pure
+    squaring chains (bit-identical cross-engine), integer nano-unit
+    masses, integer threshold cross-multiplication.  The tuning table
+    consulted before committing a corpus to one banding."""
+    from db_factfinder_spark.llmdata.dedup import lsh_parameter_plan
+
+    return lsh_parameter_plan(
+        spark, total_hashes=128, threshold=(4, 5), grid_den=100
+    ).orderBy("total_nano", "bands")
+
+
+def q355_copeland_fusion(spark, sf_dir):
+    """Copeland pairwise-majority fusion
+    (llmdata/similarity.py:copeland_fuse) of three top-20 rankers
+    (length-priority and two hash-priority orderings — each a
+    TakeOrderedAndProject global top-k, then a 20-row window for the
+    rank column).  The pairwise spine is |candidates|² from the
+    LISTS, never the corpus."""
+    from db_factfinder_spark.llmdata.similarity import copeland_fuse
+
+    docs = _docs(spark, sf_dir)
+
+    def ranked(order_cols, name):
+        top = docs.orderBy(*order_cols).limit(20)
+        w = Window.orderBy(*order_cols)  # 20-row frame, bounded
+        return top.select(
+            F.lit(0).alias("query_id"),
+            "doc_id",
+            F.row_number().over(w).alias("rank"),
+            F.lit(name).alias("source"),
+        )
+
+    r_len = ranked([F.desc("n_chars"), F.asc("doc_id")], "len")
+    r_h1 = ranked(
+        [
+            F.asc(F.col("doc_id") * F.lit(2654435761) % F.lit(100000)),
+            F.asc("doc_id"),
+        ],
+        "h1",
+    )
+    r_h2 = ranked(
+        [
+            F.asc(
+                (F.col("doc_id") * F.lit(1103515245) + F.lit(12345))
+                % F.lit(100000)
+            ),
+            F.asc("doc_id"),
+        ],
+        "h2",
+    )
+    rankings = r_len.unionByName(r_h1).unionByName(r_h2)
+    return copeland_fuse(rankings, ["len", "h1", "h2"], k=10).orderBy(
+        "rank"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9612,6 +9684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q350_sprt_monitor": q350_sprt_monitor,
         "q351_t_closeness": q351_t_closeness,
         "q352_loo_influence": q352_loo_influence,
+        "q353_typeahead_completions": q353_typeahead_completions,
+        "q354_lsh_parameter_plan": q354_lsh_parameter_plan,
+        "q355_copeland_fusion": q355_copeland_fusion,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -1527,3 +1527,80 @@ def cdc_chunks(
     ).select(
         id_col, "chunk_idx", "chunk", F.length("chunk").alias("chunk_len")
     )
+
+
+def lsh_parameter_plan(
+    spark,
+    total_hashes: int = 128,
+    threshold: tuple[int, int] = (4, 5),
+    grid_den: int = 100,
+) -> DataFrame:
+    """MinHash-LSH banding planner: for every power-of-two split of
+    ``total_hashes`` into b bands × r rows, integrate the S-curve
+    ``P(s) = 1 − (1 − s^r)^b`` against the target threshold and rank
+    the splits by false-positive + false-negative mass — the tuning
+    table a deployment consults BEFORE committing a 100 TB corpus to
+    one banding (re-sharding signatures later re-shuffles everything).
+
+    Exactness: the similarity grid is the rational s = k/grid_den
+    (one exact division per point), the powers are PURE SQUARING
+    CHAINS (b and r powers of two → every step is one IEEE multiply
+    of identical operands, bit-identical on any engine — this is WHY
+    the planner restricts to power-of-two splits), the threshold
+    comparison is integer cross-multiplication, and the masses are
+    integer nano-unit sums.
+
+    Runs as ``log2(total_hashes)−1`` unioned aggregates over the
+    shared grid — pure compute, no data tables.
+    """
+    tn, td = threshold
+    if total_hashes & (total_hashes - 1) != 0 or total_hashes < 4:
+        raise ValueError("total_hashes must be a power of two >= 4")
+    arms = []
+    r = 2
+    while r <= total_hashes // 2:
+        arms.append((total_hashes // r, r))
+        r *= 2
+
+    grid = spark.range(1, grid_den).select(F.col("id").alias("kk"))
+
+    def _square(x, e: int):
+        while e > 1:
+            x = x * x
+            e //= 2
+        return x
+
+    parts = []
+    for b, rr in arms:
+        s = F.col("kk").cast("double") / F.lit(float(grid_den))
+        p_match = F.lit(1.0) - _square(F.lit(1.0) - _square(s, rr), b)
+        nano_p = F.floor(p_match * F.lit(1e9) + F.lit(0.5)).cast("long")
+        nano_q = F.floor(
+            (F.lit(1.0) - p_match) * F.lit(1e9) + F.lit(0.5)
+        ).cast("long")
+        below = F.col("kk") * F.lit(td) < F.lit(grid_den * tn)
+        parts.append(
+            grid.agg(
+                F.sum(F.when(below, nano_p).otherwise(F.lit(0))).alias(
+                    "fp_nano"
+                ),
+                F.sum(F.when(~below, nano_q).otherwise(F.lit(0))).alias(
+                    "fn_nano"
+                ),
+            ).select(
+                F.lit(b).alias("bands"),
+                F.lit(rr).alias("rows_per_band"),
+                "fp_nano",
+                "fn_nano",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "bands",
+        "rows_per_band",
+        "fp_nano",
+        "fn_nano",
+        (F.col("fp_nano") + F.col("fn_nano")).alias("total_nano"),
+    )

@@ -1265,3 +1265,83 @@ def topk_recall(
             ).alias("recall"),
         )
     )
+
+
+def copeland_fuse(
+    rankings: DataFrame,
+    sources: list[str],
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    source_col: str = "source",
+) -> DataFrame:
+    """Copeland pairwise-majority rank aggregation — the
+    Condorcet-style sibling of :func:`rrf_fuse`: candidate a scores
+    against candidate b by how many retrievers rank a above b; the
+    Copeland score is 2 per pairwise win + 1 per tie (×2-scaled to
+    stay integral), summed over all opponents.  Unlike RRF it is
+    invariant to rank-gap magnitudes and resistant to one retriever's
+    runaway tail.
+
+    A doc missing from a retriever's list ranks below every listed doc
+    for that retriever (both missing → tie).  ``sources`` fixes the
+    win-sum operand order (same discipline as rrf_fuse).
+
+    Scale contract: the pairwise spine is |candidates|² per query —
+    candidates come from top-k retriever LISTS (≤ Σ k_r, bounded by
+    construction), never from the corpus.  One pivot aggregate, one
+    bounded self-join, one group-sum, one top-k window.
+    """
+    inf = F.lit(1 << 40).cast("long")
+    piv = (
+        rankings.groupBy(
+            F.col(query_col).alias("q_id"), F.col(doc_col).alias("d_id")
+        )
+        .pivot(source_col, sources)
+        .agg(F.min(rank_col))
+    )
+    a = piv.select(
+        F.col("q_id"),
+        F.col("d_id").alias("d_a"),
+        *[F.col(s).alias(f"a_{s}") for s in sources],
+    )
+    b = piv.select(
+        F.col("q_id").alias("q_b"),
+        F.col("d_id").alias("d_b"),
+        *[F.col(s).alias(f"b_{s}") for s in sources],
+    )
+    pairs = a.join(
+        b, (F.col("q_id") == F.col("q_b")) & (F.col("d_a") != F.col("d_b"))
+    )
+    wins_ab, wins_ba = None, None
+    for s in sources:
+        ra = F.coalesce(F.col(f"a_{s}").cast("long"), inf)
+        rb = F.coalesce(F.col(f"b_{s}").cast("long"), inf)
+        ab = F.when(ra < rb, F.lit(1)).otherwise(F.lit(0))
+        ba = F.when(rb < ra, F.lit(1)).otherwise(F.lit(0))
+        wins_ab = ab if wins_ab is None else wins_ab + ab
+        wins_ba = ba if wins_ba is None else wins_ba + ba
+    points = (
+        F.when(wins_ab > wins_ba, F.lit(2))
+        .when(wins_ab == wins_ba, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    scored = (
+        pairs.select("q_id", "d_a", points.alias("__pts"))
+        .groupBy("q_id", "d_a")
+        .agg(F.sum("__pts").cast("long").alias("copeland_x2"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("copeland_x2"), F.asc("d_a")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias(query_col),
+            F.col("d_a").alias(doc_col),
+            "copeland_x2",
+            "rank",
+        )
+    )

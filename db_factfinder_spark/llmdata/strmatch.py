@@ -15,7 +15,7 @@ key is necessary but not sufficient ("ab"/"ba" share keys at distance
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -179,4 +179,49 @@ def fellegi_sunter_score(
         F.when(F.col("fs_score") >= upper, F.lit("match"))
         .when(F.col("fs_score") >= lower, F.lit("possible"))
         .otherwise(F.lit("non_match")),
+    )
+
+
+def typeahead_completions(
+    df: DataFrame,
+    text_col: str = "text",
+    max_prefix_len: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """Build a typeahead (autocomplete) completion index: for every
+    token prefix up to ``max_prefix_len`` chars, the top-``k`` corpus
+    tokens by frequency (ties broken lexicographically).
+
+    Scale shape: the corpus collapses to its VOCABULARY first (one
+    map-side-combined token count — corpus-sized input, vocab-sized
+    output), prefixes explode off the vocab (≤ max_prefix_len rows per
+    distinct token), and the per-prefix top-k window partitions on the
+    prefix — every partition is bounded by the number of vocab tokens
+    sharing that prefix, never by corpus size.
+    """
+    from db_factfinder_spark.llmdata.textstats import tokens
+
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pref = vocab.select(
+        "token",
+        "cnt",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.length("token"), F.lit(max_prefix_len)),
+                ),
+                lambda i: F.col("token").substr(F.lit(1), i),
+            )
+        ).alias("prefix"),
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        pref.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("prefix", "rank", "token", "cnt")
     )

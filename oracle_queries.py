@@ -9960,3 +9960,133 @@ SELECT grp, CAST(n AS BIGINT) AS n, slope_full, slope_without,
   slope_without - slope_full AS influence
 FROM sl ORDER BY grp
 """
+
+
+# q353: typeahead index — vocab count, prefix explode off the vocab,
+# per-prefix top-3 by (count desc, token asc).
+ORACLES["q353_typeahead_completions"] = f"""
+WITH v AS (
+  SELECT tok AS token, count(*) AS cnt FROM (
+    SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY tok),
+p AS (
+  SELECT token, cnt,
+    unnest(list_transform(
+      range(1, least(length(token), 3) + 1),
+      i -> substr(token, 1, CAST(i AS INT)))) AS prefix
+  FROM v)
+SELECT prefix, rank, token, cnt FROM (
+  SELECT prefix, token, cnt,
+    row_number() OVER (PARTITION BY prefix
+                       ORDER BY cnt DESC, token ASC) AS rank
+  FROM p) WHERE rank <= 3 ORDER BY prefix, rank
+"""
+
+
+
+# q354: LSH banding planner — pure squaring chains mirrored
+# structurally from lsh_parameter_plan (generated by the same
+# exponent-halving loop), integer nano masses, integer threshold
+# cross-multiplication.
+ORACLES["q354_lsh_parameter_plan"] = """
+SELECT bands, rows_per_band, fp_nano, fn_nano,
+  fp_nano + fn_nano AS total_nano
+FROM (SELECT 64 AS bands, 2 AS rows_per_band,
+  CAST(sum(CASE WHEN kk * 5 < 400 THEN CAST(floor(((1.0 - (((((((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * ((((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))) * (((((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * ((((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))))) * ((((((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * ((((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))) * (((((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * ((((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))))))) * 1000000000.0) + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+    AS fp_nano,
+  CAST(sum(CASE WHEN NOT (kk * 5 < 400) THEN CAST(floor(((1.0 - (1.0 - (((((((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * ((((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))) * (((((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * ((((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))))) * ((((((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * ((((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))) * (((((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * ((((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (1.0 - ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))))))) * 1000000000.0) + 0.5) AS BIGINT) ELSE 0 END)
+       AS BIGINT) AS fn_nano
+FROM (SELECT range AS kk FROM range(1, 100))
+UNION ALL
+SELECT 32 AS bands, 4 AS rows_per_band,
+  CAST(sum(CASE WHEN kk * 5 < 400 THEN CAST(floor(((1.0 - ((((((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * ((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * (((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * ((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))) * ((((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * ((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * (((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * ((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))))) * (((((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * ((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * (((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * ((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))) * ((((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * ((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * (((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * ((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))))))) * 1000000000.0) + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+    AS fp_nano,
+  CAST(sum(CASE WHEN NOT (kk * 5 < 400) THEN CAST(floor(((1.0 - (1.0 - ((((((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * ((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * (((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * ((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))) * ((((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * ((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * (((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * ((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))))) * (((((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * ((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * (((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * ((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))) * ((((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * ((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * (((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * ((1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * (1.0 - (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))))))) * 1000000000.0) + 0.5) AS BIGINT) ELSE 0 END)
+       AS BIGINT) AS fn_nano
+FROM (SELECT range AS kk FROM range(1, 100))
+UNION ALL
+SELECT 16 AS bands, 8 AS rows_per_band,
+  CAST(sum(CASE WHEN kk * 5 < 400 THEN CAST(floor(((1.0 - (((((1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * ((1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))) * (((1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * ((1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))))) * ((((1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * ((1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))) * (((1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * ((1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))))))) * 1000000000.0) + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+    AS fp_nano,
+  CAST(sum(CASE WHEN NOT (kk * 5 < 400) THEN CAST(floor(((1.0 - (1.0 - (((((1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * ((1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))) * (((1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * ((1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))))) * ((((1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * ((1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))) * (((1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * ((1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (1.0 - ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))))))) * 1000000000.0) + 0.5) AS BIGINT) ELSE 0 END)
+       AS BIGINT) AS fn_nano
+FROM (SELECT range AS kk FROM range(1, 100))
+UNION ALL
+SELECT 8 AS bands, 16 AS rows_per_band,
+  CAST(sum(CASE WHEN kk * 5 < 400 THEN CAST(floor(((1.0 - ((((1.0 - (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * (1.0 - (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))) * ((1.0 - (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * (1.0 - (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))))) * (((1.0 - (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * (1.0 - (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))) * ((1.0 - (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * (1.0 - (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))))))) * 1000000000.0) + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+    AS fp_nano,
+  CAST(sum(CASE WHEN NOT (kk * 5 < 400) THEN CAST(floor(((1.0 - (1.0 - ((((1.0 - (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * (1.0 - (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))) * ((1.0 - (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * (1.0 - (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))))) * (((1.0 - (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * (1.0 - (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))) * ((1.0 - (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * (1.0 - (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))))))) * 1000000000.0) + 0.5) AS BIGINT) ELSE 0 END)
+       AS BIGINT) AS fn_nano
+FROM (SELECT range AS kk FROM range(1, 100))
+UNION ALL
+SELECT 4 AS bands, 32 AS rows_per_band,
+  CAST(sum(CASE WHEN kk * 5 < 400 THEN CAST(floor(((1.0 - (((1.0 - ((((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))) * (1.0 - ((((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))))) * ((1.0 - ((((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))) * (1.0 - ((((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))))))) * 1000000000.0) + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+    AS fp_nano,
+  CAST(sum(CASE WHEN NOT (kk * 5 < 400) THEN CAST(floor(((1.0 - (1.0 - (((1.0 - ((((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))) * (1.0 - ((((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))))) * ((1.0 - ((((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))) * (1.0 - ((((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))))))) * 1000000000.0) + 0.5) AS BIGINT) ELSE 0 END)
+       AS BIGINT) AS fn_nano
+FROM (SELECT range AS kk FROM range(1, 100))
+UNION ALL
+SELECT 2 AS bands, 64 AS rows_per_band,
+  CAST(sum(CASE WHEN kk * 5 < 400 THEN CAST(floor(((1.0 - ((1.0 - (((((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * ((((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))))) * (1.0 - (((((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * ((((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))))))) * 1000000000.0) + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+    AS fp_nano,
+  CAST(sum(CASE WHEN NOT (kk * 5 < 400) THEN CAST(floor(((1.0 - (1.0 - ((1.0 - (((((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * ((((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))))) * (1.0 - (((((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))))) * ((((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))) * (((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)))) * ((((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))) * (((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0)) * ((CAST(kk AS DOUBLE) / 100.0) * (CAST(kk AS DOUBLE) / 100.0))))))))))) * 1000000000.0) + 0.5) AS BIGINT) ELSE 0 END)
+       AS BIGINT) AS fn_nano
+FROM (SELECT range AS kk FROM range(1, 100))) ORDER BY total_nano, bands
+"""
+
+
+# q355: Copeland fusion — three deterministic top-20 rankers, pairwise
+# win counts over the candidate spine with missing-rank = +inf, 2/1/0
+# points, top-10.
+ORACLES["q355_copeland_fusion"] = """
+WITH r1 AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (
+      ORDER BY n_chars DESC, doc_id ASC) AS rank FROM documents)
+  WHERE rank <= 20),
+r2 AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (
+      ORDER BY (doc_id * 2654435761) % 100000 ASC, doc_id ASC) AS rank
+    FROM documents)
+  WHERE rank <= 20),
+r3 AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (
+      ORDER BY (doc_id * 1103515245 + 12345) % 100000 ASC, doc_id ASC)
+      AS rank
+    FROM documents)
+  WHERE rank <= 20),
+cand AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id FROM r1 UNION ALL SELECT doc_id FROM r2
+    UNION ALL SELECT doc_id FROM r3)),
+piv AS (
+  SELECT c.doc_id,
+    coalesce(CAST(r1.rank AS BIGINT), 1099511627776) AS rl,
+    coalesce(CAST(r2.rank AS BIGINT), 1099511627776) AS rh1,
+    coalesce(CAST(r3.rank AS BIGINT), 1099511627776) AS rh2
+  FROM cand c
+  LEFT JOIN r1 ON c.doc_id = r1.doc_id
+  LEFT JOIN r2 ON c.doc_id = r2.doc_id
+  LEFT JOIN r3 ON c.doc_id = r3.doc_id),
+pairs AS (
+  SELECT a.doc_id AS d_a,
+    (CASE WHEN a.rl < b.rl THEN 1 ELSE 0 END
+     + CASE WHEN a.rh1 < b.rh1 THEN 1 ELSE 0 END
+     + CASE WHEN a.rh2 < b.rh2 THEN 1 ELSE 0 END) AS wab,
+    (CASE WHEN b.rl < a.rl THEN 1 ELSE 0 END
+     + CASE WHEN b.rh1 < a.rh1 THEN 1 ELSE 0 END
+     + CASE WHEN b.rh2 < a.rh2 THEN 1 ELSE 0 END) AS wba
+  FROM piv a JOIN piv b ON a.doc_id != b.doc_id),
+scored AS (
+  SELECT d_a AS doc_id,
+    CAST(sum(CASE WHEN wab > wba THEN 2
+                  WHEN wab = wba THEN 1 ELSE 0 END) AS BIGINT)
+      AS copeland_x2
+  FROM pairs GROUP BY d_a)
+SELECT 0 AS query_id, doc_id, copeland_x2, rank FROM (
+  SELECT doc_id, copeland_x2,
+    row_number() OVER (ORDER BY copeland_x2 DESC, doc_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 10 ORDER BY rank
+"""

@@ -389,3 +389,110 @@ class TestLooInfluence:
         assert out[1]["slope_without"] is None
         assert out[1]["influence"] is None
         assert out[0]["slope_without"] == pytest.approx(1.0)
+
+
+class TestTypeaheadCompletions:
+    def test_index_contents(self, spark):
+        from db_factfinder_spark.llmdata.strmatch import (
+            typeahead_completions,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "apple apple apply band")], "doc_id long, text string"
+        )
+        out = typeahead_completions(docs, max_prefix_len=3, k=2).collect()
+        by_prefix = {}
+        for r in out:
+            by_prefix.setdefault(r["prefix"], []).append(
+                (r["rank"], r["token"], r["cnt"])
+            )
+        assert by_prefix["a"] == [(1, "apple", 2), (2, "apply", 1)]
+        assert by_prefix["app"] == [(1, "apple", 2), (2, "apply", 1)]
+        assert by_prefix["b"] == [(1, "band", 1)]
+        # prefixes never exceed max_prefix_len
+        assert max(len(p) for p in by_prefix) == 3
+
+    def test_tie_breaks_lexicographic(self, spark):
+        from db_factfinder_spark.llmdata.strmatch import (
+            typeahead_completions,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "beta bear")], "doc_id long, text string"
+        )
+        out = {
+            (r["prefix"], r["rank"]): r["token"]
+            for r in typeahead_completions(
+                docs, max_prefix_len=2, k=2
+            ).collect()
+        }
+        assert out[("be", 1)] == "bear"
+        assert out[("be", 2)] == "beta"
+
+
+class TestLshParameterPlan:
+    def test_plan_shape_and_optimum(self, spark):
+        from db_factfinder_spark.llmdata.dedup import lsh_parameter_plan
+
+        rows = lsh_parameter_plan(
+            spark, total_hashes=128, threshold=(4, 5)
+        ).collect()
+        assert len(rows) == 6
+        assert {(r["bands"], r["rows_per_band"]) for r in rows} == {
+            (64, 2), (32, 4), (16, 8), (8, 16), (4, 32), (2, 64),
+        }
+        by_r = {r["rows_per_band"]: r for r in rows}
+        # extremes lose: r=2 floods false positives, r=64 floods false
+        # negatives; a middle split wins the total
+        best = min(rows, key=lambda r: (r["total_nano"], r["bands"]))
+        assert best["rows_per_band"] in (8, 16, 32)
+        assert by_r[2]["fp_nano"] > best["fp_nano"]
+        assert by_r[64]["fn_nano"] > best["fn_nano"]
+
+    def test_non_power_of_two_raises(self, spark):
+        from db_factfinder_spark.llmdata.dedup import lsh_parameter_plan
+
+        with pytest.raises(ValueError):
+            lsh_parameter_plan(spark, total_hashes=96)
+
+
+class TestCopelandFuse:
+    def _fuse(self, spark, rows, sources, k=10):
+        from db_factfinder_spark.llmdata.similarity import copeland_fuse
+
+        df = spark.createDataFrame(
+            rows, "query_id long, doc_id string, rank long, source string"
+        )
+        return copeland_fuse(df, sources, k=k).collect()
+
+    def test_condorcet_winner(self, spark):
+        rows = [
+            (0, "A", 1, "s1"), (0, "B", 2, "s1"),
+            (0, "A", 1, "s2"), (0, "C", 2, "s2"),
+            (0, "B", 1, "s3"), (0, "A", 2, "s3"),
+        ]
+        out = self._fuse(spark, rows, ["s1", "s2", "s3"])
+        got = [(r["rank"], r["doc_id"], r["copeland_x2"]) for r in out]
+        # A beats B 2-1 and C 3-0 (missing ranks below all listed);
+        # B beats C 2-1
+        assert sorted(got) == [(1, "A", 4), (2, "B", 2), (3, "C", 0)]
+
+    def test_both_missing_is_tie(self, spark):
+        # B and C both absent from s2: that retriever contributes a
+        # tie, s1 decides B over C
+        rows = [
+            (0, "A", 1, "s1"), (0, "B", 2, "s1"), (0, "C", 3, "s1"),
+            (0, "A", 1, "s2"),
+        ]
+        out = {r["doc_id"]: r["copeland_x2"] for r in self._fuse(
+            spark, rows, ["s1", "s2"]
+        )}
+        assert out["A"] == 4
+        assert out["B"] == 2
+        assert out["C"] == 0
+
+    def test_k_truncates(self, spark):
+        rows = [(0, f"d{i}", i + 1, "s1") for i in range(5)]
+        out = self._fuse(spark, rows, ["s1"], k=2)
+        assert len(out) == 2
+        assert out[0]["doc_id"] == "d0"
