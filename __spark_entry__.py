@@ -9327,6 +9327,58 @@ def q355_copeland_fusion(spark, sf_dir):
     )
 
 
+def q356_recrawl_priority(spark, sf_dir):
+    """Per-URL change-rate estimation for recrawl scheduling
+    (llmdata/crawl.py:recrawl_priority, Cho & Garcia-Molina):
+    λ = ln(n) − ln(n−X) over each URL's visit intervals — portable_ln
+    on exact integer counts, nano-quantized; saturated histories
+    (every interval changed) surface as a flag with NULL λ.  Fixture:
+    events as the visit log (url = user, content hash = event type)."""
+    from db_factfinder_spark.llmdata.crawl import recrawl_priority
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("url"),
+        F.col("event_id").alias("visit_id"),
+        F.col("event_type").alias("content_hash"),
+    )
+    return recrawl_priority(ev).orderBy("url")
+
+
+def q357_bloom_parameter_plan(spark, sf_dir):
+    """Bloom-filter sizing planner
+    (operators/bloom.py:bloom_parameter_plan): exact FPR
+    (1−(1−1/m)^{kn})^k per (bits-per-key, k) arm via a
+    square-and-multiply FOLD over the exponent's binary digits — the
+    digits are a per-arm array column, so the expression tree is
+    constant-size (the let-chain / lateral-alias forms measured 100 s
+    of plan cost or exponential inlining).  Oracle runs the
+    same-template DuckDB dialect."""
+    from db_factfinder_spark.operators.bloom import bloom_parameter_plan
+
+    return bloom_parameter_plan(spark).orderBy("bits_per_key", "k_hashes")
+
+
+def q358_position_attribution(spark, sf_dir):
+    """U-shaped (40/20/40) multi-touch attribution
+    (operators/funnel.py:position_attribution): first/last buckets
+    integer-divided from the cents, the middle bucket defined as the
+    exact leftover (conservation by construction), middles split by
+    the div/first-k-extra rule.  Same single-key-shuffle assignment
+    window as q194; completes the attribution family (last-touch q98,
+    linear q194, time-decay q242)."""
+    from db_factfinder_spark.operators.funnel import position_attribution
+    from db_factfinder_spark.sources.readers import read_events
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return position_attribution(
+        ev,
+        touch_types=["click", "view"],
+        conv_type="purchase",
+        horizon_us=86_400_000_000,
+        channel=F.get_json_object("props", "$.k").cast("int") % 5,
+    ).orderBy("channel")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9687,6 +9739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q353_typeahead_completions": q353_typeahead_completions,
         "q354_lsh_parameter_plan": q354_lsh_parameter_plan,
         "q355_copeland_fusion": q355_copeland_fusion,
+        "q356_recrawl_priority": q356_recrawl_priority,
+        "q357_bloom_parameter_plan": q357_bloom_parameter_plan,
+        "q358_position_attribution": q358_position_attribution,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

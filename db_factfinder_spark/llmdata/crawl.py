@@ -60,3 +60,57 @@ def crawl_schedule(
         ),
         worker.alias("worker"),
     )
+
+
+def recrawl_priority(
+    df: DataFrame,
+    url_col: str = "url",
+    order_col: str = "visit_id",
+    state_col: str = "content_hash",
+) -> DataFrame:
+    """Per-URL change-rate estimation for recrawl scheduling (Cho &
+    Garcia-Molina 2003): from each URL's visit history, count the
+    intervals whose content changed and estimate the Poisson change
+    rate ``λ = −ln(1 − X/n)`` per interval — the score a crawler
+    sorts by to spend its budget on fast-changing pages.
+
+    ``λ`` reduces to ``ln(n) − ln(n−X)`` — portable_ln over EXACT
+    INTEGER counts, quantized to nano-units: bit-identical on any
+    engine, no libm.  Saturated histories (every interval changed,
+    X = n) break the estimator (ln 0); they surface as
+    ``saturated = true`` with NULL lambda — schedule them at maximum
+    priority by flag, don't fake a rate.
+
+    Plan: one lag window per URL + one groupBy on the same key (AQE
+    reuses the exchange); linear in visits.
+    """
+    from db_factfinder_spark.functions.portable_math import portable_ln
+
+    w = Window.partitionBy("url").orderBy("__ord")
+    flagged = df.select(
+        F.col(url_col).alias("url"),
+        F.col(order_col).alias("__ord"),
+        F.col(state_col).alias("__state"),
+    ).withColumn("__prev", F.lag("__state").over(w))
+    agg = (
+        flagged.filter(F.col("__prev").isNotNull())
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(
+                (~F.col("__state").eqNullSafe(F.col("__prev"))).cast("long")
+            ).alias("n_changed"),
+        )
+    )
+    n = F.col("n_intervals")
+    x = F.col("n_changed")
+    lam = F.floor(
+        (portable_ln(n) - portable_ln(n - x)) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    return agg.select(
+        "url",
+        "n_intervals",
+        "n_changed",
+        (x == n).alias("saturated"),
+        F.when((x < n) & (n > 0), lam).alias("lambda_nano"),
+    )

@@ -27,7 +27,7 @@ is the scale path for when the probe side is the 100 TB fact table.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -111,3 +111,101 @@ def bloom_semi_join(
     )
     keys = build.select(F.col(build_key).alias(probe_key)).distinct()
     return pruned.join(F.broadcast(keys), probe_key, "left_semi")
+
+
+def bloom_parameter_plan_sql(
+    dialect: str,
+    n_keys: int = 1_048_576,
+    bits_per_key: tuple[int, ...] = (4, 8, 12, 16),
+    max_k: int = 8,
+) -> str:
+    """SQL text for :func:`bloom_parameter_plan`, generated for
+    ``dialect`` in {'spark', 'duckdb'} from ONE template — the only
+    dialect differences are the array-literal syntax and the fold
+    wrapper (Spark ``aggregate(bits, init, λ)`` vs DuckDB
+    ``list_reduce(list_prepend(init, bits), λ)``; both run the
+    IDENTICAL multiply sequence).
+
+    Design: the exponent's square-and-multiply bit string is DATA (a
+    per-arm array column), folded by one lambda — NOT an unrolled
+    expression chain.  Measured alternatives all failed: let-bound
+    Column chains cost ~100 s of py4j lambda construction, nested
+    subqueries trigger superlinear analysis, and lateral column
+    aliases INLINE (2^20-node tree by the 20th squaring).  The fold
+    keeps the tree constant-size and the arm table is
+    parameters-as-data — one 32-row scan, trivially parallel.
+    """
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError("dialect must be 'spark' or 'duckdb'")
+
+    def arr(bits: str) -> str:
+        if dialect == "spark":
+            return (
+                f"array({bits})" if bits else "CAST(array() AS ARRAY<INT>)"
+            )
+        return f"[{bits}]" if bits else "CAST([] AS INT[])"
+
+    rows = []
+    for r in bits_per_key:
+        for k in range(1, max_k + 1):
+            m = float(r * n_keys)
+            bkn = ", ".join(bin(k * n_keys)[3:])
+            bk = ", ".join(bin(k)[3:])
+            rows.append(
+                f"({r}, {k}, {m!r}, {arr(bkn)}, {arr(bk)})"
+            )
+    values = ",\n    ".join(rows)
+    lam = "(acc, b) -> CASE WHEN b = 1 THEN (acc * acc) * {x} " \
+          "ELSE (acc * acc) END"
+    if dialect == "spark":
+        fold_q = f"aggregate(bits_kn, x0, {lam.format(x='x0')})"
+        fold_f = f"aggregate(bits_k, y0, {lam.format(x='y0')})"
+    else:
+        fold_q = (
+            f"list_reduce(list_prepend(x0, bits_kn), {lam.format(x='x0')})"
+        )
+        fold_f = (
+            f"list_reduce(list_prepend(y0, bits_k), {lam.format(x='y0')})"
+        )
+    return f"""
+WITH arms(bits_per_key, k_hashes, m, bits_kn, bits_k) AS (VALUES
+    {values}),
+s1 AS (
+  SELECT bits_per_key, k_hashes, bits_kn, bits_k,
+    CAST(1.0 - (1.0 / CAST(m AS DOUBLE)) AS DOUBLE) AS x0
+  FROM arms),
+s2 AS (SELECT *, {fold_q} AS q FROM s1),
+s3 AS (SELECT *, CAST(1.0 - q AS DOUBLE) AS y0 FROM s2),
+s4 AS (SELECT *, {fold_f} AS fpr FROM s3)
+SELECT bits_per_key, k_hashes,
+  CAST(floor((fpr * 1000000000.0) + 0.5) AS BIGINT) AS fpr_nano,
+  (row_number() OVER (PARTITION BY bits_per_key
+     ORDER BY CAST(floor((fpr * 1000000000.0) + 0.5) AS BIGINT) ASC,
+              k_hashes ASC) = 1) AS is_best_k
+FROM s4
+"""
+
+
+def bloom_parameter_plan(
+    spark,
+    n_keys: int = 1_048_576,
+    bits_per_key: tuple[int, ...] = (4, 8, 12, 16),
+    max_k: int = 8,
+) -> DataFrame:
+    """Bloom-filter sizing planner: the EXACT false-positive rate
+    ``(1 − (1 − 1/m)^{kn})^k`` for every (bits-per-key, k) arm — the
+    table consulted before sizing the broadcast filter in
+    bloom_semi_join (resizing a deployed filter rebuilds it over the
+    full key set).
+
+    No libm ``exp`` approximation: the huge power is a LEFT-TO-RIGHT
+    SQUARE-AND-MULTIPLY fold over the exponent's binary digits —
+    every step one IEEE multiply of identical operands, bit-identical
+    cross-engine.  FPRs quantize to integer nano-units; ``is_best_k``
+    marks each arm's optimum.  See
+    :func:`bloom_parameter_plan_sql` for why the chain is a DATA fold
+    rather than an expression chain.
+    """
+    return spark.sql(
+        bloom_parameter_plan_sql("spark", n_keys, bits_per_key, max_k)
+    )

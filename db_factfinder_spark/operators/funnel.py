@@ -154,39 +154,23 @@ def transition_matrix(
     )
 
 
-def linear_attribution(
+def _assigned_touches(
     events: DataFrame,
     touch_types: list[str],
     conv_type: str,
     horizon_us: int,
     channel: Column,
-    key_col: str = "user_id",
-    ts_col: str = "ts",
-    id_col: str = "event_id",
-    value_col: str = "value",
-) -> DataFrame:
-    """Linear multi-touch attribution with EXACT cent conservation.
-
-    Every conversion's value splits equally across the touch events
-    that precede it (same key, at-or-before by time, within
-    ``horizon_us``); conversions with no qualifying touch credit a
-    synthetic channel −1 ("direct").  Naive equal-split divides
-    cents/n per touch and leaks fractions of a cent per conversion —
-    at ledger scale the books stop balancing.  This operator uses the
-    largest-remainder rule instead: each touch gets ``cents div n``
-    and the first ``cents mod n`` touches (in (ts, id) order) get one
-    extra cent, so ``Σ credited ≡ Σ conversion value`` EXACTLY — the
-    conservation law the unit tests pin.
-
-    Plan: the touch→next-conversion assignment is the same
-    union-frame descending-time window as ``next_event_within`` (one
-    shuffle on the key, linear — never the touch×conversion
-    inequality self-join); the split is one window pair (count +
-    row_number) keyed by the conversion id; credits aggregate by
-    channel in integer cents.
-
-    Output: ``channel, n_credits, credited_cents``.
-    """
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared touch→next-conversion assignment behind the attribution
+    family (linear / U-shaped): the union-frame descending-time window
+    of ``next_event_within`` — one shuffle on the key, linear, never
+    the touch×conversion inequality self-join.  Returns ``(assigned,
+    conv)``: qualifying touches labeled with their conversion's
+    (id, cents), and the conversion frame (for the direct channel)."""
     e = events.select(
         F.col(key_col).alias("k"),
         F.unix_micros(F.col(ts_col)).alias("us"),
@@ -233,6 +217,46 @@ def linear_attribution(
             F.col("__next.cents").alias("cents"),
             "us", "eid", "channel",
         )
+    )
+    return assigned, conv
+
+
+def linear_attribution(
+    events: DataFrame,
+    touch_types: list[str],
+    conv_type: str,
+    horizon_us: int,
+    channel: Column,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linear multi-touch attribution with EXACT cent conservation.
+
+    Every conversion's value splits equally across the touch events
+    that precede it (same key, at-or-before by time, within
+    ``horizon_us``); conversions with no qualifying touch credit a
+    synthetic channel −1 ("direct").  Naive equal-split divides
+    cents/n per touch and leaks fractions of a cent per conversion —
+    at ledger scale the books stop balancing.  This operator uses the
+    largest-remainder rule instead: each touch gets ``cents div n``
+    and the first ``cents mod n`` touches (in (ts, id) order) get one
+    extra cent, so ``Σ credited ≡ Σ conversion value`` EXACTLY — the
+    conservation law the unit tests pin.
+
+    Plan: the touch→next-conversion assignment is the same
+    union-frame descending-time window as ``next_event_within`` (one
+    shuffle on the key, linear — never the touch×conversion
+    inequality self-join); the split is one window pair (count +
+    row_number) keyed by the conversion id; credits aggregate by
+    channel in integer cents.
+
+    Output: ``channel, n_credits, credited_cents``.
+    """
+    assigned, conv = _assigned_touches(
+        events, touch_types, conv_type, horizon_us, channel,
+        key_col, ts_col, id_col, value_col,
     )
     per_conv = Window.partitionBy("conv_id")
     order = Window.partitionBy("conv_id").orderBy("us", "eid")
@@ -749,4 +773,102 @@ def funnel_with_exclusion(
             F.col("b_ts").isNotNull()
             & ~F.coalesce("__v", F.lit(False))
         ).alias("converted"),
+    )
+
+
+def position_attribution(
+    events: DataFrame,
+    touch_types: list[str],
+    conv_type: str,
+    horizon_us: int,
+    channel: Column,
+    first_bp: int = 4000,
+    last_bp: int = 4000,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution with EXACT
+    cent conservation — the 40/20/40 sibling of linear_attribution:
+    first touch ``first_bp``/10000 of the value, last touch
+    ``last_bp``/10000, middles share the rest equally.
+
+    Conservation by construction, not by rounding hope: the first and
+    last buckets are integer-divided from the cents, the MIDDLE bucket
+    is defined as the exact leftover (absorbing both divisions'
+    truncation), and the middle split reuses the div/first-k-extra
+    rule — Σ credited ≡ Σ conversion value for every path length,
+    positive or refund-negative.  Degenerate paths: one touch takes
+    everything; two touches split 50/50 (there is no middle).
+
+    Same plan as linear_attribution: the shared `_assigned_touches`
+    window (one key shuffle), one window pair per conversion id, one
+    integer-cents aggregate.
+
+    Output: ``channel, n_credits, credited_cents``.
+    """
+    if not (0 < first_bp and 0 < last_bp and first_bp + last_bp < 10000):
+        raise ValueError("first_bp/last_bp must be positive, sum < 10000")
+    assigned, conv = _assigned_touches(
+        events, touch_types, conv_type, horizon_us, channel,
+        key_col, ts_col, id_col, value_col,
+    )
+    per_conv = Window.partitionBy("conv_id")
+    order = Window.partitionBy("conv_id").orderBy("us", "eid")
+    a = (
+        assigned.withColumn("n", F.count(F.lit(1)).over(per_conv))
+        .withColumn("rn", F.row_number().over(order))
+        .withColumns(
+            {
+                "first_c": F.expr(f"(cents * {first_bp}) div 10000"),
+                "last_c": F.expr(f"(cents * {last_bp}) div 10000"),
+            }
+        )
+        .withColumn(
+            "mid_total", F.col("cents") - F.col("first_c") - F.col("last_c")
+        )
+    )
+
+    def _extra(rem: Column, pos: Column) -> Column:
+        return F.when(
+            pos <= F.abs(rem),
+            F.when(rem > 0, F.lit(1)).when(rem < 0, F.lit(-1)).otherwise(
+                F.lit(0)
+            ),
+        ).otherwise(F.lit(0))
+
+    two_rem = F.col("cents") % F.lit(2)
+    mid_rem = F.expr("mid_total % (n - 2)")
+    credit = (
+        F.when(F.col("n") == 1, F.col("cents"))
+        .when(
+            F.col("n") == 2,
+            F.expr("cents div 2") + _extra(two_rem, F.col("rn")).cast("long"),
+        )
+        .otherwise(
+            F.when(F.col("rn") == 1, F.col("first_c"))
+            .when(F.col("rn") == F.col("n"), F.col("last_c"))
+            .otherwise(
+                F.expr("mid_total div (n - 2)")
+                + _extra(mid_rem, F.col("rn") - 1).cast("long")
+            )
+        )
+    )
+    credits = a.select("channel", credit.alias("credit"))
+    direct = (
+        conv.join(
+            assigned.select("conv_id").distinct(),
+            conv["eid"] == F.col("conv_id"),
+            "left_anti",
+        )
+        .select(F.lit(-1).alias("channel"), F.col("cents").alias("credit"))
+    )
+    return (
+        credits.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("credit").alias("credited_cents"),
+        )
     )

@@ -10090,3 +10090,100 @@ SELECT 0 AS query_id, doc_id, copeland_x2, rank FROM (
   FROM scored)
 WHERE rank <= 10 ORDER BY rank
 """
+
+
+
+# q356: recrawl change-rate — lambda = ln(n) - ln(n-X) via portable_ln
+# on exact integer interval counts, nano-quantized; saturated
+# histories flagged with NULL lambda.
+ORACLES["q356_recrawl_priority"] = """
+WITH v AS (
+  SELECT user_id AS url, event_id AS ord, event_type AS st,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+      AS prev
+  FROM events),
+a AS (
+  SELECT url, count(*) AS n_intervals,
+    CAST(sum(CASE WHEN NOT (st IS NOT DISTINCT FROM prev)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+  FROM v WHERE prev IS NOT NULL GROUP BY url),
+a2 AS (SELECT *, n_intervals - n_changed AS nmx FROM a)
+SELECT url, n_intervals, n_changed,
+  (n_changed = n_intervals) AS saturated,
+  CASE WHEN n_changed < n_intervals AND n_intervals > 0 THEN
+    CAST(floor((((CAST((length(format('{:b}', n_intervals)) - 1) AS DOUBLE) * 0.6931471805599453 + 2.0 * ((((((((((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) + ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) / 3.0) + (((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) / 5.0) + ((((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) / 7.0) + (((((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) / 9.0) + ((((((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) / 11.0) + (((((((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) / 13.0) + ((((((((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) / 15.0) + (((((((((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) / 17.0) + ((((((((((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(n_intervals AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', n_intervals)) - 1)) AS DOUBLE)) + 1.0)))) / 19.0)) - (CAST((length(format('{:b}', nmx)) - 1) AS DOUBLE) * 0.6931471805599453 + 2.0 * ((((((((((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) + ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) / 3.0) + (((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) / 5.0) + ((((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) / 7.0) + (((((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) / 9.0) + ((((((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) / 11.0) + (((((((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) / 13.0) + ((((((((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) / 15.0) + (((((((((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) / 17.0) + ((((((((((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) * ((((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)) * (((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) - 1.0) / ((CAST(nmx AS DOUBLE) / CAST((CAST(1 AS BIGINT) << (length(format('{:b}', nmx)) - 1)) AS DOUBLE)) + 1.0)))) / 19.0))) * 1000000000.0) + 0.5) AS BIGINT)
+  END AS lambda_nano
+FROM a2 ORDER BY url
+"""
+
+
+# q357: bloom sizing planner — the SAME generated template as the
+# Spark side (operators/bloom.py:bloom_parameter_plan_sql), DuckDB
+# dialect: only the array literal and fold wrapper differ, the
+# multiply sequence is identical.
+from db_factfinder_spark.operators.bloom import bloom_parameter_plan_sql  # noqa: E402
+
+ORACLES["q357_bloom_parameter_plan"] = (
+    bloom_parameter_plan_sql("duckdb")
+    + " ORDER BY bits_per_key, k_hashes"
+)
+
+
+# q358: U-shaped attribution — q194's assignment CTE with the
+# position-based split: first/last integer buckets, middle bucket =
+# exact leftover, div/first-k-extra inside the middles.
+ORACLES["q358_position_attribution"] = """
+WITH e AS (
+  SELECT event_id AS eid, user_id AS k, epoch_us(ts) AS us, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(json_extract_string(props, '$.k') AS INT) % 5 AS channel
+  FROM events),
+conv AS (SELECT * FROM e WHERE event_type = 'purchase'),
+touch AS (SELECT * FROM e WHERE event_type IN ('click', 'view')),
+assigned AS (
+  SELECT t.eid AS teid, t.us AS tus, t.channel,
+         c.eid AS conv_id, c.cents
+  FROM touch t
+  JOIN conv c ON c.k = t.k AND c.us >= t.us
+             AND c.us - t.us <= 86400000000
+  QUALIFY row_number() OVER (
+    PARTITION BY t.eid ORDER BY c.us, c.eid) = 1),
+pos AS (
+  SELECT channel, cents,
+         count(*) OVER (PARTITION BY conv_id) AS n,
+         row_number() OVER (
+           PARTITION BY conv_id ORDER BY tus, teid) AS rn,
+         (cents * 4000) // 10000 AS first_c,
+         (cents * 4000) // 10000 AS last_c
+  FROM assigned),
+pos2 AS (
+  SELECT *, cents - first_c - last_c AS mid_total FROM pos),
+credits AS (
+  SELECT channel,
+    CASE WHEN n = 1 THEN cents
+         WHEN n = 2 THEN cents // 2
+           + CASE WHEN rn <= abs(cents % 2)
+                  THEN CASE WHEN cents % 2 > 0 THEN 1
+                            WHEN cents % 2 < 0 THEN -1 ELSE 0 END
+                  ELSE 0 END
+         ELSE CASE WHEN rn = 1 THEN first_c
+                   WHEN rn = n THEN last_c
+                   ELSE mid_total // (n - 2)
+                     + CASE WHEN rn - 1 <= abs(mid_total % (n - 2))
+                            THEN CASE WHEN mid_total % (n - 2) > 0
+                                      THEN 1
+                                      WHEN mid_total % (n - 2) < 0
+                                      THEN -1 ELSE 0 END
+                            ELSE 0 END
+              END
+    END AS credit
+  FROM pos2),
+direct AS (
+  SELECT -1 AS channel, cents AS credit
+  FROM conv WHERE eid NOT IN (SELECT conv_id FROM assigned)),
+unioned AS (
+  SELECT * FROM credits UNION ALL SELECT * FROM direct)
+SELECT channel, count(*) AS n_credits,
+  CAST(sum(credit) AS BIGINT) AS credited_cents
+FROM unioned GROUP BY 1 ORDER BY channel
+"""

@@ -496,3 +496,147 @@ class TestCopelandFuse:
         out = self._fuse(spark, rows, ["s1"], k=2)
         assert len(out) == 2
         assert out[0]["doc_id"] == "d0"
+
+
+class TestRecrawlPriority:
+    def _run(self, spark, rows):
+        from db_factfinder_spark.llmdata.crawl import recrawl_priority
+
+        df = spark.createDataFrame(
+            rows, "url string, visit_id long, content_hash string"
+        )
+        return {r["url"]: r for r in recrawl_priority(df).collect()}
+
+    def test_change_rate(self, spark):
+        import math
+
+        rows = [
+            ("a", 0, "x"), ("a", 1, "x"), ("a", 2, "y"), ("a", 3, "y"),
+        ]
+        out = self._run(spark, rows)["a"]
+        assert out["n_intervals"] == 3
+        assert out["n_changed"] == 1
+        assert out["saturated"] is False
+        # lambda = ln(3) - ln(2) in nano-nats (portable_ln < 1e-10 rel)
+        expect = round((math.log(3) - math.log(2)) * 1e9)
+        assert abs(out["lambda_nano"] - expect) <= 5
+
+    def test_saturated_history(self, spark):
+        rows = [("b", 0, "p"), ("b", 1, "q"), ("b", 2, "r")]
+        out = self._run(spark, rows)["b"]
+        assert out["saturated"] is True
+        assert out["lambda_nano"] is None
+
+    def test_single_visit_has_no_estimate(self, spark):
+        rows = [("c", 0, "x"), ("d", 0, "x"), ("d", 1, "x")]
+        out = self._run(spark, rows)
+        assert "c" not in out  # no interval to estimate from
+        assert out["d"]["n_changed"] == 0
+        assert out["d"]["lambda_nano"] == 0  # ln(1) - ln(1)
+
+
+class TestBloomParameterPlan:
+    def test_curve_against_theory(self, spark):
+        from db_factfinder_spark.operators.bloom import bloom_parameter_plan
+
+        rows = bloom_parameter_plan(spark).collect()
+        assert len(rows) == 32
+        best = {
+            r["bits_per_key"]: r["k_hashes"]
+            for r in rows
+            if r["is_best_k"]
+        }
+        # optimal k = (m/n) ln2: 4->2.77, 8->5.55, 12->8.3, 16->11.1
+        assert best[4] == 3
+        assert best[8] in (5, 6)
+        assert best[12] == 8   # capped at max_k
+        assert best[16] == 8
+        # more bits per key strictly lowers the best-k FPR
+        best_fpr = {
+            r["bits_per_key"]: r["fpr_nano"]
+            for r in rows
+            if r["is_best_k"]
+        }
+        assert best_fpr[4] > best_fpr[8] > best_fpr[12] > best_fpr[16]
+
+    def test_dialect_guard(self):
+        from db_factfinder_spark.operators.bloom import (
+            bloom_parameter_plan_sql,
+        )
+
+        with pytest.raises(ValueError):
+            bloom_parameter_plan_sql("postgres")
+
+
+class TestPositionAttribution:
+    def _run(self, spark, rows):
+        import datetime
+
+        from db_factfinder_spark.operators.funnel import (
+            position_attribution,
+        )
+
+        base = datetime.datetime(2024, 1, 1)
+        data = [
+            (
+                eid,
+                base + datetime.timedelta(seconds=sec),
+                uid,
+                etype,
+                val,
+                ch,
+            )
+            for eid, sec, uid, etype, val, ch in rows
+        ]
+        df = spark.createDataFrame(
+            data,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, ch int",
+        )
+        return {
+            r["channel"]: r["credited_cents"]
+            for r in position_attribution(
+                df, ["touch"], "conv", 10**12, F.col("ch")
+            ).collect()
+        }
+
+    def test_u_shape_four_touches(self, spark):
+        rows = [
+            (0, 0, 1, "touch", 0.0, 0),
+            (1, 1, 1, "touch", 0.0, 1),
+            (2, 2, 1, "touch", 0.0, 2),
+            (3, 3, 1, "touch", 0.0, 3),
+            (4, 4, 1, "conv", 10.0, 9),
+        ]
+        out = self._run(spark, rows)
+        assert out == {0: 400, 1: 100, 2: 100, 3: 400}
+
+    def test_degenerate_paths(self, spark):
+        rows = [
+            (0, 0, 1, "touch", 0.0, 0),
+            (1, 1, 1, "conv", 10.0, 9),     # single touch: all 1000
+            (2, 0, 2, "touch", 0.0, 1),
+            (3, 1, 2, "touch", 0.0, 2),
+            (4, 2, 2, "conv", 10.01, 9),    # two touches: 501/500
+        ]
+        out = self._run(spark, rows)
+        assert out[0] == 1000
+        assert out[1] == 501  # first touch takes the odd cent
+        assert out[2] == 500
+
+    def test_conservation_with_truncation(self, spark):
+        # 101 cents, 3 touches: first 40, last 40, middle absorbs 21
+        rows = [
+            (0, 0, 1, "touch", 0.0, 0),
+            (1, 1, 1, "touch", 0.0, 1),
+            (2, 2, 1, "touch", 0.0, 2),
+            (3, 3, 1, "conv", 1.01, 9),
+        ]
+        out = self._run(spark, rows)
+        assert out == {0: 40, 1: 21, 2: 40}
+        assert sum(out.values()) == 101
+
+    def test_direct_channel(self, spark):
+        rows = [(0, 0, 1, "conv", 5.0, 9)]
+        out = self._run(spark, rows)
+        assert out == {-1: 500}
