@@ -93,6 +93,12 @@ HEADLINE = [
     "q338_maxsim_late_interaction", # multi-vector MaxSim broadcast NLJ
     "q340_hashed_quality_logit",    # hashed-feature linear scoring
     "q341_ngram_novelty",           # gram min-id novelty, 2 partial aggs
+    "q345_c4_cleaning",             # C4 sentence rules, zero-shuffle map
+    "q346_gopher_rules",            # Gopher rule vector, 2 keyed shuffles
+    "q347_redirect_resolution",     # pointer-doubling chain resolution
+    "q353_typeahead_completions",   # vocab-bounded prefix index build
+    "q357_bloom_parameter_plan",    # square-and-multiply FPR fold
+    "q358_position_attribution",    # U-shaped split on shared assignment
     # q198_bootstrap_ci is deliberately NOT a headline entry: its warm
     # time is ~95% driver-side Catalyst/AQE assembly of the 64-wide
     # aggregate tree (re-execution of the built plan runs in ~0.2 s,

@@ -444,3 +444,49 @@ def test_round8_new_ops_ladder_linear_and_shuffle_stable(spark, tmp_path):
             f"{name}: 6x data took {t[6]:.1f}s vs 1x {t[1]:.1f}s "
             f"(bound {bound:.1f}s) — superlinear growth"
         )
+
+
+@pytest.mark.slow
+def test_round8_second_wave_ladder(spark, tmp_path):
+    """The round-8 second-wave operators under the ladder discipline:
+    C4/Gopher cleaning scale with token volume (map-side / two keyed
+    shuffles), redirect resolution with chain count (fixed doubling
+    rounds — plan shape must not change with data), the typeahead
+    index with vocabulary (salted replicas have disjoint vocabs), the
+    attribution split with journey volume, and the recrawl estimator
+    with visit volume."""
+    scales = (1, 6)
+    doc_dirs, ev_dirs = {}, {}
+    for k in scales:
+        d = str(tmp_path / f"r8wx{k}")
+        _write_scaled_docs(spark, k, d)
+        doc_dirs[k] = d
+        e = str(tmp_path / f"r8vx{k}")
+        _write_scaled_events(spark, k, e)
+        ev_dirs[k] = e
+
+    cases = [
+        ("q345_c4_cleaning", doc_dirs),
+        ("q346_gopher_rules", doc_dirs),
+        ("q347_redirect_resolution", doc_dirs),
+        ("q353_typeahead_completions", doc_dirs),
+        ("q356_recrawl_priority", ev_dirs),
+        ("q358_position_attribution", ev_dirs),
+    ]
+    for name, dirs in cases:
+        t, ex = {}, {}
+        for k in scales:
+            df = QUERIES[name](spark, dirs[k])
+            ex[k] = _exchanges(spark, df)
+            t0 = time.perf_counter()
+            _force(df)
+            t[k] = time.perf_counter() - t0
+        assert ex[6] == ex[1], (
+            f"{name}: plan not shuffle-stable across scale "
+            f"({ex[1]} vs {ex[6]} exchanges)"
+        )
+        bound = 6 * 2.5 * t[1] + 3.0
+        assert t[6] <= bound, (
+            f"{name}: 6x data took {t[6]:.1f}s vs 1x {t[1]:.1f}s "
+            f"(bound {bound:.1f}s) — superlinear growth"
+        )
