@@ -9379,6 +9379,29 @@ def q358_position_attribution(spark, sf_dir):
     ).orderBy("channel")
 
 
+def q359_markov_attribution(spark, sf_dir):
+    """Markov-chain removal-effect attribution
+    (operators/funnel.py:markov_attribution) — the data-driven closer
+    of the attribution family (q98 last-touch, q194 linear, q242
+    time-decay, q358 U-shaped): journeys → bounded transition-count
+    matrix → 80 integer-nano absorption rounds as nested array folds
+    ON ONE ROW (no driver loop, no per-round joins), removal effects
+    and shares per channel.  Every round is
+    ``v'_i = floor(Σ cnt·v / tot)`` on exact integers — bit-identical
+    cross-engine."""
+    from db_factfinder_spark.operators.funnel import markov_attribution
+    from db_factfinder_spark.sources.readers import read_events
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    return markov_attribution(
+        ev,
+        touch_types=["click", "view"],
+        conv_type="purchase",
+        channel=F.get_json_object("props", "$.k").cast("int") % 5,
+        n_channels=5,
+    ).orderBy("removed")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9742,6 +9765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q356_recrawl_priority": q356_recrawl_priority,
         "q357_bloom_parameter_plan": q357_bloom_parameter_plan,
         "q358_position_attribution": q358_position_attribution,
+        "q359_markov_attribution": q359_markov_attribution,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -872,3 +872,240 @@ def position_attribution(
             F.sum("credit").alias("credited_cents"),
         )
     )
+
+
+def markov_attribution(
+    events: DataFrame,
+    touch_types: list[str],
+    conv_type: str,
+    channel: Column,
+    n_channels: int,
+    rounds: int = 80,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven
+    member of the attribution family (Anderl et al. 2014): model each
+    user's pre-conversion touch sequence as a first-order chain
+    START → channels → CONV/NULL, and credit channel c by how much
+    the chain's conversion probability DROPS when every transition
+    into c is redirected to NULL.
+
+    Exactness: the absorption probability is iterated ``rounds``
+    times in INTEGER NANO-UNITS — each update is
+    ``v'_i = (Σ_j cnt[i][j]·v[j]) div tot_i`` over exact transition
+    counts, so every round is pure integer arithmetic, bit-identical
+    on any engine (geometric convergence puts the default 80 rounds far
+    below the nano grid for any chain whose absorbing mass per step
+    is ≥ ~1/3;
+    the floor per round is part of the defined arithmetic, mirrored
+    by the oracle).
+
+    Scale shape: the DATA-scale work is the journey extraction (one
+    per-user window pass + one (from,to) groupBy — the transition_
+    matrix plan); the chain itself is a BOUNDED (n_channels+3)² count
+    matrix collapsed to one row, and the removal×rounds×states
+    iteration runs as nested array folds ON that row — constant-size
+    expression tree (the q357 parameters-as-data discipline), no
+    driver loop, no per-round joins.
+
+    States: 0..n_channels−1 = channels, m = START, m+1 = CONV,
+    m+2 = NULL.  A user's journey is their qualifying touches
+    strictly before their first conversion (all touches if they never
+    convert); converted users with zero touches contribute
+    START→CONV.
+
+    Output: one row per variant — ``removed`` (−1 = full chain,
+    else the removed channel), ``p_conv_nano``, ``base_nano``,
+    ``effect_nano`` (base − removed, ≥ 0 up to nano flooring) and
+    ``share`` (effect / Σ effects, one IEEE division).
+    """
+    m = n_channels
+    start_s, conv_s, null_s = m, m + 1, m + 2
+    S = m + 3
+    e = events.select(
+        F.col(key_col).alias("k"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(id_col).alias("eid"),
+        "event_type",
+        channel.cast("int").alias("ch"),
+    )
+    conv1 = (
+        e.filter(F.col("event_type") == conv_type)
+        .groupBy("k")
+        .agg(F.min("us").alias("p_us"))
+    )
+    touches = (
+        e.filter(F.col("event_type").isin(*touch_types))
+        .join(conv1, "k", "left")
+        .filter(F.col("p_us").isNull() | (F.col("us") < F.col("p_us")))
+    )
+    w = Window.partitionBy("k").orderBy("us", "eid")
+    seq = touches.withColumns(
+        {
+            "rn": F.row_number().over(w),
+            "nxt": F.lead("ch").over(w),
+        }
+    )
+    end_state = F.when(
+        F.col("p_us").isNotNull(), F.lit(conv_s)
+    ).otherwise(F.lit(null_s))
+    trans = (
+        seq.filter(F.col("rn") == 1)
+        .select(F.lit(start_s).alias("fi"), F.col("ch").alias("ti"))
+        .unionByName(
+            seq.filter(F.col("nxt").isNotNull()).select(
+                F.col("ch").alias("fi"), F.col("nxt").alias("ti")
+            )
+        )
+        .unionByName(
+            seq.filter(F.col("nxt").isNull()).select(
+                F.col("ch").alias("fi"), end_state.alias("ti")
+            )
+        )
+        .unionByName(
+            conv1.join(
+                touches.select("k").distinct(), "k", "left_anti"
+            ).select(
+                F.lit(start_s).alias("fi"), F.lit(conv_s).alias("ti")
+            )
+        )
+    )
+    cnt = trans.groupBy("fi", "ti").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    one = cnt.agg(
+        F.collect_list(F.struct("fi", "ti", "c")).alias("ent")
+    )
+
+    # ---- single-row bounded-chain program (nested array folds) ----
+    def with_ent(ent: Column) -> Column:
+        # dense S×S count matrix from the sparse entries
+        mat = F.transform(
+            F.sequence(F.lit(0), F.lit(S - 1)),
+            lambda i: F.transform(
+                F.sequence(F.lit(0), F.lit(S - 1)),
+                lambda j: F.aggregate(
+                    ent,
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc
+                    + F.when((x["fi"] == i) & (x["ti"] == j), x["c"])
+                    .otherwise(F.lit(0)),
+                ),
+            ),
+        )
+
+        def with_mat(M: Column) -> Column:
+            removals = F.array(
+                F.lit(-1), *[F.lit(c) for c in range(m)]
+            )
+
+            def p_conv(r: Column) -> Column:
+                # removal r: transitions into r go to NULL instead
+                Mr = F.transform(
+                    M,
+                    lambda row: F.transform(
+                        F.sequence(F.lit(0), F.lit(S - 1)),
+                        lambda j: F.when(
+                            j == F.lit(null_s),
+                            F.element_at(row, null_s + 1)
+                            + F.when(
+                                r >= 0,
+                                F.element_at(row, r + 1),
+                            ).otherwise(F.lit(0)),
+                        )
+                        .when(j == r, F.lit(0).cast("long"))
+                        .otherwise(F.element_at(row, j + 1)),
+                    ),
+                )
+
+                def with_mr(MR: Column) -> Column:
+                    tot = F.transform(
+                        MR,
+                        lambda row: F.aggregate(
+                            row,
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x,
+                        ),
+                    )
+
+                    def with_tot(T: Column) -> Column:
+                        v0 = F.transform(
+                            F.sequence(F.lit(0), F.lit(S - 1)),
+                            lambda i: F.when(
+                                i == F.lit(conv_s),
+                                F.lit(1_000_000_000).cast("long"),
+                            ).otherwise(F.lit(0).cast("long")),
+                        )
+                        vK = F.aggregate(
+                            F.sequence(F.lit(1), F.lit(rounds)),
+                            v0,
+                            lambda v, _: F.transform(
+                                F.sequence(F.lit(0), F.lit(S - 1)),
+                                lambda i: F.when(
+                                    i == F.lit(conv_s),
+                                    F.lit(1_000_000_000).cast("long"),
+                                )
+                                .when(
+                                    F.element_at(T, i + 1) == 0,
+                                    F.lit(0).cast("long"),
+                                )
+                                .otherwise(
+                                    F.floor(
+                                        F.aggregate(
+                                            F.sequence(
+                                                F.lit(0), F.lit(S - 1)
+                                            ),
+                                            F.lit(0).cast("long"),
+                                            lambda acc, j: acc
+                                            + F.element_at(
+                                                F.element_at(MR, i + 1),
+                                                j + 1,
+                                            )
+                                            * F.element_at(v, j + 1),
+                                        )
+                                        / F.element_at(T, i + 1)
+                                    ).cast("long")
+                                ),
+                            ),
+                        )
+                        return F.element_at(vK, start_s + 1)
+
+                    return let(tot, with_tot)
+
+                return let(Mr, with_mr)
+
+            return F.transform(removals, p_conv)
+
+        return let(mat, with_mat)
+
+    from db_factfinder_spark.functions.expr import let
+
+    probs = one.select(let(F.col("ent"), with_ent).alias("p"))
+    base = F.element_at(F.col("p"), 1)
+    effects = F.transform(
+        F.slice(F.col("p"), 2, m), lambda x: base - x
+    )
+    exploded = probs.select(
+        base.alias("base_nano"),
+        F.aggregate(
+            effects, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_eff"),
+        F.posexplode(
+            F.concat(F.array(base), F.slice(F.col("p"), 2, m))
+        ).alias("pos", "p_conv_nano"),
+    )
+    return exploded.select(
+        (F.col("pos") - 1).alias("removed"),
+        "p_conv_nano",
+        "base_nano",
+        F.when(
+            F.col("pos") > 0, F.col("base_nano") - F.col("p_conv_nano")
+        ).alias("effect_nano"),
+        F.when(
+            (F.col("pos") > 0) & (F.col("sum_eff") > 0),
+            (F.col("base_nano") - F.col("p_conv_nano")).cast("double")
+            / F.col("sum_eff").cast("double"),
+        ).alias("share"),
+    )

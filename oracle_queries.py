@@ -10187,3 +10187,92 @@ SELECT channel, count(*) AS n_credits,
   CAST(sum(credit) AS BIGINT) AS credited_cents
 FROM unioned GROUP BY 1 ORDER BY channel
 """
+
+
+# q359: Markov removal-effect attribution — journey windows ->
+# transition counts -> the same 80-round integer-nano absorption fold
+# (list_reduce over a dummy-element list; DuckDB folds need
+# homogeneous lists, so the round counter is a list of empty BIGINT[]
+# with v0 prepended).  States: 0..4 channels, 5 START, 6 CONV, 7 NULL.
+ORACLES["q359_markov_attribution"] = """
+WITH e AS (
+  SELECT event_id AS eid, user_id AS k, epoch_us(ts) AS us, event_type,
+         CAST(json_extract_string(props, '$.k') AS INT) % 5 AS ch
+  FROM events),
+conv1 AS (
+  SELECT k, min(us) AS p_us FROM e
+  WHERE event_type = 'purchase' GROUP BY k),
+touches AS (
+  SELECT t.k, t.us, t.eid, t.ch, c.p_us
+  FROM e t LEFT JOIN conv1 c USING (k)
+  WHERE t.event_type IN ('click', 'view')
+    AND (c.p_us IS NULL OR t.us < c.p_us)),
+seq AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY k ORDER BY us, eid) AS rn,
+    lead(ch) OVER (PARTITION BY k ORDER BY us, eid) AS nxt
+  FROM touches),
+trans AS (
+  SELECT 5 AS fi, ch AS ti FROM seq WHERE rn = 1
+  UNION ALL SELECT ch, nxt FROM seq WHERE nxt IS NOT NULL
+  UNION ALL SELECT ch, CASE WHEN p_us IS NOT NULL THEN 6 ELSE 7 END
+    FROM seq WHERE nxt IS NULL
+  UNION ALL SELECT 5, 6 FROM conv1 c
+    WHERE NOT EXISTS (SELECT 1 FROM touches t WHERE t.k = c.k)),
+cnt AS (
+  SELECT fi, ti, CAST(count(*) AS BIGINT) AS c
+  FROM trans GROUP BY fi, ti),
+one AS (
+  SELECT list(struct_pack(fi := fi, ti := ti, c := c)) AS ent
+  FROM cnt),
+m0 AS (
+  SELECT list_transform(range(0, 8), i ->
+    list_transform(range(0, 8), j ->
+      CAST(coalesce(list_sum(list_transform(
+        list_filter(ent, x -> x.fi = i AND x.ti = j), x -> x.c)), 0)
+        AS BIGINT))) AS M
+  FROM one),
+rem AS (
+  SELECT M, unnest([-1, 0, 1, 2, 3, 4]) AS r FROM m0),
+mr AS (
+  SELECT r, list_transform(M, row ->
+    list_transform(range(0, 8), j ->
+      CASE WHEN j = 7 THEN row[8]
+             + CASE WHEN r >= 0 THEN row[r + 1]
+                    ELSE CAST(0 AS BIGINT) END
+           WHEN j = r THEN CAST(0 AS BIGINT)
+           ELSE row[j + 1] END)) AS MR
+  FROM rem),
+tt AS (
+  SELECT r, MR,
+    list_transform(MR, row -> CAST(list_sum(row) AS BIGINT)) AS T
+  FROM mr),
+it AS (
+  SELECT r,
+    list_reduce(
+      list_prepend(
+        list_transform(range(0, 8), i ->
+          CASE WHEN i = 6 THEN CAST(1000000000 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END),
+        list_transform(range(1, 81), z -> CAST([] AS BIGINT[]))),
+      (v, z) -> list_transform(range(0, 8), i ->
+        CASE WHEN i = 6 THEN CAST(1000000000 AS BIGINT)
+             WHEN T[i + 1] = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(floor(
+               CAST(list_sum(list_transform(range(0, 8), j ->
+                 MR[i + 1][j + 1] * v[j + 1])) AS BIGINT)
+               / T[i + 1]) AS BIGINT) END)) AS vk
+  FROM tt),
+res AS (SELECT r, vk[6] AS p FROM it),
+basep AS (SELECT p AS base_p FROM res WHERE r = -1),
+eff AS (
+  SELECT CAST(sum(CASE WHEN r >= 0 THEN base_p - p ELSE 0 END)
+              AS BIGINT) AS sum_eff
+  FROM res, basep)
+SELECT r AS removed, p AS p_conv_nano, base_p AS base_nano,
+  CASE WHEN r >= 0 THEN base_p - p END AS effect_nano,
+  CASE WHEN r >= 0 AND sum_eff > 0
+       THEN CAST(base_p - p AS DOUBLE) / CAST(sum_eff AS DOUBLE)
+  END AS share
+FROM res, basep, eff ORDER BY removed
+"""

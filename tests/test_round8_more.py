@@ -640,3 +640,75 @@ class TestPositionAttribution:
         rows = [(0, 0, 1, "conv", 5.0, 9)]
         out = self._run(spark, rows)
         assert out == {-1: 500}
+
+
+class TestMarkovAttribution:
+    def _run(self, spark, rows, n_channels=2, **kw):
+        import datetime
+
+        from db_factfinder_spark.operators.funnel import markov_attribution
+
+        base = datetime.datetime(2024, 1, 1)
+        data = [
+            (e, base + datetime.timedelta(seconds=s), u, t, c)
+            for e, s, u, t, c in rows
+        ]
+        df = spark.createDataFrame(
+            data,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, ch int",
+        )
+        return {
+            r["removed"]: r
+            for r in markov_attribution(
+                df, ["click"], "purchase", F.col("ch"), n_channels, **kw
+            ).collect()
+        }
+
+    # chains: START->{ch0 x2, ch1, CONV}; ch0->{ch1, NULL}; ch1->CONV
+    _PLANTED = [
+        (0, 0, 1, "click", 0), (1, 1, 1, "click", 1),
+        (2, 2, 1, "purchase", 9),
+        (3, 0, 2, "click", 0),
+        (4, 0, 3, "click", 1), (5, 1, 3, "purchase", 9),
+        (6, 0, 4, "purchase", 9),
+    ]
+
+    def test_hand_computed_chain(self, spark):
+        out = self._run(spark, self._PLANTED)
+        # base P(conv) = 1/4 + 1/2*1/2 + 1/4 = 3/4; removing ch0
+        # leaves 1/2; removing ch1 leaves 1/4
+        assert out[-1]["p_conv_nano"] == 750_000_000
+        assert out[0]["p_conv_nano"] == 500_000_000
+        assert out[1]["p_conv_nano"] == 250_000_000
+        assert out[0]["effect_nano"] == 250_000_000
+        assert out[1]["effect_nano"] == 500_000_000
+        assert out[0]["share"] == pytest.approx(1 / 3)
+        assert out[1]["share"] == pytest.approx(2 / 3)
+        assert out[-1]["effect_nano"] is None
+
+    def test_no_conversions(self, spark):
+        rows = [(0, 0, 1, "click", 0), (1, 1, 1, "click", 1)]
+        out = self._run(spark, rows)
+        assert out[-1]["p_conv_nano"] == 0
+        assert out[0]["share"] is None  # sum of effects is 0
+
+    def test_direct_only_conversions(self, spark):
+        # purchases with no touches: START->CONV only, removals no-op
+        rows = [(0, 0, 1, "purchase", 9), (1, 0, 2, "purchase", 9)]
+        out = self._run(spark, rows)
+        assert out[-1]["p_conv_nano"] == 1_000_000_000
+        assert out[0]["effect_nano"] == 0
+
+    def test_rounds_converge(self, spark):
+        # a 2-cycle between channels with slow leak: more rounds move
+        # the iterate strictly toward absorption, never past it
+        rows = [
+            (0, 0, 1, "click", 0), (1, 1, 1, "click", 1),
+            (2, 2, 1, "click", 0), (3, 3, 1, "click", 1),
+            (4, 4, 1, "purchase", 9),
+        ]
+        lo = self._run(spark, rows, rounds=5)[-1]["p_conv_nano"]
+        hi = self._run(spark, rows, rounds=80)[-1]["p_conv_nano"]
+        assert lo <= hi <= 1_000_000_000
+        assert hi >= 999_999_000  # single-journey chain converges to 1

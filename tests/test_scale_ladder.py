@@ -472,6 +472,7 @@ def test_round8_second_wave_ladder(spark, tmp_path):
         ("q353_typeahead_completions", doc_dirs),
         ("q356_recrawl_priority", ev_dirs),
         ("q358_position_attribution", ev_dirs),
+        ("q359_markov_attribution", ev_dirs),
     ]
     for name, dirs in cases:
         t, ex = {}, {}
