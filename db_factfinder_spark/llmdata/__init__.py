@@ -39,6 +39,7 @@ from db_factfinder_spark.llmdata.dedup import (  # noqa: F401
     minhash_signatures,
     lsh_candidate_pairs,
     min_count_for_ratio,
+    lsh_parameter_plan,
     prefix_filter_pairs,
     simhash,
     simhash_multiprobe_pairs,
@@ -59,14 +60,19 @@ from db_factfinder_spark.llmdata.sketches import (  # noqa: F401
     rolling_hll_distinct,
     sampled_quantiles,
 )
-from db_factfinder_spark.llmdata.strmatch import edit1_join  # noqa: F401
+from db_factfinder_spark.llmdata.strmatch import (  # noqa: F401
+    edit1_join,
+    typeahead_completions,
+)
 from db_factfinder_spark.llmdata.similarity import (  # noqa: F401
     brute_force_topk,
+    copeland_fuse,
     cosine_similarity,
     jl_projection,
     jl_sign_matrix,
     hard_negative_topk,
     lsh_bucketed_topk,
+    topk_recall,
     maxsim_topk,
     pq_adc_topk,
     pq_encode,
@@ -111,7 +117,10 @@ from db_factfinder_spark.llmdata.urls import (  # noqa: F401
     normalize_urls,
     resolve_redirects,
 )
-from db_factfinder_spark.llmdata.crawl import crawl_schedule  # noqa: F401
+from db_factfinder_spark.llmdata.crawl import (  # noqa: F401
+    crawl_schedule,
+    recrawl_priority,
+)
 from db_factfinder_spark.llmdata.webclean import (  # noqa: F401
     c4_clean,
     gopher_rules,
