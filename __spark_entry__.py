@@ -9402,6 +9402,65 @@ def q359_markov_attribution(spark, sf_dir):
     ).orderBy("removed")
 
 
+def q360_corpus_checksums(spark, sf_dir):
+    """Order-independent corpus fingerprint
+    (llmdata/integrity.py:corpus_checksums): per-shard XOR fold of
+    per-document md5 halves + exact counts, corpus root derived by
+    merging the SHARD rows (XOR of XORs) — the anti-entropy checksum
+    two pipeline runs diff to prove they produced the same corpus,
+    invariant to row order, partitioning and scheduling."""
+    from db_factfinder_spark.llmdata.integrity import corpus_checksums
+
+    return corpus_checksums(_docs(spark, sf_dir)).orderBy("shard")
+
+
+def q361_truncation_plan(spark, sf_dir):
+    """Context-window truncation planning
+    (llmdata/conversations.py:truncation_plan): documents become
+    5-token-turn conversations; keep the LATEST whole turns fitting a
+    12-token budget with turn 0 pinned (the system prompt).  Pure
+    array expressions, O(turns²) per row, zero shuffle — the packing
+    decision computed as a plan before any re-render."""
+    from db_factfinder_spark.llmdata.conversations import truncation_plan
+
+    docs = _docs(spark, sf_dir)
+    from db_factfinder_spark.llmdata.textstats import tokens as _tokens
+
+    def with_toks(ts):
+        last = F.floor((F.size(ts) - 1) / F.lit(5)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), last),
+            lambda i: F.array_join(F.slice(ts, i * 5 + 1, 5), " "),
+        )
+
+    from db_factfinder_spark.functions.expr import let
+
+    conv = docs.select(
+        "doc_id", let(_tokens("text"), with_toks).alias("turns")
+    ).filter(F.size("turns") >= 1)
+    return (
+        truncation_plan(conv, "turns", max_tokens=12, pin_first=True)
+        .select(
+            "doc_id", "n_turns", "total_tokens", "kept_from",
+            "n_kept", "kept_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q362_dedup_yield_curve(spark, sf_dir):
+    """Dedup threshold-sweep yield curve
+    (llmdata/dedup.py:dedup_yield_curve): pairs fired and documents
+    touched at each candidate Jaccard threshold t = k/20, from ONE
+    candidate-pair pass — integer cross-multiplied threshold tests,
+    so the curve is bit-stable at every boundary.  The report a
+    curation team reads before committing a corpus to one
+    threshold."""
+    from db_factfinder_spark.llmdata.dedup import dedup_yield_curve
+
+    return dedup_yield_curve(_docs(spark, sf_dir), n=3).orderBy("t_num")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9766,6 +9825,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q357_bloom_parameter_plan": q357_bloom_parameter_plan,
         "q358_position_attribution": q358_position_attribution,
         "q359_markov_attribution": q359_markov_attribution,
+        "q360_corpus_checksums": q360_corpus_checksums,
+        "q361_truncation_plan": q361_truncation_plan,
+        "q362_dedup_yield_curve": q362_dedup_yield_curve,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -32,6 +32,7 @@ from db_factfinder_spark.llmdata.dedup import (  # noqa: F401
     cap_hot_buckets,
     containment_pairs,
     cross_corpus_matches,
+    dedup_yield_curve,
     exact_dedup,
     union_corpus_state,
     jaccard_pairs,
@@ -124,6 +125,14 @@ from db_factfinder_spark.llmdata.crawl import (  # noqa: F401
 from db_factfinder_spark.llmdata.webclean import (  # noqa: F401
     c4_clean,
     gopher_rules,
+)
+from db_factfinder_spark.llmdata.integrity import (  # noqa: F401
+    corpus_checksums,
+    merge_checksums,
+)
+from db_factfinder_spark.llmdata.conversations import (  # noqa: F401
+    conversation_audit,
+    truncation_plan,
 )
 from db_factfinder_spark.llmdata.textstats import (  # noqa: F401
     bigram_lm,

@@ -65,3 +65,84 @@ def conversation_audit(
         _chars(lambda r: r == 0).alias("chars_role0"),
         _chars(lambda r: r.isNotNull()).alias("chars_total"),
     )
+
+
+def truncation_plan(
+    df: DataFrame,
+    turns_col: str,
+    max_tokens: int,
+    pin_first: bool = True,
+) -> DataFrame:
+    """Context-window truncation planning for chat SFT data: keep the
+    LATEST whole turns that fit ``max_tokens``, optionally pinning
+    turn 0 (the system prompt) — the standard packing rule before
+    tokenize-and-train, computed as a PLAN so the expensive re-render
+    only touches conversations that actually truncate.
+
+    Array-native like conversation_audit: per-turn whitespace token
+    counts, then the smallest suffix start j whose cost
+    ``pinned + Σ_{i≥j} tokens_i`` fits — O(turns²) slice-sums PER ROW
+    (bounded by conversation length, never corpus size), zero
+    shuffle.  If even the pinned turn alone exceeds the budget the
+    row reports ``kept_from = NULL, n_kept = 0`` — surfaced, not
+    silently clipped mid-turn.
+
+    Appends: ``n_turns, total_tokens, kept_from`` (0-based index of
+    the first kept suffix turn), ``n_kept, kept_tokens``.
+    Requires ≥ 1 turn per row (the conversation_audit contract).
+    """
+    from db_factfinder_spark.functions.expr import let
+    from db_factfinder_spark.llmdata.textstats import tokens
+
+    start = 1 if pin_first else 0
+
+    def with_tk(tk: Column) -> Column:
+        n = F.size(tk)
+        pinned = (
+            F.element_at(tk, 1) if pin_first else F.lit(0).cast("long")
+        )
+
+        def suffix_sum(j: Column) -> Column:
+            return F.aggregate(
+                F.slice(tk, j + 1, n - j),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        cands = F.filter(
+            F.sequence(F.lit(start), n),
+            lambda j: pinned + suffix_sum(j) <= F.lit(max_tokens),
+        )
+
+        def with_kf(kf: Column) -> Column:
+            return F.struct(
+                n.alias("n_turns"),
+                F.aggregate(
+                    tk, F.lit(0).cast("long"), lambda a, x: a + x
+                ).alias("total_tokens"),
+                kf.alias("kept_from"),
+                F.when(
+                    kf.isNotNull(),
+                    (n - kf) + F.lit(1 if pin_first else 0),
+                ).otherwise(F.lit(0)).alias("n_kept"),
+                F.when(kf.isNotNull(), pinned + suffix_sum(kf))
+                .otherwise(F.lit(0).cast("long"))
+                .alias("kept_tokens"),
+            )
+
+        return let(F.array_min(cands), with_kf)
+
+    plan = let(
+        F.transform(
+            F.col(turns_col), lambda t: F.size(tokens(t)).cast("long")
+        ),
+        with_tk,
+    )
+    return df.withColumn("__p", plan).select(
+        *df.columns,
+        F.col("__p.n_turns").alias("n_turns"),
+        F.col("__p.total_tokens").alias("total_tokens"),
+        F.col("__p.kept_from").alias("kept_from"),
+        F.col("__p.n_kept").alias("n_kept"),
+        F.col("__p.kept_tokens").alias("kept_tokens"),
+    ).drop("__p")

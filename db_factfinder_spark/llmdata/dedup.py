@@ -250,6 +250,96 @@ def jaccard_pairs(
     )
 
 
+def dedup_yield_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    thresholds_x20: tuple[int, ...] = (10, 12, 14, 16, 18, 19),
+    checkpoint_mode: str = "local",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Dedup threshold-sweep report: for each candidate Jaccard
+    threshold t = k/20, how many near-dup pairs fire and how many
+    documents are touched — the yield curve a curation team reads
+    BEFORE committing a 100 TB corpus to one threshold (rerunning the
+    pair join per candidate threshold would pay the shuffle per
+    point; this computes the whole curve from ONE pair pass).
+
+    Exactness: the threshold test is the integer cross-multiplication
+    ``20·n_common ≥ k·(n_a+n_b−n_common)`` — no float enters any
+    decision, so the curve is bit-stable at every boundary.
+
+    Plan: the jaccard_pairs candidate join once (same ``max_df``
+    hot-shingle guard and subset contract), then a broadcast of the
+    ≤ |thresholds| grid; the per-threshold doc count pre-aggregates
+    on (threshold, doc) before counting, so both aggregates keep
+    map-side partials.  Output: ``t_num, threshold, n_pairs_ge,
+    n_docs_ge`` per threshold.
+    """
+    sh = materialize(
+        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+        .withColumn("n_sh", F.size("sh")),
+        checkpoint_mode,
+    )
+    exploded = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    if max_df is not None:
+        wg = Window.partitionBy("g")
+        exploded = (
+            exploded.withColumn("__df_g", F.count(F.lit(1)).over(wg))
+            .filter(F.col("__df_g") <= max_df)
+            .drop("__df_g")
+        )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(int(k),) for k in thresholds_x20], "t_num int"
+    )
+    fired = pairs.join(F.broadcast(grid)).filter(
+        F.lit(20) * F.col("n_common")
+        >= F.col("t_num")
+        * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    )
+    n_pairs = fired.groupBy("t_num").agg(
+        F.count(F.lit(1)).alias("n_pairs_ge")
+    )
+    n_docs = (
+        fired.select(
+            "t_num", F.explode(F.array("id_a", "id_b")).alias("id")
+        )
+        .groupBy("t_num", "id")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("t_num")
+        .agg(F.count(F.lit(1)).alias("n_docs_ge"))
+    )
+    return (
+        grid.join(n_pairs, "t_num", "left")
+        .join(n_docs, "t_num", "left")
+        .select(
+            "t_num",
+            (F.col("t_num").cast("double") / F.lit(20.0)).alias(
+                "threshold"
+            ),
+            F.coalesce("n_pairs_ge", F.lit(0)).cast("long").alias(
+                "n_pairs_ge"
+            ),
+            F.coalesce("n_docs_ge", F.lit(0)).cast("long").alias(
+                "n_docs_ge"
+            ),
+        )
+    )
+
+
 # -------------------------------------------------------------- minhash
 def minhash_signatures(
     df: DataFrame,

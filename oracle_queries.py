@@ -10276,3 +10276,105 @@ SELECT r AS removed, p AS p_conv_nano, base_p AS base_nano,
   END AS share
 FROM res, basep, eff ORDER BY removed
 """
+
+
+# q360: anti-entropy corpus checksums — per-shard XOR of md5 halves +
+# counts; root row merged from the shard rows.
+ORACLES["q360_corpus_checksums"] = """
+WITH d AS (
+  SELECT
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         AS BIGINT) % 16 AS shard,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                         1, 15)) AS BIGINT) AS hi,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                         16, 15)) AS BIGINT) AS lo
+  FROM documents),
+s AS (
+  SELECT shard, count(*) AS n_docs,
+    CAST(bit_xor(hi) AS BIGINT) AS xor_hi,
+    CAST(bit_xor(lo) AS BIGINT) AS xor_lo
+  FROM d GROUP BY shard),
+r AS (
+  SELECT CAST(-1 AS BIGINT) AS shard,
+    CAST(sum(n_docs) AS BIGINT) AS n_docs,
+    CAST(bit_xor(xor_hi) AS BIGINT) AS xor_hi,
+    CAST(bit_xor(xor_lo) AS BIGINT) AS xor_lo
+  FROM s)
+SELECT * FROM s UNION ALL SELECT * FROM r ORDER BY shard
+"""
+
+
+
+# q361: truncation plan — 5-token turns, latest-suffix fit with the
+# pinned first turn; list_min over the integer-feasible suffix starts.
+ORACLES["q361_truncation_plan"] = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+    list_transform(
+      range(0, CAST(floor((len(toks) - 1) / 5) AS BIGINT) + 1),
+      i -> array_to_string(toks[(i * 5 + 1):(i * 5 + 5)], ' '))
+      AS turns
+  FROM d WHERE len(toks) >= 1),
+tk AS (
+  SELECT doc_id,
+    list_transform(turns, t ->
+      CAST(len(list_filter(string_split_regex(lower(trim(t)), '\\s+'),
+                           x -> x != '')) AS BIGINT)) AS tk
+  FROM c),
+plan AS (
+  SELECT doc_id,
+    len(tk) AS n_turns,
+    CAST(coalesce(list_sum(tk), 0) AS BIGINT) AS total_tokens,
+    list_min(list_filter(range(1, len(tk) + 1),
+      j -> tk[1] + coalesce(list_sum(tk[(j + 1):len(tk)]), 0) <= 12))
+      AS kept_from,
+    tk
+  FROM tk)
+SELECT doc_id, n_turns, total_tokens, kept_from,
+  CASE WHEN kept_from IS NOT NULL THEN (n_turns - kept_from) + 1
+       ELSE 0 END AS n_kept,
+  CASE WHEN kept_from IS NOT NULL THEN
+    CAST(tk[1] + coalesce(list_sum(tk[(kept_from + 1):n_turns]), 0)
+         AS BIGINT)
+  ELSE 0 END AS kept_tokens
+FROM plan ORDER BY doc_id
+"""
+
+
+# q362: dedup yield curve — the q26 exact pair CTE once, then the
+# integer cross-multiplied threshold grid; per-threshold doc counts
+# via DISTINCT (t, doc).
+ORACLES["q362_dedup_yield_curve"] = f"""
+WITH d AS (SELECT doc_id, {_NORMTOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS grams FROM d),
+sized AS (SELECT doc_id, grams, len(grams) AS n_sh FROM sh),
+exploded AS (SELECT doc_id, n_sh, unnest(grams) AS g FROM sized),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_common
+  FROM exploded a JOIN exploded b
+    ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+grid AS (SELECT unnest([10, 12, 14, 16, 18, 19]) AS t_num),
+fired AS (
+  SELECT g.t_num, p.id_a, p.id_b
+  FROM pairs p CROSS JOIN grid g
+  WHERE 20 * p.n_common >= g.t_num * (p.n_a + p.n_b - p.n_common)),
+np AS (
+  SELECT t_num, CAST(count(*) AS BIGINT) AS n_pairs_ge
+  FROM fired GROUP BY 1),
+nd AS (
+  SELECT t_num, CAST(count(*) AS BIGINT) AS n_docs_ge FROM (
+    SELECT DISTINCT t_num, id FROM (
+      SELECT t_num, unnest([id_a, id_b]) AS id FROM fired))
+  GROUP BY 1)
+SELECT g.t_num, CAST(g.t_num AS DOUBLE) / 20.0 AS threshold,
+  coalesce(np.n_pairs_ge, 0) AS n_pairs_ge,
+  coalesce(nd.n_docs_ge, 0) AS n_docs_ge
+FROM grid g
+LEFT JOIN np USING (t_num)
+LEFT JOIN nd USING (t_num)
+ORDER BY g.t_num
+"""

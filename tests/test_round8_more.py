@@ -712,3 +712,147 @@ class TestMarkovAttribution:
         hi = self._run(spark, rows, rounds=80)[-1]["p_conv_nano"]
         assert lo <= hi <= 1_000_000_000
         assert hi >= 999_999_000  # single-journey chain converges to 1
+
+
+class TestCorpusChecksums:
+    def test_order_and_partition_invariance(self, spark):
+        from db_factfinder_spark.llmdata.integrity import corpus_checksums
+
+        rows = [(i, f"text number {i}") for i in range(40)]
+        a = spark.createDataFrame(rows, "doc_id long, text string")
+        b = spark.createDataFrame(
+            list(reversed(rows)), "doc_id long, text string"
+        ).repartition(7)
+        ca = {r["shard"]: r for r in corpus_checksums(a).collect()}
+        cb = {r["shard"]: r for r in corpus_checksums(b).collect()}
+        assert ca.keys() == cb.keys()
+        for s in ca:
+            assert (ca[s]["xor_hi"], ca[s]["xor_lo"], ca[s]["n_docs"]) == (
+                cb[s]["xor_hi"], cb[s]["xor_lo"], cb[s]["n_docs"]
+            )
+
+    def test_detects_single_doc_change(self, spark):
+        from db_factfinder_spark.llmdata.integrity import corpus_checksums
+
+        rows = [(i, f"text number {i}") for i in range(40)]
+        mutated = list(rows)
+        mutated[13] = (13, "text number 13 CHANGED")
+        a = {r["shard"]: r for r in corpus_checksums(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()}
+        b = {r["shard"]: r for r in corpus_checksums(
+            spark.createDataFrame(mutated, "doc_id long, text string")
+        ).collect()}
+        diff = [s for s in a if s >= 0
+                and (a[s]["xor_hi"], a[s]["xor_lo"])
+                != (b[s]["xor_hi"], b[s]["xor_lo"])]
+        assert len(diff) == 1  # mismatch localizes to one shard
+        assert (a[-1]["xor_hi"], a[-1]["xor_lo"]) != (
+            b[-1]["xor_hi"], b[-1]["xor_lo"]
+        )
+
+    def test_id_swap_detected(self, spark):
+        # same multiset of texts, swapped between ids: roots must differ
+        from db_factfinder_spark.llmdata.integrity import corpus_checksums
+
+        a = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+        )
+        b = spark.createDataFrame(
+            [(1, "beta"), (2, "alpha")], "doc_id long, text string"
+        )
+        ra = corpus_checksums(a).filter("shard = -1").collect()[0]
+        rb = corpus_checksums(b).filter("shard = -1").collect()[0]
+        assert (ra["xor_hi"], ra["xor_lo"]) != (rb["xor_hi"], rb["xor_lo"])
+
+
+class TestTruncationPlan:
+    def _plan(self, spark, turns, budget, pin_first=True):
+        from db_factfinder_spark.llmdata.conversations import (
+            truncation_plan,
+        )
+
+        df = spark.createDataFrame(
+            [(1, turns)], "doc_id long, turns array<string>"
+        )
+        return truncation_plan(
+            df, "turns", budget, pin_first=pin_first
+        ).collect()[0]
+
+    def test_keeps_latest_suffix_with_pin(self, spark):
+        # tokens: [2, 3, 3, 2]; budget 7 with pin: 2 + suffix<=5 ->
+        # suffix from turn 2 (3+2=5): kept_from=2, n_kept=3
+        out = self._plan(
+            spark, ["s s", "a a a", "b b b", "c c"], 7
+        )
+        assert out["total_tokens"] == 10
+        assert out["kept_from"] == 2
+        assert out["n_kept"] == 3
+        assert out["kept_tokens"] == 7
+
+    def test_everything_fits(self, spark):
+        out = self._plan(spark, ["s", "a", "b"], 100)
+        assert out["kept_from"] == 1  # full suffix after the pin
+        assert out["n_kept"] == 3
+        assert out["kept_tokens"] == 3
+
+    def test_pinned_turn_too_big(self, spark):
+        out = self._plan(spark, ["s s s s s", "a"], 3)
+        assert out["kept_from"] is None
+        assert out["n_kept"] == 0
+        assert out["kept_tokens"] == 0
+
+    def test_no_pin(self, spark):
+        # budget 4, no pin: suffix [b b, c c] fits (4)
+        out = self._plan(
+            spark, ["a a a", "b b", "c c"], 4, pin_first=False
+        )
+        assert out["kept_from"] == 1
+        assert out["n_kept"] == 2
+        assert out["kept_tokens"] == 4
+
+
+class TestDedupYieldCurve:
+    def test_curve_monotone_and_exact(self, spark):
+        from db_factfinder_spark.llmdata.dedup import dedup_yield_curve
+
+        # two identical docs (jaccard 1.0), one near-dup pair around
+        # 0.6, one unrelated
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        near = "alpha beta gamma delta epsilon zeta eta iota"
+        docs = spark.createDataFrame(
+            [(1, base), (2, base), (3, near), (4, "x y z w v u t s")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["t_num"]: (r["n_pairs_ge"], r["n_docs_ge"])
+            for r in dedup_yield_curve(docs, n=3).collect()
+        }
+        # monotone non-increasing in the threshold
+        ts = sorted(out)
+        for lo, hi in zip(ts, ts[1:]):
+            assert out[lo][0] >= out[hi][0]
+            assert out[lo][1] >= out[hi][1]
+        assert out[19] == (1, 2)   # only the identical pair at 0.95
+        assert out[10][0] >= 2     # identical + near pair at 0.5
+
+    def test_exact_boundary_cross_multiplication(self, spark):
+        from db_factfinder_spark.llmdata.dedup import dedup_yield_curve
+
+        # 12-token A -> 10 shingles, 13-token B -> 11 shingles, one
+        # shared ("a b c"): jaccard = 1/20 EXACTLY = threshold 1/20 —
+        # the integer test fires on equality, a double compare could
+        # go either way
+        a = "a b c " + " ".join(f"p{i}" for i in range(9))
+        b = "a b c " + " ".join(f"q{i}" for i in range(10))
+        docs = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string"
+        )
+        out = {
+            r["t_num"]: r["n_pairs_ge"]
+            for r in dedup_yield_curve(
+                docs, n=3, thresholds_x20=(1, 2)
+            ).collect()
+        }
+        assert out[1] == 1  # fires exactly at the boundary
+        assert out[2] == 0
