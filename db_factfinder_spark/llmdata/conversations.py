@@ -83,12 +83,16 @@ def truncation_plan(
     counts, then the smallest suffix start j whose cost
     ``pinned + Σ_{i≥j} tokens_i`` fits — O(turns²) slice-sums PER ROW
     (bounded by conversation length, never corpus size), zero
-    shuffle.  If even the pinned turn alone exceeds the budget the
-    row reports ``kept_from = NULL, n_kept = 0`` — surfaced, not
-    silently clipped mid-turn.
+    shuffle.  ``kept_from`` is NULL whenever NO suffix turn is kept —
+    both when even the pinned turn alone exceeds the budget
+    (``n_kept = 0``) and when only the pinned turn fits
+    (``n_kept = 1``): the sentinel means "empty suffix", never an
+    out-of-range index, so ``kept_from IS NULL`` reliably selects the
+    rows needing surfacing in pinned AND unpinned modes.
 
     Appends: ``n_turns, total_tokens, kept_from`` (0-based index of
-    the first kept suffix turn), ``n_kept, kept_tokens``.
+    the first kept suffix turn, NULL for an empty suffix),
+    ``n_kept, kept_tokens``.
     Requires ≥ 1 turn per row (the conversation_audit contract).
     """
     from db_factfinder_spark.functions.expr import let
@@ -120,7 +124,7 @@ def truncation_plan(
                 F.aggregate(
                     tk, F.lit(0).cast("long"), lambda a, x: a + x
                 ).alias("total_tokens"),
-                kf.alias("kept_from"),
+                F.when(kf < n, kf).alias("kept_from"),
                 F.when(
                     kf.isNotNull(),
                     (n - kf) + F.lit(1 if pin_first else 0),

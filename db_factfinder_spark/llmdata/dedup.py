@@ -183,6 +183,49 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return let(tokens(normalize_text(text)), build)
 
 
+def _shingle_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    checkpoint_mode: str,
+    max_df: int | None,
+) -> DataFrame:
+    """The shared candidate-pair spine behind jaccard_pairs and
+    dedup_yield_curve: shingle once (materialized — the self-join
+    would re-run the pipeline on both sides), optional ``max_df``
+    hot-shingle guard (the cap_hot_buckets subset contract), a<b
+    equi-join, per-pair intersection count.  Returns
+    ``id_a, id_b, n_a, n_b, n_common``."""
+    sh = materialize(
+        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+        .withColumn("n_sh", F.size("sh")),
+        checkpoint_mode,
+    )
+    exploded = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    if max_df is not None:
+        # Window-count partitioned by the same key the self-join
+        # shuffles on (exchange reuse — one extra pass, no extra
+        # all-to-all), mirroring cap_hot_buckets.
+        wg = Window.partitionBy("g")
+        exploded = (
+            exploded.withColumn("__df_g", F.count(F.lit(1)).over(wg))
+            .filter(F.col("__df_g") <= max_df)
+            .drop("__df_g")
+        )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -215,32 +258,8 @@ def jaccard_pairs(
     # reuses no exchange across differently-projected self-join sides).
     # At cluster scale this is the same call a production near-dup job
     # makes before pair generation — shingle once, reuse many times.
-    sh = materialize(
-        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
-        .withColumn("n_sh", F.size("sh")),
-        checkpoint_mode,
-    )
-    exploded = sh.select("id", "n_sh", F.explode("sh").alias("g"))
-    if max_df is not None:
-        # Window-count partitioned by the same key the self-join
-        # shuffles on (exchange reuse — one extra pass, no extra
-        # all-to-all), mirroring cap_hot_buckets.
-        wg = Window.partitionBy("g")
-        exploded = (
-            exploded.withColumn("__df_g", F.count(F.lit(1)).over(wg))
-            .filter(F.col("__df_g") <= max_df)
-            .drop("__df_g")
-        )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    pairs = _shingle_candidate_pairs(
+        df, text_col, id_col, n, checkpoint_mode, max_df
     )
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
@@ -277,29 +296,8 @@ def dedup_yield_curve(
     map-side partials.  Output: ``t_num, threshold, n_pairs_ge,
     n_docs_ge`` per threshold.
     """
-    sh = materialize(
-        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
-        .withColumn("n_sh", F.size("sh")),
-        checkpoint_mode,
-    )
-    exploded = sh.select("id", "n_sh", F.explode("sh").alias("g"))
-    if max_df is not None:
-        wg = Window.partitionBy("g")
-        exploded = (
-            exploded.withColumn("__df_g", F.count(F.lit(1)).over(wg))
-            .filter(F.col("__df_g") <= max_df)
-            .drop("__df_g")
-        )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    pairs = _shingle_candidate_pairs(
+        df, text_col, id_col, n, checkpoint_mode, max_df
     )
     spark = df.sparkSession
     grid = spark.createDataFrame(

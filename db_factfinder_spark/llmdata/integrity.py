@@ -35,6 +35,7 @@ def corpus_checksums(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_shards: int = 16,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Per-shard XOR checksums + the corpus root row.
 
@@ -48,9 +49,12 @@ def corpus_checksums(
     exploits to localize a mismatch to a shard without re-reading the
     corpus).
 
-    One map-side-combined groupBy over the data; the root merge runs
-    over ``n_shards`` rows.
+    One map-side-combined groupBy over the data; the shard frame is
+    materialized (``checkpoint_mode``) so the root-merge union branch
+    reuses it instead of re-scanning and re-digesting the corpus.
     """
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+
     rec = F.concat(
         F.col(id_col).cast("string"), F.lit(":"), F.col(text_col)
     )
@@ -71,6 +75,7 @@ def corpus_checksums(
             F.expr("bit_xor(__lo)").alias("xor_lo"),
         )
     )
+    shards = materialize(shards, checkpoint_mode)
     return shards.unionByName(merge_checksums(shards))
 
 

@@ -1311,8 +1311,13 @@ def copeland_fuse(
         F.col("d_id").alias("d_b"),
         *[F.col(s).alias(f"b_{s}") for s in sources],
     )
+    # LEFT join: a query whose candidate pool is a single document
+    # produces no opponent rows but must still surface (score 0), like
+    # rrf_fuse does — an inner join would drop the query entirely
     pairs = a.join(
-        b, (F.col("q_id") == F.col("q_b")) & (F.col("d_a") != F.col("d_b"))
+        b,
+        (F.col("q_id") == F.col("q_b")) & (F.col("d_a") != F.col("d_b")),
+        "left",
     )
     wins_ab, wins_ba = None, None
     for s in sources:
@@ -1322,7 +1327,7 @@ def copeland_fuse(
         ba = F.when(rb < ra, F.lit(1)).otherwise(F.lit(0))
         wins_ab = ab if wins_ab is None else wins_ab + ab
         wins_ba = ba if wins_ba is None else wins_ba + ba
-    points = (
+    points = F.when(F.col("d_b").isNull(), F.lit(0)).otherwise(
         F.when(wins_ab > wins_ba, F.lit(2))
         .when(wins_ab == wins_ba, F.lit(1))
         .otherwise(F.lit(0))

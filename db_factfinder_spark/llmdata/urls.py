@@ -103,6 +103,9 @@ def resolve_redirects(
     ``hops`` (exact chain length when resolved), and ``resolved`` —
     False for chains longer than ``max_hops`` and for redirect cycles,
     whose walk never reaches a terminal node (surfaced, not guessed).
+    ``max_hops`` must be a power of two ≥ 2: the doubling rounds reach
+    exactly ``max_hops`` only then, and a silently rounded-up cap
+    would resolve chains the contract says must be flagged.
 
     The hop count stays exact under composition because a terminal
     node maps to itself with hop 0: once a walk lands, further rounds
@@ -115,6 +118,9 @@ def resolve_redirects(
     exponential-plan trap, same class the catalog batch hit).
     """
     from db_factfinder_spark.llmdata.checkpointing import materialize
+
+    if max_hops < 2 or max_hops & (max_hops - 1) != 0:
+        raise ValueError("max_hops must be a power of two >= 2")
     nodes = (
         edges.select(F.col(src).alias("u"))
         .unionByName(edges.select(F.col(dst).alias("u")))

@@ -185,30 +185,44 @@ def gopher_rules(
         .groupBy(id_col)
         .agg(F.max("c").alias("top_count"))
     )
+    nz = F.col("n_tok") > 0  # ratios are NULL (not NaN) on empty docs
     joined = stats.join(top, id_col, "left").select(
         stats[id_col].alias(id_col),
         "n_tok",
         "stop_count",
-        (
+        F.when(
+            nz,
             F.col("char_sum").cast("double")
-            / F.col("n_tok").cast("double")
+            / F.col("n_tok").cast("double"),
         ).alias("mean_word_len"),
-        (
+        F.when(
+            nz,
             F.col("alpha_count").cast("double")
-            / F.col("n_tok").cast("double")
+            / F.col("n_tok").cast("double"),
         ).alias("alpha_frac"),
-        (
+        F.when(
+            nz,
             F.coalesce(F.col("top_count"), F.lit(0)).cast("double")
-            / F.col("n_tok").cast("double")
+            / F.col("n_tok").cast("double"),
         ).alias("top_unigram_frac"),
     )
     r_len = (F.col("n_tok") >= min_tokens) & (F.col("n_tok") <= max_tokens)
-    r_mwl = (F.col("mean_word_len") >= min_mean_word_len) & (
-        F.col("mean_word_len") <= max_mean_word_len
-    )
+    # ratio rules are pinned FALSE (not NULL) on zero-token documents:
+    # the divisions are undefined there, but an audit that counts or
+    # filters on a rule boolean must still see the degenerate docs
+    nonempty = F.col("n_tok") > 0
+    r_mwl = F.when(
+        nonempty,
+        (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+    ).otherwise(F.lit(False))
     r_stop = F.col("stop_count") >= min_stopwords
-    r_alpha = F.col("alpha_frac") >= min_alpha_frac
-    r_top = F.col("top_unigram_frac") <= max_top_unigram_frac
+    r_alpha = F.when(
+        nonempty, F.col("alpha_frac") >= min_alpha_frac
+    ).otherwise(F.lit(False))
+    r_top = F.when(
+        nonempty, F.col("top_unigram_frac") <= max_top_unigram_frac
+    ).otherwise(F.lit(False))
     return joined.select(
         id_col,
         F.col("n_tok").cast("long").alias("n_tok"),

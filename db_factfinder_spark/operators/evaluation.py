@@ -556,6 +556,11 @@ def sprt_decision(
     bn, bd = beta
     if not (0 < p0n < p0d and 0 < p1n < p1d):
         raise ValueError("p0 and p1 must be strict rationals in (0, 1)")
+    if not (0 < an < ad and 0 < bn < bd):
+        raise ValueError(
+            "alpha and beta must be strict rationals in (0, 1) — "
+            "degenerate error rates would feed portable_ln a 0 argument"
+        )
 
     def _ln_ratio_nano(num: int, den: int) -> Column:
         return F.floor(

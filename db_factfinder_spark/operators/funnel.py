@@ -900,7 +900,12 @@ def markov_attribution(
     below the nano grid for any chain whose absorbing mass per step
     is ≥ ~1/3;
     the floor per round is part of the defined arithmetic, mirrored
-    by the oracle).
+    by the oracle).  Magnitude contract (the t_closeness/loo_influence
+    rule): each per-round partial sum is bounded by ``tot_i · 1e9``,
+    so no single state may emit more than ~9.2e9 transitions (2^63 /
+    1e9).  Beyond that, pre-aggregate journeys (sample users or
+    bucket counts — only the count RATIOS enter the chain, so any
+    common per-row divisor preserves the result).
 
     Scale shape: the DATA-scale work is the journey extraction (one
     per-user window pass + one (from,to) groupBy — the transition_

@@ -9704,24 +9704,37 @@ cnt AS (SELECT doc_id, tok, count(*) AS c FROM g GROUP BY doc_id, tok),
 top AS (SELECT doc_id, max(c) AS top_count FROM cnt GROUP BY doc_id),
 j AS (
   SELECT s.doc_id, s.n_tok, s.stop_count,
-    CAST(s.char_sum AS DOUBLE) / CAST(s.n_tok AS DOUBLE)
-      AS mean_word_len,
-    CAST(s.alpha_count AS DOUBLE) / CAST(s.n_tok AS DOUBLE)
-      AS alpha_frac,
-    CAST(coalesce(t.top_count, 0) AS DOUBLE) / CAST(s.n_tok AS DOUBLE)
-      AS top_unigram_frac
+    CASE WHEN s.n_tok > 0 THEN
+      CAST(s.char_sum AS DOUBLE) / CAST(s.n_tok AS DOUBLE)
+    END AS mean_word_len,
+    CASE WHEN s.n_tok > 0 THEN
+      CAST(s.alpha_count AS DOUBLE) / CAST(s.n_tok AS DOUBLE)
+    END AS alpha_frac,
+    CASE WHEN s.n_tok > 0 THEN
+      CAST(coalesce(t.top_count, 0) AS DOUBLE)
+        / CAST(s.n_tok AS DOUBLE)
+    END AS top_unigram_frac
   FROM stats s LEFT JOIN top t USING (doc_id))
 SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, stop_count,
   mean_word_len, alpha_frac, top_unigram_frac,
   (n_tok >= 50 AND n_tok <= 100000) AS r_len,
-  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mwl,
+  CASE WHEN n_tok > 0
+       THEN (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+       ELSE false END AS r_mwl,
   (stop_count >= 2) AS r_stop,
-  (alpha_frac >= 0.8) AS r_alpha,
-  (top_unigram_frac <= 0.12) AS r_top,
+  CASE WHEN n_tok > 0 THEN (alpha_frac >= 0.8)
+       ELSE false END AS r_alpha,
+  CASE WHEN n_tok > 0 THEN (top_unigram_frac <= 0.12)
+       ELSE false END AS r_top,
   ((n_tok >= 50 AND n_tok <= 100000)
-   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-   AND (stop_count >= 2) AND (alpha_frac >= 0.8)
-   AND (top_unigram_frac <= 0.12)) AS kept
+   AND CASE WHEN n_tok > 0
+            THEN (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            ELSE false END
+   AND (stop_count >= 2)
+   AND CASE WHEN n_tok > 0 THEN (alpha_frac >= 0.8)
+            ELSE false END
+   AND CASE WHEN n_tok > 0 THEN (top_unigram_frac <= 0.12)
+            ELSE false END) AS kept
 FROM j ORDER BY doc_id
 """
 
@@ -10332,7 +10345,9 @@ plan AS (
       AS kept_from,
     tk
   FROM tk)
-SELECT doc_id, n_turns, total_tokens, kept_from,
+SELECT doc_id, n_turns, total_tokens,
+  CASE WHEN kept_from IS NOT NULL AND kept_from < n_turns
+       THEN kept_from END AS kept_from,
   CASE WHEN kept_from IS NOT NULL THEN (n_turns - kept_from) + 1
        ELSE 0 END AS n_kept,
   CASE WHEN kept_from IS NOT NULL THEN

@@ -117,6 +117,17 @@ class TestGopherRules:
         assert row["mean_word_len"] < 3.0
         assert row["r_mwl"] is False
 
+    def test_empty_doc_rules_are_false_not_null(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "   ")], "doc_id long, text string"
+        )
+        row = gopher_rules(docs).collect()[0]
+        assert row["r_mwl"] is False
+        assert row["r_alpha"] is False
+        assert row["r_top"] is False
+        assert row["kept"] is False
+        assert row["mean_word_len"] is None  # ratio honestly undefined
+
     def test_statistics_exact(self, spark):
         docs = spark.createDataFrame(
             [(1, "the the cat sat")], "doc_id long, text string"
@@ -177,6 +188,13 @@ class TestResolveRedirects:
             ._jdf.queryExecution().optimizedPlan().toString()
         )
         assert plan.count("Join") <= 3
+
+    def test_non_power_of_two_max_hops_raises(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b")], "src string, dst string"
+        )
+        with pytest.raises(ValueError):
+            resolve_redirects(edges, max_hops=5)
 
     def test_checkpoint_mode_none_keeps_pure_plan(self, spark):
         edges = spark.createDataFrame(
@@ -491,6 +509,16 @@ class TestCopelandFuse:
         assert out["B"] == 2
         assert out["C"] == 0
 
+    def test_single_candidate_surfaces(self, spark):
+        # one retriever, one doc: no opponents, but the query must
+        # still fuse (score 0, rank 1) — the inner-join shape drops it
+        rows = [(0, "only", 1, "s1")]
+        out = self._fuse(spark, rows, ["s1"])
+        assert len(out) == 1
+        assert out[0]["doc_id"] == "only"
+        assert out[0]["copeland_x2"] == 0
+        assert out[0]["rank"] == 1
+
     def test_k_truncates(self, spark):
         rows = [(0, f"d{i}", i + 1, "s1") for i in range(5)]
         out = self._fuse(spark, rows, ["s1"], k=2)
@@ -795,6 +823,22 @@ class TestTruncationPlan:
         assert out["kept_from"] == 1  # full suffix after the pin
         assert out["n_kept"] == 3
         assert out["kept_tokens"] == 3
+
+    def test_pinned_only_yields_null_sentinel(self, spark):
+        # budget fits the pin but no suffix turn: kept_from is the
+        # empty-suffix sentinel (NULL), n_kept counts the pin
+        out = self._plan(spark, ["s s", "a a a a"], 3)
+        assert out["kept_from"] is None
+        assert out["n_kept"] == 1
+        assert out["kept_tokens"] == 2
+
+    def test_unpinned_nothing_fits_is_null(self, spark):
+        out = self._plan(
+            spark, ["a a a a a a"], 3, pin_first=False
+        )
+        assert out["kept_from"] is None  # not an out-of-range index
+        assert out["n_kept"] == 0
+        assert out["kept_tokens"] == 0
 
     def test_pinned_turn_too_big(self, spark):
         out = self._plan(spark, ["s s s s s", "a"], 3)
