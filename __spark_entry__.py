@@ -9461,6 +9461,84 @@ def q362_dedup_yield_curve(spark, sf_dir):
     return dedup_yield_curve(_docs(spark, sf_dir), n=3).orderBy("t_num")
 
 
+def q363_curation_v4(spark, sf_dir):
+    """Round-8 curation capstone — the full web front line as ONE lazy
+    plan: C4 sentence cleaning (q345) → Gopher rule gate (q346) →
+    near-dup removal on the survivors (q26's exact Jaccard pairs,
+    drop-id_b rule) → per-source report with the XOR fingerprint of
+    each source's FINAL corpus slice (q360's checksum recipe) — the
+    reproducibility stamp shipped with the curated output.  Every
+    stage is an already oracle-checked operator; sequential drop
+    accounting (c4 → gopher → dup) so the report reads as a funnel."""
+    from db_factfinder_spark.llmdata.dedup import jaccard_pairs
+    from db_factfinder_spark.llmdata.webclean import c4_clean, gopher_rules
+
+    docs = _docs(spark, sf_dir)
+    c4k = c4_clean(docs).select(
+        "doc_id", F.col("kept").alias("c4_kept")
+    )
+    gok = gopher_rules(docs).select(
+        "doc_id", F.col("kept").alias("go_kept")
+    )
+    base = (
+        docs.select("doc_id", "source", "text")
+        .join(c4k, "doc_id")
+        .join(gok, "doc_id")
+    )
+    surv = base.filter(F.col("c4_kept") & F.col("go_kept"))
+    dupb = (
+        jaccard_pairs(surv, threshold=0.6)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    h = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+    )
+    flagged = base.join(dupb, "doc_id", "left").select(
+        "source",
+        (~F.col("c4_kept")).cast("long").alias("c4_drop"),
+        (F.col("c4_kept") & ~F.col("go_kept")).cast("long").alias(
+            "go_drop"
+        ),
+        (
+            F.col("c4_kept")
+            & F.col("go_kept")
+            & F.col("is_dup").isNotNull()
+        ).cast("long").alias("dup_drop"),
+        (
+            F.col("c4_kept")
+            & F.col("go_kept")
+            & F.col("is_dup").isNull()
+        ).alias("final_keep"),
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("__hi"),
+        F.conv(F.substring(h, 16, 15), 16, 10).cast("long").alias("__lo"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("c4_drop").alias("n_c4_dropped"),
+            F.sum("go_drop").alias("n_gopher_dropped"),
+            F.sum("dup_drop").alias("n_dup_dropped"),
+            F.sum(F.col("final_keep").cast("long")).alias("n_final"),
+            F.coalesce(
+                F.expr(
+                    "bit_xor(CASE WHEN final_keep THEN __hi END)"
+                ),
+                F.lit(0).cast("long"),
+            ).alias("xor_hi"),
+            F.coalesce(
+                F.expr(
+                    "bit_xor(CASE WHEN final_keep THEN __lo END)"
+                ),
+                F.lit(0).cast("long"),
+            ).alias("xor_lo"),
+        )
+        .orderBy("source")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9828,6 +9906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q360_corpus_checksums": q360_corpus_checksums,
         "q361_truncation_plan": q361_truncation_plan,
         "q362_dedup_yield_curve": q362_dedup_yield_curve,
+        "q363_curation_v4": q363_curation_v4,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -100,6 +100,8 @@ HEADLINE = [
     "q357_bloom_parameter_plan",    # square-and-multiply FPR fold
     "q358_position_attribution",    # U-shaped split on shared assignment
     "q359_markov_attribution",      # journey windows + bounded-chain folds
+    "q362_dedup_yield_curve",       # one-pass threshold-sweep report
+    "q363_curation_v4",             # C4 -> Gopher -> near-dup -> stamp
     # q198_bootstrap_ci is deliberately NOT a headline entry: its warm
     # time is ~95% driver-side Catalyst/AQE assembly of the 64-wide
     # aggregate tree (re-execution of the built plan runs in ~0.2 s,

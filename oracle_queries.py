@@ -10393,3 +10393,102 @@ LEFT JOIN np USING (t_num)
 LEFT JOIN nd USING (t_num)
 ORDER BY g.t_num
 """
+
+
+# q363: curation v4 capstone — the q345 C4 gate + q346 Gopher gate +
+# q26 exact-Jaccard near-dup removal on the survivors + q360 XOR
+# fingerprints of each source's final slice, one funnel report.
+ORACLES["q363_curation_v4"] = f"""
+WITH d AS (SELECT doc_id, source, text FROM documents),
+t1 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c4s AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) > 0 THEN
+      list_transform(
+        range(0, CAST(floor((len(toks) - 1) / 10) AS BIGINT) + 1),
+        i -> toks[(i * 10 + 1):(i * 10 + 10)])
+    ELSE CAST([] AS VARCHAR[][]) END AS sents
+  FROM t1),
+c4k AS (
+  SELECT doc_id,
+    list_filter(sents, s -> len(s) >= 5
+      AND len(list_filter(s, t -> list_contains({_C4_STOP}, t))) > 0
+      AND len(list_filter(s, t -> list_contains({_C4_BAD}, t))) = 0)
+      AS ks
+  FROM c4s),
+c4 AS (
+  SELECT doc_id,
+    (len(ks) >= 3 AND len(flatten(ks)) >= 50
+     AND len(flatten(ks)) <= 50000) AS c4_kept
+  FROM c4k),
+gst AS (
+  SELECT doc_id, len(toks) AS n_tok,
+    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+      AS char_sum,
+    CAST(len(list_filter(toks, t -> list_contains({_C4_STOP}, t)))
+         AS BIGINT) AS stop_count,
+    CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+         AS BIGINT) AS alpha_count
+  FROM t1),
+gg AS (SELECT doc_id, unnest(toks) AS tok FROM t1),
+gc AS (SELECT doc_id, tok, count(*) AS c FROM gg GROUP BY 1, 2),
+gt AS (SELECT doc_id, max(c) AS top_count FROM gc GROUP BY 1),
+go AS (
+  SELECT s.doc_id,
+    ((s.n_tok >= 50 AND s.n_tok <= 100000)
+     AND CASE WHEN s.n_tok > 0 THEN
+           (CAST(s.char_sum AS DOUBLE) / CAST(s.n_tok AS DOUBLE) >= 3.0
+            AND CAST(s.char_sum AS DOUBLE) / CAST(s.n_tok AS DOUBLE)
+                <= 10.0)
+         ELSE false END
+     AND (s.stop_count >= 2)
+     AND CASE WHEN s.n_tok > 0 THEN
+           (CAST(s.alpha_count AS DOUBLE) / CAST(s.n_tok AS DOUBLE)
+            >= 0.8)
+         ELSE false END
+     AND CASE WHEN s.n_tok > 0 THEN
+           (CAST(coalesce(t.top_count, 0) AS DOUBLE)
+            / CAST(s.n_tok AS DOUBLE) <= 0.12)
+         ELSE false END) AS go_kept
+  FROM gst s LEFT JOIN gt t USING (doc_id)),
+base AS (
+  SELECT d.doc_id, d.source, d.text, c4.c4_kept, go.go_kept
+  FROM d JOIN c4 USING (doc_id) JOIN go USING (doc_id)),
+surv AS (SELECT doc_id, text FROM base WHERE c4_kept AND go_kept),
+sv AS (SELECT doc_id, {_NORMTOKS} AS toks FROM surv),
+sh AS (SELECT doc_id, {_SHINGLES} AS grams FROM sv),
+sized AS (SELECT doc_id, grams, len(grams) AS n_sh FROM sh),
+exploded AS (SELECT doc_id, n_sh, unnest(grams) AS g FROM sized),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_common
+  FROM exploded a JOIN exploded b
+    ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+dupb AS (
+  SELECT DISTINCT id_b AS doc_id FROM pairs
+  WHERE n_common / (n_a + n_b - n_common) >= 0.6),
+fl AS (
+  SELECT b.source,
+    CASE WHEN NOT b.c4_kept THEN 1 ELSE 0 END AS c4_drop,
+    CASE WHEN b.c4_kept AND NOT b.go_kept THEN 1 ELSE 0 END AS go_drop,
+    CASE WHEN b.c4_kept AND b.go_kept AND dp.doc_id IS NOT NULL
+         THEN 1 ELSE 0 END AS dup_drop,
+    (b.c4_kept AND b.go_kept AND dp.doc_id IS NULL) AS final_keep,
+    CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR) || ':'
+                             || b.text), 1, 15)) AS BIGINT) AS hi,
+    CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR) || ':'
+                             || b.text), 16, 15)) AS BIGINT) AS lo
+  FROM base b LEFT JOIN dupb dp USING (doc_id))
+SELECT source, count(*) AS n_docs,
+  CAST(sum(c4_drop) AS BIGINT) AS n_c4_dropped,
+  CAST(sum(go_drop) AS BIGINT) AS n_gopher_dropped,
+  CAST(sum(dup_drop) AS BIGINT) AS n_dup_dropped,
+  CAST(sum(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_final,
+  CAST(coalesce(bit_xor(CASE WHEN final_keep THEN hi END), 0)
+       AS BIGINT) AS xor_hi,
+  CAST(coalesce(bit_xor(CASE WHEN final_keep THEN lo END), 0)
+       AS BIGINT) AS xor_lo
+FROM fl GROUP BY source ORDER BY source
+"""
