@@ -473,6 +473,8 @@ def test_round8_second_wave_ladder(spark, tmp_path):
         ("q356_recrawl_priority", ev_dirs),
         ("q358_position_attribution", ev_dirs),
         ("q359_markov_attribution", ev_dirs),
+        ("q362_dedup_yield_curve", doc_dirs),
+        ("q363_curation_v4", doc_dirs),
     ]
     for name, dirs in cases:
         t, ex = {}, {}
