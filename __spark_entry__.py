@@ -1069,16 +1069,14 @@ def q39_bpe_tokens(spark, sf_dir):
     )
 
 
-def q40_ann_ivf_topk(spark, sf_dir):
-    """IVF approximate nearest neighbors: coarse quantizer = per-label
-    element-wise centroid (exact decimal mean, quantized to 6 decimals
-    so the quantizer is bit-identical in any engine), corpus assigned
-    to nearest centroid, probes scan nprobe=3 inverted lists."""
-    embs = _embs(spark, sf_dir)
+def _ivf_centroids(embs):
+    """Per-label element-wise coarse centroids for the IVF family
+    (q40/q364): exact decimal mean quantized to 6 decimals so the
+    quantizer is bit-identical in any engine."""
     exploded = embs.select(
         "label", F.posexplode("embedding").alias("pos", "val")
     )
-    centroids = (
+    return (
         exploded.groupBy("label", "pos")
         .agg(
             # exact decimal sum → double, then /n — identical op order
@@ -1096,6 +1094,15 @@ def q40_ann_ivf_topk(spark, sf_dir):
             F.transform("s", lambda x: x["cv"]).alias("centroid"),
         )
     )
+
+
+def q40_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors: coarse quantizer = per-label
+    element-wise centroid (exact decimal mean, quantized to 6 decimals
+    so the quantizer is bit-identical in any engine), corpus assigned
+    to nearest centroid, probes scan nprobe=3 inverted lists."""
+    embs = _embs(spark, sf_dir)
+    centroids = _ivf_centroids(embs)
     probes = embs.filter(F.col("vec_id") < 10)
     return ivf_topk(probes, embs, centroids, k=5, nprobe=3).orderBy(
         "probe_id", "rank"
@@ -9539,6 +9546,25 @@ def q363_curation_v4(spark, sf_dir):
     )
 
 
+def q364_ivf_pq_topk(spark, sf_dir):
+    """The FULL IVF-PQ retrieval (llmdata/similarity.py:ivf_pq_topk) —
+    the documented 100 TB ANN shape assembled from its two verified
+    halves: q40's coarse quantizer bounds WHICH rows are scored
+    (nprobe=3 inverted lists, equi-join — not q240's full-corpus NLJ)
+    and q240's PQ-ADC bounds WHAT is read per row (8 codes + literal
+    distance-table lookups).  Exact int64 distances; rank is within
+    the probed lists (IVF recall semantics)."""
+    from db_factfinder_spark.llmdata.similarity import ivf_pq_topk
+
+    embs = _embs(spark, sf_dir)
+    centroids = _ivf_centroids(embs)
+    cb = _pq_codebooks(embs)
+    probes = embs.filter(F.col("vec_id") < 10)
+    return ivf_pq_topk(
+        probes, embs, centroids, cb, m=8, nprobe=3, k=5
+    ).orderBy("probe_id", "rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9907,6 +9933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q361_truncation_plan": q361_truncation_plan,
         "q362_dedup_yield_curve": q362_dedup_yield_curve,
         "q363_curation_v4": q363_curation_v4,
+        "q364_ivf_pq_topk": q364_ivf_pq_topk,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

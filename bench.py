@@ -102,6 +102,7 @@ HEADLINE = [
     "q359_markov_attribution",      # journey windows + bounded-chain folds
     "q362_dedup_yield_curve",       # one-pass threshold-sweep report
     "q363_curation_v4",             # C4 -> Gopher -> near-dup -> stamp
+    "q364_ivf_pq_topk",             # inverted lists + compressed codes
     # q198_bootstrap_ci is deliberately NOT a headline entry: its warm
     # time is ~95% driver-side Catalyst/AQE assembly of the 64-wide
     # aggregate tree (re-execution of the built plan runs in ~0.2 s,

@@ -72,6 +72,7 @@ from db_factfinder_spark.llmdata.similarity import (  # noqa: F401
     jl_projection,
     jl_sign_matrix,
     hard_negative_topk,
+    ivf_pq_topk,
     lsh_bucketed_topk,
     topk_recall,
     maxsim_topk,

@@ -225,6 +225,48 @@ def embedding_neardup_pairs(
     )
 
 
+def _centroid_argmax(centroids: DataFrame):
+    """Collect the (small by construction) IVF centroid table and
+    return a ``vec -> nearest cluster_id`` expression builder: a pure
+    map-side argmax fold over the literal centroids.  Strict > keeps
+    the first (lowest-cid) maximum — same tie-break as rank over
+    (cos DESC, cluster_id ASC), pinned by the q40/q364 oracles."""
+    cid_type = centroids.schema["cluster_id"].dataType.simpleString()
+    cent_rows = sorted(
+        centroids.select("cluster_id", "centroid").collect(),
+        key=lambda r: r["cluster_id"],
+    )
+    cent_lits = F.array(
+        *[
+            F.struct(
+                F.lit(r["cluster_id"]).cast(cid_type).alias("cid"),
+                F.lit([float(x) for x in r["centroid"]]).alias("cv"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def best_cluster(vec: Column) -> Column:
+        scored = F.transform(
+            cent_lits,
+            lambda ct: F.struct(
+                cosine_similarity(vec, ct["cv"]).alias("cos"),
+                ct["cid"].alias("cid"),
+            ),
+        )
+        best = F.aggregate(
+            scored,
+            F.struct(
+                F.lit(float("-inf")).alias("cos"),
+                F.lit(None).cast(cid_type).alias("cid"),
+            ),
+            lambda acc, x: F.when(x["cos"] > acc["cos"], x).otherwise(acc),
+        )
+        return best["cid"]
+
+    return best_cluster
+
+
 def ivf_topk(
     probes: DataFrame,
     corpus: DataFrame,
@@ -249,40 +291,7 @@ def ivf_topk(
     max.)  Zero-norm vectors have NULL cosine to every centroid and
     stay unassigned (dropped).  The probe side keeps the window path:
     it needs top-``nprobe`` clusters and the probe set is small."""
-    cid_type = centroids.schema["cluster_id"].dataType.simpleString()
-    cent_rows = sorted(
-        centroids.select("cluster_id", "centroid").collect(),
-        key=lambda r: r["cluster_id"],
-    )
-    cent_lits = F.array(
-        *[
-            F.struct(
-                F.lit(r["cluster_id"]).cast(cid_type).alias("cid"),
-                F.lit([float(x) for x in r["centroid"]]).alias("cv"),
-            )
-            for r in cent_rows
-        ]
-    )
-
-    def best_cluster(vec: Column) -> Column:
-        scored = F.transform(
-            cent_lits,
-            lambda ct: F.struct(
-                cosine_similarity(vec, ct["cv"]).alias("cos"),
-                ct["cid"].alias("cid"),
-            ),
-        )
-        # strict > keeps the first (lowest-cid) maximum — same
-        # tie-break as rank over (cos DESC, cluster_id ASC)
-        best = F.aggregate(
-            scored,
-            F.struct(
-                F.lit(float("-inf")).alias("cos"),
-                F.lit(None).cast(cid_type).alias("cid"),
-            ),
-            lambda acc, x: F.when(x["cos"] > acc["cos"], x).otherwise(acc),
-        )
-        return best["cid"]
+    best_cluster = _centroid_argmax(centroids)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -913,6 +922,42 @@ def pq_encode(
     )
 
 
+def _adc_distance_cols(prows, rows, m: int, sub: int) -> list:
+    """The textbook ADC distance-table path shared by pq_adc_topk and
+    ivf_pq_topk: per subspace, one generated ``F.expr`` map literal
+    keyed "probe|code" (the map MUST be one parsed SQL string —
+    assembling it from P·codes ``F.lit`` Columns costs a py4j
+    round-trip per entry).  Returns one lookup Column per subspace,
+    referencing ``probe_id`` and ``codes``."""
+    dist_cols = []
+    for s in range(m):
+        entries = []
+        for pr in prows:
+            pv = pr["probe_vi"][s * sub:(s + 1) * sub]
+            for r in rows:
+                cv = r["centroid"][s * sub:(s + 1) * sub]
+                d2 = sum(
+                    (int(a) - int(b)) * (int(a) - int(b))
+                    for a, b in zip(pv, cv)
+                )
+                entries.append(
+                    f"'{pr['probe_id']}|{int(r['code'])}', "
+                    f"CAST({d2} AS BIGINT)"
+                )
+        dt_map = F.expr(f"map({', '.join(entries)})")
+        dist_cols.append(
+            F.element_at(
+                dt_map,
+                F.concat_ws(
+                    "|",
+                    F.col("probe_id").cast("string"),
+                    F.col("codes").getItem(s).cast("string"),
+                ),
+            )
+        )
+    return dist_cols
+
+
 def pq_adc_topk(
     probes: DataFrame,
     codes: DataFrame,
@@ -970,32 +1015,7 @@ def pq_adc_topk(
         # a single call — building it from P·codes F.lit() Columns
         # costs a py4j round-trip per entry (the hyperplane_signature
         # lesson: plan-BUILD time dwarfed execution)
-        dist_cols = []
-        for s in range(m):
-            entries = []
-            for pr in prows:
-                pv = pr["probe_vi"][s * sub:(s + 1) * sub]
-                for r in rows:
-                    cv = r["centroid"][s * sub:(s + 1) * sub]
-                    d2 = sum(
-                        (int(a) - int(b)) * (int(a) - int(b))
-                        for a, b in zip(pv, cv)
-                    )
-                    entries.append(
-                        f"'{pr['probe_id']}|{int(r['code'])}', "
-                        f"CAST({d2} AS BIGINT)"
-                    )
-            dt_map = F.expr(f"map({', '.join(entries)})")
-            dist_cols.append(
-                F.element_at(
-                    dt_map,
-                    F.concat_ws(
-                        "|",
-                        F.col("probe_id").cast("string"),
-                        F.col("codes").getItem(s).cast("string"),
-                    ),
-                )
-            )
+        dist_cols = _adc_distance_cols(prows, rows, m, sub)
         joined = codes.select(
             F.col(id_col).alias("neighbor_id"), "codes"
         ).join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
@@ -1349,4 +1369,96 @@ def copeland_fuse(
             "copeland_x2",
             "rank",
         )
+    )
+
+
+def ivf_pq_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    nprobe: int = 3,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full IVF-PQ retrieval — the documented 100 TB ANN shape,
+    composing its two halves: IVF inverted lists bound WHICH rows are
+    scored (ivf_topk's coarse quantizer) and PQ-ADC bounds WHAT is
+    read per row (pq_adc_topk's compressed codes) — the corpus is
+    touched by one index-build map pass, and at query time only the
+    probed lists' CODES move through an equi-join.
+
+    Index build (one pass over the raw vectors, done once and stored
+    in production): per-row nearest coarse centroid (literal argmax
+    fold) + the m PQ codes.  Query: each probe takes its ``nprobe``
+    nearest lists (window over the broadcast centroid table), the
+    codes table joins the broadcast probe-list assignment ON
+    cluster_id — an EQUI-join over the inverted lists, unlike
+    pq_adc_topk's full-corpus broadcast NLJ — and rows are scored by
+    the ADC distance-table map lookups (m lookups + m−1 adds per
+    row).  Distances stay exact int64, so ranking is reproducible on
+    any engine/partitioning.
+
+    Output: ``(probe_id, neighbor_id, adc_dist, rank)`` — rank within
+    the probed lists (IVF recall semantics: rows outside the probed
+    lists are by design not candidates).
+    """
+    rows = _collect_codebook(codebooks)
+    dim = len(rows[0]["centroid"])
+    sub = dim // m
+    best_cluster = _centroid_argmax(centroids)
+    assign = corpus.select(
+        F.col(id_col).alias("__cid"),
+        best_cluster(F.col(vec_col)).alias("cluster_id"),
+    ).filter(F.col("cluster_id").isNotNull())
+    codes = pq_encode(corpus, rows, m=m)
+    index = codes.select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    ).join(assign, F.col("neighbor_id") == F.col("__cid")).drop("__cid")
+
+    scored_probes = (
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("__pv"),
+        )
+        .join(F.broadcast(centroids))
+        .withColumn(
+            "c_cos", cosine_similarity(F.col("__pv"), F.col("centroid"))
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("c_cos"), F.asc("cluster_id")
+    )
+    probe_lists = (
+        scored_probes.withColumn("c_rank", F.row_number().over(w))
+        .filter(F.col("c_rank") <= nprobe)
+        .select("probe_id", "cluster_id")
+    )
+    prows = probes.select(
+        F.col(id_col).alias("probe_id"),
+        int_quantized_vec(F.col(vec_col)).alias("probe_vi"),
+    ).collect()
+    dist_cols = _adc_distance_cols(prows, rows, m, sub)
+    joined = index.join(
+        F.broadcast(probe_lists),
+        (index["cluster_id"] == probe_lists["cluster_id"])
+        & (F.col("probe_id") != F.col("neighbor_id")),
+    )
+    adc = dist_cols[0]
+    for d in dist_cols[1:]:
+        adc = adc + d
+    scored = joined.select(
+        "probe_id", "neighbor_id", adc.alias("adc_dist")
+    )
+    wr = Window.partitionBy("probe_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(wr).cast("int")
+        )
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "adc_dist", "rank")
     )

@@ -10492,3 +10492,80 @@ SELECT source, count(*) AS n_docs,
        AS BIGINT) AS xor_lo
 FROM fl GROUP BY source ORDER BY source
 """
+
+
+# q364: full IVF-PQ — q40's coarse-quantizer CTEs bound the candidate
+# lists, q240's PQ CTEs encode the corpus, and the ADC join is
+# constrained to the probed lists.
+ORACLES["q364_ivf_pq_topk"] = """
+WITH e AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+      AS vi
+  FROM embeddings),
+cent0 AS (
+  SELECT label, pos,
+    round(CAST(sum(CAST(v[pos + 1] AS DECIMAL(20,9))) AS DOUBLE)
+          / count(*), 6) AS cv
+  FROM e, (SELECT unnest(range(64)) AS pos) p
+  GROUP BY label, pos),
+cent AS (
+  SELECT label AS cluster_id, list(cv ORDER BY pos) AS centroid
+  FROM cent0 GROUP BY label),
+assign_c AS (
+  SELECT vec_id AS neighbor_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(e.v, c.centroid)
+          / (sqrt(list_dot_product(e.v, e.v))
+             * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+        c.cluster_id ASC) AS rn
+    FROM e, cent c)
+  WHERE rn <= 1),
+assign_p AS (
+  SELECT vec_id AS probe_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(e.v, c.centroid)
+          / (sqrt(list_dot_product(e.v, e.v))
+             * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+        c.cluster_id ASC) AS rn
+    FROM e, cent c WHERE e.vec_id < 10)
+  WHERE rn <= 3),
+pcent AS (
+  SELECT label AS code, p.pos AS pos,
+    CAST(floor(CAST(sum(e.vi[p.pos + 1]) AS DOUBLE) / count(*) + 0.5)
+         AS BIGINT) AS cv
+  FROM e, (SELECT unnest(range(64)) AS pos) p
+  GROUP BY 1, 2),
+dist AS (
+  SELECT e.vec_id, CAST(floor(c.pos / 8) AS INTEGER) AS s, c.code,
+    sum((e.vi[c.pos + 1] - c.cv) * (e.vi[c.pos + 1] - c.cv)) AS d2
+  FROM e, pcent c
+  GROUP BY 1, 2, 3),
+best AS (
+  SELECT vec_id, s, code,
+    row_number() OVER (PARTITION BY vec_id, s
+                       ORDER BY d2 ASC, code ASC) AS rn
+  FROM dist),
+codes AS (SELECT vec_id, s, code FROM best WHERE rn = 1),
+adc AS (
+  SELECT p.vec_id AS probe_id, ac.neighbor_id,
+    CAST(sum((p.vi[c.pos + 1] - c.cv) * (p.vi[c.pos + 1] - c.cv))
+         AS BIGINT) AS adc_dist
+  FROM (SELECT * FROM e WHERE vec_id < 10) p
+  JOIN assign_p ap ON ap.probe_id = p.vec_id
+  JOIN assign_c ac ON ac.cluster_id = ap.cluster_id
+                  AND ac.neighbor_id != p.vec_id
+  JOIN codes cd ON cd.vec_id = ac.neighbor_id
+  JOIN pcent c ON c.code = cd.code
+              AND CAST(floor(c.pos / 8) AS INTEGER) = cd.s
+  GROUP BY 1, 2)
+SELECT probe_id, neighbor_id, adc_dist, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+      ORDER BY adc_dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM adc)
+WHERE rank <= 5 ORDER BY probe_id, rank
+"""

@@ -900,3 +900,135 @@ class TestDedupYieldCurve:
         }
         assert out[1] == 1  # fires exactly at the boundary
         assert out[2] == 0
+
+
+class TestIvfPqTopk:
+    def _fixture(self, spark):
+        import __spark_entry__ as entry_mod
+
+        embs = entry_mod._embs(spark, "/root/testdata/sf0.001")
+        cents = entry_mod._ivf_centroids(embs)
+        cb = entry_mod._pq_codebooks(embs)
+        return embs, cents, cb
+
+    def test_equals_adc_restricted_to_probed_lists(self, spark):
+        # IVF-PQ == full PQ-ADC filtered to (probe, neighbor) pairs
+        # sharing a probed list, re-ranked — the composition adds
+        # pruning, never different scores
+        from db_factfinder_spark.llmdata.similarity import (
+            _centroid_argmax,
+            _collect_codebook,
+            ivf_pq_topk,
+            pq_adc_topk,
+            pq_encode,
+        )
+        from pyspark.sql import Window
+
+        embs, cents, cb = self._fixture(spark)
+        probes = embs.filter(F.col("vec_id") < 4)
+        got = {
+            (r["probe_id"], r["rank"]): (r["neighbor_id"], r["adc_dist"])
+            for r in ivf_pq_topk(
+                probes, embs, cents, cb, m=8, nprobe=2, k=3
+            ).collect()
+        }
+        # reference: full ADC + explicit list filter
+        rows = _collect_codebook(cb)
+        codes = pq_encode(embs, rows, m=8)
+        full = pq_adc_topk(probes, codes, cb, m=8, k=10**6)
+        assign = embs.select(
+            F.col("vec_id").alias("neighbor_id"),
+            _centroid_argmax(cents)(F.col("embedding")).alias("cl"),
+        )
+        pl = (
+            probes.select(F.col("vec_id").alias("probe_id"), "embedding")
+            .crossJoin(cents)
+            .withColumn(
+                "cos",
+                F.expr(
+                    "aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), centroid, (a, b) -> a * b), 0D, (a, x) -> a + x)"
+                ),
+            )
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.desc("cos"), F.asc("cluster_id")
+        )
+        # note: cosine vs dot product order differs only by norms, so
+        # use the operator's own probe-list assignment instead
+        from db_factfinder_spark.llmdata.similarity import (
+            cosine_similarity,
+        )
+
+        pl = (
+            probes.select(F.col("vec_id").alias("probe_id"), "embedding")
+            .crossJoin(cents)
+            .withColumn(
+                "cos", cosine_similarity(F.col("embedding"), F.col("centroid"))
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .select("probe_id", F.col("cluster_id").alias("cl"))
+        )
+        ref = (
+            full.join(assign, "neighbor_id")
+            .join(pl, ["probe_id", "cl"])
+            .select("probe_id", "neighbor_id", "adc_dist")
+        )
+        wr = Window.partitionBy("probe_id").orderBy(
+            F.asc("adc_dist"), F.asc("neighbor_id")
+        )
+        want = {
+            (r["probe_id"], r["rank"]): (r["neighbor_id"], r["adc_dist"])
+            for r in ref.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= 3)
+            .collect()
+        }
+        assert got == want
+
+    def test_candidates_only_from_probed_lists(self, spark):
+        from db_factfinder_spark.llmdata.similarity import (
+            _centroid_argmax,
+            ivf_pq_topk,
+        )
+
+        embs, cents, cb = self._fixture(spark)
+        probes = embs.filter(F.col("vec_id") < 4)
+        out = ivf_pq_topk(probes, embs, cents, cb, m=8, nprobe=1, k=50)
+        assign = embs.select(
+            F.col("vec_id").alias("neighbor_id"),
+            _centroid_argmax(cents)(F.col("embedding")).alias("cl"),
+        )
+        joined = out.join(assign, "neighbor_id")
+        # with nprobe=1 every probe's candidates share ONE list
+        n_lists = (
+            joined.groupBy("probe_id")
+            .agg(F.count_distinct("cl").alias("nl"))
+            .agg(F.max("nl"))
+            .collect()[0][0]
+        )
+        assert n_lists == 1
+
+    def test_equi_join_not_nlj(self, spark):
+        from db_factfinder_spark.llmdata.similarity import ivf_pq_topk
+
+        embs, cents, cb = self._fixture(spark)
+        probes = embs.filter(F.col("vec_id") < 4)
+        plan = (
+            ivf_pq_topk(probes, embs, cents, cb, m=8, nprobe=2, k=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the CANDIDATE join must be a hash join keyed on cluster_id —
+        # never the full-corpus nested loop q240 pays; the one
+        # permitted BNLJ is the bounded probes x centroids assignment
+        # spine
+        joins = [
+            ln.strip() for ln in plan.splitlines() if "Join" in ln
+        ]
+        cand = [
+            ln for ln in joins
+            if "BroadcastHashJoin [cluster_id" in ln
+        ]
+        assert cand, f"no hash candidate join in: {joins}"
+        assert (
+            sum("BroadcastNestedLoopJoin" in ln for ln in joins) <= 1
+        )
