@@ -36,6 +36,12 @@ NAMES = [
     # the new largest sort buffers
     "q272_fifo_cogs",
     "q277_group_medoids",
+    # round-8 additions: the U-shaped split (per-conversion windows +
+    # integer remainder credits) and the Markov chain (per-user
+    # journey windows + the transition groupBy) are integer-exact end
+    # to end — spill may move partials, never change the merge
+    "q358_position_attribution",
+    "q359_markov_attribution",
 ]
 
 _CHILD = r"""
