@@ -5902,11 +5902,12 @@ def q247_rrf_fusion(spark, sf_dir):
     the score-free hybrid-retrieval combiner.  The proximity side
     ranks via TakeOrderedAndProject (orderBy+limit, distributed
     top-k); the fusion join and final window run over ≤20 rows (see
-    rrf_fuse)."""
+    rrf_fuse_pair; the N-source multi-query form is
+    llmdata.similarity.rrf_fuse — q339)."""
     from db_factfinder_spark.llmdata.textstats import (
         build_postings,
         proximity_search,
-        rrf_fuse,
+        rrf_fuse_pair,
     )
 
     docs = _docs(spark, sf_dir)
@@ -5922,7 +5923,7 @@ def q247_rrf_fusion(spark, sf_dir):
             ),
         )
     )
-    return rrf_fuse(bm, prox, id_col="doc_id", c=60, topk=10)
+    return rrf_fuse_pair(bm, prox, id_col="doc_id", c=60, topk=10)
 
 
 def q248_retractable_agg(spark, sf_dir):
@@ -7708,7 +7709,7 @@ def q302_winnow_pairs(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     return (
-        winnow_pairs(docs, k=20, w=8, min_shared=2)
+        winnow_pairs(docs, k=20, w=8, min_shared=2, max_df=None)
         .select("id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared"))
         .orderBy("id_a", "id_b")
     )
@@ -7733,7 +7734,7 @@ def q303_adamic_adar(spark, sf_dir):
         .distinct()
     )
     return (
-        adamic_adar(pairs, "cnode", "snode")
+        adamic_adar(pairs, "cnode", "snode", max_degree=None)
         .select(
             "id_a",
             "id_b",
@@ -8392,7 +8393,7 @@ def q326_curation_v3(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     dup_b = (
-        winnow_pairs(docs, k=20, w=8, min_shared=2)
+        winnow_pairs(docs, k=20, w=8, min_shared=2, max_df=None)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
@@ -9565,6 +9566,169 @@ def q364_ivf_pq_topk(spark, sf_dir):
     ).orderBy("probe_id", "rank")
 
 
+def q365_acs_production_run(spark, sf_dir):
+    """The reference's SHIPPED artifact end-to-end (pipelines/acs.py:
+    36-63 + create_acs.sql:4-16): every published-domain variable of
+    the 2019 catalog (1,040 of 1,047 — community_profiles-domain
+    variables are catalog-resident but NOT shipped, acs.py:48) × the
+    ENTIRE grid — native tract/borough/city AND the aggregated
+    CT20/NTA/CDTA rollups (CDTA exercising the batch planner's last
+    unqueried AGG2020_DIM entry) — with the ``domain`` tag, in
+    create_acs.sql's exact column order, WRITTEN through the
+    distributed CSV sink and READ BACK, so the oracle certifies the
+    file the reference's CI publishes, not just the frame upstream of
+    it.  One engine, one batch plan: the native half is q331's
+    melt→fold→self-join pipeline, the aggregated half is q337's
+    crosswalk→rollup→median/special pipeline sharing one materialized
+    CT20 frame (plans/batch.py)."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from db_factfinder_spark.pipelines import production_acs_run
+
+    eng = _crosswalk_2020_engine(spark, sf_dir)
+    key = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = _os.path.join(_tf.gettempdir(), f"spark_graft_acs_prod_{key}")
+    production_acs_run(
+        eng,
+        ["tract", "borough", "city", "CT20", "NTA", "CDTA"],
+        output_path=path,
+    )
+    back = spark.read.schema(
+        "census_geoid string, labs_geoid string, geotype string,"
+        " labs_geotype string, pff_variable string, c double, e double,"
+        " m double, p double, z double, domain string"
+    ).csv(path, header=True)
+    return back.orderBy("geotype", "pff_variable", "census_geoid")
+
+
+def _zone_2020_engine(spark, sf_dir):
+    """FactFinderEngine with a BLOCK-GROUP-grain 2020 lookup fixture
+    (flags fp_100: bgid%4, fp_500: bgid%3, park_access: bgid%2; zone
+    code = the block group's CDTA 'BK'+(tract%7)) over the synthetic
+    2019 wide parquet — the q366 zone-rollup spine.  bgid =
+    c_custkey % 400; tract = bgid % 200, block-group digit =
+    bgid // 200 + 1 (mirrors synth_catalog.geo_tables)."""
+    from pyspark.sql import functions as _F
+
+    from db_factfinder_spark.catalog import Catalog
+    from db_factfinder_spark.operators.vertical import (
+        AggregatedGeography2020,
+        prepare_lookup_geo,
+        prepare_ratio,
+    )
+    from db_factfinder_spark.plans.planner import (
+        FactFinderEngine,
+        ParquetWideSource,
+    )
+    from synth_catalog import N_BLOCK_GROUPS, N_TRACTS, ensure_fixture
+
+    root = ensure_fixture(sf_dir, "acs", 2019)
+    cat = Catalog.from_registry("acs", 2019)
+    cust = _t(spark, sf_dir, "customer")
+    bgids = cust.select(
+        (_F.col("c_custkey") % N_BLOCK_GROUPS).alias("bgid")
+    ).distinct()
+    gid = _F.col("bgid") % N_TRACTS
+    tract6 = _F.lpad(gid.cast("string"), 6, "0")
+    bg1 = (_F.col("bgid") / N_TRACTS + 1).cast("int").cast("string")
+    flag = lambda m: (  # noqa: E731
+        (_F.col("bgid") % m == 0).cast("int").cast("string")
+    )
+    lookup_raw = bgids.select(
+        _F.concat(
+            _F.lit("36047"), tract6, bg1, _F.lit("000")
+        ).alias("geoid"),
+        _F.concat(
+            _F.lit("BX"), _F.lpad((gid % 20).cast("string"), 2, "0")
+        ).alias("nta2020"),
+        _F.lit("nta name").alias("ntaname"),
+        _F.concat(
+            _F.lit("BK"), _F.lpad((gid % 7).cast("string"), 2, "0")
+        ).alias("cdta2020"),
+        _F.lit("cdta name").alias("cdtaname"),
+        _F.lit("2").alias("borocode"),
+        _F.lit("Bronx").alias("boroname"),
+        flag(4).alias("fp_100"),
+        flag(3).alias("fp_500"),
+        flag(2).alias("park_access"),
+    )
+    code = _F.concat(_F.lit("47"), tract6)
+    ratio_raw = bgids.select(
+        code.alias("boroct2010"),
+        code.alias("boroct2020"),
+        _F.lit("1.000000000000000000").alias("ratio"),
+    ).distinct()
+    geo = AggregatedGeography2020(
+        prepare_lookup_geo(lookup_raw), prepare_ratio(ratio_raw)
+    )
+    return FactFinderEngine(spark, cat, geo, ParquetWideSource(spark, root))
+
+
+def q366_acs_catalog_batch_zones(spark, sf_dir):
+    """The full 2019 ACS catalog at the BLOCK-GROUP ZONE geotypes —
+    the last aggregated-geography family to join the set-based batch
+    (r8 VERDICT ask 2; reference 2010_to_2020.py:144-197): all 1,047
+    variables × {cdta_fp_100, cdta_fp_500, cdta_park_access}.  One
+    block-group melt scan + ONE fold shuffle shared by all three
+    zones; per zone a broadcast flag-gated dimension join + zone fold
+    with a (zone × variable) spine keeping flagged-but-factless zones
+    at e=0/m=0 (the per-variable ``block_group_to_zone`` right-join
+    semantics), then the same grouped-median / special-formula /
+    base-p-z assembly as q337.  Zone codes ('BK..') pass through labs
+    formatting untouched and zone geotype labels pass through
+    unmapped, exactly like the reference's formatters."""
+    eng = _zone_2020_engine(spark, sf_dir)
+    out = eng.calculate_batch_catalog(
+        ["cdta_fp_100", "cdta_fp_500", "cdta_park_access"]
+    )
+    return out.orderBy("geotype", "pff_variable", "census_geoid")
+
+
+def q367_acs_incremental_vintage(spark, sf_dir):
+    """Incremental ACS vintage maintenance (r8 VERDICT ask 7): a
+    corrected wide partition lands (three census columns shift —
+    a base variable's, wrkrnothm's input, a poverty twin's), and ONLY
+    the dependency-closure slice recomputes: variables whose columns
+    changed, plus base children / the poverty p-z pair / the
+    wrkrnothm special chain (plans/batch.py
+    catalog_dependency_closure).  Everything else splices through from
+    the STORED artifact of the previous run (a parquet written once
+    per sf_dir — a real stored table, not a live plan over the old
+    source), so the untouched slice never re-reads the wide source.
+    The oracle is the FULL recompute over the mutated spec in SQL —
+    hash equality IS the proof that slice-recompute ≡ full recompute."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from db_factfinder_spark.plans.batch import incremental_catalog_update
+    from db_factfinder_spark.plans.planner import ColumnDeltaWideSource
+    from synth_catalog import ensure_fixture, incremental_mutation_cvs
+
+    grid = ["tract", "borough", "city"]
+    key = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    prev_path = _os.path.join(
+        _tf.gettempdir(), f"spark_graft_acs_prev_{key}"
+    )
+    eng_old = _catalog_batch_engine(spark, sf_dir, "acs", 2019)
+    if not _os.path.exists(_os.path.join(prev_path, "_SUCCESS")):
+        eng_old.calculate_batch_catalog(grid).write.mode(
+            "overwrite"
+        ).parquet(prev_path)
+    prev = spark.read.parquet(prev_path)
+
+    mut = incremental_mutation_cvs("acs", 2019)
+    root = ensure_fixture(sf_dir, "acs", 2019)
+    eng_new = _catalog_batch_engine(spark, sf_dir, "acs", 2019)
+    eng_new.source = ColumnDeltaWideSource(
+        spark, root, {f"{cv}E": 7.0 for cv in mut}
+    )
+    out = incremental_catalog_update(eng_new, prev, mut, grid)
+    return out.orderBy("geotype", "pff_variable", "census_geoid")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9934,6 +10098,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q362_dedup_yield_curve": q362_dedup_yield_curve,
         "q363_curation_v4": q363_curation_v4,
         "q364_ivf_pq_topk": q364_ivf_pq_topk,
+        "q365_acs_production_run": q365_acs_production_run,
+        "q366_acs_catalog_batch_zones": q366_acs_catalog_batch_zones,
+        "q367_acs_incremental_vintage": q367_acs_incremental_vintage,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

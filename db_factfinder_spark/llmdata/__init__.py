@@ -154,6 +154,7 @@ from db_factfinder_spark.llmdata.textstats import (  # noqa: F401
     phrase_search_postings,
     proximity_search,
     rouge_n_pairs,
+    rrf_fuse_pair,
     surprisal_score,
     tfidf_top_terms,
     token_diversity,

@@ -32,6 +32,14 @@ from pyspark.sql import functions as F
 
 from db_factfinder_spark.llmdata.checkpointing import materialize
 
+# Default hub cap for wedge-through-the-middle joins (adamic_adar):
+# fan-out per middle vertex is C(deg, 2), so one 10^5-degree hub alone
+# emits 5×10^9 wedges at graph scale.  1,024 keeps every plausible
+# common-neighbor signal (a shared 1,000-degree neighbor contributes
+# the near-zero term 1/ln(1024)) while bounding any single middle's
+# fan-out at ~5×10^5 wedges.
+DEFAULT_MAX_DEGREE = 1024
+
 
 def connected_components(
     pairs: DataFrame,
@@ -924,7 +932,7 @@ def adamic_adar(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_degree: int | None = None,
+    max_degree: int | None = DEFAULT_MAX_DEGREE,
     scale: int = 1_000_000_000,
 ) -> DataFrame:
     """Adamic–Adar link prediction over an undirected edge list: for
@@ -947,7 +955,10 @@ def adamic_adar(
     ``max_degree`` drops hub MIDDLES before the self-join (their
     ln-discounted terms are the smallest anyway, but the capped result
     is a LOWER BOUND and pairs reachable only through hubs vanish —
-    same explicit-truncation contract as ``cap_hot_buckets``).
+    same explicit-truncation contract as ``cap_hot_buckets``).  The
+    cap is ON BY DEFAULT (``DEFAULT_MAX_DEGREE`` = 1024) so a
+    graph-scale caller gets the hub guard without opting in; pass
+    ``max_degree=None`` explicitly for the exact uncapped semantics.
     Degree-1 middles cannot form a wedge (need two distinct
     neighbors), so ln(deg) ≥ ln 2 > 0 — no division hazard.
 

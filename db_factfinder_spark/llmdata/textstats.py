@@ -1139,7 +1139,7 @@ def hashed_features(
     )
 
 
-def rrf_fuse(
+def rrf_fuse_pair(
     ranked_a: DataFrame,
     ranked_b: DataFrame,
     id_col: str = "doc_id",
@@ -1151,7 +1151,10 @@ def rrf_fuse(
     of two ranked lists: score(d) = Σ_lists 1/(c + rank_d), absent
     list membership contributing 0 — the standard score-free way to
     combine heterogeneous rankers (BM25 × proximity, lexical ×
-    vector) without calibrating their score scales.
+    vector) without calibrating their score scales.  The N-source,
+    multi-query generalization is ``llmdata.similarity.rrf_fuse``;
+    this two-frame form keeps the full-outer-join shape for exactly
+    two rankers over one query.
 
     Both inputs are top-k lists by contract, so the fusion frame is
     ≤ |A|+|B| rows — the full-outer join and the final rank window

@@ -35,6 +35,13 @@ from db_factfinder_spark.llmdata.checkpointing import materialize
 from db_factfinder_spark.llmdata.dedup import _md5_long28, cap_hot_buckets
 from db_factfinder_spark.llmdata.textstats import normalize_text
 
+# Default flood-fingerprint cap (documents sharing one fingerprint):
+# pair fan-out per fingerprint is C(df, 2), so one boilerplate passage
+# shared by 10^5 docs alone emits 5×10^9 candidate pairs at corpus
+# scale.  128 keeps every plausible quotation/near-dup cluster while
+# bounding any single fingerprint's fan-out at ~8k pairs.
+DEFAULT_MAX_DF = 128
+
 __all__ = [
     "winnow_fingerprint_sets",
     "winnow_pairs",
@@ -103,7 +110,7 @@ def winnow_pairs(
     k: int = 5,
     w: int = 4,
     min_shared: int = 2,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
     checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints
@@ -111,7 +118,12 @@ def winnow_pairs(
 
     One explode + one equi-join on the fingerprint; ``max_df`` drops
     flood fingerprints (ubiquitous boilerplate passages) before the
-    self-join, subset contract as in :func:`cap_hot_buckets`.
+    self-join, subset contract as in :func:`cap_hot_buckets`.  The
+    cap is ON BY DEFAULT (``DEFAULT_MAX_DF`` = 128: a fingerprint
+    shared by more documents is boilerplate, and its pair fan-out is
+    quadratic) so a corpus-scale caller gets the flood guard without
+    reading PERF_NOTES; pass ``max_df=None`` explicitly for the
+    exact uncapped semantics.
     Guarantee (SIGMOD'03 Thm. 1): a shared substring of length
     ≥ ``k + w − 1`` normalized chars always produces ≥ 1 shared
     fingerprint, so ``min_shared`` trades recall on short quotes for

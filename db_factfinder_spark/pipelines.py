@@ -344,3 +344,66 @@ def read_manual_workbook(
             (spark.read.csv(f, header=True, inferSchema=False), domain)
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# the production ACS deliverable (reference pipelines/acs.py:36-63)
+# ---------------------------------------------------------------------------
+
+# create_acs.sql:4-16's column order — the exact shipped CSV shape
+ACS_PRODUCTION_COLUMNS = [
+    "census_geoid",
+    "labs_geoid",
+    "geotype",
+    "labs_geotype",
+    "pff_variable",
+    "c",
+    "e",
+    "m",
+    "p",
+    "z",
+    "domain",
+]
+
+# the published domains (reference pipelines/acs.py:48) — the catalog
+# also carries community_profiles-domain variables the CSV doesn't ship
+ACS_PRODUCTION_DOMAINS = ("demographic", "economic", "housing", "social")
+
+# the production grid per geography vintage (reference
+# pipelines/acs.py:44-46: tract joins the grid only outside the
+# 2010_to_2020 geography)
+ACS_PRODUCTION_GEOTYPES = ["NTA", "CDTA", "CT20", "city", "borough"]
+
+
+def production_acs_run(
+    engine,
+    geotypes: list[str] | None = None,
+    output_path: str | None = None,
+    domains: tuple[str, ...] = ACS_PRODUCTION_DOMAINS,
+) -> DataFrame:
+    """The reference's shipped production artifact as ONE lazy plan:
+    every published-domain catalog variable × the production geotype
+    grid, tagged with ``domain`` and column-ordered exactly per
+    create_acs.sql:4-16 (reference pipelines/acs.py:36-63 runs the
+    same grid through a 10-process pool and ``pd.concat`` →
+    ``to_csv``; here the grid is the set-based batch planner —
+    plans/batch.py — and the sink is the distributed CSV writer).
+
+    When ``output_path`` is given the frame is also written through
+    ``write_csv`` (header on, overwrite) — the literal acs.csv the
+    reference's CI publishes into pff_acs via \\COPY."""
+    from db_factfinder_spark.sources.readers import write_csv
+
+    dset = set(domains)
+    variables = [
+        m["pff_variable"]
+        for m in engine.catalog.metadata
+        if m.get("domain") in dset
+    ]
+    out = engine.calculate_batch_catalog(
+        geotypes if geotypes is not None else ACS_PRODUCTION_GEOTYPES,
+        variables=variables,
+    ).select(*ACS_PRODUCTION_COLUMNS)
+    if output_path is not None:
+        write_csv(out, output_path)
+    return out

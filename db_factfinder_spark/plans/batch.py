@@ -67,9 +67,11 @@ def calculate_batch_catalog(
     result-identical to looping ``engine(var, geotype)`` +
     ``unionByName`` (equivalence pinned in tests/test_catalog_batch).
 
-    Native geotypes and the tract-sourced 2020 rollups (NTA / CDTA /
-    CT20) are supported set-based; the block-group zone rollups
-    (cdta_fp_*) stay on the per-variable path (``calculate_batch``).
+    Native geotypes, the tract-sourced 2020 rollups (NTA / CDTA /
+    CT20), and the block-group zone rollups (cdta_fp_100 / cdta_fp_500
+    / cdta_park_access — ``_zone_frames``) are all supported set-based;
+    other geographies' aggregated geotypes (e.g. the 2010 vintage's)
+    stay on the per-variable path (``calculate_batch``).
 
     ``checkpoint_mode`` (``llmdata.checkpointing`` policy) governs the
     aggregated-geotype frame: the rolled-up (geoid, variable, e, m)
@@ -85,14 +87,19 @@ def calculate_batch_catalog(
     (plan-inspection tests)."""
     aggregated = set(engine.geo.aggregated_geography)
     bad = [
-        g for g in geotypes if g in aggregated and g not in AGG2020_DIM
+        g
+        for g in geotypes
+        if g in aggregated and g not in AGG2020_DIM and g not in ZONE2020_DIM
     ]
     if bad:
         raise NotImplementedError(
             f"calculate_batch_catalog: aggregated geotypes {bad} take "
             "the per-variable rollup path (calculate_batch)"
         )
-    agg_geos = [g for g in geotypes if g in aggregated]
+    zone_geos = [g for g in geotypes if g in ZONE2020_DIM and g in aggregated]
+    agg_geos = [
+        g for g in geotypes if g in aggregated and g not in ZONE2020_DIM
+    ]
     native_geos = [g for g in geotypes if g not in aggregated]
     cat, spark = engine.catalog, engine.spark
     all_vars = [m["pff_variable"] for m in cat.metadata]
@@ -113,14 +120,30 @@ def calculate_batch_catalog(
         "pff string, domain string, rnd int, cls string, pz string,"
         " base string, twin string, prof_cv string",
     )
-    frames = (
-        [_native_frames(engine, native_geos, attr, varmap, varattr, tag_domain)]
-        if native_geos
-        else []
-    )
+    frames = []
+    shared_tract = None
+    if native_geos:
+        native_out, native_agg = _native_frames(
+            engine, native_geos, attr, varmap, varattr, tag_domain
+        )
+        frames.append(native_out)
+        if "tract" in native_geos and agg_geos and cat.source == "acs":
+            # the aggregated chain's tract fold is value-identical to
+            # the native fold's tract slice (integer-exact sums, no
+            # controlled masking at tract, no PE/PM in the fold) —
+            # reuse the persisted native fold so the production grid
+            # scans the tract wide table ONCE, not once per half
+            shared_tract = native_agg.filter(
+                F.col("geotype") == "tract"
+            ).select("census_geoid", "pff", "e", "m")
     if agg_geos:
         frames += _aggregated_2020_frames(
-            engine, agg_geos, vars_, varmap, tag_domain, checkpoint_mode
+            engine, agg_geos, vars_, varmap, tag_domain, checkpoint_mode,
+            agg_tract=shared_tract,
+        )
+    if zone_geos:
+        frames += _zone_frames(
+            engine, zone_geos, vars_, varmap, tag_domain, checkpoint_mode
         )
     out = frames[0]
     for f in frames[1:]:
@@ -198,7 +221,7 @@ def _sentinel_null(c: Column) -> Column:
 
 def _native_frames(
     engine, geotypes: list[str], attr, varmap, varattr, tag_domain: bool
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """All native geotypes in ONE plan: the per-geotype scans union
     under a ``geotype`` tag before the melt, so the 2,874-column stack
     is code-generated once and the horizontal fold is one shuffle keyed
@@ -401,7 +424,7 @@ def _native_frames(
         cat.special_variables,
         cat.median_inputs,
     )
-    return cleaned.select(
+    out = cleaned.select(
         "census_geoid",
         engine.geo.format_geoid("census_geoid").alias("labs_geoid"),
         "geotype",
@@ -414,15 +437,26 @@ def _native_frames(
         "z",
         *(["domain"] if tag_domain else []),
     )
+    # the persisted horizontal fold rides along so the caller can
+    # share the tract slice with the aggregated chain (one tract scan)
+    return out, agg
 
 
 # ---------------------------------------------------------------------------
 # aggregated geotypes on the 2010→2020 geography (tract-sourced rollups)
 # ---------------------------------------------------------------------------
 
-# output geotype → lookup dimension column (None = stop at CT20);
-# the block-group zone rollups (cdta_fp_*) stay on the per-variable path
+# output geotype → lookup dimension column (None = stop at CT20)
 AGG2020_DIM = {"NTA": "nta2020", "CDTA": "cdta2020", "CT20": None}
+
+# block-group zone rollups (flood-plain / park-access): output geotype
+# → prepared-lookup zone column (prepare_lookup_geo gates the zone code
+# on the flag, so a NULL filter is the flag filter)
+ZONE2020_DIM = {
+    "cdta_fp_100": "cdta_fp_100",
+    "cdta_fp_500": "cdta_fp_500",
+    "cdta_park_access": "cdta_park_access",
+}
 
 
 def _classify_aggregated(cat, variables):
@@ -467,6 +501,36 @@ def _classify_aggregated(cat, variables):
     return rows
 
 
+def _tract_fold(engine, varmap, cvs) -> DataFrame:
+    """tract-grain melt + scrub + horizontal fold — the aggregated
+    chain's source frame when no native batch fold is shared."""
+    raw = make_census_geoid(engine.source._read("tract"), "tract")
+    long = raw.selectExpr("census_geoid", _stack_expr(cvs, set()))
+    e0 = F.col("E_raw")
+    m0 = (
+        F.when(e0.isin(OUTLIER_SENTINELS), _null())
+        .when(e0 == 0, F.lit(0.0))
+        .otherwise(F.col("M_raw"))
+    )
+    scrub = long.select(
+        "census_geoid",
+        "cv",
+        _sentinel_null(e0).alias("E"),
+        _sentinel_null(m0).alias("M"),
+    )
+    return (
+        scrub.join(F.broadcast(varmap), "cv")
+        .groupBy("census_geoid", "pff")
+        .agg(
+            (F.lit(0.0) + F.sum(F.coalesce(F.col("E"), F.lit(0.0)))).alias("e"),
+            F.sqrt(
+                F.lit(0.0)
+                + F.sum(F.coalesce(F.col("M") * F.col("M"), F.lit(0.0)))
+            ).alias("m"),
+        )
+    )
+
+
 def _aggregated_2020_frames(
     engine,
     geotypes: list[str],
@@ -474,6 +538,7 @@ def _aggregated_2020_frames(
     varmap,
     tag_domain: bool,
     checkpoint_mode: str = "local",
+    agg_tract: DataFrame | None = None,
 ) -> list[DataFrame]:
     """Set-based full-catalog batch at the aggregated 2020 geotypes.
 
@@ -538,31 +603,11 @@ def _aggregated_2020_frames(
         return materialize(df, checkpoint_mode)
 
     # ---- tract-grain melt + scrub + horizontal fold (ONCE) ----------
-    raw = make_census_geoid(engine.source._read("tract"), "tract")
-    long = raw.selectExpr("census_geoid", _stack_expr(cvs, set()))
-    e0 = F.col("E_raw")
-    m0 = (
-        F.when(e0.isin(OUTLIER_SENTINELS), _null())
-        .when(e0 == 0, F.lit(0.0))
-        .otherwise(F.col("M_raw"))
-    )
-    scrub = long.select(
-        "census_geoid",
-        "cv",
-        _sentinel_null(e0).alias("E"),
-        _sentinel_null(m0).alias("M"),
-    )
-    agg_tract = (
-        scrub.join(F.broadcast(varmap), "cv")
-        .groupBy("census_geoid", "pff")
-        .agg(
-            (F.lit(0.0) + F.sum(F.coalesce(F.col("E"), F.lit(0.0)))).alias("e"),
-            F.sqrt(
-                F.lit(0.0)
-                + F.sum(F.coalesce(F.col("M") * F.col("M"), F.lit(0.0)))
-            ).alias("m"),
-        )
-    )
+    # (skipped entirely when the caller shares the native batch's
+    # persisted tract fold — value-identical slice, one tract scan for
+    # the whole production grid)
+    if agg_tract is None:
+        agg_tract = _tract_fold(engine, varmap, cvs)
 
     # ---- vertical: ratio right-join → CT20 fold (ONCE, shared) ------
     ratio = engine.geo.ratio
@@ -632,12 +677,7 @@ def _one_aggregated_geotype(
     """One aggregated geotype's frame over the shared materialized CT20
     rollup (see ``_aggregated_2020_frames``)."""
     from db_factfinder_spark.functions.stats import agg_moe, sum_skipna
-    from db_factfinder_spark.operators.median import calculate_median
-    from db_factfinder_spark.operators.pivot import pivot_e, pivot_e_m
-    from db_factfinder_spark.operators.special import SPECIAL_FUNCTIONS
 
-    cat = engine.catalog
-    spark = engine.spark
     dim_col = AGG2020_DIM[geotype]
     if dim_col is not None:
         dim = engine.geo.lookup.select("geoid_tract", dim_col).distinct()
@@ -653,7 +693,36 @@ def _one_aggregated_geotype(
         )
     else:
         agg2 = ct20  # already materialized by the caller
+    return _aggregated_assembly(
+        engine, geotype, attr, varattr, agg2, med_specs, med_structs,
+        tag_domain,
+    )
 
+
+def _aggregated_assembly(
+    engine,
+    geotype: str,
+    attr,
+    varattr,
+    agg2: DataFrame,
+    med_specs,
+    med_structs,
+    tag_domain: bool,
+) -> DataFrame:
+    """The shared aggregated-geotype tail: from a MATERIALIZED
+    (census_geoid, pff, e, m) rollup frame at the target grain to the
+    finished labs frame — grouped medians (one shared bin pivot),
+    special formulas (one shared member pivot, wrkrnothm-first
+    topological order), base / median-base p-z joins, rounding,
+    cleaning, labs formatting.  Used by both the tract-sourced 2020
+    rollups (``_one_aggregated_geotype``) and the block-group zone
+    rollups (``_zone_frames``)."""
+    from db_factfinder_spark.operators.median import calculate_median
+    from db_factfinder_spark.operators.pivot import pivot_e, pivot_e_m
+    from db_factfinder_spark.operators.special import SPECIAL_FUNCTIONS
+
+    cat = engine.catalog
+    spark = engine.spark
     long2 = agg2.select(
         "census_geoid",
         F.col("pff").alias("pff_variable"),
@@ -819,3 +888,247 @@ def _one_aggregated_geotype(
         "z",
         *(["domain"] if tag_domain else []),
     )
+
+
+# ---------------------------------------------------------------------------
+# block-group zone rollups (flood-plain / park-access geotypes)
+# ---------------------------------------------------------------------------
+
+def _zone_frames(
+    engine,
+    geotypes: list[str],
+    variables,
+    varmap,
+    tag_domain: bool,
+    checkpoint_mode: str = "local",
+) -> list[DataFrame]:
+    """Set-based full-catalog batch at the block-group ZONE geotypes
+    (reference 2010_to_2020.py:144-197 — flood-plain / park-access
+    rollups ride the BLOCK GROUP download grain, not the tract
+    crosswalk):
+
+        block-group melt-agg (one scan, one fold shuffle — shared by
+        every requested zone geotype) → per geotype: broadcast
+        flag-gated zone dimension join + zone fold, LEFT-joined back
+        onto the (zone × variable) spine so flagged zones with no
+        facts keep e=0/m=0 rows exactly like the per-variable
+        ``block_group_to_zone`` (vertical.py:137) → the shared
+        aggregated assembly tail (grouped medians, special formulas,
+        base / median-base p-z, rounding, cleaning, labs).
+
+    Exactness: block-group e values are integers and m = √S with
+    integer S (fl(m²) == S), so every zone fold is an integer sum —
+    order-free across engines and partitionings, the q337 argument at
+    block-group grain."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from db_factfinder_spark.functions.stats import agg_moe, sum_skipna
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+    from db_factfinder_spark.operators.median import median_struct
+
+    cat = engine.catalog
+    spark = engine.spark
+    if cat.source != "acs":
+        raise NotImplementedError(
+            "zone set-based batch: acs source only (the 2010_to_2020 "
+            "geography registers no decennial rollups)"
+        )
+    attr = _classify_aggregated(cat, variables)
+    varattr = spark.createDataFrame(
+        attr,
+        "pff string, domain string, rnd int, cls string, pz string,"
+        " base string, medbase string",
+    )
+    meta = cat.metadata
+    cvs = sorted({cv for m in meta for cv in m["census_variable"]})
+
+    def _mat(df: DataFrame) -> DataFrame:
+        if checkpoint_mode == "none":
+            return df.persist()
+        return materialize(df, checkpoint_mode)
+
+    # ---- block-group melt + scrub + horizontal fold (ONCE) ----------
+    raw = make_census_geoid(engine.source._read("block group"), "block group")
+    long = raw.selectExpr("census_geoid", _stack_expr(cvs, set()))
+    e0 = F.col("E_raw")
+    m0 = (
+        F.when(e0.isin(OUTLIER_SENTINELS), _null())
+        .when(e0 == 0, F.lit(0.0))
+        .otherwise(F.col("M_raw"))
+    )
+    scrub = long.select(
+        "census_geoid",
+        "cv",
+        _sentinel_null(e0).alias("E"),
+        _sentinel_null(m0).alias("M"),
+    )
+    agg_bg_plan = (
+        scrub.join(F.broadcast(varmap), "cv")
+        .groupBy("census_geoid", "pff")
+        .agg(
+            (F.lit(0.0) + F.sum(F.coalesce(F.col("E"), F.lit(0.0)))).alias("e"),
+            F.sqrt(
+                F.lit(0.0)
+                + F.sum(F.coalesce(F.col("M") * F.col("M"), F.lit(0.0)))
+            ).alias("m"),
+        )
+    )
+    med_specs = {mv: cat.median_spec(mv) for mv in cat.median_variables}
+
+    def _build_structs():
+        return {
+            mv: median_struct(spec, [F.col(v) for v in spec.input_variables])
+            for mv, spec in med_specs.items()
+        }
+
+    # overlap the fold materialization (JVM-side analysis + job) with
+    # the driver-side median-struct build — same pattern as the CT20
+    # chain
+    with ThreadPoolExecutor(2) as ex:
+        f_bg = ex.submit(_mat, agg_bg_plan)
+        f_structs = ex.submit(_build_structs)
+        agg_bg = f_bg.result()
+        med_structs = f_structs.result()
+    pff_list = F.broadcast(
+        spark.createDataFrame(
+            [(p,) for p in sorted({m["pff_variable"] for m in meta})],
+            "pff string",
+        )
+    )
+
+    def _one_zone(geotype: str) -> DataFrame:
+        zone_col = ZONE2020_DIM[geotype]
+        dim = (
+            engine.geo.lookup.filter(F.col(zone_col).isNotNull())
+            .select("geoid_block_group", zone_col)
+            .distinct()
+        )
+        matched = (
+            agg_bg.join(
+                F.broadcast(dim),
+                agg_bg["census_geoid"] == dim["geoid_block_group"],
+            )
+            .groupBy(F.col(zone_col).alias("zone"), "pff")
+            .agg(sum_skipna("e").alias("e"), agg_moe("m").alias("m"))
+        )
+        # (zone × variable) spine: flagged zones with no facts keep
+        # e=0/m=0 like _zone_rollup's left join + coalesce
+        zones = dim.select(F.col(zone_col).alias("zone")).distinct()
+        agg2 = _mat(
+            zones.crossJoin(pff_list)
+            .join(matched, ["zone", "pff"], "left")
+            .select(
+                F.col("zone").alias("census_geoid"),
+                "pff",
+                F.coalesce("e", F.lit(0.0)).alias("e"),
+                F.coalesce("m", F.lit(0.0)).alias("m"),
+            )
+        )
+        return _aggregated_assembly(
+            engine, geotype, attr, varattr, agg2, med_specs, med_structs,
+            tag_domain,
+        )
+
+    with ThreadPoolExecutor(max(1, len(geotypes))) as ex:
+        return list(ex.map(_one_zone, geotypes))
+
+
+# ---------------------------------------------------------------------------
+# incremental vintage maintenance (new wide partition → slice recompute)
+# ---------------------------------------------------------------------------
+
+def catalog_dependency_closure(cat, mutated_cvs) -> set[str]:
+    """Variables whose published statistics can change when the given
+    CENSUS COLUMNS change — the slice-recompute set for an incremental
+    vintage update.
+
+    Edges, iterated to fixpoint (a superset is always safe — it only
+    recomputes more; a subset is a correctness bug):
+
+    * direct: any of the variable's census columns (incl. its profile
+      column) is mutated;
+    * base / poverty-twin: the p/z inputs come from another variable's
+      values (calculate.py:198-291);
+    * wrkrnothm: consumes wrkr16pl and cw_wrkdhm at every geotype;
+    * special formulas: consume their base members' values (incl. the
+      wrkrnothm→mntrvtm special recursion);
+    * grouped medians: consume their bin variables' rolled values.
+    """
+    mut = set(mutated_cvs)
+    meta_by = {m["pff_variable"]: m for m in cat.metadata}
+    deps: dict[str, set[str]] = {}
+    for pff, m in meta_by.items():
+        d = set()
+        base = str(m.get("base_variable", "nan"))
+        if base != "nan" and base in meta_by:
+            d.add(base)
+        if pff in POVERTY_VARIABLES and f"{pff}_pct" in meta_by:
+            d.add(f"{pff}_pct")
+        deps[pff] = d
+    if "wrkrnothm" in meta_by:
+        deps["wrkrnothm"] |= {"wrkr16pl", "cw_wrkdhm"}
+    for s in cat.special_variables:
+        deps.setdefault(s, set()).update(
+            b for b in cat.special_spec(s).base_variables if b in meta_by
+        )
+    for mv in cat.median_variables:
+        deps.setdefault(mv, set()).update(
+            b for b in cat.median_spec(mv).input_variables if b in meta_by
+        )
+    affected = {
+        pff
+        for pff, m in meta_by.items()
+        if mut.intersection(m["census_variable"])
+    }
+    changed = True
+    while changed:
+        changed = False
+        for pff, d in deps.items():
+            if pff not in affected and d & affected:
+                affected.add(pff)
+                changed = True
+    return affected
+
+
+def incremental_catalog_update(
+    engine_new,
+    prev: DataFrame,
+    mutated_cvs,
+    geotypes: list[str],
+    variables: list[str] | None = None,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Incremental ACS vintage maintenance: a new wide partition
+    arrived (``engine_new``'s source reads the UPDATED table), and only
+    the (variable, geotype) slices whose census columns — or whose
+    p/z / special / median inputs — changed are recomputed; everything
+    else is spliced through from the previously-published frame
+    ``prev`` (the stored artifact of the last full run, e.g. the
+    production parquet/CSV read back — NOT a live plan over the old
+    source).
+
+    Correctness contract: the result is value-identical to a full
+    ``calculate_batch_catalog`` over the updated source (pinned by
+    q367's oracle, which computes the full mutated run in SQL).  Cost
+    contract: the recompute touches one melt scan per geotype but the
+    catalog fan-out — the expensive output-sized part — shrinks to the
+    affected-variable slice, and the untouched slice is a pass-through
+    scan of the stored artifact, never of the wide source."""
+    cat = engine_new.catalog
+    affected = catalog_dependency_closure(cat, mutated_cvs)
+    if variables is not None:
+        affected &= set(variables)
+        keep = [v for v in variables if v not in affected]
+    else:
+        keep = [
+            m["pff_variable"]
+            for m in cat.metadata
+            if m["pff_variable"] not in affected
+        ]
+    recomputed = engine_new.calculate_batch_catalog(
+        geotypes,
+        variables=sorted(affected),
+        checkpoint_mode=checkpoint_mode,
+    )
+    untouched = prev.filter(F.col("pff_variable").isin(keep))
+    return untouched.unionByName(recomputed)

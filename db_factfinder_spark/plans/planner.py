@@ -97,6 +97,34 @@ class ParquetWideSource:
         )
 
 
+
+class ColumnDeltaWideSource(ParquetWideSource):
+    """A wide source with an in-flight raw-column update applied on
+    read — the stand-in for "a corrected vintage partition landed":
+    the named raw measure columns are shifted by their delta BEFORE
+    the scrub/melt, exactly as if the upstream table had been
+    republished.  Drives the incremental-maintenance proof (q367):
+    ``incremental_catalog_update`` over this source must equal a full
+    ``calculate_batch_catalog`` over it."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str | Path,
+        column_deltas: dict[str, float],
+    ):
+        super().__init__(spark, root)
+        self.column_deltas = dict(column_deltas)
+
+    def _read(self, geotype: str) -> DataFrame:
+        df = super()._read(geotype)
+        updates = {
+            c: F.col(c) + F.lit(float(d))
+            for c, d in self.column_deltas.items()
+            if c in df.columns
+        }
+        return df.withColumns(updates) if updates else df
+
 class FactFinderEngine:
     """``engine(pff_variable, geotype) -> DataFrame`` (lazy)."""
 
@@ -387,6 +415,7 @@ class FactFinderEngine:
         geotypes: list[str],
         variables: list[str] | None = None,
         tag_domain: bool = True,
+        checkpoint_mode: str = "local",
     ) -> DataFrame:
         """Set-based batch over (catalog × geotypes) for NATIVE
         geotypes: one source scan per geotype instead of one per
@@ -397,5 +426,6 @@ class FactFinderEngine:
         from db_factfinder_spark.plans.batch import calculate_batch_catalog
 
         return calculate_batch_catalog(
-            self, geotypes, variables=variables, tag_domain=tag_domain
+            self, geotypes, variables=variables, tag_domain=tag_domain,
+            checkpoint_mode=checkpoint_mode,
         )

@@ -10569,3 +10569,32 @@ SELECT probe_id, neighbor_id, adc_dist, rank FROM (
   FROM adc)
 WHERE rank <= 5 ORDER BY probe_id, rank
 """
+
+
+# q365: the SHIPPED production artifact — full published-domain catalog
+# over the whole grid (native tract/borough/city + aggregated
+# CT20/NTA/CDTA), create_acs.sql column order; the Spark side also
+# roundtrips the frame through the CSV sink before comparing.
+from synth_catalog import production_oracle_sql as _prod_sql  # noqa: E402
+
+ORACLES["q365_acs_production_run"] = _prod_sql(2019)
+
+
+# q366: the full catalog at the block-group ZONE geotypes — oracle
+# generated from the same catalog JSON: block-group melt/fold,
+# flag-gated zone dimension folds with a (zone × variable) spine, then
+# the shared median/special/p-z/cleaning/labs tail.
+ORACLES["q366_acs_catalog_batch_zones"] = _nta_sql(
+    2019, ("cdta_fp_100", "cdta_fp_500", "cdta_park_access")
+)
+
+
+# q367: incremental vintage maintenance — the oracle is the FULL
+# recompute over the MUTATED value spec (three shifted census
+# columns); matching it proves the engine's dependency-closure slice
+# recompute + stored-artifact splice equals a from-scratch run.
+from synth_catalog import incremental_mutation_cvs as _mut_cvs  # noqa: E402
+
+ORACLES["q367_acs_incremental_vintage"] = _fc_sql(
+    "acs", 2019, ["tract", "borough", "city"], mutate_cvs=_mut_cvs()
+)

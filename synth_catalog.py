@@ -47,8 +47,11 @@ CONTROLLED = [-555555555.0, 555555555.0]
 BOROS = [("005", "2"), ("047", "3"), ("061", "1"), ("081", "4"), ("085", "5")]
 
 N_TRACTS = 200  # tract gid = c_custkey % N_TRACTS, county 047
+# block-group bgid = c_custkey % N_BLOCK_GROUPS; tract = bgid % N_TRACTS,
+# block-group digit = bgid // N_TRACTS + 1 (two block groups per tract)
+N_BLOCK_GROUPS = 400
 
-SPEC_VERSION = 4  # bump to invalidate cached fixtures
+SPEC_VERSION = 5  # bump to invalidate cached fixtures
 
 
 # ---------------------------------------------------------------------------
@@ -208,6 +211,16 @@ def geo_tables(sf_dir: str):
         },
         s1, s2, s3,
     )
+    bgid, g1, g2, g3 = _seeds_by(ck, bal, ck % N_BLOCK_GROUPS)
+    out["block group"] = (
+        {
+            "state": ["36"] * len(bgid),
+            "county": ["047"] * len(bgid),
+            "tract": [f"{int(b) % N_TRACTS:06d}" for b in bgid],
+            "block_group": [str(int(b) // N_TRACTS + 1) for b in bgid],
+        },
+        g1, g2, g3,
+    )
     bid, b1, b2, b3 = _seeds_by(ck, bal, ck % 5)
     out["borough"] = (
         {
@@ -347,8 +360,26 @@ def _geo_sql(geotypes: list[str]) -> str:
     return "\nUNION ALL".join(branches)
 
 
+def incremental_mutation_cvs(source: str = "acs", year: int = 2019):
+    """The q367 vintage mutation: one census column each from a BASE
+    variable (children's p/z must move), the wrkrnothm input (its
+    every-geotype special must move), and a poverty twin (the pov p/z
+    join must move) — chosen so the dependency closure is exercised on
+    every native-grain edge type."""
+    meta_by = {m["pff_variable"]: m for m in load_meta(source, year)}
+    return sorted({
+        meta_by["pop5pl1"]["census_variable"][0],
+        meta_by["wrkr16pl"]["census_variable"][0],
+        meta_by["pbwpv_pct"]["census_variable"][0],
+    })
+
+
 def full_catalog_oracle_sql(
-    source: str, year: int, geotypes: list[str]
+    source: str,
+    year: int,
+    geotypes: list[str],
+    mutate_cvs=None,
+    mutate_delta: float = 7.0,
 ) -> str:
     """The DuckDB twin of ``calculate_batch_catalog`` over the
     synthetic wide spec — regenerates the same values from
@@ -424,6 +455,15 @@ def full_catalog_oracle_sql(
         "WHEN 'CT20' THEN 'CT2020' ELSE geotype END"
     )
 
+    # vintage mutation (q367): the named census columns' raw E shifts
+    # by delta BEFORE scrub — mirrors ColumnDeltaWideSource
+    e_raw_sql = E_SQL
+    if mutate_cvs:
+        e_raw_sql = (
+            f"CASE WHEN cv IN ({_inlist(mutate_cvs)}) "
+            f"THEN ({E_SQL}) + {float(mutate_delta)!r} ELSE {E_SQL} END"
+        )
+
     return f"""
 WITH geo AS ({_geo_sql(geotypes)}),
 colmap(cv, i) AS (VALUES
@@ -434,7 +474,7 @@ varattr(pff, domain, rnd, cls, pz, base, twin, prof_cv) AS (VALUES
   {varattr}),
 rawv AS (
   SELECT geotype, census_geoid, labs_geoid, cv,
-    {E_SQL} AS E_raw, {M_SQL} AS M_raw,
+    {e_raw_sql} AS E_raw, {M_SQL} AS M_raw,
     {PE_SQL} AS PE_raw, {PM_SQL} AS PM_raw
   FROM (SELECT g.*, c.cv, c.i, (g.s2 + (c.i + 1) * 7919) AS h
         FROM geo g CROSS JOIN colmap c)),
@@ -801,11 +841,37 @@ def _special_sqls() -> dict[str, tuple[str, str]]:
     return out
 
 
-def nta_catalog_oracle_sql(year: int = 2019) -> str:
-    """DuckDB twin of the aggregated-geotype catalog batch (q337):
-    tract melt → identity-ratio CT20 fold → NTA dimension fold →
-    grouped medians / special formulas / base and median-base p-z →
-    rounding → cleaning → labs, for geotypes CT20 and NTA."""
+AGG2020_ORACLE = {
+    "CT20": ("c", "roll_ct20"),
+    "NTA": ("n", "roll_nta"),
+    "CDTA": ("d", "roll_cdta"),
+    # block-group zone rollups (flag predicate on bgid mirrors the
+    # _zone_2020_engine lookup fixture)
+    "cdta_fp_100": ("f1", "roll_f1"),
+    "cdta_fp_500": ("f5", "roll_f5"),
+    "cdta_park_access": ("pk", "roll_pk"),
+}
+
+ZONE_ORACLE_FLAGS = {
+    "cdta_fp_100": "bgid % 4 = 0",
+    "cdta_fp_500": "bgid % 3 = 0",
+    "cdta_park_access": "bgid % 2 = 0",
+}
+
+
+def nta_catalog_oracle_sql(
+    year: int = 2019, geotypes: tuple[str, ...] = ("CT20", "NTA")
+) -> str:
+    """DuckDB twin of the aggregated-geotype catalog batch (q337 /
+    q365's aggregated half): tract melt → identity-ratio CT20 fold →
+    dimension folds (NTA gid%20, CDTA gid%7 — mirroring the
+    _crosswalk_2020_engine fixture) → grouped medians / special
+    formulas / base and median-base p-z → rounding → cleaning → labs,
+    for any subset of {CT20, NTA, CDTA}; zone geotypes (cdta_fp_100 /
+    cdta_fp_500 / cdta_park_access) instead fold the BLOCK-GROUP melt
+    through the flag-gated zone dimension with a (zone × variable)
+    spine keeping factless zones at e=0/m=0 — mirroring
+    _zone_frames / block_group_to_zone."""
     source = "acs"
     meta = load_meta(source, year)
     med = load_side(source, year, "median")
@@ -846,10 +912,66 @@ def nta_catalog_oracle_sql(year: int = 2019) -> str:
     specials = set(spec_by.keys())
     med_inputs = [iv for v in med for iv in med[v]["ranges"].keys()]
 
+    zone_geos = [g for g in geotypes if g in ZONE_ORACLE_FLAGS]
+    zone_ctes = ""
+    if zone_geos:
+        parts = ["""
+g_bg AS (
+  SELECT CAST(c_custkey % {nbg} AS BIGINT) AS bgid,
+         CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(c_custkey) AS BIGINT) AS s2,
+         CAST(count(*) AS BIGINT) AS s3
+  FROM customer GROUP BY 1),
+geo_bg AS (
+  SELECT '36047' || lpad(CAST(bgid % {nt} AS VARCHAR), 6, '0')
+           || CAST(bgid // {nt} + 1 AS VARCHAR) AS census_geoid,
+         'BK' || lpad(CAST((bgid % {nt}) % 7 AS VARCHAR), 2, '0') AS cdta,
+         bgid, s1, s2, s3
+  FROM g_bg),
+rawv_bg AS (
+  SELECT census_geoid, cv, {E} AS E_raw, {M} AS M_raw
+  FROM (SELECT g.census_geoid, c.cv, c.i, g.s1, g.s2, g.s3,
+               (g.s2 + (c.i + 1) * 7919) AS h
+        FROM geo_bg g CROSS JOIN colmap c)),
+scrub_bg AS (
+  SELECT census_geoid, cv,
+    CASE WHEN E_raw IN ({S}) THEN NULL ELSE E_raw END AS E,
+    CASE WHEN m0 IN ({S}) THEN NULL ELSE m0 END AS M
+  FROM (SELECT *, CASE WHEN E_raw IN ({S}) THEN NULL
+                       WHEN E_raw = 0 THEN 0.0
+                       ELSE M_raw END AS m0
+        FROM rawv_bg) t1),
+plain_bg AS (
+  SELECT census_geoid, v.pff,
+    0.0 + sum(coalesce(E, 0.0)) AS e,
+    sqrt(0.0 + sum(coalesce(M * M, 0.0))) AS m
+  FROM scrub_bg s JOIN varmap v ON s.cv = v.cv
+  GROUP BY 1, 2),
+pffs_all AS (SELECT DISTINCT pff FROM varmap)""".format(
+            nbg=N_BLOCK_GROUPS, nt=N_TRACTS, E=E_SQL, M=M_SQL, S=_S
+        )]
+        for zg in zone_geos:
+            ztag, zroll = AGG2020_ORACLE[zg]
+            flag = ZONE_ORACLE_FLAGS[zg]
+            parts.append(f"""
+zones_{ztag} AS (SELECT DISTINCT cdta FROM geo_bg WHERE {flag}),
+match_{ztag} AS (
+  SELECT g.cdta AS zone, p.pff,
+    coalesce(sum(p.e), 0.0) AS e,
+    sqrt(coalesce(sum(p.m * p.m), 0.0)) AS m
+  FROM plain_bg p JOIN geo_bg g USING (census_geoid)
+  WHERE {flag} GROUP BY 1, 2),
+{zroll} AS (
+  SELECT z.cdta AS census_geoid, f.pff,
+    coalesce(m.e, 0.0) AS e, coalesce(m.m, 0.0) AS m
+  FROM zones_{ztag} z CROSS JOIN pffs_all f
+  LEFT JOIN match_{ztag} m ON m.zone = z.cdta AND m.pff = f.pff)""")
+        zone_ctes = ",".join(parts) + ","
+
     geo_ctes: list[str] = []
     asm_parts: list[str] = []
-    for tag, roll, geotype in (("c", "roll_ct20", "CT20"),
-                               ("n", "roll_nta", "NTA")):
+    for geotype in geotypes:
+        tag, roll = AGG2020_ORACLE[geotype]
         med_chain, med_union = [], []
         for mv in med:
             c_sql, c_name = _median_ctes(
@@ -934,7 +1056,8 @@ asm_{tag} AS (
     )
     labs_geotype = (
         "CASE geotype WHEN 'CT20' THEN 'CT2020' "
-        "WHEN 'NTA' THEN 'NTA2020' ELSE geotype END"
+        "WHEN 'NTA' THEN 'NTA2020' "
+        "WHEN 'CDTA' THEN 'CDTA2020' ELSE geotype END"
     )
 
     return f"""
@@ -947,6 +1070,7 @@ WITH g_tract AS (
 geo AS (
   SELECT '36047' || lpad(CAST(gid AS VARCHAR), 6, '0') AS census_geoid,
          'BX' || lpad(CAST(gid % 20 AS VARCHAR), 2, '0') AS nta,
+         'BK' || lpad(CAST(gid % 7 AS VARCHAR), 2, '0') AS cdta,
          gid, s1, s2, s3
   FROM g_tract),
 colmap(cv, i) AS (VALUES
@@ -985,6 +1109,13 @@ roll_nta AS (
     sqrt(coalesce(sum(r.m * r.m), 0.0)) AS m
   FROM roll_ct20 r JOIN geo g ON r.census_geoid = g.census_geoid
   GROUP BY 1, 2),
+roll_cdta AS (
+  SELECT g.cdta AS census_geoid, r.pff,
+    coalesce(sum(r.e), 0.0) AS e,
+    sqrt(coalesce(sum(r.m * r.m), 0.0)) AS m
+  FROM roll_ct20 r JOIN geo g ON r.census_geoid = g.census_geoid
+  GROUP BY 1, 2),
+{zone_ctes}
 {",".join(geo_ctes)},
 asm AS ({" UNION ALL ".join(asm_parts)}),
 withp AS (
@@ -1063,6 +1194,35 @@ SELECT census_geoid,
   domain
 FROM t8 ORDER BY geotype, pff_variable, census_geoid
 """
+
+
+PROD_ORDER = "ORDER BY geotype, pff_variable, census_geoid"
+# the published domains (reference pipelines/acs.py:48) — the catalog
+# also carries community_profiles-domain variables that the production
+# CSV does NOT ship
+PROD_DOMAINS = ("demographic", "economic", "housing", "social")
+
+
+def production_oracle_sql(year: int = 2019) -> str:
+    """DuckDB twin of the reference's SHIPPED production artifact
+    (pipelines/acs.py:36-63 + create_acs.sql:4-16): the full catalog
+    over the entire grid — native tract/borough/city UNION the
+    aggregated CT20/NTA/CDTA rollups — in the create_acs.sql column
+    order (census_geoid, labs_geoid, geotype, labs_geotype,
+    pff_variable, c, e, m, p, z, domain).  Reuses the two audited
+    generators verbatim; only the final ORDER BY moves outward."""
+    nat = full_catalog_oracle_sql("acs", year, ["tract", "borough", "city"])
+    agg = nta_catalog_oracle_sql(year, ("CT20", "NTA", "CDTA"))
+    assert nat.rstrip().endswith(PROD_ORDER) and agg.rstrip().endswith(
+        PROD_ORDER
+    )
+    strip = lambda q: q.rstrip()[: -len(PROD_ORDER)]  # noqa: E731
+    doms = ", ".join(_q(d) for d in PROD_DOMAINS)
+    return (
+        f"SELECT * FROM ({strip(nat)}) WHERE domain IN ({doms})\n"
+        f"UNION ALL\nSELECT * FROM ({strip(agg)}) WHERE domain IN ({doms})"
+        f"\n{PROD_ORDER}"
+    )
 
 
 def fixture_root(sf_dir: str, source: str, year: int) -> str:

@@ -187,10 +187,28 @@ def test_batch_drops_tasks_like_reference_pool(engine):
         assert r["p"] == 100.0 and r["z"] == 0.0
 
 
-def test_unsupported_aggregated_geotype_rejected(engine):
-    # block-group zone rollups stay on the per-variable path
+def test_unsupported_aggregated_geotype_rejected(spark, engine):
+    # the 2010 vintage's aggregated geotypes stay on the per-variable
+    # path (only the 2020 geography's rollups are set-based)
+    from db_factfinder_spark.operators.vertical import (
+        AggregatedGeography2010,
+        prepare_lookup_geo_2010,
+    )
+
+    lookup10 = prepare_lookup_geo_2010(
+        spark.createDataFrame(
+            [],
+            "county_fips string, ctcb2010 string, ct2010 string,"
+            " nta string, cd string, fp_100 string, fp_500 string,"
+            " park_access string",
+        )
+    )
+    eng10 = FactFinderEngine(
+        spark, engine.catalog, AggregatedGeography2010(lookup10),
+        engine.source,
+    )
     with pytest.raises(NotImplementedError, match="per-variable"):
-        engine.calculate_batch_catalog(["cdta_fp_100"])
+        eng10.calculate_batch_catalog(["cd"])
 
 
 # one representative per AGGREGATED-geotype class (no profile path;
@@ -236,6 +254,43 @@ def test_aggregated_stratified_equivalence(spark, geotype):
         for r in df.collect():
             pervar[_key(r)] = r.asDict()
     assert set(batch) == set(pervar)
+    for k, brow in batch.items():
+        prow = pervar[k]
+        for col in ("labs_geoid", "labs_geotype", "c", "e", "m", "p",
+                    "z", "domain"):
+            assert _eq(brow[col], prow[col]), (
+                f"{k} {col}: batch={brow[col]!r} pervar={prow[col]!r}"
+            )
+
+
+@pytest.mark.parametrize(
+    "geotype", ["cdta_fp_100", "cdta_fp_500", "cdta_park_access"]
+)
+def test_zone_stratified_equivalence(spark, geotype):
+    """The set-based ZONE batch (block-group melt → flag-gated zone
+    fold → shared assembly tail) must be row- and bit-identical to the
+    per-variable path (aggregate_horizontal at block-group grain →
+    block_group_to_zone → medians/specials/p-z) for every branch
+    class — including the factless-zone e=0/m=0 spine rows."""
+    import __spark_entry__ as entry_mod
+
+    eng = entry_mod._zone_2020_engine(spark, SF)
+    batch = {
+        _key(r): r.asDict()
+        for r in eng.calculate_batch_catalog(
+            [geotype], variables=AGG_STRATIFIED
+        ).collect()
+    }
+    pervar = {}
+    for v in AGG_STRATIFIED:
+        df = eng(v, geotype)
+        df = df.withColumn(
+            "domain", F.lit(eng.catalog.create_variable(v).domain)
+        )
+        for r in df.collect():
+            pervar[_key(r)] = r.asDict()
+    assert set(batch) == set(pervar)
+    assert batch, "zone batch returned no rows"
     for k, brow in batch.items():
         prow = pervar[k]
         for col in ("labs_geoid", "labs_geotype", "c", "e", "m", "p",

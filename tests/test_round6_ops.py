@@ -170,7 +170,7 @@ def test_rrf_fuse_hand_scores(spark):
     """RRF of two 3-item lists with one overlap: scores are exactly
     1/(60+ra)+1/(60+rb), absent membership contributes 0, ties break
     by id."""
-    from db_factfinder_spark.llmdata.textstats import rrf_fuse
+    from db_factfinder_spark.llmdata.textstats import rrf_fuse_pair
 
     a = spark.createDataFrame(
         [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
@@ -179,7 +179,7 @@ def test_rrf_fuse_hand_scores(spark):
         [(2, 1), (4, 2), (5, 3)], "doc_id long, rank int"
     )
     out = {r["doc_id"]: r for r in
-           rrf_fuse(a, b, id_col="doc_id", c=60, topk=10).collect()}
+           rrf_fuse_pair(a, b, id_col="doc_id", c=60, topk=10).collect()}
     assert out[2]["rrf_score"] == 1.0 / 62 + 1.0 / 61
     assert out[2]["rank"] == 1
     assert out[1]["rrf_score"] == 1.0 / 61

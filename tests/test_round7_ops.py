@@ -32,7 +32,7 @@ def test_winnow_guarantee_shared_passage(spark):
     )
     pairs = {
         (r["id_a"], r["id_b"])
-        for r in winnow_pairs(df, k=5, w=4, min_shared=1).collect()
+        for r in winnow_pairs(df, k=5, w=4, min_shared=1, max_df=None).collect()
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
@@ -62,7 +62,7 @@ def test_winnow_max_df_subset(spark):
     rows = [(i, f"common shared passage here unique{i}") for i in range(20)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     exact = {(r["id_a"], r["id_b"])
-             for r in winnow_pairs(df, min_shared=1).collect()}
+             for r in winnow_pairs(df, min_shared=1, max_df=None).collect()}
     capped = {(r["id_a"], r["id_b"])
               for r in winnow_pairs(df, min_shared=1, max_df=5).collect()}
     assert capped <= exact
@@ -102,7 +102,7 @@ def test_adamic_adar_hand_example(spark):
         "src long, dst long",
     )
     rows = {(r["id_a"], r["id_b"]): r for r in
-            adamic_adar(edges).collect()}
+            adamic_adar(edges, max_degree=None).collect()}
     r12 = rows[(1, 2)]
     assert r12["n_common"] == 2
     want = int(math.floor(1e9 / math.log(2) + 0.5)) + int(
@@ -114,7 +114,7 @@ def test_adamic_adar_hand_example(spark):
 def test_adamic_adar_max_degree_drops_hub_middles(spark):
     edges = [(u, 99) for u in range(10)] + [(1, 50), (2, 50)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    full = adamic_adar(df).collect()
+    full = adamic_adar(df, max_degree=None).collect()
     capped = adamic_adar(df, max_degree=5).collect()
     full_pairs = {(r["id_a"], r["id_b"]) for r in full}
     capped_pairs = {(r["id_a"], r["id_b"]) for r in capped}

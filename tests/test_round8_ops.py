@@ -156,7 +156,7 @@ def test_winnow_max_df_bounds_planted_flood(spark):
     rows += [(100, uniq + " alpha ending one"), (101, uniq + " beta end")]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
-    uncapped = winnow_pairs(docs, k=20, w=8, min_shared=2).count()
+    uncapped = winnow_pairs(docs, k=20, w=8, min_shared=2, max_df=None).count()
     capped = winnow_pairs(docs, k=20, w=8, min_shared=2, max_df=4)
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert uncapped >= 190
@@ -174,7 +174,7 @@ def test_adamic_max_degree_bounds_planted_hub(spark):
     small = [(2001, 8888), (2002, 8888)]          # degree-2 middle
     edges = spark.createDataFrame(hub + small, "src long, dst long")
 
-    uncapped = adamic_adar(edges, "src", "dst").count()
+    uncapped = adamic_adar(edges, "src", "dst", max_degree=None).count()
     capped = adamic_adar(edges, "src", "dst", max_degree=25).collect()
     assert uncapped == 1225 + 1
     assert len(capped) == 1

@@ -1,0 +1,188 @@
+"""Round-9 operator tests: default-on safety caps, the rrf_fuse /
+rrf_fuse_pair split, the q365 production deliverable sink, zone-rollup
+batch support, and incremental catalog maintenance."""
+
+import inspect
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import spark  # noqa: F401
+
+
+def test_default_caps_are_on():
+    """winnow_pairs / adamic_adar ship with the flood/hub guard ON —
+    a 100 TB caller gets the cap without reading PERF_NOTES; explicit
+    ``None`` restores exact uncapped semantics (r8 VERDICT ask 4)."""
+    from db_factfinder_spark.llmdata.components import (
+        DEFAULT_MAX_DEGREE,
+        adamic_adar,
+    )
+    from db_factfinder_spark.llmdata.winnow import DEFAULT_MAX_DF, winnow_pairs
+
+    assert (
+        inspect.signature(winnow_pairs).parameters["max_df"].default
+        == DEFAULT_MAX_DF
+        == 128
+    )
+    assert (
+        inspect.signature(adamic_adar).parameters["max_degree"].default
+        == DEFAULT_MAX_DEGREE
+        == 1024
+    )
+
+
+def test_winnow_default_cap_drops_flood_fingerprints(spark):
+    """130 identical documents: every fingerprint has df=130 > 128, so
+    the DEFAULT call emits zero pairs while max_df=None emits all
+    C(130,2) — the subset contract, now opt-out."""
+    from db_factfinder_spark.llmdata.winnow import winnow_pairs
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(130)], "doc_id long, text string"
+    )
+    assert winnow_pairs(docs, min_shared=1).count() == 0
+    assert winnow_pairs(docs, min_shared=1, max_df=None).count() == (
+        130 * 129 // 2
+    )
+
+
+def test_adamic_adar_default_cap_drops_hub_middles(spark):
+    """A 1,025-degree hub middle exceeds DEFAULT_MAX_DEGREE, so the
+    default call emits no wedge through it; max_df=None counts all
+    C(1025,2) spoke pairs."""
+    from db_factfinder_spark.llmdata.components import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 1026)], "src long, dst long"
+    )
+    assert adamic_adar(edges).count() == 0
+    assert adamic_adar(edges, max_degree=None).count() == 1025 * 1024 // 2
+
+
+def test_rrf_fuse_names_distinct():
+    """Both fusion forms are importable under distinct names from the
+    package root (r8 VERDICT ask 3): the two-frame pair form and the
+    N-source multi-query form no longer shadow each other."""
+    from db_factfinder_spark.llmdata import rrf_fuse, rrf_fuse_pair
+    from db_factfinder_spark.llmdata.similarity import (
+        rrf_fuse as sim_form,
+    )
+    from db_factfinder_spark.llmdata.textstats import (
+        rrf_fuse_pair as pair_form,
+    )
+
+    assert rrf_fuse is sim_form
+    assert rrf_fuse_pair is pair_form
+    assert rrf_fuse is not rrf_fuse_pair
+    params = inspect.signature(rrf_fuse_pair).parameters
+    assert "ranked_a" in params and "ranked_b" in params
+    assert "sources" in inspect.signature(rrf_fuse).parameters
+
+
+def test_production_csv_sink_contract(spark, tmp_path):
+    """The shipped acs.csv contract (create_acs.sql:4-16): header row
+    carries the 11 columns in exact order, doubles roundtrip
+    value-exact, NULLs roundtrip as NULLs (r8 VERDICT ask 1's sink
+    half; the full-pipeline values are pinned by q365's oracle)."""
+    import glob
+
+    from db_factfinder_spark.pipelines import ACS_PRODUCTION_COLUMNS
+    from db_factfinder_spark.sources.readers import write_csv
+
+    assert ACS_PRODUCTION_COLUMNS == [
+        "census_geoid", "labs_geoid", "geotype", "labs_geotype",
+        "pff_variable", "c", "e", "m", "p", "z", "domain",
+    ]
+    df = spark.createDataFrame(
+        [
+            ("36047000001", "3000001", "tract", "CT2010", "pop_1",
+             1.2, 100.0, 16.4, None, None, "demographic"),
+            ("3651000", "0", "city", "City2020", "lgoenlep1",
+             None, 0.0, None, None, None, "social"),
+        ],
+        "census_geoid string, labs_geoid string, geotype string,"
+        " labs_geotype string, pff_variable string, c double, e double,"
+        " m double, p double, z double, domain string",
+    ).select(*ACS_PRODUCTION_COLUMNS)
+    path = str(tmp_path / "acs_csv")
+    write_csv(df, path)
+    parts = sorted(glob.glob(path + "/part-*.csv"))
+    assert parts, "CSV sink wrote no part files"
+    with open(parts[0]) as f:
+        header = f.readline().strip()
+    assert header == ",".join(ACS_PRODUCTION_COLUMNS)
+    back = spark.read.schema(df.schema).csv(path, header=True)
+    got = {r["census_geoid"]: r for r in back.collect()}
+    assert got["36047000001"]["c"] == 1.2
+    assert got["36047000001"]["m"] == 16.4
+    assert got["36047000001"]["p"] is None
+    assert got["3651000"]["c"] is None and got["3651000"]["e"] == 0.0
+
+
+def test_production_run_filters_domains(spark):
+    """production_acs_run ships only the 4 published domains
+    (pipelines/acs.py:48) — community_profiles-domain variables stay
+    catalog-resident but never reach the CSV."""
+    from db_factfinder_spark.catalog import Catalog
+    from db_factfinder_spark.pipelines import (
+        ACS_PRODUCTION_DOMAINS,
+        ACS_PRODUCTION_GEOTYPES,
+    )
+
+    cat = Catalog.from_registry("acs", 2019)
+    doms = {m.get("domain") for m in cat.metadata}
+    assert "community_profiles" in doms
+    assert set(ACS_PRODUCTION_DOMAINS) <= doms
+    published = [
+        m["pff_variable"]
+        for m in cat.metadata
+        if m.get("domain") in set(ACS_PRODUCTION_DOMAINS)
+    ]
+    assert len(published) == 1040 and len(cat.metadata) == 1047
+    # the reference's 2010_to_2020 grid (tract rides only on the 2010
+    # geography — acs.py:44-46)
+    assert ACS_PRODUCTION_GEOTYPES == ["NTA", "CDTA", "CT20", "city",
+                                       "borough"]
+
+
+def test_catalog_dependency_closure_edges():
+    """Every closure edge type, hand-checked on the real 2019 catalog:
+    direct column hit, base child, poverty twin, the wrkrnothm chain
+    (incl. its mntrvtm special consumer), median bins, and — crucially
+    — variables with NO path from the mutation stay OUT."""
+    from db_factfinder_spark.catalog import Catalog
+    from db_factfinder_spark.plans.batch import catalog_dependency_closure
+
+    cat = Catalog.from_registry("acs", 2019)
+    meta_by = {m["pff_variable"]: m for m in cat.metadata}
+
+    # base edge: mutating pop5pl1's column pulls in its children
+    aff = catalog_dependency_closure(
+        cat, {meta_by["pop5pl1"]["census_variable"][0]}
+    )
+    assert "pop5pl1" in aff and "lgoenlep1" in aff
+    assert "mdage" not in aff and "hh1" not in aff
+
+    # wrkrnothm chain: its input pulls the special AND mntrvtm (which
+    # consumes wrkrnothm's special values)
+    aff = catalog_dependency_closure(
+        cat, {meta_by["wrkr16pl"]["census_variable"][0]}
+    )
+    assert {"wrkr16pl", "wrkrnothm", "mntrvtm"} <= aff
+
+    # poverty twin: the _pct column moves the pov p/z pair
+    aff = catalog_dependency_closure(
+        cat, {meta_by["pbwpv_pct"]["census_variable"][0]}
+    )
+    assert {"pbwpv_pct", "pbwpv"} <= aff
+
+    # median bins: a bin variable's column pulls the grouped median
+    # and the median's own p/z children
+    bin_cv = meta_by["mdhhi10t14"]["census_variable"][0]
+    aff = catalog_dependency_closure(cat, {bin_cv})
+    assert "mdhhi10t14" in aff and "mdhhinc" in aff and "mdhh" in aff
+
+    # empty mutation → empty closure
+    assert catalog_dependency_closure(cat, set()) == set()
