@@ -9729,6 +9729,100 @@ def q367_acs_incremental_vintage(spark, sf_dir):
     return out.orderBy("geotype", "pff_variable", "census_geoid")
 
 
+def q368_pii_redaction(spark, sf_dir):
+    """Rule-based PII scrub (llmdata/webclean.py:pii_redact) — the
+    pre-release pass a shipped corpus runs: emails / SSNs / NANP
+    phones / IPv4 literals replace with typed placeholders, per-doc
+    match counts ride along for the release audit.  Pure map-side
+    column expressions (regexp_count + sequential regexp_replace in
+    precedence order), zero shuffles, zero UDFs; the patterns stay in
+    the regex subset Java and RE2 scan identically.  Fixture plants
+    deterministic PII spans (an email per doc; phones / SSNs / IPs on
+    doc_id residues) onto the documents text in both engines."""
+    from db_factfinder_spark.llmdata.webclean import pii_redact
+
+    d = F.col("doc_id")
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@mail.example.com"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" call 212-555-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                d % 7 == 0,
+                F.concat(F.lit(" host 10.0.0."), (d % 256).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_redact(planted).orderBy("doc_id")
+
+
+def q369_dsir_importance_weights(spark, sf_dir):
+    """DSIR data selection (Xie et al., NeurIPS'23 — llmdata/
+    sampling.py:dsir_weights): score every candidate document by how
+    target-like its hashed char-trigram profile is, w(d) = Σ_f c_f(d)
+    · ln(p̂_target(f)/p̂_source(f)) with add-one smoothing over 256
+    hash buckets.  The cheap importance-weighting step before
+    pretraining-corpus resampling.  Target = the doc_id%17 slice (the
+    small trusted corpus).  Per-bucket log-ratios go through
+    portable_ln and QUANTIZE to integer units before the per-doc
+    weighted sum, so the score is engine- and order-exact; the bucket
+    table is 256 rows broadcast — nothing driver-side grows with the
+    corpus."""
+    from db_factfinder_spark.llmdata.sampling import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % 17 == 0)
+    return (
+        dsir_weights(docs, target, n_buckets=256)
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("weight_units").cast("long").alias("weight_units"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q370_bpe_merge_table(spark, sf_dir):
+    """Distributed BPE tokenizer training (llmdata/bpe.py): the corpus
+    collapses ONCE into a word-frequency table (the only corpus-sized
+    pass), then 8 merge rounds run over the vocab-sized word table —
+    pair explode + weighted count, argmax pair (count desc, then
+    lexicographic — deterministic), and a left-to-right
+    non-overlapping merge fold over every word's symbol array.  Each
+    round materializes the re-segmented words (checkpoint policy: k
+    chained folds would otherwise stack in one Catalyst plan).  The
+    result is the k-row merge table a tokenizer ships; the oracle
+    replays all 8 rounds in SQL, applying each merge with a recursive
+    leftmost-splice (provably equal to the scan for a fixed pair:
+    left||right can never equal left or right, so a splice never
+    creates a new instance of the same pair adjacent to itself)."""
+    from db_factfinder_spark.llmdata.bpe import bpe_train
+
+    merges = bpe_train(_docs(spark, sf_dir), k=8)
+    return spark.createDataFrame(
+        [
+            (m["step"], m["left"], m["right"], m["merged"],
+             m["pair_count"])
+            for m in merges
+        ],
+        "step int, left_sym string, right_sym string, merged string,"
+        " pair_count long",
+    ).orderBy("step")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10101,6 +10195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q365_acs_production_run": q365_acs_production_run,
         "q366_acs_catalog_batch_zones": q366_acs_catalog_batch_zones,
         "q367_acs_incremental_vintage": q367_acs_incremental_vintage,
+        "q368_pii_redaction": q368_pii_redaction,
+        "q369_dsir_importance_weights": q369_dsir_importance_weights,
+        "q370_bpe_merge_table": q370_bpe_merge_table,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -100,6 +100,7 @@ from db_factfinder_spark.llmdata.sampling import (  # noqa: F401
     cap_per_group,
     curriculum_interleave,
     deterministic_sample,
+    dsir_weights,
     hash_bucket,
     mixture_sample,
     priority_sample,
@@ -126,6 +127,11 @@ from db_factfinder_spark.llmdata.crawl import (  # noqa: F401
 from db_factfinder_spark.llmdata.webclean import (  # noqa: F401
     c4_clean,
     gopher_rules,
+    pii_redact,
+)
+from db_factfinder_spark.llmdata.bpe import (  # noqa: F401
+    bpe_train,
+    word_freq_table,
 )
 from db_factfinder_spark.llmdata.integrity import (  # noqa: F401
     corpus_checksums,

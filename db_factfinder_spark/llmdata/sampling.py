@@ -616,3 +616,108 @@ def curriculum_interleave(
         )
         .drop("__bs", "__nb")
     )
+
+
+def dsir_weights(
+    candidates,
+    target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    scale: int = 1_000_000,
+):
+    """Data Selection via Importance Resampling weights (Xie et al.,
+    NeurIPS'23): score each candidate document by how target-like its
+    hashed char-trigram profile is,
+
+        w(d) = Σ_f  c_f(d) · ln( p̂_target(f) / p̂_candidates(f) ),
+
+    with add-one-smoothed bucket probabilities.  The standard cheap
+    data-selection step before pretraining: keep/up-weight the
+    candidates whose feature mix matches a small trusted target
+    corpus.
+
+    Exactness: the per-bucket log-ratio decomposes into FOUR integer
+    logs, ln(c_t+1) − ln(T+B) − ln(c_s+1) + ln(S+B), each computed
+    with ``portable_ln`` (libm-free, engine-exact) and the combination
+    QUANTIZED to integer ``scale`` units per bucket before the per-doc
+    weighted sum — so the sum is order-free and any engine agrees
+    bit-for-bit.  Report ``weight_units / scale``; compare on units.
+
+    Plan: one trigram explode + bucket groupBy per corpus (the bucket
+    table is ``n_buckets`` rows — broadcast), then per-candidate
+    bucket counts joined against the broadcast log-ratio table and
+    summed.  Two data-sized shuffles (the per-corpus bucket counts and
+    the per-doc re-agg); the target corpus is small by construction.
+    At 100 TB nothing driver-side grows past ``n_buckets`` rows.
+
+    Returns ``(id_col, n_grams, weight_units)`` for every candidate
+    with ≥ 1 trigram.
+    """
+    from db_factfinder_spark.functions.expr import let
+    from db_factfinder_spark.functions.portable_math import portable_ln
+    from db_factfinder_spark.llmdata.dedup import _md5_long28
+    from db_factfinder_spark.llmdata.textstats import normalize_text
+
+    def grams(df):
+        # let-bind the normalized text so the per-gram lambda slices a
+        # MATERIALIZED string instead of re-running the normalize
+        # regexes per gram (the O(len²) inlining trap shingles() and
+        # _winnow_fps document)
+        def over_t(t: Column) -> Column:
+            n = F.length(t)
+            idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
+            return F.when(
+                n >= 3,
+                F.transform(idx, lambda i: t.substr(i, F.lit(3))),
+            ).otherwise(F.array().cast("array<string>"))
+
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                let(normalize_text(F.col(text_col)), over_t)
+            ).alias("gram"),
+        ).withColumn(
+            "bucket", _md5_long28(F.col("gram")) % F.lit(n_buckets)
+        )
+
+    cand_g = grams(candidates)
+    tgt_g = grams(target)
+    c_src = cand_g.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_s"))
+    c_tgt = tgt_g.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
+    tot_s = c_src.agg(F.sum("c_s").alias("s_tot"))
+    tot_t = c_tgt.agg(F.sum("c_t").alias("t_tot"))
+    buckets = (
+        candidates.sparkSession.range(n_buckets)
+        .select(F.col("id").alias("bucket"))
+        .join(c_src, "bucket", "left")
+        .join(c_tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot_s))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "bucket",
+            F.floor(
+                (
+                    portable_ln(F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                    - portable_ln(F.col("t_tot") + F.lit(n_buckets))
+                    - portable_ln(F.coalesce(F.col("c_s"), F.lit(0)) + 1)
+                    + portable_ln(F.col("s_tot") + F.lit(n_buckets))
+                )
+                * F.lit(float(scale))
+                + F.lit(0.5)
+            ).cast("long").alias("lr_units"),
+        )
+    )
+    per_doc = cand_g.groupBy(F.col(id_col), "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_doc.join(F.broadcast(buckets), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lr_units")).cast("long").alias(
+                "weight_units"
+            ),
+        )
+    )

@@ -406,4 +406,10 @@ def production_acs_run(
     ).select(*ACS_PRODUCTION_COLUMNS)
     if output_path is not None:
         write_csv(out, output_path)
+        # the artifact is on disk — free the batch's persisted frames
+        # so a long-lived session (repeated vintages, bench loops)
+        # doesn't accumulate dead caches in the CacheManager
+        for cached in getattr(engine, "_batch_caches", []):
+            cached.unpersist()
+        engine._batch_caches = []
     return out

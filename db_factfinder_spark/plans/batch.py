@@ -102,6 +102,13 @@ def calculate_batch_catalog(
     ]
     native_geos = [g for g in geotypes if g not in aggregated]
     cat, spark = engine.catalog, engine.spark
+    # cache hygiene: every persisted frame this batch creates is
+    # registered on the engine so a long-lived session (bench loops,
+    # repeated production runs) can free them after the sink action —
+    # Spark's CacheManager holds strong refs, so un-unpersisted batch
+    # caches accumulate across calls
+    if not hasattr(engine, "_batch_caches"):
+        engine._batch_caches = []
     all_vars = [m["pff_variable"] for m in cat.metadata]
     vars_ = list(variables) if variables is not None else all_vars
     # classification and the two broadcast mappings are geotype-
@@ -126,6 +133,7 @@ def calculate_batch_catalog(
         native_out, native_agg = _native_frames(
             engine, native_geos, attr, varmap, varattr, tag_domain
         )
+        engine._batch_caches.append(native_agg)
         frames.append(native_out)
         if "tract" in native_geos and agg_geos and cat.source == "acs":
             # the aggregated chain's tract fold is value-identical to
@@ -287,6 +295,7 @@ def _native_frames(
         _sentinel_null(pm0).alias("PPM"),
     ).persist()  # the melt is read twice (horizontal fold + profile
     # values) — cache it so the wide tables are scanned ONCE
+    engine._batch_caches.append(scrub)
 
     # ---- horizontal fold: ONE shuffle on (geotype, geoid, variable) --
     agg = (
@@ -599,7 +608,9 @@ def _aggregated_2020_frames(
         # a small driver in Catalyst canonicalization) — default is
         # lineage truncation per the checkpoint_mode policy.
         if checkpoint_mode == "none":
-            return df.persist()
+            cached = df.persist()
+            getattr(engine, "_batch_caches", []).append(cached)
+            return cached
         return materialize(df, checkpoint_mode)
 
     # ---- tract-grain melt + scrub + horizontal fold (ONCE) ----------
@@ -944,7 +955,9 @@ def _zone_frames(
 
     def _mat(df: DataFrame) -> DataFrame:
         if checkpoint_mode == "none":
-            return df.persist()
+            cached = df.persist()
+            getattr(engine, "_batch_caches", []).append(cached)
+            return cached
         return materialize(df, checkpoint_mode)
 
     # ---- block-group melt + scrub + horizontal fold (ONCE) ----------

@@ -10598,3 +10598,142 @@ from synth_catalog import incremental_mutation_cvs as _mut_cvs  # noqa: E402
 ORACLES["q367_acs_incremental_vintage"] = _fc_sql(
     "acs", 2019, ["tract", "borough", "city"], mutate_cvs=_mut_cvs()
 )
+
+
+# q368: PII redaction — planted deterministic spans; counts are
+# independent per-pattern scans of the raw text, redaction applies in
+# precedence order (email → ssn → phone → ipv4).
+_PII_EM = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_SSN = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+_PII_PH = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+ORACLES["q368_pii_redaction"] = f"""
+WITH planted AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@mail.example.com'
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' call 212-555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' host 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+              ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    text, '{_PII_EM}', '[EMAIL]', 'g'),
+    '{_PII_SSN}', '[SSN]', 'g'),
+    '{_PII_PH}', '[PHONE]', 'g'),
+    '{_PII_IP}', '[IP]', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(text, '{_PII_EM}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(text, '{_PII_PH}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '{_PII_EM}'))
+     + len(regexp_extract_all(text, '{_PII_SSN}'))
+     + len(regexp_extract_all(text, '{_PII_PH}'))
+     + len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_pii
+FROM planted ORDER BY doc_id
+"""
+
+
+from db_factfinder_spark.functions.portable_math import (  # noqa: E402
+    portable_ln_sql as _pln,
+)
+
+# q369: DSIR importance weights — hashed char-trigram log-ratio vs the
+# doc_id%17 target slice; per-bucket log-ratios via portable_ln,
+# quantized to integer units before the per-doc weighted sum.
+ORACLES["q369_dsir_importance_weights"] = f"""
+WITH norm AS (
+  SELECT doc_id, {_NORM} AS t FROM documents),
+grams AS (
+  SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS gram
+  FROM norm, UNNEST(range(1, greatest(length(t) - 2, 0) + 1)) AS u(i)
+  WHERE length(t) >= 3),
+bucketed AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(gram), 1, 7))::BIGINT % 256 AS BIGINT)
+      AS bucket
+  FROM grams),
+tgt AS (SELECT bucket, count(*) AS c_t FROM bucketed
+        WHERE doc_id % 17 = 0 GROUP BY 1),
+src AS (SELECT bucket, count(*) AS c_s FROM bucketed GROUP BY 1),
+binputs AS (
+  SELECT b.bucket,
+    CAST(coalesce(t.c_t, 0) + 1 AS BIGINT) AS ct1,
+    CAST(coalesce(s.c_s, 0) + 1 AS BIGINT) AS cs1,
+    CAST((SELECT sum(c_t) FROM tgt) + 256 AS BIGINT) AS ttotb,
+    CAST((SELECT sum(c_s) FROM src) + 256 AS BIGINT) AS stotb
+  FROM (SELECT unnest(range(256)) AS bucket) b
+  LEFT JOIN src s USING (bucket) LEFT JOIN tgt t USING (bucket)),
+lr AS (
+  SELECT bucket,
+    CAST(floor((
+      {_pln('ct1')} - {_pln('ttotb')} - {_pln('cs1')} + {_pln('stotb')}
+    ) * 1000000.0 + 0.5) AS BIGINT) AS lr_units
+  FROM binputs),
+perdoc AS (
+  SELECT doc_id, bucket, count(*) AS c FROM bucketed GROUP BY 1, 2)
+SELECT doc_id,
+  CAST(sum(c) AS BIGINT) AS n_grams,
+  CAST(sum(c * lr_units) AS BIGINT) AS weight_units
+FROM perdoc JOIN lr USING (bucket)
+GROUP BY 1 ORDER BY doc_id
+"""
+
+
+# q370: BPE merge table — 8 rounds unrolled; each round counts
+# freq-weighted adjacent pairs, picks argmax (cnt desc, lexicographic),
+# and applies the merge with a recursive leftmost-splice.
+def _bpe_oracle(k: int = 8) -> str:
+    zip_pairs = (
+        "list_zip(syms[1:greatest(len(syms)-1, 0)], syms[2:], true)"
+    )
+    ctes = [f"""
+w0 AS MATERIALIZED (
+  SELECT list_transform(range(1, length(word) + 1),
+                        i -> word[CAST(i AS INTEGER)]) AS syms,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split({_NORM}, ' ')) AS word
+        FROM documents)
+  WHERE word != '' GROUP BY word)"""]
+    for r in range(1, k + 1):
+        p = r - 1
+        ctes.append(f"""
+b{r} AS MATERIALIZED (
+  SELECT p[1] AS l, p[2] AS r,
+         CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT unnest({zip_pairs}) AS p, freq
+        FROM w{p} WHERE len(syms) >= 2)
+  GROUP BY 1, 2
+  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+a{r} AS (
+  SELECT syms, freq FROM w{p}
+  UNION ALL
+  SELECT syms[1:pos-1] || [(SELECT l || r FROM b{r})] || syms[pos+2:],
+         freq
+  FROM (SELECT syms, freq,
+          coalesce(list_position({zip_pairs},
+            (SELECT (l, r) FROM b{r})), 0) AS pos
+        FROM a{r})
+  WHERE pos > 0),
+w{r} AS MATERIALIZED (
+  SELECT syms, freq FROM a{r}
+  WHERE coalesce(list_position({zip_pairs},
+          (SELECT (l, r) FROM b{r})), 0) = 0)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS step, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, cnt AS pair_count FROM b{r}"
+        for r in range(1, k + 1)
+    )
+    return (
+        "WITH RECURSIVE " + ",".join(ctes) + "\n" + unions
+        + "\nORDER BY step"
+    )
+
+
+ORACLES["q370_bpe_merge_table"] = _bpe_oracle(8)

@@ -1,0 +1,133 @@
+"""Out-of-band scale probe for the catalog batches (r8 VERDICT ask 6).
+
+The bench fixtures pin N_TRACTS=200 (NYC-ish), so sf only grows the
+fixture *generation* input — the engine's wide table stays 200 rows and
+the sf ladder cannot show the exec-side growth exponent.  This probe
+scales the REAL data axis for this workload (geographic units): it
+builds perf-only wide fixtures at 200 / 2,000 / 20,000 tracts (20k ≈ a
+quarter of the national tract count) over the same customer table and
+times the q331-shape (native grid) and q337-shape (aggregated grid)
+batches, split into driver plan-build vs executor time.
+
+Claim under test (plans/batch.py): driver cost is FLAT in data size
+(constant catalog fan-out), exec is ~linear in unit count.
+
+Usage: python perf_tract_scale.py [customer_sf_dir]   (default sf0.1)
+Prints one JSON line; results recorded in PERF_NOTES "Round 9".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import synth_catalog
+
+
+def _engine(spark, root):
+    from pyspark.sql import functions as F
+
+    from db_factfinder_spark.catalog import Catalog
+    from db_factfinder_spark.operators.vertical import (
+        AggregatedGeography2020,
+        prepare_lookup_geo,
+        prepare_ratio,
+    )
+    from db_factfinder_spark.plans.planner import (
+        FactFinderEngine,
+        ParquetWideSource,
+    )
+
+    cat = Catalog.from_registry("acs", 2019)
+    n = synth_catalog.N_TRACTS
+    gids = spark.range(n).select(F.col("id").alias("gid"))
+    code = F.concat(F.lit("47"), F.lpad(F.col("gid").cast("string"), 6, "0"))
+    ratio_raw = gids.select(
+        code.alias("boroct2010"),
+        code.alias("boroct2020"),
+        F.lit("1.000000000000000000").alias("ratio"),
+    )
+    lookup_raw = gids.select(
+        F.concat(
+            F.lit("36047"),
+            F.lpad(F.col("gid").cast("string"), 6, "0"),
+            F.lit("1000"),
+        ).alias("geoid"),
+        F.concat(
+            F.lit("BX"), F.lpad((F.col("gid") % 100).cast("string"), 3, "0")
+        ).alias("nta2020"),
+        F.lit("nta name").alias("ntaname"),
+        F.concat(
+            F.lit("BK"), F.lpad((F.col("gid") % 40).cast("string"), 2, "0")
+        ).alias("cdta2020"),
+        F.lit("cdta name").alias("cdtaname"),
+        F.lit("2").alias("borocode"),
+        F.lit("Bronx").alias("boroname"),
+        F.lit("0").alias("fp_100"),
+        F.lit("0").alias("fp_500"),
+        F.lit("0").alias("park_access"),
+    )
+    geo = AggregatedGeography2020(
+        prepare_lookup_geo(lookup_raw).localCheckpoint(),
+        prepare_ratio(ratio_raw).localCheckpoint(),
+    )
+    return FactFinderEngine(spark, cat, geo, ParquetWideSource(spark, root))
+
+
+def main() -> None:
+    from db_factfinder_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="perf_tract_scale")
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out: dict[str, dict] = {}
+    for n_tracts in (200, 2_000, 20_000):
+        synth_catalog.N_TRACTS = n_tracts
+        root = os.path.join("/tmp", f"spark_graft_scale_{n_tracts}")
+        if not os.path.exists(os.path.join(root, "_DONE")):
+            t0 = time.perf_counter()
+            # bypass the shared cache dir: perf fixtures are keyed by
+            # tract count, not by the value-spec version
+            orig = synth_catalog.fixture_root
+            synth_catalog.fixture_root = lambda *a: root
+            try:
+                synth_catalog.ensure_fixture(sf_dir, "acs", 2019)
+            finally:
+                synth_catalog.fixture_root = orig
+            print(
+                f"fixture n={n_tracts}: {time.perf_counter()-t0:.1f}s",
+                file=sys.stderr,
+            )
+        eng = _engine(spark, root)
+        rec: dict[str, float] = {}
+        for shape, geos in (
+            ("native", ["tract", "borough", "city"]),
+            ("aggregated", ["CT20", "NTA"]),
+        ):
+            best_plan = best_exec = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = eng.calculate_batch_catalog(geos)
+                t1 = time.perf_counter()
+                force(df)
+                t2 = time.perf_counter()
+                p, e = t1 - t0, t2 - t1
+                best_plan = p if best_plan is None else min(best_plan, p)
+                best_exec = e if best_exec is None else min(best_exec, e)
+            rec[f"{shape}_plan_s"] = round(best_plan, 2)
+            rec[f"{shape}_exec_s"] = round(best_exec, 2)
+            print(f"n={n_tracts} {shape}: plan {best_plan:.1f}s "
+                  f"exec {best_exec:.1f}s", file=sys.stderr, flush=True)
+        out[str(n_tracts)] = rec
+    print(json.dumps({"metric": "tract_scale_ladder", "by_n_tracts": out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -405,3 +405,46 @@ print("ONEGRESULT:" + json.dumps({"rows": n}))
     assert line, proc.stdout[-2000:]
     got = json.loads(line[-1][len("ONEGRESULT:"):])
     assert got["rows"] > 0
+
+
+@pytest.mark.slow
+def test_production_grid_survives_2g_driver():
+    """Driver-memory floor for the COMBINED production grid (q365's
+    shape: native + aggregated halves execute as ONE job through the
+    CSV sink).  Each half alone survives the stock 1g heap (pinned
+    above for the aggregated half); the combined job's concurrent
+    wide-parquet reader buffers need ~2g in a single local JVM —
+    measured, and far below get_spark's 8g default or any production
+    driver."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = str(Path(__file__).parent.parent)
+    child = r"""
+import json, sys
+sys.path.insert(0, %(root)r)
+import __spark_entry__ as E
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "2g")
+    .getOrCreate()
+)
+n = E.queries()["q365_acs_production_run"](spark, %(sf)r).count()
+print("TWOGRESULT:" + json.dumps({"rows": n}))
+""" % {"root": root, "sf": SF}
+    env = dict(os.environ)
+    env.pop("SPARK_DRIVER_MEMORY", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", child],
+        capture_output=True, text=True, timeout=560, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [
+        l for l in proc.stdout.splitlines() if l.startswith("TWOGRESULT:")
+    ]
+    assert line, proc.stdout[-2000:]
+    assert json.loads(line[-1][len("TWOGRESULT:"):])["rows"] > 0

@@ -186,3 +186,140 @@ def test_catalog_dependency_closure_edges():
 
     # empty mutation → empty closure
     assert catalog_dependency_closure(cat, set()) == set()
+
+
+def test_production_run_frees_batch_caches(spark, tmp_path):
+    """After the sink action, production_acs_run unpersists every
+    frame the batch registered — a long-lived session running repeated
+    vintages must not accumulate dead caches (Spark's CacheManager
+    holds strong refs; GC never frees them)."""
+    import __spark_entry__ as entry_mod
+    from db_factfinder_spark.pipelines import production_acs_run
+
+    eng = entry_mod._catalog_batch_engine(
+        spark, "/root/testdata/sf0.001", "acs", 2019
+    )
+    production_acs_run(
+        eng, ["borough", "city"], output_path=str(tmp_path / "acs")
+    )
+    assert eng._batch_caches == []
+    jcache = spark._jsparkSession.sharedState().cacheManager()
+    assert jcache.isEmpty(), "batch caches leaked past the sink"
+
+
+def test_pii_redact_hand_example(spark):
+    from db_factfinder_spark.llmdata.webclean import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d@e.org, ssn 123-45-6789, "
+                "call 212-555-0000, host 10.0.0.1 end"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    r1 = rows[1]
+    assert (r1["n_email"], r1["n_ssn"], r1["n_phone"], r1["n_ipv4"]) == (
+        2, 1, 1, 1,
+    )
+    assert r1["n_pii"] == 5
+    assert r1["clean_text"] == (
+        "mail [EMAIL] and [EMAIL], ssn [SSN], call [PHONE], "
+        "host [IP] end"
+    )
+    r2 = rows[2]
+    assert r2["n_pii"] == 0 and r2["clean_text"] == "no pii here at all"
+
+
+def test_pii_redact_precedence(spark):
+    """A digits-and-dots run inside an email redacts as EMAIL (first
+    listed), not as an IP fragment — and the raw-text counts still
+    record both matches (independent scans)."""
+    from db_factfinder_spark.llmdata.webclean import pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "write 1.2.3.4@mail.example.com now")],
+        "doc_id long, text string",
+    )
+    r = pii_redact(df).collect()[0]
+    assert r["clean_text"] == "write [EMAIL] now"
+    assert r["n_email"] == 1 and r["n_ipv4"] == 1
+
+
+def test_dsir_weights_orders_target_like_docs_first(spark):
+    """Candidates sharing the target's trigram profile must out-score
+    disjoint candidates; identical docs tie exactly (integer units)."""
+    from db_factfinder_spark.llmdata.sampling import dsir_weights
+
+    tgt_text = "the quick brown fox jumps over the lazy dog"
+    other = "zzz qqq xxx vvv kkk www yyy uuu"
+    cands = spark.createDataFrame(
+        [(1, tgt_text), (2, tgt_text), (3, other)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, tgt_text)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in dsir_weights(cands, target).collect()}
+    assert rows[1]["weight_units"] == rows[2]["weight_units"]
+    assert rows[1]["weight_units"] > rows[3]["weight_units"]
+
+
+def test_dsir_weights_short_text_excluded(spark):
+    from db_factfinder_spark.llmdata.sampling import dsir_weights
+
+    cands = spark.createDataFrame(
+        [(1, "ab"), (2, "abcdef")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [(9, "abcdef")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"] for r in dsir_weights(cands, target).collect()}
+    assert rows == {2}
+
+
+def test_bpe_train_classic_example(spark):
+    """Sennrich-style fixture: 'es' (newest 6 + widest 3 = 9) must win
+    round 1, then 'est'; ties break lexicographic; counts are
+    freq-weighted."""
+    from db_factfinder_spark.llmdata.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                      + ["widest"] * 3))],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, 3)
+    assert [(m["left"], m["right"], m["pair_count"]) for m in merges] == [
+        ("e", "s", 9), ("es", "t", 9), ("l", "o", 7),
+    ]
+
+
+def test_bpe_merge_scan_semantics(spark):
+    """'aaaa' under merge (a,a) must become [aa, aa] — the
+    left-to-right non-overlapping scan, not [aa, a, a]."""
+    from pyspark.sql import functions as F
+
+    from db_factfinder_spark.llmdata.bpe import _apply_merge
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "a"],), (["a", "a", "a"],), (["b"],)],
+        "syms array<string>",
+    )
+    out = [
+        r["m"]
+        for r in df.select(
+            _apply_merge(F.col("syms"), "a", "a").alias("m")
+        ).collect()
+    ]
+    assert out == [["aa", "aa"], ["aa", "a"], ["b"]]
+
+
+def test_bpe_train_stops_when_dry(spark):
+    from db_factfinder_spark.llmdata.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    assert bpe_train(docs, 5) == []
