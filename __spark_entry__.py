@@ -9823,6 +9823,50 @@ def q370_bpe_merge_table(spark, sf_dir):
     ).orderBy("step")
 
 
+def q371_bpe_encode(spark, sf_dir):
+    """Tokenizer INFERENCE (llmdata/bpe.py:bpe_encode) — q370's other
+    half: train 8 merges on the corpus, then segment every document
+    under them.  The merges apply to the DISTINCT-WORD vocabulary
+    (vocab-sized fold passes, materialized per merge), then documents
+    join the segmented vocab and re-sum — a 100 TB corpus pays one
+    word explode + one keyed join; the per-merge cost is proportional
+    to the vocabulary, not the data.  Returns per-doc word and token
+    counts — the numbers every packing / budget stage downstream
+    consumes."""
+    from db_factfinder_spark.llmdata.bpe import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, k=8)
+    return bpe_encode(docs, merges).orderBy("doc_id")
+
+
+def q372_corpus_diff(spark, sf_dir):
+    """Corpus snapshot diff (llmdata/integrity.py:corpus_diff): the
+    release-gate readout before a new corpus version ships — per doc,
+    added / removed / changed / unchanged by content fingerprint (md5
+    of the NORMALIZED text, so re-ingestion order or whitespace churn
+    never reads as a change).  One full-outer join on the id.  The new
+    snapshot drops doc_id%13 (removed), appends ' v2 extra' for
+    doc_id%7 (changed — unless also %13), and adds 1,000,000-offset
+    fresh docs for doc_id%9."""
+    from db_factfinder_spark.llmdata.integrity import corpus_diff
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    new = docs.filter(d % 13 != 0).select(
+        "doc_id",
+        F.when(
+            d % 7 == 0, F.concat(F.col("text"), F.lit(" v2 extra"))
+        ).otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        docs.filter(d % 9 == 0).select(
+            (d + 1000000).alias("doc_id"),
+            F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+        )
+    )
+    return corpus_diff(docs, new).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10198,6 +10242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q368_pii_redaction": q368_pii_redaction,
         "q369_dsir_importance_weights": q369_dsir_importance_weights,
         "q370_bpe_merge_table": q370_bpe_merge_table,
+        "q371_bpe_encode": q371_bpe_encode,
+        "q372_corpus_diff": q372_corpus_diff,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -130,11 +130,13 @@ from db_factfinder_spark.llmdata.webclean import (  # noqa: F401
     pii_redact,
 )
 from db_factfinder_spark.llmdata.bpe import (  # noqa: F401
+    bpe_encode,
     bpe_train,
     word_freq_table,
 )
 from db_factfinder_spark.llmdata.integrity import (  # noqa: F401
     corpus_checksums,
+    corpus_diff,
     merge_checksums,
 )
 from db_factfinder_spark.llmdata.conversations import (  # noqa: F401

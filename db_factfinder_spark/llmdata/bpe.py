@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from db_factfinder_spark.llmdata.checkpointing import materialize
 from db_factfinder_spark.llmdata.textstats import normalize_text
 
-__all__ = ["word_freq_table", "bpe_train"]
+__all__ = ["word_freq_table", "bpe_train", "bpe_encode"]
 
 
 def word_freq_table(
@@ -145,3 +145,61 @@ def bpe_train(
             checkpoint_mode,
         )
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Tokenizer INFERENCE with a trained merge table: segment every
+    document under the merges, applied in training order.
+
+    The production shape: the merges apply to the DISTINCT-WORD
+    vocabulary (vocab-sized, not corpus-sized — one fold pass per
+    merge, materialized so k folds never stack in one Catalyst plan),
+    then documents join the segmented vocab on the word and re-sum —
+    so a 100 TB corpus pays one word explode + one keyed join, and the
+    per-merge work is proportional to the vocabulary.
+
+    Returns ``(id_col, n_words, n_tokens)`` — n_tokens under the
+    trained tokenizer, the number every packing / budget stage
+    downstream consumes.  Documents with no words are absent (no
+    tokens — same floor as the dedup shinglers)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    doc_words = (
+        df.select(F.col(id_col), F.explode(toks).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    vocab = doc_words.select("word").distinct().select(
+        "word", chars.alias("syms")
+    )
+    for m in merges:
+        vocab = materialize(
+            vocab.select(
+                "word",
+                _apply_merge(F.col("syms"), m["left"], m["right"]).alias(
+                    "syms"
+                ),
+            ),
+            checkpoint_mode,
+        )
+    seg = vocab.select("word", F.size("syms").alias("n_tok"))
+    return (
+        doc_words.join(seg, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_tok")).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+    )

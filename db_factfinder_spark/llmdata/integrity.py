@@ -94,3 +94,46 @@ def merge_checksums(shards: DataFrame) -> DataFrame:
         "xor_hi",
         "xor_lo",
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: per document id,
+    classify ``added`` / ``removed`` / ``changed`` / ``unchanged`` by
+    content fingerprint (md5 of the normalized text — the same
+    content-defined key the dedup family uses, so re-partitioning or
+    re-ingestion order can never show up as a change).
+
+    One full-outer join on the id — the release-gate readout before a
+    new corpus version ships (how much churned, what to re-embed /
+    re-dedup incrementally).  NULL text fingerprints as NULL and
+    compares NULL-safely (two NULL-text versions of a doc are
+    ``unchanged``).
+
+    Returns ``(id_col, status, old_fp, new_fp)``."""
+    from db_factfinder_spark.llmdata.textstats import fingerprint
+
+    o = old.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("old_fp")
+    )
+    n = new.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("new_fp")
+    )
+    # presence must be tracked separately from the fingerprint —
+    # a NULL-text doc is PRESENT with a NULL fingerprint
+    j = o.withColumn("in_old", F.lit(True)).join(
+        n.withColumn("in_new", F.lit(True)), id_col, "full_outer"
+    )
+    status = (
+        F.when(F.col("in_old").isNull(), F.lit("added"))
+        .when(F.col("in_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("unchanged")
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(id_col, status.alias("status"), "old_fp", "new_fp")

@@ -10689,13 +10689,14 @@ GROUP BY 1 ORDER BY doc_id
 # q370: BPE merge table — 8 rounds unrolled; each round counts
 # freq-weighted adjacent pairs, picks argmax (cnt desc, lexicographic),
 # and applies the merge with a recursive leftmost-splice.
-def _bpe_oracle(k: int = 8) -> str:
+def _bpe_oracle(k: int = 8, encode: bool = False) -> str:
     zip_pairs = (
         "list_zip(syms[1:greatest(len(syms)-1, 0)], syms[2:], true)"
     )
     ctes = [f"""
 w0 AS MATERIALIZED (
-  SELECT list_transform(range(1, length(word) + 1),
+  SELECT word,
+         list_transform(range(1, length(word) + 1),
                         i -> word[CAST(i AS INTEGER)]) AS syms,
          CAST(count(*) AS BIGINT) AS freq
   FROM (SELECT unnest(string_split({_NORM}, ' ')) AS word
@@ -10712,19 +10713,33 @@ b{r} AS MATERIALIZED (
   GROUP BY 1, 2
   ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
 a{r} AS (
-  SELECT syms, freq FROM w{p}
+  SELECT word, syms, freq FROM w{p}
   UNION ALL
-  SELECT syms[1:pos-1] || [(SELECT l || r FROM b{r})] || syms[pos+2:],
+  SELECT word,
+         syms[1:pos-1] || [(SELECT l || r FROM b{r})] || syms[pos+2:],
          freq
-  FROM (SELECT syms, freq,
+  FROM (SELECT word, syms, freq,
           coalesce(list_position({zip_pairs},
             (SELECT (l, r) FROM b{r})), 0) AS pos
         FROM a{r})
   WHERE pos > 0),
 w{r} AS MATERIALIZED (
-  SELECT syms, freq FROM a{r}
+  SELECT word, syms, freq FROM a{r}
   WHERE coalesce(list_position({zip_pairs},
           (SELECT (l, r) FROM b{r})), 0) = 0)""")
+    if encode:
+        final = f"""
+, docw AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+        FROM documents)
+  WHERE word != '' GROUP BY 1, 2)
+SELECT doc_id,
+  CAST(sum(c) AS BIGINT) AS n_words,
+  CAST(sum(c * len(syms)) AS BIGINT) AS n_tokens
+FROM docw JOIN w{k} USING (word)
+GROUP BY 1 ORDER BY doc_id"""
+        return "WITH RECURSIVE " + ",".join(ctes) + final
     unions = "\nUNION ALL\n".join(
         f"SELECT {r} AS step, l AS left_sym, r AS right_sym,"
         f" l || r AS merged, cnt AS pair_count FROM b{r}"
@@ -10737,3 +10752,34 @@ w{r} AS MATERIALIZED (
 
 
 ORACLES["q370_bpe_merge_table"] = _bpe_oracle(8)
+
+
+# q371: tokenizer inference — the q370 merge chain replayed, then
+# per-doc word counts joined to the segmented vocab.
+ORACLES["q371_bpe_encode"] = _bpe_oracle(8, encode=True)
+
+
+# q372: corpus snapshot diff by normalized-content fingerprint.
+ORACLES["q372_corpus_diff"] = f"""
+WITH oldc AS (
+  SELECT doc_id, md5({_NORM}) AS old_fp FROM documents),
+newc AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(regexp_replace(lower(
+      CASE WHEN doc_id % 7 = 0 THEN text || ' v2 extra' ELSE text END),
+      '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS new_fp
+  FROM documents WHERE doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id + 1000000,
+    md5(trim(regexp_replace(regexp_replace(lower('fresh ' || text),
+      '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))
+  FROM documents WHERE doc_id % 9 = 0)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.old_fp IS NOT DISTINCT FROM n.new_fp THEN 'unchanged'
+       ELSE 'changed' END AS status,
+  o.old_fp, n.new_fp
+FROM oldc o FULL OUTER JOIN newc n USING (doc_id)
+ORDER BY doc_id
+"""

@@ -323,3 +323,46 @@ def test_bpe_train_stops_when_dry(spark):
         [(1, "a b c")], "doc_id long, text string"
     )
     assert bpe_train(docs, 5) == []
+
+
+def test_bpe_encode_counts(spark):
+    """Encoding under the trained merges: token counts follow the
+    merge table exactly (low→1 token after (l,o),(lo,w); unseen
+    symbols stay characters)."""
+    from db_factfinder_spark.llmdata.bpe import bpe_encode, bpe_train
+
+    corpus = spark.createDataFrame(
+        [(1, " ".join(["low"] * 9 + ["lot"] * 2))],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(corpus, 2)
+    assert [(m["left"], m["right"]) for m in merges] == [
+        ("l", "o"), ("lo", "w"),
+    ]
+    probe = spark.createDataFrame(
+        [(1, "low low lot"), (2, "zzz")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in bpe_encode(probe, merges).collect()}
+    # low = [low] (1 tok) x2, lot = [lo, t] (2 tok)
+    assert (rows[1]["n_words"], rows[1]["n_tokens"]) == (3, 4)
+    assert (rows[2]["n_words"], rows[2]["n_tokens"]) == (1, 3)
+
+
+def test_corpus_diff_statuses(spark):
+    from db_factfinder_spark.llmdata.integrity import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a b"), (2, "x"), (3, None), (4, "gone")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "A  b!"), (2, "y"), (3, None), (5, "fresh")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()
+    }
+    # normalization absorbs case/punct/whitespace churn for doc 1;
+    # NULL-text doc 3 is present-and-unchanged, not removed
+    assert got == {1: "unchanged", 2: "changed", 3: "unchanged",
+                   4: "removed", 5: "added"}
