@@ -9867,6 +9867,44 @@ def q372_corpus_diff(spark, sf_dir):
     return corpus_diff(docs, new).orderBy("doc_id")
 
 
+def q373_token_pipeline_capstone(spark, sf_dir):
+    """The tokenize→pack capstone: train 8 BPE merges (q370), encode
+    every document (q371), then concat-and-chunk pack the token
+    streams per SOURCE at seq_len=512 (pack_sequences — per-stream
+    window cumsum, one shuffle) and report per source: docs, total
+    tokens, chunk count, and how many documents span a chunk boundary
+    (the fragmentation number packing exists to control).  Every stage
+    is an already-oracle-checked operator; the capstone pins their
+    composition — the actual shape of a pretraining data-prep run."""
+    from db_factfinder_spark.llmdata.bpe import bpe_encode, bpe_train
+    from db_factfinder_spark.llmdata.textstats import pack_sequences
+
+    seq_len = 512
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, k=8)
+    enc = bpe_encode(docs, merges)
+    j = enc.join(docs.select("doc_id", "source"), "doc_id")
+    packed = pack_sequences(
+        j, seq_len, token_col="n_tokens", order_col="doc_id",
+        part_col="source",
+    )
+    spans = (
+        (F.col("chunk_offset") + F.col("n_tokens") - 1) / seq_len
+    ).cast("long") > 0
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.ceil(F.sum("n_tokens") / seq_len).cast("long").alias(
+                "n_chunks"
+            ),
+            F.sum(spans.cast("long")).cast("long").alias("n_spanning"),
+        )
+        .orderBy("source")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10244,6 +10282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q370_bpe_merge_table": q370_bpe_merge_table,
         "q371_bpe_encode": q371_bpe_encode,
         "q372_corpus_diff": q372_corpus_diff,
+        "q373_token_pipeline_capstone": q373_token_pipeline_capstone,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -10783,3 +10783,32 @@ SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
 FROM oldc o FULL OUTER JOIN newc n USING (doc_id)
 ORDER BY doc_id
 """
+
+
+# q373: tokenize→pack capstone — per-source packing report over the
+# q371 encode chain: per-stream cumsum at seq_len=512, docs spanning a
+# chunk boundary, ceil-chunk counts; all integer-exact.
+def _token_pipeline_oracle(k: int = 8, seq_len: int = 512) -> str:
+    enc = _bpe_oracle(k, encode=True)
+    assert enc.rstrip().endswith("ORDER BY doc_id")
+    enc_body = enc.rstrip()[: -len("ORDER BY doc_id")]
+    return f"""
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(ceil(CAST(sum(n_tokens) AS DOUBLE) / {seq_len}) AS BIGINT)
+    AS n_chunks,
+  CAST(sum(CASE WHEN (cb % {seq_len} + n_tokens - 1) // {seq_len} > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+FROM (
+  SELECT e.doc_id, s.source, e.n_tokens,
+    coalesce(sum(e.n_tokens) OVER (
+      PARTITION BY s.source ORDER BY e.doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM ({enc_body}) e
+  JOIN (SELECT doc_id, source FROM documents) s USING (doc_id))
+GROUP BY source ORDER BY source
+"""
+
+
+ORACLES["q373_token_pipeline_capstone"] = _token_pipeline_oracle()
