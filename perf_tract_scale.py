@@ -123,6 +123,20 @@ def main() -> None:
                 best_exec = e if best_exec is None else min(best_exec, e)
             rec[f"{shape}_plan_s"] = round(best_plan, 2)
             rec[f"{shape}_exec_s"] = round(best_exec, 2)
+            # free this shape's persisted frames before the next
+            # measurement: at n=20k the accumulated melt caches (~2 GB
+            # over 2 passes x 2 shapes) put the JVM under GC pressure
+            # and inflated the NEXT shape's plan-build 4x (measured:
+            # aggregated plan 17->78 s before this isolation)
+            for cached in getattr(eng, "_batch_caches", []):
+                cached.unpersist()
+            eng._batch_caches = []
+            spark.catalog.clearCache()
+            # localCheckpoint RDD blocks free via ContextCleaner when
+            # the DataFrames are GC'd — make that prompt
+            import gc
+
+            gc.collect()
             print(f"n={n_tracts} {shape}: plan {best_plan:.1f}s "
                   f"exec {best_exec:.1f}s", file=sys.stderr, flush=True)
         out[str(n_tracts)] = rec

@@ -448,3 +448,56 @@ print("TWOGRESULT:" + json.dumps({"rows": n}))
     ]
     assert line, proc.stdout[-2000:]
     assert json.loads(line[-1][len("TWOGRESULT:"):])["rows"] > 0
+
+
+def test_zone_batch_plan_audit(spark):
+    """The zone batch's 100 TB contract: plan leaves are a property of
+    the PIPELINE, not the catalog — a full-catalog zone batch plans
+    exactly the same scan/cache leaf profile as a 12-variable one, and
+    every runtime join resolves to a broadcast (the zone dim and the
+    pff spine are broadcast; the only shuffles are the block-group
+    fold and the zone fold)."""
+    import __spark_entry__ as entry_mod
+
+    eng = entry_mod._zone_2020_engine(spark, SF)
+
+    def leaf_profile(variables):
+        df = eng.calculate_batch_catalog(
+            ["cdta_fp_100"], variables=variables
+        )
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        names = sorted(
+            leaves.apply(i).nodeName() for i in range(leaves.size())
+        )
+        return names
+
+    # leaf count is bounded by the PIPELINE + the (fixed, catalog-
+    # bounded) median/special branch sets — NOT by how many of the
+    # 1,047 variables run.  Hold the med/spec subset fixed and vary
+    # only the plain-variable count 12 -> ~1,000.
+    cat = eng.catalog
+    meds_specs = sorted(
+        set(cat.median_variables) | set(cat.special_variables)
+    )
+    plains = [
+        m["pff_variable"]
+        for m in cat.metadata
+        if m["pff_variable"] not in set(meds_specs)
+    ]
+    small = leaf_profile(meds_specs + plains[:12])
+    full = leaf_profile(None)
+    assert small == full, f"plan grew with variables: {small} -> {full}"
+    df = eng.calculate_batch_catalog(["cdta_fp_100"])
+    df.collect()  # execute THIS QueryExecution so AQE finalizes it
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the (geoid, base) / (geoid, medbase) LEFT self-joins of the
+    # assembly tail and the special-member geoid join may legitimately
+    # sort-merge: all sides derive from the SAME materialized rollup
+    # (co-keyed, output-bounded), and at national scale they exceed
+    # any broadcast threshold — AQE owns that call.  Everything else
+    # (zone dim, pff spine, varattr, median structs) must broadcast.
+    assert plan.count("SortMergeJoin") <= 3, plan[:4000]
+    assert "BroadcastHashJoin" in plan
