@@ -9584,12 +9584,21 @@ def q365_acs_production_run(spark, sf_dir):
     import hashlib as _hl
     import os as _os
     import tempfile as _tf
+    import uuid as _uuid
 
     from db_factfinder_spark.pipelines import production_acs_run
 
     eng = _crosswalk_2020_engine(spark, sf_dir)
     key = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    path = _os.path.join(_tf.gettempdir(), f"spark_graft_acs_prod_{key}")
+    # unique dir per invocation: a DataFrame returned by an earlier
+    # call snapshots its CSV file listing at analysis time, so
+    # OVERWRITING the same dir would invalidate every previously
+    # returned (held) frame — the bench's plan-reuse pass hit exactly
+    # that (FAILED_READ_FILE on the replaced part files)
+    path = _os.path.join(
+        _tf.gettempdir(),
+        f"spark_graft_acs_prod_{key}_{_uuid.uuid4().hex[:8]}",
+    )
     production_acs_run(
         eng,
         ["tract", "borough", "city", "CT20", "NTA", "CDTA"],
@@ -9902,6 +9911,81 @@ def q373_token_pipeline_capstone(spark, sf_dir):
             F.sum(spans.cast("long")).cast("long").alias("n_spanning"),
         )
         .orderBy("source")
+    )
+
+
+def q374_acs_vintage_stream(spark, sf_dir):
+    """q367's STREAMING twin — the event-driven shape of catalog
+    maintenance in production: a correction event lands in a watched
+    directory (payload: which census columns the republished vintage
+    changed), a real Structured Streaming query
+    (``trigger(availableNow)`` + ``foreachBatch``) picks it up, runs
+    the dependency-closure slice recompute over the corrected source
+    (ColumnDeltaWideSource), splices against the STORED previous
+    artifact, and republishes the full frame.  The event stream is the
+    ORCHESTRATION plane (bounded rows collected per micro-batch — the
+    data plane stays distributed inside incremental_catalog_update);
+    the published table's oracle is the FULL mutated recompute, so
+    hash equality proves streamed maintenance ≡ from-scratch, the
+    strongest check a streaming query can carry."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from db_factfinder_spark.plans.batch import incremental_catalog_update
+    from db_factfinder_spark.plans.planner import ColumnDeltaWideSource
+    from synth_catalog import ensure_fixture, incremental_mutation_cvs
+
+    grid = ["tract", "borough", "city"]
+    key = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    tmp = _tf.gettempdir()
+    prev_path = _os.path.join(tmp, f"spark_graft_acs_prev_{key}")
+    eng_old = _catalog_batch_engine(spark, sf_dir, "acs", 2019)
+    if not _os.path.exists(_os.path.join(prev_path, "_SUCCESS")):
+        eng_old.calculate_batch_catalog(grid).write.mode(
+            "overwrite"
+        ).parquet(prev_path)
+
+    evdir = _os.path.join(tmp, f"spark_graft_vintage_events_{key}")
+    if not _os.path.exists(_os.path.join(evdir, "_SUCCESS")):
+        spark.createDataFrame(
+            [(1, ",".join(incremental_mutation_cvs("acs", 2019)))],
+            "seq long, cvs string",
+        ).coalesce(1).write.mode("overwrite").parquet(evdir)
+    # unique publish dir per invocation (same held-frame hazard as
+    # q365's CSV dir — an overwrite invalidates earlier returns)
+    pubdir = _os.path.join(
+        tmp, f"spark_graft_vintage_pub_{key}_{_uuid.uuid4().hex[:8]}"
+    )
+    root = ensure_fixture(sf_dir, "acs", 2019)
+
+    def handle(batch, _bid):
+        # events are the control plane: a handful of rows per batch
+        for r in sorted(batch.collect(), key=lambda r: r["seq"]):
+            cvs = r["cvs"].split(",")
+            eng_new = _catalog_batch_engine(spark, sf_dir, "acs", 2019)
+            eng_new.source = ColumnDeltaWideSource(
+                spark, root, {f"{cv}E": 7.0 for cv in cvs}
+            )
+            prev = spark.read.parquet(prev_path)
+            incremental_catalog_update(
+                eng_new, prev, cvs, grid
+            ).write.mode("overwrite").parquet(pubdir)
+
+    stream = spark.readStream.schema("seq long, cvs string").parquet(evdir)
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option(
+            "checkpointLocation",
+            _os.path.join(tmp, f"ckpt_{_uuid.uuid4().hex[:12]}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(pubdir).orderBy(
+        "geotype", "pff_variable", "census_geoid"
     )
 
 
@@ -10283,6 +10367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q371_bpe_encode": q371_bpe_encode,
         "q372_corpus_diff": q372_corpus_diff,
         "q373_token_pipeline_capstone": q373_token_pipeline_capstone,
+        "q374_acs_vintage_stream": q374_acs_vintage_stream,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

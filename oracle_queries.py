@@ -10812,3 +10812,8 @@ GROUP BY source ORDER BY source
 
 
 ORACLES["q373_token_pipeline_capstone"] = _token_pipeline_oracle()
+
+
+# q374: the streaming twin of q367 — the published table after the
+# availableNow maintenance run must equal the FULL mutated recompute.
+ORACLES["q374_acs_vintage_stream"] = ORACLES["q367_acs_incremental_vintage"]
