@@ -501,3 +501,21 @@ def test_zone_batch_plan_audit(spark):
     # (zone dim, pff spine, varattr, median structs) must broadcast.
     assert plan.count("SortMergeJoin") <= 3, plan[:4000]
     assert "BroadcastHashJoin" in plan
+
+
+def test_aggregated_batch_final_plan_audit(spark):
+    """AQE-final plan audit for the CT20/NTA chain (the q337 shape):
+    no cartesian/BNLJ anywhere; only the co-keyed rollup self-joins
+    (base / medbase / special-member) may sort-merge; dimension,
+    varattr, and pff-spine joins broadcast."""
+    import __spark_entry__ as entry_mod
+
+    eng = entry_mod._crosswalk_2020_engine(spark, SF)
+    df = eng.calculate_batch_catalog(["NTA"])
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") <= 3, plan[:4000]
+    assert "BroadcastHashJoin" in plan
