@@ -366,3 +366,20 @@ def test_corpus_diff_statuses(spark):
     # NULL-text doc 3 is present-and-unchanged, not removed
     assert got == {1: "unchanged", 2: "changed", 3: "unchanged",
                    4: "removed", 5: "added"}
+
+
+def test_incremental_closure_is_a_small_slice():
+    """The efficiency contract behind q367/q374: the three-column
+    vintage mutation pulls in 31 of 1,047 variables — the recompute is
+    a SLICE, not a re-run wearing a trench coat."""
+    from db_factfinder_spark.catalog import Catalog
+    from db_factfinder_spark.plans.batch import catalog_dependency_closure
+    from synth_catalog import incremental_mutation_cvs
+
+    cat = Catalog.from_registry("acs", 2019)
+    aff = catalog_dependency_closure(
+        cat, set(incremental_mutation_cvs("acs", 2019))
+    )
+    assert len(aff) == 31
+    assert {"pop5pl1", "lgoenlep1", "wrkr16pl", "wrkrnothm", "mntrvtm",
+            "pbwpv", "pbwpv_pct"} <= aff
