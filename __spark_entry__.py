@@ -9989,6 +9989,66 @@ def q374_acs_vintage_stream(spark, sf_dir):
     )
 
 
+def q375_mmr_rerank(spark, sf_dir):
+    """MMR diversified reranking (Carbonell & Goldstein SIGIR'98 —
+    llmdata/similarity.py:mmr_rerank): the redundancy-suppressing
+    greedy rerank between retrieval and the context window, λ=½ so
+    every score is the INTEGER rel_units − max_sim_units (exact
+    quantized dot products, ties on doc id — the greedy sequence is
+    engine-deterministic).  Candidate pools are bounded by contract
+    (a retriever's top-N — 5 queries × the vec_id%40 slice here), so
+    the k=5 greedy rounds are k bounded joins, each materialized.
+    Relevance fixture: a deterministic integer per (query, doc)."""
+    from db_factfinder_spark.llmdata.similarity import mmr_rerank
+
+    e = _embs(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    queries_df = spark.range(5).select(F.col("id").alias("query_id"))
+    cand = queries_df.join(
+        e, (F.col("vec_id") % 40) == F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        (
+            (F.col("vec_id") * 7919 + F.col("query_id") * 104729)
+            % 1000 * 100000
+        ).cast("long").alias("rel_units"),
+        F.col("v").alias("vec"),
+    )
+    return mmr_rerank(cand, k=5).orderBy("query_id", "rank")
+
+
+def q376_within_doc_line_dedup(spark, sf_dir):
+    """WITHIN-document line dedup (llmdata/lines.py:
+    dedup_lines_within_doc) — the page-repair transform for scraped
+    pages whose template repeats blocks inside one page: keep each
+    line's first occurrence (case/trim-insensitive key), preserve
+    empty layout lines, report per-doc drop counts.  Pure per-row
+    array expressions — zero shuffles, scan-speed at 100 TB —
+    complementing q110's corpus-level CCNet line dedup.  Fixture
+    fabricates template pages: banner + excerpt + re-cased banner +
+    body + repeated excerpt, separated by blank lines."""
+    from db_factfinder_spark.llmdata.lines import dedup_lines_within_doc
+
+    docs = _docs(spark, sf_dir)
+    excerpt = F.substring("text", 1, 40)
+    page = F.concat_ws(
+        "\n",
+        F.lit("PAGE BANNER"),
+        excerpt,
+        F.lit(""),
+        F.lit("page banner"),
+        F.col("text"),
+        F.lit(""),
+        excerpt,
+    )
+    return dedup_lines_within_doc(
+        docs.select("doc_id", page.alias("text"))
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10368,6 +10428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q372_corpus_diff": q372_corpus_diff,
         "q373_token_pipeline_capstone": q373_token_pipeline_capstone,
         "q374_acs_vintage_stream": q374_acs_vintage_stream,
+        "q375_mmr_rerank": q375_mmr_rerank,
+        "q376_within_doc_line_dedup": q376_within_doc_line_dedup,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -76,6 +76,7 @@ from db_factfinder_spark.llmdata.similarity import (  # noqa: F401
     lsh_bucketed_topk,
     topk_recall,
     maxsim_topk,
+    mmr_rerank,
     pq_adc_topk,
     pq_encode,
     quantized_topk,
@@ -171,6 +172,7 @@ from db_factfinder_spark.llmdata.textstats import (  # noqa: F401
 )
 from db_factfinder_spark.llmdata.lines import (  # noqa: F401
     boilerplate_density,
+    dedup_lines_within_doc,
     line_dedup,
 )
 from db_factfinder_spark.llmdata.winnow import (  # noqa: F401

@@ -174,3 +174,55 @@ def boilerplate_density(
             F.col("n_boiler").cast("double") / F.col("n_lines").cast("double"),
         )
     )
+
+
+def dedup_lines_within_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """WITHIN-document line dedup — the page-repair transform for
+    scraped documents whose template repeats blocks inside one page
+    (cookie banners between sections, duplicated nav footers):
+    keep each line's FIRST occurrence in document order, where
+    occurrence identity is the normalized ``line_key``; empty-key
+    lines (whitespace/punctuation-only) always survive — they are
+    layout, not content.  Complements ``line_dedup`` (corpus-level
+    CCNet dedup): this one never crosses documents, so it is a pure
+    per-row array computation — zero shuffles, zero joins, runs at
+    scan speed on 100 TB.
+
+    Returns ``(id_col, clean_text, n_lines, n_dropped)``.  Per-row
+    cost is O(lines²) on the bounded per-page line count; the
+    first-occurrence scan slices a let-bound MATERIALIZED array (the
+    shingles() inlining trap)."""
+    from db_factfinder_spark.functions.expr import let
+
+    def over_lines(lines: Column) -> Column:
+        keys = F.transform(lines, lambda x: line_key(x))
+
+        def keep(i: Column) -> Column:
+            k = F.get(keys, i - 1)
+            raw = F.get(lines, i - 1)
+            return (F.trim(raw) == "") | ~F.exists(
+                F.slice(keys, 1, i - 1), lambda p: p == k
+            )
+
+        idx = F.sequence(F.lit(1), F.size(lines))
+        kept = F.filter(idx, keep)
+        return F.struct(
+            F.array_join(
+                F.transform(kept, lambda i: F.get(lines, i - 1)), sep
+            ).alias("clean_text"),
+            F.size(lines).cast("long").alias("n_lines"),
+            (F.size(lines) - F.size(kept)).cast("long").alias("n_dropped"),
+        )
+
+    out = let(F.split(F.col(text_col), sep), over_lines)
+    return df.select(
+        F.col(id_col),
+        out["clean_text"].alias("clean_text"),
+        out["n_lines"].alias("n_lines"),
+        out["n_dropped"].alias("n_dropped"),
+    )

@@ -1462,3 +1462,105 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rel_col: str = "rel_units",
+    vec_col: str = "vec",
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified reranking (Carbonell &
+    Goldstein, SIGIR'98) with λ fixed at ½: greedily select k docs per
+    query maximizing ``rel − max_sim(selected)`` — the standard
+    redundancy-suppressing rerank between retrieval and the context
+    window.
+
+    Exactness: relevance arrives as integer units and similarity is
+    the exact integer dot product of the int-quantized vectors scaled
+    to the SAME units (sim_units = dot // scale), so every MMR score
+    is an integer and ties break on doc id — the greedy sequence is
+    engine- and partitioning-deterministic.  λ=½ is the one λ that
+    needs no fraction: argmax λ·rel − (1−λ)·max_sim ≡ argmax
+    (rel − max_sim).
+
+    Plan: candidates are a bounded per-query pool by contract (a
+    retriever's top-N — the pool NEVER scales with the corpus), so
+    the k greedy rounds are k bounded joins: remaining × selected →
+    per-candidate max-sim (one agg) → per-query argmax (one window).
+    Each round materializes (checkpoint policy) so round r's plan
+    never embeds r−1 join trees.  Returns
+    ``(query_col, doc_col, rank, mmr_units)``.
+    """
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+
+    scale = 1_000_000
+    cand = materialize(
+        candidates.select(
+            F.col(query_col).alias("q"),
+            F.col(doc_col).alias("d"),
+            F.col(rel_col).cast("long").alias("rel"),
+            int_quantized_vec(F.col(vec_col)).alias("v"),
+        ),
+        checkpoint_mode,
+    )
+    # round 1: pure relevance argmax
+    w = Window.partitionBy("q").orderBy(F.desc("score"), F.asc("d"))
+    sel = materialize(
+        cand.select("q", "d", "rel", "v", F.col("rel").alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q", "d", "v",
+            F.lit(1).alias("rank"),
+            F.col("score").cast("long").alias("mmr_units"),
+        ),
+        checkpoint_mode,
+    )
+    for r in range(2, k + 1):
+        remaining = cand.join(
+            sel.select(F.col("q").alias("sq"), F.col("d").alias("sd")),
+            (F.col("q") == F.col("sq")) & (F.col("d") == F.col("sd")),
+            "left_anti",
+        )
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("v"), F.col("sv"), lambda x, y: x * y
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sims = remaining.join(
+            sel.select(
+                F.col("q").alias("sq"),
+                F.col("v").alias("sv"),
+            ),
+            F.col("q") == F.col("sq"),
+        ).groupBy("q", "d", "rel", "v").agg(
+            F.max(
+                F.floor(dot / F.lit(scale)).cast("long")
+            ).alias("max_sim")
+        )
+        nxt = (
+            sims.select(
+                "q", "d", "rel", "v",
+                (F.col("rel") - F.col("max_sim")).alias("score"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "q", "d", "v",
+                F.lit(r).alias("rank"),
+                F.col("score").cast("long").alias("mmr_units"),
+            )
+        )
+        sel = materialize(sel.unionByName(nxt), checkpoint_mode)
+    return sel.select(
+        F.col("q").alias(query_col),
+        F.col("d").alias(doc_col),
+        "rank",
+        "mmr_units",
+    )

@@ -10817,3 +10817,90 @@ ORACLES["q373_token_pipeline_capstone"] = _token_pipeline_oracle()
 # q374: the streaming twin of q367 — the published table after the
 # availableNow maintenance run must equal the FULL mutated recompute.
 ORACLES["q374_acs_vintage_stream"] = ORACLES["q367_acs_incremental_vintage"]
+
+
+# q375: MMR diversified rerank — 5 unrolled greedy rounds; integer
+# rel − max_sim scores (quantized dots, floor-div to sim units).
+def _mmr_oracle(k: int = 5) -> str:
+    dotsim = (
+        "CAST(floor(list_dot_product(c.v, s.v) / 1000000.0) AS BIGINT)"
+    )
+    ctes = ["""
+cand AS MATERIALIZED (
+  SELECT q.query_id AS q, e.vec_id AS d,
+    CAST((e.vec_id * 7919 + q.query_id * 104729) % 1000 * 100000
+         AS BIGINT) AS rel,
+    list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS v
+  FROM embeddings e
+  JOIN (SELECT unnest(range(5)) AS query_id) q
+    ON e.vec_id % 40 = q.query_id),
+sel1 AS MATERIALIZED (
+  SELECT q, d, v, 1 AS rank, rel AS mmr_units FROM (
+    SELECT *, row_number() OVER (PARTITION BY q
+      ORDER BY rel DESC, d ASC) AS rn FROM cand)
+  WHERE rn = 1),
+all1 AS (SELECT * FROM sel1)"""]
+    for r in range(2, k + 1):
+        p = r - 1
+        ctes.append(f"""
+scored{r} AS MATERIALIZED (
+  SELECT c.q, c.d,
+    c.rel - max({dotsim}) AS score
+  FROM cand c JOIN all{p} s ON c.q = s.q
+  WHERE NOT EXISTS (SELECT 1 FROM all{p} a
+                    WHERE a.q = c.q AND a.d = c.d)
+  GROUP BY c.q, c.d, c.rel),
+sel{r} AS MATERIALIZED (
+  SELECT s.q, s.d, c.v, {r} AS rank,
+    CAST(s.score AS BIGINT) AS mmr_units
+  FROM (SELECT *, row_number() OVER (PARTITION BY q
+          ORDER BY score DESC, d ASC) AS rn FROM scored{r}) s
+  JOIN cand c ON c.q = s.q AND c.d = s.d
+  WHERE s.rn = 1),
+all{r} AS (SELECT * FROM all{p} UNION ALL SELECT * FROM sel{r})""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+SELECT q AS query_id, d AS doc_id, rank, mmr_units
+FROM all{k} ORDER BY query_id, rank"""
+    )
+
+
+ORACLES["q375_mmr_rerank"] = _mmr_oracle(5)
+
+
+# q376: within-document line dedup — first occurrence per normalized
+# line key, empty layout lines preserved, reassembled in order.
+ORACLES["q376_within_doc_line_dedup"] = """
+WITH pages AS (
+  SELECT doc_id,
+    'PAGE BANNER' || chr(10) || substr(text, 1, 40) || chr(10) || ''
+      || chr(10) || 'page banner' || chr(10) || text || chr(10) || ''
+      || chr(10) || substr(text, 1, 40) AS page
+  FROM documents),
+lines AS (
+  SELECT doc_id,
+    string_split(page, chr(10))[CAST(i AS INTEGER)] AS line,
+    CAST(i AS BIGINT) AS idx
+  FROM pages,
+       UNNEST(range(1, len(string_split(page, chr(10))) + 1)) AS u(i)),
+keyed AS (
+  SELECT doc_id, line, idx,
+    md5(lower(trim(line))) AS k,
+    trim(line) = '' AS is_blank
+  FROM lines),
+kept AS (
+  SELECT doc_id, line, idx,
+    (is_blank OR
+     row_number() OVER (PARTITION BY doc_id, k ORDER BY idx) = 1)
+      AS keep
+  FROM keyed)
+SELECT doc_id,
+  string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx)
+    AS clean_text,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""

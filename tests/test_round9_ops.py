@@ -383,3 +383,43 @@ def test_incremental_closure_is_a_small_slice():
     assert len(aff) == 31
     assert {"pop5pl1", "lgoenlep1", "wrkr16pl", "wrkrnothm", "mntrvtm",
             "pbwpv", "pbwpv_pct"} <= aff
+
+
+def test_mmr_rerank_diversifies(spark):
+    """Redundant near-duplicates of the top pick must lose to a
+    diverse lower-relevance doc at rank 2; scores are exact integers."""
+    from db_factfinder_spark.llmdata.similarity import mmr_rerank
+
+    rows = [
+        (0, 1, 100, [1.0, 0.0]),
+        (0, 2, 90, [1.0, 0.0]),       # duplicate of 1
+        (0, 3, 80, [0.99, 0.01]),     # near-duplicate of 1
+        (0, 4, 50, [0.0, 1.0]),       # orthogonal
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, rel_units long,"
+        " vec array<double>"
+    )
+    got = [
+        (r["rank"], r["doc_id"], r["mmr_units"])
+        for r in mmr_rerank(df, 3).orderBy("rank").collect()
+    ]
+    assert got[0] == (1, 1, 100)
+    assert got[1] == (2, 4, 50)       # diversity beats redundancy
+    assert got[2][1] == 3             # near-dup only after diverse
+
+
+def test_within_doc_line_dedup(spark):
+    from db_factfinder_spark.llmdata.lines import dedup_lines_within_doc
+
+    df = spark.createDataFrame(
+        [(1, "Nav Bar\nreal one\nnav bar\n\nreal two\n\nNAV BAR  "),
+         (2, "only line")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_lines_within_doc(df).collect()}
+    r1 = rows[1]
+    # re-cased/re-padded banner copies drop; BOTH blank layout lines stay
+    assert r1["clean_text"] == "Nav Bar\nreal one\n\nreal two\n"
+    assert (r1["n_lines"], r1["n_dropped"]) == (7, 2)
+    assert rows[2]["n_dropped"] == 0
