@@ -199,12 +199,23 @@ def test_production_run_frees_batch_caches(spark, tmp_path):
     eng = entry_mod._catalog_batch_engine(
         spark, "/root/testdata/sf0.001", "acs", 2019
     )
+    # register one batch's caches WITHOUT a sink, then run the
+    # production sink: both generations must be freed (checking the
+    # registered frames' own storage levels — a global CacheManager
+    # emptiness check would be polluted by other tests sharing the
+    # session)
+    eng.calculate_batch_catalog(["borough", "city"])
+    before = list(eng._batch_caches)
+    assert before, "batch registered no caches"
     production_acs_run(
         eng, ["borough", "city"], output_path=str(tmp_path / "acs")
     )
     assert eng._batch_caches == []
-    jcache = spark._jsparkSession.sharedState().cacheManager()
-    assert jcache.isEmpty(), "batch caches leaked past the sink"
+    for frame in before:
+        lvl = frame.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk), (
+            "batch cache leaked past the sink"
+        )
 
 
 def test_pii_redact_hand_example(spark):
