@@ -10049,6 +10049,30 @@ def q376_within_doc_line_dedup(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q377_acs2018_catalog_batch(spark, sf_dir):
+    """Vintage generality: the PACKAGED 2018 ACS catalog (970
+    variables — a different census-column map, medians and specials
+    than 2019) through the same set-based batch at borough/city.
+    Catalogs are data, not code: nothing in plans/batch.py knows a
+    vintage, so a registry swap must just work — this pins it."""
+    eng = _catalog_batch_engine(spark, sf_dir, "acs", 2018)
+    out = eng.calculate_batch_catalog(["borough", "city"])
+    return out.orderBy("geotype", "pff_variable", "census_geoid")
+
+
+def q378_acs2020_catalog_batch(spark, sf_dir):
+    """The 2020 ACS vintage — the reference's quirk year: 1,046
+    variables with ZERO median and ZERO special entries (the
+    median/special JSON sidecars are empty), so the batch's grouped-
+    median and special-formula branch sets are EMPTY and every
+    variable takes the plain/profile/base paths.  Degenerate branch
+    sets are where set-based planners usually break (empty pivots,
+    empty unions); this pins that they don't."""
+    eng = _catalog_batch_engine(spark, sf_dir, "acs", 2020)
+    out = eng.calculate_batch_catalog(["borough", "city"])
+    return out.orderBy("geotype", "pff_variable", "census_geoid")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10430,6 +10454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q374_acs_vintage_stream": q374_acs_vintage_stream,
         "q375_mmr_rerank": q375_mmr_rerank,
         "q376_within_doc_line_dedup": q376_within_doc_line_dedup,
+        "q377_acs2018_catalog_batch": q377_acs2018_catalog_batch,
+        "q378_acs2020_catalog_batch": q378_acs2020_catalog_batch,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

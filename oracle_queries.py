@@ -10904,3 +10904,14 @@ SELECT doc_id,
   CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
 FROM kept GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# q377/q378: vintage generality — the 2018 catalog (different column
+# map / medians / specials) and the 2020 quirk vintage (EMPTY median
+# and special sidecars) through the same generated oracle.
+ORACLES["q377_acs2018_catalog_batch"] = _fc_sql(
+    "acs", 2018, ["borough", "city"]
+)
+ORACLES["q378_acs2020_catalog_batch"] = _fc_sql(
+    "acs", 2020, ["borough", "city"]
+)

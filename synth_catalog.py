@@ -344,8 +344,9 @@ def _geo_sql(geotypes: list[str]) -> str:
             f"WHEN {i} THEN '{d}'" for i, (_, d) in enumerate(BOROS)
         )
         branches.append(f"""
-  SELECT 'borough', '36' || CASE gid {county} END,
-         CASE gid {digit} END, s1, s2, s3
+  SELECT 'borough' AS geotype, '36' || CASE gid {county} END
+           AS census_geoid,
+         CASE gid {digit} END AS labs_geoid, s1, s2, s3
   FROM (SELECT CAST(c_custkey % 5 AS BIGINT) AS gid,
                CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT) AS s1,
                CAST(sum(c_custkey) AS BIGINT) AS s2,
@@ -353,9 +354,11 @@ def _geo_sql(geotypes: list[str]) -> str:
         FROM customer GROUP BY 1)""")
     if "city" in geotypes:
         branches.append("""
-  SELECT 'city', '3651000', '0',
-         CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT),
-         CAST(sum(c_custkey) AS BIGINT), CAST(count(*) AS BIGINT)
+  SELECT 'city' AS geotype, '3651000' AS census_geoid,
+         '0' AS labs_geoid,
+         CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(c_custkey) AS BIGINT) AS s2,
+         CAST(count(*) AS BIGINT) AS s3
   FROM customer""")
     return "\nUNION ALL".join(branches)
 
