@@ -9717,7 +9717,14 @@ def q367_acs_incremental_vintage(spark, sf_dir):
     from synth_catalog import ensure_fixture, incremental_mutation_cvs
 
     grid = ["tract", "borough", "city"]
-    key = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # SPEC_VERSION (and source/year) ride in the cache key so a spec
+    # bump can never splice a stale-spec prev artifact (it would still
+    # have _SUCCESS) — mirrors synth_catalog.fixture_root
+    from synth_catalog import SPEC_VERSION as _SPECV
+
+    key = _hl.md5(
+        f"{_os.path.abspath(sf_dir)}|acs|2019|v{_SPECV}".encode()
+    ).hexdigest()[:10]
     prev_path = _os.path.join(
         _tf.gettempdir(), f"spark_graft_acs_prev_{key}"
     )
@@ -9938,7 +9945,12 @@ def q374_acs_vintage_stream(spark, sf_dir):
     from synth_catalog import ensure_fixture, incremental_mutation_cvs
 
     grid = ["tract", "borough", "city"]
-    key = _hl.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # same stale-artifact guard as q367: SPEC_VERSION in the cache key
+    from synth_catalog import SPEC_VERSION as _SPECV
+
+    key = _hl.md5(
+        f"{_os.path.abspath(sf_dir)}|acs|2019|v{_SPECV}".encode()
+    ).hexdigest()[:10]
     tmp = _tf.gettempdir()
     prev_path = _os.path.join(tmp, f"spark_graft_acs_prev_{key}")
     eng_old = _catalog_batch_engine(spark, sf_dir, "acs", 2019)
@@ -10070,6 +10082,179 @@ def q378_acs2020_catalog_batch(spark, sf_dir):
     empty unions); this pins that they don't."""
     eng = _catalog_batch_engine(spark, sf_dir, "acs", 2020)
     out = eng.calculate_batch_catalog(["borough", "city"])
+    return out.orderBy("geotype", "pff_variable", "census_geoid")
+
+
+def _decennial_2010_engine(spark, sf_dir):
+    """FactFinderEngine for the DECENNIAL 2010 catalog on the 2010
+    geography (reference geography/2010.py:186-205 registers decennial
+    rollups: tract→NTA/cd, block→cd flood/park zones), with a
+    deterministic BLOCK-grain lookup fixture derived from ``customer``
+    (mirrored by synth_catalog.decennial_2010_agg_oracle_sql): block
+    bid = c_custkey % 600 → tract gid = bid % 200, block code
+    '100'+(bid//200+1); NTA 'BK'+(gid%10), cd '7903'+(gid%5); zone
+    flags fp_100: bid%4, fp_500: bid%3, park_access: bid%2."""
+    from pyspark.sql import functions as _F
+
+    from db_factfinder_spark.catalog import Catalog
+    from db_factfinder_spark.operators.vertical import (
+        AggregatedGeography2010,
+        prepare_lookup_geo_2010,
+    )
+    from db_factfinder_spark.plans.planner import (
+        FactFinderEngine,
+        ParquetWideSource,
+    )
+    from synth_catalog import N_BLOCKS, N_TRACTS, ensure_fixture
+
+    root = ensure_fixture(sf_dir, "decennial", 2010)
+    cat = Catalog.from_registry("decennial", 2010)
+    cust = _t(spark, sf_dir, "customer")
+    bids = cust.select(
+        (_F.col("c_custkey") % N_BLOCKS).alias("bid")
+    ).distinct()
+    gid = _F.col("bid") % N_TRACTS
+    tract6 = _F.lpad(gid.cast("string"), 6, "0")
+    block4 = _F.concat(
+        _F.lit("100"), (_F.col("bid") / N_TRACTS + 1).cast("int").cast("string")
+    )
+    flag = lambda m: (  # noqa: E731
+        (_F.col("bid") % m == 0).cast("int").cast("string")
+    )
+    lookup_raw = bids.select(
+        _F.lit("36047").alias("county_fips"),
+        _F.concat(tract6, block4).alias("ctcb2010"),
+        tract6.alias("ct2010"),
+        _F.concat(
+            _F.lit("BK"), _F.lpad((gid % 10).cast("string"), 2, "0")
+        ).alias("nta"),
+        _F.concat(
+            _F.lit("7903"), _F.lpad((gid % 5).cast("string"), 2, "0")
+        ).alias("cd"),
+        flag(4).alias("fp_100"),
+        flag(3).alias("fp_500"),
+        flag(2).alias("park_access"),
+    )
+    geo = AggregatedGeography2010(prepare_lookup_geo_2010(lookup_raw))
+    return FactFinderEngine(spark, cat, geo, ParquetWideSource(spark, root))
+
+
+def q380_decennial2010_full_grid(spark, sf_dir):
+    """The decennial production grid END-TO-END through the set-based
+    batch — the last path asymmetry closed (r9 VERDICT ask 1): the
+    full 25-variable decennial 2010 catalog × native tract/borough/
+    city PLUS every aggregated geotype the reference's 2010 registry
+    registers for decennial (geography/2010.py:186-205): tract→NTA and
+    tract→cd direct dimension rollups (no crosswalk hop) and the
+    block-grain cd flood-plain/park-access zone rollups.  One tract
+    melt shared between the native and aggregated halves, one block
+    melt shared by the three zones; (unit × variable) spines keep the
+    24 empty-column placeholder variables at e=0 rows and flagged-but-
+    factless zones at e=0/m=0, exactly like the per-variable
+    ``tract_to_dimension_2010`` / ``block_to_zone_2010`` paths (pinned
+    bit-identical in tests/test_catalog_batch.py).  Decennial margins
+    are NULL natively and fold to 0.0 at every aggregated geotype via
+    the NaN→0 agg_moe; 2010 labs formatting (CT2010/Boro2010/City2010/
+    NTA2010, '79…' CD codes → last-4) closes the pipeline."""
+    eng = _decennial_2010_engine(spark, sf_dir)
+    out = eng.calculate_batch_catalog(
+        [
+            "tract", "borough", "city",
+            "NTA", "cd", "cd_fp_100", "cd_fp_500", "cd_park_access",
+        ]
+    )
+    return out.orderBy("geotype", "pff_variable", "census_geoid")
+
+
+def q381_acs2010_catalog_batch(spark, sf_dir):
+    """Vintage generality, 2010 ACS: the packaged 2010 catalog (full
+    median/special sidecars, a census-column map older than any other
+    vintage, and the year-gated poverty rule — ``cat.year == 2010``
+    disables the _pct twin join, calculate.py's year guard) through
+    the unchanged set-based batch at borough/city.  With q377/q378 and
+    q382 this closes the five-vintage oracle matrix."""
+    eng = _catalog_batch_engine(spark, sf_dir, "acs", 2010)
+    out = eng.calculate_batch_catalog(["borough", "city"])
+    return out.orderBy("geotype", "pff_variable", "census_geoid")
+
+
+def q382_acs2021_manual_update(spark, sf_dir):
+    """The 2021 vintage's REAL production role (closing the
+    five-vintage matrix with q377/q378/q381): the reference's 2021
+    metadata.json carries NO census columns at all (every entry is
+    ``{pff_variable, base_variable, domain, category}``), so the
+    calculate path cannot run it — the one pipeline that consumes it
+    is the MANUAL UPDATE (reference acs_manual_update.py:32,81: year
+    choice '2021' → sheet suffix '1721', known-variable semi-join
+    against the catalog).  This entry runs that pipeline end-to-end:
+    the 2021 sheet-name registry (Dem1721/Social1721/Econ1721/
+    Housing1721 — no _Inflated marker), four synthetic workbook
+    sheets, and the PACKAGED 2021 catalog's 1,015 pff names as the
+    semi-join list — real 2021 variables survive (pop_1, hsp1, ea_bchdh,
+    mdage), an off-vintage name (lep1 — present in 2019, absent in
+    2021) and an unknown name drop."""
+    from db_factfinder_spark.catalog import Catalog
+    from db_factfinder_spark.pipelines import manual_update_sheet_names
+
+    sheets_reg = manual_update_sheet_names("2021")
+    assert [s for s, _ in sheets_reg] == [
+        "Dem1721", "Social1721", "Econ1721", "Housing1721"
+    ]
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+
+    def sheet(vars_, src, keycol, prefix):
+        cols = [
+            F.when(F.col(keycol) % 7 == 0, F.lit(None).cast("string"))
+            .otherwise(F.lit("NTA2020"))
+            .alias("GeoType"),
+            F.concat(F.lit(prefix), F.col(keycol).cast("string")).alias(
+                "GeoID"
+            ),
+        ]
+        for j, v in enumerate(vars_):
+            cols += [
+                (F.col(keycol) * (10 + j)).cast("double").alias(f"{v}E"),
+                (F.col(keycol) + j + 1).cast("double").alias(f"{v}M"),
+            ]
+        cols.append(F.col(f"{prefix.lower()}_name").alias("Unnamed: 9"))
+        return src.select(*cols)
+
+    reg_n = reg.select(
+        F.col("r_regionkey").alias("n_nationkey"),
+        F.col("r_name").alias("n_name"),
+    )
+    frames = [
+        # real 2021 names per domain + per-sheet drop candidates
+        (sheet(["Pop_1", "Mdage"], nat, "n_nationkey", "N"), "demographic"),
+        (sheet(["Hsp1", "Lep1"], nat, "n_nationkey", "N"), "social"),
+        (sheet(["Ea_bchdh", "MysteryVar"], reg_n, "n_nationkey", "N"),
+         "economic"),
+        (sheet(["Mdhhinc"], nat, "n_nationkey", "N"), "housing"),
+    ]
+    known = [
+        m["pff_variable"]
+        for m in Catalog.from_registry("acs", 2021).metadata
+    ]
+    out = manual_update(spark, frames, known)
+    return out.orderBy("domain", "pff_variable", "labs_geoid")
+
+
+def q383_cross_vintage_change_table(spark, sf_dir):
+    """Cross-vintage analytics capstone (r9 VERDICT ask 6): the
+    2018→2019 change table — per (variable × geotype × unit) the
+    estimate delta with the ACS difference MOE ``sqrt(m₁² + m₂²)``
+    (the F6 wrkrnothm quadrature applied ACROSS vintages).  TWO
+    catalogs ride ONE lazy plan: each vintage's set-based batch
+    (different column maps, medians, specials) inner-joins on the
+    published grain, so the join input is output-sized at any scale.
+    NULL (suppressed) statistics propagate to NULL deltas; sqrt is
+    IEEE-exact so the quadrature is bit-stable without rounding."""
+    from db_factfinder_spark.pipelines import vintage_change_table
+
+    eng_new = _catalog_batch_engine(spark, sf_dir, "acs", 2019)
+    eng_old = _catalog_batch_engine(spark, sf_dir, "acs", 2018)
+    out = vintage_change_table(eng_new, eng_old, ["borough", "city"])
     return out.orderBy("geotype", "pff_variable", "census_geoid")
 
 
@@ -10456,6 +10641,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q376_within_doc_line_dedup": q376_within_doc_line_dedup,
         "q377_acs2018_catalog_batch": q377_acs2018_catalog_batch,
         "q378_acs2020_catalog_batch": q378_acs2020_catalog_batch,
+        "q380_decennial2010_full_grid": q380_decennial2010_full_grid,
+        "q381_acs2010_catalog_batch": q381_acs2010_catalog_batch,
+        "q382_acs2021_manual_update": q382_acs2021_manual_update,
+        "q383_cross_vintage_change_table": q383_cross_vintage_change_table,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

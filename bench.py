@@ -105,6 +105,8 @@ HEADLINE = [
     "q364_ivf_pq_topk",             # inverted lists + compressed codes
     "q365_acs_production_run",      # THE shipped artifact: full grid + CSV sink
     "q366_acs_catalog_batch_zones", # block-group zone rollups, set-based
+    "q380_decennial2010_full_grid", # decennial grid: native + 2010 rollups
+    "q383_cross_vintage_change_table",  # two vintage batches in ONE plan
     # q198_bootstrap_ci is deliberately NOT a headline entry: its warm
     # time is ~95% driver-side Catalyst/AQE assembly of the 64-wide
     # aggregate tree (re-execution of the built plan runs in ~0.2 s,
@@ -245,6 +247,22 @@ def main() -> None:
         "host_calibration": host_cal,
         "cold_total": round(sum(cold.values()), 3),
         "reexec_total": round(sum(reexec.values()), 3),
+        # committed build/exec split for the catalog-batch entries
+        # (VERDICT r9 ask 5): bench_detail.json is gitignored, so the
+        # split for the plan-heavy entries rides the committed file —
+        # a round-over-round plan-cost regression now diffs in git
+        "plan_exec_split": {
+            name: {"build": plan_build[name], "exec": reexec[name]}
+            for name in (
+                "q331_acs_full_catalog_batch",
+                "q337_acs_catalog_batch_nta",
+                "q365_acs_production_run",
+                "q366_acs_catalog_batch_zones",
+                "q380_decennial2010_full_grid",
+                "q383_cross_vintage_change_table",
+            )
+            if name in plan_build
+        },
         "detail": "bench_detail.json",
     }
     # Driver-proof artifact (VERDICT r6 ask #6): also WRITE the

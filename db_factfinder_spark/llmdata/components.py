@@ -976,6 +976,20 @@ def adamic_adar(
         F.count(F.lit(1)).alias("deg")
     )
     if max_degree is not None:
+        # one-time plan-level marker, like cap_hot_buckets: a caller on
+        # the default cap can tell a lower-bound run from an exact one
+        from db_factfinder_spark.llmdata import dedup as _dd
+
+        if not _dd._CAP_LOGGED:
+            _dd._CAP_LOGGED = True
+            import logging
+
+            logging.getLogger(__name__).info(
+                "adamic_adar: hub cap %d is active — scores are a "
+                "LOWER BOUND if any middle vertex exceeds the cap; "
+                "pass max_degree=None for exact semantics",
+                max_degree,
+            )
         deg = deg.filter(F.col("deg") <= max_degree)
     # adjacency keyed by the middle vertex, each row carrying the
     # middle's quantized discount so the wedge join needs no third join

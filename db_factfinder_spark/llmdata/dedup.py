@@ -29,6 +29,10 @@ from typing import NamedTuple
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# one-time marker that a default-on bucket cap is in effect (see
+# cap_hot_buckets) — plan-level, since actual drops are data-dependent
+_CAP_LOGGED = False
+
 from db_factfinder_spark.functions.expr import let
 from db_factfinder_spark.llmdata.checkpointing import materialize
 from db_factfinder_spark.llmdata.textstats import fingerprint, normalize_text, tokens
@@ -50,9 +54,27 @@ def cap_hot_buckets(
 
     Cost: one window count partitioned by the bucket key — the same key
     the self-join shuffles on, so AQE/exchange-reuse keeps it to one
-    extra pass, no extra all-to-all.  ``max_bucket=None`` disables."""
+    extra pass, no extra all-to-all.  ``max_bucket=None`` disables.
+
+    A one-time (per-process) log line marks the plan as CAPPED so a
+    caller on the default cap can tell a lower-bound result from an
+    exact one without reading the docstring; whether the cap actually
+    dropped rows is data-dependent and only knowable at action time,
+    so the marker is plan-level by design."""
     if max_bucket is None:
         return df
+    global _CAP_LOGGED
+    if not _CAP_LOGGED:
+        _CAP_LOGGED = True
+        import logging
+
+        logging.getLogger(__name__).info(
+            "cap_hot_buckets: bucket cap %d is active on %s — results "
+            "are a SUBSET of the exact pair set if any bucket exceeds "
+            "the cap; pass max_*=None for exact semantics",
+            max_bucket,
+            key_cols,
+        )
     w = Window.partitionBy(*key_cols)
     return (
         df.withColumn("__bucket_n", F.count(F.lit(1)).over(w))

@@ -186,9 +186,13 @@ def dedup_lines_within_doc(
     scraped documents whose template repeats blocks inside one page
     (cookie banners between sections, duplicated nav footers):
     keep each line's FIRST occurrence in document order, where
-    occurrence identity is the normalized ``line_key``; empty-key
-    lines (whitespace/punctuation-only) always survive — they are
-    layout, not content.  Complements ``line_dedup`` (corpus-level
+    occurrence identity is the normalized ``line_key``; whitespace-
+    blank lines (``trim(raw) == ''``) always survive — they are
+    layout, not content.  (Punctuation-only separators like a
+    repeated ``---`` rule are NOT exempt: they share a ``line_key``
+    and dedup like content — deliberate, since a template repeating
+    its rule is exactly the boilerplate this removes.)  Complements
+    ``line_dedup`` (corpus-level
     CCNet dedup): this one never crosses documents, so it is a pure
     per-row array computation — zero shuffles, zero joins, runs at
     scan speed on 100 TB.

@@ -413,3 +413,64 @@ def production_acs_run(
             cached.unpersist()
         engine._batch_caches = []
     return out
+
+
+def vintage_change_table(
+    engine_new,
+    engine_old,
+    geotypes: list[str],
+    variables: list[str] | None = None,
+) -> DataFrame:
+    """Cross-vintage change table — the analytics product a census user
+    builds next once two ACS vintages are published: per (variable ×
+    geotype × geography unit), the estimate delta with the MOE of the
+    difference ``sqrt(m_new² + m_old²)`` (the standard ACS
+    difference-of-estimates formula — the same quadrature the
+    reference's wrkrnothm special applies to a within-vintage
+    difference, special.py / reference median.py conventions).
+
+    Both vintages ride ONE lazy plan: each engine contributes its
+    set-based catalog batch (plans/batch.py) and the two published
+    frames inner-join on (geotype, geoid, variable) — variables or
+    units present in only one vintage drop, like a SQL change table.
+    NULL statistics (suppressed cells) propagate to NULL deltas.
+
+    Scale shape: the join keys on the published-output grain (bounded
+    by the catalog × geography, not the wide source), and both sides
+    arrive pre-aggregated — at 100 TB the join input is the two
+    output-sized frames, never the scans."""
+    new = engine_new.calculate_batch_catalog(
+        geotypes, variables=variables, tag_domain=False
+    )
+    old = engine_old.calculate_batch_catalog(
+        geotypes, variables=variables, tag_domain=False
+    )
+    keys = ["census_geoid", "geotype", "pff_variable"]
+    n = new.select(
+        *keys,
+        F.col("labs_geoid"),
+        F.col("labs_geotype"),
+        F.col("e").alias("e_new"),
+        F.col("m").alias("m_new"),
+    )
+    o = old.select(
+        *keys,
+        F.col("e").alias("e_old"),
+        F.col("m").alias("m_old"),
+    )
+    j = n.join(o, keys, "inner")
+    # + 0.0 canonicalizes a signed-zero delta; sqrt is IEEE-exact so
+    # the quadrature is bit-stable across engines without rounding
+    return j.select(
+        *keys,
+        "labs_geoid",
+        "labs_geotype",
+        "e_new",
+        "e_old",
+        (F.col("e_new") - F.col("e_old") + F.lit(0.0)).alias("delta_e"),
+        "m_new",
+        "m_old",
+        F.sqrt(
+            F.col("m_new") * F.col("m_new") + F.col("m_old") * F.col("m_old")
+        ).alias("delta_m"),
+    )

@@ -86,19 +86,22 @@ def calculate_batch_catalog(
     (dynamic-allocation clusters), ``"none"`` keeps the pure lazy plan
     (plan-inspection tests)."""
     aggregated = set(engine.geo.aggregated_geography)
+    is_2010 = getattr(engine.geo, "name", "") == "2010"
+    agg_dim = AGG2010_DIM if is_2010 else AGG2020_DIM
+    zone_dim = ZONE2010_DIM if is_2010 else ZONE2020_DIM
     bad = [
         g
         for g in geotypes
-        if g in aggregated and g not in AGG2020_DIM and g not in ZONE2020_DIM
+        if g in aggregated and g not in agg_dim and g not in zone_dim
     ]
     if bad:
         raise NotImplementedError(
             f"calculate_batch_catalog: aggregated geotypes {bad} take "
             "the per-variable rollup path (calculate_batch)"
         )
-    zone_geos = [g for g in geotypes if g in ZONE2020_DIM and g in aggregated]
+    zone_geos = [g for g in geotypes if g in zone_dim and g in aggregated]
     agg_geos = [
-        g for g in geotypes if g in aggregated and g not in ZONE2020_DIM
+        g for g in geotypes if g in aggregated and g not in zone_dim
     ]
     native_geos = [g for g in geotypes if g not in aggregated]
     cat, spark = engine.catalog, engine.spark
@@ -135,23 +138,33 @@ def calculate_batch_catalog(
         )
         engine._batch_caches.append(native_agg)
         frames.append(native_out)
-        if "tract" in native_geos and agg_geos and cat.source == "acs":
+        if "tract" in native_geos and agg_geos:
             # the aggregated chain's tract fold is value-identical to
             # the native fold's tract slice (integer-exact sums, no
-            # controlled masking at tract, no PE/PM in the fold) —
-            # reuse the persisted native fold so the production grid
-            # scans the tract wide table ONCE, not once per half
+            # controlled masking at tract, no PE/PM in the fold;
+            # decennial margins fold to 0.0 either way) — reuse the
+            # persisted native fold so the production grid scans the
+            # tract wide table ONCE, not once per half
             shared_tract = native_agg.filter(
                 F.col("geotype") == "tract"
             ).select("census_geoid", "pff", "e", "m")
     if agg_geos:
-        frames += _aggregated_2020_frames(
+        agg_fn = _aggregated_2010_frames if is_2010 else _aggregated_2020_frames
+        frames += agg_fn(
             engine, agg_geos, vars_, varmap, tag_domain, checkpoint_mode,
             agg_tract=shared_tract,
         )
     if zone_geos:
+        # the 2010 registry rolls zones up from the BLOCK grain for
+        # decennial and the block-group grain for acs
+        # (reference geography/2010.py:186-205, 2010_to_2020.py:200-219)
+        if is_2010 and cat.source == "decennial":
+            grain, grain_col = "block", "geoid_block"
+        else:
+            grain, grain_col = "block group", "geoid_block_group"
         frames += _zone_frames(
-            engine, zone_geos, vars_, varmap, tag_domain, checkpoint_mode
+            engine, zone_geos, vars_, varmap, tag_domain, checkpoint_mode,
+            zone_dims=zone_dim, grain_geotype=grain, grain_col=grain_col,
         )
     out = frames[0]
     for f in frames[1:]:
@@ -467,6 +480,21 @@ ZONE2020_DIM = {
     "cdta_park_access": "cdta_park_access",
 }
 
+# 2010-geography tract-sourced rollups (reference geography/2010.py:
+# 55-65, 171-205): output geotype → lookup dimension column.  Unlike
+# the 2020 registry there is NO crosswalk hop — tracts join the
+# dimension directly, for BOTH sources (acs and decennial).
+AGG2010_DIM = {"NTA": "nta", "cd": "cd"}
+
+# 2010-geography CD zone rollups (reference geography/2010.py:67-169):
+# block grain for decennial, block-group grain for acs — the grain is
+# chosen by the caller; the prepared-lookup zone columns are shared
+ZONE2010_DIM = {
+    "cd_fp_100": "cd_fp_100",
+    "cd_fp_500": "cd_fp_500",
+    "cd_park_access": "cd_park_access",
+}
+
 
 def _classify_aggregated(cat, variables):
     """Per-variable attributes at an AGGREGATED geotype (the other
@@ -710,6 +738,133 @@ def _one_aggregated_geotype(
     )
 
 
+def _aggregated_2010_frames(
+    engine,
+    geotypes: list[str],
+    variables,
+    varmap,
+    tag_domain: bool,
+    checkpoint_mode: str = "local",
+    agg_tract: DataFrame | None = None,
+) -> list[DataFrame]:
+    """Set-based full-catalog batch at the 2010 geography's
+    tract-sourced rollups (NTA / cd — reference geography/2010.py:
+    55-65, 171-205).  Unlike the 2020 chain there is no crosswalk hop:
+
+        tract melt-agg (one scan, one fold shuffle — or the shared
+        native tract fold) [MATERIALIZED ONCE, shared by every
+        requested geotype] → per geotype: broadcast dimension join +
+        dimension fold, LEFT-joined onto a (unit × variable) spine so
+        catalog variables with EMPTY census-column lists (the
+        decennial placeholders) keep e=0 rows at the rollup grain
+        exactly like the per-variable ``tract_to_dimension_2010`` over
+        ``load_e_m``'s all-rows frame → the shared aggregated assembly
+        tail (grouped medians / specials when the catalog has them —
+        the decennial sidecars are empty and the branch sets
+        degenerate cleanly, the q378 pin).
+
+    Works for BOTH sources: decennial margins are NULL at tract grain
+    and the NaN→0 ``agg_moe`` turns them into 0.0 at the dimension —
+    identical to the batch fold's √Σcoalesce(m²,0) = 0.0 over the
+    all-NULL melt margins of raw P-columns."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from db_factfinder_spark.functions.stats import agg_moe, sum_skipna
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+    from db_factfinder_spark.operators.median import median_struct
+
+    cat = engine.catalog
+    spark = engine.spark
+    attr = _classify_aggregated(cat, variables)
+    varattr = spark.createDataFrame(
+        attr,
+        "pff string, domain string, rnd int, cls string, pz string,"
+        " base string, medbase string",
+    )
+    meta = cat.metadata
+    cvs = sorted({cv for m in meta for cv in m["census_variable"]})
+
+    def _mat(df: DataFrame) -> DataFrame:
+        if checkpoint_mode == "none":
+            cached = df.persist()
+            getattr(engine, "_batch_caches", []).append(cached)
+            return cached
+        return materialize(df, checkpoint_mode)
+
+    med_specs = {mv: cat.median_spec(mv) for mv in cat.median_variables}
+
+    def _build_structs():
+        return {
+            mv: median_struct(spec, [F.col(v) for v in spec.input_variables])
+            for mv, spec in med_specs.items()
+        }
+
+    # overlap fold materialization with the driver-side struct build
+    # (same multi-threaded-driver pattern as the CT20 chain); when the
+    # caller shares the native batch's persisted tract fold, reuse it
+    # as-is — it is already materialized
+    shared = agg_tract is not None
+    with ThreadPoolExecutor(2) as ex:
+        f_tr = (
+            None
+            if shared
+            else ex.submit(lambda: _mat(_tract_fold(engine, varmap, cvs)))
+        )
+        f_structs = ex.submit(_build_structs)
+        tract_src = agg_tract if shared else f_tr.result()
+        med_structs = f_structs.result()
+
+    pff_list = F.broadcast(
+        spark.createDataFrame(
+            [(p,) for p in sorted({m["pff_variable"] for m in meta})],
+            "pff string",
+        )
+    )
+    # dimension units key off tracts PRESENT IN THE SOURCE (load_e_m
+    # emits every wide row even for placeholder variables) — a pruned
+    # geo-column scan, never the melt
+    units = make_census_geoid(engine.source._read("tract"), "tract").select(
+        "census_geoid"
+    )
+
+    def _one(geotype: str) -> DataFrame:
+        dim_col = AGG2010_DIM[geotype]
+        dim = engine.geo.lookup.select("geoid_tract", dim_col).distinct()
+        dims = (
+            units.join(
+                F.broadcast(dim),
+                units["census_geoid"] == dim["geoid_tract"],
+            )
+            .select(F.col(dim_col).alias("unit"))
+            .distinct()
+        )
+        matched = (
+            tract_src.join(
+                F.broadcast(dim),
+                tract_src["census_geoid"] == dim["geoid_tract"],
+            )
+            .groupBy(F.col(dim_col).alias("unit"), "pff")
+            .agg(sum_skipna("e").alias("e"), agg_moe("m").alias("m"))
+        )
+        agg2 = _mat(
+            dims.crossJoin(pff_list)
+            .join(matched, ["unit", "pff"], "left")
+            .select(
+                F.col("unit").alias("census_geoid"),
+                "pff",
+                F.coalesce("e", F.lit(0.0)).alias("e"),
+                F.coalesce("m", F.lit(0.0)).alias("m"),
+            )
+        )
+        return _aggregated_assembly(
+            engine, geotype, attr, varattr, agg2, med_specs, med_structs,
+            tag_domain,
+        )
+
+    with ThreadPoolExecutor(max(1, len(geotypes))) as ex:
+        return list(ex.map(_one, geotypes))
+
+
 def _aggregated_assembly(
     engine,
     geotype: str,
@@ -743,51 +898,56 @@ def _aggregated_assembly(
     )
 
     # ---- grouped medians: ONE shared bin pivot, prebuilt structs ----
-    all_bins = sorted(
-        {v for spec in med_specs.values() for v in spec.input_variables}
-    )
-    wide_med = pivot_e(
-        long2.filter(F.col("pff_variable").isin(all_bins)), all_bins
-    )
-    med_frames = {
-        mv: calculate_median(
-            wide_med, spec, geotype, struct=med_structs[mv]
+    # (empty branch sets — the decennial sidecars — degenerate to no
+    # frames at all; the q378 empty-catalog pin at native grain)
+    med_frames: dict[str, DataFrame] = {}
+    if med_specs:
+        all_bins = sorted(
+            {v for spec in med_specs.values() for v in spec.input_variables}
         )
-        for mv, spec in med_specs.items()
-    }
+        wide_med = pivot_e(
+            long2.filter(F.col("pff_variable").isin(all_bins)), all_bins
+        )
+        med_frames = {
+            mv: calculate_median(
+                wide_med, spec, geotype, struct=med_structs[mv]
+            )
+            for mv, spec in med_specs.items()
+        }
 
     # ---- special formulas: ONE shared member pivot ------------------
     # (wrkrnothm first: mntrvtm consumes its SPECIAL values)
     order = [s for s in ("wrkrnothm",) if s in cat.special_variables]
     order += [s for s in cat.special_variables if s not in order]
-    all_members = {
-        b for s in order for b in cat.special_spec(s).base_variables
-    }
-    special_set = set(order)
-    plain_members = sorted(b for b in all_members if b not in special_set)
-    wide_spec = pivot_e_m(
-        long2.filter(F.col("pff_variable").isin(plain_members)).select(
-            "census_geoid", "pff_variable", "e", "m"
-        ),
-        plain_members,
-    )
     spec_results: dict[str, DataFrame] = {}
-    for s in order:
-        spec = cat.special_spec(s)
-        piv = wide_spec
-        for b in spec.base_variables:
-            if b in spec_results:  # special member → its SPECIAL values
-                piv = piv.join(
-                    spec_results[b].select(
+    if order:
+        all_members = {
+            b for s in order for b in cat.special_spec(s).base_variables
+        }
+        special_set = set(order)
+        plain_members = sorted(b for b in all_members if b not in special_set)
+        wide_spec = pivot_e_m(
+            long2.filter(F.col("pff_variable").isin(plain_members)).select(
+                "census_geoid", "pff_variable", "e", "m"
+            ),
+            plain_members,
+        )
+        for s in order:
+            spec = cat.special_spec(s)
+            piv = wide_spec
+            for b in spec.base_variables:
+                if b in spec_results:  # special member → its SPECIAL values
+                    piv = piv.join(
+                        spec_results[b].select(
+                            "census_geoid",
+                            F.col("e").alias(f"{b}e"),
+                            F.col("m").alias(f"{b}m"),
+                        ),
                         "census_geoid",
-                        F.col("e").alias(f"{b}e"),
-                        F.col("m").alias(f"{b}m"),
-                    ),
-                    "census_geoid",
-                    "left",
-                )
-        out = SPECIAL_FUNCTIONS[s](piv)
-        spec_results[s] = out.select("census_geoid", "e", "m")
+                        "left",
+                    )
+            out = SPECIAL_FUNCTIONS[s](piv)
+            spec_results[s] = out.select("census_geoid", "e", "m")
 
     # ---- assemble e/m per class --------------------------------------
     plain_pffs = [p for p, (_, _, _, cls, *_r) in (
@@ -831,11 +991,13 @@ def _aggregated_assembly(
         )
         med_union = part if med_union is None else med_union.unionByName(part)
 
-    df = (
-        em.join(F.broadcast(varattr), "pff")
-        .join(base_vals, ["census_geoid", "base"], "left")
-        .join(med_union, ["census_geoid", "medbase"], "left")
+    df = em.join(F.broadcast(varattr), "pff").join(
+        base_vals, ["census_geoid", "base"], "left"
     )
+    if med_union is not None:
+        df = df.join(med_union, ["census_geoid", "medbase"], "left")
+    else:  # no medians in the catalog → no medbase children possible
+        df = df.withColumns({"mb_e": _null(), "mb_m": _null()})
     pz = F.col("pz")
     e = F.col("e")
     m = F.col("m")
@@ -912,25 +1074,32 @@ def _zone_frames(
     varmap,
     tag_domain: bool,
     checkpoint_mode: str = "local",
+    zone_dims: dict[str, str] | None = None,
+    grain_geotype: str = "block group",
+    grain_col: str = "geoid_block_group",
 ) -> list[DataFrame]:
-    """Set-based full-catalog batch at the block-group ZONE geotypes
-    (reference 2010_to_2020.py:144-197 — flood-plain / park-access
-    rollups ride the BLOCK GROUP download grain, not the tract
-    crosswalk):
+    """Set-based full-catalog batch at the ZONE geotypes
+    (reference 2010_to_2020.py:144-197 and geography/2010.py:67-169 —
+    flood-plain / park-access rollups ride a download grain, not the
+    tract crosswalk: block group for the 2020 registry and for 2010
+    acs, BLOCK for 2010 decennial — the caller picks ``grain_geotype``
+    / ``grain_col`` / ``zone_dims``):
 
-        block-group melt-agg (one scan, one fold shuffle — shared by
+        grain melt-agg (one scan, one fold shuffle — shared by
         every requested zone geotype) → per geotype: broadcast
         flag-gated zone dimension join + zone fold, LEFT-joined back
         onto the (zone × variable) spine so flagged zones with no
         facts keep e=0/m=0 rows exactly like the per-variable
-        ``block_group_to_zone`` (vertical.py:137) → the shared
-        aggregated assembly tail (grouped medians, special formulas,
-        base / median-base p-z, rounding, cleaning, labs).
+        ``block_group_to_zone`` / ``block_to_zone_2010``
+        (vertical.py:137, :321) → the shared aggregated assembly tail
+        (grouped medians, special formulas, base / median-base p-z,
+        rounding, cleaning, labs).
 
-    Exactness: block-group e values are integers and m = √S with
+    Exactness: grain e values are integers and m = √S with
     integer S (fl(m²) == S), so every zone fold is an integer sum —
     order-free across engines and partitionings, the q337 argument at
-    block-group grain."""
+    the download grain.  Decennial margins are NULL in the melt and
+    fold to 0.0, matching the per-variable ``agg_moe`` path."""
     from concurrent.futures import ThreadPoolExecutor
 
     from db_factfinder_spark.functions.stats import agg_moe, sum_skipna
@@ -939,11 +1108,8 @@ def _zone_frames(
 
     cat = engine.catalog
     spark = engine.spark
-    if cat.source != "acs":
-        raise NotImplementedError(
-            "zone set-based batch: acs source only (the 2010_to_2020 "
-            "geography registers no decennial rollups)"
-        )
+    if zone_dims is None:
+        zone_dims = ZONE2020_DIM
     attr = _classify_aggregated(cat, variables)
     varattr = spark.createDataFrame(
         attr,
@@ -960,8 +1126,8 @@ def _zone_frames(
             return cached
         return materialize(df, checkpoint_mode)
 
-    # ---- block-group melt + scrub + horizontal fold (ONCE) ----------
-    raw = make_census_geoid(engine.source._read("block group"), "block group")
+    # ---- grain melt + scrub + horizontal fold (ONCE) ----------------
+    raw = make_census_geoid(engine.source._read(grain_geotype), grain_geotype)
     long = raw.selectExpr("census_geoid", _stack_expr(cvs, set()))
     e0 = F.col("E_raw")
     m0 = (
@@ -1010,16 +1176,16 @@ def _zone_frames(
     )
 
     def _one_zone(geotype: str) -> DataFrame:
-        zone_col = ZONE2020_DIM[geotype]
+        zone_col = zone_dims[geotype]
         dim = (
             engine.geo.lookup.filter(F.col(zone_col).isNotNull())
-            .select("geoid_block_group", zone_col)
+            .select(grain_col, zone_col)
             .distinct()
         )
         matched = (
             agg_bg.join(
                 F.broadcast(dim),
-                agg_bg["census_geoid"] == dim["geoid_block_group"],
+                agg_bg["census_geoid"] == dim[grain_col],
             )
             .groupBy(F.col(zone_col).alias("zone"), "pff")
             .agg(sum_skipna("e").alias("e"), agg_moe("m").alias("m"))
@@ -1143,5 +1309,11 @@ def incremental_catalog_update(
         variables=sorted(affected),
         checkpoint_mode=checkpoint_mode,
     )
-    untouched = prev.filter(F.col("pff_variable").isin(keep))
+    # the geotype filter is load-bearing when ``prev`` was built over a
+    # WIDER grid than requested: without it, stale rows for
+    # unrequested geotypes would splice through while the recompute
+    # only covers the requested grid
+    untouched = prev.filter(F.col("pff_variable").isin(keep)).filter(
+        F.col("geotype").isin(list(geotypes))
+    )
     return untouched.unionByName(recomputed)

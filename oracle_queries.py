@@ -10915,3 +10915,97 @@ ORACLES["q377_acs2018_catalog_batch"] = _fc_sql(
 ORACLES["q378_acs2020_catalog_batch"] = _fc_sql(
     "acs", 2020, ["borough", "city"]
 )
+
+
+# q380: decennial through the set-based batch — the full 25-variable
+# 2010 decennial catalog over native tract/borough/city (2010 labs
+# labels) plus every aggregated geotype the 2010 registry registers
+# for decennial (NTA / cd direct tract rollups, block-grain cd zones).
+from synth_catalog import (  # noqa: E402
+    decennial_2010_full_oracle_sql as _dec10_sql,
+)
+
+ORACLES["q380_decennial2010_full_grid"] = _dec10_sql()
+
+# q381: the 2010 ACS vintage (full sidecars, oldest column map,
+# year-gated poverty rule) through the same generated oracle.
+ORACLES["q381_acs2010_catalog_batch"] = _fc_sql(
+    "acs", 2010, ["borough", "city"]
+)
+
+
+# q382: the 2021 vintage's real production role — its metadata carries
+# NO census columns (manual-update-only in the reference), so the
+# oracle replays the 2021 manual-update run: four 1721-suffix sheets
+# melted, null-geotype rows dropped, semi-joined against the PACKAGED
+# 2021 catalog's full 1,015-name list.
+def _manual_2021_sql() -> str:
+    from synth_catalog import load_meta as _lm
+
+    known = ",\n  ".join(
+        "('" + m["pff_variable"].replace("'", "''") + "')"
+        for m in _lm("acs", 2021)
+    )
+    var_rows = []
+    for domain, src, vars_ in (
+        ("demographic", "nation", ["pop_1", "mdage"]),
+        ("social", "nation", ["hsp1", "lep1"]),
+        ("economic", "region", ["ea_bchdh", "mysteryvar"]),
+        ("housing", "nation", ["mdhhinc"]),
+    ):
+        key = "n_nationkey" if src == "nation" else "r_regionkey"
+        for j, v in enumerate(vars_):
+            var_rows.append(f"""
+  SELECT '{domain}' AS domain, '{v}' AS pff_variable,
+    CASE WHEN {key} % 7 = 0 THEN NULL ELSE 'NTA2020' END
+      AS labs_geotype,
+    'N' || CAST({key} AS VARCHAR) AS labs_geoid,
+    CAST({key} * {10 + j} AS DOUBLE) AS e,
+    CAST({key} + {j + 1} AS DOUBLE) AS m
+  FROM {src}""")
+    return f"""
+WITH known(pff_variable) AS (VALUES
+  {known}),
+melted AS ({" UNION ALL ".join(var_rows)})
+SELECT CAST(NULL AS VARCHAR) AS census_geoid,
+  labs_geoid,
+  CAST(NULL AS VARCHAR) AS geotype,
+  labs_geotype,
+  m.pff_variable,
+  CAST(NULL AS DOUBLE) AS c, e, m.m,
+  CAST(NULL AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS z,
+  domain
+FROM melted m JOIN known k USING (pff_variable)
+WHERE labs_geotype IS NOT NULL
+ORDER BY domain, m.pff_variable, labs_geoid
+"""
+
+
+ORACLES["q382_acs2021_manual_update"] = _manual_2021_sql()
+
+
+# q383: cross-vintage change table — the 2019 and 2018 full-catalog
+# oracles inner-joined on the published grain; delta_e = e19 - e18,
+# delta_m = sqrt(m19² + m18²) (IEEE-exact quadrature, no rounding).
+def _change_table_sql() -> str:
+    new = _fc_sql("acs", 2019, ["borough", "city"])
+    old = _fc_sql("acs", 2018, ["borough", "city"])
+    tail = "ORDER BY geotype, pff_variable, census_geoid"
+    assert new.rstrip().endswith(tail) and old.rstrip().endswith(tail)
+    strip = lambda q: q.rstrip()[: -len(tail)]  # noqa: E731
+    return f"""
+SELECT n.census_geoid, n.geotype, n.pff_variable,
+  n.labs_geoid, n.labs_geotype,
+  n.e AS e_new, o.e AS e_old,
+  (n.e - o.e) + 0.0 AS delta_e,
+  n.m AS m_new, o.m AS m_old,
+  sqrt(n.m * n.m + o.m * o.m) AS delta_m
+FROM ({strip(new)}) n
+JOIN ({strip(old)}) o
+  ON n.census_geoid = o.census_geoid AND n.geotype = o.geotype
+  AND n.pff_variable = o.pff_variable
+ORDER BY n.geotype, n.pff_variable, n.census_geoid
+"""
+
+
+ORACLES["q383_cross_vintage_change_table"] = _change_table_sql()

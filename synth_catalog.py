@@ -50,8 +50,12 @@ N_TRACTS = 200  # tract gid = c_custkey % N_TRACTS, county 047
 # block-group bgid = c_custkey % N_BLOCK_GROUPS; tract = bgid % N_TRACTS,
 # block-group digit = bgid // N_TRACTS + 1 (two block groups per tract)
 N_BLOCK_GROUPS = 400
+# block bid = c_custkey % N_BLOCKS; tract = bid % N_TRACTS, block code =
+# '100' || (bid // N_TRACTS + 1) (three blocks per tract) — the decennial
+# zone-rollup download grain (reference geography/2010.py:67-169)
+N_BLOCKS = 600
 
-SPEC_VERSION = 5  # bump to invalidate cached fixtures
+SPEC_VERSION = 6  # bump to invalidate cached fixtures
 
 
 # ---------------------------------------------------------------------------
@@ -221,6 +225,16 @@ def geo_tables(sf_dir: str):
         },
         g1, g2, g3,
     )
+    blid, k1, k2, k3 = _seeds_by(ck, bal, ck % N_BLOCKS)
+    out["block"] = (
+        {
+            "state": ["36"] * len(blid),
+            "county": ["047"] * len(blid),
+            "tract": [f"{int(b) % N_TRACTS:06d}" for b in blid],
+            "block": [f"{1000 + int(b) // N_TRACTS + 1}" for b in blid],
+        },
+        k1, k2, k3,
+    )
     bid, b1, b2, b3 = _seeds_by(ck, bal, ck % 5)
     out["borough"] = (
         {
@@ -383,6 +397,7 @@ def full_catalog_oracle_sql(
     geotypes: list[str],
     mutate_cvs=None,
     mutate_delta: float = 7.0,
+    labs_vintage: str = "2020",
 ) -> str:
     """The DuckDB twin of ``calculate_batch_catalog`` over the
     synthetic wide spec — regenerates the same values from
@@ -451,12 +466,21 @@ def full_catalog_oracle_sql(
     )
     med_list = _inlist(medians) if medians else "''"
 
-    labs_geotype = (
-        "CASE geotype WHEN 'tract' THEN 'CT2010' "
-        "WHEN 'borough' THEN 'Boro2020' WHEN 'city' THEN 'City2020' "
-        "WHEN 'NTA' THEN 'NTA2020' WHEN 'CDTA' THEN 'CDTA2020' "
-        "WHEN 'CT20' THEN 'CT2020' ELSE geotype END"
-    )
+    if labs_vintage == "2010":
+        # format_geotype_2010 (reference geography/2010.py:232-243):
+        # known labels get the 2010 suffix, unknown pass through
+        labs_geotype = (
+            "CASE geotype WHEN 'tract' THEN 'CT2010' "
+            "WHEN 'borough' THEN 'Boro2010' WHEN 'city' THEN 'City2010' "
+            "WHEN 'NTA' THEN 'NTA2010' ELSE geotype END"
+        )
+    else:
+        labs_geotype = (
+            "CASE geotype WHEN 'tract' THEN 'CT2010' "
+            "WHEN 'borough' THEN 'Boro2020' WHEN 'city' THEN 'City2020' "
+            "WHEN 'NTA' THEN 'NTA2020' WHEN 'CDTA' THEN 'CDTA2020' "
+            "WHEN 'CT20' THEN 'CT2020' ELSE geotype END"
+        )
 
     # vintage mutation (q367): the named census columns' raw E shifts
     # by delta BEFORE scrub — mirrors ColumnDeltaWideSource
@@ -1225,6 +1249,272 @@ def production_oracle_sql(year: int = 2019) -> str:
         f"SELECT * FROM ({strip(nat)}) WHERE domain IN ({doms})\n"
         f"UNION ALL\nSELECT * FROM ({strip(agg)}) WHERE domain IN ({doms})"
         f"\n{PROD_ORDER}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2010-geography aggregated oracle (decennial rollups — q380)
+# ---------------------------------------------------------------------------
+
+# 2010-geography fixture spec (mirrors _decennial_2010_engine in
+# __spark_entry__.py): tract gid -> NTA 'BK'+(gid%10), cd '7903'+(gid%5);
+# block bid -> flags fp_100: bid%4, fp_500: bid%3, park_access: bid%2
+AGG2010_ORACLE = {
+    "NTA": ("n10", "tract"),
+    "cd": ("c10", "tract"),
+    "cd_fp_100": ("zf1", "block"),
+    "cd_fp_500": ("zf5", "block"),
+    "cd_park_access": ("zpk", "block"),
+}
+
+ZONE2010_ORACLE_FLAGS = {
+    "cd_fp_100": "bid % 4 = 0",
+    "cd_fp_500": "bid % 3 = 0",
+    "cd_park_access": "bid % 2 = 0",
+}
+
+
+def decennial_2010_agg_oracle_sql(geotypes: tuple[str, ...]) -> str:
+    """DuckDB twin of the 2010-geography aggregated catalog batch for
+    the DECENNIAL source (plans/batch.py ``_aggregated_2010_frames`` /
+    the block-grain ``_zone_frames``; reference geography/2010.py:
+    55-65, 67-169, 186-205): tract melt-fold → direct NTA/cd dimension
+    rollups (no crosswalk hop), and block melt-fold → flag-gated cd
+    zone rollups, each over a (unit × variable) spine so the 24
+    empty-column placeholder variables keep e=0 rows and flagged
+    zones with no facts keep e=0/m=0 like ``_zone_rollup``.  Decennial
+    margins are NULL at the download grain and the NaN→0 rollup turns
+    them into 0.0 at every aggregated geotype, so ``m`` is identically
+    0.0 here — matching the per-variable ``agg_moe`` path.  Medians
+    and specials are asserted absent (both decennial sidecars are
+    empty)."""
+    source, year = "decennial", 2010
+    meta = load_meta(source, year)
+    assert not load_side(source, year, "median"), "decennial has medians?"
+    assert not load_side(source, year, "special"), "decennial has specials?"
+    cols = census_cols(meta)
+    bases = {str(m["base_variable"]) for m in meta}
+
+    colmap = ",\n  ".join(f"({_q(cv)}, {i})" for i, cv in enumerate(cols))
+    varmap = ",\n  ".join(
+        f"({_q(m['pff_variable'])}, {_q(cv)})"
+        for m in meta
+        for cv in m["census_variable"]
+    )
+    varattr = ",\n  ".join(
+        f"({_q(p)}, {_q(d)}, {r}, {_q(c)}, {_q(z)}, {_q(b)}, {_q(mb)})"
+        for (p, d, r, c, z, b, mb) in aggregated_varattr(source, year)
+    )
+
+    need_tract = any(AGG2010_ORACLE[g][1] == "tract" for g in geotypes)
+    need_block = any(AGG2010_ORACLE[g][1] == "block" for g in geotypes)
+
+    grain_ctes: list[str] = []
+    if need_tract:
+        grain_ctes.append(f"""
+g_tract AS MATERIALIZED (
+  SELECT CAST(c_custkey % {N_TRACTS} AS BIGINT) AS gid,
+         CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(c_custkey) AS BIGINT) AS s2,
+         CAST(count(*) AS BIGINT) AS s3
+  FROM customer GROUP BY 1),
+geo_t AS (
+  SELECT '36047' || lpad(CAST(gid AS VARCHAR), 6, '0') AS census_geoid,
+         'BK' || lpad(CAST(gid % 10 AS VARCHAR), 2, '0') AS nta,
+         '7903' || lpad(CAST(gid % 5 AS VARCHAR), 2, '0') AS cd,
+         gid, s1, s2, s3
+  FROM g_tract),
+plain_t AS MATERIALIZED (
+  SELECT census_geoid, v.pff, 0.0 + sum(coalesce(E, 0.0)) AS e
+  FROM (
+    SELECT census_geoid, cv,
+      CASE WHEN E_raw IN ({_S}) THEN NULL ELSE E_raw END AS E
+    FROM (
+      SELECT census_geoid, cv, {E_SQL} AS E_raw
+      FROM (SELECT g.census_geoid, c.cv, c.i, g.s1, g.s2, g.s3,
+                   (g.s2 + (c.i + 1) * 7919) AS h
+            FROM geo_t g CROSS JOIN colmap c))) s
+  JOIN varmap v ON s.cv = v.cv
+  GROUP BY 1, 2)""")
+    if need_block:
+        grain_ctes.append(f"""
+g_blk AS MATERIALIZED (
+  SELECT CAST(c_custkey % {N_BLOCKS} AS BIGINT) AS bid,
+         CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(c_custkey) AS BIGINT) AS s2,
+         CAST(count(*) AS BIGINT) AS s3
+  FROM customer GROUP BY 1),
+geo_b AS (
+  SELECT '36047' || lpad(CAST(bid % {N_TRACTS} AS VARCHAR), 6, '0')
+           || ('100' || CAST(bid // {N_TRACTS} + 1 AS VARCHAR))
+           AS census_geoid,
+         '7903' || lpad(CAST((bid % {N_TRACTS}) % 5 AS VARCHAR), 2, '0')
+           AS cd,
+         bid, s1, s2, s3
+  FROM g_blk),
+plain_b AS MATERIALIZED (
+  SELECT census_geoid, v.pff, 0.0 + sum(coalesce(E, 0.0)) AS e
+  FROM (
+    SELECT census_geoid, cv,
+      CASE WHEN E_raw IN ({_S}) THEN NULL ELSE E_raw END AS E
+    FROM (
+      SELECT census_geoid, cv, {E_SQL} AS E_raw
+      FROM (SELECT g.census_geoid, c.cv, c.i, g.s1, g.s2, g.s3,
+                   (g.s2 + (c.i + 1) * 7919) AS h
+            FROM geo_b g CROSS JOIN colmap c))) s
+  JOIN varmap v ON s.cv = v.cv
+  GROUP BY 1, 2)""")
+
+    geo_ctes: list[str] = []
+    asm_parts: list[str] = []
+    for geotype in geotypes:
+        tag, grain = AGG2010_ORACLE[geotype]
+        if grain == "tract":
+            dim_col = {"NTA": "nta", "cd": "cd"}[geotype]
+            roll = f"""
+units_{tag} AS (SELECT DISTINCT {dim_col} AS unit FROM geo_t),
+roll_{tag} AS MATERIALIZED (
+  SELECT g.{dim_col} AS unit, p.pff, coalesce(sum(p.e), 0.0) AS e
+  FROM plain_t p JOIN geo_t g USING (census_geoid)
+  GROUP BY 1, 2),
+spine_{tag} AS MATERIALIZED (
+  SELECT u.unit AS census_geoid, a.pff,
+    coalesce(r.e, 0.0) AS e, 0.0 AS m
+  FROM units_{tag} u CROSS JOIN (SELECT DISTINCT pff FROM varattr) a
+  LEFT JOIN roll_{tag} r ON r.unit = u.unit AND r.pff = a.pff)"""
+        else:
+            flag = ZONE2010_ORACLE_FLAGS[geotype]
+            roll = f"""
+units_{tag} AS (SELECT DISTINCT cd AS unit FROM geo_b WHERE {flag}),
+roll_{tag} AS MATERIALIZED (
+  SELECT g.cd AS unit, p.pff, coalesce(sum(p.e), 0.0) AS e
+  FROM plain_b p JOIN geo_b g USING (census_geoid)
+  WHERE {flag} GROUP BY 1, 2),
+spine_{tag} AS MATERIALIZED (
+  SELECT u.unit AS census_geoid, a.pff,
+    coalesce(r.e, 0.0) AS e, 0.0 AS m
+  FROM units_{tag} u CROSS JOIN (SELECT DISTINCT pff FROM varattr) a
+  LEFT JOIN roll_{tag} r ON r.unit = u.unit AND r.pff = a.pff)"""
+        geo_ctes.append(roll)
+        asm_parts.append(
+            f"""SELECT '{geotype}' AS geotype, s.census_geoid, s.pff,
+    a.domain, a.rnd, a.pz, s.e, s.m, b.e AS agg_e, b.m AS agg_m
+  FROM spine_{tag} s JOIN varattr a USING (pff)
+  LEFT JOIN spine_{tag} b ON b.census_geoid = s.census_geoid
+    AND b.pff = a.base"""
+        )
+
+    zx = "(e * agg_m / agg_e) * (e * agg_m / agg_e)"
+    z_base = (
+        f"CASE WHEN p = 0 THEN NULL WHEN p = 100 THEN NULL "
+        f"WHEN agg_e = 0 THEN NULL "
+        f"WHEN m * m - {zx} < 0 THEN sqrt(m * m + {zx}) / agg_e * 100 "
+        f"ELSE sqrt(m * m - {zx}) / agg_e * 100 END"
+    )
+
+    def em_round(x: str) -> str:
+        return (
+            f"CASE rnd WHEN 1 THEN {_he(x, 1)} WHEN 2 THEN {_he(x, 2)} "
+            f"ELSE {_he(x, 0)} END"
+        )
+
+    # format_geoid_2010: NTA prefixes pass through, '79' CD codes keep
+    # the last 4 chars, everything else here is unreachable
+    labs_geoid = (
+        "CASE WHEN substr(census_geoid, 1, 2) IN "
+        "('MN','QN','BX','BK','SI') THEN census_geoid "
+        "WHEN substr(census_geoid, 1, 2) = '79' "
+        "THEN substr(census_geoid, length(census_geoid) - 3, 4) END"
+    )
+    labs_geotype = (
+        "CASE geotype WHEN 'NTA' THEN 'NTA2010' ELSE geotype END"
+    )
+
+    return f"""
+WITH colmap(cv, i) AS (VALUES
+  {colmap}),
+varmap(pff, cv) AS (VALUES
+  {varmap}),
+varattr(pff, domain, rnd, cls, pz, base, medbase) AS (VALUES
+  {varattr}),
+{",".join(grain_ctes)},
+{",".join(geo_ctes)},
+asm AS ({" UNION ALL ".join(asm_parts)}),
+withp AS (
+  SELECT *,
+    CASE pz WHEN 'p100' THEN 100.0
+         WHEN 'base' THEN CASE WHEN agg_e = 0 THEN NULL
+                               ELSE e / agg_e * 100 END
+         ELSE NULL END AS p
+  FROM asm),
+stats AS (
+  SELECT geotype, census_geoid, pff AS pff_variable, domain, rnd,
+    e, m, p,
+    CASE pz WHEN 'base' THEN {z_base} ELSE NULL END AS z,
+    CASE WHEN e = 0 THEN NULL ELSE m / 1.645 / e * 100 END AS c
+  FROM withp),
+rounded AS (
+  SELECT geotype, census_geoid, pff_variable, domain,
+    ({_he("c", 1)}) + 0.0 AS c,
+    ({em_round("e")}) + 0.0 AS e,
+    ({em_round("m")}) + 0.0 AS m,
+    ({_he("p", 1)}) + 0.0 AS p,
+    ({_he("z", 1)}) + 0.0 AS z
+  FROM stats),
+t1 AS (
+  SELECT geotype, census_geoid, pff_variable, domain,
+    CASE WHEN c < 0 THEN NULL ELSE c END AS c,
+    CASE WHEN e < 0 THEN NULL ELSE e END AS e,
+    CASE WHEN m < 0 THEN NULL ELSE m END AS m,
+    CASE WHEN p < 0 THEN NULL ELSE p END AS p,
+    CASE WHEN z < 0 THEN NULL ELSE z END AS z
+  FROM rounded),
+t2 AS (SELECT geotype, census_geoid, pff_variable, domain,
+  c, e, m, CASE WHEN p > 100 THEN NULL ELSE p END AS p, z FROM t1),
+t3 AS (SELECT geotype, census_geoid, pff_variable, domain,
+  c, e, m, p, CASE WHEN p IS NULL THEN NULL ELSE z END AS z FROM t2),
+t4 AS (SELECT geotype, census_geoid, pff_variable, domain,
+  c, e, m, p, CASE WHEN p = 100 THEN 0.0 ELSE z END AS z FROM t3),
+t6 AS (SELECT geotype, census_geoid, pff_variable, domain,
+  c, e, m,
+  CASE WHEN pff_variable IN ({_inlist(bases)})
+       THEN 100.0 ELSE p END AS p,
+  CASE WHEN pff_variable IN ({_inlist(bases)})
+       THEN 0.0 ELSE z END AS z
+  FROM t4)
+SELECT census_geoid,
+  {labs_geoid} AS labs_geoid,
+  geotype,
+  {labs_geotype} AS labs_geotype,
+  pff_variable,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE c END AS c,
+  e,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE m END AS m,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE p END AS p,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE z END AS z,
+  domain
+FROM t6 ORDER BY geotype, pff_variable, census_geoid
+"""
+
+
+def decennial_2010_full_oracle_sql() -> str:
+    """DuckDB twin of the q380 grid — the full 25-variable decennial
+    2010 catalog over native tract/borough/city (2010 labs labels) plus
+    the 2010 geography's every aggregated geotype (NTA, cd, and the
+    three block-grain cd zone rollups), in one result."""
+    nat = full_catalog_oracle_sql(
+        "decennial", 2010, ["tract", "borough", "city"], labs_vintage="2010"
+    )
+    agg = decennial_2010_agg_oracle_sql(
+        ("NTA", "cd", "cd_fp_100", "cd_fp_500", "cd_park_access")
+    )
+    assert nat.rstrip().endswith(PROD_ORDER) and agg.rstrip().endswith(
+        PROD_ORDER
+    )
+    strip = lambda q: q.rstrip()[: -len(PROD_ORDER)]  # noqa: E731
+    return (
+        f"SELECT * FROM ({strip(nat)})\nUNION ALL\n"
+        f"SELECT * FROM ({strip(agg)})\n{PROD_ORDER}"
     )
 
 

@@ -187,28 +187,97 @@ def test_batch_drops_tasks_like_reference_pool(engine):
         assert r["p"] == 100.0 and r["z"] == 0.0
 
 
-def test_unsupported_aggregated_geotype_rejected(spark, engine):
-    # the 2010 vintage's aggregated geotypes stay on the per-variable
-    # path (only the 2020 geography's rollups are set-based)
-    from db_factfinder_spark.operators.vertical import (
-        AggregatedGeography2010,
-        prepare_lookup_geo_2010,
+def test_decennial_on_2020_geography_rejected(spark, engine):
+    # decennial on the 2010_to_2020 geography stays rejected — the
+    # reference registers NO decennial rollups there
+    # (2010_to_2020.py:200-219 has only an "acs" key)
+    root = ensure_fixture(SF, "decennial", 2020)
+    cat = Catalog.from_registry("decennial", 2020)
+    eng = FactFinderEngine(
+        engine.spark, cat, engine.geo, ParquetWideSource(engine.spark, root)
     )
+    with pytest.raises(NotImplementedError, match="acs source only"):
+        eng.calculate_batch_catalog(["NTA"])
 
-    lookup10 = prepare_lookup_geo_2010(
-        spark.createDataFrame(
-            [],
-            "county_fips string, ctcb2010 string, ct2010 string,"
-            " nta string, cd string, fp_100 string, fp_500 string,"
-            " park_access string",
+
+@pytest.mark.parametrize(
+    "geotype", ["NTA", "cd", "cd_fp_100", "cd_fp_500", "cd_park_access"]
+)
+def test_decennial_2010_aggregated_equivalence(spark, geotype):
+    """The set-based 2010-geography batch (tract→NTA/cd direct rollup;
+    block-grain zone rollups) must be row- and bit-identical to the
+    per-variable decennial path over the FULL 25-variable catalog —
+    including the 24 empty-column placeholders (e=0 spine rows) and
+    the 'mean'/'ratio'-base dropped tasks."""
+    import __spark_entry__ as entry_mod
+
+    eng = entry_mod._decennial_2010_engine(spark, SF)
+    all_vars = [m["pff_variable"] for m in eng.catalog.metadata]
+    batch = {
+        _key(r): r.asDict()
+        for r in eng.calculate_batch_catalog([geotype]).collect()
+    }
+    pervar = {}
+    for v in all_vars:
+        try:
+            df = eng(v, geotype)
+        except Exception:  # noqa: BLE001 — reference pool task isolation
+            continue
+        df = df.withColumn(
+            "domain", F.lit(eng.catalog.create_variable(v).domain)
         )
+        for r in df.collect():
+            pervar[_key(r)] = r.asDict()
+    assert set(batch) == set(pervar)
+    assert batch, "empty decennial aggregated batch"
+    for k, brow in batch.items():
+        prow = pervar[k]
+        for col in ("labs_geoid", "labs_geotype", "c", "e", "m", "p",
+                    "z", "domain"):
+            assert _eq(brow[col], prow[col]), (
+                f"{k} {col}: batch={brow[col]!r} pervar={prow[col]!r}"
+            )
+
+
+@pytest.mark.parametrize("geotype", ["NTA", "cd", "cd_park_access"])
+def test_acs_2010_geography_aggregated_equivalence(spark, geotype):
+    """Source generality of the 2010-geography chain: the ACS catalog
+    (grouped medians, special recursion, median-base p/z) over the
+    SAME 2010 registry — zones ride the block-GROUP grain for acs
+    (geography/2010.py:186-205's source switch)."""
+    import __spark_entry__ as entry_mod
+
+    dec_eng = entry_mod._decennial_2010_engine(spark, SF)
+    root = ensure_fixture(SF, "acs", 2019)
+    eng = FactFinderEngine(
+        spark,
+        Catalog.from_registry("acs", 2019),
+        dec_eng.geo,
+        ParquetWideSource(spark, root),
     )
-    eng10 = FactFinderEngine(
-        spark, engine.catalog, AggregatedGeography2010(lookup10),
-        engine.source,
-    )
-    with pytest.raises(NotImplementedError, match="per-variable"):
-        eng10.calculate_batch_catalog(["cd"])
+    batch = {
+        _key(r): r.asDict()
+        for r in eng.calculate_batch_catalog(
+            [geotype], variables=AGG_STRATIFIED
+        ).collect()
+    }
+    pervar = {}
+    for v in AGG_STRATIFIED:
+        df = eng(v, geotype)
+        df = df.withColumn(
+            "domain", F.lit(eng.catalog.create_variable(v).domain)
+        )
+        for r in df.collect():
+            pervar[_key(r)] = r.asDict()
+    assert set(batch) == set(pervar)
+    assert batch, "empty acs 2010-geography batch"
+    for k, brow in batch.items():
+        prow = pervar[k]
+        for col in ("labs_geoid", "labs_geotype", "c", "e", "m", "p",
+                    "z", "domain"):
+            assert _eq(brow[col], prow[col]), (
+                f"{k} {col}: batch={brow[col]!r} pervar={prow[col]!r}"
+            )
 
 
 # one representative per AGGREGATED-geotype class (no profile path;
