@@ -10258,6 +10258,36 @@ def q383_cross_vintage_change_table(spark, sf_dir):
     return out.orderBy("geotype", "pff_variable", "census_geoid")
 
 
+def q384_acs_2010geo_catalog_batch(spark, sf_dir):
+    """Source generality of the new 2010-geography chain with the FULL
+    ACS machinery: the 2019 catalog (grouped medians, special
+    recursion, median-base p/z — everything q337 exercises) through
+    ``_aggregated_2010_frames``' DIRECT tract→NTA/cd rollup (no
+    crosswalk hop — the structural difference from the 2020 chain) on
+    the same block-derived 2010 lookup fixture as q380, with 2010 labs
+    formatting ('79…' CD codes → last-4, NTA→NTA2010).  The unit ×
+    variable spine is value-neutral here (every ACS variable has
+    census columns), pinning that it does not perturb a dense
+    catalog."""
+    from db_factfinder_spark.catalog import Catalog
+    from db_factfinder_spark.plans.planner import (
+        FactFinderEngine,
+        ParquetWideSource,
+    )
+    from synth_catalog import ensure_fixture
+
+    geo = _decennial_2010_engine(spark, sf_dir).geo
+    root = ensure_fixture(sf_dir, "acs", 2019)
+    eng = FactFinderEngine(
+        spark,
+        Catalog.from_registry("acs", 2019),
+        geo,
+        ParquetWideSource(spark, root),
+    )
+    out = eng.calculate_batch_catalog(["NTA", "cd"])
+    return out.orderBy("geotype", "pff_variable", "census_geoid")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10645,6 +10675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q381_acs2010_catalog_batch": q381_acs2010_catalog_batch,
         "q382_acs2021_manual_update": q382_acs2021_manual_update,
         "q383_cross_vintage_change_table": q383_cross_vintage_change_table,
+        "q384_acs_2010geo_catalog_batch": q384_acs_2010geo_catalog_batch,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -11009,3 +11009,11 @@ ORDER BY n.geotype, n.pff_variable, n.census_geoid
 
 
 ORACLES["q383_cross_vintage_change_table"] = _change_table_sql()
+
+
+# q384: the ACS catalog through the 2010-geography aggregated chain —
+# direct tract->NTA/cd rollups (no crosswalk hop) with the full
+# median/special assembly and 2010 labs formatting.
+from synth_catalog import acs_2010geo_oracle_sql as _acs10_sql  # noqa: E402
+
+ORACLES["q384_acs_2010geo_catalog_batch"] = _acs10_sql(2019, ("NTA", "cd"))

@@ -13,7 +13,10 @@ Claim under test (plans/batch.py): driver cost is FLAT in data size
 (constant catalog fan-out), exec is ~linear in unit count.
 
 Usage: python perf_tract_scale.py [customer_sf_dir]   (default sf0.1)
-Prints one JSON line; results recorded in PERF_NOTES "Round 9".
+       python perf_tract_scale.py [customer_sf_dir] --sink
+Prints one JSON line; results recorded in PERF_NOTES "Round 9" (grids)
+and "Round 10" (--sink: the q365 production run with the CSV sink at
+the same unit ladder, split build / exec / write — r9 VERDICT ask 3).
 """
 
 from __future__ import annotations
@@ -78,10 +81,92 @@ def _engine(spark, root):
     return FactFinderEngine(spark, cat, geo, ParquetWideSource(spark, root))
 
 
+def _free(spark, eng) -> None:
+    """Unpersist this measurement's frames before the next one — at
+    n=20k accumulated melt caches put the JVM under GC pressure and
+    inflated the NEXT measurement's plan-build 4x (measured)."""
+    import gc
+
+    for cached in getattr(eng, "_batch_caches", []):
+        cached.unpersist()
+    eng._batch_caches = []
+    spark.catalog.clearCache()
+    gc.collect()
+
+
+def _ensure_scaled_fixture(sf_dir: str, n_tracts: int) -> str:
+    synth_catalog.N_TRACTS = n_tracts
+    root = os.path.join("/tmp", f"spark_graft_scale_{n_tracts}")
+    if not os.path.exists(os.path.join(root, "_DONE")):
+        t0 = time.perf_counter()
+        # bypass the shared cache dir: perf fixtures are keyed by
+        # tract count, not by the value-spec version
+        orig = synth_catalog.fixture_root
+        synth_catalog.fixture_root = lambda *a: root
+        try:
+            synth_catalog.ensure_fixture(sf_dir, "acs", 2019)
+        finally:
+            synth_catalog.fixture_root = orig
+        print(
+            f"fixture n={n_tracts}: {time.perf_counter()-t0:.1f}s",
+            file=sys.stderr,
+        )
+    return root
+
+
+def main_sink(sf_dir: str) -> None:
+    """The q365 shape at the unit ladder: the FULL production grid
+    (native tract/borough/city + CT20/NTA/CDTA) through
+    ``production_acs_run``, with the CSV sink timed as its own phase —
+    the r9 ladder proved flat driver assembly for the grid; this one
+    shows the sink scales with DATA, not with the catalog."""
+    import shutil
+
+    from db_factfinder_spark.pipelines import production_acs_run
+    from db_factfinder_spark.session import get_spark
+    from db_factfinder_spark.sources.readers import write_csv
+
+    spark = get_spark(app_name="perf_sink_scale")
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out: dict[str, dict] = {}
+    for n_tracts in (200, 2_000, 20_000):
+        root = _ensure_scaled_fixture(sf_dir, n_tracts)
+        eng = _engine(spark, root)
+        t0 = time.perf_counter()
+        df = production_acs_run(
+            eng, ["tract", "borough", "city", "CT20", "NTA", "CDTA"]
+        )
+        t1 = time.perf_counter()
+        force(df)
+        t2 = time.perf_counter()
+        sink = os.path.join("/tmp", f"spark_graft_sinkscale_{n_tracts}")
+        write_csv(df, sink)
+        t3 = time.perf_counter()
+        rows = df.count()
+        out[str(n_tracts)] = {
+            "build_s": round(t1 - t0, 2),
+            "exec_s": round(t2 - t1, 2),
+            "write_s": round(t3 - t2, 2),
+            "rows": rows,
+        }
+        print(f"n={n_tracts}: build {t1-t0:.1f}s exec {t2-t1:.1f}s "
+              f"write {t3-t2:.1f}s rows {rows}", file=sys.stderr, flush=True)
+        shutil.rmtree(sink, ignore_errors=True)
+        _free(spark, eng)
+    print(json.dumps({"metric": "sink_scale_ladder", "by_n_tracts": out}))
+
+
 def main() -> None:
     from db_factfinder_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = pos[0] if pos else "/root/testdata/sf0.1"
+    if "--sink" in sys.argv:
+        main_sink(sf_dir)
+        return
     spark = get_spark(app_name="perf_tract_scale")
 
     def force(df):
@@ -89,22 +174,7 @@ def main() -> None:
 
     out: dict[str, dict] = {}
     for n_tracts in (200, 2_000, 20_000):
-        synth_catalog.N_TRACTS = n_tracts
-        root = os.path.join("/tmp", f"spark_graft_scale_{n_tracts}")
-        if not os.path.exists(os.path.join(root, "_DONE")):
-            t0 = time.perf_counter()
-            # bypass the shared cache dir: perf fixtures are keyed by
-            # tract count, not by the value-spec version
-            orig = synth_catalog.fixture_root
-            synth_catalog.fixture_root = lambda *a: root
-            try:
-                synth_catalog.ensure_fixture(sf_dir, "acs", 2019)
-            finally:
-                synth_catalog.fixture_root = orig
-            print(
-                f"fixture n={n_tracts}: {time.perf_counter()-t0:.1f}s",
-                file=sys.stderr,
-            )
+        root = _ensure_scaled_fixture(sf_dir, n_tracts)
         eng = _engine(spark, root)
         rec: dict[str, float] = {}
         for shape, geos in (

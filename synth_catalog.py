@@ -1497,6 +1497,272 @@ FROM t6 ORDER BY geotype, pff_variable, census_geoid
 """
 
 
+def acs_2010geo_oracle_sql(
+    year: int = 2019, geotypes: tuple[str, ...] = ("NTA", "cd")
+) -> str:
+    """DuckDB twin of the ACS catalog through the 2010-GEOGRAPHY
+    aggregated chain (plans/batch.py ``_aggregated_2010_frames``;
+    reference geography/2010.py:55-65,171-184): tract melt-fold →
+    DIRECT NTA/cd dimension rollup (no crosswalk hop, unlike the 2020
+    chain's ratio right-join → CT20 → dimension) → the same grouped-
+    median / special-formula / base and median-base p-z assembly as
+    ``nta_catalog_oracle_sql``, with 2010 labs formatting (NTA codes
+    pass through, '79…' CD codes keep the last 4 chars; NTA→NTA2010,
+    cd passes through).  Dimension fixture mirrors
+    ``_decennial_2010_engine``: NTA 'BK'+(gid%10), cd '7903'+(gid%5).
+
+    The (unit × variable) spine the Spark chain builds is value-
+    neutral for ACS (every variable has census columns, so the fold
+    covers every unit) and is omitted here."""
+    source = "acs"
+    meta = load_meta(source, year)
+    med = load_side(source, year, "median")
+    spec = load_side(source, year, "special")
+    cols = census_cols(meta)
+    specials_sql = _special_sqls()
+    spec_by = {s["pff_variable"]: s for s in spec}
+
+    colmap = ",\n  ".join(f"({_q(cv)}, {i})" for i, cv in enumerate(cols))
+    varmap = ",\n  ".join(
+        f"({_q(m['pff_variable'])}, {_q(cv)})"
+        for m in meta
+        for cv in m["census_variable"]
+    )
+    varattr = ",\n  ".join(
+        f"({_q(p)}, {_q(d)}, {r}, {_q(c)}, {_q(z)}, {_q(b)}, {_q(mb)})"
+        for (p, d, r, c, z, b, mb) in aggregated_varattr(source, year)
+    )
+
+    members = sorted(
+        {b for s in spec for b in s["base_variables"] if b not in spec_by}
+    )
+    piv_cols = ",\n    ".join(
+        f"max(CASE WHEN pff = {_q(b)} THEN e END) AS {b}e,\n"
+        f"    max(CASE WHEN pff = {_q(b)} THEN m END) AS {b}m"
+        for b in members
+    )
+
+    bases = {str(m["base_variable"]) for m in meta}
+    medians = set(med.keys())
+    specials = set(spec_by.keys())
+    med_inputs = [iv for v in med for iv in med[v]["ranges"].keys()]
+
+    DIM2010 = {"NTA": ("n10", "nta"), "cd": ("c10", "cd")}
+    geo_ctes: list[str] = []
+    asm_parts: list[str] = []
+    for geotype in geotypes:
+        tag, dim_col = DIM2010[geotype]
+        roll = f"roll_{tag}"
+        geo_ctes.append(f"""
+{roll} AS MATERIALIZED (
+  SELECT g.{dim_col} AS census_geoid, p.pff,
+    coalesce(sum(p.e), 0.0) AS e,
+    sqrt(coalesce(sum(p.m * p.m), 0.0)) AS m
+  FROM plain p JOIN geo g USING (census_geoid)
+  GROUP BY 1, 2)""")
+        med_chain, med_union = [], []
+        for mv in med:
+            c_sql, c_name = _median_ctes(
+                tag, roll, mv, med[mv], rms=(mv == "mdrms")
+            )
+            med_chain.append(c_sql)
+            med_union.append(
+                f"SELECT census_geoid, {_q(mv)} AS pff, e, m FROM {c_name}"
+            )
+        spec_sel = []
+        for sname in spec_by:
+            e_sql, m_sql = specials_sql[sname]
+            spec_sel.append(
+                f"SELECT census_geoid, {_q(sname)} AS pff,\n"
+                f"  {e_sql} AS e,\n  {m_sql} AS m FROM spv_{tag}"
+            )
+        geo_ctes.append(
+            ",\n".join(med_chain)
+            + f""",
+sp_{tag} AS (
+  SELECT census_geoid,
+    {piv_cols}
+  FROM {roll} GROUP BY census_geoid),
+spv_{tag} AS (
+  SELECT *,
+    wrkr16ple - cw_wrkdhme AS wrknoe,
+    sqrt(wrkr16plm * wrkr16plm + cw_wrkdhmm * cw_wrkdhmm) AS wrknom,
+    100 * ({_rdiv("vacsalee", "hovacue")}) AS e0h,
+    100 * ({_rdiv("vacrnte", "rntvacue")}) AS e0r
+  FROM sp_{tag}),
+medall_{tag} AS (
+  {" UNION ALL ".join(med_union)}),
+specall_{tag} AS (
+  {" UNION ALL ".join(spec_sel)}),
+em_{tag} AS (
+  SELECT r.census_geoid, r.pff, r.e, r.m
+  FROM {roll} r JOIN varattr a USING (pff) WHERE a.cls = 'plain'
+  UNION ALL SELECT census_geoid, pff, e, m FROM medall_{tag}
+  UNION ALL SELECT census_geoid, pff, e, m FROM specall_{tag}),
+asm_{tag} AS (
+  SELECT '{geotype}' AS geotype, em.census_geoid, em.pff,
+    a.domain, a.rnd, a.pz, em.e, em.m,
+    b.e AS agg_e, b.m AS agg_m, mb.e AS mb_e, mb.m AS mb_m
+  FROM em_{tag} em
+  JOIN varattr a USING (pff)
+  LEFT JOIN {roll} b ON b.census_geoid = em.census_geoid
+    AND b.pff = a.base
+  LEFT JOIN medall_{tag} mb ON mb.census_geoid = em.census_geoid
+    AND mb.pff = a.medbase)"""
+        )
+        asm_parts.append(f"SELECT * FROM asm_{tag}")
+
+    zx_b = "(e * agg_m / agg_e) * (e * agg_m / agg_e)"
+    zx_m = "(e * mb_m / mb_e) * (e * mb_m / mb_e)"
+    z_base = (
+        f"CASE WHEN p = 0 THEN NULL WHEN p = 100 THEN NULL "
+        f"WHEN agg_e = 0 THEN NULL "
+        f"WHEN m * m - {zx_b} < 0 THEN sqrt(m * m + {zx_b}) / agg_e * 100 "
+        f"ELSE sqrt(m * m - {zx_b}) / agg_e * 100 END"
+    )
+    z_medb = (
+        f"CASE WHEN p = 0 THEN NULL WHEN p = 100 THEN NULL "
+        f"WHEN mb_e = 0 THEN NULL "
+        f"WHEN m * m - {zx_m} < 0 THEN sqrt(m * m + {zx_m}) / mb_e * 100 "
+        f"ELSE sqrt(m * m - {zx_m}) / mb_e * 100 END"
+    )
+
+    def em_round(x: str) -> str:
+        return (
+            f"CASE rnd WHEN 1 THEN {_he(x, 1)} WHEN 2 THEN {_he(x, 2)} "
+            f"ELSE {_he(x, 0)} END"
+        )
+
+    t7_rule = (
+        f"pff_variable IN ({_inlist(med_inputs)}) "
+        "AND pff_variable NOT LIKE '%rms%'"
+    )
+    t8_rule = f"pff_variable IN ({_inlist(specials)})"
+    labs_geoid = (
+        "CASE WHEN substr(census_geoid, 1, 2) IN "
+        "('MN','QN','BX','BK','SI') THEN census_geoid "
+        "WHEN substr(census_geoid, 1, 2) = '79' "
+        "THEN substr(census_geoid, length(census_geoid) - 3, 4) END"
+    )
+    labs_geotype = (
+        "CASE geotype WHEN 'NTA' THEN 'NTA2010' ELSE geotype END"
+    )
+
+    return f"""
+WITH g_tract AS (
+  SELECT CAST(c_custkey % {N_TRACTS} AS BIGINT) AS gid,
+         CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(c_custkey) AS BIGINT) AS s2,
+         CAST(count(*) AS BIGINT) AS s3
+  FROM customer GROUP BY 1),
+geo AS (
+  SELECT '36047' || lpad(CAST(gid AS VARCHAR), 6, '0') AS census_geoid,
+         'BK' || lpad(CAST(gid % 10 AS VARCHAR), 2, '0') AS nta,
+         '7903' || lpad(CAST(gid % 5 AS VARCHAR), 2, '0') AS cd,
+         gid, s1, s2, s3
+  FROM g_tract),
+colmap(cv, i) AS (VALUES
+  {colmap}),
+varmap(pff, cv) AS (VALUES
+  {varmap}),
+varattr(pff, domain, rnd, cls, pz, base, medbase) AS (VALUES
+  {varattr}),
+rawv AS (
+  SELECT census_geoid, cv, {E_SQL} AS E_raw, {M_SQL} AS M_raw
+  FROM (SELECT g.census_geoid, c.cv, c.i, g.s1, g.s2, g.s3,
+               (g.s2 + (c.i + 1) * 7919) AS h
+        FROM geo g CROSS JOIN colmap c)),
+scrub AS (
+  SELECT census_geoid, cv,
+    CASE WHEN E_raw IN ({_S}) THEN NULL ELSE E_raw END AS E,
+    CASE WHEN m0 IN ({_S}) THEN NULL ELSE m0 END AS M
+  FROM (SELECT *, CASE WHEN E_raw IN ({_S}) THEN NULL
+                       WHEN E_raw = 0 THEN 0.0
+                       ELSE M_raw END AS m0
+        FROM rawv) t1),
+plain AS MATERIALIZED (
+  SELECT census_geoid, v.pff,
+    0.0 + sum(coalesce(E, 0.0)) AS e,
+    sqrt(0.0 + sum(coalesce(M * M, 0.0))) AS m
+  FROM scrub s JOIN varmap v ON s.cv = v.cv
+  GROUP BY 1, 2),
+{",".join(geo_ctes)},
+asm AS ({" UNION ALL ".join(asm_parts)}),
+withp AS (
+  SELECT *,
+    CASE pz WHEN 'med' THEN NULL
+         WHEN 'p100' THEN 100.0
+         WHEN 'base' THEN CASE WHEN agg_e = 0 THEN NULL
+                               ELSE e / agg_e * 100 END
+         WHEN 'medbase' THEN CASE WHEN mb_e = 0 THEN NULL
+                                  ELSE e / mb_e * 100 END
+         ELSE NULL END AS p
+  FROM asm),
+stats AS (
+  SELECT geotype, census_geoid, pff AS pff_variable, domain, rnd,
+    e, m, p,
+    CASE pz WHEN 'base' THEN {z_base}
+         WHEN 'medbase' THEN {z_medb}
+         ELSE NULL END AS z,
+    CASE WHEN e = 0 THEN NULL ELSE m / 1.645 / e * 100 END AS c
+  FROM withp),
+rounded AS (
+  SELECT geotype, census_geoid, pff_variable, domain,
+    ({_he("c", 1)}) + 0.0 AS c,
+    ({em_round("e")}) + 0.0 AS e,
+    ({em_round("m")}) + 0.0 AS m,
+    ({_he("p", 1)}) + 0.0 AS p,
+    ({_he("z", 1)}) + 0.0 AS z
+  FROM stats),
+t1 AS (
+  SELECT geotype, census_geoid, pff_variable, domain,
+    CASE WHEN c < 0 THEN NULL ELSE c END AS c,
+    CASE WHEN e < 0 THEN NULL ELSE e END AS e,
+    CASE WHEN m < 0 THEN NULL ELSE m END AS m,
+    CASE WHEN p < 0 THEN NULL ELSE p END AS p,
+    CASE WHEN z < 0 THEN NULL ELSE z END AS z
+  FROM rounded),
+t2 AS (SELECT geotype, census_geoid, pff_variable, domain,
+  c, e, m, CASE WHEN p > 100 THEN NULL ELSE p END AS p, z FROM t1),
+t3 AS (SELECT geotype, census_geoid, pff_variable, domain,
+  c, e, m, p, CASE WHEN p IS NULL THEN NULL ELSE z END AS z FROM t2),
+t4 AS (SELECT geotype, census_geoid, pff_variable, domain,
+  c, e, m, p, CASE WHEN p = 100 THEN 0.0 ELSE z END AS z FROM t3),
+t6 AS (SELECT geotype, census_geoid, pff_variable, domain,
+  c, e, m,
+  CASE WHEN pff_variable IN ({_inlist(bases)})
+        AND pff_variable NOT IN ({_inlist(medians)})
+       THEN 100.0 ELSE p END AS p,
+  CASE WHEN pff_variable IN ({_inlist(bases)})
+        AND pff_variable NOT IN ({_inlist(medians)})
+       THEN 0.0 ELSE z END AS z
+  FROM t4),
+t7 AS (SELECT geotype, census_geoid, pff_variable, domain,
+  CASE WHEN {t7_rule} THEN NULL ELSE c END AS c, e,
+  CASE WHEN {t7_rule} THEN NULL ELSE m END AS m,
+  CASE WHEN {t7_rule} THEN NULL ELSE p END AS p,
+  CASE WHEN {t7_rule} THEN NULL ELSE z END AS z
+  FROM t6),
+t8 AS (SELECT geotype, census_geoid, pff_variable, domain,
+  c, e, m,
+  CASE WHEN {t8_rule} THEN NULL ELSE p END AS p,
+  CASE WHEN {t8_rule} THEN NULL ELSE z END AS z
+  FROM t7)
+SELECT census_geoid,
+  {labs_geoid} AS labs_geoid,
+  geotype,
+  {labs_geotype} AS labs_geotype,
+  pff_variable,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE c END AS c,
+  e,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE m END AS m,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE p END AS p,
+  CASE WHEN e = 0 OR e IS NULL THEN NULL ELSE z END AS z,
+  domain
+FROM t8 ORDER BY geotype, pff_variable, census_geoid
+"""
+
+
 def decennial_2010_full_oracle_sql() -> str:
     """DuckDB twin of the q380 grid — the full 25-variable decennial
     2010 catalog over native tract/borough/city (2010 labs labels) plus

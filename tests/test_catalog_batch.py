@@ -572,6 +572,25 @@ def test_zone_batch_plan_audit(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_2010_chain_final_plan_audit(spark):
+    """AQE-final plan audit for the 2010-geography chain (the q380
+    shape, decennial grid incl. NTA/cd and a block-grain zone): no
+    cartesian/BNLJ in the final plan (the unit × variable spine
+    cross-join executes inside the materialized rollup, not in the
+    output plan); only co-keyed rollup self-joins may sort-merge;
+    dimension and spine joins broadcast."""
+    import __spark_entry__ as entry_mod
+
+    eng = entry_mod._decennial_2010_engine(spark, SF)
+    df = eng.calculate_batch_catalog(["NTA", "cd", "cd_fp_100"])
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") <= 3, plan[:4000]
+
+
 def test_aggregated_batch_final_plan_audit(spark):
     """AQE-final plan audit for the CT20/NTA chain (the q337 shape):
     no cartesian/BNLJ anywhere; only the co-keyed rollup self-joins
