@@ -396,6 +396,34 @@ def test_incremental_closure_is_a_small_slice():
             "pbwpv", "pbwpv_pct"} <= aff
 
 
+def test_incremental_splice_filters_unrequested_geotypes(spark):
+    """r10 fix (ADVICE r9): when ``prev`` was built over a WIDER grid
+    than the requested geotypes, its stale rows for unrequested
+    geotypes must NOT leak through the splice — the output covers
+    exactly the requested grid."""
+    import __spark_entry__ as entry_mod
+    from db_factfinder_spark.plans.batch import incremental_catalog_update
+    from synth_catalog import incremental_mutation_cvs
+
+    eng = entry_mod._catalog_batch_engine(
+        spark, "/root/testdata/sf0.001", "acs", 2019
+    )
+    variables = ["pop5pl1", "lgoenlep1", "hh1"]  # base+child+untouched
+    # prev covers borough AND city; the update requests borough only
+    prev = eng.calculate_batch_catalog(
+        ["borough", "city"], variables=variables
+    ).localCheckpoint()
+    out = incremental_catalog_update(
+        eng,
+        prev,
+        incremental_mutation_cvs("acs", 2019),
+        ["borough"],
+        variables=variables,
+    )
+    geos = {r["geotype"] for r in out.select("geotype").distinct().collect()}
+    assert geos == {"borough"}, geos
+
+
 def test_mmr_rerank_diversifies(spark):
     """Redundant near-duplicates of the top pick must lose to a
     diverse lower-relevance doc at rank 2; scores are exact integers."""
