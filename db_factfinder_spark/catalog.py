@@ -122,13 +122,15 @@ class Catalog:
     def from_registry(cls, source: str, year: int) -> "Catalog":
         """Load a catalog vintage packaged with the engine — the
         ``data/{source}/{year}/*.json`` registry layout of the
-        reference (metadata.py:63-82).  Packaged today: the decennial
-        2010 and 2020 vintages (25 variables each, reference
-        data/decennial/{2010,2020}/metadata.json — identical variable
-        lists; only the ``decennial_pop`` entry's bookkeeping key
-        differs between vintages).  ACS vintages are deployment data
-        (the production mapping files ship with the data drop), so
-        they are supplied by explicit paths instead."""
+        reference (metadata.py:63-82).  Packaged: the decennial 2010
+        and 2020 vintages (25 variables each; identical variable
+        lists, only the ``decennial_pop`` entry's bookkeeping key
+        differs) and the ACS 2010/2018/2019/2020/2021 vintages
+        (reference data/acs/<year>/ — 2020 ships empty median/special
+        sidecars; 2021 ships metadata WITHOUT census columns and is
+        consumable only by the manual-update pipeline, exactly like
+        the reference).  Unpackaged vintages are supplied by explicit
+        paths."""
         root = Path(__file__).parent / "data" / source / str(year)
         meta = root / "metadata.json"
         if not meta.exists():
