@@ -159,6 +159,81 @@ def main_sink(sf_dir: str) -> None:
     print(json.dumps({"metric": "sink_scale_ladder", "by_n_tracts": out}))
 
 
+def _engine_2010(spark, root, n_tracts):
+    """ACS engine over the 2010 geography at a scaled tract count —
+    the r10 chain's ladder fixture (tract-grain lookup: NTA gid%100,
+    cd '79'+(gid%40); no zone geotypes, so no block grain needed)."""
+    from pyspark.sql import functions as F
+
+    from db_factfinder_spark.catalog import Catalog
+    from db_factfinder_spark.operators.vertical import (
+        AggregatedGeography2010,
+        prepare_lookup_geo_2010,
+    )
+    from db_factfinder_spark.plans.planner import (
+        FactFinderEngine,
+        ParquetWideSource,
+    )
+
+    cat = Catalog.from_registry("acs", 2019)
+    gids = spark.range(n_tracts).select(F.col("id").alias("gid"))
+    tract6 = F.lpad(F.col("gid").cast("string"), 6, "0")
+    lookup_raw = gids.select(
+        F.lit("36047").alias("county_fips"),
+        F.concat(tract6, F.lit("1001")).alias("ctcb2010"),
+        tract6.alias("ct2010"),
+        F.concat(
+            F.lit("BX"), F.lpad((F.col("gid") % 100).cast("string"), 3, "0")
+        ).alias("nta"),
+        F.concat(
+            F.lit("79"), F.lpad((F.col("gid") % 40).cast("string"), 4, "0")
+        ).alias("cd"),
+        F.lit("0").alias("fp_100"),
+        F.lit("0").alias("fp_500"),
+        F.lit("0").alias("park_access"),
+    )
+    geo = AggregatedGeography2010(
+        prepare_lookup_geo_2010(lookup_raw).localCheckpoint()
+    )
+    return FactFinderEngine(spark, cat, geo, ParquetWideSource(spark, root))
+
+
+def main_geo2010(sf_dir: str) -> None:
+    """The r10 chain at the unit ladder: the full ACS catalog through
+    ``_aggregated_2010_frames``' direct tract→NTA/cd rollup (the q384
+    shape) at 200 / 2,000 / 20,000 tracts — same flat-driver /
+    sublinear-exec claim as the 2020-chain ladder, now for the chain
+    with no crosswalk hop."""
+    from db_factfinder_spark.session import get_spark
+
+    spark = get_spark(app_name="perf_geo2010_scale")
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out: dict[str, dict] = {}
+    for n_tracts in (200, 2_000, 20_000):
+        root = _ensure_scaled_fixture(sf_dir, n_tracts)
+        eng = _engine_2010(spark, root, n_tracts)
+        best_plan = best_exec = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = eng.calculate_batch_catalog(["NTA", "cd"])
+            t1 = time.perf_counter()
+            force(df)
+            t2 = time.perf_counter()
+            p, e = t1 - t0, t2 - t1
+            best_plan = p if best_plan is None else min(best_plan, p)
+            best_exec = e if best_exec is None else min(best_exec, e)
+        out[str(n_tracts)] = {
+            "plan_s": round(best_plan, 2), "exec_s": round(best_exec, 2)
+        }
+        print(f"n={n_tracts}: plan {best_plan:.1f}s exec {best_exec:.1f}s",
+              file=sys.stderr, flush=True)
+        _free(spark, eng)
+    print(json.dumps({"metric": "geo2010_scale_ladder", "by_n_tracts": out}))
+
+
 def main() -> None:
     from db_factfinder_spark.session import get_spark
 
@@ -166,6 +241,9 @@ def main() -> None:
     sf_dir = pos[0] if pos else "/root/testdata/sf0.1"
     if "--sink" in sys.argv:
         main_sink(sf_dir)
+        return
+    if "--geo2010" in sys.argv:
+        main_geo2010(sf_dir)
         return
     spark = get_spark(app_name="perf_tract_scale")
 
