@@ -67,11 +67,16 @@ def calculate_batch_catalog(
     result-identical to looping ``engine(var, geotype)`` +
     ``unionByName`` (equivalence pinned in tests/test_catalog_batch).
 
-    Native geotypes, the tract-sourced 2020 rollups (NTA / CDTA /
-    CT20), and the block-group zone rollups (cdta_fp_100 / cdta_fp_500
-    / cdta_park_access — ``_zone_frames``) are all supported set-based;
-    other geographies' aggregated geotypes (e.g. the 2010 vintage's)
-    stay on the per-variable path (``calculate_batch``).
+    Every registered rollup is supported set-based: native geotypes,
+    the tract-sourced 2020 rollups (NTA / CDTA / CT20 —
+    ``_aggregated_2020_frames``), the 2020 block-group zone rollups
+    (cdta_fp_100 / cdta_fp_500 / cdta_park_access — ``_zone_frames``),
+    and — since r10 — the 2010 geography's direct tract→NTA/cd
+    rollups (``_aggregated_2010_frames``) and its cd zone rollups
+    (block grain for decennial, block-group for acs).  The one
+    rejection left is semantic, not a path gap: decennial on the
+    2010_to_2020 geography, where the reference registers no rollups
+    at all (2010_to_2020.py:200-219).
 
     ``checkpoint_mode`` (``llmdata.checkpointing`` policy) governs the
     aggregated-geotype frame: the rolled-up (geoid, variable, e, m)

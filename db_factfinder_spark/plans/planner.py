@@ -417,10 +417,11 @@ class FactFinderEngine:
         tag_domain: bool = True,
         checkpoint_mode: str = "local",
     ) -> DataFrame:
-        """Set-based batch over (catalog × geotypes) for NATIVE
-        geotypes: one source scan per geotype instead of one per
-        (variable, geotype), zero joins/shuffles.  Result-identical to
-        looping ``self(var, geotype)`` — see plans/batch.py for the
+        """Set-based batch over (catalog × geotypes) — native AND
+        every registered aggregated/zone rollup of both geography
+        vintages: one source scan per download grain instead of one
+        per (variable, geotype).  Result-identical to looping
+        ``self(var, geotype)`` — see plans/batch.py for the
         row-locality argument and tests/test_catalog_batch.py for the
         pinned equivalence."""
         from db_factfinder_spark.plans.batch import calculate_batch_catalog
