@@ -336,8 +336,20 @@ def _native_frames(
     # decennial catalogs are mostly such placeholders, and the
     # per-variable path gives them e = Σ∅ = 0.0 rows, not absence
     # (hsum([]) — calculate.py:92-107).
-    spine = raw.select("geotype", "census_geoid").crossJoin(
-        F.broadcast(varattr)
+    # the spine inherits the wide source's FILE partitioning (one task
+    # per geotype file at fixture scale), and every downstream join
+    # broadcasts onto it — so without this explicit repartition the
+    # entire per-row assembly tail (5 joins + the statistic/cleaning
+    # expression stack) runs at file parallelism, not cluster
+    # parallelism (measured: 3 tasks on local[32], re-exec 10.3 s →
+    # 7.5 s with the spread).  The shuffle itself is output-sized and
+    # narrow (2 key columns + the broadcast varattr fan-out), and an
+    # explicit N is exempt from AQE's bytes-based coalescing, which
+    # under-parallelizes this tail (cheap bytes, expensive rows).
+    spine = (
+        raw.select("geotype", "census_geoid")
+        .repartition(engine.spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(varattr))
     )
     empty_m = (
         _null() if source == "decennial" else F.lit(0.0)  # hmoe([]) = √0
