@@ -14,9 +14,18 @@ Claim under test (plans/batch.py): driver cost is FLAT in data size
 
 Usage: python perf_tract_scale.py [customer_sf_dir]   (default sf0.1)
        python perf_tract_scale.py [customer_sf_dir] --sink
+       python perf_tract_scale.py [customer_sf_dir] --geo2010
 Prints one JSON line; results recorded in PERF_NOTES "Round 9" (grids)
 and "Round 10" (--sink: the q365 production run with the CSV sink at
-the same unit ladder, split build / exec / write — r9 VERDICT ask 3).
+the same unit ladder, split build / exec / write — r9 VERDICT ask 3;
+--geo2010: the q384 shape).
+
+Heap note: the 20k-unit aggregated rung shuffles ~21M-row folds in ONE
+long-lived local JVM that has already run the native rungs — at the
+default 8g driver heap that can OOM executor threads mid-shuffle
+(observed r10).  Run the full ladder with SPARK_DRIVER_MEMORY=24g, or
+one rung per process.  (This is measurement-harness capacity, not an
+engine limit — a fresh JVM runs the same rung at 8g.)
 """
 
 from __future__ import annotations
