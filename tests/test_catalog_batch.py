@@ -519,6 +519,45 @@ print("TWOGRESULT:" + json.dumps({"rows": n}))
     assert json.loads(line[-1][len("TWOGRESULT:"):])["rows"] > 0
 
 
+@pytest.mark.slow
+def test_decennial_2010_grid_survives_default_1g_driver():
+    """The q380 grid (native + all five aggregated 2010 geotypes in
+    one plan) must run to completion in a STOCK SparkSession (default
+    1g driver heap) — same lineage-truncation contract as the q337
+    pin."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = str(Path(__file__).parent.parent)
+    child = r"""
+import json, sys
+sys.path.insert(0, %(root)r)
+import __spark_entry__ as E
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)  # deliberately STOCK: 1g driver heap
+n = E.queries()["q380_decennial2010_full_grid"](spark, %(sf)r).count()
+print("DEC1GRESULT:" + json.dumps({"rows": n}))
+""" % {"root": root, "sf": SF}
+    env = dict(os.environ)
+    env.pop("SPARK_DRIVER_MEMORY", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", child],
+        capture_output=True, text=True, timeout=560, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [
+        l for l in proc.stdout.splitlines() if l.startswith("DEC1GRESULT:")
+    ]
+    assert line, proc.stdout[-2000:]
+    assert json.loads(line[-1][len("DEC1GRESULT:"):])["rows"] > 0
+
+
 def test_zone_batch_plan_audit(spark):
     """The zone batch's 100 TB contract: plan leaves are a property of
     the PIPELINE, not the catalog — a full-catalog zone batch plans
