@@ -10288,6 +10288,77 @@ def q384_acs_2010geo_catalog_batch(spark, sf_dir):
     return out.orderBy("geotype", "pff_variable", "census_geoid")
 
 
+def q385_two_round_vintage_splice(spark, sf_dir):
+    """Splice COMPOSABILITY — the production concern q367 leaves open:
+    after one incremental maintenance round, the published artifact is
+    itself a SPLICE (recomputed slice + passthrough rows), and the
+    next correction splices against THAT, not against a full run.
+    Two successive corrections land here: round 1 = q367's pinned
+    trio (base / wrkrnothm-input / poverty-twin columns), republished
+    to a stored parquet artifact exactly like production; round 2 = a
+    disjoint pair (hh2's column — a base AND an mnhhinc special
+    member — plus a profile-only variable's DP column, the direct
+    profile edge), spliced against the ROUND-1 artifact with only
+    round 2's dependency closure recomputed.  The oracle is the full
+    from-scratch recompute with BOTH mutations applied — hash equality
+    proves splice∘splice ≡ full, i.e. maintenance rounds compose
+    without drift."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from db_factfinder_spark.plans.batch import incremental_catalog_update
+    from db_factfinder_spark.plans.planner import ColumnDeltaWideSource
+    from synth_catalog import (
+        SPEC_VERSION as _SPECV,
+        ensure_fixture,
+        incremental_mutation_cvs,
+        second_mutation_cvs,
+    )
+
+    grid = ["tract", "borough", "city"]
+    key = _hl.md5(
+        f"{_os.path.abspath(sf_dir)}|acs|2019|v{_SPECV}".encode()
+    ).hexdigest()[:10]
+    tmp = _tf.gettempdir()
+    root = ensure_fixture(sf_dir, "acs", 2019)
+    mut1 = incremental_mutation_cvs("acs", 2019)
+    mut2 = second_mutation_cvs("acs", 2019)
+
+    # prev0: the stored artifact of the last FULL run (shared with
+    # q367/q374 — same cache key)
+    prev0_path = _os.path.join(tmp, f"spark_graft_acs_prev_{key}")
+    if not _os.path.exists(_os.path.join(prev0_path, "_SUCCESS")):
+        eng0 = _catalog_batch_engine(spark, sf_dir, "acs", 2019)
+        eng0.calculate_batch_catalog(grid).write.mode(
+            "overwrite"
+        ).parquet(prev0_path)
+
+    # round 1: the corrected table carries mut1; splice vs prev0 and
+    # REPUBLISH to a stored artifact (write-once cache — deterministic
+    # content, and an overwrite would invalidate held frames)
+    r1_path = _os.path.join(tmp, f"spark_graft_acs_splice1_{key}")
+    if not _os.path.exists(_os.path.join(r1_path, "_SUCCESS")):
+        eng1 = _catalog_batch_engine(spark, sf_dir, "acs", 2019)
+        eng1.source = ColumnDeltaWideSource(
+            spark, root, {f"{cv}E": 7.0 for cv in mut1}
+        )
+        incremental_catalog_update(
+            eng1, spark.read.parquet(prev0_path), mut1, grid
+        ).write.parquet(r1_path)
+
+    # round 2: the table now carries BOTH corrections; only mut2 is
+    # news, and the splice base is the ROUND-1 ARTIFACT
+    eng2 = _catalog_batch_engine(spark, sf_dir, "acs", 2019)
+    eng2.source = ColumnDeltaWideSource(
+        spark, root, {f"{cv}E": 7.0 for cv in (*mut1, *mut2)}
+    )
+    out = incremental_catalog_update(
+        eng2, spark.read.parquet(r1_path), mut2, grid
+    )
+    return out.orderBy("geotype", "pff_variable", "census_geoid")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10676,6 +10747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q382_acs2021_manual_update": q382_acs2021_manual_update,
         "q383_cross_vintage_change_table": q383_cross_vintage_change_table,
         "q384_acs_2010geo_catalog_batch": q384_acs_2010geo_catalog_batch,
+        "q385_two_round_vintage_splice": q385_two_round_vintage_splice,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

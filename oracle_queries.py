@@ -11017,3 +11017,19 @@ ORACLES["q383_cross_vintage_change_table"] = _change_table_sql()
 from synth_catalog import acs_2010geo_oracle_sql as _acs10_sql  # noqa: E402
 
 ORACLES["q384_acs_2010geo_catalog_batch"] = _acs10_sql(2019, ("NTA", "cd"))
+
+
+# q385: two-round splice composability — the oracle is the full
+# from-scratch recompute with BOTH vintage mutations applied; hash
+# equality proves splice-of-splice == full.
+from synth_catalog import (  # noqa: E402
+    incremental_mutation_cvs as _mut1_cvs,
+    second_mutation_cvs as _mut2_cvs,
+)
+
+ORACLES["q385_two_round_vintage_splice"] = _fc_sql(
+    "acs",
+    2019,
+    ["tract", "borough", "city"],
+    mutate_cvs=sorted([*_mut1_cvs("acs", 2019), *_mut2_cvs("acs", 2019)]),
+)

@@ -391,6 +391,25 @@ def incremental_mutation_cvs(source: str = "acs", year: int = 2019):
     })
 
 
+def second_mutation_cvs(source: str = "acs", year: int = 2019):
+    """The q385 SECOND-round vintage mutation (disjoint from
+    ``incremental_mutation_cvs``): hh2's census column (a base AND a
+    special member — children's p/z and the mnhhinc formula must move)
+    and the first profile-only variable's DP column (the direct
+    profile edge — e comes straight off the mutated column)."""
+    meta = load_meta(source, year)
+    meta_by = {m["pff_variable"]: m for m in meta}
+    po = sorted(profile_only(meta, source))
+    cvs = sorted(
+        {
+            meta_by["hh2"]["census_variable"][0],
+            meta_by[po[0]]["census_variable"][0],
+        }
+    )
+    assert not set(cvs) & set(incremental_mutation_cvs(source, year))
+    return cvs
+
+
 def full_catalog_oracle_sql(
     source: str,
     year: int,
