@@ -32,6 +32,10 @@ from pyspark.sql import functions as F
 
 from db_factfinder_spark.llmdata.checkpointing import materialize
 
+# one-shot adamic_adar cap-semantics log marker (distinct from
+# dedup._CAP_LOGGED so neither call-site suppresses the other's message)
+_AA_CAP_LOGGED = False
+
 # Default hub cap for wedge-through-the-middle joins (adamic_adar):
 # fan-out per middle vertex is C(deg, 2), so one 10^5-degree hub alone
 # emits 5×10^9 wedges at graph scale.  1,024 keeps every plausible
@@ -976,12 +980,13 @@ def adamic_adar(
         F.count(F.lit(1)).alias("deg")
     )
     if max_degree is not None:
-        # one-time plan-level marker, like cap_hot_buckets: a caller on
-        # the default cap can tell a lower-bound run from an exact one
-        from db_factfinder_spark.llmdata import dedup as _dd
-
-        if not _dd._CAP_LOGGED:
-            _dd._CAP_LOGGED = True
+        # one-time plan-level marker, like cap_hot_buckets — but with
+        # its OWN flag: sharing dedup._CAP_LOGGED would let whichever
+        # of the two logs first suppress the other's distinct
+        # lower-bound-semantics message in the same process
+        global _AA_CAP_LOGGED
+        if not _AA_CAP_LOGGED:
+            _AA_CAP_LOGGED = True
             import logging
 
             logging.getLogger(__name__).info(

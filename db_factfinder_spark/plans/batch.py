@@ -160,6 +160,14 @@ def calculate_batch_catalog(
             agg_tract=shared_tract,
         )
     if zone_geos:
+        if not is_2010 and cat.source != "acs":
+            # the 2010_to_2020 registry returns NO rollup options for
+            # decennial (reference 2010_to_2020.py:200-219) — zone
+            # geotypes included; mirror the dimension path's rejection
+            raise NotImplementedError(
+                "set-based batch: the 2010_to_2020 geography registers "
+                "no decennial zone rollups (2010_to_2020.py:200-219)"
+            )
         # the 2010 registry rolls zones up from the BLOCK grain for
         # decennial and the block-group grain for acs
         # (reference geography/2010.py:186-205, 2010_to_2020.py:200-219)
@@ -846,7 +854,15 @@ def _aggregated_2010_frames(
 
     def _one(geotype: str) -> DataFrame:
         dim_col = AGG2010_DIM[geotype]
-        dim = engine.geo.lookup.select("geoid_tract", dim_col).distinct()
+        # pandas groupby drops NaN keys — an unassigned tract (NULL
+        # nta/cd in the crosswalk) must not seed a NULL unit in the
+        # spine or the fold (mirrors tract_to_dimension_2010 and the
+        # 2020 chain's _one_aggregated_geotype)
+        dim = (
+            engine.geo.lookup.filter(F.col(dim_col).isNotNull())
+            .select("geoid_tract", dim_col)
+            .distinct()
+        )
         dims = (
             units.join(
                 F.broadcast(dim),

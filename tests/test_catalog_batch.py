@@ -187,17 +187,78 @@ def test_batch_drops_tasks_like_reference_pool(engine):
         assert r["p"] == 100.0 and r["z"] == 0.0
 
 
-def test_decennial_on_2020_geography_rejected(spark, engine):
+@pytest.mark.parametrize(
+    "geotypes,msg",
+    [
+        (["NTA"], "acs source only"),
+        (["cdta_fp_100"], "no decennial zone rollups"),
+        (["cdta_fp_500", "cdta_park_access"], "no decennial zone rollups"),
+        (["NTA", "cdta_fp_100"], "acs source only|no decennial zone"),
+    ],
+)
+def test_decennial_on_2020_geography_rejected(spark, engine, geotypes, msg):
     # decennial on the 2010_to_2020 geography stays rejected — the
     # reference registers NO decennial rollups there
-    # (2010_to_2020.py:200-219 has only an "acs" key)
+    # (2010_to_2020.py:200-219 has only an "acs" key) — for BOTH the
+    # dimension geotypes and the block-group zone geotypes
     root = ensure_fixture(SF, "decennial", 2020)
     cat = Catalog.from_registry("decennial", 2020)
     eng = FactFinderEngine(
         engine.spark, cat, engine.geo, ParquetWideSource(engine.spark, root)
     )
-    with pytest.raises(NotImplementedError, match="acs source only"):
-        eng.calculate_batch_catalog(["NTA"])
+    with pytest.raises(NotImplementedError, match=msg):
+        eng.calculate_batch_catalog(geotypes)
+
+
+@pytest.mark.parametrize("geotype", ["NTA", "cd"])
+def test_2010_unassigned_tract_drops_null_dim_keys(spark, geotype):
+    """A crosswalk row with a NULL dimension key (an unassigned tract —
+    real lookup_geo files have them) must not seed a NULL unit in the
+    set-based 2010 batch's spine or fold: pandas groupby drops NaN
+    keys and the per-variable ``tract_to_dimension_2010`` filters them
+    (vertical.py:316), so the batch must too."""
+    import __spark_entry__ as entry_mod
+
+    from db_factfinder_spark.operators.vertical import (
+        AggregatedGeography2010,
+    )
+
+    eng0 = entry_mod._decennial_2010_engine(spark, SF)
+    null_if = lambda col, gid: F.when(  # noqa: E731
+        F.col("geoid_tract") == f"36047{gid:06d}", F.lit(None).cast("string")
+    ).otherwise(F.col(col))
+    lookup = eng0.geo.lookup.withColumn("nta", null_if("nta", 0)).withColumn(
+        "cd", null_if("cd", 1)
+    )
+    eng = FactFinderEngine(
+        spark, eng0.catalog, AggregatedGeography2010(lookup), eng0.source
+    )
+    vars_ = ["decennial_pop", "popperacre", "landacres"]
+    batch = {
+        _key(r): r.asDict()
+        for r in eng.calculate_batch_catalog(
+            [geotype], variables=vars_
+        ).collect()
+    }
+    assert batch, "empty batch"
+    assert not any(k[2] is None for k in batch), (
+        "NULL census_geoid leaked into the batch spine"
+    )
+    pervar = {}
+    for v in vars_:
+        df = eng(v, geotype)
+        df = df.withColumn(
+            "domain", F.lit(eng.catalog.create_variable(v).domain)
+        )
+        for r in df.collect():
+            pervar[_key(r)] = r.asDict()
+    assert set(batch) == set(pervar)
+    for k, brow in batch.items():
+        prow = pervar[k]
+        for col in ("labs_geoid", "labs_geotype", "c", "e", "m", "p", "z"):
+            assert _eq(brow[col], prow[col]), (
+                f"{k} {col}: batch={brow[col]!r} pervar={prow[col]!r}"
+            )
 
 
 @pytest.mark.parametrize(
