@@ -148,6 +148,62 @@ def _host_calibration(spark) -> float:
     return round(sorted(runs)[1], 3)
 
 
+def _carried_comparison(
+    times: dict, cal_now: float, here: str, sf: float | None
+) -> dict | None:
+    """Round-over-round carried-set ratio, divided by the host-speed
+    factor (VERDICT r10 ask 1: a single start-of-run canary cannot see
+    mid-run load drift, so raw driver-bench ratios were host-noise-
+    dominated — r10's artifact read 1.106x while the same code's local
+    capture read 0.849x).  Compares the carried query intersection
+    against the newest PRIOR committed BENCH_local_r*.json and reports
+    both the raw ratio and the ratio divided by cal_now/cal_prev."""
+    import glob
+
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "")
+    cands = []
+    for p in glob.glob(os.path.join(here, "BENCH_local_r*.json")):
+        m = re.search(r"BENCH_local_r(\d+)\.json$", p)
+        if m and (not rnd.isdigit() or int(m.group(1)) < int(rnd)):
+            cands.append((int(m.group(1)), p))
+    if not cands:
+        return None
+    _, prev_path = max(cands)
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    if prev.get("sf") != sf:
+        # different scale factor — a time ratio would compare workloads,
+        # not rounds
+        return {"baseline": os.path.basename(prev_path),
+                "skipped": f"sf mismatch ({prev.get('sf')} vs {sf})"}
+    pq = prev.get("queries", {})
+    carried = sorted(set(times) & set(pq))
+    if not carried:
+        return None
+    t_now = sum(times[q] for q in carried)
+    t_prev = sum(pq[q] for q in carried)
+    if not t_prev:
+        return None
+    out = {
+        "baseline": os.path.basename(prev_path),
+        "n_carried": len(carried),
+        "total_now": round(t_now, 3),
+        "total_prev": round(t_prev, 3),
+        "ratio_raw": round(t_now / t_prev, 4),
+    }
+    cal_prev = prev.get("host_calibration_mean") or prev.get(
+        "host_calibration"
+    )
+    if cal_prev and cal_now:
+        host_factor = cal_now / cal_prev
+        out["host_speed_factor"] = round(host_factor, 4)
+        out["ratio_calibrated"] = round(t_now / t_prev / host_factor, 4)
+    return out
+
+
 def main() -> None:
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1)) if sf_match else None
@@ -187,6 +243,11 @@ def main() -> None:
         # cold and FLAT in data size; exec is the scaling part.
         plan_build[name] = round(t1 - t0, 3)
 
+    # mid-sweep canary: the cold pass is the longest uninterrupted
+    # stretch, so host load that arrives during it is invisible to the
+    # pre canary — bracketing (pre / mid / post) bounds the drift
+    host_cal_mid = _host_calibration(spark)
+
     # Steady state: best of two passes per query, REBUILDING the plan
     # each pass — rebuilding keeps lazily-materialized localCheckpoint
     # stages (shingles, simhash signatures) inside the measurement, so
@@ -212,6 +273,19 @@ def main() -> None:
         _force(built[name])
         reexec[name] = round(time.perf_counter() - t0, 3)
 
+    # post-sweep canary closes the bracket (VERDICT r10 ask 1): the
+    # same fixed synthetic workload before, during, and after the sweep
+    # turns "was the host loaded mid-run?" from a guess into a number.
+    host_cal_post = _host_calibration(spark)
+    cals = [host_cal, host_cal_mid, host_cal_post]
+    host_cal_mean = round(sum(cals) / len(cals), 3)
+    # >15% spread across the bracket = the host speed CHANGED mid-run;
+    # per-query deltas inside this run are then suspect at that scale
+    host_drift = round((max(cals) - min(cals)) / min(cals), 4)
+    carried = _carried_comparison(
+        times, host_cal_mean, os.path.dirname(os.path.abspath(__file__)), sf
+    )
+
     # Per-query cold/reexec detail goes to a sidecar file: round 4's
     # headline line grew past the driver's stdout tail capture and was
     # truncated mid-line, losing the round's number.  The LAST stdout
@@ -225,6 +299,12 @@ def main() -> None:
         "sf": sf,
         "startup_s": startup_s,
         "host_calibration": host_cal,
+        "host_calibration_pre": host_cal,
+        "host_calibration_mid": host_cal_mid,
+        "host_calibration_post": host_cal_post,
+        "host_calibration_mean": host_cal_mean,
+        "host_drift": host_drift,
+        "carried_vs_prev": carried,
         "cold_total": round(sum(cold.values()), 3),
         "queries_cold": cold,
         "queries_plan_build": plan_build,
@@ -245,6 +325,12 @@ def main() -> None:
         "sf": sf,
         "startup_s": startup_s,
         "host_calibration": host_cal,
+        "host_calibration_pre": host_cal,
+        "host_calibration_mid": host_cal_mid,
+        "host_calibration_post": host_cal_post,
+        "host_calibration_mean": host_cal_mean,
+        "host_drift": host_drift,
+        "carried_vs_prev": carried,
         "cold_total": round(sum(cold.values()), 3),
         "reexec_total": round(sum(reexec.values()), 3),
         # committed build/exec split for the catalog-batch entries
