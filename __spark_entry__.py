@@ -8873,11 +8873,15 @@ def q337_acs_catalog_batch_nta(spark, sf_dir):
     return out.orderBy("geotype", "pff_variable", "census_geoid")
 
 
-def _crosswalk_2020_engine(spark, sf_dir):
-    """FactFinderEngine with the identity-crosswalk 2020 geography
-    fixture derived from ``customer`` (tract gid → boroct '47'+gid,
-    NTA 'BX'+gid%20, CDTA 'BK'+gid%7) over the synthetic 2019 wide
-    parquet — the q337 spine, shared with tests."""
+def _crosswalk_2020_engine(spark, sf_dir, year=2019, crosswalk="identity"):
+    """FactFinderEngine with the 2020-geography crosswalk fixture
+    derived from ``customer`` (tract gid → boroct '47'+gid, NTA
+    'BX'+gid%20, CDTA 'BK'+gid%7) over the synthetic wide parquet —
+    the q337 spine, shared with tests.  ``crosswalk="split"`` swaps
+    the identity ratio table for the real apportionment shape
+    (synth_catalog.SPLIT_RATIOS rules: gid%10==9 splits 0.375/0.625,
+    gid%20==18 merges into gid-10) — the q386 old-vintage side, where
+    convert_moe's power law actually fires."""
     from pyspark.sql import functions as _F
 
     from db_factfinder_spark.catalog import Catalog
@@ -8890,22 +8894,57 @@ def _crosswalk_2020_engine(spark, sf_dir):
         FactFinderEngine,
         ParquetWideSource,
     )
-    from synth_catalog import N_TRACTS, ensure_fixture
+    from synth_catalog import N_TRACTS, SPLIT_RATIOS, ensure_fixture
 
-    root = ensure_fixture(sf_dir, "acs", 2019)
-    cat = Catalog.from_registry("acs", 2019)
+    root = ensure_fixture(sf_dir, "acs", year)
+    cat = Catalog.from_registry("acs", year)
     cust = _t(spark, sf_dir, "customer")
     gids = cust.select(
         (_F.col("c_custkey") % N_TRACTS).alias("gid")
     ).distinct()
-    code = _F.concat(
-        _F.lit("47"), _F.lpad(_F.col("gid").cast("string"), 6, "0")
+    g = _F.col("gid")
+    b10 = lambda c: _F.concat(  # noqa: E731
+        _F.lit("47"), _F.lpad(c.cast("string"), 6, "0")
     )
-    ratio_raw = gids.select(
-        code.alias("boroct2010"),
-        code.alias("boroct2020"),
-        _F.lit("1.000000000000000000").alias("ratio"),
-    )
+    code = b10(g)
+    if crosswalk == "split":
+        one = _F.lit("1.000000000000000000")
+        r_lo, r_hi = SPLIT_RATIOS
+        ratio_raw = (
+            gids.filter((g % 10 != 9) & (g % 20 != 18))
+            .select(
+                code.alias("boroct2010"),
+                code.alias("boroct2020"),
+                one.alias("ratio"),
+            )
+            .unionByName(
+                gids.filter(g % 20 == 18).select(
+                    code.alias("boroct2010"),
+                    b10(g - 10).alias("boroct2020"),
+                    one.alias("ratio"),
+                )
+            )
+            .unionByName(
+                gids.filter(g % 10 == 9).select(
+                    code.alias("boroct2010"),
+                    code.alias("boroct2020"),
+                    _F.lit(str(r_lo)).alias("ratio"),
+                )
+            )
+            .unionByName(
+                gids.filter(g % 10 == 9).select(
+                    code.alias("boroct2010"),
+                    b10(g + 110000).alias("boroct2020"),
+                    _F.lit(str(r_hi)).alias("ratio"),
+                )
+            )
+        )
+    else:
+        ratio_raw = gids.select(
+            code.alias("boroct2010"),
+            code.alias("boroct2020"),
+            _F.lit("1.000000000000000000").alias("ratio"),
+        )
     lookup_raw = gids.select(
         _F.concat(
             _F.lit("36047"),
@@ -10359,6 +10398,56 @@ def q385_two_round_vintage_splice(spark, sf_dir):
     return out.orderBy("geotype", "pff_variable", "census_geoid")
 
 
+def q386_cross_geography_change_table(spark, sf_dir):
+    """Cross-GEOGRAPHY change table (r10 VERDICT ask 2): the product
+    NYC actually publishes compares a 2010-geography vintage against a
+    2020-geography vintage THROUGH THE TRACT CROSSWALK — the old
+    vintage (2018, on 2010 tracts) is apportioned onto 2020 tracts by
+    ``ct2010_to_ct2020`` + ``convert_moe`` inside its CT20 batch, then
+    delta-joined against the new vintage (2019) at native 2020 tracts.
+    The crosswalk fixture has real SHAPE: identity tracts, gid%10==9
+    splits (keep 0.375 under the original code, shed 0.625 to a new
+    code — the convert_moe power law FIRES and its deflated MOE
+    REACHES the joined output, the first full-catalog non-identity
+    apportionment), and gid%20==18 merges (two 2010 tracts folding
+    into one 2020 tract).  The
+    reference builds CT20 geoids as '360'+boroct2020
+    (2010_to_2020.py:47-50) — the same 11-char key space as native
+    tract geoids — so the inner join is direct; split-target geoids
+    exist on only one side and drop (the outer/status variant is
+    q387).  Exactness: split ratios are binary fractions (3/8, 5/8),
+    both power-law factors exceed 0.5 (bround16 is a bit-exact no-op),
+    and every fold group has ≤2 members (2-element IEEE sums are
+    order-independent) — no quantization needed."""
+    from db_factfinder_spark.pipelines import cross_geography_change_table
+
+    eng_new = _catalog_batch_engine(spark, sf_dir, "acs", 2019)
+    eng_old = _crosswalk_2020_engine(
+        spark, sf_dir, year=2018, crosswalk="split"
+    )
+    out = cross_geography_change_table(eng_new, eng_old)
+    return out.orderBy("pff_variable", "census_geoid")
+
+
+def q387_outer_change_table_status(spark, sf_dir):
+    """Outer-mode change table with status classification (r10 VERDICT
+    ask 3): q383's inner join silently drops variables present in one
+    vintage; the real published change table classifies every (unit ×
+    variable) as added / retired / changed / unchanged (the
+    corpus_diff pattern — llmdata/integrity.py — applied to the
+    published grain).  The packaged 2018/2019 catalogs genuinely
+    differ (970 vs 1,047 variables), so real added AND retired rows
+    exist; two suppressed (NULL) estimates classify as unchanged via
+    null-safe equality, and delta/quadrature columns are NULL for
+    one-sided rows."""
+    from db_factfinder_spark.pipelines import vintage_change_table_outer
+
+    eng_new = _catalog_batch_engine(spark, sf_dir, "acs", 2019)
+    eng_old = _catalog_batch_engine(spark, sf_dir, "acs", 2018)
+    out = vintage_change_table_outer(eng_new, eng_old, ["borough", "city"])
+    return out.orderBy("geotype", "pff_variable", "census_geoid")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10748,6 +10837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q383_cross_vintage_change_table": q383_cross_vintage_change_table,
         "q384_acs_2010geo_catalog_batch": q384_acs_2010geo_catalog_batch,
         "q385_two_round_vintage_splice": q385_two_round_vintage_splice,
+        "q386_cross_geography_change_table": q386_cross_geography_change_table,
+        "q387_outer_change_table_status": q387_outer_change_table_status,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

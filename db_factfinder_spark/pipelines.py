@@ -474,3 +474,151 @@ def vintage_change_table(
             F.col("m_new") * F.col("m_new") + F.col("m_old") * F.col("m_old")
         ).alias("delta_m"),
     )
+
+
+def cross_geography_change_table(
+    engine_new,
+    engine_old,
+    variables: list[str] | None = None,
+    geotype_new: str = "tract",
+    geotype_old: str = "CT20",
+) -> DataFrame:
+    """Cross-GEOGRAPHY change table — the product NYC actually
+    publishes compares a 2010-geography vintage against a
+    2020-geography vintage, so the old vintage must first be
+    apportioned onto 2020 tracts through the tract crosswalk
+    (``ct2010_to_ct2020`` + ``convert_moe`` — reference geography/
+    2010_to_2020.py:82-108) before the delta join.
+
+    ``engine_old`` carries the 2010-sourced data on the 2010_to_2020
+    geography: its set-based batch at ``CT20`` runs the ratio
+    right-join, the power-law MOE deflation, and the 2020-tract fold —
+    so the apportionment is the SAME operator the production grid uses
+    (plans/batch.py), not a bespoke path.  ``engine_new`` is the
+    2020-geography vintage at native tracts.  The reference builds
+    CT20 geoids as ``'360' + boroct2020`` (2010_to_2020.py:47-50) —
+    the same 11-char key space as native 2020 tract geoids — so the
+    two sides inner-join directly on (census_geoid, pff_variable).
+    2020 tracts that exist on only one side (redistricting splits with
+    new-only codes) drop like a SQL inner change table; the
+    status-classifying outer variant is ``vintage_change_table_outer``.
+
+    Scale shape: both sides arrive pre-aggregated at the published
+    grain (the crosswalk join happens inside the old batch against a
+    broadcast ratio table), so at 100 TB the delta join's input is two
+    output-sized frames, never the scans."""
+    new = engine_new.calculate_batch_catalog(
+        [geotype_new], variables=variables, tag_domain=False
+    )
+    old = engine_old.calculate_batch_catalog(
+        [geotype_old], variables=variables, tag_domain=False
+    )
+    keys = ["census_geoid", "pff_variable"]
+    n = new.select(
+        *keys,
+        F.col("labs_geoid"),
+        F.col("geotype").alias("geotype_new"),
+        F.col("e").alias("e_new"),
+        F.col("m").alias("m_new"),
+    )
+    o = old.select(
+        *keys,
+        F.col("geotype").alias("geotype_old"),
+        F.col("e").alias("e_old"),
+        F.col("m").alias("m_old"),
+    )
+    j = n.join(o, keys, "inner")
+    return j.select(
+        *keys,
+        "geotype_new",
+        "geotype_old",
+        "labs_geoid",
+        "e_new",
+        "e_old",
+        (F.col("e_new") - F.col("e_old") + F.lit(0.0)).alias("delta_e"),
+        "m_new",
+        "m_old",
+        F.sqrt(
+            F.col("m_new") * F.col("m_new") + F.col("m_old") * F.col("m_old")
+        ).alias("delta_m"),
+    )
+
+
+def vintage_change_table_outer(
+    engine_new,
+    engine_old,
+    geotypes: list[str],
+    variables: list[str] | None = None,
+) -> DataFrame:
+    """Outer-mode change table with status classification — the real
+    change tables a data consumer publishes do not silently drop
+    variables or units present in one vintage (the documented
+    inner-join behavior of ``vintage_change_table``); they classify
+    every (unit × variable) as
+
+    * ``added``     — present only in the new vintage (a new catalog
+      variable, or a geography unit created by the new vintage)
+    * ``retired``   — present only in the old vintage
+    * ``changed``   — present in both with a different estimate (two
+      NULL/suppressed estimates compare as equal, like SQL
+      ``IS DISTINCT FROM``)
+    * ``unchanged`` — present in both with the same estimate
+
+    (the corpus_diff pattern — llmdata/integrity.py — applied to the
+    published grain).  Delta/quadrature columns are NULL for
+    added/retired rows; labs formatting comes from whichever side has
+    the row.  Real added/retired rows exist across the packaged
+    2018/2019 catalogs (970 vs 1,047 variables)."""
+    new = engine_new.calculate_batch_catalog(
+        geotypes, variables=variables, tag_domain=False
+    )
+    old = engine_old.calculate_batch_catalog(
+        geotypes, variables=variables, tag_domain=False
+    )
+    keys = ["census_geoid", "geotype", "pff_variable"]
+    n = new.select(
+        *keys,
+        F.col("labs_geoid").alias("labs_geoid_new"),
+        F.col("labs_geotype").alias("labs_geotype_new"),
+        F.col("e").alias("e_new"),
+        F.col("m").alias("m_new"),
+        F.lit(True).alias("in_new"),
+    )
+    o = old.select(
+        *keys,
+        F.col("labs_geoid").alias("labs_geoid_old"),
+        F.col("labs_geotype").alias("labs_geotype_old"),
+        F.col("e").alias("e_old"),
+        F.col("m").alias("m_old"),
+        F.lit(True).alias("in_old"),
+    )
+    j = n.join(o, keys, "full_outer")
+    both = F.col("in_new").isNotNull() & F.col("in_old").isNotNull()
+    status = (
+        F.when(F.col("in_old").isNull(), F.lit("added"))
+        .when(F.col("in_new").isNull(), F.lit("retired"))
+        .when(F.col("e_new").eqNullSafe(F.col("e_old")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        *keys,
+        F.coalesce("labs_geoid_new", "labs_geoid_old").alias("labs_geoid"),
+        F.coalesce("labs_geotype_new", "labs_geotype_old").alias(
+            "labs_geotype"
+        ),
+        status.alias("status"),
+        "e_new",
+        "e_old",
+        F.when(
+            both, F.col("e_new") - F.col("e_old") + F.lit(0.0)
+        ).alias("delta_e"),
+        "m_new",
+        "m_old",
+        F.when(
+            both,
+            F.sqrt(
+                F.col("m_new") * F.col("m_new")
+                + F.col("m_old") * F.col("m_old")
+            ),
+        ).alias("delta_m"),
+    )

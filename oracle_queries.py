@@ -11033,3 +11033,74 @@ ORACLES["q385_two_round_vintage_splice"] = _fc_sql(
     ["tract", "borough", "city"],
     mutate_cvs=sorted([*_mut1_cvs("acs", 2019), *_mut2_cvs("acs", 2019)]),
 )
+
+
+# q386: cross-geography change table — the 2019 native-tract full
+# catalog delta-joined against the 2018 catalog apportioned onto 2020
+# tracts through the SPLIT crosswalk (ratio right-join + convert_moe
+# power law, synth_catalog.SPLIT_RATIOS rules).  Inner join on the
+# shared 11-char geoid space; split-target geoids drop (q387 is the
+# outer/status variant).
+def _cross_geo_change_sql() -> str:
+    new = _fc_sql("acs", 2019, ["tract"])
+    old = _nta_sql(2018, ("CT20",), crosswalk="split")
+    tail = "ORDER BY geotype, pff_variable, census_geoid"
+    assert new.rstrip().endswith(tail) and old.rstrip().endswith(tail)
+    strip = lambda q: q.rstrip()[: -len(tail)]  # noqa: E731
+    return f"""
+SELECT n.census_geoid, n.pff_variable,
+  n.geotype AS geotype_new, o.geotype AS geotype_old,
+  n.labs_geoid,
+  n.e AS e_new, o.e AS e_old,
+  (n.e - o.e) + 0.0 AS delta_e,
+  n.m AS m_new, o.m AS m_old,
+  sqrt(n.m * n.m + o.m * o.m) AS delta_m
+FROM ({strip(new)}) n
+JOIN ({strip(old)}) o
+  ON n.census_geoid = o.census_geoid
+  AND n.pff_variable = o.pff_variable
+ORDER BY n.pff_variable, n.census_geoid
+"""
+
+
+ORACLES["q386_cross_geography_change_table"] = _cross_geo_change_sql()
+
+
+# q387: outer-mode change table with added/retired/changed/unchanged
+# status — the 2018/2019 catalogs differ (970 vs 1,047 variables) so
+# real one-sided rows exist; suppressed (NULL) estimates classify as
+# unchanged via IS NOT DISTINCT FROM; delta columns NULL when either
+# side is missing.
+def _outer_change_sql() -> str:
+    new = _fc_sql("acs", 2019, ["borough", "city"])
+    old = _fc_sql("acs", 2018, ["borough", "city"])
+    tail = "ORDER BY geotype, pff_variable, census_geoid"
+    assert new.rstrip().endswith(tail) and old.rstrip().endswith(tail)
+    strip = lambda q: q.rstrip()[: -len(tail)]  # noqa: E731
+    return f"""
+SELECT coalesce(n.census_geoid, o.census_geoid) AS census_geoid,
+  coalesce(n.geotype, o.geotype) AS geotype,
+  coalesce(n.pff_variable, o.pff_variable) AS pff_variable,
+  coalesce(n.labs_geoid, o.labs_geoid) AS labs_geoid,
+  coalesce(n.labs_geotype, o.labs_geotype) AS labs_geotype,
+  CASE WHEN o.pff_variable IS NULL THEN 'added'
+       WHEN n.pff_variable IS NULL THEN 'retired'
+       WHEN n.e IS NOT DISTINCT FROM o.e THEN 'unchanged'
+       ELSE 'changed' END AS status,
+  n.e AS e_new, o.e AS e_old,
+  CASE WHEN n.pff_variable IS NOT NULL AND o.pff_variable IS NOT NULL
+       THEN (n.e - o.e) + 0.0 END AS delta_e,
+  n.m AS m_new, o.m AS m_old,
+  CASE WHEN n.pff_variable IS NOT NULL AND o.pff_variable IS NOT NULL
+       THEN sqrt(n.m * n.m + o.m * o.m) END AS delta_m
+FROM ({strip(new)}) n
+FULL OUTER JOIN ({strip(old)}) o
+  ON n.census_geoid = o.census_geoid AND n.geotype = o.geotype
+  AND n.pff_variable = o.pff_variable
+ORDER BY coalesce(n.geotype, o.geotype),
+  coalesce(n.pff_variable, o.pff_variable),
+  coalesce(n.census_geoid, o.census_geoid)
+"""
+
+
+ORACLES["q387_outer_change_table_status"] = _outer_change_sql()

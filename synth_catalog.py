@@ -905,8 +905,32 @@ ZONE_ORACLE_FLAGS = {
 }
 
 
+# Split-crosswalk fixture rules (q386 — the cross-geography change
+# table's old side; mirrored by _crosswalk_2020_engine's "split" mode):
+#   gid % 10 == 9            SPLIT  -> keeps 0.375 in ct2020 code gid
+#                                      (so the power-law-deflated MOE
+#                                      REACHES the change-table join),
+#                                      sheds 0.625 to new code
+#                                      gid+110000 (drops in the inner
+#                                      join; appears in outer mode)
+#   gid % 20 == 18           MERGE  -> absorbed into ct2020 gid-10
+#                                      (ratio 1, joining gid-10's own
+#                                      identity row: a 2-element fold)
+#   otherwise                identity (ratio 1)
+# Ratios 0.375/0.625 are exact binary fractions (3/8, 5/8) so e·ratio
+# is exact, and both power-law factors exceed 0.5 so bround16 of the
+# deflated m is a bit-exact no-op in BOTH engines (doubles >= 0.5
+# round-trip a 16-decimal half-even rounding unchanged; 0.25-class
+# ratios give factors < 0.5 where that stops holding).  Every fold
+# group has <= 2 members, so the float sums are order-independent
+# (2-element IEEE addition is commutative) — no quantization needed.
+SPLIT_RATIOS = (0.375, 0.625)
+
+
 def nta_catalog_oracle_sql(
-    year: int = 2019, geotypes: tuple[str, ...] = ("CT20", "NTA")
+    year: int = 2019,
+    geotypes: tuple[str, ...] = ("CT20", "NTA"),
+    crosswalk: str = "identity",
 ) -> str:
     """DuckDB twin of the aggregated-geotype catalog batch (q337 /
     q365's aggregated half): tract melt → identity-ratio CT20 fold →
@@ -917,7 +941,16 @@ def nta_catalog_oracle_sql(
     cdta_fp_500 / cdta_park_access) instead fold the BLOCK-GROUP melt
     through the flag-gated zone dimension with a (zone × variable)
     spine keeping factless zones at e=0/m=0 — mirroring
-    _zone_frames / block_group_to_zone."""
+    _zone_frames / block_group_to_zone.
+
+    ``crosswalk="split"`` swaps the identity CT20 fold for the real
+    apportionment shape (the SPLIT_RATIOS fixture rules): ratio
+    right-join + the convert_moe power law — the reference's
+    2010_to_2020.py:82-108 with splits and merges actually present.
+    Split mode supports CT20 only (split-target geoids have no
+    dimension rows)."""
+    if crosswalk == "split" and set(geotypes) != {"CT20"}:
+        raise ValueError("split crosswalk oracle supports CT20 only")
     source = "acs"
     meta = load_meta(source, year)
     med = load_side(source, year, "median")
@@ -1106,6 +1139,47 @@ asm_{tag} AS (
         "WHEN 'CDTA' THEN 'CDTA2020' ELSE geotype END"
     )
 
+    if crosswalk == "split":
+        r_lo, r_hi = SPLIT_RATIOS
+        tgt = (
+            lambda off: "'36047' || lpad(CAST(gid + {off} AS VARCHAR), 6,"
+            " '0')".format(off=off)
+        )
+        ct20_cte = f"""ratio_map AS (
+  SELECT census_geoid AS ct2010, census_geoid AS ct2020,
+    CAST(1.0 AS DOUBLE) AS ratio
+  FROM geo WHERE gid % 10 != 9 AND gid % 20 != 18
+  UNION ALL
+  SELECT census_geoid,
+    '36047' || lpad(CAST(gid - 10 AS VARCHAR), 6, '0'),
+    CAST(1.0 AS DOUBLE)
+  FROM geo WHERE gid % 20 = 18
+  UNION ALL
+  SELECT census_geoid, census_geoid, CAST({r_lo!r} AS DOUBLE)
+  FROM geo WHERE gid % 10 = 9
+  UNION ALL
+  SELECT census_geoid, {tgt(110000)}, CAST({r_hi!r} AS DOUBLE)
+  FROM geo WHERE gid % 10 = 9),
+scaled_ct20 AS (
+  SELECT r.ct2020 AS census_geoid, p.pff,
+    p.e * r.ratio AS e,
+    CASE WHEN r.ratio = 1 THEN p.m
+         WHEN p.e * r.ratio = 0 THEN NULL
+         WHEN pow(r.ratio * 100, 0.56901) * 7.96309 >= 100 THEN p.m
+         ELSE pow(r.ratio * 100, 0.56901) * 7.96309 / 100 * p.m END AS m
+  FROM ratio_map r JOIN plain p ON p.census_geoid = r.ct2010),
+roll_ct20 AS (
+  SELECT census_geoid, pff,
+    coalesce(sum(e), 0.0) AS e,
+    sqrt(coalesce(sum(m * m), 0.0)) AS m
+  FROM scaled_ct20 GROUP BY 1, 2)"""
+    else:
+        ct20_cte = """roll_ct20 AS (
+  SELECT census_geoid, pff,
+    coalesce(sum(e), 0.0) AS e,
+    sqrt(coalesce(sum(m * m), 0.0)) AS m
+  FROM plain GROUP BY 1, 2)"""
+
     return f"""
 WITH g_tract AS (
   SELECT CAST(c_custkey % {N_TRACTS} AS BIGINT) AS gid,
@@ -1144,11 +1218,7 @@ plain AS (
     sqrt(0.0 + sum(coalesce(M * M, 0.0))) AS m
   FROM scrub s JOIN varmap v ON s.cv = v.cv
   GROUP BY 1, 2),
-roll_ct20 AS (
-  SELECT census_geoid, pff,
-    coalesce(sum(e), 0.0) AS e,
-    sqrt(coalesce(sum(m * m), 0.0)) AS m
-  FROM plain GROUP BY 1, 2),
+{ct20_cte},
 roll_nta AS (
   SELECT g.nta AS census_geoid, r.pff,
     coalesce(sum(r.e), 0.0) AS e,

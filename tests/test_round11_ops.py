@@ -47,3 +47,84 @@ def test_adamic_adar_cap_log_independent_of_dedup_flag(spark, caplog):
         )
     finally:
         C._AA_CAP_LOGGED, D._CAP_LOGGED = old_aa, old_dd
+
+
+@pytest.fixture(scope="module")
+def q386_rows(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["q386_cross_geography_change_table"](
+        spark, SF
+    ).collect()
+
+
+def test_cross_geography_change_table_covers_all_join_shapes(
+    spark, q386_rows
+):
+    """The split crosswalk fixture must actually exercise every join
+    shape in the checked output: identity tracts, merge targets (two
+    2010 tracts folded into one 2020 tract), split-kept tracts (the
+    convert_moe power-law-deflated MOE), and split-shed codes DROPPED
+    by the inner join (values are oracle-pinned; this pins the
+    fixture's coverage so a silent degeneration cannot pass)."""
+    from pyspark.sql import functions as F
+
+    from synth_catalog import N_TRACTS
+
+    geoids = {r["census_geoid"] for r in q386_rows}
+    gid = lambda g: int(g[5:])  # noqa: E731
+    # expectations derive from the gids actually present in customer
+    # (small scale factors do not cover all N_TRACTS)
+    present = {
+        r[0]
+        for r in spark.read.parquet(f"{SF}/customer.parquet")
+        .select((F.col("c_custkey") % N_TRACTS).cast("int"))
+        .distinct()
+        .collect()
+    }
+    # every present tract appears except the absorbed ones (gid%20==18,
+    # whose old CT20 unit was folded into gid-10's code)
+    assert geoids == {
+        f"36047{g:06d}" for g in present if g % 20 != 18
+    }
+    assert all(gid(g) < N_TRACTS for g in geoids)  # shed codes dropped
+    split_kept = {g for g in geoids if gid(g) % 10 == 9}
+    merged = {g for g in geoids if gid(g) % 20 == 8}
+    assert split_kept and merged
+    # power law actually deflates: on a split-kept tract the old-side
+    # MOE must differ from the new-side MOE distribution-wide (equal
+    # only by coincidence); check at least one variable shows a
+    # non-NULL m_old on a split tract
+    some = [
+        r
+        for r in q386_rows
+        if gid(r["census_geoid"]) % 10 == 9 and r["m_old"] is not None
+        and r["m_old"] > 0
+    ]
+    assert some, "no split-kept row carried a deflated MOE"
+
+
+def test_outer_change_table_pins_all_four_statuses(spark):
+    """q387: the packaged 2018/2019 catalogs differ (970 vs 1,047
+    variables), so added AND retired rows must both exist; changed and
+    unchanged must both occur; one-sided rows carry NULL deltas."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["q387_outer_change_table_status"](
+        spark, SF
+    ).collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["status"], []).append(r)
+    assert set(by_status) == {"added", "retired", "changed", "unchanged"}
+    for r in by_status["added"]:
+        assert r["e_old"] is None and r["delta_e"] is None
+        assert r["delta_m"] is None
+    for r in by_status["retired"]:
+        assert r["e_new"] is None and r["delta_e"] is None
+    for r in by_status["changed"][:50]:
+        assert r["e_new"] is None or r["e_old"] is None or (
+            r["e_new"] != r["e_old"]
+        )
+    # labs formatting survives from whichever side has the row
+    assert all(r["labs_geoid"] is not None for r in rows)
