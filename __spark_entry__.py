@@ -8873,7 +8873,9 @@ def q337_acs_catalog_batch_nta(spark, sf_dir):
     return out.orderBy("geotype", "pff_variable", "census_geoid")
 
 
-def _crosswalk_2020_engine(spark, sf_dir, year=2019, crosswalk="identity"):
+def _crosswalk_2020_engine(
+    spark, sf_dir, year=2019, crosswalk="identity", nta_move=None
+):
     """FactFinderEngine with the 2020-geography crosswalk fixture
     derived from ``customer`` (tract gid → boroct '47'+gid, NTA
     'BX'+gid%20, CDTA 'BK'+gid%7) over the synthetic wide parquet —
@@ -8945,16 +8947,24 @@ def _crosswalk_2020_engine(spark, sf_dir, year=2019, crosswalk="identity"):
             code.alias("boroct2020"),
             _F.lit("1.000000000000000000").alias("ratio"),
         )
+    nta_expr = _F.concat(
+        _F.lit("BX"),
+        _F.lpad((_F.col("gid") % 20).cast("string"), 2, "0"),
+    )
+    if nta_move is not None:
+        # geography REVISION (q388): tract `moved_gid` is re-assigned
+        # to `new_nta` — an NTA boundary fix in the raw crosswalk
+        moved_gid, new_nta = nta_move
+        nta_expr = _F.when(
+            _F.col("gid") == moved_gid, _F.lit(new_nta)
+        ).otherwise(nta_expr)
     lookup_raw = gids.select(
         _F.concat(
             _F.lit("36047"),
             _F.lpad(_F.col("gid").cast("string"), 6, "0"),
             _F.lit("1000"),
         ).alias("geoid"),
-        _F.concat(
-            _F.lit("BX"),
-            _F.lpad((_F.col("gid") % 20).cast("string"), 2, "0"),
-        ).alias("nta2020"),
+        nta_expr.alias("nta2020"),
         _F.lit("nta name").alias("ntaname"),
         _F.concat(
             _F.lit("BK"),
@@ -10448,6 +10458,52 @@ def q387_outer_change_table_status(spark, sf_dir):
     return out.orderBy("geotype", "pff_variable", "census_geoid")
 
 
+def q388_geography_revision_splice(spark, sf_dir):
+    """Crosswalk-revision incremental maintenance (r10 VERDICT ask 5):
+    the OTHER real-world mutation after a census-column correction
+    (q367/q385) is a geography revision — an NTA boundary fix in the
+    raw lookup_geo.  ``incremental_geography_update`` (plans/batch.py)
+    extends the dependency closure with a DIMENSION axis
+    (``GEO_FIELD_DEPENDENTS``): a revised ``nta2020`` assignment
+    invalidates ONLY the NTA geotype, so the native tract grid and the
+    CT20 rollup — the bulk of the published artifact — splice through
+    from the stored parquet of the last full run, and only NTA is
+    recomputed over the revised crosswalk (tract gid 3 moves BX03 →
+    BX09).  The oracle is the full from-scratch recompute with the
+    revised lookup — hash equality proves splice ≡ full, i.e. the
+    dimension axis under-invalidates nothing."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from db_factfinder_spark.plans.batch import (
+        incremental_geography_update,
+    )
+    from synth_catalog import SPEC_VERSION as _SPECV
+
+    grid = ["tract", "CT20", "NTA"]
+    key = _hl.md5(
+        f"{_os.path.abspath(sf_dir)}|acs|2019|georev|v{_SPECV}".encode()
+    ).hexdigest()[:10]
+    prev_path = _os.path.join(
+        _tf.gettempdir(), f"spark_graft_georev_prev_{key}"
+    )
+    if not _os.path.exists(_os.path.join(prev_path, "_SUCCESS")):
+        # the last FULL run, on the ORIGINAL crosswalk (write-once
+        # deterministic artifact, like q385's)
+        eng0 = _crosswalk_2020_engine(spark, sf_dir, year=2019)
+        eng0.calculate_batch_catalog(grid).write.mode(
+            "overwrite"
+        ).parquet(prev_path)
+    eng1 = _crosswalk_2020_engine(
+        spark, sf_dir, year=2019, nta_move=(3, "BX09")
+    )
+    out = incremental_geography_update(
+        eng1, spark.read.parquet(prev_path), ["nta2020"], grid
+    )
+    return out.orderBy("geotype", "pff_variable", "census_geoid")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10839,6 +10895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q385_two_round_vintage_splice": q385_two_round_vintage_splice,
         "q386_cross_geography_change_table": q386_cross_geography_change_table,
         "q387_outer_change_table_status": q387_outer_change_table_status,
+        "q388_geography_revision_splice": q388_geography_revision_splice,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

@@ -1350,3 +1350,93 @@ def incremental_catalog_update(
         F.col("geotype").isin(list(geotypes))
     )
     return untouched.unionByName(recomputed)
+
+
+# The DIMENSION axis of incremental maintenance (the variable axis is
+# catalog_dependency_closure): which published geotypes read which
+# crosswalk field.  A revised ratio row re-apportions EVERY variable at
+# every crosswalk-riding geotype; a revised dimension assignment (an
+# NTA boundary fix) or zone flag touches only the geotypes that read
+# that column.  Native geotypes never read the crosswalk, so they are
+# never invalidated by a geography revision.  Keys mirror the raw
+# lookup/ratio columns (reference 2010_to_2020.py:16-50,
+# geography/2010.py:16-38).
+GEO_FIELD_DEPENDENTS = {
+    "2010_to_2020": {
+        "ratio": ("CT20", "NTA", "CDTA"),
+        "nta2020": ("NTA",),
+        "cdta2020": ("CDTA",),
+        "fp_100": ("cdta_fp_100",),
+        "fp_500": ("cdta_fp_500",),
+        "park_access": ("cdta_park_access",),
+    },
+    "2010": {
+        "nta": ("NTA",),
+        "cd": ("cd",),
+        "fp_100": ("cd_fp_100",),
+        "fp_500": ("cd_fp_500",),
+        "park_access": ("cd_park_access",),
+    },
+}
+
+
+def geography_dependency_closure(geo_name: str, changed_fields) -> set[str]:
+    """Geotypes whose published statistics can change when the given
+    crosswalk FIELDS change — the slice-recompute set for an
+    incremental geography revision (the dimension-axis twin of
+    ``catalog_dependency_closure``).  Unknown fields raise: silently
+    ignoring one would under-invalidate, which is a correctness bug
+    (a superset only recomputes more)."""
+    table = GEO_FIELD_DEPENDENTS[geo_name]
+    out: set[str] = set()
+    for f in changed_fields:
+        if f not in table:
+            raise KeyError(
+                f"geography_dependency_closure: unknown crosswalk field "
+                f"{f!r} for geography {geo_name!r} (known: "
+                f"{sorted(table)})"
+            )
+        out.update(table[f])
+    return out
+
+
+def incremental_geography_update(
+    engine_new,
+    prev: DataFrame,
+    changed_fields,
+    geotypes: list[str],
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Incremental GEOGRAPHY-revision maintenance: the crosswalk
+    changed (a revised ratio row, an NTA boundary fix, a zone-flag
+    correction — ``changed_fields`` names the raw lookup/ratio columns
+    that moved), and only the aggregated geotypes that read those
+    fields are recomputed over ``engine_new`` (whose geography carries
+    the REVISED crosswalk); every other geotype — natives always
+    included, since they never touch the crosswalk — is spliced
+    through from the previously-published artifact ``prev``.
+
+    Correctness contract: value-identical to a full
+    ``calculate_batch_catalog`` over the revised geography (pinned by
+    q388's oracle, which computes the full revised run in SQL).  Cost
+    contract: the wide source is re-scanned once for the affected
+    geotypes' shared fold, but the native grid — the bulk of the
+    output — is a pass-through scan of the stored artifact."""
+    affected = geography_dependency_closure(
+        getattr(engine_new.geo, "name", ""), changed_fields
+    )
+    recompute = [g for g in geotypes if g in affected]
+    keep = [g for g in geotypes if g not in affected]
+    parts = []
+    if keep:
+        parts.append(prev.filter(F.col("geotype").isin(keep)))
+    if recompute:
+        parts.append(
+            engine_new.calculate_batch_catalog(
+                recompute, checkpoint_mode=checkpoint_mode
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -11104,3 +11104,23 @@ ORDER BY coalesce(n.geotype, o.geotype),
 
 
 ORACLES["q387_outer_change_table_status"] = _outer_change_sql()
+
+
+# q388: geography-revision incremental maintenance — the oracle is the
+# full from-scratch recompute with the REVISED crosswalk (tract gid 3
+# moved BX03 -> BX09); hash equality proves the dimension-axis splice
+# (native tract + CT20 passed through, only NTA recomputed) is
+# value-identical to the full run.
+def _georev_sql() -> str:
+    nat = _fc_sql("acs", 2019, ["tract"])
+    agg = _nta_sql(2019, ("CT20", "NTA"), nta_move=(3, "BX09"))
+    tail = "ORDER BY geotype, pff_variable, census_geoid"
+    assert nat.rstrip().endswith(tail) and agg.rstrip().endswith(tail)
+    strip = lambda q: q.rstrip()[: -len(tail)]  # noqa: E731
+    return (
+        f"SELECT * FROM ({strip(nat)})\nUNION ALL\n"
+        f"SELECT * FROM ({strip(agg)})\n{tail}"
+    )
+
+
+ORACLES["q388_geography_revision_splice"] = _georev_sql()

@@ -931,6 +931,7 @@ def nta_catalog_oracle_sql(
     year: int = 2019,
     geotypes: tuple[str, ...] = ("CT20", "NTA"),
     crosswalk: str = "identity",
+    nta_move: tuple[int, str] | None = None,
 ) -> str:
     """DuckDB twin of the aggregated-geotype catalog batch (q337 /
     q365's aggregated half): tract melt → identity-ratio CT20 fold →
@@ -1139,6 +1140,15 @@ asm_{tag} AS (
         "WHEN 'CDTA' THEN 'CDTA2020' ELSE geotype END"
     )
 
+    nta_sql = "'BX' || lpad(CAST(gid % 20 AS VARCHAR), 2, '0')"
+    if nta_move is not None:
+        # geography REVISION (q388): the raw crosswalk re-assigns one
+        # tract to a different NTA (boundary fix)
+        moved_gid, new_nta = nta_move
+        nta_sql = (
+            f"CASE WHEN gid = {int(moved_gid)} THEN {_q(new_nta)} "
+            f"ELSE {nta_sql} END"
+        )
     if crosswalk == "split":
         r_lo, r_hi = SPLIT_RATIOS
         tgt = (
@@ -1189,7 +1199,7 @@ WITH g_tract AS (
   FROM customer GROUP BY 1),
 geo AS (
   SELECT '36047' || lpad(CAST(gid AS VARCHAR), 6, '0') AS census_geoid,
-         'BX' || lpad(CAST(gid % 20 AS VARCHAR), 2, '0') AS nta,
+         {nta_sql} AS nta,
          'BK' || lpad(CAST(gid % 7 AS VARCHAR), 2, '0') AS cdta,
          gid, s1, s2, s3
   FROM g_tract),

@@ -128,3 +128,74 @@ def test_outer_change_table_pins_all_four_statuses(spark):
         )
     # labs formatting survives from whichever side has the row
     assert all(r["labs_geoid"] is not None for r in rows)
+
+
+def test_geography_dependency_closure_maps_fields():
+    """The dimension axis of incremental maintenance: each crosswalk
+    field invalidates exactly the geotypes that read it; a ratio
+    revision invalidates every crosswalk rider; natives never appear;
+    unknown fields raise (silent under-invalidation would be a
+    correctness bug)."""
+    from db_factfinder_spark.plans.batch import (
+        geography_dependency_closure,
+    )
+
+    assert geography_dependency_closure("2010_to_2020", ["nta2020"]) == {
+        "NTA"
+    }
+    assert geography_dependency_closure("2010_to_2020", ["ratio"]) == {
+        "CT20",
+        "NTA",
+        "CDTA",
+    }
+    assert geography_dependency_closure(
+        "2010_to_2020", ["fp_100", "park_access"]
+    ) == {"cdta_fp_100", "cdta_park_access"}
+    assert geography_dependency_closure("2010", ["cd"]) == {"cd"}
+    with pytest.raises(KeyError, match="unknown crosswalk field"):
+        geography_dependency_closure("2010_to_2020", ["boroct2020"])
+
+
+def test_geography_update_splices_only_affected_geotypes(spark):
+    """incremental_geography_update must leave unaffected geotypes as a
+    pass-through of the stored artifact (not a recompute): revise the
+    NTA assignment, splice over a PREV frame with sentinel values for
+    tract/CT20 — the sentinels must survive verbatim, and only NTA
+    rows may come from the live engine."""
+    import __spark_entry__ as E
+
+    from db_factfinder_spark.plans.batch import (
+        incremental_geography_update,
+    )
+
+    eng = E._crosswalk_2020_engine(spark, SF, nta_move=(3, "BX09"))
+    cols = (
+        "census_geoid string, labs_geoid string, geotype string, "
+        "labs_geotype string, pff_variable string, c double, e double,"
+        " m double, p double, z double, domain string"
+    )
+    prev = spark.createDataFrame(
+        [
+            ("X1", "L1", "tract", "CT2010", "v", None, 1.0, None, None,
+             None, "d"),
+            ("X2", "L2", "CT20", "CT2020", "v", None, 2.0, None, None,
+             None, "d"),
+            ("X3", "L3", "NTA", "NTA2020", "v", None, 3.0, None, None,
+             None, "d"),
+        ],
+        cols,
+    )
+    out = incremental_geography_update(
+        eng, prev, ["nta2020"], ["tract", "CT20", "NTA"]
+    )
+    rows = out.collect()
+    spliced = {r["census_geoid"]: r for r in rows if r["geotype"] != "NTA"}
+    # tract/CT20 sentinels pass through verbatim — proof they were NOT
+    # recomputed; the stale NTA sentinel must NOT survive
+    assert set(spliced) == {"X1", "X2"}
+    assert spliced["X1"]["e"] == 1.0 and spliced["X2"]["e"] == 2.0
+    ntas = [r for r in rows if r["geotype"] == "NTA"]
+    assert ntas and all(r["census_geoid"] != "X3" for r in ntas)
+    # the revision is live in the recomputed slice: tract gid 3's
+    # facts now roll into BX09
+    assert any(r["census_geoid"] == "BX09" for r in ntas)
