@@ -10504,6 +10504,74 @@ def q388_geography_revision_splice(spark, sf_dir):
     return out.orderBy("geotype", "pff_variable", "census_geoid")
 
 
+def q389_combined_maintenance_splice(spark, sf_dir):
+    """BOTH maintenance axes land together — the realistic release
+    note: "corrected three census columns AND fixed an NTA boundary".
+    ``incremental_combined_update`` (plans/batch.py) recomputes the
+    UNION of the two rectangles (affected variables × every geotype) ∪
+    (every variable × affected geotypes) without overlap, splicing
+    everything outside both from the stored artifact — q367's variable
+    closure (the pinned column trio) composed with q388's dimension
+    closure (nta2020 → NTA only).  The oracle is the full from-scratch
+    recompute with BOTH mutations applied; hash equality proves the
+    two closures compose without under-invalidation."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from db_factfinder_spark.plans.batch import (
+        incremental_combined_update,
+    )
+    from db_factfinder_spark.plans.planner import ColumnDeltaWideSource
+    from synth_catalog import (
+        SPEC_VERSION as _SPECV,
+        ensure_fixture,
+        incremental_mutation_cvs,
+    )
+
+    grid = ["tract", "CT20", "NTA"]
+    # same pre-mutation state as q388 — share its stored artifact
+    key = _hl.md5(
+        f"{_os.path.abspath(sf_dir)}|acs|2019|georev|v{_SPECV}".encode()
+    ).hexdigest()[:10]
+    prev_path = _os.path.join(
+        _tf.gettempdir(), f"spark_graft_georev_prev_{key}"
+    )
+    if not _os.path.exists(_os.path.join(prev_path, "_SUCCESS")):
+        eng0 = _crosswalk_2020_engine(spark, sf_dir, year=2019)
+        eng0.calculate_batch_catalog(grid).write.mode(
+            "overwrite"
+        ).parquet(prev_path)
+    mut1 = incremental_mutation_cvs("acs", 2019)
+    root = ensure_fixture(sf_dir, "acs", 2019)
+    eng = _crosswalk_2020_engine(
+        spark, sf_dir, year=2019, nta_move=(3, "BX09")
+    )
+    eng.source = ColumnDeltaWideSource(
+        spark, root, {f"{cv}E": 7.0 for cv in mut1}
+    )
+    out = incremental_combined_update(
+        eng, spark.read.parquet(prev_path), mut1, ["nta2020"], grid
+    )
+    return out.orderBy("geotype", "pff_variable", "census_geoid")
+
+
+def q390_significant_change_report(spark, sf_dir):
+    """The published ACS comparison product: q383's change table plus
+    percent change and the Census Bureau's 90%-confidence significance
+    test, which with 90%-level MOEs simplifies EXACTLY to
+    |Δe| > √(m₁²+m₂²) = delta_m (ACS General Handbook comparison
+    formula) — a pure column expression over the delta frame, no extra
+    shuffle.  Suppressed cells test NULL; pct_change is NULL on a zero
+    or suppressed base."""
+    from db_factfinder_spark.pipelines import significant_change_table
+
+    eng_new = _catalog_batch_engine(spark, sf_dir, "acs", 2019)
+    eng_old = _catalog_batch_engine(spark, sf_dir, "acs", 2018)
+    out = significant_change_table(eng_new, eng_old, ["borough", "city"])
+    return out.orderBy("geotype", "pff_variable", "census_geoid")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10896,6 +10964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q386_cross_geography_change_table": q386_cross_geography_change_table,
         "q387_outer_change_table_status": q387_outer_change_table_status,
         "q388_geography_revision_splice": q388_geography_revision_splice,
+        "q389_combined_maintenance_splice": q389_combined_maintenance_splice,
+        "q390_significant_change_report": q390_significant_change_report,
         "q237_audience_overlap": q237_audience_overlap,
         "q238_autocorrelation": q238_autocorrelation,
     }

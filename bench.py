@@ -107,6 +107,8 @@ HEADLINE = [
     "q366_acs_catalog_batch_zones", # block-group zone rollups, set-based
     "q380_decennial2010_full_grid", # decennial grid: native + 2010 rollups
     "q383_cross_vintage_change_table",  # two vintage batches in ONE plan
+    "q386_cross_geography_change_table",  # crosswalk-apportioned delta join
+    "q388_geography_revision_splice",   # dimension-axis incremental maint
     # q198_bootstrap_ci is deliberately NOT a headline entry: its warm
     # time is ~95% driver-side Catalyst/AQE assembly of the 64-wide
     # aggregate tree (re-execution of the built plan runs in ~0.2 s,
@@ -346,6 +348,8 @@ def main() -> None:
                 "q366_acs_catalog_batch_zones",
                 "q380_decennial2010_full_grid",
                 "q383_cross_vintage_change_table",
+                "q386_cross_geography_change_table",
+                "q388_geography_revision_splice",
             )
             if name in plan_build
         },

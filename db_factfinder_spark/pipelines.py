@@ -544,6 +544,44 @@ def cross_geography_change_table(
     )
 
 
+def significant_change_table(
+    engine_new,
+    engine_old,
+    geotypes: list[str],
+    variables: list[str] | None = None,
+) -> DataFrame:
+    """The published ACS comparison product on top of
+    ``vintage_change_table``: percent change and the Census Bureau's
+    90%-confidence statistical-significance test.  With both MOEs at
+    the 90% level the test statistic simplifies exactly:
+
+        |e₁ − e₂| > 1.645 · √((m₁/1.645)² + (m₂/1.645)²)
+                  = √(m₁² + m₂²)  =  delta_m
+
+    (the ACS General Handbook's comparison formula), so ``significant``
+    is a pure column expression over the delta frame — no extra
+    shuffle, no re-scaling.  ``pct_change`` is NULL when the base
+    estimate is 0 or either side is suppressed; ``significant`` is
+    NULL when the deltas are (a suppressed cell cannot be tested)."""
+    delta = vintage_change_table(
+        engine_new, engine_old, geotypes, variables=variables
+    )
+    pct = F.when(
+        F.col("e_old") != 0,
+        F.col("delta_e") / F.col("e_old") * 100 + F.lit(0.0),
+    )
+    # 1.0/0.0/NULL double, not boolean: NULL booleans render
+    # differently across engine->pandas bridges (None vs NaN), while
+    # the numeric comparator canonicalizes NULL doubles
+    sig = F.when(
+        F.col("delta_e").isNotNull() & F.col("delta_m").isNotNull(),
+        (F.abs(F.col("delta_e")) > F.col("delta_m")).cast("double"),
+    )
+    return delta.select(
+        "*", pct.alias("pct_change"), sig.alias("significant")
+    )
+
+
 def vintage_change_table_outer(
     engine_new,
     engine_old,

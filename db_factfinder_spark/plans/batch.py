@@ -1440,3 +1440,65 @@ def incremental_geography_update(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def incremental_combined_update(
+    engine_new,
+    prev: DataFrame,
+    mutated_cvs,
+    changed_fields,
+    geotypes: list[str],
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """BOTH maintenance axes in one update: a census-column correction
+    (``mutated_cvs`` — the variable axis, ``catalog_dependency_closure``)
+    landed together with a crosswalk revision (``changed_fields`` — the
+    dimension axis, ``geography_dependency_closure``).  The recompute
+    region is the UNION of the two rectangles
+
+        (affected variables × every requested geotype)  ∪
+        (every variable × affected geotypes)
+
+    computed without overlap: one batch over the affected variables at
+    ALL requested geotypes, one batch over the REMAINING variables at
+    only the affected geotypes; everything outside both rectangles
+    splices from the stored artifact.  Correctness contract: value-
+    identical to a full ``calculate_batch_catalog`` over the mutated
+    source + revised geography (q389's oracle)."""
+    cat = engine_new.catalog
+    vars_aff = sorted(catalog_dependency_closure(cat, mutated_cvs))
+    geos_aff = geography_dependency_closure(
+        getattr(engine_new.geo, "name", ""), changed_fields
+    )
+    geo_recompute = [g for g in geotypes if g in geos_aff]
+    geo_keep = [g for g in geotypes if g not in geos_aff]
+    vars_keep = [
+        m["pff_variable"]
+        for m in cat.metadata
+        if m["pff_variable"] not in set(vars_aff)
+    ]
+    parts = []
+    if geo_keep:
+        parts.append(
+            prev.filter(~F.col("pff_variable").isin(vars_aff)).filter(
+                F.col("geotype").isin(geo_keep)
+            )
+        )
+    if vars_aff and geotypes:
+        parts.append(
+            engine_new.calculate_batch_catalog(
+                geotypes, variables=vars_aff,
+                checkpoint_mode=checkpoint_mode,
+            )
+        )
+    if geo_recompute and vars_keep:
+        parts.append(
+            engine_new.calculate_batch_catalog(
+                geo_recompute, variables=vars_keep,
+                checkpoint_mode=checkpoint_mode,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

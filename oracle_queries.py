@@ -11124,3 +11124,59 @@ def _georev_sql() -> str:
 
 
 ORACLES["q388_geography_revision_splice"] = _georev_sql()
+
+
+# q389: combined-axes maintenance — census-column correction (q367's
+# trio) + NTA boundary fix in ONE update; oracle = the full recompute
+# with BOTH mutations; hash equality proves the variable closure and
+# the dimension closure compose without under-invalidation.
+def _combined_maint_sql() -> str:
+    mut = sorted(_mut1_cvs("acs", 2019))
+    nat = _fc_sql("acs", 2019, ["tract"], mutate_cvs=mut)
+    agg = _nta_sql(
+        2019, ("CT20", "NTA"), nta_move=(3, "BX09"), mutate_cvs=mut
+    )
+    tail = "ORDER BY geotype, pff_variable, census_geoid"
+    assert nat.rstrip().endswith(tail) and agg.rstrip().endswith(tail)
+    strip = lambda q: q.rstrip()[: -len(tail)]  # noqa: E731
+    return (
+        f"SELECT * FROM ({strip(nat)})\nUNION ALL\n"
+        f"SELECT * FROM ({strip(agg)})\n{tail}"
+    )
+
+
+ORACLES["q389_combined_maintenance_splice"] = _combined_maint_sql()
+
+
+# q390: significance-tested change report — q383's delta frame plus
+# pct_change and the ACS 90%-level test |delta_e| > delta_m (the
+# handbook's 1.645-scaled quadrature simplifies exactly at matched
+# confidence levels).
+def _sig_change_sql() -> str:
+    new = _fc_sql("acs", 2019, ["borough", "city"])
+    old = _fc_sql("acs", 2018, ["borough", "city"])
+    tail = "ORDER BY geotype, pff_variable, census_geoid"
+    assert new.rstrip().endswith(tail) and old.rstrip().endswith(tail)
+    strip = lambda q: q.rstrip()[: -len(tail)]  # noqa: E731
+    return f"""
+SELECT *,
+  CASE WHEN e_old != 0 THEN delta_e / e_old * 100 + 0.0 END
+    AS pct_change,
+  CASE WHEN delta_e IS NOT NULL AND delta_m IS NOT NULL
+       THEN CAST(abs(delta_e) > delta_m AS DOUBLE) END AS significant
+FROM (
+  SELECT n.census_geoid, n.geotype, n.pff_variable,
+    n.labs_geoid, n.labs_geotype,
+    n.e AS e_new, o.e AS e_old,
+    (n.e - o.e) + 0.0 AS delta_e,
+    n.m AS m_new, o.m AS m_old,
+    sqrt(n.m * n.m + o.m * o.m) AS delta_m
+  FROM ({strip(new)}) n
+  JOIN ({strip(old)}) o
+    ON n.census_geoid = o.census_geoid AND n.geotype = o.geotype
+    AND n.pff_variable = o.pff_variable)
+ORDER BY geotype, pff_variable, census_geoid
+"""
+
+
+ORACLES["q390_significant_change_report"] = _sig_change_sql()

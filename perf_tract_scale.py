@@ -40,7 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import synth_catalog
 
 
-def _engine(spark, root):
+def _engine(spark, root, year=2019):
     from pyspark.sql import functions as F
 
     from db_factfinder_spark.catalog import Catalog
@@ -54,7 +54,7 @@ def _engine(spark, root):
         ParquetWideSource,
     )
 
-    cat = Catalog.from_registry("acs", 2019)
+    cat = Catalog.from_registry("acs", year)
     n = synth_catalog.N_TRACTS
     gids = spark.range(n).select(F.col("id").alias("gid"))
     code = F.concat(F.lit("47"), F.lpad(F.col("gid").cast("string"), 6, "0"))
@@ -103,24 +103,114 @@ def _free(spark, eng) -> None:
     gc.collect()
 
 
-def _ensure_scaled_fixture(sf_dir: str, n_tracts: int) -> str:
+def _ensure_scaled_fixture(sf_dir: str, n_tracts: int, year: int = 2019) -> str:
+    """Perf-only wide fixture at ``n_tracts`` units.
+
+    Coverage fix (r11): the fixture derives tract units from DISTINCT
+    ``c_custkey % n_tracts`` values, so a rung larger than the customer
+    row count silently caps at ~rows·(1−e^(−rows/n)) units — the r9/r10
+    "20,000" rung over sf0.1's ~15k customers was really ~10.8k units,
+    and a "200,000" rung would be ~14.4k (measured: near-flat exec,
+    which first exposed this).  ``--fullcover`` replicates the customer
+    arrays with shifted keys until expected coverage ≥95% of
+    ``n_tracts``, so the rung label is honest; fixture roots are
+    suffixed with the replication factor to avoid mixing with capped
+    fixtures."""
+    import math
+
+    import numpy as np
+
     synth_catalog.N_TRACTS = n_tracts
-    root = os.path.join("/tmp", f"spark_graft_scale_{n_tracts}")
+    rep = 1
+    if "--fullcover" in sys.argv:
+        ck0, _ = synth_catalog._customer_arrays(sf_dir)
+        rows = len(ck0)
+        rep = max(1, math.ceil(3.0 * n_tracts / rows))
+    suffix = "" if year == 2019 else f"_{year}"
+    if rep > 1:
+        suffix += f"_rep{rep}"
+    root = os.path.join("/tmp", f"spark_graft_scale_{n_tracts}{suffix}")
     if not os.path.exists(os.path.join(root, "_DONE")):
         t0 = time.perf_counter()
         # bypass the shared cache dir: perf fixtures are keyed by
         # tract count, not by the value-spec version
         orig = synth_catalog.fixture_root
+        orig_ca = synth_catalog._customer_arrays
         synth_catalog.fixture_root = lambda *a: root
+        if rep > 1:
+            def _replicated(sf, _orig=orig_ca, _rep=rep):
+                ck, bal = _orig(sf)
+                ck = np.concatenate(
+                    [ck + i * 1_000_003 for i in range(_rep)]
+                )
+                bal = np.tile(bal, _rep)
+                return ck, bal
+
+            synth_catalog._customer_arrays = _replicated
         try:
-            synth_catalog.ensure_fixture(sf_dir, "acs", 2019)
+            synth_catalog.ensure_fixture(sf_dir, "acs", year)
         finally:
             synth_catalog.fixture_root = orig
+            synth_catalog._customer_arrays = orig_ca
         print(
-            f"fixture n={n_tracts}: {time.perf_counter()-t0:.1f}s",
+            f"fixture n={n_tracts} y={year} rep={rep}: "
+            f"{time.perf_counter()-t0:.1f}s",
             file=sys.stderr,
         )
     return root
+
+
+def _ladder_ns(default=(200, 2_000, 20_000)) -> tuple[int, ...]:
+    """--n 200,2000,200000 overrides the rung list (r10 VERDICT ask 4:
+    the 200k rung is the literal 10x-data proof over the prior top)."""
+    for i, a in enumerate(sys.argv):
+        if a == "--n" and i + 1 < len(sys.argv):
+            return tuple(int(x) for x in sys.argv[i + 1].split(","))
+        if a.startswith("--n="):
+            return tuple(int(x) for x in a[4:].split(","))
+    return default
+
+
+def main_change(sf_dir: str) -> None:
+    """The q383 shape at the unit ladder: TWO full-catalog vintage
+    batches (2019 + 2018) inner-joined on the published grain in ONE
+    lazy plan (pipelines.vintage_change_table) — the claim under test
+    is that the delta join's input stays output-sized, so the shape
+    scales exactly like one batch, not two plus a data-sized join."""
+    from db_factfinder_spark.pipelines import vintage_change_table
+    from db_factfinder_spark.session import get_spark
+
+    spark = get_spark(app_name="perf_change_scale")
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out: dict[str, dict] = {}
+    for n_tracts in _ladder_ns():
+        root_new = _ensure_scaled_fixture(sf_dir, n_tracts, 2019)
+        root_old = _ensure_scaled_fixture(sf_dir, n_tracts, 2018)
+        eng_new = _engine(spark, root_new, 2019)
+        eng_old = _engine(spark, root_old, 2018)
+        best_plan = best_exec = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = vintage_change_table(
+                eng_new, eng_old, ["tract", "borough", "city"]
+            )
+            t1 = time.perf_counter()
+            force(df)
+            t2 = time.perf_counter()
+            p, e = t1 - t0, t2 - t1
+            best_plan = p if best_plan is None else min(best_plan, p)
+            best_exec = e if best_exec is None else min(best_exec, e)
+        out[str(n_tracts)] = {
+            "plan_s": round(best_plan, 2), "exec_s": round(best_exec, 2)
+        }
+        print(f"n={n_tracts}: plan {best_plan:.1f}s exec {best_exec:.1f}s",
+              file=sys.stderr, flush=True)
+        _free(spark, eng_new)
+        _free(spark, eng_old)
+    print(json.dumps({"metric": "change_scale_ladder", "by_n_tracts": out}))
 
 
 def main_sink(sf_dir: str) -> None:
@@ -141,7 +231,7 @@ def main_sink(sf_dir: str) -> None:
         df.write.format("noop").mode("overwrite").save()
 
     out: dict[str, dict] = {}
-    for n_tracts in (200, 2_000, 20_000):
+    for n_tracts in _ladder_ns():
         root = _ensure_scaled_fixture(sf_dir, n_tracts)
         eng = _engine(spark, root)
         t0 = time.perf_counter()
@@ -221,7 +311,7 @@ def main_geo2010(sf_dir: str) -> None:
         df.write.format("noop").mode("overwrite").save()
 
     out: dict[str, dict] = {}
-    for n_tracts in (200, 2_000, 20_000):
+    for n_tracts in _ladder_ns():
         root = _ensure_scaled_fixture(sf_dir, n_tracts)
         eng = _engine_2010(spark, root, n_tracts)
         best_plan = best_exec = None
@@ -254,13 +344,16 @@ def main() -> None:
     if "--geo2010" in sys.argv:
         main_geo2010(sf_dir)
         return
+    if "--change" in sys.argv:
+        main_change(sf_dir)
+        return
     spark = get_spark(app_name="perf_tract_scale")
 
     def force(df):
         df.write.format("noop").mode("overwrite").save()
 
     out: dict[str, dict] = {}
-    for n_tracts in (200, 2_000, 20_000):
+    for n_tracts in _ladder_ns():
         root = _ensure_scaled_fixture(sf_dir, n_tracts)
         eng = _engine(spark, root)
         rec: dict[str, float] = {}

@@ -932,6 +932,8 @@ def nta_catalog_oracle_sql(
     geotypes: tuple[str, ...] = ("CT20", "NTA"),
     crosswalk: str = "identity",
     nta_move: tuple[int, str] | None = None,
+    mutate_cvs=None,
+    mutate_delta: float = 7.0,
 ) -> str:
     """DuckDB twin of the aggregated-geotype catalog batch (q337 /
     q365's aggregated half): tract melt → identity-ratio CT20 fold →
@@ -1140,6 +1142,16 @@ asm_{tag} AS (
         "WHEN 'CDTA' THEN 'CDTA2020' ELSE geotype END"
     )
 
+    # vintage mutation (q389's combined update): the named census
+    # columns' raw E shifts by delta BEFORE scrub — mirrors
+    # ColumnDeltaWideSource, same idiom as full_catalog_oracle_sql
+    e_raw_sql = E_SQL
+    if mutate_cvs:
+        e_raw_sql = (
+            f"CASE WHEN cv IN ({_inlist(mutate_cvs)}) "
+            f"THEN ({E_SQL}) + {float(mutate_delta)!r} ELSE {E_SQL} END"
+        )
+
     nta_sql = "'BX' || lpad(CAST(gid % 20 AS VARCHAR), 2, '0')"
     if nta_move is not None:
         # geography REVISION (q388): the raw crosswalk re-assigns one
@@ -1210,7 +1222,7 @@ varmap(pff, cv) AS (VALUES
 varattr(pff, domain, rnd, cls, pz, base, medbase) AS (VALUES
   {varattr}),
 rawv AS (
-  SELECT census_geoid, cv, {E_SQL} AS E_raw, {M_SQL} AS M_raw
+  SELECT census_geoid, cv, {e_raw_sql} AS E_raw, {M_SQL} AS M_raw
   FROM (SELECT g.census_geoid, c.cv, c.i, g.s1, g.s2, g.s3,
                (g.s2 + (c.i + 1) * 7919) AS h
         FROM geo g CROSS JOIN colmap c)),

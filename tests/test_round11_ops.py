@@ -130,6 +130,97 @@ def test_outer_change_table_pins_all_four_statuses(spark):
     assert all(r["labs_geoid"] is not None for r in rows)
 
 
+def test_combined_update_rectangles(spark):
+    """incremental_combined_update must recompute exactly the union of
+    the two closure rectangles without overlap: (affected vars × all
+    geotypes) in one batch, (remaining vars × affected geotypes) in the
+    other, and the splice filter excludes both."""
+    import types
+
+    from db_factfinder_spark.catalog import Catalog
+    from db_factfinder_spark.plans.batch import (
+        catalog_dependency_closure,
+        incremental_combined_update,
+    )
+    from synth_catalog import incremental_mutation_cvs
+
+    cat = Catalog.from_registry("acs", 2019)
+    mut = incremental_mutation_cvs("acs", 2019)
+    cols = (
+        "census_geoid string, geotype string, pff_variable string,"
+        " e double"
+    )
+    calls = []
+
+    class FakeEngine:
+        catalog = cat
+        geo = types.SimpleNamespace(name="2010_to_2020")
+
+        def calculate_batch_catalog(
+            self, geotypes, variables=None, checkpoint_mode="local"
+        ):
+            calls.append((tuple(geotypes), variables))
+            return spark.createDataFrame(
+                [("G", geotypes[0], "recomputed", 0.0)], cols
+            )
+
+    prev = spark.createDataFrame(
+        [
+            ("X", "tract", "pop_1", 1.0),      # unaffected var, native
+            ("X", "NTA", "pop_1", 2.0),        # unaffected var, NTA
+            ("X", "tract", "lgoenlep1", 3.0),  # affected var
+        ],
+        cols,
+    )
+    grid = ["tract", "CT20", "NTA"]
+    out = incremental_combined_update(
+        FakeEngine(), prev, mut, ["nta2020"], grid
+    ).collect()
+    aff = catalog_dependency_closure(cat, mut)
+    assert "lgoenlep1" in aff and "pop_1" not in aff
+    assert len(calls) == 2
+    (g1, v1), (g2, v2) = calls
+    assert g1 == tuple(grid) and set(v1) == aff
+    assert g2 == ("NTA",)
+    assert set(v2).isdisjoint(aff)
+    assert set(v2) | aff == {m["pff_variable"] for m in cat.metadata}
+    spliced = [r for r in out if r["census_geoid"] == "X"]
+    # affected-var row and NTA rows must NOT splice through
+    assert [(r["geotype"], r["pff_variable"]) for r in spliced] == [
+        ("tract", "pop_1")
+    ]
+
+
+def test_significant_change_semantics(spark):
+    """q390: significant == (|delta_e| > delta_m) wherever both deltas
+    are non-NULL; NULL where either is suppressed; both outcomes
+    occur; pct_change NULL on zero/suppressed base."""
+    import math
+
+    import __spark_entry__ as E
+
+    rows = E.queries()["q390_significant_change_report"](
+        spark, SF
+    ).collect()
+    seen = set()
+    for r in rows:
+        if r["delta_e"] is None or r["delta_m"] is None:
+            assert r["significant"] is None
+        else:
+            want = abs(r["delta_e"]) > r["delta_m"]
+            assert r["significant"] == (1.0 if want else 0.0)
+            seen.add(want)
+        if r["e_old"] in (None, 0.0):
+            assert r["pct_change"] is None
+        elif r["delta_e"] is not None:
+            assert r["pct_change"] is not None
+            assert math.isclose(
+                r["pct_change"], r["delta_e"] / r["e_old"] * 100,
+                rel_tol=0, abs_tol=0,
+            )
+    assert seen == {True, False}
+
+
 def test_geography_dependency_closure_maps_fields():
     """The dimension axis of incremental maintenance: each crosswalk
     field invalidates exactly the geotypes that read it; a ratio
