@@ -141,7 +141,8 @@ def calculate_batch_catalog(
         native_out, native_agg = _native_frames(
             engine, native_geos, attr, varmap, varattr, tag_domain
         )
-        engine._batch_caches.append(native_agg)
+        # the persisted frame (the role fold) is registered inside
+        # _native_frames; native_agg is a projection of it
         frames.append(native_out)
         if "tract" in native_geos and agg_geos:
             # the aggregated chain's tract fold is value-identical to
@@ -265,7 +266,28 @@ def _native_frames(
     city/borough CONTROLLED-margin zeroing, the median p=100 rule)
     ride as expressions on the tag column, value-identical to the
     per-geotype branches (pinned by the stratified equivalence
-    tests)."""
+    tests).
+
+    Assembly (r11): every value the tail needs — the variable's own
+    e/m, its base's, its poverty twin's, the two wrkrnothm inputs, the
+    profile passthrough — is folded in the ONE groupBy by tagging each
+    melt row with the (consumer variable, role) pairs it feeds (a
+    driver-built broadcast mapping, the same place the old
+    (variable, census column) map lived).  The pre-r11 shape computed
+    the plain fold and then re-attached base/twin/profile values with
+    keyed SELF-JOINS of the output-sized frames: 5 sort-merge joins +
+    a separate unit-spine scan, 8 exchanges, and ~16 sequential AQE
+    jobs per execution (measured; the joins were byte-cheap but
+    stage-latency-expensive locally and output-sized shuffles at 100 TB
+    — optimization guide §2.4 "remove shuffles outright", §3.3).  Now
+    the melt join fans each census column to every consumer that reads
+    it (~1.9× the fold input rows — still melt-sized, never
+    output-sized), and everything after the fold is one broadcast
+    varattr join + pure column expressions in the fold's own stage:
+    zero post-fold exchanges, one persisted frame instead of two.
+    Variables with no census columns and no lookup inputs (decennial
+    placeholders) keep their e = Σ∅ = 0.0 rows via an explicit pad
+    union — the only remaining use of the unit spine."""
     cat = engine.catalog
     source = cat.source
     meta = cat.metadata
@@ -319,123 +341,161 @@ def _native_frames(
         _sentinel_null(m0).alias("M"),
         _sentinel_null(F.col("PE_raw")).alias("PPE"),
         _sentinel_null(pm0).alias("PPM"),
-    ).persist()  # the melt is read twice (horizontal fold + profile
-    # values) — cache it so the wide tables are scanned ONCE
-    engine._batch_caches.append(scrub)
+    )  # read exactly once (the role fold below) — no cache needed
+
+    # ---- role map: (consumer variable, census column, role) ---------
+    # 'self' covers the FULL catalog (the shared tract fold the
+    # aggregated chain slices must match the old varmap fold exactly);
+    # lookup roles (base / twin / prof / w / cw) cover the REQUESTED
+    # variables (attr).  Variables with neither census columns nor
+    # lookup inputs — decennial placeholders — are padded explicitly so
+    # their e = Σ∅ = 0.0 rows survive (calculate.py:92-107).
+    meta_by = {m["pff_variable"]: m for m in meta}
+    role_rows: list[tuple[str, str, str]] = []
+    for mm in meta:
+        for mcv in mm["census_variable"]:
+            role_rows.append((mm["pff_variable"], mcv, "self"))
+    pads: list[str] = []
+    for pff, _dom, _rnd, acls, _pz, base, twin, pcv in attr:
+        n_lookup = 0
+        if base:
+            for mcv in meta_by[base]["census_variable"]:
+                role_rows.append((pff, mcv, "base"))
+                n_lookup += 1
+        if twin:
+            for mcv in meta_by[twin]["census_variable"]:
+                role_rows.append((pff, mcv, "twin"))
+                n_lookup += 1
+        if pcv:
+            role_rows.append((pff, pcv, "prof"))
+            n_lookup += 1
+        if acls == "wrk":
+            for name, role in (("wrkr16pl", "w"), ("cw_wrkdhm", "cw")):
+                for mcv in meta_by.get(name, {}).get("census_variable", []):
+                    role_rows.append((pff, mcv, role))
+                    n_lookup += 1
+        if not meta_by[pff]["census_variable"] and n_lookup == 0:
+            pads.append(pff)
+    rolemap = engine.spark.createDataFrame(
+        role_rows, "pff string, cv string, role string"
+    )
 
     # ---- horizontal fold: ONE shuffle on (geotype, geoid, variable) --
-    agg = (
-        scrub.join(F.broadcast(varmap), "cv")
+    # Conditional sums are NULL when a group has no rows of that role —
+    # exactly the old left-join-miss NULLs.  e sums carry the fold's
+    # `0.0 +` head (canonicalizes -0.0); m stays as the squared sum so
+    # the tail can apply the identical sqrt(0.0 + Σ) shape.
+    role = F.col("role")
+    colE, colM = F.col("E"), F.col("M")
+
+    def _se(rname: str) -> Column:
+        return F.lit(0.0) + F.sum(
+            F.when(role == rname, F.coalesce(colE, F.lit(0.0)))
+        )
+
+    def _sm(rname: str) -> Column:
+        return F.sum(
+            F.when(role == rname, F.coalesce(colM * colM, F.lit(0.0)))
+        )
+
+    fold = (
+        scrub.join(F.broadcast(rolemap), "cv")
         .groupBy("geotype", "census_geoid", "pff")
         .agg(
-            (F.lit(0.0) + F.sum(F.coalesce(F.col("E"), F.lit(0.0)))).alias("e"),
-            F.sqrt(
-                F.lit(0.0)
-                + F.sum(F.coalesce(F.col("M") * F.col("M"), F.lit(0.0)))
-            ).alias("m"),
+            _se("self").alias("e_self"),
+            _sm("self").alias("msq_self"),
+            _se("base").alias("e_base"),
+            _sm("base").alias("msq_base"),
+            _se("twin").alias("e_twin"),
+            _sm("twin").alias("msq_twin"),
+            _se("w").alias("e_w"),
+            _sm("w").alias("msq_w"),
+            _se("cw").alias("e_cw"),
+            _sm("cw").alias("msq_cw"),
+            F.max(F.when(role == "prof", colE)).alias("pr_e"),
+            F.max(F.when(role == "prof", colM)).alias("pr_m"),
+            F.max(F.when(role == "prof", F.col("PPE"))).alias("pr_p"),
+            F.max(F.when(role == "prof", F.col("PPM"))).alias("pr_z"),
         )
-        .persist()  # base variables are REUSED via self-joins below —
-        # the set-based analog of the per-variable memoized base plans
+        .persist()  # read twice: the assembly tail + the shared tract
+        # slice the aggregated chain reuses (one wide scan per batch)
+    )
+    engine._batch_caches.append(fold)
+
+    # the shared plain fold — value-identical to the old varmap fold:
+    # a group has self rows iff the variable has census columns, and
+    # e_self/msq_self sum exactly the old per-(geoid, variable) rows
+    agg = fold.filter(F.col("e_self").isNotNull()).select(
+        "geotype",
+        "census_geoid",
+        "pff",
+        F.col("e_self").alias("e"),
+        F.sqrt(F.lit(0.0) + F.col("msq_self")).alias("m"),
     )
 
-    # ---- assembly: (geotype × geoid × varattr) spine + self-joins ----
-    # The spine (a broadcast cross join against the pruned geo-column
-    # scan) keeps variables with an EMPTY census-column list — the
-    # decennial catalogs are mostly such placeholders, and the
-    # per-variable path gives them e = Σ∅ = 0.0 rows, not absence
-    # (hsum([]) — calculate.py:92-107).
-    # the spine inherits the wide source's FILE partitioning (one task
-    # per geotype file at fixture scale), and every downstream join
-    # broadcasts onto it — so without this explicit repartition the
-    # entire per-row assembly tail (5 joins + the statistic/cleaning
-    # expression stack) runs at file parallelism, not cluster
-    # parallelism (measured: 3 tasks on local[32], re-exec 10.3 s →
-    # 7.5 s with the spread).  The shuffle itself is output-sized and
-    # narrow (2 key columns + the broadcast varattr fan-out), and an
-    # explicit N is exempt from AQE's bytes-based coalescing, which
-    # under-parallelizes this tail (cheap bytes, expensive rows).
-    spine = (
-        raw.select("geotype", "census_geoid")
-        .repartition(engine.spark.sparkContext.defaultParallelism)
-        .crossJoin(F.broadcast(varattr))
-    )
+    # ---- assembly: pad union + broadcast varattr + pure expressions --
+    body = fold
+    if pads:
+        pad_geo = raw.select("geotype", "census_geoid")
+        pad_pff = F.broadcast(
+            engine.spark.createDataFrame([(p,) for p in pads], "pff string")
+        )
+        body = body.unionByName(
+            pad_geo.crossJoin(pad_pff).withColumns(
+                {
+                    c: _null()
+                    for c in (
+                        "e_self", "msq_self", "e_base", "msq_base",
+                        "e_twin", "msq_twin", "e_w", "msq_w", "e_cw",
+                        "msq_cw", "pr_e", "pr_m", "pr_p", "pr_z",
+                    )
+                }
+            )
+        )
+    df = body.join(F.broadcast(varattr), "pff")
+
     empty_m = (
         _null() if source == "decennial" else F.lit(0.0)  # hmoe([]) = √0
     )
-    agg_side = agg if source != "decennial" else agg.withColumn("m", _null())
-    keys = ["geotype", "census_geoid"]
-    stats_em = spine.join(agg_side, [*keys, "pff"], "left").select(
-        "*",
-        F.coalesce(F.col("e"), F.lit(0.0)).alias("e_fold"),
-        F.coalesce(F.col("m"), empty_m).alias("m_fold"),
-    ).drop("e", "m").withColumnsRenamed({"e_fold": "e", "m_fold": "m"})
-    base_vals = agg_side.select(
-        *keys,
-        F.col("pff").alias("base"),
-        F.col("e").alias("agg_e"),
-        F.col("m").alias("agg_m"),
-    )
-    twin_vals = agg_side.select(
-        *keys,
-        F.col("pff").alias("twin"),
-        F.col("e").alias("tw_e"),
-        F.col("m").alias("tw_m"),
-    )
-    prof_vals = scrub.select(
-        *keys,
-        F.col("cv").alias("prof_cv"),
-        F.col("E").alias("pr_e"),
-        F.col("M").alias("pr_m"),
-        F.col("PPE").alias("pr_p"),
-        F.col("PPM").alias("pr_z"),
-    )
-    df = (
-        stats_em.join(base_vals, [*keys, "base"], "left")
-        .join(twin_vals, [*keys, "twin"], "left")
-        .join(prof_vals, [*keys, "prof_cv"], "left")
-    )
-    if any(cls == "wrk" for (_, _, _, cls, *_rest) in attr):
-        for name, ali in (("wrkr16pl", "w"), ("cw_wrkdhm", "cw")):
-            side = agg.filter(F.col("pff") == name).select(
-                *keys,
-                F.col("e").alias(f"{ali}_e"),
-                F.col("m").alias(f"{ali}_m"),
-            )
-            df = df.join(side, keys, "left")
+    if source == "decennial":
+        # the old path nulled the fold's m for self/base/twin reads
+        # (agg_side); wrkrnothm reads stayed raw (ACS-only in practice)
+        m_self, agg_m, tw_m = _null(), _null(), _null()
     else:
-        df = df.withColumns(
-            {c: _null() for c in ("w_e", "w_m", "cw_e", "cw_m")}
-        )
+        m_self = F.sqrt(F.lit(0.0) + F.col("msq_self"))
+        agg_m = F.sqrt(F.lit(0.0) + F.col("msq_base"))
+        tw_m = F.sqrt(F.lit(0.0) + F.col("msq_twin"))
+    e_fold = F.coalesce(F.col("e_self"), F.lit(0.0))
+    m_fold = F.coalesce(m_self, empty_m)
+    agg_e, tw_e = F.col("e_base"), F.col("e_twin")
+    w_e, cw_e = F.col("e_w"), F.col("e_cw")
+    w_m = F.sqrt(F.lit(0.0) + F.col("msq_w"))
+    cw_m = F.sqrt(F.lit(0.0) + F.col("msq_cw"))
 
     cls = F.col("cls")
     e = (
         F.when(cls == "prof", F.col("pr_e"))
-        .when(cls == "wrk", F.col("w_e") - F.col("cw_e"))
-        .otherwise(F.col("e"))
+        .when(cls == "wrk", w_e - cw_e)
+        .otherwise(e_fold)
     )
     m = (
         F.when(cls == "prof", F.col("pr_m"))
-        .when(
-            cls == "wrk",
-            F.sqrt(
-                F.col("w_m") * F.col("w_m") + F.col("cw_m") * F.col("cw_m")
-            ),
-        )
-        .otherwise(F.col("m"))
+        .when(cls == "wrk", F.sqrt(w_m * w_m + cw_m * cw_m))
+        .otherwise(m_fold)
     )
     pz = F.col("pz")
     p = (
         F.when(pz == "prof", F.col("pr_p"))
         .when(pz == "med", F.when(is_ctrl, F.lit(100.0)).otherwise(_null()))
-        .when(pz == "pov", F.col("tw_e"))
+        .when(pz == "pov", tw_e)
         .when(pz == "p100", F.lit(100.0))
-        .when(pz == "base", get_p(e, F.col("agg_e")))
+        .when(pz == "base", get_p(e, agg_e))
         .otherwise(_null())
     )
     z = (
         F.when(pz == "prof", F.col("pr_z"))
-        .when(pz == "pov", F.col("tw_m"))
-        .when(pz == "base", get_z(e, m, p, F.col("agg_e"), F.col("agg_m")))
+        .when(pz == "pov", tw_m)
+        .when(pz == "base", get_z(e, m, p, agg_e, agg_m))
         .otherwise(_null())
     )
     c = get_c(e, m)

@@ -455,16 +455,18 @@ def test_plan_audit_scan_count_independent_of_variable_count(engine):
             sum(1 for n in names if n == "InMemoryRelation"),
         )
 
-    # include wrkrnothm so the small plan has the same JOIN structure
-    # (its two base self-joins are per-CLASS, not per-variable)
+    # include wrkrnothm so the small plan has the same fold structure
+    # (its w/cw lookup roles are per-CLASS, not per-variable)
     small = leaf_counts(all_vars[:10] + ["wrkrnothm"])
     full = leaf_counts(None)
-    # scans are a property of the pipeline: ONE live parquet scan (the
-    # geo spine) + the melt scan inside the two cached frames,
-    # REGARDLESS of how many of the 1,047 variables run
+    # scans are a property of the pipeline: ZERO live parquet scans in
+    # the assembly (the one melt scan lives inside the single cached
+    # role fold; the old unit-spine scan is gone), REGARDLESS of how
+    # many of the 1,047 variables run
     assert full == small, f"plan size grew with variables: {small} -> {full}"
-    assert full[0] == 1, f"expected 1 live parquet scan, saw {full[0]}"
-    # runtime joins all resolve to broadcasts at this scale
+    assert full[0] == 0, f"expected 0 live parquet scans, saw {full[0]}"
+    assert full[1] == 1, f"expected the 1 cached role fold, saw {full[1]}"
+    # the only runtime join left is the broadcast varattr attach
     df = engine.calculate_batch_catalog(["tract"])
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -473,10 +475,11 @@ def test_plan_audit_scan_count_independent_of_variable_count(engine):
 
 def test_plan_audit_native_geotypes_share_one_melt(engine):
     """The 3-geotype production grid melts ONCE: the per-geotype scans
-    union under a geotype tag before the stack, so the plan carries
-    exactly 3 live parquet scans (the spine side's pruned geo reads)
-    and 2 cache reads (the one shared scrub + the one shared fold) —
-    the per-geotype formulation would triple the caches and codegen."""
+    union under a geotype tag before the stack, and since r11 the whole
+    assembly reads the ONE cached role fold — zero live parquet scans
+    in the output plan (the melt scan lives inside the cache; the old
+    unit-spine re-reads are gone) — the per-geotype formulation would
+    triple the caches and codegen."""
     df = engine.calculate_batch_catalog(["tract", "borough", "city"])
     leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
     live = 0
@@ -489,9 +492,9 @@ def test_plan_audit_native_geotypes_share_one_melt(engine):
             # collectLeaves yields one entry per USE — dedupe to the
             # underlying cache via its semantic hash
             distinct_caches.add(leaf.semanticHash())
-    assert live == 3, f"expected 3 live scans (spine union), saw {live}"
-    assert len(distinct_caches) == 2, (
-        f"expected the 2 shared caches, saw {len(distinct_caches)}"
+    assert live == 0, f"expected 0 live scans (cached fold), saw {live}"
+    assert len(distinct_caches) == 1, (
+        f"expected the 1 shared role-fold cache, saw {len(distinct_caches)}"
     )
 
 
