@@ -819,7 +819,7 @@ def _one_aggregated_geotype(
         agg2 = ct20  # already materialized by the caller
     return _aggregated_assembly(
         engine, geotype, attr, varattr, agg2, med_specs, med_structs,
-        tag_domain,
+        tag_domain, _mat=_mat,
     )
 
 
@@ -951,7 +951,7 @@ def _aggregated_2010_frames(
         )
         return _aggregated_assembly(
             engine, geotype, attr, varattr, agg2, med_specs, med_structs,
-            tag_domain,
+            tag_domain, _mat=_mat,
         )
 
     with ThreadPoolExecutor(max(1, len(geotypes))) as ex:
@@ -967,6 +967,7 @@ def _aggregated_assembly(
     med_specs,
     med_structs,
     tag_domain: bool,
+    _mat=None,
 ) -> DataFrame:
     """The shared aggregated-geotype tail: from a MATERIALIZED
     (census_geoid, pff, e, m) rollup frame at the target grain to the
@@ -975,7 +976,22 @@ def _aggregated_assembly(
     topological order), base / median-base p-z joins, rounding,
     cleaning, labs formatting.  Used by both the tract-sourced 2020
     rollups (``_one_aggregated_geotype``) and the block-group zone
-    rollups (``_zone_frames``)."""
+    rollups (``_zone_frames``).
+
+    ``_mat`` (the caller's checkpoint policy) MATERIALIZES the two
+    shared pivots.  They are referenced ~20× each downstream (every
+    median frame rides in the ``em`` union AND in the median-base
+    lookup union; every special formula and the dependent-special
+    joins re-read the member pivot), and Spark re-embeds the full
+    pivot subtree at every reference — measured on the r11 baseline:
+    q337's physical plan carried 740 operators / 133 Exchanges / 70
+    rescans of the rollup checkpoint, one exchange+aggregate pair per
+    re-embedding (optimization guide §3.3 "materialising an
+    intermediate truncates the plan", §2.4 "remove shuffles
+    outright").  Checkpointing each pivot once collapses those to two
+    geoid-sized frames built by one job each: the same q337 plan
+    drops to ~24 Exchanges, and the whole-plan exec drops ~2×
+    (same-session A/B in OPTIMIZATION_r11.md)."""
     from db_factfinder_spark.operators.median import calculate_median
     from db_factfinder_spark.operators.pivot import pivot_e, pivot_e_m
     from db_factfinder_spark.operators.special import SPECIAL_FUNCTIONS
@@ -1001,6 +1017,8 @@ def _aggregated_assembly(
         wide_med = pivot_e(
             long2.filter(F.col("pff_variable").isin(all_bins)), all_bins
         )
+        if _mat is not None:
+            wide_med = _mat(wide_med)
         med_frames = {
             mv: calculate_median(
                 wide_med, spec, geotype, struct=med_structs[mv]
@@ -1025,6 +1043,8 @@ def _aggregated_assembly(
             ),
             plain_members,
         )
+        if _mat is not None:
+            wide_spec = _mat(wide_spec)
         for s in order:
             spec = cat.special_spec(s)
             piv = wide_spec
@@ -1298,7 +1318,7 @@ def _zone_frames(
         )
         return _aggregated_assembly(
             engine, geotype, attr, varattr, agg2, med_specs, med_structs,
-            tag_domain,
+            tag_domain, _mat=_mat,
         )
 
     with ThreadPoolExecutor(max(1, len(geotypes))) as ex:

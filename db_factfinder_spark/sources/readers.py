@@ -225,8 +225,20 @@ def scrub_wide_profile(df: DataFrame, v: Variable, geotype: str) -> DataFrame:
 
 
 def write_csv(df: DataFrame, path: str) -> None:
-    """CSV sink (reference pipelines/acs.py:60-63)."""
-    df.write.mode("overwrite").option("header", True).csv(path)
+    """CSV sink (reference pipelines/acs.py:60-63).
+
+    REBALANCE before the write (optimization guide §6 "coalesce on
+    write"): the production frame arrives as a union of per-geotype
+    branches whose partitioning reflects upstream shuffles, not output
+    size — measured 49 part files for a 31 MB artifact, each paying
+    task-launch + commit overhead.  The hint is an AQE-coalescible
+    exchange sized by ``spark.sql.adaptive.advisoryPartitionSizeInBytes``,
+    so locally it packs the artifact into one ~64 MB-target file while
+    a 100 TB run still fans out to as many right-sized write tasks as
+    the data needs (scale-adaptive, never a hard-coded count)."""
+    df.hint("rebalance").write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
