@@ -755,6 +755,7 @@ def group_medoids(
     group_col: str = "group_id",
     set_col: str = "toks",
     max_group: int = 1000,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Medoid per near-dup group: the member minimizing the exact sum
     of set symmetric-difference distances to its groupmates.
@@ -778,16 +779,35 @@ def group_medoids(
     Returns ``{group_col}, medoid, group_size, sum_dist`` (``sum_dist``
     NULL for excluded giants).
     """
-    m = members.select(
-        F.col(id_col).alias("id"), F.col(group_col).alias("g")
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+
+    # materialize the 2-column membership: it feeds the size count,
+    # the tagged join, the singleton branch and the giant branch, and
+    # the caller's ``members`` is typically a full connected-components
+    # pipeline that would otherwise re-run once per reference
+    m = materialize(
+        members.select(
+            F.col(id_col).alias("id"), F.col(group_col).alias("g")
+        ),
+        checkpoint_mode,
     )
     sizes = m.groupBy("g").agg(F.count(F.lit(1)).alias("group_size"))
     ok = sizes.filter(F.col("group_size") <= max_group)
-    tagged = m.join(ok, "g").join(
-        items.select(
-            F.col(id_col).alias("id"), F.col(set_col).alias("s")
+    # materialize the tagged (member, shingle-set) frame: BOTH sides
+    # of the within-group pair join read it, and Spark re-embeds the
+    # whole upstream pipeline (the caller's component groups AND the
+    # shingle computation) once per side — measured on the r11
+    # baseline: 11 SortMergeJoins / 17 Exchanges for one call, the
+    # shingles computed twice (optimization guide §2.4; the
+    # winnow/jaccard shingle-once discipline)
+    tagged = materialize(
+        m.join(ok, "g").join(
+            items.select(
+                F.col(id_col).alias("id"), F.col(set_col).alias("s")
+            ),
+            "id",
         ),
-        "id",
+        checkpoint_mode,
     )
     a = tagged.select(
         "g", F.col("id").alias("ia"), F.col("s").alias("sa"),
@@ -938,6 +958,7 @@ def adamic_adar(
     dst: str = "dst",
     max_degree: int | None = DEFAULT_MAX_DEGREE,
     scale: int = 1_000_000_000,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Adamic–Adar link prediction over an undirected edge list: for
     every non-adjacent-or-not pair (u, w) with ≥ 1 common neighbor,
@@ -968,14 +989,25 @@ def adamic_adar(
 
     Returns ``id_a, id_b, n_common, aa_units`` with ``id_a < id_b``.
     """
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+
     e = (
         edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
         .select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
-    sym = e.union(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # materialize the symmetric edge list: it feeds the degree count
+    # AND both sides of the wedge self-join, and Spark re-embeds the
+    # whole upstream pipeline (caller joins + distinct) at every
+    # reference — the r11 baseline plan re-scanned the source parquet
+    # 16 times for one call (the shingle-once discipline of
+    # winnow_pairs/jaccard_pairs, optimization guide §2.4)
+    sym = materialize(
+        e.union(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct(),
+        checkpoint_mode,
+    )
     deg = sym.groupBy(F.col("a").alias("v")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -997,9 +1029,15 @@ def adamic_adar(
             )
         deg = deg.filter(F.col("deg") <= max_degree)
     # adjacency keyed by the middle vertex, each row carrying the
-    # middle's quantized discount so the wedge join needs no third join
-    adj = sym.select(F.col("b").alias("v"), F.col("a").alias("u")).join(
-        deg, "v"
+    # middle's quantized discount so the wedge join needs no third
+    # join; materialized because the wedge self-join reads it twice
+    # (x and y sides) and would otherwise run the degree groupBy +
+    # join once per side
+    adj = materialize(
+        sym.select(F.col("b").alias("v"), F.col("a").alias("u")).join(
+            deg, "v"
+        ),
+        checkpoint_mode,
     )
     term = F.floor(
         F.lit(float(scale)) / F.log(F.col("x.deg").cast("double")) + 0.5

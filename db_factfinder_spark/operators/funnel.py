@@ -884,6 +884,7 @@ def markov_attribution(
     key_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Markov-chain (removal-effect) attribution — the data-driven
     member of the attribution family (Anderl et al. 2014): model each
@@ -947,11 +948,22 @@ def markov_attribution(
         .filter(F.col("p_us").isNull() | (F.col("us") < F.col("p_us")))
     )
     w = Window.partitionBy("k").orderBy("us", "eid")
-    seq = touches.withColumns(
-        {
-            "rn": F.row_number().over(w),
-            "nxt": F.lead("ch").over(w),
-        }
+    # materialize the sequenced journeys: all four transition branches
+    # (first-touch, interior, last-touch, zero-touch-converter) read
+    # this frame, and Spark re-embeds the events scan + conversion
+    # join + window pass at every reference — the r11 baseline plan
+    # re-scanned the events parquet 9× and ran the per-user window 4×
+    # for one call (optimization guide §2.4)
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+
+    seq = materialize(
+        touches.withColumns(
+            {
+                "rn": F.row_number().over(w),
+                "nxt": F.lead("ch").over(w),
+            }
+        ),
+        checkpoint_mode,
     )
     end_state = F.when(
         F.col("p_us").isNotNull(), F.lit(conv_s)
@@ -970,8 +982,11 @@ def markov_attribution(
             )
         )
         .unionByName(
+            # seq has exactly touches' rows (withColumns adds columns
+            # only), so the distinct-keys anti-join reads the
+            # materialized frame instead of re-embedding the scan+join
             conv1.join(
-                touches.select("k").distinct(), "k", "left_anti"
+                seq.select("k").distinct(), "k", "left_anti"
             ).select(
                 F.lit(start_s).alias("fi"), F.lit(conv_s).alias("ti")
             )
