@@ -227,18 +227,16 @@ def scrub_wide_profile(df: DataFrame, v: Variable, geotype: str) -> DataFrame:
 def write_csv(df: DataFrame, path: str) -> None:
     """CSV sink (reference pipelines/acs.py:60-63).
 
-    REBALANCE before the write (optimization guide §6 "coalesce on
-    write"): the production frame arrives as a union of per-geotype
-    branches whose partitioning reflects upstream shuffles, not output
-    size — measured 49 part files for a 31 MB artifact, each paying
-    task-launch + commit overhead.  The hint is an AQE-coalescible
-    exchange sized by ``spark.sql.adaptive.advisoryPartitionSizeInBytes``,
-    so locally it packs the artifact into one ~64 MB-target file while
-    a 100 TB run still fans out to as many right-sized write tasks as
-    the data needs (scale-adaptive, never a hard-coded count)."""
-    df.hint("rebalance").write.mode("overwrite").option(
-        "header", True
-    ).csv(path)
+    Deliberately writes the frame's own partitioning.  A REBALANCE
+    hint before the write (guide §6 "coalesce on write") was tried in
+    r11 and REVERTED on a negative same-session A/B: the
+    AQE-coalescible exchange packed the 31 MB production artifact from
+    ~100 part files into 16, but the added output-sized shuffle cost
+    more than the task-commit overhead it saved (production grid
+    55.3/54.3 s with the hint vs 46.3/57.2 s without at sf0.1 —
+    OPTIMIZATION_r11.md).  A deployment whose object store punishes
+    small files can still rebalance at the call site."""
+    df.write.mode("overwrite").option("header", True).csv(path)
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
