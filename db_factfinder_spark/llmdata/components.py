@@ -778,6 +778,15 @@ def group_medoids(
     ``members``: ``(id, group)``; ``items``: ``(id, set_col array)``.
     Returns ``{group_col}, medoid, group_size, sum_dist`` (``sum_dist``
     NULL for excluded giants).
+
+    ``checkpoint_mode`` — lineage-truncation policy for the
+    multi-consumer intermediates (the membership and the tagged
+    member-set frame), per ``llmdata.checkpointing``: ``"local"``
+    (default) / ``"reliable"`` / ``"none"``.  Retention note: the
+    default ``localCheckpoint`` blocks stay pinned on executors for
+    the session once the plan executes — a long-lived session calling
+    this in a loop should pass ``"reliable"`` (checkpoint-dir storage,
+    cleanable) or ``"none"`` (pure lazy plan, re-derivation cost).
     """
     from db_factfinder_spark.llmdata.checkpointing import materialize
 
@@ -988,6 +997,15 @@ def adamic_adar(
     neighbors), so ln(deg) ≥ ln 2 > 0 — no division hazard.
 
     Returns ``id_a, id_b, n_common, aa_units`` with ``id_a < id_b``.
+
+    ``checkpoint_mode`` — lineage-truncation policy for the symmetric
+    edge list and adjacency (each feeds 2+ consumers), per
+    ``llmdata.checkpointing``: ``"local"`` (default) / ``"reliable"``
+    / ``"none"``.  Retention note: the default ``localCheckpoint``
+    blocks stay pinned on executors for the session once the plan
+    executes — a long-lived session calling this in a loop should
+    pass ``"reliable"`` (checkpoint-dir storage, cleanable) or
+    ``"none"`` (pure lazy plan, re-derivation cost).
     """
     from db_factfinder_spark.llmdata.checkpointing import materialize
 

@@ -853,6 +853,7 @@ def pq_encode(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Product-quantization encoder: split each vector into ``m``
     subvectors and store, per subspace, the id of the nearest codeword
@@ -872,7 +873,11 @@ def pq_encode(
     Output: ``(id_col, codes: array<int>, recon_err: long)`` where
     ``recon_err`` is the exact integer sum of per-subspace squared
     quantization errors (the training-quality readout PQ monitoring
-    dashboards plot)."""
+    dashboards plot).  ``keep_cols`` names input columns passed
+    through unchanged — the one-map-pass discipline for callers that
+    compute a sibling per-row value (e.g. ``ivf_pq_topk``'s coarse
+    cluster id) in the SAME projection instead of joining two scans
+    of the corpus back together (guide §2.4; r12)."""
     rows = _collect_codebook(codebooks)
     dim = len(rows[0]["centroid"])
     if dim % m:
@@ -919,6 +924,7 @@ def pq_encode(
         F.col(id_col),
         F.array(*code_cols).alias("codes"),
         total_err.cast("long").alias("recon_err"),
+        *[F.col(c) for c in keep_cols],
     )
 
 
@@ -1409,14 +1415,21 @@ def ivf_pq_topk(
     dim = len(rows[0]["centroid"])
     sub = dim // m
     best_cluster = _centroid_argmax(centroids)
-    assign = corpus.select(
-        F.col(id_col).alias("__cid"),
+    # cluster assignment and PQ codes are BOTH pure per-row maps of
+    # the same corpus row, so they ride ONE projection (pq_encode's
+    # keep_cols passthrough) — the pre-r12 shape computed them as two
+    # separate corpus scans and re-joined them on the id, paying a
+    # corpus-sized SortMergeJoin shuffle for columns that never left
+    # the row (guide §2.4; ivf_topk already had the fused form)
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
         best_cluster(F.col(vec_col)).alias("cluster_id"),
     ).filter(F.col("cluster_id").isNotNull())
-    codes = pq_encode(corpus, rows, m=m)
-    index = codes.select(
-        F.col(id_col).alias("neighbor_id"), "codes"
-    ).join(assign, F.col("neighbor_id") == F.col("__cid")).drop("__cid")
+    index = pq_encode(
+        assigned, rows, m=m, id_col=id_col, vec_col=vec_col,
+        keep_cols=("cluster_id",),
+    ).select(F.col(id_col).alias("neighbor_id"), "codes", "cluster_id")
 
     scored_probes = (
         probes.select(

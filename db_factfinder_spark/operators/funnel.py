@@ -164,20 +164,37 @@ def _assigned_touches(
     ts_col: str,
     id_col: str,
     value_col: str,
+    checkpoint_mode: str = "local",
 ) -> tuple[DataFrame, DataFrame]:
     """Shared touch→next-conversion assignment behind the attribution
     family (linear / U-shaped): the union-frame descending-time window
     of ``next_event_within`` — one shuffle on the key, linear, never
     the touch×conversion inequality self-join.  Returns ``(assigned,
     conv)``: qualifying touches labeled with their conversion's
-    (id, cents), and the conversion frame (for the direct channel)."""
-    e = events.select(
-        F.col(key_col).alias("k"),
-        F.unix_micros(F.col(ts_col)).alias("us"),
-        F.col(id_col).alias("eid"),
-        "event_type",
-        F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long").alias("cents"),
-        channel.alias("channel"),
+    (id, cents), and the conversion frame (for the direct channel).
+
+    Both multi-consumer frames are MATERIALIZED per ``checkpoint_mode``
+    (``llmdata.checkpointing``; r12, guide §2.4): the narrow event
+    projection feeds the touch slice, the conversion slice AND the
+    direct-channel anti-join (pre-r12 the source was re-scanned per
+    reference), and ``assigned`` feeds the credit windows AND the
+    direct anti-join (pre-r12 the whole union+descending-window
+    pipeline re-ran per reference — the markov_attribution pattern,
+    OPTIMIZATION_r11.md checklist row "attribution family")."""
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+
+    e = materialize(
+        events.select(
+            F.col(key_col).alias("k"),
+            F.unix_micros(F.col(ts_col)).alias("us"),
+            F.col(id_col).alias("eid"),
+            "event_type",
+            F.floor(F.col(value_col) * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            channel.alias("channel"),
+        ),
+        checkpoint_mode,
     )
     conv = e.filter(F.col("event_type") == conv_type).select(
         "k", "us", "eid", "cents",
@@ -205,7 +222,7 @@ def _assigned_touches(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    assigned = (
+    assigned = materialize(
         u.withColumn("__next", F.last("__conv", ignorenulls=True).over(w))
         .filter(
             (F.col("__is_probe") == 1)
@@ -216,7 +233,8 @@ def _assigned_touches(
             F.col("__next.eid").alias("conv_id"),
             F.col("__next.cents").alias("cents"),
             "us", "eid", "channel",
-        )
+        ),
+        checkpoint_mode,
     )
     return assigned, conv
 
@@ -231,6 +249,7 @@ def linear_attribution(
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Linear multi-touch attribution with EXACT cent conservation.
 
@@ -253,10 +272,17 @@ def linear_attribution(
     channel in integer cents.
 
     Output: ``channel, n_credits, credited_cents``.
+
+    ``checkpoint_mode`` — lineage-truncation policy for the shared
+    assignment frames (``llmdata.checkpointing``): ``"local"``
+    (default) / ``"reliable"`` / ``"none"``.  The default
+    ``localCheckpoint`` blocks stay pinned on executors for the
+    session; loop-heavy long-lived sessions should pass
+    ``"reliable"`` or ``"none"``.
     """
     assigned, conv = _assigned_touches(
         events, touch_types, conv_type, horizon_us, channel,
-        key_col, ts_col, id_col, value_col,
+        key_col, ts_col, id_col, value_col, checkpoint_mode,
     )
     per_conv = Window.partitionBy("conv_id")
     order = Window.partitionBy("conv_id").orderBy("us", "eid")
@@ -404,6 +430,7 @@ def time_decay_attribution(
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Time-decay multi-touch attribution (half-life = 1 day) with
     EXACT cent conservation — the recency-weighted sibling of
@@ -428,20 +455,35 @@ def time_decay_attribution(
     cents.
 
     Output: ``channel, n_credits, credited_cents``.
+
+    ``checkpoint_mode`` — lineage-truncation policy for the shared
+    assignment frames (``llmdata.checkpointing``): ``"local"``
+    (default) / ``"reliable"`` / ``"none"``.  The default
+    ``localCheckpoint`` blocks stay pinned on executors for the
+    session; loop-heavy long-lived sessions should pass
+    ``"reliable"`` or ``"none"``.
     """
+    from db_factfinder_spark.llmdata.checkpointing import materialize
+
     if not 0 <= horizon_days <= 40:
         raise ValueError("horizon_days must be in [0, 40]")
     day_us = 86_400_000_000
     horizon_us = horizon_days * day_us
-    e = events.select(
-        F.col(key_col).alias("k"),
-        F.unix_micros(F.col(ts_col)).alias("us"),
-        F.col(id_col).alias("eid"),
-        "event_type",
-        F.floor(F.col(value_col) * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
-        channel.alias("channel"),
+    # same two multi-consumer materializations as _assigned_touches
+    # (r12): the narrow projection feeds touch + conv + direct, the
+    # assigned frame feeds the credit windows + the direct anti-join
+    e = materialize(
+        events.select(
+            F.col(key_col).alias("k"),
+            F.unix_micros(F.col(ts_col)).alias("us"),
+            F.col(id_col).alias("eid"),
+            "event_type",
+            F.floor(F.col(value_col) * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            channel.alias("channel"),
+        ),
+        checkpoint_mode,
     )
     conv = e.filter(F.col("event_type") == conv_type).select(
         "k", "us", "eid", "cents", F.lit(0).alias("__is_probe")
@@ -464,7 +506,7 @@ def time_decay_attribution(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    assigned = (
+    assigned = materialize(
         u.withColumn("__next", F.last("__conv", ignorenulls=True).over(w))
         .filter(
             (F.col("__is_probe") == 1)
@@ -479,7 +521,8 @@ def time_decay_attribution(
         )
         .withColumn(
             "wt", F.expr(f"shiftleft(CAST(1 AS BIGINT), {horizon_days} - d)")
-        )
+        ),
+        checkpoint_mode,
     )
     per_conv = Window.partitionBy("conv_id")
     rem_order = Window.partitionBy("conv_id").orderBy(
@@ -788,6 +831,7 @@ def position_attribution(
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Position-based (U-shaped) multi-touch attribution with EXACT
     cent conservation — the 40/20/40 sibling of linear_attribution:
@@ -807,12 +851,19 @@ def position_attribution(
     integer-cents aggregate.
 
     Output: ``channel, n_credits, credited_cents``.
+
+    ``checkpoint_mode`` — lineage-truncation policy for the shared
+    assignment frames (``llmdata.checkpointing``): ``"local"``
+    (default) / ``"reliable"`` / ``"none"``.  The default
+    ``localCheckpoint`` blocks stay pinned on executors for the
+    session; loop-heavy long-lived sessions should pass
+    ``"reliable"`` or ``"none"``.
     """
     if not (0 < first_bp and 0 < last_bp and first_bp + last_bp < 10000):
         raise ValueError("first_bp/last_bp must be positive, sum < 10000")
     assigned, conv = _assigned_touches(
         events, touch_types, conv_type, horizon_us, channel,
-        key_col, ts_col, id_col, value_col,
+        key_col, ts_col, id_col, value_col, checkpoint_mode,
     )
     per_conv = Window.partitionBy("conv_id")
     order = Window.partitionBy("conv_id").orderBy("us", "eid")
@@ -926,6 +977,15 @@ def markov_attribution(
     else the removed channel), ``p_conv_nano``, ``base_nano``,
     ``effect_nano`` (base − removed, ≥ 0 up to nano flooring) and
     ``share`` (effect / Σ effects, one IEEE division).
+
+    ``checkpoint_mode`` — lineage-truncation policy for the sequenced
+    journey frame (it feeds all four transition branches), per
+    ``llmdata.checkpointing``: ``"local"`` (default) / ``"reliable"``
+    / ``"none"``.  Retention note: the default ``localCheckpoint``
+    blocks stay pinned on executors for the session once the plan
+    executes — a long-lived session calling this in a loop should
+    pass ``"reliable"`` (checkpoint-dir storage, cleanable) or
+    ``"none"`` (pure lazy plan, re-derivation cost).
     """
     m = n_channels
     start_s, conv_s, null_s = m, m + 1, m + 2

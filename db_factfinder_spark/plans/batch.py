@@ -978,21 +978,22 @@ def _aggregated_assembly(
     rollups (``_one_aggregated_geotype``) and the block-group zone
     rollups (``_zone_frames``).
 
-    ``_mat`` (the caller's checkpoint policy) MATERIALIZES the two
-    shared pivots.  They are referenced ~20× each downstream (every
-    median frame rides in the ``em`` union AND in the median-base
-    lookup union; every special formula and the dependent-special
-    joins re-read the member pivot), and Spark re-embeds the full
-    pivot subtree at every reference — measured on the r11 baseline:
-    q337's physical plan carried 740 operators / 133 Exchanges / 70
-    rescans of the rollup checkpoint, one exchange+aggregate pair per
-    re-embedding (optimization guide §3.3 "materialising an
-    intermediate truncates the plan", §2.4 "remove shuffles
-    outright").  Checkpointing each pivot once collapses those to two
-    geoid-sized frames built by one job each: the same q337 plan
-    drops to ~24 Exchanges, and the whole-plan exec drops ~2×
-    (same-session A/B in OPTIMIZATION_r11.md)."""
-    from db_factfinder_spark.operators.median import calculate_median
+    ``_mat`` (the caller's checkpoint policy) MATERIALIZES the
+    all-medians struct frame (``med_all``).  History of the shape:
+    the r10 baseline re-embedded the raw pivot subtree at every one of
+    its ~20 references (q337: 740 operators / 133 Exchanges); r11
+    checkpointed the two pivots (34 Exchanges) but still projected one
+    frame per median over the checkpoint — ~20 multi-KB median-struct
+    subtrees per geotype (two per median: em union + medbase lookup
+    union, each struct evaluated twice per row) and one join per
+    dependent special.  r12 computes every median struct ONCE in a
+    single checkpointed projection (two field-extraction stacks read
+    it) and chains the special formulas inline over ONE un-checkpointed
+    member pivot — q337's plan drops 259→~90 operators / 140→~8
+    ExistingRDD rescans, with one checkpoint job per geotype instead
+    of two (guide §2.4 "remove shuffles outright", §3.3 "materialising
+    an intermediate truncates the plan"; A/Bs in
+    OPTIMIZATION_r11.md / OPTIMIZATION_r12.md)."""
     from db_factfinder_spark.operators.pivot import pivot_e, pivot_e_m
     from db_factfinder_spark.operators.special import SPECIAL_FUNCTIONS
 
@@ -1006,10 +1007,20 @@ def _aggregated_assembly(
         "m",
     )
 
-    # ---- grouped medians: ONE shared bin pivot, prebuilt structs ----
+    # ---- grouped medians: ONE shared bin pivot → ONE struct projection
     # (empty branch sets — the decennial sidecars — degenerate to no
-    # frames at all; the q378 empty-catalog pin at native grain)
-    med_frames: dict[str, DataFrame] = {}
+    # frames at all; the q378 empty-catalog pin at native grain).
+    # Every median struct is computed ONCE in a single projection: the
+    # pre-r12 shape projected one frame per median (each embedding the
+    # multi-KB struct expression) and referenced each TWICE (the em
+    # union + the medbase lookup union) — ~20 giant subtrees per
+    # geotype in the plan and every struct evaluated twice per row.
+    # One projection + two cheap field-extraction stacks keep ONE copy
+    # of each struct and evaluate it once (guide §2.4/§3.3; r12 A/B in
+    # OPTIMIZATION_r12.md).  The materialization moves from the bin
+    # pivot to this frame — same single job per geotype, and the
+    # downstream stacks read precomputed (e, m) struct values.
+    med_all = None
     if med_specs:
         all_bins = sorted(
             {v for spec in med_specs.values() for v in spec.input_variables}
@@ -1017,55 +1028,62 @@ def _aggregated_assembly(
         wide_med = pivot_e(
             long2.filter(F.col("pff_variable").isin(all_bins)), all_bins
         )
+        med_all = wide_med.select(
+            "census_geoid",
+            *[med_structs[mv].alias(f"__med_{mv}") for mv in med_specs],
+        )
         if _mat is not None:
-            wide_med = _mat(wide_med)
-        med_frames = {
-            mv: calculate_median(
-                wide_med, spec, geotype, struct=med_structs[mv]
-            )
-            for mv, spec in med_specs.items()
-        }
+            med_all = _mat(med_all)
 
-    # ---- special formulas: ONE shared member pivot ------------------
-    # (wrkrnothm first: mntrvtm consumes its SPECIAL values)
+    def _med_stack(mvs, names: str) -> DataFrame:
+        parts = ", ".join(
+            f"'{mv}', `__med_{mv}`.e, `__med_{mv}`.m" for mv in mvs
+        )
+        return med_all.selectExpr(
+            "census_geoid", f"stack({len(mvs)}, {parts}) AS {names}"
+        )
+
+    # ---- special formulas: ONE shared member pivot, formulas CHAINED
+    # in one projection (wrkrnothm first: mntrvtm consumes its SPECIAL
+    # values — pre-r12 each dependent special re-JOINED the member
+    # pivot to the dependency's frame on census_geoid; the pivot is
+    # one row per geoid, so inline column reuse is value-identical
+    # and join-free, and the pivot subtree now appears ONCE in the
+    # final plan instead of needing its own checkpoint)
     order = [s for s in ("wrkrnothm",) if s in cat.special_variables]
     order += [s for s in cat.special_variables if s not in order]
-    spec_results: dict[str, DataFrame] = {}
+    spec_wide = None
     if order:
         all_members = {
             b for s in order for b in cat.special_spec(s).base_variables
         }
         special_set = set(order)
         plain_members = sorted(b for b in all_members if b not in special_set)
-        wide_spec = pivot_e_m(
+        spec_wide = pivot_e_m(
             long2.filter(F.col("pff_variable").isin(plain_members)).select(
                 "census_geoid", "pff_variable", "e", "m"
             ),
             plain_members,
         )
-        if _mat is not None:
-            wide_spec = _mat(wide_spec)
         for s in order:
             spec = cat.special_spec(s)
-            piv = wide_spec
+            deps = {}
             for b in spec.base_variables:
-                if b in spec_results:  # special member → its SPECIAL values
-                    piv = piv.join(
-                        spec_results[b].select(
-                            "census_geoid",
-                            F.col("e").alias(f"{b}e"),
-                            F.col("m").alias(f"{b}m"),
-                        ),
-                        "census_geoid",
-                        "left",
-                    )
-            out = SPECIAL_FUNCTIONS[s](piv)
-            spec_results[s] = out.select("census_geoid", "e", "m")
+                if b in special_set:  # special member → its SPECIAL values
+                    deps[f"{b}e"] = F.col(f"__sp_{b}e")
+                    deps[f"{b}m"] = F.col(f"__sp_{b}m")
+            if deps:
+                spec_wide = spec_wide.withColumns(deps)
+            spec_wide = SPECIAL_FUNCTIONS[s](spec_wide).withColumnsRenamed(
+                {"e": f"__sp_{s}e", "m": f"__sp_{s}m"}
+            )
 
-    # ---- assemble e/m per class --------------------------------------
-    plain_pffs = [p for p, (_, _, _, cls, *_r) in (
-        (r[0], r) for r in attr
-    ) if cls == "plain"]
+    # ---- assemble e/m per class: THREE branches (plain slice +
+    # median stack + special stack) instead of one union branch per
+    # median/special variable (~21 branches pre-r12)
+    plain_pffs = [r[0] for r in attr if r[3] == "plain"]
+    med_pffs = [r[0] for r in attr if r[3] == "med"]
+    spec_pffs = [r[0] for r in attr if r[3] == "spec"]
     em = long2.select(
         F.col("census_geoid"), F.col("pff_variable").alias("pff"), "e", "m"
     ).join(
@@ -1074,19 +1092,18 @@ def _aggregated_assembly(
         ),
         "pff",
     )
-    for pff, (_, _, _, cls, *_r) in ((r[0], r) for r in attr):
-        if cls == "med":
-            em = em.unionByName(
-                med_frames[pff].select(
-                    "census_geoid", F.lit(pff).alias("pff"), "e", "m"
-                )
+    if med_pffs:
+        em = em.unionByName(_med_stack(med_pffs, "(pff, e, m)"))
+    if spec_pffs:
+        sparts = ", ".join(
+            f"'{s}', `__sp_{s}e`, `__sp_{s}m`" for s in spec_pffs
+        )
+        em = em.unionByName(
+            spec_wide.selectExpr(
+                "census_geoid",
+                f"stack({len(spec_pffs)}, {sparts}) AS (pff, e, m)",
             )
-        elif cls == "spec":
-            em = em.unionByName(
-                spec_results[pff].select(
-                    "census_geoid", F.lit(pff).alias("pff"), "e", "m"
-                )
-            )
+        )
 
     base_vals = agg2.select(
         "census_geoid",
@@ -1094,15 +1111,11 @@ def _aggregated_assembly(
         F.col("e").alias("agg_e"),
         F.col("m").alias("agg_m"),
     )
-    med_union = None
-    for mv, mdf in med_frames.items():
-        part = mdf.select(
-            "census_geoid",
-            F.lit(mv).alias("medbase"),
-            F.col("e").alias("mb_e"),
-            F.col("m").alias("mb_m"),
-        )
-        med_union = part if med_union is None else med_union.unionByName(part)
+    med_union = (
+        _med_stack(list(med_specs), "(medbase, mb_e, mb_m)")
+        if med_specs
+        else None
+    )
 
     df = em.join(F.broadcast(varattr), "pff").join(
         base_vals, ["census_geoid", "base"], "left"

@@ -36,6 +36,10 @@ def test_adamic_adar_wedge_sides_read_checkpoint(spark):
     # the adjacency (and the symmetric edge list beneath it) must be a
     # checkpoint scan, not a re-embedded union+distinct pipeline
     assert "ExistingRDD" in plan
+    # the source relation must not appear in the output plan at all —
+    # every branch reads the checkpoints (r12, ADVICE: the SMJ bound
+    # alone is trivially met on tiny fixtures where AQE broadcasts)
+    assert "LocalTableScan" not in plan
     # one wedge self-join at most — never one join per re-embedding
     assert plan.count("SortMergeJoin") <= 1
 
@@ -52,6 +56,10 @@ def test_group_medoids_pair_sides_read_checkpoint(spark):
     )
     plan = _plan(group_medoids(members, items))
     assert "ExistingRDD" in plan
+    # neither source relation may appear in the output plan — members
+    # and items are consumed inside the checkpoint builds (r12, ADVICE:
+    # scan-count pin beside the broadcast-sensitive SMJ bound)
+    assert "LocalTableScan" not in plan
     # the shingle/token payload is joined in ONCE (the tagged frame);
     # both pair sides scan the checkpoint instead of re-joining items
     assert plan.count("SortMergeJoin") <= 2
@@ -85,6 +93,9 @@ def test_markov_attribution_branches_read_checkpoint(spark):
     )
     plan = _plan(out)
     assert "ExistingRDD" in plan
+    # the events relation must not appear in the output plan — every
+    # transition branch reads the sequenced checkpoint (r12, ADVICE)
+    assert "LocalTableScan" not in plan
     # all four transition branches read the sequenced checkpoint: the
     # per-user window pipeline appears once, not once per branch
     assert len(re.findall(r"row_number", plan)) <= 1
